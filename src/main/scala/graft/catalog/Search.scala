@@ -1,0 +1,217 @@
+package graft.catalog
+
+import graft.Tables
+import graft.model.QueryModule
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Catalog / STAC-style metadata search operators.
+  *
+  * Reference semantics (wmo-raf/georiva):
+  *  - time-range filter, inclusive ends, open-ended accepted
+  *    (`stac/views.py:398-420`)
+  *  - bbox intersection on item bounds (`stac/views.py:422-435`)
+  *  - id equality filters (`stac/views.py:498-537`)
+  *  - scoping/tenancy: unresolvable scope => empty, never unfiltered
+  *    (`stac/views.py:635-689`)
+  *  - forecast visibility: hide future-valid items (`stac/views.py:345-348`)
+  *  - keyset pagination ordered by -time (`stac/views.py:437-444,608-620`)
+  *  - latest item / latest run windows (`core/models/item.py:279-313`)
+  *
+  * Mapped onto the driver tables: `orders` plays the item fact table
+  * (time = o_orderdate) with deterministic synthetic bounds derived from
+  * keys by exact modular arithmetic (so the DuckDB oracle reproduces them
+  * bit-for-bit). All filters are sargable: at scale they push down to
+  * parquet row-group min/max and partition pruning on date(time).
+  */
+object Search extends QueryModule {
+
+  /** Deterministic synthetic bounds for an "item": exact double arithmetic
+    * on integer keys (identical in any engine). Spans are small boxes
+    * scattered over a [-180,180]x[-90,90] world. */
+  private val boundsCols = Seq(
+    (col("o_orderkey") % 340 - 170).cast("double").as("w"),
+    (col("o_orderkey") % 160 - 80).cast("double").as("s"),
+    (col("o_orderkey") % 340 - 170 + 12).cast("double").as("e"),
+    (col("o_orderkey") % 160 - 80 + 9).cast("double").as("n")
+  )
+  private val boundsSqlW = "CAST(o_orderkey % 340 - 170 AS DOUBLE)"
+  private val boundsSqlS = "CAST(o_orderkey % 160 - 80 AS DOUBLE)"
+  private val boundsSqlE = s"$boundsSqlW + 12"
+  private val boundsSqlN = s"$boundsSqlS + 9"
+
+  override def queries = Map(
+    // P1 — inclusive time-range filter (partition-prunable at scale).
+    "p1_time_filter" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp") &&
+                col("o_orderdate") <= lit("1998-12-31").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    }),
+
+    // P2 — bbox intersection filter on item bounds.
+    "p2_bbox_filter" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .select((col("o_orderkey") +: boundsCols): _*)
+        .filter(col("w") <= 40.0 && col("e") >= -10.0 &&
+                col("s") <= 30.0 && col("n") >= -20.0)
+    }),
+
+    // P5 — season select: keep DJF timesteps (months read from the data).
+    "p5_season_select" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .filter(month(col("o_orderdate")).isin(12, 1, 2))
+        .select(col("o_orderkey"), col("o_orderdate"),
+                month(col("o_orderdate")).cast("int").as("m"))
+    }),
+
+    // P6 — year-window slice.
+    "p6_year_window" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .filter(year(col("o_orderdate")).between(1996, 1999))
+        .groupBy(year(col("o_orderdate")).cast("int").as("yr"))
+        .agg(count(lit(1)).as("n_items"))
+    }),
+
+    // P7 — id parse: {yyyyMMdd} item ids resolved back to equality filters.
+    "p7_ids_filter" -> ((s, dir) => {
+      val ids = Seq("19980315", "19990701", "20000101")
+      val wanted = ids.map(i => to_timestamp(lit(i), "yyyyMMdd"))
+      Tables.orders(s, dir)
+        .filter(col("o_orderdate").isin(wanted: _*))
+        .select("o_orderkey", "o_orderdate", "o_orderstatus")
+    }),
+
+    // P8 — scoping: catalog/collection slug resolution via dimension join;
+    // unresolvable scope yields empty (fail-closed), never unfiltered.
+    "p8_scoping" -> ((s, dir) => {
+      val nat = Tables.nation(s, dir).filter(col("n_name") === "NATION_7")
+      Tables.customer(s, dir)
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "c_name", "n_name")
+    }),
+
+    // P9 — forecast visibility: public plane hides future-valid items.
+    "p9_forecast_visibility" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .filter(col("o_orderdate") <= lit("2000-06-30").cast("timestamp"))
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n_visible"))
+    }),
+
+    // P10 — active/visibility dimension predicates.
+    "p10_active_filter" -> ((s, dir) => {
+      Tables.part(s, dir)
+        .filter(col("p_type").startsWith("STANDARD") && col("p_size") >= 10)
+        .select("p_partkey", "p_name", "p_type", "p_size")
+    }),
+
+    // W1 — latest item per collection (newest time wins).
+    "w1_latest_item" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+    }),
+
+    // W2 — keyset pagination: order -time, token = last item, next page
+    // strictly after the token (deterministic via orderkey tiebreak).
+    "w2_keyset_pagination" -> ((s, dir) => {
+      val tokT = lit("1999-06-01").cast("timestamp")
+      Tables.orders(s, dir)
+        .filter(col("o_orderdate") < tokT)
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        .limit(101)
+        .select("o_orderkey", "o_orderdate")
+    }),
+
+    // J7 — latest-run-wins (as-of) selection: newest ts per user.
+    "j7_latest_run" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", "event_id", "ts", "event_type")
+    }),
+
+    // §2.6 — top-k: order by -value with limit (TakeOrderedAndProject).
+    "sort_topk" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+        .select("o_orderkey", "o_totalprice")
+    }),
+
+    // §2.7 — set op: union of two time slices + sort by time.
+    "set_union" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val a = o.filter(year(col("o_orderdate")) === 1996)
+      val b = o.filter(year(col("o_orderdate")) === 1998)
+      a.unionByName(b).select("o_orderkey", "o_orderdate")
+    }),
+
+    // A12 — distinct sorted timesteps + per-run valid-time rollup
+    // (collect_list rendered as a canonical sorted string).
+    "a12_timesteps" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("run"))
+        .agg(count(lit(1)).as("n"),
+             array_join(sort_array(collect_list(col("event_type"))), ",").as("types"))
+    })
+  )
+
+  override def oracleSql = Map(
+    "p1_time_filter" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate <= TIMESTAMP '1998-12-31'""".stripMargin,
+    "p2_bbox_filter" ->
+      s"""SELECT o_orderkey, $boundsSqlW AS w, $boundsSqlS AS s, $boundsSqlE AS e, $boundsSqlN AS n
+         |FROM orders
+         |WHERE $boundsSqlW <= 40.0 AND $boundsSqlE >= -10.0 AND $boundsSqlS <= 30.0 AND $boundsSqlN >= -20.0""".stripMargin,
+    "p5_season_select" ->
+      """SELECT o_orderkey, o_orderdate, CAST(month(o_orderdate) AS INT) AS m FROM orders
+        |WHERE month(o_orderdate) IN (12, 1, 2)""".stripMargin,
+    "p6_year_window" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n_items FROM orders
+        |WHERE year(o_orderdate) BETWEEN 1996 AND 1999 GROUP BY 1""".stripMargin,
+    "p7_ids_filter" ->
+      """SELECT o_orderkey, o_orderdate, o_orderstatus FROM orders
+        |WHERE o_orderdate IN (TIMESTAMP '1998-03-15', TIMESTAMP '1999-07-01', TIMESTAMP '2000-01-01')""".stripMargin,
+    "p8_scoping" ->
+      """SELECT c_custkey, c_name, n_name FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey WHERE n_name = 'NATION_7'""".stripMargin,
+    "p9_forecast_visibility" ->
+      """SELECT o_orderstatus, count(*) AS n_visible FROM orders
+        |WHERE o_orderdate <= TIMESTAMP '2000-06-30' GROUP BY 1""".stripMargin,
+    "p10_active_filter" ->
+      """SELECT p_partkey, p_name, p_type, p_size FROM part
+        |WHERE p_type LIKE 'STANDARD%' AND p_size >= 10""".stripMargin,
+    "w1_latest_item" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders) t WHERE rn = 1""".stripMargin,
+    "w2_keyset_pagination" ->
+      """SELECT o_orderkey, o_orderdate FROM orders
+        |WHERE o_orderdate < TIMESTAMP '1999-06-01'
+        |ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 101""".stripMargin,
+    "j7_latest_run" ->
+      """SELECT user_id, event_id, ts, event_type FROM (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t WHERE rn = 1""".stripMargin,
+    "sort_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+    "set_union" ->
+      """SELECT o_orderkey, o_orderdate FROM orders WHERE year(o_orderdate) = 1996
+        |UNION ALL
+        |SELECT o_orderkey, o_orderdate FROM orders WHERE year(o_orderdate) = 1998""".stripMargin,
+    "a12_timesteps" ->
+      """SELECT date_trunc('day', ts) AS run, count(*) AS n,
+        |       string_agg(event_type, ',' ORDER BY event_type) AS types
+        |FROM events GROUP BY 1""".stripMargin
+  )
+}
