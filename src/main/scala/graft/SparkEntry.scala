@@ -15,7 +15,9 @@ object SparkEntry {
 
   /** All engine modules contributing verified queries. */
   def modules: Seq[QueryModule] = Seq(
-    graft.catalog.Search
+    graft.catalog.Search,
+    graft.ops.ScalarQueries,
+    graft.ops.AggQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,261 @@
+package graft.ops
+
+import graft.Tables
+import graft.model.QueryModule
+import org.apache.spark.sql.functions._
+
+/** Verified queries for the aggregation + join surface (SURVEY §2.3/2.4),
+  * exercised over the driver tables with the Exact numeric discipline so
+  * Spark's partial/final aggregation hash-matches a single-node engine.
+  */
+object AggQueries extends QueryModule {
+
+  override def queries = Map(
+    // A1 — per-group stats: NaN/NULL-aware min/max/mean/std (pixel-stats
+    // shape; ref ingestion/utils.py:82-99). Quantity is integer-valued so
+    // sums are exact; stddev is derived from exact power sums.
+    "a1_pixel_stats" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          min(col("l_quantity")).as("vmin"),
+          max(col("l_quantity")).as("vmax"),
+          (sum(col("l_quantity")).cast("double") / count(col("l_quantity"))).as("vmean"),
+          Exact.stddevPopExact(col("l_quantity")).as("vstd"),
+          count(col("l_quantity")).as("n"))
+    }),
+
+    // A3 — temporal_aggregate: calendar-bucket resample (month) + how.
+    // Ref geoprocessing/temporal.py:52-74.
+    "a3_temporal_aggregate" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(date_trunc("month", col("ts")).as("bucket"), col("event_type"))
+        .agg(
+          (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0).as("sum_value"),
+          (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0
+            / count(col("value"))).as("mean_value"),
+          count(col("value")).as("n"))
+    }),
+
+    // A4 — climatology: collapse all years onto the month-of-year slot.
+    // Ref geoprocessing/temporal.py:77-87.
+    "a4_climatology" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(Algebra.monthSlot(col("l_shipdate")).as("m"))
+        .agg((sum(col("l_quantity")).cast("double") / count(lit(1))).as("clim"),
+             count(lit(1)).as("n_contrib"))
+    }),
+
+    // A6/J2 — anomaly: each (year,month) value joined to its calendar-slot
+    // climatology; absolute + relative anomaly with safe_divide.
+    // Ref geoprocessing/temporal.py:107-124, docs/adr/0007.
+    "a6_anomaly" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val monthly = li.groupBy(
+          year(col("l_shipdate")).cast("int").as("yr"),
+          Algebra.monthSlot(col("l_shipdate")).as("m"))
+        .agg((sum(col("l_quantity")).cast("double") / count(lit(1))).as("v"))
+      val clim = li.groupBy(Algebra.monthSlot(col("l_shipdate")).as("m"))
+        .agg((sum(col("l_quantity")).cast("double") / count(lit(1))).as("clim"))
+      monthly.join(broadcast(clim), Seq("m"))
+        .select(col("yr"), col("m"), col("v"), col("clim"),
+          (col("v") - col("clim")).as("anom"),
+          Algebra.safeDivide(col("v") - col("clim"), col("clim")).as("rel_anom"))
+    }),
+
+    // A5 — trend: degree-1 least-squares slope of yearly totals vs year,
+    // from exact integer sums (ref geoprocessing/temporal.py:90-104).
+    "a5_trend" -> ((s, dir) => {
+      val yearly = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), year(col("l_shipdate")).cast("long").as("x"))
+        .agg(sum(col("l_quantity")).cast("long").as("y"))
+      yearly.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+             sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+        .select(col("l_returnflag"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")).as("slope"))
+    }),
+
+    // A7 — raster_combine weighted mean with NULL-masked weight
+    // renormalization (ref geoprocessing/algebra.py:33-74): weights of
+    // NULL cells are excluded from the denominator.
+    "a7_weighted_combine" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("w", (col("event_id") % 5).cast("long"))
+        .withColumn("v100",
+          when(col("event_type") === "error", lit(null))
+            .otherwise(round(col("value") * 100).cast("long")))
+      e.groupBy("user_id")
+        .agg(
+          (sum(col("w") * col("v100")).cast("double") / 100.0).as("wsum"),
+          Algebra.safeDivide(
+            sum(col("w") * col("v100")).cast("double") / 100.0,
+            sum(when(col("v100").isNotNull, col("w")).otherwise(0L)).cast("double")).as("wmean"),
+          count(lit(1)).as("n"))
+    }),
+
+    // A9 — slot climatology with min-count guard: dekad-of-year mean,
+    // slots with too few contributing steps dropped (docs/adr/0007).
+    "a9_slot_climatology" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(Algebra.dekadSlot(col("l_shipdate")).as("dekad"))
+        .agg((sum(col("l_quantity")).cast("double") / count(lit(1))).as("clim"),
+             count(lit(1)).as("n_contrib"))
+        .filter(col("n_contrib") >= 20)
+    }),
+
+    // A10 — extent expand: running temporal + spatial extent per group.
+    // Ref ingestion/handlers/extent_handler.py:13-64.
+    "a10_extent_agg" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .select(col("o_orderstatus"), col("o_orderdate"),
+          (col("o_orderkey") % 340 - 170).cast("double").as("w"),
+          (col("o_orderkey") % 160 - 80).cast("double").as("s"))
+        .groupBy("o_orderstatus")
+        .agg(min(col("o_orderdate")).as("t_min"), max(col("o_orderdate")).as("t_max"),
+             min(col("w")).as("ext_w"), max(col("w") + 12.0).as("ext_e"),
+             min(col("s")).as("ext_s"), max(col("s") + 9.0).as("ext_n"))
+    }),
+
+    // A11 — run-status rollup (ref processing/engine.py:249-284).
+    "a11_status_rollup" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // J3 — star join: fact ⋈ broadcast dimensions, exact-integer revenue.
+    "j3_star_join" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_lines"),
+             sum(col("l_quantity")).cast("double").as("sum_qty"),
+             (sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100).cast("long"))
+               .cast("double") / 100.0).as("revenue"))
+    }),
+
+    // J5 — input-resolution readiness: required input absent ⇒ unit not
+    // ready (anti-join emptiness; ref processing/recipe.py:62-103).
+    "j5_readiness_antijoin" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    }),
+
+    // J6 — multi-source band combine: u/v sources paired per (user, day),
+    // combined pointwise into magnitude (ref ingestion/extractor.py:203-237).
+    "j6_uv_combine" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("v100", round(col("value") * 100).cast("long"))
+      val u = e.filter(col("event_type") === "click").groupBy("user_id", "day")
+        .agg((sum(col("v100")).cast("double") / 100.0).as("u"))
+      val v = e.filter(col("event_type") === "view").groupBy("user_id", "day")
+        .agg((sum(col("v100")).cast("double") / 100.0).as("v"))
+      u.join(v, Seq("user_id", "day"))
+        .select(col("user_id"), col("day"),
+          Algebra.vectorMagnitude(col("u"), col("v")).as("mag"))
+    })
+  )
+
+  override def oracleSql = Map(
+    "a1_pixel_stats" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  min(l_quantity) AS vmin, max(l_quantity) AS vmax,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(l_quantity) AS vmean,
+        |  sqrt(count(l_quantity) * CAST(sum(CAST(l_quantity AS BIGINT)*CAST(l_quantity AS BIGINT)) AS DOUBLE)
+        |       - CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE)*CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE))
+        |    / count(l_quantity) AS vstd,
+        |  count(l_quantity) AS n
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "a3_temporal_aggregate" ->
+      """SELECT date_trunc('month', ts) AS bucket, event_type,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100.0 / count(value) AS mean_value,
+        |  count(value) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "a4_climatology" ->
+      """SELECT CAST(month(l_shipdate) AS INT) AS m,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS clim,
+        |  count(*) AS n_contrib
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "a6_anomaly" ->
+      """WITH monthly AS (
+        |  SELECT CAST(year(l_shipdate) AS INT) AS yr, CAST(month(l_shipdate) AS INT) AS m,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS v
+        |  FROM lineitem GROUP BY 1, 2),
+        |clim AS (
+        |  SELECT CAST(month(l_shipdate) AS INT) AS m,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS clim
+        |  FROM lineitem GROUP BY 1)
+        |SELECT yr, monthly.m AS m, v, clim, v - clim AS anom,
+        |  CASE WHEN clim = 0 THEN NULL ELSE (v - clim) / clim END AS rel_anom
+        |FROM monthly JOIN clim ON monthly.m = clim.m""".stripMargin,
+    "a5_trend" ->
+      """WITH yearly AS (
+        |  SELECT l_returnflag, CAST(year(l_shipdate) AS BIGINT) AS x,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS y
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag,
+        |  CAST(count(*) * CAST(sum(x*y) AS BIGINT) - CAST(sum(x) AS BIGINT) * CAST(sum(y) AS BIGINT) AS DOUBLE)
+        |  / CAST(count(*) * CAST(sum(x*x) AS BIGINT) - CAST(sum(x) AS BIGINT) * CAST(sum(x) AS BIGINT) AS DOUBLE) AS slope
+        |FROM yearly GROUP BY 1""".stripMargin,
+    "a7_weighted_combine" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(event_id % 5 AS BIGINT) AS w,
+        |    CASE WHEN event_type = 'error' THEN NULL
+        |         ELSE CAST(round(value*100) AS BIGINT) END AS v100
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(sum(w * v100) AS DOUBLE) / 100.0 AS wsum,
+        |  CASE WHEN CAST(sum(CASE WHEN v100 IS NOT NULL THEN w ELSE 0 END) AS DOUBLE) = 0 THEN NULL
+        |       ELSE (CAST(sum(w * v100) AS DOUBLE) / 100.0)
+        |            / CAST(sum(CASE WHEN v100 IS NOT NULL THEN w ELSE 0 END) AS DOUBLE) END AS wmean,
+        |  count(*) AS n
+        |FROM e GROUP BY 1""".stripMargin,
+    "a9_slot_climatology" ->
+      """SELECT CAST((month(l_shipdate) - 1) * 3 + least(2, (day(l_shipdate) - 1) // 10) + 1 AS INT) AS dekad,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS clim,
+        |  count(*) AS n_contrib
+        |FROM lineitem GROUP BY 1 HAVING count(*) >= 20""".stripMargin,
+    "a10_extent_agg" ->
+      """SELECT o_orderstatus,
+        |  min(o_orderdate) AS t_min, max(o_orderdate) AS t_max,
+        |  min(CAST(o_orderkey % 340 - 170 AS DOUBLE)) AS ext_w,
+        |  max(CAST(o_orderkey % 340 - 170 AS DOUBLE) + 12.0) AS ext_e,
+        |  min(CAST(o_orderkey % 160 - 80 AS DOUBLE)) AS ext_s,
+        |  max(CAST(o_orderkey % 160 - 80 AS DOUBLE) + 9.0) AS ext_n
+        |FROM orders GROUP BY 1""".stripMargin,
+    "a11_status_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders GROUP BY 1, 2""".stripMargin,
+    "j3_star_join" ->
+      """SELECT r_name, count(*) AS n_lines,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1""".stripMargin,
+    "j5_readiness_antijoin" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "j6_uv_combine" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, event_type,
+        |         CAST(round(value*100) AS BIGINT) AS v100
+        |  FROM events),
+        |u AS (SELECT user_id, day, CAST(sum(v100) AS DOUBLE) / 100.0 AS u
+        |      FROM e WHERE event_type = 'click' GROUP BY 1, 2),
+        |v AS (SELECT user_id, day, CAST(sum(v100) AS DOUBLE) / 100.0 AS v
+        |      FROM e WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT u.user_id AS user_id, u.day AS day, sqrt(u.u*u.u + v.v*v.v) AS mag
+        |FROM u JOIN v ON u.user_id = v.user_id AND u.day = v.day""".stripMargin
+  )
+}
