@@ -17,7 +17,8 @@ object SparkEntry {
   def modules: Seq[QueryModule] = Seq(
     graft.catalog.Search,
     graft.ops.ScalarQueries,
-    graft.ops.AggQueries
+    graft.ops.AggQueries,
+    graft.grid.GridQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,55 @@
+package graft.grid
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The engine's grid data model (SURVEY §1.2/1.3).
+  *
+  * Canonical analysis layout is LONG form: one row per pixel
+  * `(collection, variable, t, y, x, v)` with NULL as nodata (the
+  * reference's NaN sentinel, formats/base.py:40-82). The scale layout is
+  * TILED form (`array<float>` per 256² tile, Tile.scala); long form is
+  * what aggregation/join operators consume, and tiles explode to long
+  * form lazily.
+  *
+  * Geo-referencing uses a global EPSG:4326 frame with dyadic pixel sizes
+  * (360/64 = 5.625°, 180/48 = 3.75°) so every coordinate is an exact
+  * binary double — coordinates computed at pixel centers exactly like the
+  * reference's affine-derived coords (virtual_zarr/virtual_zarr.py:326-344).
+  *
+  * For verified queries the grid is derived deterministically from the
+  * driver's `lineitem` table (monthly timesteps; pixel value = max
+  * quantity landing on the cell; absent cells = nodata holes), so the
+  * DuckDB oracle can rebuild the identical cube from the same parquet.
+  */
+object Grid {
+  val W = 64 // grid width  (pixels)
+  val H = 48 // grid height (pixels)
+  val PX = 360.0 / W // 5.625, exact
+  val PY = 180.0 / H // 3.75, exact
+
+  /** Long-form grid derived from lineitem: t (month), y, x, v. */
+  def fromLineitem(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(
+        date_trunc("month", col("l_shipdate")).as("t"),
+        (col("l_orderkey") % H).cast("int").as("y"),
+        (col("l_partkey") % W).cast("int").as("x"))
+      .agg(max(col("l_quantity")).cast("double").as("v"))
+
+  /** Identical construction in DuckDB SQL, used as a CTE by oracles. */
+  val sqlCte: String =
+    """grid AS (
+      |  SELECT date_trunc('month', l_shipdate) AS t,
+      |         CAST(l_orderkey % 48 AS INT) AS y,
+      |         CAST(l_partkey % 64 AS INT) AS x,
+      |         CAST(max(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS v
+      |  FROM lineitem GROUP BY 1, 2, 3)""".stripMargin
+
+  /** Pixel-center longitude/latitude (north-up: row 0 = north edge). */
+  def lonOf(x: org.apache.spark.sql.Column) = lit(-180.0) + (x + 0.5) * PX
+  def latOf(y: org.apache.spark.sql.Column) = lit(90.0) - (y + 0.5) * PY
+  val lonSql = "(-180.0 + (x + 0.5) * 5.625)"
+  val latSql = "(90.0 - (y + 0.5) * 3.75)"
+}

@@ -1,0 +1,185 @@
+package graft.grid
+
+import graft.model.QueryModule
+import graft.ops.{Algebra, Exact}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Verified grid/raster operator queries (SURVEY §2: J1/A2 zonal, A8 area
+  * time-series, P3 bbox pixel subset, F14 regrid, S8 overview pyramid),
+  * run over the deterministic lineitem-derived cube (Grid.scala) so the
+  * DuckDB oracle reproduces them bit-for-bit.
+  */
+object GridQueries extends QueryModule {
+
+  /** Boundary set: 5 diagonal boxes sweeping the globe + 1 disjoint box
+    * (lon > 180 — intersects nothing ⇒ all-NULL zonal row, the
+    * reference's outer-join-like contract, geoprocessing/zonal.py:41-134). */
+  private def boundaries(s: SparkSession): DataFrame =
+    s.range(6).select(
+      col("id").cast("int").as("boundary_id"),
+      when(col("id") < 5, lit(-180.0) + col("id") * 72.0).otherwise(200.0).as("bw"),
+      when(col("id") < 5, lit(-108.0) + col("id") * 72.0).otherwise(210.0).as("be"),
+      when(col("id") < 5, lit(-90.0) + col("id") * 36.0).otherwise(0.0).as("bs"),
+      when(col("id") < 5, lit(-54.0) + col("id") * 36.0).otherwise(10.0).as("bn"))
+
+  private val boundariesSql =
+    """bounds AS (
+      |  SELECT CAST(r AS INT) AS boundary_id,
+      |    CASE WHEN r < 5 THEN -180.0 + r * 72.0 ELSE 200.0 END AS bw,
+      |    CASE WHEN r < 5 THEN -108.0 + r * 72.0 ELSE 210.0 END AS be,
+      |    CASE WHEN r < 5 THEN -90.0 + r * 36.0 ELSE 0.0 END AS bs,
+      |    CASE WHEN r < 5 THEN -54.0 + r * 36.0 ELSE 10.0 END AS bn
+      |  FROM range(6) t(r))""".stripMargin
+
+  /** Long-form pixels with geo coordinates. */
+  private def pixels(s: SparkSession, dir: String): DataFrame =
+    Grid.fromLineitem(s, dir)
+      .withColumn("lon", Grid.lonOf(col("x")))
+      .withColumn("lat", Grid.latOf(col("y")))
+
+  private val pixelsSql =
+    s"""px AS (
+       |  SELECT t, y, x, v, ${Grid.lonSql} AS lon, ${Grid.latSql} AS lat FROM grid)""".stripMargin
+
+  override def queries = Map(
+    // P3 — bbox pixel subset: slice the cube to a box *before* any load
+    // (tile-level predicate pushdown at scale).
+    "p3_bbox_pixels" -> ((s, dir) => {
+      pixels(s, dir)
+        .filter(col("lon") >= -60.0 && col("lon") < 60.0 &&
+                col("lat") >= -30.0 && col("lat") < 30.0 &&
+                col("t") >= lit("1996-01-01").cast("timestamp") &&
+                col("t") <= lit("1997-12-31").cast("timestamp"))
+        .select("t", "y", "x", "v", "lon", "lat")
+    }),
+
+    // J1/A2 — zonal stats: per (boundary, timestep) mean/min/max/sum/std/
+    // count of pixels whose center falls in the boundary; boundaries with
+    // no intersection keep an all-NULL row.
+    "j1_zonal_stats" -> ((s, dir) => {
+      val px = pixels(s, dir)
+      val b = boundaries(s)
+      val joined = px.join(broadcast(b),
+        col("lon") >= col("bw") && col("lon") < col("be") &&
+        col("lat") >= col("bs") && col("lat") < col("bn"))
+      val stats = joined.groupBy("boundary_id", "t").agg(
+        (sum(col("v").cast("long")).cast("double") / count(lit(1))).as("zmean"),
+        min(col("v")).as("zmin"),
+        max(col("v")).as("zmax"),
+        sum(col("v").cast("long")).cast("double").as("zsum"),
+        Exact.stddevPopExact(col("v")).as("zstd"),
+        count(lit(1)).as("zcount"))
+      val frame = b.select("boundary_id")
+        .crossJoin(px.select("t").distinct())
+      frame.join(stats, Seq("boundary_id", "t"), "left")
+    }),
+
+    // A8 — area time-series: spatial reduce over the masked region per
+    // timestep (ad-hoc polygon path of the read side, §3.3).
+    "a8_area_timeseries" -> ((s, dir) => {
+      pixels(s, dir)
+        .filter(col("lon") >= -60.0 && col("lon") < 60.0 &&
+                col("lat") >= -30.0 && col("lat") < 30.0)
+        .groupBy("t").agg(
+          (sum(col("v").cast("long")).cast("double") / count(lit(1))).as("amean"),
+          min(col("v")).as("amin"),
+          max(col("v")).as("amax"),
+          sum(col("v").cast("long")).cast("double").as("asum"),
+          count(lit(1)).as("acount"))
+    }),
+
+    // F14 — regrid, nearest-neighbour: 64×48 → 48×36 (ratio 4/3); the
+    // source pixel under each target center resolved in pure integer
+    // arithmetic: src = (4·tgt + 2) DIV 3.
+    "f14_regrid_nearest" -> ((s, dir) => {
+      val tgt = s.range(36).select(col("id").cast("int").as("yt"))
+        .crossJoin(s.range(48).select(col("id").cast("int").as("xt")))
+        .withColumn("sy", ((col("yt") * 4 + 2) / 3).cast("int"))
+        .withColumn("sx", ((col("xt") * 4 + 2) / 3).cast("int"))
+      Grid.fromLineitem(s, dir)
+        .join(tgt, col("y") === col("sy") && col("x") === col("sx"))
+        .select(col("t"), col("yt"), col("xt"), col("v"))
+    }),
+
+    // F14 — regrid, average: 2× coarsen, mean of valid source pixels per
+    // target cell (rasterio 'average' NaN-aware semantics).
+    "f14_regrid_average" -> ((s, dir) => {
+      Grid.fromLineitem(s, dir)
+        .groupBy(col("t"), (col("y") / 2).cast("int").as("yt"),
+                 (col("x") / 2).cast("int").as("xt"))
+        .agg((sum(col("v").cast("long")).cast("double") / count(lit(1))).as("v"),
+             count(lit(1)).as("n_valid"))
+    }),
+
+    // S8 — overview pyramid: average-downsampled levels 2 and 4 in one
+    // table (the COG overview equivalent; level chosen at read time).
+    "s8_overview_pyramid" -> ((s, dir) => {
+      val g = Grid.fromLineitem(s, dir)
+      def level(f: Int): DataFrame =
+        g.groupBy(col("t"), (col("y") / f).cast("int").as("yt"),
+                  (col("x") / f).cast("int").as("xt"))
+          .agg((sum(col("v").cast("long")).cast("double") / count(lit(1))).as("v"))
+          .withColumn("level", lit(f))
+      level(2).unionByName(level(4))
+    })
+  )
+
+  private def withCtes(body: String): String =
+    s"WITH ${Grid.sqlCte},\n$pixelsSql,\n$boundariesSql\n$body"
+
+  override def oracleSql = Map(
+    "p3_bbox_pixels" -> withCtes(
+      """SELECT t, y, x, v, lon, lat FROM px
+        |WHERE lon >= -60.0 AND lon < 60.0 AND lat >= -30.0 AND lat < 30.0
+        |  AND t >= TIMESTAMP '1996-01-01' AND t <= TIMESTAMP '1997-12-31'""".stripMargin),
+    "j1_zonal_stats" -> withCtes(
+      """, stats AS (
+        |  SELECT boundary_id, t,
+        |    CAST(sum(CAST(v AS BIGINT)) AS DOUBLE) / count(*) AS zmean,
+        |    min(v) AS zmin, max(v) AS zmax,
+        |    CAST(sum(CAST(v AS BIGINT)) AS DOUBLE) AS zsum,
+        |    sqrt(count(*) * CAST(sum(CAST(v AS BIGINT)*CAST(v AS BIGINT)) AS DOUBLE)
+        |         - CAST(sum(CAST(v AS BIGINT)) AS DOUBLE)*CAST(sum(CAST(v AS BIGINT)) AS DOUBLE))
+        |      / count(*) AS zstd,
+        |    count(*) AS zcount
+        |  FROM px JOIN bounds
+        |    ON lon >= bw AND lon < be AND lat >= bs AND lat < bn
+        |  GROUP BY 1, 2),
+        |frame AS (SELECT boundary_id, t FROM bounds, (SELECT DISTINCT t FROM px) ts)
+        |SELECT frame.boundary_id AS boundary_id, frame.t AS t,
+        |       zmean, zmin, zmax, zsum, zstd, zcount
+        |FROM frame LEFT JOIN stats
+        |  ON frame.boundary_id = stats.boundary_id AND frame.t = stats.t""".stripMargin),
+    "a8_area_timeseries" -> withCtes(
+      """SELECT t,
+        |  CAST(sum(CAST(v AS BIGINT)) AS DOUBLE) / count(*) AS amean,
+        |  min(v) AS amin, max(v) AS amax,
+        |  CAST(sum(CAST(v AS BIGINT)) AS DOUBLE) AS asum,
+        |  count(*) AS acount
+        |FROM px
+        |WHERE lon >= -60.0 AND lon < 60.0 AND lat >= -30.0 AND lat < 30.0
+        |GROUP BY 1""".stripMargin),
+    "f14_regrid_nearest" -> withCtes(
+      """SELECT t, yt, xt, v
+        |FROM grid JOIN (
+        |  SELECT CAST(yy.r AS INT) AS yt, CAST(xx.r AS INT) AS xt,
+        |         CAST((yy.r * 4 + 2) // 3 AS INT) AS sy,
+        |         CAST((xx.r * 4 + 2) // 3 AS INT) AS sx
+        |  FROM range(36) yy(r), range(48) xx(r)) tgt
+        |ON grid.y = tgt.sy AND grid.x = tgt.sx""".stripMargin),
+    "f14_regrid_average" -> withCtes(
+      """SELECT t, CAST(y // 2 AS INT) AS yt, CAST(x // 2 AS INT) AS xt,
+        |  CAST(sum(CAST(v AS BIGINT)) AS DOUBLE) / count(*) AS v,
+        |  count(*) AS n_valid
+        |FROM grid GROUP BY 1, 2, 3""".stripMargin),
+    "s8_overview_pyramid" -> withCtes(
+      """SELECT t, CAST(y // 2 AS INT) AS yt, CAST(x // 2 AS INT) AS xt,
+        |  CAST(sum(CAST(v AS BIGINT)) AS DOUBLE) / count(*) AS v, 2 AS level
+        |FROM grid GROUP BY 1, 2, 3
+        |UNION ALL
+        |SELECT t, CAST(y // 4 AS INT) AS yt, CAST(x // 4 AS INT) AS xt,
+        |  CAST(sum(CAST(v AS BIGINT)) AS DOUBLE) / count(*) AS v, 4 AS level
+        |FROM grid GROUP BY 1, 2, 3""".stripMargin)
+  )
+}
