@@ -18,7 +18,9 @@ object SparkEntry {
     graft.catalog.Search,
     graft.ops.ScalarQueries,
     graft.ops.AggQueries,
-    graft.grid.GridQueries
+    graft.grid.GridQueries,
+    graft.llm.TextQueries,
+    graft.llm.DedupQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

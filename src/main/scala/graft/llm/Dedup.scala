@@ -1,0 +1,91 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for training-data pipelines:
+  * word-shingle Jaccard, MinHash + LSH banding, SimHash.
+  *
+  * Everything is hash-deterministic (md5-derived), expressed in Column
+  * functions / relational ops only — no UDFs — so the same pipeline
+  * scales to a 1000-executor cluster: shingling is a projection,
+  * signatures are a groupBy, band bucketing is an equi-join (never an
+  * all-pairs cross join), and only candidate pairs pay the exact-overlap
+  * verification join.
+  */
+object Dedup {
+
+  /** Distinct word n-gram shingles per document: (id, s). */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val ws = split(trim(lower(col(textCol))), "\\s+")
+    docs.select(col(idCol).as("id"), ws.as("ws"))
+      .select(col("id"), explode(
+        when(size(col("ws")) >= n,
+          transform(sequence(lit(0), size(col("ws")) - n),
+            i => concat_ws(" ", (0 until n).map(d => element_at(col("ws"), i + d + 1)): _*)))
+          .otherwise(array().cast("array<string>"))).as("s"))
+      .distinct()
+  }
+
+  /** MinHash signatures: k independent hash slots via salted md5;
+    * output one row per id with columns m1..mk. */
+  def minhashSignature(sh: DataFrame, k: Int = 8): DataFrame = {
+    val salted = sh.select(col("id"),
+      explode(sequence(lit(1), lit(k))).as("j"), col("s"))
+      .select(col("id"), col("j"),
+        md5(concat(col("j").cast("string"), lit("|"), col("s"))).as("h"))
+    val sig = salted.groupBy("id", "j").agg(min(col("h")).as("mh"))
+    val slots = (1 to k).map(x => max(when(col("j") === x, col("mh"))).as(s"m$x"))
+    sig.groupBy("id").agg(slots.head, slots.tail: _*)
+  }
+
+  /** LSH banding: k minhash slots → k/rows band keys; docs sharing any
+    * band key become candidates. (id, band, key). */
+  def lshBands(sig: DataFrame, k: Int = 8, rows: Int = 2): DataFrame = {
+    val bands = (1 to k / rows).map { b =>
+      val cols = ((b - 1) * rows + 1 to b * rows).map(x => col(s"m$x"))
+      struct(lit(b).as("band"), md5(concat(cols: _*)).as("key"))
+    }
+    sig.select(col("id"), explode(array(bands: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Candidate pairs from shared band keys (doc_a < doc_b, distinct). */
+  def candidatePairs(bands: DataFrame): DataFrame = {
+    val a = bands.select(col("band"), col("key"), col("id").as("doc_a"))
+    val b = bands.select(col("band"), col("key"), col("id").as("doc_b"))
+    a.join(b, Seq("band", "key")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Exact Jaccard for given pairs from their distinct shingle sets. */
+  def pairJaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("c"))
+    val inter = pairs
+      .join(sh.select(col("id").as("doc_a"), col("s")), Seq("doc_a"))
+      .join(sh.select(col("id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("id").as("doc_a"), col("c").as("ca")), Seq("doc_a"))
+      .join(sizes.select(col("id").as("doc_b"), col("c").as("cb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("i").cast("double") / (col("ca") + col("cb") - col("i"))).as("jacc"))
+  }
+
+  /** 32-bit SimHash over distinct word tokens, md5-nibble bit source.
+    * (id, simhash). */
+  def simhash32(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val wd = docs.select(col(idCol).as("id"),
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("w")).distinct()
+    val nibs = wd
+      .withColumn("m", md5(col("w")))
+      .select(col("id"), explode(sequence(lit(0), lit(7))).as("k"), col("m"))
+      .withColumn("nv", expr("instr('0123456789abcdef', substring(m, k+1, 1)) - 1"))
+    val bits = nibs
+      .select(col("id"), col("k"), col("nv"), explode(sequence(lit(0), lit(3))).as("j"))
+      .withColumn("contrib", expr("CASE WHEN (shiftright(nv, j) & 1) = 1 THEN 1 ELSE -1 END"))
+    bits.groupBy("id", "k", "j").agg(sum(col("contrib")).as("sgn"))
+      .withColumn("bit", when(col("sgn") >= 0, 1L).otherwise(0L))
+      .groupBy("id").agg(sum(expr("shiftleft(bit, k*4+j)")).as("simhash"))
+  }
+}

@@ -1,0 +1,61 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operator library for training-data pipelines: token
+  * counting, quality scoring, language-ID heuristics, fingerprinting.
+  * All pure Column expressions (codegen'd, no UDFs) so they run at full
+  * scan speed over 100 TB of documents.
+  */
+object TextAnalysis {
+
+  /** Whitespace word tokens. */
+  def words(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column = size(words(text))
+
+  /** BPE-ish token count: alpha runs, digit runs, and single punctuation
+    * each count as one token (a cheap proxy for byte-pair encoders). */
+  def tokenCountRe(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** chars/4 heuristic token estimate, exact integer arithmetic. */
+  def tokenCountApprox(text: Column): Column =
+    ((length(text) + 3) / 4).cast("long")
+
+  /** Count of matches of a regex. */
+  def countMatches(text: Column, re: String): Column =
+    size(regexp_extract_all(text, lit(re), lit(0)))
+
+  /** Normalized fingerprint: md5 of lowercased whitespace-collapsed text
+    * (rolling-hash document identity for exact/near-exact dedup). */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Language stopword marker lists for the n-gram language-ID heuristic. */
+  val stopwordRe: Map[String, String] = Map(
+    "en" -> "\\b(the|and|of|to|in|is|that|for)\\b",
+    "es" -> "\\b(el|la|de|que|los|en|un|una)\\b",
+    "de" -> "\\b(der|die|das|und|ist|ein|nicht)\\b",
+    "fr" -> "\\b(le|les|des|une|est|et|dans)\\b"
+  )
+  val cjkRe = "[\\u4e00-\\u9fff]"
+
+  /** Heuristic language ID: CJK presence wins, else argmax of stopword
+    * hit counts with a fixed tie-break order, 'und' when all zero. */
+  def langId(text: Column): Column = {
+    val lower_ = lower(text)
+    val cEn = countMatches(lower_, stopwordRe("en"))
+    val cEs = countMatches(lower_, stopwordRe("es"))
+    val cDe = countMatches(lower_, stopwordRe("de"))
+    val cFr = countMatches(lower_, stopwordRe("fr"))
+    when(countMatches(text, cjkRe) > 0, "zh")
+      .when(cEn + cEs + cDe + cFr === 0, "und")
+      .when(cEn >= cEs && cEn >= cDe && cEn >= cFr, "en")
+      .when(cEs >= cDe && cEs >= cFr, "es")
+      .when(cDe >= cFr, "de")
+      .otherwise("fr")
+  }
+}

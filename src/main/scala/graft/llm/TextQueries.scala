@@ -1,0 +1,109 @@
+package graft.llm
+
+import graft.Tables
+import graft.model.QueryModule
+import org.apache.spark.sql.functions._
+
+/** Verified text-analysis queries over the `documents` table. */
+object TextQueries extends QueryModule {
+
+  override def queries = Map(
+    // Token counting: whitespace, BPE-ish regex, chars/4 estimate.
+    "t_token_count" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_ws"),
+        TextAnalysis.tokenCountRe(col("text")).cast("long").as("n_re"),
+        TextAnalysis.tokenCountApprox(col("text")).as("n_approx"))
+    }),
+
+    // Quality scoring: length/alpha/punct/stopword ratios + linear score.
+    "t_quality_score" -> ((s, dir) => {
+      val t = col("text")
+      val nChars = length(t).cast("long")
+      val nWords = TextAnalysis.tokenCountWs(t).cast("long")
+      val nAlpha = length(regexp_replace(t, "[^A-Za-z]", "")).cast("long")
+      val nPunct = TextAnalysis.countMatches(t, "[.,;:!?]").cast("long")
+      val nStop = TextAnalysis.countMatches(lower(t), TextAnalysis.stopwordRe("en")).cast("long")
+      Tables.documents(s, dir).select(
+        col("doc_id"), nChars.as("n_chars"), nWords.as("n_words"),
+        (nAlpha.cast("double") / nChars).as("alpha_ratio"),
+        (nPunct.cast("double") / nChars).as("punct_ratio"),
+        (nStop.cast("double") / nWords).as("stop_ratio"),
+        least(lit(1.0), greatest(lit(0.0),
+          lit(0.25) + nStop.cast("double") / nWords * 2.0
+            - nPunct.cast("double") / nChars * 3.0
+            + nAlpha.cast("double") / nChars * 0.5)).as("quality"))
+    }),
+
+    // Language ID heuristic vs the labeled lang column.
+    "t_langid" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))
+    }),
+
+    // Document fingerprint (normalized md5).
+    "t_fingerprint" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+    }),
+
+    // Exact dedup: group by content hash, canonical = min doc_id.
+    "d_exact_dedup" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("canonical"), count(lit(1)).as("n_dupes"))
+    })
+  )
+
+  override def oracleSql = Map(
+    "t_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_re,
+        |  CAST((length(text) + 3) // 4 AS BIGINT) AS n_approx
+        |FROM documents""".stripMargin,
+    "t_quality_score" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS nc,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS nw,
+        |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS na,
+        |    CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS np,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|for)\b')) AS BIGINT) AS ns
+        |  FROM documents)
+        |SELECT doc_id, nc AS n_chars, nw AS n_words,
+        |  CAST(na AS DOUBLE) / nc AS alpha_ratio,
+        |  CAST(np AS DOUBLE) / nc AS punct_ratio,
+        |  CAST(ns AS DOUBLE) / nw AS stop_ratio,
+        |  least(1.0, greatest(0.0,
+        |    0.25 + CAST(ns AS DOUBLE) / nw * 2.0
+        |         - CAST(np AS DOUBLE) / nc * 3.0
+        |         + CAST(na AS DOUBLE) / nc * 0.5)) AS quality
+        |FROM c""".stripMargin,
+    "t_langid" ->
+      """WITH c AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|for)\b')) AS INT) AS c_en,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(el|la|de|que|los|en|un|una)\b')) AS INT) AS c_es,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|ein|nicht)\b')) AS INT) AS c_de,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(le|les|des|une|est|et|dans)\b')) AS INT) AS c_fr,
+        |    CAST(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS INT) AS c_zh
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE WHEN c_zh > 0 THEN 'zh'
+        |       WHEN c_en + c_es + c_de + c_fr = 0 THEN 'und'
+        |       WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
+        |       WHEN c_es >= c_de AND c_es >= c_fr THEN 'es'
+        |       WHEN c_de >= c_fr THEN 'de'
+        |       ELSE 'fr' END AS lang_pred
+        |FROM c""".stripMargin,
+    "t_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents""".stripMargin,
+    "d_exact_dedup" ->
+      """SELECT md5(text) AS h, min(doc_id) AS canonical, count(*) AS n_dupes
+        |FROM documents GROUP BY 1""".stripMargin
+  )
+}
