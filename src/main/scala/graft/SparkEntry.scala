@@ -20,7 +20,8 @@ object SparkEntry {
     graft.ops.AggQueries,
     graft.grid.GridQueries,
     graft.llm.TextQueries,
-    graft.llm.DedupQueries
+    graft.llm.DedupQueries,
+    graft.llm.SimilarityQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

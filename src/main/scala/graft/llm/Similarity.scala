@@ -1,0 +1,45 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search: brute-force cosine top-k (baseline) and
+  * random-hyperplane LSH bucketing (the scale path — bucket equi-join
+  * instead of all-pairs).
+  *
+  * Vectors are quantized to exact scaled integers (floor(x·2^20)) before
+  * any arithmetic: dot products and norms then stay < 2^53, so every
+  * intermediate is exact in 64-bit float OR int in any engine — results
+  * are bit-deterministic and distribution-order-independent, which a raw
+  * float sum would not be. Final cosine = dot/(√na·√nb) is the only
+  * inexact step, an identical IEEE instruction sequence everywhere.
+  */
+object Similarity {
+
+  /** (vec_id, q: array<long>, nrm2: long) quantized view. */
+  def quantized(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT))").as("q"))
+      .withColumn("nrm2", expr("aggregate(q, 0L, (acc, v) -> acc + v * v)"))
+
+  /** Exact quantized cosine between columns qa/qb with norms na/nb. */
+  val cosExpr =
+    "CAST(aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v) AS DOUBLE)" +
+      " / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))"
+
+  /** Random-hyperplane LSH bucket (nPlanes bits) per vector. Signs are
+    * md5-derived so both engines (and every executor) agree without a
+    * shared random state. */
+  def buckets(q: DataFrame, nPlanes: Int = 8): DataFrame = {
+    val comps = q.select(col("vec_id"), posexplode(col("q")).as(Seq("i", "qv")))
+    val planes = comps
+      .select(col("vec_id"), col("i"), col("qv"),
+        explode(sequence(lit(0), lit(nPlanes - 1))).as("p"))
+      .withColumn("sgn",
+        expr("CASE WHEN instr('01234567', substring(md5(concat(CAST(p AS STRING), '_', CAST(i AS STRING))), 1, 1)) > 0 THEN 1 ELSE -1 END"))
+    planes.groupBy("vec_id", "p")
+      .agg(sum(col("sgn") * col("qv")).as("proj"))
+      .withColumn("bit", when(col("proj") >= 0, 1L).otherwise(0L))
+      .groupBy("vec_id").agg(sum(expr("shiftleft(bit, p)")).as("bucket"))
+  }
+}

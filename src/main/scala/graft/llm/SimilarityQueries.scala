@@ -1,0 +1,118 @@
+package graft.llm
+
+import graft.Tables
+import graft.model.QueryModule
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Verified similarity-search queries over `embeddings`. */
+object SimilarityQueries extends QueryModule {
+
+  private val quantSql =
+    """q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |qn AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS nrm2 FROM q)""".stripMargin
+
+  override def queries = Map(
+    // Brute-force cosine top-5 per query vector (vec_id < 8), the exact
+    // baseline every ANN variant is judged against.
+    "s_ann_bruteforce" -> ((s, dir) => {
+      val q = Similarity.quantized(Tables.embeddings(s, dir))
+      val queries = q.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("q").as("qa"), col("nrm2").as("na"))
+      val corpus = q.select(col("vec_id"), col("q").as("qb"), col("nrm2").as("nb"))
+      val scored = queries.crossJoin(corpus)
+        .filter(col("qid") =!= col("vec_id"))
+        .withColumn("cos", expr(Similarity.cosExpr))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("qid", "vec_id", "cos", "rank")
+    }),
+
+    // LSH-bucketed ANN: candidates share an 8-bit hyperplane bucket;
+    // exact cosine within bucket, top-3. The scale path — the bucket join
+    // replaces the all-pairs cross join.
+    "s_ann_lsh" -> ((s, dir) => {
+      val q = Similarity.quantized(Tables.embeddings(s, dir))
+      val b = Similarity.buckets(q, 8)
+      val qb = q.join(b, "vec_id")
+      val queries = qb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("q").as("qa"), col("nrm2").as("na"), col("bucket"))
+      val corpus = qb.select(col("vec_id"), col("q").as("qb"), col("nrm2").as("nb"), col("bucket"))
+      val scored = queries.join(corpus, Seq("bucket"))
+        .filter(col("qid") =!= col("vec_id"))
+        .withColumn("cos", expr(Similarity.cosExpr))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("qid", "vec_id", "cos", "rank")
+    }),
+
+    // Embedding-cosine near-dup sweep: all pairs above a cosine
+    // threshold (label-blocked to avoid the full cross join).
+    "s_embed_neardup" -> ((s, dir) => {
+      val q = Similarity.quantized(Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding"), col("label")))
+        .join(Tables.embeddings(s, dir).select(col("vec_id"), col("label")), "vec_id")
+      val a = q.select(col("label"), col("vec_id").as("doc_a"), col("q").as("qa"), col("nrm2").as("na"))
+      val b = q.select(col("label"), col("vec_id").as("doc_b"), col("q").as("qb"), col("nrm2").as("nb"))
+      a.join(b, Seq("label")).filter(col("doc_a") < col("doc_b"))
+        .withColumn("cos", expr(Similarity.cosExpr))
+        .filter(col("cos") >= 0.4)
+        .select("label", "doc_a", "doc_b", "cos")
+    })
+  )
+
+  override def oracleSql = Map(
+    "s_ann_bruteforce" ->
+      s"""WITH $quantSql,
+         |scored AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+         |    CAST(list_dot_product(a.qv, b.qv) AS DOUBLE)
+         |      / (sqrt(CAST(a.nrm2 AS DOUBLE)) * sqrt(CAST(b.nrm2 AS DOUBLE))) AS cos
+         |  FROM qn a JOIN qn b ON a.vec_id < 8 AND b.vec_id != a.vec_id)
+         |SELECT qid, vec_id, cos, rank FROM (
+         |  SELECT qid, vec_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 5""".stripMargin,
+    "s_ann_lsh" ->
+      s"""WITH $quantSql,
+         |comps AS (
+         |  SELECT vec_id, CAST(i AS INT) AS i, qv[CAST(i+1 AS INT)] AS c
+         |  FROM qn CROSS JOIN range(64) ii(i)),
+         |planes AS (
+         |  SELECT vec_id, p, sum(
+         |    CASE WHEN strpos('01234567', substring(md5(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)) > 0
+         |         THEN c ELSE -c END) AS proj
+         |  FROM comps CROSS JOIN range(8) pp(p)
+         |  GROUP BY 1, 2),
+         |bkt AS (
+         |  SELECT vec_id, sum(CASE WHEN proj >= 0 THEN 1::BIGINT ELSE 0::BIGINT END << p) AS bucket
+         |  FROM planes GROUP BY 1),
+         |qb AS (SELECT qn.vec_id AS vec_id, qv, nrm2, bucket FROM qn JOIN bkt ON qn.vec_id = bkt.vec_id),
+         |scored AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+         |    CAST(list_dot_product(a.qv, b.qv) AS DOUBLE)
+         |      / (sqrt(CAST(a.nrm2 AS DOUBLE)) * sqrt(CAST(b.nrm2 AS DOUBLE))) AS cos
+         |  FROM qb a JOIN qb b ON a.bucket = b.bucket AND a.vec_id < 8 AND b.vec_id != a.vec_id)
+         |SELECT qid, vec_id, cos, rank FROM (
+         |  SELECT qid, vec_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 3""".stripMargin,
+    "s_embed_neardup" ->
+      s"""WITH $quantSql,
+         |ql AS (SELECT qn.vec_id AS vec_id, qv, nrm2, label
+         |       FROM qn JOIN embeddings e ON qn.vec_id = e.vec_id)
+         |SELECT a.label AS label, a.vec_id AS doc_a, b.vec_id AS doc_b,
+         |  CAST(list_dot_product(a.qv, b.qv) AS DOUBLE)
+         |    / (sqrt(CAST(a.nrm2 AS DOUBLE)) * sqrt(CAST(b.nrm2 AS DOUBLE))) AS cos
+         |FROM ql a JOIN ql b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE CAST(list_dot_product(a.qv, b.qv) AS DOUBLE)
+         |    / (sqrt(CAST(a.nrm2 AS DOUBLE)) * sqrt(CAST(b.nrm2 AS DOUBLE))) >= 0.4""".stripMargin
+  )
+}
