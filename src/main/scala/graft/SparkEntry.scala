@@ -21,7 +21,9 @@ object SparkEntry {
     graft.grid.GridQueries,
     graft.llm.TextQueries,
     graft.llm.DedupQueries,
-    graft.llm.SimilarityQueries
+    graft.llm.SimilarityQueries,
+    graft.engine.EngineQueries,
+    graft.ops.GeoCalQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,56 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Derivation-engine primitives (SURVEY §2.9, reference
+  * processing/engine.py + invocation.py):
+  *
+  *  - content-hash idempotent upsert (X2): a unit re-run is a no-op when
+  *    the recorded input_hash matches; changed inputs overwrite in place;
+  *    new units insert. Ref: engine.py:224-237,344-352.
+  *  - staleness invalidation (X5): a changed input walks the lineage DAG
+  *    forward transitively and re-dispatches every downstream unit.
+  *    Ref: invocation.py:71-105,210-247.
+  *
+  * Both are pure DataFrame transforms: MERGE is a full outer join keyed
+  * on unit id (at scale: a Delta/Iceberg MERGE with the same predicate);
+  * the transitive walk is a bounded iterative join (lineage DAGs are
+  * shallow — depth = recipe chain length).
+  */
+object Derivation {
+
+  /** Classify an incoming batch against existing state:
+    * 'skip' (same hash), 'overwrite' (hash changed), 'insert' (new unit),
+    * and keep untouched existing rows as 'keep'. Returns the post-merge
+    * state with an `action` audit column. */
+  def idempotentMerge(existing: DataFrame, incoming: DataFrame,
+                      unitCol: String, hashCol: String): DataFrame = {
+    val ex = existing.select(col(unitCol).as("unit_id"), col(hashCol).as("old_hash"))
+    val in = incoming.select(col(unitCol).as("unit_id"), col(hashCol).as("new_hash"))
+    ex.join(in, Seq("unit_id"), "full_outer")
+      .select(col("unit_id"),
+        coalesce(col("new_hash"), col("old_hash")).as("input_hash"),
+        when(col("old_hash").isNull, "insert")
+          .when(col("new_hash").isNull, "keep")
+          .when(col("old_hash") === col("new_hash"), "skip")
+          .otherwise("overwrite").as("action"))
+  }
+
+  /** All units downstream of `seeds` in `edges(src, dst)`, walked up to
+    * maxDepth levels (inclusive of the seeds at depth 0). Returns
+    * (unit_id, depth) with the minimal depth per unit. */
+  def transitiveDownstream(edges: DataFrame, seeds: DataFrame,
+                           maxDepth: Int): DataFrame = {
+    var frontier = seeds.select(col("unit_id"), lit(0).as("depth"))
+    var acc = frontier
+    for (d <- 1 to maxDepth) {
+      frontier = frontier
+        .join(edges, frontier("unit_id") === edges("src"))
+        .select(col("dst").as("unit_id"), lit(d).as("depth"))
+        .distinct()
+      acc = acc.unionByName(frontier)
+    }
+    acc.groupBy("unit_id").agg(min(col("depth")).as("depth"))
+  }
+}

@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.locationtech.jts.geom.{Coordinate, Geometry, GeometryFactory}
+import org.locationtech.jts.io.WKTReader
+
+/** Geometry operators (SURVEY F12/F13, P4):
+  *
+  *  - bbox intersection / containment as plain column arithmetic (exact,
+  *    pushdown-friendly — these run against tile min/max metadata first);
+  *  - exact point-in-polygon via JTS PreparedGeometry inside a pixel-
+  *    center containment UDF (the reference's rasterize-mask path,
+  *    geoprocessing/zonal.py:30-38, ingestion/clipper.py:125-163);
+  *  - clip-window arithmetic: geo bbox → integer pixel window with
+  *    clamping and exact re-derived bounds (ingestion/clipper.py:51-123).
+  */
+object Geo {
+
+  /** Sign of the cross product (P−A)×(B−A): which side of edge AB the
+    * point lies on. Exact IEEE arithmetic, engine-portable. */
+  def edgeSide(px: Column, py: Column, ax: Double, ay: Double, bx: Double, by: Double): Column =
+    (lit(bx) - ax) * (py - ay) - (lit(by) - ay) * (px - ax)
+
+  /** Point-in-triangle via three same-sign half-plane tests (CCW ring). */
+  def inTriangle(px: Column, py: Column,
+                 a: (Double, Double), b: (Double, Double), c: (Double, Double)): Column =
+    edgeSide(px, py, a._1, a._2, b._1, b._2) >= 0 &&
+      edgeSide(px, py, b._1, b._2, c._1, c._2) >= 0 &&
+      edgeSide(px, py, c._1, c._2, a._1, a._2) >= 0
+
+  /** General point-in-polygon over WKT via JTS (broadcast the prepared
+    * geometry per executor; used for arbitrary GeoJSON/WKT boundaries
+    * where the arithmetic fast path doesn't apply). */
+  def containsUdf(wkt: String) = {
+    val f = new GeometryFactory()
+    udf { (x: Double, y: Double) =>
+      // PreparedGeometry is not serializable; parse lazily per executor.
+      val geom = Geo.parsedCache.computeIfAbsent(wkt, w => new WKTReader(f).read(w))
+      geom.contains(f.createPoint(new Coordinate(x, y)))
+    }
+  }
+  private val parsedCache = new java.util.concurrent.ConcurrentHashMap[String, Geometry]()
+
+  /** Pixel window of a geo bbox in a north-up grid frame
+    * (west,north origin; pw/ph = pixel sizes in degrees). Returns
+    * (col_off, row_off, width, height) clamped to the grid, matching the
+    * reference's floor/ceil/clamp window math. */
+  def clipWindow(bw: Column, bs: Column, be: Column, bn: Column,
+                 gridW: Int, gridH: Int,
+                 west: Double, north: Double, pw: Double, ph: Double)
+      : Seq[Column] = {
+    val colOff = greatest(lit(0), floor((bw - west) / pw).cast("int"))
+    val colEnd = least(lit(gridW), ceil((be - west) / pw).cast("int"))
+    val rowOff = greatest(lit(0), floor((lit(north) - bn) / ph).cast("int"))
+    val rowEnd = least(lit(gridH), ceil((lit(north) - bs) / ph).cast("int"))
+    Seq(colOff.as("col_off"), rowOff.as("row_off"),
+      greatest(lit(0), colEnd - colOff).as("width"),
+      greatest(lit(0), rowEnd - rowOff).as("height"))
+  }
+}
