@@ -1,0 +1,93 @@
+package graft.grid
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Tiled grid layout — the engine's 100 TB storage representation
+  * (SURVEY §1.3): one row per (collection, variable, time, tile_y,
+  * tile_x) carrying a `tile: array<double>` of TH×TW row-major pixels
+  * with NULL nodata, partitioned on disk by (collection, variable,
+  * date(time)) and clustered by (tile_y, tile_x).
+  *
+  * Why tiles: a 0.05° global grid is 7200×3600 pixels — one row per
+  * pixel is 26M rows *per timestep*; one row per grid is a 100 MB cell
+  * no columnar format handles well. 256² tiles give ~400 rows per
+  * timestep, parquet min/max statistics on tile_x/tile_y give free
+  * spatial predicate pushdown (the COG-window trick,
+  * ingestion/asset_writer.py:168-186), and every elementwise op stays a
+  * codegen'd higher-order function over a contiguous array.
+  *
+  * All tile operators are pure Column expressions (zip_with/transform/
+  * aggregate/filter) — no UDF, no shuffle for elementwise math; stats
+  * reduce per-tile first (map-side) and only the tiny partials shuffle.
+  */
+object Tile {
+
+  /** Chip a long-form pixel frame (t,y,x,v) into tiles of th×tw.
+    * Absent pixels become NULL (nodata). */
+  def chip(long: DataFrame, th: Int, tw: Int): DataFrame = {
+    long
+      .withColumn("tile_y", (col("y") / th).cast("int"))
+      .withColumn("tile_x", (col("x") / tw).cast("int"))
+      .withColumn("off", (col("y") % th) * tw + (col("x") % tw))
+      .groupBy("t", "tile_y", "tile_x")
+      .agg(map_from_arrays(collect_list(col("off")), collect_list(col("v"))).as("cells"))
+      .select(col("t"), col("tile_y"), col("tile_x"),
+        expr(s"transform(sequence(0, ${th * tw - 1}), i -> cells[i])").as("tile"))
+  }
+
+  /** Explode a tiled frame back to long form, dropping nodata. */
+  def unchip(tiles: DataFrame, th: Int, tw: Int): DataFrame =
+    tiles
+      .select(col("t"), col("tile_y"), col("tile_x"),
+        posexplode(col("tile")).as(Seq("off", "v")))
+      .filter(col("v").isNotNull)
+      .select(col("t"),
+        (col("tile_y") * th + (col("off") / tw).cast("int")).as("y"),
+        (col("tile_x") * tw + col("off") % tw).as("x"),
+        col("v"))
+
+  // ---- elementwise tile algebra (NaN-aware via NULL) ----------------
+
+  /** tile-wise a+b with nansum semantics: NULL only where BOTH are NULL
+    * (geoprocessing/algebra.py:46-47). */
+  def addTiles(a: Column, b: Column): Column =
+    zip_with(a, b, (x, y) =>
+      when(x.isNull && y.isNull, lit(null))
+        .otherwise(coalesce(x, lit(0.0)) + coalesce(y, lit(0.0))))
+
+  /** tile-wise difference (anomaly): NULL propagates. */
+  def subTiles(a: Column, b: Column): Column = zip_with(a, b, _ - _)
+
+  /** tile-wise safe divide. */
+  def divTiles(a: Column, b: Column): Column =
+    zip_with(a, b, (x, y) => when(y === 0 || y.isNull, lit(null)).otherwise(x / y))
+
+  /** scalar affine transform over a tile (unit conversion). */
+  def affineTile(t: Column, factor: Double, offset: Double): Column =
+    transform(t, x => x * factor + offset)
+
+  /** per-tile stats partials: (n, sum, sumsq, min, max) over valid cells.
+    * Aggregate these per group then finalize — map-side combine for free. */
+  def tilePartials(t: Column): Column =
+    struct(
+      size(filter(t, _.isNotNull)).cast("long").as("n"),
+      aggregate(filter(t, _.isNotNull), lit(0.0), (acc, v) => acc + v).as("sum"),
+      aggregate(filter(t, _.isNotNull), lit(0.0), (acc, v) => acc + v * v).as("sumsq"),
+      array_min(t).as("mn"),
+      array_max(t).as("mx"))
+
+  /** Finalize stats from summed partials: mean/std/min/max/count. */
+  def finalizeStats(df: DataFrame, groupCols: Seq[String]): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(col("p.n")).as("n"),
+        sum(col("p.sum")).as("s1"),
+        sum(col("p.sumsq")).as("s2"),
+        min(col("p.mn")).as("vmin"),
+        max(col("p.mx")).as("vmax"))
+      .select((groupCols.map(col) ++ Seq(
+        col("n"), (col("s1") / col("n")).as("vmean"),
+        sqrt(col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n"))).as("vstd"),
+        col("vmin"), col("vmax"))): _*)
+}
