@@ -23,7 +23,8 @@ object SparkEntry {
     graft.llm.DedupQueries,
     graft.llm.SimilarityQueries,
     graft.engine.EngineQueries,
-    graft.ops.GeoCalQueries
+    graft.ops.GeoCalQueries,
+    graft.llm.MultimodalQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

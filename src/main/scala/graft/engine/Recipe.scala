@@ -1,0 +1,130 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Derivation recipe contract (reference processing/recipe.py:169-225,
+  * registry.py:12-33; ADR 0005/0008): a recipe enumerates idempotent
+  * production units from its inputs, each with a content input_hash, and
+  * a pure transform materializes the outputs for the units that need
+  * (re)computation.
+  */
+trait Recipe {
+  def name: String
+  def version: Int
+
+  /** (unit_id: string, input_hash: string) for the current inputs. The
+    * hash must cover every contributing input + the recipe version so a
+    * changed input or bumped recipe re-derives exactly its units. */
+  def units(inputs: DataFrame): DataFrame
+
+  /** Materialize outputs for the given units; every output row must
+    * carry its `unit_id`. */
+  def transform(inputs: DataFrame, toRun: DataFrame): DataFrame
+}
+
+object RecipeRegistry {
+  private val recipes = scala.collection.mutable.LinkedHashMap[String, Recipe]()
+  def register(r: Recipe): Unit = recipes(r.name) = r
+  def get(name: String): Option[Recipe] = recipes.get(name)
+  def all: Seq[Recipe] = recipes.values.toSeq
+}
+
+/** Executes recipes with content-hash idempotency and lineage
+  * (engine.py:287-423): skip unchanged units, overwrite-in-place changed
+  * ones, append lineage for every materialization. State lives in three
+  * parquet datasets under `stateDir`: ledger/ outputs/ lineage/.
+  * (At scale each write is a Delta MERGE in one txn; on plain parquet we
+  * rewrite the affected datasets atomically via a temp dir + move.)
+  */
+class Engine(spark: SparkSession, stateDir: String) {
+
+  private def readOrEmpty(path: String, schemaOf: DataFrame): DataFrame =
+    try spark.read.parquet(path)
+    catch { case _: Exception => spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemaOf.schema) }
+
+  /** Run one recipe over `inputs`. Returns the per-unit action audit
+    * (insert/overwrite/skip/keep). */
+  def run(recipe: Recipe, inputs: DataFrame): DataFrame = {
+    val ledgerPath = s"$stateDir/${recipe.name}/ledger"
+    val outPath = s"$stateDir/${recipe.name}/outputs"
+    val linPath = s"$stateDir/${recipe.name}/lineage"
+
+    val units = recipe.units(inputs)
+      .withColumn("input_hash",
+        sha2(concat_ws("|", col("input_hash"), lit(recipe.version)), 256))
+    val ledger = readOrEmpty(ledgerPath, units.select(col("unit_id"), col("input_hash")))
+    val audit = Derivation.idempotentMerge(ledger, units, "unit_id", "input_hash")
+      .cache()
+
+    val toRun = audit.filter(col("action").isin("insert", "overwrite"))
+      .select(col("unit_id"))
+    if (toRun.isEmpty) return audit
+
+    val produced = recipe.transform(inputs, toRun).cache()
+
+    // Overwrite-in-place: drop re-derived units' old rows, add new ones.
+    val existingOut = readOrEmpty(outPath, produced)
+    val kept = existingOut.join(toRun, Seq("unit_id"), "left_anti")
+    replaceParquet(kept.unionByName(produced), outPath)
+
+    // Ledger reflects the post-merge hash state.
+    replaceParquet(audit.select(col("unit_id"), col("input_hash")), ledgerPath)
+
+    // Lineage: one row per (re)materialized unit (engine.py:384-404).
+    val lineage = audit.filter(col("action").isin("insert", "overwrite"))
+      .select(col("unit_id"), col("input_hash"),
+        lit(recipe.name).as("recipe"), lit(recipe.version).as("recipe_version"),
+        current_timestamp().as("derived_at"))
+    lineage.write.mode("append").parquet(linPath)
+    audit
+  }
+
+  /** Atomic-ish full rewrite: write to tmp, swap directories. */
+  private def replaceParquet(df: DataFrame, path: String): Unit = {
+    val tmp = path + ".tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+}
+
+/** Identity/promotion recipe: publish staging granules unchanged — the
+  * reference's bootstrap recipe (recipes/promotion.py:1-12). Unit = one
+  * granule; hash = the granule content hash. */
+class PromotionRecipe extends Recipe {
+  val name = "promotion"; val version = 1
+  def units(inputs: DataFrame): DataFrame =
+    inputs.groupBy(col("granule_id").as("unit_id"))
+      .agg(sha2(concat_ws("|", sort_array(collect_list(
+        concat_ws(":", col("y"), col("x"), col("v"))))), 256).as("input_hash"))
+  def transform(inputs: DataFrame, toRun: DataFrame): DataFrame =
+    inputs.withColumnRenamed("granule_id", "unit_id")
+      .join(toRun, "unit_id")
+}
+
+/** Slot climatology recipe (docs/adr/0007): unit = calendar slot
+  * (month-of-year); inputs = all granules landing in that slot across
+  * years; output = per-pixel mean with contributing count. */
+class ClimatologyRecipe extends Recipe {
+  val name = "climatology"; val version = 1
+  private def slotted(inputs: DataFrame) =
+    inputs.withColumn("slot", month(col("t")))
+  def units(inputs: DataFrame): DataFrame =
+    slotted(inputs)
+      .groupBy(col("t"), col("slot"))
+      .agg(sha2(concat_ws("|", sort_array(collect_list(
+        concat_ws(":", col("y"), col("x"), col("v"))))), 256).as("ghash"))
+      .groupBy(col("slot").cast("string").as("unit_id"))
+      .agg(sha2(concat_ws("|", sort_array(collect_list(col("ghash")))), 256).as("input_hash"))
+  def transform(inputs: DataFrame, toRun: DataFrame): DataFrame =
+    slotted(inputs)
+      .withColumn("unit_id", col("slot").cast("string"))
+      .join(toRun, "unit_id")
+      .groupBy("unit_id", "y", "x")
+      .agg(avg(col("v")).as("clim"), count(lit(1)).as("n_contrib"))
+}

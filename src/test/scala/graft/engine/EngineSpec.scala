@@ -1,0 +1,62 @@
+package graft.engine
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class EngineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkInputs(bump: Boolean) = {
+    // 3 months × 2×2 pixels; when `bump`, February's data changes.
+    val rows = for {
+      m <- 1 to 3; y <- 0 to 1; x <- 0 to 1
+    } yield (java.sql.Timestamp.valueOf(f"2024-$m%02d-01 00:00:00"), y, x,
+      (m * 10 + y * 2 + x).toDouble + (if (bump && m == 2) 100.0 else 0.0))
+    rows.toDF("t", "y", "x", "v")
+  }
+
+  test("climatology recipe: idempotent skip, targeted re-derivation, lineage") {
+    val stateDir = Files.createTempDirectory("graft-engine-").toString
+    val engine = new Engine(spark, stateDir)
+    val recipe = new ClimatologyRecipe
+
+    // First run: every slot inserts.
+    val a1 = engine.run(recipe, mkInputs(bump = false))
+    assert(a1.groupBy("action").count().as[(String, Long)].collect().toMap
+      == Map("insert" -> 3))
+    val out1 = spark.read.parquet(s"$stateDir/climatology/outputs")
+    assert(out1.count() == 12) // 3 slots × 4 pixels
+
+    // Re-run with identical inputs: all skip, outputs untouched.
+    val a2 = engine.run(recipe, mkInputs(bump = false))
+    assert(a2.groupBy("action").count().as[(String, Long)].collect().toMap
+      == Map("skip" -> 3))
+
+    // February's input changes: exactly that slot overwrites.
+    val a3 = engine.run(recipe, mkInputs(bump = true))
+    val acts = a3.as[(String, String, String)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(acts == Map("1" -> "skip", "2" -> "overwrite", "3" -> "skip"))
+    val out3 = spark.read.parquet(s"$stateDir/climatology/outputs")
+    assert(out3.count() == 12)
+    val feb = out3.filter(col("unit_id") === "2" && col("y") === 0 && col("x") === 0)
+      .select("clim").as[Double].collect()(0)
+    assert(feb == 120.0)
+
+    // Lineage: 3 inserts + 1 overwrite = 4 materializations.
+    assert(spark.read.parquet(s"$stateDir/climatology/lineage").count() == 4)
+  }
+
+  test("promotion recipe publishes granules unchanged and idempotently") {
+    val stateDir = Files.createTempDirectory("graft-engine2-").toString
+    val engine = new Engine(spark, stateDir)
+    val inputs = Seq(("g1", 0, 0, 1.0), ("g1", 0, 1, 2.0), ("g2", 0, 0, 9.0))
+      .toDF("granule_id", "y", "x", "v")
+    val a1 = engine.run(new PromotionRecipe, inputs)
+    assert(a1.filter(col("action") === "insert").count() == 2)
+    assert(spark.read.parquet(s"$stateDir/promotion/outputs").count() == 3)
+    val a2 = engine.run(new PromotionRecipe, inputs)
+    assert(a2.filter(col("action") === "skip").count() == 2)
+  }
+}
