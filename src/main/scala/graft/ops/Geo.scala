@@ -54,8 +54,12 @@ object Geo {
     val colEnd = least(lit(gridW), ceil((be - west) / pw).cast("int"))
     val rowOff = greatest(lit(0), floor((lit(north) - bn) / ph).cast("int"))
     val rowEnd = least(lit(gridH), ceil((lit(north) - bs) / ph).cast("int"))
+    val w = greatest(lit(0), colEnd - colOff)
+    val h = greatest(lit(0), rowEnd - rowOff)
+    // an empty intersection on either axis empties the whole window
+    val empty = w === 0 || h === 0
     Seq(colOff.as("col_off"), rowOff.as("row_off"),
-      greatest(lit(0), colEnd - colOff).as("width"),
-      greatest(lit(0), rowEnd - rowOff).as("height"))
+      when(empty, 0).otherwise(w).as("width"),
+      when(empty, 0).otherwise(h).as("height"))
   }
 }

@@ -77,8 +77,10 @@ object GeoCalQueries extends QueryModule {
         |    least(48, CAST(ceil((90.0 - bs) / 3.75) AS INT)) AS row_end
         |  FROM b)
         |SELECT boundary_id, col_off, row_off,
-        |  greatest(0, col_end - col_off) AS width,
-        |  greatest(0, row_end - row_off) AS height,
+        |  CASE WHEN greatest(0, col_end - col_off) = 0 OR greatest(0, row_end - row_off) = 0
+        |       THEN 0 ELSE greatest(0, col_end - col_off) END AS width,
+        |  CASE WHEN greatest(0, col_end - col_off) = 0 OR greatest(0, row_end - row_off) = 0
+        |       THEN 0 ELSE greatest(0, row_end - row_off) END AS height,
         |  -180.0 + col_off * 5.625 AS exact_w,
         |  90.0 - row_off * 3.75 AS exact_n
         |FROM w""".stripMargin,

@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Zonal statistics over arbitrary geometries (SURVEY J1/A2; reference
+  * geoprocessing/zonal.py:41-134).
+  *
+  * Plan shape (scale-first):
+  *  1. cheap bbox prefilter — plain column predicates that push down to
+  *     parquet row-group min/max on pixel/tile coordinates;
+  *  2. exact pixel-center containment only on the survivors (JTS for
+  *     general WKT; the engine's "rasterize mask" equivalent);
+  *  3. partial aggregation per group (map-side), final merge — the
+  *     boundary table is broadcast, pixels never shuffle twice;
+  *  4. non-intersecting boundaries are restored as all-NULL rows via a
+  *     right frame join (the reference's outer-join-like contract).
+  */
+object Zonal {
+
+  /** boundaries: (boundary_id, geom_wkt, bw, bs, be, bn). Pixels:
+    * (t, y, x, v, lon, lat). Returns per (boundary_id, t) stats with
+    * all-NULL rows for empty intersections. */
+  def zonalStats(pixels: DataFrame, boundaries: DataFrame): DataFrame = {
+    val bboxHit = pixels.join(broadcast(boundaries),
+      col("lon") >= col("bw") && col("lon") < col("be") &&
+        col("lat") >= col("bs") && col("lat") < col("bn"))
+    // exact containment per boundary geometry (deterministic JTS test)
+    val exact = bboxHit.filter(containsPoint(col("geom_wkt"), col("lon"), col("lat")))
+    val stats = exact.groupBy("boundary_id", "t").agg(
+      avg(col("v")).as("zmean"),
+      min(col("v")).as("zmin"),
+      max(col("v")).as("zmax"),
+      sum(col("v")).as("zsum"),
+      stddev_pop(col("v")).as("zstd"),
+      count(col("v")).as("zcount"))
+    val frame = boundaries.select("boundary_id")
+      .crossJoin(pixels.select("t").distinct())
+    frame.join(stats, Seq("boundary_id", "t"), "left")
+  }
+
+  /** JTS point-in-polygon as a (deterministic) UDF with per-executor
+    * geometry cache. Covers Polygon/MultiPolygon WKT; invalid WKT ⇒
+    * false (reference skips invalid geometries with NULL stats,
+    * zonal.py:108-117). */
+  def containsPoint(wkt: Column, x: Column, y: Column): Column =
+    udf { (w: String, px: Double, py: Double) =>
+      try {
+        val geom = Zonal.cache.computeIfAbsent(w, k =>
+          new org.locationtech.jts.io.WKTReader().read(k))
+        geom.covers(Zonal.factory.createPoint(
+          new org.locationtech.jts.geom.Coordinate(px, py)))
+      } catch { case _: Exception => false }
+    }.apply(wkt, x, y)
+
+  private val factory = new org.locationtech.jts.geom.GeometryFactory()
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.locationtech.jts.geom.Geometry]()
+}
