@@ -18,7 +18,10 @@ object Dedup {
   /** Distinct word n-gram shingles per document: (id, s). */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
     val ws = split(trim(lower(col(textCol))), "\\s+")
-    docs.select(col(idCol).as("id"), ws.as("ws"))
+    // documents often arrive as one small file = one input split; spread
+    // the regex/explode work across the cluster before the narrow ops.
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"), ws.as("ws"))
       .select(col("id"), explode(
         when(size(col("ws")) >= n,
           transform(sequence(lit(0), size(col("ws")) - n),
@@ -27,16 +30,17 @@ object Dedup {
       .distinct()
   }
 
-  /** MinHash signatures: k independent hash slots via salted md5;
-    * output one row per id with columns m1..mk. */
+  /** MinHash signatures: k hash slots carved out of ONE md5 per shingle
+    * (disjoint 4-hex-char substrings of a strong hash behave as
+    * independent hash functions) — one pass, no k× row blowup, a single
+    * groupBy with map-side partial mins. Output one row per id with
+    * columns m1..mk (k ≤ 8). */
   def minhashSignature(sh: DataFrame, k: Int = 8): DataFrame = {
-    val salted = sh.select(col("id"),
-      explode(sequence(lit(1), lit(k))).as("j"), col("s"))
-      .select(col("id"), col("j"),
-        md5(concat(col("j").cast("string"), lit("|"), col("s"))).as("h"))
-    val sig = salted.groupBy("id", "j").agg(min(col("h")).as("mh"))
-    val slots = (1 to k).map(x => max(when(col("j") === x, col("mh"))).as(s"m$x"))
-    sig.groupBy("id").agg(slots.head, slots.tail: _*)
+    require(k <= 8, "k slots of 4 hex chars must fit one md5")
+    val hashed = sh.select(col("id"), md5(col("s")).as("h"))
+    val slots = (1 to k).map(x =>
+      min(substring(col("h"), (x - 1) * 4 + 1, 4)).as(s"m$x"))
+    hashed.groupBy("id").agg(slots.head, slots.tail: _*)
   }
 
   /** LSH banding: k minhash slots → k/rows band keys; docs sharing any
@@ -54,7 +58,10 @@ object Dedup {
   def candidatePairs(bands: DataFrame): DataFrame = {
     val a = bands.select(col("band"), col("key"), col("id").as("doc_a"))
     val b = bands.select(col("band"), col("key"), col("id").as("doc_b"))
-    a.join(b, Seq("band", "key")).filter(col("doc_a") < col("doc_b"))
+    // band keys are k/rows rows per doc — small enough to broadcast up to
+    // ~10M docs; beyond that the equi-join shuffles on (band, key), which
+    // is still never an all-pairs product.
+    a.join(broadcast(b), Seq("band", "key")).filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
   }
 
@@ -75,8 +82,9 @@ object Dedup {
   /** 32-bit SimHash over distinct word tokens, md5-nibble bit source.
     * (id, simhash). */
   def simhash32(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val wd = docs.select(col(idCol).as("id"),
-      explode(split(trim(lower(col(textCol))), "\\s+")).as("w")).distinct()
+    val wd = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("w")).distinct()
     val nibs = wd
       .withColumn("m", md5(col("w")))
       .select(col("id"), explode(sequence(lit(0), lit(7))).as("k"), col("m"))

