@@ -39,6 +39,24 @@ object EngineQueries extends QueryModule {
       Derivation.transitiveDownstream(edges, seeds, 3)
     }),
 
+    // X1 — event-driven trigger fan-out: each arriving granule (an event
+    // row) maps through the recipe-subscription config to the derivation
+    // units it feeds; irrelevant recipes contribute nothing
+    // (processing/invocation.py:25-61).
+    "x1_trigger_fanout" -> ((s, dir) => {
+      import s.implicits._
+      val subs = Seq(
+        ("climatology", "click"), ("climatology", "view"),
+        ("anomaly", "click"), ("rollup", "purchase")
+      ).toDF("recipe", "event_type")
+      Tables.events(s, dir)
+        .join(broadcast(subs), Seq("event_type"))
+        .select(col("recipe"),
+          concat_ws(":", col("recipe"), col("event_type"),
+            month(col("ts")).cast("string")).as("unit_key"))
+        .distinct()
+    }),
+
     // J4 — serving-layer multiway join + latest-time window: newest order
     // per customer enriched with the full dimension chain.
     "j4_serving_join" -> ((s, dir) => {
@@ -85,6 +103,13 @@ object EngineQueries extends QueryModule {
         |allu AS (SELECT * FROM seeds UNION ALL SELECT * FROM d1
         |         UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3)
         |SELECT unit_id, CAST(min(depth) AS INT) AS depth FROM allu GROUP BY 1""".stripMargin,
+    "x1_trigger_fanout" ->
+      """WITH subs(recipe, event_type) AS (
+        |  VALUES ('climatology', 'click'), ('climatology', 'view'),
+        |         ('anomaly', 'click'), ('rollup', 'purchase'))
+        |SELECT DISTINCT recipe,
+        |  recipe || ':' || subs.event_type || ':' || month(ts) AS unit_key
+        |FROM events JOIN subs ON events.event_type = subs.event_type""".stripMargin,
     "j4_serving_join" ->
       """SELECT o_custkey, o_orderkey, o_orderdate, c_name, n_name, r_name
         |FROM (

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import graft.model.QueryModule
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Verified queries for the scalar/elementwise surface (SURVEY §2.8),
@@ -69,6 +70,34 @@ object ScalarQueries extends QueryModule {
           Algebra.pentadSlot(col("o_orderdate")).as("pentad"))
     }),
 
+    // F7 — color-ramp interpolation: evenly-spread stops, linear sample
+    // between segment colors (core/models/visualization.py:19-158).
+    "f7_color_ramp" -> ((s, dir) => {
+      // ramp: navy → green → yellow → red over [0, 300]
+      val t = least(greatest(col("value") / 300.0, lit(0.0)), lit(1.0))
+      val seg = least(lit(2), floor(t * 3).cast("int"))
+      val frac = t * 3 - seg
+      def ch(c0: Column, c1: Column, c2: Column, c3: Column): Column = {
+        val a = when(seg === 0, c0).when(seg === 1, c1).otherwise(c2)
+        val b = when(seg === 0, c1).when(seg === 1, c2).otherwise(c3)
+        floor(a + (b - a) * frac + 0.5).cast("int")
+      }
+      Tables.events(s, dir).select(col("event_id"),
+        ch(lit(0), lit(0), lit(255), lit(255)).as("r"),
+        ch(lit(0), lit(255), lit(255), lit(0)).as("g"),
+        ch(lit(128), lit(0), lit(0), lit(0)).as("b"))
+    }),
+
+    // F15 — JSON/metadata projection: STAC-item-shaped documents built
+    // deterministically (stac/serializers.py shaping).
+    "f15_json_projection" -> ((s, dir) => {
+      Tables.orders(s, dir).select(col("o_orderkey"),
+        concat(lit("{\"id\":\""), date_format(col("o_orderdate"), "yyyyMMdd"),
+          lit("\",\"properties\":{\"status\":\""), col("o_orderstatus"),
+          lit("\",\"priority\":\""), col("o_orderpriority"),
+          lit("\"}}")).as("doc"))
+    }),
+
     // F11 — identity hashing: input_hash = sha256 over sorted member
     // checksums (recipe idempotency key).
     "f11_input_hash" -> ((s, dir) => {
@@ -110,6 +139,33 @@ object ScalarQueries extends QueryModule {
         |  CAST(month(o_orderdate) AS INT) AS m,
         |  CAST((month(o_orderdate) - 1) * 3 + least(2, (day(o_orderdate) - 1) // 10) + 1 AS INT) AS dekad,
         |  CAST((month(o_orderdate) - 1) * 6 + least(5, (day(o_orderdate) - 1) // 5) + 1 AS INT) AS pentad
+        |FROM orders""".stripMargin,
+    "f7_color_ramp" ->
+      """WITH n AS (
+        |  SELECT event_id,
+        |    least(greatest(value / 300.0, 0.0), 1.0) AS t
+        |  FROM events),
+        |s AS (
+        |  SELECT event_id, t,
+        |    least(2, CAST(floor(t * 3) AS INT)) AS seg,
+        |    t * 3 - least(2, CAST(floor(t * 3) AS INT)) AS frac
+        |  FROM n)
+        |SELECT event_id,
+        |  CAST(floor((CASE WHEN seg=0 THEN 0 WHEN seg=1 THEN 0 ELSE 255 END)
+        |    + ((CASE WHEN seg=0 THEN 0 WHEN seg=1 THEN 255 ELSE 255 END)
+        |       - (CASE WHEN seg=0 THEN 0 WHEN seg=1 THEN 0 ELSE 255 END)) * frac + 0.5) AS INT) AS r,
+        |  CAST(floor((CASE WHEN seg=0 THEN 0 WHEN seg=1 THEN 255 ELSE 255 END)
+        |    + ((CASE WHEN seg=0 THEN 255 WHEN seg=1 THEN 255 ELSE 0 END)
+        |       - (CASE WHEN seg=0 THEN 0 WHEN seg=1 THEN 255 ELSE 255 END)) * frac + 0.5) AS INT) AS g,
+        |  CAST(floor((CASE WHEN seg=0 THEN 128 WHEN seg=1 THEN 0 ELSE 0 END)
+        |    + ((CASE WHEN seg=0 THEN 0 WHEN seg=1 THEN 0 ELSE 0 END)
+        |       - (CASE WHEN seg=0 THEN 128 WHEN seg=1 THEN 0 ELSE 0 END)) * frac + 0.5) AS INT) AS b
+        |FROM s""".stripMargin,
+    "f15_json_projection" ->
+      """SELECT o_orderkey,
+        |  '{"id":"' || strftime(o_orderdate, '%Y%m%d') ||
+        |  '","properties":{"status":"' || o_orderstatus ||
+        |  '","priority":"' || o_orderpriority || '"}}' AS doc
         |FROM orders""".stripMargin,
     "f11_input_hash" ->
       """SELECT l_orderkey,
