@@ -102,6 +102,61 @@ object GridQueries extends QueryModule {
         .select(col("t"), col("yt"), col("xt"), col("v"))
     }),
 
+    // §3.3 point variant — nearest-pixel time series at (lat, lon):
+    // the read path's `.sel(method="nearest")` as index arithmetic.
+    "a8_point_timeseries" -> ((s, dir) => {
+      val lon0 = 12.5; val lat0 = -7.0
+      val cx = math.min(Grid.W - 1, math.max(0, math.floor((lon0 + 180.0) / Grid.PX))).toInt
+      val cy = math.min(Grid.H - 1, math.max(0, math.floor((90.0 - lat0) / Grid.PY))).toInt
+      Grid.fromLineitem(s, dir)
+        .filter(col("x") === cx && col("y") === cy)
+        .select("t", "v")
+    }),
+
+    // F14 — regrid, bilinear: 64×48 → 48×36 with NaN-aware weight
+    // renormalization (defined semantics: weighted mean over the valid
+    // 2×2 neighbourhood; all-missing ⇒ NULL). Weight arithmetic is a
+    // fixed IEEE instruction sequence, identical in the oracle.
+    "f14_regrid_bilinear" -> ((s, dir) => {
+      val tgt = s.range(36).select(col("id").cast("int").as("yt"))
+        .crossJoin(s.range(48).select(col("id").cast("int").as("xt")))
+        .withColumn("fx", (col("xt") + 0.5) * 4.0 / 3.0 - 0.5)
+        .withColumn("fy", (col("yt") + 0.5) * 4.0 / 3.0 - 0.5)
+        .withColumn("x0", greatest(lit(0), floor(col("fx")).cast("int")))
+        .withColumn("y0", greatest(lit(0), floor(col("fy")).cast("int")))
+        .withColumn("x1", least(lit(Grid.W - 1), col("x0") + 1))
+        .withColumn("y1", least(lit(Grid.H - 1), col("y0") + 1))
+        .withColumn("wx", col("fx") - floor(col("fx")))
+        .withColumn("wy", col("fy") - floor(col("fy")))
+      val g = Grid.fromLineitem(s, dir)
+      val ts = g.select("t").distinct()
+      def corner(n: String) =
+        g.select(col("t").as(s"t_$n"), col("y").as(s"y_$n"),
+          col("x").as(s"x_$n"), col("v").as(n))
+      def joinCorner(df: org.apache.spark.sql.DataFrame, n: String,
+                     xc: String, yc: String) =
+        df.join(corner(n),
+          col("t") === col(s"t_$n") && col(xc) === col(s"x_$n") && col(yc) === col(s"y_$n"),
+          "left").drop(s"t_$n", s"x_$n", s"y_$n")
+      var joined = tgt.crossJoin(ts)
+      joined = joinCorner(joined, "v00", "x0", "y0")
+      joined = joinCorner(joined, "v10", "x1", "y0")
+      joined = joinCorner(joined, "v01", "x0", "y1")
+      joined = joinCorner(joined, "v11", "x1", "y1")
+      joined.select(col("t"), col("yt"), col("xt"),
+          (coalesce(col("v00") * ((lit(1.0) - col("wx")) * (lit(1.0) - col("wy"))), lit(0.0))
+            + coalesce(col("v10") * (col("wx") * (lit(1.0) - col("wy"))), lit(0.0))
+            + coalesce(col("v01") * ((lit(1.0) - col("wx")) * col("wy")), lit(0.0))
+            + coalesce(col("v11") * (col("wx") * col("wy")), lit(0.0))).as("num"),
+          (when(col("v00").isNotNull, (lit(1.0) - col("wx")) * (lit(1.0) - col("wy"))).otherwise(lit(0.0))
+            + when(col("v10").isNotNull, col("wx") * (lit(1.0) - col("wy"))).otherwise(lit(0.0))
+            + when(col("v01").isNotNull, (lit(1.0) - col("wx")) * col("wy")).otherwise(lit(0.0))
+            + when(col("v11").isNotNull, col("wx") * col("wy")).otherwise(lit(0.0))).as("den"))
+        .select(col("t"), col("yt"), col("xt"),
+          when(col("den") === 0.0, lit(null)).otherwise(col("num") / col("den")).as("v"))
+        .filter(col("v").isNotNull)
+    }),
+
     // F14 — regrid, average: 2× coarsen, mean of valid source pixels per
     // target cell (rasterio 'average' NaN-aware semantics).
     "f14_regrid_average" -> ((s, dir) => {
@@ -168,6 +223,43 @@ object GridQueries extends QueryModule {
         |         CAST((xx.r * 4 + 2) // 3 AS INT) AS sx
         |  FROM range(36) yy(r), range(48) xx(r)) tgt
         |ON grid.y = tgt.sy AND grid.x = tgt.sx""".stripMargin),
+    "a8_point_timeseries" -> withCtes(
+      """SELECT t, v FROM grid WHERE x = 34 AND y = 25"""),
+    "f14_regrid_bilinear" -> withCtes(
+      """, tgt AS (
+        |  SELECT CAST(yy.r AS INT) AS yt, CAST(xx.r AS INT) AS xt,
+        |         (xx.r + 0.5) * 4.0 / 3.0 - 0.5 AS fx,
+        |         (yy.r + 0.5) * 4.0 / 3.0 - 0.5 AS fy
+        |  FROM range(36) yy(r), range(48) xx(r)),
+        |tg AS (
+        |  SELECT yt, xt, fx, fy,
+        |    greatest(0, CAST(floor(fx) AS INT)) AS x0,
+        |    greatest(0, CAST(floor(fy) AS INT)) AS y0,
+        |    least(63, greatest(0, CAST(floor(fx) AS INT)) + 1) AS x1,
+        |    least(47, greatest(0, CAST(floor(fy) AS INT)) + 1) AS y1,
+        |    fx - floor(fx) AS wx, fy - floor(fy) AS wy
+        |  FROM tgt),
+        |ts AS (SELECT DISTINCT t FROM grid),
+        |j AS (
+        |  SELECT ts.t AS t, yt, xt, wx, wy,
+        |         g00.v AS v00, g10.v AS v10, g01.v AS v01, g11.v AS v11
+        |  FROM tg CROSS JOIN ts
+        |  LEFT JOIN grid g00 ON g00.t = ts.t AND g00.x = tg.x0 AND g00.y = tg.y0
+        |  LEFT JOIN grid g10 ON g10.t = ts.t AND g10.x = tg.x1 AND g10.y = tg.y0
+        |  LEFT JOIN grid g01 ON g01.t = ts.t AND g01.x = tg.x0 AND g01.y = tg.y1
+        |  LEFT JOIN grid g11 ON g11.t = ts.t AND g11.x = tg.x1 AND g11.y = tg.y1),
+        |f AS (
+        |  SELECT t, yt, xt,
+        |    coalesce(v00 * ((1.0 - wx) * (1.0 - wy)), 0.0)
+        |      + coalesce(v10 * (wx * (1.0 - wy)), 0.0)
+        |      + coalesce(v01 * ((1.0 - wx) * wy), 0.0)
+        |      + coalesce(v11 * (wx * wy), 0.0) AS num,
+        |    (CASE WHEN v00 IS NOT NULL THEN (1.0 - wx) * (1.0 - wy) ELSE 0.0 END)
+        |      + (CASE WHEN v10 IS NOT NULL THEN wx * (1.0 - wy) ELSE 0.0 END)
+        |      + (CASE WHEN v01 IS NOT NULL THEN (1.0 - wx) * wy ELSE 0.0 END)
+        |      + (CASE WHEN v11 IS NOT NULL THEN wx * wy ELSE 0.0 END) AS den
+        |  FROM j)
+        |SELECT t, yt, xt, num / den AS v FROM f WHERE den != 0.0""".stripMargin),
     "f14_regrid_average" -> withCtes(
       """SELECT t, CAST(y // 2 AS INT) AS yt, CAST(x // 2 AS INT) AS xt,
         |  CAST(sum(CAST(v AS BIGINT)) AS DOUBLE) / count(*) AS v,
