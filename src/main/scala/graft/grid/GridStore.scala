@@ -1,0 +1,35 @@
+package graft.grid
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Grid cube persistence — the 100 TB disk layout (SURVEY §1.3):
+  * parquet partitioned by (collection, date(time)), rows sorted within
+  * partitions by (tile_y, tile_x) so parquet row-group min/max statistics
+  * prune spatially; temporal predicates prune whole partitions
+  * (Timescale-hypertable-equivalent chunk exclusion, item.py:55-73).
+  */
+object GridStore {
+
+  /** Persist a long-form or tiled frame. `df` must carry `collection`
+    * and `t`; a `p_date` partition column is derived from t. */
+  def write(df: DataFrame, path: String): Unit =
+    df.withColumn("p_date", date_format(col("t"), "yyyy-MM-dd"))
+      .repartition(col("collection"), col("p_date"))
+      .sortWithinPartitions(col("tile_y"), col("tile_x"))
+      .write.mode("overwrite")
+      .partitionBy("collection", "p_date")
+      .parquet(path)
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Time-range + tile-bbox scoped read: both predicates are sargable —
+    * time prunes partitions, tile coords prune row groups. */
+  def readRange(spark: SparkSession, path: String,
+                from: String, to: String,
+                tx0: Int, tx1: Int, ty0: Int, ty1: Int): DataFrame =
+    read(spark, path)
+      .filter(col("p_date") >= from && col("p_date") <= to)
+      .filter(col("tile_x").between(tx0, tx1) && col("tile_y").between(ty0, ty1))
+}

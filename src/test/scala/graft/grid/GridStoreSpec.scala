@@ -1,0 +1,33 @@
+package graft.grid
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class GridStoreSpec extends SparkSpec {
+
+  test("partitioned tile store prunes partitions on time and pushes tile predicates") {
+    val path = Files.createTempDirectory("graft-store-").toString
+    val tiles = Tile.chip(Grid.fromLineitem(spark, sf0001), 16, 16)
+      .withColumn("collection", lit("chirps"))
+    GridStore.write(tiles, path)
+
+    val scoped = GridStore.readRange(spark, path,
+      "1996-01-01", "1996-12-31", 0, 1, 0, 1)
+    val plan = scoped.queryExecution.executedPlan.toString
+
+    // partition pruning: only 1996 partitions survive the listing
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("p_date"), s"no partition filters in:\n$plan")
+    // tile predicates reach the parquet scan
+    assert(plan.contains("PushedFilters") && plan.contains("tile_x"),
+      s"tile predicates not pushed:\n$plan")
+
+    // and the data is right: matches an unpruned filter of the source
+    val expect = tiles
+      .filter(year(col("t")) === 1996 &&
+        col("tile_x").between(0, 1) && col("tile_y").between(0, 1))
+      .count()
+    assert(scoped.count() == expect && expect > 0)
+  }
+}

@@ -1,0 +1,51 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class WindowsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("watermarked tumbling window aggregates arrive per window+key") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val q = Windows.tumblingCounts(df, "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode("append").start()
+    mem.addData(
+      (ts("2024-01-01 00:01:00"), "click", 1.25),
+      (ts("2024-01-01 00:02:00"), "click", 2.25),
+      (ts("2024-01-01 00:06:00"), "view", 4.0))
+    q.processAllAvailable()
+    // advance watermark far enough to close the first windows
+    mem.addData((ts("2024-01-01 01:00:00"), "click", 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("tumbling")
+      .select("ws", "event_type", "n", "sum_value")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    q.stop()
+    assert(rows.contains((ts("2024-01-01 00:00:00"), "click", 2L, 3.5)))
+    assert(rows.contains((ts("2024-01-01 00:05:00"), "view", 1L, 4.0)))
+  }
+
+  test("flatMapGroupsWithState sessionization closes sessions on gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val q = Windows.sessionize(mem.toDS(), gapSeconds = 60)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    // user 1: two events 30s apart (one session), then a 10-min gap event
+    mem.addData((1L, ts("2024-01-01 00:00:00")), (1L, ts("2024-01-01 00:00:30")))
+    q.processAllAvailable()
+    mem.addData((1L, ts("2024-01-01 00:10:00")))
+    q.processAllAvailable()
+    val rows = spark.table("sessions").as[Windows.SessOut].collect().toSeq
+    q.stop()
+    assert(rows == Seq(Windows.SessOut(1L, 2, 30L)))
+  }
+}
