@@ -167,6 +167,20 @@ object GridQueries extends QueryModule {
              count(lit(1)).as("n_valid"))
     }),
 
+    // S10 — encoded-texture serve path: pick the coarsest sufficient
+    // overview level for the requested resolution (Overviews.selectLevel
+    // — the reference's zoomed-out read trick), then clamp+rescale to
+    // the 0..255 byte plane.
+    "s10_encoded_overview" -> ((s, dir) => {
+      val level = Overviews.selectLevel(Seq(1, 2, 4), Grid.PX, requestedPxDeg = 25.0)
+      Grid.fromLineitem(s, dir)
+        .groupBy(col("t"), (col("y") / level).cast("int").as("yt"),
+                 (col("x") / level).cast("int").as("xt"))
+        .agg((sum(col("v").cast("long")).cast("double") / count(lit(1))).as("v"))
+        .select(col("t"), col("yt"), col("xt"),
+          Algebra.rescaleEncode(col("v"), 0.0, 50.0).as("encoded"))
+    }),
+
     // S8 — overview pyramid: average-downsampled levels 2 and 4 in one
     // table (the COG overview equivalent; level chosen at read time).
     "s8_overview_pyramid" -> ((s, dir) => {
@@ -264,6 +278,11 @@ object GridQueries extends QueryModule {
       """SELECT t, CAST(y // 2 AS INT) AS yt, CAST(x // 2 AS INT) AS xt,
         |  CAST(sum(CAST(v AS BIGINT)) AS DOUBLE) / count(*) AS v,
         |  count(*) AS n_valid
+        |FROM grid GROUP BY 1, 2, 3""".stripMargin),
+    "s10_encoded_overview" -> withCtes(
+      """SELECT t, CAST(y // 4 AS INT) AS yt, CAST(x // 4 AS INT) AS xt,
+        |  CAST(floor((least(greatest(CAST(sum(CAST(v AS BIGINT)) AS DOUBLE) / count(*), 0.0), 50.0) - 0.0)
+        |       / 50.0 * 255.0 + 0.5) AS INT) AS encoded
         |FROM grid GROUP BY 1, 2, 3""".stripMargin),
     "s8_overview_pyramid" -> withCtes(
       """SELECT t, CAST(y // 2 AS INT) AS yt, CAST(x // 2 AS INT) AS xt,

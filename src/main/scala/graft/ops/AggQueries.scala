@@ -147,6 +147,22 @@ object AggQueries extends QueryModule {
         .select("c_custkey", "c_name")
     }),
 
+    // J8 — as-of join (latest-state): each click joined to the user's
+    // most recent view at-or-before it. Spark lacks the operator; the
+    // engine's union+window implementation (plans/AsofJoin.scala) is
+    // verified against DuckDB's native ASOF JOIN.
+    "j8_asof_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val views = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts").as("vts"))
+        .agg(max(col("value")).as("view_value"))
+      graft.plans.AsofJoin.asof(clicks, views, "user_id", "ts", "vts",
+        Seq("view_value"))
+        .select("event_id", "user_id", "ts", "asof_view_value")
+    }),
+
     // J6 — multi-source band combine: u/v sources paired per (user, day),
     // combined pointwise into magnitude (ref ingestion/extractor.py:203-237).
     "j6_uv_combine" -> ((s, dir) => {
@@ -246,6 +262,16 @@ object AggQueries extends QueryModule {
     "j5_readiness_antijoin" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "j8_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |views AS (
+        |  SELECT user_id, ts AS vts, max(value) AS view_value
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT c.event_id AS event_id, c.user_id AS user_id, c.ts AS ts,
+        |       v.view_value AS asof_view_value
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND v.vts <= c.ts""".stripMargin,
     "j6_uv_combine" ->
       """WITH e AS (
         |  SELECT user_id, date_trunc('day', ts) AS day, event_type,
