@@ -79,6 +79,29 @@ object Dedup {
         (col("i").cast("double") / (col("ca") + col("cb") - col("i"))).as("jacc"))
   }
 
+  /** Canonical representative per near-duplicate cluster: treat verified
+    * pairs as undirected edges and propagate the minimum doc id for
+    * `rounds` iterations (near-dup clusters have tiny diameter; rounds=3
+    * covers chains of length 8 via doubling-free propagation). Returns
+    * (id, canonical). The keep-one-per-cluster step of a dedup pipeline. */
+  def canonicalize(pairs: DataFrame, rounds: Int = 3): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .distinct()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("canonical", col("id"))
+    for (_ <- 1 to rounds) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("id", "v2"),
+          col("v") === col("v2"))
+        .groupBy(col("u").as("id")).agg(min(col("canonical")).as("nc"))
+      labels = labels.join(viaNeighbor, Seq("id"), "left")
+        .select(col("id"),
+          least(col("canonical"), coalesce(col("nc"), col("canonical"))).as("canonical"))
+    }
+    labels
+  }
+
   /** 32-bit SimHash over distinct word tokens, md5-nibble bit source.
     * (id, simhash). */
   def simhash32(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

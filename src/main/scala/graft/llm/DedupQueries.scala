@@ -54,6 +54,33 @@ object DedupQueries extends QueryModule {
         .filter(col("jacc") >= 0.3)
     }),
 
+    // Cluster canonicalization: verified near-dup pairs → connected
+    // components → keep-minimum-id representative (the "which copy do we
+    // keep" step of a dedup pipeline).
+    "d_dedup_canonical" -> ((s, dir) => {
+      val sh = shinglesOf(s, dir)
+      val sizes = sh.groupBy("id").agg(count(lit(1)).as("c"))
+      val inter = sh.select(col("id").as("doc_a"), col("s"))
+        .join(sh.select(col("id").as("doc_b"), col("s")), Seq("s"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+      val pairs = inter
+        .join(sizes.select(col("id").as("doc_a"), col("c").as("ca")), Seq("doc_a"))
+        .join(sizes.select(col("id").as("doc_b"), col("c").as("cb")), Seq("doc_b"))
+        .filter(col("i").cast("double") / (col("ca") + col("cb") - col("i")) >= 0.5)
+        .select("doc_a", "doc_b")
+      Dedup.canonicalize(pairs, 3)
+    }),
+
+    // Word-bigram frequency table (top corpus n-grams; count arithmetic
+    // only, so it oracles exactly).
+    "t_ngram_freq" -> ((s, dir) => {
+      val sh2 = Dedup.shingles(Tables.documents(s, dir), "doc_id", "text", n = 2)
+      sh2.groupBy(col("s").as("bigram"))
+        .agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") >= 50)
+    }),
+
     // SimHash-32 near-dups: hamming distance ≤ 6 pairs.
     "d_simhash" -> ((s, dir) => {
       val sim = Dedup.simhash32(Tables.documents(s, dir), "doc_id", "text")
@@ -108,6 +135,41 @@ object DedupQueries extends QueryModule {
          |SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (ca.c + cb.c - i) AS jacc
          |FROM inter JOIN sizes ca ON ca.id = doc_a JOIN sizes cb ON cb.id = doc_b
          |WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.3""".stripMargin,
+    "d_dedup_canonical" ->
+      s"""WITH $shinglesCte,
+         |inter AS (
+         |  SELECT a.id AS doc_a, b.id AS doc_b, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT doc_a, doc_b
+         |  FROM inter JOIN sizes ca ON ca.id = doc_a JOIN sizes cb ON cb.id = doc_b
+         |  WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.5),
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |l0 AS (SELECT DISTINCT u AS id, u AS canonical FROM edges),
+         |r1 AS (
+         |  SELECT l.id, least(l.canonical, coalesce(min(n.canonical), l.canonical)) AS canonical
+         |  FROM l0 l LEFT JOIN edges e ON e.u = l.id LEFT JOIN l0 n ON n.id = e.v
+         |  GROUP BY l.id, l.canonical),
+         |r2 AS (
+         |  SELECT l.id, least(l.canonical, coalesce(min(n.canonical), l.canonical)) AS canonical
+         |  FROM r1 l LEFT JOIN edges e ON e.u = l.id LEFT JOIN r1 n ON n.id = e.v
+         |  GROUP BY l.id, l.canonical),
+         |r3 AS (
+         |  SELECT l.id, least(l.canonical, coalesce(min(n.canonical), l.canonical)) AS canonical
+         |  FROM r2 l LEFT JOIN edges e ON e.u = l.id LEFT JOIN r2 n ON n.id = e.v
+         |  GROUP BY l.id, l.canonical)
+         |SELECT id, canonical FROM r3""".stripMargin,
+    "t_ngram_freq" ->
+      """WITH words AS (
+        |  SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
+        |sh2 AS (
+        |  SELECT DISTINCT id, ws[i+1] || ' ' || ws[i+2] AS s
+        |  FROM words CROSS JOIN range(400) t(i) WHERE i < len(ws) - 1)
+        |SELECT s AS bigram, count(*) AS n_docs FROM sh2
+        |GROUP BY 1 HAVING count(*) >= 50""".stripMargin,
     "d_simhash" ->
       """WITH wd AS (
         |  SELECT DISTINCT doc_id AS id, w
