@@ -152,6 +152,29 @@ object Search extends QueryModule {
       a.unionByName(b).select("o_orderkey", "o_orderdate")
     }),
 
+    // §2.10 — variable transform dispatch: per-variable config rows
+    // select the ingest column expression (PASSTHROUGH vs
+    // VECTOR_MAGNITUDE; VECTOR_DIRECTION is spec-tested — atan2 ULPs
+    // differ across engines) + affine unit conversion from the dimension
+    // row (ingestion/extractor.py:73-84, utils.py:11-15).
+    "v_transform_dispatch" -> ((s, dir) => {
+      import s.implicits._
+      val vars = Seq(
+        ("precip", "PASSTHROUGH", 1.0, 0.0),
+        ("precip_in", "PASSTHROUGH", 0.03937007874015748, 0.0),
+        ("wind", "VECTOR_MAGNITUDE", 1.0, 0.0),
+        ("temp_c", "PASSTHROUGH", 1.0, -273.15)
+      ).toDF("variable", "transform_type", "unit_factor", "unit_offset")
+      val src = graft.Tables.events(s, dir)
+        .select(col("event_id"), col("value").as("u"),
+          (col("event_id") % 100 - 50).cast("double").as("v"))
+      src.crossJoin(broadcast(vars))
+        .select(col("event_id"), col("variable"),
+          Variables.convert(
+            Variables.transform(col("transform_type"), col("u"), col("v")),
+            col("unit_factor"), col("unit_offset")).as("out"))
+    }),
+
     // A12 — distinct sorted timesteps + per-run valid-time rollup
     // (collect_list rendered as a canonical sorted string).
     "a12_timesteps" -> ((s, dir) => {
@@ -209,6 +232,19 @@ object Search extends QueryModule {
       """SELECT o_orderkey, o_orderdate FROM orders WHERE year(o_orderdate) = 1996
         |UNION ALL
         |SELECT o_orderkey, o_orderdate FROM orders WHERE year(o_orderdate) = 1998""".stripMargin,
+    "v_transform_dispatch" ->
+      """WITH vars(variable, transform_type, unit_factor, unit_offset) AS (
+        |  VALUES ('precip', 'PASSTHROUGH', 1.0, 0.0),
+        |         ('precip_in', 'PASSTHROUGH', 0.03937007874015748, 0.0),
+        |         ('wind', 'VECTOR_MAGNITUDE', 1.0, 0.0),
+        |         ('temp_c', 'PASSTHROUGH', 1.0, -273.15)),
+        |src AS (
+        |  SELECT event_id, value AS u, CAST(event_id % 100 - 50 AS DOUBLE) AS v
+        |  FROM events)
+        |SELECT event_id, variable,
+        |  (CASE WHEN transform_type = 'VECTOR_MAGNITUDE' THEN sqrt(u*u + v*v)
+        |        ELSE u END) * unit_factor + unit_offset AS out
+        |FROM src CROSS JOIN vars""".stripMargin,
     "a12_timesteps" ->
       """SELECT date_trunc('day', ts) AS run, count(*) AS n,
         |       string_agg(event_type, ',' ORDER BY event_type) AS types
