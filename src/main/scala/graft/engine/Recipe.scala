@@ -107,6 +107,23 @@ class PromotionRecipe extends Recipe {
       .join(toRun, "unit_id")
 }
 
+/** Zonal-stats gold table recipe (analysis/zonal_stats/service.py →
+  * BoundaryZonalStats): unit = one timestep; output = per (boundary,
+  * timestep) stats rows. Inputs must carry (t, y, x, v, lon, lat) and a
+  * broadcastable `boundaries` frame is bound at construction. */
+class ZonalStatsRecipe(boundaries: DataFrame) extends Recipe {
+  val name = "zonal_stats"; val version = 1
+  def units(inputs: DataFrame): DataFrame =
+    inputs.groupBy(col("t").cast("string").as("unit_id"))
+      .agg(sha2(concat_ws("|", sort_array(collect_list(
+        concat_ws(":", col("y"), col("x"), col("v"))))), 256).as("input_hash"))
+  def transform(inputs: DataFrame, toRun: DataFrame): DataFrame =
+    graft.ops.Zonal.zonalStats(
+      inputs.withColumn("unit_id", col("t").cast("string")).join(toRun, "unit_id"),
+      boundaries)
+      .withColumn("unit_id", col("t").cast("string"))
+}
+
 /** Slot climatology recipe (docs/adr/0007): unit = calendar slot
   * (month-of-year); inputs = all granules landing in that slot across
   * years; output = per-pixel mean with contributing count. */

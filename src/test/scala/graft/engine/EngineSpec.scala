@@ -48,6 +48,31 @@ class EngineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$stateDir/climatology/lineage").count() == 4)
   }
 
+  test("zonal recipe fills the gold table; late-arriving timestep resurrects (X4)") {
+    val stateDir = Files.createTempDirectory("graft-engine3-").toString
+    val engine = new Engine(spark, stateDir)
+    val boundaries = Seq(
+      (0, "POLYGON ((-180 -90, 180 -90, 180 90, -180 90, -180 -90))",
+        -180.0, -90.0, 180.0, 90.0)).toDF("boundary_id", "geom_wkt", "bw", "bs", "be", "bn")
+    val recipe = new ZonalStatsRecipe(boundaries)
+    def withGeo(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("lon", col("x").cast("double"))
+      .withColumn("lat", col("y").cast("double"))
+
+    // months 1..2 arrive first; month 3 arrives late => only it derives.
+    val first = withGeo(mkInputs(bump = false)).filter(month(col("t")) <= 2)
+    val a1 = engine.run(recipe, first)
+    assert(a1.filter(col("action") === "insert").count() == 2)
+    val late = withGeo(mkInputs(bump = false))
+    val a2 = engine.run(recipe, late)
+    assert(a2.as[(String, String, String)].collect()
+      .map(r => r._1.take(7) -> r._3).toMap ==
+      Map("2024-01" -> "skip", "2024-02" -> "skip", "2024-03" -> "insert"))
+    val gold = spark.read.parquet(s"$stateDir/zonal_stats/outputs")
+    assert(gold.count() == 3) // 1 boundary × 3 timesteps
+    assert(gold.filter(col("zcount") === 4).count() == 3)
+  }
+
   test("promotion recipe publishes granules unchanged and idempotently") {
     val stateDir = Files.createTempDirectory("graft-engine2-").toString
     val engine = new Engine(spark, stateDir)
