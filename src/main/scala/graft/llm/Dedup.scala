@@ -87,10 +87,13 @@ object Dedup {
   def canonicalize(pairs: DataFrame, rounds: Int = 3): DataFrame = {
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
-      .distinct()
+      .distinct().cache()
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("canonical", col("id"))
     for (_ <- 1 to rounds) {
+      // each round reads the previous labels twice — cache per round or
+      // the lineage re-executes 2^rounds times
+      labels = labels.cache()
       val viaNeighbor = edges
         .join(labels.withColumnRenamed("id", "v2"),
           col("v") === col("v2"))

@@ -16,6 +16,25 @@ object DedupQueries extends QueryModule {
     shCache.computeIfAbsent(dir, d =>
       Dedup.shingles(Tables.documents(s, d), "doc_id", "text").cache())
 
+  /** Shared all-pairs Jaccard frame (doc_a, doc_b, jacc) over pairs with
+    * ≥1 common shingle — the exact-overlap backbone consumed at
+    * different thresholds by the n-gram and canonicalization operators. */
+  private val pairsCache = new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+  private def pairJaccOf(s: org.apache.spark.sql.SparkSession, dir: String) =
+    pairsCache.computeIfAbsent(dir, d => {
+      val sh = shinglesOf(s, d)
+      val sizes = sh.groupBy("id").agg(count(lit(1)).as("c"))
+      sh.select(col("id").as("doc_a"), col("s"))
+        .join(sh.select(col("id").as("doc_b"), col("s")), Seq("s"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+        .join(sizes.select(col("id").as("doc_a"), col("c").as("ca")), Seq("doc_a"))
+        .join(sizes.select(col("id").as("doc_b"), col("c").as("cb")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          (col("i").cast("double") / (col("ca") + col("cb") - col("i"))).as("jacc"))
+        .cache()
+    })
+
   /** Shared oracle CTEs: words → distinct 3-gram shingles → set sizes. */
   private val shinglesCte =
     """words AS (
@@ -39,38 +58,15 @@ object DedupQueries extends QueryModule {
     // Exact all-pairs n-gram Jaccard via the shingle inverted index:
     // one self-join aggregated straight to intersection counts (no
     // distinct-pairs detour, no re-join against the shingle table).
-    "d_ngram_jaccard" -> ((s, dir) => {
-      val sh = shinglesOf(s, dir)
-      val sizes = sh.groupBy("id").agg(count(lit(1)).as("c"))
-      val inter = sh.select(col("id").as("doc_a"), col("s"))
-        .join(sh.select(col("id").as("doc_b"), col("s")), Seq("s"))
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
-      inter
-        .join(sizes.select(col("id").as("doc_a"), col("c").as("ca")), Seq("doc_a"))
-        .join(sizes.select(col("id").as("doc_b"), col("c").as("cb")), Seq("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          (col("i").cast("double") / (col("ca") + col("cb") - col("i"))).as("jacc"))
-        .filter(col("jacc") >= 0.3)
-    }),
+    "d_ngram_jaccard" -> ((s, dir) =>
+      pairJaccOf(s, dir).filter(col("jacc") >= 0.3)),
 
     // Cluster canonicalization: verified near-dup pairs → connected
     // components → keep-minimum-id representative (the "which copy do we
     // keep" step of a dedup pipeline).
-    "d_dedup_canonical" -> ((s, dir) => {
-      val sh = shinglesOf(s, dir)
-      val sizes = sh.groupBy("id").agg(count(lit(1)).as("c"))
-      val inter = sh.select(col("id").as("doc_a"), col("s"))
-        .join(sh.select(col("id").as("doc_b"), col("s")), Seq("s"))
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
-      val pairs = inter
-        .join(sizes.select(col("id").as("doc_a"), col("c").as("ca")), Seq("doc_a"))
-        .join(sizes.select(col("id").as("doc_b"), col("c").as("cb")), Seq("doc_b"))
-        .filter(col("i").cast("double") / (col("ca") + col("cb") - col("i")) >= 0.5)
-        .select("doc_a", "doc_b")
-      Dedup.canonicalize(pairs, 3)
-    }),
+    "d_dedup_canonical" -> ((s, dir) =>
+      Dedup.canonicalize(
+        pairJaccOf(s, dir).filter(col("jacc") >= 0.5).select("doc_a", "doc_b"), 3)),
 
     // Word-bigram frequency table (top corpus n-grams; count arithmetic
     // only, so it oracles exactly).
