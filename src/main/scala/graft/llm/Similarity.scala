@@ -27,6 +27,22 @@ object Similarity {
     "CAST(aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v) AS DOUBLE)" +
       " / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))"
 
+  /** IVF coarse quantizer: per-partition centroids as floor-quantized
+    * integer vectors (exact means → deterministic across engines and
+    * cluster sizes). Real IVF learns centroids with k-means; here the
+    * partition key is supplied (e.g. a cluster/label column), which is
+    * the serving-time shape either way: centroids are a tiny broadcast
+    * table, vectors never leave their partition. */
+  def ivfCentroids(q: DataFrame, partCol: String): DataFrame = {
+    val comps = q.select(col(partCol), posexplode(col("q")).as(Seq("i", "qv")))
+    comps.groupBy(partCol, "i")
+      .agg(floor(sum(col("qv")).cast("double") / count(lit(1))).cast("long").as("cv"))
+      .groupBy(partCol)
+      .agg(array_sort(collect_list(struct(col("i"), col("cv")))).as("pairs"))
+      .select(col(partCol), expr("transform(pairs, p -> p.cv)").as("cq"))
+      .withColumn("cnrm2", expr("aggregate(cq, 0L, (acc, v) -> acc + v * v)"))
+  }
+
   /** Random-hyperplane LSH bucket (nPlanes bits) per vector. Signs are
     * md5-derived so both engines (and every executor) agree without a
     * shared random state. */

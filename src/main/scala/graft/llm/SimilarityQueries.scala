@@ -58,6 +58,35 @@ object SimilarityQueries extends QueryModule {
         .select("qid", "vec_id", "cos", "rank")
     }),
 
+    // IVF-bucketed ANN: rank the (broadcast) per-label centroids by
+    // cosine, probe the top-2 inverted lists, exact cosine within the
+    // probed lists only — vectors outside the probe set are never
+    // touched (the 100 TB path: centroid table is tiny, lists are
+    // partition-pruned).
+    "s_ann_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = quantizedOf(s, dir)
+        .join(emb.select(col("vec_id"), col("label")), "vec_id")
+      val cents = Similarity.ivfCentroids(q, "label")
+      val queries = q.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("q").as("qa"), col("nrm2").as("na"))
+      val probe = queries.crossJoin(broadcast(cents))
+        .withColumn("ccos",
+          expr("CAST(aggregate(zip_with(qa, cq, (x, y) -> x * y), 0L, (acc, v) -> acc + v) AS DOUBLE)" +
+            " / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(cnrm2 AS DOUBLE)))"))
+      val wc = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("label").asc)
+      val probed = probe.withColumn("crank", row_number().over(wc))
+        .filter(col("crank") <= 2).select("qid", "qa", "na", "label")
+      val corpus = q.select(col("label"), col("vec_id"), col("q").as("qb"), col("nrm2").as("nb"))
+      val scored = probed.join(corpus, Seq("label"))
+        .filter(col("qid") =!= col("vec_id"))
+        .withColumn("cos", expr(Similarity.cosExpr))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("qid", "vec_id", "cos", "rank")
+    }),
+
     // Embedding-cosine near-dup sweep: all pairs above a cosine
     // threshold (label-blocked to avoid the full cross join).
     "s_embed_neardup" -> ((s, dir) => {
@@ -105,6 +134,37 @@ object SimilarityQueries extends QueryModule {
          |    CAST(list_dot_product(a.qv, b.qv) AS DOUBLE)
          |      / (sqrt(CAST(a.nrm2 AS DOUBLE)) * sqrt(CAST(b.nrm2 AS DOUBLE))) AS cos
          |  FROM qb a JOIN qb b ON a.bucket = b.bucket AND a.vec_id < 8 AND b.vec_id != a.vec_id)
+         |SELECT qid, vec_id, cos, rank FROM (
+         |  SELECT qid, vec_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 3""".stripMargin,
+    "s_ann_ivf" ->
+      s"""WITH $quantSql,
+         |ql AS (SELECT qn.vec_id AS vec_id, qv, nrm2, label
+         |       FROM qn JOIN embeddings e ON qn.vec_id = e.vec_id),
+         |comps AS (
+         |  SELECT label, CAST(i AS INT) AS i, qv[CAST(i+1 AS INT)] AS c
+         |  FROM ql CROSS JOIN range(64) ii(i)),
+         |cent AS (
+         |  SELECT label, i, CAST(floor(CAST(sum(c) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+         |  FROM comps GROUP BY 1, 2),
+         |centv AS (SELECT label, list(cv ORDER BY i) AS cq FROM cent GROUP BY 1),
+         |centn AS (SELECT label, cq, list_dot_product(cq, cq) AS cnrm2 FROM centv),
+         |queries AS (SELECT vec_id AS qid, qv AS qa, nrm2 AS na FROM ql WHERE vec_id < 8),
+         |probe AS (
+         |  SELECT qid, qa, na, label,
+         |    row_number() OVER (PARTITION BY qid ORDER BY
+         |      CAST(list_dot_product(qa, cq) AS DOUBLE)
+         |        / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(cnrm2 AS DOUBLE))) DESC,
+         |      label ASC) AS crank
+         |  FROM queries CROSS JOIN centn),
+         |probed AS (SELECT qid, qa, na, label FROM probe WHERE crank <= 2),
+         |scored AS (
+         |  SELECT qid, b.vec_id AS vec_id,
+         |    CAST(list_dot_product(qa, b.qv) AS DOUBLE)
+         |      / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(b.nrm2 AS DOUBLE))) AS cos
+         |  FROM probed JOIN ql b ON probed.label = b.label AND b.vec_id != qid)
          |SELECT qid, vec_id, cos, rank FROM (
          |  SELECT qid, vec_id, cos,
          |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS INT) AS rank

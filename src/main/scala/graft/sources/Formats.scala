@@ -66,11 +66,13 @@ object Formats {
           throw new IllegalArgumentException(s"unknown format: $path"))
         val r = dec.decode(bytes)
         val fname = path.substring(path.lastIndexOf('/') + 1)
+        // geo coords at pixel CENTERS — the engine-wide convention
+        // (reference: virtual_zarr.py:326-344 affine at centers)
         for {
           y <- 0 until r.height; x <- 0 until r.width
           v = r.data(y * r.width + x) if !v.isNaN
         } yield (fname, y, x, v.toDouble,
-          r.west + x * r.px, r.north - y * r.py)
+          r.west + (x + 0.5) * r.px, r.north - (y + 0.5) * r.py)
       }
     }.toDF("fname", "y", "x", "v", "lon", "lat")
     pixels.withColumn("time",

@@ -45,7 +45,8 @@ class GeoTiffSpec extends SparkSpec {
     val row = df.filter(col("y") === 0 && col("x") === 1)
       .select("v", "lon", "lat", "time").collect()(0)
     assert(row.getDouble(0) == 0.5)
-    assert(row.getDouble(1) == -135.0 && row.getDouble(2) == 90.0)
+    // pixel-center georeferencing: x=1 → -180 + 1.5·45; y=0 → 90 − 0.5·30
+    assert(row.getDouble(1) == -112.5 && row.getDouble(2) == 75.0)
     assert(row.getTimestamp(3).toString == "2024-01-15 00:00:00.0")
   }
 
