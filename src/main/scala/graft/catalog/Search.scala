@@ -152,6 +152,51 @@ object Search extends QueryModule {
       a.unionByName(b).select("o_orderkey", "o_orderdate")
     }),
 
+    // Composite STAC search: time range + bbox + scope + keyset page in
+    // one plan (stac/views.py:539-700 end-to-end shape).
+    "stac_search_combined" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .filter(col("c_mktsegment") === "BUILDING")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("o_orderdate") <= lit("1999-12-31").cast("timestamp"))
+        .select((col("o_orderkey") +: boundsCols): _*)
+        .filter(col("w") <= 60.0 && col("e") >= -60.0 &&
+                col("s") <= 40.0 && col("n") >= -40.0)
+        .orderBy(col("o_orderkey").desc)
+        .limit(101)
+    }),
+
+    // J4b — latest-reference selection: explicit reference_time wins,
+    // else the newest run for that valid time (Martin's
+    // COALESCE(ref_time, MAX(ref_time) OVER …), create_martin_function
+    // .py:150-170).
+    "j4b_latest_reference" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val fc = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderstatus").as("variable"),
+        col("o_orderdate").as("valid_time"),
+        date_trunc("month", col("o_orderdate")).as("reference_time"),
+        col("o_totalprice"))
+      val w = Window.partitionBy(col("variable"), col("valid_time"))
+      fc.withColumn("chosen_ref", max(col("reference_time")).over(w))
+        .filter(col("reference_time") === col("chosen_ref"))
+        .groupBy("variable", "valid_time", "chosen_ref")
+        .agg(count(lit(1)).as("n_assets"), max(col("o_totalprice")).as("vmax"))
+    }),
+
+    // P11 — servable collections: active AND has items (collection.py:
+    // 63-117 `servable()`): dimension predicate + semi-join existence.
+    "p11_servable" -> ((s, dir) => {
+      val collections = Tables.customer(s, dir)
+        .select(col("c_custkey").as("collection_id"), col("c_mktsegment"),
+          (col("c_acctbal") > 0).as("is_active"))
+      collections.filter(col("is_active"))
+        .join(Tables.orders(s, dir).select(col("o_custkey").as("collection_id")).distinct(),
+          Seq("collection_id"), "left_semi")
+        .select("collection_id", "c_mktsegment")
+    }),
+
     // §2.10 — variable transform dispatch: per-variable config rows
     // select the ingest column expression (PASSTHROUGH vs
     // VECTOR_MAGNITUDE; VECTOR_DIRECTION is spec-tested — atan2 ULPs
@@ -232,6 +277,31 @@ object Search extends QueryModule {
       """SELECT o_orderkey, o_orderdate FROM orders WHERE year(o_orderdate) = 1996
         |UNION ALL
         |SELECT o_orderkey, o_orderdate FROM orders WHERE year(o_orderdate) = 1998""".stripMargin,
+    "stac_search_combined" ->
+      s"""SELECT o_orderkey, $boundsSqlW AS w, $boundsSqlS AS s, $boundsSqlE AS e, $boundsSqlN AS n
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate <= TIMESTAMP '1999-12-31'
+         |  AND $boundsSqlW <= 60.0 AND $boundsSqlE >= -60.0
+         |  AND $boundsSqlS <= 40.0 AND $boundsSqlN >= -40.0
+         |ORDER BY o_orderkey DESC LIMIT 101""".stripMargin,
+    "j4b_latest_reference" ->
+      """WITH fc AS (
+        |  SELECT o_orderkey, o_orderstatus AS variable, o_orderdate AS valid_time,
+        |         date_trunc('month', o_orderdate) AS reference_time, o_totalprice
+        |  FROM orders),
+        |m AS (
+        |  SELECT *, max(reference_time) OVER (PARTITION BY variable, valid_time) AS chosen_ref
+        |  FROM fc)
+        |SELECT variable, valid_time, chosen_ref,
+        |       count(*) AS n_assets, max(o_totalprice) AS vmax
+        |FROM m WHERE reference_time = chosen_ref
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "p11_servable" ->
+      """SELECT c_custkey AS collection_id, c_mktsegment
+        |FROM customer
+        |WHERE c_acctbal > 0
+        |  AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
     "v_transform_dispatch" ->
       """WITH vars(variable, transform_type, unit_factor, unit_offset) AS (
         |  VALUES ('precip', 'PASSTHROUGH', 1.0, 0.0),

@@ -49,6 +49,15 @@ object TextQueries extends QueryModule {
         col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
     }),
 
+    // Text normalization: the cleaning pass before tokenization —
+    // lowercase, strip non-alphanumerics to spaces, collapse whitespace.
+    "t_normalize" -> ((s, dir) => {
+      Tables.documents(s, dir).select(col("doc_id"),
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+          " +", " ")).as("clean"))
+    }),
+
     // Exact dedup: group by content hash, canonical = min doc_id.
     "d_exact_dedup" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -101,6 +110,10 @@ object TextQueries extends QueryModule {
         |FROM c""".stripMargin,
     "t_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents""".stripMargin,
+    "t_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS clean
         |FROM documents""".stripMargin,
     "d_exact_dedup" ->
       """SELECT md5(text) AS h, min(doc_id) AS canonical, count(*) AS n_dupes
