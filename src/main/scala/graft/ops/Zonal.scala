@@ -56,4 +56,48 @@ object Zonal {
   private val factory = new org.locationtech.jts.geom.GeometryFactory()
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, org.locationtech.jts.geom.Geometry]()
+
+  /** Tile-level zonal path (the 100 TB plan): precompute one boolean
+    * mask tile per (boundary, tile) — time-invariant, tiny relative to
+    * the data — then join data tiles and reduce with the fused
+    * TileMaskedStats kernel. Pixels never explode and never shuffle;
+    * only (boundary, t) partials do.
+    *
+    * maskTiles: (boundary_id, tile_y, tile_x, mask array<boolean>);
+    * tiles: (t, tile_y, tile_x, tile). */
+  def zonalStatsTiled(tiles: DataFrame, maskTiles: DataFrame): DataFrame = {
+    val joined = tiles.join(broadcast(maskTiles), Seq("tile_y", "tile_x"))
+      .withColumn("p", graft.functions.TileMaskedStats.tileMaskedStats(
+        col("tile"), col("mask")))
+    joined.groupBy("boundary_id", "t")
+      .agg(sum(col("p.n")).as("zcount"),
+        sum(col("p.sum")).as("s1"), sum(col("p.sumsq")).as("s2"),
+        min(col("p.mn")).as("zmin"), max(col("p.mx")).as("zmax"))
+      .select(col("boundary_id"), col("t"),
+        when(col("zcount") > 0, col("s1") / col("zcount")).as("zmean"),
+        col("zmin"), col("zmax"),
+        when(col("zcount") > 0, col("s1")).as("zsum"),
+        when(col("zcount") > 0,
+          sqrt(col("s2") / col("zcount")
+            - (col("s1") / col("zcount")) * (col("s1") / col("zcount")))).as("zstd"),
+        col("zcount"))
+  }
+
+  /** Rasterize boundary masks at tile granularity: one boolean per pixel
+    * center (the reference's geometry_mask, clipper.py:125-163). */
+  def maskTiles(boundaries: DataFrame, tilesYX: DataFrame, th: Int, tw: Int,
+                west: Double, north: Double, pw: Double, ph: Double): DataFrame = {
+    val cells = tilesYX.crossJoin(broadcast(boundaries))
+      .select(col("boundary_id"), col("geom_wkt"), col("tile_y"), col("tile_x"),
+        explode(sequence(lit(0), lit(th * tw - 1))).as("off"))
+      .withColumn("lon", lit(west) + (col("tile_x") * tw + col("off") % tw + 0.5) * pw)
+      .withColumn("lat", lit(north) - (col("tile_y") * th + (col("off") / tw).cast("int") + lit(0.5)) * ph)
+      .withColumn("inside", containsPoint(col("geom_wkt"), col("lon"), col("lat")))
+    cells.groupBy("boundary_id", "tile_y", "tile_x")
+      .agg(map_from_arrays(collect_list(col("off")), collect_list(col("inside"))).as("m"))
+      .select(col("boundary_id"), col("tile_y"), col("tile_x"),
+        expr(s"transform(sequence(0, ${th * tw - 1}), i -> m[i])").as("mask"))
+      // drop all-false masks: boundaries don't pay for tiles they miss
+      .filter(expr("exists(mask, x -> x)"))
+  }
 }
