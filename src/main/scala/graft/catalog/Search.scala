@@ -136,6 +136,38 @@ object Search extends QueryModule {
         .select("user_id", "event_id", "ts", "event_type")
     }),
 
+    // W5 — gap-based sessionization as a batch window plan: session
+    // starts where the gap from the previous event exceeds 10 minutes;
+    // session id = running count of starts (lag + cumulative sum —
+    // the batch twin of streaming/Windows.sessionize).
+    "w5_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val e = Tables.events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("is_start",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("long") - col("prev_ts").cast("long") > 600, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("is_start")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      e.groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          (max(col("ts")).cast("long") - min(col("ts")).cast("long")).as("duration_sec"))
+    }),
+
+    // A13 — exact percentiles over integer-valued measures (dyadic
+    // quantiles interpolate exactly, so they hash-match cross-engine).
+    "a13_percentiles" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("q25"),
+          expr("percentile(l_quantity, 0.5)").as("q50"),
+          expr("percentile(l_quantity, 0.75)").as("q75"))
+    }),
+
     // §2.6 — top-k: order by -value with limit (TakeOrderedAndProject).
     "sort_topk" -> ((s, dir) => {
       Tables.orders(s, dir)
@@ -270,6 +302,31 @@ object Search extends QueryModule {
         |  SELECT user_id, event_id, ts, event_type,
         |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events) t WHERE rn = 1""".stripMargin,
+    "w5_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+        |  FROM events),
+        |st AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN prev_ts IS NULL OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 600
+        |         THEN 1::BIGINT ELSE 0::BIGINT END AS is_start
+        |  FROM e),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(is_start) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |                        ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM st)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts) AS session_start,
+        |  CAST(floor(epoch(max(ts))) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_sec
+        |FROM sess GROUP BY 1, 2""".stripMargin,
+    "a13_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS q25,
+        |  quantile_cont(l_quantity, 0.5) AS q50,
+        |  quantile_cont(l_quantity, 0.75) AS q75
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "sort_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
