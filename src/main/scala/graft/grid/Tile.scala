@@ -63,6 +63,20 @@ object Tile {
   def divTiles(a: Column, b: Column): Column =
     zip_with(a, b, (x, y) => when(y === 0 || y.isNull, lit(null)).otherwise(x / y))
 
+  /** N-way weighted combine with NaN-masked weight renormalization
+    * (geoprocessing/algebra.py:33-74 at tile granularity): cell value =
+    * Σ wᵢ·vᵢ / Σ {wᵢ : vᵢ valid}; all-missing ⇒ NULL. `inputs` pairs
+    * each tile column with its scalar weight. */
+  def weightedCombineTiles(inputs: Seq[(Column, Double)]): Column = {
+    val num = inputs.map { case (t, w) =>
+      transform(t, v => coalesce(v * w, lit(0.0)))
+    }.reduce((a, b) => zip_with(a, b, _ + _))
+    val den = inputs.map { case (t, w) =>
+      transform(t, v => when(v.isNotNull, lit(w)).otherwise(lit(0.0)))
+    }.reduce((a, b) => zip_with(a, b, _ + _))
+    zip_with(num, den, (n, d) => when(d === 0.0, lit(null)).otherwise(n / d))
+  }
+
   /** scalar affine transform over a tile (unit conversion). */
   def affineTile(t: Column, factor: Double, offset: Double): Column =
     transform(t, x => x * factor + offset)

@@ -49,6 +49,15 @@ class TileSpec extends SparkSpec {
     assert(df.collect()(0).getSeq[Any](0) == Seq(5.0, null, null))
   }
 
+  test("weightedCombineTiles renormalizes weights over valid cells") {
+    val r = Seq(1).toDF("i").select(Tile.weightedCombineTiles(Seq(
+        expr("array(10.0D, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE))") -> 1.0,
+        expr("array(20.0D, 30.0D, CAST(NULL AS DOUBLE))") -> 3.0)).as("r"))
+      .collect()(0).getSeq[Any](0)
+    // cell 0: (10·1 + 20·3)/(1+3) = 17.5; cell 1: 30·3/3 = 30; cell 2: NULL
+    assert(r == Seq(17.5, 30.0, null))
+  }
+
   test("affineTile applies unit conversion per cell") {
     val df = Seq(1).toDF("i").select(
       Tile.affineTile(expr("array(0.0D, 100.0D)"), 1.8, 32.0).as("r"))
