@@ -147,6 +147,16 @@ object AggQueries extends QueryModule {
         .select("c_custkey", "c_name")
     }),
 
+    // A14 — distinct counts (exact; the sketch variant is spec-tested —
+    // HLL registers aren't cross-engine comparable).
+    "a14_distinct_counts" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          countDistinct(date_trunc("day", col("ts"))).as("n_days"),
+          count(lit(1)).as("n_events"))
+    }),
+
     // J8 — as-of join (latest-state): each click joined to the user's
     // most recent view at-or-before it. Spark lacks the operator; the
     // engine's union+window implementation (plans/AsofJoin.scala) is
@@ -262,6 +272,12 @@ object AggQueries extends QueryModule {
     "j5_readiness_antijoin" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "a14_distinct_counts" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS n_users,
+        |  count(DISTINCT date_trunc('day', ts)) AS n_days,
+        |  count(*) AS n_events
+        |FROM events GROUP BY 1""".stripMargin,
     "j8_asof_join" ->
       """WITH clicks AS (
         |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),

@@ -42,6 +42,17 @@ object Geo {
   }
   private val parsedCache = new java.util.concurrent.ConcurrentHashMap[String, Geometry]()
 
+  /** CRS transforms (reference F12 `transform_geom`): WGS84 lon/lat ↔
+    * Web-Mercator EPSG:3857 meters, the pair the serving layer needs
+    * (tile endpoints speak 3857, the cube is 4326). Pure column math. */
+  val EarthR = 6378137.0
+  def lonToMercX(lon: Column): Column = lon * (EarthR * math.Pi / 180.0)
+  def latToMercY(lat: Column): Column =
+    log(tan(lit(math.Pi / 4) + radians(lat) / 2)) * EarthR
+  def mercXToLon(x: Column): Column = x / (EarthR * math.Pi / 180.0)
+  def mercYToLat(y: Column): Column =
+    degrees(atan(exp(y / EarthR)) * 2 - lit(math.Pi / 2))
+
   /** Pixel window of a geo bbox in a north-up grid frame
     * (west,north origin; pw/ph = pixel sizes in degrees). Returns
     * (col_off, row_off, width, height) clamped to the grid, matching the

@@ -42,6 +42,23 @@ class GeoZonalSpec extends SparkSpec {
       assert(z.filter(col("boundary_id") === bid && col("zcount").isNotNull).isEmpty)
   }
 
+  test("Web-Mercator reprojection round-trips and hits known values") {
+    val df = Seq((0.0, 0.0), (180.0, 85.0511287798066), (-90.0, -45.0))
+      .toDF("lon", "lat")
+      .select(col("lon"), col("lat"),
+        Geo.lonToMercX(col("lon")).as("x"), Geo.latToMercY(col("lat")).as("y"))
+      .select(col("lon"), col("lat"), col("x"), col("y"),
+        Geo.mercXToLon(col("x")).as("lon2"), Geo.mercYToLat(col("y")).as("lat2"))
+    val rows = df.collect()
+    // known: lon 180 → 20037508.34...; lat ~85.05113 → same magnitude
+    assert(math.abs(rows(1).getDouble(2) - 20037508.342789244) < 1e-6)
+    assert(math.abs(rows(1).getDouble(3) - 20037508.34) < 1.0)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(4) - r.getDouble(0)) < 1e-9)
+      assert(math.abs(r.getDouble(5) - r.getDouble(1)) < 1e-9)
+    }
+  }
+
   test("clipWindow computes clamped pixel windows with exact bounds") {
     val df = Seq((0, -60.0, -30.0, 60.0, 30.0), (1, -500.0, -30.0, -181.0, 30.0))
       .toDF("id", "bw", "bs", "be", "bn")
