@@ -25,6 +25,17 @@ class HaversineSpec extends SparkSpec {
     assert(math.abs(anti - 20015.1) < 1.0, s"got $anti")
   }
 
+  test("native functions are SQL-registered") {
+    val km = spark.sql(
+      "SELECT haversine_km(48.8566D, 2.3522D, 51.5074D, -0.1278D) AS km")
+      .collect()(0).getDouble(0)
+    assert(math.abs(km - 343.5) < 1.0)
+    val st = spark.sql(
+      "SELECT tile_stats_partial(array(1.0D, CAST(NULL AS DOUBLE), 3.0D)) AS p")
+      .select("p.n", "p.sum").collect()(0)
+    assert(st.getLong(0) == 2L && st.getDouble(1) == 4.0)
+  }
+
   test("expression participates in a distance join over many rows") {
     // nearest of 3 "stations" for each of 1000 points — codegen path
     val pts = spark.range(1000).select(
