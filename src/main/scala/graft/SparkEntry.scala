@@ -24,7 +24,8 @@ object SparkEntry {
     graft.llm.SimilarityQueries,
     graft.engine.EngineQueries,
     graft.ops.GeoCalQueries,
-    graft.llm.MultimodalQueries
+    graft.llm.MultimodalQueries,
+    graft.catalog.Sql
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
