@@ -61,10 +61,12 @@ object Geo {
                  gridW: Int, gridH: Int,
                  west: Double, north: Double, pw: Double, ph: Double)
       : Seq[Column] = {
-    val colOff = greatest(lit(0), floor((bw - west) / pw).cast("int"))
-    val colEnd = least(lit(gridW), ceil((be - west) / pw).cast("int"))
-    val rowOff = greatest(lit(0), floor((lit(north) - bn) / ph).cast("int"))
-    val rowEnd = least(lit(gridH), ceil((lit(north) - bs) / ph).cast("int"))
+    // offsets clamped into the grid on BOTH ends — a box entirely past
+    // the east/south edge must not report an out-of-grid offset
+    val colOff = least(lit(gridW), greatest(lit(0), floor((bw - west) / pw).cast("int")))
+    val colEnd = least(lit(gridW), greatest(lit(0), ceil((be - west) / pw).cast("int")))
+    val rowOff = least(lit(gridH), greatest(lit(0), floor((lit(north) - bn) / ph).cast("int")))
+    val rowEnd = least(lit(gridH), greatest(lit(0), ceil((lit(north) - bs) / ph).cast("int")))
     val w = greatest(lit(0), colEnd - colOff)
     val h = greatest(lit(0), rowEnd - rowOff)
     // an empty intersection on either axis empties the whole window

@@ -71,10 +71,10 @@ object GeoCalQueries extends QueryModule {
         |  FROM region),
         |w AS (
         |  SELECT boundary_id,
-        |    greatest(0, CAST(floor((bw - -180.0) / 5.625) AS INT)) AS col_off,
-        |    least(64, CAST(ceil((be - -180.0) / 5.625) AS INT)) AS col_end,
-        |    greatest(0, CAST(floor((90.0 - bn) / 3.75) AS INT)) AS row_off,
-        |    least(48, CAST(ceil((90.0 - bs) / 3.75) AS INT)) AS row_end
+        |    least(64, greatest(0, CAST(floor((bw - -180.0) / 5.625) AS INT))) AS col_off,
+        |    least(64, greatest(0, CAST(ceil((be - -180.0) / 5.625) AS INT))) AS col_end,
+        |    least(48, greatest(0, CAST(floor((90.0 - bn) / 3.75) AS INT))) AS row_off,
+        |    least(48, greatest(0, CAST(ceil((90.0 - bs) / 3.75) AS INT))) AS row_end
         |  FROM b)
         |SELECT boundary_id, col_off, row_off,
         |  CASE WHEN greatest(0, col_end - col_off) = 0 OR greatest(0, row_end - row_off) = 0

@@ -1,0 +1,96 @@
+package graft
+
+import graft.grid.Tile
+import graft.ops.{Algebra, Geo}
+import graft.plans.AsofJoin
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based coverage of the pure kernels + plan-level operators.
+  * (Raw ScalaCheck generators with deterministic seeds — the
+  * scalatest-scalacheck bridge isn't in the offline cache.) */
+class PropertySpec extends AnyFunSuite {
+
+  lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  /** Deterministically sample `n` values from a generator. */
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("chip→unchip round-trips arbitrary sparse grids") {
+    val pixelGen = Gen.listOf(for {
+      t <- Gen.choose(0, 2); y <- Gen.choose(0, 40); x <- Gen.choose(0, 40)
+      v <- Gen.choose(-1000, 1000)
+    } yield (t, y, x, v.toDouble))
+    for (pts <- samples(pixelGen, 5)) {
+      val rows = pts.distinctBy(p => (p._1, p._2, p._3))
+      if (rows.nonEmpty) {
+        val long = rows.toDF("ti", "y", "x", "v")
+          .select(expr("timestamp_micros(CAST(ti AS BIGINT))").as("t"),
+            col("y"), col("x"), col("v"))
+        val back = Tile.unchip(Tile.chip(long, 16, 16), 16, 16)
+        assert(back.count() == rows.length)
+        assert(back.except(long).isEmpty && long.except(back).isEmpty)
+      }
+    }
+  }
+
+  test("as-of join equals the brute-force per-row maximum") {
+    val gen = for {
+      left <- Gen.listOfN(30, for {
+        k <- Gen.choose(0, 3); t <- Gen.choose(0L, 1000L)
+      } yield (k, t))
+      right <- Gen.listOfN(30, for {
+        k <- Gen.choose(0, 3); t <- Gen.choose(0L, 1000L)
+      } yield (k, t))
+    } yield (left.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) },
+             // unique (key, time) on the right: as-of picks the row, value = time
+             right.map { case (k, t) => (k, t, t * 10 + k) }.distinctBy(r => (r._1, r._2)))
+    for ((lrows, rrows) <- samples(gen, 5)) {
+      if (lrows.nonEmpty && rrows.nonEmpty) {
+        val l = lrows.toDF("lid", "k", "lt")
+          .select(col("lid"), col("k"), expr("timestamp_micros(lt)").as("lt"))
+        val r = rrows.toDF("k", "rt0", "payload")
+          .select(col("k"), expr("timestamp_micros(rt0)").as("rt"), col("payload"))
+        val got = AsofJoin.asof(l, r, "k", "lt", "rt", Seq("payload"))
+          .select(col("lid"), col("asof_payload")).as[(Long, Option[Long])]
+          .collect().toMap
+        val expect = lrows.map { case (lid, k, lt) =>
+          val cands = rrows.filter(rr => rr._1 == k && rr._2 <= lt)
+          lid -> (if (cands.isEmpty) None
+                  else Some(cands.maxBy(_._2)._3))
+        }.toMap
+        assert(got == expect)
+      }
+    }
+  }
+
+  test("clipWindow is always within the grid and consistent with membership") {
+    val boxGen = for {
+      w <- Gen.choose(-400.0, 400.0); s <- Gen.choose(-200.0, 200.0)
+      dw <- Gen.choose(0.0, 200.0); dh <- Gen.choose(0.0, 100.0)
+    } yield (w, s, w + dw, s + dh)
+    for ((bw, bs, be, bn) <- samples(boxGen, 20)) {
+      val row = Seq((bw, bs, be, bn)).toDF("bw", "bs", "be", "bn")
+        .select(Geo.clipWindow(col("bw"), col("bs"), col("be"), col("bn"),
+          64, 48, -180.0, 90.0, 5.625, 3.75): _*)
+        .collect()(0)
+      val (co, ro, w, h) = (row.getInt(0), row.getInt(1), row.getInt(2), row.getInt(3))
+      assert(co >= 0 && ro >= 0 && w >= 0 && h >= 0)
+      assert(co + w <= 64 && ro + h <= 48)
+      assert((w == 0) == (h == 0)) // empty on either axis empties both
+    }
+  }
+
+  test("rescaleEncode stays within 0..255 for any input") {
+    for (v <- samples(Gen.choose(-1e6, 1e6), 30)) {
+      val e = Seq(v).toDF("v")
+        .select(Algebra.rescaleEncode(col("v"), 0.0, 300.0).as("e"))
+        .collect()(0).getInt(0)
+      assert(e >= 0 && e <= 255)
+    }
+  }
+}
