@@ -16,6 +16,19 @@ object DedupQueries extends QueryModule {
     shCache.computeIfAbsent(dir, d =>
       Dedup.shingles(Tables.documents(s, d), "doc_id", "text").cache())
 
+  /** Shared LSH-verified pair frame: minhash bands → candidates → exact
+    * Jaccard. The production near-dup path (canonicalization consumes
+    * it; the all-pairs frame below exists for the exhaustive-baseline
+    * operator only). */
+  private val lshPairsCache = new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+  private def lshVerifiedOf(s: org.apache.spark.sql.SparkSession, dir: String) =
+    lshPairsCache.computeIfAbsent(dir, d => {
+      val sh = shinglesOf(s, d)
+      val sig = Dedup.minhashSignature(sh, 8)
+      val cands = Dedup.candidatePairs(Dedup.lshBands(sig, 8, 2))
+      Dedup.pairJaccard(cands, sh).cache()
+    })
+
   /** Shared all-pairs Jaccard frame (doc_a, doc_b, jacc) over pairs with
     * ≥1 common shingle — the exact-overlap backbone consumed at
     * different thresholds by the n-gram and canonicalization operators. */
@@ -48,12 +61,8 @@ object DedupQueries extends QueryModule {
     // MinHash (k=8) → LSH (4 bands × 2 rows) → exact-Jaccard verify.
     // The shingle index is cached: signatures and verification both
     // consume it, and recomputing the regex pipeline dominates otherwise.
-    "d_minhash_lsh" -> ((s, dir) => {
-      val sh = shinglesOf(s, dir)
-      val sig = Dedup.minhashSignature(sh, 8)
-      val cands = Dedup.candidatePairs(Dedup.lshBands(sig, 8, 2))
-      Dedup.pairJaccard(cands, sh).filter(col("jacc") >= 0.5)
-    }),
+    "d_minhash_lsh" -> ((s, dir) =>
+      lshVerifiedOf(s, dir).filter(col("jacc") >= 0.5)),
 
     // Exact all-pairs n-gram Jaccard via the shingle inverted index:
     // one self-join aggregated straight to intersection counts (no
@@ -66,7 +75,7 @@ object DedupQueries extends QueryModule {
     // keep" step of a dedup pipeline).
     "d_dedup_canonical" -> ((s, dir) =>
       Dedup.canonicalize(
-        pairJaccOf(s, dir).filter(col("jacc") >= 0.5).select("doc_a", "doc_b"), 3)),
+        lshVerifiedOf(s, dir).filter(col("jacc") >= 0.5).select("doc_a", "doc_b"), 3)),
 
     // Word-bigram frequency table (top corpus n-grams; count arithmetic
     // only, so it oracles exactly).
@@ -133,9 +142,27 @@ object DedupQueries extends QueryModule {
          |WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.3""".stripMargin,
     "d_dedup_canonical" ->
       s"""WITH $shinglesCte,
+         |hashed AS (SELECT id, md5(s) AS h FROM sh),
+         |sig AS (
+         |  SELECT id,
+         |    min(substring(h, 1, 4)) AS m1, min(substring(h, 5, 4)) AS m2,
+         |    min(substring(h, 9, 4)) AS m3, min(substring(h, 13, 4)) AS m4,
+         |    min(substring(h, 17, 4)) AS m5, min(substring(h, 21, 4)) AS m6,
+         |    min(substring(h, 25, 4)) AS m7, min(substring(h, 29, 4)) AS m8
+         |  FROM hashed GROUP BY id),
+         |bands AS (
+         |  SELECT id, 1 AS band, md5(m1 || m2) AS key FROM sig UNION ALL
+         |  SELECT id, 2, md5(m3 || m4) FROM sig UNION ALL
+         |  SELECT id, 3, md5(m5 || m6) FROM sig UNION ALL
+         |  SELECT id, 4, md5(m7 || m8) FROM sig),
+         |cands AS (
+         |  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id),
          |inter AS (
-         |  SELECT a.id AS doc_a, b.id AS doc_b, count(*) AS i
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+         |  SELECT doc_a, doc_b, count(*) AS i
+         |  FROM cands
+         |  JOIN sh sa ON sa.id = doc_a
+         |  JOIN sh sb ON sb.id = doc_b AND sb.s = sa.s
          |  GROUP BY 1, 2),
          |pairs AS (
          |  SELECT doc_a, doc_b
