@@ -67,6 +67,21 @@ object Soak {
         .groupBy((col("y") / (tilesY * th / 8)).cast("int").as("band"), col("t"))
         .agg(avg("v"), count(lit(1))).collect()
     }
+    // 5. overview pyramid level-2: shuffle plan (explode + groupBy) ...
+    time("overview 2x (explode+shuffle)", totalPx) {
+      Tile.unchip(tiles, th, tw)
+        .groupBy(col("t"), (col("y") / 2).cast("int").as("yt"),
+          (col("x") / 2).cast("int").as("xt"))
+        .agg((sum(col("v")) / count(lit(1))).as("v"))
+        .select(sum(col("v"))).collect()
+    }
+    // ... vs the shuffle-free per-tile native kernel
+    time("overview 2x (tile, no shuffle)", totalPx) {
+      tiles.select(graft.functions.TileDownsample2x
+          .downsample2x(col("tile"), th, tw).as("o"))
+        .select(expr("aggregate(filter(o, x -> x IS NOT NULL), 0.0D, (a, x) -> a + x)").as("s"))
+        .agg(sum(col("s"))).collect()
+    }
     spark.stop()
   }
 }
