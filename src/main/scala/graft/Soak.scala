@@ -53,7 +53,7 @@ object Soak {
         .agg(count(lit(1)), avg("v"), min("v"), max("v")).collect()
     }
     // 3. elementwise tile algebra: anomaly against a broadcast baseline
-    time("tile anomaly (zip_with)", totalPx) {
+    time("tile anomaly (native sub)", totalPx) {
       val clim = tiles.filter(col("t") === expr("timestamp_micros(0)"))
         .select(col("tile_y"), col("tile_x"), col("tile").as("base"))
       tiles.join(broadcast(clim), Seq("tile_y", "tile_x"))

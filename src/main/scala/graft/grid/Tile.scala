@@ -50,18 +50,22 @@ object Tile {
   // ---- elementwise tile algebra (NaN-aware via NULL) ----------------
 
   /** tile-wise a+b with nansum semantics: NULL only where BOTH are NULL
-    * (geoprocessing/algebra.py:46-47). */
+    * (geoprocessing/algebra.py:46-47). Native kernel — zip_with lambdas
+    * evaluate interpreted per element (see SCALE.md). */
   def addTiles(a: Column, b: Column): Column =
-    zip_with(a, b, (x, y) =>
-      when(x.isNull && y.isNull, lit(null))
-        .otherwise(coalesce(x, lit(0.0)) + coalesce(y, lit(0.0))))
+    graft.functions.TileAlgebraOp("add_nansum")(a, b)
 
   /** tile-wise difference (anomaly): NULL propagates. */
-  def subTiles(a: Column, b: Column): Column = zip_with(a, b, _ - _)
+  def subTiles(a: Column, b: Column): Column =
+    graft.functions.TileAlgebraOp("sub")(a, b)
+
+  /** tile-wise product (weighting/masking). */
+  def mulTiles(a: Column, b: Column): Column =
+    graft.functions.TileAlgebraOp("mul")(a, b)
 
   /** tile-wise safe divide. */
   def divTiles(a: Column, b: Column): Column =
-    zip_with(a, b, (x, y) => when(y === 0 || y.isNull, lit(null)).otherwise(x / y))
+    graft.functions.TileAlgebraOp("div_safe")(a, b)
 
   /** N-way weighted combine with NaN-masked weight renormalization
     * (geoprocessing/algebra.py:33-74 at tile granularity): cell value =
