@@ -107,6 +107,30 @@ class PromotionRecipe extends Recipe {
       .join(toRun, "unit_id")
 }
 
+/** Anomaly recipe — downstream of climatology in the derivation DAG
+  * (docs/adr/0007 rolling anomaly): unit = one timestep; inputs = the
+  * slice AND its slot normal, so the unit's input_hash covers both and
+  * a re-derived climatology automatically invalidates its dependents
+  * (the X5 staleness chain, processing/invocation.py:71-105). */
+class AnomalyRecipe(clim: DataFrame) extends Recipe {
+  val name = "anomaly"; val version = 1
+  private def withClim(inputs: DataFrame) =
+    inputs.withColumn("slot", month(col("t")).cast("string"))
+      .join(clim.select(col("unit_id").as("slot"), col("y"), col("x"),
+        col("clim")), Seq("slot", "y", "x"))
+  def units(inputs: DataFrame): DataFrame =
+    withClim(inputs)
+      .groupBy(col("t").cast("string").as("unit_id"))
+      .agg(sha2(concat_ws("|", sort_array(collect_list(
+        concat_ws(":", col("y"), col("x"), col("v"), col("clim"))))), 256).as("input_hash"))
+  def transform(inputs: DataFrame, toRun: DataFrame): DataFrame =
+    withClim(inputs)
+      .withColumn("unit_id", col("t").cast("string"))
+      .join(toRun, "unit_id")
+      .select(col("unit_id"), col("t"), col("y"), col("x"),
+        (col("v") - col("clim")).as("anom"))
+}
+
 /** Zonal-stats gold table recipe (analysis/zonal_stats/service.py →
   * BoundaryZonalStats): unit = one timestep; output = per (boundary,
   * timestep) stats rows. Inputs must carry (t, y, x, v, lon, lat) and a

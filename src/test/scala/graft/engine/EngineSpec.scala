@@ -73,6 +73,31 @@ class EngineSpec extends SparkSpec {
     assert(gold.filter(col("zcount") === 4).count() == 3)
   }
 
+  test("derivation chain: changed input cascades climatology → anomaly (X5)") {
+    val stateDir = Files.createTempDirectory("graft-chain-").toString
+    val engine = new Engine(spark, stateDir)
+    val clim = new ClimatologyRecipe
+
+    // round 1: both stages derive everything
+    engine.run(clim, mkInputs(bump = false))
+    val climOut1 = spark.read.parquet(s"$stateDir/climatology/outputs")
+    val anom = new AnomalyRecipe(climOut1)
+    val a1 = engine.run(anom, mkInputs(bump = false))
+    assert(a1.filter(col("action") === "insert").count() == 3)
+    // anomaly of v against its own slot mean of one year = 0 everywhere
+    val out1 = spark.read.parquet(s"$stateDir/anomaly/outputs")
+    assert(out1.filter(col("anom") =!= 0.0).isEmpty)
+
+    // round 2: February input changes → climatology slot 2 overwrites →
+    // anomaly unit for the February timestep re-derives; others skip.
+    engine.run(clim, mkInputs(bump = true))
+    val climOut2 = spark.read.parquet(s"$stateDir/climatology/outputs")
+    val a2 = engine.run(new AnomalyRecipe(climOut2), mkInputs(bump = true))
+    val acts = a2.as[(String, String, String)].collect()
+      .map(r => r._1.take(7) -> r._3).toMap
+    assert(acts == Map("2024-01" -> "skip", "2024-02" -> "overwrite", "2024-03" -> "skip"))
+  }
+
   test("promotion recipe publishes granules unchanged and idempotently") {
     val stateDir = Files.createTempDirectory("graft-engine2-").toString
     val engine = new Engine(spark, stateDir)
