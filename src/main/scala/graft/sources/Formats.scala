@@ -7,11 +7,12 @@ import org.apache.spark.sql.functions._
   *
   * Decoders are sniffed by magic bytes exactly like the reference's
   * registry (`II/MM` TIFF, `GRIB`, `CDF`/`\x89HDF` — formats/registry.py;
-  * geotiff.py:43-52, grib.py:66-74, netcdf.py:38-47). GeoTIFF decodes
-  * natively (GeoTiff.scala); GRIB2/NetCDF have no JVM decoder in this
-  * container, so their plugins are declared-but-unavailable: sniffing
-  * identifies them and ingest surfaces a clear error instead of garbage
-  * (SURVEY §7.3 risk item — the trait stays open for a NetCDF-Java drop-in).
+  * geotiff.py:43-52, grib.py:66-74, netcdf.py:38-47). GeoTIFF and GRIB2
+  * (simple packing) decode natively (GeoTiff.scala, Grib2.scala);
+  * NetCDF has no JVM decoder in this container, so its plugin is
+  * declared-but-unavailable: sniffing identifies it and ingest surfaces
+  * a clear error instead of garbage (SURVEY §7.3 — the trait stays
+  * open for a NetCDF-Java drop-in).
   */
 object Formats {
 
@@ -30,11 +31,8 @@ object Formats {
 
   object Grib2Decoder extends Decoder {
     val name = "grib2"
-    def canHandle(b: Array[Byte]) =
-      b.length >= 4 && b(0) == 'G' && b(1) == 'R' && b(2) == 'I' && b(3) == 'B'
-    def decode(b: Array[Byte]) =
-      throw new UnsupportedOperationException(
-        "grib2: no JVM decoder available; convert to GeoTIFF/parquet upstream")
+    def canHandle(b: Array[Byte]) = Grib2.canHandle(b)
+    def decode(b: Array[Byte]) = Grib2.read(b).raster
   }
 
   object NetCdfDecoder extends Decoder {
@@ -58,7 +56,7 @@ object Formats {
   def ingestDir(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val bin = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.tif").load(dir)
+      .option("pathGlobFilter", "*.{tif,grib2}").load(dir)
       .select(col("path"), col("content"))
     val pixels = bin.as[(String, Array[Byte])].mapPartitions { it =>
       it.flatMap { case (path, bytes) =>

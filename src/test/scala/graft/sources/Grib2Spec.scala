@@ -1,0 +1,56 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+class Grib2Spec extends SparkSpec {
+
+  private def sampleMessage = {
+    val w = 8; val h = 6
+    val data = Array.tabulate(w * h) { i =>
+      if (i % 11 == 0) Float.NaN else (i * 0.25f - 3.0f)
+    }
+    Grib2.Message(
+      GeoTiff.Raster(w, h, data, -180.0, 90.0, 45.0, 30.0),
+      discipline = 0, category = 1, parameter = 8,
+      refTime = java.time.LocalDateTime.of(2024, 1, 1, 6, 0, 0),
+      forecastHours = 12)
+  }
+
+  test("write → read round-trips grid, nodata bitmap, identity and times") {
+    val m = sampleMessage
+    val bytes = Grib2.write(m)
+    assert(Grib2.canHandle(bytes))
+    val back = Grib2.read(bytes)
+    assert(back.raster.width == 8 && back.raster.height == 6)
+    assert(back.raster.west == -180.0 && back.raster.north == 90.0 &&
+      back.raster.px == 45.0 && back.raster.py == 30.0)
+    assert(back.discipline == 0 && back.category == 1 && back.parameter == 8)
+    assert(back.refTime == m.refTime && back.forecastHours == 12)
+    // simple packing with D=2 preserves values to 1/100
+    back.raster.data.zip(m.raster.data).foreach { case (a, b) =>
+      if (b.isNaN) assert(a.isNaN)
+      else assert(math.abs(a - b) < 0.005, s"$a vs $b")
+    }
+  }
+
+  test("negative first-point latitudes survive sign-magnitude encoding") {
+    val m = sampleMessage.copy(raster = sampleMessage.raster.copy(
+      west = -10.0, north = -5.0, px = 1.0, py = 1.0))
+    val back = Grib2.read(Grib2.write(m))
+    assert(back.raster.west == -10.0 && back.raster.north == -5.0)
+  }
+
+  test("mixed-format directory ingests tiff and grib2 together") {
+    val dir = Files.createTempDirectory("graft-mixed-").toString
+    val m = sampleMessage
+    Files.write(Paths.get(s"$dir/t2m_20240101_0600.grib2"), Grib2.write(m))
+    Files.write(Paths.get(s"$dir/precip_20240102.tif"),
+      GeoTiff.write(m.raster))
+    val df = Formats.ingestDir(spark, dir)
+    val n = m.raster.data.count(!_.isNaN)
+    assert(df.count() == 2L * n)
+    assert(df.select("time").distinct().count() == 2)
+  }
+}
