@@ -21,6 +21,10 @@ object Formats {
     def canHandle(bytes: Array[Byte]): Boolean
     /** Decode to long-form pixels (y, x, v) + georeferencing. */
     def decode(bytes: Array[Byte]): GeoTiff.Raster
+    /** Multi-timestep formats explode to (timestep index, raster);
+      * single-granule formats yield one entry. */
+    def decodeMulti(bytes: Array[Byte]): Seq[(Int, GeoTiff.Raster)] =
+      Seq(0 -> decode(bytes))
   }
 
   object GeoTiffDecoder extends Decoder {
@@ -38,11 +42,23 @@ object Formats {
   object NetCdfDecoder extends Decoder {
     val name = "netcdf"
     def canHandle(b: Array[Byte]) =
-      (b.length >= 3 && b(0) == 'C' && b(1) == 'D' && b(2) == 'F') ||
+      (b.length >= 4 && b(0) == 'C' && b(1) == 'D' && b(2) == 'F' && b(3) == 1) ||
         (b.length >= 4 && (b(0) & 0xff) == 0x89 && b(1) == 'H' && b(2) == 'D' && b(3) == 'F')
-    def decode(b: Array[Byte]) =
-      throw new UnsupportedOperationException(
-        "netcdf: no JVM decoder available; convert to GeoTIFF/parquet upstream")
+    private def gridVar(f: NetCdf.File): String =
+      f.vars.find(v => v.dims.takeRight(2) == Seq("lat", "lon")).map(_.name)
+        .getOrElse(throw new IllegalArgumentException("no (…,lat,lon) variable"))
+    def decode(b: Array[Byte]) = {
+      if ((b(0) & 0xff) == 0x89) throw new UnsupportedOperationException(
+        "netcdf4/HDF5: no JVM decoder; convert to classic or GeoTIFF upstream")
+      val f = NetCdf.read(b)
+      f.rasters(gridVar(f)).head._2
+    }
+    override def decodeMulti(b: Array[Byte]): Seq[(Int, GeoTiff.Raster)] = {
+      if ((b(0) & 0xff) == 0x89) throw new UnsupportedOperationException(
+        "netcdf4/HDF5: no JVM decoder; convert to classic or GeoTIFF upstream")
+      val f = NetCdf.read(b)
+      f.rasters(gridVar(f))
+    }
   }
 
   val registry: Seq[Decoder] = Seq(GeoTiffDecoder, Grib2Decoder, NetCdfDecoder)
@@ -56,24 +72,26 @@ object Formats {
   def ingestDir(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val bin = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.{tif,grib2}").load(dir)
+      .option("pathGlobFilter", "*.{tif,grib2,nc}").load(dir)
       .select(col("path"), col("content"))
     val pixels = bin.as[(String, Array[Byte])].mapPartitions { it =>
       it.flatMap { case (path, bytes) =>
         val dec = sniff(bytes).getOrElse(
           throw new IllegalArgumentException(s"unknown format: $path"))
-        val r = dec.decode(bytes)
         val fname = path.substring(path.lastIndexOf('/') + 1)
         // geo coords at pixel CENTERS — the engine-wide convention
         // (reference: virtual_zarr.py:326-344 affine at centers)
         for {
+          (step, r) <- dec.decodeMulti(bytes)
           y <- 0 until r.height; x <- 0 until r.width
           v = r.data(y * r.width + x) if !v.isNaN
-        } yield (fname, y, x, v.toDouble,
+        } yield (fname, step, y, x, v.toDouble,
           r.west + (x + 0.5) * r.px, r.north - (y + 0.5) * r.py)
       }
-    }.toDF("fname", "y", "x", "v", "lon", "lat")
+    }.toDF("fname", "step", "y", "x", "v", "lon", "lat")
+    // multi-timestep files: valid time = filename time + step hours
     pixels.withColumn("time",
-      graft.streaming.IngestStream.extractTime(col("fname")))
+      graft.streaming.IngestStream.extractTime(col("fname"))
+        + make_interval(lit(0), lit(0), lit(0), lit(0), col("step")))
   }
 }
