@@ -25,6 +25,10 @@ object Formats {
       * single-granule formats yield one entry. */
     def decodeMulti(bytes: Array[Byte]): Seq[(Int, GeoTiff.Raster)] =
       Seq(0 -> decode(bytes))
+    /** Per-file variable discovery (formats/base.py:108-131): GeoTIFF
+      * bands are `band_N`, GRIB2 keys are the (discipline, category,
+      * parameter) VariableKey, NetCDF uses the variable name. */
+    def listVariables(bytes: Array[Byte]): Seq[String] = Seq("band_1")
   }
 
   object GeoTiffDecoder extends Decoder {
@@ -37,6 +41,10 @@ object Formats {
     val name = "grib2"
     def canHandle(b: Array[Byte]) = Grib2.canHandle(b)
     def decode(b: Array[Byte]) = Grib2.read(b).raster
+    override def listVariables(b: Array[Byte]): Seq[String] = {
+      val m = Grib2.read(b)
+      Seq(s"d${m.discipline}_c${m.category}_p${m.parameter}")
+    }
   }
 
   object NetCdfDecoder extends Decoder {
@@ -59,6 +67,12 @@ object Formats {
       val f = NetCdf.read(b)
       f.rasters(gridVar(f))
     }
+    override def listVariables(b: Array[Byte]): Seq[String] =
+      if ((b(0) & 0xff) == 0x89) Seq.empty
+      else {
+        val f = NetCdf.read(b)
+        f.vars.filter(_.dims.takeRight(2) == Seq("lat", "lon")).map(_.name)
+      }
   }
 
   val registry: Seq[Decoder] = Seq(GeoTiffDecoder, Grib2Decoder, NetCdfDecoder)

@@ -27,6 +27,18 @@ class GeoTiffSpec extends SparkSpec {
     assert(back.bounds == ((-180.0, -90.0, 180.0, 90.0)))
   }
 
+  test("per-file variable discovery across formats") {
+    assert(Formats.GeoTiffDecoder.listVariables(GeoTiff.write(sampleRaster)) == Seq("band_1"))
+    val g = Grib2.write(Grib2.Message(sampleRaster, 0, 1, 8,
+      java.time.LocalDateTime.of(2024, 1, 1, 0, 0), 0))
+    assert(Formats.Grib2Decoder.listVariables(g) == Seq("d0_c1_p8"))
+    val nc = NetCdf.write(Seq("lat" -> 2, "lon" -> 2), Seq(
+      NetCdf.Variable("lat", Seq("lat"), Array(10f, -10f), None),
+      NetCdf.Variable("lon", Seq("lon"), Array(-10f, 10f), None),
+      NetCdf.Variable("t2m", Seq("lat", "lon"), Array(1f, 2f, 3f, 4f), None)))
+    assert(Formats.NetCdfDecoder.listVariables(nc) == Seq("t2m"))
+  }
+
   test("registry sniffs formats by magic bytes") {
     assert(Formats.sniff(GeoTiff.write(sampleRaster)).map(_.name).contains("geotiff"))
     assert(Formats.sniff("GRIBxxxx".getBytes).map(_.name).contains("grib2"))
