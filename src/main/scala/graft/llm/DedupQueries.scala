@@ -86,6 +86,19 @@ object DedupQueries extends QueryModule {
         .filter(col("n_docs") >= 50)
     }),
 
+    // Document typicality: mean corpus document-frequency of the doc's
+    // bigrams — the cheap "does this look like the corpus" quality
+    // signal (a rational-arithmetic stand-in for n-gram perplexity,
+    // which needs log and therefore can't hash cross-engine).
+    "t_bigram_commonness" -> ((s, dir) => {
+      val sh2 = Dedup.shingles(Tables.documents(s, dir), "doc_id", "text", n = 2).cache()
+      val freq = sh2.groupBy("s").agg(count(lit(1)).as("df"))
+      sh2.join(freq, "s")
+        .groupBy(col("id").as("doc_id"))
+        .agg((sum(col("df")).cast("double") / count(lit(1))).as("mean_df"),
+          count(lit(1)).as("n_bigrams"))
+    }),
+
     // SimHash-32 near-dups: hamming distance ≤ 6 pairs.
     "d_simhash" -> ((s, dir) => {
       val sim = Dedup.simhash32(Tables.documents(s, dir), "doc_id", "text")
@@ -193,6 +206,18 @@ object DedupQueries extends QueryModule {
         |  FROM words CROSS JOIN range(400) t(i) WHERE i < len(ws) - 1)
         |SELECT s AS bigram, count(*) AS n_docs FROM sh2
         |GROUP BY 1 HAVING count(*) >= 50""".stripMargin,
+    "t_bigram_commonness" ->
+      """WITH words AS (
+        |  SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
+        |sh2 AS (
+        |  SELECT DISTINCT id, ws[i+1] || ' ' || ws[i+2] AS s
+        |  FROM words CROSS JOIN range(400) t(i) WHERE i < len(ws) - 1),
+        |freq AS (SELECT s, count(*) AS df FROM sh2 GROUP BY 1)
+        |SELECT id AS doc_id,
+        |  CAST(sum(df) AS DOUBLE) / count(*) AS mean_df,
+        |  count(*) AS n_bigrams
+        |FROM sh2 JOIN freq USING (s)
+        |GROUP BY 1""".stripMargin,
     "d_simhash" ->
       """WITH wd AS (
         |  SELECT DISTINCT doc_id AS id, w
