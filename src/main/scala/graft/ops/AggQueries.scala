@@ -95,6 +95,25 @@ object AggQueries extends QueryModule {
           count(lit(1)).as("n"))
     }),
 
+    // A7b — raster_combine 'how' variants: N aligned grids stacked,
+    // NaN-aware sum/min/max/mean per cell (cell NULL only if absent in
+    // ALL inputs — union semantics give nansum for free).
+    "a7b_raster_combine_ops" -> ((s, dir) => {
+      val g = graft.grid.Grid.fromLineitem(s, dir)
+      val a = g.filter(year(col("t")) === 1996)
+        .select(month(col("t")).cast("int").as("m"), col("y"), col("x"), col("v"))
+      val b = g.filter(year(col("t")) === 1997)
+        .select(month(col("t")).cast("int").as("m"), col("y"), col("x"), col("v"))
+      val c = g.filter(year(col("t")) === 1998)
+        .select(month(col("t")).cast("int").as("m"), col("y"), col("x"), col("v"))
+      a.unionByName(b).unionByName(c)
+        .groupBy("m", "y", "x")
+        .agg(sum(col("v").cast("long")).cast("double").as("csum"),
+          min(col("v")).as("cmin"), max(col("v")).as("cmax"),
+          (sum(col("v").cast("long")).cast("double") / count(lit(1))).as("cmean"),
+          count(lit(1)).as("n_inputs"))
+    }),
+
     // A9 — slot climatology with min-count guard: dekad-of-year mean,
     // slots with too few contributing steps dropped (docs/adr/0007).
     "a9_slot_climatology" -> ((s, dir) => {
@@ -244,6 +263,15 @@ object AggQueries extends QueryModule {
         |            / CAST(sum(CASE WHEN v100 IS NOT NULL THEN w ELSE 0 END) AS DOUBLE) END AS wmean,
         |  count(*) AS n
         |FROM e GROUP BY 1""".stripMargin,
+    "a7b_raster_combine_ops" -> (
+      s"WITH ${graft.grid.Grid.sqlCte}\n" +
+      """SELECT CAST(month(t) AS INT) AS m, y, x,
+        |  CAST(sum(CAST(v AS BIGINT)) AS DOUBLE) AS csum,
+        |  min(v) AS cmin, max(v) AS cmax,
+        |  CAST(sum(CAST(v AS BIGINT)) AS DOUBLE) / count(*) AS cmean,
+        |  count(*) AS n_inputs
+        |FROM grid WHERE year(t) IN (1996, 1997, 1998)
+        |GROUP BY 1, 2, 3""".stripMargin),
     "a9_slot_climatology" ->
       """SELECT CAST((month(l_shipdate) - 1) * 3 + least(2, (day(l_shipdate) - 1) // 10) + 1 AS INT) AS dekad,
         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS clim,
