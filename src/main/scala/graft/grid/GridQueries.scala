@@ -157,6 +157,14 @@ object GridQueries extends QueryModule {
         .filter(col("v").isNotNull)
     }),
 
+    // F14 — regrid, cubic (Keys kernel, a=−0.5): no oracle — the 16-way
+    // weighted sum is float-order-dependent so it cannot hash-match a
+    // single-node engine; correctness is property-tested instead
+    // (linear fields reproduce exactly, RegridSpec).
+    "f14_regrid_cubic" -> ((s, dir) => {
+      Regrid.cubic(s, Grid.fromLineitem(s, dir), Grid.W, Grid.H, 48, 36)
+    }),
+
     // F14 — regrid, average: 2× coarsen, mean of valid source pixels per
     // target cell (rasterio 'average' NaN-aware semantics).
     "f14_regrid_average" -> ((s, dir) => {
