@@ -1,0 +1,41 @@
+package graft
+
+import graft.llm.Dedup
+import org.apache.spark.sql.functions._
+
+/** LLM-ops soak: the full minhash-LSH-verify dedup pipeline over a
+  * synthetic corpus (default 100k docs, ~80 words each, deterministic
+  * hash-generated with seeded near-duplicates). Prints docs/s.
+  * Run: sbt "runMain graft.SoakDedup [nDocs]". */
+object SoakDedup {
+  def main(args: Array[String]): Unit = {
+    val nDocs = if (args.nonEmpty) args(0).toInt else 100000
+    val spark = Sessions.build(
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+
+    val vocab = (0 until 64).map(i => s"w$i")
+    val vocabExpr = s"array(${vocab.map("'" + _ + "'").mkString(",")})"
+    // every 50th doc is a near-duplicate of its predecessor (same seed,
+    // one word in ~40 perturbed via the +1 salt)
+    val docs = spark.range(nDocs).select(
+        col("id").as("doc_id"),
+        expr(s"""concat_ws(' ', transform(sequence(0, 79), i ->
+             | element_at($vocabExpr,
+             |   pmod(hash(CASE WHEN id % 50 = 1 AND i = 7 THEN -id
+             |             WHEN id % 50 = 1 THEN (id - 1) * 100 + i
+             |             ELSE id * 100 + i END), 64) + 1)))""".stripMargin)
+          .as("text"))
+      .cache()
+    val n = docs.count()
+    println(s"[soak-dedup] $n docs")
+
+    val t0 = System.nanoTime()
+    val sh = Dedup.shingles(docs, "doc_id", "text").cache()
+    val sig = Dedup.minhashSignature(sh, 8)
+    val cands = Dedup.candidatePairs(Dedup.lshBands(sig, 8, 2))
+    val verified = Dedup.pairJaccard(cands, sh).filter(col("jacc") >= 0.5).count()
+    val dt = (System.nanoTime() - t0) / 1e9
+    println(f"[soak-dedup] minhash-LSH-verify  ${dt}%8.2f s  ${n / dt}%9.0f docs/s  verified_pairs=$verified")
+    spark.stop()
+  }
+}
