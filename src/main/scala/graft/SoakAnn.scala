@@ -1,0 +1,56 @@
+package graft
+
+import graft.llm.Similarity
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** ANN soak: 100 query vectors against a synthetic 100k×64 corpus —
+  * brute-force cosine top-10 vs hyperplane-LSH-bucketed search.
+  * Run: sbt "runMain graft.SoakAnn [nVecs]". */
+object SoakAnn {
+  def main(args: Array[String]): Unit = {
+    val nVecs = if (args.nonEmpty) args(0).toInt else 100000
+    val spark = Sessions.build(
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+
+    val emb = spark.range(nVecs).select(col("id").as("vec_id"),
+        expr("""transform(sequence(0, 63), i ->
+             | CAST(pmod(hash(id * 64 + i), 2001) - 1000 AS FLOAT) / 1000.0)""".stripMargin)
+          .as("embedding"))
+      .cache()
+    emb.count()
+    println(s"[soak-ann] $nVecs vectors x 64 dims, 100 queries")
+
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[soak-ann] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    val q = Similarity.quantized(emb).cache()
+    q.count()
+    val queries = q.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("qid"), col("q").as("qa"), col("nrm2").as("na"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
+
+    time("brute-force top-10") {
+      val corpus = q.select(col("vec_id"), col("q").as("qb"), col("nrm2").as("nb"))
+      queries.crossJoin(corpus).filter(col("qid") =!= col("vec_id"))
+        .withColumn("cos", expr(Similarity.cosExpr))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+        .count()
+    }
+    time("LSH-bucketed top-10") {
+      val b = Similarity.buckets(q, 8).cache()
+      val qb = q.join(b, "vec_id")
+      val lq = qb.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), col("q").as("qa"), col("nrm2").as("na"), col("bucket"))
+      val corpus = qb.select(col("vec_id"), col("q").as("qb"), col("nrm2").as("nb"), col("bucket"))
+      lq.join(corpus, Seq("bucket")).filter(col("qid") =!= col("vec_id"))
+        .withColumn("cos", expr(Similarity.cosExpr))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+        .count()
+    }
+    spark.stop()
+  }
+}
