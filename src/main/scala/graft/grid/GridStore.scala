@@ -24,6 +24,23 @@ object GridStore {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Compaction (the reference's debounced-rebuild X6 maps to an
+    * OPTIMIZE cadence, SURVEY §2.9): rewrite each (collection, p_date)
+    * partition into one sorted file so incremental appends don't
+    * accumulate small files. Content-preserving; run off the hot path. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val df = read(spark, path)
+    val tmp = path + ".compact"
+    df.repartition(col("collection"), col("p_date"))
+      .sortWithinPartitions(col("tile_y"), col("tile_x"))
+      .write.mode("overwrite").partitionBy("collection", "p_date").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+
   /** Time-range + tile-bbox scoped read: both predicates are sargable —
     * time prunes partitions, tile coords prune row groups. */
   def readRange(spark: SparkSession, path: String,

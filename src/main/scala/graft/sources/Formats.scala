@@ -41,10 +41,11 @@ object Formats {
     val name = "grib2"
     def canHandle(b: Array[Byte]) = Grib2.canHandle(b)
     def decode(b: Array[Byte]) = Grib2.read(b).raster
-    override def listVariables(b: Array[Byte]): Seq[String] = {
-      val m = Grib2.read(b)
-      Seq(s"d${m.discipline}_c${m.category}_p${m.parameter}")
-    }
+    /** One entry per concatenated message, indexed by forecast hour. */
+    override def decodeMulti(b: Array[Byte]): Seq[(Int, GeoTiff.Raster)] =
+      Grib2.readAll(b).map(m => m.forecastHours -> m.raster)
+    override def listVariables(b: Array[Byte]): Seq[String] =
+      Grib2.readAll(b).map(m => s"d${m.discipline}_c${m.category}_p${m.parameter}").distinct
   }
 
   object NetCdfDecoder extends Decoder {

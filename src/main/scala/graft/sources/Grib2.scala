@@ -127,6 +127,21 @@ object Grib2 {
 
   // ---- decode ------------------------------------------------------
 
+  /** Real GRIB files concatenate messages (one per variable/level/step);
+    * split on the Section-0 total-length field and decode each. */
+  def readAll(bytes: Array[Byte]): Seq[Message] = {
+    val out = scala.collection.mutable.Buffer[Message]()
+    var pos = 0
+    while (pos + 16 <= bytes.length &&
+           bytes(pos) == 'G' && bytes(pos + 1) == 'R' &&
+           bytes(pos + 2) == 'I' && bytes(pos + 3) == 'B') {
+      val total = ByteBuffer.wrap(bytes, pos + 8, 8).getLong.toInt
+      out += read(java.util.Arrays.copyOfRange(bytes, pos, pos + total))
+      pos += total
+    }
+    out.toSeq
+  }
+
   def read(bytes: Array[Byte]): Message = {
     require(canHandle(bytes), "not GRIB")
     val bb = ByteBuffer.wrap(bytes)

@@ -30,4 +30,24 @@ class GridStoreSpec extends SparkSpec {
       .count()
     assert(scoped.count() == expect && expect > 0)
   }
+
+  test("compaction coalesces small files per partition, content unchanged") {
+    val path = Files.createTempDirectory("graft-compact-").toString
+    val tiles = Tile.chip(Grid.fromLineitem(spark, sf0001), 16, 16)
+      .withColumn("collection", lit("chirps"))
+    // simulate incremental appends: three small writes
+    for (_ <- 1 to 3)
+      tiles.limit(40).withColumn("p_date", date_format(col("t"), "yyyy-MM-dd"))
+        .write.mode("append").partitionBy("collection", "p_date").parquet(path)
+    def parquetFiles() = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(path)).filter(_.getName.endsWith(".parquet"))
+    }
+    val before = spark.read.parquet(path).count()
+    val filesBefore = parquetFiles().size
+    GridStore.compact(spark, path)
+    assert(spark.read.parquet(path).count() == before)
+    assert(parquetFiles().size < filesBefore)
+  }
 }

@@ -42,6 +42,16 @@ class Grib2Spec extends SparkSpec {
     assert(back.raster.west == -10.0 && back.raster.north == -5.0)
   }
 
+  test("concatenated multi-message files split and decode per forecast step") {
+    val m = sampleMessage
+    val bytes = Grib2.write(m) ++ Grib2.write(m.copy(forecastHours = 18)) ++
+      Grib2.write(m.copy(category = 2, parameter = 3, forecastHours = 24))
+    val all = Grib2.readAll(bytes)
+    assert(all.map(_.forecastHours) == Seq(12, 18, 24))
+    assert(Formats.Grib2Decoder.listVariables(bytes) == Seq("d0_c1_p8", "d0_c2_p3"))
+    assert(Formats.Grib2Decoder.decodeMulti(bytes).map(_._1) == Seq(12, 18, 24))
+  }
+
   test("mixed-format directory ingests tiff and grib2 together") {
     val dir = Files.createTempDirectory("graft-mixed-").toString
     val m = sampleMessage

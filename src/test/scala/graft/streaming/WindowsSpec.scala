@@ -33,6 +33,32 @@ class WindowsSpec extends SparkSpec {
     assert(rows.contains((ts("2024-01-01 00:05:00"), "view", 1L, 4.0)))
   }
 
+  test("events later than the watermark are dropped from closed windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val q = Windows.tumblingCounts(df, "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("latedrop")
+      .outputMode("append").start()
+    mem.addData((ts("2024-01-01 00:01:00"), "click", 1.0))
+    q.processAllAvailable()
+    // advance watermark beyond 00:00–00:05, closing that window
+    mem.addData((ts("2024-01-01 01:00:00"), "click", 1.0))
+    q.processAllAvailable()
+    // a straggler for the closed window must NOT reopen or re-emit it
+    mem.addData((ts("2024-01-01 00:02:00"), "click", 99.0))
+    mem.addData((ts("2024-01-01 02:00:00"), "click", 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("latedrop")
+      .select("ws", "n", "sum_value").as[(Timestamp, Long, Double)].collect()
+    q.stop()
+    val w0 = rows.filter(_._1 == ts("2024-01-01 00:00:00"))
+    assert(w0.length == 1 && w0.head._2 == 1L && w0.head._3 == 1.0,
+      s"late straggler leaked into closed window: ${w0.toSeq}")
+    // contrast: the batch/derivation path never drops late data (X4) —
+    // IngestStreamSpec's late-arrival case covers that contract.
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp)]
