@@ -314,8 +314,8 @@ object Search extends QueryModule {
         |  FROM e),
         |sess AS (
         |  SELECT user_id, ts,
-        |    sum(is_start) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-        |                        ROWS UNBOUNDED PRECEDING) AS session_id
+        |    CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         |  FROM st)
         |SELECT user_id, session_id, count(*) AS n_events,
         |  min(ts) AS session_start,
