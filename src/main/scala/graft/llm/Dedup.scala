@@ -105,6 +105,41 @@ object Dedup {
     labels
   }
 
+  /** Pigeonhole-blocked candidate pairs for hamming(simhash) <= maxDist.
+    *
+    * Split the `bits`-wide hash into maxDist+1 contiguous blocks: a pair
+    * within hamming maxDist has at most maxDist differing bits, which can
+    * touch at most maxDist blocks, so at least ONE block is bit-identical
+    * (pigeonhole). Candidates therefore come from an equi-join on
+    * (block_idx, block_value) — never an all-pairs product — and only the
+    * candidates pay the exact hamming verification. Completeness is
+    * guaranteed, so the result is identical to the quadratic scan.
+    *
+    * At cluster scale the join shuffles on (blk, bv); hot block values
+    * (skewed bit distributions) are AQE skew-join territory. Wider hashes
+    * (64-bit) give proportionally more selective blocks.
+    *
+    * Input: (id, simhash). Output: (doc_a, doc_b, ha, hb) distinct pairs
+    * with doc_a < doc_b, superset of the true hamming<=maxDist pairs.
+    */
+  def simhashCandidates(sim: DataFrame, maxDist: Int = 6, bits: Int = 32): DataFrame = {
+    val nBlocks = maxDist + 1
+    val bounds = (0 to nBlocks).map(i => i * bits / nBlocks)
+    val blocks = (0 until nBlocks).map { i =>
+      val lo = bounds(i); val width = bounds(i + 1) - lo
+      struct(lit(i).as("blk"),
+        shiftright(col("simhash"), lo).bitwiseAND(lit((1L << width) - 1)).as("bv"))
+    }
+    val exploded = sim
+      .select(col("id"), col("simhash"), explode(array(blocks: _*)).as("b"))
+      .select(col("id"), col("simhash"), col("b.blk").as("blk"), col("b.bv").as("bv"))
+      .cache() // consumed by both sides of the self-join below
+    val a = exploded.select(col("blk"), col("bv"), col("id").as("doc_a"), col("simhash").as("ha"))
+    val b = exploded.select(col("blk"), col("bv"), col("id").as("doc_b"), col("simhash").as("hb"))
+    a.join(b, Seq("blk", "bv")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "ha", "hb").distinct()
+  }
+
   /** 32-bit SimHash over distinct word tokens, md5-nibble bit source.
     * (id, simhash). */
   def simhash32(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -99,12 +99,14 @@ object DedupQueries extends QueryModule {
           count(lit(1)).as("n_bigrams"))
     }),
 
-    // SimHash-32 near-dups: hamming distance ≤ 6 pairs.
+    // SimHash-32 near-dups: hamming distance ≤ 6 pairs. Candidates come
+    // from pigeonhole blocking (7 blocks of the 32-bit hash; ≤6 flipped
+    // bits leave ≥1 block identical → equi-join on (blk, value)), so the
+    // plan has no cartesian product and only candidates pay the exact
+    // hamming verification — same answer as the quadratic scan.
     "d_simhash" -> ((s, dir) => {
       val sim = Dedup.simhash32(Tables.documents(s, dir), "doc_id", "text")
-      val a = sim.select(col("id").as("doc_a"), col("simhash").as("ha"))
-      val b = sim.select(col("id").as("doc_b"), col("simhash").as("hb"))
-      a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      Dedup.simhashCandidates(sim, maxDist = 6)
         .withColumn("hamming", expr("bit_count(ha ^ hb)"))
         .filter(col("hamming") <= 6)
         .select("doc_a", "doc_b", "hamming")

@@ -43,6 +43,52 @@ object Similarity {
       .withColumn("cnrm2", expr("aggregate(cq, 0L, (acc, v) -> acc + v * v)"))
   }
 
+  /** Multi-probe LSH-blocked near-dup sweep: pairs that share `labelCol`
+    * AND whose nPlanes-bit hyperplane buckets differ by at most
+    * `probeDist` bits, verified by exact cosine >= minCos.
+    *
+    * Candidates come from pigeonhole blocking of the bucket (probeDist+1
+    * contiguous blocks; <=probeDist flipped bits leave >=1 block equal),
+    * so the plan is an equi-join on (label, blk, block_value) — never a
+    * within-label all-pairs product, which at real scale is quadratic in
+    * the hottest label. Each surviving pair is counted once, at its FIRST
+    * matching block (no distinct over array columns needed).
+    *
+    * This is the approximate sweep by definition: recall of true
+    * cos>=minCos pairs is bounded by the LSH collision probability
+    * (raise nPlanes-bit probes or probeDist for more recall, at more
+    * candidate cost). Input: (vec_id, q, nrm2, labelCol).
+    * Output: (label, doc_a, doc_b, cos).
+    */
+  def neardupBlocked(q: DataFrame, labelCol: String, nPlanes: Int = 8,
+                     probeDist: Int = 2, minCos: Double = 0.4): DataFrame = {
+    val qb = q.join(buckets(q.select("vec_id", "q", "nrm2"), nPlanes), "vec_id")
+    val nBlocks = probeDist + 1
+    val bounds = (0 to nBlocks).map(i => i * nPlanes / nBlocks)
+    def blockVal(bucket: org.apache.spark.sql.Column, i: Int) =
+      shiftright(bucket, bounds(i)).bitwiseAND(lit((1L << (bounds(i + 1) - bounds(i))) - 1))
+    val blocks = (0 until nBlocks).map(i =>
+      struct(lit(i).as("blk"), blockVal(col("bucket"), i).as("bv")))
+    val ex = qb.select(col(labelCol).as("label"), col("vec_id"), col("q"),
+        col("nrm2"), col("bucket"), explode(array(blocks: _*)).as("b"))
+      .select(col("label"), col("vec_id"), col("q"), col("nrm2"), col("bucket"),
+        col("b.blk").as("blk"), col("b.bv").as("bv"))
+    val a = ex.select(col("label"), col("blk"), col("bv"), col("vec_id").as("doc_a"),
+      col("q").as("qa"), col("nrm2").as("na"), col("bucket").as("ba"))
+    val b = ex.select(col("label"), col("blk"), col("bv"), col("vec_id").as("doc_b"),
+      col("q").as("qb"), col("nrm2").as("nb"), col("bucket").as("bb"))
+    // first matching block index, as a pure expression over (ba, bb)
+    val firstEq = (0 until nBlocks).foldRight(lit(nBlocks): org.apache.spark.sql.Column) {
+      (i, rest) => when(blockVal(col("ba"), i) === blockVal(col("bb"), i), lit(i)).otherwise(rest)
+    }
+    a.join(b, Seq("label", "blk", "bv")).filter(col("doc_a") < col("doc_b"))
+      .filter(expr(s"bit_count(ba ^ bb) <= $probeDist"))
+      .filter(col("blk") === firstEq)
+      .withColumn("cos", expr(cosExpr))
+      .filter(col("cos") >= minCos)
+      .select("label", "doc_a", "doc_b", "cos")
+  }
+
   /** Random-hyperplane LSH bucket (nPlanes bits) per vector. Signs are
     * md5-derived so both engines (and every executor) agree without a
     * shared random state. */

