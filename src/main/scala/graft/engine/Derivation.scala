@@ -42,13 +42,17 @@ object Derivation {
     * (unit_id, depth) with the minimal depth per unit. */
   def transitiveDownstream(edges: DataFrame, seeds: DataFrame,
                            maxDepth: Int): DataFrame = {
-    var frontier = seeds.select(col("unit_id"), lit(0).as("depth"))
+    // each frontier is consumed twice (next join + the union) — cache per
+    // level or the lineage re-executes once per remaining depth
+    val e = edges.cache()
+    var frontier = seeds.select(col("unit_id"), lit(0).as("depth")).cache()
     var acc = frontier
     for (d <- 1 to maxDepth) {
       frontier = frontier
-        .join(edges, frontier("unit_id") === edges("src"))
+        .join(e, frontier("unit_id") === e("src"))
         .select(col("dst").as("unit_id"), lit(d).as("depth"))
         .distinct()
+        .cache()
       acc = acc.unionByName(frontier)
     }
     acc.groupBy("unit_id").agg(min(col("depth")).as("depth"))

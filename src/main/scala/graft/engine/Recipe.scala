@@ -93,15 +93,35 @@ class Engine(spark: SparkSession, stateDir: String) {
   }
 }
 
+/** Content hashing for recipe units (recipe.py:28-42 hashes asset
+  * checksums, never raw content rows). Per-granule digests are computed
+  * with a commutative XOR-combine of per-row 64-bit hashes — one plain
+  * aggregation, order-independent, and NEVER a collect of pixels into a
+  * driver-sized array (a granule can hold 10^8 pixels at real scale).
+  * Unit hashes then digest the SORTED, bounded list of granule digests —
+  * the 2-level shape: content → granule hash → unit hash. */
+object RecipeHash {
+  import org.apache.spark.sql.Column
+
+  /** Order-independent 64-bit content digest over the given columns,
+    * as an aggregate expression (distinct rows assumed, which (y,x)
+    * pixel frames guarantee). */
+  def rowDigest(cols: Column*): Column =
+    bit_xor(xxhash64(cols: _*))
+
+  /** Unit-level hash over a bounded set of granule digests. */
+  def combine(granuleHash: Column): Column =
+    sha2(concat_ws("|", sort_array(collect_list(granuleHash.cast("string")))), 256)
+}
+
 /** Identity/promotion recipe: publish staging granules unchanged — the
   * reference's bootstrap recipe (recipes/promotion.py:1-12). Unit = one
-  * granule; hash = the granule content hash. */
+  * granule; hash = the granule content digest. */
 class PromotionRecipe extends Recipe {
   val name = "promotion"; val version = 1
   def units(inputs: DataFrame): DataFrame =
     inputs.groupBy(col("granule_id").as("unit_id"))
-      .agg(sha2(concat_ws("|", sort_array(collect_list(
-        concat_ws(":", col("y"), col("x"), col("v"))))), 256).as("input_hash"))
+      .agg(RecipeHash.rowDigest(col("y"), col("x"), col("v")).cast("string").as("input_hash"))
   def transform(inputs: DataFrame, toRun: DataFrame): DataFrame =
     inputs.withColumnRenamed("granule_id", "unit_id")
       .join(toRun, "unit_id")
@@ -121,8 +141,8 @@ class AnomalyRecipe(clim: DataFrame) extends Recipe {
   def units(inputs: DataFrame): DataFrame =
     withClim(inputs)
       .groupBy(col("t").cast("string").as("unit_id"))
-      .agg(sha2(concat_ws("|", sort_array(collect_list(
-        concat_ws(":", col("y"), col("x"), col("v"), col("clim"))))), 256).as("input_hash"))
+      .agg(RecipeHash.rowDigest(col("y"), col("x"), col("v"), col("clim"))
+        .cast("string").as("input_hash"))
   def transform(inputs: DataFrame, toRun: DataFrame): DataFrame =
     withClim(inputs)
       .withColumn("unit_id", col("t").cast("string"))
@@ -139,8 +159,8 @@ class ZonalStatsRecipe(boundaries: DataFrame) extends Recipe {
   val name = "zonal_stats"; val version = 1
   def units(inputs: DataFrame): DataFrame =
     inputs.groupBy(col("t").cast("string").as("unit_id"))
-      .agg(sha2(concat_ws("|", sort_array(collect_list(
-        concat_ws(":", col("y"), col("x"), col("v"))))), 256).as("input_hash"))
+      .agg(RecipeHash.rowDigest(col("y"), col("x"), col("v"))
+        .cast("string").as("input_hash"))
   def transform(inputs: DataFrame, toRun: DataFrame): DataFrame =
     graft.ops.Zonal.zonalStats(
       inputs.withColumn("unit_id", col("t").cast("string")).join(toRun, "unit_id"),
@@ -158,10 +178,9 @@ class ClimatologyRecipe extends Recipe {
   def units(inputs: DataFrame): DataFrame =
     slotted(inputs)
       .groupBy(col("t"), col("slot"))
-      .agg(sha2(concat_ws("|", sort_array(collect_list(
-        concat_ws(":", col("y"), col("x"), col("v"))))), 256).as("ghash"))
+      .agg(RecipeHash.rowDigest(col("y"), col("x"), col("v")).as("ghash"))
       .groupBy(col("slot").cast("string").as("unit_id"))
-      .agg(sha2(concat_ws("|", sort_array(collect_list(col("ghash")))), 256).as("input_hash"))
+      .agg(RecipeHash.combine(col("ghash")).as("input_hash"))
   def transform(inputs: DataFrame, toRun: DataFrame): DataFrame =
     slotted(inputs)
       .withColumn("unit_id", col("slot").cast("string"))

@@ -114,53 +114,19 @@ object GridQueries extends QueryModule {
     }),
 
     // F14 — regrid, bilinear: 64×48 → 48×36 with NaN-aware weight
-    // renormalization (defined semantics: weighted mean over the valid
-    // 2×2 neighbourhood; all-missing ⇒ NULL). Weight arithmetic is a
-    // fixed IEEE instruction sequence, identical in the oracle.
+    // renormalization (weighted mean over the valid 2×2 neighbourhood;
+    // all-missing ⇒ dropped). Probe-join shape: the grid is touched by
+    // ONE broadcast join + its own aggregation — never four per-corner
+    // shuffle joins — and quantized integer weights make the sums exact
+    // and order-independent (hash-matchable).
     "f14_regrid_bilinear" -> ((s, dir) => {
-      val tgt = s.range(36).select(col("id").cast("int").as("yt"))
-        .crossJoin(s.range(48).select(col("id").cast("int").as("xt")))
-        .withColumn("fx", (col("xt") + 0.5) * 4.0 / 3.0 - 0.5)
-        .withColumn("fy", (col("yt") + 0.5) * 4.0 / 3.0 - 0.5)
-        .withColumn("x0", greatest(lit(0), floor(col("fx")).cast("int")))
-        .withColumn("y0", greatest(lit(0), floor(col("fy")).cast("int")))
-        .withColumn("x1", least(lit(Grid.W - 1), col("x0") + 1))
-        .withColumn("y1", least(lit(Grid.H - 1), col("y0") + 1))
-        .withColumn("wx", col("fx") - floor(col("fx")))
-        .withColumn("wy", col("fy") - floor(col("fy")))
-      val g = Grid.fromLineitem(s, dir)
-      val ts = g.select("t").distinct()
-      def corner(n: String) =
-        g.select(col("t").as(s"t_$n"), col("y").as(s"y_$n"),
-          col("x").as(s"x_$n"), col("v").as(n))
-      def joinCorner(df: org.apache.spark.sql.DataFrame, n: String,
-                     xc: String, yc: String) =
-        df.join(corner(n),
-          col("t") === col(s"t_$n") && col(xc) === col(s"x_$n") && col(yc) === col(s"y_$n"),
-          "left").drop(s"t_$n", s"x_$n", s"y_$n")
-      var joined = tgt.crossJoin(ts)
-      joined = joinCorner(joined, "v00", "x0", "y0")
-      joined = joinCorner(joined, "v10", "x1", "y0")
-      joined = joinCorner(joined, "v01", "x0", "y1")
-      joined = joinCorner(joined, "v11", "x1", "y1")
-      joined.select(col("t"), col("yt"), col("xt"),
-          (coalesce(col("v00") * ((lit(1.0) - col("wx")) * (lit(1.0) - col("wy"))), lit(0.0))
-            + coalesce(col("v10") * (col("wx") * (lit(1.0) - col("wy"))), lit(0.0))
-            + coalesce(col("v01") * ((lit(1.0) - col("wx")) * col("wy")), lit(0.0))
-            + coalesce(col("v11") * (col("wx") * col("wy")), lit(0.0))).as("num"),
-          (when(col("v00").isNotNull, (lit(1.0) - col("wx")) * (lit(1.0) - col("wy"))).otherwise(lit(0.0))
-            + when(col("v10").isNotNull, col("wx") * (lit(1.0) - col("wy"))).otherwise(lit(0.0))
-            + when(col("v01").isNotNull, (lit(1.0) - col("wx")) * col("wy")).otherwise(lit(0.0))
-            + when(col("v11").isNotNull, col("wx") * col("wy")).otherwise(lit(0.0))).as("den"))
-        .select(col("t"), col("yt"), col("xt"),
-          when(col("den") === 0.0, lit(null)).otherwise(col("num") / col("den")).as("v"))
-        .filter(col("v").isNotNull)
+      Regrid.bilinear(s, Grid.fromLineitem(s, dir), Grid.W, Grid.H, 48, 36)
     }),
 
-    // F14 — regrid, cubic (Keys kernel, a=−0.5): no oracle — the 16-way
-    // weighted sum is float-order-dependent so it cannot hash-match a
-    // single-node engine; correctness is property-tested instead
-    // (linear fields reproduce exactly, RegridSpec).
+    // F14 — regrid, cubic (Keys kernel, a=−0.5): same probe-join shape;
+    // the 16-term convolution hash-matches the oracle because the
+    // quantized-integer sums are order-independent and the one final
+    // divide is a single IEEE instruction (Exact.scala discipline).
     "f14_regrid_cubic" -> ((s, dir) => {
       Regrid.cubic(s, Grid.fromLineitem(s, dir), Grid.W, Grid.H, 48, 36)
     }),
@@ -250,8 +216,8 @@ object GridQueries extends QueryModule {
     "f14_regrid_bilinear" -> withCtes(
       """, tgt AS (
         |  SELECT CAST(yy.r AS INT) AS yt, CAST(xx.r AS INT) AS xt,
-        |         (xx.r + 0.5) * 4.0 / 3.0 - 0.5 AS fx,
-        |         (yy.r + 0.5) * 4.0 / 3.0 - 0.5 AS fy
+        |         (xx.r + 0.5) * (64.0 / 48.0) - 0.5 AS fx,
+        |         (yy.r + 0.5) * (48.0 / 36.0) - 0.5 AS fy
         |  FROM range(36) yy(r), range(48) xx(r)),
         |tg AS (
         |  SELECT yt, xt, fx, fy,
@@ -261,27 +227,45 @@ object GridQueries extends QueryModule {
         |    least(47, greatest(0, CAST(floor(fy) AS INT)) + 1) AS y1,
         |    fx - floor(fx) AS wx, fy - floor(fy) AS wy
         |  FROM tgt),
-        |ts AS (SELECT DISTINCT t FROM grid),
-        |j AS (
-        |  SELECT ts.t AS t, yt, xt, wx, wy,
-        |         g00.v AS v00, g10.v AS v10, g01.v AS v01, g11.v AS v11
-        |  FROM tg CROSS JOIN ts
-        |  LEFT JOIN grid g00 ON g00.t = ts.t AND g00.x = tg.x0 AND g00.y = tg.y0
-        |  LEFT JOIN grid g10 ON g10.t = ts.t AND g10.x = tg.x1 AND g10.y = tg.y0
-        |  LEFT JOIN grid g01 ON g01.t = ts.t AND g01.x = tg.x0 AND g01.y = tg.y1
-        |  LEFT JOIN grid g11 ON g11.t = ts.t AND g11.x = tg.x1 AND g11.y = tg.y1),
-        |f AS (
+        |probes AS (
+        |  SELECT yt, xt, y0 AS sy, x0 AS sx,
+        |         CAST(floor((1.0 - wx) * (1.0 - wy) * 1048576) AS BIGINT) AS wq FROM tg
+        |  UNION ALL SELECT yt, xt, y0, x1, CAST(floor(wx * (1.0 - wy) * 1048576) AS BIGINT) FROM tg
+        |  UNION ALL SELECT yt, xt, y1, x0, CAST(floor((1.0 - wx) * wy * 1048576) AS BIGINT) FROM tg
+        |  UNION ALL SELECT yt, xt, y1, x1, CAST(floor(wx * wy * 1048576) AS BIGINT) FROM tg),
+        |agg AS (
         |  SELECT t, yt, xt,
-        |    coalesce(v00 * ((1.0 - wx) * (1.0 - wy)), 0.0)
-        |      + coalesce(v10 * (wx * (1.0 - wy)), 0.0)
-        |      + coalesce(v01 * ((1.0 - wx) * wy), 0.0)
-        |      + coalesce(v11 * (wx * wy), 0.0) AS num,
-        |    (CASE WHEN v00 IS NOT NULL THEN (1.0 - wx) * (1.0 - wy) ELSE 0.0 END)
-        |      + (CASE WHEN v10 IS NOT NULL THEN wx * (1.0 - wy) ELSE 0.0 END)
-        |      + (CASE WHEN v01 IS NOT NULL THEN (1.0 - wx) * wy ELSE 0.0 END)
-        |      + (CASE WHEN v11 IS NOT NULL THEN wx * wy ELSE 0.0 END) AS den
-        |  FROM j)
-        |SELECT t, yt, xt, num / den AS v FROM f WHERE den != 0.0""".stripMargin),
+        |    CAST(sum(wq * CAST(v AS BIGINT)) AS BIGINT) AS num,
+        |    CAST(sum(wq) AS BIGINT) AS den
+        |  FROM grid JOIN probes ON grid.y = probes.sy AND grid.x = probes.sx
+        |  GROUP BY 1, 2, 3)
+        |SELECT t, yt, xt, CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS v
+        |FROM agg WHERE den != 0""".stripMargin),
+    "f14_regrid_cubic" -> withCtes(
+      s""", tgt AS (
+         |  SELECT CAST(yy.r AS INT) AS yt, CAST(xx.r AS INT) AS xt,
+         |         (xx.r + 0.5) * (64.0 / 48.0) - 0.5 AS fx,
+         |         (yy.r + 0.5) * (48.0 / 36.0) - 0.5 AS fy
+         |  FROM range(36) yy(r), range(48) xx(r)),
+         |pr AS (
+         |  SELECT yt, xt, fx, fy,
+         |    CAST(floor(fy) AS INT) + CAST(dy.r AS INT) - 1 AS sy,
+         |    CAST(floor(fx) AS INT) + CAST(dx.r AS INT) - 1 AS sx
+         |  FROM tgt CROSS JOIN range(4) dy(r) CROSS JOIN range(4) dx(r)),
+         |probes AS (
+         |  SELECT yt, xt, sy, sx,
+         |    CAST(floor(${Regrid.kernelSql("abs(fx - sx)")}
+         |         * ${Regrid.kernelSql("abs(fy - sy)")} * 1048576) AS BIGINT) AS wq
+         |  FROM pr
+         |  WHERE sx >= 0 AND sx < 64 AND sy >= 0 AND sy < 48),
+         |agg AS (
+         |  SELECT t, yt, xt,
+         |    CAST(sum(wq * CAST(v AS BIGINT)) AS BIGINT) AS num,
+         |    CAST(sum(wq) AS BIGINT) AS den
+         |  FROM grid JOIN probes ON grid.y = probes.sy AND grid.x = probes.sx
+         |  GROUP BY 1, 2, 3)
+         |SELECT t, yt, xt, CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS v
+         |FROM agg WHERE den != 0""".stripMargin),
     "f14_regrid_average" -> withCtes(
       """SELECT t, CAST(y // 2 AS INT) AS yt, CAST(x // 2 AS INT) AS xt,
         |  CAST(sum(CAST(v AS BIGINT)) AS DOUBLE) / count(*) AS v,

@@ -1,22 +1,30 @@
 package graft.grid
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Regridding library (SURVEY F14, reference geoprocessing/regrid.py:
   * 23-70 — resampling ∈ {nearest, bilinear, cubic, average}, NaN in/out).
-  * Nearest/average/bilinear ship as verified queries in GridQueries;
-  * this file adds cubic convolution (Keys kernel, a = −0.5 — the
-  * catmull-rom variant GDAL uses) with NaN-aware weight
-  * renormalization, in the single-join plan shape:
   *
-  *   targets × 16 (dy,dx) offsets → one equi-join against source pixels
-  *   → groupBy target summing w·v and w·valid → safe divide.
+  * Bilinear and cubic share ONE plan shape: a small probe table
+  * (target pixel → source pixel + integer kernel weight) built from
+  * range()s, broadcast against the pixel table, then a single groupBy —
+  * so the full grid is shuffled exactly once (for its own aggregation),
+  * never per-corner. Missing source pixels simply don't match, which IS
+  * the NaN-aware weight renormalization; an all-missing (or
+  * cancelled-weight) neighbourhood yields den=0 and is dropped.
   *
-  * The kernel weight is evaluated from one shared SQL fragment so the
-  * DuckDB oracle reproduces the identical IEEE expression tree.
+  * Weights are quantized to integers (floor(w·2^20)) before the sum:
+  * num and den are then exact BIGINT sums — distribution-order
+  * independent and bit-identical in any engine — and the single final
+  * num/den divide is one IEEE instruction on exactly-representable
+  * operands. That is what lets a 16-term cubic convolution hash-match a
+  * single-node oracle (ops/Exact.scala discipline).
   */
 object Regrid {
+
+  /** Weight quantum: 2^20 ≈ 1e-6 relative kernel precision. */
+  val WQ = 1048576L
 
   /** Keys cubic kernel w(d), a=−0.5, as a SQL expression over `d` ≥ 0.
     * Shared verbatim between Spark (expr) and the DuckDB oracle. */
@@ -25,33 +33,78 @@ object Regrid {
        |      WHEN $d < 2.0 THEN ((-0.5 * $d + 2.5) * $d - 4.0) * $d + 2.0
        |      ELSE 0.0 END)""".stripMargin.replace("\n", " ")
 
-  /** Cubic-resample a long-form grid (t,y,x,v) of srcW×srcH onto
-    * tgtW×tgtH (same extent). Returns (t, yt, xt, v). */
-  def cubic(spark: SparkSession, grid: DataFrame,
-            srcW: Int, srcH: Int, tgtW: Int, tgtH: Int): DataFrame = {
+  private def targets(spark: SparkSession, srcW: Int, srcH: Int,
+                      tgtW: Int, tgtH: Int): DataFrame = {
     val rx = srcW.toDouble / tgtW; val ry = srcH.toDouble / tgtH
-    val targets = spark.range(tgtH).select(col("id").cast("int").as("yt"))
-      .crossJoin(spark.range(tgtW).select(col("id").cast("int").as("xt")))
+    // one range + div/mod (not a crossJoin of two ranges) keeps even the
+    // probe construction free of cartesian operators
+    spark.range(tgtH.toLong * tgtW)
+      .select(expr(s"CAST(id DIV $tgtW AS INT)").as("yt"),
+        (col("id") % tgtW).cast("int").as("xt"))
       .withColumn("fx", (col("xt") + 0.5) * rx - 0.5)
       .withColumn("fy", (col("yt") + 0.5) * ry - 0.5)
-    val offsets = spark.range(4).select((col("id") - 1).cast("int").as("dy"))
-      .crossJoin(spark.range(4).select((col("id") - 1).cast("int").as("dx")))
-    val probes = targets.crossJoin(offsets)
+  }
+
+  /** Bilinear probe table: 4 (corner, weight) rows per target. Corners
+    * are edge-clamped; a clamped pair collapses onto one source pixel
+    * and the groupBy in [[probeResample]] adds their weights. */
+  def bilinearProbes(spark: SparkSession, srcW: Int, srcH: Int,
+                     tgtW: Int, tgtH: Int): DataFrame = {
+    val tg = targets(spark, srcW, srcH, tgtW, tgtH)
+      .withColumn("x0", greatest(lit(0), floor(col("fx")).cast("int")))
+      .withColumn("y0", greatest(lit(0), floor(col("fy")).cast("int")))
+      .withColumn("x1", least(lit(srcW - 1), col("x0") + 1))
+      .withColumn("y1", least(lit(srcH - 1), col("y0") + 1))
+      .withColumn("wx", col("fx") - floor(col("fx")))
+      .withColumn("wy", col("fy") - floor(col("fy")))
+    def p(sx: Column, sy: Column, w: Column) =
+      struct(sx.as("sx"), sy.as("sy"), floor(w * WQ).cast("long").as("wq"))
+    tg.select(col("yt"), col("xt"), explode(array(
+        p(col("x0"), col("y0"), (lit(1.0) - col("wx")) * (lit(1.0) - col("wy"))),
+        p(col("x1"), col("y0"), col("wx") * (lit(1.0) - col("wy"))),
+        p(col("x0"), col("y1"), (lit(1.0) - col("wx")) * col("wy")),
+        p(col("x1"), col("y1"), col("wx") * col("wy")))).as("pr"))
+      .select(col("yt"), col("xt"), col("pr.sx").as("sx"),
+        col("pr.sy").as("sy"), col("pr.wq").as("wq"))
+  }
+
+  /** Cubic probe table: up to 16 (source pixel, weight) rows per target
+    * (Keys kernel per axis, product quantized); out-of-bounds support
+    * pixels are dropped, which renormalizes at the edges. */
+  def cubicProbes(spark: SparkSession, srcW: Int, srcH: Int,
+                  tgtW: Int, tgtH: Int): DataFrame = {
+    targets(spark, srcW, srcH, tgtW, tgtH)
+      .withColumn("dy", explode(sequence(lit(-1), lit(2))))
+      .withColumn("dx", explode(sequence(lit(-1), lit(2))))
       .withColumn("sx", floor(col("fx")).cast("int") + col("dx"))
       .withColumn("sy", floor(col("fy")).cast("int") + col("dy"))
       .filter(col("sx") >= 0 && col("sx") < srcW && col("sy") >= 0 && col("sy") < srcH)
       .withColumn("wx", expr(kernelSql("abs(fx - sx)")))
       .withColumn("wy", expr(kernelSql("abs(fy - sy)")))
-      .withColumn("w", col("wx") * col("wy"))
-    val ts = grid.select("t").distinct()
-    probes.crossJoin(ts)
-      .join(grid.withColumnRenamed("t", "gt"),
-        col("gt") === col("t") && col("y") === col("sy") && col("x") === col("sx"),
-        "inner")
-      .groupBy("t", "yt", "xt")
-      .agg(sum(col("w") * col("v")).as("num"), sum(col("w")).as("den"))
-      .select(col("t"), col("yt"), col("xt"),
-        when(col("den") === 0.0, lit(null)).otherwise(col("num") / col("den")).as("v"))
-      .filter(col("v").isNotNull)
+      .withColumn("wq", floor(col("wx") * col("wy") * WQ).cast("long"))
+      .select("yt", "xt", "sy", "sx", "wq")
   }
+
+  /** Resample a long-form grid (t, y, x, v) with a probe table
+    * (yt, xt, sy, sx, wq): ONE broadcast equi-join + ONE aggregation.
+    * v must be integer-valued (the cube's contract) so num is an exact
+    * BIGINT sum. Returns (t, yt, xt, v). */
+  def probeResample(grid: DataFrame, probes: DataFrame): DataFrame =
+    grid.join(broadcast(probes), col("y") === col("sy") && col("x") === col("sx"))
+      .groupBy("t", "yt", "xt")
+      .agg(sum(col("wq") * col("v").cast("long")).as("num"),
+        sum(col("wq")).as("den"))
+      .filter(col("den") =!= 0L)
+      .select(col("t"), col("yt"), col("xt"),
+        (col("num").cast("double") / col("den").cast("double")).as("v"))
+
+  /** Bilinear-resample srcW×srcH → tgtW×tgtH (same extent). */
+  def bilinear(spark: SparkSession, grid: DataFrame,
+               srcW: Int, srcH: Int, tgtW: Int, tgtH: Int): DataFrame =
+    probeResample(grid, bilinearProbes(spark, srcW, srcH, tgtW, tgtH))
+
+  /** Cubic-resample srcW×srcH → tgtW×tgtH (same extent). */
+  def cubic(spark: SparkSession, grid: DataFrame,
+            srcW: Int, srcH: Int, tgtW: Int, tgtH: Int): DataFrame =
+    probeResample(grid, cubicProbes(spark, srcW, srcH, tgtW, tgtH))
 }

@@ -7,6 +7,9 @@ class RegridSpec extends SparkSpec {
   import spark.implicits._
 
   private val srcW = 16; private val srcH = 12
+  // weights are quantized to 2^-20: a full 16-tap kernel on values ~100
+  // carries at most a few 1e-3 of quantization error
+  private val quantTol = 0.01
 
   private def linearGrid = {
     val rows = for (y <- 0 until srcH; x <- 0 until srcW)
@@ -15,26 +18,55 @@ class RegridSpec extends SparkSpec {
     rows.toDF("t", "y", "x", "v")
   }
 
-  test("cubic resampling reproduces a linear field exactly (interior)") {
-    val out = Regrid.cubic(spark, linearGrid, srcW, srcH, 12, 9)
+  private def checkLinear(out: org.apache.spark.sql.DataFrame,
+                          interiorOnly: Boolean) = {
     val rx = srcW / 12.0; val ry = srcH / 9.0
-    val checked = out
+    val withF = out
       .withColumn("fx", (col("xt") + 0.5) * rx - 0.5)
       .withColumn("fy", (col("yt") + 0.5) * ry - 0.5)
-      // interior targets: full 4×4 kernel support
-      .filter(floor(col("fx")) >= 1 && floor(col("fx")) + 2 <= srcW - 1 &&
-              floor(col("fy")) >= 1 && floor(col("fy")) + 2 <= srcH - 1)
+    val checked = (if (interiorOnly)
+      withF.filter(floor(col("fx")) >= 1 && floor(col("fx")) + 2 <= srcW - 1 &&
+                   floor(col("fy")) >= 1 && floor(col("fy")) + 2 <= srcH - 1)
+    else withF)
       .withColumn("expect", lit(2.0) + col("fx") * 3.0 + col("fy") * 5.0)
     assert(checked.count() > 20)
-    val bad = checked.filter(abs(col("v") - col("expect")) > 1e-9)
+    val bad = checked.filter(abs(col("v") - col("expect")) > quantTol)
     assert(bad.isEmpty, bad.collect().take(3).mkString(","))
+  }
+
+  test("cubic resampling reproduces a linear field (interior, quant precision)") {
+    checkLinear(Regrid.cubic(spark, linearGrid, srcW, srcH, 12, 9), interiorOnly = true)
+  }
+
+  test("bilinear resampling reproduces a linear field everywhere clamps don't bind") {
+    // ratio 4/3 keeps all corners in-bounds, so bilinear is exact on a
+    // linear field across the whole target (up to weight quantization)
+    checkLinear(Regrid.bilinear(spark, linearGrid, srcW, srcH, 12, 9), interiorOnly = false)
   }
 
   test("cubic renormalizes around nodata holes and never invents NULLs") {
     val holey = linearGrid.filter(!(col("x") === 8 && col("y") === 6))
     val out = Regrid.cubic(spark, holey, srcW, srcH, 12, 9)
     assert(out.filter(col("v").isNull).isEmpty)
-    // the neighbourhood of the hole deviates from linear but stays finite
     assert(out.filter(isnan(col("v"))).isEmpty)
+  }
+
+  test("bilinear renormalizes around nodata holes") {
+    val holey = linearGrid.filter(!(col("x") === 8 && col("y") === 6))
+    val out = Regrid.bilinear(spark, holey, srcW, srcH, 12, 9)
+    assert(out.filter(col("v").isNull).isEmpty)
+    assert(out.filter(isnan(col("v"))).isEmpty)
+  }
+
+  test("probe-resample plan: one broadcast join against the grid, no cartesian") {
+    for (df <- Seq(Regrid.bilinear(spark, linearGrid, srcW, srcH, 12, 9),
+                   Regrid.cubic(spark, linearGrid, srcW, srcH, 12, 9))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(!plan.contains("SortMergeJoin"), plan)
+      val nJoins = "BroadcastHashJoin".r.findAllIn(plan).length
+      assert(nJoins == 1, s"expected exactly 1 broadcast join, got $nJoins:\n$plan")
+    }
   }
 }
