@@ -12,7 +12,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   *
   * op semantics (the reference's NaN-aware cell rules,
   * geoprocessing/algebra.py):
-  *  - add_nansum: NULL only where BOTH inputs NULL (nansum)
+  *  - add_nansum: missing counts as 0; an all-missing cell yields 0.0
+  *    (np.nansum's observed behavior — the reference docstring says NaN
+  *    but its engine emits 0.0, and we match the output)
   *  - sub / mul:  NULL propagates (anomaly, weighting)
   *  - div_safe:   zero or NULL denominator ⇒ NULL (safe_divide)
   */
@@ -31,11 +33,13 @@ case class TileAlgebraOp(left: Expression, right: Expression, op: String)
     var i = 0
     op match {
       case "add_nansum" =>
+        // matches np.nansum's OBSERVED behavior in the reference
+        // (geoprocessing/algebra.py raster_combine op='sum'): an all-NaN
+        // cell sums to 0.0 — the reference docstring claims NaN, but
+        // numpy returns 0.0 and we match the output, not the comment
         while (i < n) {
-          val an = a.isNullAt(i); val bn = b.isNullAt(i)
-          out(i) =
-            if (an && bn) null
-            else (if (an) 0.0 else a.getDouble(i)) + (if (bn) 0.0 else b.getDouble(i))
+          out(i) = (if (a.isNullAt(i)) 0.0 else a.getDouble(i)) +
+                   (if (b.isNullAt(i)) 0.0 else b.getDouble(i))
           i += 1
         }
       case "sub" =>

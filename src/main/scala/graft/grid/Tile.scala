@@ -49,8 +49,9 @@ object Tile {
 
   // ---- elementwise tile algebra (NaN-aware via NULL) ----------------
 
-  /** tile-wise a+b with nansum semantics: NULL only where BOTH are NULL
-    * (geoprocessing/algebra.py:46-47). Native kernel — zip_with lambdas
+  /** tile-wise a+b with nansum semantics: missing counts as 0, so an
+    * all-missing cell yields 0.0 — np.nansum's observed behavior in
+    * geoprocessing/algebra.py:46-47. Native kernel — zip_with lambdas
     * evaluate interpreted per element (see SCALE.md). */
   def addTiles(a: Column, b: Column): Column =
     graft.functions.TileAlgebraOp("add_nansum")(a, b)

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -11,17 +11,24 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * stream discovers them incrementally (file-source checkpointing = the
   * reference's IngestionLog), derives identity from the path + filename
   * timestamp patterns (time_extraction.py:8-98), and `foreachBatch`
-  * upserts into a parquet target with content-hash idempotency: a
-  * re-delivered granule is a no-op, a changed granule replaces its rows.
+  * upserts into a parquet target with content-hash idempotency:
+  * a re-delivered identical granule is a no-op (skip), a granule whose
+  * CONTENT changed replaces its old rows (overwrite), a new granule
+  * appends (insert) — engine.Derivation's classification applied to the
+  * ingest path.
   *
-  * At scale the target is a Delta/Iceberg MERGE; on plain parquet we get
-  * the same semantics with a key anti-join + dynamic partition overwrite.
+  * The target is partitioned by (collection, date) and every batch only
+  * ever reads the partitions its granules land in (static partition
+  * pruning from the batch's own key set) — per-batch cost is bounded by
+  * batch size, not by target history. At scale the write side is a
+  * Delta/Iceberg MERGE; on plain parquet the same semantics come from
+  * the classification + dynamic partition overwrite below.
   */
 object IngestStream {
 
   /** Filename → valid time; supports `*_YYYYMMDD[_HHMM]` and ISO stems,
     * plus the `GR--{reftime}--` forecast prefix (formats/geotiff.py:351-373). */
-  def extractTime(fname: org.apache.spark.sql.Column) = {
+  def extractTime(fname: Column) = {
     // nullif guards ANSI mode: to_timestamp('') throws in Spark 4.
     val stem = regexp_replace(fname, "^GR--\\d{8}T\\d{6}--", "")
     def ext(re: String) = nullif(regexp_extract(stem, re, 1), lit(""))
@@ -33,13 +40,15 @@ object IngestStream {
   }
 
   /** Forecast reference time from the `GR--YYYYMMDDTHHMMSS--` prefix. */
-  def extractRefTime(fname: org.apache.spark.sql.Column) =
+  def extractRefTime(fname: Column) =
     to_timestamp(nullif(regexp_extract(fname, "^GR--(\\d{8}T\\d{6})--", 1), lit("")),
       "yyyyMMdd'T'HHmmss")
 
   /** Open the dropzone as a stream of granule rows. Each dropped file is
     * a parquet of long-form pixels (t is overridden by the filename when
-    * present — filename is authoritative, content is fallback). */
+    * present — filename is authoritative, content is fallback).
+    * `granule_key` is the granule's IDENTITY (collection + times,
+    * null-safe); content enters the hash at upsert time. */
   def readDropzone(spark: SparkSession, dropzone: String): DataFrame = {
     val raw = spark.readStream
       .schema("y INT, x INT, v DOUBLE")
@@ -52,7 +61,9 @@ object IngestStream {
       .withColumn("collection", element_at(split(col("path"), "/"), -2))
       .withColumn("time", extractTime(fname))
       .withColumn("reference_time", extractRefTime(fname))
-      .withColumn("granule_hash",
+      .withColumn("date",
+        coalesce(date_format(col("time"), "yyyy-MM-dd"), lit("unknown")))
+      .withColumn("granule_key",
         sha2(concat_ws("|", col("collection"), col("time"),
           coalesce(col("reference_time").cast("string"), lit(""))), 256))
   }
@@ -71,22 +82,97 @@ object IngestStream {
     q
   }
 
-  /** Content-hash idempotent upsert: granules whose key already exists
-    * with the same hash are skipped; new keys append. (Changed-hash
-    * overwrite requires partition rewrite — see engine.Derivation for
-    * the classification used there.) */
+  /** The batch's target partitions, read with static partition pruning
+    * (the predicate is built from the batch's own (collection, date)
+    * set, so the scan's PartitionFilters keep per-batch read cost
+    * proportional to the batch, not to target history). */
+  def prunedTarget(spark: SparkSession, target: String,
+                   parts: Seq[(String, String)]): DataFrame = {
+    val pred = parts.map { case (c, d) =>
+      (col("collection") === c) && (col("date") === d)
+    }.reduce(_ || _)
+    // filter BEFORE any cast so the predicate lands in PartitionFilters
+    // (string literals coerce to the inferred partition type); then
+    // normalize `date` back to its written STRING form for unions
+    spark.read.parquet(target)
+      .filter(pred)
+      .withColumn("date", col("date").cast("string"))
+  }
+
+  private val partitionCols = Seq("collection", "date")
+
+  /** Content-hash idempotent upsert with Derivation-style classification:
+    * skip identical re-deliveries, append new granules, and REPLACE the
+    * rows of granules whose content changed (the reference's
+    * overwrite-in-place, engine.py:344-352). Only path-not-found is
+    * treated as an empty target — any other read failure propagates
+    * rather than silently duplicating history. */
   def upsertBatch(batch: DataFrame, target: String): Unit = {
     val spark = batch.sparkSession
-    // granule_hash encodes (collection, time, reference_time) null-safely —
-    // a plain key anti-join would leak re-delivered NULL-reference granules
-    // because NULL never equi-joins NULL.
-    val incoming = batch.dropDuplicates("granule_hash", "y", "x")
-    val existingKeys =
-      try spark.read.parquet(target).select("granule_hash").distinct()
-      catch { case _: Exception => null }
-    val fresh =
-      if (existingKeys == null) incoming
-      else incoming.join(existingKeys, Seq("granule_hash"), "left_anti")
-    fresh.write.mode("append").partitionBy("collection").parquet(target)
+    val rows = batch.dropDuplicates("granule_key", "y", "x")
+    // per-granule content digest: commutative XOR of row hashes — one
+    // aggregation, order-independent, no pixel collect (RecipeHash shape)
+    val digests = rows.groupBy("granule_key")
+      .agg(bit_xor(xxhash64(col("y"), col("x"), col("v"))).cast("string").as("cd"))
+    val incoming = rows.join(digests, "granule_key")
+      .withColumn("granule_hash", sha2(concat_ws("|", col("granule_key"), col("cd")), 256))
+      .drop("cd")
+      .cache()
+    try upsertClassified(spark, incoming, target)
+    finally incoming.unpersist()
+  }
+
+  private def upsertClassified(spark: SparkSession, incoming: DataFrame,
+                               target: String): Unit = {
+    val targetPath = new org.apache.hadoop.fs.Path(target)
+    val fs = targetPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(targetPath) &&
+      fs.listStatus(targetPath).exists(s => !s.getPath.getName.startsWith("_"))
+    if (!exists) {
+      incoming.write.mode("append").partitionBy(partitionCols: _*).parquet(target)
+      return
+    }
+
+    val parts = incoming.select("collection", "date").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val existing = prunedTarget(spark, target, parts)
+    val cls = graft.engine.Derivation.idempotentMerge(
+        existing.select(col("granule_key").as("unit_id"), col("granule_hash")).distinct(),
+        incoming.select(col("granule_key").as("unit_id"), col("granule_hash")).distinct(),
+        "unit_id", "granule_hash")
+      .filter(col("action").isin("insert", "overwrite"))
+      .select(col("unit_id").as("granule_key"), col("action"))
+      // break lineage to the target path: we are about to overwrite it
+      .localCheckpoint(true)
+
+    val inserts = incoming.join(cls.filter(col("action") === "insert")
+      .select("granule_key"), "granule_key")
+    val overwrites = incoming.join(cls.filter(col("action") === "overwrite")
+      .select("granule_key"), "granule_key")
+
+    if (overwrites.isEmpty) {
+      inserts.write.mode("append").partitionBy(partitionCols: _*).parquet(target)
+      return
+    }
+
+    // rewrite ONLY the partitions holding replaced granules: keep their
+    // unaffected rows + new content + any inserts landing there, then
+    // dynamic-partition-overwrite; inserts elsewhere append as usual
+    val owParts = overwrites.select("collection", "date").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val owPred = owParts.toSeq.map { case (c, d) =>
+      (col("collection") === c) && (col("date") === d)
+    }.reduce(_ || _)
+    val kept = prunedTarget(spark, target, owParts.toSeq)
+      .join(cls.filter(col("action") === "overwrite").select("granule_key"),
+        Seq("granule_key"), "left_anti")
+      .localCheckpoint(true)
+    val rewritten = kept
+      .unionByName(overwrites.select(kept.columns.map(col): _*))
+      .unionByName(inserts.filter(owPred).select(kept.columns.map(col): _*))
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    rewritten.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(target)
+    inserts.filter(!owPred).write.mode("append")
+      .partitionBy(partitionCols: _*).parquet(target)
   }
 }

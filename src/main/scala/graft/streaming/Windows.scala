@@ -27,31 +27,59 @@ object Windows {
   case class SessOut(user_id: Long, n_events: Int, duration_sec: Long)
 
   /** Session windows with a gap timeout, implemented as explicit state —
-    * the KeyValueGroupedDataset.flatMapGroupsWithState surface. */
+    * the KeyValueGroupedDataset.flatMapGroupsWithState surface.
+    *
+    * Event-time semantics are watermark-driven: each open session arms an
+    * EventTimeTimeout at (last + gap), so a key's FINAL session flushes
+    * when the watermark passes its gap (no later event for that key
+    * needed) and its state is removed — without this, state grows
+    * unboundedly and the last session per key is never emitted. Events
+    * older than the watermark are dropped by the watermark operator
+    * before they can reopen a closed session. */
   def sessionize(events: Dataset[(Long, java.sql.Timestamp)],
-                 gapSeconds: Long): Dataset[SessOut] = {
+                 gapSeconds: Long, watermark: String = "10 seconds"): Dataset[SessOut] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events.groupByKey(_._1)
+    def close(uid: Long, s: Sess) =
+      SessOut(uid, s.n, (s.last.getTime - s.first.getTime) / 1000)
+    events.withWatermark("_2", watermark)
+      .groupByKey(_._1)
       .flatMapGroupsWithState[Sess, SessOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (uid, it, state: GroupState[Sess]) =>
-          val sorted = it.toSeq.sortBy(_._2.getTime)
-          var cur = state.getOption
-          val out = scala.collection.mutable.Buffer[SessOut]()
-          for ((_, ts) <- sorted) {
-            cur match {
-              case Some(s) if ts.getTime - s.last.getTime <= gapSeconds * 1000 =>
-                cur = Some(s.copy(n = s.n + 1, last = ts))
-              case Some(s) =>
-                out += SessOut(uid, s.n, (s.last.getTime - s.first.getTime) / 1000)
-                cur = Some(Sess(uid, 1, ts, ts))
-              case None =>
-                cur = Some(Sess(uid, 1, ts, ts))
+          if (state.hasTimedOut) {
+            // watermark passed last+gap with no new events: final flush
+            val s = state.get
+            state.remove()
+            Iterator.single(close(uid, s))
+          } else {
+            val sorted = it.toSeq.sortBy(_._2.getTime)
+            var cur = state.getOption
+            val out = scala.collection.mutable.Buffer[SessOut]()
+            for ((_, ts) <- sorted) {
+              cur match {
+                case Some(s) if ts.getTime - s.last.getTime <= gapSeconds * 1000 =>
+                  cur = Some(s.copy(n = s.n + 1, last = ts))
+                case Some(s) =>
+                  out += close(uid, s)
+                  cur = Some(Sess(uid, 1, ts, ts))
+                case None =>
+                  cur = Some(Sess(uid, 1, ts, ts))
+              }
             }
+            cur.foreach { s =>
+              val deadline = s.last.getTime + gapSeconds * 1000
+              if (state.getCurrentWatermarkMs() >= deadline) {
+                // the watermark already closed this session — emit now
+                out += close(uid, s)
+                state.remove()
+              } else {
+                state.update(s)
+                state.setTimeoutTimestamp(deadline)
+              }
+            }
+            out.iterator
           }
-          cur.foreach(state.update)
-          out.iterator
       }
   }
 }

@@ -33,12 +33,12 @@ class TileSpec extends SparkSpec {
     assert(joined.collect().forall(r => r.getBoolean(0) && r.getBoolean(1) && r.getBoolean(2)))
   }
 
-  test("addTiles uses nansum semantics: NULL only where both NULL") {
+  test("addTiles uses np.nansum semantics: all-missing cell sums to 0.0") {
     val r = Seq(1).toDF("i").select(Tile.addTiles(
         expr("array(1.0D, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), 4.0D)"),
         expr("array(10.0D, 20.0D, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE))")).as("r"))
       .collect()(0).getSeq[Any](0)
-    assert(r == Seq(11.0, 20.0, null, 4.0))
+    assert(r == Seq(11.0, 20.0, 0.0, 4.0))
   }
 
   test("divTiles: zero denominator yields NULL cell") {

@@ -54,5 +54,51 @@ class IngestStreamSpec extends SparkSpec {
     val out3 = spark.read.parquet(tgt)
     assert(out3.count() == 12)
     assert(out3.filter(col("time") === "2023-12-01 00:00:00").count() == 3)
+
+    // Re-delivery of the SAME granule identity with CHANGED content must
+    // replace its rows (not skip, not duplicate): content is part of the
+    // hash and changed granules take the overwrite path.
+    val changed = Seq((0, 0, 9.0), (0, 1, 9.5)).toDF("y", "x", "v")
+    val dz2 = tmp("dropzone2")
+    dropFile(changed, s"$dz2/org/cat/chirps/precip_20231201.parquet")
+    IngestStream.ingestAvailable(spark, dz2, tgt, tmp("cp4")).awaitTermination()
+    val out4 = spark.read.parquet(tgt)
+    assert(out4.count() == 11, "changed granule should replace 3 old rows with 2 new")
+    val dec = out4.filter(col("time") === "2023-12-01 00:00:00")
+      .select("y", "x", "v").as[(Int, Int, Double)].collect().toSet
+    assert(dec == Set((0, 0, 9.0), (0, 1, 9.5)), s"got $dec")
+    // other granules untouched
+    assert(out4.filter(col("time") === "2024-01-01 00:00:00").count() == 3)
+  }
+
+  test("per-batch target read is partition-pruned to the batch's keys") {
+    val dz = tmp("dz-prune"); val tgt = tmp("tgt-prune")
+    val pixels = Seq((0, 0, 1.0)).toDF("y", "x", "v")
+    dropFile(pixels, s"$dz/org/cat/aa/g_20240101.parquet")
+    dropFile(pixels, s"$dz/org/cat/bb/g_20240202.parquet")
+    IngestStream.ingestAvailable(spark, dz, tgt, tmp("cp-prune")).awaitTermination()
+
+    val pruned = IngestStream.prunedTarget(spark, tgt, Seq(("aa", "2024-01-01")))
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1").nonEmpty,
+      s"expected non-empty PartitionFilters:\n$scan")
+    assert(pruned.count() == 1)
+  }
+
+  test("unreadable target propagates instead of silently appending duplicates") {
+    val dz = tmp("dz-err"); val tgt = tmp("tgt-err")
+    val pixels = Seq((0, 0, 1.0)).toDF("y", "x", "v")
+    dropFile(pixels, s"$dz/org/cat/cc/g_20240101.parquet")
+    // corrupt target: a non-parquet file where data should be
+    val dir = new java.io.File(s"$tgt/collection=cc/date=2024-01-01")
+    dir.mkdirs()
+    Files.write(new java.io.File(dir, "part-00000.parquet").toPath,
+      "not parquet".getBytes)
+    val q = IngestStream.ingestAvailable(spark, dz, tgt, tmp("cp-err"))
+    val thrown = intercept[Exception] { q.awaitTermination() }
+    assert(thrown.getMessage != null)
+    // and nothing was appended behind the failure
+    assert(!new java.io.File(tgt).listFiles().exists(_.getName.startsWith("part-")))
   }
 }

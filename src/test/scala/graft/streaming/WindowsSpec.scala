@@ -74,4 +74,28 @@ class WindowsSpec extends SparkSpec {
     q.stop()
     assert(rows == Seq(Windows.SessOut(1L, 2, 30L)))
   }
+
+  test("final session flushes via event-time timeout and state expires") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val q = Windows.sessionize(mem.toDS(), gapSeconds = 60)
+      .writeStream.format("memory").queryName("sessions_final")
+      .outputMode("append").start()
+    // user 7 has one session, then goes silent forever
+    mem.addData((7L, ts("2024-01-01 00:00:00")), (7L, ts("2024-01-01 00:00:45")))
+    q.processAllAvailable()
+    assert(spark.table("sessions_final").isEmpty,
+      "open session must not emit before its gap passes")
+    // a DIFFERENT key advances the watermark past 00:01:45+gap —
+    // user 7's final session must flush with no user-7 event arriving
+    mem.addData((8L, ts("2024-01-01 01:00:00")))
+    q.processAllAvailable()
+    // one more tick so the armed timeout fires after the watermark update
+    mem.addData((8L, ts("2024-01-01 02:00:00")))
+    q.processAllAvailable()
+    val rows = spark.table("sessions_final").as[Windows.SessOut].collect().toSet
+    q.stop()
+    assert(rows.contains(Windows.SessOut(7L, 2, 45L)),
+      s"final session never flushed: $rows")
+  }
 }
