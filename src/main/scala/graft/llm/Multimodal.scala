@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal columns for training-data pipelines: media payloads ride
@@ -8,49 +8,61 @@ import org.apache.spark.sql.functions._
   * feature-extraction runs partition-wise over the bytes (the Scala
   * analogue of `mapInPandas` batches).
   *
-  * The codec itself is STUBBED (this container has no image/audio
-  * libraries): `DecodeStub` derives header fields deterministically from
-  * the payload bytes. The Spark-side plumbing is real — binary schema,
-  * partition-wise iteration, typed output rows — so a real decoder drops
-  * in by replacing one function.
+  * Header decoding is REAL byte-level parsing (MediaCodecs): PNG chunk
+  * walk, JPEG SOF marker scan, WAV RIFF chunks, PNG-sequence frame
+  * counting. The test corpus synthesizes genuine container bytes from
+  * the documents table (deterministic dims), so the parse path is
+  * exercised end-to-end; full photographic/audio CONTENT decode is out
+  * of scope by design — see MediaCodecs' scaladoc.
   */
 object Multimodal {
 
   case class Media(doc_id: Long, kind: String, payload: Array[Byte])
   case class MediaFeatures(doc_id: Long, kind: String, size_bytes: Long,
-                           width: Int, height: Int, n_frames: Int,
-                           mean_byte: Double)
+                           width: Int, height: Int, n_frames: Int)
 
-  /** Wrap documents as fake media rows: payload = utf-8 bytes. */
+  /** Deterministic dims so an oracle can recompute them: the payload is
+    * BUILT with these and then PARSED back from raw bytes. */
+  private def dims(docId: Long, textLen: Int): (Int, Int) =
+    (16 + textLen % 64, 16 + (docId % 32).toInt)
+
+  /** Synthesize real media containers from documents: even image ids get
+    * PNG, odd get JPEG; audio is PCM WAV with one sample frame per text
+    * char; video is a PNG frame sequence. */
   def asMedia(docs: DataFrame): Dataset[Media] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"),
-        when(col("doc_id") % 3 === 0, "image")
-          .when(col("doc_id") % 3 === 1, "audio")
-          .otherwise("video").as("kind"),
-        encode(col("text"), "UTF-8").as("payload"))
-      .as[Media]
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val len = text.getBytes("UTF-8").length
+        val (w, h) = dims(id, len)
+        val kind = (id % 3) match {
+          case 0 => "image"
+          case 1 => "audio"
+          case _ => "video"
+        }
+        val payload = kind match {
+          case "image" => if (id % 2 == 0) MediaCodecs.png(w, h)
+                          else MediaCodecs.jpegHeader(w, h)
+          case "audio" => MediaCodecs.wav(1 + (id % 2).toInt, 8000, len)
+          case _       => MediaCodecs.pngFrames(w, h, 1 + (id % 5).toInt)
+        }
+        Media(id, kind, payload)
+      })
   }
 
-  /** STUB decoder — deterministic pseudo-header parse. A real
-    * implementation would hand `payload` to an image/audio codec here;
-    * everything around this function (schema, partitioning, batch
-    * iteration) is production-shaped. */
-  def decodeStub(m: Media): MediaFeatures = {
-    val b = m.payload
-    val h4 = b.take(4).map(_.toLong & 0xffL).sum
-    val width = 64 + (h4 % 512).toInt
-    val height = 64 + (b.length % 512)
-    val frames = if (m.kind == "video") (b.length % 7) + 1 else 1
-    val mean = if (b.isEmpty) 0.0 else b.map(_.toLong & 0xffL).sum.toDouble / b.length
-    MediaFeatures(m.doc_id, m.kind, b.length.toLong, width, height, frames, mean)
-  }
-
-  /** Partition-wise decode + feature extraction. */
+  /** Partition-wise header parse + feature extraction — the mapInPandas
+    * batch shape with a compiled parser per element. */
   def extractFeatures(media: Dataset[Media]): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.mapPartitions(_.map(decodeStub))
+    media.mapPartitions(_.map { m =>
+      val hd = MediaCodecs.parse(m.payload)
+      // audio reports (sample_rate, channels) in the (width, height)
+      // feature slots — one fixed-width feature row per media kind
+      val (w, h) = if (hd.format == "wav") (hd.sampleRate, hd.channels)
+                   else (hd.width, hd.height)
+      MediaFeatures(m.doc_id, m.kind, m.payload.length.toLong, w, h, hd.nFrames)
+    })
   }
 }

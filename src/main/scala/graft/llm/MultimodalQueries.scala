@@ -4,16 +4,19 @@ import graft.Tables
 import graft.model.QueryModule
 import org.apache.spark.sql.functions._
 
-/** Verified multimodal query: binary payload + stub decode features.
-  * The DuckDB oracle reproduces the stub header math from the same utf-8
-  * bytes (documents are ASCII, so ascii() == byte value). */
+/** Verified multimodal query: real container bytes (PNG/JPEG/WAV/PNG-seq)
+  * synthesized from `documents` with deterministic dims, then parsed BACK
+  * from raw bytes by MediaCodecs. The DuckDB oracle recomputes the dims
+  * formulas from the same table — a mismatch anywhere in the write→parse
+  * chain (CRC layout, chunk walk, marker scan, RIFF offsets) breaks the
+  * hash compare. Documents are ASCII, so strlen == utf-8 byte length. */
 object MultimodalQueries extends QueryModule {
 
   override def queries = Map(
     "m_media_features" -> ((s, dir) => {
       val media = Multimodal.asMedia(Tables.documents(s, dir))
       Multimodal.extractFeatures(media).toDF()
-        .select("doc_id", "kind", "size_bytes", "width", "height", "n_frames")
+        .select("doc_id", "kind", "width", "height", "n_frames")
     })
   )
 
@@ -22,11 +25,13 @@ object MultimodalQueries extends QueryModule {
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image'
         |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
-        |  CAST(strlen(text) AS BIGINT) AS size_bytes,
-        |  CAST(64 + (ascii(substring(text,1,1)) + ascii(substring(text,2,1))
-        |       + ascii(substring(text,3,1)) + ascii(substring(text,4,1))) % 512 AS INT) AS width,
-        |  CAST(64 + strlen(text) % 512 AS INT) AS height,
-        |  CAST(CASE WHEN doc_id % 3 = 2 THEN strlen(text) % 7 + 1 ELSE 1 END AS INT) AS n_frames
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN 8000
+        |       ELSE 16 + strlen(text) % 64 END AS INT) AS width,
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN 1 + doc_id % 2
+        |       ELSE 16 + doc_id % 32 END AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN strlen(text)
+        |       WHEN doc_id % 3 = 2 THEN 1 + doc_id % 5
+        |       ELSE 1 END AS INT) AS n_frames
         |FROM documents""".stripMargin
   )
 }

@@ -3,16 +3,31 @@ package graft.sources
 import java.nio.ByteBuffer
 
 /** Minimal self-contained GRIB2 codec: edition-2 messages with a
-  * regular lat/lon grid (template 3.0), product template 4.0, simple
-  * packing (template 5.0) and an optional bitmap (section 6) carrying
-  * nodata. Written from the public WMO FM 92 GRIB-2 specification — no
+  * regular lat/lon grid (template 3.0), product template 4.0, an
+  * optional bitmap (section 6) carrying nodata, and THREE data
+  * representations:
+  *
+  *  - template 5.0  simple packing
+  *  - template 5.2  complex packing (group splitting)
+  *  - template 5.3  complex packing + spatial differencing (order 1/2)
+  *    — the representation most operational feeds (ECMWF/NCEP) ship.
+  *
+  * Written from the public WMO FM 92 GRIB-2 specification — no
   * eccodes/cfgrib on the JVM (the reference's decode path,
   * formats/grib.py:37-230, keys variables by (discipline, category,
   * number) which we surface as the VariableKey triple).
   *
-  * Supports what the engine's ingest needs: decode a float grid +
-  * georeferencing + reference/valid time; encode the same for fixtures
-  * and round-trip tests. GRIB sign-magnitude integers are handled.
+  * Section-3 scanning-mode flags (octet 72) are parsed and normalized:
+  * +j (0x40, south→north rows) and -i (0x80, east→west) grids decode to
+  * the canonical north-up/west-east raster; the unsupported consecutive-
+  * j / boustrophedon orderings (0x20/0x10) fail loudly rather than
+  * silently mis-georeference.
+  *
+  * Complex-packing stream layout (templates 7.2/7.3): each of the group
+  * reference / width / length streams is byte-aligned; for 5.3 the data
+  * section leads with the `order` original first values and the overall
+  * minimum of the differences (sign-magnitude, octet-49-sized), and the
+  * groups pack the remaining (n_present − order) offset differences.
   */
 object Grib2 {
 
@@ -23,21 +38,31 @@ object Grib2 {
   def canHandle(b: Array[Byte]): Boolean =
     b.length >= 4 && b(0) == 'G' && b(1) == 'R' && b(2) == 'I' && b(3) == 'B'
 
+  /** Nominal group size for complex packing (encoder choice). */
+  private val GroupLen = 20
+
   // ---- encode ------------------------------------------------------
 
-  /** Encode with simple packing: Y = (R + X·2^E)/10^D, D decimal digits
-    * preserved; NaN cells go to the section-6 bitmap. */
-  def write(m: Message, decimals: Int = 2): Array[Byte] = {
+  /** Encode a message. `packing` ∈ {0 (simple), 2 (complex), 3 (complex
+    * + 2nd-order spatial differencing)}; Y = (R + X·2^E)/10^D with D
+    * decimal digits preserved; NaN cells go to the section-6 bitmap.
+    * `scanMode` writes the grid in the given scanning order (0x40 = +j
+    * rows south→north, 0x80 = -i within rows) for codec testing — the
+    * raster handed in is always canonical north-up. */
+  def write(m: Message, decimals: Int = 2, packing: Int = 0,
+            scanMode: Int = 0): Array[Byte] = {
+    require(Set(0, 2, 3).contains(packing), s"unsupported packing $packing")
+    require((scanMode & 0x30) == 0, "consecutive-j/boustrophedon not supported")
     val r = m.raster
     val n = r.width * r.height
-    val valid = r.data.filter(!_.isNaN)
+    // reorder into scan order (writer side of the normalization contract)
+    val scanData = reorder(r.data, r.width, r.height, scanMode)
+    val valid = scanData.filter(!_.isNaN)
     require(valid.nonEmpty, "all-NaN grid")
     val scale = math.pow(10, decimals)
     val ref = math.floor(valid.min * scale)
-    val xs = r.data.map(v => if (v.isNaN) 0L else math.round(v * scale - ref))
-    val maxX = xs.max
-    val nbits = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, maxX)))
-    val hasNaN = r.data.exists(_.isNaN)
+    val present = scanData.filter(!_.isNaN).map(v => math.round(v * scale - ref))
+    val hasNaN = scanData.exists(_.isNaN)
 
     val sections = scala.collection.mutable.Buffer[Array[Byte]]()
     def sec(num: Int)(body: java.io.ByteArrayOutputStream => Unit): Unit = {
@@ -59,6 +84,8 @@ object Grib2 {
     def bs32(b: java.io.ByteArrayOutputStream, v: Long) = {
       val a = math.abs(v); bu32(b, if (v < 0) a | 0x80000000L else a)
     }
+    def bitsFor(x: Long): Int =
+      math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, x)))
 
     sec(1) { b => // identification
       bu16(b, 0); bu16(b, 0) // centre, subcentre
@@ -69,17 +96,22 @@ object Grib2 {
       bu8(b, 0); bu8(b, 1) // production status, data type
     }
     sec(3) { b => // grid definition, template 3.0 lat/lon
+      val northCenter = r.north - r.py / 2
+      val southCenter = r.north - r.py * r.height + r.py / 2
+      val westCenter = r.west + r.px / 2
+      val eastCenter = r.west + r.px * r.width - r.px / 2
+      val (la1, la2) = if ((scanMode & 0x40) != 0) (southCenter, northCenter)
+                       else (northCenter, southCenter)
+      val (lo1, lo2) = if ((scanMode & 0x80) != 0) (eastCenter, westCenter)
+                       else (westCenter, eastCenter)
       bu8(b, 0); bu32(b, n); bu8(b, 0); bu8(b, 0); bu16(b, 0)
       bu8(b, 6); bu8(b, 0); bu32(b, 0); bu8(b, 0); bu32(b, 0); bu8(b, 0); bu32(b, 0)
       bu32(b, r.width); bu32(b, r.height); bu32(b, 0); bu32(b, 0)
-      val microN = math.round((r.north - r.py / 2) * 1e6)
-      val microW = math.round((r.west + r.px / 2) * 1e6)
-      bs32(b, microN); bs32(b, microW) // first point (north-west center)
+      bs32(b, math.round(la1 * 1e6)); bs32(b, math.round(lo1 * 1e6))
       bu8(b, 0x30)
-      bs32(b, math.round((r.north - r.py * r.height + r.py / 2) * 1e6))
-      bs32(b, math.round((r.west + r.px * r.width - r.px / 2) * 1e6))
+      bs32(b, math.round(la2 * 1e6)); bs32(b, math.round(lo2 * 1e6))
       bu32(b, math.round(r.px * 1e6)); bu32(b, math.round(r.py * 1e6))
-      bu8(b, 0) // scanning: +i, -j (north-up rows)
+      bu8(b, scanMode)
     }
     sec(4) { b => // product definition, template 4.0
       bu16(b, 0); bu16(b, 0)
@@ -89,32 +121,84 @@ object Grib2 {
       bu32(b, m.forecastHours)
       bu8(b, 1); bu8(b, 0); bu32(b, 0); bu8(b, 255); bu8(b, 0); bu32(b, 0)
     }
-    sec(5) { b => // data representation, template 5.0 simple packing
-      bu32(b, n); bu16(b, 0)
-      bu32(b, java.lang.Float.floatToIntBits(ref.toFloat).toLong & 0xffffffffL)
-      bs16(b, 0) // E
-      bs16(b, decimals) // D
-      bu8(b, nbits); bu8(b, 0)
-    }
-    sec(6) { b => // bitmap
-      if (!hasNaN) bu8(b, 255)
-      else {
-        bu8(b, 0)
-        var acc = 0; var nb = 0
-        for (v <- r.data) {
-          acc = (acc << 1) | (if (v.isNaN) 0 else 1); nb += 1
-          if (nb == 8) { bu8(b, acc); acc = 0; nb = 0 }
+
+    // ---- packing-specific sections 5 + 7 ----
+    if (packing == 0) {
+      val maxX = if (present.isEmpty) 1L else present.max
+      val nbits = bitsFor(maxX)
+      sec(5) { b =>
+        bu32(b, n); bu16(b, 0)
+        bu32(b, java.lang.Float.floatToIntBits(ref.toFloat).toLong & 0xffffffffL)
+        bs16(b, 0); bs16(b, decimals)
+        bu8(b, nbits); bu8(b, 0)
+      }
+      writeBitmap(sec, scanData, hasNaN, bu8)
+      sec(7) { b =>
+        val w = new BitWriter(b)
+        present.foreach(x => w.put(x, nbits))
+        w.flush()
+      }
+    } else {
+      val order = if (packing == 3) 2 else 0
+      require(present.length > order, "too few points for spatial differencing")
+      // spatial differencing over the present-value sequence
+      val diffed = new Array[Long](present.length)
+      var i = 0
+      while (i < present.length) {
+        diffed(i) =
+          if (i < order) present(i)
+          else if (order == 2) present(i) - 2 * present(i - 1) + present(i - 2)
+          else present(i)
+        i += 1
+      }
+      val packVals = diffed.drop(order)
+      val gmin = if (order > 0) packVals.min else 0L
+      val offset = packVals.map(_ - gmin)
+      // group split
+      val groups = offset.grouped(GroupLen).toArray
+      val ng = groups.length
+      val refs = groups.map(_.min)
+      val widths = groups.map(g => { val mx = g.max - g.min; if (mx == 0) 0 else bitsFor(mx) })
+      val nbitsRef = bitsFor(math.max(1L, refs.max))
+      val wref = widths.min
+      val wbits = { val mx = widths.max - wref; if (mx == 0) 0 else bitsFor(mx.toLong) }
+      val lref = GroupLen; val linc = 1
+      val lastLen = groups.last.length
+      val lbits = 0 // all non-last groups are exactly GroupLen (scaled length 0)
+      // ds: octets for the sign-magnitude descriptors (z values + gmin)
+      val descMax = (present.take(order) :+ math.abs(gmin)).map(math.abs).max
+      val ds = math.max(1, (bitsFor(descMax) + 1 + 7) / 8)
+
+      sec(5) { b =>
+        bu32(b, n); bu16(b, packing)
+        bu32(b, java.lang.Float.floatToIntBits(ref.toFloat).toLong & 0xffffffffL)
+        bs16(b, 0); bs16(b, decimals)
+        bu8(b, nbitsRef); bu8(b, 0)
+        bu8(b, 1) // group splitting method: general
+        bu8(b, 0) // missing value management: none (bitmap carries nodata)
+        bu32(b, 0); bu32(b, 0) // primary/secondary missing substitutes
+        bu32(b, ng)
+        bu8(b, wref); bu8(b, wbits)
+        bu32(b, lref); bu8(b, linc); bu32(b, lastLen)
+        bu8(b, lbits)
+        if (packing == 3) { bu8(b, order); bu8(b, ds) }
+      }
+      writeBitmap(sec, scanData, hasNaN, bu8)
+      sec(7) { b =>
+        def sm(v: Long): Unit = { // sign-magnitude over ds octets
+          val a = math.abs(v) | (if (v < 0) 1L << (ds * 8 - 1) else 0L)
+          var k = ds - 1
+          while (k >= 0) { bu8(b, ((a >> (k * 8)) & 0xff).toInt); k -= 1 }
         }
-        if (nb > 0) bu8(b, acc << (8 - nb))
+        if (packing == 3) { present.take(order).foreach(sm); sm(gmin) }
+        val w = new BitWriter(b)
+        refs.foreach(x => w.put(x, nbitsRef)); w.flush()
+        if (wbits > 0) { widths.foreach(x => w.put((x - wref).toLong, wbits)); w.flush() }
+        // lbits == 0: no scaled-length stream
+        for ((g, gi) <- groups.zipWithIndex; x <- g)
+          if (widths(gi) > 0) w.put(x - refs(gi), widths(gi))
+        w.flush()
       }
-    }
-    sec(7) { b => // bit-packed data (present cells only when bitmap)
-      var acc = 0L; var nb = 0
-      for ((v, i) <- r.data.zipWithIndex if !v.isNaN) {
-        acc = (acc << nbits) | xs(i); nb += nbits
-        while (nb >= 8) { bu8(b, ((acc >> (nb - 8)) & 0xff).toInt); nb -= 8 }
-      }
-      if (nb > 0) bu8(b, ((acc << (8 - nb)) & 0xff).toInt)
     }
 
     val body = sections.toArray.flatten
@@ -123,6 +207,61 @@ object Grib2 {
     head.put("GRIB".getBytes).putShort(0).put(m.discipline.toByte).put(2.toByte)
       .putLong(total)
     head.array() ++ body ++ "7777".getBytes
+  }
+
+  private def writeBitmap(sec: Int => (java.io.ByteArrayOutputStream => Unit) => Unit,
+                          data: Array[Float], hasNaN: Boolean,
+                          bu8: (java.io.ByteArrayOutputStream, Int) => Unit): Unit =
+    sec(6) { b =>
+      if (!hasNaN) bu8(b, 255)
+      else {
+        bu8(b, 0)
+        var acc = 0; var nb = 0
+        for (v <- data) {
+          acc = (acc << 1) | (if (v.isNaN) 0 else 1); nb += 1
+          if (nb == 8) { bu8(b, acc); acc = 0; nb = 0 }
+        }
+        if (nb > 0) bu8(b, acc << (8 - nb))
+      }
+    }
+
+  private class BitWriter(b: java.io.ByteArrayOutputStream) {
+    private var acc = 0L; private var nb = 0
+    def put(x: Long, bits: Int): Unit = {
+      acc = (acc << bits) | (x & ((1L << bits) - 1)); nb += bits
+      while (nb >= 8) { b.write(((acc >> (nb - 8)) & 0xff).toInt); nb -= 8 }
+    }
+    def flush(): Unit = { if (nb > 0) { b.write(((acc << (8 - nb)) & 0xff).toInt); nb = 0 }; acc = 0L }
+  }
+
+  private class BitReader(bytes: Array[Byte], var pos: Int) {
+    private var acc = 0L; private var nb = 0
+    def get(bits: Int): Long = {
+      if (bits == 0) return 0L
+      while (nb < bits) { acc = (acc << 8) | (bytes(pos) & 0xffL); pos += 1; nb += 8 }
+      val v = (acc >> (nb - bits)) & ((1L << bits) - 1); nb -= bits; v
+    }
+    def align(): Unit = { acc = 0L; nb = 0 }
+  }
+
+  /** Reorder a canonical north-up row-major grid into the given scan
+    * order (used by the writer; applying it twice is the identity, so
+    * the reader uses the same function to normalize back). */
+  private def reorder(data: Array[Float], w: Int, h: Int, scanMode: Int): Array[Float] = {
+    if (scanMode == 0) return data
+    val out = new Array[Float](data.length)
+    var row = 0
+    while (row < h) {
+      val srcRow = if ((scanMode & 0x40) != 0) h - 1 - row else row
+      var cx = 0
+      while (cx < w) {
+        val srcX = if ((scanMode & 0x80) != 0) w - 1 - cx else cx
+        out(row * w + cx) = data(srcRow * w + srcX)
+        cx += 1
+      }
+      row += 1
+    }
+    out
   }
 
   // ---- decode ------------------------------------------------------
@@ -144,13 +283,18 @@ object Grib2 {
 
   def read(bytes: Array[Byte]): Message = {
     require(canHandle(bytes), "not GRIB")
-    val bb = ByteBuffer.wrap(bytes)
     val discipline = bytes(6) & 0xff
     require((bytes(7) & 0xff) == 2, "only GRIB2")
     var pos = 16
     var width = 0; var height = 0
     var west = 0.0; var north = 0.0; var px = 1.0; var py = 1.0
+    var scanMode = 0
+    var tmpl5 = 0
     var refR = 0.0f; var e = 0; var d = 0; var nbits = 0
+    // complex-packing (5.2/5.3) parameters
+    var ng = 0; var wref = 0; var wbits = 0
+    var lref = 0; var linc = 0; var lastLen = 0; var lbits = 0
+    var order = 0; var ds = 0
     var category = 0; var parameter = 0; var forecastHours = 0
     var refTime = java.time.LocalDateTime.MIN
     var bitmap: Array[Boolean] = null
@@ -178,14 +322,32 @@ object Grib2 {
             nPts = u32(o + 1).toInt
             width = u32(o + 25).toInt; height = u32(o + 29).toInt
             val la1 = s32(o + 41) / 1e6; val lo1 = s32(o + 45) / 1e6
+            val la2 = s32(o + 50) / 1e6; val lo2 = s32(o + 54) / 1e6
             px = u32(o + 58) / 1e6; py = u32(o + 62) / 1e6
-            west = lo1 - px / 2; north = la1 + py / 2
+            scanMode = bytes(o + 66) & 0xff
+            require((scanMode & 0x30) == 0,
+              f"unsupported scanning mode 0x$scanMode%02x (consecutive-j/boustrophedon)")
+            // bounds from whichever corner is north/west, not from
+            // assuming the first point is NW
+            west = math.min(lo1, lo2) - px / 2
+            north = math.max(la1, la2) + py / 2
           case 4 =>
             category = bytes(o + 4) & 0xff; parameter = bytes(o + 5) & 0xff
             forecastHours = u32(o + 13).toInt
           case 5 =>
+            tmpl5 = u16(o + 4)
+            require(Set(0, 2, 3).contains(tmpl5), s"unsupported packing template 5.$tmpl5")
             refR = java.lang.Float.intBitsToFloat(u32(o + 6).toInt)
             e = s16(o + 10); d = s16(o + 12); nbits = bytes(o + 14) & 0xff
+            if (tmpl5 == 2 || tmpl5 == 3) {
+              require((bytes(o + 17) & 0xff) == 0,
+                "missing-value management not supported (bitmap carries nodata)")
+              ng = u32(o + 26).toInt
+              wref = bytes(o + 30) & 0xff; wbits = bytes(o + 31) & 0xff
+              lref = u32(o + 32).toInt; linc = bytes(o + 36) & 0xff
+              lastLen = u32(o + 37).toInt; lbits = bytes(o + 41) & 0xff
+              if (tmpl5 == 3) { order = bytes(o + 42) & 0xff; ds = bytes(o + 43) & 0xff }
+            }
           case 6 =>
             val ind = bytes(o) & 0xff
             if (ind == 0) {
@@ -197,17 +359,21 @@ object Grib2 {
               }
             }
           case 7 =>
+            val nPresent = if (bitmap == null) nPts else bitmap.count(identity)
+            val present =
+              if (tmpl5 == 0) {
+                val r = new BitReader(bytes, o)
+                Array.fill(nPresent)(refR / math.pow(10, d) +
+                  r.get(nbits) * math.pow(2, e) / math.pow(10, d))
+              } else {
+                decodeComplex(bytes, o, nPresent, refR, e, d, nbits,
+                  ng, wref, wbits, lref, linc, lastLen, lbits, order, ds)
+              }
             data = new Array[Float](nPts)
-            val factor = math.pow(2, e) / math.pow(10, d)
-            val base = refR / math.pow(10, d)
-            var acc = 0L; var nb = 0; var bi = o; var i = 0
+            var i = 0; var pi = 0
             while (i < nPts) {
               if (bitmap != null && !bitmap(i)) data(i) = Float.NaN
-              else {
-                while (nb < nbits) { acc = (acc << 8) | (bytes(bi) & 0xffL); bi += 1; nb += 8 }
-                val x = (acc >> (nb - nbits)) & ((1L << nbits) - 1); nb -= nbits
-                data(i) = (base + x * factor).toFloat
-              }
+              else { data(i) = present(pi).toFloat; pi += 1 }
               i += 1
             }
           case _ =>
@@ -215,7 +381,66 @@ object Grib2 {
         pos += len
       }
     }
+    // normalize scan order to canonical north-up/west-east
+    if (scanMode != 0) {
+      require(nPts == width * height, "cannot normalize scan order of a thinned grid")
+      data = reorder(data, width, height, scanMode)
+      if (bitmap != null) { /* bitmap already applied into data */ }
+    }
     Message(GeoTiff.Raster(width, height, data, west, north, px, py),
       discipline, category, parameter, refTime, forecastHours)
+  }
+
+  /** Unpack a complex-packed (5.2/5.3) data section into present-cell
+    * values, in scan order. */
+  private def decodeComplex(bytes: Array[Byte], o: Int, nPresent: Int,
+                            refR: Float, e: Int, d: Int, nbitsRef: Int,
+                            ng: Int, wref: Int, wbits: Int,
+                            lref: Int, linc: Int, lastLen: Int, lbits: Int,
+                            order: Int, ds: Int): Array[Double] = {
+    var p = o
+    def signMag(): Long = { // ds-octet sign-magnitude
+      var v = 0L
+      for (k <- 0 until ds) { v = (v << 8) | (bytes(p) & 0xffL); p += 1 }
+      val neg = (v & (1L << (ds * 8 - 1))) != 0
+      val mag = v & ((1L << (ds * 8 - 1)) - 1)
+      if (neg) -mag else mag
+    }
+    val firstVals = Array.fill(order)(signMag())
+    val gmin = if (order > 0) signMag() else 0L
+
+    val r = new BitReader(bytes, p)
+    val refs = Array.fill(ng)(r.get(nbitsRef)); r.align()
+    val widths = Array.fill(ng)(if (wbits == 0) wref else wref + r.get(wbits).toInt)
+    if (wbits > 0) r.align()
+    val lens = Array.fill(ng)(if (lbits == 0) lref else lref + linc * r.get(lbits).toInt)
+    if (lbits > 0) r.align()
+    lens(ng - 1) = lastLen
+
+    val vals = new Array[Long](nPresent)
+    // seed with the explicitly-stored original first values (5.3)
+    var i = 0
+    while (i < order) { vals(i) = firstVals(i); i += 1 }
+    var g = 0
+    while (g < ng) {
+      var k = 0
+      while (k < lens(g) && i < nPresent) {
+        vals(i) = refs(g) + (if (widths(g) == 0) 0L else r.get(widths(g))) + gmin
+        i += 1; k += 1
+      }
+      g += 1
+    }
+    require(i == nPresent, s"complex packing group lengths cover $i of $nPresent values")
+    // undo spatial differencing
+    if (order == 1) {
+      var j = 1
+      while (j < nPresent) { vals(j) += vals(j - 1); j += 1 }
+    } else if (order == 2) {
+      var j = 2
+      while (j < nPresent) { vals(j) += 2 * vals(j - 1) - vals(j - 2); j += 1 }
+    }
+    val base = refR / math.pow(10, d)
+    val factor = math.pow(2, e) / math.pow(10, d)
+    vals.map(x => base + x * factor)
   }
 }

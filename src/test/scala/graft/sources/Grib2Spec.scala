@@ -35,6 +35,60 @@ class Grib2Spec extends SparkSpec {
     }
   }
 
+  test("complex packing (5.2) round-trips values and nodata") {
+    val m = sampleMessage
+    val back = Grib2.read(Grib2.write(m, packing = 2))
+    back.raster.data.zip(m.raster.data).foreach { case (a, b) =>
+      if (b.isNaN) assert(a.isNaN)
+      else assert(math.abs(a - b) < 0.005, s"$a vs $b")
+    }
+  }
+
+  test("complex packing + 2nd-order spatial differencing (5.3) round-trips") {
+    // a smooth field is where spatial differencing earns its keep
+    val w = 30; val h = 20
+    val smooth = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      if ((x, y) == (5, 5)) Float.NaN
+      else (100.0 + 3.0 * x + 2.0 * y + 0.05 * x * y).toFloat
+    }
+    val m = sampleMessage.copy(raster =
+      GeoTiff.Raster(w, h, smooth, -180.0, 90.0, 12.0, 9.0))
+    val bytes = Grib2.write(m, packing = 3)
+    val back = Grib2.read(bytes)
+    back.raster.data.zip(m.raster.data).foreach { case (a, b) =>
+      if (b.isNaN) assert(a.isNaN)
+      else assert(math.abs(a - b) < 0.005, s"$a vs $b")
+    }
+    // and it actually compresses vs simple packing on a smooth field
+    assert(bytes.length < Grib2.write(m, packing = 0).length)
+  }
+
+  test("+j and -i scanning modes normalize back to north-up/west-east") {
+    val m = sampleMessage
+    for (scan <- Seq(0x40, 0x80, 0xC0); packing <- Seq(0, 2)) {
+      val back = Grib2.read(Grib2.write(m, packing = packing, scanMode = scan))
+      assert(back.raster.west == m.raster.west &&
+        back.raster.north == m.raster.north, s"bounds wrong for scan=$scan")
+      back.raster.data.zip(m.raster.data).foreach { case (a, b) =>
+        if (b.isNaN) assert(a.isNaN, s"scan=$scan")
+        else assert(math.abs(a - b) < 0.005, s"scan=$scan: $a vs $b")
+      }
+    }
+  }
+
+  test("unsupported scanning modes fail loudly, not silently mis-georeference") {
+    val m = sampleMessage
+    intercept[IllegalArgumentException] {
+      Grib2.write(m, scanMode = 0x20)
+    }
+    // hand-corrupt the scanning octet of a valid message to 0x20:
+    // section 3 starts at byte 16+21; octet 72 of it = 16+21+71
+    val bytes = Grib2.write(m)
+    bytes(16 + 21 + 71) = 0x20.toByte
+    intercept[IllegalArgumentException] { Grib2.read(bytes) }
+  }
+
   test("negative first-point latitudes survive sign-magnitude encoding") {
     val m = sampleMessage.copy(raster = sampleMessage.raster.copy(
       west = -10.0, north = -5.0, px = 1.0, py = 1.0))
