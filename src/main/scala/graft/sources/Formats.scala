@@ -7,12 +7,10 @@ import org.apache.spark.sql.functions._
   *
   * Decoders are sniffed by magic bytes exactly like the reference's
   * registry (`II/MM` TIFF, `GRIB`, `CDF`/`\x89HDF` — formats/registry.py;
-  * geotiff.py:43-52, grib.py:66-74, netcdf.py:38-47). GeoTIFF and GRIB2
-  * (simple packing) decode natively (GeoTiff.scala, Grib2.scala);
-  * NetCDF has no JVM decoder in this container, so its plugin is
-  * declared-but-unavailable: sniffing identifies it and ingest surfaces
-  * a clear error instead of garbage (SURVEY §7.3 — the trait stays
-  * open for a NetCDF-Java drop-in).
+  * geotiff.py:43-52, grib.py:66-74, netcdf.py:38-47). All three decode
+  * natively: GeoTIFF (GeoTiff.scala), GRIB2 simple/complex packing
+  * (Grib2.scala), and NetCDF in both the classic CDF-1 layout and the
+  * NetCDF-4/HDF5 container (NetCdf.scala + Hdf5.scala).
   */
 object Formats {
 
@@ -50,30 +48,22 @@ object Formats {
 
   object NetCdfDecoder extends Decoder {
     val name = "netcdf"
-    def canHandle(b: Array[Byte]) =
-      (b.length >= 4 && b(0) == 'C' && b(1) == 'D' && b(2) == 'F' && b(3) == 1) ||
-        (b.length >= 4 && (b(0) & 0xff) == 0x89 && b(1) == 'H' && b(2) == 'D' && b(3) == 'F')
+    def canHandle(b: Array[Byte]) = NetCdf.canHandle(b) || Hdf5.canHandle(b)
     private def gridVar(f: NetCdf.File): String =
       f.vars.find(v => v.dims.takeRight(2) == Seq("lat", "lon")).map(_.name)
         .getOrElse(throw new IllegalArgumentException("no (…,lat,lon) variable"))
     def decode(b: Array[Byte]) = {
-      if ((b(0) & 0xff) == 0x89) throw new UnsupportedOperationException(
-        "netcdf4/HDF5: no JVM decoder; convert to classic or GeoTIFF upstream")
-      val f = NetCdf.read(b)
+      val f = NetCdf.readAny(b)
       f.rasters(gridVar(f)).head._2
     }
     override def decodeMulti(b: Array[Byte]): Seq[(Int, GeoTiff.Raster)] = {
-      if ((b(0) & 0xff) == 0x89) throw new UnsupportedOperationException(
-        "netcdf4/HDF5: no JVM decoder; convert to classic or GeoTIFF upstream")
-      val f = NetCdf.read(b)
+      val f = NetCdf.readAny(b)
       f.rasters(gridVar(f))
     }
-    override def listVariables(b: Array[Byte]): Seq[String] =
-      if ((b(0) & 0xff) == 0x89) Seq.empty
-      else {
-        val f = NetCdf.read(b)
-        f.vars.filter(_.dims.takeRight(2) == Seq("lat", "lon")).map(_.name)
-      }
+    override def listVariables(b: Array[Byte]): Seq[String] = {
+      val f = NetCdf.readAny(b)
+      f.vars.filter(_.dims.takeRight(2) == Seq("lat", "lon")).map(_.name)
+    }
   }
 
   val registry: Seq[Decoder] = Seq(GeoTiffDecoder, Grib2Decoder, NetCdfDecoder)

@@ -1,0 +1,808 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Minimal self-contained HDF5 codec for the NetCDF-4 ingestion path —
+  * the reference reads NetCDF-4 transparently via xarray/h5netcdf
+  * (formats/netcdf.py:33-366); this is the JVM-native equivalent,
+  * written from the public HDF5 File Format Specification (v3) and the
+  * public NetCDF-4 dimension-scale conventions. No external libraries.
+  *
+  * Reader coverage (what real netcdf-c output uses):
+  *  - superblock versions 0/1 (symbol-table root) and 2/3 (direct root)
+  *  - object headers v1 (unsigned prefix) and v2 ("OHDR"), with
+  *    continuation blocks for both
+  *  - groups via symbol tables (B-tree v1 + SNOD + local heap) and via
+  *    compact link messages; dense (fractal-heap) groups fail loudly
+  *  - dataspace v1/v2, datatype classes: fixed-point, IEEE float,
+  *    string, reference, vlen
+  *  - data layout v3: contiguous and chunked (B-tree v1 chunk index,
+  *    any nesting level, partial edge chunks)
+  *  - filter pipeline v1/v2: deflate (id 1) and byte-shuffle (id 2)
+  *  - attribute messages v1/v2/v3, including NetCDF-4's DIMENSION_LIST
+  *    (vlen of object references resolved through the global heap) and
+  *    CLASS/NAME dimension-scale tags, _FillValue
+  *
+  * The writer exists to fabricate honest fixtures: it emits the exact
+  * layout netcdf-c produces by default — superblock v0, v1 object
+  * headers, a symbol-table root group, contiguous coordinate variables,
+  * chunked+deflated data variables, dimension-scale attributes and
+  * DIMENSION_LIST references — so the reader's real-world paths are the
+  * ones the round-trip test exercises.
+  */
+object Hdf5 {
+
+  private val Undef = -1L // 0xFFFFFFFFFFFFFFFF: the undefined address
+
+  case class Dataset(name: String, addr: Long, shape: Seq[Int],
+                     data: Array[Float], attrs: Map[String, Any])
+  case class File(datasets: Seq[Dataset])
+
+  def canHandle(b: Array[Byte]): Boolean =
+    b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'H' && b(2) == 'D' &&
+      b(3) == 'F' && b(4) == '\r' && b(5) == '\n' && (b(6) & 0xff) == 0x1a && b(7) == '\n'
+
+  // ================= reader =========================================
+
+  /** Parsed datatype: cls ∈ {0 fixed, 1 float, 3 string, 7 reference,
+    * 9 vlen}; consumed = encoded byte length (for walking attributes). */
+  private case class Dt(cls: Int, size: Int, bigEndian: Boolean, signed: Boolean,
+                        base: Option[Dt], consumed: Int)
+
+  def read(bytes: Array[Byte]): File = {
+    require(canHandle(bytes), "not HDF5")
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val ver = bytes(8) & 0xff
+    val rootAddr = ver match {
+      case 0 | 1 =>
+        require((bytes(13) & 0xff) == 8 && (bytes(14) & 0xff) == 8,
+          "only 8-byte offsets/lengths supported")
+        val fixed = if (ver == 0) 24 else 28 // v1 adds indexed-storage-k + reserved
+        // base/freespace/eof/driver addresses, then the root group's
+        // symbol table entry: link-name-offset(8), object-header-addr(8)
+        bb.getLong(fixed + 32 + 8)
+      case 2 | 3 =>
+        require((bytes(9) & 0xff) == 8 && (bytes(10) & 0xff) == 8,
+          "only 8-byte offsets/lengths supported")
+        bb.getLong(36)
+      case v => throw new IllegalArgumentException(s"unsupported superblock v$v")
+    }
+    val out = scala.collection.mutable.Buffer[Dataset]()
+    readGroup(bb, bytes, rootAddr, "", out)
+    File(out.toSeq)
+  }
+
+  /** All header messages of the object at `addr`, continuations resolved. */
+  private def messages(bb: ByteBuffer, bytes: Array[Byte], addr: Long): Seq[(Int, Int)] = {
+    // returns (message type, body offset); body length is implicit in the parse
+    val msgs = scala.collection.mutable.Buffer[(Int, Int, Int)]() // type, off, size
+    val a = addr.toInt
+    if (bytes(a) == 1) { // v1 object header
+      val nMsgs = bb.getShort(a + 2) & 0xffff
+      // blocks of raw messages: (start, end); first block after 16-byte prefix
+      val hdrSize = bb.getInt(a + 8)
+      var blocks = List((a + 16, a + 16 + hdrSize))
+      var read = 0
+      while (blocks.nonEmpty && read < nMsgs) {
+        val (start, end) = blocks.head
+        blocks = blocks.tail
+        var p = start
+        while (p + 8 <= end && read < nMsgs) {
+          val typ = bb.getShort(p) & 0xffff
+          val sz = bb.getShort(p + 2) & 0xffff
+          val body = p + 8
+          if (typ == 0x10) // continuation: offset(8) + length(8)
+            blocks = blocks :+ ((bb.getLong(body).toInt, (bb.getLong(body) + bb.getLong(body + 8)).toInt))
+          else if (typ != 0) msgs += ((typ, body, sz))
+          read += 1
+          p = body + sz
+        }
+      }
+    } else if (bytes(a) == 'O' && bytes(a + 1) == 'H' && bytes(a + 2) == 'D' && bytes(a + 3) == 'R') {
+      val flags = bytes(a + 5) & 0xff
+      var p = a + 6
+      if ((flags & 0x20) != 0) p += 16 // access/mod/change/birth times
+      if ((flags & 0x10) != 0) p += 4  // max compact / min dense
+      val szBytes = 1 << (flags & 3)
+      val chunk0 = szBytes match {
+        case 1 => bytes(p) & 0xffL
+        case 2 => bb.getShort(p) & 0xffffL
+        case 4 => bb.getInt(p) & 0xffffffffL
+        case _ => bb.getLong(p)
+      }
+      p += szBytes
+      var blocks = List((p, p + chunk0.toInt))
+      while (blocks.nonEmpty) {
+        val (start, end) = blocks.head
+        blocks = blocks.tail
+        var q = start
+        while (q + 4 <= end) {
+          val typ = bytes(q) & 0xff
+          val sz = bb.getShort(q + 1) & 0xffff
+          var body = q + 4
+          if ((flags & 0x04) != 0) body += 2 // creation-order field per message
+          if (body + sz > end) q = end // trailing gap, not a real message
+          else {
+            if (typ == 0x10) {
+              val off = bb.getLong(body).toInt
+              val len = bb.getLong(body + 8).toInt
+              blocks = blocks :+ ((off + 4, off + len - 4)) // skip OCHK sig + checksum
+            } else if (typ != 0) msgs += ((typ, body, sz))
+            q = body + sz
+          }
+        }
+      }
+    } else throw new IllegalArgumentException(s"unrecognized object header at $addr")
+    msgs.toSeq.map { case (t, off, _) => (t, off) }
+  }
+
+  private def readGroup(bb: ByteBuffer, bytes: Array[Byte], addr: Long,
+                        prefix: String, out: scala.collection.mutable.Buffer[Dataset]): Unit = {
+    val msgs = messages(bb, bytes, addr)
+    val types = msgs.map(_._1).toSet
+    if (types.contains(0x08)) { // data layout → dataset
+      out += readDataset(bb, bytes, addr, prefix, msgs)
+      return
+    }
+    val links = scala.collection.mutable.Buffer[(String, Long)]()
+    msgs.foreach {
+      case (0x11, off) => // symbol table: btree addr + local heap addr
+        val btree = bb.getLong(off); val heap = bb.getLong(off + 8)
+        val heapData = bb.getLong(heap.toInt + 24)
+        walkGroupBtree(bb, bytes, btree, heapData, links)
+      case (0x02, off) => // link info: fractal heap addr must be undefined
+        val fh = bb.getLong(off + 2 + (if ((bytes(off + 1) & 1) != 0) 8 else 0))
+        require(fh == Undef, "dense (fractal-heap) groups not supported")
+      case (0x06, off) => links += parseLink(bb, bytes, off)
+      case _ =>
+    }
+    links.foreach { case (name, child) =>
+      readGroup(bb, bytes, child, prefix + name + "/", out)
+    }
+  }
+
+  private def walkGroupBtree(bb: ByteBuffer, bytes: Array[Byte], addr: Long, heapData: Long,
+                             links: scala.collection.mutable.Buffer[(String, Long)]): Unit = {
+    val a = addr.toInt
+    require(bytes(a) == 'T' && bytes(a + 1) == 'R', s"expected TREE at $addr")
+    val level = bytes(a + 5) & 0xff
+    val n = bb.getShort(a + 6) & 0xffff
+    var p = a + 24 // past sig, type, level, entries, 2 sibling addrs
+    p += 8 // key 0
+    for (_ <- 0 until n) {
+      val child = bb.getLong(p); p += 16 // child + following key
+      if (level > 0) walkGroupBtree(bb, bytes, child, heapData, links)
+      else { // SNOD symbol-table node
+        val c = child.toInt
+        require(bytes(c) == 'S' && bytes(c + 1) == 'N', s"expected SNOD at $child")
+        val nSym = bb.getShort(c + 6) & 0xffff
+        for (i <- 0 until nSym) {
+          val e = c + 8 + i * 40
+          val nameOff = bb.getLong(e)
+          val ohAddr = bb.getLong(e + 8)
+          links += ((cString(bytes, (heapData + nameOff).toInt), ohAddr))
+        }
+      }
+    }
+  }
+
+  private def parseLink(bb: ByteBuffer, bytes: Array[Byte], off: Int): (String, Long) = {
+    val flags = bytes(off + 1) & 0xff
+    var p = off + 2
+    if ((flags & 0x08) != 0) {
+      require((bytes(p) & 0xff) == 0, "only hard links supported"); p += 1
+    }
+    if ((flags & 0x04) != 0) p += 8 // creation order
+    if ((flags & 0x10) != 0) p += 1 // charset
+    val lenBytes = 1 << (flags & 3)
+    val nameLen = lenBytes match {
+      case 1 => bytes(p) & 0xff
+      case 2 => bb.getShort(p) & 0xffff
+      case _ => bb.getInt(p)
+    }
+    p += lenBytes
+    val name = new String(bytes, p, nameLen, "UTF-8")
+    (name, bb.getLong(p + nameLen))
+  }
+
+  private def cString(bytes: Array[Byte], off: Int): String = {
+    var e = off
+    while (bytes(e) != 0) e += 1
+    new String(bytes, off, e - off, "UTF-8")
+  }
+
+  private def parseDt(bb: ByteBuffer, bytes: Array[Byte], off: Int): Dt = {
+    val cls = bytes(off) & 0x0f
+    val b0 = bytes(off + 1) & 0xff
+    val size = bb.getInt(off + 4)
+    cls match {
+      case 0 => Dt(0, size, (b0 & 1) != 0, (b0 & 8) != 0, None, 8 + 4)
+      case 1 => Dt(1, size, (b0 & 1) != 0, signed = true, None, 8 + 12)
+      case 3 => Dt(3, size, bigEndian = false, signed = false, None, 8)
+      case 7 => Dt(7, size, bigEndian = false, signed = false, None, 8)
+      case 9 =>
+        val base = parseDt(bb, bytes, off + 8)
+        Dt(9, size, bigEndian = false, signed = false, Some(base), 8 + base.consumed)
+      case c => throw new IllegalArgumentException(s"unsupported datatype class $c")
+    }
+  }
+
+  /** (rank, dims, consumed bytes) from a dataspace message. */
+  private def parseDs(bb: ByteBuffer, bytes: Array[Byte], off: Int): (Int, Seq[Long], Int) = {
+    val ver = bytes(off) & 0xff
+    val rank = bytes(off + 1) & 0xff
+    val flags = bytes(off + 2) & 0xff
+    val hdr = if (ver == 1) 8 else 4
+    val dims = (0 until rank).map(i => bb.getLong(off + hdr + i * 8))
+    val maxLen = if ((flags & 1) != 0) rank * 8 else 0
+    (rank, dims, hdr + rank * 8 + maxLen)
+  }
+
+  private def element(bb: ByteBuffer, bytes: Array[Byte], off: Int, dt: Dt): Double = {
+    def beShort = ((bytes(off) & 0xff) << 8 | (bytes(off + 1) & 0xff)).toShort
+    def beInt = ByteBuffer.wrap(bytes, off, 4).order(ByteOrder.BIG_ENDIAN).getInt
+    def beLong = ByteBuffer.wrap(bytes, off, 8).order(ByteOrder.BIG_ENDIAN).getLong
+    dt.cls match {
+      case 1 if dt.size == 4 =>
+        java.lang.Float.intBitsToFloat(if (dt.bigEndian) beInt else bb.getInt(off)).toDouble
+      case 1 if dt.size == 8 =>
+        java.lang.Double.longBitsToDouble(if (dt.bigEndian) beLong else bb.getLong(off))
+      case 0 => dt.size match {
+        case 1 => val v = bytes(off).toLong; (if (dt.signed) v else v & 0xff).toDouble
+        case 2 => val v = if (dt.bigEndian) beShort else bb.getShort(off)
+          (if (dt.signed) v.toLong else v & 0xffff).toDouble
+        case 4 => val v = if (dt.bigEndian) beInt else bb.getInt(off)
+          (if (dt.signed) v.toLong else v & 0xffffffffL).toDouble
+        case _ => (if (dt.bigEndian) beLong else bb.getLong(off)).toDouble
+      }
+      case c => throw new IllegalArgumentException(s"non-numeric element class $c")
+    }
+  }
+
+  /** One global-heap object's payload. */
+  private def gheapObject(bb: ByteBuffer, bytes: Array[Byte], addr: Long, idx: Int): Array[Byte] = {
+    val a = addr.toInt
+    require(bytes(a) == 'G' && bytes(a + 1) == 'C', s"expected GCOL at $addr")
+    val end = a + bb.getLong(a + 8).toInt
+    var p = a + 16
+    while (p + 16 <= end) {
+      val oidx = bb.getShort(p) & 0xffff
+      val osize = bb.getLong(p + 8).toInt
+      if (oidx == idx) return java.util.Arrays.copyOfRange(bytes, p + 16, p + 16 + osize)
+      if (oidx == 0) throw new IllegalArgumentException(s"global heap object $idx not found")
+      p += 16 + ((osize + 7) / 8) * 8
+    }
+    throw new IllegalArgumentException(s"global heap object $idx not found")
+  }
+
+  private def readAttr(bb: ByteBuffer, bytes: Array[Byte], off: Int): Option[(String, Any)] = {
+    val ver = bytes(off) & 0xff
+    require(ver >= 1 && ver <= 3, s"unsupported attribute message v$ver")
+    val nameSize = bb.getShort(off + 2) & 0xffff
+    val dtSize = bb.getShort(off + 4) & 0xffff
+    val dsSize = bb.getShort(off + 6) & 0xffff
+    if (ver >= 2 && (bytes(off + 1) & 3) != 0) return None // shared dt/ds: skip
+    var p = off + 8 + (if (ver == 3) 1 else 0)
+    def pad8(n: Int) = ((n + 7) / 8) * 8
+    val name = cString(bytes, p)
+    p += (if (ver == 1) pad8(nameSize) else nameSize)
+    val dt = parseDt(bb, bytes, p)
+    val dtOff = p
+    p += (if (ver == 1) pad8(dtSize) else dtSize)
+    val (_, dims, _) = parseDs(bb, bytes, p)
+    p += (if (ver == 1) pad8(dsSize) else dsSize)
+    val n = dims.product.max(1).toInt
+    val value: Any = dt.cls match {
+      case 3 => cString(bytes, p)
+      case 0 | 1 =>
+        if (n == 1) element(bb, bytes, p, dt)
+        else (0 until n).map(i => element(bb, bytes, p + i * dt.size, dt))
+      case 9 if dt.base.exists(_.cls == 7) =>
+        // vlen of object references (DIMENSION_LIST): per element a
+        // (length, gheap addr, index) triple; resolve the first ref
+        (0 until n).map { i =>
+          val e = p + i * 16
+          val len = bb.getInt(e)
+          if (len == 0) Undef
+          else {
+            val payload = gheapObject(bb, bytes, bb.getLong(e + 4), bb.getInt(e + 12))
+            ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN).getLong(0)
+          }
+        }
+      case _ => return Some(name -> (())) // present but undecoded
+    }
+    val _ = dtOff
+    Some(name -> value)
+  }
+
+  private def readDataset(bb: ByteBuffer, bytes: Array[Byte], addr: Long,
+                          prefix: String, msgs: Seq[(Int, Int)]): Dataset = {
+    var dims: Seq[Long] = Nil
+    var dt: Dt = null
+    var fillRaw: Option[Array[Byte]] = None
+    var layoutClass = -1
+    var dataAddr = Undef
+    var dataSize = 0L
+    var compact: Array[Byte] = null
+    var chunkDims: Array[Int] = null
+    var btree = Undef
+    var filters: Seq[Int] = Nil
+    val attrs = scala.collection.mutable.Map[String, Any]()
+
+    msgs.foreach {
+      case (0x01, off) => dims = parseDs(bb, bytes, off)._2
+      case (0x03, off) => dt = parseDt(bb, bytes, off)
+      case (0x05, off) =>
+        val ver = bytes(off) & 0xff
+        if (ver <= 2) {
+          if ((bytes(off + 3) & 0xff) == 1) {
+            val sz = bb.getInt(off + 4)
+            if (sz > 0) fillRaw = Some(java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + sz))
+          }
+        } else { // v3: flags bit 5 = fill value defined
+          if ((bytes(off + 1) & 0x20) != 0) {
+            val sz = bb.getInt(off + 2)
+            if (sz > 0) fillRaw = Some(java.util.Arrays.copyOfRange(bytes, off + 6, off + 6 + sz))
+          }
+        }
+      case (0x08, off) =>
+        val ver = bytes(off) & 0xff
+        require(ver == 3, s"only layout message v3 supported, got v$ver")
+        layoutClass = bytes(off + 1) & 0xff
+        layoutClass match {
+          case 0 => // compact: size(2) + data
+            val sz = bb.getShort(off + 2) & 0xffff
+            compact = java.util.Arrays.copyOfRange(bytes, off + 4, off + 4 + sz)
+          case 1 =>
+            dataAddr = bb.getLong(off + 2); dataSize = bb.getLong(off + 10)
+          case 2 =>
+            val ndim = bytes(off + 2) & 0xff
+            btree = bb.getLong(off + 3)
+            chunkDims = (0 until ndim).map(i => bb.getInt(off + 11 + i * 4)).toArray
+          case c => throw new IllegalArgumentException(s"unsupported layout class $c")
+        }
+      case (0x0B, off) =>
+        val ver = bytes(off) & 0xff
+        val nf = bytes(off + 1) & 0xff
+        var p = off + (if (ver == 1) 8 else 2)
+        filters = (0 until nf).map { _ =>
+          val id = bb.getShort(p) & 0xffff
+          val nameLen = if (ver == 1 || id >= 256) bb.getShort(p + 2) & 0xffff else 0
+          val nClient = bb.getShort(p + 6) & 0xffff
+          p += 8 + (if (ver == 1) ((nameLen + 7) / 8) * 8 else nameLen) + 4 * nClient
+          if (ver == 1 && nClient % 2 == 1) p += 4
+          id
+        }
+      case (0x0C, off) => readAttr(bb, bytes, off).foreach(attrs += _)
+      case _ =>
+    }
+    require(dt != null, s"object at $addr is not a dataset")
+    require(dt.cls == 0 || dt.cls == 1, "only numeric datasets supported")
+
+    val n = dims.product.max(1).toInt
+    val raw: Array[Byte] = layoutClass match {
+      case 0 => compact
+      case 1 =>
+        if (dataAddr == Undef) null
+        else java.util.Arrays.copyOfRange(bytes, dataAddr.toInt, (dataAddr + dataSize).toInt)
+      case 2 =>
+        val out = new Array[Byte](n * dt.size)
+        fillRaw.foreach { fb =>
+          var i = 0
+          while (i < n) { System.arraycopy(fb, 0, out, i * dt.size, dt.size); i += 1 }
+        }
+        if (btree != Undef)
+          readChunks(bb, bytes, btree, dims.map(_.toInt).toArray, chunkDims, dt.size, filters, out)
+        out
+      case c => throw new IllegalArgumentException(s"no layout for dataset at $addr (class $c)")
+    }
+    val data = new Array[Float](n)
+    if (raw == null) {
+      val fv = fillRaw.map(fb =>
+        element(ByteBuffer.wrap(fb).order(ByteOrder.LITTLE_ENDIAN), fb, 0, dt)).getOrElse(0.0)
+      java.util.Arrays.fill(data, fv.toFloat)
+    } else {
+      val rbb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+      var i = 0
+      while (i < n) { data(i) = element(rbb, raw, i * dt.size, dt).toFloat; i += 1 }
+    }
+    Dataset(prefix.stripSuffix("/"), addr, dims.map(_.toInt), data, attrs.toMap)
+  }
+
+  /** Walk a v1 B-tree of raw data chunks, decompress, and scatter each
+    * chunk into the row-major output (clipping partial edge chunks). */
+  private def readChunks(bb: ByteBuffer, bytes: Array[Byte], addr: Long, dims: Array[Int],
+                         chunkDims: Array[Int], elemSize: Int, filters: Seq[Int],
+                         out: Array[Byte]): Unit = {
+    val a = addr.toInt
+    require(bytes(a) == 'T' && bytes(a + 1) == 'R', s"expected TREE at $addr")
+    require((bytes(a + 4) & 0xff) == 1, "expected chunk btree (type 1)")
+    val level = bytes(a + 5) & 0xff
+    val n = bb.getShort(a + 6) & 0xffff
+    val rank = dims.length
+    val keySize = 8 + (rank + 1) * 8
+    var p = a + 24
+    for (_ <- 0 until n) {
+      val nbytes = bb.getInt(p)
+      val mask = bb.getInt(p + 4)
+      val offs = (0 until rank).map(i => bb.getLong(p + 8 + i * 8).toInt).toArray
+      val child = bb.getLong(p + keySize)
+      p += keySize + 8
+      if (level > 0) readChunks(bb, bytes, child, dims, chunkDims, elemSize, filters, out)
+      else {
+        var chunk = java.util.Arrays.copyOfRange(bytes, child.toInt, child.toInt + nbytes)
+        // filters apply in reverse order on read; honor the skip mask
+        filters.zipWithIndex.reverse.foreach { case (id, i) =>
+          if ((mask & (1 << i)) == 0) chunk = id match {
+            case 1 => inflate(chunk)
+            case 2 => unshuffle(chunk, elemSize)
+            case f => throw new IllegalArgumentException(s"unsupported filter $f")
+          }
+        }
+        scatter(chunk, offs, dims, chunkDims, elemSize, out)
+      }
+    }
+  }
+
+  private def inflate(in: Array[Byte]): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(in)
+    val out = new java.io.ByteArrayOutputStream(in.length * 4)
+    val buf = new Array[Byte](8192)
+    while (!inf.finished()) {
+      val k = inf.inflate(buf)
+      if (k == 0 && inf.needsInput()) throw new IllegalArgumentException("truncated deflate stream")
+      out.write(buf, 0, k)
+    }
+    inf.end()
+    out.toByteArray
+  }
+
+  private def unshuffle(in: Array[Byte], elemSize: Int): Array[Byte] = {
+    if (elemSize <= 1) return in
+    val n = in.length / elemSize
+    val out = new Array[Byte](in.length)
+    var b = 0
+    while (b < elemSize) {
+      var i = 0
+      while (i < n) { out(i * elemSize + b) = in(b * n + i); i += 1 }
+      b += 1
+    }
+    out
+  }
+
+  private def scatter(chunk: Array[Byte], offs: Array[Int], dims: Array[Int],
+                      chunkDims: Array[Int], elemSize: Int, out: Array[Byte]): Unit = {
+    val rank = dims.length
+    val strides = new Array[Long](rank)
+    var s = 1L
+    for (i <- (rank - 1) to 0 by -1) { strides(i) = s; s *= dims(i) }
+    val cTotal = chunkDims.take(rank).product
+    val coord = new Array[Int](rank)
+    var ci = 0
+    while (ci < cTotal) {
+      var rem = ci
+      var inBounds = true
+      var outIdx = 0L
+      for (d <- (rank - 1) to 0 by -1) {
+        coord(d) = rem % chunkDims(d); rem /= chunkDims(d)
+      }
+      for (d <- 0 until rank) {
+        val g = offs(d) + coord(d)
+        if (g >= dims(d)) inBounds = false else outIdx += g * strides(d)
+      }
+      if (inBounds)
+        System.arraycopy(chunk, ci * elemSize, out, outIdx.toInt * elemSize, elemSize)
+      ci += 1
+    }
+  }
+
+  // ================= NetCDF-4 assembly ==============================
+
+  /** Interpret an HDF5 file through the NetCDF-4 dimension-scale
+    * conventions, producing the same model as the classic reader. */
+  def toNetCdf(bytes: Array[Byte]): NetCdf.File = {
+    val f = read(bytes)
+    val byAddr = f.datasets.map(d => d.addr -> d.name).toMap
+    val isScale = f.datasets
+      .filter(_.attrs.get("CLASS").contains("DIMENSION_SCALE")).map(_.name).toSet
+    // netcdf-c records dimension creation order in _Netcdf4Dimid; group
+    // traversal order is name-sorted (SNOD), so restore it when present
+    val dims = f.datasets.filter(d => isScale(d.name))
+      .sortBy(d => d.attrs.get("_Netcdf4Dimid") match {
+        case Some(v: Double) => v.toInt
+        case _ => Int.MaxValue
+      })
+      .map(d => d.name -> d.shape.head)
+    val dimBySize = dims.toMap.map(_.swap) // fallback resolution (first wins is fine: sizes differ in practice)
+    val vars = f.datasets.map { d =>
+      val vdims: Seq[String] = d.attrs.get("DIMENSION_LIST") match {
+        case Some(refs: Seq[_]) =>
+          refs.map(r => byAddr.getOrElse(r.asInstanceOf[Long],
+            throw new IllegalArgumentException(s"${d.name}: DIMENSION_LIST ref to unknown object")))
+        case _ if isScale(d.name) => Seq(d.name)
+        case _ => d.shape.map(sz => dimBySize.getOrElse(sz.toLong,
+          throw new IllegalArgumentException(s"${d.name}: no dimension of size $sz")))
+      }
+      val fill = d.attrs.get("_FillValue").collect { case v: Double => v.toFloat }
+      NetCdf.Variable(d.name, vdims, d.data, fill)
+    }
+    NetCdf.File(dims, vars)
+  }
+
+  // ================= fixture writer =================================
+
+  /** Write a NetCDF-4 file in netcdf-c's default shape: superblock v0,
+    * v1 object headers, symbol-table root group; one dataset per
+    * dimension (the coordinate variable's data when one exists, with
+    * CLASS=DIMENSION_SCALE), contiguous coordinate storage; data
+    * variables chunked (one timestep per chunk, rows split to force a
+    * partial edge chunk) behind deflate, with DIMENSION_LIST references
+    * through a global heap and both a fill-value message and a
+    * _FillValue attribute. */
+  def write(dims: Seq[(String, Int)], variables: Seq[NetCdf.Variable],
+            shuffle: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def pos = out.size
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v); u8(v >> 8) }
+    def u32(v: Long): Unit = { u8(v.toInt); u8((v >> 8).toInt); u8((v >> 16).toInt); u8((v >> 24).toInt) }
+    def u64(v: Long): Unit = { u32(v & 0xffffffffL); u32(v >>> 32) }
+    def raw(b: Array[Byte]): Unit = out.write(b)
+    def padTo8(): Unit = while (pos % 8 != 0) u8(0)
+
+    def pad8(b: Array[Byte]): Array[Byte] =
+      if (b.length % 8 == 0) b else java.util.Arrays.copyOf(b, ((b.length + 7) / 8) * 8)
+
+    // little helpers building message bodies in isolation
+    def bodyBuf(f: ByteBuffer => Unit, cap: Int): Array[Byte] = {
+      val bb = ByteBuffer.allocate(cap).order(ByteOrder.LITTLE_ENDIAN)
+      f(bb)
+      java.util.Arrays.copyOf(bb.array(), bb.position())
+    }
+    def dataspaceMsg(shape: Seq[Int]): Array[Byte] = bodyBuf({ bb =>
+      bb.put(1.toByte).put(shape.size.toByte).put(0.toByte)
+      bb.put(0.toByte); bb.putInt(0)
+      shape.foreach(d => bb.putLong(d.toLong))
+    }, 8 + shape.size * 8)
+    val scalarDs: Array[Byte] = dataspaceMsg(Nil)
+    val f32Dt: Array[Byte] = bodyBuf({ bb =>
+      bb.put(0x11.toByte).put(0x20.toByte).put(0x1f.toByte).put(0.toByte).putInt(4)
+      bb.putShort(0).putShort(32).put(23.toByte).put(8.toByte).put(0.toByte).put(23.toByte).putInt(127)
+    }, 20)
+    def strDt(len: Int): Array[Byte] = bodyBuf({ bb =>
+      bb.put(0x13.toByte).put(0.toByte).put(0.toByte).put(0.toByte).putInt(len)
+    }, 8)
+    val vlenRefDt: Array[Byte] = bodyBuf({ bb =>
+      bb.put(0x19.toByte).put(0.toByte).put(0.toByte).put(0.toByte).putInt(16)
+      bb.put(0x17.toByte).put(0.toByte).put(0.toByte).put(0.toByte).putInt(8)
+    }, 16)
+    def attrMsg(name: String, dt: Array[Byte], ds: Array[Byte], data: Array[Byte]): Array[Byte] = {
+      val nb = name.getBytes("UTF-8") :+ 0.toByte
+      val head = bodyBuf({ bb =>
+        bb.put(1.toByte).put(0.toByte)
+        bb.putShort(nb.length.toShort).putShort(dt.length.toShort).putShort(ds.length.toShort)
+      }, 8)
+      head ++ pad8(nb) ++ pad8(dt) ++ pad8(ds) ++ data
+    }
+    def strAttr(name: String, value: String): Array[Byte] = {
+      val vb = value.getBytes("UTF-8") :+ 0.toByte
+      attrMsg(name, strDt(vb.length), scalarDs, vb)
+    }
+    val i32Dt: Array[Byte] = bodyBuf({ bb =>
+      bb.put(0x10.toByte).put(0x08.toByte).put(0.toByte).put(0.toByte).putInt(4)
+      bb.putShort(0).putShort(32)
+    }, 12)
+    def intAttr(name: String, value: Int): Array[Byte] =
+      attrMsg(name, i32Dt, scalarDs, bodyBuf(bb => { bb.putInt(value); () }, 4))
+    def objectHeader(msgs: Seq[(Int, Array[Byte])]): Array[Byte] = {
+      val padded = msgs.map { case (t, b) => (t, pad8(b)) }
+      val total = padded.map(_._2.length + 8).sum
+      val bb = ByteBuffer.allocate(16 + total).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put(1.toByte).put(0.toByte).putShort(msgs.size.toShort)
+      bb.putInt(1).putInt(total).putInt(0)
+      padded.foreach { case (t, b) =>
+        bb.putShort(t.toShort).putShort(b.length.toShort)
+        bb.put(0.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+        bb.put(b)
+      }
+      bb.array()
+    }
+
+    // ---- plan ----
+    val varByName = variables.map(v => v.name -> v).toMap
+    val dimSets = dims.map { case (n, sz) => (n, sz, varByName.get(n)) }
+    val dataVars = variables.filterNot(v => dims.exists(_._1 == v.name))
+    val allNames = dimSets.map(_._1) ++ dataVars.map(_.name)
+
+    out.write(new Array[Byte](96)) // superblock placeholder, patched below
+
+    // local heap with the root group's link names
+    val nameBytes = allNames.map(n => n.getBytes("UTF-8") :+ 0.toByte)
+    val nameOffs = scala.collection.mutable.Map[String, Long]()
+    val heapAddr = pos
+    val dataSz = nameBytes.map(b => ((b.length + 7) / 8) * 8).sum
+    raw("HEAP".getBytes); u8(0); u8(0); u8(0); u8(0)
+    u64(dataSz); u64(Undef); u64(heapAddr + 32)
+    allNames.zip(nameBytes).foreach { case (n, b) =>
+      nameOffs(n) = pos - (heapAddr + 32); raw(pad8(b))
+    }
+
+    // dimension-scale datasets: contiguous data then object header
+    val ohAddrs = scala.collection.mutable.Map[String, Long]()
+    dimSets.zipWithIndex.foreach { case ((name, sz, coord), dimId) =>
+      val data = coord.map(_.data).getOrElse(new Array[Float](sz))
+      val dataAddr = pos
+      data.foreach(f => u32(java.lang.Float.floatToIntBits(f).toLong & 0xffffffffL))
+      padTo8()
+      val msgs = Seq(
+        0x01 -> dataspaceMsg(Seq(sz)),
+        0x03 -> f32Dt,
+        0x05 -> bodyBuf(bb => { bb.put(2.toByte).put(1.toByte).put(0.toByte).put(0.toByte) }, 4),
+        0x08 -> bodyBuf({ bb =>
+          bb.put(3.toByte).put(1.toByte); bb.putLong(dataAddr.toLong); bb.putLong(sz * 4L)
+        }, 18),
+        0x0C -> strAttr("CLASS", "DIMENSION_SCALE"),
+        0x0C -> intAttr("_Netcdf4Dimid", dimId)) ++
+        (if (coord.isEmpty) Seq(0x0C -> strAttr("NAME",
+          s"This is a netCDF dimension but not a netCDF variable. $sz")) else Nil)
+      ohAddrs(name) = pos
+      raw(objectHeader(msgs))
+      padTo8()
+    }
+
+    // global heap carrying every data variable's DIMENSION_LIST refs
+    val gheapAddr = pos
+    val nRefs = dataVars.map(_.dims.size).sum
+    val gheapIdx = scala.collection.mutable.Map[(String, Int), Int]()
+    raw("GCOL".getBytes); u8(1); u8(0); u8(0); u8(0)
+    u64(16 + 24L * nRefs)
+    var gi = 1
+    dataVars.foreach { v =>
+      v.dims.zipWithIndex.foreach { case (dn, di) =>
+        gheapIdx((v.name, di)) = gi
+        u16(gi); u16(1); u32(0); u64(8); u64(ohAddrs(dn))
+        gi += 1
+      }
+    }
+
+    // data variables: deflated chunks + chunk btree + object header
+    dataVars.foreach { v =>
+      val shape = v.dims.map(d => dims.find(_._1 == d).get._2).toArray
+      val rank = shape.length
+      // one leading-index slice per chunk; split the next axis to force
+      // a partial edge chunk when it doesn't divide evenly
+      val chunkDims = shape.zipWithIndex.map { case (d, i) =>
+        if (rank >= 2 && i == 0) 1
+        else if (rank >= 2 && i == 1 && d > 2) d - 1
+        else d
+      }
+      val strides = new Array[Int](rank)
+      var s = 1
+      for (i <- (rank - 1) to 0 by -1) { strides(i) = s; s *= shape(i) }
+      val grid = shape.zip(chunkDims).map { case (d, c) => (d + c - 1) / c }
+      val nChunks = grid.product
+      val cTotal = chunkDims.product
+      val chunkEntries = scala.collection.mutable.Buffer[(Array[Int], Long, Int)]()
+      for (ci <- 0 until nChunks) {
+        var rem = ci
+        val cc = new Array[Int](rank)
+        for (d <- (rank - 1) to 0 by -1) { cc(d) = (rem % grid(d)) * chunkDims(d); rem /= grid(d) }
+        val cbuf = ByteBuffer.allocate(cTotal * 4).order(ByteOrder.LITTLE_ENDIAN)
+        for (ei <- 0 until cTotal) {
+          var er = ei
+          var src = 0
+          var ok = true
+          for (d <- (rank - 1) to 0 by -1) {
+            val coord = cc(d) + er % chunkDims(d); er /= chunkDims(d)
+            if (coord >= shape(d)) ok = false else src += coord * strides(d)
+          }
+          cbuf.putFloat(if (ok) v.data(src) else v.fill.getOrElse(0f))
+        }
+        var payload = cbuf.array()
+        if (shuffle) {
+          val nEl = payload.length / 4
+          val sh = new Array[Byte](payload.length)
+          for (b <- 0 until 4; i <- 0 until nEl) sh(b * nEl + i) = payload(i * 4 + b)
+          payload = sh
+        }
+        val defl = new java.util.zip.Deflater()
+        defl.setInput(payload); defl.finish()
+        val cbytes = new Array[Byte](payload.length + 64)
+        val nz = defl.deflate(cbytes)
+        defl.end()
+        val addr = pos
+        raw(java.util.Arrays.copyOf(cbytes, nz))
+        padTo8()
+        chunkEntries += ((cc, addr.toLong, nz))
+      }
+      val btreeAddr = pos
+      raw("TREE".getBytes); u8(1); u8(0); u16(chunkEntries.size)
+      u64(Undef); u64(Undef)
+      chunkEntries.foreach { case (cc, addr, nz) =>
+        u32(nz.toLong); u32(0)
+        cc.foreach(c => u64(c.toLong)); u64(0)
+        u64(addr)
+      }
+      u32(0); u32(0); shape.foreach(d => u64(d.toLong)); u64(0) // final key
+      padTo8()
+
+      val dimListData = bodyBuf({ bb =>
+        v.dims.indices.foreach { di =>
+          bb.putInt(1); bb.putLong(gheapAddr.toLong); bb.putInt(gheapIdx((v.name, di)))
+        }
+      }, v.dims.size * 16)
+      val filterIds = (if (shuffle) Seq((2, Seq(4))) else Nil) :+ ((1, Seq(6)))
+      val msgs = Seq(
+        0x01 -> dataspaceMsg(shape.toSeq),
+        0x03 -> f32Dt,
+        0x05 -> bodyBuf({ bb =>
+          bb.put(2.toByte).put(1.toByte).put(0.toByte)
+          v.fill match {
+            case Some(f) => bb.put(1.toByte).putInt(4).putFloat(f)
+            case None => bb.put(0.toByte)
+          }
+        }, 12),
+        0x08 -> bodyBuf({ bb =>
+          bb.put(3.toByte).put(2.toByte).put((rank + 1).toByte)
+          bb.putLong(btreeAddr.toLong)
+          chunkDims.foreach(bb.putInt); bb.putInt(4)
+        }, 11 + (rank + 1) * 4),
+        0x0B -> bodyBuf({ bb =>
+          bb.put(1.toByte).put(filterIds.size.toByte); bb.putShort(0); bb.putInt(0)
+          filterIds.foreach { case (id, cvals) =>
+            bb.putShort(id.toShort).putShort(0).putShort(0).putShort(cvals.size.toShort)
+            cvals.foreach(bb.putInt)
+            if (cvals.size % 2 == 1) bb.putInt(0)
+          }
+        }, 8 + filterIds.map(f => 8 + 4 * f._2.size + 4).sum),
+        0x0C -> attrMsg("DIMENSION_LIST", vlenRefDt, dataspaceMsg(Seq(v.dims.size)), dimListData)) ++
+        v.fill.map(f => 0x0C -> attrMsg("_FillValue", f32Dt, scalarDs,
+          bodyBuf(bb => { bb.putFloat(f); () }, 4))).toSeq
+      ohAddrs(v.name) = pos
+      raw(objectHeader(msgs))
+      padTo8()
+    }
+
+    // SNOD with entries sorted by link name
+    val snodAddr = pos
+    val sorted = allNames.sorted
+    raw("SNOD".getBytes); u16(1); u16(sorted.size)
+    sorted.foreach { n =>
+      u64(nameOffs(n)); u64(ohAddrs(n)); u32(0); u32(0)
+      out.write(new Array[Byte](16))
+    }
+    padTo8()
+
+    // group B-tree: one leaf pointing at the SNOD
+    val btreeAddr = pos
+    raw("TREE".getBytes); u8(0); u8(0); u16(1)
+    u64(Undef); u64(Undef)
+    u64(nameOffs(sorted.head)); u64(snodAddr); u64(nameOffs(sorted.last))
+    padTo8()
+
+    // root group object header
+    val rootAddr = pos
+    raw(objectHeader(Seq(0x11 -> bodyBuf({ bb =>
+      bb.putLong(btreeAddr.toLong); bb.putLong(heapAddr.toLong)
+    }, 16))))
+
+    // superblock v0, patched into the reserved prefix
+    val bytes = out.toByteArray
+    val sb = ByteBuffer.wrap(bytes, 0, 96).order(ByteOrder.LITTLE_ENDIAN)
+    sb.put(0x89.toByte).put('H'.toByte).put('D'.toByte).put('F'.toByte)
+      .put('\r'.toByte).put('\n'.toByte).put(0x1a.toByte).put('\n'.toByte)
+    sb.put(0.toByte).put(0.toByte).put(0.toByte).put(0.toByte) // sb/fs/root versions + reserved
+    sb.put(0.toByte).put(8.toByte).put(8.toByte).put(0.toByte) // shm ver, offsets, lengths, reserved
+    sb.putShort(4).putShort(16) // group leaf / internal K
+    sb.putInt(0) // consistency flags
+    sb.putLong(0) // base address
+    sb.putLong(Undef) // free-space info
+    sb.putLong(bytes.length.toLong) // end of file
+    sb.putLong(Undef) // driver info
+    sb.putLong(0) // root entry: link name offset
+    sb.putLong(rootAddr.toLong) // root entry: object header
+    sb.putInt(0).putInt(0) // cache type + reserved
+    bytes
+  }
+}

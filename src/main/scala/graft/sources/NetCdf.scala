@@ -50,6 +50,12 @@ object NetCdf {
   def canHandle(b: Array[Byte]): Boolean =
     b.length >= 4 && b(0) == 'C' && b(1) == 'D' && b(2) == 'F' && b(3) == 1
 
+  /** Dispatch on magic: classic CDF-1 or NetCDF-4 (HDF5 container,
+    * decoded natively by Hdf5 and assembled through the dimension-scale
+    * conventions into the same model). */
+  def readAny(bytes: Array[Byte]): File =
+    if (Hdf5.canHandle(bytes)) Hdf5.toNetCdf(bytes) else read(bytes)
+
   private val NC_DIMENSION = 10
   private val NC_VARIABLE = 11
   private val NC_ATTRIBUTE = 12
