@@ -38,9 +38,11 @@ object Hdf5 {
                      data: Array[Float], attrs: Map[String, Any])
   case class File(datasets: Seq[Dataset])
 
+  /** Sniff on the 4-byte `\x89HDF` prefix (matching the reference's sniff,
+    * georiva formats/netcdf.py:38-47); full files carry the 8-byte signature
+    * but callers may probe with as few as 4 bytes. */
   def canHandle(b: Array[Byte]): Boolean =
-    b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'H' && b(2) == 'D' &&
-      b(3) == 'F' && b(4) == '\r' && b(5) == '\n' && (b(6) & 0xff) == 0x1a && b(7) == '\n'
+    b.length >= 4 && (b(0) & 0xff) == 0x89 && b(1) == 'H' && b(2) == 'D' && b(3) == 'F'
 
   // ================= reader =========================================
 
@@ -521,7 +523,7 @@ object Hdf5 {
           refs.map(r => byAddr.getOrElse(r.asInstanceOf[Long],
             throw new IllegalArgumentException(s"${d.name}: DIMENSION_LIST ref to unknown object")))
         case _ if isScale(d.name) => Seq(d.name)
-        case _ => d.shape.map(sz => dimBySize.getOrElse(sz.toLong,
+        case _ => d.shape.map(sz => dimBySize.getOrElse(sz,
           throw new IllegalArgumentException(s"${d.name}: no dimension of size $sz")))
       }
       val fill = d.attrs.get("_FillValue").collect { case v: Double => v.toFloat }
