@@ -46,6 +46,17 @@ object Hdf5 {
 
   // ================= reader =========================================
 
+  /** Bounds-checked address → array offset. Files are read fully into a
+    * JVM byte array, so every valid in-file address fits in an Int; an
+    * address at/past the array length (notably the ≥2 GiB offsets a JVM
+    * array cannot hold) fails loudly instead of silently truncating. */
+  private def off(addr: Long, bytes: Array[Byte]): Int = {
+    require(addr >= 0 && addr < bytes.length,
+      s"HDF5 address $addr out of range (file is ${bytes.length} bytes; " +
+        "offsets beyond 2 GiB are not supported by the in-memory reader)")
+    addr.toInt
+  }
+
   /** Parsed datatype: cls ∈ {0 fixed, 1 float, 3 string, 7 reference,
     * 9 vlen}; consumed = encoded byte length (for walking attributes). */
   private case class Dt(cls: Int, size: Int, bigEndian: Boolean, signed: Boolean,
@@ -78,7 +89,7 @@ object Hdf5 {
   private def messages(bb: ByteBuffer, bytes: Array[Byte], addr: Long): Seq[(Int, Int)] = {
     // returns (message type, body offset); body length is implicit in the parse
     val msgs = scala.collection.mutable.Buffer[(Int, Int, Int)]() // type, off, size
-    val a = addr.toInt
+    val a = off(addr, bytes)
     if (bytes(a) == 1) { // v1 object header
       val nMsgs = bb.getShort(a + 2) & 0xffff
       // blocks of raw messages: (start, end); first block after 16-byte prefix
@@ -94,7 +105,8 @@ object Hdf5 {
           val sz = bb.getShort(p + 2) & 0xffff
           val body = p + 8
           if (typ == 0x10) // continuation: offset(8) + length(8)
-            blocks = blocks :+ ((bb.getLong(body).toInt, (bb.getLong(body) + bb.getLong(body + 8)).toInt))
+            blocks = blocks :+ ((off(bb.getLong(body), bytes),
+              off(bb.getLong(body) + bb.getLong(body + 8) - 1, bytes) + 1))
           else if (typ != 0) msgs += ((typ, body, sz))
           read += 1
           p = body + sz
@@ -126,9 +138,9 @@ object Hdf5 {
           if (body + sz > end) q = end // trailing gap, not a real message
           else {
             if (typ == 0x10) {
-              val off = bb.getLong(body).toInt
+              val o = off(bb.getLong(body), bytes)
               val len = bb.getLong(body + 8).toInt
-              blocks = blocks :+ ((off + 4, off + len - 4)) // skip OCHK sig + checksum
+              blocks = blocks :+ ((o + 4, o + len - 4)) // skip OCHK sig + checksum
             } else if (typ != 0) msgs += ((typ, body, sz))
             q = body + sz
           }
@@ -150,7 +162,7 @@ object Hdf5 {
     msgs.foreach {
       case (0x11, off) => // symbol table: btree addr + local heap addr
         val btree = bb.getLong(off); val heap = bb.getLong(off + 8)
-        val heapData = bb.getLong(heap.toInt + 24)
+        val heapData = bb.getLong(Hdf5.off(heap, bytes) + 24)
         walkGroupBtree(bb, bytes, btree, heapData, links)
       case (0x02, off) => // link info: fractal heap addr must be undefined
         val fh = bb.getLong(off + 2 + (if ((bytes(off + 1) & 1) != 0) 8 else 0))
@@ -165,7 +177,7 @@ object Hdf5 {
 
   private def walkGroupBtree(bb: ByteBuffer, bytes: Array[Byte], addr: Long, heapData: Long,
                              links: scala.collection.mutable.Buffer[(String, Long)]): Unit = {
-    val a = addr.toInt
+    val a = off(addr, bytes)
     require(bytes(a) == 'T' && bytes(a + 1) == 'R', s"expected TREE at $addr")
     val level = bytes(a + 5) & 0xff
     val n = bb.getShort(a + 6) & 0xffff
@@ -175,14 +187,14 @@ object Hdf5 {
       val child = bb.getLong(p); p += 16 // child + following key
       if (level > 0) walkGroupBtree(bb, bytes, child, heapData, links)
       else { // SNOD symbol-table node
-        val c = child.toInt
+        val c = off(child, bytes)
         require(bytes(c) == 'S' && bytes(c + 1) == 'N', s"expected SNOD at $child")
         val nSym = bb.getShort(c + 6) & 0xffff
         for (i <- 0 until nSym) {
           val e = c + 8 + i * 40
           val nameOff = bb.getLong(e)
           val ohAddr = bb.getLong(e + 8)
-          links += ((cString(bytes, (heapData + nameOff).toInt), ohAddr))
+          links += ((cString(bytes, off(heapData + nameOff, bytes)), ohAddr))
         }
       }
     }
@@ -263,7 +275,7 @@ object Hdf5 {
 
   /** One global-heap object's payload. */
   private def gheapObject(bb: ByteBuffer, bytes: Array[Byte], addr: Long, idx: Int): Array[Byte] = {
-    val a = addr.toInt
+    val a = off(addr, bytes)
     require(bytes(a) == 'G' && bytes(a + 1) == 'C', s"expected GCOL at $addr")
     val end = a + bb.getLong(a + 8).toInt
     var p = a + 16
@@ -386,7 +398,8 @@ object Hdf5 {
       case 0 => compact
       case 1 =>
         if (dataAddr == Undef) null
-        else java.util.Arrays.copyOfRange(bytes, dataAddr.toInt, (dataAddr + dataSize).toInt)
+        else java.util.Arrays.copyOfRange(bytes, off(dataAddr, bytes),
+          off(dataAddr + dataSize - 1, bytes) + 1)
       case 2 =>
         val out = new Array[Byte](n * dt.size)
         fillRaw.foreach { fb =>
@@ -416,7 +429,7 @@ object Hdf5 {
   private def readChunks(bb: ByteBuffer, bytes: Array[Byte], addr: Long, dims: Array[Int],
                          chunkDims: Array[Int], elemSize: Int, filters: Seq[Int],
                          out: Array[Byte]): Unit = {
-    val a = addr.toInt
+    val a = off(addr, bytes)
     require(bytes(a) == 'T' && bytes(a + 1) == 'R', s"expected TREE at $addr")
     require((bytes(a + 4) & 0xff) == 1, "expected chunk btree (type 1)")
     val level = bytes(a + 5) & 0xff
@@ -432,7 +445,8 @@ object Hdf5 {
       p += keySize + 8
       if (level > 0) readChunks(bb, bytes, child, dims, chunkDims, elemSize, filters, out)
       else {
-        var chunk = java.util.Arrays.copyOfRange(bytes, child.toInt, child.toInt + nbytes)
+        val c = off(child, bytes)
+        var chunk = java.util.Arrays.copyOfRange(bytes, c, c + nbytes)
         // filters apply in reverse order on read; honor the skip mask
         filters.zipWithIndex.reverse.foreach { case (id, i) =>
           if ((mask & (1 << i)) == 0) chunk = id match {

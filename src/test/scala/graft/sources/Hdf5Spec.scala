@@ -1,0 +1,132 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import graft.SparkSpec
+
+/** Direct round-trip coverage for the native HDF5 codec (the NetCDF-4
+  * container path): superblock v0 and v2, chunked+deflate(+shuffle)
+  * layout with partial edge chunks, DIMENSION_LIST resolution through
+  * the global heap, fill values, and the loud rejection of addresses a
+  * JVM byte array cannot hold (≥2 GiB). */
+class Hdf5Spec extends SparkSpec {
+
+  private val w = 7; private val h = 5; private val nT = 3
+
+  // lat descending (north-up), lon ascending; w=7 forces the writer's
+  // partial edge chunk (rows axis chunks at h-1=4, cols full)
+  private def fixture(shuffle: Boolean = false): Array[Byte] = {
+    val lat = Array(40f, 30f, 20f, 10f, 0f)
+    val lon = Array(-30f, -20f, -10f, 0f, 10f, 20f, 30f)
+    val data = Array.tabulate(nT * h * w)(i => if (i % 11 == 0) -9999f else i * 0.25f)
+    Hdf5.write(
+      Seq("time" -> nT, "lat" -> h, "lon" -> w),
+      Seq(
+        NetCdf.Variable("lat", Seq("lat"), lat, None),
+        NetCdf.Variable("lon", Seq("lon"), lon, None),
+        NetCdf.Variable("precip", Seq("time", "lat", "lon"), data, Some(-9999f))),
+      shuffle = shuffle)
+  }
+
+  test("sniffs on the 4-byte prefix and the full signature") {
+    val bytes = fixture()
+    assert(Hdf5.canHandle(bytes))
+    assert(Hdf5.canHandle(bytes.take(4))) // reference sniffs 4 bytes (netcdf.py:38-47)
+    assert(!Hdf5.canHandle(bytes.take(3)))
+    assert(Formats.sniff(bytes).map(_.name).contains("netcdf"))
+  }
+
+  test("superblock v0 round-trip: datasets, data, attrs, fill") {
+    val f = Hdf5.read(fixture())
+    // "time" has no coordinate variable but still gets a dimension-scale
+    // dataset (netcdf-c's "not a netCDF variable" placeholder)
+    assert(f.datasets.map(_.name).sorted == Seq("lat", "lon", "precip", "time"))
+    val precip = f.datasets.find(_.name == "precip").get
+    assert(precip.shape == Seq(nT, h, w))
+    assert(precip.attrs("_FillValue") == -9999.0)
+    val expected = Array.tabulate(nT * h * w)(i => if (i % 11 == 0) -9999f else i * 0.25f)
+    assert(precip.data.sameElements(expected)) // exercises partial edge chunks
+    val lat = f.datasets.find(_.name == "lat").get
+    assert(lat.attrs("CLASS") == "DIMENSION_SCALE")
+    assert(lat.data.sameElements(Array(40f, 30f, 20f, 10f, 0f)))
+  }
+
+  test("deflate+shuffle filter chain round-trips identically") {
+    val plain = Hdf5.read(fixture(shuffle = false))
+    val shuf = Hdf5.read(fixture(shuffle = true))
+    val a = plain.datasets.find(_.name == "precip").get.data
+    val b = shuf.datasets.find(_.name == "precip").get.data
+    assert(a.sameElements(b))
+  }
+
+  test("DIMENSION_LIST resolves through the global heap into NetCDF dims") {
+    val nc = Hdf5.toNetCdf(fixture())
+    // _Netcdf4Dimid restores creation order despite name-sorted traversal
+    assert(nc.dims == Seq("time" -> nT, "lat" -> h, "lon" -> w))
+    val precip = nc.vars.find(_.name == "precip").get
+    assert(precip.dims == Seq("time", "lat", "lon"))
+    assert(precip.fill.contains(-9999f))
+    // dimension-scale variables self-describe their dim
+    assert(nc.vars.find(_.name == "lat").get.dims == Seq("lat"))
+  }
+
+  test("anonymous dimension (no coordinate variable) still resolves") {
+    val data = Array.tabulate(4 * 3)(_.toFloat)
+    val bytes = Hdf5.write(
+      Seq("y" -> 4, "x" -> 3),
+      Seq(NetCdf.Variable("v", Seq("y", "x"), data, None)))
+    val nc = Hdf5.toNetCdf(bytes)
+    assert(nc.dims == Seq("y" -> 4, "x" -> 3))
+    assert(nc.vars.find(_.name == "v").get.data.sameElements(data))
+  }
+
+  /** Rewrite the writer's v0 superblock prefix as a v2 superblock —
+    * addresses are absolute, so only the prefix layout changes. */
+  private def toSuperblockV2(v0: Array[Byte]): Array[Byte] = {
+    val rootAddr = ByteBuffer.wrap(v0).order(ByteOrder.LITTLE_ENDIAN).getLong(64)
+    val out = v0.clone()
+    java.util.Arrays.fill(out, 8, 96, 0.toByte)
+    val sb = ByteBuffer.wrap(out, 0, 96).order(ByteOrder.LITTLE_ENDIAN)
+    sb.position(8)
+    sb.put(2.toByte).put(8.toByte).put(8.toByte).put(0.toByte) // ver, sizeof, sizeof, flags
+    sb.putLong(0L)              // base address
+    sb.putLong(-1L)             // superblock extension: undefined
+    sb.putLong(out.length.toLong) // EOF
+    sb.putLong(rootAddr)        // root object header address
+    sb.putInt(0)                // checksum (reader does not verify)
+    out
+  }
+
+  test("superblock v2 (direct root object header) reads identically") {
+    val v0 = fixture()
+    val v2 = toSuperblockV2(v0)
+    val a = Hdf5.read(v0).datasets.map(d => d.name -> d.data.toSeq).toMap
+    val b = Hdf5.read(v2).datasets.map(d => d.name -> d.data.toSeq).toMap
+    assert(a == b)
+  }
+
+  test("addresses beyond the file (≥2 GiB offsets) are rejected loudly") {
+    val bytes = fixture()
+    val bad = bytes.clone()
+    // point the v0 root symbol-table entry's object header at 3 GiB
+    ByteBuffer.wrap(bad).order(ByteOrder.LITTLE_ENDIAN).putLong(64, 3L * 1024 * 1024 * 1024)
+    val e = intercept[IllegalArgumentException](Hdf5.read(bad))
+    assert(e.getMessage.contains("out of range"))
+  }
+
+  test("NetCDF-4 ingests end-to-end through the chipper") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-h5-").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/precip_20240301.nc"), fixture())
+    val df = Formats.ingestDir(spark, dir)
+    assert(df.select("time").distinct().count() == nT)
+    // fill pixels dropped at the decode boundary (NaN discipline)
+    val n = df.count()
+    assert(n == (0 until nT * h * w).count(_ % 11 != 0))
+    // pixel-center geocoding from the coordinate variables
+    val r = df.filter(col("step") === 0 && col("y") === 0 && col("x") === 1)
+      .select("lon", "lat", "v").collect()(0)
+    assert(r.getDouble(0) == -20.0 && r.getDouble(1) == 40.0)
+  }
+}
