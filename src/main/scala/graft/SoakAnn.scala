@@ -40,6 +40,25 @@ object SoakAnn {
         .withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
         .count()
     }
+    time("bucket build only") {
+      // map-side only: one compiled pass, zero exchanges
+      Similarity.buckets(q, 8).agg(sum("bucket")).collect()
+    }
+    if (args.contains("--legacy-buckets")) time("bucket build (legacy)") {
+      // the former 512×-posexplode + per-row md5 + two-shuffle build,
+      // kept behind a flag to document the crossover
+      val comps = q.select(col("vec_id"), posexplode(col("q")).as(Seq("i", "qv")))
+      comps
+        .select(col("vec_id"), col("i"), col("qv"),
+          explode(sequence(lit(0), lit(7))).as("p"))
+        .withColumn("sgn",
+          expr("CASE WHEN instr('01234567', substring(md5(concat(CAST(p AS STRING), '_', CAST(i AS STRING))), 1, 1)) > 0 THEN 1 ELSE -1 END"))
+        .groupBy("vec_id", "p")
+        .agg(sum(col("sgn") * col("qv")).as("proj"))
+        .withColumn("bit", when(col("proj") >= 0, 1L).otherwise(0L))
+        .groupBy("vec_id").agg(sum(expr("shiftleft(bit, p)")).as("bucket"))
+        .agg(sum("bucket")).collect()
+    }
     time("LSH-bucketed top-10") {
       val b = Similarity.buckets(q, 8).cache()
       val qb = q.join(b, "vec_id")

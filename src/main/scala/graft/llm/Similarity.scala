@@ -91,17 +91,10 @@ object Similarity {
 
   /** Random-hyperplane LSH bucket (nPlanes bits) per vector. Signs are
     * md5-derived so both engines (and every executor) agree without a
-    * shared random state. */
-  def buckets(q: DataFrame, nPlanes: Int = 8): DataFrame = {
-    val comps = q.select(col("vec_id"), posexplode(col("q")).as(Seq("i", "qv")))
-    val planes = comps
-      .select(col("vec_id"), col("i"), col("qv"),
-        explode(sequence(lit(0), lit(nPlanes - 1))).as("p"))
-      .withColumn("sgn",
-        expr("CASE WHEN instr('01234567', substring(md5(concat(CAST(p AS STRING), '_', CAST(i AS STRING))), 1, 1)) > 0 THEN 1 ELSE -1 END"))
-    planes.groupBy("vec_id", "p")
-      .agg(sum(col("sgn") * col("qv")).as("proj"))
-      .withColumn("bit", when(col("proj") >= 0, 1L).otherwise(0L))
-      .groupBy("vec_id").agg(sum(expr("shiftleft(bit, p)")).as("bucket"))
-  }
+    * shared random state; the table is precomputed once driver-side and
+    * the projections fold in ONE compiled map-side pass — zero exchanges
+    * in the bucket build (graft.functions.HyperplaneBucket). */
+  def buckets(q: DataFrame, nPlanes: Int = 8, nDims: Int = 64): DataFrame =
+    q.select(col("vec_id"),
+      graft.functions.HyperplaneBucket(col("q"), nPlanes, nDims).as("bucket"))
 }
