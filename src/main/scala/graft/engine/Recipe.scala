@@ -154,18 +154,31 @@ class AnomalyRecipe(clim: DataFrame) extends Recipe {
 /** Zonal-stats gold table recipe (analysis/zonal_stats/service.py →
   * BoundaryZonalStats): unit = one timestep; output = per (boundary,
   * timestep) stats rows. Inputs must carry (t, y, x, v, lon, lat) and a
-  * broadcastable `boundaries` frame is bound at construction. */
-class ZonalStatsRecipe(boundaries: DataFrame) extends Recipe {
+  * broadcastable `boundaries` frame is bound at construction.
+  *
+  * `levels` mirrors the collection's `boundary_stats_levels: int[]`
+  * (core/models/collection.py:41): when non-empty the boundary table must
+  * carry a `level` column, only the configured levels participate
+  * (service.py:158-175 groups boundaries by level), and each granule fans
+  * out into per-(level, boundary, t) gold rows. The level is part of the
+  * grouping key of ONE broadcast join — the pixel scan is paid once, not
+  * once per level. */
+class ZonalStatsRecipe(boundaries: DataFrame, levels: Seq[Int] = Nil) extends Recipe {
   val name = "zonal_stats"; val version = 1
+  private val bound =
+    if (levels.isEmpty) boundaries
+    else boundaries.filter(col("level").isin(levels.map(Integer.valueOf): _*))
   def units(inputs: DataFrame): DataFrame =
     inputs.groupBy(col("t").cast("string").as("unit_id"))
       .agg(RecipeHash.rowDigest(col("y"), col("x"), col("v"))
         .cast("string").as("input_hash"))
-  def transform(inputs: DataFrame, toRun: DataFrame): DataFrame =
-    graft.ops.Zonal.zonalStats(
-      inputs.withColumn("unit_id", col("t").cast("string")).join(toRun, "unit_id"),
-      boundaries)
-      .withColumn("unit_id", col("t").cast("string"))
+  def transform(inputs: DataFrame, toRun: DataFrame): DataFrame = {
+    val scoped = inputs.withColumn("unit_id", col("t").cast("string")).join(toRun, "unit_id")
+    val stats =
+      if (levels.isEmpty) graft.ops.Zonal.zonalStats(scoped, bound)
+      else graft.ops.Zonal.zonalStatsLeveled(scoped, bound)
+    stats.withColumn("unit_id", col("t").cast("string"))
+  }
 }
 
 /** Slot climatology recipe (docs/adr/0007): unit = calendar slot

@@ -32,6 +32,50 @@ object GridQueries extends QueryModule {
       |    CASE WHEN r < 5 THEN -54.0 + r * 36.0 ELSE 10.0 END AS bn
       |  FROM range(6) t(r))""".stripMargin
 
+  /** Level-keyed boundary set (boundary_stats_levels, core/models/
+    * collection.py:41): level 1 = the 6 boxes above; level 2 = each level-1
+    * box split into its 4 quadrants (24 boundaries, ids 0–23; quadrant
+    * geometry r%2 → west/east half, (r DIV 2)%2 → south/north half). All
+    * edges are exact binary doubles, so both engines agree bit-for-bit. */
+  private def leveledBoundaries(s: SparkSession): DataFrame = {
+    val l1 = boundaries(s).withColumn("level", lit(1))
+    val l2 = s.range(24).select(col("id").cast("int").as("boundary_id"),
+        expr("CAST(id DIV 4 AS INT)").as("p"),
+        expr("CAST(id % 2 AS INT)").as("qx"),
+        expr("CAST((id DIV 2) % 2 AS INT)").as("qy"))
+      .withColumn("pbw", when(col("p") < 5, lit(-180.0) + col("p") * 72.0).otherwise(200.0))
+      .withColumn("pbe", when(col("p") < 5, lit(-108.0) + col("p") * 72.0).otherwise(210.0))
+      .withColumn("pbs", when(col("p") < 5, lit(-90.0) + col("p") * 36.0).otherwise(0.0))
+      .withColumn("pbn", when(col("p") < 5, lit(-54.0) + col("p") * 36.0).otherwise(10.0))
+      .withColumn("hw", (col("pbe") - col("pbw")) / 2)
+      .withColumn("hh", (col("pbn") - col("pbs")) / 2)
+      .select(lit(2).as("level"), col("boundary_id"),
+        (col("pbw") + col("qx") * col("hw")).as("bw"),
+        (col("pbw") + col("qx") * col("hw") + col("hw")).as("be"),
+        (col("pbs") + col("qy") * col("hh")).as("bs"),
+        (col("pbs") + col("qy") * col("hh") + col("hh")).as("bn"))
+    l1.select("level", "boundary_id", "bw", "be", "bs", "bn").unionByName(l2)
+  }
+
+  private val leveledBoundariesSql =
+    """l2q AS (
+      |  SELECT CAST(r AS INT) AS boundary_id,
+      |    CASE WHEN r // 4 < 5 THEN -180.0 + (r // 4) * 72.0 ELSE 200.0 END AS pbw,
+      |    CASE WHEN r // 4 < 5 THEN -108.0 + (r // 4) * 72.0 ELSE 210.0 END AS pbe,
+      |    CASE WHEN r // 4 < 5 THEN -90.0 + (r // 4) * 36.0 ELSE 0.0 END AS pbs,
+      |    CASE WHEN r // 4 < 5 THEN -54.0 + (r // 4) * 36.0 ELSE 10.0 END AS pbn,
+      |    CAST(r % 2 AS INT) AS qx, CAST((r // 2) % 2 AS INT) AS qy
+      |  FROM range(24) t(r)),
+      |lbounds AS (
+      |  SELECT 1 AS level, boundary_id, bw, be, bs, bn FROM bounds
+      |  UNION ALL
+      |  SELECT 2 AS level, boundary_id,
+      |    pbw + qx * ((pbe - pbw) / 2) AS bw,
+      |    pbw + qx * ((pbe - pbw) / 2) + (pbe - pbw) / 2 AS be,
+      |    pbs + qy * ((pbn - pbs) / 2) AS bs,
+      |    pbs + qy * ((pbn - pbs) / 2) + (pbn - pbs) / 2 AS bn
+      |  FROM l2q)""".stripMargin
+
   /** Long-form pixels with geo coordinates. */
   private def pixels(s: SparkSession, dir: String): DataFrame =
     Grid.fromLineitem(s, dir)
@@ -73,6 +117,28 @@ object GridQueries extends QueryModule {
       val frame = b.select("boundary_id")
         .crossJoin(px.select("t").distinct())
       frame.join(stats, Seq("boundary_id", "t"), "left")
+    }),
+
+    // J1b — multi-level boundary zonal: the collection's
+    // boundary_stats_levels fan one granule into per-(level, boundary, t)
+    // gold rows (analysis/zonal_stats/service.py:24-80,158-175). One
+    // broadcast join covers both levels; the pixel scan is paid once.
+    "j1b_zonal_levels" -> ((s, dir) => {
+      val px = pixels(s, dir)
+      val b = leveledBoundaries(s)
+      val joined = px.join(broadcast(b),
+        col("lon") >= col("bw") && col("lon") < col("be") &&
+        col("lat") >= col("bs") && col("lat") < col("bn"))
+      val stats = joined.groupBy("level", "boundary_id", "t").agg(
+        (sum(col("v").cast("long")).cast("double") / count(lit(1))).as("zmean"),
+        min(col("v")).as("zmin"),
+        max(col("v")).as("zmax"),
+        sum(col("v").cast("long")).cast("double").as("zsum"),
+        Exact.stddevPopExact(col("v")).as("zstd"),
+        count(lit(1)).as("zcount"))
+      val frame = b.select("level", "boundary_id")
+        .crossJoin(px.select("t").distinct())
+      frame.join(stats, Seq("level", "boundary_id", "t"), "left")
     }),
 
     // A8 — area time-series: spatial reduce over the masked region per
@@ -194,6 +260,27 @@ object GridQueries extends QueryModule {
         |       zmean, zmin, zmax, zsum, zstd, zcount
         |FROM frame LEFT JOIN stats
         |  ON frame.boundary_id = stats.boundary_id AND frame.t = stats.t""".stripMargin),
+    "j1b_zonal_levels" -> withCtes(
+      s""", $leveledBoundariesSql,
+        |stats AS (
+        |  SELECT level, boundary_id, t,
+        |    CAST(sum(CAST(v AS BIGINT)) AS DOUBLE) / count(*) AS zmean,
+        |    min(v) AS zmin, max(v) AS zmax,
+        |    CAST(sum(CAST(v AS BIGINT)) AS DOUBLE) AS zsum,
+        |    sqrt(count(*) * CAST(sum(CAST(v AS BIGINT)*CAST(v AS BIGINT)) AS DOUBLE)
+        |         - CAST(sum(CAST(v AS BIGINT)) AS DOUBLE)*CAST(sum(CAST(v AS BIGINT)) AS DOUBLE))
+        |      / count(*) AS zstd,
+        |    count(*) AS zcount
+        |  FROM px JOIN lbounds
+        |    ON lon >= bw AND lon < be AND lat >= bs AND lat < bn
+        |  GROUP BY 1, 2, 3),
+        |frame AS (SELECT level, boundary_id, t
+        |          FROM lbounds, (SELECT DISTINCT t FROM px) ts)
+        |SELECT frame.level AS level, frame.boundary_id AS boundary_id, frame.t AS t,
+        |       zmean, zmin, zmax, zsum, zstd, zcount
+        |FROM frame LEFT JOIN stats
+        |  ON frame.level = stats.level AND frame.boundary_id = stats.boundary_id
+        |  AND frame.t = stats.t""".stripMargin),
     "a8_area_timeseries" -> withCtes(
       """SELECT t,
         |  CAST(sum(CAST(v AS BIGINT)) AS DOUBLE) / count(*) AS amean,

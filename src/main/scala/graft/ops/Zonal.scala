@@ -21,22 +21,35 @@ object Zonal {
   /** boundaries: (boundary_id, geom_wkt, bw, bs, be, bn). Pixels:
     * (t, y, x, v, lon, lat). Returns per (boundary_id, t) stats with
     * all-NULL rows for empty intersections. */
-  def zonalStats(pixels: DataFrame, boundaries: DataFrame): DataFrame = {
+  def zonalStats(pixels: DataFrame, boundaries: DataFrame): DataFrame =
+    zonalStatsKeyed(pixels, boundaries, Seq("boundary_id"))
+
+  /** Multi-level variant (core/models/collection.py:41
+    * `boundary_stats_levels`, analysis/zonal_stats/service.py:158-175):
+    * the boundary table carries a `level` column (admin level 0/1/2…)
+    * and one granule fans out into per-(level, boundary, t) gold rows.
+    * One broadcast join covers every level — the level is just part of
+    * the grouping key, so the pixel scan is paid once, not per level. */
+  def zonalStatsLeveled(pixels: DataFrame, leveledBoundaries: DataFrame): DataFrame =
+    zonalStatsKeyed(pixels, leveledBoundaries, Seq("level", "boundary_id"))
+
+  private def zonalStatsKeyed(pixels: DataFrame, boundaries: DataFrame,
+                              keys: Seq[String]): DataFrame = {
     val bboxHit = pixels.join(broadcast(boundaries),
       col("lon") >= col("bw") && col("lon") < col("be") &&
         col("lat") >= col("bs") && col("lat") < col("bn"))
     // exact containment per boundary geometry (deterministic JTS test)
     val exact = bboxHit.filter(containsPoint(col("geom_wkt"), col("lon"), col("lat")))
-    val stats = exact.groupBy("boundary_id", "t").agg(
+    val stats = exact.groupBy(keys.head, keys.tail :+ "t": _*).agg(
       avg(col("v")).as("zmean"),
       min(col("v")).as("zmin"),
       max(col("v")).as("zmax"),
       sum(col("v")).as("zsum"),
       stddev_pop(col("v")).as("zstd"),
       count(col("v")).as("zcount"))
-    val frame = boundaries.select("boundary_id")
+    val frame = boundaries.select(keys.head, keys.tail: _*)
       .crossJoin(pixels.select("t").distinct())
-    frame.join(stats, Seq("boundary_id", "t"), "left")
+    frame.join(stats, keys :+ "t", "left")
   }
 
   /** JTS point-in-polygon as a (deterministic) UDF with per-executor

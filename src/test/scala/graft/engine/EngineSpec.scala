@@ -73,6 +73,36 @@ class EngineSpec extends SparkSpec {
     assert(gold.filter(col("zcount") === 4).count() == 3)
   }
 
+  test("zonal recipe with boundary_stats_levels fans one granule into per-level rows") {
+    val stateDir = Files.createTempDirectory("graft-engine4-").toString
+    val engine = new Engine(spark, stateDir)
+    // level 1: the whole 2×2 frame; level 2: west/east halves;
+    // level 3 configured OUT via the levels list, must not appear.
+    val boundaries = Seq(
+      (1, 10, "POLYGON ((-1 -1, 2 -1, 2 2, -1 2, -1 -1))", -1.0, -1.0, 2.0, 2.0),
+      (2, 20, "POLYGON ((-1 -1, 0.5 -1, 0.5 2, -1 2, -1 -1))", -1.0, -1.0, 0.5, 2.0),
+      (2, 21, "POLYGON ((0.5 -1, 2 -1, 2 2, 0.5 2, 0.5 -1))", 0.5, -1.0, 2.0, 2.0),
+      (3, 30, "POLYGON ((-1 -1, 2 -1, 2 2, -1 2, -1 -1))", -1.0, -1.0, 2.0, 2.0)
+    ).toDF("level", "boundary_id", "geom_wkt", "bw", "bs", "be", "bn")
+    val recipe = new ZonalStatsRecipe(boundaries, levels = Seq(1, 2))
+    val inputs = mkInputs(bump = false)
+      .withColumn("lon", col("x").cast("double"))
+      .withColumn("lat", col("y").cast("double"))
+    val a1 = engine.run(recipe, inputs)
+    assert(a1.filter(col("action") === "insert").count() == 3)
+    val gold = spark.read.parquet(s"$stateDir/zonal_stats/outputs")
+    // 3 timesteps × (1 level-1 + 2 level-2) boundaries; level 3 excluded
+    assert(gold.count() == 9)
+    assert(gold.select("level").distinct().as[Int].collect().toSet == Set(1, 2))
+    // level-1 covers all 4 pixels; each level-2 half covers 2
+    assert(gold.filter(col("level") === 1 && col("zcount") === 4).count() == 3)
+    assert(gold.filter(col("level") === 2 && col("zcount") === 2).count() == 6)
+    // per-level sums reconcile with the full frame
+    val bySum = gold.groupBy("level").agg(sum("zsum").cast("double").as("s"))
+      .as[(Int, Double)].collect().toMap
+    assert(bySum(1) == bySum(2))
+  }
+
   test("derivation chain: changed input cascades climatology → anomaly (X5)") {
     val stateDir = Files.createTempDirectory("graft-chain-").toString
     val engine = new Engine(spark, stateDir)
