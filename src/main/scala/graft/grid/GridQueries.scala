@@ -197,6 +197,20 @@ object GridQueries extends QueryModule {
       Regrid.cubic(s, Grid.fromLineitem(s, dir), Grid.W, Grid.H, 48, 36)
     }),
 
+    // F14 — regrid with CRS reprojection (geoprocessing/regrid.py:23-70
+    // warps between any CRS pair): the target is a 48×32 Web-Mercator
+    // grid; each target center inverse-projects into the 4326 cube and
+    // gathers its bilinear neighbourhood there. Identical probe-join
+    // plan — reprojection only changes how the (tiny, broadcast) probe
+    // table is built.
+    "f14_regrid_reproject" -> ((s, dir) => {
+      val probes = Regrid.reprojectProbes(s, Grid.W, Grid.H,
+        srcWest = -180.0, srcNorth = 90.0, pxDeg = Grid.PX, pyDeg = Grid.PY,
+        tgtW = 48, tgtH = 32,
+        mw = -18000000.0, mn = 14000000.0, pxm = 750000.0, pym = 875000.0)
+      Regrid.probeResample(Grid.fromLineitem(s, dir), probes)
+    }),
+
     // F14 — regrid, average: 2× coarsen, mean of valid source pixels per
     // target cell (rasterio 'average' NaN-aware semantics).
     "f14_regrid_average" -> ((s, dir) => {
@@ -306,6 +320,41 @@ object GridQueries extends QueryModule {
         |         (xx.r + 0.5) * (64.0 / 48.0) - 0.5 AS fx,
         |         (yy.r + 0.5) * (48.0 / 36.0) - 0.5 AS fy
         |  FROM range(36) yy(r), range(48) xx(r)),
+        |tg AS (
+        |  SELECT yt, xt, fx, fy,
+        |    greatest(0, CAST(floor(fx) AS INT)) AS x0,
+        |    greatest(0, CAST(floor(fy) AS INT)) AS y0,
+        |    least(63, greatest(0, CAST(floor(fx) AS INT)) + 1) AS x1,
+        |    least(47, greatest(0, CAST(floor(fy) AS INT)) + 1) AS y1,
+        |    fx - floor(fx) AS wx, fy - floor(fy) AS wy
+        |  FROM tgt),
+        |probes AS (
+        |  SELECT yt, xt, y0 AS sy, x0 AS sx,
+        |         CAST(floor((1.0 - wx) * (1.0 - wy) * 1048576) AS BIGINT) AS wq FROM tg
+        |  UNION ALL SELECT yt, xt, y0, x1, CAST(floor(wx * (1.0 - wy) * 1048576) AS BIGINT) FROM tg
+        |  UNION ALL SELECT yt, xt, y1, x0, CAST(floor((1.0 - wx) * wy * 1048576) AS BIGINT) FROM tg
+        |  UNION ALL SELECT yt, xt, y1, x1, CAST(floor(wx * wy * 1048576) AS BIGINT) FROM tg),
+        |agg AS (
+        |  SELECT t, yt, xt,
+        |    CAST(sum(wq * CAST(v AS BIGINT)) AS BIGINT) AS num,
+        |    CAST(sum(wq) AS BIGINT) AS den
+        |  FROM grid JOIN probes ON grid.y = probes.sy AND grid.x = probes.sx
+        |  GROUP BY 1, 2, 3)
+        |SELECT t, yt, xt, CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS v
+        |FROM agg WHERE den != 0""".stripMargin),
+    "f14_regrid_reproject" -> withCtes(
+      """, tgm AS (
+        |  SELECT CAST(r // 48 AS INT) AS yt, CAST(r % 48 AS INT) AS xt,
+        |         -18000000.0 + (CAST(r % 48 AS INT) + 0.5) * 750000.0 AS mx,
+        |         14000000.0 - (CAST(r // 48 AS INT) + 0.5) * 875000.0 AS my
+        |  FROM range(1536) t(r)),
+        |tgt AS (
+        |  SELECT yt, xt,
+        |    floor((((mx / (6378137.0 * pi() / 180.0)) - -180.0) / 5.625 - 0.5)
+        |          * 65536.0 + 0.5) / 65536.0 AS fx,
+        |    floor(((90.0 - (atan(exp(my / 6378137.0)) * 2 - pi() / 2) * (180.0 / pi()))
+        |           / 3.75 - 0.5) * 65536.0 + 0.5) / 65536.0 AS fy
+        |  FROM tgm),
         |tg AS (
         |  SELECT yt, xt, fx, fy,
         |    greatest(0, CAST(floor(fx) AS INT)) AS x0,

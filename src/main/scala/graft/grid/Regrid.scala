@@ -49,8 +49,13 @@ object Regrid {
     * are edge-clamped; a clamped pair collapses onto one source pixel
     * and the groupBy in [[probeResample]] adds their weights. */
   def bilinearProbes(spark: SparkSession, srcW: Int, srcH: Int,
-                     tgtW: Int, tgtH: Int): DataFrame = {
-    val tg = targets(spark, srcW, srcH, tgtW, tgtH)
+                     tgtW: Int, tgtH: Int): DataFrame =
+    bilinearFromF(targets(spark, srcW, srcH, tgtW, tgtH), srcW, srcH)
+
+  /** Bilinear corners + quantized weights from any (yt, xt, fx, fy)
+    * frame — shared by same-extent resampling and CRS reprojection. */
+  private def bilinearFromF(tg: DataFrame, srcW: Int, srcH: Int): DataFrame = {
+    val tc = tg
       .withColumn("x0", greatest(lit(0), floor(col("fx")).cast("int")))
       .withColumn("y0", greatest(lit(0), floor(col("fy")).cast("int")))
       .withColumn("x1", least(lit(srcW - 1), col("x0") + 1))
@@ -59,13 +64,48 @@ object Regrid {
       .withColumn("wy", col("fy") - floor(col("fy")))
     def p(sx: Column, sy: Column, w: Column) =
       struct(sx.as("sx"), sy.as("sy"), floor(w * WQ).cast("long").as("wq"))
-    tg.select(col("yt"), col("xt"), explode(array(
+    tc.select(col("yt"), col("xt"), explode(array(
         p(col("x0"), col("y0"), (lit(1.0) - col("wx")) * (lit(1.0) - col("wy"))),
         p(col("x1"), col("y0"), col("wx") * (lit(1.0) - col("wy"))),
         p(col("x0"), col("y1"), (lit(1.0) - col("wx")) * col("wy")),
         p(col("x1"), col("y1"), col("wx") * col("wy")))).as("pr"))
       .select(col("yt"), col("xt"), col("pr.sx").as("sx"),
         col("pr.sy").as("sy"), col("pr.wq").as("wq"))
+  }
+
+  /** Quantize a fractional source coordinate to 2^-16 pixel so the
+    * transcendental steps of an inverse projection (exp/atan) cannot
+    * leak cross-engine ULP drift into kernel weights. floor(x·2^16+0.5)
+    * (not round(): Spark's decimal-string rounding differs). */
+  private def quantF(c: Column): Column = floor(c * 65536.0 + 0.5) / 65536.0
+
+  /** Arbitrary-CRS regrid probe table (reference geoprocessing/
+    * regrid.py:23-70 reprojects between any CRS pair): the target grid
+    * lives in Web-Mercator meters (mw/mn origin, pxm/pym pixel size);
+    * each target pixel CENTER inverse-projects into the 4326 source
+    * frame (ops/Geo.scala mercator math) and gathers its bilinear
+    * neighbourhood there. Same single-probe-join plan as every other
+    * resampling — the projection only changes how probes are BUILT, and
+    * the probe table stays tiny/broadcastable at any scale. */
+  def reprojectProbes(spark: SparkSession, srcW: Int, srcH: Int,
+                      srcWest: Double, srcNorth: Double,
+                      pxDeg: Double, pyDeg: Double,
+                      tgtW: Int, tgtH: Int,
+                      mw: Double, mn: Double, pxm: Double, pym: Double): DataFrame = {
+    val R = graft.ops.Geo.EarthR
+    val tg = spark.range(tgtH.toLong * tgtW)
+      .select(expr(s"CAST(id DIV $tgtW AS INT)").as("yt"),
+        (col("id") % tgtW).cast("int").as("xt"))
+      .withColumn("mx", lit(mw) + (col("xt") + 0.5) * pxm)
+      .withColumn("my", lit(mn) - (col("yt") + 0.5) * pym)
+      // inverse Web-Mercator (Geo.mercXToLon / mercYToLat inlined with
+      // explicit degree arithmetic mirrored verbatim in the oracle SQL)
+      .withColumn("lon", col("mx") / (R * math.Pi / 180.0))
+      .withColumn("lat",
+        (atan(exp(col("my") / R)) * 2 - math.Pi / 2) * (180.0 / math.Pi))
+      .withColumn("fx", quantF((col("lon") - srcWest) / pxDeg - 0.5))
+      .withColumn("fy", quantF((lit(srcNorth) - col("lat")) / pyDeg - 0.5))
+    bilinearFromF(tg, srcW, srcH)
   }
 
   /** Cubic probe table: up to 16 (source pixel, weight) rows per target

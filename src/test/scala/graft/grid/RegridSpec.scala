@@ -58,6 +58,35 @@ class RegridSpec extends SparkSpec {
     assert(out.filter(isnan(col("v"))).isEmpty)
   }
 
+  test("reprojection probes: a linear-in-grid field survives the warp") {
+    // v = 2 + 3x + 5y is integer-valued (the probeResample contract) and
+    // linear in the source pixel frame, so the warped value at each
+    // target must equal 2 + 3·fx + 5·fy at the target center's
+    // back-projected fractional source coordinate.
+    val w = 64; val h = 48
+    val rows = for (y <- 0 until h; x <- 0 until w)
+      yield (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        y, x, (2 + 3 * x + 5 * y).toDouble)
+    val grid = rows.toDF("t", "y", "x", "v")
+    val probes = Regrid.reprojectProbes(spark, w, h, -180.0, 90.0,
+      360.0 / w, 180.0 / h, 48, 32, -18000000.0, 14000000.0, 750000.0, 875000.0)
+    val out = Regrid.probeResample(grid, probes)
+    val R = graft.ops.Geo.EarthR
+    val checked = out
+      .withColumn("mx", lit(-18000000.0) + (col("xt") + 0.5) * 750000.0)
+      .withColumn("my", lit(14000000.0) - (col("yt") + 0.5) * 875000.0)
+      .withColumn("lon", col("mx") / (R * math.Pi / 180.0))
+      .withColumn("lat", (atan(exp(col("my") / R)) * 2 - math.Pi / 2) * (180.0 / math.Pi))
+      .withColumn("fx", (col("lon") + 180.0) / (360.0 / w) - 0.5)
+      .withColumn("fy", (lit(90.0) - col("lat")) / (180.0 / h) - 0.5)
+      // skip clamped edges where bilinear extrapolation binds
+      .filter(col("fx") >= 0 && col("fx") <= w - 1 && col("fy") >= 0 && col("fy") <= h - 1)
+      .withColumn("expect", lit(2.0) + col("fx") * 3.0 + col("fy") * 5.0)
+    assert(checked.count() > 500)
+    val bad = checked.filter(abs(col("v") - col("expect")) > quantTol)
+    assert(bad.isEmpty, bad.collect().take(3).mkString(","))
+  }
+
   test("probe-resample plan: one broadcast join against the grid, no cartesian") {
     for (df <- Seq(Regrid.bilinear(spark, linearGrid, srcW, srcH, 12, 9),
                    Regrid.cubic(spark, linearGrid, srcW, srcH, 12, 9))) {
