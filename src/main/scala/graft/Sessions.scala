@@ -19,6 +19,10 @@ object Sessions {
       .config("spark.ui.enabled", "false")
       // events.parquet carries TIMESTAMP(NANOS); read as long + convert.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // partition keys are STRING by contract everywhere (unit_id,
+      // collection, date); inference would silently retype "2" → int
+      // and break ledger/unit joins on read-back
+      .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.Registry.register(spark)

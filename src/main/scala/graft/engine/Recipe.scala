@@ -64,12 +64,17 @@ class Engine(spark: SparkSession, stateDir: String) {
 
     val produced = recipe.transform(inputs, toRun).cache()
 
-    // Overwrite-in-place: drop re-derived units' old rows, add new ones.
-    val existingOut = readOrEmpty(outPath, produced)
-    val kept = existingOut.join(toRun, Seq("unit_id"), "left_anti")
-    replaceParquet(kept.unionByName(produced), outPath)
+    // Overwrite-in-place, partition-pruned: outputs are partitioned by
+    // unit_id and dynamic overwrite replaces exactly the re-derived
+    // units' partitions — untouched units' files are never rewritten, so
+    // per-run write cost is bounded by the BATCH, not by table history
+    // (the IngestStream.upsertBatch pattern; at scale, a Delta MERGE).
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    produced.write.mode("overwrite").partitionBy("unit_id").parquet(outPath)
 
-    // Ledger reflects the post-merge hash state.
+    // Ledger reflects the post-merge hash state. (Full rewrite is fine
+    // here: the ledger is unit-level METADATA — two small columns per
+    // unit — not data; it does not grow with row history.)
     replaceParquet(audit.select(col("unit_id"), col("input_hash")), ledgerPath)
 
     // Lineage: one row per (re)materialized unit (engine.py:384-404).

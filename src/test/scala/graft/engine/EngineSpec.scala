@@ -48,6 +48,31 @@ class EngineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$stateDir/climatology/lineage").count() == 4)
   }
 
+  test("engine rewrites only re-derived units' partitions (pruned writes)") {
+    val stateDir = Files.createTempDirectory("graft-engine5-").toString
+    val engine = new Engine(spark, stateDir)
+    engine.run(new ClimatologyRecipe, mkInputs(bump = false))
+
+    def partFiles(unit: String): Map[String, Long] = {
+      val dir = java.nio.file.Paths.get(s"$stateDir/climatology/outputs/unit_id=$unit")
+      val files = java.nio.file.Files.list(dir).toArray.map(_.asInstanceOf[java.nio.file.Path])
+      files.filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => p.toString -> java.nio.file.Files.getLastModifiedTime(p).toMillis).toMap
+    }
+    val before1 = partFiles("1"); val before3 = partFiles("3")
+    assert(before1.nonEmpty && before3.nonEmpty)
+    Thread.sleep(1100) // FS mtime granularity
+
+    // February changes: only slot 2's partition may be rewritten.
+    engine.run(new ClimatologyRecipe, mkInputs(bump = true))
+    assert(partFiles("1") == before1, "slot-1 partition files were rewritten")
+    assert(partFiles("3") == before3, "slot-3 partition files were rewritten")
+    val feb = spark.read.parquet(s"$stateDir/climatology/outputs")
+      .filter(col("unit_id") === "2" && col("y") === 0 && col("x") === 0)
+      .select("clim").as[Double].collect()(0)
+    assert(feb == 120.0)
+  }
+
   test("zonal recipe fills the gold table; late-arriving timestep resurrects (X4)") {
     val stateDir = Files.createTempDirectory("graft-engine3-").toString
     val engine = new Engine(spark, stateDir)
