@@ -27,6 +27,9 @@ object Formats {
       * bands are `band_N`, GRIB2 keys are the (discipline, category,
       * parameter) VariableKey, NetCDF uses the variable name. */
     def listVariables(bytes: Array[Byte]): Seq[String] = Seq("band_1")
+    /** Exact per-pixel (lon, lat), row-major, for non-affine
+      * (curvilinear) grids; None for affine formats. */
+    def pixelLonLat(bytes: Array[Byte]): Option[(Array[Double], Array[Double])] = None
   }
 
   object GeoTiffDecoder extends Decoder {
@@ -49,9 +52,12 @@ object Formats {
   object NetCdfDecoder extends Decoder {
     val name = "netcdf"
     def canHandle(b: Array[Byte]) = NetCdf.canHandle(b) || Hdf5.canHandle(b)
+    /** Spatial dims are matched by the reference's NAME SETS (y ∈
+      * {latitude, lat, y}, x ∈ {longitude, lon, x} — netcdf.py:276-287),
+      * not literal names; rectilinear and curvilinear both qualify. */
     private def gridVar(f: NetCdf.File): String =
-      f.vars.find(v => v.dims.takeRight(2) == Seq("lat", "lon")).map(_.name)
-        .getOrElse(throw new IllegalArgumentException("no (…,lat,lon) variable"))
+      f.gridVars.headOption.map(_.name)
+        .getOrElse(throw new IllegalArgumentException("no (…, y, x) variable"))
     def decode(b: Array[Byte]) = {
       val f = NetCdf.readAny(b)
       f.rasters(gridVar(f)).head._2
@@ -62,7 +68,11 @@ object Formats {
     }
     override def listVariables(b: Array[Byte]): Seq[String] = {
       val f = NetCdf.readAny(b)
-      f.vars.filter(_.dims.takeRight(2) == Seq("lat", "lon")).map(_.name)
+      f.gridVars.map(_.name)
+    }
+    override def pixelLonLat(b: Array[Byte]): Option[(Array[Double], Array[Double])] = {
+      val f = NetCdf.readAny(b)
+      f.pixelLonLat(gridVar(f))
     }
   }
 
@@ -85,13 +95,16 @@ object Formats {
           throw new IllegalArgumentException(s"unknown format: $path"))
         val fname = path.substring(path.lastIndexOf('/') + 1)
         // geo coords at pixel CENTERS — the engine-wide convention
-        // (reference: virtual_zarr.py:326-344 affine at centers)
+        // (reference: virtual_zarr.py:326-344 affine at centers);
+        // curvilinear grids carry exact per-pixel coords instead
+        val ll = dec.pixelLonLat(bytes)
         for {
           (step, r) <- dec.decodeMulti(bytes)
           y <- 0 until r.height; x <- 0 until r.width
           v = r.data(y * r.width + x) if !v.isNaN
         } yield (fname, step, y, x, v.toDouble,
-          r.west + (x + 0.5) * r.px, r.north - (y + 0.5) * r.py)
+          ll.map(_._1(y * r.width + x)).getOrElse(r.west + (x + 0.5) * r.px),
+          ll.map(_._2(y * r.width + x)).getOrElse(r.north - (y + 0.5) * r.py))
       }
     }.toDF("fname", "step", "y", "x", "v", "lon", "lat")
     // multi-timestep files: valid time = filename time + step hours

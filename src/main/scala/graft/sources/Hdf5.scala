@@ -541,7 +541,8 @@ object Hdf5 {
           throw new IllegalArgumentException(s"${d.name}: no dimension of size $sz")))
       }
       val fill = d.attrs.get("_FillValue").collect { case v: Double => v.toFloat }
-      NetCdf.Variable(d.name, vdims, d.data, fill)
+      val strAttrs = d.attrs.collect { case (k, v: String) => k -> v }
+      NetCdf.Variable(d.name, vdims, d.data, fill, strAttrs)
     }
     NetCdf.File(dims, vars)
   }

@@ -3,36 +3,123 @@ package graft.sources
 import java.nio.ByteBuffer
 
 /** Minimal NetCDF classic (CDF-1) codec: float variables on
-  * (time?, lat, lon) dimensions with coordinate variables and a
+  * (time?, y, x) dimensions with coordinate variables and a
   * `_FillValue` attribute mapped to NaN — the reference's NetCDF
   * surface (formats/netcdf.py:33-366: variable list, time-dim
-  * detection, rectilinear grids, _FillValue→NaN). Written from the
-  * public NetCDF classic format specification (magic `CDF\x01`,
-  * big-endian headers + contiguous aligned data).
+  * detection, rectilinear AND curvilinear grids, CRS detection,
+  * _FillValue→NaN). Written from the public NetCDF classic format
+  * specification (magic `CDF\x01`, big-endian headers + contiguous
+  * aligned data).
+  *
+  * Spatial dimensions are recognized by the reference's name sets
+  * (netcdf.py:276-277): y ∈ {latitude, lat, y}, x ∈ {longitude, lon, x},
+  * case-insensitive. Coordinates may be 1-D (rectilinear) or 2-D
+  * auxiliary lat/lon over (y, x) (curvilinear, netcdf.py:289-343):
+  * curvilinear grids expose exact per-pixel coordinates and an
+  * approximate affine (min/max bounds + median resolution) exactly like
+  * the reference. CRS detection mirrors netcdf.py:344-350: a global
+  * `crs` attribute, else a `spatial_ref` variable's `crs_wkt`, else
+  * EPSG:4326.
   *
   * Multi-timestep files explode to one grid per timestep at ingest,
   * matching SURVEY S3.
   */
 object NetCdf {
 
+  /** The reference's spatial dimension/coordinate name sets
+    * (formats/netcdf.py:276-277), lowercased membership. */
+  val YNames = Set("latitude", "lat", "y")
+  val XNames = Set("longitude", "lon", "x")
+
   case class Variable(name: String, dims: Seq[String], data: Array[Float],
-                      fill: Option[Float])
-  case class File(dims: Seq[(String, Int)], vars: Seq[Variable]) {
+                      fill: Option[Float], attrs: Map[String, String] = Map.empty)
+  case class File(dims: Seq[(String, Int)], vars: Seq[Variable],
+                  gattrs: Map[String, String] = Map.empty) {
     def dimSize(n: String): Int = dims.find(_._1 == n).get._2
 
-    /** Decode one variable to rasters (one per timestep), using lat/lon
-      * coordinate variables for georeferencing (descending lat =
-      * north-up rows). */
+    /** Trailing (ydim, xdim) when both match the spatial name sets. */
+    def spatialDimsOf(v: Variable): Option[(String, String)] =
+      if (v.dims.size < 2) None
+      else {
+        val yd = v.dims(v.dims.size - 2); val xd = v.dims.last
+        if (YNames(yd.toLowerCase) && XNames(xd.toLowerCase)) Some((yd, xd)) else None
+      }
+
+    /** Data variables on a (…, y, x) grid. */
+    def gridVars: Seq[Variable] =
+      vars.filter(v => spatialDimsOf(v).isDefined &&
+        !YNames(v.name.toLowerCase) && !XNames(v.name.toLowerCase))
+
+    /** CRS detection (netcdf.py:344-350): global `crs` attribute, else
+      * `spatial_ref` variable's `crs_wkt`, else EPSG:4326. */
+    def crs: String =
+      gattrs.getOrElse("crs",
+        vars.find(_.name == "spatial_ref").flatMap(_.attrs.get("crs_wkt"))
+          .getOrElse("EPSG:4326"))
+
+    private def coordVar(names: Set[String], wantDims: Seq[String]): Option[Variable] =
+      vars.find(c => names(c.name.toLowerCase) && c.dims == wantDims)
+
+    /** Wrap 0..360 longitudes into −180..180 (netcdf.py:300-302). */
+    private def wrapLon(l: Float): Double = if (l > 180f) l - 360.0 else l.toDouble
+
+    /** Median |Δ| resolution (netcdf.py:333-343). */
+    private def medianRes(diffs: Seq[Double]): Double =
+      if (diffs.isEmpty) 1.0
+      else {
+        val s = diffs.map(math.abs).sorted
+        s(s.size / 2)
+      }
+
+    /** Exact per-pixel (lon, lat), row-major h×w — Some only for
+      * curvilinear grids (2-D auxiliary coordinates). */
+    def pixelLonLat(varName: String): Option[(Array[Double], Array[Double])] = {
+      val v = vars.find(_.name == varName).getOrElse(
+        throw new IllegalArgumentException(s"no variable $varName"))
+      val (yd, xd) = spatialDimsOf(v).getOrElse(return None)
+      for {
+        lat2 <- coordVar(YNames, Seq(yd, xd))
+        lon2 <- coordVar(XNames, Seq(yd, xd))
+      } yield (lon2.data.map(wrapLon), lat2.data.map(_.toDouble))
+    }
+
+    /** Decode one variable to rasters (one per timestep). Rectilinear
+      * grids use the 1-D coordinate variables (descending lat = north-up
+      * rows; ascending is flipped north-up). Curvilinear grids keep
+      * storage order and georeference by min/max bounds + median
+      * resolution — the reference's approximate affine (netcdf.py:
+      * 289-314); exact coords come from [[pixelLonLat]]. */
     def rasters(varName: String): Seq[(Int, GeoTiff.Raster)] = {
       val v = vars.find(_.name == varName).getOrElse(
         throw new IllegalArgumentException(s"no variable $varName"))
-      val lat = vars.find(_.name == "lat").get.data
-      val lon = vars.find(_.name == "lon").get.data
-      val h = lat.length; val w = lon.length
-      val py = math.abs(lat(0) - lat(1)).toDouble
-      val px = math.abs(lon(1) - lon(0)).toDouble
-      val north = lat.max + py / 2; val west = lon.min - px / 2
-      val northUp = lat(0) > lat(1)
+      val (yd, xd) = spatialDimsOf(v).getOrElse(
+        throw new IllegalArgumentException(s"$varName has no (…, y, x) dims"))
+      val h = dimSize(yd); val w = dimSize(xd)
+      val lat1 = coordVar(YNames, Seq(yd)); val lon1 = coordVar(XNames, Seq(xd))
+      val lat2 = coordVar(YNames, Seq(yd, xd)); val lon2 = coordVar(XNames, Seq(yd, xd))
+
+      // (west, north, px, py, northUp)
+      val (west, north, px, py, northUp) = (lat1, lon1, lat2, lon2) match {
+        case (Some(la), Some(lo), _, _) => // rectilinear
+          val lats = la.data.map(_.toDouble)
+          val lons = lo.data.map(wrapLon)
+          val py = medianRes(lats.sliding(2).map(p => p(1) - p(0)).toSeq)
+          val px = medianRes(lons.sliding(2).map(p => p(1) - p(0)).toSeq)
+          (lons.min - px / 2, lats.max + py / 2, px, py, lats.length < 2 || lats(0) > lats(1))
+        case (_, _, Some(la), Some(lo)) => // curvilinear: approximate affine
+          val lats = la.data.map(_.toDouble)
+          val lons = lo.data.map(wrapLon)
+          // median |Δ| along each axis (rows for lat, columns for lon)
+          val py = medianRes((0 until h - 1).flatMap(y =>
+            (0 until w).map(x => lats((y + 1) * w + x) - lats(y * w + x))))
+          val px = medianRes((0 until h).flatMap(y =>
+            (0 until w - 1).map(x => lons(y * w + x + 1) - lons(y * w + x))))
+          // storage order preserved (no 1-D y coord ⇒ no flip, netcdf.py:143-148)
+          (lons.min - px / 2, lats.max + py / 2, px, py, true)
+        case _ => // no coordinates: unit georeference (netcdf.py:296-297)
+          (0.0, h.toDouble, 1.0, 1.0, true)
+      }
+
       val nT = if (v.dims.size == 3) dimSize(v.dims.head) else 1
       (0 until nT).map { t =>
         val slice = new Array[Float](w * h)
@@ -59,12 +146,15 @@ object NetCdf {
   private val NC_DIMENSION = 10
   private val NC_VARIABLE = 11
   private val NC_ATTRIBUTE = 12
+  private val NC_CHAR = 2
   private val NC_FLOAT = 5
 
   // ---- encode ------------------------------------------------------
 
-  /** Write dims + float variables (row-major, time-major). */
-  def write(dims: Seq[(String, Int)], variables: Seq[Variable]): Array[Byte] = {
+  /** Write dims + float variables (row-major, time-major), optional
+    * global NC_CHAR attributes and per-variable NC_CHAR attributes. */
+  def write(dims: Seq[(String, Int)], variables: Seq[Variable],
+            gattrs: Seq[(String, String)] = Nil): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def u32(v: Int): Unit = {
       out.write(v >> 24); out.write((v >> 16) & 0xff)
@@ -75,17 +165,32 @@ object NetCdf {
       val pad = (4 - s.length % 4) % 4
       (0 until pad).foreach(_ => out.write(0))
     }
+    def charAttr(n: String, v: String): Unit = {
+      name(n); u32(NC_CHAR); u32(v.length)
+      out.write(v.getBytes)
+      val pad = (4 - v.length % 4) % 4
+      (0 until pad).foreach(_ => out.write(0))
+    }
     out.write("CDF".getBytes); out.write(1) // magic + version
     u32(0) // numrecs
     // dim_list
     u32(NC_DIMENSION); u32(dims.size)
     dims.foreach { case (n, sz) => name(n); u32(sz) }
-    u32(0); u32(0) // no global attributes (ABSENT)
+    // global attributes
+    if (gattrs.isEmpty) { u32(0); u32(0) }
+    else {
+      u32(NC_ATTRIBUTE); u32(gattrs.size)
+      gattrs.foreach { case (n, v) => charAttr(n, v) }
+    }
     // var_list — compute header size first to lay out offsets
+    def nameSz(s: String) = 4 + s.length + (4 - s.length % 4) % 4
+    def charAttrSz(n: String, v: String) =
+      nameSz(n) + 8 + v.length + (4 - v.length % 4) % 4
     def varHeaderSize(v: Variable): Int = {
-      def nameSz(s: String) = 4 + s.length + (4 - s.length % 4) % 4
       nameSz(v.name) + 4 + 4 * v.dims.size +
-        (if (v.fill.isDefined) 8 + nameSz("_FillValue") + 8 + 4 else 8) +
+        8 + // attr list tag + count (or ABSENT zeros)
+        (if (v.fill.isDefined) nameSz("_FillValue") + 8 + 4 else 0) +
+        v.attrs.map { case (n, s) => charAttrSz(n, s) }.sum +
         4 + 4 + 4 // type, vsize, begin
     }
     val fixed = out.size() + 8 + variables.map(varHeaderSize).sum
@@ -100,12 +205,15 @@ object NetCdf {
       name(v.name)
       u32(v.dims.size)
       v.dims.foreach(d => u32(dims.indexWhere(_._1 == d)))
-      v.fill match {
-        case Some(f) =>
-          u32(NC_ATTRIBUTE); u32(1)
+      val nAtts = (if (v.fill.isDefined) 1 else 0) + v.attrs.size
+      if (nAtts == 0) { u32(0); u32(0) }
+      else {
+        u32(NC_ATTRIBUTE); u32(nAtts)
+        v.fill.foreach { f =>
           name("_FillValue"); u32(NC_FLOAT); u32(1)
           u32(java.lang.Float.floatToIntBits(f))
-        case None => u32(0); u32(0)
+        }
+        v.attrs.foreach { case (n, s) => charAttr(n, s) }
       }
       u32(NC_FLOAT)
       u32(v.data.length * 4) // vsize
@@ -129,14 +237,38 @@ object NetCdf {
       bb.position(bb.position() + (4 - len % 4) % 4)
       new String(s)
     }
+    /** One attribute list; returns (fill, string attrs). */
+    def attrList(): (Option[Float], Map[String, String]) = {
+      val aTag = bb.getInt; val nAtts = bb.getInt
+      require(aTag == NC_ATTRIBUTE || (aTag == 0 && nAtts == 0))
+      var fill: Option[Float] = None
+      val strs = scala.collection.mutable.Map[String, String]()
+      for (_ <- 0 until nAtts) {
+        val an = name(); val at = bb.getInt; val ac = bb.getInt
+        if (an == "_FillValue" && at == NC_FLOAT && ac == 1)
+          fill = Some(java.lang.Float.intBitsToFloat(bb.getInt))
+        else if (at == NC_CHAR) {
+          val s = new Array[Byte](ac); bb.get(s)
+          bb.position(bb.position() + (4 - ac % 4) % 4)
+          strs(an) = new String(s)
+        } else {
+          val sz = at match {
+            case NC_FLOAT => 4 * ac
+            case 4 => 4 * ac // NC_INT
+            case 6 => 8 * ac // NC_DOUBLE
+            case _ => 4 * ac
+          }
+          bb.position(bb.position() + sz)
+        }
+      }
+      (fill, strs.toMap)
+    }
     // dims
     val dimTag = bb.getInt; val nDims = bb.getInt
     require(dimTag == NC_DIMENSION || (dimTag == 0 && nDims == 0))
     val dims = (0 until nDims).map(_ => (name(), bb.getInt))
-    // global atts (ABSENT = two zeros)
-    val gaTag = bb.getInt; val nGa = bb.getInt
-    require(gaTag == NC_ATTRIBUTE || (gaTag == 0 && nGa == 0))
-    require(nGa == 0, "global attributes not supported")
+    // global atts
+    val (_, gattrs) = attrList()
     // vars
     val vTag = bb.getInt; val nVars = bb.getInt
     require(vTag == NC_VARIABLE || (vTag == 0 && nVars == 0))
@@ -144,35 +276,20 @@ object NetCdf {
       val vn = name()
       val nd = bb.getInt
       val vdims = (0 until nd).map(i => dims(bb.getInt)._1)
-      val aTag = bb.getInt; val nAtts = bb.getInt
-      var fill: Option[Float] = None
-      require(aTag == NC_ATTRIBUTE || (aTag == 0 && nAtts == 0))
-      for (_ <- 0 until nAtts) {
-        val an = name(); val at = bb.getInt; val ac = bb.getInt
-        val sz = at match {
-          case NC_FLOAT => 4 * ac
-          case 2 => ac + (4 - ac % 4) % 4 // NC_CHAR padded
-          case 4 => 4 * ac // NC_INT
-          case 6 => 8 * ac // NC_DOUBLE
-          case _ => 4 * ac
-        }
-        if (an == "_FillValue" && at == NC_FLOAT && ac == 1)
-          fill = Some(java.lang.Float.intBitsToFloat(bb.getInt))
-        else bb.position(bb.position() + sz)
-      }
+      val (fill, strAttrs) = attrList()
       val typ = bb.getInt
       require(typ == NC_FLOAT, s"only float variables supported, got $typ")
       val vsize = bb.getInt
       val begin = bb.getInt
-      (vn, vdims, fill, vsize, begin)
+      (vn, vdims, fill, strAttrs, vsize, begin)
     }
-    val variables = metas.map { case (vn, vdims, fill, vsize, begin) =>
+    val variables = metas.map { case (vn, vdims, fill, strAttrs, vsize, begin) =>
       val n = vsize / 4
       val data = new Array[Float](n)
       var i = 0
       while (i < n) { data(i) = bb.getFloat(begin + i * 4); i += 1 }
-      Variable(vn, vdims, data, fill)
+      Variable(vn, vdims, data, fill, strAttrs)
     }
-    File(dims, variables)
+    File(dims, variables, gattrs)
   }
 }

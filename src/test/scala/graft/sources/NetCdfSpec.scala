@@ -55,4 +55,70 @@ class NetCdfSpec extends SparkSpec {
     // timestep 2 values offset by t*h*w
     assert(rs(2)._2.data(1) == (2 * 24 + 1) * 0.5f)
   }
+
+  test("curvilinear 2-D lat/lon coordinates: per-pixel coords, approximate affine, CRS") {
+    val h = 3; val w = 4
+    val lat2 = Array.tabulate(h * w)(i => 50f - (i / w) * 10f + (i % w) * 0.5f)
+    val lon2 = Array.tabulate(h * w)(i => 10f + (i % w) * 5f + (i / w) * 0.25f)
+    val data = Array.tabulate(h * w)(_.toFloat)
+    val bytes = NetCdf.write(
+      Seq("y" -> h, "x" -> w),
+      Seq(
+        NetCdf.Variable("lat", Seq("y", "x"), lat2, None),
+        NetCdf.Variable("lon", Seq("y", "x"), lon2, None),
+        NetCdf.Variable("spatial_ref", Nil, Array(0f), None,
+          Map("crs_wkt" -> "EPSG:32633")),
+        NetCdf.Variable("temp", Seq("y", "x"), data, Some(-1f))))
+    val f = NetCdf.read(bytes)
+    assert(f.crs == "EPSG:32633") // spatial_ref crs_wkt (netcdf.py:344-350)
+    assert(f.gridVars.map(_.name) == Seq("temp")) // aux coords are not data vars
+    val (lons, lats) = f.pixelLonLat("temp").get
+    assert(lons(1) == 15.0 && lats(w) == 40.0)
+    val r = f.rasters("temp").head._2
+    assert(r.width == w && r.height == h)
+    assert(r.data(0).isNaN == false && r.data(1) == 1f) // storage order kept
+    assert(r.px == 5.0 && r.py == 10.0) // median |Δ| per axis
+    assert(r.west == 7.5 && r.north == 56.5) // min/max ± res/2
+  }
+
+  test("CRS detection: global crs attr wins; default EPSG:4326; 0..360 lons wrap") {
+    val lat = NetCdf.Variable("latitude", Seq("latitude"), Array(20f, 10f), None)
+    val lon = NetCdf.Variable("longitude", Seq("longitude"), Array(350f, 355f), None)
+    val v = NetCdf.Variable("temp", Seq("latitude", "longitude"),
+      Array(1f, 2f, 3f, 4f), None)
+    val bytes = NetCdf.write(Seq("latitude" -> 2, "longitude" -> 2),
+      Seq(lat, lon, v), gattrs = Seq("crs" -> "EPSG:3857"))
+    val f = NetCdf.read(bytes)
+    assert(f.crs == "EPSG:3857")
+    assert(NetCdf.read(sampleFile).crs == "EPSG:4326")
+    // alias dim names (latitude/longitude) are recognized as spatial
+    assert(f.gridVars.map(_.name) == Seq("temp"))
+    val r = f.rasters("temp").head._2
+    // 350/355 wrap to -10/-5: px=5, west=-12.5
+    assert(r.px == 5.0 && r.west == -12.5)
+  }
+
+  test("curvilinear file ingests with exact per-pixel coordinates") {
+    val h = 3; val w = 4
+    val lat2 = Array.tabulate(h * w)(i => 50f - (i / w) * 10f + (i % w) * 0.5f)
+    val lon2 = Array.tabulate(h * w)(i => 10f + (i % w) * 5f + (i / w) * 0.25f)
+    val data = Array.tabulate(h * w)(_.toFloat)
+    val bytes = NetCdf.write(
+      Seq("y" -> h, "x" -> w),
+      Seq(
+        NetCdf.Variable("lat", Seq("y", "x"), lat2, None),
+        NetCdf.Variable("lon", Seq("y", "x"), lon2, None),
+        NetCdf.Variable("temp", Seq("y", "x"), data, None)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-curv-").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/temp_20240501.nc"), bytes)
+    val df = Formats.ingestDir(spark, dir)
+    import org.apache.spark.sql.functions.col
+    val rows = df.select("y", "x", "lon", "lat").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(rows.size == h * w)
+    // pixel (1, 2): lon = 10 + 2*5 + 1*0.25; lat = 50 - 10 + 2*0.5
+    assert(rows((1, 2)) == (20.25, 41.0))
+    val _ = col("y")
+  }
 }
