@@ -5,6 +5,28 @@ import graft.grid.Grid
 import graft.model.QueryModule
 import org.apache.spark.sql.functions._
 
+/** Shared noleap month-table SQL fragments — identical text runs in
+  * Spark and DuckDB so both engines derive the same mapping. */
+object GeoCal {
+  /** Cumulative days before each month in a noleap year. */
+  val cum = Seq(0, 31, 59, 90, 120, 151, 181, 212, 243, 273, 304, 334)
+
+  /** Month (1-12) of a noleap day-of-year expression. */
+  def noleapMonthOf(doy: String): String =
+    "(CASE " + cum.tail.zipWithIndex.map { case (c, i) =>
+      s"WHEN $doy <= $c THEN ${i + 1} " }.mkString + "ELSE 12 END)"
+
+  /** Days before the month containing noleap day-of-year `doy`. */
+  def noleapCumBefore(doy: String): String =
+    "(CASE " + cum.tail.zipWithIndex.map { case (c, i) =>
+      s"WHEN $doy <= $c THEN ${cum(i)} " }.mkString + "ELSE 334 END)"
+
+  /** Days before month `m` in a noleap year. */
+  def noleapCumByMonth(m: String): String =
+    "(CASE " + cum.zipWithIndex.map { case (c, i) =>
+      s"WHEN $m = ${i + 1} THEN $c " }.mkString + "ELSE NULL END)"
+}
+
 /** Verified geometry + calendar queries (P4 intersects, F13 clip window,
   * F8 non-Gregorian calendar conversion). */
 object GeoCalQueries extends QueryModule {
@@ -50,6 +72,44 @@ object GeoCalQueries extends QueryModule {
         .withColumn("d", (col("ord") % 30).cast("int") + 1)
         .withColumn("std_date",
           expr("CAST(make_date(yr, m, least(d, day(last_day(make_date(yr, m, 1))))) AS TIMESTAMP)"))
+    }),
+
+    // F8 — noleap (365-day) calendar, both directions (calendar.py:
+    // 12-30 convert_calendar("noleap")): noleap ordinals decode through
+    // the fixed month table to standard dates (every noleap date exists
+    // in Gregorian), and standard dates map to a noleap day-of-year with
+    // Feb 29 going to the `missing` fill (NULL here) since it has no
+    // noleap image.
+    "f8_calendar_noleap" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderdate"))
+        .withColumn("ord", expr("CAST(o_orderkey % 3650 AS INT)"))
+        .withColumn("yr", expr("CAST(ord DIV 365 AS INT) + 1990"))
+        .withColumn("doy", expr("CAST(ord % 365 AS INT) + 1"))
+        .withColumn("m", expr(s"CAST(${GeoCal.noleapMonthOf("doy")} AS INT)"))
+        .withColumn("d", expr(s"CAST(doy - ${GeoCal.noleapCumBefore("doy")} AS INT)"))
+        .withColumn("std_date", expr("CAST(make_date(yr, m, d) AS TIMESTAMP)"))
+        .withColumn("od", col("o_orderdate").cast("timestamp"))
+        .withColumn("nl_doy", expr(
+          "CASE WHEN month(o_orderdate) = 2 AND day(o_orderdate) = 29 THEN NULL ELSE " +
+            s"CAST(${GeoCal.noleapCumByMonth("month(o_orderdate)")} + day(o_orderdate) AS INT) END"))
+        .drop("o_orderdate")
+    }),
+
+    // F8 — 360-day → standard with align_on="year" (calendar.py:23-26):
+    // the 360 source days distribute proportionally over the target
+    // year's actual length (leap-aware), instead of the day-clamped
+    // same-date mapping above.
+    "f8_calendar_align_year" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"))
+        .withColumn("ord", expr("CAST(o_orderkey % 720 AS INT)"))
+        .withColumn("yr", expr("CAST(ord DIV 360 AS INT) + 1999"))
+        .withColumn("doy360", expr("CAST(ord % 360 AS INT) + 1"))
+        .withColumn("ylen", expr("CASE WHEN yr = 2000 THEN 366 ELSE 365 END"))
+        .withColumn("tgt_doy", expr("CAST((doy360 - 1) * ylen DIV 360 AS INT) + 1"))
+        .withColumn("aligned_date",
+          expr("CAST(date_add(make_date(yr, 1, 1), tgt_doy - 1) AS TIMESTAMP)"))
     })
   )
 
@@ -84,6 +144,42 @@ object GeoCalQueries extends QueryModule {
         |  -180.0 + col_off * 5.625 AS exact_w,
         |  90.0 - row_off * 3.75 AS exact_n
         |FROM w""".stripMargin,
+    "f8_calendar_noleap" ->
+      s"""WITH base AS (
+         |  SELECT o_orderkey, o_orderdate,
+         |    CAST(o_orderkey % 3650 AS INT) AS ord
+         |  FROM orders),
+         |dec AS (
+         |  SELECT o_orderkey, o_orderdate, ord,
+         |    CAST(ord // 365 AS INT) + 1990 AS yr,
+         |    CAST(ord % 365 AS INT) + 1 AS doy
+         |  FROM base)
+         |SELECT o_orderkey, ord, yr, doy,
+         |  CAST(${GeoCal.noleapMonthOf("doy")} AS INT) AS m,
+         |  CAST(doy - ${GeoCal.noleapCumBefore("doy")} AS INT) AS d,
+         |  CAST(make_date(yr, CAST(${GeoCal.noleapMonthOf("doy")} AS INT),
+         |       CAST(doy - ${GeoCal.noleapCumBefore("doy")} AS INT)) AS TIMESTAMP) AS std_date,
+         |  CAST(o_orderdate AS TIMESTAMP) AS od,
+         |  CASE WHEN month(o_orderdate) = 2 AND day(o_orderdate) = 29 THEN NULL
+         |       ELSE CAST(${GeoCal.noleapCumByMonth("month(o_orderdate)")}
+         |            + day(o_orderdate) AS INT) END AS nl_doy
+         |FROM dec""".stripMargin,
+    "f8_calendar_align_year" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, CAST(o_orderkey % 720 AS INT) AS ord FROM orders),
+        |dec AS (
+        |  SELECT o_orderkey, ord,
+        |    CAST(ord // 360 AS INT) + 1999 AS yr,
+        |    CAST(ord % 360 AS INT) + 1 AS doy360
+        |  FROM base),
+        |al AS (
+        |  SELECT o_orderkey, ord, yr, doy360,
+        |    CASE WHEN yr = 2000 THEN 366 ELSE 365 END AS ylen,
+        |    CAST((doy360 - 1) * (CASE WHEN yr = 2000 THEN 366 ELSE 365 END) // 360 AS INT) + 1 AS tgt_doy
+        |  FROM dec)
+        |SELECT o_orderkey, ord, yr, doy360, ylen, tgt_doy,
+        |  CAST(make_date(yr, 1, 1) + (tgt_doy - 1) AS TIMESTAMP) AS aligned_date
+        |FROM al""".stripMargin,
     "f8_calendar_360day" ->
       """SELECT o_orderkey, o_orderkey % 7200 AS ord,
         |  CAST((o_orderkey % 7200) // 360 AS INT) + 1990 AS yr,
