@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Configured color ramps (SURVEY F7; reference core/models/
+  * visualization.py:19-158): hex stops (full, shorthand, alpha forms),
+  * optional uneven positions spread/clamped like `_spread_positions`,
+  * continuous sampling like `_sample_ramp`, and stepped/categorical
+  * `generate_stops` with hard class edges.
+  *
+  * Config parsing (hex → rgba, position spreading) runs driver-side —
+  * it is per-RAMP work, the reference does it in Python models — while
+  * per-value sampling is column arithmetic against the broadcast stops
+  * table, so applying a ramp to 10^11 pixels stays one broadcast join.
+  *
+  * Rounding uses the engine-wide floor(x+0.5) (reference rounds with
+  * Python's banker's rounding; the half-up contract is documented and
+  * shared with the DuckDB oracle).
+  */
+object Ramps {
+
+  /** `hex_to_rgba_list` (visualization.py:19-45): '#RRGGBB[AA]',
+    * shorthand '#RGB[A]', leading '#' optional; alpha defaults 255. */
+  def hexToRgba(hex: String): (Int, Int, Int, Int) = {
+    require(hex != null && hex.trim.nonEmpty, "empty hex color")
+    var h = hex.trim.stripPrefix("#")
+    if (h.length == 3 || h.length == 4) h = h.flatMap(c => s"$c$c")
+    require(h.length == 6 || h.length == 8, s"invalid hex color length: $hex")
+    def p(i: Int) = Integer.parseInt(h.substring(i, i + 2), 16)
+    (p(0), p(2), p(4), if (h.length == 8) p(6) else 255)
+  }
+
+  /** '#rrggbb' / '#rrggbbaa' (alpha only when not fully opaque) —
+    * `_rgba_to_hex` (visualization.py:47-53), as a column over ints. */
+  def rgbaToHexCol(r: Column, g: Column, b: Column, a: Column): Column =
+    concat(lit("#"), format_string("%02x%02x%02x", r, g, b),
+      when(a =!= 255, format_string("%02x", a)).otherwise(lit("")))
+
+  case class Stop(hex: String, position: Option[Double] = None)
+  /** rampType ∈ {sequential, qualitative} (ColorRamp.RampType). */
+  case class Ramp(id: String, rampType: String, stops: Seq[Stop])
+
+  /** `_spread_positions` (visualization.py:55-76): missing positions
+    * spread evenly; positions forced non-decreasing left→right. */
+  def spreadPositions(stops: Seq[Stop]): Seq[Double] = {
+    if (stops.size == 1) return Seq(0.0)
+    val last = stops.size - 1
+    var floor = 0.0
+    stops.zipWithIndex.map { case (s, i) =>
+      val p = s.position.getOrElse(i.toDouble / last)
+      floor = math.max(floor, p)
+      floor
+    }
+  }
+
+  /** Ramps as a broadcastable SEGMENT table: one row per adjacent stop
+    * pair, (ramp_id, j, p0, p1, r0..a0, r1..a1, plo, phi) where
+    * plo/phi are the ramp's positioned span for clamping. */
+  def segments(spark: SparkSession, ramps: Seq[Ramp]): DataFrame = {
+    import spark.implicits._
+    ramps.flatMap { ramp =>
+      val pos = spreadPositions(ramp.stops)
+      val rgba = ramp.stops.map(s => hexToRgba(s.hex))
+      (0 until ramp.stops.size - 1).map { j =>
+        val (r0, g0, b0, a0) = rgba(j); val (r1, g1, b1, a1) = rgba(j + 1)
+        (ramp.id, j, pos(j), pos(j + 1), r0, g0, b0, a0, r1, g1, b1, a1,
+          pos.head, pos.last)
+      }
+    }.toDF("ramp_id", "j", "p0", "p1", "r0", "g0", "b0", "a0",
+      "r1", "g1", "b1", "a1", "plo", "phi")
+  }
+
+  /** Sample every configured ramp at `t` for each input row
+    * (`_sample_ramp`, visualization.py:97-113): clamp into the
+    * positioned span, take the FIRST segment containing t, interpolate
+    * each channel linearly (zero-span segments sample their left stop).
+    * Returns input columns + (ramp_id, r, g, b, a). One broadcast join
+    * keyed on the containment condition — the stops table is per-ramp
+    * config, never data-sized. */
+  def sampleContinuous(values: DataFrame, t: Column, segs: DataFrame,
+                       keyCols: Seq[String]): DataFrame = {
+    val withT = values.withColumn("t_raw", t)
+    val joined = withT.join(broadcast(segs),
+      least(greatest(col("t_raw"), col("plo")), col("phi")).between(col("p0"), col("p1")))
+      .withColumn("tc", least(greatest(col("t_raw"), col("plo")), col("phi")))
+      .withColumn("frac",
+        when(col("p1") > col("p0"), (col("tc") - col("p0")) / (col("p1") - col("p0")))
+          .otherwise(lit(0.0)))
+    def ch(c0: String, c1: String) =
+      floor(col(c0) + (col(c1) - col(c0)) * col("frac") + 0.5).cast("int")
+    val sampled = joined.select(
+      (keyCols.map(col) :+ col("ramp_id") :+ col("j") :+
+        ch("r0", "r1").as("r") :+ ch("g0", "g1").as("g") :+
+        ch("b0", "b1").as("b") :+ ch("a0", "a1").as("a")): _*)
+    // FIRST containing segment (the reference's ascending scan)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy((keyCols :+ "ramp_id").map(col): _*).orderBy(col("j"))
+    sampled.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .drop("rn", "j")
+  }
+
+  /** `generate_stops` stepped mode (visualization.py:115-158): cut
+    * [vmin, vmax] into `steps` classes; qualitative ramps cycle their
+    * colors verbatim (categories never blend), others sample the ramp at
+    * i/(steps-1); each class emits two stops sharing its boundaries so
+    * edges stay hard through any downstream linear interpolation.
+    * Returns (ramp_id, stop_seq, value, color). */
+  def generateStopsStepped(spark: SparkSession, ramps: Seq[Ramp],
+                           vmin: Double, vmax: Double, steps: Int): DataFrame = {
+    val segs = segments(spark, ramps)
+    val qualitative = ramps.filter(_.rampType == "qualitative").flatMap { ramp =>
+      val rgba = ramp.stops.map(s => hexToRgba(s.hex))
+      (0 until steps).map { i =>
+        val (r, g, b, a) = rgba(i % rgba.size)
+        (ramp.id, i, r, g, b, a)
+      }
+    }
+    import spark.implicits._
+    val qualDF = qualitative.toDF("ramp_id", "i", "r", "g", "b", "a")
+    val seqIds = ramps.filter(_.rampType != "qualitative").map(_.id)
+    val samplePts = spark.range(steps).select(col("id").cast("int").as("i"))
+      .withColumn("t_sample",
+        if (steps > 1) col("i").cast("double") / (steps - 1) else lit(0.5))
+    val seqDF = sampleContinuous(samplePts, col("t_sample"),
+        segs.filter(col("ramp_id").isin(seqIds: _*)), Seq("i"))
+      .select("ramp_id", "i", "r", "g", "b", "a")
+    val classes = qualDF.unionByName(seqDF)
+    val span = vmax - vmin
+    classes.select(col("ramp_id"), col("i"), col("r"), col("g"), col("b"), col("a"),
+        explode(array(lit(0), lit(1))).as("edge"))
+      .withColumn("stop_seq", col("i") * 2 + col("edge"))
+      .withColumn("value", lit(vmin) + (col("i") + col("edge")) * span / steps)
+      .withColumn("color", rgbaToHexCol(col("r"), col("g"), col("b"), col("a")))
+      .select("ramp_id", "stop_seq", "value", "color")
+  }
+}

@@ -11,7 +11,72 @@ import org.apache.spark.sql.functions._
   */
 object ScalarQueries extends QueryModule {
 
+  /** Configured ramp dimension (core/models/visualization.py:19-158):
+    * hex forms (full / shorthand / alpha), uneven + partially-declared
+    * positions, out-of-order declarations (clamped non-decreasing), and
+    * a qualitative ramp whose colors never blend. */
+  val configuredRamps: Seq[Ramps.Ramp] = Seq(
+    Ramps.Ramp("precip", "sequential", Seq(
+      Ramps.Stop("#000080"),                     // even spread → 0
+      Ramps.Stop("#00ff00", Some(0.1)),          // declared, uneven
+      Ramps.Stop("#ff0"),                        // shorthand → even 2/3
+      Ramps.Stop("#ff0000cc", Some(1.0)))),      // alpha stop
+    Ramps.Ramp("anom", "sequential", Seq(
+      Ramps.Stop("#0000ff", Some(0.0)),
+      Ramps.Stop("#ffffff", Some(0.6)),
+      Ramps.Stop("#f80", Some(0.4)),             // out of order → clamped 0.6
+      Ramps.Stop("#800000", Some(1.0)))),
+    Ramps.Ramp("classes", "qualitative", Seq(
+      Ramps.Stop("#e41a1c"), Ramps.Stop("#377eb8"), Ramps.Stop("#4daf4a"))))
+
+  /** The segment table as DuckDB VALUES — generated from the SAME parsed
+    * config the Spark side uses, so literals cannot drift. */
+  private def segsValuesSql: String = {
+    val rows = configuredRamps.flatMap { ramp =>
+      val pos = Ramps.spreadPositions(ramp.stops)
+      val rgba = ramp.stops.map(s => Ramps.hexToRgba(s.hex))
+      (0 until ramp.stops.size - 1).map { j =>
+        val (r0, g0, b0, a0) = rgba(j); val (r1, g1, b1, a1) = rgba(j + 1)
+        s"('${ramp.id}', $j, ${pos(j)}, ${pos(j + 1)}, $r0, $g0, $b0, $a0, " +
+          s"$r1, $g1, $b1, $a1, ${pos.head}, ${pos.last})"
+      }
+    }
+    s"segs(ramp_id, j, p0, p1, r0, g0, b0, a0, r1, g1, b1, a1, plo, phi) AS (VALUES\n  " +
+      rows.mkString(",\n  ") + ")"
+  }
+
+  /** Qualitative stepped classes as VALUES (colors cycle verbatim). */
+  private def qualClassesSql(steps: Int): String = {
+    val rows = configuredRamps.filter(_.rampType == "qualitative").flatMap { ramp =>
+      val rgba = ramp.stops.map(s => Ramps.hexToRgba(s.hex))
+      (0 until steps).map { i =>
+        val (r, g, b, a) = rgba(i % rgba.size)
+        s"('${ramp.id}', $i, $r, $g, $b, $a)"
+      }
+    }
+    s"qual(ramp_id, i, r, g, b, a) AS (VALUES\n  " + rows.mkString(",\n  ") + ")"
+  }
+
   override def queries = Map(
+    // F7 — configured ramps, continuous sampling: every ramp in the
+    // dimension table is applied to each value through one broadcast
+    // segment join (hex parse + position spreading are per-ramp config
+    // work, done driver-side exactly like the reference's models).
+    "f7b_ramp_configured" -> ((s, dir) => {
+      val segs = Ramps.segments(s, configuredRamps)
+      Ramps.sampleContinuous(
+        Tables.events(s, dir).select(col("event_id"), col("value")),
+        least(greatest(col("value") / 300.0, lit(0.0)), lit(1.0)),
+        segs, Seq("event_id"))
+        .select("event_id", "ramp_id", "r", "g", "b", "a")
+    }),
+
+    // F7 — generate_stops stepped mode over [0, 300] in 5 classes:
+    // qualitative colors cycle verbatim with hard class edges (two
+    // stops per boundary); sequential ramps sample at i/(steps-1).
+    "f7c_ramp_stepped" -> ((s, dir) => {
+      Ramps.generateStopsStepped(s, configuredRamps, 0.0, 300.0, 5)
+    }),
     // F1 — safe_divide: zero denominator → NULL (NaN-nodata discipline).
     "f1_safe_divide" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -140,6 +205,53 @@ object ScalarQueries extends QueryModule {
         |  CAST((month(o_orderdate) - 1) * 3 + least(2, (day(o_orderdate) - 1) // 10) + 1 AS INT) AS dekad,
         |  CAST((month(o_orderdate) - 1) * 6 + least(5, (day(o_orderdate) - 1) // 5) + 1 AS INT) AS pentad
         |FROM orders""".stripMargin,
+    "f7b_ramp_configured" ->
+      s"""WITH $segsValuesSql,
+         |n AS (SELECT event_id, least(greatest(value / 300.0, 0.0), 1.0) AS t FROM events),
+         |m AS (
+         |  SELECT event_id, ramp_id, j,
+         |    least(greatest(t, plo), phi) AS tc, p0, p1,
+         |    r0, g0, b0, a0, r1, g1, b1, a1,
+         |    row_number() OVER (PARTITION BY event_id, ramp_id ORDER BY j) AS rn
+         |  FROM n JOIN segs ON least(greatest(t, plo), phi) BETWEEN p0 AND p1),
+         |f AS (
+         |  SELECT event_id, ramp_id,
+         |    CASE WHEN p1 > p0 THEN (tc - p0) / (p1 - p0) ELSE 0.0 END AS frac,
+         |    r0, g0, b0, a0, r1, g1, b1, a1
+         |  FROM m WHERE rn = 1)
+         |SELECT event_id, ramp_id,
+         |  CAST(floor(r0 + (r1 - r0) * frac + 0.5) AS INT) AS r,
+         |  CAST(floor(g0 + (g1 - g0) * frac + 0.5) AS INT) AS g,
+         |  CAST(floor(b0 + (b1 - b0) * frac + 0.5) AS INT) AS b,
+         |  CAST(floor(a0 + (a1 - a0) * frac + 0.5) AS INT) AS a
+         |FROM f""".stripMargin,
+    "f7c_ramp_stepped" ->
+      s"""WITH $segsValuesSql,
+         |${qualClassesSql(5)},
+         |pts AS (SELECT CAST(r AS INT) AS i, CAST(r AS DOUBLE) / 4 AS t FROM range(5) t(r)),
+         |m AS (
+         |  SELECT i, ramp_id, j,
+         |    least(greatest(t, plo), phi) AS tc, p0, p1,
+         |    r0, g0, b0, a0, r1, g1, b1, a1,
+         |    row_number() OVER (PARTITION BY i, ramp_id ORDER BY j) AS rn
+         |  FROM pts JOIN segs ON least(greatest(t, plo), phi) BETWEEN p0 AND p1
+         |  WHERE ramp_id IN ('precip', 'anom')),
+         |seqc AS (
+         |  SELECT ramp_id, i,
+         |    CAST(floor(r0 + (r1 - r0) * (CASE WHEN p1 > p0 THEN (tc - p0) / (p1 - p0) ELSE 0.0 END) + 0.5) AS INT) AS r,
+         |    CAST(floor(g0 + (g1 - g0) * (CASE WHEN p1 > p0 THEN (tc - p0) / (p1 - p0) ELSE 0.0 END) + 0.5) AS INT) AS g,
+         |    CAST(floor(b0 + (b1 - b0) * (CASE WHEN p1 > p0 THEN (tc - p0) / (p1 - p0) ELSE 0.0 END) + 0.5) AS INT) AS b,
+         |    CAST(floor(a0 + (a1 - a0) * (CASE WHEN p1 > p0 THEN (tc - p0) / (p1 - p0) ELSE 0.0 END) + 0.5) AS INT) AS a
+         |  FROM m WHERE rn = 1),
+         |classes AS (
+         |  SELECT ramp_id, i, r, g, b, a FROM qual
+         |  UNION ALL SELECT ramp_id, i, r, g, b, a FROM seqc)
+         |SELECT ramp_id,
+         |  CAST(i * 2 + edge AS INT) AS stop_seq,
+         |  0.0 + (i + edge) * 300.0 / 5 AS value,
+         |  '#' || printf('%02x%02x%02x', r, g, b) ||
+         |    CASE WHEN a != 255 THEN printf('%02x', a) ELSE '' END AS color
+         |FROM classes CROSS JOIN (VALUES (0), (1)) e(edge)""".stripMargin,
     "f7_color_ramp" ->
       """WITH n AS (
         |  SELECT event_id,
