@@ -25,7 +25,8 @@ object SparkEntry {
     graft.engine.EngineQueries,
     graft.ops.GeoCalQueries,
     graft.llm.MultimodalQueries,
-    graft.catalog.Sql
+    graft.catalog.Sql,
+    graft.serve.DocQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
