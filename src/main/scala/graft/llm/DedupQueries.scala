@@ -67,8 +67,46 @@ object DedupQueries extends QueryModule {
     // Exact all-pairs n-gram Jaccard via the shingle inverted index:
     // one self-join aggregated straight to intersection counts (no
     // distinct-pairs detour, no re-join against the shingle table).
+    // EXACT BASELINE ONLY: quadratic in the hottest shingle's posting
+    // list — d_minhash_lsh is the production path, and the capped
+    // variant below is the bounded exact-ish alternative.
     "d_ngram_jaccard" -> ((s, dir) =>
       pairJaccOf(s, dir).filter(col("jacc") >= 0.3)),
+
+    // Production-bounded n-gram Jaccard: shingles whose posting list
+    // exceeds a cap are excluded from pair GENERATION (stop-phrases
+    // shared by 10^6 docs would otherwise make 10^12 pairs), and the
+    // dropped-shingle count is reported in every row for observability.
+    // Intersection/union still count ALL shingles, so the score is exact
+    // for any pair that still meets through a rare shingle.
+    "d_ngram_jaccard_capped" -> ((s, dir) => {
+      val cap = 40
+      val sh = shinglesOf(s, dir)
+      val hot = sh.groupBy("s").agg(count(lit(1)).as("pc")).filter(col("pc") > cap)
+      val cold = sh.join(broadcast(hot.select("s")), Seq("s"), "left_anti")
+      val hotPost = sh.join(broadcast(hot.select("s")), Seq("s"))
+      val sizes = sh.groupBy("id").agg(count(lit(1)).as("c"))
+      // pair generation + cold intersections from the CAPPED index only
+      val icold = cold.select(col("id").as("doc_a"), col("s"))
+        .join(cold.select(col("id").as("doc_b"), col("s")), Seq("s"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ic"))
+      // hot-shingle intersections computed ONLY for surviving candidates:
+      // cost ∝ candidates × hot shingles per doc, never posting² of a
+      // stop-phrase
+      val ihot = icold.select("doc_a", "doc_b")
+        .join(hotPost.select(col("id").as("doc_a"), col("s")), Seq("doc_a"))
+        .join(hotPost.select(col("id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ih"))
+      icold.join(ihot, Seq("doc_a", "doc_b"), "left")
+        .withColumn("i", col("ic") + coalesce(col("ih"), lit(0L)))
+        .join(sizes.select(col("id").as("doc_a"), col("c").as("ca")), Seq("doc_a"))
+        .join(sizes.select(col("id").as("doc_b"), col("c").as("cb")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          (col("i").cast("double") / (col("ca") + col("cb") - col("i"))).as("jacc"))
+        .filter(col("jacc") >= 0.3)
+        .crossJoin(broadcast(hot.agg(count(lit(1)).as("n_dropped_shingles"))))
+    }),
 
     // Cluster canonicalization: verified near-dup pairs → connected
     // components → keep-minimum-id representative (the "which copy do we
@@ -141,6 +179,33 @@ object DedupQueries extends QueryModule {
          |SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (ca.c + cb.c - i) AS jacc
          |FROM inter JOIN sizes ca ON ca.id = doc_a JOIN sizes cb ON cb.id = doc_b
          |WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.5""".stripMargin,
+    "d_ngram_jaccard_capped" ->
+      s"""WITH $shinglesCte,
+         |hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 40),
+         |cold AS (SELECT id, s FROM sh WHERE s NOT IN (SELECT s FROM hot)),
+         |icold AS (
+         |  SELECT a.id AS doc_a, b.id AS doc_b, count(*) AS ic
+         |  FROM cold a JOIN cold b ON a.s = b.s AND a.id < b.id
+         |  GROUP BY 1, 2),
+         |hotpost AS (SELECT id, s FROM sh WHERE s IN (SELECT s FROM hot)),
+         |ihot AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS ih
+         |  FROM icold c
+         |  JOIN hotpost ha ON ha.id = c.doc_a
+         |  JOIN hotpost hb ON hb.id = c.doc_b AND hb.s = ha.s
+         |  GROUP BY 1, 2),
+         |j AS (
+         |  SELECT icold.doc_a AS doc_a, icold.doc_b AS doc_b,
+         |    ic + coalesce(ih, 0) AS i
+         |  FROM icold LEFT JOIN ihot
+         |    ON icold.doc_a = ihot.doc_a AND icold.doc_b = ihot.doc_b),
+         |nd AS (SELECT count(*) AS n_dropped_shingles FROM hot)
+         |SELECT j.doc_a AS doc_a, j.doc_b AS doc_b,
+         |  CAST(i AS DOUBLE) / (sa.c + sb.c - i) AS jacc,
+         |  nd.n_dropped_shingles AS n_dropped_shingles
+         |FROM j JOIN sizes sa ON sa.id = j.doc_a
+         |JOIN sizes sb ON sb.id = j.doc_b CROSS JOIN nd
+         |WHERE CAST(i AS DOUBLE) / (sa.c + sb.c - i) >= 0.3""".stripMargin,
     "d_ngram_jaccard" ->
       s"""WITH $shinglesCte,
          |pairs AS (

@@ -36,6 +36,8 @@ object Geo {
     val f = new GeometryFactory()
     udf { (x: Double, y: Double) =>
       // PreparedGeometry is not serializable; parse lazily per executor.
+      // Bounded: reset rather than grow past the cap (see Zonal.cache).
+      if (Geo.parsedCache.size() >= 8192) Geo.parsedCache.clear()
       val geom = Geo.parsedCache.computeIfAbsent(wkt, w => new WKTReader(f).read(w))
       geom.contains(f.createPoint(new Coordinate(x, y)))
     }

@@ -54,50 +54,43 @@ object Ramps {
     }
   }
 
-  /** Ramps as a broadcastable SEGMENT table: one row per adjacent stop
-    * pair, (ramp_id, j, p0, p1, r0..a0, r1..a1, plo, phi) where
-    * plo/phi are the ramp's positioned span for clamping. */
-  def segments(spark: SparkSession, ramps: Seq[Ramp]): DataFrame = {
-    import spark.implicits._
-    ramps.flatMap { ramp =>
-      val pos = spreadPositions(ramp.stops)
-      val rgba = ramp.stops.map(s => hexToRgba(s.hex))
-      (0 until ramp.stops.size - 1).map { j =>
-        val (r0, g0, b0, a0) = rgba(j); val (r1, g1, b1, a1) = rgba(j + 1)
-        (ramp.id, j, pos(j), pos(j + 1), r0, g0, b0, a0, r1, g1, b1, a1,
-          pos.head, pos.last)
-      }
-    }.toDF("ramp_id", "j", "p0", "p1", "r0", "g0", "b0", "a0",
-      "r1", "g1", "b1", "a1", "plo", "phi")
-  }
-
   /** Sample every configured ramp at `t` for each input row
     * (`_sample_ramp`, visualization.py:97-113): clamp into the
     * positioned span, take the FIRST segment containing t, interpolate
     * each channel linearly (zero-span segments sample their left stop).
-    * Returns input columns + (ramp_id, r, g, b, a). One broadcast join
-    * keyed on the containment condition — the stops table is per-ramp
-    * config, never data-sized. */
-  def sampleContinuous(values: DataFrame, t: Column, segs: DataFrame,
+    * Returns keyCols + (ramp_id, r, g, b, a).
+    *
+    * The per-ramp segment scan is compiled into a nested CASE chain
+    * built driver-side from the (tiny, per-ramp) config — applying N
+    * ramps to a value column is a pure map-side projection with ZERO
+    * joins/shuffles/windows, which is what lets it run over 10^11
+    * pixels at the cost of the scan alone. */
+  def sampleContinuous(values: DataFrame, t: Column, ramps: Seq[Ramp],
                        keyCols: Seq[String]): DataFrame = {
-    val withT = values.withColumn("t_raw", t)
-    val joined = withT.join(broadcast(segs),
-      least(greatest(col("t_raw"), col("plo")), col("phi")).between(col("p0"), col("p1")))
-      .withColumn("tc", least(greatest(col("t_raw"), col("plo")), col("phi")))
-      .withColumn("frac",
-        when(col("p1") > col("p0"), (col("tc") - col("p0")) / (col("p1") - col("p0")))
-          .otherwise(lit(0.0)))
-    def ch(c0: String, c1: String) =
-      floor(col(c0) + (col(c1) - col(c0)) * col("frac") + 0.5).cast("int")
-    val sampled = joined.select(
-      (keyCols.map(col) :+ col("ramp_id") :+ col("j") :+
-        ch("r0", "r1").as("r") :+ ch("g0", "g1").as("g") :+
-        ch("b0", "b1").as("b") :+ ch("a0", "a1").as("a")): _*)
-    // FIRST containing segment (the reference's ascending scan)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy((keyCols :+ "ramp_id").map(col): _*).orderBy(col("j"))
-    sampled.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .drop("rn", "j")
+    val rampStructs = ramps.map { ramp =>
+      val pos = spreadPositions(ramp.stops)
+      val rgba = ramp.stops.map(s => hexToRgba(s.hex))
+      val tc = least(greatest(t, lit(pos.head)), lit(pos.last))
+      def interp(j: Int, c: ((Int, Int, Int, Int)) => Int): Column = {
+        val frac =
+          if (pos(j + 1) > pos(j)) (tc - pos(j)) / (pos(j + 1) - pos(j))
+          else lit(0.0)
+        floor(lit(c(rgba(j))) + (lit(c(rgba(j + 1))) - c(rgba(j))) * frac + 0.5).cast("int")
+      }
+      def channel(c: ((Int, Int, Int, Int)) => Int): Column = {
+        val last = ramp.stops.size - 2
+        // fold bottom-up so the FIRST containing segment (smallest j)
+        // is the outermost WHEN — the reference's ascending scan
+        (0 until last).foldRight(interp(last, c)) { (j, acc) =>
+          when(tc >= pos(j) && tc <= pos(j + 1), interp(j, c)).otherwise(acc)
+        }
+      }
+      struct(lit(ramp.id).as("ramp_id"), channel(_._1).as("r"),
+        channel(_._2).as("g"), channel(_._3).as("b"), channel(_._4).as("a"))
+    }
+    values.select((keyCols.map(col) :+ explode(array(rampStructs: _*)).as("smp")): _*)
+      .select((keyCols.map(col) :+ col("smp.ramp_id") :+ col("smp.r") :+
+        col("smp.g") :+ col("smp.b") :+ col("smp.a")): _*)
   }
 
   /** `generate_stops` stepped mode (visualization.py:115-158): cut
@@ -108,7 +101,6 @@ object Ramps {
     * Returns (ramp_id, stop_seq, value, color). */
   def generateStopsStepped(spark: SparkSession, ramps: Seq[Ramp],
                            vmin: Double, vmax: Double, steps: Int): DataFrame = {
-    val segs = segments(spark, ramps)
     val qualitative = ramps.filter(_.rampType == "qualitative").flatMap { ramp =>
       val rgba = ramp.stops.map(s => hexToRgba(s.hex))
       (0 until steps).map { i =>
@@ -118,12 +110,11 @@ object Ramps {
     }
     import spark.implicits._
     val qualDF = qualitative.toDF("ramp_id", "i", "r", "g", "b", "a")
-    val seqIds = ramps.filter(_.rampType != "qualitative").map(_.id)
+    val seqRamps = ramps.filter(_.rampType != "qualitative")
     val samplePts = spark.range(steps).select(col("id").cast("int").as("i"))
       .withColumn("t_sample",
         if (steps > 1) col("i").cast("double") / (steps - 1) else lit(0.5))
-    val seqDF = sampleContinuous(samplePts, col("t_sample"),
-        segs.filter(col("ramp_id").isin(seqIds: _*)), Seq("i"))
+    val seqDF = sampleContinuous(samplePts, col("t_sample"), seqRamps, Seq("i"))
       .select("ramp_id", "i", "r", "g", "b", "a")
     val classes = qualDF.unionByName(seqDF)
     val span = vmax - vmin

@@ -63,11 +63,10 @@ object ScalarQueries extends QueryModule {
     // segment join (hex parse + position spreading are per-ramp config
     // work, done driver-side exactly like the reference's models).
     "f7b_ramp_configured" -> ((s, dir) => {
-      val segs = Ramps.segments(s, configuredRamps)
       Ramps.sampleContinuous(
         Tables.events(s, dir).select(col("event_id"), col("value")),
         least(greatest(col("value") / 300.0, lit(0.0)), lit(1.0)),
-        segs, Seq("event_id"))
+        configuredRamps, Seq("event_id"))
         .select("event_id", "ramp_id", "r", "g", "b", "a")
     }),
 

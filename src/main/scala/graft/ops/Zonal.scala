@@ -59,6 +59,11 @@ object Zonal {
   def containsPoint(wkt: Column, x: Column, y: Column): Column =
     udf { (w: String, px: Double, py: Double) =>
       try {
+        // bounded per-executor cache: admin-boundary sets fit easily;
+        // an ad-hoc geometry STREAM must not grow executor memory
+        // without limit, so the cache resets when it would exceed the
+        // cap (parse cost returns, memory does not leak)
+        if (Zonal.cache.size() >= Zonal.cacheCap) Zonal.cache.clear()
         val geom = Zonal.cache.computeIfAbsent(w, k =>
           new org.locationtech.jts.io.WKTReader().read(k))
         geom.covers(Zonal.factory.createPoint(
@@ -67,6 +72,7 @@ object Zonal {
     }.apply(wkt, x, y)
 
   private val factory = new org.locationtech.jts.geom.GeometryFactory()
+  private val cacheCap = 8192
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, org.locationtech.jts.geom.Geometry]()
 
