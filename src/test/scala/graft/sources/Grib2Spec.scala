@@ -44,6 +44,119 @@ class Grib2Spec extends SparkSpec {
     }
   }
 
+  test("PNG packing (5.41) round-trips with a bitmap (nPresent×1 image)") {
+    val m = sampleMessage
+    val back = Grib2.read(Grib2.write(m, packing = 41))
+    back.raster.data.zip(m.raster.data).foreach { case (a, b) =>
+      if (b.isNaN) assert(a.isNaN)
+      else assert(math.abs(a - b) < 0.005, s"$a vs $b")
+    }
+  }
+
+  test("PNG packing (5.41) full grid uses a W×H 16-bit image") {
+    // range > 255 at D=2 forces the 16-bit grayscale path; no NaN ⇒ no
+    // bitmap ⇒ image is the full grid shape
+    val w = 12; val h = 9
+    val data = Array.tabulate(w * h)(i => 10.0f + i * 3.7f)
+    val m = sampleMessage.copy(raster =
+      GeoTiff.Raster(w, h, data, -180.0, 90.0, 30.0, 20.0))
+    val back = Grib2.read(Grib2.write(m, packing = 41))
+    back.raster.data.zip(data).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 0.005, s"$a vs $b")
+    }
+  }
+
+  test("PNG decode reconstructs filtered rows (none/sub/up/average/paeth)") {
+    // 4×5 8-bit grayscale PNG hand-encoded with one row per filter type
+    val w = 4; val h = 5
+    val pixels = Array(
+      10, 20, 30, 40,    // row 0: filter 0 (none):    [10,20,30,40]
+      50, 55, 60, 65,    // row 1: filter 1 (sub):     [50,5,5,5]
+      60, 66, 72, 78,    // row 2: filter 2 (up):      [10,11,12,13]
+      70, 80, 90, 100,   // row 3: filter 4 (paeth):   [10,10,10,10]
+      80, 90, 100, 110)  // row 4: filter 3 (average): [45,10,10,10]
+    val filtered = Array(
+      0, 10, 20, 30, 40,
+      1, 50, 5, 5, 5,
+      2, 10, 11, 12, 13,
+      4, 10, 10, 10, 10,
+      3, 45, 10, 10, 10).map(_.toByte)
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(filtered); defl.finish()
+    val buf = new Array[Byte](filtered.length + 64)
+    val nz = defl.deflate(buf); defl.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte))
+    def chunk(typ: String, payload: Array[Byte]): Unit = {
+      def u32(v: Long): Unit = (24 to 0 by -8).foreach(s => out.write((v >> s).toInt & 0xff))
+      u32(payload.length.toLong); out.write(typ.getBytes); out.write(payload)
+      val crc = new java.util.zip.CRC32(); crc.update(typ.getBytes); crc.update(payload)
+      u32(crc.getValue)
+    }
+    chunk("IHDR", java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(0.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array())
+    chunk("IDAT", java.util.Arrays.copyOf(buf, nz))
+    chunk("IEND", Array.emptyByteArray)
+
+    // a filter-0 5.41 message over the same pixels round-trips exactly…
+    val mBytes = Grib2.write(sampleMessage.copy(raster =
+      GeoTiff.Raster(w, h, pixels.map(_.toFloat), -180.0, 90.0, 90.0, 36.0)),
+      decimals = 0, packing = 41)
+    assert(Grib2.read(mBytes).raster.data.map(_.toInt).sameElements(pixels))
+
+    // …and splicing the hand-filtered PNG over its data section decodes
+    // the same pixel lattice (X offsets shift by the reference, so
+    // compare deltas, which are reference-independent)
+    val got = Grib2.read(spliceDataSection(mBytes, out.toByteArray)).raster.data
+    val gd = got.map(v => v - got(0))
+    val pd = pixels.map(v => (v - pixels(0)).toFloat)
+    assert(gd.zip(pd).forall { case (a, b) => math.abs(a - b) < 1e-3 },
+      gd.take(8).mkString(","))
+  }
+
+  /** Replace a GRIB2 message's section-7 payload with `payload`. */
+  private def spliceDataSection(msg: Array[Byte], payload: Array[Byte]): Array[Byte] = {
+    def u32(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+    var pos = 16
+    while (pos < msg.length - 4) {
+      val len = u32(msg, pos); val num = msg(pos + 4) & 0xff
+      if (num == 7) {
+        val out = new java.io.ByteArrayOutputStream()
+        out.write(msg, 0, pos)
+        val nb = java.nio.ByteBuffer.allocate(5 + payload.length)
+          .putInt(5 + payload.length).put(7.toByte).put(payload)
+        out.write(nb.array())
+        out.write(msg, pos + len, msg.length - pos - len)
+        val res = out.toByteArray
+        // patch total length in the indicator section (octets 8-15)
+        val tot = java.nio.ByteBuffer.allocate(8).putLong(res.length.toLong).array()
+        System.arraycopy(tot, 0, res, 8, 8)
+        return res
+      }
+      pos += len
+    }
+    throw new IllegalStateException("no data section")
+  }
+
+  test("JPEG2000 packing (5.40) fails loudly") {
+    val bytes = Grib2.write(sampleMessage, packing = 41)
+    // patch the section-5 template number to 40
+    def u32(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+    var pos = 16
+    var patched = false
+    while (pos < bytes.length - 4 && !patched) {
+      val len = u32(bytes, pos); val num = bytes(pos + 4) & 0xff
+      if (num == 5) { bytes(pos + 5 + 5) = 40.toByte; patched = true }
+      else pos += len
+    }
+    assert(patched)
+    val e = intercept[IllegalArgumentException](Grib2.read(bytes))
+    assert(e.getMessage.contains("JPEG2000"))
+  }
+
   test("complex packing + 2nd-order spatial differencing (5.3) round-trips") {
     // a smooth field is where spatial differencing earns its keep
     val w = 30; val h = 20
