@@ -21,6 +21,17 @@ trait Recipe {
   /** Materialize outputs for the given units; every output row must
     * carry its `unit_id`. */
   def transform(inputs: DataFrame, toRun: DataFrame): DataFrame
+
+  /** Readiness gate (reference ADR-0020 parking, processing/engine.py:
+    * 354-365, invocation.py:109-152): (unit_id, ready, reason). Units
+    * that are not ready are PARKED — recorded in the parked ledger, not
+    * run, not hashed — and revived on any later run once their required
+    * inputs resolve (each run re-evaluates readiness, which is both the
+    * completion wake-up and the periodic sweep of the reference).
+    * Default: everything ready. */
+  def readiness(inputs: DataFrame, units: DataFrame): DataFrame =
+    units.select(col("unit_id"), lit(true).as("ready"),
+      lit(null).cast("string").as("reason"))
 }
 
 object RecipeRegistry {
@@ -51,11 +62,24 @@ class Engine(spark: SparkSession, stateDir: String) {
     val outPath = s"$stateDir/${recipe.name}/outputs"
     val linPath = s"$stateDir/${recipe.name}/lineage"
 
-    val units = recipe.units(inputs)
+    val allUnits = recipe.units(inputs)
       .withColumn("input_hash",
         sha2(concat_ws("|", col("input_hash"), lit(recipe.version)), 256))
+
+    // Park not-ready units (honest rows in parked/, excluded from the
+    // hash ledger so they classify as fresh inserts once revived); the
+    // parked set is rewritten each run = the reference's sweep.
+    val ready = recipe.readiness(inputs, allUnits).cache()
+    val parked = ready.filter(!col("ready"))
+      .select(col("unit_id"), col("reason"), current_timestamp().as("parked_at"))
+    replaceParquet(parked, s"$stateDir/${recipe.name}/parked")
+    val units = allUnits.join(
+      ready.filter(col("ready")).select("unit_id"), "unit_id")
+
     val ledger = readOrEmpty(ledgerPath, units.select(col("unit_id"), col("input_hash")))
     val audit = Derivation.idempotentMerge(ledger, units, "unit_id", "input_hash")
+      .unionByName(parked.select(col("unit_id"),
+        lit(null).cast("string").as("input_hash"), lit("parked").as("action")))
       .cache()
 
     val toRun = audit.filter(col("action").isin("insert", "overwrite"))
@@ -72,10 +96,12 @@ class Engine(spark: SparkSession, stateDir: String) {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     produced.write.mode("overwrite").partitionBy("unit_id").parquet(outPath)
 
-    // Ledger reflects the post-merge hash state. (Full rewrite is fine
-    // here: the ledger is unit-level METADATA — two small columns per
-    // unit — not data; it does not grow with row history.)
-    replaceParquet(audit.select(col("unit_id"), col("input_hash")), ledgerPath)
+    // Ledger reflects the post-merge hash state; parked units stay OUT
+    // of it so a revived unit classifies as a fresh insert. (Full
+    // rewrite is fine here: the ledger is unit-level METADATA — two
+    // small columns per unit — not data; it does not grow with history.)
+    replaceParquet(audit.filter(col("action") =!= "parked")
+      .select(col("unit_id"), col("input_hash")), ledgerPath)
 
     // Lineage: one row per (re)materialized unit (engine.py:384-404).
     val lineage = audit.filter(col("action").isin("insert", "overwrite"))
@@ -139,15 +165,27 @@ class PromotionRecipe extends Recipe {
   * (the X5 staleness chain, processing/invocation.py:71-105). */
 class AnomalyRecipe(clim: DataFrame) extends Recipe {
   val name = "anomaly"; val version = 1
-  private def withClim(inputs: DataFrame) =
+  private def climSlots = clim.select(col("unit_id").as("slot"), col("y"), col("x"), col("clim"))
+  private def slotted(inputs: DataFrame) =
     inputs.withColumn("slot", month(col("t")).cast("string"))
-      .join(clim.select(col("unit_id").as("slot"), col("y"), col("x"),
-        col("clim")), Seq("slot", "y", "x"))
+  private def withClim(inputs: DataFrame) =
+    slotted(inputs).join(climSlots, Seq("slot", "y", "x"))
+  /** Units enumerate from the INPUT slices alone (left join): a slice
+    * whose slot normal hasn't been derived yet still becomes a unit —
+    * it just isn't READY, so it parks instead of silently vanishing
+    * (the reference's NOT_READY contract, engine.py:354-365). */
   def units(inputs: DataFrame): DataFrame =
-    withClim(inputs)
+    slotted(inputs).join(climSlots, Seq("slot", "y", "x"), "left")
       .groupBy(col("t").cast("string").as("unit_id"))
       .agg(RecipeHash.rowDigest(col("y"), col("x"), col("v"), col("clim"))
         .cast("string").as("input_hash"))
+  override def readiness(inputs: DataFrame, units: DataFrame): DataFrame =
+    slotted(inputs).join(climSlots, Seq("slot", "y", "x"), "left")
+      .groupBy(col("t").cast("string").as("unit_id"))
+      .agg(sum(when(col("clim").isNull, 1).otherwise(0)).as("miss"))
+      .select(col("unit_id"), (col("miss") === 0).as("ready"),
+        when(col("miss") > 0, concat(lit("missing climatology normal for "),
+          col("miss"), lit(" pixel(s)"))).otherwise(lit(null)).cast("string").as("reason"))
   def transform(inputs: DataFrame, toRun: DataFrame): DataFrame =
     withClim(inputs)
       .withColumn("unit_id", col("t").cast("string"))

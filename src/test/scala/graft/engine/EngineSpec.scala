@@ -153,6 +153,41 @@ class EngineSpec extends SparkSpec {
     assert(acts == Map("2024-01" -> "skip", "2024-02" -> "overwrite", "2024-03" -> "skip"))
   }
 
+  test("not-ready units park with a reason and resurrect when inputs resolve (X4)") {
+    val stateDir = Files.createTempDirectory("graft-park-").toString
+    val engine = new Engine(spark, stateDir)
+    val clim12 = { // normals derived for slots 1 and 2 only
+      val d = Files.createTempDirectory("graft-park-clim-").toString
+      new Engine(spark, d).run(new ClimatologyRecipe,
+        mkInputs(bump = false).filter(month(col("t")) <= 2))
+      spark.read.parquet(s"$d/climatology/outputs")
+    }
+
+    // March has no slot normal yet: it PARKS, the others derive.
+    val a1 = engine.run(new AnomalyRecipe(clim12), mkInputs(bump = false))
+    val acts1 = a1.as[(String, String, String)].collect().map(r => r._1.take(7) -> r._3).toMap
+    assert(acts1 == Map("2024-01" -> "insert", "2024-02" -> "insert", "2024-03" -> "parked"))
+    val parked = spark.read.parquet(s"$stateDir/anomaly/parked")
+    assert(parked.count() == 1)
+    assert(parked.select("reason").as[String].collect()(0).contains("missing climatology"))
+    assert(spark.read.parquet(s"$stateDir/anomaly/outputs")
+      .select("unit_id").distinct().count() == 2)
+
+    // The slot-3 normal lands: the next run IS the sweep — the parked
+    // unit revives as a fresh insert; the parked ledger empties.
+    val climAll = {
+      val d = Files.createTempDirectory("graft-park-clim2-").toString
+      new Engine(spark, d).run(new ClimatologyRecipe, mkInputs(bump = false))
+      spark.read.parquet(s"$d/climatology/outputs")
+    }
+    val a2 = engine.run(new AnomalyRecipe(climAll), mkInputs(bump = false))
+    val acts2 = a2.as[(String, String, String)].collect().map(r => r._1.take(7) -> r._3).toMap
+    assert(acts2 == Map("2024-01" -> "skip", "2024-02" -> "skip", "2024-03" -> "insert"))
+    assert(spark.read.parquet(s"$stateDir/anomaly/parked").isEmpty)
+    assert(spark.read.parquet(s"$stateDir/anomaly/outputs")
+      .select("unit_id").distinct().count() == 3)
+  }
+
   test("promotion recipe publishes granules unchanged and idempotently") {
     val stateDir = Files.createTempDirectory("graft-engine2-").toString
     val engine = new Engine(spark, stateDir)
