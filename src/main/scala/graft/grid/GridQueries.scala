@@ -211,6 +211,22 @@ object GridQueries extends QueryModule {
       Regrid.probeResample(Grid.fromLineitem(s, dir), probes)
     }),
 
+    // F14 — regrid onto an ARBITRARY-CRS target (spherical transverse
+    // Mercator, central meridian 15°E): the probe builder takes any
+    // inverse projection as a function, runs it distributed over the
+    // target pixels, and feeds the same single-join resample. The
+    // oracle consumes the identically-computed probe table as VALUES —
+    // projection math cannot drift between engines because only ONE
+    // engine computes it.
+    "f14_regrid_tm" -> ((s, dir) => {
+      val probes = Regrid.reprojectProbesGeneric(s, Grid.W, Grid.H,
+        srcWest = -180.0, srcNorth = 90.0, pxDeg = Grid.PX, pyDeg = Grid.PY,
+        tgtW = 25, tgtH = 15,
+        mw = -2000000.0, mn = 6000000.0, pxm = 160000.0, pym = 200000.0,
+        inv = graft.ops.Geo.invTransverseMercator(15.0))
+      Regrid.probeResample(Grid.fromLineitem(s, dir), probes)
+    }),
+
     // F14 — regrid, average: 2× coarsen, mean of valid source pixels per
     // target cell (rasterio 'average' NaN-aware semantics).
     "f14_regrid_average" -> ((s, dir) => {
@@ -377,6 +393,25 @@ object GridQueries extends QueryModule {
         |  GROUP BY 1, 2, 3)
         |SELECT t, yt, xt, CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS v
         |FROM agg WHERE den != 0""".stripMargin),
+    "f14_regrid_tm" -> {
+      val probeRows = Regrid.reprojectProbesLocal(Grid.W, Grid.H,
+        -180.0, 90.0, Grid.PX, Grid.PY, 25, 15,
+        -2000000.0, 6000000.0, 160000.0, 200000.0,
+        graft.ops.Geo.invTransverseMercator(15.0))
+      val values = probeRows.map { case (yt, xt, sy, sx, wq) =>
+        s"($yt,$xt,$sy,$sx,$wq)" }.mkString(",")
+      withCtes(
+        s""", probes(yt, xt, sy, sx, wq) AS (VALUES $values),
+           |agg AS (
+           |  SELECT t, yt, xt,
+           |    CAST(sum(wq * CAST(v AS BIGINT)) AS BIGINT) AS num,
+           |    CAST(sum(wq) AS BIGINT) AS den
+           |  FROM grid JOIN probes ON grid.y = probes.sy AND grid.x = probes.sx
+           |  GROUP BY 1, 2, 3)
+           |SELECT t, CAST(yt AS INT) AS yt, CAST(xt AS INT) AS xt,
+           |  CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS v
+           |FROM agg WHERE den != 0""".stripMargin)
+    },
     "f14_regrid_cubic" -> withCtes(
       s""", tgt AS (
          |  SELECT CAST(yy.r AS INT) AS yt, CAST(xx.r AS INT) AS xt,

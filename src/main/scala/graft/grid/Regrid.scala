@@ -108,6 +108,61 @@ object Regrid {
     bilinearFromF(tg, srcW, srcH)
   }
 
+  /** Fully general CRS probe builder: `inv` maps target projected
+    * coordinates → (lon, lat) in the source frame — ANY projection with
+    * an inverse plugs in (regrid.py:23-70 warps between any CRS pair).
+    * The inverse runs as a deterministic UDF over the distributed
+    * target-pixel range, so a continent-sized target grid builds its
+    * probes in parallel; the probe table remains tiny relative to the
+    * pixel data and broadcasts into the same single-join resample. */
+  def reprojectProbesGeneric(spark: SparkSession, srcW: Int, srcH: Int,
+                             srcWest: Double, srcNorth: Double,
+                             pxDeg: Double, pyDeg: Double,
+                             tgtW: Int, tgtH: Int,
+                             mw: Double, mn: Double, pxm: Double, pym: Double,
+                             inv: (Double, Double) => (Double, Double)): DataFrame = {
+    val invUdf = udf { (mx: Double, my: Double) =>
+      val (lon, lat) = inv(mx, my); Array(lon, lat)
+    }
+    val tg = spark.range(tgtH.toLong * tgtW)
+      .select(expr(s"CAST(id DIV $tgtW AS INT)").as("yt"),
+        (col("id") % tgtW).cast("int").as("xt"))
+      .withColumn("mx", lit(mw) + (col("xt") + 0.5) * pxm)
+      .withColumn("my", lit(mn) - (col("yt") + 0.5) * pym)
+      .withColumn("ll", invUdf(col("mx"), col("my")))
+      .withColumn("fx", quantF((col("ll").getItem(0) - srcWest) / pxDeg - 0.5))
+      .withColumn("fy", quantF((lit(srcNorth) - col("ll").getItem(1)) / pyDeg - 0.5))
+    bilinearFromF(tg, srcW, srcH)
+  }
+
+  /** Driver-side twin of [[reprojectProbesGeneric]] for oracle
+    * generation at test scale: the same arithmetic over the same
+    * doubles (same JVM), yielding literal (yt, xt, sy, sx, wq) rows a
+    * SQL oracle can consume as VALUES. */
+  def reprojectProbesLocal(srcW: Int, srcH: Int,
+                           srcWest: Double, srcNorth: Double,
+                           pxDeg: Double, pyDeg: Double,
+                           tgtW: Int, tgtH: Int,
+                           mw: Double, mn: Double, pxm: Double, pym: Double,
+                           inv: (Double, Double) => (Double, Double)): Seq[(Int, Int, Int, Int, Long)] = {
+    def quant(x: Double) = math.floor(x * 65536.0 + 0.5) / 65536.0
+    for {
+      yt <- 0 until tgtH
+      xt <- 0 until tgtW
+      (lon, lat) = inv(mw + (xt + 0.5) * pxm, mn - (yt + 0.5) * pym)
+      fx = quant((lon - srcWest) / pxDeg - 0.5)
+      fy = quant((srcNorth - lat) / pyDeg - 0.5)
+      x0 = math.max(0, math.floor(fx).toInt)
+      y0 = math.max(0, math.floor(fy).toInt)
+      x1 = math.min(srcW - 1, x0 + 1)
+      y1 = math.min(srcH - 1, y0 + 1)
+      wx = fx - math.floor(fx); wy = fy - math.floor(fy)
+      (sx, sy, w) <- Seq(
+        (x0, y0, (1.0 - wx) * (1.0 - wy)), (x1, y0, wx * (1.0 - wy)),
+        (x0, y1, (1.0 - wx) * wy), (x1, y1, wx * wy))
+    } yield (yt, xt, sy, sx, math.floor(w * WQ).toLong)
+  }
+
   /** Cubic probe table: up to 16 (source pixel, weight) rows per target
     * (Keys kernel per axis, product quantized); out-of-bounds support
     * pixels are dropped, which renormalizes at the edges. */

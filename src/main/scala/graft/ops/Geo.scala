@@ -55,6 +55,19 @@ object Geo {
   def mercYToLat(y: Column): Column =
     degrees(atan(exp(y / EarthR)) * 2 - lit(math.Pi / 2))
 
+  /** Inverse spherical transverse Mercator (public USGS formulas;
+    * central meridian `lon0Deg`): projected meters → (lon, lat) degrees.
+    * The driver-side twin of the engine's pluggable inverse-projection
+    * seam (grid/Regrid.reprojectProbesGeneric) — any CRS with an
+    * inverse lands a probe table the same way. */
+  def invTransverseMercator(lon0Deg: Double)(x: Double, y: Double): (Double, Double) = {
+    val d = y / EarthR
+    val xr = x / EarthR
+    val lon = lon0Deg + math.toDegrees(math.atan(math.sinh(xr) / math.cos(d)))
+    val lat = math.toDegrees(math.asin(math.sin(d) / math.cosh(xr)))
+    (lon, lat)
+  }
+
   /** Pixel window of a geo bbox in a north-up grid frame
     * (west,north origin; pw/ph = pixel sizes in degrees). Returns
     * (col_off, row_off, width, height) clamped to the grid, matching the

@@ -87,6 +87,39 @@ class RegridSpec extends SparkSpec {
     assert(bad.isEmpty, bad.collect().take(3).mkString(","))
   }
 
+  test("generic-CRS probes (transverse Mercator) reproduce a linear field") {
+    val w = 64; val h = 48
+    val rows = for (y <- 0 until h; x <- 0 until w)
+      yield (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        y, x, (2 + 3 * x + 5 * y).toDouble)
+    val grid = rows.toDF("t", "y", "x", "v")
+    val inv: (Double, Double) => (Double, Double) = graft.ops.Geo.invTransverseMercator(15.0)
+    val probes = Regrid.reprojectProbesGeneric(spark, w, h, -180.0, 90.0,
+      360.0 / w, 180.0 / h, 25, 15, -2000000.0, 6000000.0, 160000.0, 200000.0, inv)
+    val out = Regrid.probeResample(grid, probes).collect()
+      .map(r => (r.getInt(1), r.getInt(2)) -> r.getDouble(3)).toMap
+    assert(out.size > 300)
+    for (((yt, xt), v) <- out) {
+      val (lon, lat) = inv(-2000000.0 + (xt + 0.5) * 160000.0,
+        6000000.0 - (yt + 0.5) * 200000.0)
+      val fx = (lon + 180.0) / (360.0 / w) - 0.5
+      val fy = (90.0 - lat) / (180.0 / h) - 0.5
+      if (fx >= 0 && fx <= w - 1 && fy >= 0 && fy <= h - 1)
+        assert(math.abs(v - (2 + 3 * fx + 5 * fy)) < quantTol, s"($yt,$xt): $v")
+    }
+  }
+
+  test("local probe twin matches the distributed generic builder exactly") {
+    val inv: (Double, Double) => (Double, Double) = graft.ops.Geo.invTransverseMercator(15.0)
+    val dist = Regrid.reprojectProbesGeneric(spark, 64, 48, -180.0, 90.0,
+      5.625, 3.75, 25, 15, -2000000.0, 6000000.0, 160000.0, 200000.0, inv)
+      .collect() // builder emits (yt, xt, sx, sy, wq); twin yields (yt, xt, sy, sx, wq)
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(3), r.getInt(2), r.getLong(4)))
+    val local = Regrid.reprojectProbesLocal(64, 48, -180.0, 90.0,
+      5.625, 3.75, 25, 15, -2000000.0, 6000000.0, 160000.0, 200000.0, inv)
+    assert(dist.sorted.toSeq == local.sorted)
+  }
+
   test("probe-resample plan: one broadcast join against the grid, no cartesian") {
     for (df <- Seq(Regrid.bilinear(spark, linearGrid, srcW, srcH, 12, 9),
                    Regrid.cubic(spark, linearGrid, srcW, srcH, 12, 9))) {
