@@ -43,6 +43,48 @@ object Similarity {
       .withColumn("cnrm2", expr("aggregate(cq, 0L, (acc, v) -> acc + v * v)"))
   }
 
+  /** Learned IVF coarse quantizer: deterministic k-means over the
+    * quantized vectors. Init = the first k vectors by vec_id (a fixed,
+    * engine-independent seed); each iteration assigns every vector to
+    * its nearest centroid by EXACT integer squared-L2
+    * (‖a−b‖² = ‖a‖² + ‖c‖² − 2·a·c, all BIGINT sums — bit-identical in
+    * any engine; ties break on centroid id) and recomputes centroids as
+    * floor-averaged integer vectors. Assignment is a broadcast of k
+    * centroid rows — the corpus never shuffles for it; the centroid
+    * update shuffles (k × dims) partial sums, not vectors. */
+  def ivfKmeansCentroids(q: DataFrame, k: Int, iters: Int): DataFrame = {
+    var cents = q.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cid"), col("q").as("cq"))
+    for (_ <- 0 until iters) {
+      val assigned = assignNearest(q, withCnrm2(cents))
+      cents = assigned
+        .select(col("cid"), posexplode(col("q")).as(Seq("i", "qv")))
+        .groupBy("cid", "i")
+        .agg(floor(sum(col("qv")).cast("double") / count(lit(1))).cast("long").as("cv"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("i"), col("cv")))).as("pairs"))
+        .select(col("cid"), expr("transform(pairs, p -> p.cv)").as("cq"))
+    }
+    withCnrm2(cents)
+  }
+
+  private def withCnrm2(cents: DataFrame): DataFrame =
+    cents.select(col("cid"), col("cq"),
+      expr("aggregate(cq, 0L, (acc, v) -> acc + v * v)").as("cnrm2"))
+
+  /** (vec_id, q, nrm2, cid): nearest centroid by exact integer squared
+    * L2, ties to the smaller cid. Broadcast join + one window. */
+  def assignNearest(q: DataFrame, cents: DataFrame): DataFrame = {
+    val scored = q.crossJoin(broadcast(cents))
+      .withColumn("dist",
+        col("nrm2") + col("cnrm2")
+          - expr("2 * aggregate(zip_with(q, cq, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("dist").asc, col("cid").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("vec_id", "q", "nrm2", "cid")
+  }
+
   /** Multi-probe LSH-blocked near-dup sweep: pairs that share `labelCol`
     * AND whose nPlanes-bit hyperplane buckets differ by at most
     * `probeDist` bits, verified by exact cosine >= minCos.

@@ -87,6 +87,34 @@ object SimilarityQueries extends QueryModule {
         .select("qid", "vec_id", "cos", "rank")
     }),
 
+    // IVF with a LEARNED coarse quantizer: deterministic k-means (k=8,
+    // 2 iterations, exact integer distances) replaces the supplied
+    // partition key — the full IVF shape: train centroids, assign the
+    // corpus once (inverted lists), probe the top-2 lists per query.
+    "s_ann_ivf_kmeans" -> ((s, dir) => {
+      val q = quantizedOf(s, dir)
+      val cents = Similarity.ivfKmeansCentroids(q, 8, 2)
+      val assigned = Similarity.assignNearest(q, cents)
+      val queries = q.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("q").as("qa"), col("nrm2").as("na"))
+      val probe = queries.crossJoin(broadcast(cents))
+        .withColumn("ccos",
+          expr("CAST(aggregate(zip_with(qa, cq, (x, y) -> x * y), 0L, (acc, v) -> acc + v) AS DOUBLE)" +
+            " / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(cnrm2 AS DOUBLE)))"))
+      val wc = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cid").asc)
+      val probed = probe.withColumn("crank", row_number().over(wc))
+        .filter(col("crank") <= 2).select("qid", "qa", "na", "cid")
+      val corpus = assigned.select(col("cid"), col("vec_id"),
+        col("q").as("qb"), col("nrm2").as("nb"))
+      val scored = probed.join(corpus, Seq("cid"))
+        .filter(col("qid") =!= col("vec_id"))
+        .withColumn("cos", expr(Similarity.cosExpr))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("qid", "vec_id", "cos", "rank")
+    }),
+
     // Embedding-cosine near-dup sweep: same-label pairs within 2 bucket
     // bits (multi-probe hyperplane LSH) verified at cosine >= 0.4. The
     // blocking IS the operator's definition — at real scale a label can
@@ -169,6 +197,53 @@ object SimilarityQueries extends QueryModule {
          |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
          |  FROM scored) t
          |WHERE rank <= 3""".stripMargin,
+    "s_ann_ivf_kmeans" -> {
+      def assignSql(cents: String): String =
+        s"""SELECT vec_id, qv, nrm2, cid FROM (
+           |  SELECT qn.vec_id AS vec_id, qn.qv AS qv, qn.nrm2 AS nrm2, $cents.cid AS cid,
+           |    row_number() OVER (PARTITION BY qn.vec_id ORDER BY
+           |      qn.nrm2 + $cents.cnrm2 - 2 * list_dot_product(qn.qv, $cents.cq) ASC,
+           |      $cents.cid ASC) AS rn
+           |  FROM qn CROSS JOIN $cents) t WHERE rn = 1""".stripMargin
+      def updateSql(assigned: String, comp: String, cv: String, out: String): String =
+        s"""$comp AS (
+           |  SELECT cid, CAST(i AS INT) AS i, qv[CAST(i+1 AS INT)] AS c
+           |  FROM $assigned CROSS JOIN range(64) ii(i)),
+           |$cv AS (
+           |  SELECT cid, i, CAST(floor(CAST(sum(c) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+           |  FROM $comp GROUP BY 1, 2),
+           |$out AS (
+           |  SELECT cid, cq, list_dot_product(cq, cq) AS cnrm2 FROM (
+           |    SELECT cid, list(cv ORDER BY i) AS cq FROM $cv GROUP BY 1) t)""".stripMargin
+      s"""WITH $quantSql,
+         |i0 AS (
+         |  SELECT CAST(vec_id AS INT) AS cid, qv AS cq, list_dot_product(qv, qv) AS cnrm2
+         |  FROM qn WHERE vec_id < 8),
+         |a1 AS (${assignSql("i0")}),
+         |${updateSql("a1", "c1comp", "c1v", "i1")},
+         |a2 AS (${assignSql("i1")}),
+         |${updateSql("a2", "c2comp", "c2v", "i2")},
+         |assign AS (${assignSql("i2")}),
+         |queries AS (SELECT vec_id AS qid, qv AS qa, nrm2 AS na FROM qn WHERE vec_id < 8),
+         |probe AS (
+         |  SELECT qid, qa, na, cid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY
+         |      CAST(list_dot_product(qa, cq) AS DOUBLE)
+         |        / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(cnrm2 AS DOUBLE))) DESC,
+         |      cid ASC) AS crank
+         |  FROM queries CROSS JOIN i2),
+         |probed AS (SELECT qid, qa, na, cid FROM probe WHERE crank <= 2),
+         |scored AS (
+         |  SELECT qid, b.vec_id AS vec_id,
+         |    CAST(list_dot_product(qa, b.qv) AS DOUBLE)
+         |      / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(b.nrm2 AS DOUBLE))) AS cos
+         |  FROM probed JOIN assign b ON probed.cid = b.cid AND b.vec_id != qid)
+         |SELECT qid, vec_id, cos, rank FROM (
+         |  SELECT qid, vec_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 3""".stripMargin
+    },
     "s_embed_neardup" ->
       s"""WITH $quantSql,
          |ql AS (SELECT qn.vec_id AS vec_id, qv, nrm2, label
