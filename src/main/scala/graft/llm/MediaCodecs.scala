@@ -93,6 +93,34 @@ object MediaCodecs {
     out.toByteArray
   }
 
+  /** A real 8-bit grayscale PNG with per-pixel content f(x, y) —
+    * decodable end-to-end (graft.sources.PngCodec), used by the
+    * resize / frame-sample operators whose oracles recompute the same
+    * pattern arithmetically. */
+  def pngPattern(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] =
+    graft.sources.PngCodec.encode(
+      Array.tabulate(w * h)(i => (f(i % w, i / w) & 0xff).toLong), w, h, 8)
+
+  /** n concatenated patterned PNG frames; frame fi gets f(fi)(x, y). */
+  def pngFramesPattern(w: Int, h: Int, n: Int, f: Int => (Int, Int) => Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    (0 until n).foreach(fi => out.write(pngPattern(w, h, f(fi))))
+    out.toByteArray
+  }
+
+  /** Decode all PNG frames of a (possibly single-frame) payload. */
+  def decodeFrames(b: Array[Byte]): Seq[graft.sources.PngCodec.Image] = {
+    val frames = scala.collection.mutable.Buffer[graft.sources.PngCodec.Image]()
+    var p = 0
+    while (p + 8 <= b.length && b.slice(p, p + 8).sameElements(PngSig)) {
+      val img = graft.sources.PngCodec.decodeImage(b, p)
+      frames += img
+      p = img.end
+    }
+    require(frames.nonEmpty, "no PNG frames")
+    frames.toSeq
+  }
+
   // ---- parser ------------------------------------------------------
 
   /** Sniff + parse the header of a media payload. Throws on anything

@@ -51,6 +51,65 @@ object Multimodal {
       })
   }
 
+  /** Patterned-media corpus for the pixel-level operators: images
+    * (every id ≡ 0 mod 3, even) are real 8-bit grayscale PNGs with
+    * pixel = (x + 3y + id) mod 256; videos (id ≡ 2 mod 3) are PNG frame
+    * sequences with pixel = (x + 3y + id + 7·frame) mod 256. The
+    * pattern is arithmetic, so SQL oracles recompute decoded-pixel
+    * statistics without a PNG decoder. */
+  def asPatternedMedia(docs: DataFrame): Dataset[Media] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val len = text.getBytes("UTF-8").length
+        val (w, h) = dims(id, len)
+        if (id % 3 == 0 && id % 2 == 0)
+          Some(Media(id, "image",
+            MediaCodecs.pngPattern(w, h, (x, y) => ((x + 3 * y + id) % 256).toInt)))
+        else if (id % 3 == 2)
+          Some(Media(id, "video", MediaCodecs.pngFramesPattern(w, h,
+            1 + (id % 5).toInt, fi => (x, y) => ((x + 3 * y + id + 7 * fi) % 256).toInt)))
+        else None
+      })
+  }
+
+  /** Nearest-neighbour image resize by an integer factor: decode the
+    * PNG, keep every factor-th pixel (out(x,y) = in(x·f, y·f)), report
+    * output dims + exact pixel sum. Pixels never leave the executor —
+    * decode, sample and reduce are one partition-local pass (the
+    * mapInPandas batch shape with a compiled codec per element). */
+  def resizeNearest(media: Dataset[Media], factor: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "image").mapPartitions(_.map { m =>
+      val img = MediaCodecs.decodeFrames(m.payload).head
+      val w2 = img.w / factor; val h2 = img.h / factor
+      var sum = 0L
+      var y = 0
+      while (y < h2) {
+        var x = 0
+        while (x < w2) { sum += img.pixels(y * factor * img.w + x * factor); x += 1 }
+        y += 1
+      }
+      (m.doc_id, w2, h2, sum)
+    }).toDF("doc_id", "w_out", "h_out", "px_sum")
+  }
+
+  /** Frame sampling: keep every `step`-th frame of a video payload,
+    * reporting per-frame dims + exact pixel sum (the temporal analogue
+    * of resize — the decimation a training pipeline runs before feature
+    * extraction). */
+  def sampleFrames(media: Dataset[Media], step: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "video").flatMap { m =>
+      MediaCodecs.decodeFrames(m.payload).zipWithIndex
+        .filter(_._2 % step == 0)
+        .map { case (img, fi) => (m.doc_id, fi, img.w, img.h, img.pixels.sum) }
+    }.toDF("doc_id", "frame_idx", "w", "h", "px_sum")
+  }
+
   /** Partition-wise header parse + feature extraction — the mapInPandas
     * batch shape with a compiled parser per element. */
   def extractFeatures(media: Dataset[Media]): Dataset[MediaFeatures] = {

@@ -17,7 +17,22 @@ object MultimodalQueries extends QueryModule {
       val media = Multimodal.asMedia(Tables.documents(s, dir))
       Multimodal.extractFeatures(media).toDF()
         .select("doc_id", "kind", "width", "height", "n_frames")
-    })
+    }),
+
+    // Pixel-level resize: REAL PNG decode (inflate + de-filter) →
+    // nearest-neighbour 2× decimation → exact pixel sum, all in one
+    // partition-local pass. The oracle recomputes the decoded pattern
+    // arithmetically — any defect in the codec or the sampling indexing
+    // breaks the hash.
+    "m_media_resize" -> ((s, dir) =>
+      Multimodal.resizeNearest(
+        Multimodal.asPatternedMedia(Tables.documents(s, dir)), 2)),
+
+    // Temporal decimation: walk the PNG frame sequence, keep every 2nd
+    // frame, report per-frame dims + exact pixel sum.
+    "m_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+        Multimodal.asPatternedMedia(Tables.documents(s, dir)), 2))
   )
 
   override def oracleSql = Map(
@@ -32,6 +47,29 @@ object MultimodalQueries extends QueryModule {
         |  CAST(CASE WHEN doc_id % 3 = 1 THEN strlen(text)
         |       WHEN doc_id % 3 = 2 THEN 1 + doc_id % 5
         |       ELSE 1 END AS INT) AS n_frames
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "m_media_resize" ->
+      """WITH base AS (
+        |  SELECT doc_id, 16 + strlen(text) % 64 AS w, 16 + doc_id % 32 AS h
+        |  FROM documents WHERE doc_id % 3 = 0 AND doc_id % 2 = 0),
+        |d AS (SELECT doc_id, CAST(w // 2 AS INT) AS w_out, CAST(h // 2 AS INT) AS h_out FROM base)
+        |SELECT d.doc_id AS doc_id, w_out, h_out,
+        |  CAST(sum((2 * xs.r + 6 * ys.r + d.doc_id) % 256) AS BIGINT) AS px_sum
+        |FROM d CROSS JOIN range(40) xs(r) CROSS JOIN range(24) ys(r)
+        |WHERE xs.r < w_out AND ys.r < h_out
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "m_frame_sample" ->
+      """WITH base AS (
+        |  SELECT doc_id, 16 + strlen(text) % 64 AS w, 16 + doc_id % 32 AS h,
+        |    1 + doc_id % 5 AS n
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |fr AS (
+        |  SELECT doc_id, w, h, CAST(fs.r * 2 AS INT) AS frame_idx
+        |  FROM base CROSS JOIN range(3) fs(r) WHERE fs.r * 2 < n)
+        |SELECT doc_id, frame_idx, CAST(w AS INT) AS w, CAST(h AS INT) AS h,
+        |  CAST(sum((xs.r + 3 * ys.r + doc_id + 7 * frame_idx) % 256) AS BIGINT) AS px_sum
+        |FROM fr CROSS JOIN range(80) xs(r) CROSS JOIN range(48) ys(r)
+        |WHERE xs.r < w AND ys.r < h
+        |GROUP BY 1, 2, 3, 4""".stripMargin
   )
 }
