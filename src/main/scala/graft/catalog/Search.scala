@@ -157,6 +157,18 @@ object Search extends QueryModule {
           (max(col("ts")).cast("long") - min(col("ts")).cast("long")).as("duration_sec"))
     }),
 
+    // W6 — tumbling-window counts/sums: the batch twin of
+    // streaming/Windows.tumblingCounts (same grouping and exact-sum
+    // arithmetic; the streaming variant adds only the watermark).
+    "w6_tumbling" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0).as("sum_value"))
+        .select(col("window.start").as("ws"), col("window.end").as("we"),
+          col("event_type"), col("n"), col("sum_value"))
+    }),
+
     // A13 — exact percentiles over integer-valued measures (dyadic
     // quantiles interpolate exactly, so they hash-match cross-engine).
     "a13_percentiles" -> ((s, dir) => {
@@ -302,6 +314,12 @@ object Search extends QueryModule {
         |  SELECT user_id, event_id, ts, event_type,
         |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events) t WHERE rn = 1""".stripMargin,
+    "w6_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS ws,
+        |  date_trunc('hour', ts) + INTERVAL 1 HOUR AS we,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
     "w5_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, ts,
