@@ -62,6 +62,25 @@ object GeoCalQueries extends QueryModule {
         .withColumn("exact_n", lit(90.0) - col("row_off") * Grid.PY)
     }),
 
+    // F12 — transform_geom (zonal.py:30-38 reprojects geometries between
+    // CRS): boundary corner coordinates project 4326 → Web-Mercator.
+    // Outputs quantize to integer meters — the transcendental forward
+    // (log·tan) is deterministic per engine but not bit-identical across
+    // engines, and a ULP at 10^7 m scale cannot flip an integer floor.
+    "f12_transform_geom" -> ((s, dir) => {
+      val b = Tables.region(s, dir).select(
+        col("r_regionkey").cast("int").as("boundary_id"),
+        (lit(-171.5) + col("r_regionkey") * 70.0).as("bw"),
+        (lit(-80.25) + col("r_regionkey") * 31.0).as("bs"),
+        (lit(-95.0) + col("r_regionkey") * 70.0).as("be"),
+        (lit(-41.0) + col("r_regionkey") * 31.0).as("bn"))
+      b.select(col("boundary_id"),
+        floor(Geo.lonToMercX(col("bw"))).cast("long").as("mx_w"),
+        floor(Geo.lonToMercX(col("be"))).cast("long").as("mx_e"),
+        floor(Geo.latToMercY(col("bs"))).cast("long").as("my_s"),
+        floor(Geo.latToMercY(col("bn"))).cast("long").as("my_n"))
+    }),
+
     // F8 — 360-day calendar decode + align to the standard calendar with
     // day clamping (CMIP-style sources; geoprocessing/calendar.py:12-30).
     "f8_calendar_360day" -> ((s, dir) => {
@@ -144,6 +163,20 @@ object GeoCalQueries extends QueryModule {
         |  -180.0 + col_off * 5.625 AS exact_w,
         |  90.0 - row_off * 3.75 AS exact_n
         |FROM w""".stripMargin,
+    "f12_transform_geom" ->
+      """WITH b AS (
+        |  SELECT CAST(r_regionkey AS INT) AS boundary_id,
+        |    -171.5 + r_regionkey * 70.0 AS bw,
+        |    -80.25 + r_regionkey * 31.0 AS bs,
+        |    -95.0 + r_regionkey * 70.0 AS be,
+        |    -41.0 + r_regionkey * 31.0 AS bn
+        |  FROM region)
+        |SELECT boundary_id,
+        |  CAST(floor(bw * (6378137.0 * pi() / 180.0)) AS BIGINT) AS mx_w,
+        |  CAST(floor(be * (6378137.0 * pi() / 180.0)) AS BIGINT) AS mx_e,
+        |  CAST(floor(ln(tan(pi() / 4 + radians(bs) / 2)) * 6378137.0) AS BIGINT) AS my_s,
+        |  CAST(floor(ln(tan(pi() / 4 + radians(bn) / 2)) * 6378137.0) AS BIGINT) AS my_n
+        |FROM b""".stripMargin,
     "f8_calendar_noleap" ->
       s"""WITH base AS (
          |  SELECT o_orderkey, o_orderdate,
