@@ -68,6 +68,7 @@ object Ramps {
   def sampleContinuous(values: DataFrame, t: Column, ramps: Seq[Ramp],
                        keyCols: Seq[String]): DataFrame = {
     val rampStructs = ramps.map { ramp =>
+      require(ramp.stops.nonEmpty, s"ramp ${ramp.id} has no stops")
       val pos = spreadPositions(ramp.stops)
       val rgba = ramp.stops.map(s => hexToRgba(s.hex))
       val tc = least(greatest(t, lit(pos.head)), lit(pos.last))
@@ -77,14 +78,16 @@ object Ramps {
           else lit(0.0)
         floor(lit(c(rgba(j))) + (lit(c(rgba(j + 1))) - c(rgba(j))) * frac + 0.5).cast("int")
       }
-      def channel(c: ((Int, Int, Int, Int)) => Int): Column = {
-        val last = ramp.stops.size - 2
-        // fold bottom-up so the FIRST containing segment (smallest j)
-        // is the outermost WHEN — the reference's ascending scan
-        (0 until last).foldRight(interp(last, c)) { (j, acc) =>
-          when(tc >= pos(j) && tc <= pos(j + 1), interp(j, c)).otherwise(acc)
+      def channel(c: ((Int, Int, Int, Int)) => Int): Column =
+        if (ramp.stops.size == 1) lit(c(rgba.head)) // single stop: flat color
+        else {
+          val last = ramp.stops.size - 2
+          // fold bottom-up so the FIRST containing segment (smallest j)
+          // is the outermost WHEN — the reference's ascending scan
+          (0 until last).foldRight(interp(last, c)) { (j, acc) =>
+            when(tc >= pos(j) && tc <= pos(j + 1), interp(j, c)).otherwise(acc)
+          }
         }
-      }
       struct(lit(ramp.id).as("ramp_id"), channel(_._1).as("r"),
         channel(_._2).as("g"), channel(_._3).as("b"), channel(_._4).as("a"))
     }

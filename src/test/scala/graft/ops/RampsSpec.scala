@@ -5,6 +5,18 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Config-side ramp parsing (visualization.py:19-76 semantics). */
 class RampsSpec extends AnyFunSuite {
 
+  test("single-stop ramp samples its one flat color everywhere") {
+    val spark = graft.SparkSpec.session
+    import org.apache.spark.sql.functions._
+    val vals = spark.range(5).select((col("id") / 4.0).as("t0"))
+    val out = Ramps.sampleContinuous(vals, col("t0"),
+        Seq(Ramps.Ramp("flat", "sequential", Seq(Ramps.Stop("#336699")))), Seq("t0"))
+      .select("r", "g", "b", "a").distinct().collect()
+    assert(out.length == 1)
+    assert(out(0).getInt(0) == 0x33 && out(0).getInt(1) == 0x66 &&
+      out(0).getInt(2) == 0x99 && out(0).getInt(3) == 255)
+  }
+
   test("hex parsing: full, shorthand, alpha, no-# forms") {
     assert(Ramps.hexToRgba("#000080") == (0, 0, 128, 255))
     assert(Ramps.hexToRgba("ff8800") == (255, 136, 0, 255))
