@@ -117,9 +117,13 @@ object Ramps {
     val samplePts = spark.range(steps).select(col("id").cast("int").as("i"))
       .withColumn("t_sample",
         if (steps > 1) col("i").cast("double") / (steps - 1) else lit(0.5))
-    val seqDF = sampleContinuous(samplePts, col("t_sample"), seqRamps, Seq("i"))
-      .select("ramp_id", "i", "r", "g", "b", "a")
-    val classes = qualDF.unionByName(seqDF)
+    // either subset may be empty; explode(array()) is not analyzable,
+    // so only sample when there is a sequential ramp to sample
+    val classes =
+      if (seqRamps.isEmpty) qualDF
+      else qualDF.unionByName(
+        sampleContinuous(samplePts, col("t_sample"), seqRamps, Seq("i"))
+          .select("ramp_id", "i", "r", "g", "b", "a"))
     val span = vmax - vmin
     classes.select(col("ramp_id"), col("i"), col("r"), col("g"), col("b"), col("a"),
         explode(array(lit(0), lit(1))).as("edge"))
