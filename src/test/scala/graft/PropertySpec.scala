@@ -85,6 +85,54 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("PngCodec round-trips arbitrary images at every depth") {
+    val imgGen = for {
+      w <- Gen.choose(1, 13); h <- Gen.choose(1, 9)
+      depth <- Gen.oneOf(8, 16, 24, 32)
+      vals <- Gen.listOfN(w * h, Gen.choose(0L, (1L << math.min(depth, 31)) - 1))
+    } yield (w, h, depth, vals.toArray)
+    for ((w, h, depth, vals) <- samples(imgGen, 40)) {
+      val bytes = graft.sources.PngCodec.encode(vals, w, h, depth)
+      val img = graft.sources.PngCodec.decodeImage(bytes, 0)
+      assert(img.w == w && img.h == h && img.end == bytes.length)
+      assert(img.pixels.sameElements(vals), s"${w}x$h depth=$depth")
+    }
+  }
+
+  test("HyperplaneBucket equals the naive per-plane sign computation") {
+    val table = graft.functions.HyperplaneBucket.signTable(8, 16)
+    val vecGen = Gen.listOfN(16, Gen.choose(-1000000L, 1000000L))
+    for (vec <- samples(vecGen, 60)) {
+      // naive: per plane, sum signed components, test >= 0
+      var expect = 0L
+      for (p <- 0 until 8) {
+        var proj = 0L
+        for (i <- 0 until 16)
+          proj += (if (((table(i) >> p) & 1) != 0) vec(i) else -vec(i))
+        if (proj >= 0) expect |= 1L << p
+      }
+      val got = spark.createDataFrame(Seq(Tuple1(vec.toArray)))
+        .toDF("q").withColumn("vec_id", lit(0L))
+      val bucket = graft.llm.Similarity.buckets(got, 8, 16)
+        .select("bucket").as[Long].collect()(0)
+      assert(bucket == expect, s"vec=$vec")
+    }
+  }
+
+  test("noleap doy↔(month,day) mapping round-trips all 365 days") {
+    import graft.ops.GeoCal
+    val df = spark.range(365).select((col("id") + 1).cast("int").as("doy"))
+      .withColumn("m", expr(s"CAST(${GeoCal.noleapMonthOf("doy")} AS INT)"))
+      .withColumn("d", expr(s"CAST(doy - ${GeoCal.noleapCumBefore("doy")} AS INT)"))
+      .withColumn("back", expr(s"CAST(${GeoCal.noleapCumByMonth("m")} + d AS INT)"))
+    assert(df.filter(col("back") =!= col("doy")).isEmpty)
+    // day bounds respect the noleap month lengths (Feb = 28)
+    val lens = Seq(31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31)
+    val byM = df.groupBy("m").agg(max("d").as("mx"))
+      .as[(Int, Int)].collect().toMap
+    lens.zipWithIndex.foreach { case (len, i) => assert(byM(i + 1) == len) }
+  }
+
   test("rescaleEncode stays within 0..255 for any input") {
     for (v <- samples(Gen.choose(-1e6, 1e6), 30)) {
       val e = Seq(v).toDF("v")
