@@ -237,6 +237,38 @@ object GridQueries extends QueryModule {
              count(lit(1)).as("n_valid"))
     }),
 
+    // S10b — XYZ tile serve geometry (the titiler read path the
+    // reference fronts): each web-mercator tile (z=2) maps to a 4326
+    // window; pixels whose centers land inside aggregate to the tile's
+    // stats. Tile latitude bounds pass through the transcendental
+    // inverse mercator, so they are quantized (2^-16°) before the
+    // containment compare — deterministic in both engines.
+    "s10b_xyz_tiles" -> ((s, dir) => {
+      val z = 2; val n = 1 << z
+      val M = graft.ops.Geo.EarthR * math.Pi // mercator half-extent
+      val step = 2 * M / n
+      val R = graft.ops.Geo.EarthR
+      val tiles = s.range(n.toLong * n).select(
+          expr(s"CAST(id DIV $n AS INT)").as("ty"),
+          (col("id") % n).cast("int").as("tx"))
+        .withColumn("mw", lit(-M) + col("tx") * step)
+        .withColumn("mn", lit(M) - col("ty") * step)
+        .withColumn("lon_w", col("mw") / (R * math.Pi / 180.0))
+        .withColumn("lon_e", (col("mw") + step) / (R * math.Pi / 180.0))
+        .withColumn("lat_n", floor(((atan(exp(col("mn") / R)) * 2 - math.Pi / 2)
+          * (180.0 / math.Pi)) * 65536.0 + 0.5) / 65536.0)
+        .withColumn("lat_s", floor(((atan(exp((col("mn") - step) / R)) * 2 - math.Pi / 2)
+          * (180.0 / math.Pi)) * 65536.0 + 0.5) / 65536.0)
+        .select("ty", "tx", "lon_w", "lon_e", "lat_s", "lat_n")
+      val px = pixels(s, dir)
+      px.join(broadcast(tiles),
+          col("lon") >= col("lon_w") && col("lon") < col("lon_e") &&
+          col("lat") >= col("lat_s") && col("lat") < col("lat_n"))
+        .groupBy("ty", "tx", "t")
+        .agg((sum(col("v").cast("long")).cast("double") / count(lit(1))).as("tmean"),
+          count(lit(1)).as("tcount"))
+    }),
+
     // S10 — encoded-texture serve path: pick the coarsest sufficient
     // overview level for the requested resolution (Overviews.selectLevel
     // — the reference's zoomed-out read trick), then clamp+rescale to
@@ -393,6 +425,27 @@ object GridQueries extends QueryModule {
         |  GROUP BY 1, 2, 3)
         |SELECT t, yt, xt, CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS v
         |FROM agg WHERE den != 0""".stripMargin),
+    "s10b_xyz_tiles" -> withCtes(
+      """, tl AS (
+        |  SELECT CAST(r // 4 AS INT) AS ty, CAST(r % 4 AS INT) AS tx,
+        |    -(6378137.0 * pi()) + (r % 4) * (2 * 6378137.0 * pi() / 4) AS mw,
+        |    (6378137.0 * pi()) - (r // 4) * (2 * 6378137.0 * pi() / 4) AS mn
+        |  FROM range(16) t(r)),
+        |tiles AS (
+        |  SELECT ty, tx,
+        |    mw / (6378137.0 * pi() / 180.0) AS lon_w,
+        |    (mw + 2 * 6378137.0 * pi() / 4) / (6378137.0 * pi() / 180.0) AS lon_e,
+        |    floor(((atan(exp(mn / 6378137.0)) * 2 - pi() / 2) * (180.0 / pi()))
+        |          * 65536.0 + 0.5) / 65536.0 AS lat_n,
+        |    floor(((atan(exp((mn - 2 * 6378137.0 * pi() / 4) / 6378137.0)) * 2 - pi() / 2)
+        |          * (180.0 / pi())) * 65536.0 + 0.5) / 65536.0 AS lat_s
+        |  FROM tl)
+        |SELECT ty, tx, t,
+        |  CAST(sum(CAST(v AS BIGINT)) AS DOUBLE) / count(*) AS tmean,
+        |  count(*) AS tcount
+        |FROM px JOIN tiles
+        |  ON lon >= lon_w AND lon < lon_e AND lat >= lat_s AND lat < lat_n
+        |GROUP BY 1, 2, 3""".stripMargin),
     "f14_regrid_tm" -> {
       val probeRows = Regrid.reprojectProbesLocal(Grid.W, Grid.H,
         -180.0, 90.0, Grid.PX, Grid.PY, 25, 15,
