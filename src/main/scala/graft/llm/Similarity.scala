@@ -73,16 +73,29 @@ object Similarity {
       expr("aggregate(cq, 0L, (acc, v) -> acc + v * v)").as("cnrm2"))
 
   /** (vec_id, q, nrm2, cid): nearest centroid by exact integer squared
-    * L2, ties to the smaller cid. Broadcast join + one window. */
+    * L2, ties to the smaller cid. The k centroids are CONFIG-scale, so
+    * they collect to the driver and the argmin folds into one map-side
+    * expression — the corpus is never shuffled or row-multiplied for
+    * assignment (a k× explode + per-vector window would shuffle k×10⁹
+    * rows at real scale for what is a per-row reduction over k). */
   def assignNearest(q: DataFrame, cents: DataFrame): DataFrame = {
-    val scored = q.crossJoin(broadcast(cents))
-      .withColumn("dist",
-        col("nrm2") + col("cnrm2")
-          - expr("2 * aggregate(zip_with(q, cq, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("dist").asc, col("cid").asc)
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select("vec_id", "q", "nrm2", "cid")
+    val cl = cents.select(col("cid"), col("cq"), col("cnrm2"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+      .sortBy(_._1)
+    require(cl.nonEmpty, "no centroids")
+    val dists = cl.map { case (cid, cq, cn) =>
+      val dot = expr(s"aggregate(zip_with(q, array(${cq.mkString("L,")}L), " +
+        "(x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+      (cid, col("nrm2") + cn - lit(2L) * dot)
+    }
+    // strict < keeps the earlier (smaller) cid on ties, matching the
+    // former (dist asc, cid asc) ordering
+    val (bestCid, _) = dists.tail.foldLeft((lit(dists.head._1), dists.head._2)) {
+      case ((bc, bd), (cid, d)) =>
+        (when(d < bd, lit(cid)).otherwise(bc), when(d < bd, d).otherwise(bd))
+    }
+    q.select(col("vec_id"), col("q"), col("nrm2"), bestCid.as("cid"))
   }
 
   /** Multi-probe LSH-blocked near-dup sweep: pairs that share `labelCol`

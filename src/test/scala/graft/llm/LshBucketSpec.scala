@@ -52,6 +52,18 @@ class LshBucketSpec extends SparkSpec {
     }
   }
 
+  test("k-means assignment is map-side (no window, no per-vector shuffle)") {
+    val cents = Similarity.ivfKmeansCentroids(q, 4, 1)
+    val assigned = Similarity.assignNearest(q, cents)
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Exchange"), plan)
+    // every vector gets exactly one centroid, ids within range
+    assert(assigned.count() == q.count())
+    val cids = assigned.select("cid").distinct().as[Long].collect()
+    assert(cids.forall(c => c >= 0 && c < 4))
+  }
+
   test("bucket build plan has zero exchanges (map-side only)") {
     val plan = Similarity.buckets(q, 8).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
