@@ -33,12 +33,19 @@ object SoakAnn {
       .select(col("vec_id").as("qid"), col("q").as("qa"), col("nrm2").as("na"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
 
-    time("brute-force top-10") {
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("qid", "vec_id").collect()
+        .groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
+
+    val exact = time("brute-force top-10") {
       val corpus = q.select(col("vec_id"), col("q").as("qb"), col("nrm2").as("nb"))
-      queries.crossJoin(corpus).filter(col("qid") =!= col("vec_id"))
+      topSets(queries.crossJoin(corpus).filter(col("qid") =!= col("vec_id"))
         .withColumn("cos", expr(Similarity.cosExpr))
-        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
-        .count()
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 10))
+    }
+    def recall(approx: Map[Long, Set[Long]]): Double = {
+      val hits = exact.map { case (k, s) => (approx.getOrElse(k, Set.empty) & s).size }.sum
+      hits.toDouble / exact.map(_._2.size).sum
     }
     time("bucket build only") {
       // map-side only: one compiled pass, zero exchanges
@@ -59,17 +66,41 @@ object SoakAnn {
         .groupBy("vec_id").agg(sum(expr("shiftleft(bit, p)")).as("bucket"))
         .agg(sum("bucket")).collect()
     }
-    time("LSH-bucketed top-10") {
+    val lsh = time("LSH-bucketed top-10") {
       val b = Similarity.buckets(q, 8).cache()
       val qb = q.join(b, "vec_id")
       val lq = qb.filter(col("vec_id") < 100)
         .select(col("vec_id").as("qid"), col("q").as("qa"), col("nrm2").as("na"), col("bucket"))
       val corpus = qb.select(col("vec_id"), col("q").as("qb"), col("nrm2").as("nb"), col("bucket"))
-      lq.join(corpus, Seq("bucket")).filter(col("qid") =!= col("vec_id"))
+      topSets(lq.join(corpus, Seq("bucket")).filter(col("qid") =!= col("vec_id"))
         .withColumn("cos", expr(Similarity.cosExpr))
-        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
-        .count()
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 10))
     }
+    // NOTE: this corpus is uniform-random (hash-derived) — no cluster
+    // structure, cosines concentrate near 0 — so single-table 8-bit LSH
+    // recall here is the adversarial floor, not the seeded-duplicate
+    // recall (which is perfect; see SCALE.md / SoakDedup).
+    println(f"[soak-ann] LSH recall@10          ${recall(lsh)}%8.3f")
+    val (cents, assigned) = time("IVF build (16x2 kmeans+assign)") {
+      val c = Similarity.ivfKmeansCentroids(q, 16, 2)
+      val a = Similarity.assignNearest(q, c).cache()
+      a.count()
+      (c, a)
+    }
+    val ivf = time("IVF probe+search top-10") {
+      val probe = queries.crossJoin(broadcast(cents))
+        .withColumn("ccos",
+          expr("CAST(aggregate(zip_with(qa, cq, (x, y) -> x * y), 0L, (acc, v) -> acc + v) AS DOUBLE)" +
+            " / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(cnrm2 AS DOUBLE)))"))
+      val wc = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cid").asc)
+      val probed = probe.withColumn("crank", row_number().over(wc))
+        .filter(col("crank") <= 4).select("qid", "qa", "na", "cid")
+      val corpus = assigned.select(col("cid"), col("vec_id"), col("q").as("qb"), col("nrm2").as("nb"))
+      topSets(probed.join(corpus, Seq("cid")).filter(col("qid") =!= col("vec_id"))
+        .withColumn("cos", expr(Similarity.cosExpr))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 10))
+    }
+    println(f"[soak-ann] IVF recall@10 (4/16)   ${recall(ivf)}%8.3f")
     spark.stop()
   }
 }

@@ -87,15 +87,14 @@ object Similarity {
     val dists = cl.map { case (cid, cq, cn) =>
       val dot = expr(s"aggregate(zip_with(q, array(${cq.mkString("L,")}L), " +
         "(x, y) -> x * y), 0L, (acc, v) -> acc + v)")
-      (cid, col("nrm2") + cn - lit(2L) * dot)
+      struct((col("nrm2") + cn - lit(2L) * dot).as("dist"), lit(cid).as("cid"))
     }
-    // strict < keeps the earlier (smaller) cid on ties, matching the
-    // former (dist asc, cid asc) ordering
-    val (bestCid, _) = dists.tail.foldLeft((lit(dists.head._1), dists.head._2)) {
-      case ((bc, bd), (cid, d)) =>
-        (when(d < bd, lit(cid)).otherwise(bc), when(d < bd, d).otherwise(bd))
-    }
-    q.select(col("vec_id"), col("q"), col("nrm2"), bestCid.as("cid"))
+    // array_min's lexicographic struct ordering = (dist asc, cid asc),
+    // exactly the former window's tie-break — and the expression tree
+    // stays LINEAR in k (a when-chain fold would re-embed the running
+    // best distance twice per step: 2^k nodes by k=16)
+    q.select(col("vec_id"), col("q"), col("nrm2"),
+      array_min(array(dists: _*)).getField("cid").as("cid"))
   }
 
   /** Multi-probe LSH-blocked near-dup sweep: pairs that share `labelCol`
