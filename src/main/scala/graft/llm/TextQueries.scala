@@ -63,6 +63,31 @@ object TextQueries extends QueryModule {
       Tables.documents(s, dir)
         .groupBy(md5(col("text")).as("h"))
         .agg(min(col("doc_id")).as("canonical"), count(lit(1)).as("n_dupes"))
+    }),
+
+    // Deterministic stratified sampling — the dataset-curation
+    // downsample: an md5 hash gate keeps ~20% of each language stratum
+    // with NO random state, so any engine, cluster size, or re-run
+    // reproduces the identical sample (rerunnable curation).
+    "t_stratified_sample" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("g",
+          expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"))
+        .filter(col("g") < 20)
+        .select("doc_id", "lang", "g")
+    }),
+
+    // Deterministic train/val/test split (80/10/10): the same hash gate
+    // assigns each document a stable split — membership never changes
+    // as the corpus grows, which leakage-free incremental training needs.
+    "t_dataset_split" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("g",
+          expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"))
+        .withColumn("split",
+          when(col("g") < 80, "train").when(col("g") < 90, "val").otherwise("test"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
     })
   )
 
@@ -117,6 +142,20 @@ object TextQueries extends QueryModule {
         |FROM documents""".stripMargin,
     "d_exact_dedup" ->
       """SELECT md5(text) AS h, min(doc_id) AS canonical, count(*) AS n_dupes
-        |FROM documents GROUP BY 1""".stripMargin
+        |FROM documents GROUP BY 1""".stripMargin,
+    "t_stratified_sample" ->
+      """SELECT doc_id, lang,
+        |  CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS g
+        |FROM documents
+        |WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 20""".stripMargin,
+    "t_dataset_split" ->
+      """WITH g AS (
+        |  SELECT doc_id, lang,
+        |    CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS gg
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN gg < 80 THEN 'train' WHEN gg < 90 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n_docs, min(doc_id) AS first_doc
+        |FROM g GROUP BY 1, 2""".stripMargin
   )
 }

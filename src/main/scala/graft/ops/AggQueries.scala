@@ -176,6 +176,30 @@ object AggQueries extends QueryModule {
           count(lit(1)).as("n_events"))
     }),
 
+    // A15 — KMV distinct sketch: bounded-memory approximate distinct.
+    // The k minimum md5-derived hash values per group estimate
+    // n_distinct ≈ (k−1)·H/u_k (H = 16^15, the hash range). md5 makes
+    // the sketch DETERMINISTIC — mergeable across partitions with no
+    // random state, same estimate on any engine — so it oracles exactly
+    // alongside the exact count it approximates. Groups smaller than k
+    // fall back to the exact count (the KMV rule).
+    "a15_kmv_distinct" -> ((s, dir) => {
+      val k = 32
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.lineitem(s, dir).select("l_returnflag", "l_partkey").distinct()
+        .withColumn("u",
+          expr("CAST(conv(substring(md5(CAST(l_partkey AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
+      val w = Window.partitionBy("l_returnflag").orderBy(col("u").asc, col("l_partkey").asc)
+      val kth = d.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === k).select(col("l_returnflag"), col("u").as("uk"))
+      d.groupBy("l_returnflag").agg(count(lit(1)).as("n_exact"))
+        .join(kth, Seq("l_returnflag"), "left")
+        .select(col("l_returnflag"), col("n_exact"),
+          when(col("uk").isNull, col("n_exact"))
+            .otherwise(floor(lit((k - 1).toDouble) * math.pow(16, 15)
+              / col("uk").cast("double")).cast("long")).as("kmv_estimate"))
+    }),
+
     // J8 — as-of join (latest-state): each click joined to the user's
     // most recent view at-or-before it. Spark lacks the operator; the
     // engine's union+window implementation (plans/AsofJoin.scala) is
@@ -306,6 +330,24 @@ object AggQueries extends QueryModule {
         |  count(DISTINCT date_trunc('day', ts)) AS n_days,
         |  count(*) AS n_events
         |FROM events GROUP BY 1""".stripMargin,
+    "a15_kmv_distinct" ->
+      """WITH d AS (
+        |  SELECT DISTINCT l_returnflag, l_partkey FROM lineitem),
+        |h AS (
+        |  SELECT l_returnflag, l_partkey,
+        |    CAST(concat('0x', substring(md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS u
+        |  FROM d),
+        |kth AS (
+        |  SELECT l_returnflag, u AS uk FROM (
+        |    SELECT l_returnflag, u,
+        |      row_number() OVER (PARTITION BY l_returnflag ORDER BY u ASC, l_partkey ASC) AS rn
+        |    FROM h) t WHERE rn = 32),
+        |n AS (SELECT l_returnflag, count(*) AS n_exact FROM d GROUP BY 1)
+        |SELECT n.l_returnflag AS l_returnflag, n_exact,
+        |  CASE WHEN uk IS NULL THEN n_exact
+        |       ELSE CAST(floor(31.0 * power(16.0, 15.0) / CAST(uk AS DOUBLE)) AS BIGINT)
+        |  END AS kmv_estimate
+        |FROM n LEFT JOIN kth ON n.l_returnflag = kth.l_returnflag""".stripMargin,
     "j8_asof_join" ->
       """WITH clicks AS (
         |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
