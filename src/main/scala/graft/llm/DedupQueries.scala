@@ -108,6 +108,25 @@ object DedupQueries extends QueryModule {
         .crossJoin(broadcast(hot.agg(count(lit(1)).as("n_dropped_shingles"))))
     }),
 
+    // Benchmark decontamination: the hash-gate split (t_dataset_split's
+    // trick) marks ~10% of documents as the held-out benchmark set;
+    // cross-set near-dup pairs (banded minhash candidates, exact-Jaccard
+    // verified) are contamination — training documents that leak
+    // benchmark content. Same-set duplicates are NOT contamination and
+    // are excluded.
+    "d_decontaminate" -> ((s, dir) => {
+      def gate(c: String) =
+        expr(s"CAST(conv(substring(md5(CAST($c AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100")
+      lshVerifiedOf(s, dir).filter(col("jacc") >= 0.5)
+        .withColumn("ba", gate("doc_a") >= 90)
+        .withColumn("bb", gate("doc_b") >= 90)
+        .filter(col("ba") =!= col("bb")) // cross-set only
+        .select(
+          when(col("ba"), col("doc_a")).otherwise(col("doc_b")).as("bench_doc"),
+          when(col("ba"), col("doc_b")).otherwise(col("doc_a")).as("train_doc"),
+          col("jacc"))
+    }),
+
     // Cluster canonicalization: verified near-dup pairs → connected
     // components → keep-minimum-id representative (the "which copy do we
     // keep" step of a dedup pipeline).
@@ -179,6 +198,42 @@ object DedupQueries extends QueryModule {
          |SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (ca.c + cb.c - i) AS jacc
          |FROM inter JOIN sizes ca ON ca.id = doc_a JOIN sizes cb ON cb.id = doc_b
          |WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.5""".stripMargin,
+    "d_decontaminate" ->
+      s"""WITH $shinglesCte,
+         |hashed AS (SELECT id, md5(s) AS h FROM sh),
+         |sig AS (
+         |  SELECT id,
+         |    min(substring(h, 1, 4)) AS m1, min(substring(h, 5, 4)) AS m2,
+         |    min(substring(h, 9, 4)) AS m3, min(substring(h, 13, 4)) AS m4,
+         |    min(substring(h, 17, 4)) AS m5, min(substring(h, 21, 4)) AS m6,
+         |    min(substring(h, 25, 4)) AS m7, min(substring(h, 29, 4)) AS m8
+         |  FROM hashed GROUP BY id),
+         |bands AS (
+         |  SELECT id, 1 AS band, md5(m1 || m2) AS key FROM sig UNION ALL
+         |  SELECT id, 2, md5(m3 || m4) FROM sig UNION ALL
+         |  SELECT id, 3, md5(m5 || m6) FROM sig UNION ALL
+         |  SELECT id, 4, md5(m7 || m8) FROM sig),
+         |cands AS (
+         |  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+         |inter AS (
+         |  SELECT doc_a, doc_b, count(*) AS i
+         |  FROM cands
+         |  JOIN sh sa ON sa.id = doc_a
+         |  JOIN sh sb ON sb.id = doc_b AND sb.s = sa.s
+         |  GROUP BY 1, 2),
+         |vp AS (
+         |  SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (ca.c + cb.c - i) AS jacc
+         |  FROM inter JOIN sizes ca ON ca.id = doc_a JOIN sizes cb ON cb.id = doc_b
+         |  WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.5),
+         |g AS (
+         |  SELECT doc_a, doc_b, jacc,
+         |    CAST(concat('0x', substring(md5(CAST(doc_a AS VARCHAR)), 1, 8)) AS BIGINT) % 100 >= 90 AS ba,
+         |    CAST(concat('0x', substring(md5(CAST(doc_b AS VARCHAR)), 1, 8)) AS BIGINT) % 100 >= 90 AS bb
+         |  FROM vp)
+         |SELECT CASE WHEN ba THEN doc_a ELSE doc_b END AS bench_doc,
+         |       CASE WHEN ba THEN doc_b ELSE doc_a END AS train_doc, jacc
+         |FROM g WHERE ba != bb""".stripMargin,
     "d_ngram_jaccard_capped" ->
       s"""WITH $shinglesCte,
          |hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 40),
