@@ -413,9 +413,12 @@ object Grib2 {
         pos += len
       }
     }
+    // thinned/quasi-regular grids carry fewer points than W×H; building
+    // a rectangular raster from them would silently mis-place pixels
+    require(nPts == width * height,
+      s"thinned/quasi-regular grid ($nPts points for ${width}x$height) not supported")
     // normalize scan order to canonical north-up/west-east
     if (scanMode != 0) {
-      require(nPts == width * height, "cannot normalize scan order of a thinned grid")
       data = reorder(data, width, height, scanMode)
       if (bitmap != null) { /* bitmap already applied into data */ }
     }

@@ -140,6 +140,26 @@ class Grib2Spec extends SparkSpec {
     throw new IllegalStateException("no data section")
   }
 
+  test("thinned/quasi-regular grids fail loudly, never a misplaced raster") {
+    val bytes = Grib2.write(sampleMessage)
+    // patch section 3's point count below width*height
+    def u32(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+    var pos = 16
+    var patched = false
+    while (pos < bytes.length - 4 && !patched) {
+      val len = u32(bytes, pos); val num = bytes(pos + 4) & 0xff
+      if (num == 3) {
+        val o = pos + 5 + 1 // template octet layout: nPts at offset 1
+        bytes(o) = 0; bytes(o + 1) = 0; bytes(o + 2) = 0; bytes(o + 3) = 40 // 40 < 48
+        patched = true
+      } else pos += len
+    }
+    assert(patched)
+    val e = intercept[IllegalArgumentException](Grib2.read(bytes))
+    assert(e.getMessage.contains("thinned"))
+  }
+
   test("JPEG2000 packing (5.40) fails loudly") {
     val bytes = Grib2.write(sampleMessage, packing = 41)
     // patch the section-5 template number to 40
