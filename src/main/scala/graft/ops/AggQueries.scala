@@ -176,6 +176,20 @@ object AggQueries extends QueryModule {
           count(lit(1)).as("n_events"))
     }),
 
+    // W3 — rolling anomaly (ADR 0007): each pixel's deviation from its
+    // own trailing 3-timestep mean. Exact integer sums inside the frame;
+    // one window, partitioned per pixel — at scale the shuffle is by
+    // (y, x), the same partitioning every per-pixel temporal op shares.
+    "w3_rolling_anomaly" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("y", "x").orderBy(col("t").asc).rowsBetween(-2, 0)
+      graft.grid.Grid.fromLineitem(s, dir)
+        .withColumn("roll_mean",
+          sum(col("v").cast("long")).over(w).cast("double") / count(lit(1)).over(w))
+        .withColumn("roll_anom", col("v") - col("roll_mean"))
+        .select("t", "y", "x", "v", "roll_mean", "roll_anom")
+    }),
+
     // A15 — KMV distinct sketch: bounded-memory approximate distinct.
     // The k minimum md5-derived hash values per group estimate
     // n_distinct ≈ (k−1)·H/u_k (H = 16^15, the hash range). md5 makes
@@ -330,6 +344,13 @@ object AggQueries extends QueryModule {
         |  count(DISTINCT date_trunc('day', ts)) AS n_days,
         |  count(*) AS n_events
         |FROM events GROUP BY 1""".stripMargin,
+    "w3_rolling_anomaly" -> (
+      s"WITH ${graft.grid.Grid.sqlCte}\n" +
+      """SELECT t, y, x, v,
+        |  CAST(sum(CAST(v AS BIGINT)) OVER w AS DOUBLE) / count(*) OVER w AS roll_mean,
+        |  v - CAST(sum(CAST(v AS BIGINT)) OVER w AS DOUBLE) / count(*) OVER w AS roll_anom
+        |FROM grid
+        |WINDOW w AS (PARTITION BY y, x ORDER BY t ASC ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin),
     "a15_kmv_distinct" ->
       """WITH d AS (
         |  SELECT DISTINCT l_returnflag, l_partkey FROM lineitem),
