@@ -105,6 +105,63 @@ class Hdf5Spec extends SparkSpec {
     assert(a == b)
   }
 
+  test("v2 object headers (OHDR) parse: dataspace/datatype/contiguous layout") {
+    // hand-build: superblock v2 whose root object header is an OHDR
+    // dataset (1-D float32, contiguous) — the layout h5py/netcdf-c emit
+    // with libver=latest, which the fixture writer (v0/v1) never does
+    val data = Array(1.5f, -2.25f, 3.0f, 10.125f)
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16le(v: Int): Unit = { u8(v); u8(v >> 8) }
+    def u32le(v: Long): Unit = { u8(v.toInt); u8((v >> 8).toInt); u8((v >> 16).toInt); u8((v >> 24).toInt) }
+    def u64le(v: Long): Unit = { u32le(v & 0xffffffffL); u32le(v >>> 32) }
+
+    out.write(new Array[Byte](48)) // superblock v2 placeholder
+    val dataAddr = out.size
+    data.foreach(f => u32le(java.lang.Float.floatToIntBits(f).toLong & 0xffffffffL))
+
+    // message bodies
+    val ds = { // dataspace v1: rank 1, dims [4]
+      val b = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(1.toByte).put(1.toByte).put(0.toByte); b.put(new Array[Byte](5))
+      b.putLong(data.length.toLong); b.array()
+    }
+    val dt = { // float32 IEEE little-endian
+      val b = ByteBuffer.allocate(20).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(0x11.toByte).put(0x20.toByte).put(0x1f.toByte).put(0.toByte).putInt(4)
+      b.putShort(0).putShort(32).put(23.toByte).put(8.toByte).put(0.toByte).put(23.toByte).putInt(127)
+      b.array()
+    }
+    val lay = { // layout v3 class 1 (contiguous)
+      val b = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(3.toByte).put(1.toByte).putLong(dataAddr.toLong).putLong(data.length * 4L)
+      b.array()
+    }
+    val msgs = Seq((0x01, ds), (0x03, dt), (0x08, lay))
+    val chunk0 = msgs.map(m => 4 + m._2.length).sum
+    val rootAddr = out.size
+    out.write("OHDR".getBytes); u8(2); u8(0) // version 2, flags 0 (1-byte size)
+    u8(chunk0)
+    msgs.foreach { case (t, body) =>
+      u8(t); u16le(body.length); u8(0); out.write(body)
+    }
+    u32le(0) // checksum (unverified)
+
+    val bytes = out.toByteArray
+    val sb = ByteBuffer.wrap(bytes, 0, 48).order(ByteOrder.LITTLE_ENDIAN)
+    sb.put(0x89.toByte).put('H'.toByte).put('D'.toByte).put('F'.toByte)
+      .put('\r'.toByte).put('\n'.toByte).put(0x1a.toByte).put('\n'.toByte)
+    sb.put(2.toByte).put(8.toByte).put(8.toByte).put(0.toByte)
+    sb.putLong(0L).putLong(-1L).putLong(bytes.length.toLong).putLong(rootAddr.toLong)
+    sb.putInt(0)
+
+    val f = Hdf5.read(bytes)
+    assert(f.datasets.size == 1)
+    val d = f.datasets.head
+    assert(d.shape == Seq(data.length))
+    assert(d.data.sameElements(data))
+  }
+
   test("addresses beyond the file (≥2 GiB offsets) are rejected loudly") {
     val bytes = fixture()
     val bad = bytes.clone()
