@@ -30,6 +30,30 @@ class EdgeSpec extends SparkSpec {
     assert(Zonal.zonalStats(empty, b).isEmpty) // no timesteps ⇒ empty frame
   }
 
+  test("leveled zonal on empty pixels produces empty, not errors") {
+    val empty = Grid.fromLineitem(spark, sf0001).filter(lit(false))
+      .withColumn("lon", Grid.lonOf(col("x")))
+      .withColumn("lat", Grid.latOf(col("y")))
+    val lb = Seq((1, 0, "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))", 0.0, 0.0, 1.0, 1.0))
+      .toDF("level", "boundary_id", "geom_wkt", "bw", "bs", "be", "bn")
+    assert(Zonal.zonalStatsLeveled(empty, lb).isEmpty)
+  }
+
+  test("media frame decode rejects non-PNG payloads loudly") {
+    intercept[IllegalArgumentException](
+      graft.llm.MediaCodecs.decodeFrames(Array[Byte](1, 2, 3)))
+  }
+
+  test("k-means with more centroids than vectors still assigns every vector") {
+    val emb = spark.range(3).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 7), i -> CAST(id * 8 + i AS FLOAT))").as("embedding"))
+    val q = graft.llm.Similarity.quantized(emb)
+    // k=8 > 3 vectors: init takes the 3 existing; clusters may empty out
+    val cents = graft.llm.Similarity.ivfKmeansCentroids(q, 8, 2)
+    val assigned = graft.llm.Similarity.assignNearest(q, cents)
+    assert(assigned.count() == 3)
+  }
+
   test("point timeseries clamps out-of-range coordinates to the grid edge") {
     val px = Grid.fromLineitem(spark, sf0001)
     val ts = Timeseries.point(px, lat = 999.0, lon = -999.0,
