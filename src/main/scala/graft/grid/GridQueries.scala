@@ -269,6 +269,34 @@ object GridQueries extends QueryModule {
           count(lit(1)).as("tcount"))
     }),
 
+    // A18 — value histogram per timestep (titiler's /statistics
+    // endpoint shape; visualization min/max stretch consumes it):
+    // fixed-width integer bins, one hash aggregation.
+    "a18_histogram" -> ((s, dir) => {
+      Grid.fromLineitem(s, dir)
+        .groupBy(col("t"), floor(col("v") / 10.0).cast("int").as("bin"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("bin_lo", col("bin") * 10.0)
+    }),
+
+    // J9 — raster gradients (terrain/hillshade precursor): forward
+    // finite differences along x and y as two windows over the pixel
+    // partitioning temporal ops already use — no self-join, no extra
+    // scan. Missing neighbours (nodata holes or grid edge) yield NULL.
+    "j9_gradient" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wx = Window.partitionBy("t", "y").orderBy(col("x").asc)
+      val wy = Window.partitionBy("t", "x").orderBy(col("y").asc)
+      Grid.fromLineitem(s, dir)
+        .withColumn("dx",
+          when(lead(col("x"), 1).over(wx) === col("x") + 1,
+            lead(col("v"), 1).over(wx) - col("v")))
+        .withColumn("dy",
+          when(lead(col("y"), 1).over(wy) === col("y") + 1,
+            lead(col("v"), 1).over(wy) - col("v")))
+        .select("t", "y", "x", "v", "dx", "dy")
+    }),
+
     // S10 — encoded-texture serve path: pick the coarsest sufficient
     // overview level for the requested resolution (Overviews.selectLevel
     // — the reference's zoomed-out read trick), then clamp+rescale to
@@ -425,6 +453,17 @@ object GridQueries extends QueryModule {
         |  GROUP BY 1, 2, 3)
         |SELECT t, yt, xt, CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS v
         |FROM agg WHERE den != 0""".stripMargin),
+    "a18_histogram" -> withCtes(
+      """SELECT t, CAST(floor(v / 10.0) AS INT) AS bin, count(*) AS n,
+        |  CAST(floor(v / 10.0) AS INT) * 10.0 AS bin_lo
+        |FROM grid GROUP BY 1, 2""".stripMargin),
+    "j9_gradient" -> withCtes(
+      """SELECT t, y, x, v,
+        |  CASE WHEN lead(x) OVER wx = x + 1 THEN lead(v) OVER wx - v END AS dx,
+        |  CASE WHEN lead(y) OVER wy = y + 1 THEN lead(v) OVER wy - v END AS dy
+        |FROM grid
+        |WINDOW wx AS (PARTITION BY t, y ORDER BY x ASC),
+        |       wy AS (PARTITION BY t, x ORDER BY y ASC)""".stripMargin),
     "s10b_xyz_tiles" -> withCtes(
       """, tl AS (
         |  SELECT CAST(r // 4 AS INT) AS ty, CAST(r % 4 AS INT) AS tx,
