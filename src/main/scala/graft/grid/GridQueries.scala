@@ -297,6 +297,33 @@ object GridQueries extends QueryModule {
         .select("t", "y", "x", "v", "dx", "dy")
     }),
 
+    // J9b — hillshade (the classic terrain render titiler serves):
+    // slope/aspect from the j9 gradients, sun at 315°/45°. The
+    // transcendental chain (atan/atan2/trig) is deterministic per
+    // engine but not bit-identical across engines — quantizing to the
+    // 8-bit shade plane absorbs ULP drift (a ULP at ~1e-16 cannot move
+    // a 1/254 bin except on exact boundaries, which the fixed dataset
+    // either hits for both engines or neither).
+    "j9b_hillshade" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wx = Window.partitionBy("t", "y").orderBy(col("x").asc)
+      val wy = Window.partitionBy("t", "x").orderBy(col("y").asc)
+      Grid.fromLineitem(s, dir)
+        .withColumn("dx",
+          when(lead(col("x"), 1).over(wx) === col("x") + 1,
+            lead(col("v"), 1).over(wx) - col("v")))
+        .withColumn("dy",
+          when(lead(col("y"), 1).over(wy) === col("y") + 1,
+            lead(col("v"), 1).over(wy) - col("v")))
+        .withColumn("shade", expr(
+          """CAST(floor(greatest(0.0,
+            |  cos(radians(45.0)) * cos(atan(sqrt(dx * dx + dy * dy) * 0.05))
+            |  + sin(radians(45.0)) * sin(atan(sqrt(dx * dx + dy * dy) * 0.05))
+            |    * cos(radians(315.0) - atan2(dy, dx))) * 254.0 + 0.5) AS INT)""".stripMargin
+            .replace("\n", " ")))
+        .select("t", "y", "x", "shade")
+    }),
+
     // S10 — encoded-texture serve path: pick the coarsest sufficient
     // overview level for the requested resolution (Overviews.selectLevel
     // — the reference's zoomed-out read trick), then clamp+rescale to
@@ -464,6 +491,20 @@ object GridQueries extends QueryModule {
         |FROM grid
         |WINDOW wx AS (PARTITION BY t, y ORDER BY x ASC),
         |       wy AS (PARTITION BY t, x ORDER BY y ASC)""".stripMargin),
+    "j9b_hillshade" -> withCtes(
+      """, g AS (
+        |  SELECT t, y, x, v,
+        |    CASE WHEN lead(x) OVER wx = x + 1 THEN lead(v) OVER wx - v END AS dx,
+        |    CASE WHEN lead(y) OVER wy = y + 1 THEN lead(v) OVER wy - v END AS dy
+        |  FROM grid
+        |  WINDOW wx AS (PARTITION BY t, y ORDER BY x ASC),
+        |         wy AS (PARTITION BY t, x ORDER BY y ASC))
+        |SELECT t, y, x,
+        |  CAST(floor(greatest(0.0,
+        |    cos(radians(45.0)) * cos(atan(sqrt(dx * dx + dy * dy) * 0.05))
+        |    + sin(radians(45.0)) * sin(atan(sqrt(dx * dx + dy * dy) * 0.05))
+        |      * cos(radians(315.0) - atan2(dy, dx))) * 254.0 + 0.5) AS INT) AS shade
+        |FROM g""".stripMargin),
     "s10b_xyz_tiles" -> withCtes(
       """, tl AS (
         |  SELECT CAST(r // 4 AS INT) AS ty, CAST(r % 4 AS INT) AS tx,
