@@ -28,10 +28,24 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Full per-query detail goes to a file; the stdout line must stay
+    // SHORT — the driver keeps only the last ~2000 chars of output, and a
+    // JSON line carrying all ~100 query timings gets truncated mid-line
+    // and fails to parse (every prior round's BENCH had parsed:null).
+    // The printed line carries the total plus the slowest 25 queries.
+    val full = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    try {
+      val w = new java.io.PrintWriter("/root/repo/BENCH_LOCAL.json")
+      w.println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$full,"sf":"$sfDir"}""")
+      w.close()
+    } catch { case _: Throwable => () }
+    val top = results.sortBy(-_._2).take(25)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$top,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -77,14 +77,27 @@ class Engine(spark: SparkSession, stateDir: String) {
       ready.filter(col("ready")).select("unit_id"), "unit_id")
 
     val ledger = readOrEmpty(ledgerPath, units.select(col("unit_id"), col("input_hash")))
+    // A unit that ran before and has since become not-ready appears in
+    // the ledger but not in `units`, so the merge would emit a 'keep'
+    // row for it — anti-join the parked set so parked units stay OUT of
+    // the ledger entirely (they revive as fresh inserts) and the audit
+    // carries exactly one row per parked unit.
     val audit = Derivation.idempotentMerge(ledger, units, "unit_id", "input_hash")
+      .join(parked.select("unit_id"), Seq("unit_id"), "left_anti")
       .unionByName(parked.select(col("unit_id"),
         lit(null).cast("string").as("input_hash"), lit("parked").as("action")))
       .cache()
 
     val toRun = audit.filter(col("action").isin("insert", "overwrite"))
       .select(col("unit_id"))
-    if (toRun.isEmpty) return audit
+    if (toRun.isEmpty) {
+      // Nothing re-derives, but a unit may have PARKED this run (its
+      // 'keep' row was anti-joined out above) — the on-disk ledger must
+      // still drop it, or revival would classify as a stale 'skip'.
+      replaceParquet(audit.filter(col("action") =!= "parked")
+        .select(col("unit_id"), col("input_hash")), ledgerPath)
+      return audit
+    }
 
     val produced = recipe.transform(inputs, toRun).cache()
 
@@ -93,8 +106,20 @@ class Engine(spark: SparkSession, stateDir: String) {
     // units' partitions — untouched units' files are never rewritten, so
     // per-run write cost is bounded by the BATCH, not by table history
     // (the IngestStream.upsertBatch pattern; at scale, a Delta MERGE).
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    produced.write.mode("overwrite").partitionBy("unit_id").parquet(outPath)
+    // The dynamic mode is scoped to THIS write via the writer option
+    // (it takes precedence over the session conf) — never mutated on the
+    // shared session. A pre-partitioned-layout state dir (root-level
+    // parquet files from the old flat rewrite) would corrupt partition
+    // discovery under dynamic overwrite, so detect and clear it first.
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val outP = new org.apache.hadoop.fs.Path(outPath)
+    if (fs.exists(outP) && fs.listStatus(outP).exists(st =>
+        st.isFile && st.getPath.getName.endsWith(".parquet")))
+      fs.delete(outP, true)
+    produced.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("unit_id").parquet(outPath)
 
     // Ledger reflects the post-merge hash state; parked units stay OUT
     // of it so a revived unit classifies as a fresh insert. (Full

@@ -45,6 +45,13 @@ object ScalarQueries extends QueryModule {
       rows.mkString(",\n  ") + ")"
   }
 
+  /** Non-qualitative ramp ids as a SQL IN-list — derived from the same
+    * config the Spark side filters on, so adding/renaming a ramp cannot
+    * desynchronize the oracle from the engine query. */
+  private def sequentialIdsInList: String =
+    configuredRamps.filter(_.rampType != "qualitative")
+      .map(r => s"'${r.id}'").mkString(", ")
+
   /** Qualitative stepped classes as VALUES (colors cycle verbatim). */
   private def qualClassesSql(steps: Int): String = {
     val rows = configuredRamps.filter(_.rampType == "qualitative").flatMap { ramp =>
@@ -234,7 +241,7 @@ object ScalarQueries extends QueryModule {
          |    r0, g0, b0, a0, r1, g1, b1, a1,
          |    row_number() OVER (PARTITION BY i, ramp_id ORDER BY j) AS rn
          |  FROM pts JOIN segs ON least(greatest(t, plo), phi) BETWEEN p0 AND p1
-         |  WHERE ramp_id IN ('precip', 'anom')),
+         |  WHERE ramp_id IN ($sequentialIdsInList)),
          |seqc AS (
          |  SELECT ramp_id, i,
          |    CAST(floor(r0 + (r1 - r0) * (CASE WHEN p1 > p0 THEN (tc - p0) / (p1 - p0) ELSE 0.0 END) + 0.5) AS INT) AS r,

@@ -103,8 +103,12 @@ object NetCdf {
         case (Some(la), Some(lo), _, _) => // rectilinear
           val lats = la.data.map(_.toDouble)
           val lons = lo.data.map(wrapLon)
-          val py = medianRes(lats.sliding(2).map(p => p(1) - p(0)).toSeq)
-          val px = medianRes(lons.sliding(2).map(p => p(1) - p(0)).toSeq)
+          // sliding(2) on a 1-element axis yields one truncated window —
+          // guard so medianRes's empty-diff default (1.0) applies
+          def diffs(xs: Array[Double]): Seq[Double] =
+            if (xs.length < 2) Nil else xs.sliding(2).map(p => p(1) - p(0)).toSeq
+          val py = medianRes(diffs(lats))
+          val px = medianRes(diffs(lons))
           (lons.min - px / 2, lats.max + py / 2, px, py, lats.length < 2 || lats(0) > lats(1))
         case (_, _, Some(la), Some(lo)) => // curvilinear: approximate affine
           val lats = la.data.map(_.toDouble)

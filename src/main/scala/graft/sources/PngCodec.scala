@@ -45,18 +45,26 @@ object PngCodec {
         i += 1
       }
     }
+    // Deflate output can EXCEED the input for incompressible data (~5
+    // bytes per 64 KB block + headers), so loop until finished() rather
+    // than trusting a single one-shot deflate into a fixed buffer.
     val defl = new java.util.zip.Deflater()
     defl.setInput(raw); defl.finish()
-    val buf = new Array[Byte](raw.length + 64)
-    val nz = defl.deflate(buf)
+    val zout = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val buf = new Array[Byte](64 * 1024)
+    while (!defl.finished()) {
+      val nz = defl.deflate(buf)
+      if (nz > 0) zout.write(buf, 0, nz)
+    }
     defl.end()
+    require(zout.size > 0, "deflate produced no output")
     val out = new java.io.ByteArrayOutputStream()
     out.write(Sig)
     val ihdr = ByteBuffer.allocate(13)
       .putInt(w).putInt(h).put(bitDepth.toByte).put(colorType.toByte)
       .put(0.toByte).put(0.toByte).put(0.toByte)
     chunk(out, "IHDR", ihdr.array())
-    chunk(out, "IDAT", java.util.Arrays.copyOf(buf, nz))
+    chunk(out, "IDAT", zout.toByteArray)
     chunk(out, "IEND", Array.emptyByteArray)
     out.toByteArray
   }

@@ -170,8 +170,11 @@ object IngestStream {
     val rewritten = kept
       .unionByName(overwrites.select(kept.columns.map(col): _*))
       .unionByName(inserts.filter(owPred).select(kept.columns.map(col): _*))
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    rewritten.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(target)
+    // scoped to this write via the writer option (precedence over the
+    // session conf) — the shared session is never mutated
+    rewritten.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*).parquet(target)
     inserts.filter(!owPred).write.mode("append")
       .partitionBy(partitionCols: _*).parquet(target)
   }

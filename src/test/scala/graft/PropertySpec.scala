@@ -99,6 +99,19 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("PngCodec survives large incompressible payloads (deflate > input)") {
+    // ~1 MB of full-entropy 16-bit samples: stored/raw deflate blocks
+    // cost ~5 bytes per 64 KB on top of the input, so a single-shot
+    // deflate into a fixed input-sized buffer silently truncates here.
+    val rnd = new scala.util.Random(42)
+    val (w, h) = (720, 720)
+    val vals = Array.fill(w * h)(rnd.nextInt(65536).toLong)
+    val bytes = graft.sources.PngCodec.encode(vals, w, h, 16)
+    val img = graft.sources.PngCodec.decodeImage(bytes, 0)
+    assert(img.w == w && img.h == h && img.end == bytes.length)
+    assert(img.pixels.sameElements(vals))
+  }
+
   test("HyperplaneBucket equals the naive per-plane sign computation") {
     val table = graft.functions.HyperplaneBucket.signTable(8, 16)
     val vecGen = Gen.listOfN(16, Gen.choose(-1000000L, 1000000L))

@@ -188,6 +188,35 @@ class EngineSpec extends SparkSpec {
       .select("unit_id").distinct().count() == 3)
   }
 
+  test("a previously-run unit that becomes not-ready leaves the ledger (parked, not kept)") {
+    val stateDir = Files.createTempDirectory("graft-park2-").toString
+    val engine = new Engine(spark, stateDir)
+    def climFor(maxMonth: Int) = {
+      val d = Files.createTempDirectory("graft-park2-clim-").toString
+      new Engine(spark, d).run(new ClimatologyRecipe,
+        mkInputs(bump = false).filter(month(col("t")) <= maxMonth))
+      spark.read.parquet(s"$d/climatology/outputs")
+    }
+
+    // All three slots derive, then March's normal disappears: the March
+    // unit must emit exactly ONE audit row (parked), and its old hash
+    // must leave the ledger — not survive as a 'keep' row.
+    engine.run(new AnomalyRecipe(climFor(3)), mkInputs(bump = false))
+    val a2 = engine.run(new AnomalyRecipe(climFor(2)), mkInputs(bump = false))
+    val march = a2.filter(col("unit_id").startsWith("2024-03"))
+    assert(march.count() == 1)
+    assert(march.select("action").as[String].collect()(0) == "parked")
+    val ledger = spark.read.parquet(s"$stateDir/anomaly/ledger")
+    assert(ledger.filter(col("unit_id").startsWith("2024-03")).isEmpty)
+
+    // The normal returns with UNCHANGED content: the revived unit must
+    // classify as a fresh insert (parked units never 'skip' back in).
+    val a3 = engine.run(new AnomalyRecipe(climFor(3)), mkInputs(bump = false))
+    val acts3 = a3.as[(String, String, String)].collect().map(r => r._1.take(7) -> r._3).toMap
+    assert(acts3 == Map("2024-01" -> "skip", "2024-02" -> "skip", "2024-03" -> "insert"))
+    assert(spark.read.parquet(s"$stateDir/anomaly/parked").isEmpty)
+  }
+
   test("promotion recipe publishes granules unchanged and idempotently") {
     val stateDir = Files.createTempDirectory("graft-engine2-").toString
     val engine = new Engine(spark, stateDir)

@@ -56,6 +56,33 @@ class NetCdfSpec extends SparkSpec {
     assert(rs(2)._2.data(1) == (2 * 24 + 1) * 0.5f)
   }
 
+  test("single-element coordinate axes decode (1×N and N×1 grids)") {
+    // h=1: the lat axis has one value, so there are no diffs to take —
+    // medianRes's default (1.0) must apply instead of an
+    // IndexOutOfBounds on the truncated sliding(2) window.
+    val row = NetCdf.write(
+      Seq("lat" -> 1, "lon" -> 4),
+      Seq(
+        NetCdf.Variable("lat", Seq("lat"), Array(10f), None),
+        NetCdf.Variable("lon", Seq("lon"), Array(0f, 1f, 2f, 3f), None),
+        NetCdf.Variable("v", Seq("lat", "lon"), Array(1f, 2f, 3f, 4f), None)))
+    val r = NetCdf.read(row).rasters("v").head._2
+    assert(r.width == 4 && r.height == 1)
+    assert(r.px == 1.0 && r.py == 1.0) // lon diffs real, lat defaulted
+    assert(r.data.toSeq == Seq(1f, 2f, 3f, 4f))
+
+    val colF = NetCdf.write(
+      Seq("lat" -> 3, "lon" -> 1),
+      Seq(
+        NetCdf.Variable("lat", Seq("lat"), Array(30f, 20f, 10f), None),
+        NetCdf.Variable("lon", Seq("lon"), Array(5f), None),
+        NetCdf.Variable("v", Seq("lat", "lon"), Array(7f, 8f, 9f), None)))
+    val rc = NetCdf.read(colF).rasters("v").head._2
+    assert(rc.width == 1 && rc.height == 3)
+    assert(rc.py == 10.0 && rc.px == 1.0)
+    assert(rc.data.toSeq == Seq(7f, 8f, 9f))
+  }
+
   test("curvilinear 2-D lat/lon coordinates: per-pixel coords, approximate affine, CRS") {
     val h = 3; val w = 4
     val lat2 = Array.tabulate(h * w)(i => 50f - (i / w) * 10f + (i % w) * 0.5f)
