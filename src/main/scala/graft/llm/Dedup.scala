@@ -146,15 +146,22 @@ object Dedup {
     val wd = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"),
         explode(split(trim(lower(col(textCol))), "\\s+")).as("w")).distinct()
-    val nibs = wd
-      .withColumn("m", md5(col("w")))
-      .select(col("id"), explode(sequence(lit(0), lit(7))).as("k"), col("m"))
-      .withColumn("nv", expr("instr('0123456789abcdef', substring(m, k+1, 1)) - 1"))
-    val bits = nibs
-      .select(col("id"), col("k"), col("nv"), explode(sequence(lit(0), lit(3))).as("j"))
-      .withColumn("contrib", expr("CASE WHEN (shiftright(nv, j) & 1) = 1 THEN 1 ELSE -1 END"))
-    bits.groupBy("id", "k", "j").agg(sum(col("contrib")).as("sgn"))
-      .withColumn("bit", when(col("sgn") >= 0, 1L).otherwise(0L))
-      .groupBy("id").agg(sum(expr("shiftleft(bit, k*4+j)")).as("simhash"))
+    // Per word, the 32 md5-nibble sign bits packed as ONE integer mask
+    // (bit 4·(7−k)+j of the mask = bit j of hex digit k — a fixed bit
+    // PERMUTATION of the per-(k,j) layout, which XOR+popcount and the
+    // pigeonhole blocks are invariant to, so pair results are unchanged).
+    // sgn_p = (+1 votes) − (−1 votes) = 2·c_p − n ≥ 0 ⇔ 2·c_p ≥ n, so
+    // one hash-aggregate with 32 map-side popcount sums replaces the
+    // former 32× row explosion and its two extra shuffles.
+    val masked = wd.withColumn("mask",
+      expr("CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT)"))
+    val cnt = (0 until 32).map(p =>
+      sum(expr(s"shiftright(mask, $p) & 1")).as(s"c$p"))
+    val simBits = (0 until 32).map(p =>
+      expr(s"CASE WHEN 2 * c$p >= n THEN ${1L << p}L ELSE 0L END"))
+      .reduce(_ + _)
+    masked.groupBy("id")
+      .agg(count(lit(1)).as("n"), cnt: _*)
+      .select(col("id"), simBits.as("simhash"))
   }
 }
