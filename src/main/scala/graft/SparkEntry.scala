@@ -22,6 +22,7 @@ object SparkEntry {
     graft.llm.TextQueries,
     graft.llm.DedupQueries,
     graft.llm.SimilarityQueries,
+    graft.llm.CurationQueries,
     graft.engine.EngineQueries,
     graft.ops.GeoCalQueries,
     graft.llm.MultimodalQueries,

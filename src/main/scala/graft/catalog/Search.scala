@@ -169,6 +169,19 @@ object Search extends QueryModule {
           col("event_type"), col("n"), col("sum_value"))
     }),
 
+    // W7 — sliding-window counts/sums (1 h window every 15 min): each
+    // event lands in exactly window/slide = 4 windows; Spark's window()
+    // enumerates them map-side, so the plan is one hash aggregation —
+    // no self-join against a window dimension.
+    "w7_sliding" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0).as("sum_value"))
+        .select(col("window.start").as("ws"), col("window.end").as("we"),
+          col("event_type"), col("n"), col("sum_value"))
+    }),
+
     // A13 — exact percentiles over integer-valued measures (dyadic
     // quantiles interpolate exactly, so they hash-match cross-engine).
     "a13_percentiles" -> ((s, dir) => {
@@ -339,6 +352,15 @@ object Search extends QueryModule {
         |  min(ts) AS session_start,
         |  CAST(floor(epoch(max(ts))) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_sec
         |FROM sess GROUP BY 1, 2""".stripMargin,
+    "w7_sliding" ->
+      """WITH wins AS (
+        |  SELECT make_timestamp(
+        |      (CAST(floor(epoch(ts) / 900) AS BIGINT) - k) * 900 * 1000000) AS ws,
+        |    event_type, value
+        |  FROM events CROSS JOIN range(4) t(k))
+        |SELECT ws, ws + INTERVAL 1 HOUR AS we, event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+        |FROM wins GROUP BY 1, 2, 3""".stripMargin,
     "a13_percentiles" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.25) AS q25,

@@ -279,6 +279,27 @@ object GridQueries extends QueryModule {
         .withColumn("bin_lo", col("bin") * 10.0)
     }),
 
+    // A19 — threshold-exceedance area per (boundary, timestep): the
+    // drought/flood-monitor serving shape ("fraction of the zone above
+    // level X"). Same broadcast containment join as J1; counts are the
+    // only aggregate, the fraction one IEEE division. Boundaries with
+    // no intersecting pixels keep an all-NULL row (J1's outer contract).
+    "a19_threshold_area" -> ((s, dir) => {
+      val px = pixels(s, dir)
+      val b = boundaries(s)
+      val joined = px.join(broadcast(b),
+        col("lon") >= col("bw") && col("lon") < col("be") &&
+        col("lat") >= col("bs") && col("lat") < col("bn"))
+      val stats = joined.groupBy("boundary_id", "t").agg(
+        count(lit(1)).as("n_pixels"),
+        sum(when(col("v") >= 40.0, 1L).otherwise(0L)).as("n_above"))
+        .withColumn("frac_above",
+          col("n_above").cast("double") / col("n_pixels"))
+      b.select("boundary_id")
+        .crossJoin(px.select("t").distinct())
+        .join(stats, Seq("boundary_id", "t"), "left")
+    }),
+
     // J9 — raster gradients (terrain/hillshade precursor): forward
     // finite differences along x and y as two windows over the pixel
     // partitioning temporal ops already use — no self-join, no extra
@@ -480,6 +501,18 @@ object GridQueries extends QueryModule {
         |  GROUP BY 1, 2, 3)
         |SELECT t, yt, xt, CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS v
         |FROM agg WHERE den != 0""".stripMargin),
+    "a19_threshold_area" -> withCtes(
+      """, stats AS (
+        |  SELECT boundary_id, t, count(*) AS n_pixels,
+        |    sum(CASE WHEN v >= 40.0 THEN 1::BIGINT ELSE 0::BIGINT END) AS n_above
+        |  FROM px JOIN bounds
+        |    ON lon >= bw AND lon < be AND lat >= bs AND lat < bn
+        |  GROUP BY 1, 2),
+        |frame AS (SELECT boundary_id, t FROM bounds, (SELECT DISTINCT t FROM px) ts)
+        |SELECT frame.boundary_id AS boundary_id, frame.t AS t,
+        |  n_pixels, n_above, CAST(n_above AS DOUBLE) / n_pixels AS frac_above
+        |FROM frame LEFT JOIN stats
+        |  ON frame.boundary_id = stats.boundary_id AND frame.t = stats.t""".stripMargin),
     "a18_histogram" -> withCtes(
       """SELECT t, CAST(floor(v / 10.0) AS INT) AS bin, count(*) AS n,
         |  CAST(floor(v / 10.0) AS INT) * 10.0 AS bin_lo

@@ -125,6 +125,26 @@ object SimilarityQueries extends QueryModule {
       val q = quantizedOf(s, dir)
         .join(Tables.embeddings(s, dir).select(col("vec_id"), col("label")), "vec_id")
       Similarity.neardupBlocked(q, "label", nPlanes = 8, probeDist = 2, minCos = 0.4)
+    }),
+
+    // Embedding outlier sweep (semantic curation): distance to the own-
+    // label centroid, top-3 farthest per label — the "mislabeled or
+    // junk" screen run before training. Distances are EXACT integer
+    // squared-L2 (‖a−c‖² = ‖a‖² + ‖c‖² − 2·a·c over quantized vectors),
+    // so ranking is deterministic; the centroid table broadcasts and the
+    // corpus aggregates map-side — no vector ever shuffles.
+    "s_embed_outliers" -> ((s, dir) => {
+      val q = quantizedOf(s, dir)
+        .join(Tables.embeddings(s, dir).select(col("vec_id"), col("label")), "vec_id")
+      val cents = Similarity.ivfCentroids(q, "label")
+      val scored = q.join(broadcast(cents), Seq("label"))
+        .withColumn("dot",
+          expr("aggregate(zip_with(q, cq, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+        .withColumn("dist2", col("nrm2") + col("cnrm2") - lit(2L) * col("dot"))
+      val w = Window.partitionBy(col("label")).orderBy(col("dist2").desc, col("vec_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("label", "vec_id", "dist2", "rank")
     })
   )
 
@@ -244,6 +264,27 @@ object SimilarityQueries extends QueryModule {
          |  FROM scored) t
          |WHERE rank <= 3""".stripMargin
     },
+    "s_embed_outliers" ->
+      s"""WITH $quantSql,
+         |ql AS (SELECT qn.vec_id AS vec_id, qv, nrm2, label
+         |       FROM qn JOIN embeddings e ON qn.vec_id = e.vec_id),
+         |comps AS (
+         |  SELECT label, CAST(i AS INT) AS i, qv[CAST(i+1 AS INT)] AS c
+         |  FROM ql CROSS JOIN range(64) ii(i)),
+         |cent AS (
+         |  SELECT label, i, CAST(floor(CAST(sum(c) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+         |  FROM comps GROUP BY 1, 2),
+         |centv AS (SELECT label, list(cv ORDER BY i) AS cq FROM cent GROUP BY 1),
+         |centn AS (SELECT label, cq, list_dot_product(cq, cq) AS cnrm2 FROM centv),
+         |scored AS (
+         |  SELECT ql.label AS label, vec_id,
+         |    CAST(nrm2 + cnrm2 - 2 * list_dot_product(qv, cq) AS BIGINT) AS dist2
+         |  FROM ql JOIN centn ON ql.label = centn.label)
+         |SELECT label, vec_id, dist2, rank FROM (
+         |  SELECT label, vec_id, dist2,
+         |    CAST(row_number() OVER (PARTITION BY label ORDER BY dist2 DESC, vec_id ASC) AS INT) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 3""".stripMargin,
     "s_embed_neardup" ->
       s"""WITH $quantSql,
          |ql AS (SELECT qn.vec_id AS vec_id, qv, nrm2, label
