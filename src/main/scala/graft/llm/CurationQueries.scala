@@ -73,6 +73,26 @@ object CurationQueries extends QueryModule {
           mwl >= 3.8 && mwl <= 5.2).cast("int").as("pass"))
     }),
 
+    // Domain-mixture table: per-(source, lang) token mass, corpus share,
+    // and the up/down-sampling factor that re-mixes the corpus to a
+    // uniform per-domain token budget — the "how much of each domain
+    // goes in the run" planning step. Two hash aggregations; the
+    // corpus-total side is one broadcast row.
+    "t_domain_mix" -> ((s, dir) => {
+      val tok = Tables.documents(s, dir).select(
+        col("source"), col("lang"),
+        TextAnalysis.tokenCountWs(col("text")).cast("long").as("n"))
+      val g = tok.groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+      val tot = g.agg(sum(col("n_tokens")).as("total_tokens"),
+        count(lit(1)).as("n_domains"))
+      g.crossJoin(broadcast(tot)).select(
+        col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("total_tokens")).as("share"),
+        (col("total_tokens").cast("double") / (col("n_domains") * col("n_tokens")))
+          .as("uniform_weight"))
+    }),
+
     // Vocabulary coverage / OOV-rate filter: fraction of tokens outside
     // a fixed reference vocabulary (tokenizer coverage screening). The
     // vocabulary is a broadcast-scale literal; the scan is one map-side
@@ -130,6 +150,19 @@ object CurationQueries extends QueryModule {
          |    AND CAST(sum_len AS DOUBLE) / n_words >= 3.8
          |    AND CAST(sum_len AS DOUBLE) / n_words <= 5.2 AS INT) AS pass
          |FROM wa LEFT JOIN bga ON wa.id = bga.id""".stripMargin,
+    "t_domain_mix" ->
+      """WITH tok AS (
+        |  SELECT source, lang,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, lang, count(*) AS n_docs, sum(n) AS n_tokens
+        |  FROM tok GROUP BY 1, 2),
+        |tot AS (SELECT sum(n_tokens) AS total_tokens, count(*) AS n_domains FROM g)
+        |SELECT source, lang, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(n_tokens AS DOUBLE) / total_tokens AS share,
+        |  CAST(total_tokens AS DOUBLE) / (n_domains * n_tokens) AS uniform_weight
+        |FROM g CROSS JOIN tot""".stripMargin,
     "t_vocab_coverage" -> {
       val inList = vocab.map(v => s"'$v'").mkString(", ")
       s"""WITH $wordsCte,

@@ -85,6 +85,34 @@ object MediaCodecs {
     bb.array() // remaining bytes are zero = silence
   }
 
+  /** Mono 16-bit PCM WAV with per-sample content f(i) — decodable
+    * end-to-end (wavSamples), used by the audio-energy operator whose
+    * oracle recomputes the same pattern arithmetically. */
+  def wavPattern(sampleRate: Int, nFrames: Int, f: Int => Int): Array[Byte] = {
+    val bytes = wav(1, sampleRate, nFrames)
+    val bb = ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < nFrames) { bb.putShort(44 + i * 2, f(i).toShort); i += 1 }
+    bytes
+  }
+
+  /** 16-bit LE PCM samples from a WAV's data chunk (RIFF chunk walk —
+    * same traversal as parseWav, returning the payload). */
+  def wavSamples(b: Array[Byte]): Array[Int] = {
+    require(b.length >= 12 && new String(b, 0, 4, US_ASCII) == "RIFF" &&
+      new String(b, 8, 4, US_ASCII) == "WAVE", "not a WAV")
+    val bb = ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var p = 12
+    while (p + 8 <= b.length) {
+      val id = new String(b, p, 4, US_ASCII)
+      val size = bb.getInt(p + 4)
+      if (id == "data")
+        return Array.tabulate(size / 2)(i => bb.getShort(p + 8 + i * 2).toInt)
+      p += 8 + size + (size & 1)
+    }
+    throw new IllegalArgumentException("WAV missing data chunk")
+  }
+
   /** n concatenated PNG frames (the fixture "video" container). */
   def pngFrames(w: Int, h: Int, n: Int): Array[Byte] = {
     val one = png(w, h)

@@ -110,6 +110,40 @@ object Multimodal {
     }.toDF("doc_id", "frame_idx", "w", "h", "px_sum")
   }
 
+  /** Patterned PCM audio fixtures: one WAV per audio document whose
+    * samples follow a deterministic formula the oracle can recompute
+    * (the audio analogue of asPatternedMedia). */
+  def asPatternedAudio(docs: DataFrame): Dataset[Media] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val len = text.getBytes("UTF-8").length
+        if (id % 3 == 1)
+          Some(Media(id, "audio", MediaCodecs.wavPattern(8000, len,
+            i => ((id * 31 + i * 7) % 4096).toInt - 2048)))
+        else None
+      })
+  }
+
+  /** Windowed audio energy: decode the PCM payload, cut it into
+    * fixed-length sample windows, report the exact integer energy
+    * Σ s² per window — the silence/clipping screen an audio-curation
+    * pipeline runs before feature extraction. Decode, window and
+    * reduce are one partition-local pass; only (doc, window) scalars
+    * ever shuffle. */
+  def audioEnergy(media: Dataset[Media], windowSamples: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "audio").flatMap { m =>
+      val s = MediaCodecs.wavSamples(m.payload)
+      s.indices.groupBy(_ / windowSamples).toSeq.map { case (win, idx) =>
+        (m.doc_id, win, idx.size,
+          idx.map(i => s(i).toLong * s(i)).sum)
+      }
+    }.toDF("doc_id", "win", "n_samples", "energy")
+  }
+
   /** Partition-wise header parse + feature extraction — the mapInPandas
     * batch shape with a compiled parser per element. */
   def extractFeatures(media: Dataset[Media]): Dataset[MediaFeatures] = {

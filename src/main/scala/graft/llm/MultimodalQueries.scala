@@ -32,7 +32,14 @@ object MultimodalQueries extends QueryModule {
     // frame, report per-frame dims + exact pixel sum.
     "m_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(
-        Multimodal.asPatternedMedia(Tables.documents(s, dir)), 2))
+        Multimodal.asPatternedMedia(Tables.documents(s, dir)), 2)),
+
+    // Windowed PCM energy: REAL WAV synth (patterned 16-bit samples) →
+    // RIFF chunk walk → 100-sample windows → exact Σs² — the
+    // silence/clipping screen of an audio-curation pipeline.
+    "m_audio_energy" -> ((s, dir) =>
+      Multimodal.audioEnergy(
+        Multimodal.asPatternedAudio(Tables.documents(s, dir)), 100))
   )
 
   override def oracleSql = Map(
@@ -58,6 +65,16 @@ object MultimodalQueries extends QueryModule {
         |FROM d CROSS JOIN range(40) xs(r) CROSS JOIN range(24) ys(r)
         |WHERE xs.r < w_out AND ys.r < h_out
         |GROUP BY 1, 2, 3""".stripMargin,
+    "m_audio_energy" ->
+      """WITH base AS (
+        |  SELECT doc_id, strlen(text) AS n FROM documents WHERE doc_id % 3 = 1),
+        |s AS (
+        |  SELECT doc_id, CAST(i // 100 AS INT) AS win,
+        |    (doc_id * 31 + i * 7) % 4096 - 2048 AS v
+        |  FROM base CROSS JOIN range(700) t(i) WHERE i < n)
+        |SELECT doc_id, win, CAST(count(*) AS INT) AS n_samples,
+        |  CAST(sum(v * v) AS BIGINT) AS energy
+        |FROM s GROUP BY 1, 2""".stripMargin,
     "m_frame_sample" ->
       """WITH base AS (
         |  SELECT doc_id, 16 + strlen(text) % 64 AS w, 16 + doc_id % 32 AS h,

@@ -23,6 +23,20 @@ object Windows {
       .select(col("window.start").as("ws"), col("window.end").as("we"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Sliding per-window, per-key counts + exact sums: each event lands
+    * in window/slide overlapping windows, enumerated map-side by
+    * Spark's window() — still one watermarked hash aggregation (the
+    * streaming twin of the w7_sliding batch query). */
+  def slidingCounts(events: DataFrame, watermark: String,
+                    window_ : String, slide: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0).as("sum_value"))
+      .select(col("window.start").as("ws"), col("window.end").as("we"),
+        col("event_type"), col("n"), col("sum_value"))
+
   case class Sess(user_id: Long, n: Int, first: java.sql.Timestamp, last: java.sql.Timestamp)
   case class SessOut(user_id: Long, n_events: Int, duration_sec: Long)
 

@@ -33,6 +33,27 @@ class WindowsSpec extends SparkSpec {
     assert(rows.contains((ts("2024-01-01 00:05:00"), "view", 1L, 4.0)))
   }
 
+  test("sliding windows emit one row per overlapping window") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val q = Windows.slidingCounts(df, "10 minutes", "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("sliding")
+      .outputMode("append").start()
+    // 00:06 lands in two 10-min windows sliding by 5: [00:00,00:10) and
+    // [00:05,00:15)
+    mem.addData((ts("2024-01-01 00:06:00"), "click", 1.5))
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 01:00:00"), "click", 1.0)) // close them
+    q.processAllAvailable()
+    val rows = spark.table("sliding")
+      .select("ws", "event_type", "n", "sum_value")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    q.stop()
+    assert(rows.contains((ts("2024-01-01 00:00:00"), "click", 1L, 1.5)))
+    assert(rows.contains((ts("2024-01-01 00:05:00"), "click", 1L, 1.5)))
+  }
+
   test("events later than the watermark are dropped from closed windows") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]
