@@ -37,11 +37,14 @@ object Bench {
     // The printed line carries the total plus the slowest 25 queries.
     val full = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      new java.io.File("BENCH_LOCAL.json").getAbsolutePath)
     try {
-      val w = new java.io.PrintWriter("/root/repo/BENCH_LOCAL.json")
+      val w = new java.io.PrintWriter(detailPath)
       w.println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$full,"sf":"$sfDir"}""")
       w.close()
-    } catch { case _: Throwable => () }
+    } catch { case e: Throwable =>
+      System.err.println(s"bench detail write failed ($detailPath): ${e.getMessage}") }
     val top = results.sortBy(-_._2).take(25)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")

@@ -76,6 +76,21 @@ class Engine(spark: SparkSession, stateDir: String) {
     val units = allUnits.join(
       ready.filter(col("ready")).select("unit_id"), "unit_id")
 
+    // Legacy flat-layout outputs (root-level parquet files from the old
+    // full-rewrite path) would corrupt partition discovery under dynamic
+    // overwrite. Clear BOTH the data and the ledger BEFORE classification:
+    // the ledger's hashes describe the data just deleted, so every unit
+    // must re-classify as a fresh insert — otherwise 'skip' units keep
+    // their hashes while their output rows are gone forever.
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val outP = new org.apache.hadoop.fs.Path(outPath)
+    if (fs.exists(outP) && fs.listStatus(outP).exists(st =>
+        st.isFile && st.getPath.getName.endsWith(".parquet"))) {
+      fs.delete(outP, true)
+      fs.delete(new org.apache.hadoop.fs.Path(ledgerPath), true)
+    }
+
     val ledger = readOrEmpty(ledgerPath, units.select(col("unit_id"), col("input_hash")))
     // A unit that ran before and has since become not-ready appears in
     // the ledger but not in `units`, so the merge would emit a 'keep'
@@ -108,15 +123,8 @@ class Engine(spark: SparkSession, stateDir: String) {
     // (the IngestStream.upsertBatch pattern; at scale, a Delta MERGE).
     // The dynamic mode is scoped to THIS write via the writer option
     // (it takes precedence over the session conf) — never mutated on the
-    // shared session. A pre-partitioned-layout state dir (root-level
-    // parquet files from the old flat rewrite) would corrupt partition
-    // discovery under dynamic overwrite, so detect and clear it first.
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val outP = new org.apache.hadoop.fs.Path(outPath)
-    if (fs.exists(outP) && fs.listStatus(outP).exists(st =>
-        st.isFile && st.getPath.getName.endsWith(".parquet")))
-      fs.delete(outP, true)
+    // shared session. Legacy flat layouts were cleared before the ledger
+    // read above, so partition discovery here is always clean.
     produced.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("unit_id").parquet(outPath)

@@ -168,7 +168,7 @@ object CurationQueries extends QueryModule {
       s"""WITH $wordsCte,
          |w AS (SELECT id, unnest(ws) AS w FROM words)
          |SELECT id AS doc_id, count(*) AS n_words,
-         |  sum(CASE WHEN w IN ($inList) THEN 0 ELSE 1 END) AS n_oov,
+         |  CAST(sum(CASE WHEN w IN ($inList) THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
          |  CAST(sum(CASE WHEN w IN ($inList) THEN 0 ELSE 1 END) AS DOUBLE) / count(*) AS oov_rate,
          |  CAST(CAST(sum(CASE WHEN w IN ($inList) THEN 0 ELSE 1 END) AS DOUBLE) / count(*) <= 0.5 AS INT) AS keep
          |FROM w GROUP BY 1""".stripMargin

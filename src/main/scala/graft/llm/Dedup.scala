@@ -87,21 +87,22 @@ object Dedup {
   def canonicalize(pairs: DataFrame, rounds: Int = 3): DataFrame = {
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+    val nodes = edges.select(col("u").as("id")).distinct()
+    // A self-loop per node carries its own label through each round, so
+    // one round = ONE equi-join + ONE min-aggregate (instead of
+    // neighbor-join + left-join + coalesce): labels_{k+1}(u) =
+    // min(labels_k(u), min over neighbors labels_k(v)) — the same
+    // min-label propagation fixpoint. Each round consumes the previous
+    // labels exactly once, so lineage stays linear and only the reused
+    // edge set needs a cache.
+    val edgesPlus = edges
+      .unionByName(nodes.select(col("id").as("u"), col("id").as("v")))
       .distinct().cache()
-    var labels = edges.select(col("u").as("id")).distinct()
-      .withColumn("canonical", col("id"))
-    for (_ <- 1 to rounds) {
-      // each round reads the previous labels twice — cache per round or
-      // the lineage re-executes 2^rounds times
-      labels = labels.cache()
-      val viaNeighbor = edges
-        .join(labels.withColumnRenamed("id", "v2"),
-          col("v") === col("v2"))
-        .groupBy(col("u").as("id")).agg(min(col("canonical")).as("nc"))
-      labels = labels.join(viaNeighbor, Seq("id"), "left")
-        .select(col("id"),
-          least(col("canonical"), coalesce(col("nc"), col("canonical"))).as("canonical"))
-    }
+    var labels = nodes.withColumn("canonical", col("id"))
+    for (_ <- 1 to rounds)
+      labels = edgesPlus
+        .join(labels.withColumnRenamed("id", "v"), Seq("v"))
+        .groupBy(col("u").as("id")).agg(min("canonical").as("canonical"))
     labels
   }
 
@@ -116,13 +117,16 @@ object Dedup {
     * guaranteed, so the result is identical to the quadratic scan.
     *
     * At cluster scale the join shuffles on (blk, bv); hot block values
-    * (skewed bit distributions) are AQE skew-join territory. Wider hashes
-    * (64-bit) give proportionally more selective blocks.
+    * (skewed bit distributions) are AQE skew-join territory.
     *
-    * Input: (id, simhash). Output: (doc_a, doc_b, ha, hb) distinct pairs
-    * with doc_a < doc_b, superset of the true hamming<=maxDist pairs.
+    * Input: (id, simhash). Output: (doc_a, doc_b, ha, hb) pairs with
+    * doc_a < doc_b, superset of the true hamming<=maxDist pairs. NOT
+    * deduplicated: a pair agreeing on several blocks appears once per
+    * block — callers must apply the cheap hamming filter FIRST and
+    * distinct() the survivors, so the wide pre-filter set never pays a
+    * shuffle (the filter runs map-side in the join stage).
     */
-  def simhashCandidates(sim: DataFrame, maxDist: Int = 6, bits: Int = 32): DataFrame = {
+  def simhashCandidates(sim: DataFrame, maxDist: Int = 6, bits: Int = 64): DataFrame = {
     val nBlocks = maxDist + 1
     val bounds = (0 to nBlocks).map(i => i * bits / nBlocks)
     val blocks = (0 until nBlocks).map { i =>
@@ -137,27 +141,31 @@ object Dedup {
     val a = exploded.select(col("blk"), col("bv"), col("id").as("doc_a"), col("simhash").as("ha"))
     val b = exploded.select(col("blk"), col("bv"), col("id").as("doc_b"), col("simhash").as("hb"))
     a.join(b, Seq("blk", "bv")).filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "ha", "hb").distinct()
+      .select("doc_a", "doc_b", "ha", "hb")
   }
 
-  /** 32-bit SimHash over distinct word tokens, md5-nibble bit source.
-    * (id, simhash). */
-  def simhash32(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val wd = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      .select(col(idCol).as("id"),
-        explode(split(trim(lower(col(textCol))), "\\s+")).as("w")).distinct()
-    // Per word, the 32 md5-nibble sign bits packed as ONE integer mask
-    // (bit 4·(7−k)+j of the mask = bit j of hex digit k — a fixed bit
-    // PERMUTATION of the per-(k,j) layout, which XOR+popcount and the
-    // pigeonhole blocks are invariant to, so pair results are unchanged).
-    // sgn_p = (+1 votes) − (−1 votes) = 2·c_p − n ≥ 0 ⇔ 2·c_p ≥ n, so
-    // one hash-aggregate with 32 map-side popcount sums replaces the
-    // former 32× row explosion and its two extra shuffles.
-    val masked = wd.withColumn("mask",
-      expr("CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT)"))
-    val cnt = (0 until 32).map(p =>
+  /** 64-bit SimHash over a document's distinct shingle set (input: the
+    * (id, s) frame from `shingles`). Word-level features degenerate on
+    * template-heavy corpora — majority votes over a shared vocabulary
+    * converge to one hash for unrelated documents — so the feature is
+    * the same word n-gram shingle the minhash path uses, which keeps
+    * hamming distance bimodal: true near-dups land <=8 of 64 bits apart
+    * while unrelated pairs sit near 32. (id, simhash).
+    *
+    * The 64 mask bits are two 32-bit md5 halves (bit 32+p = bit p of
+    * hex chars 1-8, bit p = bit p of chars 9-16 — a fixed PERMUTATION
+    * of the digit layout, which XOR+popcount and the pigeonhole blocks
+    * are invariant to). sgn_p = (+1 votes) − (−1 votes) = 2·c_p − n ≥ 0
+    * ⇔ 2·c_p ≥ n, so one hash-aggregate with 64 map-side bit sums does
+    * the whole vote — no per-bit row explosion, ONE shuffle total.
+    */
+  def simhash64(sh: DataFrame): DataFrame = {
+    val masked = sh.withColumn("mask",
+      expr("shiftleft(CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT), 32)" +
+        " | CAST(conv(substring(md5(s), 9, 8), 16, 10) AS BIGINT)"))
+    val cnt = (0 until 64).map(p =>
       sum(expr(s"shiftright(mask, $p) & 1")).as(s"c$p"))
-    val simBits = (0 until 32).map(p =>
+    val simBits = (0 until 64).map(p =>
       expr(s"CASE WHEN 2 * c$p >= n THEN ${1L << p}L ELSE 0L END"))
       .reduce(_ + _)
     masked.groupBy("id")

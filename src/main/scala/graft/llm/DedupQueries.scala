@@ -156,17 +156,20 @@ object DedupQueries extends QueryModule {
           count(lit(1)).as("n_bigrams"))
     }),
 
-    // SimHash-32 near-dups: hamming distance ≤ 6 pairs. Candidates come
-    // from pigeonhole blocking (7 blocks of the 32-bit hash; ≤6 flipped
-    // bits leave ≥1 block identical → equi-join on (blk, value)), so the
-    // plan has no cartesian product and only candidates pay the exact
-    // hamming verification — same answer as the quadratic scan.
+    // SimHash-64 near-dups: hamming distance ≤ 8 pairs over the shared
+    // shingle index (word-level simhash degenerates on template corpora).
+    // Candidates come from pigeonhole blocking (9 blocks of the 64-bit
+    // hash; ≤8 flipped bits leave ≥1 block identical → equi-join on
+    // (blk, value)), so the plan has no cartesian product; the cheap
+    // hamming filter runs map-side in the join stage and only survivors
+    // pay the distinct() — same answer as the quadratic scan.
     "d_simhash" -> ((s, dir) => {
-      val sim = Dedup.simhash32(Tables.documents(s, dir), "doc_id", "text")
-      Dedup.simhashCandidates(sim, maxDist = 6)
-        .withColumn("hamming", expr("bit_count(ha ^ hb)"))
-        .filter(col("hamming") <= 6)
+      val sim = Dedup.simhash64(shinglesOf(s, dir))
+      Dedup.simhashCandidates(sim, maxDist = 8)
+        .withColumn("hamming", expr("CAST(bit_count(ha ^ hb) AS INT)"))
+        .filter(col("hamming") <= 8)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
     })
   )
 
@@ -341,23 +344,24 @@ object DedupQueries extends QueryModule {
         |FROM sh2 JOIN freq USING (s)
         |GROUP BY 1""".stripMargin,
     "d_simhash" ->
-      """WITH wd AS (
-        |  SELECT DISTINCT doc_id AS id, w
-        |  FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
-        |        FROM documents) t),
-        |nibs AS (
-        |  SELECT id, k, strpos('0123456789abcdef', substring(md5(w), CAST(k+1 AS INT), 1)) - 1 AS nv
-        |  FROM wd CROSS JOIN range(8) kk(k)),
-        |bits AS (
-        |  SELECT id, k, j, sum(CASE WHEN (nv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS sgn
-        |  FROM nibs CROSS JOIN range(4) jj(j)
-        |  GROUP BY 1, 2, 3),
-        |sim AS (
-        |  SELECT id, sum(CASE WHEN sgn >= 0 THEN 1::BIGINT ELSE 0::BIGINT END << (k*4+j)) AS simhash
-        |  FROM bits GROUP BY id)
-        |SELECT a.id AS doc_a, b.id AS doc_b,
-        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-        |FROM sim a JOIN sim b ON a.id < b.id
-        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6""".stripMargin
+      s"""WITH $shinglesCte,
+         |m AS (
+         |  SELECT id, CAST(concat('0x', substring(md5(s), 1, 8)) AS BIGINT) AS hi,
+         |         CAST(concat('0x', substring(md5(s), 9, 8)) AS BIGINT) AS lo
+         |  FROM sh),
+         |votes AS (
+         |  SELECT id, p,
+         |    sum(CASE WHEN ((CASE WHEN p < 32 THEN lo ELSE hi END) >> (p % 32)) & 1 = 1
+         |        THEN 1 ELSE -1 END) AS sgn
+         |  FROM m CROSS JOIN range(64) pp(p) GROUP BY 1, 2),
+         |sim AS (
+         |  SELECT id,
+         |    sum(CASE WHEN p >= 32 AND sgn >= 0 THEN 1::BIGINT << CAST(p - 32 AS INT) ELSE 0 END) AS hi,
+         |    sum(CASE WHEN p < 32 AND sgn >= 0 THEN 1::BIGINT << CAST(p AS INT) ELSE 0 END) AS lo
+         |  FROM votes GROUP BY id)
+         |SELECT a.id AS doc_a, b.id AS doc_b,
+         |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT) AS hamming
+         |FROM sim a JOIN sim b ON a.id < b.id
+         |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 8""".stripMargin
   )
 }

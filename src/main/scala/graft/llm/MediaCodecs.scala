@@ -106,6 +106,8 @@ object MediaCodecs {
     while (p + 8 <= b.length) {
       val id = new String(b, p, 4, US_ASCII)
       val size = bb.getInt(p + 4)
+      require(size >= 0 && p + 8 + size <= b.length,
+        s"corrupt RIFF chunk '$id' size=$size at offset $p")
       if (id == "data")
         return Array.tabulate(size / 2)(i => bb.getShort(p + 8 + i * 2).toInt)
       p += 8 + size + (size & 1)

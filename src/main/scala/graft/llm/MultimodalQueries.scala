@@ -71,7 +71,7 @@ object MultimodalQueries extends QueryModule {
         |s AS (
         |  SELECT doc_id, CAST(i // 100 AS INT) AS win,
         |    (doc_id * 31 + i * 7) % 4096 - 2048 AS v
-        |  FROM base CROSS JOIN range(700) t(i) WHERE i < n)
+        |  FROM (SELECT doc_id, unnest(range(n)) AS i FROM base))
         |SELECT doc_id, win, CAST(count(*) AS INT) AS n_samples,
         |  CAST(sum(v * v) AS BIGINT) AS energy
         |FROM s GROUP BY 1, 2""".stripMargin,

@@ -9,7 +9,8 @@ class SimhashBlockSpec extends SparkSpec {
   import spark.implicits._
 
   private lazy val sim =
-    Dedup.simhash32(Tables.documents(spark, sf0001), "doc_id", "text").cache()
+    Dedup.simhash64(
+      Dedup.shingles(Tables.documents(spark, sf0001), "doc_id", "text")).cache()
 
   private def bruteforce(maxDist: Int): Set[(Long, Long, Int)] = {
     val a = sim.select(col("id").as("doc_a"), col("simhash").as("ha"))
