@@ -143,6 +143,76 @@ object Similarity {
       .select("label", "doc_a", "doc_b", "cos")
   }
 
+  /** Subspace view for product quantization: one row per (vec_id, m)
+    * carrying the m-th subDim-wide slice of the quantized vector and its
+    * integer squared norm. The subspace index rides as a DATA column, so
+    * one k-means chain trains every codebook at once — no per-subspace
+    * plan duplication. */
+  def pqSub(q: DataFrame, m: Int, subDim: Int): DataFrame = {
+    val slices = (0 until m).map(i =>
+      struct(lit(i).as("m"), slice(col("q"), i * subDim + 1, subDim).as("sv")))
+    q.select(col("vec_id"), explode(array(slices: _*)).as("x"))
+      .select(col("vec_id"), col("x.m").as("m"), col("x.sv").as("sv"))
+      .withColumn("snrm2", expr("aggregate(sv, 0L, (acc, v) -> acc + v * v)"))
+  }
+
+  /** Nearest codebook entry per (vec_id, m): the m×k centroid rows are
+    * CONFIG-scale, so they collect to the driver and the per-subspace
+    * argmin folds into one map-side CASE-over-array_min expression —
+    * the corpus is never row-multiplied or shuffled for encoding (the
+    * join+window alternative inflates every vector k× through an
+    * exchange). Ties break to the smaller cid, same as the oracle's
+    * row_number order. Output: input columns + cid. */
+  def pqAssign(sub: DataFrame, cents: DataFrame): DataFrame =
+    pqAssignArr(sub, collectCents(cents))
+
+  private def collectCents(cents: DataFrame): Array[(Int, Int, Array[Long], Long)] =
+    cents.select(col("m"), col("cid"), col("cq"), col("cnrm2"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toArray, r.getLong(3)))
+
+  private def pqAssignArr(sub: DataFrame,
+      rowsArr: Array[(Int, Int, Array[Long], Long)]): DataFrame = {
+    require(rowsArr.nonEmpty, "no codebooks")
+    val nM = rowsArr.map(_._1).max + 1
+    val codebook = Array.tabulate(nM)(mIdx =>
+      rowsArr.filter(_._1 == mIdx).sortBy(_._2)
+        .map { case (_, cid, cq, cn) => (cid, cq, cn) })
+    sub.withColumn("cid",
+      graft.functions.PqNearestCode(col("m"), col("sv"), codebook))
+  }
+
+  /** Product-quantization codebooks: per subspace, k centroids trained
+    * with `iters` rounds of the same deterministic integer k-means as
+    * ivfKmeansCentroids (init = the first k vec_ids' subvectors; exact
+    * integer squared-L2 assignment, ties to the smaller cid;
+    * floor-averaged integer centroid update). Output (m, cid, cq,
+    * cnrm2) — m·k rows, broadcast-size at any corpus scale. */
+  def pqCodebooks(sub: DataFrame, k: Int, iters: Int): DataFrame = {
+    import sub.sparkSession.implicits._
+    // Each iteration's centroids collect to the driver (m·k tiny rows —
+    // they must anyway, for the map-side argmin), so every training
+    // round runs the corpus scan exactly once and the returned frame is
+    // LITERAL-backed: consumers (encode, LUT build) never re-execute
+    // the training lineage.
+    var arr = collectCents(sub.filter(col("vec_id") < k)
+      .select(col("m"), col("vec_id").cast("int").as("cid"), col("sv").as("cq"),
+        col("snrm2").as("cnrm2")))
+    for (_ <- 0 until iters) {
+      val assigned = pqAssignArr(sub, arr)
+      arr = collectCents(assigned
+        .select(col("m"), col("cid"), posexplode(col("sv")).as(Seq("i", "c")))
+        .groupBy("m", "cid", "i")
+        .agg(floor(sum(col("c")).cast("double") / count(lit(1))).cast("long").as("cv"))
+        .groupBy("m", "cid")
+        .agg(array_sort(collect_list(struct(col("i"), col("cv")))).as("pairs"))
+        .select(col("m"), col("cid"), expr("transform(pairs, p -> p.cv)").as("cq"))
+        .withColumn("cnrm2", expr("aggregate(cq, 0L, (acc, v) -> acc + v * v)")))
+    }
+    arr.toSeq.map { case (m, cid, cq, cn) => (m, cid, cq.toSeq, cn) }
+      .toDF("m", "cid", "cq", "cnrm2")
+  }
+
   /** Random-hyperplane LSH bucket (nPlanes bits) per vector. Signs are
     * md5-derived so both engines (and every executor) agree without a
     * shared random state; the table is precomputed once driver-side and

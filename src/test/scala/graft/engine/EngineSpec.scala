@@ -73,6 +73,37 @@ class EngineSpec extends SparkSpec {
     assert(feb == 120.0)
   }
 
+  test("legacy flat-layout outputs: clearing also clears the ledger so skipped units re-derive") {
+    val stateDir = Files.createTempDirectory("graft-engine6-").toString
+    val engine = new Engine(spark, stateDir)
+    engine.run(new ClimatologyRecipe, mkInputs(bump = false))
+
+    // Simulate the old flat rewrite: root-level parquet files, no
+    // unit_id= partition dirs — the state an upgraded deployment finds.
+    val outDir = s"$stateDir/climatology/outputs"
+    val flat = spark.read.parquet(outDir)
+    val tmp = Files.createTempDirectory("graft-flat-").toString
+    flat.coalesce(1).write.mode("overwrite").parquet(tmp)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(outDir))
+    new java.io.File(outDir).mkdirs()
+    java.nio.file.Files.list(java.nio.file.Paths.get(tmp)).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .foreach(p => java.nio.file.Files.copy(p,
+        java.nio.file.Paths.get(outDir, p.getFileName.toString)))
+
+    // Identical inputs would classify every unit 'skip' against the old
+    // ledger — but the flat data is about to be cleared, so the engine
+    // must drop the ledger too and re-derive EVERYTHING, or skipped
+    // units' rows are silently lost.
+    val audit = engine.run(new ClimatologyRecipe, mkInputs(bump = false))
+    assert(audit.groupBy("action").count().as[(String, Long)].collect().toMap
+      == Map("insert" -> 3), "flat-layout migration must re-derive every unit")
+    val out = spark.read.parquet(outDir)
+    assert(out.count() == 12, "full output set must be re-materialized")
+    assert(out.filter(col("unit_id") === "2").count() == 4)
+  }
+
   test("zonal recipe fills the gold table; late-arriving timestep resurrects (X4)") {
     val stateDir = Files.createTempDirectory("graft-engine3-").toString
     val engine = new Engine(spark, stateDir)
