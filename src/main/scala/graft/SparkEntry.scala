@@ -23,6 +23,7 @@ object SparkEntry {
     graft.llm.DedupQueries,
     graft.llm.SimilarityQueries,
     graft.llm.CurationQueries,
+    graft.llm.PipelineQueries,
     graft.engine.EngineQueries,
     graft.ops.GeoCalQueries,
     graft.llm.MultimodalQueries,

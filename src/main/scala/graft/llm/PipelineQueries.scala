@@ -1,0 +1,133 @@
+package graft.llm
+
+import graft.Tables
+import graft.model.QueryModule
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators beyond similarity/dedup: intra-doc
+  * repetition signals, sequence packing, and slowly-changing-dimension
+  * interval builds. All exact-arithmetic so the DuckDB oracles
+  * hash-match.
+  */
+object PipelineQueries extends QueryModule {
+
+  /** Words of a doc, matching the oracle's
+    * string_split_regex(trim(lower(text)), '\s+'). */
+  private def wordsCol = split(trim(lower(col("text"))), "\\s+")
+
+  override def queries = Map(
+    // Intra-document repetition (the Gopher-style repetition filters):
+    // duplicate-word fraction and the mass of the single most frequent
+    // word bigram. Highly repetitive docs (boilerplate, keyword spam,
+    // scraped nav bars) score high on both and get dropped before
+    // training. Everything is per-doc map-side until the tiny per-doc
+    // aggregate — one shuffle on doc_id, no joins against other docs.
+    "t_repetition" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val w = docs.select(col("doc_id"), wordsCol.as("ws"))
+      val base = w.select(
+        col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        size(array_distinct(col("ws"))).cast("long").as("n_distinct"))
+      // non-distinct bigrams (repetition needs multiplicity; the shared
+      // shingle index is DISTINCT by construction and can't serve here)
+      val bg = w
+        .select(col("doc_id"), explode(expr(
+          "transform(slice(ws, 1, size(ws) - 1), (x, i) -> concat(x, ' ', ws[i + 1]))")).as("s"))
+        .groupBy("doc_id", "s").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(max("c").as("top"), sum("c").as("tot"))
+      base.join(bg, Seq("doc_id"), "left").select(
+        col("doc_id"),
+        col("n_words"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_words")).as("dup_word_frac"),
+        coalesce(col("top").cast("double") / col("tot"), lit(0.0)).as("top_bigram_frac"))
+    }),
+
+    // Sequence packing: greedy contiguous packing of documents into
+    // fixed 2048-token training sequences, per source domain. Bin id is
+    // floor(preceding-token-count / 2048) over a deterministic doc_id
+    // order — the running-sum formulation keeps the whole operator a
+    // window + aggregate (no sequential driver loop), and partitioning
+    // by source keeps the windows parallel at cluster scale (a single
+    // global window would serialize on one task; per-domain packing is
+    // also what a curriculum-ordered pipeline actually wants).
+    "t_pack_sequences" -> ((s, dir) => {
+      val win = Window.partitionBy("source").orderBy("doc_id")
+      Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"), size(wordsCol).cast("long").as("tokens"))
+        .withColumn("cum", sum("tokens").over(win))
+        .withColumn("bin", floor((col("cum") - col("tokens")) / lit(2048.0)))
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("tokens").as("n_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+    }),
+
+    // SCD-2 interval build over the events stream: collapse each user's
+    // event sequence to state-change rows with [valid_from, valid_to)
+    // validity and an is_current flag — the standard
+    // slowly-changing-dimension type-2 shape for replaying "what was the
+    // state at time T" joins. Two windows, both partitioned by user_id,
+    // so the whole operator is one shuffle; change-point filtering
+    // happens between them on the already-partitioned data.
+    "w8_scd2" -> ((s, dir) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val changes = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev", lag("event_type", 1).over(byUser))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      changes
+        .withColumn("valid_to", lead("ts", 1).over(byUser))
+        .select(
+          col("user_id"), col("event_type").as("state"),
+          col("ts").as("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current"))
+    })
+  )
+
+  override def oracleSql = Map(
+    "t_repetition" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
+        |base AS (
+        |  SELECT doc_id, len(ws) AS n_words, len(list_distinct(ws)) AS n_distinct FROM words),
+        |bg AS (
+        |  SELECT doc_id, ws[i + 1] || ' ' || ws[i + 2] AS s
+        |  FROM (SELECT doc_id, ws, unnest(range(len(ws) - 1)) AS i FROM words)),
+        |cnt AS (SELECT doc_id, s, count(*) AS c FROM bg GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, max(c) AS top, sum(c) AS tot FROM cnt GROUP BY 1)
+        |SELECT b.doc_id AS doc_id,
+        |  CAST(n_words AS BIGINT) AS n_words,
+        |  1.0 - CAST(n_distinct AS DOUBLE) / n_words AS dup_word_frac,
+        |  coalesce(CAST(top AS DOUBLE) / tot, 0.0) AS top_bigram_frac
+        |FROM base b LEFT JOIN agg USING (doc_id)""".stripMargin,
+    "t_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    len(string_split_regex(trim(lower(text)), '\s+')) AS tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, tokens,
+        |    sum(tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+        |  FROM t)
+        |SELECT source,
+        |  CAST(floor((cum - tokens) / 2048.0) AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(tokens) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2""".stripMargin,
+    "w8_scd2" ->
+      """WITH ordered AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |changes AS (
+        |  SELECT user_id, ts, event_id, event_type FROM ordered
+        |  WHERE prev IS NULL OR prev != event_type)
+        |SELECT user_id, event_type AS state, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+        |FROM changes""".stripMargin
+  )
+}

@@ -1,0 +1,65 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantics of the pipeline-shaping operators: repetition signals,
+  * sequence packing, SCD-2 interval builds. */
+class PipelineQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("t_repetition: fully repeated doc scores 1-1/n; all-distinct doc scores 0") {
+    val r = PipelineQueries.queries("t_repetition")(spark, sf0001)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    // every sf doc exists; sanity on bounds
+    assert(r.values.forall { x =>
+      val d = x.getDouble(2); val t = x.getDouble(3)
+      d >= 0.0 && d < 1.0 && t >= 0.0 && t <= 1.0
+    })
+    // synthetic micro-check against hand computation
+    val df = Seq((1L, "a a a a"), (2L, "w x y z")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val tmp = java.nio.file.Files.createTempDirectory("rep-").toString
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val m = PipelineQueries.queries("t_repetition")(spark, tmp)
+      .collect().map(x => x.getLong(0) -> (x.getDouble(2), x.getDouble(3))).toMap
+    assert(m(1L) == (0.75, 1.0)) // 4 words 1 distinct; bigram "a a" ×3 of 3
+    assert(m(2L) == (0.0, 1.0 / 3.0)) // all distinct; each bigram once of 3
+  }
+
+  test("t_pack_sequences: bins are contiguous in doc_id order and bounded") {
+    val out = PipelineQueries.queries("t_pack_sequences")(spark, sf0001)
+      .orderBy("source", "bin").collect()
+    assert(out.nonEmpty)
+    // within a source, bin k+1's first_doc follows bin k's last_doc
+    out.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      rows.sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(5) < b.getLong(4))
+        case _ =>
+      }
+      // every bin except possibly the last holds > 2048 - max_doc_tokens;
+      // weaker invariant that holds regardless: n_tokens of any closed
+      // bin ≥ 2048 - (largest single doc) is data-dependent, so assert
+      // the structural one: bins are dense 0..n-1
+      val bins = rows.map(_.getLong(1)).sorted
+      assert(bins.zipWithIndex.forall { case (b, i) => b == i })
+    }
+  }
+
+  test("w8_scd2: intervals chain per user, one current row per user") {
+    val out = PipelineQueries.queries("w8_scd2")(spark, sf0001)
+      .orderBy("user_id", "valid_from").collect()
+    val byUser = out.groupBy(_.getLong(0))
+    byUser.foreach { case (_, rows) =>
+      assert(rows.count(_.getBoolean(4)) == 1) // exactly one open interval
+      assert(rows.last.isNullAt(3))
+      rows.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getTimestamp(3) == b.getTimestamp(2)) // no gaps/overlap
+          assert(a.getString(1) != b.getString(1)) // consecutive states differ
+        case _ =>
+      }
+    }
+  }
+}
