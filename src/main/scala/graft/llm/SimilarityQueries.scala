@@ -143,6 +143,48 @@ object SimilarityQueries extends QueryModule {
         .select("qid", "vec_id", "adist2", "rank")
     }),
 
+    // IVF-PQ (the FAISS IVFPQ shape, no residual encoding): a learned
+    // coarse quantizer partitions the corpus into cells; within cells,
+    // distances are approximated by PQ ADC over 4-byte codes. Query
+    // cost = rank 8 broadcast centroids + scan the ~2/8 probed cells'
+    // CODE rows with a broadcast 32-entry LUT — neither raw vectors nor
+    // unprobed cells are ever touched after encode. One corpus-sized
+    // equi-join on vec_id attaches cells to codes (bucketable/co-
+    // partitionable at scale); everything downstream is broadcast.
+    "s_ann_ivfpq" -> ((s, dir) => {
+      val q = quantizedOf(s, dir)
+      val coarse = Similarity.ivfKmeansCentroids(q, 8, 2)
+      val cells = Similarity.assignNearest(q, coarse)
+        .select(col("vec_id"), col("cid").as("cell"))
+      val sub = Similarity.pqSub(q, 4, 16)
+      val cb = Similarity.pqCodebooks(sub, 8, 2)
+      val codes = Similarity.pqAssign(sub, cb).select("vec_id", "m", "cid")
+      val queries = q.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("q").as("qa"), col("nrm2").as("na"))
+      val probe = queries.crossJoin(broadcast(coarse))
+        .withColumn("ccos",
+          expr("CAST(aggregate(zip_with(qa, cq, (x, y) -> x * y), 0L, (acc, v) -> acc + v) AS DOUBLE)" +
+            " / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(cnrm2 AS DOUBLE)))"))
+      val wc = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cid").asc)
+      val probed = probe.withColumn("crank", row_number().over(wc))
+        .filter(col("crank") <= 2).select(col("qid"), col("cid").as("cell"))
+      val lut = sub.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("m"), col("sv"), col("snrm2"))
+        .join(broadcast(cb), Seq("m"))
+        .withColumn("d2", col("snrm2") + col("cnrm2") - lit(2L) *
+          expr("aggregate(zip_with(sv, cq, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+        .select("qid", "m", "cid", "d2")
+      codes.join(cells, Seq("vec_id"))
+        .join(broadcast(probed), Seq("cell"))
+        .filter(col("vec_id") =!= col("qid"))
+        .join(broadcast(lut), Seq("qid", "m", "cid"))
+        .groupBy("qid", "vec_id").agg(sum("d2").as("adist2"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("adist2").asc, col("vec_id").asc)))
+        .filter(col("rank") <= 5)
+        .select("qid", "vec_id", "adist2", "rank")
+    }),
+
     // Embedding-cosine near-dup sweep: same-label pairs within 2 bucket
     // bits (multi-probe hyperplane LSH) verified at cosine >= 0.4. The
     // blocking IS the operator's definition — at real scale a label can
@@ -331,6 +373,90 @@ object SimilarityQueries extends QueryModule {
          |  SELECT qid, codes.vec_id AS vec_id, CAST(sum(d2) AS BIGINT) AS adist2
          |  FROM codes JOIN lut ON codes.m = lut.m AND codes.cid = lut.cid
          |  WHERE codes.vec_id != qid GROUP BY 1, 2)
+         |SELECT qid, vec_id, adist2, rank FROM (
+         |  SELECT qid, vec_id, adist2,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY adist2 ASC, vec_id ASC) AS INT) AS rank
+         |  FROM adc) t
+         |WHERE rank <= 5""".stripMargin
+    },
+    "s_ann_ivfpq" -> {
+      // coarse k-means chain (identical to s_ann_ivf_kmeans)
+      def cAssign(cents: String): String =
+        s"""SELECT vec_id, qv, nrm2, cid FROM (
+           |  SELECT qn.vec_id AS vec_id, qn.qv AS qv, qn.nrm2 AS nrm2, $cents.cid AS cid,
+           |    row_number() OVER (PARTITION BY qn.vec_id ORDER BY
+           |      qn.nrm2 + $cents.cnrm2 - 2 * list_dot_product(qn.qv, $cents.cq) ASC,
+           |      $cents.cid ASC) AS rn
+           |  FROM qn CROSS JOIN $cents) t WHERE rn = 1""".stripMargin
+      def cUpdate(assigned: String, pfx: String, out: String): String =
+        s"""${pfx}comp AS (
+           |  SELECT cid, CAST(i AS INT) AS i, qv[CAST(i+1 AS INT)] AS c
+           |  FROM $assigned CROSS JOIN range(64) ii(i)),
+           |${pfx}v AS (
+           |  SELECT cid, i, CAST(floor(CAST(sum(c) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+           |  FROM ${pfx}comp GROUP BY 1, 2),
+           |$out AS (
+           |  SELECT cid, cq, list_dot_product(cq, cq) AS cnrm2 FROM (
+           |    SELECT cid, list(cv ORDER BY i) AS cq FROM ${pfx}v GROUP BY 1) t)""".stripMargin
+      // product-quantization chain (identical to s_ann_pq)
+      def pAssign(cents: String, out: String): String =
+        s"""$out AS (
+           |  SELECT vec_id, m, sv, snrm2, cid FROM (
+           |    SELECT s.vec_id AS vec_id, s.m AS m, s.sv AS sv, s.snrm2 AS snrm2, c.cid AS cid,
+           |      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+           |        s.snrm2 + c.cnrm2 - 2 * list_dot_product(s.sv, c.cq) ASC, c.cid ASC) AS rn
+           |    FROM subn s JOIN $cents c ON s.m = c.m) t WHERE rn = 1)""".stripMargin
+      def pUpdate(assigned: String, pfx: String, out: String): String =
+        s"""${pfx}comp AS (
+           |  SELECT m, cid, CAST(i AS INT) AS i, sv[CAST(i+1 AS INT)] AS c
+           |  FROM $assigned CROSS JOIN range(16) ii(i)),
+           |${pfx}v AS (
+           |  SELECT m, cid, i, CAST(floor(CAST(sum(c) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+           |  FROM ${pfx}comp GROUP BY 1, 2, 3),
+           |$out AS (
+           |  SELECT m, cid, cq, list_dot_product(cq, cq) AS cnrm2 FROM (
+           |    SELECT m, cid, list(cv ORDER BY i) AS cq FROM ${pfx}v GROUP BY 1, 2) t)""".stripMargin
+      s"""WITH $quantSql,
+         |ci0 AS (
+         |  SELECT CAST(vec_id AS INT) AS cid, qv AS cq, list_dot_product(qv, qv) AS cnrm2
+         |  FROM qn WHERE vec_id < 8),
+         |ca1 AS (${cAssign("ci0")}),
+         |${cUpdate("ca1", "cu1", "ci1")},
+         |ca2 AS (${cAssign("ci1")}),
+         |${cUpdate("ca2", "cu2", "ci2")},
+         |cells AS (SELECT vec_id, cid AS cell FROM (${cAssign("ci2")}) z),
+         |sub AS (
+         |  SELECT vec_id, CAST(m AS INT) AS m,
+         |    list_slice(qv, CAST(m*16+1 AS INT), CAST(m*16+16 AS INT)) AS sv
+         |  FROM qn CROSS JOIN range(4) mm(m)),
+         |subn AS (SELECT vec_id, m, sv, list_dot_product(sv, sv) AS snrm2 FROM sub),
+         |pi0 AS (SELECT m, CAST(vec_id AS INT) AS cid, sv AS cq, snrm2 AS cnrm2
+         |        FROM subn WHERE vec_id < 8),
+         |${pAssign("pi0", "pa1")},
+         |${pUpdate("pa1", "pu1", "pi1")},
+         |${pAssign("pi1", "pa2")},
+         |${pUpdate("pa2", "pu2", "pi2")},
+         |${pAssign("pi2", "codes")},
+         |queries AS (SELECT vec_id AS qid, qv AS qa, nrm2 AS na FROM qn WHERE vec_id < 8),
+         |probe AS (
+         |  SELECT qid, cid AS cell,
+         |    row_number() OVER (PARTITION BY qid ORDER BY
+         |      CAST(list_dot_product(qa, cq) AS DOUBLE)
+         |        / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(cnrm2 AS DOUBLE))) DESC,
+         |      cid ASC) AS crank
+         |  FROM queries CROSS JOIN ci2),
+         |probed AS (SELECT qid, cell FROM probe WHERE crank <= 2),
+         |lut AS (
+         |  SELECT s.vec_id AS qid, c.m AS m, c.cid AS cid,
+         |    s.snrm2 + c.cnrm2 - 2 * list_dot_product(s.sv, c.cq) AS d2
+         |  FROM subn s JOIN pi2 c ON s.m = c.m WHERE s.vec_id < 8),
+         |adc AS (
+         |  SELECT probed.qid AS qid, codes.vec_id AS vec_id, CAST(sum(d2) AS BIGINT) AS adist2
+         |  FROM codes
+         |  JOIN cells ON codes.vec_id = cells.vec_id
+         |  JOIN probed ON cells.cell = probed.cell AND codes.vec_id != probed.qid
+         |  JOIN lut ON lut.qid = probed.qid AND lut.m = codes.m AND lut.cid = codes.cid
+         |  GROUP BY 1, 2)
          |SELECT qid, vec_id, adist2, rank FROM (
          |  SELECT qid, vec_id, adist2,
          |    CAST(row_number() OVER (PARTITION BY qid ORDER BY adist2 ASC, vec_id ASC) AS INT) AS rank

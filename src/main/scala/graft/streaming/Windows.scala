@@ -37,6 +37,20 @@ object Windows {
       .select(col("window.start").as("ws"), col("window.end").as("we"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming exact dedup: drop duplicate keys with state bounded by the
+    * watermark (dropDuplicatesWithinWatermark — state for a key is
+    * evictable once the watermark passes its event time, so the operator
+    * runs forever without unbounded state; the batch analogue is
+    * d_exact_dedup). A duplicate arriving later than the watermark delay
+    * re-emits — that's the documented contract at 100 TB/day stream
+    * rates: exactness within the delay window, bounded memory always.
+    * Keys are typically a content fingerprint (t_fingerprint) for
+    * document streams or the natural event id for event streams. */
+  def dedupWithinWatermark(df: DataFrame, tsCol: String, watermark: String,
+                           keys: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   case class Sess(user_id: Long, n: Int, first: java.sql.Timestamp, last: java.sql.Timestamp)
   case class SessOut(user_id: Long, n_events: Int, duration_sec: Long)
 

@@ -119,4 +119,33 @@ class WindowsSpec extends SparkSpec {
     assert(rows.contains(Windows.SessOut(7L, 2, 45L)),
       s"final session never flushed: $rows")
   }
+
+  test("streaming dedup: duplicates within the watermark drop, state stays bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "fp")
+    val q = Windows.dedupWithinWatermark(df, "ts", "10 minutes", Seq("fp"))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    mem.addData(
+      (ts("2024-01-01 00:01:00"), "docA"),
+      (ts("2024-01-01 00:02:00"), "docA"), // dup within watermark
+      (ts("2024-01-01 00:03:00"), "docB"))
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 00:04:00"), "docA")) // still within delay
+    q.processAllAvailable()
+    val first = spark.table("dedup_stream").as[(Timestamp, String)].collect()
+    assert(first.count(_._2 == "docA") == 1 && first.count(_._2 == "docB") == 1)
+    // advance the watermark far past docA's state, then replay it: state
+    // was evicted (bounded memory), so the key re-emits — the documented
+    // exactness-within-delay contract
+    mem.addData((ts("2024-01-01 10:00:00"), "docC"))
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 10:01:00"), "docA"))
+    q.processAllAvailable()
+    val later = spark.table("dedup_stream").as[(Timestamp, String)].collect()
+    q.stop()
+    assert(later.count(_._2 == "docA") == 2,
+      s"evicted key must re-emit after watermark passes: ${later.toSeq}")
+  }
 }
