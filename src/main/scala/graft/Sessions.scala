@@ -16,6 +16,11 @@ object Sessions {
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
+      // ~100 registered queries × several codegen stages each evicts the
+      // default 100-entry generated-class cache mid-run, forcing
+      // recompiles of plans that will run again (static conf — must be
+      // set before the first session)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       // events.parquet carries TIMESTAMP(NANOS); read as long + convert.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
