@@ -51,7 +51,7 @@ object DedupQueries extends QueryModule {
         .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
         .join(sizes.select(col("id").as("doc_a"), col("c").as("ca")), Seq("doc_a"))
         .join(sizes.select(col("id").as("doc_b"), col("c").as("cb")), Seq("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
+        .select(col("doc_a"), col("doc_b"), col("i"), col("ca"), col("cb"),
           (col("i").cast("double") / (col("ca") + col("cb") - col("i"))).as("jacc"))
         .cache()
     })
@@ -79,7 +79,20 @@ object DedupQueries extends QueryModule {
     // list — d_minhash_lsh is the production path, and the capped
     // variant below is the bounded exact-ish alternative.
     "d_ngram_jaccard" -> ((s, dir) =>
-      pairJaccOf(s, dir).filter(col("jacc") >= 0.3)),
+      pairJaccOf(s, dir).filter(col("jacc") >= 0.3)
+        .select("doc_a", "doc_b", "jacc")),
+
+    // Asymmetric near-containment: C = |A∩B| / min(|A|,|B|) — catches a
+    // document swallowed whole by a larger one (quotes, boilerplate
+    // wrappers, concatenations), which symmetric Jaccard dilutes below
+    // any usable threshold. Same shared inverted-index pair frame; the
+    // extra columns ride along for free.
+    "d_containment" -> ((s, dir) =>
+      pairJaccOf(s, dir)
+        .withColumn("containment",
+          col("i").cast("double") / least(col("ca"), col("cb")))
+        .filter(col("containment") >= 0.8)
+        .select("doc_a", "doc_b", "containment", "jacc")),
 
     // Production-bounded n-gram Jaccard: shingles whose posting list
     // exceeds a cap are excluded from pair GENERATION (stop-phrases
@@ -272,6 +285,22 @@ object DedupQueries extends QueryModule {
          |FROM j JOIN sizes sa ON sa.id = j.doc_a
          |JOIN sizes sb ON sb.id = j.doc_b CROSS JOIN nd
          |WHERE CAST(i AS DOUBLE) / (sa.c + sb.c - i) >= 0.3""".stripMargin,
+    "d_containment" ->
+      s"""WITH $shinglesCte,
+         |pairs AS (
+         |  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id),
+         |inter AS (
+         |  SELECT doc_a, doc_b, count(*) AS i
+         |  FROM pairs
+         |  JOIN sh sa ON sa.id = doc_a
+         |  JOIN sh sb ON sb.id = doc_b AND sb.s = sa.s
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  CAST(i AS DOUBLE) / least(ca.c, cb.c) AS containment,
+         |  CAST(i AS DOUBLE) / (ca.c + cb.c - i) AS jacc
+         |FROM inter JOIN sizes ca ON ca.id = doc_a JOIN sizes cb ON cb.id = doc_b
+         |WHERE CAST(i AS DOUBLE) / least(ca.c, cb.c) >= 0.8""".stripMargin,
     "d_ngram_jaccard" ->
       s"""WITH $shinglesCte,
          |pairs AS (

@@ -64,6 +64,40 @@ object PipelineQueries extends QueryModule {
           min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
     }),
 
+    // TF-IDF top terms per document with a RATIONAL idf weight
+    // (tf·N/df instead of tf·log(N/df) — log's last-ulp varies across
+    // libm implementations and would break the cross-engine hash gate;
+    // the ranking intent is identical). tf and df are two hash
+    // aggregates over the exploded word stream; the df table is
+    // vocabulary-sized and the score join shuffles on the word, never
+    // on the corpus.
+    "t_tfidf_topk" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val n = docs.count()
+      val words = docs.select(col("doc_id"), explode(wordsCol).as("w"))
+      val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val df = words.select("doc_id", "w").distinct()
+        .groupBy("w").agg(count(lit(1)).as("df"))
+      val win = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("w").asc)
+      tf.join(df, Seq("w"))
+        .withColumn("score", (col("tf") * lit(n)).cast("double") / col("df"))
+        .withColumn("rank", row_number().over(win))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("w").as("term"), col("score"), col("rank"))
+    }),
+
+    // Grouping-sets rollup (CUBE) over the event stream: every
+    // (event_type × year) margin in ONE aggregation pass — Spark expands
+    // the grouping sets map-side, so the plan stays a single hash
+    // aggregate instead of 4 unioned scans. Sums use the exact-cents
+    // discipline so the margins hash cross-engine.
+    "a20_cube" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .cube(col("event_type"), year(col("ts")).cast("long").as("yr"))
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0).as("sum_value"))),
+
     // SCD-2 interval build over the events stream: collapse each user's
     // event sequence to state-change rows with [valid_from, valid_to)
     // validity and an is_current flag — the standard
@@ -117,6 +151,26 @@ object PipelineQueries extends QueryModule {
         |  CAST(sum(tokens) AS BIGINT) AS n_tokens,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM c GROUP BY 1, 2""".stripMargin,
+    "t_tfidf_topk" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM words GROUP BY 1, 2),
+        |df AS (SELECT w, count(DISTINCT doc_id) AS df FROM words GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, tf.w AS term,
+        |    CAST(tf * n AS DOUBLE) / df AS score
+        |  FROM tf JOIN df ON tf.w = df.w CROSS JOIN n)
+        |SELECT doc_id, term, score, rank FROM (
+        |  SELECT doc_id, term, score,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS INT) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 3""".stripMargin,
+    "a20_cube" ->
+      """SELECT event_type, year(ts) AS yr, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+        |FROM events GROUP BY CUBE (event_type, year(ts))""".stripMargin,
     "w8_scd2" ->
       """WITH ordered AS (
         |  SELECT user_id, ts, event_id, event_type,
