@@ -47,6 +47,37 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("t_tfidf_topk: rare terms outrank common ones; ranks dense 1..3") {
+    val out = PipelineQueries.queries("t_tfidf_topk")(spark, sf0001).collect()
+    val byDoc = out.groupBy(_.getLong(0))
+    byDoc.foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(3)).sorted.sameElements(1 to rows.length))
+      assert(rows.length <= 3)
+      // scores non-increasing with rank
+      val sorted = rows.sortBy(_.getInt(3))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getDouble(2) >= b.getDouble(2))
+        case _ =>
+      }
+    }
+  }
+
+  test("a20_cube: margins are consistent — grand total = sum of type margins") {
+    val out = PipelineQueries.queries("a20_cube")(spark, sf0001).collect()
+    val grand = out.filter(r => r.isNullAt(0) && r.isNullAt(1)).map(_.getLong(2)).sum
+    val typeMargins = out.filter(r => !r.isNullAt(0) && r.isNullAt(1)).map(_.getLong(2)).sum
+    val cells = out.filter(r => !r.isNullAt(0) && !r.isNullAt(1)).map(_.getLong(2)).sum
+    assert(grand == typeMargins && typeMargins == cells && grand > 0)
+  }
+
+  test("d_containment: containment >= jacc always; self-contained docs found") {
+    val out = graft.llm.DedupQueries.queries("d_containment")(spark, sf0001).collect()
+    out.foreach { r =>
+      assert(r.getDouble(2) >= r.getDouble(3) - 1e-12) // containment >= jaccard
+      assert(r.getDouble(2) <= 1.0 + 1e-12)
+    }
+  }
+
   test("w8_scd2: intervals chain per user, one current row per user") {
     val out = PipelineQueries.queries("w8_scd2")(spark, sf0001)
       .orderBy("user_id", "valid_from").collect()
