@@ -33,6 +33,48 @@ object Sql extends QueryModule {
           |FROM lineitem
           |WHERE l_shipdate <= TIMESTAMP '2000-09-02'
           |GROUP BY l_returnflag, l_linestatus""".stripMargin)
+    }),
+
+    // TPC-H Q3 shape (shipping priority): broadcast the filtered
+    // customer dim, shuffle-join orders↔lineitem on the order key,
+    // deterministic top-10 (ties broken on l_orderkey) via
+    // TakeOrderedAndProject — no global sort materializes.
+    "sql_shipping_priority" -> ((s, dir) => {
+      registerViews(s, dir)
+      s.sql(
+        """SELECT l_orderkey,
+          |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+          |  o_orderdate, o_orderpriority
+          |FROM customer
+          |JOIN orders ON c_custkey = o_custkey
+          |JOIN lineitem ON l_orderkey = o_orderkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |  AND o_orderdate < TIMESTAMP '1998-03-15'
+          |  AND l_shipdate > TIMESTAMP '1998-03-15'
+          |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+          |ORDER BY revenue DESC, l_orderkey ASC
+          |LIMIT 10""".stripMargin)
+    }),
+
+    // TPC-H Q5 shape (local supplier volume): intra-nation commerce in
+    // one region-year — five joins, every dimension broadcast, ONE
+    // fact-table shuffle (orders↔lineitem on the order key; the
+    // customer=supplier nation equality folds into join conditions).
+    "sql_local_volume" -> ((s, dir) => {
+      registerViews(s, dir)
+      s.sql(
+        """SELECT n_name,
+          |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+          |FROM customer
+          |JOIN orders ON c_custkey = o_custkey
+          |JOIN lineitem ON l_orderkey = o_orderkey
+          |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          |JOIN nation ON s_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |WHERE r_name = 'ASIA'
+          |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+          |  AND o_orderdate < TIMESTAMP '1998-01-01'
+          |GROUP BY n_name""".stripMargin)
     })
   )
 
@@ -46,6 +88,32 @@ object Sql extends QueryModule {
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2000-09-02'
-        |GROUP BY l_returnflag, l_linestatus""".stripMargin
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "sql_shipping_priority" ->
+      """SELECT l_orderkey,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
+    "sql_local_volume" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name""".stripMargin
   )
 }
