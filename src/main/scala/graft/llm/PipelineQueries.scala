@@ -98,6 +98,27 @@ object PipelineQueries extends QueryModule {
         .agg(count(lit(1)).as("n"),
           (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0).as("sum_value"))),
 
+    // Last-touch attribution (batch twin of the streaming interval
+    // join Windows.attributionJoin): each purchase attributes to the
+    // user's most recent click within the trailing hour. The self-join
+    // shuffles both sides on user_id once; the row_number pick rides
+    // the same partitioning.
+    "j10_attribution" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("purchase_ts"), col("event_id").as("purchase_id"))
+      val w = Window.partitionBy("purchase_id")
+        .orderBy(col("click_ts").desc, col("click_id").desc)
+      purchases.join(clicks, Seq("user_id"))
+        .filter(col("click_ts") <= col("purchase_ts") &&
+          col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
+    }),
+
     // SCD-2 interval build over the events stream: collapse each user's
     // event sequence to state-change rows with [valid_from, valid_to)
     // validity and an is_current flag — the standard
@@ -171,6 +192,22 @@ object PipelineQueries extends QueryModule {
       """SELECT event_type, year(ts) AS yr, count(*) AS n,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
         |FROM events GROUP BY CUBE (event_type, year(ts))""".stripMargin,
+    "j10_attribution" ->
+      """WITH c AS (
+        |  SELECT user_id, ts AS click_ts, event_id AS click_id
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, ts AS purchase_ts, event_id AS purchase_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT purchase_id, p.user_id AS user_id, purchase_ts, click_id, click_ts,
+        |    row_number() OVER (PARTITION BY purchase_id
+        |                       ORDER BY click_ts DESC, click_id DESC) AS rn
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |    AND click_ts <= purchase_ts
+        |    AND click_ts >= purchase_ts - INTERVAL 1 HOUR)
+        |SELECT purchase_id, user_id, purchase_ts, click_id, click_ts
+        |FROM j WHERE rn = 1""".stripMargin,
     "w8_scd2" ->
       """WITH ordered AS (
         |  SELECT user_id, ts, event_id, event_type,

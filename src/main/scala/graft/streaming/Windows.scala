@@ -37,6 +37,26 @@ object Windows {
       .select(col("window.start").as("ws"), col("window.end").as("we"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Stream-stream interval join (click→purchase attribution): each
+    * purchase joins clicks of the same user within the trailing
+    * `intervalSec` window. Both sides carry watermarks and the join
+    * condition bounds event-time distance, so state on BOTH sides is
+    * evictable — the canonical bounded stream-stream equi+range join.
+    * Input frames need (user_id, ts, event_id) (+ any payload). */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+                      watermark: String, intervalSec: Long): DataFrame = {
+    val c = clicks.select(col("user_id"), col("ts").as("click_ts"),
+      col("event_id").as("click_id")).withWatermark("click_ts", watermark)
+    val p = purchases.select(col("user_id").as("p_user_id"),
+      col("ts").as("purchase_ts"),
+      col("event_id").as("purchase_id")).withWatermark("purchase_ts", watermark)
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $intervalSec SECONDS"))
+      .select("user_id", "click_id", "click_ts", "purchase_id", "purchase_ts")
+  }
+
   /** Streaming exact dedup: drop duplicate keys with state bounded by the
     * watermark (dropDuplicatesWithinWatermark — state for a key is
     * evictable once the watermark passes its event time, so the operator

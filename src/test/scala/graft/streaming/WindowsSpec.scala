@@ -148,4 +148,33 @@ class WindowsSpec extends SparkSpec {
     assert(later.count(_._2 == "docA") == 2,
       s"evicted key must re-emit after watermark passes: ${later.toSeq}")
   }
+
+  test("stream-stream interval join: purchase pairs with in-window clicks only") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = MemoryStream[(Long, Timestamp, Long)]
+    val q = Windows.attributionJoin(
+      clicks.toDF().toDF("user_id", "ts", "event_id"),
+      purchases.toDF().toDF("user_id", "ts", "event_id"),
+      "10 minutes", 3600L)
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    clicks.addData(
+      (1L, ts("2024-01-01 00:10:00"), 100L), // in window of purchase 200
+      (1L, ts("2024-01-01 02:00:00"), 101L), // later than purchase — no pair
+      (2L, ts("2024-01-01 00:10:00"), 102L)) // other user
+    purchases.addData((1L, ts("2024-01-01 00:40:00"), 200L))
+    q.processAllAvailable()
+    // advance both watermarks to flush
+    clicks.addData((9L, ts("2024-01-01 06:00:00"), 999L))
+    purchases.addData((9L, ts("2024-01-01 06:00:00"), 998L))
+    q.processAllAvailable()
+    val rows = spark.table("attrib")
+      .select("user_id", "click_id", "purchase_id")
+      .as[(Long, Long, Long)].collect().toSet
+    q.stop()
+    assert(rows.contains((1L, 100L, 200L)))
+    assert(!rows.exists(r => r._2 == 101L || r._2 == 102L),
+      s"out-of-window or cross-user click joined: $rows")
+  }
 }
