@@ -13,13 +13,24 @@ object SoakAnn {
     val spark = Sessions.build(
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
 
+    // --clustered: 200 hash-derived centers + 10% noise — realistic
+    // embedding geometry (neighbors are within-cluster), vs the default
+    // structureless uniform corpus (the adversarial recall floor).
+    val clustered = args.contains("--clustered")
+    val vecExpr =
+      if (clustered)
+        """transform(sequence(0, 63), i ->
+          | CAST(CAST(pmod(hash(pmod(id, 200) * 64 + i), 2001) - 1000 AS DOUBLE) * 0.9 / 1000.0
+          |     + CAST(pmod(hash(id * 64 + i), 2001) - 1000 AS DOUBLE) * 0.1 / 1000.0 AS FLOAT))""".stripMargin
+      else
+        """transform(sequence(0, 63), i ->
+          | CAST(pmod(hash(id * 64 + i), 2001) - 1000 AS FLOAT) / 1000.0)""".stripMargin
     val emb = spark.range(nVecs).select(col("id").as("vec_id"),
-        expr("""transform(sequence(0, 63), i ->
-             | CAST(pmod(hash(id * 64 + i), 2001) - 1000 AS FLOAT) / 1000.0)""".stripMargin)
-          .as("embedding"))
+        expr(vecExpr).as("embedding"))
       .cache()
     emb.count()
-    println(s"[soak-ann] $nVecs vectors x 64 dims, 100 queries")
+    println(s"[soak-ann] $nVecs vectors x 64 dims, 100 queries" +
+      (if (clustered) " (clustered corpus)" else " (uniform corpus)"))
 
     def time[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
@@ -101,6 +112,109 @@ object SoakAnn {
         .withColumn("rank", row_number().over(w)).filter(col("rank") <= 10))
     }
     println(f"[soak-ann] IVF recall@10 (4/16)   ${recall(ivf)}%8.3f")
+    val pqK = args.find(_.startsWith("--pqk=")).map(_.drop(6).toInt).getOrElse(16)
+    val (cb, codes) = time(s"PQ train+encode (8x$pqK)") {
+      val sub = Similarity.pqSub(q, 8, 8)
+      val cbv = Similarity.pqCodebooks(sub, pqK, 2)
+      val cd = Similarity.pqAssign(sub, cbv).select("vec_id", "m", "cid").cache()
+      cd.count(); (cbv, cd)
+    }
+    val pq = time("PQ ADC top-10") {
+      val sub = Similarity.pqSub(q, 8, 8)
+      val lut = sub.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), col("m"), col("sv"), col("snrm2"))
+        .join(broadcast(cb), Seq("m"))
+        .withColumn("d2", col("snrm2") + col("cnrm2") - lit(2L) *
+          expr("aggregate(zip_with(sv, cq, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+        .select("qid", "m", "cid", "d2")
+      val wd = Window.partitionBy(col("qid")).orderBy(col("adist2").asc, col("vec_id").asc)
+      topSets(codes.join(broadcast(lut), Seq("m", "cid"))
+        .filter(col("vec_id") =!= col("qid"))
+        .groupBy("qid", "vec_id").agg(sum("d2").as("adist2"))
+        .withColumn("rank", row_number().over(wd)).filter(col("rank") <= 10))
+    }
+    // ADC ranks by quantized distance: it reliably lands in the right
+    // neighborhood but cannot fine-rank inside it (6-bit-per-subspace
+    // codes); bare-ADC recall is reported as the compression floor.
+    println(f"[soak-ann] PQ recall@10 (8B/vec)  ${recall(pq)}%8.3f")
+    // Production two-stage shape: ADC top-100 candidates, exact-cosine
+    // re-rank — raw vectors are touched for 100 rows/query instead of
+    // the whole corpus (1000× less I/O at this corpus size).
+    val pqRr = time("PQ ADC top-100 + rerank") {
+      val sub = Similarity.pqSub(q, 8, 8)
+      val lut = sub.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), col("m"), col("sv"), col("snrm2"))
+        .join(broadcast(cb), Seq("m"))
+        .withColumn("d2", col("snrm2") + col("cnrm2") - lit(2L) *
+          expr("aggregate(zip_with(sv, cq, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+        .select("qid", "m", "cid", "d2")
+      val wd = Window.partitionBy(col("qid")).orderBy(col("adist2").asc, col("vec_id").asc)
+      val cand = codes.join(broadcast(lut), Seq("m", "cid"))
+        .filter(col("vec_id") =!= col("qid"))
+        .groupBy("qid", "vec_id").agg(sum("d2").as("adist2"))
+        .withColumn("rank", row_number().over(wd)).filter(col("rank") <= 100)
+        .select("qid", "vec_id")
+      topSets(cand
+        .join(q.select(col("vec_id"), col("q").as("qb"), col("nrm2").as("nb")), Seq("vec_id"))
+        .join(queries, Seq("qid"))
+        .withColumn("cos", expr(Similarity.cosExpr))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 10))
+    }
+    println(f"[soak-ann] PQ+rerank recall@10    ${recall(pqRr)}%8.3f")
+
+    // Residual IVF-PQ (the FAISS IVFPQ design): PQ quantizes x − c(x)
+    // (the residual after the coarse cell centroid), so code cells are
+    // sized by WITHIN-cell variance instead of corpus-wide variance —
+    // bare PQ cannot fine-rank inside a cluster for any practical k
+    // because its cells are sized by across-cluster spread (measured
+    // above); residual codes resolve exactly that structure.
+    val (rcb, rcodes) = time(s"resid-PQ train+encode") {
+      val resid = assigned.join(broadcast(cents), Seq("cid"))
+        .select(col("vec_id"), col("cid").as("cell"),
+          expr("zip_with(q, cq, (x, y) -> x - y)").as("q"))
+      val rsub = Similarity.pqSub(resid, 8, 8)
+      val cbv = Similarity.pqCodebooks(rsub, pqK, 2)
+      val cd = Similarity.pqAssign(rsub, cbv)
+        .join(resid.select("vec_id", "cell"), Seq("vec_id"))
+        .select("vec_id", "cell", "m", "cid").cache()
+      cd.count(); (cbv, cd)
+    }
+    val ivfpqR = time("resid-PQ ADC+rerank") {
+      // probe top-4 cells per query, build a PER-CELL residual LUT
+      val probe = queries.crossJoin(broadcast(cents))
+        .withColumn("ccos",
+          expr("CAST(aggregate(zip_with(qa, cq, (x, y) -> x * y), 0L, (acc, v) -> acc + v) AS DOUBLE)" +
+            " / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(cnrm2 AS DOUBLE)))"))
+      val wc = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cid").asc)
+      val probed = probe.withColumn("crank", row_number().over(wc))
+        .filter(col("crank") <= 4)
+        .select(col("qid"), col("qa"), col("cid").as("cell"), col("cq"))
+        .withColumn("rq", expr("zip_with(qa, cq, (x, y) -> x - y)"))
+      val slices = (0 until 8).map(i =>
+        struct(lit(i).as("m"), expr(s"slice(rq, ${i * 8 + 1}, 8)").as("sv")))
+      val qsub = probed
+        .select(col("qid"), col("cell"), explode(array(slices: _*)).as("x"))
+        .select(col("qid"), col("cell"), col("x.m").as("m"), col("x.sv").as("sv"))
+        .withColumn("snrm2", expr("aggregate(sv, 0L, (acc, v) -> acc + v * v)"))
+      val lut = qsub.join(broadcast(rcb), Seq("m"))
+        .withColumn("d2", col("snrm2") + col("cnrm2") - lit(2L) *
+          expr("aggregate(zip_with(sv, cq, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+        .select("qid", "cell", "m", "cid", "d2")
+      val wd = Window.partitionBy(col("qid")).orderBy(col("adist2").asc, col("vec_id").asc)
+      // rerank width 400: candidates ≈ the probed cells' plausible set;
+      // raw vectors are still touched for only ~0.4% of the corpus
+      val cand = rcodes.join(broadcast(lut), Seq("cell", "m", "cid"))
+        .filter(col("vec_id") =!= col("qid"))
+        .groupBy("qid", "vec_id").agg(sum("d2").as("adist2"))
+        .withColumn("rank", row_number().over(wd)).filter(col("rank") <= 400)
+        .select("qid", "vec_id")
+      topSets(cand
+        .join(q.select(col("vec_id"), col("q").as("qb"), col("nrm2").as("nb")), Seq("vec_id"))
+        .join(queries, Seq("qid"))
+        .withColumn("cos", expr(Similarity.cosExpr))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 10))
+    }
+    println(f"[soak-ann] residIVFPQ recall@10   ${recall(ivfpqR)}%8.3f")
     spark.stop()
   }
 }
