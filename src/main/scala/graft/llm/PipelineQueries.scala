@@ -98,6 +98,45 @@ object PipelineQueries extends QueryModule {
         .agg(count(lit(1)).as("n"),
           (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0).as("sum_value"))),
 
+    // Ordered funnel (view → click → purchase): step k counts users
+    // whose first step-k event follows their first step-(k-1) event.
+    // Three aggregate+join stages, each shuffling only (user_id, ts)
+    // pairs; the final single row is three broadcast-joined counts.
+    "w9_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def firstAfter(step: String, prev: org.apache.spark.sql.DataFrame, prevTs: String, outTs: String) =
+        ev.filter(col("event_type") === step)
+          .join(prev, Seq("user_id"))
+          .filter(col("ts") > col(prevTs))
+          .groupBy("user_id").agg(min("ts").as(outTs))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val c = firstAfter("click", v, "t1", "t2")
+      val p = firstAfter("purchase", c, "t2", "t3")
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_click")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+    }),
+
+    // Weekly cohort retention: cohort = week of first activity;
+    // retention(k) = distinct active users k weeks later / cohort size.
+    // Both week keys are Monday-truncated so the day-difference is an
+    // exact multiple of 7 — k stays integer arithmetic cross-engine.
+    "w10_retention" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val f = ev.groupBy("user_id")
+        .agg(date_trunc("week", min("ts")).as("cohort"))
+      val a = ev.select(col("user_id"), date_trunc("week", col("ts")).as("wk")).distinct()
+      val j = a.join(f, Seq("user_id"))
+        .groupBy(col("cohort"),
+          (datediff(col("wk"), col("cohort")) / 7).cast("long").as("k"))
+        .agg(countDistinct("user_id").as("active"))
+      val sz = f.groupBy("cohort").agg(count(lit(1)).as("cohort_size"))
+      j.join(sz, Seq("cohort"))
+        .select(col("cohort"), col("k"), col("active"), col("cohort_size"),
+          (col("active").cast("double") / col("cohort_size")).as("retention"))
+    }),
+
     // Last-touch attribution (batch twin of the streaming interval
     // join Windows.attributionJoin): each purchase attributes to the
     // user's most recent click within the trailing hour. The self-join
@@ -192,6 +231,34 @@ object PipelineQueries extends QueryModule {
       """SELECT event_type, year(ts) AS yr, count(*) AS n,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
         |FROM events GROUP BY CUBE (event_type, year(ts))""".stripMargin,
+    "w9_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(ts) AS t2 FROM events e
+        |  JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+        |  WHERE event_type = 'click' GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(ts) AS t3 FROM events e
+        |  JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+        |  WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        |       (SELECT count(*) FROM c) AS n_click,
+        |       (SELECT count(*) FROM p) AS n_purchase""".stripMargin,
+    "w10_retention" ->
+      """WITH f AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+        |j AS (
+        |  SELECT cohort, CAST(date_diff('day', cohort, wk) / 7 AS BIGINT) AS k,
+        |    count(DISTINCT a.user_id) AS active
+        |  FROM a JOIN f USING (user_id) GROUP BY 1, 2),
+        |s AS (SELECT cohort, count(*) AS cohort_size FROM f GROUP BY 1)
+        |SELECT j.cohort AS cohort, k, active, cohort_size,
+        |  CAST(active AS DOUBLE) / cohort_size AS retention
+        |FROM j JOIN s USING (cohort)""".stripMargin,
     "j10_attribution" ->
       """WITH c AS (
         |  SELECT user_id, ts AS click_ts, event_id AS click_id
