@@ -106,6 +106,34 @@ object Dedup {
     labels
   }
 
+  /** Integer PageRank over an undirected pair graph (e.g. verified
+    * near-dup pairs): rank duplicates by centrality so the cluster
+    * representative can be the most-linked copy instead of min-id.
+    *
+    * All arithmetic is exact-integer so results hash cross-engine:
+    * scores are scaled by 10⁶, the damping step is the exact rational
+    * p' = 150000 + floor(17·s/20) (0.85 = 17/20), and per-edge
+    * contributions floor(p/deg). Each round is one equi-join + one
+    * aggregate on the edge set — the same shuffle shape as
+    * `canonicalize`, linear lineage, rounds bounded by graph diameter
+    * needs (rank, not convergence, is the goal). */
+  def pagerankInt(pairs: DataFrame, rounds: Int = 3): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .distinct().cache()
+    val deg = edges.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
+    var p = deg.select(col("id"), lit(1000000L).as("pr"))
+    for (_ <- 1 to rounds) {
+      val contrib = p.join(deg, Seq("id"))
+        .select(col("id").as("v"), floor(col("pr").cast("double") / col("deg")).cast("long").as("c"))
+      p = edges.join(contrib, Seq("v"))
+        .groupBy(col("u").as("id")).agg(sum("c").as("s"))
+        .select(col("id"),
+          (lit(150000L) + floor((col("s") * 17).cast("double") / 20).cast("long")).as("pr"))
+    }
+    p
+  }
+
   /** Pigeonhole-blocked candidate pairs for hamming(simhash) <= maxDist.
     *
     * Split the `bits`-wide hash into maxDist+1 contiguous blocks: a pair

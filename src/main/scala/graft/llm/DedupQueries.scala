@@ -155,6 +155,14 @@ object DedupQueries extends QueryModule {
       Dedup.canonicalize(
         lshVerifiedOf(s, dir).filter(col("jacc") >= 0.5).select("doc_a", "doc_b"), 3)),
 
+    // Duplicate-cluster centrality: integer PageRank over the verified
+    // near-dup graph — the "keep the most-linked copy" alternative to
+    // min-id canonicalization (a hub shared by many variants outranks a
+    // leaf that matched once).
+    "d_pagerank" -> ((s, dir) =>
+      Dedup.pagerankInt(
+        lshVerifiedOf(s, dir).filter(col("jacc") >= 0.5).select("doc_a", "doc_b"), 3)),
+
     // Word-bigram frequency table (top corpus n-grams; count arithmetic
     // only, so it oracles exactly).
     "t_ngram_freq" -> ((s, dir) => {
@@ -360,6 +368,55 @@ object DedupQueries extends QueryModule {
          |  FROM r2 l LEFT JOIN edges e ON e.u = l.id LEFT JOIN r2 n ON n.id = e.v
          |  GROUP BY l.id, l.canonical)
          |SELECT id, canonical FROM r3""".stripMargin,
+    "d_pagerank" ->
+      s"""WITH $shinglesCte,
+         |hashed AS (SELECT id, md5(s) AS h FROM sh),
+         |sig AS (
+         |  SELECT id,
+         |    min(substring(h, 1, 4)) AS m1, min(substring(h, 5, 4)) AS m2,
+         |    min(substring(h, 9, 4)) AS m3, min(substring(h, 13, 4)) AS m4,
+         |    min(substring(h, 17, 4)) AS m5, min(substring(h, 21, 4)) AS m6,
+         |    min(substring(h, 25, 4)) AS m7, min(substring(h, 29, 4)) AS m8
+         |  FROM hashed GROUP BY id),
+         |bands AS (
+         |  SELECT id, 1 AS band, md5(m1 || m2) AS key FROM sig UNION ALL
+         |  SELECT id, 2, md5(m3 || m4) FROM sig UNION ALL
+         |  SELECT id, 3, md5(m5 || m6) FROM sig UNION ALL
+         |  SELECT id, 4, md5(m7 || m8) FROM sig),
+         |cands AS (
+         |  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+         |inter AS (
+         |  SELECT doc_a, doc_b, count(*) AS i
+         |  FROM cands
+         |  JOIN sh sa ON sa.id = doc_a
+         |  JOIN sh sb ON sb.id = doc_b AND sb.s = sa.s
+         |  GROUP BY 1, 2),
+         |vp AS (
+         |  SELECT doc_a, doc_b
+         |  FROM inter JOIN sizes ca ON ca.id = doc_a JOIN sizes cb ON cb.id = doc_b
+         |  WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.5),
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM vp
+         |  UNION SELECT doc_b, doc_a FROM vp),
+         |deg AS (SELECT u AS id, count(*) AS deg FROM edges GROUP BY 1),
+         |p0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr FROM deg),
+         |c1 AS (SELECT p0.id AS v, CAST(floor(CAST(pr AS DOUBLE) / deg) AS BIGINT) AS c
+         |       FROM p0 JOIN deg ON p0.id = deg.id),
+         |p1 AS (SELECT e.u AS id,
+         |         150000 + CAST(floor(CAST(sum(c) * 17 AS DOUBLE) / 20) AS BIGINT) AS pr
+         |       FROM edges e JOIN c1 ON e.v = c1.v GROUP BY 1),
+         |c2 AS (SELECT p1.id AS v, CAST(floor(CAST(pr AS DOUBLE) / deg) AS BIGINT) AS c
+         |       FROM p1 JOIN deg ON p1.id = deg.id),
+         |p2 AS (SELECT e.u AS id,
+         |         150000 + CAST(floor(CAST(sum(c) * 17 AS DOUBLE) / 20) AS BIGINT) AS pr
+         |       FROM edges e JOIN c2 ON e.v = c2.v GROUP BY 1),
+         |c3 AS (SELECT p2.id AS v, CAST(floor(CAST(pr AS DOUBLE) / deg) AS BIGINT) AS c
+         |       FROM p2 JOIN deg ON p2.id = deg.id),
+         |p3 AS (SELECT e.u AS id,
+         |         150000 + CAST(floor(CAST(sum(c) * 17 AS DOUBLE) / 20) AS BIGINT) AS pr
+         |       FROM edges e JOIN c3 ON e.v = c3.v GROUP BY 1)
+         |SELECT id, pr FROM p3""".stripMargin,
     "t_ngram_freq" ->
       """WITH words AS (
         |  SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),

@@ -67,9 +67,11 @@ object Windows {
     * Keys are typically a content fingerprint (t_fingerprint) for
     * document streams or the natural event id for event streams. */
   def dedupWithinWatermark(df: DataFrame, tsCol: String, watermark: String,
-                           keys: Seq[String]): DataFrame =
+                           keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "dedup needs at least one key column")
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+  }
 
   case class Sess(user_id: Long, n: Int, first: java.sql.Timestamp, last: java.sql.Timestamp)
   case class SessOut(user_id: Long, n_events: Int, duration_sec: Long)
