@@ -78,6 +78,16 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("pagerankInt: star graph — hub outranks leaves, exact hand-computed values") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("doc_a", "doc_b")
+    val pr = Dedup.pagerankInt(pairs, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round-by-round: hub sends floor(p/3), leaves send p; damping 17/20
+    assert(pr(1L) == 2483250L, s"hub: ${pr(1L)}")
+    assert(pr(2L) == 505583L && pr(3L) == 505583L && pr(4L) == 505583L)
+    assert(pr(1L) > pr(2L))
+  }
+
   test("w8_scd2: intervals chain per user, one current row per user") {
     val out = PipelineQueries.queries("w8_scd2")(spark, sf0001)
       .orderBy("user_id", "valid_from").collect()
