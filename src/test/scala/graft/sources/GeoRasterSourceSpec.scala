@@ -1,0 +1,49 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** The DataSource V2 surface: spark.read.format("georaster") must
+  * produce exactly the rows Formats.ingestDir builds, with column
+  * pruning pushed into the partition reader. */
+class GeoRasterSourceSpec extends SparkSpec {
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft-dsv2-").toString
+    for (m <- 1 to 3) {
+      val data = Array.tabulate(48) { i =>
+        if (i % 13 == 0) Float.NaN else (m * 100 + i).toFloat
+      }
+      Files.write(Paths.get(f"$d/precip_2024${m}%02d01.tif"),
+        GeoTiff.write(GeoTiff.Raster(8, 6, data, -180.0, 90.0, 45.0, 30.0)))
+    }
+    d
+  }
+
+  test("georaster rows match Formats.ingestDir exactly") {
+    val dsv2 = spark.read.format("georaster").load(dir)
+      .select("fname", "step", "y", "x", "v", "lon", "lat", "time")
+    val legacy = Formats.ingestDir(spark, dir)
+      .select("fname", "step", "y", "x", "v", "lon", "lat", "time")
+    assert(dsv2.count() == 3 * 44)
+    assert(dsv2.exceptAll(legacy).isEmpty && legacy.exceptAll(dsv2).isEmpty)
+  }
+
+  test("column pruning reaches the reader (scan schema = selected cols)") {
+    val pruned = spark.read.format("georaster").load(dir).select("v")
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scan.isDefined, "expected a BatchScanExec")
+    assert(scan.get.scan.readSchema().fieldNames.sameElements(Array("v")))
+    assert(pruned.agg(sum("v")).collect()(0).getDouble(0) > 0)
+  }
+
+  test("filters still apply on top; NaN pixels never surface") {
+    val df = spark.read.format("georaster").load(dir)
+    assert(df.filter(col("v").isNaN).isEmpty)
+    assert(df.filter(col("fname") === "precip_20240201.tif").count() == 44)
+    assert(df.select("time").distinct().count() == 3)
+  }
+}
