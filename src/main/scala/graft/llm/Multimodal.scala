@@ -96,6 +96,44 @@ object Multimodal {
     }).toDF("doc_id", "w_out", "h_out", "px_sum")
   }
 
+  /** Perceptual average-hash (aHash): decode the PNG, cut it into an
+    * 8×8 grid of blocks (remainder pixels ignored), block mean vs the
+    * global mean of block means gives one bit per block — the standard
+    * cheap image near-dup fingerprint (images differing by resize /
+    * re-encode / brightness keep small hamming distance). All integer
+    * floor arithmetic so the hash is engine-exact; emitted as two
+    * 32-bit halves (bit b of the 64 = block row-major index b). One
+    * partition-local pass; only (doc_id, 2×long) ever shuffles. */
+  def imageAhash(media: Dataset[Media], grid: Int = 8): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "image").mapPartitions(_.map { m =>
+      val img = MediaCodecs.decodeFrames(m.payload).head
+      val bw = img.w / grid; val bh = img.h / grid
+      val means = Array.tabulate(grid * grid) { b =>
+        val bx = b % grid; val by = b / grid
+        var sum = 0L
+        var y = by * bh
+        while (y < (by + 1) * bh) {
+          var x = bx * bw
+          while (x < (bx + 1) * bw) { sum += img.pixels(y * img.w + x); x += 1 }
+          y += 1
+        }
+        sum / (bw * bh)
+      }
+      val global = means.sum / (grid * grid)
+      var hi = 0L; var lo = 0L
+      var b = 0
+      while (b < grid * grid) {
+        if (means(b) >= global) {
+          if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+        }
+        b += 1
+      }
+      (m.doc_id, hi, lo)
+    }).toDF("doc_id", "h_hi", "h_lo")
+  }
+
   /** Frame sampling: keep every `step`-th frame of a video payload,
     * reporting per-frame dims + exact pixel sum (the temporal analogue
     * of resize — the decimation a training pipeline runs before feature

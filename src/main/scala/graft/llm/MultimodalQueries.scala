@@ -34,6 +34,12 @@ object MultimodalQueries extends QueryModule {
       Multimodal.sampleFrames(
         Multimodal.asPatternedMedia(Tables.documents(s, dir)), 2)),
 
+    // Perceptual average-hash over REAL decoded PNG pixels — the image
+    // near-dup fingerprint (the multimodal analogue of d_simhash).
+    "m_image_ahash" -> ((s, dir) =>
+      Multimodal.imageAhash(
+        Multimodal.asPatternedMedia(Tables.documents(s, dir)), 8)),
+
     // Windowed PCM energy: REAL WAV synth (patterned 16-bit samples) →
     // RIFF chunk walk → 100-sample windows → exact Σs² — the
     // silence/clipping screen of an audio-curation pipeline.
@@ -65,6 +71,25 @@ object MultimodalQueries extends QueryModule {
         |FROM d CROSS JOIN range(40) xs(r) CROSS JOIN range(24) ys(r)
         |WHERE xs.r < w_out AND ys.r < h_out
         |GROUP BY 1, 2, 3""".stripMargin,
+    "m_image_ahash" ->
+      """WITH base AS (
+        |  SELECT doc_id, 16 + strlen(text) % 64 AS w, 16 + doc_id % 32 AS h
+        |  FROM documents WHERE doc_id % 3 = 0 AND doc_id % 2 = 0),
+        |d AS (SELECT doc_id, w, h, w // 8 AS bw, h // 8 AS bh FROM base),
+        |px AS (
+        |  SELECT doc_id, CAST(xs.r // bw AS INT) AS bx, CAST(ys.r // bh AS INT) AS by,
+        |    (xs.r + 3 * ys.r + doc_id) % 256 AS p
+        |  FROM d CROSS JOIN range(80) xs(r) CROSS JOIN range(48) ys(r)
+        |  WHERE xs.r < bw * 8 AND ys.r < bh * 8),
+        |bm AS (SELECT doc_id, by * 8 + bx AS b, CAST(sum(p) // count(*) AS BIGINT) AS mean
+        |       FROM px GROUP BY 1, 2),
+        |gm AS (SELECT doc_id, CAST(sum(mean) // 64 AS BIGINT) AS g FROM bm GROUP BY 1),
+        |bits AS (SELECT bm.doc_id AS doc_id, b, CASE WHEN mean >= g THEN 1 ELSE 0 END AS bit
+        |         FROM bm JOIN gm ON bm.doc_id = gm.doc_id)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN b >= 32 AND bit = 1 THEN 1::BIGINT << CAST(b - 32 AS INT) ELSE 0 END) AS BIGINT) AS h_hi,
+        |  CAST(sum(CASE WHEN b < 32 AND bit = 1 THEN 1::BIGINT << CAST(b AS INT) ELSE 0 END) AS BIGINT) AS h_lo
+        |FROM bits GROUP BY 1""".stripMargin,
     "m_audio_energy" ->
       """WITH base AS (
         |  SELECT doc_id, strlen(text) AS n FROM documents WHERE doc_id % 3 = 1),
