@@ -98,6 +98,19 @@ object PipelineQueries extends QueryModule {
         .agg(count(lit(1)).as("n"),
           (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0).as("sum_value"))),
 
+    // Pivot: per-user event counts spread across one column per event
+    // type. An EXPLICIT value list keeps the schema static (Spark's
+    // two-pass distinct-then-pivot would otherwise scan twice and make
+    // the schema data-dependent); the plan is one hash aggregate with
+    // map-side partials, exactly the manual CASE formulation the oracle
+    // writes out.
+    "a21_pivot" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "signup", "purchase", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)),
+
     // Ordered funnel (view → click → purchase): step k counts users
     // whose first step-k event follows their first step-(k-1) event.
     // Three aggregate+join stages, each shuffling only (user_id, ts)
@@ -231,6 +244,14 @@ object PipelineQueries extends QueryModule {
       """SELECT event_type, year(ts) AS yr, count(*) AS n,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
         |FROM events GROUP BY CUBE (event_type, year(ts))""".stripMargin,
+    "a21_pivot" ->
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+        |FROM events GROUP BY 1""".stripMargin,
     "w9_funnel" ->
       """WITH v AS (
         |  SELECT user_id, min(ts) AS t1 FROM events
