@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -80,7 +81,7 @@ class GeoRasterTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"georaster(`$path`)"
   override def schema(): StructType = GeoRasterSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    JCollections.singleton(TableCapability.BATCH_READ)
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GeoRasterScanBuilder(path)
 }
@@ -98,17 +99,58 @@ class GeoRasterScanBuilder(path: String)
 class GeoRasterScan(path: String, required: StructType) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def planInputPartitions(): Array[InputPartition] = {
+  override def planInputPartitions(): Array[InputPartition] =
+    GeoRasterScan.listFiles(path).map(f => GeoRasterPartition(f): InputPartition)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GeoRasterReaderFactory(required.fieldNames)
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GeoRasterMicroBatchStream(path, required.fieldNames)
+}
+
+object GeoRasterScan {
+  def listFiles(path: String): Array[String] = {
     val exts = Set("tif", "grib2", "nc")
     val dir = new java.io.File(path)
     val files =
       if (dir.isFile) Array(dir)
       else Option(dir.listFiles()).getOrElse(Array.empty)
         .filter(f => f.isFile && exts.exists(f.getName.endsWith(_)))
-    files.sortBy(_.getName).map(f => GeoRasterPartition(f.getAbsolutePath): InputPartition)
+    files.map(_.getAbsolutePath).sorted
+  }
+}
+
+/** Streaming twin: the drop-zone as a MicroBatchStream. The offset is
+  * the sorted set of file names seen — each trigger's batch is the
+  * listing diff, so every dropped granule is processed exactly once
+  * (same contract as Spark's own FileStreamSource, minimal form). */
+case class GeoRasterOffset(files: Seq[String]) extends Offset {
+  override def json(): String =
+    files.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .mkString("[", ",", "]")
+}
+
+class GeoRasterMicroBatchStream(path: String, fields: Array[String])
+    extends MicroBatchStream {
+  override def initialOffset(): Offset = GeoRasterOffset(Seq.empty)
+  override def latestOffset(): Offset =
+    GeoRasterOffset(GeoRasterScan.listFiles(path).toSeq)
+  override def deserializeOffset(json: String): Offset = {
+    // minimal parser for the escaped-string array written by json()
+    val inner = json.trim.stripPrefix("[").stripSuffix("]")
+    if (inner.isEmpty) GeoRasterOffset(Seq.empty)
+    else GeoRasterOffset(inner.split("\",\"").toSeq
+      .map(_.stripPrefix("\"").stripSuffix("\"")
+        .replace("\\\"", "\"").replace("\\\\", "\\")))
+  }
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[GeoRasterOffset].files.toSet
+    end.asInstanceOf[GeoRasterOffset].files
+      .filterNot(seen).sorted.map(f => GeoRasterPartition(f): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new GeoRasterReaderFactory(required.fieldNames)
+    new GeoRasterReaderFactory(fields)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 case class GeoRasterPartition(file: String) extends InputPartition

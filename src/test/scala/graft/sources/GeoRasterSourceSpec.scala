@@ -40,6 +40,31 @@ class GeoRasterSourceSpec extends SparkSpec {
     assert(pruned.agg(sum("v")).collect()(0).getDouble(0) > 0)
   }
 
+  test("streaming: dropped granules arrive exactly once per trigger") {
+    val drop = Files.createTempDirectory("graft-dsv2-stream-").toString
+    def writeTiff(m: Int): Unit = {
+      val data = Array.tabulate(48)(i => (m * 100 + i).toFloat)
+      Files.write(Paths.get(f"$drop/precip_2024${m}%02d01.tif"),
+        GeoTiff.write(GeoTiff.Raster(8, 6, data, -180.0, 90.0, 45.0, 30.0)))
+    }
+    writeTiff(1)
+    val q = spark.readStream.format("georaster").load(drop)
+      .groupBy("fname").count()
+      .writeStream.format("memory").queryName("georaster_stream")
+      .outputMode("complete")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-dsv2-ckpt-").toString)
+      .start()
+    q.processAllAvailable()
+    assert(spark.table("georaster_stream").count() == 1)
+    writeTiff(2)
+    q.processAllAvailable()
+    val rows = spark.table("georaster_stream").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    q.stop()
+    assert(rows.size == 2 && rows.values.forall(_ == 48)) // no NaN in these
+  }
+
   test("filters still apply on top; NaN pixels never surface") {
     val df = spark.read.format("georaster").load(dir)
     assert(df.filter(col("v").isNaN).isEmpty)
