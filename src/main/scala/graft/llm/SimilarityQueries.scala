@@ -160,6 +160,39 @@ object SimilarityQueries extends QueryModule {
         .select("qid", "vec_id", "adist2", "rank")
     }),
 
+    // Two-stage retrieval (the production PQ serving shape measured in
+    // SoakAnn): ADC over codes picks a top-20 candidate set, exact
+    // cosine re-ranks it to top-5 — raw vectors are opened for 20
+    // rows/query instead of the corpus. Final scores are EXACT, so the
+    // approximation only moves which rows are considered, never their
+    // reported similarity.
+    "s_ann_pq_rerank" -> ((s, dir) => {
+      val q = quantizedOf(s, dir)
+      val sub = Similarity.pqSub(q, 4, 16)
+      val cents = pqCodebooksOf(s, dir)
+      val codes = Similarity.pqAssign(sub, cents).select("vec_id", "m", "cid")
+      val lut = sub.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("m"), col("sv"), col("snrm2"))
+        .join(broadcast(cents), Seq("m"))
+        .withColumn("d2", col("snrm2") + col("cnrm2") - lit(2L) *
+          expr("aggregate(zip_with(sv, cq, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+        .select("qid", "m", "cid", "d2")
+      val wd = Window.partitionBy(col("qid")).orderBy(col("adist2").asc, col("vec_id").asc)
+      val cand = codes.join(broadcast(lut), Seq("m", "cid"))
+        .filter(col("vec_id") =!= col("qid"))
+        .groupBy("qid", "vec_id").agg(sum("d2").as("adist2"))
+        .withColumn("crank", row_number().over(wd)).filter(col("crank") <= 20)
+        .select("qid", "vec_id")
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
+      cand
+        .join(q.select(col("vec_id"), col("q").as("qb"), col("nrm2").as("nb")), Seq("vec_id"))
+        .join(q.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("q").as("qa"), col("nrm2").as("na")), Seq("qid"))
+        .withColumn("cos", expr(Similarity.cosExpr))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        .select("qid", "vec_id", "cos", "rank")
+    }),
+
     // IVF-PQ (the FAISS IVFPQ shape, no residual encoding): a learned
     // coarse quantizer partitions the corpus into cells; within cells,
     // distances are approximated by PQ ADC over 4-byte codes. Query
@@ -394,6 +427,63 @@ object SimilarityQueries extends QueryModule {
          |  SELECT qid, vec_id, adist2,
          |    CAST(row_number() OVER (PARTITION BY qid ORDER BY adist2 ASC, vec_id ASC) AS INT) AS rank
          |  FROM adc) t
+         |WHERE rank <= 5""".stripMargin
+    },
+    "s_ann_pq_rerank" -> {
+      def assignSql(cents: String, out: String): String =
+        s"""$out AS (
+           |  SELECT vec_id, m, sv, snrm2, cid FROM (
+           |    SELECT s.vec_id AS vec_id, s.m AS m, s.sv AS sv, s.snrm2 AS snrm2, c.cid AS cid,
+           |      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+           |        s.snrm2 + c.cnrm2 - 2 * list_dot_product(s.sv, c.cq) ASC, c.cid ASC) AS rn
+           |    FROM subn s JOIN $cents c ON s.m = c.m) t WHERE rn = 1)""".stripMargin
+      def updateSql(assigned: String, pfx: String, out: String): String =
+        s"""${pfx}comp AS (
+           |  SELECT m, cid, CAST(i AS INT) AS i, sv[CAST(i+1 AS INT)] AS c
+           |  FROM $assigned CROSS JOIN range(16) ii(i)),
+           |${pfx}v AS (
+           |  SELECT m, cid, i, CAST(floor(CAST(sum(c) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+           |  FROM ${pfx}comp GROUP BY 1, 2, 3),
+           |$out AS (
+           |  SELECT m, cid, cq, list_dot_product(cq, cq) AS cnrm2 FROM (
+           |    SELECT m, cid, list(cv ORDER BY i) AS cq FROM ${pfx}v GROUP BY 1, 2) t)""".stripMargin
+      s"""WITH $quantSql,
+         |sub AS (
+         |  SELECT vec_id, CAST(m AS INT) AS m,
+         |    list_slice(qv, CAST(m*16+1 AS INT), CAST(m*16+16 AS INT)) AS sv
+         |  FROM qn CROSS JOIN range(4) mm(m)),
+         |subn AS (SELECT vec_id, m, sv, list_dot_product(sv, sv) AS snrm2 FROM sub),
+         |i0 AS (SELECT m, CAST(vec_id AS INT) AS cid, sv AS cq, snrm2 AS cnrm2
+         |       FROM subn WHERE vec_id < 8),
+         |${assignSql("i0", "a1")},
+         |${updateSql("a1", "u1", "i1")},
+         |${assignSql("i1", "a2")},
+         |${updateSql("a2", "u2", "i2")},
+         |${assignSql("i2", "codes")},
+         |lut AS (
+         |  SELECT s.vec_id AS qid, c.m AS m, c.cid AS cid,
+         |    s.snrm2 + c.cnrm2 - 2 * list_dot_product(s.sv, c.cq) AS d2
+         |  FROM subn s JOIN i2 c ON s.m = c.m WHERE s.vec_id < 8),
+         |adc AS (
+         |  SELECT qid, codes.vec_id AS vec_id, CAST(sum(d2) AS BIGINT) AS adist2
+         |  FROM codes JOIN lut ON codes.m = lut.m AND codes.cid = lut.cid
+         |  WHERE codes.vec_id != qid GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |      row_number() OVER (PARTITION BY qid ORDER BY adist2 ASC, vec_id ASC) AS crank
+         |    FROM adc) t WHERE crank <= 20),
+         |scored AS (
+         |  SELECT cand.qid AS qid, cand.vec_id AS vec_id,
+         |    CAST(list_dot_product(a.qv, b.qv) AS DOUBLE)
+         |      / (sqrt(CAST(a.nrm2 AS DOUBLE)) * sqrt(CAST(b.nrm2 AS DOUBLE))) AS cos
+         |  FROM cand
+         |  JOIN qn a ON a.vec_id = cand.qid
+         |  JOIN qn b ON b.vec_id = cand.vec_id)
+         |SELECT qid, vec_id, cos, rank FROM (
+         |  SELECT qid, vec_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+         |  FROM scored) t
          |WHERE rank <= 5""".stripMargin
     },
     "s_ann_ivfpq" -> {
