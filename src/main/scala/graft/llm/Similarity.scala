@@ -94,7 +94,7 @@ object Similarity {
     // stays LINEAR in k (a when-chain fold would re-embed the running
     // best distance twice per step: 2^k nodes by k=16)
     q.select(col("vec_id"), col("q"), col("nrm2"),
-      array_min(array(dists: _*)).getField("cid").as("cid"))
+      array_min(array(dists.toIndexedSeq: _*)).getField("cid").as("cid"))
   }
 
   /** Multi-probe LSH-blocked near-dup sweep: pairs that share `labelCol`

@@ -27,7 +27,7 @@ object AsofJoin {
       (Seq(col(key), col(rightTime).as("_t"), lit(0).as("_side")) ++
         payload.map(p => col(p).as(s"_p_$p"))): _*)
     val lAligned = l.select(
-      (l.columns.filterNot(c => c == "_side" || c == "_t").map(col) ++
+      (l.columns.filterNot(c => c == "_side" || c == "_t").map(col).toIndexedSeq ++
         Seq(col("_t"), col("_side")) ++
         payload.map(p => lit(null).as(s"_p_$p"))): _*)
     val unioned = lAligned.unionByName(r, allowMissingColumns = true)

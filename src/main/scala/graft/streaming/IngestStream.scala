@@ -168,8 +168,8 @@ object IngestStream {
         Seq("granule_key"), "left_anti")
       .localCheckpoint(true)
     val rewritten = kept
-      .unionByName(overwrites.select(kept.columns.map(col): _*))
-      .unionByName(inserts.filter(owPred).select(kept.columns.map(col): _*))
+      .unionByName(overwrites.select(kept.columns.map(col).toIndexedSeq: _*))
+      .unionByName(inserts.filter(owPred).select(kept.columns.map(col).toIndexedSeq: _*))
     // scoped to this write via the writer option (precedence over the
     // session conf) — the shared session is never mutated
     rewritten.write.mode("overwrite")
