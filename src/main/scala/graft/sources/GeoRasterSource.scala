@@ -83,28 +83,29 @@ class GeoRasterTable(path: String) extends Table with SupportsRead {
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GeoRasterScanBuilder(path)
+    new GeoRasterScanBuilder(path, options.getBoolean("ignorecorrupt", false))
 }
 
-class GeoRasterScanBuilder(path: String)
+class GeoRasterScanBuilder(path: String, ignoreCorrupt: Boolean)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = GeoRasterSource.schema
   override def pruneColumns(requiredSchema: StructType): Unit =
     // empty prune (e.g. count(*)) still decodes rows — keep one cheap col
     required = if (requiredSchema.isEmpty)
       StructType(GeoRasterSource.schema.take(2)) else requiredSchema
-  override def build(): Scan = new GeoRasterScan(path, required)
+  override def build(): Scan = new GeoRasterScan(path, required, ignoreCorrupt)
 }
 
-class GeoRasterScan(path: String, required: StructType) extends Scan with Batch {
+class GeoRasterScan(path: String, required: StructType,
+                    ignoreCorrupt: Boolean = false) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     GeoRasterScan.listFiles(path).map(f => GeoRasterPartition(f): InputPartition)
   override def createReaderFactory(): PartitionReaderFactory =
-    new GeoRasterReaderFactory(required.fieldNames)
+    new GeoRasterReaderFactory(required.fieldNames, ignoreCorrupt)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GeoRasterMicroBatchStream(path, required.fieldNames)
+    new GeoRasterMicroBatchStream(path, required.fieldNames, ignoreCorrupt)
 }
 
 object GeoRasterScan {
@@ -129,7 +130,8 @@ case class GeoRasterOffset(files: Seq[String]) extends Offset {
       .mkString("[", ",", "]")
 }
 
-class GeoRasterMicroBatchStream(path: String, fields: Array[String])
+class GeoRasterMicroBatchStream(path: String, fields: Array[String],
+                                ignoreCorrupt: Boolean = false)
     extends MicroBatchStream {
   override def initialOffset(): Offset = GeoRasterOffset(Seq.empty)
   override def latestOffset(): Offset =
@@ -148,26 +150,44 @@ class GeoRasterMicroBatchStream(path: String, fields: Array[String])
       .filterNot(seen).sorted.map(f => GeoRasterPartition(f): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new GeoRasterReaderFactory(fields)
+    new GeoRasterReaderFactory(fields, ignoreCorrupt)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
 case class GeoRasterPartition(file: String) extends InputPartition
 
-class GeoRasterReaderFactory(fields: Array[String])
+class GeoRasterReaderFactory(fields: Array[String],
+                             ignoreCorrupt: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[GeoRasterPartition].file
     new PartitionReader[InternalRow] {
-      private val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file))
-      private val dec = Formats.sniff(bytes).getOrElse(
-        throw new IllegalArgumentException(s"unknown format: $file"))
+      // ignoreCorrupt: an unreadable/undecodable granule yields zero
+      // rows instead of failing the job (ignoreCorruptFiles semantics;
+      // at fleet scale one bad object must not kill a 100 TB ingest)
+      private val decoded: Option[(Formats.Decoder, Array[Byte])] =
+        try {
+          val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file))
+          Formats.sniff(bytes) match {
+            case Some(d) =>
+              // sniffing is header-only; force the full decode here so
+              // truncated payloads are caught by the same guard
+              d.decodeMulti(bytes)
+              Some((d, bytes))
+            case None if ignoreCorrupt => None
+            case None =>
+              throw new IllegalArgumentException(s"unknown format: $file")
+          }
+        } catch {
+          case _: Exception if ignoreCorrupt => None
+        }
       private val fname = file.substring(file.lastIndexOf('/') + 1)
       private val fnameU = UTF8String.fromString(fname)
       private val baseMicros = GeoRasterSource.parseTime(fname)
-      private val ll = dec.pixelLonLat(bytes)
-      private val rasters = dec.decodeMulti(bytes).iterator
+      private val ll = decoded.flatMap { case (d, b) => d.pixelLonLat(b) }
+      private val rasters = decoded.map { case (d, b) => d.decodeMulti(b) }
+        .getOrElse(Seq.empty).iterator
       private var step = 0
       private var r: GeoTiff.Raster = _
       private var i = -1

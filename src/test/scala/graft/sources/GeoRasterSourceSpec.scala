@@ -65,6 +65,25 @@ class GeoRasterSourceSpec extends SparkSpec {
     assert(rows.size == 2 && rows.values.forall(_ == 48)) // no NaN in these
   }
 
+  test("ignoreCorrupt: a bad granule yields zero rows instead of failing the scan") {
+    val d = Files.createTempDirectory("graft-dsv2-corrupt-").toString
+    Files.write(Paths.get(s"$d/good_20240101.tif"),
+      GeoTiff.write(GeoTiff.Raster(4, 3, Array.tabulate(12)(_.toFloat),
+        -180.0, 90.0, 90.0, 60.0)))
+    Files.write(Paths.get(s"$d/junk_20240102.tif"),
+      Array.fill[Byte](64)(0x5a))
+    // default: the corrupt file fails the job
+    intercept[org.apache.spark.SparkException] {
+      spark.read.format("georaster").load(d).count()
+    }
+    // opt-in tolerance: good granule's rows survive, bad one contributes none
+    val tolerant = spark.read.format("georaster")
+      .option("ignoreCorrupt", "true").load(d)
+    assert(tolerant.count() == 12)
+    assert(tolerant.select("fname").distinct().collect()
+      .map(_.getString(0)).sameElements(Array("good_20240101.tif")))
+  }
+
   test("filters still apply on top; NaN pixels never surface") {
     val df = spark.read.format("georaster").load(dir)
     assert(df.filter(col("v").isNaN).isEmpty)
