@@ -166,15 +166,13 @@ class GeoRasterReaderFactory(fields: Array[String],
       // ignoreCorrupt: an unreadable/undecodable granule yields zero
       // rows instead of failing the job (ignoreCorruptFiles semantics;
       // at fleet scale one bad object must not kill a 100 TB ingest)
-      private val decoded: Option[(Formats.Decoder, Array[Byte])] =
+      // decode ONCE; under ignoreCorrupt any read/sniff/decode failure
+      // (incl. truncated payloads) downgrades to an empty granule
+      private val decoded: Option[(Seq[(Int, GeoTiff.Raster)], Option[(Array[Double], Array[Double])])] =
         try {
           val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file))
           Formats.sniff(bytes) match {
-            case Some(d) =>
-              // sniffing is header-only; force the full decode here so
-              // truncated payloads are caught by the same guard
-              d.decodeMulti(bytes)
-              Some((d, bytes))
+            case Some(d) => Some((d.decodeMulti(bytes), d.pixelLonLat(bytes)))
             case None if ignoreCorrupt => None
             case None =>
               throw new IllegalArgumentException(s"unknown format: $file")
@@ -185,9 +183,8 @@ class GeoRasterReaderFactory(fields: Array[String],
       private val fname = file.substring(file.lastIndexOf('/') + 1)
       private val fnameU = UTF8String.fromString(fname)
       private val baseMicros = GeoRasterSource.parseTime(fname)
-      private val ll = decoded.flatMap { case (d, b) => d.pixelLonLat(b) }
-      private val rasters = decoded.map { case (d, b) => d.decodeMulti(b) }
-        .getOrElse(Seq.empty).iterator
+      private val ll = decoded.flatMap(_._2)
+      private val rasters = decoded.map(_._1).getOrElse(Seq.empty).iterator
       private var step = 0
       private var r: GeoTiff.Raster = _
       private var i = -1
