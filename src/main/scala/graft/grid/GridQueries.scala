@@ -510,7 +510,8 @@ object GridQueries extends QueryModule {
         |  GROUP BY 1, 2),
         |frame AS (SELECT boundary_id, t FROM bounds, (SELECT DISTINCT t FROM px) ts)
         |SELECT frame.boundary_id AS boundary_id, frame.t AS t,
-        |  n_pixels, n_above, CAST(n_above AS DOUBLE) / n_pixels AS frac_above
+        |  n_pixels, CAST(n_above AS BIGINT) AS n_above,
+        |  CAST(n_above AS DOUBLE) / n_pixels AS frac_above
         |FROM frame LEFT JOIN stats
         |  ON frame.boundary_id = stats.boundary_id AND frame.t = stats.t""".stripMargin),
     "a18_histogram" -> withCtes(
