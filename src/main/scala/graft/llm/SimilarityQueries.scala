@@ -32,6 +32,20 @@ object SimilarityQueries extends QueryModule {
     pqCbCache.computeIfAbsent(dir, d =>
       Similarity.pqCodebooks(Similarity.pqSub(quantizedOf(s, d), 4, 16), 8, 2))
 
+  /** Residual frame (vec_id, cell, q = x − coarse_centroid(x)) — shared
+    * by residual-PQ training and encoding. */
+  private def residOf(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val coarse = coarseOf(s, dir)
+    Similarity.assignNearest(quantizedOf(s, dir), coarse)
+      .join(broadcast(coarse), Seq("cid"))
+      .select(col("vec_id"), col("cid").as("cell"),
+        expr("zip_with(q, cq, (x, y) -> x - y)").as("q"))
+  }
+  private val residCbCache = new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+  private def residCodebooksOf(s: org.apache.spark.sql.SparkSession, dir: String) =
+    residCbCache.computeIfAbsent(dir, d =>
+      Similarity.pqCodebooks(Similarity.pqSub(residOf(s, d), 4, 16), 8, 2))
+
   private val quantSql =
     """q AS (
       |  SELECT vec_id,
@@ -228,6 +242,53 @@ object SimilarityQueries extends QueryModule {
         .join(broadcast(probed), Seq("cell"))
         .filter(col("vec_id") =!= col("qid"))
         .join(broadcast(lut), Seq("qid", "m", "cid"))
+        .groupBy("qid", "vec_id").agg(sum("d2").as("adist2"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("adist2").asc, col("vec_id").asc)))
+        .filter(col("rank") <= 5)
+        .select("qid", "vec_id", "adist2", "rank")
+    }),
+
+    // Residual IVF-PQ (the full FAISS IVFPQ design): PQ quantizes the
+    // RESIDUAL x − c(x) after the coarse cell centroid, so code cells
+    // are sized by within-cell variance — the soak measured bare
+    // (non-residual) PQ recall pinned at the floor on clustered data
+    // for ANY code count, while residual codes recover 4× at the same
+    // byte budget. Query time: rank broadcast centroids, build a
+    // PER-CELL residual LUT for the probed cells, ADC over code rows
+    // of those cells only.
+    "s_ann_ivfpq_resid" -> ((s, dir) => {
+      val q = quantizedOf(s, dir)
+      val coarse = coarseOf(s, dir)
+      val resid = residOf(s, dir)
+      val rsub = Similarity.pqSub(resid, 4, 16)
+      val rcb = residCodebooksOf(s, dir)
+      val codes = Similarity.pqAssign(rsub, rcb)
+        .join(resid.select("vec_id", "cell"), Seq("vec_id"))
+        .select("vec_id", "cell", "m", "cid")
+      val queries = q.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("q").as("qa"), col("nrm2").as("na"))
+      val probe = queries.crossJoin(broadcast(coarse))
+        .withColumn("ccos",
+          expr("CAST(aggregate(zip_with(qa, cq, (x, y) -> x * y), 0L, (acc, v) -> acc + v) AS DOUBLE)" +
+            " / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(cnrm2 AS DOUBLE)))"))
+      val wc = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cid").asc)
+      val probed = probe.withColumn("crank", row_number().over(wc))
+        .filter(col("crank") <= 2)
+        .select(col("qid"), col("qa"), col("cid").as("cell"), col("cq"))
+        .withColumn("rq", expr("zip_with(qa, cq, (x, y) -> x - y)"))
+      val slices = (0 until 4).map(i =>
+        struct(lit(i).as("m"), expr(s"slice(rq, ${i * 16 + 1}, 16)").as("sv")))
+      val qsub = probed
+        .select(col("qid"), col("cell"), explode(array(slices.toIndexedSeq: _*)).as("b"))
+        .select(col("qid"), col("cell"), col("b.m").as("m"), col("b.sv").as("sv"))
+        .withColumn("snrm2", expr("aggregate(sv, 0L, (acc, v) -> acc + v * v)"))
+      val lut = qsub.join(broadcast(rcb), Seq("m"))
+        .withColumn("d2", col("snrm2") + col("cnrm2") - lit(2L) *
+          expr("aggregate(zip_with(sv, cq, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+        .select("qid", "cell", "m", "cid", "d2")
+      codes.join(broadcast(lut), Seq("cell", "m", "cid"))
+        .filter(col("vec_id") =!= col("qid"))
         .groupBy("qid", "vec_id").agg(sum("d2").as("adist2"))
         .withColumn("rank", row_number().over(
           Window.partitionBy(col("qid")).orderBy(col("adist2").asc, col("vec_id").asc)))
@@ -563,6 +624,104 @@ object SimilarityQueries extends QueryModule {
          |  JOIN cells ON codes.vec_id = cells.vec_id
          |  JOIN probed ON cells.cell = probed.cell AND codes.vec_id != probed.qid
          |  JOIN lut ON lut.qid = probed.qid AND lut.m = codes.m AND lut.cid = codes.cid
+         |  GROUP BY 1, 2)
+         |SELECT qid, vec_id, adist2, rank FROM (
+         |  SELECT qid, vec_id, adist2,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY adist2 ASC, vec_id ASC) AS INT) AS rank
+         |  FROM adc) t
+         |WHERE rank <= 5""".stripMargin
+    },
+    "s_ann_ivfpq_resid" -> {
+      def cAssign(cents: String): String =
+        s"""SELECT vec_id, qv, nrm2, cid FROM (
+           |  SELECT qn.vec_id AS vec_id, qn.qv AS qv, qn.nrm2 AS nrm2, $cents.cid AS cid,
+           |    row_number() OVER (PARTITION BY qn.vec_id ORDER BY
+           |      qn.nrm2 + $cents.cnrm2 - 2 * list_dot_product(qn.qv, $cents.cq) ASC,
+           |      $cents.cid ASC) AS rn
+           |  FROM qn CROSS JOIN $cents) t WHERE rn = 1""".stripMargin
+      def cUpdate(assigned: String, pfx: String, out: String): String =
+        s"""${pfx}comp AS (
+           |  SELECT cid, CAST(i AS INT) AS i, qv[CAST(i+1 AS INT)] AS c
+           |  FROM $assigned CROSS JOIN range(64) ii(i)),
+           |${pfx}v AS (
+           |  SELECT cid, i, CAST(floor(CAST(sum(c) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+           |  FROM ${pfx}comp GROUP BY 1, 2),
+           |$out AS (
+           |  SELECT cid, cq, list_dot_product(cq, cq) AS cnrm2 FROM (
+           |    SELECT cid, list(cv ORDER BY i) AS cq FROM ${pfx}v GROUP BY 1) t)""".stripMargin
+      def pAssign(cents: String, out: String): String =
+        s"""$out AS (
+           |  SELECT vec_id, m, sv, snrm2, cid FROM (
+           |    SELECT s.vec_id AS vec_id, s.m AS m, s.sv AS sv, s.snrm2 AS snrm2, c.cid AS cid,
+           |      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+           |        s.snrm2 + c.cnrm2 - 2 * list_dot_product(s.sv, c.cq) ASC, c.cid ASC) AS rn
+           |    FROM subn s JOIN $cents c ON s.m = c.m) t WHERE rn = 1)""".stripMargin
+      def pUpdate(assigned: String, pfx: String, out: String): String =
+        s"""${pfx}comp AS (
+           |  SELECT m, cid, CAST(i AS INT) AS i, sv[CAST(i+1 AS INT)] AS c
+           |  FROM $assigned CROSS JOIN range(16) ii(i)),
+           |${pfx}v AS (
+           |  SELECT m, cid, i, CAST(floor(CAST(sum(c) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+           |  FROM ${pfx}comp GROUP BY 1, 2, 3),
+           |$out AS (
+           |  SELECT m, cid, cq, list_dot_product(cq, cq) AS cnrm2 FROM (
+           |    SELECT m, cid, list(cv ORDER BY i) AS cq FROM ${pfx}v GROUP BY 1, 2) t)""".stripMargin
+      s"""WITH $quantSql,
+         |ci0 AS (
+         |  SELECT CAST(vec_id AS INT) AS cid, qv AS cq, list_dot_product(qv, qv) AS cnrm2
+         |  FROM qn WHERE vec_id < 8),
+         |ca1 AS (${cAssign("ci0")}),
+         |${cUpdate("ca1", "cu1", "ci1")},
+         |ca2 AS (${cAssign("ci1")}),
+         |${cUpdate("ca2", "cu2", "ci2")},
+         |cells0 AS (${cAssign("ci2")}),
+         |resid AS (
+         |  SELECT cells0.vec_id AS vec_id, cells0.cid AS cell,
+         |    list_transform(generate_series(1, 64),
+         |      i -> cells0.qv[CAST(i AS INT)] - ci2.cq[CAST(i AS INT)]) AS rqv
+         |  FROM cells0 JOIN ci2 ON cells0.cid = ci2.cid),
+         |sub AS (
+         |  SELECT vec_id, CAST(m AS INT) AS m,
+         |    list_slice(rqv, CAST(m*16+1 AS INT), CAST(m*16+16 AS INT)) AS sv
+         |  FROM resid CROSS JOIN range(4) mm(m)),
+         |subn AS (SELECT vec_id, m, sv, list_dot_product(sv, sv) AS snrm2 FROM sub),
+         |pi0 AS (SELECT m, CAST(vec_id AS INT) AS cid, sv AS cq, snrm2 AS cnrm2
+         |        FROM subn WHERE vec_id < 8),
+         |${pAssign("pi0", "pa1")},
+         |${pUpdate("pa1", "pu1", "pi1")},
+         |${pAssign("pi1", "pa2")},
+         |${pUpdate("pa2", "pu2", "pi2")},
+         |${pAssign("pi2", "codes0")},
+         |codes AS (
+         |  SELECT codes0.vec_id AS vec_id, resid.cell AS cell, codes0.m AS m, codes0.cid AS cid
+         |  FROM codes0 JOIN resid ON codes0.vec_id = resid.vec_id),
+         |queries AS (SELECT vec_id AS qid, qv AS qa, nrm2 AS na FROM qn WHERE vec_id < 8),
+         |probe AS (
+         |  SELECT qid, qa, cid AS cell,
+         |    row_number() OVER (PARTITION BY qid ORDER BY
+         |      CAST(list_dot_product(qa, cq) AS DOUBLE)
+         |        / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(cnrm2 AS DOUBLE))) DESC,
+         |      cid ASC) AS crank
+         |  FROM queries CROSS JOIN ci2),
+         |probed AS (
+         |  SELECT qid, probe.cell AS cell,
+         |    list_transform(generate_series(1, 64),
+         |      i -> qa[CAST(i AS INT)] - ci2.cq[CAST(i AS INT)]) AS rq
+         |  FROM probe JOIN ci2 ON probe.cell = ci2.cid WHERE crank <= 2),
+         |qsub AS (
+         |  SELECT qid, cell, CAST(m AS INT) AS m,
+         |    list_slice(rq, CAST(m*16+1 AS INT), CAST(m*16+16 AS INT)) AS sv
+         |  FROM probed CROSS JOIN range(4) mm(m)),
+         |qsubn AS (SELECT qid, cell, m, sv, list_dot_product(sv, sv) AS snrm2 FROM qsub),
+         |lut AS (
+         |  SELECT qid, cell, c.m AS m, c.cid AS cid,
+         |    s.snrm2 + c.cnrm2 - 2 * list_dot_product(s.sv, c.cq) AS d2
+         |  FROM qsubn s JOIN pi2 c ON s.m = c.m),
+         |adc AS (
+         |  SELECT lut.qid AS qid, codes.vec_id AS vec_id, CAST(sum(d2) AS BIGINT) AS adist2
+         |  FROM codes
+         |  JOIN lut ON codes.cell = lut.cell AND codes.m = lut.m AND codes.cid = lut.cid
+         |  WHERE codes.vec_id != lut.qid
          |  GROUP BY 1, 2)
          |SELECT qid, vec_id, adist2, rank FROM (
          |  SELECT qid, vec_id, adist2,
