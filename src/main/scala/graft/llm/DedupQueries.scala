@@ -155,6 +155,33 @@ object DedupQueries extends QueryModule {
       Dedup.canonicalize(
         lshVerifiedOf(s, dir).filter(col("jacc") >= 0.5).select("doc_a", "doc_b"), 3)),
 
+    // End-to-end dedup decision: cluster the verified near-dups, then
+    // keep each cluster's HIGHEST-QUALITY member (t_quality_score's
+    // formula) instead of the arbitrary min-id — the last step of a
+    // real dedup pipeline, composing the LSH sweep, connected
+    // components, and the quality screen in one verified query.
+    "d_dedup_keep_best" -> ((s, dir) => {
+      val canon = Dedup.canonicalize(
+        lshVerifiedOf(s, dir).filter(col("jacc") >= 0.5).select("doc_a", "doc_b"), 3)
+      val t = col("text")
+      val nChars = length(t).cast("long")
+      val nWords = TextAnalysis.tokenCountWs(t).cast("long")
+      val nAlpha = length(regexp_replace(t, "[^A-Za-z]", "")).cast("long")
+      val nPunct = TextAnalysis.countMatches(t, "[.,;:!?]").cast("long")
+      val nStop = TextAnalysis.countMatches(lower(t), TextAnalysis.stopwordRe("en")).cast("long")
+      val q = Tables.documents(s, dir).select(col("doc_id").as("id"),
+        least(lit(1.0), greatest(lit(0.0),
+          lit(0.25) + nStop.cast("double") / nWords * 2.0
+            - nPunct.cast("double") / nChars * 3.0
+            + nAlpha.cast("double") / nChars * 0.5)).as("quality"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("canonical").orderBy(col("quality").desc, col("id").asc)
+      canon.join(q, Seq("id"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("canonical").as("cluster"), col("id").as("keep_id"), col("quality"))
+    }),
+
     // Duplicate-cluster centrality: integer PageRank over the verified
     // near-dup graph — the "keep the most-linked copy" alternative to
     // min-id canonicalization (a hub shared by many variants outranks a
@@ -368,6 +395,66 @@ object DedupQueries extends QueryModule {
          |  FROM r2 l LEFT JOIN edges e ON e.u = l.id LEFT JOIN r2 n ON n.id = e.v
          |  GROUP BY l.id, l.canonical)
          |SELECT id, canonical FROM r3""".stripMargin,
+    "d_dedup_keep_best" ->
+      s"""WITH $shinglesCte,
+         |hashed AS (SELECT id, md5(s) AS h FROM sh),
+         |sig AS (
+         |  SELECT id,
+         |    min(substring(h, 1, 4)) AS m1, min(substring(h, 5, 4)) AS m2,
+         |    min(substring(h, 9, 4)) AS m3, min(substring(h, 13, 4)) AS m4,
+         |    min(substring(h, 17, 4)) AS m5, min(substring(h, 21, 4)) AS m6,
+         |    min(substring(h, 25, 4)) AS m7, min(substring(h, 29, 4)) AS m8
+         |  FROM hashed GROUP BY id),
+         |bands AS (
+         |  SELECT id, 1 AS band, md5(m1 || m2) AS key FROM sig UNION ALL
+         |  SELECT id, 2, md5(m3 || m4) FROM sig UNION ALL
+         |  SELECT id, 3, md5(m5 || m6) FROM sig UNION ALL
+         |  SELECT id, 4, md5(m7 || m8) FROM sig),
+         |cands AS (
+         |  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+         |inter AS (
+         |  SELECT doc_a, doc_b, count(*) AS i
+         |  FROM cands
+         |  JOIN sh sa ON sa.id = doc_a
+         |  JOIN sh sb ON sb.id = doc_b AND sb.s = sa.s
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT doc_a, doc_b
+         |  FROM inter JOIN sizes ca ON ca.id = doc_a JOIN sizes cb ON cb.id = doc_b
+         |  WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.5),
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |l0 AS (SELECT DISTINCT u AS id, u AS canonical FROM edges),
+         |r1 AS (
+         |  SELECT l.id, least(l.canonical, coalesce(min(n.canonical), l.canonical)) AS canonical
+         |  FROM l0 l LEFT JOIN edges e ON e.u = l.id LEFT JOIN l0 n ON n.id = e.v
+         |  GROUP BY l.id, l.canonical),
+         |r2 AS (
+         |  SELECT l.id, least(l.canonical, coalesce(min(n.canonical), l.canonical)) AS canonical
+         |  FROM r1 l LEFT JOIN edges e ON e.u = l.id LEFT JOIN r1 n ON n.id = e.v
+         |  GROUP BY l.id, l.canonical),
+         |r3 AS (
+         |  SELECT l.id, least(l.canonical, coalesce(min(n.canonical), l.canonical)) AS canonical
+         |  FROM r2 l LEFT JOIN edges e ON e.u = l.id LEFT JOIN r2 n ON n.id = e.v
+         |  GROUP BY l.id, l.canonical),
+         |qual AS (
+         |  SELECT doc_id AS id,
+         |    least(1.0, greatest(0.0,
+         |      0.25 + CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|that|for)\\b')) AS BIGINT)
+         |               / CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) * 2.0
+         |           - CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT)
+         |               / CAST(length(text) AS BIGINT) * 3.0
+         |           + CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT)
+         |               / CAST(length(text) AS BIGINT) * 0.5)) AS quality
+         |  FROM documents)
+         |SELECT canonical AS cluster, id AS keep_id, quality FROM (
+         |  SELECT r3.canonical AS canonical, r3.id AS id, qual.quality AS quality,
+         |    row_number() OVER (PARTITION BY r3.canonical
+         |                       ORDER BY qual.quality DESC, r3.id ASC) AS rn
+         |  FROM r3 JOIN qual ON r3.id = qual.id) t
+         |WHERE rn = 1""".stripMargin,
     "d_pagerank" ->
       s"""WITH $shinglesCte,
          |hashed AS (SELECT id, md5(s) AS h FROM sh),
