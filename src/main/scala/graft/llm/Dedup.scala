@@ -81,28 +81,36 @@ object Dedup {
 
   /** Canonical representative per near-duplicate cluster: treat verified
     * pairs as undirected edges and propagate the minimum doc id for
-    * `rounds` iterations (near-dup clusters have tiny diameter; rounds=3
-    * covers chains of length 8 via doubling-free propagation). Returns
-    * (id, canonical). The keep-one-per-cluster step of a dedup pipeline. */
+    * `rounds` iterations, each round = one-hop neighbor-min followed by
+    * a POINTER JUMP (label := label(label)) — the path-compression step
+    * that makes coverage double per round (~2^rounds−1 hops; plain
+    * propagation moves the min only one hop per round and silently
+    * mislabels deeper chains). Returns (id, canonical). The
+    * keep-one-per-cluster step of a dedup pipeline. */
   def canonicalize(pairs: DataFrame, rounds: Int = 3): DataFrame = {
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
     val nodes = edges.select(col("u").as("id")).distinct()
     // A self-loop per node carries its own label through each round, so
-    // one round = ONE equi-join + ONE min-aggregate (instead of
-    // neighbor-join + left-join + coalesce): labels_{k+1}(u) =
-    // min(labels_k(u), min over neighbors labels_k(v)) — the same
-    // min-label propagation fixpoint. Each round consumes the previous
-    // labels exactly once, so lineage stays linear and only the reused
-    // edge set needs a cache.
+    // the hop step is ONE equi-join + ONE min-aggregate: labels_{k+1}(u)
+    // = min(labels_k(u), min over neighbors labels_k(v)). Label values
+    // are always node ids, so the jump step is an equi-join of the
+    // label frame with itself (label(c) <= c by construction — no
+    // least() needed). Lineage stays linear; only the reused edge set
+    // is cached.
     val edgesPlus = edges
       .unionByName(nodes.select(col("id").as("u"), col("id").as("v")))
       .distinct().cache()
     var labels = nodes.withColumn("canonical", col("id"))
-    for (_ <- 1 to rounds)
-      labels = edgesPlus
+    for (_ <- 1 to rounds) {
+      val hop = edgesPlus
         .join(labels.withColumnRenamed("id", "v"), Seq("v"))
         .groupBy(col("u").as("id")).agg(min("canonical").as("canonical"))
+      labels = hop
+        .join(hop.select(col("id").as("canonical"), col("canonical").as("c2")),
+          Seq("canonical"))
+        .select(col("id"), col("c2").as("canonical"))
+    }
     labels
   }
 

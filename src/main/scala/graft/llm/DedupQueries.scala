@@ -427,18 +427,24 @@ object DedupQueries extends QueryModule {
          |  SELECT doc_a AS u, doc_b AS v FROM pairs
          |  UNION SELECT doc_b, doc_a FROM pairs),
          |l0 AS (SELECT DISTINCT u AS id, u AS canonical FROM edges),
-         |r1 AS (
+         |h1 AS (
          |  SELECT l.id, least(l.canonical, coalesce(min(n.canonical), l.canonical)) AS canonical
          |  FROM l0 l LEFT JOIN edges e ON e.u = l.id LEFT JOIN l0 n ON n.id = e.v
          |  GROUP BY l.id, l.canonical),
-         |r2 AS (
+         |r1 AS (SELECT h.id AS id, n.canonical AS canonical
+         |       FROM h1 h JOIN h1 n ON n.id = h.canonical),
+         |h2 AS (
          |  SELECT l.id, least(l.canonical, coalesce(min(n.canonical), l.canonical)) AS canonical
          |  FROM r1 l LEFT JOIN edges e ON e.u = l.id LEFT JOIN r1 n ON n.id = e.v
          |  GROUP BY l.id, l.canonical),
-         |r3 AS (
+         |r2 AS (SELECT h.id AS id, n.canonical AS canonical
+         |       FROM h2 h JOIN h2 n ON n.id = h.canonical),
+         |h3 AS (
          |  SELECT l.id, least(l.canonical, coalesce(min(n.canonical), l.canonical)) AS canonical
          |  FROM r2 l LEFT JOIN edges e ON e.u = l.id LEFT JOIN r2 n ON n.id = e.v
          |  GROUP BY l.id, l.canonical),
+         |r3 AS (SELECT h.id AS id, n.canonical AS canonical
+         |       FROM h3 h JOIN h3 n ON n.id = h.canonical),
          |qual AS (
          |  SELECT doc_id AS id,
          |    least(1.0, greatest(0.0,

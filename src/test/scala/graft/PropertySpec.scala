@@ -154,4 +154,35 @@ class PropertySpec extends AnyFunSuite {
       assert(e >= 0 && e <= 255)
     }
   }
+
+  test("canonicalize: random graphs — labels are fixpoints and within-edge consistent") {
+    val edgeGen = Gen.listOfN(25,
+      Gen.zip(Gen.choose(0L, 19L), Gen.choose(0L, 19L)).suchThat(p => p._1 != p._2))
+    for (edges <- samples(edgeGen, 5)) {
+      val pairs = edges.map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+        .distinct.toDF("doc_a", "doc_b")
+      // rounds beyond diameter: 20-node graphs settle well within 6
+      val labels = graft.llm.Dedup.canonicalize(pairs, 6)
+        .as[(Long, Long)].collect().toMap
+      edges.foreach { case (a, b) =>
+        assert(labels(a) == labels(b),
+          s"edge ($a,$b) split across clusters: ${labels(a)} vs ${labels(b)}")
+      }
+      labels.foreach { case (id, c) =>
+        assert(c <= id, s"canonical $c exceeds member $id")
+        assert(labels(c) == c, s"representative $c not a fixpoint")
+      }
+    }
+  }
+
+  test("pagerankInt: symmetric graphs rank by degree; total mass conserved within floors") {
+    // path graph 0-1-2-3-4: middle nodes outrank endpoints
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val pr = graft.llm.Dedup.pagerankInt(path, 3)
+      .as[(Long, Long)].collect().toMap
+    assert(pr(2L) > pr(0L) && pr(2L) > pr(4L))
+    assert(pr(1L) == pr(3L) && pr(0L) == pr(4L)) // symmetry is exact
+    // floors only ever DROP mass: total <= n * (150000 + 850000)
+    assert(pr.values.sum <= 5L * 1000000L)
+  }
 }
