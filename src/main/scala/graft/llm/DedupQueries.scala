@@ -374,26 +374,32 @@ object DedupQueries extends QueryModule {
          |  JOIN sh sa ON sa.id = doc_a
          |  JOIN sh sb ON sb.id = doc_b AND sb.s = sa.s
          |  GROUP BY 1, 2),
-         |pairs AS (
+         |pairs AS MATERIALIZED (
          |  SELECT doc_a, doc_b
          |  FROM inter JOIN sizes ca ON ca.id = doc_a JOIN sizes cb ON cb.id = doc_b
          |  WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.5),
-         |edges AS (
+         |edges AS MATERIALIZED (
          |  SELECT doc_a AS u, doc_b AS v FROM pairs
          |  UNION SELECT doc_b, doc_a FROM pairs),
          |l0 AS (SELECT DISTINCT u AS id, u AS canonical FROM edges),
-         |r1 AS (
+         |h1 AS MATERIALIZED (
          |  SELECT l.id, least(l.canonical, coalesce(min(n.canonical), l.canonical)) AS canonical
          |  FROM l0 l LEFT JOIN edges e ON e.u = l.id LEFT JOIN l0 n ON n.id = e.v
          |  GROUP BY l.id, l.canonical),
-         |r2 AS (
+         |r1 AS MATERIALIZED (SELECT h.id AS id, n.canonical AS canonical
+         |       FROM h1 h JOIN h1 n ON n.id = h.canonical),
+         |h2 AS MATERIALIZED (
          |  SELECT l.id, least(l.canonical, coalesce(min(n.canonical), l.canonical)) AS canonical
          |  FROM r1 l LEFT JOIN edges e ON e.u = l.id LEFT JOIN r1 n ON n.id = e.v
          |  GROUP BY l.id, l.canonical),
-         |r3 AS (
+         |r2 AS MATERIALIZED (SELECT h.id AS id, n.canonical AS canonical
+         |       FROM h2 h JOIN h2 n ON n.id = h.canonical),
+         |h3 AS MATERIALIZED (
          |  SELECT l.id, least(l.canonical, coalesce(min(n.canonical), l.canonical)) AS canonical
          |  FROM r2 l LEFT JOIN edges e ON e.u = l.id LEFT JOIN r2 n ON n.id = e.v
-         |  GROUP BY l.id, l.canonical)
+         |  GROUP BY l.id, l.canonical),
+         |r3 AS (SELECT h.id AS id, n.canonical AS canonical
+         |       FROM h3 h JOIN h3 n ON n.id = h.canonical)
          |SELECT id, canonical FROM r3""".stripMargin,
     "d_dedup_keep_best" ->
       s"""WITH $shinglesCte,
@@ -419,31 +425,31 @@ object DedupQueries extends QueryModule {
          |  JOIN sh sa ON sa.id = doc_a
          |  JOIN sh sb ON sb.id = doc_b AND sb.s = sa.s
          |  GROUP BY 1, 2),
-         |pairs AS (
+         |pairs AS MATERIALIZED (
          |  SELECT doc_a, doc_b
          |  FROM inter JOIN sizes ca ON ca.id = doc_a JOIN sizes cb ON cb.id = doc_b
          |  WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.5),
-         |edges AS (
+         |edges AS MATERIALIZED (
          |  SELECT doc_a AS u, doc_b AS v FROM pairs
          |  UNION SELECT doc_b, doc_a FROM pairs),
          |l0 AS (SELECT DISTINCT u AS id, u AS canonical FROM edges),
-         |h1 AS (
+         |h1 AS MATERIALIZED (
          |  SELECT l.id, least(l.canonical, coalesce(min(n.canonical), l.canonical)) AS canonical
          |  FROM l0 l LEFT JOIN edges e ON e.u = l.id LEFT JOIN l0 n ON n.id = e.v
          |  GROUP BY l.id, l.canonical),
-         |r1 AS (SELECT h.id AS id, n.canonical AS canonical
+         |r1 AS MATERIALIZED (SELECT h.id AS id, n.canonical AS canonical
          |       FROM h1 h JOIN h1 n ON n.id = h.canonical),
-         |h2 AS (
+         |h2 AS MATERIALIZED (
          |  SELECT l.id, least(l.canonical, coalesce(min(n.canonical), l.canonical)) AS canonical
          |  FROM r1 l LEFT JOIN edges e ON e.u = l.id LEFT JOIN r1 n ON n.id = e.v
          |  GROUP BY l.id, l.canonical),
-         |r2 AS (SELECT h.id AS id, n.canonical AS canonical
+         |r2 AS MATERIALIZED (SELECT h.id AS id, n.canonical AS canonical
          |       FROM h2 h JOIN h2 n ON n.id = h.canonical),
-         |h3 AS (
+         |h3 AS MATERIALIZED (
          |  SELECT l.id, least(l.canonical, coalesce(min(n.canonical), l.canonical)) AS canonical
          |  FROM r2 l LEFT JOIN edges e ON e.u = l.id LEFT JOIN r2 n ON n.id = e.v
          |  GROUP BY l.id, l.canonical),
-         |r3 AS (SELECT h.id AS id, n.canonical AS canonical
+         |r3 AS MATERIALIZED (SELECT h.id AS id, n.canonical AS canonical
          |       FROM h3 h JOIN h3 n ON n.id = h.canonical),
          |qual AS (
          |  SELECT doc_id AS id,
