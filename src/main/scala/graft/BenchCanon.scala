@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Throwaway micro-benchmark for canonicalize variants (not driver contract). */
+object BenchCanon {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val spark = Sessions.build("32")
+    import graft.llm.{Dedup, DedupQueries}
+
+    val docs = Tables.read(spark, sfDir, "documents")
+    val sh = Dedup.shingles(docs, "doc_id", "text").cache()
+    sh.count()
+    val sig = Dedup.minhashSignature(sh)
+    val cands = Dedup.candidatePairs(Dedup.lshBands(sig))
+    val pairs = Dedup.pairJaccard(cands, sh).filter(col("jacc") >= 0.5)
+      .select("doc_a", "doc_b").cache()
+    println(s"pairs=${pairs.count()}")
+
+    def time(name: String)(f: => DataFrame): Unit = {
+      for (i <- 1 to 3) {
+        val t0 = System.nanoTime()
+        val n = f.count()
+        println(f"$name%-28s iter$i n=$n%6d  ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      }
+    }
+
+    // v1: current (jump, hop cached)
+    time("jump_hopcache")(Dedup.canonicalize(pairs, 3))
+
+    // v2: jump, no cache (exponential re-eval)
+    time("jump_nocache") {
+      val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      val nodes = edges.select(col("u").as("id")).distinct()
+      val edgesPlus = edges
+        .unionByName(nodes.select(col("id").as("u"), col("id").as("v")))
+        .distinct().cache()
+      var labels = nodes.withColumn("canonical", col("id"))
+      for (_ <- 1 to 3) {
+        val hop = edgesPlus
+          .join(labels.withColumnRenamed("id", "v"), Seq("v"))
+          .groupBy(col("u").as("id")).agg(min("canonical").as("canonical"))
+        labels = hop
+          .join(hop.select(col("id").as("canonical"), col("canonical").as("c2")),
+            Seq("canonical"))
+          .select(col("id"), col("c2").as("canonical"))
+      }
+      labels
+    }
+
+    // v3: jump, localCheckpoint per round
+    time("jump_localckpt") {
+      val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      val nodes = edges.select(col("u").as("id")).distinct()
+      val edgesPlus = edges
+        .unionByName(nodes.select(col("id").as("u"), col("id").as("v")))
+        .distinct().localCheckpoint()
+      var labels = nodes.withColumn("canonical", col("id"))
+      for (_ <- 1 to 3) {
+        val hop = edgesPlus
+          .join(labels.withColumnRenamed("id", "v"), Seq("v"))
+          .groupBy(col("u").as("id")).agg(min("canonical").as("canonical"))
+          .localCheckpoint()
+        labels = hop
+          .join(hop.select(col("id").as("canonical"), col("canonical").as("c2")),
+            Seq("canonical"))
+          .select(col("id"), col("c2").as("canonical"))
+      }
+      labels
+    }
+
+    // v4: plain 7 single-hop rounds (same coverage as 3 doubled), linear refs
+    time("hop7_linear") {
+      val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      val nodes = edges.select(col("u").as("id")).distinct()
+      val edgesPlus = edges
+        .unionByName(nodes.select(col("id").as("u"), col("id").as("v")))
+        .distinct().cache()
+      var labels = nodes.withColumn("canonical", col("id"))
+      for (_ <- 1 to 7) {
+        labels = edgesPlus
+          .join(labels.withColumnRenamed("id", "v"), Seq("v"))
+          .groupBy(col("u").as("id")).agg(min("canonical").as("canonical"))
+      }
+      labels
+    }
+
+    spark.stop()
+  }
+}
