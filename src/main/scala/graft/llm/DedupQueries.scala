@@ -491,14 +491,14 @@ object DedupQueries extends QueryModule {
          |  JOIN sh sa ON sa.id = doc_a
          |  JOIN sh sb ON sb.id = doc_b AND sb.s = sa.s
          |  GROUP BY 1, 2),
-         |vp AS (
+         |vp AS MATERIALIZED (
          |  SELECT doc_a, doc_b
          |  FROM inter JOIN sizes ca ON ca.id = doc_a JOIN sizes cb ON cb.id = doc_b
          |  WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.5),
-         |edges AS (
+         |edges AS MATERIALIZED (
          |  SELECT doc_a AS u, doc_b AS v FROM vp
          |  UNION SELECT doc_b, doc_a FROM vp),
-         |deg AS (SELECT u AS id, count(*) AS deg FROM edges GROUP BY 1),
+         |deg AS MATERIALIZED (SELECT u AS id, count(*) AS deg FROM edges GROUP BY 1),
          |p0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr FROM deg),
          |c1 AS (SELECT p0.id AS v, CAST(floor(CAST(pr AS DOUBLE) / deg) AS BIGINT) AS c
          |       FROM p0 JOIN deg ON p0.id = deg.id),
