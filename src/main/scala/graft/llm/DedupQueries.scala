@@ -107,11 +107,17 @@ object DedupQueries extends QueryModule {
       val cold = sh.join(broadcast(hot.select("s")), Seq("s"), "left_anti")
       val hotPost = sh.join(broadcast(hot.select("s")), Seq("s"))
       val sizes = sh.groupBy("id").agg(count(lit(1)).as("c"))
-      // pair generation + cold intersections from the CAPPED index only
+      // pair generation + cold intersections from the CAPPED index only.
+      // icold feeds both the hot-correction join and the final merge;
+      // localCheckpoint materializes the (bounded, candidate-sized)
+      // frame once instead of re-running pair generation per reference,
+      // and unlike cache() the blocks are GC-reclaimed when the query's
+      // frames go out of scope.
       val icold = cold.select(col("id").as("doc_a"), col("s"))
         .join(cold.select(col("id").as("doc_b"), col("s")), Seq("s"))
         .filter(col("doc_a") < col("doc_b"))
         .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ic"))
+        .localCheckpoint()
       // hot-shingle intersections computed ONLY for surviving candidates:
       // cost ∝ candidates × hot shingles per doc, never posting² of a
       // stop-phrase
