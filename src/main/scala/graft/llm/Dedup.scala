@@ -207,6 +207,39 @@ object Dedup {
     * ⇔ 2·c_p ≥ n, so one hash-aggregate with 64 map-side bit sums does
     * the whole vote — no per-bit row explosion, ONE shuffle total.
     */
+  /** Rolling w-token window hashes per document: (id, h), one row per
+    * window position (NOT distinct — within-doc repeats count).
+    *
+    * This is the exact-substring dedup signal (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better"): a window hash seen in
+    * ≥2 documents marks verbatim boilerplate/contamination at token
+    * granularity, complementing the whole-document Jaccard family. The
+    * windowing is a pure projection (explode of a transform over the
+    * token array) so it partitions arbitrarily and the only shuffle in a
+    * consumer like [[repeatedSpans]] is the final groupBy on the hash.
+    * The md5-per-window does w× redundant byte-hashing vs a rolling
+    * Rabin-Karp; at 100 TB that constant matters and the upgrade path is
+    * a custom codegen Expression emitting all window hashes in one pass
+    * — the plan shape (scan → project → explode) is unchanged. */
+  def spanHashes(docs: DataFrame, idCol: String, textCol: String, w: Int = 20): DataFrame = {
+    val ws = split(trim(lower(col(textCol))), "\\s+")
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"), ws.as("ws"))
+      .filter(size(col("ws")) >= w)
+      .select(col("id"), explode(
+        transform(sequence(lit(0), size(col("ws")) - w),
+          i => md5(concat_ws(" ", slice(col("ws"), i + 1, lit(w)))))).as("h"))
+  }
+
+  /** Window hashes shared by ≥2 documents:
+    * (span_hash, n_docs, n_occ, first_doc). One hash shuffle, partial
+    * aggregation map-side. */
+  def repeatedSpans(spans: DataFrame): DataFrame =
+    spans.groupBy(col("h").as("span_hash"))
+      .agg(countDistinct("id").as("n_docs"), count(lit(1)).as("n_occ"),
+        min("id").as("first_doc"))
+      .filter(col("n_docs") >= 2)
+
   def simhash64(sh: DataFrame): DataFrame = {
     val masked = sh.withColumn("mask",
       expr("shiftleft(CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT), 32)" +

@@ -225,6 +225,14 @@ object DedupQueries extends QueryModule {
     // (blk, value)), so the plan has no cartesian product; the cheap
     // hamming filter runs map-side in the join stage and only survivors
     // pay the distinct() — same answer as the quadratic scan.
+    // Exact repeated-span detection (Lee et al.-style substring dedup):
+    // rolling 20-token window hashes; any hash in ≥2 docs is verbatim
+    // cross-document duplication. Scan → windowing projection → one
+    // groupBy on the hash; no joins, no candidate generation.
+    "d_repeated_spans" -> ((s, dir) =>
+      Dedup.repeatedSpans(
+        Dedup.spanHashes(Tables.documents(s, dir), "doc_id", "text", 20))),
+
     "d_simhash" -> ((s, dir) => {
       val sim = Dedup.simhash64(shinglesOf(s, dir))
       Dedup.simhashCandidates(sim, maxDist = 8)
@@ -522,6 +530,15 @@ object DedupQueries extends QueryModule {
          |         150000 + CAST(floor(CAST(sum(c) * 17 AS DOUBLE) / 20) AS BIGINT) AS pr
          |       FROM edges e JOIN c3 ON e.v = c3.v GROUP BY 1)
          |SELECT id, pr FROM p3""".stripMargin,
+    "d_repeated_spans" ->
+      """WITH words AS (
+        |  SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
+        |spans AS (
+        |  SELECT id, md5(array_to_string(ws[i+1:i+20], ' ')) AS h
+        |  FROM (SELECT id, ws, unnest(range(greatest(len(ws) - 19, 0))) AS i FROM words))
+        |SELECT h AS span_hash, count(DISTINCT id) AS n_docs, count(*) AS n_occ,
+        |  min(id) AS first_doc
+        |FROM spans GROUP BY h HAVING count(DISTINCT id) >= 2""".stripMargin,
     "t_ngram_freq" ->
       """WITH words AS (
         |  SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
