@@ -226,9 +226,11 @@ object Dedup {
     docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"), ws.as("ws"))
       .filter(size(col("ws")) >= w)
-      .select(col("id"), explode(
-        transform(sequence(lit(0), size(col("ws")) - w),
-          i => md5(concat_ws(" ", slice(col("ws"), i + 1, lit(w)))))).as("h"))
+      .select(col("id"), size(col("ws")).cast("long").as("n_tokens"),
+        posexplode(transform(sequence(lit(0), size(col("ws")) - w),
+          i => md5(concat_ws(" ", slice(col("ws"), i + 1, lit(w)))))))
+      .select(col("id"), col("n_tokens"), col("pos").cast("long").as("pos"),
+        col("col").as("h"))
   }
 
   /** Window hashes shared by ≥2 documents:
@@ -239,6 +241,34 @@ object Dedup {
       .agg(countDistinct("id").as("n_docs"), count(lit(1)).as("n_occ"),
         min("id").as("first_doc"))
       .filter(col("n_docs") >= 2)
+
+  /** Per-document fraction of tokens covered by cross-document
+    * duplicated spans — the "how much of this doc is boilerplate"
+    * filter signal. Duplicated window positions become intervals
+    * [pos, pos+w-1]; overlaps merge via the gaps-and-islands window
+    * (running max of interval end over the doc's position order), so a
+    * doc whose every window duplicates still reports coverage 1.0, not
+    * w×. Shuffles: the hash groupBy (duplicated-set build), the join
+    * back on h, and the per-doc window — all partitioned by natural
+    * keys; only docs with ≥1 duplicated span are emitted. */
+  def spanCoverage(spans: DataFrame, w: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dup = spans.groupBy("h")
+      .agg(countDistinct("id").as("nd")).filter(col("nd") >= 2).select("h")
+    val iv = spans.join(dup, Seq("h"))
+      .select(col("id"), col("n_tokens"), col("pos").as("start"),
+        (col("pos") + (w - 1)).as("fin"))
+    val prevMax = max(col("fin")).over(
+      Window.partitionBy("id").orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, -1))
+    iv.withColumn("pm", prevMax)
+      .withColumn("add",
+        greatest(lit(0L), col("fin") - greatest(col("start") - 1, coalesce(col("pm"), lit(-1L)))))
+      .groupBy(col("id").as("doc_id"))
+      .agg(sum("add").as("covered_tokens"), first("n_tokens").as("n_tokens"))
+      .withColumn("coverage",
+        col("covered_tokens").cast("double") / col("n_tokens"))
+  }
 
   def simhash64(sh: DataFrame): DataFrame = {
     val masked = sh.withColumn("mask",

@@ -233,6 +233,14 @@ object DedupQueries extends QueryModule {
       Dedup.repeatedSpans(
         Dedup.spanHashes(Tables.documents(s, dir), "doc_id", "text", 20))),
 
+    // Per-doc duplicated-span coverage: fraction of tokens inside ≥1
+    // cross-document duplicated window (merged intervals, so nested /
+    // overlapping windows never double-count). The downstream decision
+    // is "drop docs with coverage > θ" — boilerplate-heavy documents.
+    "d_span_coverage" -> ((s, dir) =>
+      Dedup.spanCoverage(
+        Dedup.spanHashes(Tables.documents(s, dir), "doc_id", "text", 20), 20)),
+
     "d_simhash" -> ((s, dir) => {
       val sim = Dedup.simhash64(shinglesOf(s, dir))
       Dedup.simhashCandidates(sim, maxDist = 8)
@@ -539,6 +547,25 @@ object DedupQueries extends QueryModule {
         |SELECT h AS span_hash, count(DISTINCT id) AS n_docs, count(*) AS n_occ,
         |  min(id) AS first_doc
         |FROM spans GROUP BY h HAVING count(DISTINCT id) >= 2""".stripMargin,
+    "d_span_coverage" ->
+      """WITH words AS (
+        |  SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
+        |spans AS (
+        |  SELECT id, len(ws) AS n_tokens, i AS start, i + 19 AS fin,
+        |         md5(array_to_string(ws[i+1:i+20], ' ')) AS h
+        |  FROM (SELECT id, ws, unnest(range(greatest(len(ws) - 19, 0))) AS i FROM words)),
+        |dup AS (SELECT h FROM spans GROUP BY h HAVING count(DISTINCT id) >= 2),
+        |iv AS (SELECT id, n_tokens, start, fin FROM spans JOIN dup USING (h)),
+        |m AS (SELECT id, n_tokens, start, fin,
+        |        max(fin) OVER (PARTITION BY id ORDER BY start
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |      FROM iv)
+        |SELECT id AS doc_id,
+        |  CAST(sum(greatest(0, fin - greatest(start - 1, coalesce(pm, -1)))) AS BIGINT) AS covered_tokens,
+        |  CAST(min(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(sum(greatest(0, fin - greatest(start - 1, coalesce(pm, -1)))) AS DOUBLE)
+        |    / min(n_tokens) AS coverage
+        |FROM m GROUP BY id""".stripMargin,
     "t_ngram_freq" ->
       """WITH words AS (
         |  SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),

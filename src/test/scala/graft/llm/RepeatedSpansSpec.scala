@@ -56,4 +56,34 @@ class RepeatedSpansSpec extends SparkSpec {
     val docs = Seq((1L, w(25, "u"))).toDF("doc_id", "text")
     assert(Dedup.spanHashes(docs, "doc_id", "text", 20).count() == 6L)
   }
+
+  test("coverage merges overlapping duplicated windows") {
+    // docs 1 and 2 are identical 22-token texts: every one of their 3
+    // windows duplicates, intervals [0,19],[1,20],[2,21] merge to the
+    // whole doc -> coverage exactly 1.0, never 3x.
+    val t = w(22, "s")
+    val docs = Seq((1L, t), (2L, t), (3L, w(30, "z"))).toDF("doc_id", "text")
+    val rows = Dedup.spanCoverage(
+      Dedup.spanHashes(docs, "doc_id", "text", 20), 20).collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 2L))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("covered_tokens") == 22L)
+      assert(r.getAs[Double]("coverage") == 1.0)
+    }
+  }
+
+  test("coverage with a gap counts both islands once each") {
+    val shared = w(20, "s")
+    // doc 1: [shared][5 filler][shared again] — two disjoint islands of
+    // the same duplicated span; doc 2 carries one copy.
+    val docs = Seq(
+      (1L, s"$shared ${w(5, "x")} $shared"),
+      (2L, shared)
+    ).toDF("doc_id", "text")
+    val byDoc = Dedup.spanCoverage(
+      Dedup.spanHashes(docs, "doc_id", "text", 20), 20)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("covered_tokens")).toMap
+    assert(byDoc(1L) == 40L, s"expected 40 covered tokens, got $byDoc")
+    assert(byDoc(2L) == 20L)
+  }
 }
