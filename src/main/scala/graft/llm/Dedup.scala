@@ -215,8 +215,9 @@ object Dedup {
     * ≥2 documents marks verbatim boilerplate/contamination at token
     * granularity, complementing the whole-document Jaccard family. The
     * windowing is a pure projection (explode of a transform over the
-    * token array) so it partitions arbitrarily and the only shuffle in a
-    * consumer like [[repeatedSpans]] is the final groupBy on the hash.
+    * token array) so it partitions arbitrarily; a consumer like
+    * [[repeatedSpans]] shuffles only the distinct-aggregate's reduced
+    * partials (keys (h,id) then h), never raw windows.
     * The md5-per-window does w× redundant byte-hashing vs a rolling
     * Rabin-Karp; at 100 TB that constant matters and the upgrade path is
     * a custom codegen Expression emitting all window hashes in one pass
