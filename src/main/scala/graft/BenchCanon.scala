@@ -90,6 +90,24 @@ object BenchCanon {
       labels
     }
 
+    // --- span-hash windowing: Column-composed vs native expression ---
+    val docsBig = Tables.read(spark,
+      sys.env.getOrElse("SPARK_GRAFT_SPAN_SF", "/root/testdata/sf0.1"), "documents")
+    val wsCol = split(trim(lower(col("text"))), "\\s+")
+    def spanComposed(w: Int) = docsBig
+      .select(col("doc_id").as("id"), wsCol.as("ws"))
+      .filter(size(col("ws")) >= w)
+      .select(col("id"), explode(
+        transform(sequence(lit(0), size(col("ws")) - w),
+          i => md5(concat_ws(" ", slice(col("ws"), i + 1, lit(w)))))).as("h"))
+    def spanNative(w: Int) = docsBig
+      .select(col("doc_id").as("id"), wsCol.as("ws"))
+      .filter(size(col("ws")) >= w)
+      .select(col("id"), explode(
+        graft.functions.SpanHashWindows.spanHashWindows(col("ws"), w)).as("h"))
+    time("span_composed_w20")(spanComposed(20).groupBy("h").agg(count(lit(1))))
+    time("span_native_w20")(spanNative(20).groupBy("h").agg(count(lit(1))))
+
     spark.stop()
   }
 }

@@ -1,0 +1,96 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, GraftShim}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** All rolling w-token window hashes of a token array in ONE pass — the
+  * native-Expression upgrade of `transform(sequence(...), i ->
+  * md5(concat_ws(" ", slice(ws, i+1, w))))`, which allocates a sliced
+  * array, a concatenated UTF8String, and a binary cast per window. The
+  * kernel decodes each token's UTF-8 bytes once, reuses one
+  * MessageDigest across windows, and feeds token bytes directly to the
+  * digest — same md5-of-"tok1 tok2 …" semantics bit-for-bit (the DuckDB
+  * oracles stay valid), minus the per-window Catalyst allocation storm.
+  * Output order is window position order, so `posexplode` keeps
+  * positions exactly as before.
+  */
+case class SpanHashWindows(tokens: Expression, width: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = tokens
+  override def right: Expression = width
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes() = {
+    val ok = tokens.dataType.isInstanceOf[ArrayType] &&
+      tokens.dataType.asInstanceOf[ArrayType].elementType == StringType &&
+      width.dataType == IntegerType
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"span_hash_windows expects (array<string>, int), got " +
+        s"(${tokens.dataType.simpleString}, ${width.dataType.simpleString})")
+  }
+
+  override protected def nullSafeEval(arr: Any, w: Any): Any =
+    SpanHashWindows.hashes(arr.asInstanceOf[ArrayData], w.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (arr, w) =>
+      s"${ev.value} = graft.functions.SpanHashWindows.hashes($arr, $w);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(tokens = newLeft, width = newRight)
+
+  override def prettyName: String = "span_hash_windows"
+}
+
+object SpanHashWindows {
+  private val SPACE = ' '.toByte
+  private val HEX = "0123456789abcdef".toCharArray
+
+  /** Static kernel shared by interpreted + generated code paths. */
+  def hashes(arr: ArrayData, w: Int): ArrayData = {
+    val n = arr.numElements()
+    if (w <= 0 || n < w) return new GenericArrayData(new Array[AnyRef](0))
+    // decode each token's UTF-8 bytes exactly once
+    val toks = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) { toks(i) = arr.getUTF8String(i).getBytes; i += 1 }
+    val md = MessageDigest.getInstance("MD5")
+    val out = new Array[AnyRef](n - w + 1)
+    i = 0
+    while (i <= n - w) {
+      md.reset()
+      var j = 0
+      while (j < w) {
+        if (j > 0) md.update(SPACE)
+        md.update(toks(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(hex(md.digest()))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private def hex(d: Array[Byte]): String = {
+    val c = new Array[Char](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      c(2 * i) = HEX((d(i) >> 4) & 0xf); c(2 * i + 1) = HEX(d(i) & 0xf)
+      i += 1
+    }
+    new String(c)
+  }
+
+  /** Column API: all md5 window hashes of `tokens` with window `w`. */
+  def spanHashWindows(tokens: Column, w: Int): Column =
+    GraftShim.column(SpanHashWindows(GraftShim.expression(tokens),
+      GraftShim.expression(org.apache.spark.sql.functions.lit(w))))
+}

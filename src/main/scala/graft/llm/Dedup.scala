@@ -228,8 +228,7 @@ object Dedup {
       .select(col(idCol).as("id"), ws.as("ws"))
       .filter(size(col("ws")) >= w)
       .select(col("id"), size(col("ws")).cast("long").as("n_tokens"),
-        posexplode(transform(sequence(lit(0), size(col("ws")) - w),
-          i => md5(concat_ws(" ", slice(col("ws"), i + 1, lit(w)))))))
+        posexplode(graft.functions.SpanHashWindows.spanHashWindows(col("ws"), w)))
       .select(col("id"), col("n_tokens"), col("pos").cast("long").as("pos"),
         col("col").as("h"))
   }
