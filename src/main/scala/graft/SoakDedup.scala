@@ -36,6 +36,20 @@ object SoakDedup {
     val verified = Dedup.pairJaccard(cands, sh).filter(col("jacc") >= 0.5).count()
     val dt = (System.nanoTime() - t0) / 1e9
     println(f"[soak-dedup] minhash-LSH-verify  ${dt}%8.2f s  ${n / dt}%9.0f docs/s  verified_pairs=$verified")
+
+    // exact-substring span family over the same corpus: windowing is the
+    // native one-pass hasher; repeated-span + coverage ride one distinct
+    // aggregate and one per-doc window respectively
+    val t1 = System.nanoTime()
+    val spans = Dedup.spanHashes(docs, "doc_id", "text", 20)
+    val nRep = Dedup.repeatedSpans(spans).count()
+    val dt1 = (System.nanoTime() - t1) / 1e9
+    println(f"[soak-dedup] repeated-spans      ${dt1}%8.2f s  ${n / dt1}%9.0f docs/s  dup_spans=$nRep")
+
+    val t2 = System.nanoTime()
+    val nCov = Dedup.spanCoverage(Dedup.spanHashes(docs, "doc_id", "text", 20), 20).count()
+    val dt2 = (System.nanoTime() - t2) / 1e9
+    println(f"[soak-dedup] span-coverage       ${dt2}%8.2f s  ${n / dt2}%9.0f docs/s  docs_with_dups=$nCov")
     spark.stop()
   }
 }
