@@ -90,6 +90,27 @@ object BenchCanon {
       labels
     }
 
+    // v5: pagerank as-is vs per-round localCheckpoint
+    time("pagerank_asis")(Dedup.pagerankInt(pairs, 3))
+    time("pagerank_ckpt") {
+      val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+        .distinct().localCheckpoint()
+      val deg = edges.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint()
+      var p = deg.select(col("id"), lit(1000000L).as("pr"))
+      for (_ <- 1 to 3) {
+        val contrib = p.join(deg, Seq("id"))
+          .select(col("id").as("v"), floor(col("pr").cast("double") / col("deg")).cast("long").as("c"))
+        p = edges.join(contrib, Seq("v"))
+          .groupBy(col("u").as("id")).agg(sum("c").as("s"))
+          .select(col("id"),
+            (lit(150000L) + floor((col("s") * 17).cast("double") / 20).cast("long")).as("pr"))
+          .localCheckpoint()
+      }
+      p
+    }
+
     // --- span-hash windowing: Column-composed vs native expression ---
     val docsBig = Tables.read(spark,
       sys.env.getOrElse("SPARK_GRAFT_SPAN_SF", "/root/testdata/sf0.1"), "documents")
