@@ -73,6 +73,28 @@ object Windows {
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
   }
 
+  /** Streaming exact-substring contamination check: arriving documents
+    * explode into rolling w-token window hashes (the native
+    * span_hash_windows kernel — a stateless projection, so it pipelines
+    * inside the micro-batch with no extra shuffle) and any hash already
+    * seen inside the watermark horizon is dropped; what survives is the
+    * doc's novel-window stream. Emitting per-doc novel-window counts
+    * downstream gives an online boilerplate signal; state is the
+    * watermark-bounded hash set Spark maintains for
+    * dropDuplicatesWithinWatermark — no unbounded growth.
+    * Output: (ts, id, h) rows for windows never seen before. */
+  def novelSpans(docs: DataFrame, tsCol: String, watermark: String,
+                 idCol: String, textCol: String, w: Int = 20): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ws = split(trim(lower(col(textCol))), "\\s+")
+    docs.select(col(tsCol), col(idCol).as("id"), ws.as("ws"))
+      .filter(size(col("ws")) >= w)
+      .select(col(tsCol), col("id"), explode(
+        graft.functions.SpanHashWindows.spanHashWindows(col("ws"), w)).as("h"))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("h")
+  }
+
   case class Sess(user_id: Long, n: Int, first: java.sql.Timestamp, last: java.sql.Timestamp)
   case class SessOut(user_id: Long, n_events: Int, duration_sec: Long)
 

@@ -177,4 +177,28 @@ class WindowsSpec extends SparkSpec {
     assert(!rows.exists(r => r._2 == 101L || r._2 == 102L),
       s"out-of-window or cross-user click joined: $rows")
   }
+
+  test("streaming novel-span stream drops windows already seen in the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    def toks(n: Int, tag: String) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val shared = toks(20, "s")
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val df = mem.toDF().toDF("ts", "doc_id", "text")
+    val q = Windows.novelSpans(df, "ts", "10 minutes", "doc_id", "text", 20)
+      .writeStream.format("memory").queryName("novel")
+      .outputMode("append").start()
+    // doc 1 introduces the span; doc 2 repeats it verbatim later in the
+    // same horizon; doc 3 is fresh content
+    mem.addData(
+      (ts("2024-01-01 00:01:00"), 1L, shared),
+      (ts("2024-01-01 00:02:00"), 2L, shared),
+      (ts("2024-01-01 00:03:00"), 3L, toks(20, "z")))
+    q.processAllAvailable()
+    val perDoc = spark.table("novel").groupBy("id").count()
+      .as[(Long, Long)].collect().toMap
+    q.stop()
+    // exactly one 20-token window per doc; doc 2's was already seen
+    assert(perDoc == Map(1L -> 1L, 3L -> 1L),
+      s"expected docs 1 and 3 to contribute the novel windows, got $perDoc")
+  }
 }
