@@ -54,23 +54,35 @@ object SpanHashWindows {
   private val SPACE = ' '.toByte
   private val HEX = "0123456789abcdef".toCharArray
 
-  /** Static kernel shared by interpreted + generated code paths. */
+  /** Static kernel shared by interpreted + generated code paths.
+    * Null tokens are skipped separator-and-all, matching
+    * `concat_ws(" ", ...)` exactly so the composed-form parity holds on
+    * ANY input array (split() never emits nulls, but the expression is
+    * library-public). */
   def hashes(arr: ArrayData, w: Int): ArrayData = {
     val n = arr.numElements()
     if (w <= 0 || n < w) return new GenericArrayData(new Array[AnyRef](0))
     // decode each token's UTF-8 bytes exactly once
     val toks = new Array[Array[Byte]](n)
     var i = 0
-    while (i < n) { toks(i) = arr.getUTF8String(i).getBytes; i += 1 }
+    while (i < n) {
+      toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i).getBytes
+      i += 1
+    }
     val md = MessageDigest.getInstance("MD5")
     val out = new Array[AnyRef](n - w + 1)
     i = 0
     while (i <= n - w) {
       md.reset()
       var j = 0
+      var written = 0
       while (j < w) {
-        if (j > 0) md.update(SPACE)
-        md.update(toks(i + j))
+        val t = toks(i + j)
+        if (t != null) {
+          if (written > 0) md.update(SPACE)
+          md.update(t)
+          written += 1
+        }
         j += 1
       }
       out(i) = UTF8String.fromString(hex(md.digest()))

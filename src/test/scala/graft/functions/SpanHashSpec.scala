@@ -35,6 +35,14 @@ class SpanHashSpec extends SparkSpec {
     }
   }
 
+  test("null tokens are skipped exactly like concat_ws") {
+    val docs = spark.range(1).select(array(lit("a"), lit(null).cast("string"),
+      lit("c"), lit("d")).as("ws"))
+    val both = docs.select(composed(3).as("a"),
+      SpanHashWindows.spanHashWindows(col("ws"), 3).as("b")).collect()(0)
+    assert(both.getSeq[String](0) == both.getSeq[String](1))
+  }
+
   test("arrays shorter than the window yield an empty array, not null") {
     val out = Seq((1L, Seq("a", "b"))).toDF("id", "ws")
       .select(SpanHashWindows.spanHashWindows(col("ws"), 3).as("h"))
