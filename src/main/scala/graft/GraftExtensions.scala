@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{Haversine, SpanHashWindows, TileMaskedStats, TileStatsPartial}
+
+/** Deployment-grade wiring for the engine's native expressions:
+  * `--conf spark.sql.extensions=graft.GraftExtensions` makes
+  * `haversine_km`, `tile_stats_partial`, `tile_masked_stats` and
+  * `span_hash_windows` available to pure-SQL users on every session of
+  * the cluster, with no driver code. `Sessions.build` registers the
+  * same builders imperatively for embedded use (`functions.Registry`);
+  * this class is the injection path a spark-submit / Thrift-server
+  * deployment uses.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    builders.foreach { case (name, usage, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name, usage),
+        builder))
+    }
+}
+
+object GraftExtensions {
+  /** (name, usage, builder) triples shared by the extension injection
+    * and the imperative registry so both paths stay in sync. */
+  val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("haversine_km", "haversine_km(lat1, lon1, lat2, lon2) - great-circle km",
+      exprs => Haversine(exprs(0), exprs(1), exprs(2), exprs(3))),
+    ("tile_stats_partial", "tile_stats_partial(tile) - per-tile stat partials",
+      exprs => TileStatsPartial(exprs.head)),
+    ("tile_masked_stats", "tile_masked_stats(tile, mask) - masked tile stats",
+      exprs => TileMaskedStats(exprs(0), exprs(1))),
+    ("span_hash_windows", "span_hash_windows(tokens, w) - md5 of every w-token window",
+      exprs => SpanHashWindows(exprs(0), exprs(1))))
+}

@@ -8,4 +8,12 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Apply an extensions instance's injected functions to a registry —
+    * lets a spec exercise the spark.sql.extensions wiring without a new
+    * SparkContext (the extensions conf is STATIC: with a shared test
+    * context, Builder options can't turn it on). */
+  def registerFunctions(ext: SparkSessionExtensions,
+      reg: org.apache.spark.sql.catalyst.analysis.FunctionRegistry): Unit =
+    ext.registerFunctions(reg)
 }
