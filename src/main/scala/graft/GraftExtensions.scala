@@ -20,8 +20,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit =
     builders.foreach { case (name, usage, builder) =>
+      // 5-arg ctor is (className, db, name, usage, extended) — the
+      // 3-arg one binds (className, db, name) and would file the usage
+      // string as the function NAME in DESCRIBE FUNCTION output
       ext.injectFunction((FunctionIdentifier(name),
-        new ExpressionInfo(classOf[GraftExtensions].getName, name, usage),
+        new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, ""),
         builder))
     }
 }

@@ -214,31 +214,58 @@ object Dedup {
     * ⇔ 2·c_p ≥ n, so one hash-aggregate with 64 map-side bit sums does
     * the whole vote — no per-bit row explosion, ONE shuffle total.
     */
-  /** Rolling w-token window hashes per document: (id, h), one row per
-    * window position (NOT distinct — within-doc repeats count).
+  def simhash64(sh: DataFrame): DataFrame = {
+    val masked = sh.withColumn("mask",
+      expr("shiftleft(CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT), 32)" +
+        " | CAST(conv(substring(md5(s), 9, 8), 16, 10) AS BIGINT)"))
+    val cnt = (0 until 64).map(p =>
+      sum(expr(s"shiftright(mask, $p) & 1")).as(s"c$p"))
+    val simBits = (0 until 64).map(p =>
+      expr(s"CASE WHEN 2 * c$p >= n THEN ${1L << p}L ELSE 0L END"))
+      .reduce(_ + _)
+    masked.groupBy("id")
+      .agg(count(lit(1)).as("n"), cnt: _*)
+      .select(col("id"), simBits.as("simhash"))
+  }
+
+  /** Shared windowing projection for the exact-substring span family:
+    * tokenize, drop docs shorter than the window, and emit one row per
+    * window position with `keep` passthrough columns plus
+    * (n_tokens, pos, h). Hashing is the one-pass native
+    * `span_hash_windows` kernel; the whole thing is a stateless
+    * projection, so batch ([[spanHashes]]) and streaming
+    * (`Windows.novelSpans`) share one definition of "a span". */
+  def spanWindows(docs: DataFrame, textCol: String, w: Int,
+                  keep: Seq[String]): DataFrame = {
+    val ws = split(trim(lower(col(textCol))), "\\s+")
+    docs.select(keep.map(col) :+ ws.as("ws"): _*)
+      .filter(size(col("ws")) >= w)
+      .select(keep.map(col) :+ size(col("ws")).cast("long").as("n_tokens") :+
+        posexplode(graft.functions.SpanHashWindows.spanHashWindows(col("ws"), w)): _*)
+      .select(keep.map(col) :+ col("n_tokens") :+
+        col("pos").cast("long").as("pos") :+ col("col").as("h"): _*)
+  }
+
+  /** Rolling w-token window hashes per document:
+    * (id, n_tokens, pos, h), one row per window position (NOT
+    * distinct — within-doc repeats count).
     *
     * This is the exact-substring dedup signal (Lee et al., "Deduplicating
     * Training Data Makes Language Models Better"): a window hash seen in
     * ≥2 documents marks verbatim boilerplate/contamination at token
-    * granularity, complementing the whole-document Jaccard family. The
-    * windowing is a pure projection (explode of a transform over the
-    * token array) so it partitions arbitrarily; a consumer like
-    * [[repeatedSpans]] shuffles only the distinct-aggregate's reduced
-    * partials (keys (h,id) then h), never raw windows.
-    * The md5-per-window does w× redundant byte-hashing vs a rolling
-    * Rabin-Karp; at 100 TB that constant matters and the upgrade path is
-    * a custom codegen Expression emitting all window hashes in one pass
-    * — the plan shape (scan → project → explode) is unchanged. */
-  def spanHashes(docs: DataFrame, idCol: String, textCol: String, w: Int = 20): DataFrame = {
-    val ws = split(trim(lower(col(textCol))), "\\s+")
-    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      .select(col(idCol).as("id"), ws.as("ws"))
-      .filter(size(col("ws")) >= w)
-      .select(col("id"), size(col("ws")).cast("long").as("n_tokens"),
-        posexplode(graft.functions.SpanHashWindows.spanHashWindows(col("ws"), w)))
-      .select(col("id"), col("n_tokens"), col("pos").cast("long").as("pos"),
-        col("col").as("h"))
-  }
+    * granularity, complementing the whole-document Jaccard family.
+    * Plan shape: ONE round-robin exchange spreads the raw documents
+    * (small-file inputs otherwise land on one task; at real scale the
+    * source is already partitioned and this exchange drops out), then
+    * windowing is a stateless projection via the one-pass native
+    * `span_hash_windows` kernel; a consumer like [[repeatedSpans]]
+    * additionally shuffles only the distinct-aggregate's reduced
+    * partials (keys (h,id) then h), never raw windows. */
+  def spanHashes(docs: DataFrame, idCol: String, textCol: String, w: Int = 20): DataFrame =
+    spanWindows(
+      docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+        .select(col(idCol).as("id"), col(textCol)),
+      textCol, w, keep = Seq("id"))
 
   /** Window hashes shared by ≥2 documents:
     * (span_hash, n_docs, n_occ, first_doc). One hash shuffle, partial
@@ -257,9 +284,16 @@ object Dedup {
     * doc whose every window duplicates still reports coverage 1.0, not
     * w×. Shuffles: the hash groupBy (duplicated-set build), the join
     * back on h, and the per-doc window — all partitioned by natural
-    * keys; only docs with ≥1 duplicated span are emitted. */
-  def spanCoverage(spans: DataFrame, w: Int = 20): DataFrame = {
+    * keys; only docs with ≥1 duplicated span are emitted.
+    *
+    * The spans frame feeds BOTH the duplicated-set build and the join
+    * back, so it is materialized once (localCheckpoint) instead of
+    * re-running the scan+window-hash pipeline per reference — the
+    * dominant cost at any scale (same fix as the capped-Jaccard
+    * candidate frame). */
+  def spanCoverage(spansIn: DataFrame, w: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val spans = spansIn.localCheckpoint()
     val dup = spans.groupBy("h")
       .agg(countDistinct("id").as("nd")).filter(col("nd") >= 2).select("h")
     val iv = spans.join(dup, Seq("h"))
@@ -275,19 +309,5 @@ object Dedup {
       .agg(sum("add").as("covered_tokens"), first("n_tokens").as("n_tokens"))
       .withColumn("coverage",
         col("covered_tokens").cast("double") / col("n_tokens"))
-  }
-
-  def simhash64(sh: DataFrame): DataFrame = {
-    val masked = sh.withColumn("mask",
-      expr("shiftleft(CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT), 32)" +
-        " | CAST(conv(substring(md5(s), 9, 8), 16, 10) AS BIGINT)"))
-    val cnt = (0 until 64).map(p =>
-      sum(expr(s"shiftright(mask, $p) & 1")).as(s"c$p"))
-    val simBits = (0 until 64).map(p =>
-      expr(s"CASE WHEN 2 * c$p >= n THEN ${1L << p}L ELSE 0L END"))
-      .reduce(_ + _)
-    masked.groupBy("id")
-      .agg(count(lit(1)).as("n"), cnt: _*)
-      .select(col("id"), simBits.as("simhash"))
   }
 }

@@ -86,11 +86,11 @@ object Windows {
   def novelSpans(docs: DataFrame, tsCol: String, watermark: String,
                  idCol: String, textCol: String, w: Int = 20): DataFrame = {
     import org.apache.spark.sql.functions._
-    val ws = split(trim(lower(col(textCol))), "\\s+")
-    docs.select(col(tsCol), col(idCol).as("id"), ws.as("ws"))
-      .filter(size(col("ws")) >= w)
-      .select(col(tsCol), col("id"), explode(
-        graft.functions.SpanHashWindows.spanHashWindows(col("ws"), w)).as("h"))
+    // one shared definition of "a span" with the batch family
+    graft.llm.Dedup.spanWindows(
+        docs.select(col(tsCol), col(idCol).as("id"), col(textCol)),
+        textCol, w, keep = Seq(tsCol, "id"))
+      .select(col(tsCol), col("id"), col("h"))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("h")
   }

@@ -28,8 +28,15 @@ class ExtensionsSpec extends SparkSpec {
     new GraftExtensions().apply(ext)
     val reg = FunctionRegistry.builtin.clone()
     GraftShim.registerFunctions(ext, reg)
-    for (name <- GraftExtensions.builders.map(_._1))
+    for ((name, usage, _) <- GraftExtensions.builders) {
       assert(reg.functionExists(FunctionIdentifier(name)), s"$name not injected")
+      // DESCRIBE FUNCTION metadata must carry (name, usage) correctly —
+      // ExpressionInfo's 3-arg ctor binds (className, db, name) and
+      // silently files usage as the NAME
+      val info = reg.lookupFunction(FunctionIdentifier(name)).get
+      assert(info.getName == name, s"bad name: ${info.getName}")
+      assert(info.getUsage == usage, s"bad usage: ${info.getUsage}")
+    }
     // the injected builder must produce a working expression
     val e = reg.lookupFunction(FunctionIdentifier("haversine_km"),
       Seq(Literal(0.0), Literal(0.0), Literal(0.0), Literal(1.0)))
