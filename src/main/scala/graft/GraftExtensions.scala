@@ -18,7 +18,7 @@ import graft.functions.{Haversine, SpanHashWindows, TileMaskedStats, TileStatsPa
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     builders.foreach { case (name, usage, builder) =>
       // 5-arg ctor is (className, db, name, usage, extended) — the
       // 3-arg one binds (className, db, name) and would file the usage
@@ -27,6 +27,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, ""),
         builder))
     }
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+  }
 }
 
 object GraftExtensions {

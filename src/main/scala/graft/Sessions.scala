@@ -31,6 +31,9 @@ object Sessions {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.Registry.register(spark)
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsofJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsofJoinStrategy
     spark
   }
 }

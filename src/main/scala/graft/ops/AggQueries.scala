@@ -230,6 +230,22 @@ object AggQueries extends QueryModule {
         .select("event_id", "user_id", "ts", "asof_view_value")
     }),
 
+    // J8b — the same as-of semantics through the NATIVE operator
+    // (custom LogicalPlan -> AsofJoinStrategy -> streaming-merge
+    // SparkPlan, preference order (c)): each side shuffles only itself
+    // on user_id, no union, no window state.
+    "j8b_asof_native" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val views = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts").as("vts"))
+        .agg(max(col("value")).as("view_value"))
+      graft.plans.AsofJoinNative.asof(clicks, views, "user_id", "ts", "vts",
+        Seq("view_value"))
+        .select("event_id", "user_id", "ts", "asof_view_value")
+    }),
+
     // J6 — multi-source band combine: u/v sources paired per (user, day),
     // combined pointwise into magnitude (ref ingestion/extractor.py:203-237).
     "j6_uv_combine" -> ((s, dir) => {
@@ -370,6 +386,16 @@ object AggQueries extends QueryModule {
         |  END AS kmv_estimate
         |FROM n LEFT JOIN kth ON n.l_returnflag = kth.l_returnflag""".stripMargin,
     "j8_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |views AS (
+        |  SELECT user_id, ts AS vts, max(value) AS view_value
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT c.event_id AS event_id, c.user_id AS user_id, c.ts AS ts,
+        |       v.view_value AS asof_view_value
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND v.vts <= c.ts""".stripMargin,
+    "j8b_asof_native" ->
       """WITH clicks AS (
         |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
         |views AS (

@@ -1,0 +1,171 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.GraftShim
+
+/** Native as-of join — preference order (c) from the build brief: a
+  * custom LogicalPlan + SparkStrategy + SparkPlan for a whole-operator
+  * semantic Spark lacks (the reference's latest-run-wins selection,
+  * core/models/item.py:308-313, generalized; DuckDB ships it as
+  * `ASOF JOIN`).
+  *
+  * Physical shape: both children hash-partitioned on the key
+  * (EnsureRequirements co-partitions them exactly as for a sort-merge
+  * join) and sorted by (key, time); one streaming merge pass per
+  * partition emits, for every left row, the payload of the latest right
+  * row with rightTime <= leftTime. Versus the composed union+window
+  * form (`AsofJoin.asof`): no union of the two sides, no window state,
+  * no left-payload NULL columns shuffled — each side shuffles only
+  * itself, and the merge is O(|L| + |R|) with one remembered row.
+  *
+  * Contract: right side unique per (key, rightTime) for deterministic
+  * payloads (same requirement the composed form and DuckDB's ASOF have
+  * on ties); null keys/times never match, like the SQL inequality.
+  *
+  * The node carries RESOLVED Attributes (not names) so they land in
+  * `references` — without that, ColumnPruning sees no references and
+  * strips the key/time columns out of the children.
+  */
+case class AsofJoinPlan(left: LogicalPlan, right: LogicalPlan,
+    leftKey: Attribute, leftTime: Attribute,
+    rightKey: Attribute, rightTime: Attribute,
+    payload: Seq[Attribute]) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ payload.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): LogicalPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoinPlan(l, r, lk, lt, rk, rt, p) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, p) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
+    leftKey: Attribute, leftTime: Attribute,
+    rightKey: Attribute, rightTime: Attribute,
+    payload: Seq[Attribute]) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ payload.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+
+  private def ordinal(side: SparkPlan, a: Attribute): Int = {
+    val i = side.output.indexWhere(_.exprId == a.exprId)
+    require(i >= 0, s"attribute $a not found in ${side.output}")
+    i
+  }
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyType = leftKey.dataType
+    val timeType = leftTime.dataType
+    require(rightKey.dataType == keyType, "key types must match")
+    require(rightTime.dataType == timeType, "left/right time types must match")
+    val lKeyOrd = ordinal(left, leftKey)
+    val lTimeOrd = ordinal(left, leftTime)
+    val rKeyOrd = ordinal(right, rightKey)
+    val rTimeOrd = ordinal(right, rightTime)
+    val keyOrdering = TypeUtils.getInterpretedOrdering(keyType)
+    val timeOrdering = TypeUtils.getInterpretedOrdering(timeType)
+    val payloadSchema = payload
+    val rightSchema = right.output
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val payloadProj = UnsafeProjection.create(payloadSchema, rightSchema)
+      val nullRow = new GenericInternalRow(payloadSchema.length)
+      val joined = new JoinedRow
+      new Iterator[InternalRow] {
+        private var matchedKey: Any = null          // key of `matched`
+        private var matched: InternalRow = null     // copied payload row
+        private var pendingRight: InternalRow = null
+        private def nextRight(): InternalRow = {
+          if (pendingRight != null) { val r = pendingRight; pendingRight = null; r }
+          else if (rIter.hasNext) rIter.next()
+          else null
+        }
+        override def hasNext: Boolean = lIter.hasNext
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lk = if (l.isNullAt(lKeyOrd)) null else l.get(lKeyOrd, keyType)
+          val lt = if (l.isNullAt(lTimeOrd)) null else l.get(lTimeOrd, timeType)
+          if (lk == null || lt == null) return joined(l, nullRow)
+          // advance the right side past every row with
+          // (rk < lk) or (rk == lk && rt <= lt), remembering the last match
+          var r = nextRight()
+          var continue = r != null
+          while (continue) {
+            val rk = if (r.isNullAt(rKeyOrd)) null else r.get(rKeyOrd, keyType)
+            val rt = if (r.isNullAt(rTimeOrd)) null else r.get(rTimeOrd, timeType)
+            val cmp = if (rk == null) -1 else keyOrdering.compare(rk, lk)
+            if (cmp > 0 || (cmp == 0 && rt != null && timeOrdering.compare(rt, lt) > 0)) {
+              pendingRight = r; continue = false       // beyond this left row
+            } else {
+              if (cmp == 0 && rt != null) {            // candidate match
+                matchedKey = rk
+                matched = payloadProj(r).copy()
+              }
+              r = if (rIter.hasNext) rIter.next() else null
+              continue = r != null
+            }
+          }
+          val hit = matched != null && matchedKey != null &&
+            keyOrdering.compare(matchedKey, lk) == 0
+          joined(l, if (hit) matched else nullRow)
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-API entry: same signature and `asof_` aliasing as the
+  * composed [[AsofJoin.asof]], but planned through the native operator
+  * (requires `AsofJoinStrategy` registered — Sessions.build does, and
+  * GraftExtensions injects it for spark-submit deployments). */
+object AsofJoinNative {
+  def asof(left: DataFrame, right: DataFrame, key: String,
+           leftTime: String, rightTime: String,
+           payload: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    import org.apache.spark.sql.functions.col
+    val lPlan = GraftShim.analyzed(left)
+    val rPlan0 = GraftShim.analyzed(right)
+    // self-join shape: when the sides share attribute ids (both derive
+    // from the same scan), optimizer rules see one instance as already
+    // provided and prune it from the other child — re-alias the right
+    // side with fresh exprIds, exactly what the analyzer's
+    // deduplication does for built-in joins
+    val rPlan =
+      if (lPlan.outputSet.intersect(rPlan0.outputSet).isEmpty) rPlan0
+      else Project(rPlan0.output.map(a => Alias(a, a.name)()), rPlan0)
+    def a(plan: LogicalPlan, name: String): Attribute =
+      plan.output.find(_.name == name)
+        .getOrElse(throw new IllegalArgumentException(s"column $name not found"))
+    val out = GraftShim.ofRows(left.sparkSession,
+      AsofJoinPlan(lPlan, rPlan, a(lPlan, key), a(lPlan, leftTime),
+        a(rPlan, key), a(rPlan, rightTime), payload.map(a(rPlan, _))))
+    out.select((left.columns.map(col) ++
+      payload.map(p => col(p).as(s"asof_$p"))).toIndexedSeq: _*)
+  }
+}

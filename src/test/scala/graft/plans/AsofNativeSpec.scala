@@ -1,0 +1,71 @@
+package graft.plans
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** The native sort-merge as-of operator must agree row-for-row with the
+  * composed union+window form on real and adversarial data, and plan as
+  * a streaming merge (no union, no window). */
+class AsofNativeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def asofBoth(left: org.apache.spark.sql.DataFrame,
+                       right: org.apache.spark.sql.DataFrame) = {
+    val composed = AsofJoin.asof(left, right, "k", "lt", "rt", Seq("p"))
+      .select("id", "asof_p").collect().map(r => (r.getLong(0), r.get(1))).toSet
+    val native = AsofJoinNative.asof(left, right, "k", "lt", "rt", Seq("p"))
+      .select("id", "asof_p").collect().map(r => (r.getLong(0), r.get(1))).toSet
+    (composed, native)
+  }
+
+  test("agrees with the composed form on adversarial key/time layouts") {
+    // keys with: no right rows, right rows all later, exact-tie times,
+    // multiple matches (latest wins), and interleaved keys
+    val left = Seq(
+      (1L, 10L, 100L), (2L, 10L, 200L), (3L, 5L, 300L),
+      (1L, 20L, 101L), (4L, 7L, 400L), (2L, 30L, 201L)
+    ).toDF("k", "lt", "id")
+    val right = Seq(
+      (1L, 5L, "a"), (1L, 10L, "b"), (1L, 15L, "c"),
+      (2L, 30L, "d"), (3L, 9L, "e"), (5L, 1L, "z")
+    ).toDF("k", "rt", "p")
+    val (composed, native) = asofBoth(left, right)
+    assert(native == composed, s"native=$native composed=$composed")
+    // spot-check semantics directly: tie is inclusive, latest wins
+    assert(native.contains((100L, "b")))   // k=1 lt=10 -> rt=10
+    assert(native.contains((101L, "c")))   // k=1 lt=20 -> rt=15
+    assert(native.contains((300L, null)))  // k=3 rt=9 > lt=5 -> null
+    assert(native.contains((400L, null)))  // k=4 no right rows
+    assert(native.contains((201L, "d")))   // k=2 lt=30 -> rt=30 inclusive
+  }
+
+  test("agrees with the composed form on the events fixture") {
+    val e = Tables.events(spark, sf0001)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("id"), col("user_id").as("k"), col("ts").as("lt"))
+    val views = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id").as("k"), col("ts").as("rt"))
+      .agg(max(col("value")).as("p"))
+    val (composed, native) = asofBoth(clicks, views)
+    assert(native.nonEmpty && native == composed)
+  }
+
+  test("plans as a co-partitioned streaming merge: no union, no window") {
+    val left = Seq((1L, 10L, 100L)).toDF("k", "lt", "id")
+    val right = Seq((1L, 5L, "a")).toDF("k", "rt", "p")
+    val plan = AsofJoinNative.asof(left, right, "k", "lt", "rt", Seq("p"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), s"native node missing:\n$plan")
+    assert(!plan.contains("Window"), s"window leaked into plan:\n$plan")
+    assert(!plan.contains("Union"), s"union leaked into plan:\n$plan")
+  }
+
+  test("null keys and null times on the left yield null payloads") {
+    val left = Seq((Some(1L), Some(10L), 1L), (None, Some(10L), 2L),
+      (Some(1L), None, 3L)).toDF("k", "lt", "id")
+    val right = Seq((1L, 5L, "a")).toDF("k", "rt", "p")
+    val out = AsofJoinNative.asof(left, right, "k", "lt", "rt", Seq("p"))
+      .select("id", "asof_p").collect().map(r => (r.getLong(0), r.get(1))).toMap
+    assert(out == Map(1L -> "a", 2L -> null, 3L -> null))
+  }
+}
