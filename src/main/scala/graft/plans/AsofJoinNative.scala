@@ -87,11 +87,15 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
     val payloadSchema = payload
     val rightSchema = right.output
 
+    val outputAttrs = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val payloadProj = UnsafeProjection.create(payloadSchema, rightSchema)
+      // SparkPlan contract: emit UnsafeRow (shuffles, sorts and
+      // getByteArrayRdd all cast to it) — project the JoinedRow out
+      val outProj = UnsafeProjection.create(outputAttrs, outputAttrs)
       val nullRow = new GenericInternalRow(payloadSchema.length)
       val joined = new JoinedRow
-      new Iterator[InternalRow] {
+      val merged = new Iterator[InternalRow] {
         private var matchedKey: Any = null          // key of `matched`
         private var matched: InternalRow = null     // copied payload row
         private var pendingRight: InternalRow = null
@@ -118,7 +122,10 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
               pendingRight = r; continue = false       // beyond this left row
             } else {
               if (cmp == 0 && rt != null) {            // candidate match
-                matchedKey = rk
+                // rk may be a view into the right iterator's reused row
+                // buffer (UTF8String, Decimal, struct) — copy it, as
+                // SortMergeJoin does for retained keys
+                matchedKey = InternalRow.copyValue(rk)
                 matched = payloadProj(r).copy()
               }
               r = if (rIter.hasNext) rIter.next() else null
@@ -130,8 +137,14 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
           joined(l, if (hit) matched else nullRow)
         }
       }
+      merged.map(outProj)
     }
   }
+
+  // the operator preserves the left side's partitioning and row order —
+  // declare it so downstream key-wise operators don't re-shuffle/re-sort
+  override def outputPartitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
 
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
@@ -148,7 +161,6 @@ object AsofJoinNative {
            payload: Seq[String]): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.Alias
     import org.apache.spark.sql.catalyst.plans.logical.Project
-    import org.apache.spark.sql.functions.col
     val lPlan = GraftShim.analyzed(left)
     val rPlan0 = GraftShim.analyzed(right)
     // self-join shape: when the sides share attribute ids (both derive
@@ -162,10 +174,14 @@ object AsofJoinNative {
     def a(plan: LogicalPlan, name: String): Attribute =
       plan.output.find(_.name == name)
         .getOrElse(throw new IllegalArgumentException(s"column $name not found"))
+    val payloadAttrs = payload.map(a(rPlan, _))
     val out = GraftShim.ofRows(left.sparkSession,
       AsofJoinPlan(lPlan, rPlan, a(lPlan, key), a(lPlan, leftTime),
-        a(rPlan, key), a(rPlan, rightTime), payload.map(a(rPlan, _))))
-    out.select((left.columns.map(col) ++
-      payload.map(p => col(p).as(s"asof_$p"))).toIndexedSeq: _*)
+        a(rPlan, key), a(rPlan, rightTime), payloadAttrs))
+    // select by resolved attribute, not name — a payload name that also
+    // exists on the left would make bare-name resolution ambiguous
+    out.select((lPlan.output.map(GraftShim.column) ++
+      payloadAttrs.map(p => GraftShim.column(p).as(s"asof_${p.name}")))
+      .toIndexedSeq: _*)
   }
 }

@@ -16,20 +16,7 @@ class BucketedJoinSpec extends SparkSpec {
       (col("id") % 8).cast("int").as("cid"))
     val cells = spark.range(n).select(col("id").as("vec_id"),
       (col("id") % 4).cast("int").as("cell"))
-    spark.sql("DROP TABLE IF EXISTS b_codes")
-    spark.sql("DROP TABLE IF EXISTS b_cells")
-    // a crashed prior run can leave the managed location behind with no
-    // catalog entry — Spark then refuses the CREATE
-    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    Seq("b_codes", "b_cells").foreach { t =>
-      val d = new java.io.File(wh, t)
-      if (d.exists()) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-        }
-        rm(d)
-      }
-    }
+    resetManagedTables("b_codes", "b_cells")
     codes.write.bucketBy(8, "vec_id").sortBy("vec_id")
       .mode("overwrite").saveAsTable("b_codes")
     cells.write.bucketBy(8, "vec_id").sortBy("vec_id")

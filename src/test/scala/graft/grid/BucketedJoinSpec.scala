@@ -14,14 +14,7 @@ class BucketedJoinSpec extends SparkSpec {
     // static conf and cannot be repointed on a live session; clear the
     // physical locations too (a fresh in-memory catalog forgets tables
     // from previous JVMs but their directories survive)
-    spark.sql("DROP TABLE IF EXISTS li_b")
-    spark.sql("DROP TABLE IF EXISTS o_b")
-    for (t <- Seq("li_b", "o_b")) {
-      val d = new java.io.File(s"spark-warehouse/$t")
-      if (d.exists()) {
-        d.listFiles().foreach(_.delete()); d.delete()
-      }
-    }
+    resetManagedTables("li_b", "o_b")
     Tables.lineitem(spark, sf0001)
       .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .mode("overwrite").saveAsTable("li_b")

@@ -17,18 +17,7 @@ class AsofBucketedSpec extends SparkSpec {
     val right = spark.range(n / 2).select((col("id") % 50).as("k"),
       (col("id") * 13 % 1000).as("rt"), (col("id") * 3).as("p"))
 
-    spark.sql("DROP TABLE IF EXISTS b_asof_l")
-    spark.sql("DROP TABLE IF EXISTS b_asof_r")
-    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    Seq("b_asof_l", "b_asof_r").foreach { t =>
-      val d = new java.io.File(wh, t)
-      if (d.exists()) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-        }
-        rm(d)
-      }
-    }
+    resetManagedTables("b_asof_l", "b_asof_r")
     left.write.bucketBy(8, "k").sortBy("k", "lt")
       .mode("overwrite").saveAsTable("b_asof_l")
     right.write.bucketBy(8, "k").sortBy("k", "rt")

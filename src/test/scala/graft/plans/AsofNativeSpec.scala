@@ -60,6 +60,46 @@ class AsofNativeSpec extends SparkSpec {
     assert(!plan.contains("Union"), s"union leaked into plan:\n$plan")
   }
 
+  test("string keys survive the right iterator's row-buffer reuse") {
+    // many rows per key so the remembered key outlives several
+    // rIter.next() calls — an uncopied UTF8String view would be
+    // overwritten and silently drop or misattribute matches
+    val left = (0 until 200).map(i => (s"key_${i % 10}", i.toLong + 1000, i.toLong))
+      .toDF("k", "lt", "id")
+    val right = (0 until 400).map(i => (s"key_${i % 10}", i.toLong, s"p$i"))
+      .toDF("k", "rt", "p")
+    val (composed, native) = asofBoth(left, right)
+    assert(native == composed)
+    assert(native.forall(_._2 != null), "every left row has an earlier right row")
+  }
+
+  test("the bare operator output is consumable without a projection on top") {
+    // SparkPlan contract: nodes emit UnsafeRow; collect() straight off
+    // the custom node (no trailing select) exercises getByteArrayRdd
+    import org.apache.spark.sql.GraftShim
+    val left = Seq((1L, 10L, 100L)).toDF("k", "lt", "id")
+    val right = Seq((1L, 5L, "a")).toDF("k", "rt", "p")
+    val lPlan = GraftShim.analyzed(left)
+    val rPlan = GraftShim.analyzed(right)
+    def a(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).get
+    val raw = GraftShim.ofRows(spark, AsofJoinPlan(lPlan, rPlan,
+      a(lPlan, "k"), a(lPlan, "lt"), a(rPlan, "k"), a(rPlan, "rt"),
+      Seq(a(rPlan, "p"))))
+    val rows = raw.collect()
+    assert(rows.length == 1 && rows(0).getString(3) == "a")
+  }
+
+  test("payload name colliding with a left column resolves unambiguously") {
+    val left = Seq((1L, 10L, "left_p", 100L)).toDF("k", "lt", "p", "id")
+    val right = Seq((1L, 5L, "right_p")).toDF("k", "rt", "p")
+    val out = AsofJoinNative.asof(left, right, "k", "lt", "rt", Seq("p"))
+      .select("id", "p", "asof_p").collect()(0)
+    assert(out.getLong(0) == 100L)
+    assert(out.getString(1) == "left_p")
+    assert(out.getString(2) == "right_p")
+  }
+
   test("null keys and null times on the left yield null payloads") {
     val left = Seq((Some(1L), Some(10L), 1L), (None, Some(10L), 2L),
       (Some(1L), None, 3L)).toDF("k", "lt", "id")
