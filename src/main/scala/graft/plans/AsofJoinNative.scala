@@ -44,10 +44,19 @@ case class AsofJoinPlan(left: LogicalPlan, right: LogicalPlan,
     copy(left = newLeft, right = newRight)
 }
 
+/** Size-based physical selection, the same decision Spark's join
+  * planning makes: a right side under the broadcast threshold plans as
+  * [[BroadcastAsofJoinExec]] (zero shuffles, zero sorts — the
+  * huge-fact ⋈ small-reference serving shape); otherwise the
+  * co-partitioned streaming merge [[AsofJoinExec]]. */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsofJoinPlan(l, r, lk, lt, rk, rt, p) =>
-      AsofJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, p) :: Nil
+      val thr = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+      if (thr > 0 && r.stats.sizeInBytes >= 0 && r.stats.sizeInBytes <= thr)
+        BroadcastAsofJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, p) :: Nil
+      else
+        AsofJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, p) :: Nil
     case _ => Nil
   }
 }
@@ -145,6 +154,97 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
   // declare it so downstream key-wise operators don't re-shuffle/re-sort
   override def outputPartitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Broadcast as-of: the right side (small — a reference/state table)
+  * ships to every executor whole; each left partition probes an
+  * in-memory per-key time-sorted index with binary search. NO exchange
+  * and NO sort on either side — the left side's layout passes through
+  * untouched (outputPartitioning/outputOrdering forwarded), so a
+  * 100 TB fact side joins its latest reference state at scan speed. */
+case class BroadcastAsofJoinExec(left: SparkPlan, right: SparkPlan,
+    leftKey: Attribute, leftTime: Attribute,
+    rightKey: Attribute, rightTime: Attribute,
+    payload: Seq[Attribute]) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ payload.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution ::
+      org.apache.spark.sql.catalyst.plans.physical.BroadcastDistribution(
+        org.apache.spark.sql.catalyst.plans.physical.IdentityBroadcastMode) :: Nil
+
+  override def outputPartitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  private def ordinal(attrs: Seq[Attribute], a: Attribute): Int = {
+    val i = attrs.indexWhere(_.exprId == a.exprId)
+    require(i >= 0, s"attribute $a not found in $attrs")
+    i
+  }
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyType = leftKey.dataType
+    val timeType = leftTime.dataType
+    val lKeyOrd = ordinal(left.output, leftKey)
+    val lTimeOrd = ordinal(left.output, leftTime)
+    val rKeyOrd = ordinal(right.output, rightKey)
+    val rTimeOrd = ordinal(right.output, rightTime)
+    val timeOrdering = TypeUtils.getInterpretedOrdering(timeType)
+    val payloadSchema = payload
+    val rightSchema = right.output
+    val outputAttrs = output
+    val bcast = right.executeBroadcast[Array[InternalRow]]()
+
+    left.execute().mapPartitions({ lIter =>
+      // per-key arrays of (time, payload) sorted by time; built once per
+      // partition from the broadcast rows (cheap: the side is small by
+      // selection) — rows in the broadcast array are stable copies
+      val payloadProj = UnsafeProjection.create(payloadSchema, rightSchema)
+      val index = new java.util.HashMap[Any, Array[(Any, InternalRow)]]()
+      val grouped = new java.util.HashMap[Any, java.util.ArrayList[(Any, InternalRow)]]()
+      bcast.value.foreach { r =>
+        if (!r.isNullAt(rKeyOrd) && !r.isNullAt(rTimeOrd)) {
+          val rk = r.get(rKeyOrd, keyType)
+          val rt = r.get(rTimeOrd, timeType)
+          grouped.computeIfAbsent(rk, _ => new java.util.ArrayList())
+            .add((rt, payloadProj(r).copy()))
+        }
+      }
+      grouped.forEach { (k, list) =>
+        val arr = list.toArray(new Array[(Any, InternalRow)](list.size()))
+        java.util.Arrays.sort(arr,
+          (a: (Any, InternalRow), b: (Any, InternalRow)) => timeOrdering.compare(a._1, b._1))
+        index.put(k, arr)
+      }
+      val outProj = UnsafeProjection.create(outputAttrs, outputAttrs)
+      val nullRow = new GenericInternalRow(payloadSchema.length)
+      val joined = new JoinedRow
+      lIter.map { l =>
+        var payloadRow: InternalRow = nullRow
+        if (!l.isNullAt(lKeyOrd) && !l.isNullAt(lTimeOrd)) {
+          val arr = index.get(l.get(lKeyOrd, keyType))
+          if (arr != null) {
+            val lt = l.get(lTimeOrd, timeType)
+            // binary search: greatest rt <= lt
+            var lo = 0; var hi = arr.length - 1; var best = -1
+            while (lo <= hi) {
+              val mid = (lo + hi) >>> 1
+              if (timeOrdering.compare(arr(mid)._1, lt) <= 0) { best = mid; lo = mid + 1 }
+              else hi = mid - 1
+            }
+            if (best >= 0) payloadRow = arr(best)._2
+          }
+        }
+        outProj(joined(l, payloadRow))
+      }
+    }, preservesPartitioning = true)
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =

@@ -23,12 +23,20 @@ class AsofBucketedSpec extends SparkSpec {
     right.write.bucketBy(8, "k").sortBy("k", "rt")
       .mode("overwrite").saveAsTable("b_asof_r")
 
+    // force the streaming-merge exec: this spec is about bucketed
+    // layout satisfying ITS distribution/ordering (a small right side
+    // would otherwise legitimately pick the broadcast exec)
+    val thrKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prevThr = spark.conf.get(thrKey)
+    spark.conf.set(thrKey, "-1")
+    try {
     val out = AsofJoinNative.asof(spark.table("b_asof_l"),
       spark.table("b_asof_r"), "k", "lt", "rt", Seq("p"))
     assert(out.count() == n)
     val plan = out.queryExecution.explainString(
       org.apache.spark.sql.execution.SimpleMode)
     assert(plan.contains("AsofJoin"), s"native node missing:\n$plan")
+    assert(!plan.contains("BroadcastAsofJoin"), s"must use the merge exec:\n$plan")
     assert(!plan.contains("Exchange hashpartitioning"),
       s"bucketed as-of must not shuffle:\n$plan")
 
@@ -40,5 +48,6 @@ class AsofBucketedSpec extends SparkSpec {
     val got = out.select("rowid", "asof_p").collect()
       .map(r => (r.getLong(0), r.get(1))).toSet
     assert(got == expected)
+    } finally spark.conf.set(thrKey, prevThr)
   }
 }

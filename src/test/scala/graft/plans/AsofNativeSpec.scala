@@ -9,13 +9,29 @@ import org.apache.spark.sql.functions._
 class AsofNativeSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Run `f` with the broadcast threshold pinned (-1 forces the
+    * streaming-merge exec; default lets small sides broadcast). */
+  private def withThreshold[T](v: String)(f: => T): T = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try { spark.conf.set(key, v); f } finally spark.conf.set(key, prev)
+  }
+
+  private def asofNative(left: org.apache.spark.sql.DataFrame,
+                         right: org.apache.spark.sql.DataFrame) =
+    AsofJoinNative.asof(left, right, "k", "lt", "rt", Seq("p"))
+      .select("id", "asof_p").collect().map(r => (r.getLong(0), r.get(1))).toSet
+
+  /** (composed, native-merge, native-broadcast) result sets. */
   private def asofBoth(left: org.apache.spark.sql.DataFrame,
                        right: org.apache.spark.sql.DataFrame) = {
     val composed = AsofJoin.asof(left, right, "k", "lt", "rt", Seq("p"))
       .select("id", "asof_p").collect().map(r => (r.getLong(0), r.get(1))).toSet
-    val native = AsofJoinNative.asof(left, right, "k", "lt", "rt", Seq("p"))
-      .select("id", "asof_p").collect().map(r => (r.getLong(0), r.get(1))).toSet
-    (composed, native)
+    val merge = withThreshold("-1")(asofNative(left, right))
+    val bcast = withThreshold("10MB")(asofNative(left, right))
+    assert(merge == bcast,
+      s"merge and broadcast execs disagree: merge=$merge bcast=$bcast")
+    (composed, merge)
   }
 
   test("agrees with the composed form on adversarial key/time layouts") {
@@ -51,13 +67,32 @@ class AsofNativeSpec extends SparkSpec {
   }
 
   test("plans as a co-partitioned streaming merge: no union, no window") {
-    val left = Seq((1L, 10L, 100L)).toDF("k", "lt", "id")
-    val right = Seq((1L, 5L, "a")).toDF("k", "rt", "p")
-    val plan = AsofJoinNative.asof(left, right, "k", "lt", "rt", Seq("p"))
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("AsofJoin"), s"native node missing:\n$plan")
-    assert(!plan.contains("Window"), s"window leaked into plan:\n$plan")
-    assert(!plan.contains("Union"), s"union leaked into plan:\n$plan")
+    withThreshold("-1") {
+      val left = Seq((1L, 10L, 100L)).toDF("k", "lt", "id")
+      val right = Seq((1L, 5L, "a")).toDF("k", "rt", "p")
+      val plan = AsofJoinNative.asof(left, right, "k", "lt", "rt", Seq("p"))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("AsofJoin"), s"native node missing:\n$plan")
+      assert(!plan.contains("BroadcastAsofJoin"), s"threshold=-1 must pick the merge:\n$plan")
+      assert(!plan.contains("Window"), s"window leaked into plan:\n$plan")
+      assert(!plan.contains("Union"), s"union leaked into plan:\n$plan")
+    }
+  }
+
+  test("small right side plans as broadcast: zero exchanges and sorts on the left") {
+    withThreshold("10MB") {
+      val left = Seq((1L, 10L, 100L), (2L, 4L, 200L)).toDF("k", "lt", "id")
+      val right = Seq((1L, 5L, "a"), (2L, 3L, "b")).toDF("k", "rt", "p")
+      val df = AsofJoinNative.asof(left, right, "k", "lt", "rt", Seq("p"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastAsofJoin"), s"broadcast exec missing:\n$plan")
+      assert(plan.contains("BroadcastExchange"), s"broadcast exchange missing:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"), s"shuffle leaked:\n$plan")
+      assert(!plan.contains("Sort "), s"sort leaked:\n$plan")
+      val out = df.select("id", "asof_p").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(out == Set((100L, "a"), (200L, "b")))
+    }
   }
 
   test("string keys survive the right iterator's row-buffer reuse") {
@@ -83,11 +118,13 @@ class AsofNativeSpec extends SparkSpec {
     val rPlan = GraftShim.analyzed(right)
     def a(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
       p.output.find(_.name == n).get
-    val raw = GraftShim.ofRows(spark, AsofJoinPlan(lPlan, rPlan,
-      a(lPlan, "k"), a(lPlan, "lt"), a(rPlan, "k"), a(rPlan, "rt"),
-      Seq(a(rPlan, "p"))))
-    val rows = raw.collect()
-    assert(rows.length == 1 && rows(0).getString(3) == "a")
+    for (thr <- Seq("-1", "10MB")) withThreshold(thr) {
+      val raw = GraftShim.ofRows(spark, AsofJoinPlan(lPlan, rPlan,
+        a(lPlan, "k"), a(lPlan, "lt"), a(rPlan, "k"), a(rPlan, "rt"),
+        Seq(a(rPlan, "p"))))
+      val rows = raw.collect()
+      assert(rows.length == 1 && rows(0).getString(3) == "a", s"thr=$thr")
+    }
   }
 
   test("payload name colliding with a left column resolves unambiguously") {
@@ -104,8 +141,10 @@ class AsofNativeSpec extends SparkSpec {
     val left = Seq((Some(1L), Some(10L), 1L), (None, Some(10L), 2L),
       (Some(1L), None, 3L)).toDF("k", "lt", "id")
     val right = Seq((1L, 5L, "a")).toDF("k", "rt", "p")
-    val out = AsofJoinNative.asof(left, right, "k", "lt", "rt", Seq("p"))
-      .select("id", "asof_p").collect().map(r => (r.getLong(0), r.get(1))).toMap
-    assert(out == Map(1L -> "a", 2L -> null, 3L -> null))
+    for (thr <- Seq("-1", "10MB")) withThreshold(thr) {
+      val out = AsofJoinNative.asof(left, right, "k", "lt", "rt", Seq("p"))
+        .select("id", "asof_p").collect().map(r => (r.getLong(0), r.get(1))).toMap
+      assert(out == Map(1L -> "a", 2L -> null, 3L -> null), s"thr=$thr")
+    }
   }
 }
