@@ -45,6 +45,32 @@ object PipelineQueries extends QueryModule {
         coalesce(col("top").cast("double") / col("tot"), lit(0.0)).as("top_bigram_frac"))
     }),
 
+    // Curriculum ordering: a TOTAL global rank of the corpus by quality
+    // (desc, doc_id tiebreak) — the order a curriculum schedule feeds
+    // the trainer. row_number over an empty window would serialize the
+    // corpus through one partition; Rank.globalRank range-partitions on
+    // the sort key and stamps offsets from a two-pass prefix sum, so
+    // 10⁹ docs rank with no partition ever holding more than its range
+    // slice.
+    "t_curriculum" -> ((s, dir) => {
+      val t = col("text")
+      val nChars = length(t).cast("long")
+      val nWords = size(split(trim(t), "\\s+")).cast("long")
+      val nAlpha = length(regexp_replace(t, "[^A-Za-z]", "")).cast("long")
+      val nPunct = size(regexp_extract_all(t, lit("[.,;:!?]"), lit(0))).cast("long")
+      val nStop = size(regexp_extract_all(lower(t),
+        lit("\\b(the|and|of|to|in|is|that|for)\\b"), lit(0))).cast("long")
+      val quality = least(lit(1.0), greatest(lit(0.0),
+        lit(0.25) + nStop.cast("double") / nWords * 2.0
+          - nPunct.cast("double") / nChars * 3.0
+          + nAlpha.cast("double") / nChars * 0.5))
+      val scored = Tables.documents(s, dir)
+        .select(col("doc_id"), quality.as("quality"))
+      graft.ops.Rank.globalRank(scored,
+        Seq(col("quality").desc, col("doc_id").asc))
+        .select(col("doc_id"), col("quality"), col("rank"))
+    }),
+
     // Sequence packing: greedy contiguous packing of documents into
     // fixed 2048-token training sequences, per source domain. Bin id is
     // floor(preceding-token-count / 2048) over a deterministic doc_id
@@ -209,6 +235,24 @@ object PipelineQueries extends QueryModule {
         |  1.0 - CAST(n_distinct AS DOUBLE) / n_words AS dup_word_frac,
         |  coalesce(CAST(top AS DOUBLE) / tot, 0.0) AS top_bigram_frac
         |FROM base b LEFT JOIN agg USING (doc_id)""".stripMargin,
+    "t_curriculum" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS nc,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS nw,
+        |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS na,
+        |    CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS np,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|for)\b')) AS BIGINT) AS ns
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, least(1.0, greatest(0.0,
+        |    0.25 + CAST(ns AS DOUBLE) / nw * 2.0
+        |         - CAST(np AS DOUBLE) / nc * 3.0
+        |         + CAST(na AS DOUBLE) / nc * 0.5)) AS quality
+        |  FROM c)
+        |SELECT doc_id, quality,
+        |  CAST(row_number() OVER (ORDER BY quality DESC, doc_id ASC) AS BIGINT) AS rank
+        |FROM q""".stripMargin,
     "t_pack_sequences" ->
       """WITH t AS (
         |  SELECT source, doc_id,

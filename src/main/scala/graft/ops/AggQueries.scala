@@ -246,6 +246,30 @@ object AggQueries extends QueryModule {
         .select("event_id", "user_id", "ts", "asof_view_value")
     }),
 
+    // J11 — point-in-time feature join (the feature-store primitive for
+    // training-data assembly): each label row picks up, leakage-free,
+    // the latest value of EVERY feature stream as of its own timestamp.
+    // Chained native as-of joins; with small feature tables each link
+    // plans as a broadcast index probe and the label side is never
+    // shuffled at all.
+    "j11_pit_features" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val labels = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val fClicks = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts").as("fts"))
+        .agg(max(col("value")).as("f_click"))
+      val fViews = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts").as("fts"))
+        .agg(max(col("value")).as("f_view"))
+      val step1 = graft.plans.AsofJoinNative.asof(
+        labels, fClicks, "user_id", "ts", "fts", Seq("f_click"))
+      graft.plans.AsofJoinNative.asof(
+        step1, fViews, "user_id", "ts", "fts", Seq("f_view"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_f_click"), col("asof_f_view"))
+    }),
+
     // J6 — multi-source band combine: u/v sources paired per (user, day),
     // combined pointwise into magnitude (ref ingestion/extractor.py:203-237).
     "j6_uv_combine" -> ((s, dir) => {
@@ -395,6 +419,23 @@ object AggQueries extends QueryModule {
         |       v.view_value AS asof_view_value
         |FROM clicks c ASOF LEFT JOIN views v
         |  ON c.user_id = v.user_id AND v.vts <= c.ts""".stripMargin,
+    "j11_pit_features" ->
+      """WITH labels AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |f_clicks AS (
+        |  SELECT user_id, ts AS fts, max(value) AS f_click
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |f_views AS (
+        |  SELECT user_id, ts AS fts, max(value) AS f_view
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |s1 AS (
+        |  SELECT l.event_id, l.user_id, l.ts, c.f_click
+        |  FROM labels l ASOF LEFT JOIN f_clicks c
+        |    ON l.user_id = c.user_id AND c.fts <= l.ts)
+        |SELECT s1.event_id AS event_id, s1.user_id AS user_id, s1.ts AS ts,
+        |       s1.f_click AS asof_f_click, v.f_view AS asof_f_view
+        |FROM s1 ASOF LEFT JOIN f_views v
+        |  ON s1.user_id = v.user_id AND v.fts <= s1.ts""".stripMargin,
     "j8b_asof_native" ->
       """WITH clicks AS (
         |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
