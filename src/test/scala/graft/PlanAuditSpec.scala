@@ -1,0 +1,39 @@
+package graft
+
+/** Fleet-wide physical-plan audit over every registered query at
+  * sf0.001: no accidental cartesian products or nested-loop joins.
+  * Single-row broadcast cross joins (attaching a global aggregate like
+  * a corpus-wide count to every row) are legitimate and whitelisted —
+  * anything new showing up here must be justified or fixed. */
+class PlanAuditSpec extends SparkSpec {
+
+  // Queries whose plan legitimately contains a BroadcastNestedLoopJoin.
+  // BNLJ is definitionally broadcast-sided; it is the RIGHT plan for
+  // (a) non-equi predicate joins against a broadcast side — spatial
+  // containment/bbox (zonal, xyz tiles, regrid probe), threshold
+  // scans — and (b) tiny cross sides: the handful of ANN query
+  // vectors, a one-row corpus aggregate, a config frame. Anything NEW
+  // showing up here needs the same justification or an equi-key fix.
+  private val reviewedBnlj = Set(
+    "a19_threshold_area", "d_ngram_jaccard_capped", "f14_regrid_nearest",
+    "j1_zonal_stats", "j1b_zonal_levels", "s10b_xyz_tiles",
+    "s_ann_bruteforce", "s_ann_ivf", "s_ann_ivf_kmeans", "s_ann_ivfpq",
+    "s_ann_ivfpq_resid", "t_domain_mix", "v_transform_dispatch",
+    "w9_funnel")
+
+  test("no cartesian products; nested-loop joins only in the reviewed set") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val plan = fn(spark, sf0001).queryExecution.executedPlan.toString
+        val cartesian = plan.contains("CartesianProduct")
+        val bnlj = plan.contains("BroadcastNestedLoopJoin")
+        if (cartesian || (bnlj && !reviewedBnlj.contains(name)))
+          Some(s"$name: cartesian=$cartesian bnlj=$bnlj")
+        else None
+      } catch {
+        case e: Throwable => Some(s"$name: failed to plan: ${e.getMessage}")
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+}
