@@ -82,6 +82,16 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
     i
   }
 
+  /** Long-backed physical types (bigint, timestamp, timestamp_ntz)
+    * compare as primitives — the common key/time case (ids, event
+    * times) skips the boxed value extraction and Ordering dispatch. */
+  private def longBacked(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.LongType |
+         org.apache.spark.sql.types.TimestampType |
+         org.apache.spark.sql.types.TimestampNTZType => true
+    case _ => false
+  }
+
   override protected def doExecute(): RDD[InternalRow] = {
     val keyType = leftKey.dataType
     val timeType = leftTime.dataType
@@ -91,12 +101,62 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
     val lTimeOrd = ordinal(left, leftTime)
     val rKeyOrd = ordinal(right, rightKey)
     val rTimeOrd = ordinal(right, rightTime)
-    val keyOrdering = TypeUtils.getInterpretedOrdering(keyType)
-    val timeOrdering = TypeUtils.getInterpretedOrdering(timeType)
     val payloadSchema = payload
     val rightSchema = right.output
-
     val outputAttrs = output
+
+    if (longBacked(keyType) && longBacked(timeType)) {
+      return left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+        val payloadProj = UnsafeProjection.create(payloadSchema, rightSchema)
+        val outProj = UnsafeProjection.create(outputAttrs, outputAttrs)
+        val nullRow = new GenericInternalRow(payloadSchema.length)
+        val joined = new JoinedRow
+        new Iterator[InternalRow] {
+          private var matchedKey = 0L
+          private var matched: InternalRow = null
+          private var pendingRight: InternalRow = null
+          private def nextRight(): InternalRow = {
+            if (pendingRight != null) { val r = pendingRight; pendingRight = null; r }
+            else if (rIter.hasNext) rIter.next()
+            else null
+          }
+          override def hasNext: Boolean = lIter.hasNext
+          override def next(): InternalRow = {
+            val l = lIter.next()
+            if (l.isNullAt(lKeyOrd) || l.isNullAt(lTimeOrd))
+              return outProj(joined(l, nullRow))
+            val lk = l.getLong(lKeyOrd)
+            val lt = l.getLong(lTimeOrd)
+            var r = nextRight()
+            var continue = r != null
+            while (continue) {
+              if (r.isNullAt(rKeyOrd)) {
+                r = if (rIter.hasNext) rIter.next() else null
+                continue = r != null
+              } else {
+                val rk = r.getLong(rKeyOrd)
+                val rtNull = r.isNullAt(rTimeOrd)
+                if (rk > lk || (rk == lk && !rtNull && r.getLong(rTimeOrd) > lt)) {
+                  pendingRight = r; continue = false
+                } else {
+                  if (rk == lk && !rtNull) {
+                    matchedKey = rk
+                    matched = payloadProj(r).copy()
+                  }
+                  r = if (rIter.hasNext) rIter.next() else null
+                  continue = r != null
+                }
+              }
+            }
+            val hit = matched != null && matchedKey == lk
+            outProj(joined(l, if (hit) matched else nullRow))
+          }
+        }
+      }
+    }
+
+    val keyOrdering = TypeUtils.getInterpretedOrdering(keyType)
+    val timeOrdering = TypeUtils.getInterpretedOrdering(timeType)
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val payloadProj = UnsafeProjection.create(payloadSchema, rightSchema)
       // SparkPlan contract: emit UnsafeRow (shuffles, sorts and
