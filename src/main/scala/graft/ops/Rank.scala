@@ -22,12 +22,21 @@ object Rank {
   def globalRank(df: DataFrame, sortExprs: Seq[Column],
                  rankCol: String = "rank",
                  numPartitions: Option[Int] = None): DataFrame = {
+    require(!df.columns.contains(rankCol),
+      s"input already has a '$rankCol' column — pass a different rankCol")
     val spark = df.sparkSession
     val parts = numPartitions.getOrElse(spark.sparkContext.defaultParallelism)
     val sorted = df.repartitionByRange(parts, sortExprs: _*)
       .sortWithinPartitions(sortExprs: _*)
     val schema = sorted.schema.add(rankCol, LongType, nullable = false)
-    val ranked = sorted.rdd.zipWithIndex().map { case (r, i) =>
+    // persist the decoded sorted rows: zipWithIndex runs TWO jobs (the
+    // partition-count pass, then the stamping pass) and without this
+    // both re-run the reduce-side sort and the InternalRow->Row decode;
+    // blocks are dropped by the ContextCleaner when the RDD is
+    // unreferenced
+    val rows = sorted.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ranked = rows.zipWithIndex().map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ (i + 1L))
     }
     spark.createDataFrame(ranked, schema)

@@ -22,9 +22,20 @@ class PlanAuditSpec extends SparkSpec {
     "w9_funnel")
 
   test("no cartesian products; nested-loop joins only in the reviewed set") {
+    var audited = 0
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
-        val plan = fn(spark, sf0001).queryExecution.executedPlan.toString
+        val df = fn(spark, sf0001)
+        // execute FIRST: with AQE on, the pre-execution string shows the
+        // initial plan; after an action the adaptive plan is final and
+        // runtime replans (the thing this audit exists to catch) are
+        // visible
+        df.count()
+        val plan = df.queryExecution.executedPlan.toString
+        // sanity against node renames silently no-op'ing the audit
+        assert(plan.contains("Scan") || plan.contains("Range"),
+          s"$name: unrecognizable plan, audit patterns may be stale:\n$plan")
+        audited += 1
         val cartesian = plan.contains("CartesianProduct")
         val bnlj = plan.contains("BroadcastNestedLoopJoin")
         if (cartesian || (bnlj && !reviewedBnlj.contains(name)))
@@ -35,5 +46,6 @@ class PlanAuditSpec extends SparkSpec {
       }
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
+    assert(audited == SparkEntry.queries.size)
   }
 }

@@ -137,6 +137,29 @@ class AsofNativeSpec extends SparkSpec {
     assert(out.getString(2) == "right_p")
   }
 
+  test("long-backed fast path agrees with the interpreted merge branch") {
+    // same logical data through BOTH AsofJoinExec branches: long keys
+    // take the primitive fast path; zero-padded string keys (order-
+    // preserving) force the generic interpreted path. A semantic fix
+    // applied to one branch but not the other diverges here.
+    val left = (0 until 300).map(i => (i.toLong % 7, (i * 31 % 500).toLong, i.toLong))
+      .toDF("k", "lt", "id")
+    val right = (0 until 150).map(i => (i.toLong % 7, (i * 17 % 500).toLong, i.toLong))
+      .toDF("k", "rt", "p")
+    def pad(c: String) = lpad(col(c).cast("string"), 6, "0")
+    withThreshold("-1") {
+      val fast = asofNative(left, right)
+      val slow = AsofJoinNative.asof(
+          left.withColumn("k", pad("k")).withColumn("lt", pad("lt")),
+          right.withColumn("k", pad("k")).withColumn("rt", pad("rt")),
+          "k", "lt", "rt", Seq("p"))
+        .select("id", "asof_p").collect().map(r => (r.getLong(0), r.get(1))).toSet
+      assert(fast == slow, s"branches disagree: fast=$fast slow=$slow")
+      assert(fast.exists(_._2 != null) && fast.exists(_._2 == null),
+        "fixture must exercise both hit and miss paths")
+    }
+  }
+
   test("null keys and null times on the left yield null payloads") {
     val left = Seq((Some(1L), Some(10L), 1L), (None, Some(10L), 2L),
       (Some(1L), None, 3L)).toDF("k", "lt", "id")
