@@ -25,6 +25,52 @@ object CurationQueries extends QueryModule {
     "the", "a")
 
   override def queries = Map(
+    // The WHOLE curation pipeline as one plan — what a user actually
+    // runs: exact dedup (normalized fingerprint, keep min id) → quality
+    // gate (≥ 0.3) → boilerplate gate (duplicated-span coverage ≤ 0.5,
+    // computed among survivors) → fuzzy dedup (minhash-LSH-verified
+    // clusters, keep the min-id canonical) → per-source corpus stats.
+    // Every stage is the library operator the standalone queries gate
+    // individually; this query gates their COMPOSITION.
+    "d_pipeline_e2e" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      // 1. exact dedup
+      val keep1 = docs
+        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+        .groupBy("fp").agg(min("doc_id").as("doc_id")).select("doc_id")
+      val d1 = docs.join(keep1, "doc_id")
+      // 2. quality gate (same formula as t_quality_score)
+      val t = col("text")
+      val nChars = length(t).cast("long")
+      val nWords = size(split(trim(t), "\\s+")).cast("long")
+      val nAlpha = length(regexp_replace(t, "[^A-Za-z]", "")).cast("long")
+      val nPunct = size(regexp_extract_all(t, lit("[.,;:!?]"), lit(0))).cast("long")
+      val nStop = size(regexp_extract_all(lower(t),
+        lit("\\b(the|and|of|to|in|is|that|for)\\b"), lit(0))).cast("long")
+      val quality = least(lit(1.0), greatest(lit(0.0),
+        lit(0.25) + nStop.cast("double") / nWords * 2.0
+          - nPunct.cast("double") / nChars * 3.0
+          + nAlpha.cast("double") / nChars * 0.5))
+      val d2 = d1.filter(quality >= 0.3)
+      // 3. boilerplate gate: duplicated-span coverage among survivors
+      val heavy = Dedup.spanCoverage(
+          Dedup.spanHashes(d2, "doc_id", "text", 20), 20)
+        .filter(col("coverage") > 0.5).select("doc_id")
+      val d3 = d2.join(heavy, Seq("doc_id"), "left_anti")
+      // 4. fuzzy dedup on what's left
+      val sh = Dedup.shingles(d3, "doc_id", "text")
+      val pairs = Dedup.pairJaccard(
+          Dedup.candidatePairs(Dedup.lshBands(Dedup.minhashSignature(sh))), sh)
+        .filter(col("jacc") >= 0.5).select("doc_a", "doc_b")
+      val dropFuzzy = Dedup.canonicalize(pairs)
+        .filter(col("id") =!= col("canonical"))
+        .select(col("id").as("doc_id"))
+      val d4 = d3.join(dropFuzzy, Seq("doc_id"), "left_anti")
+      d4.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("n_tokens"))
+    }),
+
     // Exact n-gram-collision decontamination (the published long-n-gram
     // overlap method, complementary to d_decontaminate's LSH sweep): a
     // training document sharing ANY 8-gram with a held-out benchmark
@@ -116,6 +162,104 @@ object CurationQueries extends QueryModule {
       |  FROM documents)""".stripMargin
 
   override def oracleSql = Map(
+    "d_pipeline_e2e" ->
+      """WITH fp AS (
+        |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |keep1 AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp),
+        |d1 AS (SELECT d.* FROM documents d JOIN keep1 USING (doc_id)),
+        |qc AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS nc,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS nw,
+        |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS na,
+        |    CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS np,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|for)\b')) AS BIGINT) AS ns
+        |  FROM d1),
+        |d2 AS MATERIALIZED (
+        |  SELECT d1.* FROM d1 JOIN qc USING (doc_id)
+        |  WHERE least(1.0, greatest(0.0,
+        |    0.25 + CAST(ns AS DOUBLE) / nw * 2.0
+        |         - CAST(np AS DOUBLE) / nc * 3.0
+        |         + CAST(na AS DOUBLE) / nc * 0.5)) >= 0.3),
+        |w3 AS (SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM d2),
+        |spans AS MATERIALIZED (
+        |  SELECT id, i AS start, i + 19 AS fin,
+        |         md5(array_to_string(ws[i+1:i+20], ' ')) AS h
+        |  FROM (SELECT id, ws, unnest(range(greatest(len(ws) - 19, 0))) AS i FROM w3)),
+        |duph AS (SELECT h FROM spans GROUP BY h HAVING count(DISTINCT id) >= 2),
+        |iv AS (SELECT id, start, fin FROM spans JOIN duph USING (h)),
+        |m AS (SELECT id, start, fin,
+        |        max(fin) OVER (PARTITION BY id ORDER BY start
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |      FROM iv),
+        |wn AS (SELECT id, len(ws) AS nw FROM w3),
+        |covt AS (
+        |  SELECT m.id,
+        |    CAST(sum(greatest(0, fin - greatest(start - 1, coalesce(pm, -1)))) AS DOUBLE)
+        |      / min(wn.nw) AS coverage
+        |  FROM m JOIN wn ON m.id = wn.id GROUP BY m.id),
+        |d3 AS MATERIALIZED (
+        |  SELECT * FROM d2
+        |  WHERE doc_id NOT IN (SELECT id FROM covt WHERE coverage > 0.5)),
+        |wsh AS (SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM d3),
+        |sh AS MATERIALIZED (
+        |  SELECT DISTINCT id, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS s
+        |  FROM (SELECT id, ws, unnest(range(greatest(len(ws) - 2, 0))) AS i FROM wsh)),
+        |sizes AS (SELECT id, count(*) AS c FROM sh GROUP BY 1),
+        |hashed AS (SELECT id, md5(s) AS h FROM sh),
+        |sig AS (
+        |  SELECT id,
+        |    min(substring(h, 1, 4)) AS m1, min(substring(h, 5, 4)) AS m2,
+        |    min(substring(h, 9, 4)) AS m3, min(substring(h, 13, 4)) AS m4,
+        |    min(substring(h, 17, 4)) AS m5, min(substring(h, 21, 4)) AS m6,
+        |    min(substring(h, 25, 4)) AS m7, min(substring(h, 29, 4)) AS m8
+        |  FROM hashed GROUP BY id),
+        |bands AS (
+        |  SELECT id, 1 AS band, md5(m1 || m2) AS key FROM sig UNION ALL
+        |  SELECT id, 2, md5(m3 || m4) FROM sig UNION ALL
+        |  SELECT id, 3, md5(m5 || m6) FROM sig UNION ALL
+        |  SELECT id, 4, md5(m7 || m8) FROM sig),
+        |cands AS (
+        |  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+        |inter AS (
+        |  SELECT doc_a, doc_b, count(*) AS i
+        |  FROM cands
+        |  JOIN sh sa ON sa.id = doc_a
+        |  JOIN sh sb ON sb.id = doc_b AND sb.s = sa.s
+        |  GROUP BY 1, 2),
+        |prs AS MATERIALIZED (
+        |  SELECT doc_a, doc_b
+        |  FROM inter JOIN sizes ca ON ca.id = doc_a JOIN sizes cb ON cb.id = doc_b
+        |  WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.5),
+        |edges AS MATERIALIZED (
+        |  SELECT doc_a AS u, doc_b AS v FROM prs
+        |  UNION SELECT doc_b, doc_a FROM prs),
+        |l0 AS (SELECT DISTINCT u AS id, u AS canonical FROM edges),
+        |h1 AS MATERIALIZED (
+        |  SELECT l.id, least(l.canonical, coalesce(min(n.canonical), l.canonical)) AS canonical
+        |  FROM l0 l LEFT JOIN edges e ON e.u = l.id LEFT JOIN l0 n ON n.id = e.v
+        |  GROUP BY l.id, l.canonical),
+        |r1 AS MATERIALIZED (SELECT h.id AS id, n.canonical AS canonical
+        |       FROM h1 h JOIN h1 n ON n.id = h.canonical),
+        |h2 AS MATERIALIZED (
+        |  SELECT l.id, least(l.canonical, coalesce(min(n.canonical), l.canonical)) AS canonical
+        |  FROM r1 l LEFT JOIN edges e ON e.u = l.id LEFT JOIN r1 n ON n.id = e.v
+        |  GROUP BY l.id, l.canonical),
+        |r2 AS MATERIALIZED (SELECT h.id AS id, n.canonical AS canonical
+        |       FROM h2 h JOIN h2 n ON n.id = h.canonical),
+        |h3 AS MATERIALIZED (
+        |  SELECT l.id, least(l.canonical, coalesce(min(n.canonical), l.canonical)) AS canonical
+        |  FROM r2 l LEFT JOIN edges e ON e.u = l.id LEFT JOIN r2 n ON n.id = e.v
+        |  GROUP BY l.id, l.canonical),
+        |r3 AS (SELECT h.id AS id, n.canonical AS canonical
+        |       FROM h3 h JOIN h3 n ON n.id = h.canonical),
+        |dropf AS (SELECT id FROM r3 WHERE id != canonical)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+        |FROM d3 WHERE doc_id NOT IN (SELECT id FROM dropf)
+        |GROUP BY source""".stripMargin,
     "d_decontaminate_ngram" -> {
       val joins = (1 to 8).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
       s"""WITH $wordsCte,
