@@ -51,14 +51,18 @@ object CurationQueries extends QueryModule {
         lit(0.25) + nStop.cast("double") / nWords * 2.0
           - nPunct.cast("double") / nChars * 3.0
           + nAlpha.cast("double") / nChars * 0.5))
-      val d2 = d1.filter(quality >= 0.3)
+      // Stage outputs are materialized once (localCheckpoint): each is
+      // consumed by several downstream stages, and without truncation
+      // every reference re-executes the whole upstream filter chain —
+      // the doubled-reference pathology again, compounded per stage.
+      val d2 = d1.filter(quality >= 0.3).localCheckpoint()
       // 3. boilerplate gate: duplicated-span coverage among survivors
       val heavy = Dedup.spanCoverage(
           Dedup.spanHashes(d2, "doc_id", "text", 20), 20)
         .filter(col("coverage") > 0.5).select("doc_id")
-      val d3 = d2.join(heavy, Seq("doc_id"), "left_anti")
+      val d3 = d2.join(heavy, Seq("doc_id"), "left_anti").localCheckpoint()
       // 4. fuzzy dedup on what's left
-      val sh = Dedup.shingles(d3, "doc_id", "text")
+      val sh = Dedup.shingles(d3, "doc_id", "text").localCheckpoint()
       val pairs = Dedup.pairJaccard(
           Dedup.candidatePairs(Dedup.lshBands(Dedup.minhashSignature(sh))), sh)
         .filter(col("jacc") >= 0.5).select("doc_a", "doc_b")
