@@ -60,4 +60,17 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     modules.flatMap(_.oracleSql).toMap
+
+  /** Cache lifecycle: release every module's per-dataset materialized
+    * frames (the shared-index pattern) for one dataset / for all.
+    * Harnesses call this between datasets; a long-lived service calls
+    * evict when a dataset is retired. */
+  def evictCaches(dir: String): Unit = {
+    modules.foreach(_.evictCaches(dir))
+    Tables.evictCache(dir)
+  }
+  def clearCaches(): Unit = {
+    modules.foreach(_.clearCaches())
+    Tables.clearCache()
+  }
 }

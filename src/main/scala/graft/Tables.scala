@@ -43,4 +43,16 @@ object Tables {
     if (!cacheEnabled) spark.read.parquet(s"$dir/$name.parquet")
     else cached.computeIfAbsent(s"$dir/$name",
       _ => spark.read.parquet(s"$dir/$name.parquet").cache())
+
+  /** Unpin one dataset's tables / everything (cache lifecycle hooks —
+    * Bench/Verify call these between datasets so a long-lived session
+    * never accumulates storage blocks per dataset touched). */
+  def evictCache(dir: String): Unit = {
+    val keys = cached.keySet().toArray(Array.empty[String]).filter(_.startsWith(dir + "/"))
+    keys.foreach(k => Option(cached.remove(k)).foreach(_.unpersist()))
+  }
+  def clearCache(): Unit = {
+    cached.values().forEach(df => { df.unpersist(); () })
+    cached.clear()
+  }
 }

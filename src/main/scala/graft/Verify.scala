@@ -36,6 +36,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // cache lifecycle: release every module's per-dataset materialized
+    // frames — the dump is done with this dataset
+    SparkEntry.evictCaches(sfDir)
     spark.stop()
   }
 }

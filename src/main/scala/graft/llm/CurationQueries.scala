@@ -224,9 +224,13 @@ object CurationQueries extends QueryModule {
         |  SELECT id, 2, md5(m3 || m4) FROM sig UNION ALL
         |  SELECT id, 3, md5(m5 || m6) FROM sig UNION ALL
         |  SELECT id, 4, md5(m7 || m8) FROM sig),
+        |hotb AS (SELECT band, key FROM bands GROUP BY band, key HAVING count(*) > 1024),
+        |bandsc AS (
+        |  SELECT b.id, b.band, b.key FROM bands b
+        |  WHERE NOT EXISTS (SELECT 1 FROM hotb h WHERE h.band = b.band AND h.key = b.key)),
         |cands AS (
         |  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
-        |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+        |  FROM bandsc a JOIN bandsc b ON a.band = b.band AND a.key = b.key AND a.id < b.id),
         |inter AS (
         |  SELECT doc_a, doc_b, count(*) AS i
         |  FROM cands

@@ -54,16 +54,42 @@ object Dedup {
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
-  /** Candidate pairs from shared band keys (doc_a < doc_b, distinct). */
-  def candidatePairs(bands: DataFrame): DataFrame = {
-    val a = bands.select(col("band"), col("key"), col("id").as("doc_a"))
-    val b = bands.select(col("band"), col("key"), col("id").as("doc_b"))
-    // band keys are k/rows rows per doc — small enough to broadcast up to
-    // ~10M docs; beyond that the equi-join shuffles on (band, key), which
-    // is still never an all-pairs product.
-    a.join(broadcast(b), Seq("band", "key")).filter(col("doc_a") < col("doc_b"))
+  /** Candidate pairs from shared band keys (doc_a < doc_b, distinct).
+    *
+    * Hot-bucket cap: a band key shared by more than `maxBucket` docs
+    * (exact-duplicate floods, template corpora) would emit
+    * O(bucket²) pairs through one reducer — the classic LSH skew
+    * killer. Such a bucket carries no per-pair signal worth a
+    * quadratic blowup (its members are better handled by the exact
+    * dedup stage that precedes fuzzy dedup in any real pipeline), so
+    * buckets above the cap are excluded from pair generation entirely;
+    * [[hotBuckets]] reports what was dropped. A pair can still meet
+    * through any of its other k/rows band keys.
+    *
+    * No broadcast hint on the self-join: AQE broadcasts the band frame
+    * when its runtime size is under the threshold and falls back to a
+    * shuffled equi-join on (band, key) beyond that. (A hard
+    * `broadcast()` never falls back — at 10⁹ docs the 4-rows/doc band
+    * frame would be a forced driver-side build → OOM.) */
+  def candidatePairs(bands: DataFrame, maxBucket: Int = 1024): DataFrame = {
+    val capped = bands.join(
+      hotBuckets(bands, maxBucket).select("band", "key"),
+      Seq("band", "key"), "left_anti")
+    val a = capped.select(col("band"), col("key"), col("id").as("doc_a"))
+    val b = capped.select(col("band"), col("key"), col("id").as("doc_b"))
+    a.join(b, Seq("band", "key")).filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
   }
+
+  /** Band buckets above the pair-generation cap: (band, key, n_docs).
+    * The observability side of [[candidatePairs]]' skew guard — a
+    * pipeline report joins this to see how many docs were excluded
+    * from fuzzy-dedup pair generation and why (always template/exact
+    * floods; legitimate near-dup clusters are orders of magnitude
+    * smaller than any sane cap). */
+  def hotBuckets(bands: DataFrame, maxBucket: Int = 1024): DataFrame =
+    bands.groupBy("band", "key").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxBucket)
 
   /** Exact Jaccard for given pairs from their distinct shingle sets. */
   def pairJaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
@@ -171,8 +197,18 @@ object Dedup {
     * candidates pay the exact hamming verification. Completeness is
     * guaranteed, so the result is identical to the quadratic scan.
     *
-    * At cluster scale the join shuffles on (blk, bv); hot block values
-    * (skewed bit distributions) are AQE skew-join territory.
+    * Skew guard (salt + recombine, SEMANTICS-PRESERVING): a hot block
+    * value — every doc in a template corpus agreeing on one 7-bit
+    * block — funnels its whole O(bucket²) pair generation through ONE
+    * reducer. Buckets whose posting count exceeds `saltThreshold` are
+    * split: the left side keeps one deterministic salt per doc
+    * (pmod(hash(id), saltBuckets)), the right side is replicated to
+    * every salt, so each pair still meets EXACTLY once while the
+    * reducer work drops to bucket²/saltBuckets per task. Cold buckets
+    * join unsalted — no replication tax where there is no skew. The
+    * output pair set is bit-identical to the unsalted plan (verified
+    * by `SkewSpec`); only the shuffle layout changes, so the exact
+    * quadratic oracle stays the ground truth at every scale.
     *
     * Input: (id, simhash). Output: (doc_a, doc_b, ha, hb) pairs with
     * doc_a < doc_b, superset of the true hamming<=maxDist pairs. NOT
@@ -181,7 +217,8 @@ object Dedup {
     * distinct() the survivors, so the wide pre-filter set never pays a
     * shuffle (the filter runs map-side in the join stage).
     */
-  def simhashCandidates(sim: DataFrame, maxDist: Int = 6, bits: Int = 64): DataFrame = {
+  def simhashCandidates(sim: DataFrame, maxDist: Int = 6, bits: Int = 64,
+                        saltBuckets: Int = 0, saltThreshold: Int = 100000): DataFrame = {
     val nBlocks = maxDist + 1
     val bounds = (0 to nBlocks).map(i => i * bits / nBlocks)
     val blocks = (0 until nBlocks).map { i =>
@@ -193,10 +230,31 @@ object Dedup {
       .select(col("id"), col("simhash"), explode(array(blocks: _*)).as("b"))
       .select(col("id"), col("simhash"), col("b.blk").as("blk"), col("b.bv").as("bv"))
       .cache() // consumed by both sides of the self-join below
-    val a = exploded.select(col("blk"), col("bv"), col("id").as("doc_a"), col("simhash").as("ha"))
-    val b = exploded.select(col("blk"), col("bv"), col("id").as("doc_b"), col("simhash").as("hb"))
-    a.join(b, Seq("blk", "bv")).filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "ha", "hb")
+    def pairsOf(df: DataFrame, joinKeys: Seq[String]): DataFrame = {
+      val a = df.select((joinKeys :+ "id" :+ "simhash").map(col): _*)
+        .withColumnsRenamed(Map("id" -> "doc_a", "simhash" -> "ha"))
+      val b = df.select((joinKeys :+ "id" :+ "simhash").map(col): _*)
+        .withColumnsRenamed(Map("id" -> "doc_b", "simhash" -> "hb"))
+      a.join(b, joinKeys).filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+    }
+    if (saltBuckets <= 1) pairsOf(exploded, Seq("blk", "bv"))
+    else {
+      val hot = exploded.groupBy("blk", "bv").agg(count(lit(1)).as("pc"))
+        .filter(col("pc") > saltThreshold).select("blk", "bv")
+      val cold = exploded.join(hot, Seq("blk", "bv"), "left_anti")
+      val hotRows = exploded.join(hot, Seq("blk", "bv"))
+      val aH = hotRows
+        .withColumn("salt", pmod(hash(col("id")), lit(saltBuckets)))
+        .select(col("blk"), col("bv"), col("salt"), col("id").as("doc_a"), col("simhash").as("ha"))
+      val bH = hotRows
+        .select(col("blk"), col("bv"), explode(sequence(lit(0), lit(saltBuckets - 1))).as("salt"),
+          col("id").as("doc_b"), col("simhash").as("hb"))
+      val saltedPairs = aH.join(bH, Seq("blk", "bv", "salt"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+      pairsOf(cold, Seq("blk", "bv")).unionByName(saltedPairs)
+    }
   }
 
   /** 64-bit SimHash over a document's distinct shingle set (input: the

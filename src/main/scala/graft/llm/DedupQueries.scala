@@ -38,8 +38,10 @@ object DedupQueries extends QueryModule {
       Dedup.shingles(Tables.documents(s, d), "doc_id", "text", n = 2).cache())
 
   /** Shared all-pairs Jaccard frame (doc_a, doc_b, jacc) over pairs with
-    * ≥1 common shingle — the exact-overlap backbone consumed at
-    * different thresholds by the n-gram and canonicalization operators. */
+    * ≥1 common shingle — EXACT BASELINE ONLY (quadratic in the hottest
+    * shingle's posting list); consumed solely by the labeled
+    * d_ngram_jaccard baseline. Production overlap queries ride
+    * [[cappedPairsOf]]. */
   private val pairsCache = new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
   private def pairJaccOf(s: org.apache.spark.sql.SparkSession, dir: String) =
     pairsCache.computeIfAbsent(dir, d => {
@@ -56,6 +58,56 @@ object DedupQueries extends QueryModule {
         .cache()
     })
 
+  /** Shared CAPPED-generation exact-overlap frame — the production
+    * counterpart of [[pairJaccOf]]: shingles whose posting list exceeds
+    * the cap are excluded from pair GENERATION (a stop-phrase shared by
+    * 10⁶ docs would otherwise make 10¹² pairs), then hot-shingle
+    * intersections are added back for the surviving candidates only, so
+    * i/ca/cb — and every score derived from them (Jaccard,
+    * containment) — stay EXACT for any pair that meets through a rare
+    * shingle. The one-row dropped-shingle count rides along on every
+    * row for observability. Columns: (doc_a, doc_b, i, ca, cb,
+    * n_dropped_shingles). */
+  private val cappedCache = new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+  private val shingleCap = 40
+  private def cappedPairsOf(s: org.apache.spark.sql.SparkSession, dir: String) =
+    cappedCache.computeIfAbsent(dir, d => {
+      val sh = shinglesOf(s, d)
+      val hot = sh.groupBy("s").agg(count(lit(1)).as("pc")).filter(col("pc") > shingleCap)
+      val cold = sh.join(broadcast(hot.select("s")), Seq("s"), "left_anti")
+      val hotPost = sh.join(broadcast(hot.select("s")), Seq("s"))
+      val sizes = sh.groupBy("id").agg(count(lit(1)).as("c"))
+      // icold feeds both the hot-correction join and the final merge;
+      // localCheckpoint materializes the (bounded, candidate-sized)
+      // frame once instead of re-running pair generation per reference.
+      val icold = cold.select(col("id").as("doc_a"), col("s"))
+        .join(cold.select(col("id").as("doc_b"), col("s")), Seq("s"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ic"))
+        .localCheckpoint()
+      // hot-shingle intersections computed ONLY for surviving candidates:
+      // cost ∝ candidates × hot shingles per doc, never posting² of a
+      // stop-phrase
+      val ihot = icold.select("doc_a", "doc_b")
+        .join(hotPost.select(col("id").as("doc_a"), col("s")), Seq("doc_a"))
+        .join(hotPost.select(col("id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ih"))
+      icold.join(ihot, Seq("doc_a", "doc_b"), "left")
+        .withColumn("i", col("ic") + coalesce(col("ih"), lit(0L)))
+        .join(sizes.select(col("id").as("doc_a"), col("c").as("ca")), Seq("doc_a"))
+        .join(sizes.select(col("id").as("doc_b"), col("c").as("cb")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("i"), col("ca"), col("cb"))
+        .crossJoin(broadcast(hot.agg(count(lit(1)).as("n_dropped_shingles"))))
+        .cache()
+    })
+
+  override def evictCaches(dir: String): Unit =
+    Seq(shCache, lshPairsCache, sh2Cache, pairsCache, cappedCache)
+      .foreach(graft.model.FrameCache.evict(_, dir))
+  override def clearCaches(): Unit =
+    Seq(shCache, lshPairsCache, sh2Cache, pairsCache, cappedCache)
+      .foreach(graft.model.FrameCache.clear)
+
   /** Shared oracle CTEs: words → distinct 3-gram shingles → set sizes. */
   private val shinglesCte =
     """words AS (
@@ -64,6 +116,37 @@ object DedupQueries extends QueryModule {
       |  SELECT DISTINCT id, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS s
       |  FROM words CROSS JOIN range(400) t(i) WHERE i < len(ws) - 2),
       |sizes AS (SELECT id, count(*) AS c FROM sh GROUP BY 1)""".stripMargin
+
+  /** Shared oracle CTEs: minhash signatures → LSH band buckets (with the
+    * >1024-doc hot-bucket skew cap mirroring Dedup.candidatePairs) →
+    * candidate pairs → exact shingle intersections. */
+  private val lshInterCte =
+    """hashed AS (SELECT id, md5(s) AS h FROM sh),
+      |sig AS (
+      |  SELECT id,
+      |    min(substring(h, 1, 4)) AS m1, min(substring(h, 5, 4)) AS m2,
+      |    min(substring(h, 9, 4)) AS m3, min(substring(h, 13, 4)) AS m4,
+      |    min(substring(h, 17, 4)) AS m5, min(substring(h, 21, 4)) AS m6,
+      |    min(substring(h, 25, 4)) AS m7, min(substring(h, 29, 4)) AS m8
+      |  FROM hashed GROUP BY id),
+      |bands AS (
+      |  SELECT id, 1 AS band, md5(m1 || m2) AS key FROM sig UNION ALL
+      |  SELECT id, 2, md5(m3 || m4) FROM sig UNION ALL
+      |  SELECT id, 3, md5(m5 || m6) FROM sig UNION ALL
+      |  SELECT id, 4, md5(m7 || m8) FROM sig),
+      |hotb AS (SELECT band, key FROM bands GROUP BY band, key HAVING count(*) > 1024),
+      |bandsc AS (
+      |  SELECT b.id, b.band, b.key FROM bands b
+      |  WHERE NOT EXISTS (SELECT 1 FROM hotb h WHERE h.band = b.band AND h.key = b.key)),
+      |cands AS (
+      |  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+      |  FROM bandsc a JOIN bandsc b ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+      |inter AS (
+      |  SELECT doc_a, doc_b, count(*) AS i
+      |  FROM cands
+      |  JOIN sh sa ON sa.id = doc_a
+      |  JOIN sh sb ON sb.id = doc_b AND sb.s = sa.s
+      |  GROUP BY 1, 2)""".stripMargin
 
   override def queries = Map(
     // MinHash (k=8) → LSH (4 bands × 2 rows) → exact-Jaccard verify.
@@ -85,12 +168,16 @@ object DedupQueries extends QueryModule {
     // Asymmetric near-containment: C = |A∩B| / min(|A|,|B|) — catches a
     // document swallowed whole by a larger one (quotes, boilerplate
     // wrappers, concatenations), which symmetric Jaccard dilutes below
-    // any usable threshold. Same shared inverted-index pair frame; the
-    // extra columns ride along for free.
+    // any usable threshold. Rides the CAPPED-generation frame (this is
+    // a production operator, not a labeled baseline): the score is
+    // exact for any pair meeting through a rare shingle, and no
+    // stop-phrase posting list ever goes quadratic.
     "d_containment" -> ((s, dir) =>
-      pairJaccOf(s, dir)
+      cappedPairsOf(s, dir)
         .withColumn("containment",
           col("i").cast("double") / least(col("ca"), col("cb")))
+        .withColumn("jacc",
+          col("i").cast("double") / (col("ca") + col("cb") - col("i")))
         .filter(col("containment") >= 0.8)
         .select("doc_a", "doc_b", "containment", "jacc")),
 
@@ -100,40 +187,23 @@ object DedupQueries extends QueryModule {
     // dropped-shingle count is reported in every row for observability.
     // Intersection/union still count ALL shingles, so the score is exact
     // for any pair that still meets through a rare shingle.
-    "d_ngram_jaccard_capped" -> ((s, dir) => {
-      val cap = 40
-      val sh = shinglesOf(s, dir)
-      val hot = sh.groupBy("s").agg(count(lit(1)).as("pc")).filter(col("pc") > cap)
-      val cold = sh.join(broadcast(hot.select("s")), Seq("s"), "left_anti")
-      val hotPost = sh.join(broadcast(hot.select("s")), Seq("s"))
-      val sizes = sh.groupBy("id").agg(count(lit(1)).as("c"))
-      // pair generation + cold intersections from the CAPPED index only.
-      // icold feeds both the hot-correction join and the final merge;
-      // localCheckpoint materializes the (bounded, candidate-sized)
-      // frame once instead of re-running pair generation per reference,
-      // and unlike cache() the blocks are GC-reclaimed when the query's
-      // frames go out of scope.
-      val icold = cold.select(col("id").as("doc_a"), col("s"))
-        .join(cold.select(col("id").as("doc_b"), col("s")), Seq("s"))
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ic"))
-        .localCheckpoint()
-      // hot-shingle intersections computed ONLY for surviving candidates:
-      // cost ∝ candidates × hot shingles per doc, never posting² of a
-      // stop-phrase
-      val ihot = icold.select("doc_a", "doc_b")
-        .join(hotPost.select(col("id").as("doc_a"), col("s")), Seq("doc_a"))
-        .join(hotPost.select(col("id").as("doc_b"), col("s")), Seq("doc_b", "s"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ih"))
-      icold.join(ihot, Seq("doc_a", "doc_b"), "left")
-        .withColumn("i", col("ic") + coalesce(col("ih"), lit(0L)))
-        .join(sizes.select(col("id").as("doc_a"), col("c").as("ca")), Seq("doc_a"))
-        .join(sizes.select(col("id").as("doc_b"), col("c").as("cb")), Seq("doc_b"))
+    "d_ngram_jaccard_capped" -> ((s, dir) =>
+      cappedPairsOf(s, dir)
         .select(col("doc_a"), col("doc_b"),
-          (col("i").cast("double") / (col("ca") + col("cb") - col("i"))).as("jacc"))
-        .filter(col("jacc") >= 0.3)
-        .crossJoin(broadcast(hot.agg(count(lit(1)).as("n_dropped_shingles"))))
-    }),
+          (col("i").cast("double") / (col("ca") + col("cb") - col("i"))).as("jacc"),
+          col("n_dropped_shingles"))
+        .filter(col("jacc") >= 0.3)),
+
+    // LSH bucket profile: the observability face of candidatePairs'
+    // hot-bucket skew guard — every band bucket generating pairs
+    // (n_docs ≥ 2), so a pipeline report can see exactly which buckets
+    // a production cap (default 1024) would drop and how many docs
+    // they hold. On a healthy corpus the tail is tiny; a template
+    // flood shows up here before it shows up as a stuck reducer.
+    "d_lsh_bucket_profile" -> ((s, dir) =>
+      Dedup.hotBuckets(
+        Dedup.lshBands(Dedup.minhashSignature(shinglesOf(s, dir), 8), 8, 2),
+        maxBucket = 1)),
 
     // Benchmark decontamination: the hash-gate split (t_dataset_split's
     // trick) marks ~10% of documents as the held-out benchmark set;
@@ -243,7 +313,12 @@ object DedupQueries extends QueryModule {
 
     "d_simhash" -> ((s, dir) => {
       val sim = Dedup.simhash64(shinglesOf(s, dir))
-      Dedup.simhashCandidates(sim, maxDist = 8)
+      // salt hot pigeonhole buckets (>1000 docs agreeing on one block)
+      // across 8 reducers — semantics-preserving, so the exact
+      // quadratic oracle stays the ground truth; on a healthy corpus
+      // the salted branch is empty and the plan degenerates to the
+      // plain equi-join.
+      Dedup.simhashCandidates(sim, maxDist = 8, saltBuckets = 8, saltThreshold = 1000)
         .withColumn("hamming", expr("CAST(bit_count(ha ^ hb) AS INT)"))
         .filter(col("hamming") <= 8)
         .select("doc_a", "doc_b", "hamming")
@@ -254,55 +329,13 @@ object DedupQueries extends QueryModule {
   override def oracleSql = Map(
     "d_minhash_lsh" ->
       s"""WITH $shinglesCte,
-         |hashed AS (SELECT id, md5(s) AS h FROM sh),
-         |sig AS (
-         |  SELECT id,
-         |    min(substring(h, 1, 4)) AS m1, min(substring(h, 5, 4)) AS m2,
-         |    min(substring(h, 9, 4)) AS m3, min(substring(h, 13, 4)) AS m4,
-         |    min(substring(h, 17, 4)) AS m5, min(substring(h, 21, 4)) AS m6,
-         |    min(substring(h, 25, 4)) AS m7, min(substring(h, 29, 4)) AS m8
-         |  FROM hashed GROUP BY id),
-         |bands AS (
-         |  SELECT id, 1 AS band, md5(m1 || m2) AS key FROM sig UNION ALL
-         |  SELECT id, 2, md5(m3 || m4) FROM sig UNION ALL
-         |  SELECT id, 3, md5(m5 || m6) FROM sig UNION ALL
-         |  SELECT id, 4, md5(m7 || m8) FROM sig),
-         |cands AS (
-         |  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id),
-         |inter AS (
-         |  SELECT doc_a, doc_b, count(*) AS i
-         |  FROM cands
-         |  JOIN sh sa ON sa.id = doc_a
-         |  JOIN sh sb ON sb.id = doc_b AND sb.s = sa.s
-         |  GROUP BY 1, 2)
+         |$lshInterCte
          |SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (ca.c + cb.c - i) AS jacc
          |FROM inter JOIN sizes ca ON ca.id = doc_a JOIN sizes cb ON cb.id = doc_b
          |WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.5""".stripMargin,
     "d_decontaminate" ->
       s"""WITH $shinglesCte,
-         |hashed AS (SELECT id, md5(s) AS h FROM sh),
-         |sig AS (
-         |  SELECT id,
-         |    min(substring(h, 1, 4)) AS m1, min(substring(h, 5, 4)) AS m2,
-         |    min(substring(h, 9, 4)) AS m3, min(substring(h, 13, 4)) AS m4,
-         |    min(substring(h, 17, 4)) AS m5, min(substring(h, 21, 4)) AS m6,
-         |    min(substring(h, 25, 4)) AS m7, min(substring(h, 29, 4)) AS m8
-         |  FROM hashed GROUP BY id),
-         |bands AS (
-         |  SELECT id, 1 AS band, md5(m1 || m2) AS key FROM sig UNION ALL
-         |  SELECT id, 2, md5(m3 || m4) FROM sig UNION ALL
-         |  SELECT id, 3, md5(m5 || m6) FROM sig UNION ALL
-         |  SELECT id, 4, md5(m7 || m8) FROM sig),
-         |cands AS (
-         |  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id),
-         |inter AS (
-         |  SELECT doc_a, doc_b, count(*) AS i
-         |  FROM cands
-         |  JOIN sh sa ON sa.id = doc_a
-         |  JOIN sh sb ON sb.id = doc_b AND sb.s = sa.s
-         |  GROUP BY 1, 2),
+         |$lshInterCte,
          |vp AS (
          |  SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (ca.c + cb.c - i) AS jacc
          |  FROM inter JOIN sizes ca ON ca.id = doc_a JOIN sizes cb ON cb.id = doc_b
@@ -344,20 +377,47 @@ object DedupQueries extends QueryModule {
          |WHERE CAST(i AS DOUBLE) / (sa.c + sb.c - i) >= 0.3""".stripMargin,
     "d_containment" ->
       s"""WITH $shinglesCte,
-         |pairs AS (
-         |  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id),
-         |inter AS (
-         |  SELECT doc_a, doc_b, count(*) AS i
-         |  FROM pairs
-         |  JOIN sh sa ON sa.id = doc_a
-         |  JOIN sh sb ON sb.id = doc_b AND sb.s = sa.s
-         |  GROUP BY 1, 2)
-         |SELECT doc_a, doc_b,
-         |  CAST(i AS DOUBLE) / least(ca.c, cb.c) AS containment,
-         |  CAST(i AS DOUBLE) / (ca.c + cb.c - i) AS jacc
-         |FROM inter JOIN sizes ca ON ca.id = doc_a JOIN sizes cb ON cb.id = doc_b
-         |WHERE CAST(i AS DOUBLE) / least(ca.c, cb.c) >= 0.8""".stripMargin,
+         |hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 40),
+         |cold AS (SELECT id, s FROM sh WHERE s NOT IN (SELECT s FROM hot)),
+         |icold AS (
+         |  SELECT a.id AS doc_a, b.id AS doc_b, count(*) AS ic
+         |  FROM cold a JOIN cold b ON a.s = b.s AND a.id < b.id
+         |  GROUP BY 1, 2),
+         |hotpost AS (SELECT id, s FROM sh WHERE s IN (SELECT s FROM hot)),
+         |ihot AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS ih
+         |  FROM icold c
+         |  JOIN hotpost ha ON ha.id = c.doc_a
+         |  JOIN hotpost hb ON hb.id = c.doc_b AND hb.s = ha.s
+         |  GROUP BY 1, 2),
+         |j AS (
+         |  SELECT icold.doc_a AS doc_a, icold.doc_b AS doc_b,
+         |    ic + coalesce(ih, 0) AS i
+         |  FROM icold LEFT JOIN ihot
+         |    ON icold.doc_a = ihot.doc_a AND icold.doc_b = ihot.doc_b)
+         |SELECT j.doc_a AS doc_a, j.doc_b AS doc_b,
+         |  CAST(i AS DOUBLE) / least(sa.c, sb.c) AS containment,
+         |  CAST(i AS DOUBLE) / (sa.c + sb.c - i) AS jacc
+         |FROM j JOIN sizes sa ON sa.id = j.doc_a
+         |JOIN sizes sb ON sb.id = j.doc_b
+         |WHERE CAST(i AS DOUBLE) / least(sa.c, sb.c) >= 0.8""".stripMargin,
+    "d_lsh_bucket_profile" ->
+      s"""WITH $shinglesCte,
+         |hashed AS (SELECT id, md5(s) AS h FROM sh),
+         |sig AS (
+         |  SELECT id,
+         |    min(substring(h, 1, 4)) AS m1, min(substring(h, 5, 4)) AS m2,
+         |    min(substring(h, 9, 4)) AS m3, min(substring(h, 13, 4)) AS m4,
+         |    min(substring(h, 17, 4)) AS m5, min(substring(h, 21, 4)) AS m6,
+         |    min(substring(h, 25, 4)) AS m7, min(substring(h, 29, 4)) AS m8
+         |  FROM hashed GROUP BY id),
+         |bands AS (
+         |  SELECT id, 1 AS band, md5(m1 || m2) AS key FROM sig UNION ALL
+         |  SELECT id, 2, md5(m3 || m4) FROM sig UNION ALL
+         |  SELECT id, 3, md5(m5 || m6) FROM sig UNION ALL
+         |  SELECT id, 4, md5(m7 || m8) FROM sig)
+         |SELECT band, key, count(*) AS n_docs
+         |FROM bands GROUP BY band, key HAVING count(*) > 1""".stripMargin,
     "d_ngram_jaccard" ->
       s"""WITH $shinglesCte,
          |pairs AS (
@@ -374,28 +434,7 @@ object DedupQueries extends QueryModule {
          |WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.3""".stripMargin,
     "d_dedup_canonical" ->
       s"""WITH $shinglesCte,
-         |hashed AS (SELECT id, md5(s) AS h FROM sh),
-         |sig AS (
-         |  SELECT id,
-         |    min(substring(h, 1, 4)) AS m1, min(substring(h, 5, 4)) AS m2,
-         |    min(substring(h, 9, 4)) AS m3, min(substring(h, 13, 4)) AS m4,
-         |    min(substring(h, 17, 4)) AS m5, min(substring(h, 21, 4)) AS m6,
-         |    min(substring(h, 25, 4)) AS m7, min(substring(h, 29, 4)) AS m8
-         |  FROM hashed GROUP BY id),
-         |bands AS (
-         |  SELECT id, 1 AS band, md5(m1 || m2) AS key FROM sig UNION ALL
-         |  SELECT id, 2, md5(m3 || m4) FROM sig UNION ALL
-         |  SELECT id, 3, md5(m5 || m6) FROM sig UNION ALL
-         |  SELECT id, 4, md5(m7 || m8) FROM sig),
-         |cands AS (
-         |  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id),
-         |inter AS (
-         |  SELECT doc_a, doc_b, count(*) AS i
-         |  FROM cands
-         |  JOIN sh sa ON sa.id = doc_a
-         |  JOIN sh sb ON sb.id = doc_b AND sb.s = sa.s
-         |  GROUP BY 1, 2),
+         |$lshInterCte,
          |pairs AS MATERIALIZED (
          |  SELECT doc_a, doc_b
          |  FROM inter JOIN sizes ca ON ca.id = doc_a JOIN sizes cb ON cb.id = doc_b
@@ -425,28 +464,7 @@ object DedupQueries extends QueryModule {
          |SELECT id, canonical FROM r3""".stripMargin,
     "d_dedup_keep_best" ->
       s"""WITH $shinglesCte,
-         |hashed AS (SELECT id, md5(s) AS h FROM sh),
-         |sig AS (
-         |  SELECT id,
-         |    min(substring(h, 1, 4)) AS m1, min(substring(h, 5, 4)) AS m2,
-         |    min(substring(h, 9, 4)) AS m3, min(substring(h, 13, 4)) AS m4,
-         |    min(substring(h, 17, 4)) AS m5, min(substring(h, 21, 4)) AS m6,
-         |    min(substring(h, 25, 4)) AS m7, min(substring(h, 29, 4)) AS m8
-         |  FROM hashed GROUP BY id),
-         |bands AS (
-         |  SELECT id, 1 AS band, md5(m1 || m2) AS key FROM sig UNION ALL
-         |  SELECT id, 2, md5(m3 || m4) FROM sig UNION ALL
-         |  SELECT id, 3, md5(m5 || m6) FROM sig UNION ALL
-         |  SELECT id, 4, md5(m7 || m8) FROM sig),
-         |cands AS (
-         |  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id),
-         |inter AS (
-         |  SELECT doc_a, doc_b, count(*) AS i
-         |  FROM cands
-         |  JOIN sh sa ON sa.id = doc_a
-         |  JOIN sh sb ON sb.id = doc_b AND sb.s = sa.s
-         |  GROUP BY 1, 2),
+         |$lshInterCte,
          |pairs AS MATERIALIZED (
          |  SELECT doc_a, doc_b
          |  FROM inter JOIN sizes ca ON ca.id = doc_a JOIN sizes cb ON cb.id = doc_b
@@ -491,28 +509,7 @@ object DedupQueries extends QueryModule {
          |WHERE rn = 1""".stripMargin,
     "d_pagerank" ->
       s"""WITH $shinglesCte,
-         |hashed AS (SELECT id, md5(s) AS h FROM sh),
-         |sig AS (
-         |  SELECT id,
-         |    min(substring(h, 1, 4)) AS m1, min(substring(h, 5, 4)) AS m2,
-         |    min(substring(h, 9, 4)) AS m3, min(substring(h, 13, 4)) AS m4,
-         |    min(substring(h, 17, 4)) AS m5, min(substring(h, 21, 4)) AS m6,
-         |    min(substring(h, 25, 4)) AS m7, min(substring(h, 29, 4)) AS m8
-         |  FROM hashed GROUP BY id),
-         |bands AS (
-         |  SELECT id, 1 AS band, md5(m1 || m2) AS key FROM sig UNION ALL
-         |  SELECT id, 2, md5(m3 || m4) FROM sig UNION ALL
-         |  SELECT id, 3, md5(m5 || m6) FROM sig UNION ALL
-         |  SELECT id, 4, md5(m7 || m8) FROM sig),
-         |cands AS (
-         |  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id),
-         |inter AS (
-         |  SELECT doc_a, doc_b, count(*) AS i
-         |  FROM cands
-         |  JOIN sh sa ON sa.id = doc_a
-         |  JOIN sh sb ON sb.id = doc_b AND sb.s = sa.s
-         |  GROUP BY 1, 2),
+         |$lshInterCte,
          |vp AS MATERIALIZED (
          |  SELECT doc_a, doc_b
          |  FROM inter JOIN sizes ca ON ca.id = doc_a JOIN sizes cb ON cb.id = doc_b

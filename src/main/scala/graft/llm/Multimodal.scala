@@ -109,6 +109,11 @@ object Multimodal {
     import spark.implicits._
     media.filter(_.kind == "image").mapPartitions(_.map { m =>
       val img = MediaCodecs.decodeFrames(m.payload).head
+      // images narrower/shorter than the grid have zero-pixel blocks
+      // (bw or bh = 0 → division by zero); the hash is meaningless
+      // below grid resolution, so reject loudly rather than emit junk
+      require(img.w >= grid && img.h >= grid,
+        s"imageAhash needs >= ${grid}x$grid pixels, got ${img.w}x${img.h} (doc ${m.doc_id})")
       val bw = img.w / grid; val bh = img.h / grid
       val means = Array.tabulate(grid * grid) { b =>
         val bx = b % grid; val by = b / grid

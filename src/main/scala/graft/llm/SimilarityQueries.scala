@@ -46,6 +46,13 @@ object SimilarityQueries extends QueryModule {
     residCbCache.computeIfAbsent(dir, d =>
       Similarity.pqCodebooks(Similarity.pqSub(residOf(s, d), 4, 16), 8, 2))
 
+  override def evictCaches(dir: String): Unit =
+    Seq(qCache, coarseCache, pqCbCache, residCbCache)
+      .foreach(graft.model.FrameCache.evict(_, dir))
+  override def clearCaches(): Unit =
+    Seq(qCache, coarseCache, pqCbCache, residCbCache)
+      .foreach(graft.model.FrameCache.clear)
+
   private val quantSql =
     """q AS (
       |  SELECT vec_id,

@@ -12,5 +12,26 @@ package object model {
   trait QueryModule {
     def queries: Map[String, QueryFn]
     def oracleSql: Map[String, String]
+
+    /** Release any per-dataset cached frames this module holds (the
+      * materialized shared-index pattern). A long-lived service calls
+      * this when a dataset is retired; Verify/Bench call it between
+      * datasets so storage blocks never outlive the run that built
+      * them. Default: nothing cached. */
+    def evictCaches(dir: String): Unit = ()
+
+    /** Release ALL cached frames this module holds. */
+    def clearCaches(): Unit = ()
+  }
+
+  /** Shared helper for the module-level materialized-frame caches:
+    * unpersist + drop every entry (or one dataset's entry). */
+  private[graft] object FrameCache {
+    def evict(m: java.util.concurrent.ConcurrentHashMap[String, DataFrame], dir: String): Unit =
+      Option(m.remove(dir)).foreach(_.unpersist())
+    def clear(m: java.util.concurrent.ConcurrentHashMap[String, DataFrame]): Unit = {
+      m.values().forEach(df => { df.unpersist(); () })
+      m.clear()
+    }
   }
 }

@@ -61,19 +61,27 @@ object Zonal {
       try {
         // bounded per-executor cache: admin-boundary sets fit easily;
         // an ad-hoc geometry STREAM must not grow executor memory
-        // without limit, so the cache resets when it would exceed the
-        // cap (parse cost returns, memory does not leak)
-        if (Zonal.cache.size() >= Zonal.cacheCap) Zonal.cache.clear()
-        val geom = Zonal.cache.computeIfAbsent(w, k =>
-          new org.locationtech.jts.io.WKTReader().read(k))
+        // without limit. At the cap, evict ONE (arbitrary) entry —
+        // clear-all would make a working set of cap+1 re-parse the
+        // whole set every pass (thrash), single eviction re-parses at
+        // most one geometry per insert.
+        if (Zonal.cache.size() >= Zonal.cacheCap && !Zonal.cache.containsKey(w)) {
+          val it = Zonal.cache.keySet().iterator()
+          if (it.hasNext) { it.next(); it.remove() }
+        }
+        val geom = Zonal.cache.computeIfAbsent(w, k => {
+          Zonal.parses.incrementAndGet()
+          new org.locationtech.jts.io.WKTReader().read(k)
+        })
         geom.covers(Zonal.factory.createPoint(
           new org.locationtech.jts.geom.Coordinate(px, py)))
       } catch { case _: Exception => false }
     }.apply(wkt, x, y)
 
   private val factory = new org.locationtech.jts.geom.GeometryFactory()
-  private val cacheCap = 8192
-  private val cache =
+  private[ops] val cacheCap = 8192
+  private[ops] val parses = new java.util.concurrent.atomic.AtomicLong()
+  private[ops] val cache =
     new java.util.concurrent.ConcurrentHashMap[String, org.locationtech.jts.geom.Geometry]()
 
   /** Tile-level zonal path (the 100 TB plan): precompute one boolean

@@ -110,7 +110,8 @@ class GeoRasterScan(path: String, required: StructType,
 
 object GeoRasterScan {
   def listFiles(path: String): Array[String] = {
-    val exts = Set("tif", "grib2", "nc")
+    // dot-anchored so "x.gtif" / "data.func" don't reach the sniffer
+    val exts = Seq(".tif", ".tiff", ".grib2", ".nc")
     val dir = new java.io.File(path)
     val files =
       if (dir.isFile) Array(dir)
@@ -125,8 +126,13 @@ object GeoRasterScan {
   * listing diff, so every dropped granule is processed exactly once
   * (same contract as Spark's own FileStreamSource, minimal form). */
 case class GeoRasterOffset(files: Seq[String]) extends Offset {
+  // base64 per path: the offset round-trips ANY byte sequence in a
+  // file name (embedded quotes, '","', newlines) without needing a
+  // real JSON parser on recovery — the base64 alphabet contains no
+  // quote or comma, so the array splits unambiguously.
   override def json(): String =
-    files.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+    files.map(f => "\"" + java.util.Base64.getEncoder.encodeToString(
+      f.getBytes(java.nio.charset.StandardCharsets.UTF_8)) + "\"")
       .mkString("[", ",", "]")
 }
 
@@ -137,12 +143,12 @@ class GeoRasterMicroBatchStream(path: String, fields: Array[String],
   override def latestOffset(): Offset =
     GeoRasterOffset(GeoRasterScan.listFiles(path).toSeq)
   override def deserializeOffset(json: String): Offset = {
-    // minimal parser for the escaped-string array written by json()
     val inner = json.trim.stripPrefix("[").stripSuffix("]")
     if (inner.isEmpty) GeoRasterOffset(Seq.empty)
-    else GeoRasterOffset(inner.split("\",\"").toSeq
-      .map(_.stripPrefix("\"").stripSuffix("\"")
-        .replace("\\\"", "\"").replace("\\\\", "\\")))
+    else GeoRasterOffset(inner.split(",").toSeq.map(s =>
+      new String(
+        java.util.Base64.getDecoder.decode(s.trim.stripPrefix("\"").stripSuffix("\"")),
+        java.nio.charset.StandardCharsets.UTF_8)))
   }
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val seen = start.asInstanceOf[GeoRasterOffset].files.toSet

@@ -15,7 +15,7 @@ class PlanAuditSpec extends SparkSpec {
   // vectors, a one-row corpus aggregate, a config frame. Anything NEW
   // showing up here needs the same justification or an equi-key fix.
   private val reviewedBnlj = Set(
-    "a19_threshold_area", "d_ngram_jaccard_capped", "f14_regrid_nearest",
+    "a19_threshold_area", "d_containment", "d_ngram_jaccard_capped", "f14_regrid_nearest",
     "j1_zonal_stats", "j1b_zonal_levels", "s10b_xyz_tiles",
     "s_ann_bruteforce", "s_ann_ivf", "s_ann_ivf_kmeans", "s_ann_ivfpq",
     "s_ann_ivfpq_resid", "t_domain_mix", "v_transform_dispatch",

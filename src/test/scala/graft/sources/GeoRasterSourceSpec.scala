@@ -90,4 +90,21 @@ class GeoRasterSourceSpec extends SparkSpec {
     assert(df.filter(col("fname") === "precip_20240201.tif").count() == 44)
     assert(df.select("time").distinct().count() == 3)
   }
+
+  test("stream offset round-trips hostile file names (quotes, '\",\"', newline)") {
+    val stream = new GeoRasterMicroBatchStream("/nonexistent", Array("fname"))
+    val hostile = Seq("""/drop/a",".tif""", "/drop/b\"quote\".nc", "/drop/c\nnl.grib2", "/drop/plain.tif")
+    val off = GeoRasterOffset(hostile)
+    val back = stream.deserializeOffset(off.json()).asInstanceOf[GeoRasterOffset]
+    assert(back.files == hostile)
+  }
+
+  test("drop-zone listing is dot-anchored: x.gtif / data.func never reach the sniffer") {
+    val d = java.nio.file.Files.createTempDirectory("ext").toString
+    Seq("a.tif", "b.tiff", "c.nc", "d.grib2", "x.gtif", "data.func", "e.nc.bak")
+      .foreach(n => java.nio.file.Files.write(
+        java.nio.file.Paths.get(d, n), Array[Byte](1, 2, 3)))
+    val names = GeoRasterScan.listFiles(d).map(f => new java.io.File(f).getName).toSet
+    assert(names == Set("a.tif", "b.tiff", "c.nc", "d.grib2"))
+  }
 }
