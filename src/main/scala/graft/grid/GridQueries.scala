@@ -227,6 +227,31 @@ object GridQueries extends QueryModule {
       Regrid.probeResample(Grid.fromLineitem(s, dir), probes)
     }),
 
+    // F14 — regrid onto a Lambert-conformal-conic target (the classic
+    // CONUS forecast projection: standard parallels 33/45°N, origin
+    // 39°N 96°W) through the same generic probe hook — conic support
+    // is just another 30-line inverse, the plan is unchanged.
+    "f14_regrid_lcc" -> ((s, dir) => {
+      val probes = Regrid.reprojectProbesGeneric(s, Grid.W, Grid.H,
+        srcWest = -180.0, srcNorth = 90.0, pxDeg = Grid.PX, pyDeg = Grid.PY,
+        tgtW = 25, tgtH = 15,
+        mw = -2400000.0, mn = 1600000.0, pxm = 200000.0, pym = 200000.0,
+        inv = graft.ops.Geo.invLambertConformalConic(33.0, 45.0, 39.0, -96.0))
+      Regrid.probeResample(Grid.fromLineitem(s, dir), probes)
+    }),
+
+    // F14 — regrid onto an ELLIPSOIDAL (WGS84) Mercator target
+    // (EPSG:3395-style, datum-true): the inverse latitude series is the
+    // fixed-point iteration, datum support without touching the plan.
+    "f14_regrid_emerc" -> ((s, dir) => {
+      val probes = Regrid.reprojectProbesGeneric(s, Grid.W, Grid.H,
+        srcWest = -180.0, srcNorth = 90.0, pxDeg = Grid.PX, pyDeg = Grid.PY,
+        tgtW = 25, tgtH = 15,
+        mw = -3000000.0, mn = 7000000.0, pxm = 240000.0, pym = 400000.0,
+        inv = graft.ops.Geo.invEllipsoidalMercator(0.0))
+      Regrid.probeResample(Grid.fromLineitem(s, dir), probes)
+    }),
+
     // F14 — regrid, average: 2× coarsen, mean of valid source pixels per
     // target cell (rasterio 'average' NaN-aware semantics).
     "f14_regrid_average" -> ((s, dir) => {
@@ -374,6 +399,26 @@ object GridQueries extends QueryModule {
 
   private def withCtes(body: String): String =
     s"WITH ${Grid.sqlCte},\n$pixelsSql,\n$boundariesSql\n$body"
+
+  /** Oracle for a probe-table resample: the projection math runs ONCE
+    * (driver-side twin of the distributed probe builder), the oracle
+    * consumes the identical (yt, xt, sy, sx, wq) rows as VALUES, so
+    * inverse-projection transcendentals cannot drift between engines. */
+  private def probeValuesOracle(probeRows: Seq[(Int, Int, Int, Int, Long)]): String = {
+    val values = probeRows.map { case (yt, xt, sy, sx, wq) =>
+      s"($yt,$xt,$sy,$sx,$wq)" }.mkString(",")
+    withCtes(
+      s""", probes(yt, xt, sy, sx, wq) AS (VALUES $values),
+         |agg AS (
+         |  SELECT t, yt, xt,
+         |    CAST(sum(wq * CAST(v AS BIGINT)) AS BIGINT) AS num,
+         |    CAST(sum(wq) AS BIGINT) AS den
+         |  FROM grid JOIN probes ON grid.y = probes.sy AND grid.x = probes.sx
+         |  GROUP BY 1, 2, 3)
+         |SELECT t, CAST(yt AS INT) AS yt, CAST(xt AS INT) AS xt,
+         |  CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS v
+         |FROM agg WHERE den != 0""".stripMargin)
+  }
 
   override def oracleSql = Map(
     "p3_bbox_pixels" -> withCtes(
@@ -560,25 +605,21 @@ object GridQueries extends QueryModule {
         |FROM px JOIN tiles
         |  ON lon >= lon_w AND lon < lon_e AND lat >= lat_s AND lat < lat_n
         |GROUP BY 1, 2, 3""".stripMargin),
-    "f14_regrid_tm" -> {
-      val probeRows = Regrid.reprojectProbesLocal(Grid.W, Grid.H,
+    "f14_regrid_tm" -> probeValuesOracle(
+      Regrid.reprojectProbesLocal(Grid.W, Grid.H,
         -180.0, 90.0, Grid.PX, Grid.PY, 25, 15,
         -2000000.0, 6000000.0, 160000.0, 200000.0,
-        graft.ops.Geo.invTransverseMercator(15.0))
-      val values = probeRows.map { case (yt, xt, sy, sx, wq) =>
-        s"($yt,$xt,$sy,$sx,$wq)" }.mkString(",")
-      withCtes(
-        s""", probes(yt, xt, sy, sx, wq) AS (VALUES $values),
-           |agg AS (
-           |  SELECT t, yt, xt,
-           |    CAST(sum(wq * CAST(v AS BIGINT)) AS BIGINT) AS num,
-           |    CAST(sum(wq) AS BIGINT) AS den
-           |  FROM grid JOIN probes ON grid.y = probes.sy AND grid.x = probes.sx
-           |  GROUP BY 1, 2, 3)
-           |SELECT t, CAST(yt AS INT) AS yt, CAST(xt AS INT) AS xt,
-           |  CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS v
-           |FROM agg WHERE den != 0""".stripMargin)
-    },
+        graft.ops.Geo.invTransverseMercator(15.0))),
+    "f14_regrid_lcc" -> probeValuesOracle(
+      Regrid.reprojectProbesLocal(Grid.W, Grid.H,
+        -180.0, 90.0, Grid.PX, Grid.PY, 25, 15,
+        -2400000.0, 1600000.0, 200000.0, 200000.0,
+        graft.ops.Geo.invLambertConformalConic(33.0, 45.0, 39.0, -96.0))),
+    "f14_regrid_emerc" -> probeValuesOracle(
+      Regrid.reprojectProbesLocal(Grid.W, Grid.H,
+        -180.0, 90.0, Grid.PX, Grid.PY, 25, 15,
+        -3000000.0, 7000000.0, 240000.0, 400000.0,
+        graft.ops.Geo.invEllipsoidalMercator(0.0))),
     "f14_regrid_cubic" -> withCtes(
       s""", tgt AS (
          |  SELECT CAST(yy.r AS INT) AS yt, CAST(xx.r AS INT) AS xt,

@@ -68,6 +68,52 @@ object Geo {
     (lon, lat)
   }
 
+  /** Inverse spherical Lambert conformal conic, two standard parallels
+    * (Snyder 1987 eq. 15-1..15-5 inverted; the reference warps through
+    * any rasterio CRS pair, geoprocessing/regrid.py:23-70 — conic
+    * projections are the continental-forecast staple, e.g. NCEP NAM).
+    * All angles in degrees at the interface. */
+  def invLambertConformalConic(lat1Deg: Double, lat2Deg: Double,
+                               lat0Deg: Double, lon0Deg: Double)
+                              (x: Double, y: Double): (Double, Double) = {
+    val phi1 = math.toRadians(lat1Deg); val phi2 = math.toRadians(lat2Deg)
+    val phi0 = math.toRadians(lat0Deg)
+    def t(phi: Double) = math.tan(math.Pi / 4 + phi / 2)
+    val n =
+      if (lat1Deg == lat2Deg) math.sin(phi1)
+      else math.log(math.cos(phi1) / math.cos(phi2)) / math.log(t(phi2) / t(phi1))
+    val bigF = math.cos(phi1) * math.pow(t(phi1), n) / n
+    val rho0 = EarthR * bigF / math.pow(t(phi0), n)
+    val rho = math.signum(n) * math.sqrt(x * x + (rho0 - y) * (rho0 - y))
+    val theta = math.atan2(x, rho0 - y)
+    val lon = lon0Deg + math.toDegrees(theta / n)
+    val lat = math.toDegrees(
+      2 * math.atan(math.pow(EarthR * bigF / rho, 1.0 / n)) - math.Pi / 2)
+    (lon, lat)
+  }
+
+  /** WGS84 first eccentricity (e² = f(2−f), f = 1/298.257223563). */
+  val WGS84E = math.sqrt(0.0066943799901413165)
+
+  /** Inverse ELLIPSOIDAL (WGS84) Mercator — the datum-true variant of
+    * the spherical web-mercator above (EPSG:3395 vs 3857; Snyder
+    * eq. 7-9/7-10). The latitude series has no closed form; the
+    * fixed-point iteration converges quadratically — 8 iterations is
+    * exact to the last double ULP, and a FIXED count keeps the
+    * function bit-deterministic. */
+  def invEllipsoidalMercator(lon0Deg: Double)(x: Double, y: Double): (Double, Double) = {
+    val e = WGS84E
+    val ts = math.exp(-y / EarthR)
+    var phi = math.Pi / 2 - 2 * math.atan(ts)
+    var i = 0
+    while (i < 8) {
+      val con = e * math.sin(phi)
+      phi = math.Pi / 2 - 2 * math.atan(ts * math.pow((1 - con) / (1 + con), e / 2))
+      i += 1
+    }
+    (lon0Deg + math.toDegrees(x / EarthR), math.toDegrees(phi))
+  }
+
   /** Pixel window of a geo bbox in a north-up grid frame
     * (west,north origin; pw/ph = pixel sizes in degrees). Returns
     * (col_off, row_off, width, height) clamped to the grid, matching the

@@ -115,6 +115,29 @@ object GeoCalQueries extends QueryModule {
         .drop("o_orderdate")
     }),
 
+    // F8 — noleap → standard with the `missing` FILL policy
+    // (calendar.py:24-28 / xarray convert_calendar(missing=...)): the
+    // output carries the FULL standard target axis; dates with no
+    // noleap image (Feb 29) are inserted with the fill value (NULL
+    // here) and flagged, instead of being dropped. The drop variant is
+    // `WHERE filled = 0` on the same frame.
+    "f8_calendar_fill" -> ((s, dir) => {
+      // deterministic noleap daily series: (yr 1999-2001, nl_doy 1..365, v)
+      val src = s.range(1095).select(
+        (expr("CAST(id DIV 365 AS INT)") + 1999).as("yr"),
+        (expr("CAST(id % 365 AS INT)") + 1).as("nl_doy"),
+        expr("CAST((id DIV 365 + 1999) * 1000 + id % 365 + 1 AS BIGINT)").as("v"))
+      val axis = s.range(1).select(explode(expr(
+          "sequence(DATE'1999-01-01', DATE'2001-12-31', interval 1 day)")).as("d"))
+        .select(col("d"),
+          expr("CAST(year(d) AS INT)").as("yr"),
+          expr("CASE WHEN month(d) = 2 AND day(d) = 29 THEN NULL ELSE CAST(" +
+            GeoCal.noleapCumByMonth("month(d)") + " + day(d) AS INT) END").as("nl_doy"))
+      axis.join(src, Seq("yr", "nl_doy"), "left")
+        .select(col("d").cast("timestamp").as("std_date"), col("yr"),
+          col("nl_doy"), col("v"), col("v").isNull.cast("int").as("filled"))
+    }),
+
     // F8 — 360-day → standard with align_on="year" (calendar.py:23-26):
     // the 360 source days distribute proportionally over the target
     // year's actual length (leap-aware), instead of the day-clamped
@@ -197,6 +220,23 @@ object GeoCalQueries extends QueryModule {
          |       ELSE CAST(${GeoCal.noleapCumByMonth("month(o_orderdate)")}
          |            + day(o_orderdate) AS INT) END AS nl_doy
          |FROM dec""".stripMargin,
+    "f8_calendar_fill" ->
+      s"""WITH src AS (
+         |  SELECT CAST(i // 365 AS INT) + 1999 AS yr,
+         |         CAST(i % 365 AS INT) + 1 AS nl_doy,
+         |         CAST((i // 365 + 1999) * 1000 + i % 365 + 1 AS BIGINT) AS v
+         |  FROM range(1095) t(i)),
+         |axis AS (
+         |  SELECT CAST(d AS DATE) AS d
+         |  FROM generate_series(DATE '1999-01-01', DATE '2001-12-31', INTERVAL 1 DAY) g(d)),
+         |ax AS (
+         |  SELECT d, CAST(year(d) AS INT) AS yr,
+         |    CASE WHEN month(d) = 2 AND day(d) = 29 THEN NULL
+         |         ELSE CAST(${GeoCal.noleapCumByMonth("month(d)")} + day(d) AS INT) END AS nl_doy
+         |  FROM axis)
+         |SELECT CAST(ax.d AS TIMESTAMP) AS std_date, ax.yr AS yr, ax.nl_doy AS nl_doy,
+         |  src.v AS v, CAST(src.v IS NULL AS INT) AS filled
+         |FROM ax LEFT JOIN src ON ax.yr = src.yr AND ax.nl_doy = src.nl_doy""".stripMargin,
     "f8_calendar_align_year" ->
       """WITH base AS (
         |  SELECT o_orderkey, CAST(o_orderkey % 720 AS INT) AS ord FROM orders),

@@ -112,4 +112,54 @@ object Formats {
       graft.streaming.IngestStream.extractTime(col("fname"))
         + make_interval(lit(0), lit(0), lit(0), lit(0), col("step")))
   }
+
+  /** Quarantining ingest: like [[ingestDir]], but a granule whose
+    * decode fails (packing template 5.40/JPEG2000, corrupt bytes,
+    * unknown format) routes to a DEAD-LETTER frame with the failure
+    * reason instead of failing the whole batch — a 100-granule feed
+    * with three 5.40 files ingests 97 (the reference transcodes such
+    * feeds through eccodes, formats/grib.py:122-230; on the JVM we
+    * quarantine for an ingest-side transcode instead of shipping a
+    * JPEG2000 decoder).
+    *
+    * Returns (pixels, deadLetters(fname, reason)). Both frames derive
+    * from ONE classified decode pass; consumers reading both should
+    * cache/persist the inputs or accept a second scan — decode errors
+    * are deterministic, so the split is consistent either way. */
+  def ingestDirQuarantine(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val bin = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.{tif,grib2,nc}").load(dir)
+      .select(col("path"), col("content"))
+    // one row per pixel with err = null, or ONE row per failed granule
+    // with err = reason (pixel columns null)
+    val classified = bin.as[(String, Array[Byte])].mapPartitions { it =>
+      it.flatMap { case (path, bytes) =>
+        val fname = path.substring(path.lastIndexOf('/') + 1)
+        try {
+          val dec = sniff(bytes).getOrElse(
+            throw new IllegalArgumentException(s"unknown format"))
+          val ll = dec.pixelLonLat(bytes)
+          for {
+            (step, r) <- dec.decodeMulti(bytes)
+            y <- 0 until r.height; x <- 0 until r.width
+            v = r.data(y * r.width + x) if !v.isNaN
+          } yield (fname, step, y, x, v.toDouble,
+            ll.map(_._1(y * r.width + x)).getOrElse(r.west + (x + 0.5) * r.px),
+            ll.map(_._2(y * r.width + x)).getOrElse(r.north - (y + 0.5) * r.py),
+            null: String)
+        } catch {
+          case e: Exception =>
+            Seq((fname, 0, 0, 0, 0.0, 0.0, 0.0, s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+        }
+      }
+    }.toDF("fname", "step", "y", "x", "v", "lon", "lat", "err")
+    val pixels = classified.filter(col("err").isNull).drop("err")
+      .withColumn("time",
+        graft.streaming.IngestStream.extractTime(col("fname"))
+          + make_interval(lit(0), lit(0), lit(0), lit(0), col("step")))
+    val dead = classified.filter(col("err").isNotNull)
+      .select(col("fname"), col("err").as("reason"))
+    (pixels, dead)
+  }
 }

@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-trip validation of the inverse projections behind the
+  * arbitrary-CRS regrid probes: forward-project with the textbook
+  * formulas (Snyder 1987), invert with the engine's functions, recover
+  * the original coordinates to sub-centimeter tolerance. */
+class ProjectionSpec extends AnyFunSuite {
+  private val R = Geo.EarthR
+  private val tol = 1e-9 // degrees ≈ 0.1 mm
+
+  test("inverse LCC round-trips the forward projection over CONUS") {
+    val (lat1, lat2, lat0, lon0) = (33.0, 45.0, 39.0, -96.0)
+    val phi1 = math.toRadians(lat1); val phi2 = math.toRadians(lat2)
+    def t(phi: Double) = math.tan(math.Pi / 4 + phi / 2)
+    val n = math.log(math.cos(phi1) / math.cos(phi2)) / math.log(t(phi2) / t(phi1))
+    val bigF = math.cos(phi1) * math.pow(t(phi1), n) / n
+    val rho0 = R * bigF / math.pow(t(math.toRadians(lat0)), n)
+    def fwd(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val rho = R * bigF / math.pow(t(math.toRadians(latDeg)), n)
+      val theta = math.toRadians(n * (lonDeg - lon0))
+      (rho * math.sin(theta), rho0 - rho * math.cos(theta))
+    }
+    val inv = Geo.invLambertConformalConic(lat1, lat2, lat0, lon0) _
+    for (lon <- Seq(-125.0, -96.0, -70.5); lat <- Seq(25.0, 39.0, 52.5)) {
+      val (x, y) = fwd(lon, lat)
+      val (lonB, latB) = inv(x, y)
+      assert(math.abs(lonB - lon) < tol && math.abs(latB - lat) < tol,
+        s"LCC round-trip drifted: ($lon,$lat) -> ($x,$y) -> ($lonB,$latB)")
+    }
+  }
+
+  test("inverse ellipsoidal Mercator round-trips the forward projection") {
+    val e = Geo.WGS84E
+    def fwd(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(latDeg)
+      val con = e * math.sin(phi)
+      val y = R * math.log(math.tan(math.Pi / 4 + phi / 2) *
+        math.pow((1 - con) / (1 + con), e / 2))
+      (R * math.toRadians(lonDeg), y)
+    }
+    val inv = Geo.invEllipsoidalMercator(0.0) _
+    for (lon <- Seq(-27.0, 0.0, 26.5); lat <- Seq(-70.0, -9.5, 0.0, 53.0, 80.0)) {
+      val (x, y) = fwd(lon, lat)
+      val (lonB, latB) = inv(x, y)
+      assert(math.abs(lonB - lon) < tol && math.abs(latB - lat) < tol,
+        s"ellipsoidal mercator round-trip drifted: ($lon,$lat) -> ($lonB,$latB)")
+    }
+    // the ellipsoidal inverse must NOT equal the spherical one — the
+    // datum correction is the point (≈0.19° at 53°N)
+    val (_, y53) = fwd(0.0, 53.0)
+    val sphericalLat = math.toDegrees(2 * math.atan(math.exp(y53 / R)) - math.Pi / 2)
+    assert(math.abs(sphericalLat - 53.0) > 0.1,
+      "ellipsoidal and spherical Mercator should disagree visibly at mid-latitudes")
+  }
+}

@@ -250,4 +250,38 @@ class Grib2Spec extends SparkSpec {
     assert(df.count() == 2L * n)
     assert(df.select("time").distinct().count() == 2)
   }
+
+  test("quarantining ingest: 5.40 granules dead-letter with reason, the rest decode") {
+    val dir = Files.createTempDirectory("graft-quarantine-").toString
+    val m = sampleMessage
+    Files.write(Paths.get(s"$dir/t2m_20240101_0000.grib2"), Grib2.write(m))
+    Files.write(Paths.get(s"$dir/t2m_20240101_0600.grib2"), Grib2.write(m))
+    // a JPEG2000-packed granule: patch the section-5 template to 40
+    val bad = Grib2.write(m, packing = 41)
+    def u32(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+    var pos = 16
+    var patched = false
+    while (pos < bad.length - 4 && !patched) {
+      val len = u32(bad, pos); val num = bad(pos + 4) & 0xff
+      if (num == 5) { bad(pos + 5 + 5) = 40.toByte; patched = true }
+      else pos += len
+    }
+    assert(patched)
+    Files.write(Paths.get(s"$dir/t2m_20240101_1200.grib2"), bad)
+
+    // default batch ingest still fails loudly on the 5.40 granule …
+    intercept[org.apache.spark.SparkException] {
+      Formats.ingestDir(spark, dir).count()
+    }
+    // … but the quarantine path ingests 2 of 3 and dead-letters the third
+    val (pixels, dead) = Formats.ingestDirQuarantine(spark, dir)
+    val n = m.raster.data.count(!_.isNaN)
+    assert(pixels.count() == 2L * n)
+    assert(pixels.select("time").distinct().count() == 2)
+    val dl = dead.collect()
+    assert(dl.length == 1)
+    assert(dl(0).getString(0) == "t2m_20240101_1200.grib2")
+    assert(dl(0).getString(1).contains("JPEG2000"))
+  }
 }
