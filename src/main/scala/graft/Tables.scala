@@ -49,10 +49,10 @@ object Tables {
     * never accumulates storage blocks per dataset touched). */
   def evictCache(dir: String): Unit = {
     val keys = cached.keySet().toArray(Array.empty[String]).filter(_.startsWith(dir + "/"))
-    keys.foreach(k => Option(cached.remove(k)).foreach(_.unpersist()))
+    keys.foreach(k => Option(cached.remove(k)).foreach(_.unpersist(blocking = true)))
   }
   def clearCache(): Unit = {
-    cached.values().forEach(df => { df.unpersist(); () })
+    cached.values().forEach(df => { df.unpersist(blocking = true); () })
     cached.clear()
   }
 }

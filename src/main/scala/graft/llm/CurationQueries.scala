@@ -75,6 +75,19 @@ object CurationQueries extends QueryModule {
         sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("n_tokens"))
     }),
 
+    // The INCREMENTAL curation pipeline's end state, batch form: same
+    // four stages as d_pipeline_e2e but with greedy ARRIVAL-ORDER
+    // semantics (drop a doc iff an EARLIER doc already covers it) —
+    // the semantics an event-driven pipeline can maintain exactly,
+    // because a keep is final the moment it is emitted (batch CC
+    // canonicalization can merge old clusters retroactively). The
+    // streaming runner (streaming/StreamCuration.run) computes the
+    // identical answer over any id-ordered batch split —
+    // StreamCurationSpec proves batch ≡ incremental; this query gates
+    // the batch form against DuckDB.
+    "d_incremental_endstate" -> ((s, dir) =>
+      graft.streaming.StreamCuration.endstateBatch(Tables.documents(s, dir))),
+
     // Exact n-gram-collision decontamination (the published long-n-gram
     // overlap method, complementary to d_decontaminate's LSH sweep): a
     // training document sharing ANY 8-gram with a held-out benchmark
@@ -268,6 +281,87 @@ object CurationQueries extends QueryModule {
         |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
         |FROM d3 WHERE doc_id NOT IN (SELECT id FROM dropf)
         |GROUP BY source""".stripMargin,
+    "d_incremental_endstate" ->
+      """WITH fpt AS (
+        |  SELECT doc_id, source, text,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |k1 AS (
+        |  SELECT f.doc_id, f.source, f.text FROM fpt f
+        |  JOIN (SELECT fp, min(doc_id) AS first_id FROM fpt GROUP BY 1) fm
+        |    ON f.fp = fm.fp AND f.doc_id = fm.first_id),
+        |qc AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS nc,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS nw,
+        |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS na,
+        |    CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS np,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|for)\b')) AS BIGINT) AS ns
+        |  FROM k1),
+        |k2 AS MATERIALIZED (
+        |  SELECT k1.* FROM k1 JOIN qc USING (doc_id)
+        |  WHERE least(1.0, greatest(0.0,
+        |    0.25 + CAST(ns AS DOUBLE) / nw * 2.0
+        |         - CAST(np AS DOUBLE) / nc * 3.0
+        |         + CAST(na AS DOUBLE) / nc * 0.5)) >= 0.3),
+        |w3 AS (SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM k2),
+        |spans AS MATERIALIZED (
+        |  SELECT id, len(ws) AS n_tokens, i AS start, i + 19 AS fin,
+        |         md5(array_to_string(ws[i+1:i+20], ' ')) AS h
+        |  FROM (SELECT id, ws, unnest(range(greatest(len(ws) - 19, 0))) AS i FROM w3)),
+        |hfirst AS (SELECT h, min(id) AS h_first FROM spans GROUP BY 1),
+        |iv AS (SELECT DISTINCT s.id, s.n_tokens, s.start, s.fin
+        |       FROM spans s JOIN hfirst USING (h) WHERE s.id > h_first),
+        |m AS (SELECT id, n_tokens, start, fin,
+        |        max(fin) OVER (PARTITION BY id ORDER BY start
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |      FROM iv),
+        |covt AS (
+        |  SELECT id,
+        |    CAST(sum(greatest(0, fin - greatest(start - 1, coalesce(pm, -1)))) AS DOUBLE)
+        |      / min(n_tokens) AS coverage
+        |  FROM m GROUP BY id),
+        |k3 AS MATERIALIZED (
+        |  SELECT * FROM k2
+        |  WHERE doc_id NOT IN (SELECT id FROM covt WHERE coverage > 0.5)),
+        |wsh AS (SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM k3),
+        |sh AS MATERIALIZED (
+        |  SELECT DISTINCT id, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS s
+        |  FROM (SELECT id, ws, unnest(range(greatest(len(ws) - 2, 0))) AS i FROM wsh)),
+        |sizes AS (SELECT id, count(*) AS c FROM sh GROUP BY 1),
+        |hashed AS (SELECT id, md5(s) AS h FROM sh),
+        |sig AS (
+        |  SELECT id,
+        |    min(substring(h, 1, 4)) AS m1, min(substring(h, 5, 4)) AS m2,
+        |    min(substring(h, 9, 4)) AS m3, min(substring(h, 13, 4)) AS m4,
+        |    min(substring(h, 17, 4)) AS m5, min(substring(h, 21, 4)) AS m6,
+        |    min(substring(h, 25, 4)) AS m7, min(substring(h, 29, 4)) AS m8
+        |  FROM hashed GROUP BY id),
+        |bands AS (
+        |  SELECT id, 1 AS band, md5(m1 || m2) AS key FROM sig UNION ALL
+        |  SELECT id, 2, md5(m3 || m4) FROM sig UNION ALL
+        |  SELECT id, 3, md5(m5 || m6) FROM sig UNION ALL
+        |  SELECT id, 4, md5(m7 || m8) FROM sig),
+        |hotb AS (SELECT band, key FROM bands GROUP BY band, key HAVING count(*) > 1024),
+        |bandsc AS (
+        |  SELECT b.id, b.band, b.key FROM bands b
+        |  WHERE NOT EXISTS (SELECT 1 FROM hotb h WHERE h.band = b.band AND h.key = b.key)),
+        |cands AS (
+        |  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+        |  FROM bandsc a JOIN bandsc b ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+        |inter AS (
+        |  SELECT doc_a, doc_b, count(*) AS i
+        |  FROM cands
+        |  JOIN sh sa ON sa.id = doc_a
+        |  JOIN sh sb ON sb.id = doc_b AND sb.s = sa.s
+        |  GROUP BY 1, 2),
+        |dropf AS (
+        |  SELECT DISTINCT doc_b AS id
+        |  FROM inter JOIN sizes ca ON ca.id = doc_a JOIN sizes cb ON cb.id = doc_b
+        |  WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.5)
+        |SELECT doc_id, source,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |FROM k3 WHERE doc_id NOT IN (SELECT id FROM dropf)""".stripMargin,
     "d_decontaminate_ngram" -> {
       val joins = (1 to 8).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
       s"""WITH $wordsCte,

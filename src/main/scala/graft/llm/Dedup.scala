@@ -350,13 +350,24 @@ object Dedup {
     * dominant cost at any scale (same fix as the capped-Jaccard
     * candidate frame). */
   def spanCoverage(spansIn: DataFrame, w: Int = 20): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spans = spansIn.localCheckpoint()
     val dup = spans.groupBy("h")
       .agg(countDistinct("id").as("nd")).filter(col("nd") >= 2).select("h")
-    val iv = spans.join(dup, Seq("h"))
+    mergedCoverage(spans.join(dup, Seq("h"))
       .select(col("id"), col("n_tokens"), col("pos").as("start"),
-        (col("pos") + (w - 1)).as("fin"))
+        (col("pos") + (w - 1)).as("fin")))
+  }
+
+  /** Merged-interval token coverage per doc: input (id, n_tokens,
+    * start, fin) intervals; overlaps merge via the gaps-and-islands
+    * window (running max of interval end over the doc's position
+    * order), so a doc whose every window matches still reports
+    * coverage 1.0, not w×. Output (doc_id, covered_tokens, n_tokens,
+    * coverage); only docs with ≥1 interval appear. Shared by the batch
+    * boilerplate gate ([[spanCoverage]]) and the incremental
+    * stale-span gate (`streaming/StreamCuration`). */
+  def mergedCoverage(iv: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val prevMax = max(col("fin")).over(
       Window.partitionBy("id").orderBy("start")
         .rowsBetween(Window.unboundedPreceding, -1))

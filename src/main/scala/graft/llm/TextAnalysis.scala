@@ -34,6 +34,22 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** The engine's document quality score (t_quality_score's formula,
+    * shared with the curation pipelines): stopword density up,
+    * punctuation density down, alpha ratio up, clamped to [0, 1].
+    * Integer counts + single IEEE divisions so it hashes cross-engine. */
+  def qualityScore(t: Column): Column = {
+    val nChars = length(t).cast("long")
+    val nWords = tokenCountWs(t).cast("long")
+    val nAlpha = length(regexp_replace(t, "[^A-Za-z]", "")).cast("long")
+    val nPunct = countMatches(t, "[.,;:!?]").cast("long")
+    val nStop = countMatches(lower(t), stopwordRe("en")).cast("long")
+    least(lit(1.0), greatest(lit(0.0),
+      lit(0.25) + nStop.cast("double") / nWords * 2.0
+        - nPunct.cast("double") / nChars * 3.0
+        + nAlpha.cast("double") / nChars * 0.5))
+  }
+
   /** Language stopword marker lists for the n-gram language-ID heuristic. */
   val stopwordRe: Map[String, String] = Map(
     "en" -> "\\b(the|and|of|to|in|is|that|for)\\b",

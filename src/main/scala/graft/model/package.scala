@@ -27,10 +27,13 @@ package object model {
   /** Shared helper for the module-level materialized-frame caches:
     * unpersist + drop every entry (or one dataset's entry). */
   private[graft] object FrameCache {
+    // blocking unpersist: "evicted" must mean the storage blocks are
+    // GONE when the call returns, not queued for async removal — a
+    // service evicts precisely because it needs the memory back now
     def evict(m: java.util.concurrent.ConcurrentHashMap[String, DataFrame], dir: String): Unit =
-      Option(m.remove(dir)).foreach(_.unpersist())
+      Option(m.remove(dir)).foreach(_.unpersist(blocking = true))
     def clear(m: java.util.concurrent.ConcurrentHashMap[String, DataFrame]): Unit = {
-      m.values().forEach(df => { df.unpersist(); () })
+      m.values().forEach(df => { df.unpersist(blocking = true); () })
       m.clear()
     }
   }

@@ -1,0 +1,194 @@
+package graft.streaming
+
+import graft.llm.{Dedup, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Incremental (event-driven) counterpart of the batch curation
+  * pipeline `d_pipeline_e2e` — the reference's heart is incremental
+  * derivation (processing/invocation.py:25-105): new documents arrive,
+  * are curated against PERSISTED state, and only the novel survivors
+  * flow downstream.
+  *
+  * Four stages, greedy ARRIVAL-ORDER semantics (doc_id order; batches
+  * must arrive id-ordered, the event-time contract of any log-shaped
+  * feed):
+  *
+  *  1. exact dedup — drop a doc whose normalized fingerprint was seen
+  *     in ANY earlier doc;
+  *  2. quality gate — stateless score ≥ 0.3;
+  *  3. stale-span gate — drop a doc if > 50% of its tokens sit in
+  *     20-token windows already emitted by an earlier stage-2 survivor
+  *     (the streaming generalization of the batch boilerplate gate);
+  *  4. fuzzy dedup — drop a doc with an LSH-verified Jaccard ≥ 0.5
+  *     match to any earlier stage-3 survivor.
+  *
+  * The greedy rule "drop the newcomer iff it matches ANY earlier doc"
+  * — rather than batch connected-components canonicalization — is
+  * deliberately chosen because it is EXACTLY maintainable online: a CC
+  * canonical can merge two old clusters when a bridging doc arrives,
+  * which would demand retroactive un-keeps. Greedy keeps are final the
+  * moment they are emitted, and the induction "every batch sees the
+  * same earlier-doc state the single-batch run would see" makes
+  * incremental ≡ batch for ANY id-ordered batch split
+  * (`StreamCurationSpec` proves it; `d_incremental_endstate` oracles
+  * the batch form against DuckDB).
+  *
+  * State is four key-sets (fingerprints; span hashes of stage-2
+  * survivors; LSH band keys of stage-3 survivors; the stage-3
+  * survivors' text for candidate verification). All updates are
+  * APPEND-only and all loads dedupe (`distinct`), so a replayed batch
+  * (X2 idempotence) perturbs nothing. At cluster scale the appends are
+  * partitioned parquet (a real deployment would use a table format
+  * with compaction); every per-batch join touches state ONLY through
+  * equi-keys (fp, span hash, band key), so batch cost scales with the
+  * batch, not the corpus.
+  */
+object StreamCuration {
+
+  /** Thresholds shared by the batch and incremental forms. */
+  val QualityMin = 0.3
+  val StaleCoverageMax = 0.5
+  val JaccardMin = 0.5
+  val SpanW = 20
+
+  case class State(fps: DataFrame, spans: DataFrame,
+                   bands: DataFrame, docs: DataFrame)
+
+  def emptyState(s: SparkSession): State = {
+    def empty(schema: StructType) =
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    State(
+      fps = empty(StructType(Seq(StructField("fp", StringType)))),
+      spans = empty(StructType(Seq(StructField("h", StringType)))),
+      bands = empty(StructType(Seq(StructField("id", LongType),
+        StructField("band", IntegerType), StructField("key", StringType)))),
+      docs = empty(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType)))))
+  }
+
+  /** Classify one id-ordered batch against the accumulated state.
+    * Returns (kept(doc_id, source, n_tokens), state DELTAS to append).
+    * With empty state this IS the batch pipeline (see
+    * [[endstateBatch]]). */
+  def processBatch(batchIn: DataFrame, st: State): (DataFrame, State) = {
+    val batch = batchIn.select(col("doc_id"), col("source"), col("text"))
+
+    // -- stage 1: exact dedup. "Earlier" = any previously seen doc
+    // (state) or a smaller-id doc in this batch — kept or not, since a
+    // dropped duplicate's fingerprint equals its keeper's.
+    val fp = batch.withColumn("fp", TextAnalysis.fingerprint(col("text")))
+    val firstIn = fp.groupBy("fp").agg(min("doc_id").as("first_id"))
+    val k1 = fp.join(firstIn, "fp").filter(col("doc_id") === col("first_id"))
+      .join(st.fps, Seq("fp"), "left_anti")
+      .select("doc_id", "source", "text")
+
+    // -- stage 2: quality gate (stateless). Materialized once: spans,
+    // the stage-3 filter, and the state delta all consume it.
+    val k2 = k1.filter(TextAnalysis.qualityScore(col("text")) >= QualityMin)
+      .localCheckpoint()
+
+    // -- stage 3: stale-span gate. A span is stale for doc d iff an
+    // EARLIER stage-2 survivor emitted the same hash (state spans, or a
+    // smaller-id doc in this batch).
+    val spans = Dedup.spanWindows(k2.select(col("doc_id"), col("text")),
+        "text", SpanW, keep = Seq("doc_id"))
+      .localCheckpoint()
+    val hFirst = spans.groupBy("h").agg(min("doc_id").as("h_first"))
+    val staleInBatch = spans.join(hFirst, "h")
+      .filter(col("doc_id") > col("h_first"))
+      .select("doc_id", "n_tokens", "pos")
+    val staleFromState = spans.join(st.spans, Seq("h"), "left_semi")
+      .select("doc_id", "n_tokens", "pos")
+    val stale = staleInBatch.unionByName(staleFromState).distinct()
+    val heavy = Dedup.mergedCoverage(stale.select(col("doc_id").as("id"),
+        col("n_tokens"), col("pos").as("start"),
+        (col("pos") + (SpanW - 1)).as("fin")))
+      .filter(col("coverage") > StaleCoverageMax)
+      .select("doc_id")
+    val k3 = k2.join(heavy, Seq("doc_id"), "left_anti").localCheckpoint()
+
+    // -- stage 4: fuzzy dedup. Candidates through shared LSH band keys
+    // only — in-batch pairs via the capped generator, cross-batch pairs
+    // via an equi-join against the state band index; both verified with
+    // exact Jaccard before any drop. State membership = docs that
+    // ENTERED this stage (stage-3 survivors), so no retroactive
+    // un-keeps are ever needed.
+    val sh = Dedup.shingles(k3.select("doc_id", "text"), "doc_id", "text")
+      .localCheckpoint()
+    val sig = Dedup.minhashSignature(sh, 8)
+    val bands = Dedup.lshBands(sig, 8, 2)
+    val inVerified = Dedup.pairJaccard(Dedup.candidatePairs(bands), sh)
+      .filter(col("jacc") >= JaccardMin)
+    val candOld = bands
+      .join(st.bands.withColumnRenamed("id", "doc_a"), Seq("band", "key"))
+      .select(col("doc_a"), col("id").as("doc_b")).distinct()
+    val oldIds = candOld.select(col("doc_a").as("doc_id")).distinct()
+    val shOld = Dedup.shingles(st.docs.join(oldIds, "doc_id"), "doc_id", "text")
+    val oldVerified = Dedup.pairJaccard(candOld, sh.unionByName(shOld))
+      .filter(col("jacc") >= JaccardMin)
+    val drop = inVerified.select(col("doc_b").as("doc_id"))
+      .unionByName(oldVerified.select(col("doc_b").as("doc_id"))).distinct()
+    val kept = k3.join(drop, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens"))
+
+    val deltas = State(
+      fps = fp.select("fp").distinct(),
+      spans = spans.select("h").distinct(),
+      bands = bands.select("id", "band", "key"),
+      docs = k3.select("doc_id", "text"))
+    (kept, deltas)
+  }
+
+  /** The whole corpus as ONE batch — the oracle-gated batch form
+    * (`d_incremental_endstate`). */
+  def endstateBatch(docs: DataFrame): DataFrame =
+    processBatch(docs, emptyState(docs.sparkSession))._1
+
+  // ---- persisted-state runner -------------------------------------
+
+  private def part(dir: String, name: String) = s"$dir/$name"
+
+  /** Load persisted state (empty on first run). Loads DEDUPE — an
+    * append replayed by a failed-and-retried batch collapses back to
+    * the same set (X2 idempotence). */
+  def loadState(s: SparkSession, dir: String): State = {
+    val e = emptyState(s)
+    def read(name: String, fallback: DataFrame) = {
+      val p = new java.io.File(part(dir, name))
+      if (p.exists()) s.read.parquet(p.getPath).distinct() else fallback
+    }
+    State(
+      fps = read("fps", e.fps),
+      spans = read("spans", e.spans),
+      bands = read("bands", e.bands),
+      docs = read("docs", e.docs))
+  }
+
+  /** Append one batch's deltas. Append-only: no state file is ever
+    * rewritten, so a crash between writes at worst replays a batch —
+    * which the dedup-on-load absorbs. */
+  def saveDeltas(delta: State, dir: String): Unit = {
+    delta.fps.write.mode("append").parquet(part(dir, "fps"))
+    delta.spans.write.mode("append").parquet(part(dir, "spans"))
+    delta.bands.write.mode("append").parquet(part(dir, "bands"))
+    delta.docs.write.mode("append").parquet(part(dir, "docs"))
+  }
+
+  /** Wire the pipeline onto any id-ordered document stream:
+    * per micro-batch, curate against persisted state, append survivors
+    * to `keptDir` and deltas to `stateDir`. */
+  def run(stream: DataFrame, stateDir: String, keptDir: String,
+          checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val s = b.sparkSession
+        val (kept, delta) = processBatch(b, loadState(s, stateDir))
+        kept.write.mode("append").parquet(keptDir)
+        saveDeltas(delta, stateDir)
+      }
+      .start()
+}

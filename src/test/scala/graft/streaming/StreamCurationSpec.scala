@@ -1,0 +1,90 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The incremental curation pipeline computes EXACTLY the batch
+  * answer: greedy arrival-order semantics make keeps final on emit, so
+  * running the same corpus through any id-ordered batch split — via
+  * processBatch directly or through the persisted-state streaming
+  * runner — must yield the batch run's kept set, and a replayed batch
+  * must perturb nothing (X2 idempotence). */
+class StreamCurationSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sf0001)
+    .select("doc_id", "source", "text").cache()
+
+  private def keptSet(df: DataFrame): Set[(Long, String, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+  private lazy val batchKept = keptSet(StreamCuration.endstateBatch(docs))
+
+  private def accumulate(st: StreamCuration.State,
+                         d: StreamCuration.State): StreamCuration.State =
+    StreamCuration.State(
+      fps = st.fps.unionByName(d.fps).distinct(),
+      spans = st.spans.unionByName(d.spans).distinct(),
+      bands = st.bands.unionByName(d.bands).distinct(),
+      docs = st.docs.unionByName(d.docs).distinct())
+
+  test("three id-ordered batches reproduce the single-batch kept set") {
+    val ids = docs.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val (c1, c2) = (ids(ids.length / 3), ids(2 * ids.length / 3))
+    val waves = Seq(
+      docs.filter(col("doc_id") < c1),
+      docs.filter(col("doc_id") >= c1 && col("doc_id") < c2),
+      docs.filter(col("doc_id") >= c2))
+    var st = StreamCuration.emptyState(spark)
+    var kept = Set.empty[(Long, String, Long)]
+    for (w <- waves) {
+      val (k, delta) = StreamCuration.processBatch(w, st)
+      kept ++= keptSet(k)
+      st = accumulate(st, delta)
+    }
+    assert(kept == batchKept,
+      s"incremental diverged: only-incremental=${kept -- batchKept} only-batch=${batchKept -- kept}")
+    assert(batchKept.nonEmpty && batchKept.size < docs.count(),
+      "pipeline should keep most docs and drop some")
+  }
+
+  test("persisted-state streaming runner reproduces the batch kept set; replay is idempotent") {
+    val base = java.nio.file.Files.createTempDirectory("graft-curation-").toString
+    val (srcDir, stateDir, keptDir, ckptDir) =
+      (s"$base/src", s"$base/state", s"$base/kept", s"$base/ckpt")
+    val ids = docs.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val cut = ids(ids.length / 2)
+    val wave1 = docs.filter(col("doc_id") < cut)
+    val wave2 = docs.filter(col("doc_id") >= cut)
+
+    // wave 1 arrives, stream starts, drains; wave 2 arrives, drains
+    wave1.coalesce(1).write.mode("append").parquet(srcDir)
+    val stream = spark.readStream.schema(docs.schema).parquet(srcDir)
+    val q = StreamCuration.run(stream, stateDir, keptDir, ckptDir)
+    q.processAllAvailable()
+    wave2.coalesce(1).write.mode("append").parquet(srcDir)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = keptSet(spark.read.parquet(keptDir).distinct())
+    assert(streamed == batchKept,
+      s"streamed diverged: only-streamed=${streamed -- batchKept} only-batch=${batchKept -- streamed}")
+
+    // X2 idempotence: replay wave 2 against the final state — the
+    // dedup-on-load state is unchanged and the replayed keeps are the
+    // rows already emitted (dedup-on-read absorbs the append)
+    def stateSizes() = {
+      val st = StreamCuration.loadState(spark, stateDir)
+      (st.fps.count(), st.spans.count(), st.bands.count(), st.docs.count())
+    }
+    val before = stateSizes()
+    val (replayKept, replayDelta) =
+      StreamCuration.processBatch(wave2, StreamCuration.loadState(spark, stateDir))
+    StreamCuration.saveDeltas(replayDelta, stateDir)
+    assert(stateSizes() == before, "replayed deltas changed the deduped state")
+    // every doc in the replayed wave now matches PRIOR state (itself),
+    // so the replay keeps nothing new beyond what state already has
+    assert(keptSet(replayKept).isEmpty,
+      "replaying a batch against post-batch state must keep nothing (all docs are now 'earlier')")
+  }
+}
