@@ -48,6 +48,35 @@ class StreamCurationSpec extends SparkSpec {
       "pipeline should keep most docs and drop some")
   }
 
+  test("equivalence holds for varied splits: uneven, empty batches, hash-seeded cuts") {
+    val ids = docs.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val n = ids.length
+    // deterministic "random" cut points from a hash chain, plus
+    // adversarial shapes: everything-in-one-batch-plus-empties, and a
+    // tiny first batch (state nearly empty for a big second batch)
+    val rnd = new scala.util.Random(0x5eed)
+    val splits: Seq[Seq[(Long, Long)]] = Seq(
+      Seq((Long.MinValue, Long.MaxValue)), // single batch through the incremental path
+      Seq((Long.MinValue, ids(2)), (ids(2), Long.MaxValue)), // 2 docs, then the rest
+      Seq((Long.MinValue, ids(0)), (ids(0), Long.MaxValue), (Long.MaxValue, Long.MaxValue)), // empty first AND last batch
+      {
+        val cuts = Seq.fill(3)(ids(rnd.nextInt(n))).distinct.sorted
+        val bounds = Long.MinValue +: cuts :+ Long.MaxValue
+        bounds.zip(bounds.tail)
+      })
+    for (split <- splits) {
+      var st = StreamCuration.emptyState(spark)
+      var kept = Set.empty[(Long, String, Long)]
+      for ((lo, hi) <- split) {
+        val (k, delta) = StreamCuration.processBatch(
+          docs.filter(col("doc_id") >= lo && col("doc_id") < hi), st)
+        kept ++= keptSet(k)
+        st = accumulate(st, delta)
+      }
+      assert(kept == batchKept, s"split $split diverged from the batch kept set")
+    }
+  }
+
   test("persisted-state streaming runner reproduces the batch kept set; replay is idempotent") {
     val base = java.nio.file.Files.createTempDirectory("graft-curation-").toString
     val (srcDir, stateDir, keptDir, ckptDir) =
