@@ -43,12 +43,13 @@ object SoakDedup {
     // broadcast() hint would make this impossible; this run asserts the
     // pipeline never reacquired one.
     val t0b = System.nanoTime()
+    val priorThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     val verifiedShuffle =
       try Dedup.pairJaccard(
         Dedup.candidatePairs(Dedup.lshBands(Dedup.minhashSignature(sh, 8), 8, 2)), sh)
         .filter(col("jacc") >= 0.5).count()
-      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", priorThreshold)
     val dtb = (System.nanoTime() - t0b) / 1e9
     assert(verifiedShuffle == verified,
       s"shuffle-join LSH disagrees with broadcast run: $verifiedShuffle != $verified")

@@ -39,18 +39,8 @@ object CurationQueries extends QueryModule {
         .withColumn("fp", TextAnalysis.fingerprint(col("text")))
         .groupBy("fp").agg(min("doc_id").as("doc_id")).select("doc_id")
       val d1 = docs.join(keep1, "doc_id")
-      // 2. quality gate (same formula as t_quality_score)
-      val t = col("text")
-      val nChars = length(t).cast("long")
-      val nWords = size(split(trim(t), "\\s+")).cast("long")
-      val nAlpha = length(regexp_replace(t, "[^A-Za-z]", "")).cast("long")
-      val nPunct = size(regexp_extract_all(t, lit("[.,;:!?]"), lit(0))).cast("long")
-      val nStop = size(regexp_extract_all(lower(t),
-        lit("\\b(the|and|of|to|in|is|that|for)\\b"), lit(0))).cast("long")
-      val quality = least(lit(1.0), greatest(lit(0.0),
-        lit(0.25) + nStop.cast("double") / nWords * 2.0
-          - nPunct.cast("double") / nChars * 3.0
-          + nAlpha.cast("double") / nChars * 0.5))
+      // 2. quality gate (t_quality_score's formula, shared helper)
+      val quality = TextAnalysis.qualityScore(col("text"))
       // Stage outputs are materialized once (localCheckpoint): each is
       // consumed by several downstream stages, and without truncation
       // every reference re-executes the whole upstream filter chain —

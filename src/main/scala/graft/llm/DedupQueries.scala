@@ -69,6 +69,7 @@ object DedupQueries extends QueryModule {
     * row for observability. Columns: (doc_a, doc_b, i, ca, cb,
     * n_dropped_shingles). */
   private val cappedCache = new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+  private val cappedIcoldCache = new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
   private val shingleCap = 40
   private def cappedPairsOf(s: org.apache.spark.sql.SparkSession, dir: String) =
     cappedCache.computeIfAbsent(dir, d => {
@@ -78,13 +79,16 @@ object DedupQueries extends QueryModule {
       val hotPost = sh.join(broadcast(hot.select("s")), Seq("s"))
       val sizes = sh.groupBy("id").agg(count(lit(1)).as("c"))
       // icold feeds both the hot-correction join and the final merge;
-      // localCheckpoint materializes the (bounded, candidate-sized)
-      // frame once instead of re-running pair generation per reference.
-      val icold = cold.select(col("id").as("doc_a"), col("s"))
-        .join(cold.select(col("id").as("doc_b"), col("s")), Seq("s"))
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ic"))
-        .localCheckpoint()
+      // a REGISTERED cache materializes the (bounded, candidate-sized)
+      // frame once per reference — and unlike a localCheckpoint, the
+      // eviction hooks can actually release its blocks (a checkpoint
+      // RDD would linger until GC + async cleaner).
+      val icold = cappedIcoldCache.computeIfAbsent(d, _ =>
+        cold.select(col("id").as("doc_a"), col("s"))
+          .join(cold.select(col("id").as("doc_b"), col("s")), Seq("s"))
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ic"))
+          .cache())
       // hot-shingle intersections computed ONLY for surviving candidates:
       // cost ∝ candidates × hot shingles per doc, never posting² of a
       // stop-phrase
@@ -102,10 +106,10 @@ object DedupQueries extends QueryModule {
     })
 
   override def evictCaches(dir: String): Unit =
-    Seq(shCache, lshPairsCache, sh2Cache, pairsCache, cappedCache)
+    Seq(shCache, lshPairsCache, sh2Cache, pairsCache, cappedCache, cappedIcoldCache)
       .foreach(graft.model.FrameCache.evict(_, dir))
   override def clearCaches(): Unit =
-    Seq(shCache, lshPairsCache, sh2Cache, pairsCache, cappedCache)
+    Seq(shCache, lshPairsCache, sh2Cache, pairsCache, cappedCache, cappedIcoldCache)
       .foreach(graft.model.FrameCache.clear)
 
   /** Shared oracle CTEs: words → distinct 3-gram shingles → set sizes. */
@@ -171,7 +175,12 @@ object DedupQueries extends QueryModule {
     // any usable threshold. Rides the CAPPED-generation frame (this is
     // a production operator, not a labeled baseline): the score is
     // exact for any pair meeting through a rare shingle, and no
-    // stop-phrase posting list ever goes quadratic.
+    // stop-phrase posting list ever goes quadratic. The trade is
+    // explicit: a pair whose ONLY overlap is capped-hot shingles (a
+    // doc that is 100% corpus-wide boilerplate) never generates — by
+    // design, because such content is the d_span_coverage /
+    // d_repeated_spans family's job (coverage flags it per-doc without
+    // any pair explosion), not a pairwise operator's.
     "d_containment" -> ((s, dir) =>
       cappedPairsOf(s, dir)
         .withColumn("containment",
@@ -239,17 +248,8 @@ object DedupQueries extends QueryModule {
     "d_dedup_keep_best" -> ((s, dir) => {
       val canon = Dedup.canonicalize(
         lshVerifiedOf(s, dir).filter(col("jacc") >= 0.5).select("doc_a", "doc_b"), 3)
-      val t = col("text")
-      val nChars = length(t).cast("long")
-      val nWords = TextAnalysis.tokenCountWs(t).cast("long")
-      val nAlpha = length(regexp_replace(t, "[^A-Za-z]", "")).cast("long")
-      val nPunct = TextAnalysis.countMatches(t, "[.,;:!?]").cast("long")
-      val nStop = TextAnalysis.countMatches(lower(t), TextAnalysis.stopwordRe("en")).cast("long")
       val q = Tables.documents(s, dir).select(col("doc_id").as("id"),
-        least(lit(1.0), greatest(lit(0.0),
-          lit(0.25) + nStop.cast("double") / nWords * 2.0
-            - nPunct.cast("double") / nChars * 3.0
-            + nAlpha.cast("double") / nChars * 0.5)).as("quality"))
+        TextAnalysis.qualityScore(col("text")).as("quality"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("canonical").orderBy(col("quality").desc, col("id").asc)
       canon.join(q, Seq("id"))

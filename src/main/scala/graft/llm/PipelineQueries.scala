@@ -53,17 +53,7 @@ object PipelineQueries extends QueryModule {
     // 10⁹ docs rank with no partition ever holding more than its range
     // slice.
     "t_curriculum" -> ((s, dir) => {
-      val t = col("text")
-      val nChars = length(t).cast("long")
-      val nWords = size(split(trim(t), "\\s+")).cast("long")
-      val nAlpha = length(regexp_replace(t, "[^A-Za-z]", "")).cast("long")
-      val nPunct = size(regexp_extract_all(t, lit("[.,;:!?]"), lit(0))).cast("long")
-      val nStop = size(regexp_extract_all(lower(t),
-        lit("\\b(the|and|of|to|in|is|that|for)\\b"), lit(0))).cast("long")
-      val quality = least(lit(1.0), greatest(lit(0.0),
-        lit(0.25) + nStop.cast("double") / nWords * 2.0
-          - nPunct.cast("double") / nChars * 3.0
-          + nAlpha.cast("double") / nChars * 0.5))
+      val quality = TextAnalysis.qualityScore(col("text"))
       val scored = Tables.documents(s, dir)
         .select(col("doc_id"), quality.as("quality"))
       graft.ops.Rank.globalRank(scored,

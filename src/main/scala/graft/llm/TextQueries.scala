@@ -30,10 +30,7 @@ object TextQueries extends QueryModule {
         (nAlpha.cast("double") / nChars).as("alpha_ratio"),
         (nPunct.cast("double") / nChars).as("punct_ratio"),
         (nStop.cast("double") / nWords).as("stop_ratio"),
-        least(lit(1.0), greatest(lit(0.0),
-          lit(0.25) + nStop.cast("double") / nWords * 2.0
-            - nPunct.cast("double") / nChars * 3.0
-            + nAlpha.cast("double") / nChars * 0.5)).as("quality"))
+        TextAnalysis.qualityScore(t).as("quality"))
     }),
 
     // Language ID heuristic vs the labeled lang column.

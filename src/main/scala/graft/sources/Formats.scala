@@ -87,7 +87,7 @@ object Formats {
   def ingestDir(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val bin = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.{tif,grib2,nc}").load(dir)
+      .option("pathGlobFilter", "*.{tif,tiff,grib2,nc}").load(dir)
       .select(col("path"), col("content"))
     val pixels = bin.as[(String, Array[Byte])].mapPartitions { it =>
       it.flatMap { case (path, bytes) =>
@@ -129,7 +129,7 @@ object Formats {
   def ingestDirQuarantine(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import spark.implicits._
     val bin = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.{tif,grib2,nc}").load(dir)
+      .option("pathGlobFilter", "*.{tif,tiff,grib2,nc}").load(dir)
       .select(col("path"), col("content"))
     // one row per pixel with err = null, or ONE row per failed granule
     // with err = reason (pixel columns null)

@@ -126,12 +126,14 @@ object GeoRasterScan {
   * listing diff, so every dropped granule is processed exactly once
   * (same contract as Spark's own FileStreamSource, minimal form). */
 case class GeoRasterOffset(files: Seq[String]) extends Offset {
-  // base64 per path: the offset round-trips ANY byte sequence in a
-  // file name (embedded quotes, '","', newlines) without needing a
-  // real JSON parser on recovery — the base64 alphabet contains no
-  // quote or comma, so the array splits unambiguously.
+  // base64 per path (marked "b64:"): the offset round-trips ANY byte
+  // sequence in a file name (embedded quotes, '","', newlines)
+  // without needing a real JSON parser on recovery — the base64
+  // alphabet contains no quote or comma, so the array splits
+  // unambiguously. The marker lets recovery distinguish this format
+  // from checkpoints written by the older escaped-JSON encoding.
   override def json(): String =
-    files.map(f => "\"" + java.util.Base64.getEncoder.encodeToString(
+    files.map(f => "\"b64:" + java.util.Base64.getEncoder.encodeToString(
       f.getBytes(java.nio.charset.StandardCharsets.UTF_8)) + "\"")
       .mkString("[", ",", "]")
 }
@@ -145,10 +147,19 @@ class GeoRasterMicroBatchStream(path: String, fields: Array[String],
   override def deserializeOffset(json: String): Offset = {
     val inner = json.trim.stripPrefix("[").stripSuffix("]")
     if (inner.isEmpty) GeoRasterOffset(Seq.empty)
-    else GeoRasterOffset(inner.split(",").toSeq.map(s =>
-      new String(
-        java.util.Base64.getDecoder.decode(s.trim.stripPrefix("\"").stripSuffix("\"")),
-        java.nio.charset.StandardCharsets.UTF_8)))
+    else if (inner.contains("\"b64:"))
+      GeoRasterOffset(inner.split(",").toSeq.map(s =>
+        new String(
+          java.util.Base64.getDecoder.decode(
+            s.trim.stripPrefix("\"").stripSuffix("\"").stripPrefix("b64:")),
+          java.nio.charset.StandardCharsets.UTF_8)))
+    else
+      // legacy checkpoint (pre-b64 escaped-JSON encoding): restarting
+      // an old stream must recover its seen-file set, not crash on a
+      // '.' outside the base64 alphabet or decode names to garbage
+      GeoRasterOffset(inner.split("\",\"").toSeq
+        .map(_.stripPrefix("\"").stripSuffix("\"")
+          .replace("\\\"", "\"").replace("\\\\", "\\")))
   }
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val seen = start.asInstanceOf[GeoRasterOffset].files.toSet

@@ -33,7 +33,11 @@ import org.apache.spark.sql.types._
   * same earlier-doc state the single-batch run would see" makes
   * incremental ≡ batch for ANY id-ordered batch split
   * (`StreamCurationSpec` proves it; `d_incremental_endstate` oracles
-  * the batch form against DuckDB).
+  * the batch form against DuckDB). One bounded exception: the LSH
+  * hot-bucket skew cap is prefix-scoped online (see the stage-4
+  * comment), so exact equivalence is guaranteed whenever no band
+  * bucket exceeds the cap corpus-wide; past it the incremental run
+  * drops a (still exactly-verified) superset.
   *
   * State is four key-sets (fingerprints; span hashes of stage-2
   * survivors; LSH band keys of stage-3 survivors; the stage-3
@@ -115,14 +119,32 @@ object StreamCuration {
     // exact Jaccard before any drop. State membership = docs that
     // ENTERED this stage (stage-3 survivors), so no retroactive
     // un-keeps are ever needed.
+    //
+    // The hot-bucket skew cap is evaluated over the COMBINED band
+    // index (state ∪ batch) so a template bucket that crosses the cap
+    // as state accumulates stops generating pairs on BOTH the in-batch
+    // and cross-batch sides — the same one-reducer blowup guard the
+    // batch pipeline has. Cap semantics across splits are necessarily
+    // prefix-scoped (an online run cannot know a bucket will cross the
+    // cap in a future batch), so batch ≡ incremental is EXACT whenever
+    // no bucket exceeds the cap corpus-wide — every healthy corpus;
+    // past the cap the incremental run degrades gracefully: its extra
+    // early pairs were exactly verified, so it only drops MORE true
+    // near-dups than the batch run's whole-bucket exclusion.
     val sh = Dedup.shingles(k3.select("doc_id", "text"), "doc_id", "text")
       .localCheckpoint()
     val sig = Dedup.minhashSignature(sh, 8)
     val bands = Dedup.lshBands(sig, 8, 2)
-    val inVerified = Dedup.pairJaccard(Dedup.candidatePairs(bands), sh)
+    val combined = bands.select("id", "band", "key")
+      .unionByName(st.bands).localCheckpoint()
+    val hot = Dedup.hotBuckets(combined).select("band", "key")
+    val bandsCapped = bands.join(hot, Seq("band", "key"), "left_anti")
+    val inVerified = Dedup.pairJaccard(
+        Dedup.candidatePairs(bandsCapped, maxBucket = Int.MaxValue), sh)
       .filter(col("jacc") >= JaccardMin)
-    val candOld = bands
-      .join(st.bands.withColumnRenamed("id", "doc_a"), Seq("band", "key"))
+    val candOld = bandsCapped
+      .join(st.bands.join(hot, Seq("band", "key"), "left_anti")
+        .withColumnRenamed("id", "doc_a"), Seq("band", "key"))
       .select(col("doc_a"), col("id").as("doc_b")).distinct()
     val oldIds = candOld.select(col("doc_a").as("doc_id")).distinct()
     val shOld = Dedup.shingles(st.docs.join(oldIds, "doc_id"), "doc_id", "text")
@@ -157,8 +179,12 @@ object StreamCuration {
   def loadState(s: SparkSession, dir: String): State = {
     val e = emptyState(s)
     def read(name: String, fallback: DataFrame) = {
-      val p = new java.io.File(part(dir, name))
-      if (p.exists()) s.read.parquet(p.getPath).distinct() else fallback
+      // existence through the Hadoop filesystem of the path's scheme —
+      // java.io.File would silently report hdfs://…/s3a://… state dirs
+      // as absent and curate every batch against empty state
+      val p = new org.apache.hadoop.fs.Path(part(dir, name))
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) s.read.parquet(part(dir, name)).distinct() else fallback
     }
     State(
       fps = read("fps", e.fps),

@@ -79,6 +79,7 @@ class SkewSpec extends SparkSpec {
 
   test("LSH band join completes and agrees with broadcast disabled") {
     val expected = Dedup.candidatePairs(bands).count()
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val shuffled = Dedup.candidatePairs(bands)
@@ -87,6 +88,6 @@ class SkewSpec extends SparkSpec {
       val plan = shuffled.queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastHashJoin"),
         s"band self-join still forces a broadcast with threshold -1:\n$plan")
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 }

@@ -99,6 +99,14 @@ class GeoRasterSourceSpec extends SparkSpec {
     assert(back.files == hostile)
   }
 
+  test("stream offset recovers legacy (pre-b64) checkpoints") {
+    val stream = new GeoRasterMicroBatchStream("/nonexistent", Array("fname"))
+    // the exact escaped-JSON format the previous encoding wrote
+    val legacy = """["/drop/a.tif","/drop/b\"q\".nc","/drop/c\\back.grib2"]"""
+    val back = stream.deserializeOffset(legacy).asInstanceOf[GeoRasterOffset]
+    assert(back.files == Seq("/drop/a.tif", "/drop/b\"q\".nc", "/drop/c\\back.grib2"))
+  }
+
   test("drop-zone listing is dot-anchored: x.gtif / data.func never reach the sniffer") {
     val d = java.nio.file.Files.createTempDirectory("ext").toString
     Seq("a.tif", "b.tiff", "c.nc", "d.grib2", "x.gtif", "data.func", "e.nc.bak")
