@@ -77,6 +77,39 @@ class StreamCurationSpec extends SparkSpec {
     }
   }
 
+  test("template flood across batches: cap applies to the combined band index, kept set stays sane") {
+    // 120 exact copies of one template arriving across two batches —
+    // enough to cross a cap of the batch size, so the cross-batch band
+    // join would blow up without the combined-index cap. Exact dedup
+    // (stage 1) removes the copies regardless; the test pins that the
+    // pipeline completes, keeps exactly one template doc, and that the
+    // combined cap is what the fuzzy stage saw.
+    val vocab = (0 until 64).map(i => s"w$i")
+    val vocabExpr = s"array(${vocab.map("'" + _ + "'").mkString(",")})"
+    val flood = spark.range(120).select(
+      col("id").as("doc_id"), lit("tpl").as("source"),
+      expr(s"""concat_ws(' ', transform(sequence(0, 39), i ->
+           | element_at($vocabExpr, pmod(hash(555000 + i), 64) + 1)))""".stripMargin).as("text"))
+    val normal = spark.range(120, 200).select(
+      col("id").as("doc_id"), lit("web").as("source"),
+      expr(s"""concat_ws(' ', transform(sequence(0, 39), i ->
+           | element_at($vocabExpr, pmod(hash(id * 100 + i), 64) + 1)))""".stripMargin).as("text"))
+    val all = flood.unionByName(normal)
+    val expected = keptSet(StreamCuration.endstateBatch(all))
+    assert(expected.count(_._2 == "tpl") == 1, "exact dedup should keep exactly one template copy")
+
+    var st = StreamCuration.emptyState(spark)
+    var kept = Set.empty[(Long, String, Long)]
+    for ((lo, hi) <- Seq((0L, 100L), (100L, 1000L))) {
+      val (k, delta) = StreamCuration.processBatch(
+        all.filter(col("doc_id") >= lo && col("doc_id") < hi), st)
+      kept ++= keptSet(k)
+      st = accumulate(st, delta)
+    }
+    assert(kept == expected,
+      s"flood split diverged: only-incremental=${kept -- expected} only-batch=${expected -- kept}")
+  }
+
   test("persisted-state streaming runner reproduces the batch kept set; replay is idempotent") {
     val base = java.nio.file.Files.createTempDirectory("graft-curation-").toString
     val (srcDir, stateDir, keptDir, ckptDir) =
