@@ -242,6 +242,12 @@ object Dedup {
     else {
       val hot = exploded.groupBy("blk", "bv").agg(count(lit(1)).as("pc"))
         .filter(col("pc") > saltThreshold).select("blk", "bv")
+        .localCheckpoint() // tiny (≤ blocks × values); consumed up to 3×
+      // healthy corpora have NO hot blocks — skip the anti-join/union
+      // machinery entirely so the skew guard costs one small aggregate,
+      // not a second join tree (the check is a driver action on an
+      // already-reduced frame)
+      if (hot.isEmpty) return pairsOf(exploded, Seq("blk", "bv"))
       val cold = exploded.join(hot, Seq("blk", "bv"), "left_anti")
       val hotRows = exploded.join(hot, Seq("blk", "bv"))
       val aH = hotRows
