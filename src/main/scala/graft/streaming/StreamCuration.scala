@@ -58,7 +58,7 @@ object StreamCuration {
   val SpanW = 20
 
   case class State(fps: DataFrame, spans: DataFrame,
-                   bands: DataFrame, docs: DataFrame)
+                   bands: DataFrame, docs: DataFrame, wm: DataFrame)
 
   def emptyState(s: SparkSession): State = {
     def empty(schema: StructType) =
@@ -69,7 +69,8 @@ object StreamCuration {
       bands = empty(StructType(Seq(StructField("id", LongType),
         StructField("band", IntegerType), StructField("key", StringType)))),
       docs = empty(StructType(Seq(StructField("doc_id", LongType),
-        StructField("text", StringType)))))
+        StructField("text", StringType)))),
+      wm = empty(StructType(Seq(StructField("max_id", LongType)))))
   }
 
   /** Classify one id-ordered batch against the accumulated state.
@@ -78,6 +79,30 @@ object StreamCuration {
     * [[endstateBatch]]). */
   def processBatch(batchIn: DataFrame, st: State): (DataFrame, State) = {
     val batch = batchIn.select(col("doc_id"), col("source"), col("text"))
+
+    // Arrival-order contract, ENFORCED: every semantics above keys
+    // "earlier" off doc_id, so a batch STRADDLING the state's
+    // high-water mark would be silently curated against the wrong
+    // "earlier" set — fail loudly; disorder needs an upstream
+    // reorder, not a quietly different answer. A batch ENTIRELY at or
+    // below the mark is allowed through: that is at-least-once
+    // redelivery (a replayed batch finds all its fingerprints in
+    // state and no-ops — the X2 idempotence path), and for genuinely
+    // late new docs, curating against the fuller state errs only
+    // toward dropping more near-dups, never wrongly keeping.
+    // (One tiny aggregate per side; the watermark frame holds one row
+    // per processed batch.)
+    val batchRange = batch.agg(min("doc_id"), max("doc_id")).head()
+    if (!batchRange.isNullAt(0)) {
+      val wmRow = st.wm.agg(max("max_id")).head()
+      if (!wmRow.isNullAt(0)) {
+        val (bMin, bMax, hwm) = (batchRange.getLong(0), batchRange.getLong(1), wmRow.getLong(0))
+        require(bMin > hwm || bMax <= hwm,
+          s"arrival-order violation: batch [$bMin, $bMax] straddles the state " +
+            s"high-water mark $hwm — new ids mixed with already-processed ones " +
+            "would be curated against the wrong 'earlier' set; reorder upstream")
+      }
+    }
 
     // -- stage 1: exact dedup. "Earlier" = any previously seen doc
     // (state) or a smaller-id doc in this batch — kept or not, since a
@@ -156,11 +181,15 @@ object StreamCuration {
       .select(col("doc_id"), col("source"),
         TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens"))
 
+    val s = batch.sparkSession
+    import s.implicits._
     val deltas = State(
       fps = fp.select("fp").distinct(),
       spans = spans.select("h").distinct(),
       bands = bands.select("id", "band", "key"),
-      docs = k3.select("doc_id", "text"))
+      docs = k3.select("doc_id", "text"),
+      wm = if (batchRange.isNullAt(1)) emptyState(s).wm
+           else Seq(batchRange.getLong(1)).toDF("max_id"))
     (kept, deltas)
   }
 
@@ -190,7 +219,8 @@ object StreamCuration {
       fps = read("fps", e.fps),
       spans = read("spans", e.spans),
       bands = read("bands", e.bands),
-      docs = read("docs", e.docs))
+      docs = read("docs", e.docs),
+      wm = read("wm", e.wm))
   }
 
   /** Append one batch's deltas. Append-only: no state file is ever
@@ -201,6 +231,7 @@ object StreamCuration {
     delta.spans.write.mode("append").parquet(part(dir, "spans"))
     delta.bands.write.mode("append").parquet(part(dir, "bands"))
     delta.docs.write.mode("append").parquet(part(dir, "docs"))
+    delta.wm.write.mode("append").parquet(part(dir, "wm"))
   }
 
   /** Wire the pipeline onto any id-ordered document stream:

@@ -26,7 +26,8 @@ class StreamCurationSpec extends SparkSpec {
       fps = st.fps.unionByName(d.fps).distinct(),
       spans = st.spans.unionByName(d.spans).distinct(),
       bands = st.bands.unionByName(d.bands).distinct(),
-      docs = st.docs.unionByName(d.docs).distinct())
+      docs = st.docs.unionByName(d.docs).distinct(),
+      wm = st.wm.unionByName(d.wm).distinct())
 
   test("three id-ordered batches reproduce the single-batch kept set") {
     val ids = docs.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
@@ -108,6 +109,23 @@ class StreamCurationSpec extends SparkSpec {
     }
     assert(kept == expected,
       s"flood split diverged: only-incremental=${kept -- expected} only-batch=${expected -- kept}")
+  }
+
+  test("a batch straddling the high-water mark fails loudly; fully-past redelivery is allowed") {
+    val ids = docs.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val cut = ids(ids.length / 2)
+    val (k1, d1) = StreamCuration.processBatch(docs.filter(col("doc_id") < cut),
+      StreamCuration.emptyState(spark))
+    k1.count()
+    val st = accumulate(StreamCuration.emptyState(spark), d1)
+    // straddling batch: contains ids both below and above the mark
+    val e = intercept[IllegalArgumentException] {
+      StreamCuration.processBatch(docs, st)
+    }
+    assert(e.getMessage.contains("straddles"))
+    // fully-past redelivery: allowed, keeps nothing new
+    val (replay, _) = StreamCuration.processBatch(docs.filter(col("doc_id") < cut), st)
+    assert(replay.count() == 0)
   }
 
   test("persisted-state streaming runner reproduces the batch kept set; replay is idempotent") {
