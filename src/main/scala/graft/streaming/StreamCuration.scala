@@ -90,12 +90,13 @@ object StreamCuration {
     // state and no-ops — the X2 idempotence path), and for genuinely
     // late new docs, curating against the fuller state errs only
     // toward dropping more near-dups, never wrongly keeping.
-    // (One tiny aggregate per side; the watermark frame holds one row
-    // per processed batch.)
-    val batchRange = batch.agg(min("doc_id"), max("doc_id")).head()
-    if (!batchRange.isNullAt(0)) {
-      val wmRow = st.wm.agg(max("max_id")).head()
-      if (!wmRow.isNullAt(0)) {
+    // The watermark probe is a tiny aggregate; the batch range scan
+    // runs ONLY when state has a mark, so the batch form (empty
+    // state) pays nothing.
+    val wmRow = st.wm.agg(max("max_id")).head()
+    if (!wmRow.isNullAt(0)) {
+      val batchRange = batch.agg(min("doc_id"), max("doc_id")).head()
+      if (!batchRange.isNullAt(0)) {
         val (bMin, bMax, hwm) = (batchRange.getLong(0), batchRange.getLong(1), wmRow.getLong(0))
         require(bMin > hwm || bMax <= hwm,
           s"arrival-order violation: batch [$bMin, $bMax] straddles the state " +
@@ -181,15 +182,13 @@ object StreamCuration {
       .select(col("doc_id"), col("source"),
         TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens"))
 
-    val s = batch.sparkSession
-    import s.implicits._
     val deltas = State(
       fps = fp.select("fp").distinct(),
       spans = spans.select("h").distinct(),
       bands = bands.select("id", "band", "key"),
       docs = k3.select("doc_id", "text"),
-      wm = if (batchRange.isNullAt(1)) emptyState(s).wm
-           else Seq(batchRange.getLong(1)).toDF("max_id"))
+      // lazy one-row frame — no driver action on the batch path
+      wm = batch.agg(max("doc_id").as("max_id")).filter(col("max_id").isNotNull))
     (kept, deltas)
   }
 
