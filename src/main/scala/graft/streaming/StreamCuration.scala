@@ -233,6 +233,35 @@ object StreamCuration {
     delta.wm.write.mode("append").parquet(part(dir, "wm"))
   }
 
+  /** Compact the append-only state: each key-set rewrites to a single
+    * deduped snapshot (write-to-temp + atomic rename), bounding both
+    * file count (one file set per processed batch otherwise) and the
+    * dedup work every `loadState` repeats. Run it on whatever cadence
+    * the batch count warrants — it is an optimization, never a
+    * semantic change: loadState(after) ≡ loadState(before)
+    * (`StreamCurationSpec`). Not concurrency-safe with an in-flight
+    * batch; call between triggers (foreachBatch is serial, so from
+    * inside the batch function or while the query is stopped). */
+  def compactState(s: SparkSession, dir: String): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    for (name <- Seq("fps", "spans", "bands", "docs", "wm")) {
+      val p = new org.apache.hadoop.fs.Path(part(dir, name))
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) {
+        val tmp = new org.apache.hadoop.fs.Path(part(dir, s".$name.compact"))
+        fs.delete(tmp, true)
+        // the distinct's shuffle partitioning sets the snapshot's file
+        // count — one file SET total, vs one per processed batch
+        s.read.parquet(p.toString).distinct().write.parquet(tmp.toString)
+        val old = new org.apache.hadoop.fs.Path(part(dir, s".$name.old"))
+        fs.delete(old, true)
+        require(fs.rename(p, old) && fs.rename(tmp, p),
+          s"state compaction rename failed for $name")
+        fs.delete(old, true)
+      }
+    }
+  }
+
   /** Wire the pipeline onto any id-ordered document stream:
     * per micro-batch, curate against persisted state, append survivors
     * to `keptDir` and deltas to `stateDir`. */

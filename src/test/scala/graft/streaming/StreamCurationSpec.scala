@@ -150,13 +150,24 @@ class StreamCurationSpec extends SparkSpec {
     assert(streamed == batchKept,
       s"streamed diverged: only-streamed=${streamed -- batchKept} only-batch=${batchKept -- streamed}")
 
-    // X2 idempotence: replay wave 2 against the final state — the
-    // dedup-on-load state is unchanged and the replayed keeps are the
-    // rows already emitted (dedup-on-read absorbs the append)
+    // compaction: same state, fewer files
     def stateSizes() = {
       val st = StreamCuration.loadState(spark, stateDir)
       (st.fps.count(), st.spans.count(), st.bands.count(), st.docs.count())
     }
+    val preCompact = stateSizes()
+    def fileCount(name: String) =
+      Option(new java.io.File(s"$stateDir/$name").listFiles())
+        .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0)
+    val filesBefore = fileCount("fps")
+    StreamCuration.compactState(spark, stateDir)
+    assert(stateSizes() == preCompact, "compaction changed the state contents")
+    assert(fileCount("fps") < filesBefore || filesBefore <= 1,
+      s"compaction did not reduce fps file count ($filesBefore)")
+
+    // X2 idempotence: replay wave 2 against the final state — the
+    // dedup-on-load state is unchanged and the replayed keeps are the
+    // rows already emitted (dedup-on-read absorbs the append)
     val before = stateSizes()
     val (replayKept, replayDelta) =
       StreamCuration.processBatch(wave2, StreamCuration.loadState(spark, stateDir))
