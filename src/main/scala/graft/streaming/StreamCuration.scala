@@ -146,6 +146,15 @@ object StreamCuration {
     // ENTERED this stage (stage-3 survivors), so no retroactive
     // un-keeps are ever needed.
     //
+    // Shuffle discipline at scale: state is corpus-sized, the batch
+    // is not. In the cross-batch joins below the batch side is the
+    // small build side (AQE picks broadcast from runtime sizes — no
+    // hard hint, same OOM reasoning as candidatePairs), so persisted
+    // state is SCANNED once per batch, never shuffled; only matched
+    // candidates flow further. The combined-index bucket count is the
+    // one aggregation that reads state per batch — its map-side
+    // partials reduce to one row per distinct (band, key).
+    //
     // The hot-bucket skew cap is evaluated over the COMBINED band
     // index (state ∪ batch) so a template bucket that crosses the cap
     // as state accumulates stops generating pairs on BOTH the in-batch
@@ -160,9 +169,12 @@ object StreamCuration {
     val sh = Dedup.shingles(k3.select("doc_id", "text"), "doc_id", "text")
       .localCheckpoint()
     val sig = Dedup.minhashSignature(sh, 8)
-    val bands = Dedup.lshBands(sig, 8, 2)
-    val combined = bands.select("id", "band", "key")
-      .unionByName(st.bands).localCheckpoint()
+    // bands is batch-sized and consumed three times (bucket count,
+    // capped generation, cross-batch probe) — materialize IT, never
+    // the state-sized union (a checkpoint of state ∪ batch would copy
+    // the whole corpus index every batch)
+    val bands = Dedup.lshBands(sig, 8, 2).localCheckpoint()
+    val combined = bands.select("id", "band", "key").unionByName(st.bands)
     val hot = Dedup.hotBuckets(combined).select("band", "key")
     val bandsCapped = bands.join(hot, Seq("band", "key"), "left_anti")
     val inVerified = Dedup.pairJaccard(
