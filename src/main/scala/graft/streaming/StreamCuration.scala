@@ -41,13 +41,18 @@ import org.apache.spark.sql.types._
   *
   * State is four key-sets (fingerprints; span hashes of stage-2
   * survivors; LSH band keys of stage-3 survivors; the stage-3
-  * survivors' text for candidate verification). All updates are
-  * APPEND-only and all loads dedupe (`distinct`), so a replayed batch
-  * (X2 idempotence) perturbs nothing. At cluster scale the appends are
-  * partitioned parquet (a real deployment would use a table format
-  * with compaction); every per-batch join touches state ONLY through
-  * equi-keys (fp, span hash, band key), so batch cost scales with the
-  * batch, not the corpus.
+  * survivors' text for candidate verification) plus a fingerprint
+  * bloom sidecar. All updates are APPEND-only and all loads dedupe
+  * (`distinct`), so a replayed batch (X2 idempotence) perturbs
+  * nothing; [[compactState]] bounds file count. Every per-batch join
+  * touches state ONLY through equi-keys (fp, span hash, band key),
+  * and the join direction keeps state scan-only: the fingerprint
+  * anti-join pre-filters through the bloom sidecar (exact via a
+  * confirm pass), and the band/doc joins broadcast the batch side.
+  * The span-hash semi-join is the one state access that shuffles
+  * state under plain parquet; a 100 TB deployment stores spans (and
+  * bands) as tables BUCKETED by hash so that join shuffles only the
+  * batch — the interfaces here don't change, only the state writers.
   */
 object StreamCuration {
 
@@ -58,7 +63,8 @@ object StreamCuration {
   val SpanW = 20
 
   case class State(fps: DataFrame, spans: DataFrame,
-                   bands: DataFrame, docs: DataFrame, wm: DataFrame)
+                   bands: DataFrame, docs: DataFrame, wm: DataFrame,
+                   fpBloom: Option[org.apache.spark.util.sketch.BloomFilter] = None)
 
   def emptyState(s: SparkSession): State = {
     def empty(schema: StructType) =
@@ -108,11 +114,29 @@ object StreamCuration {
     // -- stage 1: exact dedup. "Earlier" = any previously seen doc
     // (state) or a smaller-id doc in this batch — kept or not, since a
     // dropped duplicate's fingerprint equals its keeper's.
+    //
+    // A plain anti-join against corpus-sized fingerprint state builds
+    // its hash on the STATE side — a full state shuffle every batch.
+    // With the bloom sidecar (maintained by saveDeltas), the batch
+    // pre-filters to bloom-positive fingerprints (true dups + fpp
+    // noise), the state is SCANNED once with that tiny set as the
+    // broadcast probe, and only bloom-confirmed fingerprints join
+    // back — per-batch state cost drops from shuffle-everything to
+    // scan-only. Bloom false positives are removed by the confirm
+    // join, so the answer is exactly the plain anti-join's.
     val fp = batch.withColumn("fp", TextAnalysis.fingerprint(col("text")))
     val firstIn = fp.groupBy("fp").agg(min("doc_id").as("first_id"))
-    val k1 = fp.join(firstIn, "fp").filter(col("doc_id") === col("first_id"))
-      .join(st.fps, Seq("fp"), "left_anti")
-      .select("doc_id", "source", "text")
+    val fpMin = fp.join(firstIn, "fp").filter(col("doc_id") === col("first_id"))
+    val k1 = (st.fpBloom match {
+      case Some(bloom) =>
+        val bc = batch.sparkSession.sparkContext.broadcast(bloom)
+        val might = udf((f: String) => bc.value.mightContainString(f))
+        val maybeDup = fpMin.filter(might(col("fp")))
+        val confirmed = st.fps.join(maybeDup.select("fp").distinct(), Seq("fp"), "left_semi")
+        fpMin.join(confirmed, Seq("fp"), "left_anti")
+      case None =>
+        fpMin.join(st.fps, Seq("fp"), "left_anti")
+    }).select("doc_id", "source", "text")
 
     // -- stage 2: quality gate (stateless). Materialized once: spans,
     // the stage-3 filter, and the state delta all consume it.
@@ -213,6 +237,14 @@ object StreamCuration {
 
   private def part(dir: String, name: String) = s"$dir/$name"
 
+  /** Bloom sidecar sizing. All blooms MUST share these parameters so
+    * per-batch filters merge into the accumulated one (~12 MB at 10⁷
+    * items / 1% fpp). Size for the expected corpus; past it the fpp
+    * degrades gracefully — more confirm-join work, never a wrong
+    * answer. At 10⁹+ docs shard the sidecar by fp prefix. */
+  val BloomItems = 10000000L
+  val BloomFpp = 0.01
+
   /** Load persisted state (empty on first run). Loads DEDUPE — an
     * append replayed by a failed-and-retried batch collapses back to
     * the same set (X2 idempotence). */
@@ -226,12 +258,22 @@ object StreamCuration {
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) s.read.parquet(part(dir, name)).distinct() else fallback
     }
+    val bloomPath = new org.apache.hadoop.fs.Path(part(dir, "fp.bloom"))
+    val bloomFs = bloomPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val bloom =
+      if (!bloomFs.exists(bloomPath)) None
+      else {
+        val in = bloomFs.open(bloomPath)
+        try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+        finally in.close()
+      }
     State(
       fps = read("fps", e.fps),
       spans = read("spans", e.spans),
       bands = read("bands", e.bands),
       docs = read("docs", e.docs),
-      wm = read("wm", e.wm))
+      wm = read("wm", e.wm),
+      fpBloom = bloom)
   }
 
   /** Append one batch's deltas. Append-only: no state file is ever
@@ -243,6 +285,25 @@ object StreamCuration {
     delta.bands.write.mode("append").parquet(part(dir, "bands"))
     delta.docs.write.mode("append").parquet(part(dir, "docs"))
     delta.wm.write.mode("append").parquet(part(dir, "wm"))
+    // merge the batch's fingerprints into the bloom sidecar (the batch
+    // filter is built distributed with the SAME sizing so it merges);
+    // write-to-temp + rename so a crash leaves the old sidecar intact —
+    // a stale bloom only means more confirm work, never a wrong answer
+    val batchBloom = delta.fps.stat.bloomFilter("fp", BloomItems, BloomFpp)
+    val p = new org.apache.hadoop.fs.Path(part(dir, "fp.bloom"))
+    val fs = p.getFileSystem(delta.fps.sparkSession.sparkContext.hadoopConfiguration)
+    val merged =
+      if (!fs.exists(p)) batchBloom
+      else {
+        val in = fs.open(p)
+        val prior = try org.apache.spark.util.sketch.BloomFilter.readFrom(in) finally in.close()
+        prior.mergeInPlace(batchBloom)
+      }
+    val tmp = new org.apache.hadoop.fs.Path(part(dir, ".fp.bloom.tmp"))
+    val out = fs.create(tmp, true)
+    try merged.writeTo(out) finally out.close()
+    fs.delete(p, false)
+    require(fs.rename(tmp, p), "bloom sidecar rename failed")
   }
 
   /** Compact the append-only state: each key-set rewrites to a single

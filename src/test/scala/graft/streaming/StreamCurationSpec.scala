@@ -149,6 +149,11 @@ class StreamCurationSpec extends SparkSpec {
     val streamed = keptSet(spark.read.parquet(keptDir).distinct())
     assert(streamed == batchKept,
       s"streamed diverged: only-streamed=${streamed -- batchKept} only-batch=${batchKept -- streamed}")
+    // the bloom sidecar exists after the first batch, so wave 2 (and
+    // the replay below) exercised the scan-only bloom+confirm path —
+    // and produced the identical kept set just asserted
+    assert(StreamCuration.loadState(spark, stateDir).fpBloom.isDefined,
+      "fingerprint bloom sidecar missing after streaming run")
 
     // compaction: same state, fewer files
     def stateSizes() = {
