@@ -252,6 +252,32 @@ object GridQueries extends QueryModule {
       Regrid.probeResample(Grid.fromLineitem(s, dir), probes)
     }),
 
+    // F14 — regrid onto a north-polar stereographic target (the NSIDC
+    // sea-ice grid family: down-axis 45°W, true scale 70°N). Polar
+    // aspects stress the hook differently from the conics — longitude
+    // wraps around the full circle and the pole is a removable
+    // singularity the inverse pins deterministically.
+    "f14_regrid_stereo" -> ((s, dir) => {
+      val probes = Regrid.reprojectProbesGeneric(s, Grid.W, Grid.H,
+        srcWest = -180.0, srcNorth = 90.0, pxDeg = Grid.PX, pyDeg = Grid.PY,
+        tgtW = 20, tgtH = 20,
+        mw = -4000000.0, mn = 4000000.0, pxm = 400000.0, pym = 400000.0,
+        inv = graft.ops.Geo.invPolarStereographic(-45.0, 70.0))
+      Regrid.probeResample(Grid.fromLineitem(s, dir), probes)
+    }),
+
+    // F14 — regrid onto a CONUS Albers equal-area target (standard
+    // parallels 29.5/45.5°N, origin 23°N 96°W): the equal-area conic
+    // complement to f14_regrid_lcc through the same hook.
+    "f14_regrid_albers" -> ((s, dir) => {
+      val probes = Regrid.reprojectProbesGeneric(s, Grid.W, Grid.H,
+        srcWest = -180.0, srcNorth = 90.0, pxDeg = Grid.PX, pyDeg = Grid.PY,
+        tgtW = 24, tgtH = 15,
+        mw = -2400000.0, mn = 3200000.0, pxm = 200000.0, pym = 200000.0,
+        inv = graft.ops.Geo.invAlbersEqualArea(29.5, 45.5, 23.0, -96.0))
+      Regrid.probeResample(Grid.fromLineitem(s, dir), probes)
+    }),
+
     // F14 — regrid, average: 2× coarsen, mean of valid source pixels per
     // target cell (rasterio 'average' NaN-aware semantics).
     "f14_regrid_average" -> ((s, dir) => {
@@ -620,6 +646,16 @@ object GridQueries extends QueryModule {
         -180.0, 90.0, Grid.PX, Grid.PY, 25, 15,
         -3000000.0, 7000000.0, 240000.0, 400000.0,
         graft.ops.Geo.invEllipsoidalMercator(0.0))),
+    "f14_regrid_stereo" -> probeValuesOracle(
+      Regrid.reprojectProbesLocal(Grid.W, Grid.H,
+        -180.0, 90.0, Grid.PX, Grid.PY, 20, 20,
+        -4000000.0, 4000000.0, 400000.0, 400000.0,
+        graft.ops.Geo.invPolarStereographic(-45.0, 70.0))),
+    "f14_regrid_albers" -> probeValuesOracle(
+      Regrid.reprojectProbesLocal(Grid.W, Grid.H,
+        -180.0, 90.0, Grid.PX, Grid.PY, 24, 15,
+        -2400000.0, 3200000.0, 200000.0, 200000.0,
+        graft.ops.Geo.invAlbersEqualArea(29.5, 45.5, 23.0, -96.0))),
     "f14_regrid_cubic" -> withCtes(
       s""", tgt AS (
          |  SELECT CAST(yy.r AS INT) AS yt, CAST(xx.r AS INT) AS xt,

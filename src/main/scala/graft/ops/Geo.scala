@@ -114,6 +114,53 @@ object Geo {
     (lon0Deg + math.toDegrees(x / EarthR), math.toDegrees(phi))
   }
 
+  /** Normalize a longitude into [-180, 180) — polar/conic inverses can
+    * emit up to lon0 ± 180 past the antimeridian. */
+  private def wrapLon(lonDeg: Double): Double = {
+    val w = ((lonDeg + 180.0) % 360.0 + 360.0) % 360.0 - 180.0
+    w
+  }
+
+  /** Inverse spherical polar stereographic, north aspect, true scale at
+    * `latTsDeg` (Snyder 1987 eq. 20-14..20-17 with 21-15; the NSIDC
+    * sea-ice grid family, e.g. EPSG:3413's spherical cousin). Down-axis
+    * points along `lon0Deg`; at the pole (rho = 0) longitude is pinned
+    * to lon0 so the function stays total and deterministic. */
+  def invPolarStereographic(lon0Deg: Double, latTsDeg: Double)
+                           (x: Double, y: Double): (Double, Double) = {
+    val k0 = (1.0 + math.sin(math.toRadians(latTsDeg))) / 2.0
+    val rho = math.sqrt(x * x + y * y)
+    val lat = math.toDegrees(
+      math.Pi / 2 - 2 * math.atan(rho / (2 * EarthR * k0)))
+    val lon =
+      if (rho == 0.0) lon0Deg
+      else wrapLon(lon0Deg + math.toDegrees(math.atan2(x, -y)))
+    (lon, lat)
+  }
+
+  /** Inverse spherical Albers equal-area conic, two standard parallels
+    * (Snyder 1987 eq. 14-3..14-11 inverted; the CONUS analysis-grid
+    * staple). Equal-area complements the conformal LCC above — the two
+    * conic families cover the continental products the reference warps
+    * through rasterio (geoprocessing/regrid.py:23-70). */
+  def invAlbersEqualArea(lat1Deg: Double, lat2Deg: Double,
+                         lat0Deg: Double, lon0Deg: Double)
+                        (x: Double, y: Double): (Double, Double) = {
+    val phi1 = math.toRadians(lat1Deg); val phi2 = math.toRadians(lat2Deg)
+    val phi0 = math.toRadians(lat0Deg)
+    val n = (math.sin(phi1) + math.sin(phi2)) / 2.0
+    val c = math.cos(phi1) * math.cos(phi1) + 2 * n * math.sin(phi1)
+    val rho0 = EarthR * math.sqrt(c - 2 * n * math.sin(phi0)) / n
+    val rho = math.sqrt(x * x + (rho0 - y) * (rho0 - y))
+    // for n < 0 (south-parallel cones) the atan2 arguments flip sign
+    val theta =
+      if (n >= 0) math.atan2(x, rho0 - y)
+      else math.atan2(-x, y - rho0)
+    val sinPhi = (c - (rho * n / EarthR) * (rho * n / EarthR)) / (2 * n)
+    val lat = math.toDegrees(math.asin(math.max(-1.0, math.min(1.0, sinPhi))))
+    (wrapLon(lon0Deg + math.toDegrees(theta / n)), lat)
+  }
+
   /** Pixel window of a geo bbox in a north-up grid frame
     * (west,north origin; pw/ph = pixel sizes in degrees). Returns
     * (col_off, row_off, width, height) clamped to the grid, matching the

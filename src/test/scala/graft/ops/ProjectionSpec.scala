@@ -54,4 +54,55 @@ class ProjectionSpec extends AnyFunSuite {
     assert(math.abs(sphericalLat - 53.0) > 0.1,
       "ellipsoidal and spherical Mercator should disagree visibly at mid-latitudes")
   }
+
+  test("inverse polar stereographic round-trips the forward projection") {
+    val (lon0, latTs) = (-45.0, 70.0)
+    val k0 = (1.0 + math.sin(math.toRadians(latTs))) / 2.0
+    def fwd(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val rho = 2 * R * k0 * math.tan(math.Pi / 4 - math.toRadians(latDeg) / 2)
+      val theta = math.toRadians(lonDeg - lon0)
+      (rho * math.sin(theta), -rho * math.cos(theta))
+    }
+    val inv = Geo.invPolarStereographic(lon0, latTs) _
+    for (lon <- Seq(-170.0, -45.0, 0.0, 134.5); lat <- Seq(45.0, 70.0, 88.5)) {
+      val (x, y) = fwd(lon, lat)
+      val (lonB, latB) = inv(x, y)
+      assert(math.abs(lonB - lon) < tol && math.abs(latB - lat) < tol,
+        s"polar stereo round-trip drifted: ($lon,$lat) -> ($x,$y) -> ($lonB,$latB)")
+    }
+    // the pole is a removable singularity: longitude pins to lon0
+    assert(inv(0.0, 0.0) == (lon0, 90.0))
+    // scale is true at latTs: a small arc along 70°N maps 1:1
+    val (x1, y1) = fwd(-45.0, latTs); val (x2, y2) = fwd(-44.9, latTs)
+    val ground = math.toRadians(0.1) * R * math.cos(math.toRadians(latTs))
+    val planar = math.hypot(x2 - x1, y2 - y1)
+    assert(math.abs(planar / ground - 1.0) < 1e-5,
+      s"scale at the true-scale parallel should be 1, got ${planar / ground}")
+  }
+
+  test("inverse Albers equal-area round-trips the forward projection") {
+    val (lat1, lat2, lat0, lon0) = (29.5, 45.5, 23.0, -96.0)
+    val phi1 = math.toRadians(lat1); val phi2 = math.toRadians(lat2)
+    val n = (math.sin(phi1) + math.sin(phi2)) / 2.0
+    val c = math.cos(phi1) * math.cos(phi1) + 2 * n * math.sin(phi1)
+    val rho0 = R * math.sqrt(c - 2 * n * math.sin(math.toRadians(lat0))) / n
+    def fwd(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val rho = R * math.sqrt(c - 2 * n * math.sin(math.toRadians(latDeg))) / n
+      val theta = math.toRadians(n * (lonDeg - lon0))
+      (rho * math.sin(theta), rho0 - rho * math.cos(theta))
+    }
+    val inv = Geo.invAlbersEqualArea(lat1, lat2, lat0, lon0) _
+    for (lon <- Seq(-124.7, -96.0, -67.0); lat <- Seq(24.5, 37.0, 49.4)) {
+      val (x, y) = fwd(lon, lat)
+      val (lonB, latB) = inv(x, y)
+      assert(math.abs(lonB - lon) < tol && math.abs(latB - lat) < tol,
+        s"Albers round-trip drifted: ($lon,$lat) -> ($x,$y) -> ($lonB,$latB)")
+    }
+    // equal-area, not conformal: it must disagree with the LCC inverse
+    // at the same point (different property, different cone constant)
+    val (x, y) = fwd(-80.0, 30.0)
+    val (lonL, latL) = Geo.invLambertConformalConic(lat1, lat2, lat0, lon0)(x, y)
+    assert(math.abs(latL - 30.0) > 0.01 || math.abs(lonL - -80.0) > 0.01,
+      "Albers and LCC inverses should differ on the same projected point")
+  }
 }
