@@ -153,6 +153,27 @@ object SimilarityQueries extends QueryModule {
         .select("qid", "vec_id", "cos", "rank")
     }),
 
+    // Incrementally-built IVF index (streaming/StreamIndex): the corpus
+    // arrives in three vec_id-ordered batches; centroids train on the
+    // FIRST batch and freeze, later batches broadcast-assign and append
+    // to cid-partitioned lists, and the search reads ONLY the probed
+    // cells' partitions. Frozen centroids make the incremental build
+    // EQUAL to a batch build, which is exactly what this oracle checks:
+    // the SQL trains k-means on the first batch, assigns the whole
+    // corpus, and probes — the engine answers from the persisted
+    // incremental index.
+    "s_ann_ivf_stream" -> ((s, dir) => {
+      val q = quantizedOf(s, dir)
+      val idx = java.nio.file.Files.createTempDirectory("graft-sidx-").toString
+      Seq((0L, 200L), (200L, 350L), (350L, Long.MaxValue)).foreach { case (lo, hi) =>
+        graft.streaming.StreamIndex.processBatch(
+          q.filter(col("vec_id") >= lo && col("vec_id") < hi), idx)
+      }
+      val queries = q.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("q").as("qa"), col("nrm2").as("na"))
+      graft.streaming.StreamIndex.search(s, idx, queries, nprobe = 2, topK = 3)
+    }),
+
     // Product-quantization ANN (ADC): 4 subspaces × 8 codes trained with
     // the deterministic integer k-means (2 rounds), corpus encoded as 4
     // small codes per vector, query distance = sum of per-subspace
@@ -432,6 +453,58 @@ object SimilarityQueries extends QueryModule {
          |a2 AS (${assignSql("i1")}),
          |${updateSql("a2", "c2comp", "c2v", "i2")},
          |assign AS (${assignSql("i2")}),
+         |queries AS (SELECT vec_id AS qid, qv AS qa, nrm2 AS na FROM qn WHERE vec_id < 8),
+         |probe AS (
+         |  SELECT qid, qa, na, cid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY
+         |      CAST(list_dot_product(qa, cq) AS DOUBLE)
+         |        / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(cnrm2 AS DOUBLE))) DESC,
+         |      cid ASC) AS crank
+         |  FROM queries CROSS JOIN i2),
+         |probed AS (SELECT qid, qa, na, cid FROM probe WHERE crank <= 2),
+         |scored AS (
+         |  SELECT qid, b.vec_id AS vec_id,
+         |    CAST(list_dot_product(qa, b.qv) AS DOUBLE)
+         |      / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(b.nrm2 AS DOUBLE))) AS cos
+         |  FROM probed JOIN assign b ON probed.cid = b.cid AND b.vec_id != qid)
+         |SELECT qid, vec_id, cos, rank FROM (
+         |  SELECT qid, vec_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 3""".stripMargin
+    },
+    // The incremental index's frozen-quantizer contract in SQL: k-means
+    // trains on the FIRST batch only (vec_id < 200), the whole corpus is
+    // assigned with those centroids, probing is unchanged — the batch
+    // answer the incremental build must (and does) reproduce.
+    "s_ann_ivf_stream" -> {
+      def assignSql(src: String, cents: String): String =
+        s"""SELECT vec_id, qv, nrm2, cid FROM (
+           |  SELECT $src.vec_id AS vec_id, $src.qv AS qv, $src.nrm2 AS nrm2, $cents.cid AS cid,
+           |    row_number() OVER (PARTITION BY $src.vec_id ORDER BY
+           |      $src.nrm2 + $cents.cnrm2 - 2 * list_dot_product($src.qv, $cents.cq) ASC,
+           |      $cents.cid ASC) AS rn
+           |  FROM $src CROSS JOIN $cents) t WHERE rn = 1""".stripMargin
+      def updateSql(assigned: String, comp: String, cv: String, out: String): String =
+        s"""$comp AS (
+           |  SELECT cid, CAST(i AS INT) AS i, qv[CAST(i+1 AS INT)] AS c
+           |  FROM $assigned CROSS JOIN range(64) ii(i)),
+           |$cv AS (
+           |  SELECT cid, i, CAST(floor(CAST(sum(c) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+           |  FROM $comp GROUP BY 1, 2),
+           |$out AS (
+           |  SELECT cid, cq, list_dot_product(cq, cq) AS cnrm2 FROM (
+           |    SELECT cid, list(cv ORDER BY i) AS cq FROM $cv GROUP BY 1) t)""".stripMargin
+      s"""WITH $quantSql,
+         |tr AS (SELECT * FROM qn WHERE vec_id < 200),
+         |i0 AS (
+         |  SELECT CAST(vec_id AS INT) AS cid, qv AS cq, list_dot_product(qv, qv) AS cnrm2
+         |  FROM qn WHERE vec_id < 8),
+         |a1 AS (${assignSql("tr", "i0")}),
+         |${updateSql("a1", "c1comp", "c1v", "i1")},
+         |a2 AS (${assignSql("tr", "i1")}),
+         |${updateSql("a2", "c2comp", "c2v", "i2")},
+         |assign AS (${assignSql("qn", "i2")}),
          |queries AS (SELECT vec_id AS qid, qv AS qa, nrm2 AS na FROM qn WHERE vec_id < 8),
          |probe AS (
          |  SELECT qid, qa, na, cid,

@@ -1,0 +1,113 @@
+package graft.streaming
+
+import graft.llm.Similarity
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained IVF embedding index — the similarity-search
+  * twin of [[StreamCuration]]: documents (with embeddings) arrive in
+  * batches, the index absorbs each batch as it lands, and searches hit
+  * the accumulated index at any point.
+  *
+  * The layout is the train-once-serve-many FAISS shape on open storage:
+  *
+  *   - `centroids/` — the coarse quantizer, trained by deterministic
+  *     k-means ([[Similarity.ivfKmeansCentroids]]) on the FIRST batch
+  *     and then FROZEN. Frozen centroids are what make the incremental
+  *     index EQUAL to a batch build: assignment is a pure per-row
+  *     function of (vector, centroids), so arrival order cannot change
+  *     any cell's membership. (Production practice is the same —
+  *     re-training the quantizer is an offline rebuild, not an
+  *     incremental step; drift shows up as recall decay, not wrong
+  *     results, since probed cells are still searched exactly.)
+  *   - `lists/` — the inverted lists: `(vec_id, q, nrm2)` parquet
+  *     PARTITIONED BY the assigned cell `cid`. Appending a batch is a
+  *     broadcast-assign (k centroid rows to every executor; the batch
+  *     never shuffles) plus an append into the matching cell
+  *     directories.
+  *
+  * Search ranks cells per query against the tiny centroid table,
+  * collects the union of probed cell ids (config-scale: queries ×
+  * nprobe ints), and reads `lists/` with a `cid IN (...)` filter —
+  * PARTITION PRUNING, so a 10⁹-vector index reads only the probed
+  * cells' files, never the corpus ([[StreamIndexSpec]] asserts the
+  * pruned scan). Everything downstream is the already-gated IVF search
+  * plan (exact integer dot products, deterministic tie-breaks).
+  *
+  * Idempotence (X2): list appends are keyed rows; loads `distinct()`
+  * before scoring, so a replayed batch perturbs nothing. The one
+  * non-append write — the first batch's centroid table — goes through
+  * overwrite, so a replayed FIRST batch rewrites the identical
+  * deterministic centroids.
+  *
+  * Reference intent: the event-driven derivation loop
+  * (georiva/src/georiva/processing/invocation.py:25-105) applied to
+  * the ANN index the LLM-pipeline queries serve.
+  */
+object StreamIndex {
+
+  /** Coarse-quantizer shape (matches the gated s_ann_ivf_kmeans). */
+  val K = 8
+  val Iters = 2
+
+  private def fsOf(s: SparkSession, p: Path) =
+    p.getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** Absorb one batch of quantized vectors `(vec_id, q, nrm2)` into the
+    * index at `dir`: train-and-freeze centroids if this is the first
+    * batch, then broadcast-assign and append to the cell partitions. */
+  def processBatch(batch: DataFrame, dir: String): Unit = {
+    val s = batch.sparkSession
+    import s.implicits._
+    val centPath = new Path(s"$dir/centroids")
+    val fs = fsOf(s, centPath)
+    val cents =
+      if (fs.exists(centPath)) s.read.parquet(centPath.toString)
+      else {
+        // literal-back the trained centroids (config-scale collect, the
+        // coarseOf pattern) so neither the write nor every later
+        // assignment re-executes the k-means lineage
+        val trained = Similarity.ivfKmeansCentroids(batch, K, Iters)
+          .collect().map(r => (r.getInt(0), r.getSeq[Long](1), r.getLong(2)))
+          .toSeq.toDF("cid", "cq", "cnrm2")
+        trained.write.mode("overwrite").parquet(centPath.toString)
+        trained
+      }
+    Similarity.assignNearest(batch, cents)
+      .write.mode("append").partitionBy("cid").parquet(s"$dir/lists")
+  }
+
+  /** Top-k cosine search against the accumulated index. `queries` is
+    * `(qid, qa, na)`; returns `(qid, vec_id, cos, rank)` — the same
+    * contract (and the same probe → prune → score → window plan) as the
+    * batch IVF queries, except the corpus scan is the PRUNED read of
+    * the probed cells' partitions only. */
+  def search(s: SparkSession, dir: String, queries: DataFrame,
+             nprobe: Int, topK: Int): DataFrame = {
+    val cents = s.read.parquet(s"$dir/centroids")
+    val probe = queries.crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        expr("CAST(aggregate(zip_with(qa, cq, (x, y) -> x * y), 0L, (acc, v) -> acc + v) AS DOUBLE)" +
+          " / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(cnrm2 AS DOUBLE)))"))
+    val wc = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cid").asc)
+    val probed = probe.withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= nprobe).select("qid", "qa", "na", "cid")
+    // the partition-pruning hinge: the probed cell ids collect to the
+    // driver (queries × nprobe ints) and push into the lists scan as a
+    // partition filter — only those cells' files are ever opened
+    val cids = probed.select("cid").distinct().collect().map(_.getInt(0)).sorted
+    val lists = s.read.parquet(s"$dir/lists")
+      .filter(col("cid").isin(cids.map(Integer.valueOf).toIndexedSeq: _*))
+      .distinct() // replayed-batch appends collapse (X2)
+      .select(col("cid"), col("vec_id"), col("q").as("qb"), col("nrm2").as("nb"))
+    val scored = probed.join(lists, Seq("cid"))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("cos", expr(Similarity.cosExpr))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("qid", "vec_id", "cos", "rank")
+  }
+}
