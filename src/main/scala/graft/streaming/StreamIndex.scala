@@ -57,8 +57,11 @@ object StreamIndex {
 
   /** Absorb one batch of quantized vectors `(vec_id, q, nrm2)` into the
     * index at `dir`: train-and-freeze centroids if this is the first
-    * batch, then broadcast-assign and append to the cell partitions. */
-  def processBatch(batch: DataFrame, dir: String): Unit = {
+    * batch, then broadcast-assign and append to the cell partitions.
+    * `k`/`iters` only matter on the training (first) call — afterwards
+    * the persisted quantizer governs. */
+  def processBatch(batch: DataFrame, dir: String,
+                   k: Int = K, iters: Int = Iters): Unit = {
     val s = batch.sparkSession
     import s.implicits._
     val centPath = new Path(s"$dir/centroids")
@@ -69,7 +72,7 @@ object StreamIndex {
         // literal-back the trained centroids (config-scale collect, the
         // coarseOf pattern) so neither the write nor every later
         // assignment re-executes the k-means lineage
-        val trained = Similarity.ivfKmeansCentroids(batch, K, Iters)
+        val trained = Similarity.ivfKmeansCentroids(batch, k, iters)
           .collect().map(r => (r.getInt(0), r.getSeq[Long](1), r.getLong(2)))
           .toSeq.toDF("cid", "cq", "cnrm2")
         trained.write.mode("overwrite").parquet(centPath.toString)
