@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Embedding similarity search: brute-force cosine top-k (baseline) and
@@ -44,8 +45,11 @@ object Similarity {
   }
 
   /** Learned IVF coarse quantizer: deterministic k-means over the
-    * quantized vectors. Init = the first k vectors by vec_id (a fixed,
-    * engine-independent seed); each iteration assigns every vector to
+    * quantized vectors. Init = the k SMALLEST vec_ids (a fixed,
+    * engine-independent seed; rank-labeled, so ids need not be dense
+    * or 0-based — a stream whose ids start at 10⁶ trains the same k
+    * cells, and relabeling is monotone so every downstream tie-break
+    * orders identically); each iteration assigns every vector to
     * its nearest centroid by EXACT integer squared-L2
     * (‖a−b‖² = ‖a‖² + ‖c‖² − 2·a·c, all BIGINT sums — bit-identical in
     * any engine; ties break on centroid id) and recomputes centroids as
@@ -53,8 +57,13 @@ object Similarity {
     * centroid rows — the corpus never shuffles for it; the centroid
     * update shuffles (k × dims) partial sums, not vectors. */
   def ivfKmeansCentroids(q: DataFrame, k: Int, iters: Int): DataFrame = {
-    var cents = q.filter(col("vec_id") < k)
-      .select(col("vec_id").cast("int").as("cid"), col("q").as("cq"))
+    val s = q.sparkSession
+    import s.implicits._
+    val seed = q.orderBy("vec_id").limit(k).select("vec_id", "q")
+      .collect().map(r => r.getSeq[Long](1))
+    require(seed.nonEmpty, "cannot train a quantizer on an empty corpus")
+    var cents = seed.zipWithIndex
+      .map { case (cq, i) => (i, cq) }.toSeq.toDF("cid", "cq")
     for (_ <- 0 until iters) {
       val assigned = assignNearest(q, withCnrm2(cents))
       cents = assigned
@@ -71,6 +80,37 @@ object Similarity {
   private def withCnrm2(cents: DataFrame): DataFrame =
     cents.select(col("cid"), col("cq"),
       expr("aggregate(cq, 0L, (acc, v) -> acc + v * v)").as("cnrm2"))
+
+  /** IVF probe: rank the (tiny, broadcast) cell table per query by
+    * centroid cosine and keep the top `nprobe` cells. `queries` is
+    * `(qid, qa, na)`, `cents` is `(cellCol, cq, cnrm2)`; returns
+    * `(qid, qa, na, cellCol)`. One definition serves every IVF-shaped
+    * query AND the incremental index — a tie-break or quantization
+    * change happens in exactly one place. */
+  def probeCells(queries: DataFrame, cents: DataFrame, cellCol: String,
+                 nprobe: Int): DataFrame = {
+    val probe = queries.crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        expr("CAST(aggregate(zip_with(qa, cq, (x, y) -> x * y), 0L, (acc, v) -> acc + v) AS DOUBLE)" +
+          " / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(cnrm2 AS DOUBLE)))"))
+    val wc = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col(cellCol).asc)
+    probe.withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= nprobe).select("qid", "qa", "na", cellCol)
+  }
+
+  /** Score probed queries against their cells' members by exact
+    * quantized cosine and keep the per-query top `topK`. `corpus` is
+    * `(cellCol, vec_id, qb, nb)`; returns `(qid, vec_id, cos, rank)`. */
+  def scoreTopK(probed: DataFrame, corpus: DataFrame, cellCol: String,
+                topK: Int): DataFrame = {
+    val scored = probed.join(corpus, Seq(cellCol))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("cos", expr(cosExpr))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("qid", "vec_id", "cos", "rank")
+  }
 
   /** (vec_id, q, nrm2, cid): nearest centroid by exact integer squared
     * L2, ties to the smaller cid. The k centroids are CONFIG-scale, so

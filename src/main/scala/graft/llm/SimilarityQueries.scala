@@ -46,12 +46,40 @@ object SimilarityQueries extends QueryModule {
     residCbCache.computeIfAbsent(dir, d =>
       Similarity.pqCodebooks(Similarity.pqSub(residOf(s, d), 4, 16), 8, 2))
 
-  override def evictCaches(dir: String): Unit =
+  /** Built incremental-index cache (dataset dir → persisted index
+    * path): the on-disk index IS the trained model, so it follows the
+    * train-once-serve-many pattern of the frames above — rebuilding
+    * per invocation would re-pay training + three partitioned writes
+    * per call and leak temp directories. Evict deletes the files. */
+  private val idxCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def streamIndexOf(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    idxCache.computeIfAbsent(dir, d => {
+      val q = quantizedOf(s, d)
+      val idx = java.nio.file.Files.createTempDirectory("graft-sidx-").toString
+      Seq((0L, 200L), (200L, 350L), (350L, Long.MaxValue)).foreach { case (lo, hi) =>
+        graft.streaming.StreamIndex.processBatch(
+          q.filter(col("vec_id") >= lo && col("vec_id") < hi), idx)
+      }
+      idx
+    })
+  private def deleteIdx(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(new java.io.File(path))
+  }
+
+  override def evictCaches(dir: String): Unit = {
     Seq(qCache, coarseCache, pqCbCache, residCbCache)
       .foreach(graft.model.FrameCache.evict(_, dir))
-  override def clearCaches(): Unit =
+    Option(idxCache.remove(dir)).foreach(deleteIdx)
+  }
+  override def clearCaches(): Unit = {
     Seq(qCache, coarseCache, pqCbCache, residCbCache)
       .foreach(graft.model.FrameCache.clear)
+    idxCache.values().forEach(deleteIdx(_))
+    idxCache.clear()
+  }
 
   private val quantSql =
     """q AS (
@@ -108,21 +136,11 @@ object SimilarityQueries extends QueryModule {
       val cents = Similarity.ivfCentroids(q, "label")
       val queries = q.filter(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("q").as("qa"), col("nrm2").as("na"))
-      val probe = queries.crossJoin(broadcast(cents))
-        .withColumn("ccos",
-          expr("CAST(aggregate(zip_with(qa, cq, (x, y) -> x * y), 0L, (acc, v) -> acc + v) AS DOUBLE)" +
-            " / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(cnrm2 AS DOUBLE)))"))
-      val wc = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("label").asc)
-      val probed = probe.withColumn("crank", row_number().over(wc))
-        .filter(col("crank") <= 2).select("qid", "qa", "na", "label")
-      val corpus = q.select(col("label"), col("vec_id"), col("q").as("qb"), col("nrm2").as("nb"))
-      val scored = probed.join(corpus, Seq("label"))
-        .filter(col("qid") =!= col("vec_id"))
-        .withColumn("cos", expr(Similarity.cosExpr))
-      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select("qid", "vec_id", "cos", "rank")
+      val corpus = q.select(col("label"), col("vec_id"),
+        col("q").as("qb"), col("nrm2").as("nb"))
+      Similarity.scoreTopK(
+        Similarity.probeCells(queries, cents, "label", nprobe = 2),
+        corpus, "label", topK = 3)
     }),
 
     // IVF with a LEARNED coarse quantizer: deterministic k-means (k=8,
@@ -135,22 +153,11 @@ object SimilarityQueries extends QueryModule {
       val assigned = Similarity.assignNearest(q, cents)
       val queries = q.filter(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("q").as("qa"), col("nrm2").as("na"))
-      val probe = queries.crossJoin(broadcast(cents))
-        .withColumn("ccos",
-          expr("CAST(aggregate(zip_with(qa, cq, (x, y) -> x * y), 0L, (acc, v) -> acc + v) AS DOUBLE)" +
-            " / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(cnrm2 AS DOUBLE)))"))
-      val wc = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cid").asc)
-      val probed = probe.withColumn("crank", row_number().over(wc))
-        .filter(col("crank") <= 2).select("qid", "qa", "na", "cid")
       val corpus = assigned.select(col("cid"), col("vec_id"),
         col("q").as("qb"), col("nrm2").as("nb"))
-      val scored = probed.join(corpus, Seq("cid"))
-        .filter(col("qid") =!= col("vec_id"))
-        .withColumn("cos", expr(Similarity.cosExpr))
-      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select("qid", "vec_id", "cos", "rank")
+      Similarity.scoreTopK(
+        Similarity.probeCells(queries, cents, "cid", nprobe = 2),
+        corpus, "cid", topK = 3)
     }),
 
     // Incrementally-built IVF index (streaming/StreamIndex): the corpus
@@ -164,11 +171,7 @@ object SimilarityQueries extends QueryModule {
     // incremental index.
     "s_ann_ivf_stream" -> ((s, dir) => {
       val q = quantizedOf(s, dir)
-      val idx = java.nio.file.Files.createTempDirectory("graft-sidx-").toString
-      Seq((0L, 200L), (200L, 350L), (350L, Long.MaxValue)).foreach { case (lo, hi) =>
-        graft.streaming.StreamIndex.processBatch(
-          q.filter(col("vec_id") >= lo && col("vec_id") < hi), idx)
-      }
+      val idx = streamIndexOf(s, dir)
       val queries = q.filter(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("q").as("qa"), col("nrm2").as("na"))
       graft.streaming.StreamIndex.search(s, idx, queries, nprobe = 2, topK = 3)

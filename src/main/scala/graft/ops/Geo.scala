@@ -149,6 +149,11 @@ object Geo {
     val phi1 = math.toRadians(lat1Deg); val phi2 = math.toRadians(lat2Deg)
     val phi0 = math.toRadians(lat0Deg)
     val n = (math.sin(phi1) + math.sin(phi2)) / 2.0
+    // symmetric parallels (lat1 = -lat2) degenerate the cone to a
+    // cylinder; that's a different projection (cylindrical equal-area),
+    // not a limit this inverse can take
+    require(n != 0.0,
+      s"Albers standard parallels must not be symmetric about the equator: $lat1Deg, $lat2Deg")
     val c = math.cos(phi1) * math.cos(phi1) + 2 * n * math.sin(phi1)
     val rho0 = EarthR * math.sqrt(c - 2 * n * math.sin(phi0)) / n
     val rho = math.sqrt(x * x + (rho0 - y) * (rho0 - y))

@@ -117,23 +117,29 @@ object StreamCuration {
     //
     // A plain anti-join against corpus-sized fingerprint state builds
     // its hash on the STATE side — a full state shuffle every batch.
-    // With the bloom sidecar (maintained by saveDeltas), the batch
-    // pre-filters to bloom-positive fingerprints (true dups + fpp
-    // noise), the state is SCANNED once with that tiny set as the
-    // broadcast probe, and only bloom-confirmed fingerprints join
+    // With the bloom sidecar (maintained by saveDeltas, whose invariant
+    // is that an existing sidecar covers EVERY persisted fingerprint),
+    // the batch pre-filters to bloom-positive fingerprints (true dups
+    // + fpp noise), the state is SCANNED once with that tiny set as
+    // the broadcast probe, and only bloom-confirmed fingerprints join
     // back — per-batch state cost drops from shuffle-everything to
     // scan-only. Bloom false positives are removed by the confirm
-    // join, so the answer is exactly the plain anti-join's.
+    // join; false negatives cannot occur under the sidecar invariant —
+    // so the answer is exactly the plain anti-join's.
     val fp = batch.withColumn("fp", TextAnalysis.fingerprint(col("text")))
     val firstIn = fp.groupBy("fp").agg(min("doc_id").as("first_id"))
     val fpMin = fp.join(firstIn, "fp").filter(col("doc_id") === col("first_id"))
     val k1 = (st.fpBloom match {
       case Some(bloom) =>
+        // fpMin feeds both the pre-filter and the final anti-join —
+        // materialize it or the fingerprint+groupBy subtree runs twice
+        // (the doubled-reference pathology the later stages also guard)
+        val fpm = fpMin.localCheckpoint()
         val bc = batch.sparkSession.sparkContext.broadcast(bloom)
         val might = udf((f: String) => bc.value.mightContainString(f))
-        val maybeDup = fpMin.filter(might(col("fp")))
+        val maybeDup = fpm.filter(might(col("fp")))
         val confirmed = st.fps.join(maybeDup.select("fp").distinct(), Seq("fp"), "left_semi")
-        fpMin.join(confirmed, Seq("fp"), "left_anti")
+        fpm.join(confirmed, Seq("fp"), "left_anti")
       case None =>
         fpMin.join(st.fps, Seq("fp"), "left_anti")
     }).select("doc_id", "source", "text")
@@ -239,9 +245,11 @@ object StreamCuration {
 
   /** Bloom sidecar sizing. All blooms MUST share these parameters so
     * per-batch filters merge into the accumulated one (~12 MB at 10⁷
-    * items / 1% fpp). Size for the expected corpus; past it the fpp
+    * items / 1% fpp). Size for the expected corpus; past it the FPP
     * degrades gracefully — more confirm-join work, never a wrong
-    * answer. At 10⁹+ docs shard the sidecar by fp prefix. */
+    * answer (false POSITIVES are the graceful direction; false
+    * negatives are excluded by the saveDeltas sidecar invariant).
+    * At 10⁹+ docs shard the sidecar by fp prefix. */
   val BloomItems = 10000000L
   val BloomFpp = 0.01
 
@@ -278,32 +286,52 @@ object StreamCuration {
 
   /** Append one batch's deltas. Append-only: no state file is ever
     * rewritten, so a crash between writes at worst replays a batch —
-    * which the dedup-on-load absorbs. */
+    * which the dedup-on-load absorbs.
+    *
+    * Sidecar invariant: an EXISTING `fp.bloom` always covers every
+    * fingerprint in the persisted `fps` set. A bloom false NEGATIVE on
+    * a persisted fingerprint would make stage 1 keep a true duplicate
+    * — a wrong answer, not slow — so the invariant is load-bearing and
+    * maintained two ways: (a) the merged bloom is written BEFORE the
+    * fps append (a crash between the two leaves a bloom that is a
+    * SUPERSET of fps — harmless, the confirm join kills the extras);
+    * (b) a missing sidecar over non-empty fps state (pre-sidecar
+    * directory, or a crash inside the delete+rename swap) is HEALED
+    * here by rebuilding from the full persisted set — a one-time
+    * state-sized scan, after which batches are scan-only again.
+    * loadState meanwhile returns fpBloom=None for a missing sidecar,
+    * so reads between the loss and the heal take the plain anti-join:
+    * correct, just not fast. */
   def saveDeltas(delta: State, dir: String): Unit = {
-    delta.fps.write.mode("append").parquet(part(dir, "fps"))
-    delta.spans.write.mode("append").parquet(part(dir, "spans"))
-    delta.bands.write.mode("append").parquet(part(dir, "bands"))
-    delta.docs.write.mode("append").parquet(part(dir, "docs"))
-    delta.wm.write.mode("append").parquet(part(dir, "wm"))
-    // merge the batch's fingerprints into the bloom sidecar (the batch
-    // filter is built distributed with the SAME sizing so it merges);
-    // write-to-temp + rename so a crash leaves the old sidecar intact —
-    // a stale bloom only means more confirm work, never a wrong answer
-    val batchBloom = delta.fps.stat.bloomFilter("fp", BloomItems, BloomFpp)
+    val s = delta.fps.sparkSession
+    val conf = s.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(part(dir, "fp.bloom"))
-    val fs = p.getFileSystem(delta.fps.sparkSession.sparkContext.hadoopConfiguration)
+    val fs = p.getFileSystem(conf)
+    val fpsPath = new org.apache.hadoop.fs.Path(part(dir, "fps"))
+    // the batch filter is built distributed with the SAME sizing as
+    // the accumulated one so the two merge
+    val batchBloom = delta.fps.stat.bloomFilter("fp", BloomItems, BloomFpp)
     val merged =
-      if (!fs.exists(p)) batchBloom
-      else {
+      if (fs.exists(p)) {
         val in = fs.open(p)
         val prior = try org.apache.spark.util.sketch.BloomFilter.readFrom(in) finally in.close()
         prior.mergeInPlace(batchBloom)
-      }
+      } else if (fs.exists(fpsPath)) {
+        // heal: cover the whole persisted set, not just this batch
+        s.read.parquet(fpsPath.toString)
+          .stat.bloomFilter("fp", BloomItems, BloomFpp)
+          .mergeInPlace(batchBloom)
+      } else batchBloom
     val tmp = new org.apache.hadoop.fs.Path(part(dir, ".fp.bloom.tmp"))
     val out = fs.create(tmp, true)
     try merged.writeTo(out) finally out.close()
     fs.delete(p, false)
     require(fs.rename(tmp, p), "bloom sidecar rename failed")
+    delta.fps.write.mode("append").parquet(part(dir, "fps"))
+    delta.spans.write.mode("append").parquet(part(dir, "spans"))
+    delta.bands.write.mode("append").parquet(part(dir, "bands"))
+    delta.docs.write.mode("append").parquet(part(dir, "docs"))
+    delta.wm.write.mode("append").parquet(part(dir, "wm"))
   }
 
   /** Compact the append-only state: each key-set rewrites to a single

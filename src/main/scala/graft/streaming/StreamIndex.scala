@@ -89,28 +89,26 @@ object StreamIndex {
     * the probed cells' partitions only. */
   def search(s: SparkSession, dir: String, queries: DataFrame,
              nprobe: Int, topK: Int): DataFrame = {
+    import s.implicits._
     val cents = s.read.parquet(s"$dir/centroids")
-    val probe = queries.crossJoin(broadcast(cents))
-      .withColumn("ccos",
-        expr("CAST(aggregate(zip_with(qa, cq, (x, y) -> x * y), 0L, (acc, v) -> acc + v) AS DOUBLE)" +
-          " / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(cnrm2 AS DOUBLE)))"))
-    val wc = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cid").asc)
-    val probed = probe.withColumn("crank", row_number().over(wc))
-      .filter(col("crank") <= nprobe).select("qid", "qa", "na", "cid")
-    // the partition-pruning hinge: the probed cell ids collect to the
-    // driver (queries × nprobe ints) and push into the lists scan as a
-    // partition filter — only those cells' files are ever opened
-    val cids = probed.select("cid").distinct().collect().map(_.getInt(0)).sorted
+    // the probed frame is queries × nprobe rows — literal-back it (one
+    // collect) so the probe lineage runs ONCE, serving both the
+    // partition-filter cid set and the scoring join's build side
+    val probed = Similarity.probeCells(queries, cents, "cid", nprobe)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2), r.getInt(3)))
+      .toSeq
+    val probedDf = probed.toDF("qid", "qa", "na", "cid")
+    // the partition-pruning hinge: the probed cell ids push into the
+    // lists scan as a partition filter — only those cells' files are
+    // ever opened. Sessions reads partition keys back as STRING (type
+    // inference off by contract), so prune on the string directory
+    // value and cast after.
+    val cids = probed.map(_._4).distinct.sorted
     val lists = s.read.parquet(s"$dir/lists")
-      .filter(col("cid").isin(cids.map(Integer.valueOf).toIndexedSeq: _*))
+      .filter(col("cid").isin(cids.map(_.toString): _*))
+      .withColumn("cid", col("cid").cast("int"))
       .distinct() // replayed-batch appends collapse (X2)
       .select(col("cid"), col("vec_id"), col("q").as("qb"), col("nrm2").as("nb"))
-    val scored = probed.join(lists, Seq("cid"))
-      .filter(col("qid") =!= col("vec_id"))
-      .withColumn("cos", expr(Similarity.cosExpr))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
-      .select("qid", "vec_id", "cos", "rank")
+    Similarity.scoreTopK(broadcast(probedDf), lists, "cid", topK)
   }
 }

@@ -183,4 +183,46 @@ class StreamCurationSpec extends SparkSpec {
     assert(keptSet(replayKept).isEmpty,
       "replaying a batch against post-batch state must keep nothing (all docs are now 'earlier')")
   }
+
+  test("a missing bloom sidecar over existing state heals, and the healed bloom still drops pre-sidecar duplicates") {
+    val ids = docs.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val (c1, c2, maxId) = (ids(ids.length / 3), ids(2 * ids.length / 3), ids.last)
+    // a wave-3 doc that exactly duplicates a wave-1 doc: under the
+    // sidecar invariant the bloom path must drop it; a bloom that
+    // covered only post-heal batches would false-negative it and
+    // wrongly keep it — that divergence is what this test pins
+    val dupText = docs.filter(col("doc_id") === ids(5)).select("text").head().getString(0)
+    val corpus = docs.unionByName(spark.range(1).select(
+      lit(maxId + 1).as("doc_id"), lit("dup").as("source"), lit(dupText).as("text")))
+    val expected = keptSet(StreamCuration.endstateBatch(corpus))
+    assert(!expected.exists(_._1 == maxId + 1), "the seeded duplicate must not survive the batch run")
+
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-heal-").toString
+    def wave(lo: Long, hi: Long) =
+      corpus.filter(col("doc_id") >= lo && col("doc_id") < hi)
+    var kept = Set.empty[(Long, String, Long)]
+    def step(lo: Long, hi: Long): StreamCuration.State = {
+      val st = StreamCuration.loadState(spark, stateDir)
+      val (k, d) = StreamCuration.processBatch(wave(lo, hi), st)
+      kept ++= keptSet(k)
+      StreamCuration.saveDeltas(d, stateDir)
+      st
+    }
+    step(Long.MinValue, c1)
+    // simulate a pre-sidecar state dir (or a crash inside the swap)
+    assert(new java.io.File(s"$stateDir/fp.bloom").delete())
+    val st2 = step(c1, c2)
+    assert(st2.fpBloom.isEmpty, "wave 2 should have run the plain path")
+    val healed = StreamCuration.loadState(spark, stateDir)
+    assert(healed.fpBloom.isDefined, "wave 2's save should heal the sidecar")
+    // the healed sidecar covers wave-1 fingerprints, not just wave 2's
+    val w1fp = wave(Long.MinValue, c1)
+      .select(graft.llm.TextAnalysis.fingerprint(col("text")).as("fp"))
+      .head().getString(0)
+    assert(healed.fpBloom.get.mightContainString(w1fp),
+      "healed bloom must cover pre-heal fingerprints")
+    step(c2, Long.MaxValue) // bloom path; contains the wave-1 duplicate
+    assert(kept == expected,
+      s"heal split diverged: only-incremental=${kept -- expected} only-batch=${expected -- kept}")
+  }
 }

@@ -56,7 +56,9 @@ class StreamIndexSpec extends SparkSpec {
     val res = StreamIndex.search(spark, idx, queriesOf(q), nprobe = 2, topK = 3)
     res.collect()
     val scans = res.queryExecution.executedPlan.collectLeaves().map(_.toString)
-    val listScan = scans.find(s => s.contains("/lists") || s.contains("PartitionFilters"))
+    // find the lists scan by its path — other scans also print a
+    // (vacuous) "PartitionFilters: []" line and must not match
+    val listScan = scans.find(_.contains("/lists"))
     assert(listScan.isDefined, s"no lists file scan found in:\n${scans.mkString("\n")}")
     // the scan must carry a real partition filter on cid — an empty
     // PartitionFilters would mean the whole index is read every search
@@ -66,5 +68,19 @@ class StreamIndexSpec extends SparkSpec {
     // cells are probed — fewer cell directories than K must satisfy
     // the search when probes overlap (sanity that pruning is by cid)
     assert(res.select("qid").distinct().count() == 8)
+  }
+
+  test("training does not require dense 0-based ids") {
+    // a stream whose ids start far from 0 must still train k cells and
+    // answer searches — the quantizer seeds from the k SMALLEST ids,
+    // not ids < k
+    val q = corpus.withColumn("vec_id", col("vec_id") + 1000000L)
+    val idx = tmpDir()
+    StreamIndex.processBatch(q, idx)
+    assert(spark.read.parquet(s"$idx/centroids").count() == StreamIndex.K)
+    val queries = q.filter(col("vec_id") < 1000008L)
+      .select(col("vec_id").as("qid"), col("q").as("qa"), col("nrm2").as("na"))
+    val res = StreamIndex.search(spark, idx, queries, nprobe = 2, topK = 3)
+    assert(res.count() == 24, "8 queries x top-3 expected")
   }
 }
