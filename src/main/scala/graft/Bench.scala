@@ -22,6 +22,16 @@ object Bench {
       Tables.read(spark, sfDir, t).count())
     Tables.events(spark, sfDir).count()
 
+    // The timed action must evaluate EVERY output column: a bare count()
+    // lets Catalyst prune work whose result is unreferenced (a window or
+    // join computing a payload column drops out of the counted plan
+    // entirely — SCALE.md round-5 §7 measured a fake 5× win from exactly
+    // this). The built-in `noop` v2 sink drives full rows through a
+    // writer with no disk I/O, so the plan that runs is the plan a real
+    // consumer would pay for.
+    def evalAll(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+
     // Warmup pass: run every query once. First executions pay JVM JIT +
     // whole-stage-codegen compilation + shared materialized-view builds —
     // fixed per-plan constants that amortize to nothing against real data
@@ -31,7 +41,7 @@ object Bench {
     // to the detail file alongside for transparency.
     val cold = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { evalAll(fn(spark, sfDir)) } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
 
@@ -40,7 +50,7 @@ object Bench {
     // ±30% with neighbor load (measured 31-42 s for an identical build).
     def pass() = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { evalAll(fn(spark, sfDir)) } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val (p1, p2) = (pass(), pass())

@@ -12,8 +12,11 @@ import org.apache.spark.sql.functions._
   * run's. Run: sbt "runMain graft.SoakCuration [nDocs] [nBatches]". */
 object SoakCuration {
   def main(args: Array[String]): Unit = {
+    // 12 batches default: the last batches curate against state ≥ 10×
+    // the batch — the regime where any state-sized per-batch cost
+    // (shuffle, sort, dedup) would dominate the printed times
     val nDocs = if (args.nonEmpty) args(0).toInt else 100000
-    val nBatches = if (args.length > 1) args(1).toInt else 5
+    val nBatches = if (args.length > 1) args(1).toInt else 12
     val spark = Sessions.build(
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
 
@@ -45,14 +48,15 @@ object SoakCuration {
       val lo = b.toLong * per
       val hi = if (b == nBatches - 1) Long.MaxValue else (b + 1).toLong * per
       val tb = System.nanoTime()
-      val st = StreamCuration.loadState(spark, stateDir)
+      // dedup=false — the hot-path load the streaming runner uses
+      val st = StreamCuration.loadState(spark, stateDir, dedup = false)
       val (kept, delta) = StreamCuration.processBatch(
         docs.filter(col("doc_id") >= lo && col("doc_id") < hi), st)
       val nKept = kept.count()
       StreamCuration.saveDeltas(delta, stateDir)
       keptTotal += nKept
       val dtb = (System.nanoTime() - tb) / 1e9
-      println(f"[soak-curation] batch $b%2d  ${dtb}%7.2f s  ${per / dtb}%8.0f docs/s  kept=$nKept")
+      println(f"[soak-curation] batch $b%2d  ${dtb}%7.2f s  ${per / dtb}%8.0f docs/s  kept=$nKept  state/batch=${b.toDouble}%.0f×")
     }
     val dt = (System.nanoTime() - t0) / 1e9
     println(f"[soak-curation] incremental total ${dt}%7.2f s  ${nDocs / dt}%8.0f docs/s  kept=$keptTotal")

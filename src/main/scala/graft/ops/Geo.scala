@@ -82,11 +82,19 @@ object Geo {
     val n =
       if (lat1Deg == lat2Deg) math.sin(phi1)
       else math.log(math.cos(phi1) / math.cos(phi2)) / math.log(t(phi2) / t(phi1))
+    // symmetric parallels (lat1 = -lat2) give n = 0: the cone degenerates
+    // to a cylinder (plain Mercator), which this conic inverse cannot take
+    require(n != 0.0,
+      s"LCC standard parallels must not be symmetric about the equator: $lat1Deg, $lat2Deg")
     val bigF = math.cos(phi1) * math.pow(t(phi1), n) / n
     val rho0 = EarthR * bigF / math.pow(t(phi0), n)
     val rho = math.signum(n) * math.sqrt(x * x + (rho0 - y) * (rho0 - y))
-    val theta = math.atan2(x, rho0 - y)
-    val lon = lon0Deg + math.toDegrees(theta / n)
+    // for n < 0 (south-parallel cones) the atan2 arguments flip sign
+    // (Snyder 1987 p.107: reverse the signs of x, y, rho0 when n < 0)
+    val theta =
+      if (n >= 0) math.atan2(x, rho0 - y)
+      else math.atan2(-x, y - rho0)
+    val lon = wrapLon(lon0Deg + math.toDegrees(theta / n))
     val lat = math.toDegrees(
       2 * math.atan(math.pow(EarthR * bigF / rho, 1.0 / n)) - math.Pi / 2)
     (lon, lat)

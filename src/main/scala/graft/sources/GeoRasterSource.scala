@@ -110,8 +110,9 @@ class GeoRasterScan(path: String, required: StructType,
 
 object GeoRasterScan {
   def listFiles(path: String): Array[String] = {
-    // dot-anchored so "x.gtif" / "data.func" don't reach the sniffer
-    val exts = Seq(".tif", ".tiff", ".grib2", ".nc")
+    // dot-anchored so "x.gtif" / "data.func" don't reach the sniffer;
+    // .grb2/.grib are the NCEP feed spellings of GRIB2
+    val exts = Seq(".tif", ".tiff", ".grib2", ".grb2", ".grib", ".nc")
     val dir = new java.io.File(path)
     val files =
       if (dir.isFile) Array(dir)
@@ -147,7 +148,10 @@ class GeoRasterMicroBatchStream(path: String, fields: Array[String],
   override def deserializeOffset(json: String): Offset = {
     val inner = json.trim.stripPrefix("[").stripSuffix("]")
     if (inner.isEmpty) GeoRasterOffset(Seq.empty)
-    else if (inner.contains("\"b64:"))
+    // anchored to the FIRST element: the writer guarantees new-format
+    // payloads start with "b64:, while a legacy file name could contain
+    // the escaped substring \"b64: anywhere and must not be misrouted
+    else if (inner.startsWith("\"b64:"))
       GeoRasterOffset(inner.split(",").toSeq.map(s =>
         new String(
           java.util.Base64.getDecoder.decode(

@@ -46,13 +46,22 @@ import org.apache.spark.sql.types._
   * (`distinct`), so a replayed batch (X2 idempotence) perturbs
   * nothing; [[compactState]] bounds file count. Every per-batch join
   * touches state ONLY through equi-keys (fp, span hash, band key),
-  * and the join direction keeps state scan-only: the fingerprint
-  * anti-join pre-filters through the bloom sidecar (exact via a
-  * confirm pass), and the band/doc joins broadcast the batch side.
-  * The span-hash semi-join is the one state access that shuffles
-  * state under plain parquet; a 100 TB deployment stores spans (and
-  * bands) as tables BUCKETED by hash so that join shuffles only the
-  * batch — the interfaces here don't change, only the state writers.
+  * and every state access keeps corpus-sized state SCAN-ONLY — no
+  * state-side exchange, no state-side sort, per-batch shuffle cost
+  * tracks the batch:
+  * Every key-set persists in a table BUCKETED by its equi-join key
+  * (fps by fp, spans by h, bands by (band, key), docs by doc_id), and
+  * every per-batch access makes state the STREAMED side of a
+  * shuffle-hash join whose build side is a batch-bounded probe:
+  *   - fingerprints: bloom-sidecar pre-filter, then the tiny
+  *     bloom-positive set probes fp state (confirm semi-join);
+  *   - span hashes: the batch's distinct hashes probe span state;
+  *   - band index: batch-touched (band, key)s probe band state, and
+  *     both the hot-bucket count and the cross-batch candidate join
+  *     ride that ONE batch-restricted pass;
+  *   - docs: candidate ids (tiny) probe doc state before any reuse.
+  * `StreamCurationPlanSpec` asserts the no-state-side-exchange shape
+  * on the executed plans with state ≫ batch.
   */
 object StreamCuration {
 
@@ -82,8 +91,11 @@ object StreamCuration {
   /** Classify one id-ordered batch against the accumulated state.
     * Returns (kept(doc_id, source, n_tokens), state DELTAS to append).
     * With empty state this IS the batch pipeline (see
-    * [[endstateBatch]]). */
-  def processBatch(batchIn: DataFrame, st: State): (DataFrame, State) = {
+    * [[endstateBatch]]). `maxBucket` is the LSH hot-bucket cap applied
+    * to the combined (state ∪ batch) band index — configurable so
+    * tests can drive the capped cross-batch path at spec scale. */
+  def processBatch(batchIn: DataFrame, st: State,
+                   maxBucket: Int = 1024): (DataFrame, State) = {
     val batch = batchIn.select(col("doc_id"), col("source"), col("text"))
 
     // Arrival-order contract, ENFORCED: every semantics above keys
@@ -138,7 +150,12 @@ object StreamCuration {
         val bc = batch.sparkSession.sparkContext.broadcast(bloom)
         val might = udf((f: String) => bc.value.mightContainString(f))
         val maybeDup = fpm.filter(might(col("fp")))
-        val confirmed = st.fps.join(maybeDup.select("fp").distinct(), Seq("fp"), "left_semi")
+        // shuffle-hash with the tiny bloom-positive set as build side:
+        // fp state (bucketed by fp) streams through the probe with no
+        // exchange — planner-guaranteed, not an AQE runtime rescue
+        val confirmed = st.fps.join(
+          maybeDup.select("fp").distinct().hint("shuffle_hash"),
+          Seq("fp"), "left_semi")
         fpm.join(confirmed, Seq("fp"), "left_anti")
       case None =>
         fpMin.join(st.fps, Seq("fp"), "left_anti")
@@ -159,7 +176,19 @@ object StreamCuration {
     val staleInBatch = spans.join(hFirst, "h")
       .filter(col("doc_id") > col("h_first"))
       .select("doc_id", "n_tokens", "pos")
-    val staleFromState = spans.join(st.spans, Seq("h"), "left_semi")
+    // State access is direction-flipped so corpus-sized span state is
+    // STREAMED, never shuffled or sorted: the batch's distinct hashes
+    // are the shuffle-hash BUILD side (batch-sized hash table per
+    // partition), persisted state — bucketed by h, see saveDeltas — is
+    // the probe side whose bucket layout already satisfies the join's
+    // distribution, and only the intersection (≤ batch hashes) flows
+    // on. The trailing distinct makes the intersection a set even when
+    // a crash-replayed append left duplicate state rows; it reuses the
+    // state-side bucketing, so it introduces no exchange either.
+    val batchH = spans.select("h").distinct()
+    val stateHits = st.spans.join(batchH.hint("shuffle_hash"), Seq("h"), "left_semi")
+      .distinct()
+    val staleFromState = spans.join(stateHits, Seq("h"), "left_semi")
       .select("doc_id", "n_tokens", "pos")
     val stale = staleInBatch.unionByName(staleFromState).distinct()
     val heavy = Dedup.mergedCoverage(stale.select(col("doc_id").as("id"),
@@ -204,18 +233,41 @@ object StreamCuration {
     // the state-sized union (a checkpoint of state ∪ batch would copy
     // the whole corpus index every batch)
     val bands = Dedup.lshBands(sig, 8, 2).localCheckpoint()
-    val combined = bands.select("id", "band", "key").unionByName(st.bands)
-    val hot = Dedup.hotBuckets(combined).select("band", "key")
+    // The combined-index cap only matters for buckets the BATCH
+    // touches: a bucket with no batch member generates no new pair on
+    // either the in-batch or cross-batch side, so its hotness is
+    // irrelevant this batch. Restricting state to batch-touched
+    // (band, key)s first — same streamed-state/shuffle-hash-batch
+    // shape as the span semi above, over band state bucketed by
+    // (band, key) — turns the per-batch hot-bucket aggregation from a
+    // corpus-sized shuffle into a batch-bounded one, and the single
+    // restricted frame then serves BOTH the count and the cross-batch
+    // candidate probe (one state scan for the whole band path). The
+    // counts stay exact for every batch-touched bucket, so cap
+    // decisions are unchanged from the unrestricted form.
+    val batchKeys = bands.select("band", "key").distinct()
+    val stateTouched = st.bands
+      .join(batchKeys.hint("shuffle_hash"), Seq("band", "key"), "left_semi")
+      .distinct()
+      .localCheckpoint()
+    val combined = bands.select("id", "band", "key").unionByName(stateTouched)
+    val hot = Dedup.hotBuckets(combined, maxBucket).select("band", "key")
     val bandsCapped = bands.join(hot, Seq("band", "key"), "left_anti")
     val inVerified = Dedup.pairJaccard(
         Dedup.candidatePairs(bandsCapped, maxBucket = Int.MaxValue), sh)
       .filter(col("jacc") >= JaccardMin)
     val candOld = bandsCapped
-      .join(st.bands.join(hot, Seq("band", "key"), "left_anti")
+      .join(stateTouched.join(hot, Seq("band", "key"), "left_anti")
         .withColumnRenamed("id", "doc_a"), Seq("band", "key"))
       .select(col("doc_a"), col("id").as("doc_b")).distinct()
     val oldIds = candOld.select(col("doc_a").as("doc_id")).distinct()
-    val shOld = Dedup.shingles(st.docs.join(oldIds, "doc_id"), "doc_id", "text")
+    // restrict-then-dedupe: oldIds is candidate-sized, so the distinct
+    // that guards against crash-replayed duplicate doc rows runs on a
+    // tiny frame, never on corpus-sized doc state; the shuffle-hash
+    // hint streams doc state (bucketed by doc_id) through the probe
+    val shOld = Dedup.shingles(
+      st.docs.join(oldIds.hint("shuffle_hash"), Seq("doc_id")).distinct(),
+      "doc_id", "text")
     val oldVerified = Dedup.pairJaccard(candOld, sh.unionByName(shOld))
       .filter(col("jacc") >= JaccardMin)
     val drop = inVerified.select(col("doc_b").as("doc_id"))
@@ -236,12 +288,62 @@ object StreamCuration {
 
   /** The whole corpus as ONE batch — the oracle-gated batch form
     * (`d_incremental_endstate`). */
-  def endstateBatch(docs: DataFrame): DataFrame =
-    processBatch(docs, emptyState(docs.sparkSession))._1
+  def endstateBatch(docs: DataFrame, maxBucket: Int = 1024): DataFrame =
+    processBatch(docs, emptyState(docs.sparkSession), maxBucket)._1
 
   // ---- persisted-state runner -------------------------------------
 
   private def part(dir: String, name: String) = s"$dir/$name"
+
+  /** Bucket count for the span/band state tables — matches the
+    * session's shuffle partitioning so batch-side exchanges line up
+    * 1:1 with state buckets. */
+  val StateBuckets = 32
+
+  /** Span and band state live in BUCKETED tables (hash-clustered by
+    * their equi-join keys) so the per-batch state accesses in
+    * [[processBatch]] read the bucket layout directly: the batch side
+    * shuffles into the state's partitioning and state itself is
+    * streamed with NO exchange and NO sort — per-batch shuffle cost
+    * tracks the batch, not the accumulated corpus. Bucketing metadata
+    * lives in the session catalog, so the (idempotent) DDL below is
+    * re-issued on every load/save — a restarted job re-registers the
+    * same external tables over the same state-dir locations. */
+  private def tableId(dir: String, name: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    s"graft_curation_${name}_" + md.take(8).map("%02x".format(_)).mkString
+  }
+
+  /** The four key-set tables, each hash-clustered by its equi-join
+    * key. wm (one row per batch) stays plain parquet. */
+  private val BucketedState = Seq("fps", "spans", "bands", "docs")
+
+  private def stateTableDdl(table: String, name: String, location: String): String = {
+    val (schema, keys) = name match {
+      case "fps"   => ("fp STRING", "fp")
+      case "spans" => ("h STRING", "h")
+      case "bands" => ("id BIGINT, band INT, key STRING", "band, key")
+      case "docs"  => ("doc_id BIGINT, text STRING", "doc_id")
+      case other   => sys.error(s"no bucketed state table for '$other'")
+    }
+    s"""CREATE TABLE IF NOT EXISTS $table ($schema) USING PARQUET
+       |CLUSTERED BY ($keys) INTO $StateBuckets BUCKETS
+       |LOCATION '$location'""".stripMargin
+  }
+
+  /** Idempotently register the bucketed state tables for `dir`.
+    * Returns table name by state-set name. */
+  def ensureStateTables(s: SparkSession, dir: String): Map[String, String] =
+    BucketedState.map { name =>
+      // pre-create the location so reading a never-written table lists
+      // an empty dir instead of logging FileNotFound on every load
+      val p = new org.apache.hadoop.fs.Path(part(dir, name))
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).mkdirs(p)
+      val t = tableId(dir, name)
+      s.sql(stateTableDdl(t, name, part(dir, name)))
+      name -> t
+    }.toMap
 
   /** Bloom sidecar sizing. All blooms MUST share these parameters so
     * per-batch filters merge into the accumulated one (~12 MB at 10⁷
@@ -253,19 +355,33 @@ object StreamCuration {
   val BloomItems = 10000000L
   val BloomFpp = 0.01
 
-  /** Load persisted state (empty on first run). Loads DEDUPE — an
-    * append replayed by a failed-and-retried batch collapses back to
-    * the same set (X2 idempotence). */
-  def loadState(s: SparkSession, dir: String): State = {
+  /** Load persisted state (empty on first run).
+    *
+    * With `dedup = true` (the default, for inspection and external
+    * readers) every key-set collapses crash-replayed appends via
+    * `distinct()` — but that distinct is a corpus-sized aggregation
+    * embedded in EVERY downstream plan, so the hot streaming path
+    * ([[run]]) loads with `dedup = false`: [[processBatch]] is
+    * duplicate-tolerant by construction (state reaches it only through
+    * membership semi/anti joins, which duplicates cannot perturb, or
+    * through frames re-deduped AFTER a batch-bounded restriction), so
+    * raw appends curate identically — X2 idempotence without paying a
+    * corpus-sized dedup per batch. */
+  def loadState(s: SparkSession, dir: String, dedup: Boolean = true): State = {
     val e = emptyState(s)
+    val tables = ensureStateTables(s, dir)
+    def maybeDedup(df: DataFrame) = if (dedup) df.distinct() else df
     def read(name: String, fallback: DataFrame) = {
       // existence through the Hadoop filesystem of the path's scheme —
       // java.io.File would silently report hdfs://…/s3a://… state dirs
       // as absent and curate every batch against empty state
       val p = new org.apache.hadoop.fs.Path(part(dir, name))
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) s.read.parquet(part(dir, name)).distinct() else fallback
+      if (fs.exists(p)) maybeDedup(s.read.parquet(part(dir, name))) else fallback
     }
+    // key-sets read through their bucketed-table identity so plans
+    // see the HashPartitioning the files were written with
+    def readBucketed(name: String) = maybeDedup(s.table(tables(name)))
     val bloomPath = new org.apache.hadoop.fs.Path(part(dir, "fp.bloom"))
     val bloomFs = bloomPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     val bloom =
@@ -276,10 +392,10 @@ object StreamCuration {
         finally in.close()
       }
     State(
-      fps = read("fps", e.fps),
-      spans = read("spans", e.spans),
-      bands = read("bands", e.bands),
-      docs = read("docs", e.docs),
+      fps = readBucketed("fps"),
+      spans = readBucketed("spans"),
+      bands = readBucketed("bands"),
+      docs = readBucketed("docs"),
       wm = read("wm", e.wm),
       fpBloom = bloom)
   }
@@ -307,7 +423,7 @@ object StreamCuration {
     val conf = s.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(part(dir, "fp.bloom"))
     val fs = p.getFileSystem(conf)
-    val fpsPath = new org.apache.hadoop.fs.Path(part(dir, "fps"))
+    val tables = ensureStateTables(s, dir)
     // the batch filter is built distributed with the SAME sizing as
     // the accumulated one so the two merge
     val batchBloom = delta.fps.stat.bloomFilter("fp", BloomItems, BloomFpp)
@@ -316,21 +432,35 @@ object StreamCuration {
         val in = fs.open(p)
         val prior = try org.apache.spark.util.sketch.BloomFilter.readFrom(in) finally in.close()
         prior.mergeInPlace(batchBloom)
-      } else if (fs.exists(fpsPath)) {
-        // heal: cover the whole persisted set, not just this batch
-        s.read.parquet(fpsPath.toString)
-          .stat.bloomFilter("fp", BloomItems, BloomFpp)
+      } else {
+        // heal: cover the whole persisted set, not just this batch —
+        // read through the table so an empty/missing fps location
+        // contributes an empty set instead of failing schema inference
+        // (a bloom aggregated over ZERO rows has no bit array and
+        // NPEs on merge, hence the isEmpty guard)
+        val persisted = s.table(tables("fps"))
+        if (persisted.isEmpty) batchBloom
+        else persisted.stat.bloomFilter("fp", BloomItems, BloomFpp)
           .mergeInPlace(batchBloom)
-      } else batchBloom
+      }
     val tmp = new org.apache.hadoop.fs.Path(part(dir, ".fp.bloom.tmp"))
     val out = fs.create(tmp, true)
     try merged.writeTo(out) finally out.close()
     fs.delete(p, false)
     require(fs.rename(tmp, p), "bloom sidecar rename failed")
-    delta.fps.write.mode("append").parquet(part(dir, "fps"))
-    delta.spans.write.mode("append").parquet(part(dir, "spans"))
-    delta.bands.write.mode("append").parquet(part(dir, "bands"))
-    delta.docs.write.mode("append").parquet(part(dir, "docs"))
+    // key-sets append THROUGH their bucketed tables so every state
+    // file carries a bucket id reads can trust. The repartition aligns
+    // write tasks 1:1 with buckets (repartition and bucketing share
+    // HashPartitioning semantics), so each append adds at most one
+    // file per bucket instead of tasks × buckets.
+    delta.fps.repartition(StateBuckets, col("fp"))
+      .write.mode("append").insertInto(tables("fps"))
+    delta.spans.repartition(StateBuckets, col("h"))
+      .write.mode("append").insertInto(tables("spans"))
+    delta.bands.repartition(StateBuckets, col("band"), col("key"))
+      .write.mode("append").insertInto(tables("bands"))
+    delta.docs.repartition(StateBuckets, col("doc_id"))
+      .write.mode("append").insertInto(tables("docs"))
     delta.wm.write.mode("append").parquet(part(dir, "wm"))
   }
 
@@ -345,7 +475,7 @@ object StreamCuration {
     * inside the batch function or while the query is stopped). */
   def compactState(s: SparkSession, dir: String): Unit = {
     val conf = s.sparkContext.hadoopConfiguration
-    for (name <- Seq("fps", "spans", "bands", "docs", "wm")) {
+    for (name <- Seq("wm")) {
       val p = new org.apache.hadoop.fs.Path(part(dir, name))
       val fs = p.getFileSystem(conf)
       if (fs.exists(p)) {
@@ -361,18 +491,61 @@ object StreamCuration {
         fs.delete(old, true)
       }
     }
+    // key-set tables compact through a TEMPORARY bucketed table at a
+    // sibling location: a plain-parquet rewrite would strip the bucket
+    // ids from the file names and poison every later bucketed read.
+    // Same write-to-temp + atomic-rename shape as above; the catalog
+    // entry is refreshed after the swap so cached file listings drop.
+    ensureStateTables(s, dir)
+    for (name <- BucketedState) {
+      val p = new org.apache.hadoop.fs.Path(part(dir, name))
+      val fs = p.getFileSystem(conf)
+      // ensureStateTables pre-creates the (possibly empty) location dir,
+      // so existence alone no longer means there is anything to compact
+      if (fs.exists(p) && fs.listStatus(p).nonEmpty) {
+        val t = tableId(dir, name)
+        val tmpT = t + "_compact"
+        val tmpLoc = part(dir, s".$name.compact")
+        val tmp = new org.apache.hadoop.fs.Path(tmpLoc)
+        s.sql(s"DROP TABLE IF EXISTS $tmpT")
+        fs.delete(tmp, true)
+        fs.mkdirs(tmp)
+        s.sql(stateTableDdl(tmpT, name, tmpLoc))
+        s.table(t).distinct().write.mode("append").insertInto(tmpT)
+        s.sql(s"DROP TABLE IF EXISTS $tmpT")
+        val old = new org.apache.hadoop.fs.Path(part(dir, s".$name.old"))
+        fs.delete(old, true)
+        require(fs.rename(p, old) && fs.rename(tmp, p),
+          s"state compaction rename failed for $name")
+        fs.delete(old, true)
+        s.catalog.refreshTable(t)
+      }
+    }
   }
 
   /** Wire the pipeline onto any id-ordered document stream:
     * per micro-batch, curate against persisted state, append survivors
-    * to `keptDir` and deltas to `stateDir`. */
+    * to `keptDir` and deltas to `stateDir`.
+    *
+    * `keptDir` is AT-LEAST-ONCE: kept rows append before saveDeltas
+    * persists state, so a crash between the two replays the batch on
+    * restart against pre-batch state and appends the same kept rows
+    * again (state itself is unharmed — the replayed deltas are
+    * duplicate-tolerant). Consumers must dedupe on read
+    * (`distinct()`, or MERGE on doc_id — the X2 pattern); the
+    * alternative order would be worse: state-first + crash would
+    * DROP the batch's kept rows forever, since the replay finds every
+    * fingerprint already in state. */
   def run(stream: DataFrame, stateDir: String, keptDir: String,
           checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (b: DataFrame, _: Long) =>
         val s = b.sparkSession
-        val (kept, delta) = processBatch(b, loadState(s, stateDir))
+        // dedup=false: processBatch tolerates replayed duplicate state
+        // rows (see loadState), and the load-time distinct would embed
+        // a corpus-sized aggregation in every per-batch plan
+        val (kept, delta) = processBatch(b, loadState(s, stateDir, dedup = false))
         kept.write.mode("append").parquet(keptDir)
         saveDeltas(delta, stateDir)
       }

@@ -111,6 +111,60 @@ class StreamCurationSpec extends SparkSpec {
       s"flood split diverged: only-incremental=${kept -- expected} only-batch=${expected -- kept}")
   }
 
+  test("capped band join with a genuinely hot bucket, cross-batch: incremental == batch, cap visibly suppresses fuzzy drops") {
+    // 150 scattered-word variants of one template: each changes the
+    // SAME five positions (7,22,37,52,67) to variant-specific words,
+    // so no intact 20-token window survives (they pass the stale-span
+    // gate, unlike boilerplate floods) while pairwise shingle Jaccard
+    // stays ≈0.68 — most variants land in the template's minhash band
+    // buckets (~49 of 75 per band per batch). With cap 16 those
+    // buckets are HOT in every prefix (49 > 16 in batch 1, ~98 > 16
+    // combined, ~97 > 16 in the batch run), so the capped cross-batch
+    // band join runs with a non-empty hot set on both sides — the
+    // path the 120-copy exact-dup flood above never reaches (stage 1
+    // removes exact copies before the band index sees them).
+    val cap = 16
+    val vocab = (0 until 64).map(i => s"w$i")
+    val vocabExpr = s"array(${vocab.map("'" + _ + "'").mkString(",")})"
+    val variants = spark.range(150).select(
+      col("id").as("doc_id"), lit("tpl").as("source"),
+      expr(s"""concat_ws(' ', transform(sequence(0, 79), i ->
+           | element_at($vocabExpr, pmod(hash(
+           |   CASE WHEN i % 15 = 7 THEN -(id * 100 + i)
+           |        ELSE 777000 + i END), 64) + 1)))""".stripMargin).as("text"))
+    val normal = spark.range(150, 230).select(
+      col("id").as("doc_id"), lit("web").as("source"),
+      expr(s"""concat_ws(' ', transform(sequence(0, 79), i ->
+           | element_at($vocabExpr, pmod(hash(id * 100 + i), 64) + 1)))""".stripMargin).as("text"))
+    val all = variants.unionByName(normal).localCheckpoint()
+
+    // the corpus genuinely has hot buckets at this cap (the 64-word
+    // vocab also scatters variants into sub-cap buckets, so the cap
+    // suppresses SOME, not all, fuzzy drops — both asserted below)
+    val bandsAll = graft.llm.Dedup.lshBands(
+      graft.llm.Dedup.minhashSignature(
+        graft.llm.Dedup.shingles(all.select("doc_id", "text"), "doc_id", "text"), 8), 8, 2)
+    assert(graft.llm.Dedup.hotBuckets(bandsAll, cap).count() > 0,
+      s"corpus should have at least one band bucket above cap=$cap")
+
+    val capped = keptSet(StreamCuration.endstateBatch(all, cap))
+    val uncapped = keptSet(StreamCuration.endstateBatch(all, Int.MaxValue))
+    assert(capped.count(_._2 == "tpl") > uncapped.count(_._2 == "tpl"),
+      s"cap should suppress fuzzy drops in the hot buckets: capped kept " +
+        s"${capped.count(_._2 == "tpl")} tpl vs uncapped ${uncapped.count(_._2 == "tpl")}")
+
+    var st = StreamCuration.emptyState(spark)
+    var kept = Set.empty[(Long, String, Long)]
+    for ((lo, hi) <- Seq((0L, 75L), (75L, 1000L))) {
+      val (k, delta) = StreamCuration.processBatch(
+        all.filter(col("doc_id") >= lo && col("doc_id") < hi), st, cap)
+      kept ++= keptSet(k)
+      st = accumulate(st, delta)
+    }
+    assert(kept == capped,
+      s"capped flood split diverged: only-incremental=${kept -- capped} only-batch=${capped -- kept}")
+  }
+
   test("a batch straddling the high-water mark fails loudly; fully-past redelivery is allowed") {
     val ids = docs.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
     val cut = ids(ids.length / 2)
