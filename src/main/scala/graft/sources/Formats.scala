@@ -36,6 +36,10 @@ object Formats {
     val name = "geotiff"
     def canHandle(b: Array[Byte]) = GeoTiff.canHandle(b)
     def decode(b: Array[Byte]) = GeoTiff.read(b)
+    /** `band_N` discovery over the file's SamplesPerPixel
+      * (formats/geotiff.py:58-94). */
+    override def listVariables(b: Array[Byte]): Seq[String] =
+      (1 to GeoTiff.bandCount(b)).map(i => s"band_$i")
   }
 
   object Grib2Decoder extends Decoder {

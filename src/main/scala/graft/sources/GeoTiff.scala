@@ -1,19 +1,34 @@
 package graft.sources
 
-import java.io.{ByteArrayOutputStream, DataOutputStream}
 import java.nio.{ByteBuffer, ByteOrder}
+import java.util.zip.{Deflater, Inflater}
 
-/** Minimal self-contained GeoTIFF codec: single-band float32,
-  * strip-organized, uncompressed, little-endian, with the two GeoTIFF
-  * georeferencing tags (ModelPixelScale + ModelTiepoint) that the
-  * reference relies on for bounds/affine recovery
-  * (formats/geotiff.py:37-373, formats/base.py:40-82).
+/** Self-contained GeoTIFF codec covering the shapes the reference
+  * platform actually produces and consumes: strip- OR tile-organized,
+  * uncompressed or deflate-compressed with predictor 1/2/3, one or
+  * many bands (chunky and planar layouts), uint8/int16/uint16/int32/
+  * float32 samples, II/MM byte order, with the two GeoTIFF
+  * georeferencing tags (ModelPixelScale + ModelTiepoint) the reference
+  * relies on for bounds/affine recovery (formats/geotiff.py:37-373,
+  * formats/base.py:40-82) and GDAL's ASCII nodata tag.
   *
-  * Written from the public TIFF 6.0 + GeoTIFF specs — no external
-  * imaging library (none ships in this container). NaN is the nodata
-  * sentinel, exactly like the reference payloads. South-up inputs are
-  * normalized north-up at read time via the `needs_flip` check
-  * (pixel-scale sign, formats/geotiff.py:322-345).
+  * The reference's own COG sink writes 256² tiles, deflate, predictor
+  * 3 for floats / 2 for ints (ingestion/asset_writer.py:46-148,
+  * 213-235) — [[writeCog]] mirrors that profile and [[read]] decodes
+  * it, so the engine can round-trip the very files the reference
+  * platform serves. Written from the public TIFF 6.0 + GeoTIFF specs
+  * (the floating-point predictor follows the published libtiff
+  * semantics: per-row MSB-first byte planes, byte-differenced with a
+  * samples-per-pixel stride, byte-order-independent) — no external
+  * imaging library (none ships in this container).
+  *
+  * NaN is the nodata sentinel, exactly like the reference payloads;
+  * integer rasters map their declared nodata to NaN at decode.
+  * South-up inputs are normalized north-up at read time via the
+  * `needs_flip` check (pixel-scale sign, formats/geotiff.py:322-345).
+  * Multi-page files (COG overview pyramids) read IFD 0 — the full-
+  * resolution image; [[bandCount]] powers `band_N` variable discovery
+  * (formats/geotiff.py:58-94).
   */
 object GeoTiff {
 
@@ -29,11 +44,19 @@ object GeoTiff {
   private val TAG_COMPRESSION = 259
   private val TAG_PHOTOMETRIC = 262
   private val TAG_STRIP_OFFSETS = 273
+  private val TAG_SAMPLES_PER_PIXEL = 277
   private val TAG_ROWS_PER_STRIP = 278
   private val TAG_STRIP_BYTES = 279
+  private val TAG_PLANAR_CONFIG = 284
+  private val TAG_PREDICTOR = 317
+  private val TAG_TILE_WIDTH = 322
+  private val TAG_TILE_LENGTH = 323
+  private val TAG_TILE_OFFSETS = 324
+  private val TAG_TILE_BYTES = 325
   private val TAG_SAMPLE_FORMAT = 339
   private val TAG_PIXEL_SCALE = 33550
   private val TAG_TIEPOINT = 33922
+  private val TAG_GDAL_NODATA = 42113
 
   /** Magic sniff (formats/registry.py + geotiff.py:43-52). */
   def canHandle(bytes: Array[Byte]): Boolean =
@@ -41,7 +64,12 @@ object GeoTiff {
       ((bytes(0) == 'I' && bytes(1) == 'I' && bytes(2) == 42 && bytes(3) == 0) ||
        (bytes(0) == 'M' && bytes(1) == 'M' && bytes(2) == 0 && bytes(3) == 42))
 
-  /** Encode a north-up float32 raster as a little-endian GeoTIFF. */
+  // ---- write: legacy simple form ----------------------------------
+
+  /** Encode a north-up float32 raster as a little-endian GeoTIFF —
+    * single band, one strip, uncompressed (the minimal shape round-
+    * tripped since round 1; [[writeCog]] is the reference-profile
+    * writer). */
   def write(r: Raster): Array[Byte] = {
     require(r.data.length == r.width * r.height, "data size mismatch")
     val pixelBytes = r.width * r.height * 4
@@ -81,24 +109,339 @@ object GeoTiff {
     buf.array()
   }
 
-  /** Decode. Handles II/MM order, strip layout, float32 samples, and
-    * south-up flip normalization. */
-  def read(bytes: Array[Byte]): Raster = {
+  // ---- write: reference COG profile -------------------------------
+
+  /** dtype name → (bits per sample, TIFF sample format). Mirrors the
+    * reference writer's dtype adaptivity (asset_writer.py:56-60). */
+  private def dtypeSpec(dtype: String): (Int, Int) = dtype match {
+    case "uint8"   => (8, 1)
+    case "uint16"  => (16, 1)
+    case "int16"   => (16, 2)
+    case "int32"   => (32, 2)
+    case "float32" => (32, 3)
+    case other => throw new IllegalArgumentException(s"unsupported dtype: $other")
+  }
+
+  /** Deflate predictor by dtype, exactly the reference's rule
+    * (asset_writer.py:213-235): 3 for floats, 2 for ints. */
+  def predictorFor(dtype: String): Int =
+    if (dtype == "float32") 3 else 2
+
+  /** Encode a multi-band north-up raster in the reference COG sink's
+    * profile: tiled (256² default), deflate, predictor by dtype,
+    * little-endian. `planar = false` writes pixel-interleaved (chunky,
+    * GDAL's default); `true` writes one tile set per band. Integer
+    * dtypes encode NaN as `nodata` (required then); the value is
+    * recorded in GDAL's ASCII nodata tag so decode restores NaN. */
+  def writeCog(bands: Seq[Array[Float]], width: Int, height: Int,
+               west: Double, north: Double, px: Double, py: Double,
+               tileSize: Int = 256, dtype: String = "float32",
+               nodata: Option[Double] = None,
+               planar: Boolean = false): Array[Byte] = {
+    val s = bands.size
+    require(s >= 1, "at least one band")
+    require(bands.forall(_.length == width * height), "band size mismatch")
+    val (bits, fmt) = dtypeSpec(dtype)
+    val bps = bits / 8
+    val predictor = predictorFor(dtype)
+    if (fmt != 3)
+      require(nodata.isDefined || bands.forall(!_.exists(_.isNaN)),
+        "integer dtype with NaN cells needs an explicit nodata value")
+    val fill = nodata.getOrElse(0.0)
+
+    val ta = (width + tileSize - 1) / tileSize
+    val td = (height + tileSize - 1) / tileSize
+    val stride = if (planar) 1 else s // predictor lag = interleaved channels
+
+    def encodeValue(buf: ByteBuffer, v: Float): Unit = {
+      val x = if (v.isNaN && fmt != 3) fill else v.toDouble
+      bits match {
+        case 8  => buf.put(x.toInt.toByte)
+        case 16 => buf.putShort(x.toInt.toShort)
+        case 32 => if (fmt == 3) buf.putFloat(x.toFloat) else buf.putInt(x.toInt)
+      }
+    }
+
+    // one compressed payload per (plane, tileRow, tileCol); edge tiles
+    // are FULL size with fill padding, per the TIFF tiling model
+    val planes = if (planar) s else 1
+    val chans = if (planar) 1 else s
+    val tiles = for {
+      p <- 0 until planes; ty <- 0 until td; tx <- 0 until ta
+    } yield {
+      val rowSamples = tileSize * chans
+      val raw = ByteBuffer.allocate(tileSize * rowSamples * bps)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      for (yy <- 0 until tileSize; xx <- 0 until tileSize; c <- 0 until chans) {
+        val y = ty * tileSize + yy; val x = tx * tileSize + xx
+        val band = if (planar) p else c
+        val v =
+          if (y < height && x < width) bands(band)(y * width + x)
+          else if (fmt == 3) 0f else fill.toFloat
+        encodeValue(raw, v)
+      }
+      deflate(applyPredictor(raw.array(), predictor, rowSamples, bps, fmt, stride))
+    }
+
+    // IFD assembly: tags ascending, out-of-line arrays after the IFD,
+    // tile payloads last (full-res data at the tail, COG-style)
+    val nodataAscii = nodata.map(v =>
+      (if (v == v.floor && v.abs < 1e15) v.toLong.toString else v.toString) + " ")
+    case class Entry(id: Int, typ: Int, count: Int, inline: Option[Long],
+                     payload: Option[Array[Byte]])
+    def shorts(vs: Seq[Int]): Array[Byte] = {
+      val b = ByteBuffer.allocate(vs.size * 2).order(ByteOrder.LITTLE_ENDIAN)
+      vs.foreach(v => b.putShort(v.toShort)); b.array()
+    }
+    def longs(vs: Seq[Long]): Array[Byte] = {
+      val b = ByteBuffer.allocate(vs.size * 4).order(ByteOrder.LITTLE_ENDIAN)
+      vs.foreach(v => b.putInt(v.toInt)); b.array()
+    }
+    def doubles(vs: Seq[Double]): Array[Byte] = {
+      val b = ByteBuffer.allocate(vs.size * 8).order(ByteOrder.LITTLE_ENDIAN)
+      vs.foreach(b.putDouble); b.array()
+    }
+    def arr(id: Int, typ: Int, vs: Array[Byte], count: Int): Entry =
+      if (vs.length <= 4) Entry(id, typ, count,
+        Some(ByteBuffer.wrap(java.util.Arrays.copyOf(vs, 4))
+          .order(ByteOrder.LITTLE_ENDIAN).getInt().toLong & 0xffffffffL), None)
+      else Entry(id, typ, count, None, Some(vs))
+
+    val nTiles = tiles.size
+    // tile offsets are back-patched once the layout is known
+    val entries = Seq(
+      Entry(TAG_WIDTH, 3, 1, Some(width.toLong), None),
+      Entry(TAG_HEIGHT, 3, 1, Some(height.toLong), None),
+      arr(TAG_BITS, 3, shorts(Seq.fill(s)(bits)), s),
+      Entry(TAG_COMPRESSION, 3, 1, Some(8L), None), // deflate
+      Entry(TAG_PHOTOMETRIC, 3, 1, Some(1L), None),
+      Entry(TAG_SAMPLES_PER_PIXEL, 3, 1, Some(s.toLong), None),
+      Entry(TAG_PLANAR_CONFIG, 3, 1, Some(if (planar) 2L else 1L), None),
+      Entry(TAG_PREDICTOR, 3, 1, Some(predictor.toLong), None),
+      Entry(TAG_TILE_WIDTH, 3, 1, Some(tileSize.toLong), None),
+      Entry(TAG_TILE_LENGTH, 3, 1, Some(tileSize.toLong), None),
+      arr(TAG_TILE_OFFSETS, 4, longs(Seq.fill(nTiles)(0L)), nTiles),
+      arr(TAG_TILE_BYTES, 4, longs(tiles.map(_.length.toLong)), nTiles),
+      arr(TAG_SAMPLE_FORMAT, 3, shorts(Seq.fill(s)(fmt)), s),
+      arr(TAG_PIXEL_SCALE, 12, doubles(Seq(px, py, 0.0)), 3),
+      arr(TAG_TIEPOINT, 12, doubles(Seq(0, 0, 0, west, north, 0)), 6)
+    ) ++ nodataAscii.map(nd =>
+      arr(TAG_GDAL_NODATA, 2, nd.getBytes("US-ASCII"), nd.length))
+
+    val ifdOff = 8
+    val ifdLen = 2 + entries.size * 12 + 4
+    var dataOff = ifdOff + ifdLen
+    val payloadOffs = entries.map { e =>
+      e.payload.map { p =>
+        val off = dataOff
+        dataOff += p.length + (p.length & 1) // TIFF: word-aligned
+        off
+      }
+    }
+    val tileOffs = tiles.map { t =>
+      val off = dataOff; dataOff += t.length + (t.length & 1); off
+    }
+    // patch the tile offsets now that tile positions are fixed: a
+    // single-tile image stores its offset INLINE (4-byte array), so
+    // patch the inline value there and the out-of-line payload
+    // otherwise — payload sizes are unchanged, so the layout holds
+    val patched = entries.map { e =>
+      if (e.id != TAG_TILE_OFFSETS) e
+      else if (nTiles == 1) e.copy(inline = Some(tileOffs(0).toLong))
+      else e.copy(payload = Some(longs(tileOffs.map(_.toLong))))
+    }
+
+    val out = ByteBuffer.allocate(dataOff).order(ByteOrder.LITTLE_ENDIAN)
+    out.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdOff)
+    out.putShort(patched.size.toShort)
+    for ((e, i) <- patched.zipWithIndex) {
+      out.putShort(e.id.toShort).putShort(e.typ.toShort).putInt(e.count)
+      (e.inline, payloadOffs(i)) match {
+        case (Some(v), _) => out.putInt(v.toInt)
+        case (None, Some(off)) => out.putInt(off)
+        case _ => sys.error("unreachable")
+      }
+    }
+    out.putInt(0) // next IFD
+    for ((e, i) <- patched.zipWithIndex; p <- e.payload) {
+      out.position(payloadOffs(i).get)
+      out.put(p)
+    }
+    for ((t, i) <- tiles.zipWithIndex) {
+      out.position(tileOffs(i))
+      out.put(t)
+    }
+    out.array()
+  }
+
+  private def deflate(raw: Array[Byte]): Array[Byte] = {
+    val d = new Deflater(Deflater.DEFAULT_COMPRESSION)
+    d.setInput(raw); d.finish()
+    val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val buf = new Array[Byte](65536)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  private def inflate(comp: Array[Byte], expected: Int): Array[Byte] = {
+    val inf = new Inflater()
+    inf.setInput(comp)
+    val out = new Array[Byte](expected)
+    var at = 0
+    while (at < expected && !inf.finished()) {
+      val n = inf.inflate(out, at, expected - at)
+      if (n == 0 && inf.needsInput())
+        throw new IllegalArgumentException("truncated deflate stream")
+      at += n
+    }
+    inf.end()
+    out
+  }
+
+  /** Forward predictor over one chunk's raw little-endian samples.
+    * `rowSamples` = samples per scanline (width × interleaved chans),
+    * `stride` = predictor lag (samples per pixel for chunky, 1 for
+    * planar) — the libtiff semantics. */
+  private def applyPredictor(raw: Array[Byte], predictor: Int,
+                             rowSamples: Int, bps: Int, fmt: Int,
+                             stride: Int): Array[Byte] = predictor match {
+    case 1 => raw
+    case 2 =>
+      val out = raw.clone()
+      val rowBytes = rowSamples * bps
+      val buf = ByteBuffer.wrap(out).order(ByteOrder.LITTLE_ENDIAN)
+      for (r <- 0 until raw.length / rowBytes) {
+        val base = r * rowBytes
+        // difference back-to-front so each delta uses ORIGINAL values
+        var i = rowSamples - 1
+        while (i >= stride) {
+          bps match {
+            case 1 => out(base + i) = (out(base + i) - out(base + i - stride)).toByte
+            case 2 =>
+              val at = base + i * 2
+              buf.putShort(at, (buf.getShort(at) - buf.getShort(at - stride * 2)).toShort)
+            case 4 =>
+              val at = base + i * 4
+              buf.putInt(at, buf.getInt(at) - buf.getInt(at - stride * 4))
+          }
+          i -= 1
+        }
+      }
+      out
+    case 3 =>
+      // floating-point predictor: per row, split samples into MSB-first
+      // byte planes, then byte-difference with `stride` lag. Output is
+      // byte-order-independent (the planes define the order).
+      val rowBytes = rowSamples * bps
+      val out = new Array[Byte](raw.length)
+      val in = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+      for (r <- 0 until raw.length / rowBytes) {
+        val base = r * rowBytes
+        for (j <- 0 until rowSamples) {
+          val bitsv = in.getInt(base + j * 4)
+          out(base + j) = (bitsv >>> 24).toByte
+          out(base + rowSamples + j) = (bitsv >>> 16).toByte
+          out(base + 2 * rowSamples + j) = (bitsv >>> 8).toByte
+          out(base + 3 * rowSamples + j) = bitsv.toByte
+        }
+        var i = rowBytes - 1
+        while (i >= stride) {
+          out(base + i) = (out(base + i) - out(base + i - stride)).toByte
+          i -= 1
+        }
+      }
+      out
+    case other => throw new IllegalArgumentException(s"predictor $other")
+  }
+
+  /** Undo [[applyPredictor]] on a decoded chunk, in place where
+    * possible. */
+  private def undoPredictor(raw: Array[Byte], predictor: Int,
+                            rowSamples: Int, bps: Int, fmt: Int,
+                            stride: Int, order: ByteOrder): Array[Byte] =
+    predictor match {
+      case 1 => raw
+      case 2 =>
+        val rowBytes = rowSamples * bps
+        val buf = ByteBuffer.wrap(raw).order(order)
+        for (r <- 0 until raw.length / rowBytes) {
+          val base = r * rowBytes
+          var i = stride
+          while (i < rowSamples) {
+            bps match {
+              case 1 => raw(base + i) = (raw(base + i) + raw(base + i - stride)).toByte
+              case 2 =>
+                val at = base + i * 2
+                buf.putShort(at, (buf.getShort(at) + buf.getShort(at - stride * 2)).toShort)
+              case 4 =>
+                val at = base + i * 4
+                buf.putInt(at, buf.getInt(at) + buf.getInt(at - stride * 4))
+            }
+            i += 1
+          }
+        }
+        raw
+      case 3 =>
+        val rowBytes = rowSamples * bps
+        val out = new Array[Byte](raw.length)
+        val ob = ByteBuffer.wrap(out).order(order)
+        for (r <- 0 until raw.length / rowBytes) {
+          val base = r * rowBytes
+          var i = stride
+          while (i < rowBytes) {
+            raw(base + i) = (raw(base + i) + raw(base + i - stride)).toByte
+            i += 1
+          }
+          for (j <- 0 until rowSamples) {
+            val bitsv =
+              ((raw(base + j) & 0xff) << 24) |
+              ((raw(base + rowSamples + j) & 0xff) << 16) |
+              ((raw(base + 2 * rowSamples + j) & 0xff) << 8) |
+              (raw(base + 3 * rowSamples + j) & 0xff)
+            ob.putInt(base + j * 4, bitsv)
+          }
+        }
+        out
+      case other => throw new IllegalArgumentException(s"predictor $other")
+    }
+
+  // ---- read -------------------------------------------------------
+
+  private case class Ifd(width: Int, height: Int, bits: Int, fmt: Int,
+                         spp: Int, planar: Int, compression: Int,
+                         predictor: Int, nodata: Option[Double],
+                         tileW: Int, tileH: Int,
+                         chunkOffs: Array[Long], chunkBytes: Array[Long],
+                         tiled: Boolean, rowsPerStrip: Int,
+                         px: Double, py: Double, west: Double, north: Double,
+                         order: ByteOrder)
+
+  private def parseIfd0(bytes: Array[Byte]): Ifd = {
     require(canHandle(bytes), "not a TIFF")
     val order = if (bytes(0) == 'I') ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
     val buf = ByteBuffer.wrap(bytes).order(order)
     val ifdOff = buf.getInt(4)
     val n = buf.getShort(ifdOff) & 0xffff
-    var width = 0; var height = 0; var rowsPerStrip = Int.MaxValue
-    var stripOffsets = Array[Long](); var stripBytes = Array[Long]()
-    var px = 1.0; var py = 1.0; var west = 0.0; var north = 0.0
-    var sampleFormat = 1; var bits = 32
 
+    var width = 0; var height = 0; var rowsPerStrip = Int.MaxValue
+    var chunkOffs = Array[Long](); var chunkBytes = Array[Long]()
+    var tileOffs = Array[Long](); var tileBytesA = Array[Long]()
+    var px = 1.0; var py = 1.0; var west = 0.0; var north = 0.0
+    var fmt = 1; var bits = 1; var spp = 1; var planar = 1
+    var compression = 1; var predictor = 1
+    var tileW = 0; var tileH = 0
+    var nodata: Option[Double] = None
+
+    def typeSize(t: Int) = t match {
+      case 3 => 2; case 4 => 4; case 12 => 8; case _ => 1
+    }
     def tagValues(typ: Int, count: Int, at: Int): Array[Long] = {
       val inline = typeSize(typ) * count <= 4
       val base = if (inline) at else buf.getInt(at)
       (0 until count).map { i =>
         typ match {
+          case 1 => (bytes(base + i) & 0xff).toLong
           case 3 => (buf.getShort(base + i * 2) & 0xffff).toLong
           case 4 => buf.getInt(base + i * 4).toLong & 0xffffffffL
           case _ => throw new IllegalArgumentException(s"type $typ")
@@ -109,8 +452,9 @@ object GeoTiff {
       val base = buf.getInt(at)
       (0 until count).map(i => buf.getDouble(base + i * 8)).toArray
     }
-    def typeSize(t: Int) = t match {
-      case 3 => 2; case 4 => 4; case 12 => 8; case _ => 1
+    def tagAscii(count: Int, at: Int): String = {
+      val base = if (count <= 4) at else buf.getInt(at)
+      new String(bytes, base, count, "US-ASCII").takeWhile(_ != ' ').trim
     }
 
     for (i <- 0 until n) {
@@ -122,37 +466,136 @@ object GeoTiff {
       id match {
         case TAG_WIDTH => width = tagValues(typ, 1, valAt)(0).toInt
         case TAG_HEIGHT => height = tagValues(typ, 1, valAt)(0).toInt
-        case TAG_BITS => bits = tagValues(typ, 1, valAt)(0).toInt
+        case TAG_BITS =>
+          val bs = tagValues(typ, count, valAt)
+          require(bs.distinct.length == 1, "heterogeneous BitsPerSample")
+          bits = bs(0).toInt
+        case TAG_COMPRESSION => compression = tagValues(typ, 1, valAt)(0).toInt
+        case TAG_SAMPLES_PER_PIXEL => spp = tagValues(typ, 1, valAt)(0).toInt
         case TAG_ROWS_PER_STRIP => rowsPerStrip = tagValues(typ, 1, valAt)(0).toInt
-        case TAG_STRIP_OFFSETS => stripOffsets = tagValues(typ, count, valAt)
-        case TAG_STRIP_BYTES => stripBytes = tagValues(typ, count, valAt)
-        case TAG_SAMPLE_FORMAT => sampleFormat = tagValues(typ, 1, valAt)(0).toInt
+        case TAG_STRIP_OFFSETS => chunkOffs = tagValues(typ, count, valAt)
+        case TAG_STRIP_BYTES => chunkBytes = tagValues(typ, count, valAt)
+        case TAG_PLANAR_CONFIG => planar = tagValues(typ, 1, valAt)(0).toInt
+        case TAG_PREDICTOR => predictor = tagValues(typ, 1, valAt)(0).toInt
+        case TAG_TILE_WIDTH => tileW = tagValues(typ, 1, valAt)(0).toInt
+        case TAG_TILE_LENGTH => tileH = tagValues(typ, 1, valAt)(0).toInt
+        case TAG_TILE_OFFSETS => tileOffs = tagValues(typ, count, valAt)
+        case TAG_TILE_BYTES => tileBytesA = tagValues(typ, count, valAt)
+        case TAG_SAMPLE_FORMAT =>
+          val fs = tagValues(typ, count, valAt)
+          require(fs.distinct.length == 1, "heterogeneous SampleFormat")
+          fmt = fs(0).toInt
         case TAG_PIXEL_SCALE =>
           val d = tagDoubles(3, valAt); px = d(0); py = d(1)
         case TAG_TIEPOINT =>
           val d = tagDoubles(6, valAt); west = d(3); north = d(4)
-        case _ => // ignore
+        case TAG_GDAL_NODATA =>
+          val s = tagAscii(count, valAt)
+          nodata = if (s.isEmpty) None
+            else if (s.equalsIgnoreCase("nan")) Some(Double.NaN)
+            else scala.util.Try(s.toDouble).toOption
+        case _ => // ignore (photometric, descriptions, GeoKeys, …)
       }
     }
-    require(bits == 32 && sampleFormat == 3, "only float32 supported")
+    val tiled = tileOffs.nonEmpty
+    Ifd(width, height, bits, fmt, spp, planar, compression, predictor,
+      nodata,
+      tileW, tileH,
+      if (tiled) tileOffs else chunkOffs,
+      if (tiled) tileBytesA else chunkBytes,
+      tiled, rowsPerStrip, px, py, west, north, order)
+  }
+
+  /** Number of bands in the file (`band_N` discovery,
+    * formats/geotiff.py:58-94). */
+  def bandCount(bytes: Array[Byte]): Int = parseIfd0(bytes).spp
+
+  /** Decode band 1. */
+  def read(bytes: Array[Byte]): Raster = readBand(bytes, 1)
+
+  /** Decode one 1-based band from any supported layout: strips or
+    * tiles × uncompressed or deflate × predictor 1/2/3 × chunky or
+    * planar × uint8/int16/uint16/int32/float32 × II/MM. */
+  def readBand(bytes: Array[Byte], band: Int): Raster = {
+    val d = parseIfd0(bytes)
+    require(band >= 1 && band <= d.spp,
+      s"band $band not in file (has ${d.spp})")
+    require(d.compression == 1 || d.compression == 8 || d.compression == 32946,
+      s"unsupported compression ${d.compression} (none/deflate only)")
+    require(Set((8, 1), (16, 1), (16, 2), (32, 2), (32, 3)).contains((d.bits, d.fmt)) ||
+      (d.bits == 8 && d.fmt == 2),
+      s"unsupported sample type: ${d.bits}-bit format ${d.fmt}")
+    require(d.predictor != 3 || (d.bits == 32 && d.fmt == 3),
+      "floating-point predictor requires float32 samples")
+    val bps = d.bits / 8
+    val chans = if (d.planar == 2) 1 else d.spp
+    val stride = if (d.planar == 2) 1 else d.spp
+    val chan = if (d.planar == 2) 0 else band - 1
+
+    val width = d.width; val height = d.height
     val data = new Array[Float](width * height)
-    var row = 0
-    for (s <- stripOffsets.indices) {
-      val rows = math.min(rowsPerStrip, height - row)
-      val base = stripOffsets(s).toInt
-      var i = 0
-      while (i < rows * width) {
-        data(row * width + i) = buf.getFloat(base + i * 4)
-        i += 1
+
+    // unify strips and tiles as chunks of (chunkW, chunkH) at (x0, y0)
+    val (ta, td, cw, ch) =
+      if (d.tiled) ((width + d.tileW - 1) / d.tileW,
+        (height + d.tileH - 1) / d.tileH, d.tileW, d.tileH)
+      else (1, (height + math.min(d.rowsPerStrip, height) - 1) /
+        math.min(d.rowsPerStrip, height), width,
+        math.min(d.rowsPerStrip, height))
+    val chunksPerPlane = ta * td
+    val planeBase = if (d.planar == 2) (band - 1) * chunksPerPlane else 0
+
+    val buf = ByteBuffer.wrap(bytes).order(d.order)
+    for (ci <- 0 until chunksPerPlane) {
+      val ty = ci / ta; val tx = ci % ta
+      val y0 = ty * ch; val x0 = tx * cw
+      // strips: the LAST strip may be short; tiles are always full
+      val rows = if (d.tiled) ch else math.min(ch, height - y0)
+      val rowSamples = cw * chans
+      val expect = rows * rowSamples * bps
+      val off = d.chunkOffs(planeBase + ci).toInt
+      val len = d.chunkBytes(planeBase + ci).toInt
+      val raw0 =
+        if (d.compression == 1) java.util.Arrays.copyOfRange(bytes, off, off + expect)
+        else inflate(java.util.Arrays.copyOfRange(bytes, off, off + len), expect)
+      val raw = undoPredictor(raw0, d.predictor, rowSamples, bps, d.fmt,
+        stride, d.order)
+      val rb = ByteBuffer.wrap(raw).order(d.order)
+      var yy = 0
+      while (yy < rows && y0 + yy < height) {
+        val rowBase = yy * rowSamples
+        var xx = 0
+        while (xx < cw && x0 + xx < width) {
+          val at = (rowBase + xx * chans + chan) * bps
+          val v: Float = (d.bits, d.fmt) match {
+            case (8, 1)  => (raw(at) & 0xff).toFloat
+            case (8, 2)  => raw(at).toFloat
+            case (16, 1) => (rb.getShort(at) & 0xffff).toFloat
+            case (16, 2) => rb.getShort(at).toFloat
+            case (32, 2) => rb.getInt(at).toFloat
+            case (32, 3) => rb.getFloat(at)
+            case _ => sys.error("unreachable")
+          }
+          data((y0 + yy) * width + x0 + xx) = v
+          xx += 1
+        }
+        yy += 1
       }
-      row += rows
     }
+
+    // declared nodata → NaN, the engine-wide sentinel
+    d.nodata.filter(nd => !nd.isNaN).foreach { nd =>
+      val ndf = nd.toFloat
+      var i = 0
+      while (i < data.length) { if (data(i) == ndf) data(i) = Float.NaN; i += 1 }
+    }
+
     // South-up normalization: negative py means origin at the south edge.
-    if (py < 0) {
+    if (d.py < 0) {
       val flipped = new Array[Float](width * height)
       for (y <- 0 until height; x <- 0 until width)
         flipped(y * width + x) = data((height - 1 - y) * width + x)
-      Raster(width, height, flipped, west, north - py * height, px, -py)
-    } else Raster(width, height, data, west, north, px, py)
+      Raster(width, height, flipped, d.west, d.north - d.py * height, d.px, -d.py)
+    } else Raster(width, height, data, d.west, d.north, d.px, d.py)
   }
 }

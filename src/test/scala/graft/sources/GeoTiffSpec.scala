@@ -62,6 +62,95 @@ class GeoTiffSpec extends SparkSpec {
     assert(row.getTimestamp(3).toString == "2024-01-15 00:00:00.0")
   }
 
+  test("reference-profile COG round-trips: 256² tiles, deflate, predictor 3, float32, NaN nodata") {
+    // 300×300 → 2×2 tile grid with ragged right/bottom edges, exactly
+    // the reference COG sink's profile (asset_writer.py:46-148:
+    // deflate + blocksize + predictor-by-dtype)
+    val w = 300; val h = 300
+    // a gradient + small texture: few distinct mantissa patterns, so
+    // the float predictor's byte planes give deflate long runs — the
+    // compressible shape real continuous fields have
+    val data = Array.tabulate(w * h) { i =>
+      if (i % 97 == 13) Float.NaN
+      else (i / w) * 0.5f + (i % 7) * 0.125f
+    }
+    val bytes = GeoTiff.writeCog(Seq(data), w, h, -30.0, 60.0, 0.1, 0.1)
+    assert(GeoTiff.canHandle(bytes))
+    // deflate + predictor must actually compress a smooth field
+    assert(bytes.length < w * h * 4 / 2,
+      s"COG should compress: ${bytes.length} vs raw ${w * h * 4}")
+    val back = GeoTiff.read(bytes)
+    assert(back.width == w && back.height == h)
+    assert(back.west == -30.0 && back.north == 60.0 &&
+      back.px == 0.1 && back.py == 0.1)
+    assert(back.data.zip(data).forall { case (a, b) =>
+      (a.isNaN && b.isNaN) || a == b })
+  }
+
+  test("multi-band COG: band_N discovery and per-band decode") {
+    val w = 40; val h = 30
+    val bands = Seq.tabulate(3)(b =>
+      Array.tabulate(w * h)(i => (b * 1000 + i).toFloat))
+    val bytes = GeoTiff.writeCog(bands, w, h, 0.0, 10.0, 0.25, 0.25,
+      tileSize = 16)
+    assert(GeoTiff.bandCount(bytes) == 3)
+    assert(Formats.GeoTiffDecoder.listVariables(bytes) ==
+      Seq("band_1", "band_2", "band_3"))
+    for (b <- 1 to 3) {
+      val r = GeoTiff.readBand(bytes, b)
+      assert(r.data.sameElements(bands(b - 1)), s"band $b mismatch")
+    }
+    // band 1 is what the single-band decode path sees
+    assert(GeoTiff.read(bytes).data.sameElements(bands.head))
+  }
+
+  test("int16 + predictor 2 + declared nodata round-trips with NaN restored") {
+    val w = 70; val h = 50
+    val data = Array.tabulate(w * h) { i =>
+      if (i % 53 == 7) Float.NaN else ((i % 2001) - 1000).toFloat
+    }
+    val bytes = GeoTiff.writeCog(Seq(data), w, h, 5.0, 45.0, 0.5, 0.5,
+      tileSize = 32, dtype = "int16", nodata = Some(-32768.0))
+    val back = GeoTiff.read(bytes)
+    assert(back.data.zip(data).forall { case (a, b) =>
+      (a.isNaN && b.isNaN) || a == b })
+  }
+
+  test("uint8 + predictor 2 round-trips (categorical rasters)") {
+    val w = 33; val h = 17
+    val data = Array.tabulate(w * h)(i => (i % 251).toFloat)
+    val bytes = GeoTiff.writeCog(Seq(data), w, h, 0.0, 0.0, 1.0, 1.0,
+      tileSize = 16, dtype = "uint8")
+    assert(GeoTiff.read(bytes).data.sameElements(data))
+  }
+
+  test("planar (band-sequential) multi-band layout decodes") {
+    val w = 20; val h = 20
+    val bands = Seq.tabulate(2)(b =>
+      Array.tabulate(w * h)(i => (b * 500 + i * 3).toFloat))
+    val bytes = GeoTiff.writeCog(bands, w, h, 0.0, 20.0, 1.0, 1.0,
+      tileSize = 16, planar = true)
+    assert(GeoTiff.bandCount(bytes) == 2)
+    for (b <- 1 to 2)
+      assert(GeoTiff.readBand(bytes, b).data.sameElements(bands(b - 1)))
+  }
+
+  test("binaryFile ingest decodes a dropped reference-profile COG end-to-end") {
+    val dir = Files.createTempDirectory("graft-cog-").toString
+    val w = 64; val h = 48
+    val data = Array.tabulate(w * h)(i =>
+      if (i % 31 == 5) Float.NaN else (i * 0.25f))
+    Files.write(Paths.get(s"$dir/tmax_20240301.tif"),
+      GeoTiff.writeCog(Seq(data), w, h, -10.0, 50.0, 0.5, 0.5, tileSize = 32))
+    val df = Formats.ingestDir(spark, dir)
+    assert(df.count() == data.count(!_.isNaN))
+    val row = df.filter(col("y") === 1 && col("x") === 2)
+      .select("v", "lon", "lat", "time").collect()(0)
+    assert(row.getDouble(0) == (w + 2) * 0.25)
+    assert(row.getDouble(1) == -10.0 + 2.5 * 0.5 && row.getDouble(2) == 50.0 - 1.5 * 0.5)
+    assert(row.getTimestamp(3).toString == "2024-03-01 00:00:00.0")
+  }
+
   test("south-up rasters are normalized north-up at read") {
     val w = 2; val h = 2
     // south-up: row 0 is the SOUTH edge; py < 0, origin at south.
