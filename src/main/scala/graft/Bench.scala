@@ -8,6 +8,11 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // optional args = query-name subset, for focused local iteration;
+    // the driver invokes with no args and gets the full suite
+    val only: Option[Set[String]] = if (args.isEmpty) None else Some(args.toSet)
+    def selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     val spark = Sessions.build(cpus)
@@ -39,7 +44,7 @@ object Bench {
     // faster). The measured pass below reports steady-state latency,
     // standard warm-iteration benchmarking; the cold numbers are written
     // to the detail file alongside for transparency.
-    val cold = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val cold = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { evalAll(fn(spark, sfDir)) } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
@@ -48,7 +53,7 @@ object Bench {
     // Two measured passes, per-query MIN: the steady-state latency of a
     // plan is its floor, and single-pass totals on a shared host wander
     // ±30% with neighbor load (measured 31-42 s for an identical build).
-    def pass() = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def pass() = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { evalAll(fn(spark, sfDir)) } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9

@@ -48,11 +48,11 @@ object CurationQueries extends QueryModule {
       val d2 = d1.filter(quality >= 0.3).localCheckpoint()
       // 3. boilerplate gate: duplicated-span coverage among survivors
       val heavy = Dedup.spanCoverage(
-          Dedup.spanHashes(d2, "doc_id", "text", 20), 20)
+          Dedup.spanHashes(d2, "doc_id", "text", 20, spread = false), 20)
         .filter(col("coverage") > 0.5).select("doc_id")
       val d3 = d2.join(heavy, Seq("doc_id"), "left_anti").localCheckpoint()
       // 4. fuzzy dedup on what's left
-      val sh = Dedup.shingles(d3, "doc_id", "text").localCheckpoint()
+      val sh = Dedup.shingles(d3, "doc_id", "text", spread = false).localCheckpoint()
       val pairs = Dedup.pairJaccard(
           Dedup.candidatePairs(Dedup.lshBands(Dedup.minhashSignature(sh))), sh)
         .filter(col("jacc") >= 0.5).select("doc_a", "doc_b")

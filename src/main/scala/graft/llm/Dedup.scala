@@ -15,12 +15,18 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct word n-gram shingles per document: (id, s). */
-  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+  /** Distinct word n-gram shingles per document: (id, s).
+    * `spread = false` skips the pre-explode repartition — pass it when
+    * the input is already distributed (a checkpointed pipeline stage,
+    * a join output); the exchange only earns its cost on raw
+    * small-file reads that would otherwise explode on one task. */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3,
+               spread: Boolean = true): DataFrame = {
     val ws = split(trim(lower(col(textCol))), "\\s+")
     // documents often arrive as one small file = one input split; spread
     // the regex/explode work across the cluster before the narrow ops.
-    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    (if (spread) docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+     else docs)
       .select(col(idCol).as("id"), ws.as("ws"))
       .select(col("id"), explode(
         when(size(col("ws")) >= n,
@@ -325,9 +331,11 @@ object Dedup {
     * `span_hash_windows` kernel; a consumer like [[repeatedSpans]]
     * additionally shuffles only the distinct-aggregate's reduced
     * partials (keys (h,id) then h), never raw windows. */
-  def spanHashes(docs: DataFrame, idCol: String, textCol: String, w: Int = 20): DataFrame =
+  def spanHashes(docs: DataFrame, idCol: String, textCol: String, w: Int = 20,
+                 spread: Boolean = true): DataFrame =
     spanWindows(
-      docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      (if (spread) docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+       else docs)
         .select(col(idCol).as("id"), col(textCol)),
       textCol, w, keep = Seq("id"))
 
@@ -346,20 +354,25 @@ object Dedup {
     * [pos, pos+w-1]; overlaps merge via the gaps-and-islands window
     * (running max of interval end over the doc's position order), so a
     * doc whose every window duplicates still reports coverage 1.0, not
-    * w×. Shuffles: the hash groupBy (duplicated-set build), the join
-    * back on h, and the per-doc window — all partitioned by natural
-    * keys; only docs with ≥1 duplicated span are emitted.
+    * w×.
     *
-    * The spans frame feeds BOTH the duplicated-set build and the join
-    * back, so it is materialized once (localCheckpoint) instead of
-    * re-running the scan+window-hash pipeline per reference — the
-    * dominant cost at any scale (same fix as the capped-Jaccard
-    * candidate frame). */
+    * Plan shape: the raw span frame flows through exactly TWO
+    * exchanges — by h (cross-doc duplicate detection) and by id (the
+    * coverage merge) — and is never materialized or joined back to
+    * itself. "Shared by ≥2 distinct docs" is min(id) ≠ max(id) over
+    * the h-partition, computed as a windowed aggregate on the SAME
+    * pass that will emit the rows (replacing the earlier
+    * checkpoint + countDistinct groupBy + self-join: the checkpoint
+    * stored the pipeline's biggest exploded frame just to read it
+    * twice, and countDistinct's expand doubled it in flight — both
+    * strictly worse than one extra column per row at every scale). */
   def spanCoverage(spansIn: DataFrame, w: Int = 20): DataFrame = {
-    val spans = spansIn.localCheckpoint()
-    val dup = spans.groupBy("h")
-      .agg(countDistinct("id").as("nd")).filter(col("nd") >= 2).select("h")
-    mergedCoverage(spans.join(dup, Seq("h"))
+    import org.apache.spark.sql.expressions.Window
+    val wh = Window.partitionBy("h")
+    mergedCoverage(spansIn
+      .withColumn("min_id", min(col("id")).over(wh))
+      .withColumn("max_id", max(col("id")).over(wh))
+      .filter(col("min_id") =!= col("max_id"))
       .select(col("id"), col("n_tokens"), col("pos").as("start"),
         (col("pos") + (w - 1)).as("fin")))
   }

@@ -225,7 +225,7 @@ object StreamCuration {
     // past the cap the incremental run degrades gracefully: its extra
     // early pairs were exactly verified, so it only drops MORE true
     // near-dups than the batch run's whole-bucket exclusion.
-    val sh = Dedup.shingles(k3.select("doc_id", "text"), "doc_id", "text")
+    val sh = Dedup.shingles(k3.select("doc_id", "text"), "doc_id", "text", spread = false)
       .localCheckpoint()
     val sig = Dedup.minhashSignature(sh, 8)
     // bands is batch-sized and consumed three times (bucket count,
@@ -267,7 +267,7 @@ object StreamCuration {
     // hint streams doc state (bucketed by doc_id) through the probe
     val shOld = Dedup.shingles(
       st.docs.join(oldIds.hint("shuffle_hash"), Seq("doc_id")).distinct(),
-      "doc_id", "text")
+      "doc_id", "text", spread = false)
     val oldVerified = Dedup.pairJaccard(candOld, sh.unionByName(shOld))
       .filter(col("jacc") >= JaccardMin)
     val drop = inVerified.select(col("doc_b").as("doc_id"))
