@@ -12,8 +12,12 @@ import java.nio.{ByteBuffer, ByteOrder}
   *  - superblock versions 0/1 (symbol-table root) and 2/3 (direct root)
   *  - object headers v1 (unsigned prefix) and v2 ("OHDR"), with
   *    continuation blocks for both
-  *  - groups via symbol tables (B-tree v1 + SNOD + local heap) and via
-  *    compact link messages; dense (fractal-heap) groups fail loudly
+  *  - groups via symbol tables (B-tree v1 + SNOD + local heap), via
+  *    compact link messages, AND via dense storage (fractal heap +
+  *    name-index B-tree v2) — the layout netcdf-c switches to above 8
+  *    links, i.e. every wide NetCDF-4 file; direct-root and
+  *    root-indirect heaps covered, filtered heaps / huge+tiny IDs /
+  *    multi-level B-trees (≈370+ links) fail loudly
   *  - dataspace v1/v2, datatype classes: fixed-point, IEEE float,
   *    string, reference, vlen
   *  - data layout v3: contiguous and chunked (B-tree v1 chunk index,
@@ -164,14 +168,95 @@ object Hdf5 {
         val btree = bb.getLong(off); val heap = bb.getLong(off + 8)
         val heapData = bb.getLong(Hdf5.off(heap, bytes) + 24)
         walkGroupBtree(bb, bytes, btree, heapData, links)
-      case (0x02, off) => // link info: fractal heap addr must be undefined
-        val fh = bb.getLong(off + 2 + (if ((bytes(off + 1) & 1) != 0) 8 else 0))
-        require(fh == Undef, "dense (fractal-heap) groups not supported")
+      case (0x02, off) => // link info: dense groups route via fractal heap
+        val base = off + 2 + (if ((bytes(off + 1) & 1) != 0) 8 else 0)
+        val fh = bb.getLong(base)
+        if (fh != Undef) denseLinks(bb, bytes, fh, bb.getLong(base + 8), links)
       case (0x06, off) => links += parseLink(bb, bytes, off)
       case _ =>
     }
     links.foreach { case (name, child) =>
       readGroup(bb, bytes, child, prefix + name + "/", out)
+    }
+  }
+
+  /** Links of a dense (fractal-heap-backed) group. netcdf-c moves a
+    * group from compact to dense storage above 8 links, so every WIDE
+    * NetCDF-4 file (more than a handful of variables) routes here —
+    * the reference reads them via h5netcdf (formats/netcdf.py:33-366).
+    *
+    * Listing strategy: every record of the name-index B-tree v2 holds
+    * a fractal-heap ID; each ID resolves through the heap's doubling
+    * table to a link-message body parsed with the same [[parseLink]]
+    * the compact path uses. The heap's logical address space includes
+    * block headers, so an object at logical offset X inside a block
+    * whose logical range starts at B sits X−B bytes into the block's
+    * on-disk allocation. Covered: direct-root heaps, root indirect
+    * blocks over direct children (any row count); fails loudly on
+    * filtered heaps, non-managed (huge/tiny) IDs, nested indirect
+    * children, and B-trees deeper than one leaf (≈370+ links). */
+  private def denseLinks(bb: ByteBuffer, bytes: Array[Byte], fhAddr: Long, bt2Addr: Long,
+                         links: scala.collection.mutable.Buffer[(String, Long)]): Unit = {
+    val h = off(fhAddr, bytes)
+    require(bytes(h) == 'F' && bytes(h + 1) == 'R' && bytes(h + 2) == 'H' && bytes(h + 3) == 'P',
+      s"expected FRHP at $fhAddr")
+    val heapIdLen = bb.getShort(h + 5) & 0xffff
+    val ioFilterLen = bb.getShort(h + 7) & 0xffff
+    require(ioFilterLen == 0, "filtered fractal heaps not supported")
+    val tableWidth = bb.getShort(h + 110) & 0xffff
+    val startSize = bb.getLong(h + 112)
+    val maxDirect = bb.getLong(h + 120)
+    val maxHeapBits = bb.getShort(h + 128) & 0xffff
+    val rootAddr = bb.getLong(h + 132)
+    val curRows = bb.getShort(h + 140) & 0xffff
+    val offSize = (maxHeapBits + 7) / 8
+    require(heapIdLen > offSize, s"heap ID length $heapIdLen too small for $offSize-byte offsets")
+    // doubling table: rows 0 and 1 hold start-size blocks, row r ≥ 2
+    // holds start << (r−1); only rows of direct blocks are walkable
+    def rowSize(r: Int): Long = if (r < 2) startSize else startSize << (r - 1)
+    val maxDirectRows = (63 - java.lang.Long.numberOfLeadingZeros(maxDirect / startSize)) + 2
+    def unsignedLE(at: Int, n: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < n) { v |= (bytes(at + i) & 0xffL) << (8 * i); i += 1 }
+      v
+    }
+    def expectSig(a: Int, sig: String): Unit =
+      require((0 until 4).forall(i => bytes(a + i) == sig.charAt(i).toByte),
+        s"expected $sig at file offset $a")
+    // physical offset of the object at logical heap offset `ho`
+    def resolve(ho: Long): Int =
+      if (curRows == 0) { // root IS a direct block at logical offset 0
+        val a = off(rootAddr, bytes); expectSig(a, "FHDB"); a + ho.toInt
+      } else {
+        val ib = off(rootAddr, bytes); expectSig(ib, "FHIB")
+        val entries = ib + 13 + offSize // sig, version, heap-header addr, block offset
+        var r = 0
+        var rowStart = 0L
+        while (ho >= rowStart + tableWidth * rowSize(r)) {
+          rowStart += tableWidth * rowSize(r); r += 1
+        }
+        require(r < maxDirectRows,
+          s"fractal-heap offset $ho lands in an indirect child row ($r) — not supported")
+        val c = ((ho - rowStart) / rowSize(r)).toInt
+        val child = bb.getLong(entries + (r * tableWidth + c) * 8)
+        val cb = off(child, bytes); expectSig(cb, "FHDB")
+        cb + (ho - (rowStart + c.toLong * rowSize(r))).toInt
+      }
+    // B-tree v2 name index: walk the records; hashes are not consulted
+    // (listing is order-independent), only the embedded heap IDs
+    val b = off(bt2Addr, bytes); expectSig(b, "BTHD")
+    val recordSize = bb.getShort(b + 10) & 0xffff
+    val depth = bb.getShort(b + 12) & 0xffff
+    require(depth == 0, s"B-tree v2 of depth $depth not supported (≈370+ links in one group)")
+    val leafAddr = bb.getLong(b + 16)
+    val nRec = bb.getShort(b + 24) & 0xffff
+    val l = off(leafAddr, bytes); expectSig(l, "BTLF")
+    for (i <- 0 until nRec) {
+      val idAt = l + 6 + i * recordSize + 4 // past the 4-byte name hash
+      val idFlags = bytes(idAt) & 0xff
+      require((idFlags & 0x30) == 0,
+        s"non-managed fractal-heap object (type ${(idFlags >> 4) & 3}) not supported")
+      links += parseLink(bb, bytes, resolve(unsignedLE(idAt + 1, offSize)))
     }
   }
 
@@ -558,7 +643,7 @@ object Hdf5 {
     * through a global heap and both a fill-value message and a
     * _FillValue attribute. */
   def write(dims: Seq[(String, Int)], variables: Seq[NetCdf.Variable],
-            shuffle: Boolean = false): Array[Byte] = {
+            shuffle: Boolean = false, denseRoot: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def pos = out.size
     def u8(v: Int): Unit = out.write(v & 0xff)
@@ -781,28 +866,156 @@ object Hdf5 {
       padTo8()
     }
 
-    // SNOD with entries sorted by link name
-    val snodAddr = pos
-    val sorted = allNames.sorted
-    raw("SNOD".getBytes); u16(1); u16(sorted.size)
-    sorted.foreach { n =>
-      u64(nameOffs(n)); u64(ohAddrs(n)); u32(0); u32(0)
-      out.write(new Array[Byte](16))
+    val rootAddr: Long = if (!denseRoot) {
+      // SNOD with entries sorted by link name
+      val snodAddr = pos
+      val sorted = allNames.sorted
+      raw("SNOD".getBytes); u16(1); u16(sorted.size)
+      sorted.foreach { n =>
+        u64(nameOffs(n)); u64(ohAddrs(n)); u32(0); u32(0)
+        out.write(new Array[Byte](16))
+      }
+      padTo8()
+
+      // group B-tree: one leaf pointing at the SNOD
+      val btreeAddr = pos
+      raw("TREE".getBytes); u8(0); u8(0); u16(1)
+      u64(Undef); u64(Undef)
+      u64(nameOffs(sorted.head)); u64(snodAddr); u64(nameOffs(sorted.last))
+      padTo8()
+
+      // root group object header
+      val a = pos
+      raw(objectHeader(Seq(0x11 -> bodyBuf({ bb =>
+        bb.putLong(btreeAddr.toLong); bb.putLong(heapAddr.toLong)
+      }, 16))))
+      a.toLong
+    } else {
+      // ---- dense root group: the NEW-style layout netcdf-c emits for
+      // groups past the 8-link compact threshold — links live as
+      // fractal-heap objects indexed by a name B-tree v2, and the root
+      // object header carries only a Link Info message. Geometry
+      // mirrors libhdf5 defaults: width 4, 512-byte start block,
+      // 64 KiB max direct block, 32-bit max heap size → 7-byte IDs.
+      // Block/record checksums are written zero and record hashes are
+      // not the Jenkins name hash (records here are in creation order)
+      // — this codec's reader consults neither, and the caveat is the
+      // price of fabricating fixtures without libhdf5.
+      val width = 4; val startBlk = 512L; val maxDirectBlk = 65536L
+      val offSize = 4; val heapIdLen = 7
+      val dbHeader = 5 + 8 + offSize // flags=0: no block checksum
+      def rowSize(r: Int): Long = if (r < 2) startBlk else startBlk << (r - 1)
+      def linkBody(name: String, addr: Long): Array[Byte] = {
+        val nb = name.getBytes("UTF-8")
+        require(nb.length < 256, "link name too long for 1-byte length")
+        bodyBuf({ bb =>
+          bb.put(1.toByte).put(0.toByte).put(nb.length.toByte).put(nb).putLong(addr)
+        }, 11 + nb.length)
+      }
+      // pack link bodies into direct blocks in creation order; logical
+      // offsets count block headers, exactly like a real heap
+      case class Blk(row: Int, col: Int, logical: Long, size: Long,
+                     objs: scala.collection.mutable.Buffer[(Long, Array[Byte])])
+      val blocks = scala.collection.mutable.Buffer[Blk]()
+      var fill = 0L
+      val heapIds = scala.collection.mutable.Buffer[(Long, Int)]() // logical, len
+      for (n <- allNames) {
+        val lb = linkBody(n, ohAddrs(n))
+        require(lb.length <= startBlk - dbHeader, s"link body for '$n' exceeds a start block")
+        if (blocks.isEmpty || fill + lb.length > blocks.last.size) {
+          val (r, c) =
+            if (blocks.isEmpty) (0, 0)
+            else if (blocks.last.col + 1 < width) (blocks.last.row, blocks.last.col + 1)
+            else (blocks.last.row + 1, 0)
+          val logical = if (blocks.isEmpty) 0L else blocks.last.logical + blocks.last.size
+          blocks += Blk(r, c, logical, rowSize(r), scala.collection.mutable.Buffer())
+          fill = dbHeader
+        }
+        val b = blocks.last
+        heapIds += ((b.logical + fill, lb.length))
+        b.objs += ((b.logical + fill, lb)); fill += lb.length
+      }
+      val singleDirect = blocks.size == 1
+      val nRows = blocks.last.row + 1
+      padTo8()
+
+      // layout: [direct blocks][FHIB?][FRHP][BTLF][BTHD][root OH] —
+      // sizes are deterministic, so every forward address is computed
+      // here and asserted at write time
+      def align8(v: Long) = (v + 7) & ~7L
+      val base = pos.toLong
+      val blockAddrs = blocks.scanLeft(base)((a, b) => a + b.size).init
+      var at = align8(base + blocks.map(_.size).sum)
+      val fhibAddr = at
+      if (!singleDirect) at = align8(at + 13 + offSize + nRows * width * 8L + 4)
+      val frhpAddr = at; at = align8(at + 146)
+      val recordSize = 4 + heapIdLen
+      val btlfAddr = at; at = align8(at + 6 + allNames.size * recordSize + 4)
+      val bthdAddr = at
+
+      for ((b, ai) <- blocks.zip(blockAddrs)) {
+        require(pos.toLong == ai, s"direct-block layout drift at $ai")
+        val buf = ByteBuffer.allocate(b.size.toInt).order(ByteOrder.LITTLE_ENDIAN)
+        buf.put('F'.toByte).put('H'.toByte).put('D'.toByte).put('B'.toByte)
+        buf.put(0.toByte)
+        buf.putLong(frhpAddr)
+        buf.putInt(b.logical.toInt) // block offset, offSize bytes
+        for ((lo, body) <- b.objs) { buf.position((lo - b.logical).toInt); buf.put(body) }
+        raw(buf.array())
+      }
+      padTo8()
+      if (!singleDirect) {
+        require(pos.toLong == fhibAddr, "FHIB layout drift")
+        raw("FHIB".getBytes); u8(0); u64(frhpAddr); u32(0) // root block offset = 0
+        for (r <- 0 until nRows; c <- 0 until width)
+          u64(blocks.find(b => b.row == r && b.col == c)
+            .map(b => blockAddrs(blocks.indexOf(b))).getOrElse(Undef))
+        u32(0) // checksum (unread)
+        padTo8()
+      }
+      require(pos.toLong == frhpAddr, "FRHP layout drift")
+      raw("FRHP".getBytes); u8(0)
+      u16(heapIdLen); u16(0) // ID length, no I/O filters
+      u8(0) // flags: no checksummed blocks
+      u32(maxDirectBlk) // max managed object size
+      u64(0); u64(Undef) // next huge ID, huge B-tree v2
+      u64(0); u64(Undef) // free space, free-space manager
+      val managed = blocks.map(_.size).sum
+      u64(managed); u64(managed); u64(managed) // managed, allocated, iterator
+      u64(allNames.size.toLong) // managed objects
+      u64(0); u64(0); u64(0); u64(0) // huge/tiny sizes + counts
+      u16(width); u64(startBlk); u64(maxDirectBlk)
+      u16(32) // max heap size (bits) → 4-byte offsets
+      u16(1) // starting rows in root indirect block
+      u64(if (singleDirect) blockAddrs.head else fhibAddr)
+      u16(if (singleDirect) 0 else nRows)
+      u32(0) // checksum (unread)
+      padTo8()
+      require(pos.toLong == btlfAddr, "BTLF layout drift")
+      raw("BTLF".getBytes); u8(0); u8(5) // version, type 5: link-name index
+      heapIds.foreach { case (lo, len) =>
+        u32(0) // name hash (unread by this codec's reader)
+        u8(0)  // heap ID: version 0, managed
+        u32(lo); u16(len)
+      }
+      u32(0) // checksum (unread)
+      padTo8()
+      require(pos.toLong == bthdAddr, "BTHD layout drift")
+      raw("BTHD".getBytes); u8(0); u8(5)
+      u32(2048); u16(recordSize); u16(0) // node size, record size, depth 0
+      u8(100); u8(40) // split/merge percents (libhdf5 defaults)
+      u64(btlfAddr); u16(allNames.size); u64(allNames.size.toLong)
+      u32(0) // checksum (unread)
+      padTo8()
+
+      // root object header: Link Info only (new-style group)
+      val a = pos
+      raw(objectHeader(Seq(0x02 -> bodyBuf({ bb =>
+        bb.put(0.toByte).put(0.toByte) // version, flags (no creation order)
+        bb.putLong(frhpAddr); bb.putLong(bthdAddr)
+      }, 18))))
+      a.toLong
     }
-    padTo8()
-
-    // group B-tree: one leaf pointing at the SNOD
-    val btreeAddr = pos
-    raw("TREE".getBytes); u8(0); u8(0); u16(1)
-    u64(Undef); u64(Undef)
-    u64(nameOffs(sorted.head)); u64(snodAddr); u64(nameOffs(sorted.last))
-    padTo8()
-
-    // root group object header
-    val rootAddr = pos
-    raw(objectHeader(Seq(0x11 -> bodyBuf({ bb =>
-      bb.putLong(btreeAddr.toLong); bb.putLong(heapAddr.toLong)
-    }, 16))))
 
     // superblock v0, patched into the reserved prefix
     val bytes = out.toByteArray

@@ -162,6 +162,47 @@ class Hdf5Spec extends SparkSpec {
     assert(d.data.sameElements(data))
   }
 
+  test("dense root group (fractal heap, single direct block) reads a wide file") {
+    // 10 data variables + 2 dims = 12 links — past netcdf-c's 8-link
+    // compact→dense threshold; short names keep every link body in the
+    // 512-byte start block, so the heap root IS a direct block
+    val lat = Array(40f, 30f, 20f)
+    val lon = Array(-30f, -20f, -10f, 0f)
+    val vars = Seq(
+      NetCdf.Variable("lat", Seq("lat"), lat, None),
+      NetCdf.Variable("lon", Seq("lon"), lon, None)) ++
+      (1 to 10).map(i => NetCdf.Variable(s"v$i", Seq("lat", "lon"),
+        Array.tabulate(12)(j => (i * 100 + j).toFloat), None))
+    val bytes = Hdf5.write(Seq("lat" -> 3, "lon" -> 4), vars, denseRoot = true)
+    val f = Hdf5.read(bytes)
+    assert(f.datasets.map(_.name).sorted ==
+      (Seq("lat", "lon") ++ (1 to 10).map(i => s"v$i")).sorted)
+    for (i <- 1 to 10)
+      assert(f.datasets.find(_.name == s"v$i").get.data
+        .sameElements(Array.tabulate(12)(j => (i * 100 + j).toFloat)), s"v$i data")
+  }
+
+  test("dense root group with a root INDIRECT block (links spill over direct blocks)") {
+    // 30 long-named variables → link bodies ≈ 31 B each ≈ 1 KB total,
+    // spilling past the 512-byte start block into multiple row-0
+    // blocks under a root indirect block
+    val vars = Seq(
+      NetCdf.Variable("lat", Seq("lat"), Array(40f, 30f, 20f), None),
+      NetCdf.Variable("lon", Seq("lon"), Array(-30f, -20f, -10f, 0f), None)) ++
+      (1 to 30).map(i => NetCdf.Variable(f"temperature_level_$i%02d", Seq("lat", "lon"),
+        Array.tabulate(12)(j => (i * 1000 + j).toFloat), None))
+    val bytes = Hdf5.write(Seq("lat" -> 3, "lon" -> 4), vars, denseRoot = true)
+    val f = Hdf5.read(bytes)
+    assert(f.datasets.size == 32)
+    for (i <- Seq(1, 15, 30)) {
+      val d = f.datasets.find(_.name == f"temperature_level_$i%02d").get
+      assert(d.data.sameElements(Array.tabulate(12)(j => (i * 1000 + j).toFloat)))
+    }
+    // the wide file flows through the whole NetCDF-4 surface too
+    val nc = NetCdf.readAny(bytes)
+    assert(nc.gridVars.size == 30)
+  }
+
   test("addresses beyond the file (≥2 GiB offsets) are rejected loudly") {
     val bytes = fixture()
     val bad = bytes.clone()
