@@ -278,6 +278,33 @@ object GridQueries extends QueryModule {
       Regrid.probeResample(Grid.fromLineitem(s, dir), probes)
     }),
 
+    // F14 — regrid onto the DATUM-TRUE north-polar stereographic target
+    // (EPSG:3413's actual WGS84 ellipsoid: down-axis 45°W, true scale
+    // 70°N) — same probe hook, ellipsoidal t/m series inverse. At 70°N
+    // the spherical and ellipsoidal inverses disagree by ~0.1°, nearly
+    // a full source pixel row: datum handling is a correctness feature,
+    // not a refinement.
+    "f14_regrid_stereo_ell" -> ((s, dir) => {
+      val probes = Regrid.reprojectProbesGeneric(s, Grid.W, Grid.H,
+        srcWest = -180.0, srcNorth = 90.0, pxDeg = Grid.PX, pyDeg = Grid.PY,
+        tgtW = 20, tgtH = 20,
+        mw = -4000000.0, mn = 4000000.0, pxm = 400000.0, pym = 400000.0,
+        inv = graft.ops.Geo.invPolarStereographicEll(-45.0, 70.0))
+      Regrid.probeResample(Grid.fromLineitem(s, dir), probes)
+    }),
+
+    // F14 — regrid onto the DATUM-TRUE CONUS Albers target (the
+    // EPSG:5070 family: WGS84 q/m series, standard parallels
+    // 29.5/45.5°N, origin 23°N 96°W) through the same hook.
+    "f14_regrid_albers_ell" -> ((s, dir) => {
+      val probes = Regrid.reprojectProbesGeneric(s, Grid.W, Grid.H,
+        srcWest = -180.0, srcNorth = 90.0, pxDeg = Grid.PX, pyDeg = Grid.PY,
+        tgtW = 24, tgtH = 15,
+        mw = -2400000.0, mn = 3200000.0, pxm = 200000.0, pym = 200000.0,
+        inv = graft.ops.Geo.invAlbersEqualAreaEll(29.5, 45.5, 23.0, -96.0))
+      Regrid.probeResample(Grid.fromLineitem(s, dir), probes)
+    }),
+
     // F14 — regrid, average: 2× coarsen, mean of valid source pixels per
     // target cell (rasterio 'average' NaN-aware semantics).
     "f14_regrid_average" -> ((s, dir) => {
@@ -656,6 +683,16 @@ object GridQueries extends QueryModule {
         -180.0, 90.0, Grid.PX, Grid.PY, 24, 15,
         -2400000.0, 3200000.0, 200000.0, 200000.0,
         graft.ops.Geo.invAlbersEqualArea(29.5, 45.5, 23.0, -96.0))),
+    "f14_regrid_stereo_ell" -> probeValuesOracle(
+      Regrid.reprojectProbesLocal(Grid.W, Grid.H,
+        -180.0, 90.0, Grid.PX, Grid.PY, 20, 20,
+        -4000000.0, 4000000.0, 400000.0, 400000.0,
+        graft.ops.Geo.invPolarStereographicEll(-45.0, 70.0))),
+    "f14_regrid_albers_ell" -> probeValuesOracle(
+      Regrid.reprojectProbesLocal(Grid.W, Grid.H,
+        -180.0, 90.0, Grid.PX, Grid.PY, 24, 15,
+        -2400000.0, 3200000.0, 200000.0, 200000.0,
+        graft.ops.Geo.invAlbersEqualAreaEll(29.5, 45.5, 23.0, -96.0))),
     "f14_regrid_cubic" -> withCtes(
       s""", tgt AS (
          |  SELECT CAST(yy.r AS INT) AS yt, CAST(xx.r AS INT) AS xt,

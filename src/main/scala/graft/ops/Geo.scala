@@ -146,6 +146,91 @@ object Geo {
     (lon, lat)
   }
 
+  /** Inverse ELLIPSOIDAL (WGS84) polar stereographic, north aspect,
+    * true scale at `latTsDeg` — the datum-true form of the spherical
+    * inverse above and the actual EPSG:3413 (NSIDC sea-ice) datum the
+    * reference warps through rasterio/PROJ (geoprocessing/
+    * regrid.py:23-70). Snyder 1987 eq. 21-15/21-16 define t and m at
+    * the true-scale parallel; the latitude recovers from t via the
+    * same fixed-point iteration as [[invEllipsoidalMercator]] (eq.
+    * 7-9), fixed at 8 rounds for bit-determinism. The pole (rho = 0)
+    * pins longitude to lon0. */
+  def invPolarStereographicEll(lon0Deg: Double, latTsDeg: Double)
+                              (x: Double, y: Double): (Double, Double) = {
+    val e = WGS84E
+    val phiC = math.toRadians(latTsDeg)
+    val sinC = math.sin(phiC)
+    val tC = math.tan(math.Pi / 4 - phiC / 2) /
+      math.pow((1 - e * sinC) / (1 + e * sinC), e / 2)
+    val mC = math.cos(phiC) / math.sqrt(1 - e * e * sinC * sinC)
+    val rho = math.sqrt(x * x + y * y)
+    val ts = rho * tC / (EarthR * mC)
+    var phi = math.Pi / 2 - 2 * math.atan(ts)
+    var i = 0
+    while (i < 8) {
+      val con = e * math.sin(phi)
+      phi = math.Pi / 2 - 2 * math.atan(ts * math.pow((1 - con) / (1 + con), e / 2))
+      i += 1
+    }
+    val lon =
+      if (rho == 0.0) lon0Deg
+      else wrapLon(lon0Deg + math.toDegrees(math.atan2(x, -y)))
+    (lon, math.toDegrees(phi))
+  }
+
+  /** Inverse ELLIPSOIDAL (WGS84) Albers equal-area conic — datum-true
+    * CONUS analysis grids (EPSG:5070's family). Snyder 1987: q (eq.
+    * 3-12) and m (eq. 14-15) build the cone constant n (eq. 14-14),
+    * C (eq. 14-13) and rho0 (eq. 14-12a); the inverse recovers q from
+    * rho (eq. 14-19) and iterates eq. 3-16 to the geodetic latitude,
+    * seeded with the authalic-sphere estimate. A FIXED 10 iterations
+    * keeps the function bit-deterministic; |q| ≥ q_pole short-circuits
+    * to ±90° exactly (eq. 14-20's polar case), which also keeps the
+    * 1/cos(phi) term in eq. 3-16 finite. South-parallel cones (n < 0)
+    * flip the atan2 arguments like the spherical form. */
+  def invAlbersEqualAreaEll(lat1Deg: Double, lat2Deg: Double,
+                            lat0Deg: Double, lon0Deg: Double)
+                           (x: Double, y: Double): (Double, Double) = {
+    val e = WGS84E; val e2 = e * e
+    def qOf(phi: Double) = {
+      val s = math.sin(phi)
+      (1 - e2) * (s / (1 - e2 * s * s) -
+        (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+    }
+    def mOf(phi: Double) = {
+      val s = math.sin(phi)
+      math.cos(phi) / math.sqrt(1 - e2 * s * s)
+    }
+    val phi1 = math.toRadians(lat1Deg); val phi2 = math.toRadians(lat2Deg)
+    val m1 = mOf(phi1); val m2 = mOf(phi2)
+    val q1 = qOf(phi1); val q2 = qOf(phi2)
+    val n = if (lat1Deg == lat2Deg) math.sin(phi1) else (m1 * m1 - m2 * m2) / (q2 - q1)
+    require(n != 0.0,
+      s"Albers standard parallels must not be symmetric about the equator: $lat1Deg, $lat2Deg")
+    val cBig = m1 * m1 + n * q1
+    val rho0 = EarthR * math.sqrt(cBig - n * qOf(math.toRadians(lat0Deg))) / n
+    val rho = math.sqrt(x * x + (rho0 - y) * (rho0 - y))
+    val theta =
+      if (n >= 0) math.atan2(x, rho0 - y)
+      else math.atan2(-x, y - rho0)
+    val q = (cBig - (rho * n / EarthR) * (rho * n / EarthR)) / n
+    val qPole = qOf(math.Pi / 2)
+    val lat =
+      if (math.abs(q) >= qPole) math.signum(q) * 90.0
+      else {
+        var phi = math.asin(math.max(-1.0, math.min(1.0, q / 2)))
+        var i = 0
+        while (i < 10) {
+          val s = math.sin(phi); val den = 1 - e2 * s * s
+          phi += den * den / (2 * math.cos(phi)) *
+            (q / (1 - e2) - s / den + (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+          i += 1
+        }
+        math.toDegrees(phi)
+      }
+    (wrapLon(lon0Deg + math.toDegrees(theta / n)), lat)
+  }
+
   /** Inverse spherical Albers equal-area conic, two standard parallels
     * (Snyder 1987 eq. 14-3..14-11 inverted; the CONUS analysis-grid
     * staple). Equal-area complements the conformal LCC above — the two

@@ -80,6 +80,75 @@ class ProjectionSpec extends AnyFunSuite {
       s"scale at the true-scale parallel should be 1, got ${planar / ground}")
   }
 
+  test("inverse ELLIPSOIDAL polar stereographic round-trips the forward projection") {
+    val (lon0, latTs) = (-45.0, 70.0)
+    val e = Geo.WGS84E
+    def tOf(latDeg: Double) = {
+      val phi = math.toRadians(latDeg); val s = e * math.sin(phi)
+      math.tan(math.Pi / 4 - phi / 2) / math.pow((1 - s) / (1 + s), e / 2)
+    }
+    val phiC = math.toRadians(latTs)
+    val mC = math.cos(phiC) / math.sqrt(1 - e * e * math.sin(phiC) * math.sin(phiC))
+    def fwd(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      // Snyder eq. 21-33/21-34: rho = a · m_c · t / t_c
+      val rho = R * mC * tOf(latDeg) / tOf(latTs)
+      val theta = math.toRadians(lonDeg - lon0)
+      (rho * math.sin(theta), -rho * math.cos(theta))
+    }
+    val inv = Geo.invPolarStereographicEll(lon0, latTs) _
+    for (lon <- Seq(-170.0, -45.0, 0.0, 134.5); lat <- Seq(45.0, 70.0, 88.5)) {
+      val (x, y) = fwd(lon, lat)
+      val (lonB, latB) = inv(x, y)
+      assert(math.abs(lonB - lon) < tol && math.abs(latB - lat) < tol,
+        s"ellipsoidal polar stereo round-trip drifted: ($lon,$lat) -> ($x,$y) -> ($lonB,$latB)")
+    }
+    assert(inv(0.0, 0.0) == (lon0, 90.0)) // pole pins longitude
+    // the datum correction is visible: same projected point, spherical
+    // vs ellipsoidal inverse latitudes disagree by ~0.1°+
+    val (x70, y70) = fwd(-45.0, 70.0)
+    val (_, latSph) = Geo.invPolarStereographic(lon0, latTs)(x70, y70)
+    assert(math.abs(latSph - 70.0) > 0.05,
+      s"spherical inverse should visibly disagree on an ellipsoidal point, got $latSph")
+  }
+
+  test("inverse ELLIPSOIDAL Albers equal-area round-trips the forward projection") {
+    val (lat1, lat2, lat0, lon0) = (29.5, 45.5, 23.0, -96.0)
+    val e = Geo.WGS84E; val e2 = e * e
+    def qOf(latDeg: Double) = {
+      val s = math.sin(math.toRadians(latDeg))
+      (1 - e2) * (s / (1 - e2 * s * s) -
+        (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+    }
+    def mOf(latDeg: Double) = {
+      val phi = math.toRadians(latDeg); val s = math.sin(phi)
+      math.cos(phi) / math.sqrt(1 - e2 * s * s)
+    }
+    val n = (mOf(lat1) * mOf(lat1) - mOf(lat2) * mOf(lat2)) / (qOf(lat2) - qOf(lat1))
+    val c = mOf(lat1) * mOf(lat1) + n * qOf(lat1)
+    val rho0 = R * math.sqrt(c - n * qOf(lat0)) / n
+    def fwd(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      // Snyder eq. 14-3 (ellipsoidal): rho = a sqrt(C − n q) / n
+      val rho = R * math.sqrt(c - n * qOf(latDeg)) / n
+      val theta = math.toRadians(n * (lonDeg - lon0))
+      (rho * math.sin(theta), rho0 - rho * math.cos(theta))
+    }
+    val inv = Geo.invAlbersEqualAreaEll(lat1, lat2, lat0, lon0) _
+    for (lon <- Seq(-124.7, -96.0, -67.0); lat <- Seq(24.5, 37.0, 49.4)) {
+      val (x, y) = fwd(lon, lat)
+      val (lonB, latB) = inv(x, y)
+      assert(math.abs(lonB - lon) < tol && math.abs(latB - lat) < tol,
+        s"ellipsoidal Albers round-trip drifted: ($lon,$lat) -> ($x,$y) -> ($lonB,$latB)")
+    }
+    // q beyond the pole value short-circuits to exactly ±90°
+    val (xp, yp) = fwd(-96.0, 90.0)
+    assert(inv(xp, yp)._2 == 90.0)
+    // datum correction visible vs the spherical inverse
+    val (x37, y37) = fwd(-96.0, 37.0)
+    val (_, latSph) = Geo.invAlbersEqualArea(lat1, lat2, lat0, lon0)(x37, y37)
+    assert(math.abs(latSph - 37.0) > 0.05,
+      s"spherical inverse should visibly disagree on an ellipsoidal point, got $latSph")
+  }
+
   test("inverse Albers equal-area round-trips the forward projection") {
     val (lat1, lat2, lat0, lon0) = (29.5, 45.5, 23.0, -96.0)
     val phi1 = math.toRadians(lat1); val phi2 = math.toRadians(lat2)
