@@ -34,8 +34,12 @@ object Bench {
     // this). The built-in `noop` v2 sink drives full rows through a
     // writer with no disk I/O, so the plan that runs is the plan a real
     // consumer would pay for.
+    // SPARK_GRAFT_BENCH_ACTION=count re-enables the old pruned-plan
+    // timing, kept ONLY so the honesty delta stays measurable; the
+    // default (and what the driver runs) is the full-row noop write.
     def evalAll(df: org.apache.spark.sql.DataFrame): Unit =
-      df.write.mode("overwrite").format("noop").save()
+      if (sys.env.get("SPARK_GRAFT_BENCH_ACTION").contains("count")) { df.count(); () }
+      else df.write.mode("overwrite").format("noop").save()
 
     // Warmup pass: run every query once. First executions pay JVM JIT +
     // whole-stage-codegen compilation + shared materialized-view builds —

@@ -26,9 +26,10 @@ import java.util.zip.{Deflater, Inflater}
   * integer rasters map their declared nodata to NaN at decode.
   * South-up inputs are normalized north-up at read time via the
   * `needs_flip` check (pixel-scale sign, formats/geotiff.py:322-345).
-  * Multi-page files (COG overview pyramids) read IFD 0 — the full-
-  * resolution image; [[bandCount]] powers `band_N` variable discovery
-  * (formats/geotiff.py:58-94).
+  * Multi-page files (COG overview pyramids) default to IFD 0 — the
+  * full-resolution image — with [[levels]]/[[readBand]] exposing the
+  * pyramid for low-zoom serving; [[bandCount]] powers `band_N`
+  * variable discovery (formats/geotiff.py:58-94).
   */
 object GeoTiff {
 
@@ -127,17 +128,54 @@ object GeoTiff {
   def predictorFor(dtype: String): Int =
     if (dtype == "float32") 3 else 2
 
+  /** Internal tile block size by raster dimensions — the reference's
+    * exact rule (asset_writer.py:168-186): <512 px → 128, <2048 → 256,
+    * else 512. */
+  def blocksizeFor(width: Int, height: Int): Int = {
+    val m = math.min(width, height)
+    if (m < 512) 128 else if (m < 2048) 256 else 512
+  }
+
+  /** Overview level count: build until the smallest overview fits ~2
+    * block widths, always ≥ 1 (asset_writer.py:188-211). */
+  def overviewLevelsFor(width: Int, height: Int, blocksize: Int): Int = {
+    val m = math.min(width, height)
+    var levels = 0; var level = 2
+    while (m / level >= blocksize * 2) { levels += 1; level *= 2 }
+    math.max(levels, 1)
+  }
+
+  /** The reference `write_cog` profile end-to-end
+    * (asset_writer.py:46-148): adaptive blocksize, overview levels to
+    * the 2-block floor, deflate + predictor by dtype, average
+    * overview resampling. */
+  def writeCogAuto(bands: Seq[Array[Float]], width: Int, height: Int,
+                   west: Double, north: Double, px: Double, py: Double,
+                   dtype: String = "float32",
+                   nodata: Option[Double] = None): Array[Byte] = {
+    val bs = blocksizeFor(width, height)
+    writeCog(bands, width, height, west, north, px, py, tileSize = bs,
+      dtype = dtype, nodata = nodata,
+      overviewLevels = overviewLevelsFor(width, height, bs))
+  }
+
   /** Encode a multi-band north-up raster in the reference COG sink's
     * profile: tiled (256² default), deflate, predictor by dtype,
-    * little-endian. `planar = false` writes pixel-interleaved (chunky,
-    * GDAL's default); `true` writes one tile set per band. Integer
-    * dtypes encode NaN as `nodata` (required then); the value is
-    * recorded in GDAL's ASCII nodata tag so decode restores NaN. */
+    * little-endian, with `overviewLevels` reduced-resolution pages
+    * (factors 2, 4, …) chained behind IFD 0 — NaN-aware AVERAGE
+    * decimation, the reference's continuous-field resampling
+    * (asset_writer.py:128-136), tile data laid out overviews-first /
+    * full-res-last like cog_translate. `planar = false` writes
+    * pixel-interleaved (chunky, GDAL's default); `true` writes one
+    * tile set per band. Integer dtypes encode NaN as `nodata`
+    * (required then); the value is recorded in GDAL's ASCII nodata
+    * tag so decode restores NaN. */
   def writeCog(bands: Seq[Array[Float]], width: Int, height: Int,
                west: Double, north: Double, px: Double, py: Double,
                tileSize: Int = 256, dtype: String = "float32",
                nodata: Option[Double] = None,
-               planar: Boolean = false): Array[Byte] = {
+               planar: Boolean = false,
+               overviewLevels: Int = 0): Array[Byte] = {
     val s = bands.size
     require(s >= 1, "at least one band")
     require(bands.forall(_.length == width * height), "band size mismatch")
@@ -148,10 +186,9 @@ object GeoTiff {
       require(nodata.isDefined || bands.forall(!_.exists(_.isNaN)),
         "integer dtype with NaN cells needs an explicit nodata value")
     val fill = nodata.getOrElse(0.0)
-
-    val ta = (width + tileSize - 1) / tileSize
-    val td = (height + tileSize - 1) / tileSize
     val stride = if (planar) 1 else s // predictor lag = interleaved channels
+    val planes = if (planar) s else 1
+    val chans = if (planar) 1 else s
 
     def encodeValue(buf: ByteBuffer, v: Float): Unit = {
       val x = if (v.isNaN && fmt != 3) fill else v.toDouble
@@ -162,31 +199,63 @@ object GeoTiff {
       }
     }
 
-    // one compressed payload per (plane, tileRow, tileCol); edge tiles
-    // are FULL size with fill padding, per the TIFF tiling model
-    val planes = if (planar) s else 1
-    val chans = if (planar) 1 else s
-    val tiles = for {
-      p <- 0 until planes; ty <- 0 until td; tx <- 0 until ta
-    } yield {
-      val rowSamples = tileSize * chans
-      val raw = ByteBuffer.allocate(tileSize * rowSamples * bps)
-        .order(ByteOrder.LITTLE_ENDIAN)
-      for (yy <- 0 until tileSize; xx <- 0 until tileSize; c <- 0 until chans) {
-        val y = ty * tileSize + yy; val x = tx * tileSize + xx
-        val band = if (planar) p else c
-        val v =
-          if (y < height && x < width) bands(band)(y * width + x)
-          else if (fmt == 3) 0f else fill.toFloat
-        encodeValue(raw, v)
+    // NaN-aware average decimation by `f` (all-NaN windows stay NaN)
+    def decimate(src: Array[Float], sw: Int, sh: Int, f: Int): (Array[Float], Int, Int) = {
+      val ow = (sw + f - 1) / f; val oh = (sh + f - 1) / f
+      val dst = new Array[Float](ow * oh)
+      for (oy <- 0 until oh; ox <- 0 until ow) {
+        var sum = 0.0; var n = 0
+        var yy = oy * f
+        while (yy < math.min(oy * f + f, sh)) {
+          var xx = ox * f
+          while (xx < math.min(ox * f + f, sw)) {
+            val v = src(yy * sw + xx)
+            if (!v.isNaN) { sum += v; n += 1 }
+            xx += 1
+          }
+          yy += 1
+        }
+        dst(oy * ow + ox) = if (n == 0) Float.NaN else (sum / n).toFloat
       }
-      deflate(applyPredictor(raw.array(), predictor, rowSamples, bps, fmt, stride))
+      (dst, ow, oh)
     }
 
-    // IFD assembly: tags ascending, out-of-line arrays after the IFD,
-    // tile payloads last (full-res data at the tail, COG-style)
+    case class Page(bands: Seq[Array[Float]], w: Int, h: Int, overview: Boolean)
+    val pages = Page(bands, width, height, overview = false) +:
+      (1 to overviewLevels).map { k =>
+        val dec = bands.map(b => decimate(b, width, height, 1 << k))
+        Page(dec.map(_._1), dec.head._2, dec.head._3, overview = true)
+      }
+
+    // one compressed payload per (plane, tileRow, tileCol); edge tiles
+    // are FULL size with fill padding, per the TIFF tiling model
+    def tilesFor(pg: Page): IndexedSeq[Array[Byte]] = {
+      val ta = (pg.w + tileSize - 1) / tileSize
+      val td = (pg.h + tileSize - 1) / tileSize
+      for {
+        p <- 0 until planes; ty <- 0 until td; tx <- 0 until ta
+      } yield {
+        val rowSamples = tileSize * chans
+        val raw = ByteBuffer.allocate(tileSize * rowSamples * bps)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        for (yy <- 0 until tileSize; xx <- 0 until tileSize; c <- 0 until chans) {
+          val y = ty * tileSize + yy; val x = tx * tileSize + xx
+          val band = if (planar) p else c
+          val v =
+            if (y < pg.h && x < pg.w) pg.bands(band)(y * pg.w + x)
+            else if (fmt == 3) 0f else fill.toFloat
+          encodeValue(raw, v)
+        }
+        deflate(applyPredictor(raw.array(), predictor, rowSamples, bps, fmt, stride))
+      }
+    }
+    val pageTiles = pages.map(tilesFor)
+
+    // IFD assembly: tags ascending, out-of-line arrays right after
+    // each IFD, tile payloads at the tail with overview data FIRST
+    // and full-res LAST (cog_translate's range-request-friendly order)
     val nodataAscii = nodata.map(v =>
-      (if (v == v.floor && v.abs < 1e15) v.toLong.toString else v.toString) + " ")
+      (if (v == v.floor && v.abs < 1e15) v.toLong.toString else v.toString) + "\u0000")
     case class Entry(id: Int, typ: Int, count: Int, inline: Option[Long],
                      payload: Option[Array[Byte]])
     def shorts(vs: Seq[Int]): Array[Byte] = {
@@ -207,69 +276,84 @@ object GeoTiff {
           .order(ByteOrder.LITTLE_ENDIAN).getInt().toLong & 0xffffffffL), None)
       else Entry(id, typ, count, None, Some(vs))
 
-    val nTiles = tiles.size
-    // tile offsets are back-patched once the layout is known
-    val entries = Seq(
-      Entry(TAG_WIDTH, 3, 1, Some(width.toLong), None),
-      Entry(TAG_HEIGHT, 3, 1, Some(height.toLong), None),
-      arr(TAG_BITS, 3, shorts(Seq.fill(s)(bits)), s),
-      Entry(TAG_COMPRESSION, 3, 1, Some(8L), None), // deflate
-      Entry(TAG_PHOTOMETRIC, 3, 1, Some(1L), None),
-      Entry(TAG_SAMPLES_PER_PIXEL, 3, 1, Some(s.toLong), None),
-      Entry(TAG_PLANAR_CONFIG, 3, 1, Some(if (planar) 2L else 1L), None),
-      Entry(TAG_PREDICTOR, 3, 1, Some(predictor.toLong), None),
-      Entry(TAG_TILE_WIDTH, 3, 1, Some(tileSize.toLong), None),
-      Entry(TAG_TILE_LENGTH, 3, 1, Some(tileSize.toLong), None),
-      arr(TAG_TILE_OFFSETS, 4, longs(Seq.fill(nTiles)(0L)), nTiles),
-      arr(TAG_TILE_BYTES, 4, longs(tiles.map(_.length.toLong)), nTiles),
-      arr(TAG_SAMPLE_FORMAT, 3, shorts(Seq.fill(s)(fmt)), s),
-      arr(TAG_PIXEL_SCALE, 12, doubles(Seq(px, py, 0.0)), 3),
-      arr(TAG_TIEPOINT, 12, doubles(Seq(0, 0, 0, west, north, 0)), 6)
-    ) ++ nodataAscii.map(nd =>
-      arr(TAG_GDAL_NODATA, 2, nd.getBytes("US-ASCII"), nd.length))
+    def entriesFor(pg: Page, tiles: IndexedSeq[Array[Byte]]): Seq[Entry] = {
+      val nTiles = tiles.size
+      (if (pg.overview) // NewSubfileType: reduced-resolution subfile
+        Seq(Entry(254, 4, 1, Some(1L), None)) else Nil) ++
+      Seq(
+        Entry(TAG_WIDTH, 3, 1, Some(pg.w.toLong), None),
+        Entry(TAG_HEIGHT, 3, 1, Some(pg.h.toLong), None),
+        arr(TAG_BITS, 3, shorts(Seq.fill(s)(bits)), s),
+        Entry(TAG_COMPRESSION, 3, 1, Some(8L), None), // deflate
+        Entry(TAG_PHOTOMETRIC, 3, 1, Some(1L), None),
+        Entry(TAG_SAMPLES_PER_PIXEL, 3, 1, Some(s.toLong), None),
+        Entry(TAG_PLANAR_CONFIG, 3, 1, Some(if (planar) 2L else 1L), None),
+        Entry(TAG_PREDICTOR, 3, 1, Some(predictor.toLong), None),
+        Entry(TAG_TILE_WIDTH, 3, 1, Some(tileSize.toLong), None),
+        Entry(TAG_TILE_LENGTH, 3, 1, Some(tileSize.toLong), None),
+        arr(TAG_TILE_OFFSETS, 4, longs(Seq.fill(nTiles)(0L)), nTiles),
+        arr(TAG_TILE_BYTES, 4, longs(tiles.map(_.length.toLong)), nTiles),
+        arr(TAG_SAMPLE_FORMAT, 3, shorts(Seq.fill(s)(fmt)), s)) ++
+      (if (pg.overview) Nil else Seq( // georeferencing on the base image
+        arr(TAG_PIXEL_SCALE, 12, doubles(Seq(px, py, 0.0)), 3),
+        arr(TAG_TIEPOINT, 12, doubles(Seq(0, 0, 0, west, north, 0)), 6))) ++
+      nodataAscii.map(nd =>
+        arr(TAG_GDAL_NODATA, 2, nd.getBytes("US-ASCII"), nd.length))
+    }
+    val pageEntries = pages.zip(pageTiles).map { case (pg, t) => entriesFor(pg, t) }
 
-    val ifdOff = 8
-    val ifdLen = 2 + entries.size * 12 + 4
-    var dataOff = ifdOff + ifdLen
-    val payloadOffs = entries.map { e =>
-      e.payload.map { p =>
-        val off = dataOff
-        dataOff += p.length + (p.length & 1) // TIFF: word-aligned
-        off
+    // layout pass: [header][IFD+payload block per page][tile data]
+    var at = 8
+    val ifdOffs = new Array[Int](pages.size)
+    val payloadOffs = pageEntries.zipWithIndex.map { case (entries, pi) =>
+      ifdOffs(pi) = at
+      at += 2 + entries.size * 12 + 4
+      entries.map { e =>
+        e.payload.map { p =>
+          val off = at; at += p.length + (p.length & 1); off // word-aligned
+        }
       }
     }
-    val tileOffs = tiles.map { t =>
-      val off = dataOff; dataOff += t.length + (t.length & 1); off
+    // tile data region: REVERSE page order (deepest overview first)
+    val pageTileOffs: IndexedSeq[IndexedSeq[Int]] = {
+      val offs = Array.fill(pages.size)(IndexedSeq.empty[Int])
+      for (pi <- pages.indices.reverse)
+        offs(pi) = pageTiles(pi).map { t =>
+          val off = at; at += t.length + (t.length & 1); off
+        }
+      offs.toIndexedSeq
     }
-    // patch the tile offsets now that tile positions are fixed: a
-    // single-tile image stores its offset INLINE (4-byte array), so
-    // patch the inline value there and the out-of-line payload
-    // otherwise — payload sizes are unchanged, so the layout holds
-    val patched = entries.map { e =>
-      if (e.id != TAG_TILE_OFFSETS) e
-      else if (nTiles == 1) e.copy(inline = Some(tileOffs(0).toLong))
-      else e.copy(payload = Some(longs(tileOffs.map(_.toLong))))
-    }
-
-    val out = ByteBuffer.allocate(dataOff).order(ByteOrder.LITTLE_ENDIAN)
-    out.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdOff)
-    out.putShort(patched.size.toShort)
-    for ((e, i) <- patched.zipWithIndex) {
-      out.putShort(e.id.toShort).putShort(e.typ.toShort).putInt(e.count)
-      (e.inline, payloadOffs(i)) match {
-        case (Some(v), _) => out.putInt(v.toInt)
-        case (None, Some(off)) => out.putInt(off)
-        case _ => sys.error("unreachable")
+    val patched = pageEntries.zipWithIndex.map { case (entries, pi) =>
+      val tileOffs = pageTileOffs(pi)
+      entries.map { e =>
+        if (e.id != TAG_TILE_OFFSETS) e
+        else if (tileOffs.size == 1) e.copy(inline = Some(tileOffs(0).toLong))
+        else e.copy(payload = Some(longs(tileOffs.map(_.toLong))))
       }
     }
-    out.putInt(0) // next IFD
-    for ((e, i) <- patched.zipWithIndex; p <- e.payload) {
-      out.position(payloadOffs(i).get)
-      out.put(p)
-    }
-    for ((t, i) <- tiles.zipWithIndex) {
-      out.position(tileOffs(i))
-      out.put(t)
+
+    val out = ByteBuffer.allocate(at).order(ByteOrder.LITTLE_ENDIAN)
+    out.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdOffs(0))
+    for (pi <- pages.indices) {
+      out.position(ifdOffs(pi))
+      out.putShort(patched(pi).size.toShort)
+      for ((e, i) <- patched(pi).zipWithIndex) {
+        out.putShort(e.id.toShort).putShort(e.typ.toShort).putInt(e.count)
+        (e.inline, payloadOffs(pi)(i)) match {
+          case (Some(v), _) => out.putInt(v.toInt)
+          case (None, Some(off)) => out.putInt(off)
+          case _ => sys.error("unreachable")
+        }
+      }
+      out.putInt(if (pi + 1 < pages.size) ifdOffs(pi + 1) else 0) // next IFD
+      for ((e, i) <- patched(pi).zipWithIndex; p <- e.payload) {
+        out.position(payloadOffs(pi)(i).get)
+        out.put(p)
+      }
+      for ((t, i) <- pageTiles(pi).zipWithIndex) {
+        out.position(pageTileOffs(pi)(i))
+        out.put(t)
+      }
     }
     out.array()
   }
@@ -415,13 +499,27 @@ object GeoTiff {
                          chunkOffs: Array[Long], chunkBytes: Array[Long],
                          tiled: Boolean, rowsPerStrip: Int,
                          px: Double, py: Double, west: Double, north: Double,
-                         order: ByteOrder)
+                         order: ByteOrder, next: Long)
 
   private def parseIfd0(bytes: Array[Byte]): Ifd = {
     require(canHandle(bytes), "not a TIFF")
+    parseIfdAt(bytes, ByteBuffer.wrap(bytes)
+      .order(if (bytes(0) == 'I') ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+      .getInt(4))
+  }
+
+  /** Every IFD in the file, following the next-IFD chain — page 0 is
+    * the full-resolution image, later pages a COG's overview pyramid. */
+  private def parseChain(bytes: Array[Byte]): Seq[Ifd] = {
+    val out = scala.collection.mutable.Buffer(parseIfd0(bytes))
+    while (out.last.next != 0 && out.size < 64)
+      out += parseIfdAt(bytes, out.last.next.toInt)
+    out.toSeq
+  }
+
+  private def parseIfdAt(bytes: Array[Byte], ifdOff: Int): Ifd = {
     val order = if (bytes(0) == 'I') ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
     val buf = ByteBuffer.wrap(bytes).order(order)
-    val ifdOff = buf.getInt(4)
     val n = buf.getShort(ifdOff) & 0xffff
 
     var width = 0; var height = 0; var rowsPerStrip = Int.MaxValue
@@ -454,7 +552,7 @@ object GeoTiff {
     }
     def tagAscii(count: Int, at: Int): String = {
       val base = if (count <= 4) at else buf.getInt(at)
-      new String(bytes, base, count, "US-ASCII").takeWhile(_ != ' ').trim
+      new String(bytes, base, count, "US-ASCII").takeWhile(_ != '\u0000').trim
     }
 
     for (i <- 0 until n) {
@@ -503,7 +601,8 @@ object GeoTiff {
       tileW, tileH,
       if (tiled) tileOffs else chunkOffs,
       if (tiled) tileBytesA else chunkBytes,
-      tiled, rowsPerStrip, px, py, west, north, order)
+      tiled, rowsPerStrip, px, py, west, north, order,
+      buf.getInt(ifdOff + 2 + n * 12).toLong & 0xffffffffL)
   }
 
   /** Number of bands in the file (`band_N` discovery,
@@ -516,8 +615,33 @@ object GeoTiff {
   /** Decode one 1-based band from any supported layout: strips or
     * tiles × uncompressed or deflate × predictor 1/2/3 × chunky or
     * planar × uint8/int16/uint16/int32/float32 × II/MM. */
-  def readBand(bytes: Array[Byte], band: Int): Raster = {
-    val d = parseIfd0(bytes)
+  def readBand(bytes: Array[Byte], band: Int): Raster =
+    readBand(bytes, band, level = 0)
+
+  /** Per-page (width, height) of the file's IFD chain — a COG reports
+    * its full-resolution image followed by the overview pyramid, the
+    * level inventory a low-zoom reader picks from (the reference's
+    * TiTiler serves overviews the same way, asset_writer.py:63-68). */
+  def levels(bytes: Array[Byte]): Seq[(Int, Int)] =
+    parseChain(bytes).map(d => (d.width, d.height))
+
+  /** Decode one band of one pyramid level (level 0 = full resolution).
+    * Overview pages carry no georeferencing tags; theirs derives from
+    * page 0's affine scaled by the dimension ratio, GDAL's overview
+    * convention. */
+  def readBand(bytes: Array[Byte], band: Int, level: Int): Raster = {
+    val pages = parseChain(bytes)
+    require(level >= 0 && level < pages.size,
+      s"level $level not in file (has ${pages.size})")
+    val base = pages.head
+    val d0 = pages(level)
+    val d =
+      if (level == 0) d0
+      else d0.copy(
+        px = base.px * base.width / d0.width,
+        py = base.py * base.height / d0.height,
+        west = base.west, north = base.north,
+        nodata = d0.nodata.orElse(base.nodata))
     require(band >= 1 && band <= d.spp,
       s"band $band not in file (has ${d.spp})")
     require(d.compression == 1 || d.compression == 8 || d.compression == 32946,

@@ -135,6 +135,49 @@ class GeoTiffSpec extends SparkSpec {
       assert(GeoTiff.readBand(bytes, b).data.sameElements(bands(b - 1)))
   }
 
+  test("COG overview pyramid: chained IFDs, NaN-aware average decimation, derived georef") {
+    val w = 64; val h = 48
+    // quadrant-constant field with one all-NaN 2×2 block and one
+    // half-NaN block, so every averaging mode is asserted exactly
+    val data = Array.tabulate(w * h) { i =>
+      val y = i / w; val x = i % w
+      if (y < 2 && x < 2) Float.NaN                   // all-NaN window
+      else if (y < 2 && x >= 2 && x < 4 && x % 2 == 0) Float.NaN // half-NaN
+      else (10 * (y / 24) + (x / 32)).toFloat         // quadrant value
+    }
+    val bytes = GeoTiff.writeCog(Seq(data), w, h, -10.0, 40.0, 0.25, 0.25,
+      tileSize = 32, overviewLevels = 2)
+    assert(GeoTiff.levels(bytes) == Seq((64, 48), (32, 24), (16, 12)))
+    // full-res page is untouched by the pyramid
+    assert(GeoTiff.read(bytes).data.zip(data).forall { case (a, b) =>
+      (a.isNaN && b.isNaN) || a == b })
+    val o1 = GeoTiff.readBand(bytes, 1, level = 1)
+    assert(o1.width == 32 && o1.height == 24)
+    // derived georef: affine scaled by the dimension ratio
+    assert(o1.west == -10.0 && o1.north == 40.0 && o1.px == 0.5 && o1.py == 0.5)
+    assert(o1.data(0).isNaN)                   // all-NaN window stays NaN
+    assert(o1.data(1) == 0f)                   // half-NaN window averages the valid half
+    assert(o1.data(23 * 32 + 31) == 11f)       // deep quadrant average = constant
+    val o2 = GeoTiff.readBand(bytes, 1, level = 2)
+    assert(o2.width == 16 && o2.height == 12 && o2.data(11 * 16 + 15) == 11f)
+  }
+
+  test("writeCogAuto follows the reference blocksize/overview rules") {
+    // reference examples (asset_writer.py:168-211): 300×229 → 128-px
+    // blocks, 1 level; 800×700 → 256-px blocks... min_dim 700 ≥ 512 →
+    // 256, and 700//2 ≥ 512? no → max(0,1) = 1 level
+    assert(GeoTiff.blocksizeFor(300, 229) == 128)
+    assert(GeoTiff.overviewLevelsFor(300, 229, 128) == 1)
+    assert(GeoTiff.blocksizeFor(7200, 3600) == 512)
+    assert(GeoTiff.overviewLevelsFor(7200, 3600, 512) == 1)
+    assert(GeoTiff.overviewLevelsFor(7200, 3600, 128) == 3)
+    val w = 300; val h = 229
+    val data = Array.tabulate(w * h)(i => (i % 97).toFloat)
+    val bytes = GeoTiff.writeCogAuto(Seq(data), w, h, 0.0, 20.0, 0.1, 0.1)
+    assert(GeoTiff.levels(bytes) == Seq((300, 229), (150, 115)))
+    assert(GeoTiff.read(bytes).data.sameElements(data))
+  }
+
   test("binaryFile ingest decodes a dropped reference-profile COG end-to-end") {
     val dir = Files.createTempDirectory("graft-cog-").toString
     val w = 64; val h = 48
