@@ -137,6 +137,41 @@ object Similarity {
       array_min(array(dists.toIndexedSeq: _*)).getField("cid").as("cid"))
   }
 
+  /** SemDeDup (the published cluster-then-dedup method: Abbas et al.
+    * 2023, "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication"): k-means clusters bound the comparison
+    * set, then only WITHIN-cluster pairs pay an exact cosine, and a
+    * document duplicates iff some earlier (smaller-id) cluster-mate
+    * sits above `minCos`. Keep-min-id is this engine's deterministic
+    * stand-in for the paper's keep-low-centroid-similarity choice —
+    * same dedup set size, oracle-stable ordering.
+    *
+    * Input: `assigned` = (vec_id, q, nrm2, cid) from [[assignNearest]].
+    * Output: (cid, vec_id, dup_of, max_cos) — one row per DROPPED doc.
+    *
+    * Scale shape: the pair join is an equi-join on cid, never
+    * all-pairs; at real volume k scales with the corpus (the paper
+    * uses ~10⁴–10⁵ clusters) so cluster populations stay bounded, and
+    * the `maxCluster` guard excludes any cluster that still exceeds
+    * the bound from pair generation (same cap discipline as the LSH
+    * hot-bucket guard — a flooded cluster belongs to exact dedup, and
+    * the cap is mirrored in the DuckDB oracle). */
+  def semdedup(assigned: DataFrame, minCos: Double,
+               maxCluster: Int = 4096): DataFrame = {
+    val hot = assigned.groupBy("cid").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxCluster).select("cid")
+    val ok = assigned.join(hot, Seq("cid"), "left_anti")
+    val a = ok.select(col("cid"), col("vec_id").as("doc_a"),
+      col("q").as("qa"), col("nrm2").as("na"))
+    val b = ok.select(col("cid"), col("vec_id").as("doc_b"),
+      col("q").as("qb"), col("nrm2").as("nb"))
+    a.join(b, Seq("cid")).filter(col("doc_a") < col("doc_b"))
+      .withColumn("cos", expr(cosExpr))
+      .filter(col("cos") >= minCos)
+      .groupBy(col("cid"), col("doc_b").as("vec_id"))
+      .agg(min("doc_a").as("dup_of"), max("cos").as("max_cos"))
+  }
+
   /** Multi-probe LSH-blocked near-dup sweep: pairs that share `labelCol`
     * AND whose nPlanes-bit hyperplane buckets differ by at most
     * `probeDist` bits, verified by exact cosine >= minCos.

@@ -339,6 +339,20 @@ object SimilarityQueries extends QueryModule {
       Similarity.neardupBlocked(q, "label", nPlanes = 8, probeDist = 2, minCos = 0.4)
     }),
 
+    // SemDeDup (Abbas et al. 2023): the trained coarse k-means bounds
+    // the comparison set, within-cluster pairs verify by exact
+    // quantized cosine, and a doc drops iff an earlier cluster-mate
+    // sits at cos >= 0.4 (this corpus's near-dup band, same threshold
+    // as s_embed_neardup). Clusters past the maxCluster guard skip
+    // pair generation — the cap is mirrored in the oracle. Reuses the
+    // literal-backed trained centroids (train-once-serve-many), so
+    // dedup is one cid equi-join + one aggregate: never all-pairs.
+    "s_semdedup" -> ((s, dir) => {
+      Similarity.semdedup(
+        Similarity.assignNearest(quantizedOf(s, dir), coarseOf(s, dir)),
+        minCos = 0.4)
+    }),
+
     // Embedding outlier sweep (semantic curation): distance to the own-
     // label centroid, top-3 farthest per label — the "mislabeled or
     // junk" screen run before training. Distances are EXACT integer
@@ -476,6 +490,48 @@ object SimilarityQueries extends QueryModule {
          |  FROM scored) t
          |WHERE rank <= 3""".stripMargin
     },
+    // SemDeDup: the same trained-k-means chain, then within-cluster
+    // pairwise cosine with the 4096 cluster-size cap mirrored (HAVING
+    // <= 4096 — vacuous at this SF, load-bearing at scale) and the
+    // keep-min-id drop rule.
+    "s_semdedup" -> {
+      def assignSql(cents: String): String =
+        s"""SELECT vec_id, qv, nrm2, cid FROM (
+           |  SELECT qn.vec_id AS vec_id, qn.qv AS qv, qn.nrm2 AS nrm2, $cents.cid AS cid,
+           |    row_number() OVER (PARTITION BY qn.vec_id ORDER BY
+           |      qn.nrm2 + $cents.cnrm2 - 2 * list_dot_product(qn.qv, $cents.cq) ASC,
+           |      $cents.cid ASC) AS rn
+           |  FROM qn CROSS JOIN $cents) t WHERE rn = 1""".stripMargin
+      def updateSql(assigned: String, comp: String, cv: String, out: String): String =
+        s"""$comp AS (
+           |  SELECT cid, CAST(i AS INT) AS i, qv[CAST(i+1 AS INT)] AS c
+           |  FROM $assigned CROSS JOIN range(64) ii(i)),
+           |$cv AS (
+           |  SELECT cid, i, CAST(floor(CAST(sum(c) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+           |  FROM $comp GROUP BY 1, 2),
+           |$out AS (
+           |  SELECT cid, cq, list_dot_product(cq, cq) AS cnrm2 FROM (
+           |    SELECT cid, list(cv ORDER BY i) AS cq FROM $cv GROUP BY 1) t)""".stripMargin
+      s"""WITH $quantSql,
+         |i0 AS (
+         |  SELECT CAST(vec_id AS INT) AS cid, qv AS cq, list_dot_product(qv, qv) AS cnrm2
+         |  FROM qn WHERE vec_id < 8),
+         |a1 AS (${assignSql("i0")}),
+         |${updateSql("a1", "c1comp", "c1v", "i1")},
+         |a2 AS (${assignSql("i1")}),
+         |${updateSql("a2", "c2comp", "c2v", "i2")},
+         |assign AS (${assignSql("i2")}),
+         |ok AS (SELECT cid FROM assign GROUP BY cid HAVING count(*) <= 4096),
+         |pairs AS (
+         |  SELECT a.cid AS cid, a.vec_id AS doc_a, b.vec_id AS doc_b,
+         |    CAST(list_dot_product(a.qv, b.qv) AS DOUBLE)
+         |      / (sqrt(CAST(a.nrm2 AS DOUBLE)) * sqrt(CAST(b.nrm2 AS DOUBLE))) AS cos
+         |  FROM assign a JOIN ok USING (cid)
+         |  JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+         |SELECT cid, doc_b AS vec_id, min(doc_a) AS dup_of, max(cos) AS max_cos
+         |FROM pairs WHERE cos >= 0.4 GROUP BY 1, 2""".stripMargin
+    },
+
     // The incremental index's frozen-quantizer contract in SQL: k-means
     // trains on the FIRST batch only (vec_id < 200), the whole corpus is
     // assigned with those centroids, probing is unchanged — the batch

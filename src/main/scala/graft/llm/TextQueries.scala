@@ -62,6 +62,23 @@ object TextQueries extends QueryModule {
         .agg(min(col("doc_id")).as("canonical"), count(lit(1)).as("n_dupes"))
     }),
 
+    // Cross-source duplication matrix — the pipeline-observability
+    // report behind "which feeds re-crawl each other": for every
+    // source pair, how many normalized fingerprints they share. The
+    // (source, fp) distinct runs FIRST so the join counts content
+    // overlap, not doc-pair blowup, and the fp equi-join is
+    // inverted-index shaped: a fingerprint held by k sources emits
+    // k·(k−1)/2 rows — bounded by the source count, never the corpus.
+    "d_source_overlap" -> ((s, dir) => {
+      val sf = Tables.documents(s, dir)
+        .select(col("source"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .distinct()
+      val a = sf.select(col("fp"), col("source").as("src_a"))
+      val b = sf.select(col("fp"), col("source").as("src_b"))
+      a.join(b, "fp").filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+    }),
+
     // Deterministic stratified sampling — the dataset-curation
     // downsample: an md5 hash gate keeps ~20% of each language stratum
     // with NO random state, so any engine, cluster size, or re-run
@@ -140,6 +157,13 @@ object TextQueries extends QueryModule {
     "d_exact_dedup" ->
       """SELECT md5(text) AS h, min(doc_id) AS canonical, count(*) AS n_dupes
         |FROM documents GROUP BY 1""".stripMargin,
+    "d_source_overlap" ->
+      """WITH sf AS (
+        |  SELECT DISTINCT source, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents)
+        |SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM sf a JOIN sf b ON a.fp = b.fp AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin,
     "t_stratified_sample" ->
       """SELECT doc_id, lang,
         |  CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS g
