@@ -62,6 +62,20 @@ object SimilarityQueries extends QueryModule {
       }
       idx
     })
+  /** Incremental-SemDeDup state cache: same 3-batch id-ordered build
+    * as the incremental IVF (quantizer trained on the FIRST batch and
+    * frozen), drops accumulate under <dir>/drops. */
+  private val sddCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def semdedupStreamOf(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    sddCache.computeIfAbsent(dir, d => {
+      val q = quantizedOf(s, d)
+      val idx = java.nio.file.Files.createTempDirectory("graft-sdds-").toString
+      Seq((0L, 200L), (200L, 350L), (350L, Long.MaxValue)).foreach { case (lo, hi) =>
+        graft.streaming.StreamIndex.semdedupBatch(
+          q.filter(col("vec_id") >= lo && col("vec_id") < hi), idx, minCos = 0.4)
+      }
+      idx
+    })
   private def deleteIdx(path: String): Unit = {
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
@@ -175,6 +189,18 @@ object SimilarityQueries extends QueryModule {
       val queries = q.filter(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("q").as("qa"), col("nrm2").as("na"))
       graft.streaming.StreamIndex.search(s, idx, queries, nprobe = 2, topK = 3)
+    }),
+
+    // Incremental SemDeDup: the corpus arrives in three id-ordered
+    // batches; each batch's docs drop against every EARLIER doc of
+    // their (frozen-quantizer) cluster — state probed through the
+    // partition-pruned touched-cell read only. Greedy arrival-order =
+    // the batch rule under monotone ids, so the accumulated drop set
+    // equals the one-shot batch answer the oracle computes with the
+    // same first-batch-trained centroids.
+    "s_semdedup_stream" -> ((s, dir) => {
+      val idx = semdedupStreamOf(s, dir)
+      s.read.parquet(s"$idx/drops").distinct() // replayed appends collapse (X2)
     }),
 
     // Product-quantization ANN (ADC): 4 subspaces × 8 codes trained with
@@ -490,6 +516,50 @@ object SimilarityQueries extends QueryModule {
          |  FROM scored) t
          |WHERE rank <= 3""".stripMargin
     },
+    // Incremental SemDeDup's endstate contract in SQL: k-means trains
+    // on the FIRST batch only (vec_id < 200, matching the frozen
+    // quantizer), the whole corpus is assigned with those centroids,
+    // and the drop rule is the batch rule — which greedy arrival-order
+    // processing must (and does) reproduce under monotone ids.
+    "s_semdedup_stream" -> {
+      def assignSql(src: String, cents: String): String =
+        s"""SELECT vec_id, qv, nrm2, cid FROM (
+           |  SELECT $src.vec_id AS vec_id, $src.qv AS qv, $src.nrm2 AS nrm2, $cents.cid AS cid,
+           |    row_number() OVER (PARTITION BY $src.vec_id ORDER BY
+           |      $src.nrm2 + $cents.cnrm2 - 2 * list_dot_product($src.qv, $cents.cq) ASC,
+           |      $cents.cid ASC) AS rn
+           |  FROM $src CROSS JOIN $cents) t WHERE rn = 1""".stripMargin
+      def updateSql(assigned: String, comp: String, cv: String, out: String): String =
+        s"""$comp AS (
+           |  SELECT cid, CAST(i AS INT) AS i, qv[CAST(i+1 AS INT)] AS c
+           |  FROM $assigned CROSS JOIN range(64) ii(i)),
+           |$cv AS (
+           |  SELECT cid, i, CAST(floor(CAST(sum(c) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+           |  FROM $comp GROUP BY 1, 2),
+           |$out AS (
+           |  SELECT cid, cq, list_dot_product(cq, cq) AS cnrm2 FROM (
+           |    SELECT cid, list(cv ORDER BY i) AS cq FROM $cv GROUP BY 1) t)""".stripMargin
+      s"""WITH $quantSql,
+         |tr AS (SELECT * FROM qn WHERE vec_id < 200),
+         |i0 AS (
+         |  SELECT CAST(vec_id AS INT) AS cid, qv AS cq, list_dot_product(qv, qv) AS cnrm2
+         |  FROM qn WHERE vec_id < 8),
+         |a1 AS (${assignSql("tr", "i0")}),
+         |${updateSql("a1", "c1comp", "c1v", "i1")},
+         |a2 AS (${assignSql("tr", "i1")}),
+         |${updateSql("a2", "c2comp", "c2v", "i2")},
+         |assign AS (${assignSql("qn", "i2")}),
+         |ok AS (SELECT cid FROM assign GROUP BY cid HAVING count(*) <= 4096),
+         |pairs AS (
+         |  SELECT a.cid AS cid, a.vec_id AS doc_a, b.vec_id AS doc_b,
+         |    CAST(list_dot_product(a.qv, b.qv) AS DOUBLE)
+         |      / (sqrt(CAST(a.nrm2 AS DOUBLE)) * sqrt(CAST(b.nrm2 AS DOUBLE))) AS cos
+         |  FROM assign a JOIN ok USING (cid)
+         |  JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+         |SELECT cid, doc_b AS vec_id, min(doc_a) AS dup_of, max(cos) AS max_cos
+         |FROM pairs WHERE cos >= 0.4 GROUP BY 1, 2""".stripMargin
+    },
+
     // SemDeDup: the same trained-k-means chain, then within-cluster
     // pairwise cosine with the 4096 cluster-size cap mirrored (HAVING
     // <= 4096 — vacuous at this SF, load-bearing at scale) and the

@@ -82,6 +82,78 @@ object StreamIndex {
       .write.mode("append").partitionBy("cid").parquet(s"$dir/lists")
   }
 
+  /** Incremental SemDeDup over the same index layout — the semantic-
+    * dedup twin of [[processBatch]]: per batch, a document DROPS iff
+    * an EARLIER document (persisted state, or a smaller id in this
+    * batch) of its cluster sits at cosine ≥ `minCos`. With monotone
+    * arrival ids this greedy rule IS the batch rule (∃ a < b
+    * in-cluster above τ): the predicate is a pure per-pair function of
+    * frozen-quantizer assignments, so batch ≡ incremental for any
+    * id-ordered split — no retroactive cluster merges to chase (the
+    * contrast with CC canonicalization that makes SemDeDup the
+    * maintainable semantics online).
+    *
+    * State stays the FULL arrived corpus (drops are REPORTED, not
+    * removed): the comparison set is "every earlier doc", so a dropped
+    * doc still suppresses its own later duplicates, exactly like the
+    * batch form. The batch-vs-state comparison reads ONLY the batch's
+    * touched cells via partition pruning — per-batch cost tracks the
+    * batch, not the corpus. The `maxCluster` flood guard evaluates on
+    * the combined state ∪ batch population of each touched cluster
+    * (prefix-exact, same corpus-wide-cap caveat as StreamCuration's
+    * combined-index cap). Drops append to `dir/drops`; a replayed
+    * batch re-derives identical rows, collapsing under the reader's
+    * `distinct()` (X2). */
+  def semdedupBatch(batch: DataFrame, dir: String, minCos: Double,
+                    maxCluster: Int = 4096,
+                    k: Int = K, iters: Int = Iters): DataFrame = {
+    val s = batch.sparkSession
+    import s.implicits._
+    val centPath = new Path(s"$dir/centroids")
+    val fs = fsOf(s, centPath)
+    val cents =
+      if (fs.exists(centPath)) s.read.parquet(centPath.toString)
+      else {
+        val trained = Similarity.ivfKmeansCentroids(batch, k, iters)
+          .collect().map(r => (r.getInt(0), r.getSeq[Long](1), r.getLong(2)))
+          .toSeq.toDF("cid", "cq", "cnrm2")
+        trained.write.mode("overwrite").parquet(centPath.toString)
+        trained
+      }
+    val assigned = Similarity.assignNearest(batch, cents).localCheckpoint()
+    val touched = assigned.select("cid").distinct()
+      .collect().map(_.getInt(0)).sorted // config-scale: ≤ k cell ids
+    val listsPath = new Path(s"$dir/lists")
+    val state =
+      if (fsOf(s, listsPath).exists(listsPath))
+        s.read.parquet(listsPath.toString)
+          // partition-pruned to the touched cells (string keys by
+          // session contract — prune on strings, cast after)
+          .filter(col("cid").isin(touched.map(_.toString): _*))
+          .withColumn("cid", col("cid").cast("int"))
+          .distinct() // replayed appends collapse (X2)
+          .select(col("cid"), col("vec_id"), col("q"), col("nrm2"))
+      else assigned.limit(0).select("cid", "vec_id", "q", "nrm2")
+    val combined = state.unionByName(assigned.select("cid", "vec_id", "q", "nrm2"))
+    val hot = combined.groupBy("cid").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxCluster).select("cid")
+    val aSide = combined.join(hot, Seq("cid"), "left_anti")
+      .select(col("cid"), col("vec_id").as("doc_a"),
+        col("q").as("qa"), col("nrm2").as("na"))
+    val bSide = assigned.join(hot, Seq("cid"), "left_anti")
+      .select(col("cid"), col("vec_id").as("doc_b"),
+        col("q").as("qb"), col("nrm2").as("nb"))
+    val drops = aSide.join(bSide, Seq("cid")).filter(col("doc_a") < col("doc_b"))
+      .withColumn("cos", expr(Similarity.cosExpr))
+      .filter(col("cos") >= minCos)
+      .groupBy(col("cid"), col("doc_b").as("vec_id"))
+      .agg(min("doc_a").as("dup_of"), max("cos").as("max_cos"))
+      .localCheckpoint()
+    drops.write.mode("append").parquet(s"$dir/drops")
+    assigned.write.mode("append").partitionBy("cid").parquet(s"$dir/lists")
+    drops
+  }
+
   /** Top-k cosine search against the accumulated index. `queries` is
     * `(qid, qa, na)`; returns `(qid, vec_id, cos, rank)` — the same
     * contract (and the same probe → prune → score → window plan) as the
