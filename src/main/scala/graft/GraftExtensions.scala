@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{Haversine, SpanHashWindows, TileMaskedStats, TileStatsPartial}
+import graft.functions.{Haversine, QDotProduct, SpanHashWindows, TileMaskedStats, TileStatsPartial}
 
 /** Deployment-grade wiring for the engine's native expressions:
   * `--conf spark.sql.extensions=graft.GraftExtensions` makes
@@ -42,5 +42,7 @@ object GraftExtensions {
     ("tile_masked_stats", "tile_masked_stats(tile, mask) - masked tile stats",
       exprs => TileMaskedStats(exprs(0), exprs(1))),
     ("span_hash_windows", "span_hash_windows(tokens, w) - md5 of every w-token window",
-      exprs => SpanHashWindows(exprs(0), exprs(1))))
+      exprs => SpanHashWindows(exprs(0), exprs(1))),
+    ("q_dot", "q_dot(a, b) - exact integer dot product of two quantized vectors",
+      exprs => QDotProduct(exprs(0), exprs(1))))
 }

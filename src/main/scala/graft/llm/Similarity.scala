@@ -25,7 +25,7 @@ object Similarity {
 
   /** Exact quantized cosine between columns qa/qb with norms na/nb. */
   val cosExpr =
-    "CAST(aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v) AS DOUBLE)" +
+    "CAST(q_dot(qa, qb) AS DOUBLE)" +
       " / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))"
 
   /** IVF coarse quantizer: per-partition centroids as floor-quantized
@@ -91,7 +91,7 @@ object Similarity {
                  nprobe: Int): DataFrame = {
     val probe = queries.crossJoin(broadcast(cents))
       .withColumn("ccos",
-        expr("CAST(aggregate(zip_with(qa, cq, (x, y) -> x * y), 0L, (acc, v) -> acc + v) AS DOUBLE)" +
+        expr("CAST(q_dot(qa, cq) AS DOUBLE)" +
           " / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(cnrm2 AS DOUBLE)))"))
     val wc = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col(cellCol).asc)
     probe.withColumn("crank", row_number().over(wc))
@@ -125,8 +125,7 @@ object Similarity {
       .sortBy(_._1)
     require(cl.nonEmpty, "no centroids")
     val dists = cl.map { case (cid, cq, cn) =>
-      val dot = expr(s"aggregate(zip_with(q, array(${cq.mkString("L,")}L), " +
-        "(x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+      val dot = expr(s"q_dot(q, array(${cq.mkString("L,")}L))")
       struct((col("nrm2") + cn - lit(2L) * dot).as("dist"), lit(cid).as("cid"))
     }
     // array_min's lexicographic struct ordering = (dist asc, cid asc),

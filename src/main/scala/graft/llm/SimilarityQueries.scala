@@ -220,7 +220,7 @@ object SimilarityQueries extends QueryModule {
         .select(col("vec_id").as("qid"), col("m"), col("sv"), col("snrm2"))
         .join(broadcast(cents), Seq("m"))
         .withColumn("d2", col("snrm2") + col("cnrm2") - lit(2L) *
-          expr("aggregate(zip_with(sv, cq, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+          expr("q_dot(sv, cq)"))
         .select("qid", "m", "cid", "d2")
       val adc = codes.join(broadcast(lut), Seq("m", "cid"))
         .filter(col("vec_id") =!= col("qid"))
@@ -246,7 +246,7 @@ object SimilarityQueries extends QueryModule {
         .select(col("vec_id").as("qid"), col("m"), col("sv"), col("snrm2"))
         .join(broadcast(cents), Seq("m"))
         .withColumn("d2", col("snrm2") + col("cnrm2") - lit(2L) *
-          expr("aggregate(zip_with(sv, cq, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+          expr("q_dot(sv, cq)"))
         .select("qid", "m", "cid", "d2")
       val wd = Window.partitionBy(col("qid")).orderBy(col("adist2").asc, col("vec_id").asc)
       val cand = codes.join(broadcast(lut), Seq("m", "cid"))
@@ -284,7 +284,7 @@ object SimilarityQueries extends QueryModule {
         .select(col("vec_id").as("qid"), col("q").as("qa"), col("nrm2").as("na"))
       val probe = queries.crossJoin(broadcast(coarse))
         .withColumn("ccos",
-          expr("CAST(aggregate(zip_with(qa, cq, (x, y) -> x * y), 0L, (acc, v) -> acc + v) AS DOUBLE)" +
+          expr("CAST(q_dot(qa, cq) AS DOUBLE)" +
             " / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(cnrm2 AS DOUBLE)))"))
       val wc = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cid").asc)
       val probed = probe.withColumn("crank", row_number().over(wc))
@@ -293,7 +293,7 @@ object SimilarityQueries extends QueryModule {
         .select(col("vec_id").as("qid"), col("m"), col("sv"), col("snrm2"))
         .join(broadcast(cb), Seq("m"))
         .withColumn("d2", col("snrm2") + col("cnrm2") - lit(2L) *
-          expr("aggregate(zip_with(sv, cq, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+          expr("q_dot(sv, cq)"))
         .select("qid", "m", "cid", "d2")
       codes.join(cells, Seq("vec_id"))
         .join(broadcast(probed), Seq("cell"))
@@ -327,7 +327,7 @@ object SimilarityQueries extends QueryModule {
         .select(col("vec_id").as("qid"), col("q").as("qa"), col("nrm2").as("na"))
       val probe = queries.crossJoin(broadcast(coarse))
         .withColumn("ccos",
-          expr("CAST(aggregate(zip_with(qa, cq, (x, y) -> x * y), 0L, (acc, v) -> acc + v) AS DOUBLE)" +
+          expr("CAST(q_dot(qa, cq) AS DOUBLE)" +
             " / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(cnrm2 AS DOUBLE)))"))
       val wc = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cid").asc)
       val probed = probe.withColumn("crank", row_number().over(wc))
@@ -342,7 +342,7 @@ object SimilarityQueries extends QueryModule {
         .withColumn("snrm2", expr("aggregate(sv, 0L, (acc, v) -> acc + v * v)"))
       val lut = qsub.join(broadcast(rcb), Seq("m"))
         .withColumn("d2", col("snrm2") + col("cnrm2") - lit(2L) *
-          expr("aggregate(zip_with(sv, cq, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+          expr("q_dot(sv, cq)"))
         .select("qid", "cell", "m", "cid", "d2")
       codes.join(broadcast(lut), Seq("cell", "m", "cid"))
         .filter(col("vec_id") =!= col("qid"))
@@ -391,7 +391,7 @@ object SimilarityQueries extends QueryModule {
       val cents = Similarity.ivfCentroids(q, "label")
       val scored = q.join(broadcast(cents), Seq("label"))
         .withColumn("dot",
-          expr("aggregate(zip_with(q, cq, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+          expr("q_dot(q, cq)"))
         .withColumn("dist2", col("nrm2") + col("cnrm2") - lit(2L) * col("dot"))
       val w = Window.partitionBy(col("label")).orderBy(col("dist2").desc, col("vec_id").asc)
       scored.withColumn("rank", row_number().over(w))

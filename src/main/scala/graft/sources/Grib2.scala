@@ -359,6 +359,16 @@ object Grib2 {
             forecastHours = u32(o + 13).toInt
           case 5 =>
             tmpl5 = u16(o + 4)
+            // 5.40 needs a JPEG2000 codestream decoder (EBCOT/MQ-coder
+            // + 5/3 DWT — a codec, not a grid format); the engine
+            // quarantines instead (ingestDirQuarantine dead-letters
+            // with this reason). TRANSCODE RECIPE for an ingest-side
+            // fixup, matching how the reference's eccodes path would
+            // emit simple packing (formats/grib.py:122-230):
+            //   grib_set -r -s packingType=grid_simple in.grib2 out.grib2
+            // (ecCodes; or wgrib2 in.grib2 -set_grib_type simple
+            // -grib_out out.grib2) — lossless for the quantized values,
+            // output decodes here via template 5.0.
             require(tmpl5 != 40,
               "packing template 5.40 (JPEG2000) not supported — re-encode with 5.0/5.2/5.3/5.41")
             require(Set(0, 2, 3, 41).contains(tmpl5), s"unsupported packing template 5.$tmpl5")
