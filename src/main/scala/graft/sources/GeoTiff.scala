@@ -5,9 +5,9 @@ import java.util.zip.{Deflater, Inflater}
 
 /** Self-contained GeoTIFF codec covering the shapes the reference
   * platform actually produces and consumes: strip- OR tile-organized,
-  * uncompressed or deflate-compressed with predictor 1/2/3, one or
-  * many bands (chunky and planar layouts), uint8/int16/uint16/int32/
-  * float32 samples, II/MM byte order, with the two GeoTIFF
+  * uncompressed, LZW- or deflate-compressed with predictor 1/2/3, one
+  * or many bands (chunky and planar layouts), uint8/int16/uint16/
+  * int32/float32 samples, II/MM byte order, with the two GeoTIFF
   * georeferencing tags (ModelPixelScale + ModelTiepoint) the reference
   * relies on for bounds/affine recovery (formats/geotiff.py:37-373,
   * formats/base.py:40-82) and GDAL's ASCII nodata tag.
@@ -175,7 +175,10 @@ object GeoTiff {
                tileSize: Int = 256, dtype: String = "float32",
                nodata: Option[Double] = None,
                planar: Boolean = false,
-               overviewLevels: Int = 0): Array[Byte] = {
+               overviewLevels: Int = 0,
+               compression: Int = 8): Array[Byte] = {
+    require(Set(1, 5, 8).contains(compression),
+      s"compression $compression not supported (1 none, 5 LZW, 8 deflate)")
     val s = bands.size
     require(s >= 1, "at least one band")
     require(bands.forall(_.length == width * height), "band size mismatch")
@@ -246,7 +249,12 @@ object GeoTiff {
             else if (fmt == 3) 0f else fill.toFloat
           encodeValue(raw, v)
         }
-        deflate(applyPredictor(raw.array(), predictor, rowSamples, bps, fmt, stride))
+        val pred = applyPredictor(raw.array(), predictor, rowSamples, bps, fmt, stride)
+        compression match {
+          case 1 => pred
+          case 5 => lzwEncode(pred)
+          case 8 => deflate(pred)
+        }
       }
     }
     val pageTiles = pages.map(tilesFor)
@@ -284,7 +292,7 @@ object GeoTiff {
         Entry(TAG_WIDTH, 3, 1, Some(pg.w.toLong), None),
         Entry(TAG_HEIGHT, 3, 1, Some(pg.h.toLong), None),
         arr(TAG_BITS, 3, shorts(Seq.fill(s)(bits)), s),
-        Entry(TAG_COMPRESSION, 3, 1, Some(8L), None), // deflate
+        Entry(TAG_COMPRESSION, 3, 1, Some(compression.toLong), None),
         Entry(TAG_PHOTOMETRIC, 3, 1, Some(1L), None),
         Entry(TAG_SAMPLES_PER_PIXEL, 3, 1, Some(s.toLong), None),
         Entry(TAG_PLANAR_CONFIG, 3, 1, Some(if (planar) 2L else 1L), None),
@@ -356,6 +364,111 @@ object GeoTiff {
       }
     }
     out.array()
+  }
+
+  // ---- TIFF LZW (spec §13): MSB-first codes, 9→12 bits with the
+  // "early change" width bump one code early, Clear=256, EOI=257,
+  // table entries from 258. The other compression real-world GeoTIFFs
+  // arrive in (older GDAL defaults, USGS archives); predictors apply
+  // before compression exactly as with deflate. ----------------------
+
+  private val LzwClear = 256
+  private val LzwEoi = 257
+
+  private[sources] def lzwEncode(raw: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    var bitBuf = 0L; var bitCnt = 0
+    var width = 9
+    def put(code: Int): Unit = {
+      bitBuf = (bitBuf << width) | code
+      bitCnt += width
+      while (bitCnt >= 8) { out.write(((bitBuf >> (bitCnt - 8)) & 0xff).toInt); bitCnt -= 8 }
+    }
+    // dictionary: string → code, keyed as (prefixCode << 8 | byte)
+    var dict = new java.util.HashMap[Int, Integer]()
+    var next = 258
+    put(LzwClear)
+    var prev = -1 // current prefix CODE (every 1-byte string is its literal code)
+    var i = 0
+    while (i < raw.length) {
+      val b = raw(i) & 0xff
+      if (prev < 0) prev = b
+      else {
+        val key = (prev << 8) | b
+        val hit = dict.get(key)
+        if (hit != null) prev = hit.intValue()
+        else {
+          put(prev)
+          dict.put(key, Integer.valueOf(next))
+          next += 1
+          // early change: width grows when the NEXT code would not fit
+          // at the current width minus one slot (TIFF's off-by-one)
+          if (next == (1 << width) - 1 && width < 12) width += 1
+          else if (next == 4094) { // table full: reset
+            put(LzwClear)
+            dict = new java.util.HashMap[Int, Integer]()
+            next = 258; width = 9
+          }
+          prev = b
+        }
+      }
+      i += 1
+    }
+    if (prev >= 0) put(prev)
+    put(LzwEoi)
+    if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  private[sources] def lzwDecode(comp: Array[Byte], expected: Int): Array[Byte] = {
+    val out = new Array[Byte](expected)
+    var at = 0
+    var bitBuf = 0L; var bitCnt = 0; var pos = 0
+    var width = 9
+    def read(): Int = {
+      while (bitCnt < width) {
+        if (pos >= comp.length) return LzwEoi
+        bitBuf = (bitBuf << 8) | (comp(pos) & 0xff); pos += 1; bitCnt += 8
+      }
+      val code = ((bitBuf >> (bitCnt - width)) & ((1 << width) - 1)).toInt
+      bitCnt -= width
+      code
+    }
+    // table of byte strings; slots 0-255 literals, 258+ built entries
+    val table = new Array[Array[Byte]](4096)
+    var next = 258
+    var prev: Array[Byte] = null
+    var done = false
+    while (!done) {
+      val code = read()
+      if (code == LzwEoi) done = true
+      else if (code == LzwClear) {
+        java.util.Arrays.fill(table.asInstanceOf[Array[AnyRef]], 258, 4096, null)
+        next = 258; width = 9; prev = null
+      } else {
+        val cur: Array[Byte] =
+          if (code < 256) Array(code.toByte)
+          else if (code < next && table(code) != null) table(code)
+          else if (code == next && prev != null) prev :+ prev(0) // KwKwK case
+          else throw new IllegalArgumentException(s"bad LZW code $code (next=$next)")
+        System.arraycopy(cur, 0, out, at, math.min(cur.length, expected - at))
+        at += cur.length
+        if (prev != null && next < 4096) {
+          table(next) = prev :+ cur(0)
+          next += 1
+          // one entry EARLIER than the encoder's bump: the decoder's
+          // table additions lag the encoder's by exactly one code (the
+          // first code after Clear adds nothing), so syncing the width
+          // change needs the threshold shifted by one — the TIFF
+          // "early change" pairing
+          if (next == (1 << width) - 2 && width < 12) width += 1
+        }
+        prev = cur
+        if (at >= expected) done = true
+      }
+    }
+    require(at >= expected, s"LZW stream ended at $at of $expected bytes")
+    out
   }
 
   private def deflate(raw: Array[Byte]): Array[Byte] = {
@@ -644,8 +757,8 @@ object GeoTiff {
         nodata = d0.nodata.orElse(base.nodata))
     require(band >= 1 && band <= d.spp,
       s"band $band not in file (has ${d.spp})")
-    require(d.compression == 1 || d.compression == 8 || d.compression == 32946,
-      s"unsupported compression ${d.compression} (none/deflate only)")
+    require(Set(1, 5, 8, 32946).contains(d.compression),
+      s"unsupported compression ${d.compression} (none/LZW/deflate only)")
     require(Set((8, 1), (16, 1), (16, 2), (32, 2), (32, 3)).contains((d.bits, d.fmt)) ||
       (d.bits == 8 && d.fmt == 2),
       s"unsupported sample type: ${d.bits}-bit format ${d.fmt}")
@@ -679,9 +792,11 @@ object GeoTiff {
       val expect = rows * rowSamples * bps
       val off = d.chunkOffs(planeBase + ci).toInt
       val len = d.chunkBytes(planeBase + ci).toInt
-      val raw0 =
-        if (d.compression == 1) java.util.Arrays.copyOfRange(bytes, off, off + expect)
-        else inflate(java.util.Arrays.copyOfRange(bytes, off, off + len), expect)
+      val raw0 = d.compression match {
+        case 1 => java.util.Arrays.copyOfRange(bytes, off, off + expect)
+        case 5 => lzwDecode(java.util.Arrays.copyOfRange(bytes, off, off + len), expect)
+        case _ => inflate(java.util.Arrays.copyOfRange(bytes, off, off + len), expect)
+      }
       val raw = undoPredictor(raw0, d.predictor, rowSamples, bps, d.fmt,
         stride, d.order)
       val rb = ByteBuffer.wrap(raw).order(d.order)

@@ -135,6 +135,29 @@ class GeoTiffSpec extends SparkSpec {
       assert(GeoTiff.readBand(bytes, b).data.sameElements(bands(b - 1)))
   }
 
+  test("LZW compression round-trips (predictor 3 float32 and predictor 2 int16)") {
+    val w = 150; val h = 90
+    val f = Array.tabulate(w * h) { i =>
+      if (i % 89 == 3) Float.NaN else (i / w) * 0.5f + (i % 11) * 0.125f
+    }
+    val fb = GeoTiff.writeCog(Seq(f), w, h, -5.0, 55.0, 0.2, 0.2,
+      tileSize = 64, compression = 5)
+    assert(fb.length < w * h * 4, "LZW should compress the gradient")
+    assert(GeoTiff.read(fb).data.zip(f).forall { case (a, b) =>
+      (a.isNaN && b.isNaN) || a == b })
+    val iv = Array.tabulate(w * h)(i => ((i * 31) % 1999 - 999).toFloat)
+    val ib = GeoTiff.writeCog(Seq(iv), w, h, 0.0, 0.0, 1.0, 1.0,
+      tileSize = 64, dtype = "int16", nodata = Some(-32768.0), compression = 5)
+    assert(GeoTiff.read(ib).data.sameElements(iv))
+    // a stream long enough to force the 10-, 11- and 12-bit code
+    // widths plus a mid-stream table reset exercises the early-change
+    // logic on both sides
+    val noisy = Array.tabulate(60000)(i =>
+      (((i * 2654435761L) >>> 7) % 251).toByte)
+    val dec = GeoTiff.lzwDecode(GeoTiff.lzwEncode(noisy), noisy.length)
+    assert(dec.sameElements(noisy), "raw LZW kernel round-trip")
+  }
+
   test("COG overview pyramid: chained IFDs, NaN-aware average decimation, derived georef") {
     val w = 64; val h = 48
     // quadrant-constant field with one all-NaN 2×2 block and one
