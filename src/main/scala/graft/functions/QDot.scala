@@ -41,8 +41,13 @@ case class QDotProduct(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      s"""Object r = graft.functions.QDotProduct.dot($a, $b);
-         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Long) r).longValue(); }
+      // fresh name per call site: k q_dot expressions can share ONE
+      // codegen scope (assignNearest's array_min over k centroids), and
+      // a fixed local would redefine -> janino error -> silent
+      // interpreted fallback of exactly this hot kernel
+      val r = ctx.freshName("qdot")
+      s"""Object $r = graft.functions.QDotProduct.dot($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Long) $r).longValue(); }
          |""".stripMargin
     })
 

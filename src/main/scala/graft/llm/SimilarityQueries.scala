@@ -87,12 +87,15 @@ object SimilarityQueries extends QueryModule {
     Seq(qCache, coarseCache, pqCbCache, residCbCache)
       .foreach(graft.model.FrameCache.evict(_, dir))
     Option(idxCache.remove(dir)).foreach(deleteIdx)
+    Option(sddCache.remove(dir)).foreach(deleteIdx)
   }
   override def clearCaches(): Unit = {
     Seq(qCache, coarseCache, pqCbCache, residCbCache)
       .foreach(graft.model.FrameCache.clear)
     idxCache.values().forEach(deleteIdx(_))
     idxCache.clear()
+    sddCache.values().forEach(deleteIdx(_))
+    sddCache.clear()
   }
 
   private val quantSql =

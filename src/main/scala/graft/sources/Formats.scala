@@ -91,7 +91,7 @@ object Formats {
   def ingestDir(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val bin = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.{tif,tiff,grib2,nc}").load(dir)
+      .option("pathGlobFilter", "*.{tif,tiff,grib2,grb2,grib,nc}").load(dir)
       .select(col("path"), col("content"))
     val pixels = bin.as[(String, Array[Byte])].mapPartitions { it =>
       it.flatMap { case (path, bytes) =>
@@ -133,7 +133,7 @@ object Formats {
   def ingestDirQuarantine(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import spark.implicits._
     val bin = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.{tif,tiff,grib2,nc}").load(dir)
+      .option("pathGlobFilter", "*.{tif,tiff,grib2,grb2,grib,nc}").load(dir)
       .select(col("path"), col("content"))
     // one row per pixel with err = null, or ONE row per failed granule
     // with err = reason (pixel columns null)

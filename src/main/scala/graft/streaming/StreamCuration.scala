@@ -319,31 +319,88 @@ object StreamCuration {
     * key. wm (one row per batch) stays plain parquet. */
   private val BucketedState = Seq("fps", "spans", "bands", "docs")
 
+  /** DDL columns (in order — inserts are POSITIONAL) and bucket keys
+    * per state set. */
+  private def tableShape(name: String): (Seq[(String, String)], Seq[String]) = name match {
+    case "fps"   => (Seq("fp" -> "STRING"), Seq("fp"))
+    case "spans" => (Seq("h" -> "STRING"), Seq("h"))
+    case "bands" => (Seq("id" -> "BIGINT", "band" -> "INT", "key" -> "STRING"), Seq("band", "key"))
+    case "docs"  => (Seq("doc_id" -> "BIGINT", "text" -> "STRING"), Seq("doc_id"))
+    case other   => sys.error(s"no bucketed state table for '$other'")
+  }
+
   private def stateTableDdl(table: String, name: String, location: String): String = {
-    val (schema, keys) = name match {
-      case "fps"   => ("fp STRING", "fp")
-      case "spans" => ("h STRING", "h")
-      case "bands" => ("id BIGINT, band INT, key STRING", "band, key")
-      case "docs"  => ("doc_id BIGINT, text STRING", "doc_id")
-      case other   => sys.error(s"no bucketed state table for '$other'")
-    }
-    s"""CREATE TABLE IF NOT EXISTS $table ($schema) USING PARQUET
-       |CLUSTERED BY ($keys) INTO $StateBuckets BUCKETS
+    val (cols, keys) = tableShape(name)
+    s"""CREATE TABLE IF NOT EXISTS $table (${cols.map(c => s"${c._1} ${c._2}").mkString(", ")}) USING PARQUET
+       |CLUSTERED BY (${keys.mkString(", ")}) INTO $StateBuckets BUCKETS
        |LOCATION '$location'""".stripMargin
   }
 
-  /** Idempotently register the bucketed state tables for `dir`.
+  /** Idempotently register the bucketed state tables for `dir`,
+    * healing two non-happy paths first:
+    *
+    *  - a compaction (or migration) interrupted between its two swap
+    *    renames leaves the live location missing/empty with the intact
+    *    pre-swap state under `.<name>.old` — restore it (the old
+    *    content is semantically identical: same rows, more files). A
+    *    leftover `.old` NEXT TO a populated location means the swap
+    *    completed and only the cleanup was lost — drop it.
+    *  - state written by the pre-bucketed engine (plain parquet
+    *    appends, file names without the `_NNNNN` bucket-id suffix)
+    *    would make every bucketed scan throw "Invalid bucket file" —
+    *    detect it and rewrite ONCE through the bucketed table (the
+    *    same swap discipline as compaction).
+    *
     * Returns table name by state-set name. */
   def ensureStateTables(s: SparkSession, dir: String): Map[String, String] =
     BucketedState.map { name =>
+      val p = new org.apache.hadoop.fs.Path(part(dir, name))
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val old = new org.apache.hadoop.fs.Path(part(dir, s".$name.old"))
+      if (fs.exists(old)) {
+        if (!fs.exists(p) || fs.listStatus(p).isEmpty) {
+          fs.delete(p, true)
+          require(fs.rename(old, p), s"state crash-recovery rename failed for $name")
+        } else fs.delete(old, true)
+      }
       // pre-create the location so reading a never-written table lists
       // an empty dir instead of logging FileNotFound on every load
-      val p = new org.apache.hadoop.fs.Path(part(dir, name))
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).mkdirs(p)
+      fs.mkdirs(p)
       val t = tableId(dir, name)
       s.sql(stateTableDdl(t, name, part(dir, name)))
+      val unbucketed = fs.listStatus(p).map(_.getPath.getName)
+        .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
+        .filterNot(n => "_\\d{5}\\.".r.findFirstIn(n).isDefined)
+      if (unbucketed.nonEmpty) migrateToBucketed(s, dir, name, t, p, fs)
       name -> t
     }.toMap
+
+  /** One-time rewrite of a plain-parquet state dir into its bucketed
+    * table (write-to-temp + two-rename swap; [[ensureStateTables]]'
+    * recovery covers a crash between the renames). */
+  private def migrateToBucketed(s: SparkSession, dir: String, name: String,
+                                t: String,
+                                p: org.apache.hadoop.fs.Path,
+                                fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    val (cols, keys) = tableShape(name)
+    val tmpT = t + "_migrate"
+    val tmpLoc = part(dir, s".$name.migrate")
+    val tmp = new org.apache.hadoop.fs.Path(tmpLoc)
+    s.sql(s"DROP TABLE IF EXISTS $tmpT")
+    fs.delete(tmp, true); fs.mkdirs(tmp)
+    s.sql(stateTableDdl(tmpT, name, tmpLoc))
+    s.read.parquet(p.toString).distinct()
+      .select(cols.map(c => col(c._1)): _*) // positional insert order
+      .repartition(StateBuckets, keys.map(col): _*)
+      .write.mode("append").insertInto(tmpT)
+    s.sql(s"DROP TABLE IF EXISTS $tmpT")
+    val old = new org.apache.hadoop.fs.Path(part(dir, s".$name.old"))
+    fs.delete(old, true)
+    require(fs.rename(p, old) && fs.rename(tmp, p),
+      s"state migration rename failed for $name")
+    fs.delete(old, true)
+    s.catalog.refreshTable(t)
+  }
 
   /** Bloom sidecar sizing. All blooms MUST share these parameters so
     * per-batch filters merge into the accumulated one (~12 MB at 10⁷

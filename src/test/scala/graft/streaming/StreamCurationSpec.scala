@@ -238,6 +238,50 @@ class StreamCurationSpec extends SparkSpec {
       "replaying a batch against post-batch state must keep nothing (all docs are now 'earlier')")
   }
 
+  test("interrupted compaction swap heals on next load; pre-bucketed plain-parquet state migrates") {
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-cur-heal-").toString
+    val (_, delta) = StreamCuration.processBatch(docs, StreamCuration.emptyState(spark))
+    StreamCuration.saveDeltas(delta, stateDir)
+    def counts() = {
+      val st = StreamCuration.loadState(spark, stateDir)
+      (st.fps.count(), st.spans.count(), st.bands.count(), st.docs.count())
+    }
+    val healthy = counts()
+
+    // crash window: compaction renamed the live dir aside but died
+    // before renaming the compacted temp in — the live location is
+    // GONE and .spans.old holds the intact pre-compaction state
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$stateDir/spans")
+    val aside = new org.apache.hadoop.fs.Path(s"$stateDir/.spans.old")
+    require(fs.rename(live, aside), "test setup rename failed")
+    spark.catalog.refreshTable(
+      StreamCuration.ensureStateTables(spark, stateDir)("spans"))
+    assert(counts() == healthy,
+      "load after an interrupted compaction swap must restore the pre-swap state")
+    assert(!fs.exists(aside), "recovery should consume the .old directory")
+
+    // migration: rewrite docs state as the PRE-BUCKETED engine wrote it
+    // (plain parquet appends, no bucket-id file suffix) — the bucketed
+    // scan would refuse these files; ensureStateTables must migrate
+    val docsState = spark.read.parquet(s"$stateDir/docs")
+      .select("doc_id", "text").collect()
+    fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/docs"), true)
+    import spark.implicits._
+    docsState.map(r => (r.getLong(0), r.getString(1))).toSeq
+      .toDF("doc_id", "text").coalesce(2)
+      .write.mode("append").parquet(s"$stateDir/docs")
+    spark.catalog.refreshTable(
+      StreamCuration.ensureStateTables(spark, stateDir)("docs"))
+    assert(counts() == healthy, "plain-parquet state must migrate losslessly")
+    // and the migrated files now carry bucket ids
+    val migrated = fs.listStatus(new org.apache.hadoop.fs.Path(s"$stateDir/docs"))
+      .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+    assert(migrated.nonEmpty && migrated.forall(n => "_\\d{5}\\.".r.findFirstIn(n).isDefined),
+      s"migrated files must be bucketed: ${migrated.take(3).mkString(",")}")
+  }
+
   test("a missing bloom sidecar over existing state heals, and the healed bloom still drops pre-sidecar duplicates") {
     val ids = docs.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
     val (c1, c2, maxId) = (ids(ids.length / 3), ids(2 * ids.length / 3), ids.last)
