@@ -240,6 +240,18 @@ object DedupQueries extends QueryModule {
       Dedup.canonicalize(
         lshVerifiedOf(s, dir).filter(col("jacc") >= 0.5).select("doc_a", "doc_b"), 3)),
 
+    // Cluster-size distribution over the near-dup components — the
+    // dedup observability report ("how big are my duplicate
+    // families"): a heavy tail here means template floods that belong
+    // upstream in exact dedup, a flat histogram means genuine pairwise
+    // near-dups. Two small aggregates on top of the canonical labels;
+    // nothing new shuffles at corpus scale.
+    "d_cluster_sizes" -> ((s, dir) =>
+      Dedup.canonicalize(
+          lshVerifiedOf(s, dir).filter(col("jacc") >= 0.5).select("doc_a", "doc_b"), 3)
+        .groupBy("canonical").agg(count(lit(1)).as("n_members"))
+        .groupBy("n_members").agg(count(lit(1)).as("n_clusters"))),
+
     // End-to-end dedup decision: cluster the verified near-dups, then
     // keep each cluster's HIGHEST-QUALITY member (t_quality_score's
     // formula) instead of the arbitrary min-id — the last step of a
@@ -462,6 +474,39 @@ object DedupQueries extends QueryModule {
          |r3 AS (SELECT h.id AS id, n.canonical AS canonical
          |       FROM h3 h JOIN h3 n ON n.id = h.canonical)
          |SELECT id, canonical FROM r3""".stripMargin,
+    "d_cluster_sizes" ->
+      s"""WITH $shinglesCte,
+         |$lshInterCte,
+         |pairs AS MATERIALIZED (
+         |  SELECT doc_a, doc_b
+         |  FROM inter JOIN sizes ca ON ca.id = doc_a JOIN sizes cb ON cb.id = doc_b
+         |  WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.5),
+         |edges AS MATERIALIZED (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |l0 AS (SELECT DISTINCT u AS id, u AS canonical FROM edges),
+         |h1 AS MATERIALIZED (
+         |  SELECT l.id, least(l.canonical, coalesce(min(n.canonical), l.canonical)) AS canonical
+         |  FROM l0 l LEFT JOIN edges e ON e.u = l.id LEFT JOIN l0 n ON n.id = e.v
+         |  GROUP BY l.id, l.canonical),
+         |r1 AS MATERIALIZED (SELECT h.id AS id, n.canonical AS canonical
+         |       FROM h1 h JOIN h1 n ON n.id = h.canonical),
+         |h2 AS MATERIALIZED (
+         |  SELECT l.id, least(l.canonical, coalesce(min(n.canonical), l.canonical)) AS canonical
+         |  FROM r1 l LEFT JOIN edges e ON e.u = l.id LEFT JOIN r1 n ON n.id = e.v
+         |  GROUP BY l.id, l.canonical),
+         |r2 AS MATERIALIZED (SELECT h.id AS id, n.canonical AS canonical
+         |       FROM h2 h JOIN h2 n ON n.id = h.canonical),
+         |h3 AS MATERIALIZED (
+         |  SELECT l.id, least(l.canonical, coalesce(min(n.canonical), l.canonical)) AS canonical
+         |  FROM r2 l LEFT JOIN edges e ON e.u = l.id LEFT JOIN r2 n ON n.id = e.v
+         |  GROUP BY l.id, l.canonical),
+         |r3 AS (SELECT h.id AS id, n.canonical AS canonical
+         |       FROM h3 h JOIN h3 n ON n.id = h.canonical)
+         |SELECT n_members, CAST(count(*) AS BIGINT) AS n_clusters FROM (
+         |  SELECT canonical, CAST(count(*) AS BIGINT) AS n_members
+         |  FROM r3 GROUP BY 1) t
+         |GROUP BY 1""".stripMargin,
     "d_dedup_keep_best" ->
       s"""WITH $shinglesCte,
          |$lshInterCte,
