@@ -29,6 +29,18 @@ object DedupQueries extends QueryModule {
       Dedup.pairJaccard(cands, sh).cache()
     })
 
+  /** Shared canonical labels (id, canonical) over the verified
+    * near-dup pairs — three queries consume the SAME pointer-jumped
+    * component labels (d_dedup_canonical, d_dedup_keep_best,
+    * d_cluster_sizes); without sharing, each re-paid the 3-round
+    * checkpointed loop per invocation. The train-once-serve-many
+    * pattern of the caches above. */
+  private val canonCache = new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+  private def canonOf(s: org.apache.spark.sql.SparkSession, dir: String) =
+    canonCache.computeIfAbsent(dir, d =>
+      Dedup.canonicalize(
+        lshVerifiedOf(s, d).filter(col("jacc") >= 0.5).select("doc_a", "doc_b"), 3).cache())
+
   /** Shared distinct word-bigram index (id, s) — consumed by
     * t_ngram_freq and t_bigram_commonness (previously each call re-built
     * and re-cached its own copy, leaking storage). */
@@ -106,10 +118,10 @@ object DedupQueries extends QueryModule {
     })
 
   override def evictCaches(dir: String): Unit =
-    Seq(shCache, lshPairsCache, sh2Cache, pairsCache, cappedCache, cappedIcoldCache)
+    Seq(shCache, lshPairsCache, canonCache, sh2Cache, pairsCache, cappedCache, cappedIcoldCache)
       .foreach(graft.model.FrameCache.evict(_, dir))
   override def clearCaches(): Unit =
-    Seq(shCache, lshPairsCache, sh2Cache, pairsCache, cappedCache, cappedIcoldCache)
+    Seq(shCache, lshPairsCache, canonCache, sh2Cache, pairsCache, cappedCache, cappedIcoldCache)
       .foreach(graft.model.FrameCache.clear)
 
   /** Shared oracle CTEs: words → distinct 3-gram shingles → set sizes. */
@@ -236,9 +248,7 @@ object DedupQueries extends QueryModule {
     // Cluster canonicalization: verified near-dup pairs → connected
     // components → keep-minimum-id representative (the "which copy do we
     // keep" step of a dedup pipeline).
-    "d_dedup_canonical" -> ((s, dir) =>
-      Dedup.canonicalize(
-        lshVerifiedOf(s, dir).filter(col("jacc") >= 0.5).select("doc_a", "doc_b"), 3)),
+    "d_dedup_canonical" -> ((s, dir) => canonOf(s, dir)),
 
     // Cluster-size distribution over the near-dup components — the
     // dedup observability report ("how big are my duplicate
@@ -247,8 +257,7 @@ object DedupQueries extends QueryModule {
     // near-dups. Two small aggregates on top of the canonical labels;
     // nothing new shuffles at corpus scale.
     "d_cluster_sizes" -> ((s, dir) =>
-      Dedup.canonicalize(
-          lshVerifiedOf(s, dir).filter(col("jacc") >= 0.5).select("doc_a", "doc_b"), 3)
+      canonOf(s, dir)
         .groupBy("canonical").agg(count(lit(1)).as("n_members"))
         .groupBy("n_members").agg(count(lit(1)).as("n_clusters"))),
 
@@ -258,8 +267,7 @@ object DedupQueries extends QueryModule {
     // real dedup pipeline, composing the LSH sweep, connected
     // components, and the quality screen in one verified query.
     "d_dedup_keep_best" -> ((s, dir) => {
-      val canon = Dedup.canonicalize(
-        lshVerifiedOf(s, dir).filter(col("jacc") >= 0.5).select("doc_a", "doc_b"), 3)
+      val canon = canonOf(s, dir)
       val q = Tables.documents(s, dir).select(col("doc_id").as("id"),
         TextAnalysis.qualityScore(col("text")).as("quality"))
       val w = org.apache.spark.sql.expressions.Window
