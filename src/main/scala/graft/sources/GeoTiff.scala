@@ -176,7 +176,8 @@ object GeoTiff {
                nodata: Option[Double] = None,
                planar: Boolean = false,
                overviewLevels: Int = 0,
-               compression: Int = 8): Array[Byte] = {
+               compression: Int = 8,
+               stripped: Boolean = false): Array[Byte] = {
     require(Set(1, 5, 8).contains(compression),
       s"compression $compression not supported (1 none, 5 LZW, 8 deflate)")
     val s = bands.size
@@ -230,6 +231,14 @@ object GeoTiff {
         Page(dec.map(_._1), dec.head._2, dec.head._3, overview = true)
       }
 
+    def pack(raw: Array[Byte], rowSamples: Int): Array[Byte] = {
+      val pred = applyPredictor(raw, predictor, rowSamples, bps, fmt, stride)
+      compression match {
+        case 1 => pred
+        case 5 => lzwEncode(pred)
+        case 8 => deflate(pred)
+      }
+    }
     // one compressed payload per (plane, tileRow, tileCol); edge tiles
     // are FULL size with fill padding, per the TIFF tiling model
     def tilesFor(pg: Page): IndexedSeq[Array[Byte]] = {
@@ -249,15 +258,27 @@ object GeoTiff {
             else if (fmt == 3) 0f else fill.toFloat
           encodeValue(raw, v)
         }
-        val pred = applyPredictor(raw.array(), predictor, rowSamples, bps, fmt, stride)
-        compression match {
-          case 1 => pred
-          case 5 => lzwEncode(pred)
-          case 8 => deflate(pred)
-        }
+        pack(raw.array(), rowSamples)
       }
     }
-    val pageTiles = pages.map(tilesFor)
+    // STRIP organization — GDAL's default for small rasters: chunks of
+    // `tileSize` full-width rows, the LAST strip short (strips are not
+    // padded, unlike tiles)
+    def stripsFor(pg: Page): IndexedSeq[Array[Byte]] = {
+      val sd = (pg.h + tileSize - 1) / tileSize
+      for (p <- 0 until planes; sy <- 0 until sd) yield {
+        val rows = math.min(tileSize, pg.h - sy * tileSize)
+        val rowSamples = pg.w * chans
+        val raw = ByteBuffer.allocate(rows * rowSamples * bps)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        for (yy <- 0 until rows; x <- 0 until pg.w; c <- 0 until chans) {
+          val band = if (planar) p else c
+          encodeValue(raw, pg.bands(band)((sy * tileSize + yy) * pg.w + x))
+        }
+        pack(raw.array(), rowSamples)
+      }
+    }
+    val pageTiles = pages.map(pg => if (stripped) stripsFor(pg) else tilesFor(pg))
 
     // IFD assembly: tags ascending, out-of-line arrays right after
     // each IFD, tile payloads at the tail with overview data FIRST
@@ -296,19 +317,30 @@ object GeoTiff {
         Entry(TAG_PHOTOMETRIC, 3, 1, Some(1L), None),
         Entry(TAG_SAMPLES_PER_PIXEL, 3, 1, Some(s.toLong), None),
         Entry(TAG_PLANAR_CONFIG, 3, 1, Some(if (planar) 2L else 1L), None),
-        Entry(TAG_PREDICTOR, 3, 1, Some(predictor.toLong), None),
+        Entry(TAG_PREDICTOR, 3, 1, Some(predictor.toLong), None)) ++
+      (if (stripped) Seq(
+        Entry(TAG_STRIP_OFFSETS, 4, nTiles,
+          if (nTiles == 1) Some(0L) else None,
+          if (nTiles == 1) None else Some(longs(Seq.fill(nTiles)(0L)))),
+        Entry(TAG_ROWS_PER_STRIP, 3, 1, Some(tileSize.toLong), None),
+        arr(TAG_STRIP_BYTES, 4, longs(tiles.map(_.length.toLong)), nTiles))
+      else Seq(
         Entry(TAG_TILE_WIDTH, 3, 1, Some(tileSize.toLong), None),
         Entry(TAG_TILE_LENGTH, 3, 1, Some(tileSize.toLong), None),
         arr(TAG_TILE_OFFSETS, 4, longs(Seq.fill(nTiles)(0L)), nTiles),
-        arr(TAG_TILE_BYTES, 4, longs(tiles.map(_.length.toLong)), nTiles),
-        arr(TAG_SAMPLE_FORMAT, 3, shorts(Seq.fill(s)(fmt)), s)) ++
+        arr(TAG_TILE_BYTES, 4, longs(tiles.map(_.length.toLong)), nTiles))) ++
+      Seq(arr(TAG_SAMPLE_FORMAT, 3, shorts(Seq.fill(s)(fmt)), s)) ++
       (if (pg.overview) Nil else Seq( // georeferencing on the base image
         arr(TAG_PIXEL_SCALE, 12, doubles(Seq(px, py, 0.0)), 3),
         arr(TAG_TIEPOINT, 12, doubles(Seq(0, 0, 0, west, north, 0)), 6))) ++
       nodataAscii.map(nd =>
         arr(TAG_GDAL_NODATA, 2, nd.getBytes("US-ASCII"), nd.length))
     }
-    val pageEntries = pages.zip(pageTiles).map { case (pg, t) => entriesFor(pg, t) }
+    // TIFF requires ascending tag ids; sorting here keeps the builder
+    // free to group entries logically (strip ids interleave with the
+    // sample-layout ids: 273 < 277 < 278-279 < 284)
+    val pageEntries = pages.zip(pageTiles).map { case (pg, t) =>
+      entriesFor(pg, t).sortBy(_.id) }
 
     // layout pass: [header][IFD+payload block per page][tile data]
     var at = 8
@@ -334,7 +366,7 @@ object GeoTiff {
     val patched = pageEntries.zipWithIndex.map { case (entries, pi) =>
       val tileOffs = pageTileOffs(pi)
       entries.map { e =>
-        if (e.id != TAG_TILE_OFFSETS) e
+        if (e.id != TAG_TILE_OFFSETS && e.id != TAG_STRIP_OFFSETS) e
         else if (tileOffs.size == 1) e.copy(inline = Some(tileOffs(0).toLong))
         else e.copy(payload = Some(longs(tileOffs.map(_.toLong))))
       }

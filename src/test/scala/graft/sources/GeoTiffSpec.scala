@@ -158,6 +158,30 @@ class GeoTiffSpec extends SparkSpec {
     assert(dec.sameElements(noisy), "raw LZW kernel round-trip")
   }
 
+  test("stripped organization (GDAL's small-raster default): deflate and LZW, short last strip") {
+    // 100×37 with rowsPerStrip 8 → 5 strips, the last short (5 rows) —
+    // strips are NOT padded, unlike tiles
+    val w = 100; val h = 37
+    val data = Array.tabulate(w * h) { i =>
+      if (i % 71 == 9) Float.NaN else (i / w) * 0.25f + (i % 13) * 0.5f
+    }
+    for (comp <- Seq(1, 5, 8)) {
+      val bytes = GeoTiff.writeCog(Seq(data), w, h, -20.0, 30.0, 0.5, 0.5,
+        tileSize = 8, compression = comp, stripped = true)
+      val back = GeoTiff.read(bytes)
+      assert(back.width == w && back.height == h, s"comp=$comp dims")
+      assert(back.west == -20.0 && back.north == 30.0)
+      assert(back.data.zip(data).forall { case (a, b) =>
+        (a.isNaN && b.isNaN) || a == b }, s"comp=$comp pixels")
+    }
+    // multi-band chunky strips decode per band too
+    val bands = Seq.tabulate(2)(b => Array.tabulate(w * h)(i => (b * 10000 + i).toFloat))
+    val mb = GeoTiff.writeCog(bands, w, h, 0.0, 0.0, 1.0, 1.0,
+      tileSize = 16, stripped = true)
+    for (b <- 1 to 2)
+      assert(GeoTiff.readBand(mb, b).data.sameElements(bands(b - 1)), s"band $b")
+  }
+
   test("COG overview pyramid: chained IFDs, NaN-aware average decimation, derived georef") {
     val w = 64; val h = 48
     // quadrant-constant field with one all-NaN 2×2 block and one
