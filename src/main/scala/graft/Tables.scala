@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided parquet tables (TESTDATA.md).
   *
@@ -18,14 +18,20 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "region")
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    * reader rejects; sessions set spark.sql.legacy.parquet.nanosAsLong so
-    * it arrives as epoch-nanos LongType, converted here to a micros
-    * timestamp (the data is microsecond-exact; DIV keeps 64-bit math). */
+  /** `events.ts` arrives in whatever parquet encoding the generator
+    * used — seen in the wild as TIMESTAMP(NANOS) (arrives as epoch-nanos
+    * LongType under spark.sql.legacy.parquet.nanosAsLong) and as
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) (arrives as
+    * TIMESTAMP_NTZ). Normalize both to a session-TZ TimestampType so
+    * every downstream query sees ONE type: the session is pinned UTC
+    * (Sessions.build), so the NTZ→TZ relabel shifts no wall-clock
+    * instant, and ANSI casts (timestamp→long in the sessionize window)
+    * stay legal. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val df = read(spark, dir, "events")
     df.schema("ts").dataType match {
       case LongType => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df
     }
   }
