@@ -325,6 +325,32 @@ object GridQueries extends QueryModule {
       Regrid.probeResample(Grid.fromLineitem(s, dir), probes)
     }),
 
+    // F14 — regrid onto the DATUM-TRUE CONUS Lambert-conformal-conic
+    // target (the NCEP HRRR/NAM family on WGS84: standard parallels
+    // 33/45°N, origin 39°N 96°W) — completes the conformal side of the
+    // ellipsoidal conic pair (Albers_ell is the equal-area side).
+    "f14_regrid_lcc_ell" -> ((s, dir) => {
+      val probes = probesOf(s, "f14_regrid_lcc_ell")(Regrid.reprojectProbesGeneric(s, Grid.W, Grid.H,
+        srcWest = -180.0, srcNorth = 90.0, pxDeg = Grid.PX, pyDeg = Grid.PY,
+        tgtW = 25, tgtH = 15,
+        mw = -2400000.0, mn = 1600000.0, pxm = 200000.0, pym = 200000.0,
+        inv = graft.ops.Geo.invLambertConformalConicEll(33.0, 45.0, 39.0, -96.0)))
+      Regrid.probeResample(Grid.fromLineitem(s, dir), probes)
+    }),
+
+    // F14 — regrid onto a DATUM-TRUE transverse-Mercator target (UTM
+    // zone 33N geometry: central meridian 15°E, k0 = 0.9996, WGS84
+    // series inverse) — the last of the ellipsoidal upgrades; every
+    // spherical projection in the suite now has its datum-true twin.
+    "f14_regrid_tm_ell" -> ((s, dir) => {
+      val probes = probesOf(s, "f14_regrid_tm_ell")(Regrid.reprojectProbesGeneric(s, Grid.W, Grid.H,
+        srcWest = -180.0, srcNorth = 90.0, pxDeg = Grid.PX, pyDeg = Grid.PY,
+        tgtW = 25, tgtH = 15,
+        mw = -2000000.0, mn = 6000000.0, pxm = 160000.0, pym = 200000.0,
+        inv = graft.ops.Geo.invTransverseMercatorEll(15.0)))
+      Regrid.probeResample(Grid.fromLineitem(s, dir), probes)
+    }),
+
     // F14 — regrid, average: 2× coarsen, mean of valid source pixels per
     // target cell (rasterio 'average' NaN-aware semantics).
     "f14_regrid_average" -> ((s, dir) => {
@@ -713,6 +739,16 @@ object GridQueries extends QueryModule {
         -180.0, 90.0, Grid.PX, Grid.PY, 24, 15,
         -2400000.0, 3200000.0, 200000.0, 200000.0,
         graft.ops.Geo.invAlbersEqualAreaEll(29.5, 45.5, 23.0, -96.0))),
+    "f14_regrid_lcc_ell" -> probeValuesOracle(
+      Regrid.reprojectProbesLocal(Grid.W, Grid.H,
+        -180.0, 90.0, Grid.PX, Grid.PY, 25, 15,
+        -2400000.0, 1600000.0, 200000.0, 200000.0,
+        graft.ops.Geo.invLambertConformalConicEll(33.0, 45.0, 39.0, -96.0))),
+    "f14_regrid_tm_ell" -> probeValuesOracle(
+      Regrid.reprojectProbesLocal(Grid.W, Grid.H,
+        -180.0, 90.0, Grid.PX, Grid.PY, 25, 15,
+        -2000000.0, 6000000.0, 160000.0, 200000.0,
+        graft.ops.Geo.invTransverseMercatorEll(15.0))),
     "f14_regrid_cubic" -> withCtes(
       s""", tgt AS (
          |  SELECT CAST(yy.r AS INT) AS yt, CAST(xx.r AS INT) AS xt,

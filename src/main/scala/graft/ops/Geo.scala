@@ -178,6 +178,97 @@ object Geo {
     (lon, math.toDegrees(phi))
   }
 
+  /** Inverse ELLIPSOIDAL (WGS84) Lambert conformal conic — the
+    * datum-true form of [[invLambertConformalConic]] and the actual
+    * projection behind the NCEP CONUS grids (e.g. grid 227 / the HRRR
+    * family), which the reference warps through rasterio/PROJ
+    * (geoprocessing/regrid.py:23-70). Snyder 1987 eq. 15-1..15-11:
+    * t(φ) (eq. 15-9) and m(φ) (eq. 14-15) build the cone constant n
+    * (eq. 15-8), F (eq. 15-10) and rho0 (eq. 15-7a); the inverse
+    * recovers t from rho (eq. 15-11) and iterates eq. 7-9 to the
+    * geodetic latitude, fixed at 8 rounds for bit-determinism (the
+    * same iteration as [[invEllipsoidalMercator]] /
+    * [[invPolarStereographicEll]]). South-parallel cones (n < 0) flip
+    * the atan2 arguments like the spherical form. */
+  def invLambertConformalConicEll(lat1Deg: Double, lat2Deg: Double,
+                                  lat0Deg: Double, lon0Deg: Double)
+                                 (x: Double, y: Double): (Double, Double) = {
+    val e = WGS84E
+    def tOf(phi: Double) = {
+      val s = e * math.sin(phi)
+      math.tan(math.Pi / 4 - phi / 2) / math.pow((1 - s) / (1 + s), e / 2)
+    }
+    def mOf(phi: Double) = {
+      val s = math.sin(phi)
+      math.cos(phi) / math.sqrt(1 - e * e * s * s)
+    }
+    val phi1 = math.toRadians(lat1Deg); val phi2 = math.toRadians(lat2Deg)
+    val n =
+      if (lat1Deg == lat2Deg) math.sin(phi1)
+      else math.log(mOf(phi1) / mOf(phi2)) / math.log(tOf(phi1) / tOf(phi2))
+    // symmetric parallels degenerate the cone to a cylinder (ellipsoidal
+    // Mercator) — a different projection, not a limit this inverse takes
+    require(n != 0.0,
+      s"LCC standard parallels must not be symmetric about the equator: $lat1Deg, $lat2Deg")
+    val bigF = mOf(phi1) / (n * math.pow(tOf(phi1), n))
+    val rho0 = EarthR * bigF * math.pow(tOf(math.toRadians(lat0Deg)), n)
+    val rho = math.signum(n) * math.sqrt(x * x + (rho0 - y) * (rho0 - y))
+    val theta =
+      if (n >= 0) math.atan2(x, rho0 - y)
+      else math.atan2(-x, y - rho0)
+    val ts = math.pow(rho / (EarthR * bigF), 1.0 / n)
+    var phi = math.Pi / 2 - 2 * math.atan(ts)
+    var i = 0
+    while (i < 8) {
+      val con = e * math.sin(phi)
+      phi = math.Pi / 2 - 2 * math.atan(ts * math.pow((1 - con) / (1 + con), e / 2))
+      i += 1
+    }
+    (wrapLon(lon0Deg + math.toDegrees(theta / n)), math.toDegrees(phi))
+  }
+
+  /** Inverse ELLIPSOIDAL (WGS84) transverse Mercator — the UTM-family
+    * datum-true form of [[invTransverseMercator]] (Snyder 1987 eq.
+    * 8-9..8-25, the series inverse every UTM zone uses; reference warp
+    * path geoprocessing/regrid.py:23-70). `k0` defaults to UTM's
+    * 0.9996; x is the easting from the central meridian (no false
+    * easting), y the northing from the equator. The footpoint latitude
+    * comes from the rectifying-latitude series (eq. 3-26/7-19) — a
+    * closed series, no iteration, bit-deterministic by construction. */
+  def invTransverseMercatorEll(lon0Deg: Double, k0: Double = 0.9996)
+                              (x: Double, y: Double): (Double, Double) = {
+    val e2 = WGS84E * WGS84E
+    val e4 = e2 * e2; val e6 = e4 * e2
+    val ep2 = e2 / (1 - e2) // second eccentricity squared
+    // rectifying latitude mu from the meridional arc M = y / k0 (eq. 7-19)
+    val m = y / k0
+    val mu = m / (EarthR * (1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256))
+    val e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
+    // footpoint latitude phi1 (eq. 3-26)
+    val phi1 = mu +
+      (3 * e1 / 2 - 27 * math.pow(e1, 3) / 32) * math.sin(2 * mu) +
+      (21 * e1 * e1 / 16 - 55 * math.pow(e1, 4) / 32) * math.sin(4 * mu) +
+      (151 * math.pow(e1, 3) / 96) * math.sin(6 * mu) +
+      (1097 * math.pow(e1, 4) / 512) * math.sin(8 * mu)
+    val sin1 = math.sin(phi1); val cos1 = math.cos(phi1); val tan1 = math.tan(phi1)
+    val c1 = ep2 * cos1 * cos1
+    val t1 = tan1 * tan1
+    val n1 = EarthR / math.sqrt(1 - e2 * sin1 * sin1)
+    val r1 = EarthR * (1 - e2) / math.pow(1 - e2 * sin1 * sin1, 1.5)
+    val d = x / (n1 * k0)
+    val d2 = d * d
+    // eq. 8-17 / 8-18
+    val lat = phi1 - (n1 * tan1 / r1) * (d2 / 2 -
+      (5 + 3 * t1 + 10 * c1 - 4 * c1 * c1 - 9 * ep2) * d2 * d2 / 24 +
+      (61 + 90 * t1 + 298 * c1 + 45 * t1 * t1 - 252 * ep2 - 3 * c1 * c1) *
+        d2 * d2 * d2 / 720)
+    val lon = math.toRadians(lon0Deg) + (d -
+      (1 + 2 * t1 + c1) * d2 * d / 6 +
+      (5 - 2 * c1 + 28 * t1 - 3 * c1 * c1 + 8 * ep2 + 24 * t1 * t1) *
+        d2 * d2 * d / 120) / cos1
+    (wrapLon(math.toDegrees(lon)), math.toDegrees(lat))
+  }
+
   /** Inverse ELLIPSOIDAL (WGS84) Albers equal-area conic — datum-true
     * CONUS analysis grids (EPSG:5070's family). Snyder 1987: q (eq.
     * 3-12) and m (eq. 14-15) build the cone constant n (eq. 14-14),

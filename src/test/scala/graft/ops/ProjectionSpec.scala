@@ -149,6 +149,95 @@ class ProjectionSpec extends AnyFunSuite {
       s"spherical inverse should visibly disagree on an ellipsoidal point, got $latSph")
   }
 
+  test("inverse ELLIPSOIDAL LCC round-trips the forward projection") {
+    val (lat1, lat2, lat0, lon0) = (33.0, 45.0, 39.0, -96.0)
+    val e = Geo.WGS84E
+    def tOf(latDeg: Double) = {
+      val phi = math.toRadians(latDeg); val s = e * math.sin(phi)
+      math.tan(math.Pi / 4 - phi / 2) / math.pow((1 - s) / (1 + s), e / 2)
+    }
+    def mOf(latDeg: Double) = {
+      val phi = math.toRadians(latDeg); val s = math.sin(phi)
+      math.cos(phi) / math.sqrt(1 - e * e * s * s)
+    }
+    // Snyder eq. 15-8/15-10/15-7a forward
+    val n = math.log(mOf(lat1) / mOf(lat2)) / math.log(tOf(lat1) / tOf(lat2))
+    val bigF = mOf(lat1) / (n * math.pow(tOf(lat1), n))
+    val rho0 = R * bigF * math.pow(tOf(lat0), n)
+    def fwd(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val rho = R * bigF * math.pow(tOf(latDeg), n)
+      val theta = math.toRadians(n * (lonDeg - lon0))
+      (rho * math.sin(theta), rho0 - rho * math.cos(theta))
+    }
+    val inv = Geo.invLambertConformalConicEll(lat1, lat2, lat0, lon0) _
+    for (lon <- Seq(-125.0, -96.0, -70.5); lat <- Seq(25.0, 39.0, 52.5)) {
+      val (x, y) = fwd(lon, lat)
+      val (lonB, latB) = inv(x, y)
+      assert(math.abs(lonB - lon) < tol && math.abs(latB - lat) < tol,
+        s"ellipsoidal LCC round-trip drifted: ($lon,$lat) -> ($x,$y) -> ($lonB,$latB)")
+    }
+    // datum correction visible vs the spherical inverse on the same
+    // point — a conformal cone PINNED at two parallels minimizes the
+    // spherical/ellipsoidal gap between them, so the disagreement at
+    // 37°N is ~0.006° (≈640 m), far above round-trip noise but an
+    // order below the polar-stereo case
+    val (x37, y37) = fwd(-96.0, 37.0)
+    val (_, latSph) = Geo.invLambertConformalConic(lat1, lat2, lat0, lon0)(x37, y37)
+    assert(math.abs(latSph - 37.0) > 0.003,
+      s"spherical inverse should visibly disagree on an ellipsoidal point, got $latSph")
+    // symmetric parallels must refuse (cone degenerates), like the others
+    assertThrows[IllegalArgumentException] {
+      Geo.invLambertConformalConicEll(-30.0, 30.0, 0.0, 0.0)(1.0, 1.0)
+    }
+  }
+
+  test("inverse ELLIPSOIDAL transverse Mercator round-trips the forward projection") {
+    val (lon0, k0) = (15.0, 0.9996)
+    val e = Geo.WGS84E; val e2 = e * e
+    val e4 = e2 * e2; val e6 = e4 * e2
+    val ep2 = e2 / (1 - e2)
+    // meridional arc (Snyder eq. 3-21)
+    def arcM(latDeg: Double) = {
+      val phi = math.toRadians(latDeg)
+      R * ((1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) * phi -
+        (3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024) * math.sin(2 * phi) +
+        (15 * e4 / 256 + 45 * e6 / 1024) * math.sin(4 * phi) -
+        (35 * e6 / 3072) * math.sin(6 * phi))
+    }
+    // Snyder eq. 8-9..8-15 forward
+    def fwd(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(latDeg)
+      val sinP = math.sin(phi); val cosP = math.cos(phi); val tanP = math.tan(phi)
+      val nBig = R / math.sqrt(1 - e2 * sinP * sinP)
+      val t = tanP * tanP
+      val c = ep2 * cosP * cosP
+      val aSmall = math.toRadians(lonDeg - lon0) * cosP
+      val x = k0 * nBig * (aSmall +
+        (1 - t + c) * math.pow(aSmall, 3) / 6 +
+        (5 - 18 * t + t * t + 72 * c - 58 * ep2) * math.pow(aSmall, 5) / 120)
+      val y = k0 * (arcM(latDeg) + nBig * tanP * (aSmall * aSmall / 2 +
+        (5 - t + 9 * c + 4 * c * c) * math.pow(aSmall, 4) / 24 +
+        (61 - 58 * t + t * t + 600 * c - 330 * ep2) * math.pow(aSmall, 6) / 720))
+      (x, y)
+    }
+    val inv = Geo.invTransverseMercatorEll(lon0, k0) _
+    // series accuracy holds within a few degrees of the central meridian
+    // (the UTM zone-width contract); 1e-9° would demand the exact Krüger
+    // form, so the tolerance here matches the series' published accuracy
+    val tolTm = 1e-7 // degrees ≈ 1 cm
+    for (lon <- Seq(12.0, 15.0, 18.0); lat <- Seq(-35.0, 0.0, 37.0, 68.5)) {
+      val (x, y) = fwd(lon, lat)
+      val (lonB, latB) = inv(x, y)
+      assert(math.abs(lonB - lon) < tolTm && math.abs(latB - lat) < tolTm,
+        s"ellipsoidal TM round-trip drifted: ($lon,$lat) -> ($x,$y) -> ($lonB,$latB)")
+    }
+    // datum + k0 corrections visible vs the spherical inverse
+    val (x37, y37) = fwd(16.0, 37.0)
+    val (_, latSph) = Geo.invTransverseMercator(lon0)(x37, y37)
+    assert(math.abs(latSph - 37.0) > 0.05,
+      s"spherical inverse should visibly disagree on an ellipsoidal point, got $latSph")
+  }
+
   test("inverse Albers equal-area round-trips the forward projection") {
     val (lat1, lat2, lat0, lon0) = (29.5, 45.5, 23.0, -96.0)
     val phi1 = math.toRadians(lat1); val phi2 = math.toRadians(lat2)
