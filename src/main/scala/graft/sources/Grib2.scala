@@ -13,7 +13,11 @@ import java.nio.ByteBuffer
   *    — the representation most operational feeds (ECMWF/NCEP) ship.
   *  - template 5.41 PNG packing (8/16-bit grayscale, 24-bit RGB,
   *    32-bit RGBA; full five-filter decode) — self-contained JVM PNG
-  *    codec, no imageio. Template 5.40 (JPEG2000) fails loudly.
+  *    codec, no imageio.
+  *  - template 5.40 JPEG2000 packing, LOSSLESS profile (reversible 5/3,
+  *    single tile/component — the eccodes jasper/openjpeg shape) via
+  *    the self-contained [[Jpeg2000]] codec; lossy (compression type 1,
+  *    irreversible 9/7) dead-letters with a transcode recipe.
   *
   * Written from the public WMO FM 92 GRIB-2 specification — no
   * eccodes/cfgrib on the JVM (the reference's decode path,
@@ -54,7 +58,7 @@ object Grib2 {
     * raster handed in is always canonical north-up. */
   def write(m: Message, decimals: Int = 2, packing: Int = 0,
             scanMode: Int = 0): Array[Byte] = {
-    require(Set(0, 2, 3, 41).contains(packing), s"unsupported packing $packing")
+    require(Set(0, 2, 3, 40, 41).contains(packing), s"unsupported packing $packing")
     require((scanMode & 0x30) == 0, "consecutive-j/boustrophedon not supported")
     val r = m.raster
     val n = r.width * r.height
@@ -126,7 +130,28 @@ object Grib2 {
     }
 
     // ---- packing-specific sections 5 + 7 ----
-    if (packing == 41) {
+    if (packing == 40) {
+      // JPEG2000 packing (template 5.40): the scaled integers become a
+      // lossless (reversible 5/3) single-component codestream — (W, H)
+      // when every point is present, (nPresent, 1) under a bitmap (the
+      // same g2lib shape convention as the PNG path below).
+      require(present.nonEmpty, "JPEG2000 packing needs at least one present point")
+      val maxX = present.max
+      val nbits = bitsFor(maxX)
+      sec(5) { b =>
+        bu32(b, n); bu16(b, 40)
+        bu32(b, java.lang.Float.floatToIntBits(ref.toFloat).toLong & 0xffffffffL)
+        bs16(b, 0); bs16(b, decimals)
+        bu8(b, nbits); bu8(b, 0)
+        bu8(b, 0)   // compression type: lossless
+        bu8(b, 255) // target compression ratio: missing (lossless)
+      }
+      writeBitmap(sec, scanData, hasNaN, bu8)
+      val (iw, ih) = if (hasNaN) (present.length, 1) else (r.width, r.height)
+      sec(7) { b =>
+        b.write(Jpeg2000.encode(present.map(_.toInt), iw, ih, nbits))
+      }
+    } else if (packing == 41) {
       // PNG packing (template 5.41): the scaled integers become a PNG
       // image — (W, H) grayscale/RGB(A) when every point is present,
       // (nPresent, 1) when a bitmap carries nodata (g2lib convention).
@@ -359,19 +384,23 @@ object Grib2 {
             forecastHours = u32(o + 13).toInt
           case 5 =>
             tmpl5 = u16(o + 4)
-            // 5.40 needs a JPEG2000 codestream decoder (EBCOT/MQ-coder
-            // + 5/3 DWT — a codec, not a grid format); the engine
-            // quarantines instead (ingestDirQuarantine dead-letters
-            // with this reason). TRANSCODE RECIPE for an ingest-side
-            // fixup, matching how the reference's eccodes path would
-            // emit simple packing (formats/grib.py:122-230):
-            //   grib_set -r -s packingType=grid_simple in.grib2 out.grib2
-            // (ecCodes; or wgrib2 in.grib2 -set_grib_type simple
-            // -grib_out out.grib2) — lossless for the quantized values,
-            // output decodes here via template 5.0.
-            require(tmpl5 != 40,
-              "packing template 5.40 (JPEG2000) not supported — re-encode with 5.0/5.2/5.3/5.41")
-            require(Set(0, 2, 3, 41).contains(tmpl5), s"unsupported packing template 5.$tmpl5")
+            require(Set(0, 2, 3, 40, 41).contains(tmpl5), s"unsupported packing template 5.$tmpl5")
+            if (tmpl5 == 40) {
+              // Only LOSSLESS (compression type 0) decodes: the stream
+              // then carries a reversible 5/3 codestream our Jpeg2000
+              // codec reads exactly. A LOSSY (type 1, irreversible 9/7)
+              // stream would decode approximate values that break the
+              // exact-integer aggregation discipline, so it dead-letters
+              // with a TRANSCODE RECIPE instead (matching the
+              // reference's eccodes path, formats/grib.py:122-230):
+              //   grib_set -r -s packingType=grid_simple in.grib2 out.grib2
+              // (or wgrib2 in.grib2 -set_grib_type simple -grib_out
+              // out.grib2), after which the file reads via template 5.0.
+              val ctype = bytes(o + 15) & 0xff
+              require(ctype == 0,
+                "lossy (irreversible 9/7) JPEG2000 packing not supported — " +
+                  "re-encode with grid_simple or lossless JPEG2000")
+            }
             refR = java.lang.Float.intBitsToFloat(u32(o + 6).toInt)
             e = s16(o + 10); d = s16(o + 12); nbits = bytes(o + 14) & 0xff
             if (tmpl5 == 2 || tmpl5 == 3) {
@@ -400,6 +429,14 @@ object Grib2 {
                 val r = new BitReader(bytes, o)
                 Array.fill(nPresent)(refR / math.pow(10, d) +
                   r.get(nbits) * math.pow(2, e) / math.pow(10, d))
+              } else if (tmpl5 == 40) {
+                val img = Jpeg2000.decode(bytes, o, len - 5)
+                require(img.samples.length == nPresent,
+                  s"JPEG2000 stream carries ${img.samples.length} samples " +
+                    s"for $nPresent present points")
+                val base = refR / math.pow(10, d)
+                val factor = math.pow(2, e) / math.pow(10, d)
+                img.samples.map(x => base + x * factor)
               } else if (tmpl5 == 41) {
                 val xs = PngCodec.decode(bytes, o)
                 require(xs.length == nPresent,

@@ -160,21 +160,53 @@ class Grib2Spec extends SparkSpec {
     assert(e.getMessage.contains("thinned"))
   }
 
-  test("JPEG2000 packing (5.40) fails loudly") {
-    val bytes = Grib2.write(sampleMessage, packing = 41)
-    // patch the section-5 template number to 40
+  test("JPEG2000 packing (5.40) round-trips with a bitmap (nPresent×1 stream)") {
+    val m = sampleMessage
+    val back = Grib2.read(Grib2.write(m, packing = 40))
+    back.raster.data.zip(m.raster.data).foreach { case (a, b) =>
+      if (b.isNaN) assert(a.isNaN)
+      else assert(math.abs(a - b) < 0.005, s"$a vs $b")
+    }
+  }
+
+  test("JPEG2000 packing (5.40) full grid compresses a smooth field") {
+    // no NaN ⇒ no bitmap ⇒ the codestream is the full W×H raster; a
+    // smooth field is where the wavelet earns its keep vs bit packing
+    val w = 60; val h = 40
+    val smooth = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      (250.0 + 12.0 * math.sin(x * 0.2) + 8.0 * math.cos(y * 0.25)).toFloat
+    }
+    val m = sampleMessage.copy(raster =
+      GeoTiff.Raster(w, h, smooth, -180.0, 90.0, 6.0, 4.5))
+    val bytes = Grib2.write(m, packing = 40)
+    val back = Grib2.read(bytes)
+    back.raster.data.zip(m.raster.data).foreach { case (a, b) =>
+      // 0.00501: D=2 quantization is ±0.005 and this field lands values
+      // exactly on the half-cent tie (240.345), where float32 noise
+      // crosses the strict bound
+      assert(math.abs(a - b) < 0.00501, s"$a vs $b")
+    }
+    assert(bytes.length < Grib2.write(m, packing = 0).length,
+      "lossless JPEG2000 should out-compress simple packing on a smooth field")
+  }
+
+  test("LOSSY JPEG2000 (5.40 compression type 1) fails loudly with the recipe") {
+    val bytes = Grib2.write(sampleMessage, packing = 40)
+    // patch the section-5 compression-type octet (template offset 15)
     def u32(b: Array[Byte], o: Int): Int =
       ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
     var pos = 16
     var patched = false
     while (pos < bytes.length - 4 && !patched) {
       val len = u32(bytes, pos); val num = bytes(pos + 4) & 0xff
-      if (num == 5) { bytes(pos + 5 + 5) = 40.toByte; patched = true }
+      if (num == 5) { bytes(pos + 5 + 15) = 1.toByte; patched = true }
       else pos += len
     }
     assert(patched)
     val e = intercept[IllegalArgumentException](Grib2.read(bytes))
-    assert(e.getMessage.contains("JPEG2000"))
+    assert(e.getMessage.contains("lossy") && e.getMessage.contains("grid_simple"),
+      s"unexpected failure message: ${e.getMessage}")
   }
 
   test("complex packing + 2nd-order spatial differencing (5.3) round-trips") {
@@ -251,26 +283,27 @@ class Grib2Spec extends SparkSpec {
     assert(df.select("time").distinct().count() == 2)
   }
 
-  test("quarantining ingest: 5.40 granules dead-letter with reason, the rest decode") {
+  test("quarantining ingest: lossy-5.40 granules dead-letter with reason, the rest decode") {
     val dir = Files.createTempDirectory("graft-quarantine-").toString
     val m = sampleMessage
     Files.write(Paths.get(s"$dir/t2m_20240101_0000.grib2"), Grib2.write(m))
-    Files.write(Paths.get(s"$dir/t2m_20240101_0600.grib2"), Grib2.write(m))
-    // a JPEG2000-packed granule: patch the section-5 template to 40
-    val bad = Grib2.write(m, packing = 41)
+    // lossless 5.40 now DECODES — it belongs with the good granules
+    Files.write(Paths.get(s"$dir/t2m_20240101_0600.grib2"), Grib2.write(m, packing = 40))
+    // a LOSSY 5.40 granule: patch the compression-type octet to 1
+    val bad = Grib2.write(m, packing = 40)
     def u32(b: Array[Byte], o: Int): Int =
       ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
     var pos = 16
     var patched = false
     while (pos < bad.length - 4 && !patched) {
       val len = u32(bad, pos); val num = bad(pos + 4) & 0xff
-      if (num == 5) { bad(pos + 5 + 5) = 40.toByte; patched = true }
+      if (num == 5) { bad(pos + 5 + 15) = 1.toByte; patched = true }
       else pos += len
     }
     assert(patched)
     Files.write(Paths.get(s"$dir/t2m_20240101_1200.grib2"), bad)
 
-    // default batch ingest still fails loudly on the 5.40 granule …
+    // default batch ingest still fails loudly on the lossy granule …
     intercept[org.apache.spark.SparkException] {
       Formats.ingestDir(spark, dir).count()
     }
@@ -282,6 +315,6 @@ class Grib2Spec extends SparkSpec {
     val dl = dead.collect()
     assert(dl.length == 1)
     assert(dl(0).getString(0) == "t2m_20240101_1200.grib2")
-    assert(dl(0).getString(1).contains("JPEG2000"))
+    assert(dl(0).getString(1).contains("lossy"))
   }
 }
