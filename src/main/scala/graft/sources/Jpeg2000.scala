@@ -788,8 +788,6 @@ object Jpeg2000 {
 
   // ---- Tier-2: codestream (Annexes A/B) ----------------------------
 
-  private final val CblkExp = 6 // 64×64 code-blocks (our encoder)
-
   /** Band geometry at one resolution in the mallat-layout frame:
     * (band id, x0, y0, width, height). */
   private def bandsAtRes(w: Int, h: Int, levels: Int, r: Int): Seq[(Int, Int, Int, Int, Int)] = {
@@ -824,10 +822,18 @@ object Jpeg2000 {
   }
 
   /** Encode `samples` (w×h raster of unsigned ints < 2^depth) as a
-    * lossless single-tile codestream. */
-  def encode(samples: Array[Int], w: Int, h: Int, depth: Int): Array[Byte] = {
+    * lossless single-tile codestream. `cbExpX`/`cbExpY` set the
+    * code-block size (default 64×64, jasper's default); `sop`/`eph`
+    * emit the optional packet markers some producers enable — both
+    * exist mainly so specs can exercise the decoder against every
+    * stream shape a foreign encoder emits. */
+  def encode(samples: Array[Int], w: Int, h: Int, depth: Int,
+             cbExpX: Int = 6, cbExpY: Int = 6,
+             sop: Boolean = false, eph: Boolean = false): Array[Byte] = {
     require(w > 0 && h > 0 && samples.length == w * h, "bad raster shape")
     require(depth >= 1 && depth <= 25, s"unsupported depth $depth")
+    require(cbExpX >= 2 && cbExpY >= 2 && cbExpX + cbExpY <= 12,
+      s"bad code-block exponents $cbExpX/$cbExpY (T.800 limit: area ≤ 4096)")
     val levels = {
       // decompose while both dims stay ≥ 2 samples at the low band,
       // capped at jasper's default of 5
@@ -865,13 +871,13 @@ object Jpeg2000 {
     // COD
     u16be(out, 0xFF52)
     u16be(out, 12)          // Lcod (no precinct sizes)
-    out += 0.toByte         // Scod: default precincts, no SOP/EPH
+    out += ((if (sop) 2 else 0) | (if (eph) 4 else 0)).toByte // Scod
     out += 0.toByte         // progression: LRCP
     u16be(out, 1)           // layers
     out += 0.toByte         // no MCT
     out += levels.toByte
-    out += (CblkExp - 2).toByte // xcb
-    out += (CblkExp - 2).toByte // ycb
+    out += (cbExpX - 2).toByte // xcb
+    out += (cbExpY - 2).toByte // ycb
     out += 0.toByte         // code-block style: default
     out += 1.toByte         // transform: 5/3 reversible
     // QCD — style 0 (no quantization), one exponent byte per subband
@@ -895,12 +901,12 @@ object Jpeg2000 {
       case class Blk(numbps: Int, seg: Array[Byte], passes: Int)
       // collect code-blocks per band, raster order
       val perBand = bands.map { case (band, bx0, by0, bw, bh) =>
-        val nbx = (bw + (1 << CblkExp) - 1) >> CblkExp
-        val nby = (bh + (1 << CblkExp) - 1) >> CblkExp
+        val nbx = (bw + (1 << cbExpX) - 1) >> cbExpX
+        val nby = (bh + (1 << cbExpY) - 1) >> cbExpY
         val blks = for (cy <- 0 until nby; cx <- 0 until nbx) yield {
-          val x0 = cx << CblkExp; val y0 = cy << CblkExp
-          val cw = math.min(1 << CblkExp, bw - x0)
-          val ch = math.min(1 << CblkExp, bh - y0)
+          val x0 = cx << cbExpX; val y0 = cy << cbExpY
+          val cw = math.min(1 << cbExpX, bw - x0)
+          val ch = math.min(1 << cbExpY, bh - y0)
           val cf = new Array[Int](cw * ch)
           var yy = 0
           while (yy < ch) {
@@ -958,7 +964,13 @@ object Jpeg2000 {
           }
         }
       }
+      if (sop) { // SOP: FF91, Lsop=4, Nsop = packet index
+        body += 0xFF.toByte; body += 0x91.toByte
+        body += 0.toByte; body += 4.toByte
+        body += ((r >> 8) & 0xFF).toByte; body += (r & 0xFF).toByte
+      }
       body ++= bw.finish()
+      if (eph) { body += 0xFF.toByte; body += 0x92.toByte }
       for ((_, _, _, blks) <- perBand; b <- blks; if b.numbps > 0) body ++= b.seg
       r += 1
     }

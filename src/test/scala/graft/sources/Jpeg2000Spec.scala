@@ -87,6 +87,21 @@ class Jpeg2000Spec extends AnyFunSuite {
       (x, y) => if (rnd.nextInt(97) == 0) 1 + rnd.nextInt(1023) else 0)
   }
 
+  test("decoder handles foreign stream shapes: small/asymmetric code-blocks, SOP/EPH") {
+    val rnd = new Random(23)
+    val w = 100; val h = 80; val depth = 10
+    val samples = Array.tabulate(w * h)(_ => rnd.nextInt(1 << depth))
+    for ((cbx, cby, sop, eph) <- Seq((4, 4, false, false), (5, 3, false, false),
+                                     (6, 6, true, false), (6, 6, false, true),
+                                     (4, 6, true, true))) {
+      val bytes = Jpeg2000.encode(samples, w, h, depth,
+        cbExpX = cbx, cbExpY = cby, sop = sop, eph = eph)
+      val img = Jpeg2000.decode(bytes, 0, bytes.length)
+      assert(img.samples.sameElements(samples),
+        s"round-trip failed for cb=2^$cbx×2^$cby sop=$sop eph=$eph")
+    }
+  }
+
   test("decoder rejects streams outside the GRIB lossless profile") {
     val samples = Array.tabulate(64)(_ % 16)
     val ok = Jpeg2000.encode(samples, 8, 8, 4)
