@@ -1,0 +1,55 @@
+package graft
+
+import graft.sources.{GeoTiff, Grib2}
+import java.nio.file.{Files, Paths}
+
+/** GRIB2 ingest soak (not part of the driver bench): writes a feed of
+  * granules in each packing the codec supports — including the new
+  * JPEG2000 template 5.40 — and measures the distributed decode rate
+  * through the SAME `Formats.ingestDir` path production uses. The
+  * point on record: a 5.40 feed parallelizes by granule exactly like
+  * the bit-packed templates (one task per file in the binaryFile
+  * chipper), so ingest scale is file count × single-core decode rate;
+  * the JPEG2000 constant is the price of reading what the feed
+  * actually ships, not a new scaling term.
+  * Run: sbt "runMain graft.SoakGrib [granules-per-packing]".
+  */
+object SoakGrib {
+  def main(args: Array[String]): Unit = {
+    val nPer = if (args.nonEmpty) args(0).toInt else 64
+    val spark = Sessions.build(
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+
+    val w = 360; val h = 181 // a 1° global grid
+    def granule(step: Int): Grib2.Message = {
+      val data = Array.tabulate(w * h) { i =>
+        val x = i % w; val y = i / w
+        if ((x + y + step) % 97 == 0) Float.NaN
+        else (250.0 + 25.0 * math.sin(x * 0.05 + step * 0.3) *
+          math.cos(y * 0.07)).toFloat
+      }
+      Grib2.Message(GeoTiff.Raster(w, h, data, -180.0, 90.5, 1.0, 1.0),
+        discipline = 0, category = 0, parameter = 0,
+        refTime = java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0),
+        forecastHours = step)
+    }
+
+    for ((packing, label) <- Seq(0 -> "simple 5.0", 3 -> "complex+diff 5.3",
+                                 40 -> "jpeg2000 5.40", 41 -> "png 5.41")) {
+      val dir = Files.createTempDirectory(s"soak-grib-$packing-").toString
+      var bytes = 0L
+      (0 until nPer).foreach { i =>
+        val b = Grib2.write(granule(i), packing = packing)
+        bytes += b.length
+        Files.write(Paths.get(f"$dir/g_$i%04d.grib2"), b)
+      }
+      val t0 = System.nanoTime()
+      val n = graft.sources.Formats.ingestDir(spark, dir).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      val px = nPer.toLong * w * h
+      println(f"[soak-grib] $label%-18s $nPer granules  ${bytes / 1024}%6d KiB  " +
+        f"$dt%6.2f s  ${nPer / dt}%6.1f granules/s  ${px / dt / 1e6}%6.1f Mpx/s  rows=$n")
+    }
+    spark.stop()
+  }
+}

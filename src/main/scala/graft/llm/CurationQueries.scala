@@ -146,6 +146,36 @@ object CurationQueries extends QueryModule {
           .as("uniform_weight"))
     }),
 
+    // PII redaction (the Dolma/FineWeb scrub step): emails, international
+    // phone numbers and IPv4 addresses replaced with typed tags, plus
+    // per-doc match counts for the redaction audit trail. Pure map-side
+    // regexp work — at 100 TB this is scan-rate bound like every other
+    // text op. The synthetic corpus carries no organic PII, so the query
+    // seeds each doc with deterministic PII derived from doc_id — the
+    // SAME seeding runs in the DuckDB oracle, so the redaction engine
+    // (not the seeding) is what the hash gate compares. Patterns stay in
+    // the Java∩RE2 dialect (classes, bounded reps, \b) so the two
+    // engines cannot diverge on regex semantics.
+    "d_pii_redact" -> ((s, dir) => {
+      val seeded = concat(col("text"),
+        lit(" contact: user"), col("doc_id").cast("string"),
+        lit("@example.com tel +120655500"),
+        lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+        lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".77"))
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phoneRe = "\\+\\d{8,15}"
+      val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      Tables.documents(s, dir).select(col("doc_id"), seeded.as("t"))
+        .select(col("doc_id"),
+          regexp_count(col("t"), lit(emailRe)).cast("long").as("n_emails"),
+          regexp_count(col("t"), lit(phoneRe)).cast("long").as("n_phones"),
+          regexp_count(col("t"), lit(ipRe)).cast("long").as("n_ips"),
+          regexp_replace(regexp_replace(regexp_replace(col("t"),
+            lit(emailRe), lit("[EMAIL]")),
+            lit(phoneRe), lit("[PHONE]")),
+            lit(ipRe), lit("[IP]")).as("redacted"))
+    }),
+
     // Vocabulary coverage / OOV-rate filter: fraction of tokens outside
     // a fixed reference vocabulary (tokenizer coverage screening). The
     // vocabulary is a broadcast-scale literal; the scan is one map-side
@@ -169,6 +199,23 @@ object CurationQueries extends QueryModule {
       |  FROM documents)""".stripMargin
 
   override def oracleSql = Map(
+    "d_pii_redact" ->
+      """WITH seeded AS (
+        |  SELECT doc_id,
+        |    text || ' contact: user' || CAST(doc_id AS VARCHAR) ||
+        |    '@example.com tel +120655500' ||
+        |    lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ||
+        |    ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.77' AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '\+\d{8,15}')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\+\d{8,15}', '[PHONE]', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS redacted
+        |FROM seeded""".stripMargin,
     "d_pipeline_e2e" ->
       """WITH fp AS (
         |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
