@@ -75,7 +75,17 @@ object Geo {
     * All angles in degrees at the interface. */
   def invLambertConformalConic(lat1Deg: Double, lat2Deg: Double,
                                lat0Deg: Double, lon0Deg: Double)
-                              (x: Double, y: Double): (Double, Double) = {
+                              (x: Double, y: Double): (Double, Double) =
+    invLambertConformalConicSph(EarthR, lat1Deg, lat2Deg, lat0Deg, lon0Deg)(x, y)
+
+  /** Radius-parameterized spherical LCC inverse — GRIB section-3
+    * Lambert grids declare their own sphere (NCEP uses 6371229 m), so
+    * the projected-grid decode path cannot hard-code the web-mercator
+    * radius the serving layer uses. */
+  def invLambertConformalConicSph(radius: Double,
+                                  lat1Deg: Double, lat2Deg: Double,
+                                  lat0Deg: Double, lon0Deg: Double)
+                                 (x: Double, y: Double): (Double, Double) = {
     val phi1 = math.toRadians(lat1Deg); val phi2 = math.toRadians(lat2Deg)
     val phi0 = math.toRadians(lat0Deg)
     def t(phi: Double) = math.tan(math.Pi / 4 + phi / 2)
@@ -87,7 +97,7 @@ object Geo {
     require(n != 0.0,
       s"LCC standard parallels must not be symmetric about the equator: $lat1Deg, $lat2Deg")
     val bigF = math.cos(phi1) * math.pow(t(phi1), n) / n
-    val rho0 = EarthR * bigF / math.pow(t(phi0), n)
+    val rho0 = radius * bigF / math.pow(t(phi0), n)
     val rho = math.signum(n) * math.sqrt(x * x + (rho0 - y) * (rho0 - y))
     // for n < 0 (south-parallel cones) the atan2 arguments flip sign
     // (Snyder 1987 p.107: reverse the signs of x, y, rho0 when n < 0)
@@ -96,8 +106,33 @@ object Geo {
       else math.atan2(-x, y - rho0)
     val lon = wrapLon(lon0Deg + math.toDegrees(theta / n))
     val lat = math.toDegrees(
-      2 * math.atan(math.pow(EarthR * bigF / rho, 1.0 / n)) - math.Pi / 2)
+      2 * math.atan(math.pow(radius * bigF / rho, 1.0 / n)) - math.Pi / 2)
     (lon, lat)
+  }
+
+  /** Forward of [[invLambertConformalConicSph]] (Snyder eq. 15-1..15-4
+    * on the declared sphere) — the GRIB 3.30 reader anchors the grid by
+    * forward-projecting the first-point (La1, Lo1). */
+  def fwdLambertConformalConicSph(radius: Double,
+                                  lat1Deg: Double, lat2Deg: Double,
+                                  lat0Deg: Double, lon0Deg: Double)
+                                 (lonDeg: Double, latDeg: Double): (Double, Double) = {
+    val phi1 = math.toRadians(lat1Deg); val phi2 = math.toRadians(lat2Deg)
+    def t(phi: Double) = math.tan(math.Pi / 4 + phi / 2)
+    val n =
+      if (lat1Deg == lat2Deg) math.sin(phi1)
+      else math.log(math.cos(phi1) / math.cos(phi2)) / math.log(t(phi2) / t(phi1))
+    require(n != 0.0,
+      s"LCC standard parallels must not be symmetric about the equator: $lat1Deg, $lat2Deg")
+    val bigF = math.cos(phi1) * math.pow(t(phi1), n) / n
+    val rho0 = radius * bigF / math.pow(t(math.toRadians(lat0Deg)), n)
+    val rho = radius * bigF / math.pow(t(math.toRadians(latDeg)), n)
+    // shortest angular difference keeps theta finite across the
+    // antimeridian (GRIB longitudes arrive 0..360)
+    val dLon = { val d = (lonDeg - lon0Deg) % 360.0
+                 if (d > 180) d - 360 else if (d < -180) d + 360 else d }
+    val theta = math.toRadians(n * dLon)
+    (rho * math.sin(theta), rho0 - rho * math.cos(theta))
   }
 
   /** WGS84 first eccentricity (e² = f(2−f), f = 1/298.257223563). */

@@ -51,6 +51,13 @@ object Formats {
       Grib2.readAll(b).map(m => m.forecastHours -> m.raster)
     override def listVariables(b: Array[Byte]): Seq[String] =
       Grib2.readAll(b).map(m => s"d${m.discipline}_c${m.category}_p${m.parameter}").distinct
+    /** Projected (Lambert 3.30) grids carry exact per-pixel lon/lat —
+      * the same non-affine hook curvilinear NetCDF uses; lat/lon grids
+      * return None and keep the affine fast path. Multi-message files
+      * share one grid definition, so the first message's arrays serve
+      * the whole file. */
+    override def pixelLonLat(b: Array[Byte]): Option[(Array[Double], Array[Double])] =
+      Grib2.lonLatArrays(Grib2.read(b))
   }
 
   object NetCdfDecoder extends Decoder {

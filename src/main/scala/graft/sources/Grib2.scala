@@ -2,10 +2,12 @@ package graft.sources
 
 import java.nio.ByteBuffer
 
-/** Minimal self-contained GRIB2 codec: edition-2 messages with a
-  * regular lat/lon grid (template 3.0), product template 4.0, an
-  * optional bitmap (section 6) carrying nodata, and THREE data
-  * representations:
+/** Minimal self-contained GRIB2 codec: edition-2 messages on a regular
+  * lat/lon grid (template 3.0) or a Lambert-conformal projected grid
+  * (template 3.30 — the NCEP HRRR/NAM/RAP continental shape, exposing
+  * exact per-pixel lon/lat through the non-affine decoder hook),
+  * product template 4.0, an optional bitmap (section 6) carrying
+  * nodata, and these data representations:
   *
   *  - template 5.0  simple packing
   *  - template 5.2  complex packing (group splitting)
@@ -38,9 +40,41 @@ import java.nio.ByteBuffer
   */
 object Grib2 {
 
+  /** Lambert-conformal grid parameters (section-3 template 3.30, the
+    * NCEP HRRR/NAM/RAP continental shape). When present, the raster's
+    * west/north/px/py frame is PROJECTED METERS on the declared sphere
+    * and per-pixel lon/lat comes from [[lonLatArrays]]; when absent the
+    * frame is the regular lat/lon degrees of template 3.0. */
+  case class LccProj(radius: Double, lov: Double,
+                     latin1: Double, latin2: Double, lad: Double)
+
   case class Message(raster: GeoTiff.Raster,
                      discipline: Int, category: Int, parameter: Int,
-                     refTime: java.time.LocalDateTime, forecastHours: Int)
+                     refTime: java.time.LocalDateTime, forecastHours: Int,
+                     proj: Option[LccProj] = None)
+
+  /** Exact per-pixel (lon, lat) at pixel centers for projected grids
+    * (None for lat/lon grids — the affine path needs no arrays). */
+  def lonLatArrays(m: Message): Option[(Array[Double], Array[Double])] =
+    m.proj.map { p =>
+      val r = m.raster
+      val inv = graft.ops.Geo.invLambertConformalConicSph(
+        p.radius, p.latin1, p.latin2, p.lad, p.lov) _
+      val lons = new Array[Double](r.width * r.height)
+      val lats = new Array[Double](r.width * r.height)
+      var y = 0
+      while (y < r.height) {
+        val py = r.north - (y + 0.5) * r.py
+        var x = 0
+        while (x < r.width) {
+          val (lon, lat) = inv(r.west + (x + 0.5) * r.px, py)
+          lons(y * r.width + x) = lon; lats(y * r.width + x) = lat
+          x += 1
+        }
+        y += 1
+      }
+      (lons, lats)
+    }
 
   def canHandle(b: Array[Byte]): Boolean =
     b.length >= 4 && b(0) == 'G' && b(1) == 'R' && b(2) == 'I' && b(3) == 'B'
@@ -102,23 +136,50 @@ object Grib2 {
       bu8(b, m.refTime.getMinute); bu8(b, m.refTime.getSecond)
       bu8(b, 0); bu8(b, 1) // production status, data type
     }
-    sec(3) { b => // grid definition, template 3.0 lat/lon
-      val northCenter = r.north - r.py / 2
-      val southCenter = r.north - r.py * r.height + r.py / 2
-      val westCenter = r.west + r.px / 2
-      val eastCenter = r.west + r.px * r.width - r.px / 2
-      val (la1, la2) = if ((scanMode & 0x40) != 0) (southCenter, northCenter)
-                       else (northCenter, southCenter)
-      val (lo1, lo2) = if ((scanMode & 0x80) != 0) (eastCenter, westCenter)
-                       else (westCenter, eastCenter)
-      bu8(b, 0); bu32(b, n); bu8(b, 0); bu8(b, 0); bu16(b, 0)
-      bu8(b, 6); bu8(b, 0); bu32(b, 0); bu8(b, 0); bu32(b, 0); bu8(b, 0); bu32(b, 0)
-      bu32(b, r.width); bu32(b, r.height); bu32(b, 0); bu32(b, 0)
-      bs32(b, math.round(la1 * 1e6)); bs32(b, math.round(lo1 * 1e6))
-      bu8(b, 0x30)
-      bs32(b, math.round(la2 * 1e6)); bs32(b, math.round(lo2 * 1e6))
-      bu32(b, math.round(r.px * 1e6)); bu32(b, math.round(r.py * 1e6))
-      bu8(b, scanMode)
+    m.proj match {
+      case None =>
+        sec(3) { b => // grid definition, template 3.0 lat/lon
+          val northCenter = r.north - r.py / 2
+          val southCenter = r.north - r.py * r.height + r.py / 2
+          val westCenter = r.west + r.px / 2
+          val eastCenter = r.west + r.px * r.width - r.px / 2
+          val (la1, la2) = if ((scanMode & 0x40) != 0) (southCenter, northCenter)
+                           else (northCenter, southCenter)
+          val (lo1, lo2) = if ((scanMode & 0x80) != 0) (eastCenter, westCenter)
+                           else (westCenter, eastCenter)
+          bu8(b, 0); bu32(b, n); bu8(b, 0); bu8(b, 0); bu16(b, 0)
+          bu8(b, 6); bu8(b, 0); bu32(b, 0); bu8(b, 0); bu32(b, 0); bu8(b, 0); bu32(b, 0)
+          bu32(b, r.width); bu32(b, r.height); bu32(b, 0); bu32(b, 0)
+          bs32(b, math.round(la1 * 1e6)); bs32(b, math.round(lo1 * 1e6))
+          bu8(b, 0x30)
+          bs32(b, math.round(la2 * 1e6)); bs32(b, math.round(lo2 * 1e6))
+          bu32(b, math.round(r.px * 1e6)); bu32(b, math.round(r.py * 1e6))
+          bu8(b, scanMode)
+        }
+      case Some(p) =>
+        sec(3) { b => // grid definition, template 3.30 Lambert conformal
+          // first point per scan order, projected meters at pixel center
+          val xFirst = if ((scanMode & 0x80) != 0) r.west + r.px * r.width - r.px / 2
+                       else r.west + r.px / 2
+          val yFirst = if ((scanMode & 0x40) != 0) r.north - r.py * r.height + r.py / 2
+                       else r.north - r.py / 2
+          val (lo1, la1) = graft.ops.Geo.invLambertConformalConicSph(
+            p.radius, p.latin1, p.latin2, p.lad, p.lov)(xFirst, yFirst)
+          def lonE(v: Double) = if (v < 0) v + 360 else v // GRIB 0..360 east
+          bu8(b, 0); bu32(b, n); bu8(b, 0); bu8(b, 0); bu16(b, 30)
+          // earth shape 1: sphere with declared scaled radius
+          bu8(b, 1); bu8(b, 0); bu32(b, math.round(p.radius))
+          bu8(b, 0); bu32(b, 0); bu8(b, 0); bu32(b, 0)
+          bu32(b, r.width); bu32(b, r.height)
+          bs32(b, math.round(la1 * 1e6)); bs32(b, math.round(lonE(lo1) * 1e6))
+          bu8(b, 0x08) // resolution/component flags: u/v grid-relative
+          bs32(b, math.round(p.lad * 1e6)); bs32(b, math.round(lonE(p.lov) * 1e6))
+          bu32(b, math.round(r.px * 1000)); bu32(b, math.round(r.py * 1000)) // mm
+          bu8(b, 0) // projection centre: north pole, one cone
+          bu8(b, scanMode)
+          bs32(b, math.round(p.latin1 * 1e6)); bs32(b, math.round(p.latin2 * 1e6))
+          bs32(b, -90 * 1000000L); bu32(b, 0) // southern pole (unused)
+        }
     }
     sec(4) { b => // product definition, template 4.0
       bu16(b, 0); bu16(b, 0)
@@ -337,6 +398,7 @@ object Grib2 {
     var width = 0; var height = 0
     var west = 0.0; var north = 0.0; var px = 1.0; var py = 1.0
     var scanMode = 0
+    var proj: Option[LccProj] = None
     var tmpl5 = 0
     var refR = 0.0f; var e = 0; var d = 0; var nbits = 0
     // complex-packing (5.2/5.3) parameters
@@ -368,17 +430,63 @@ object Grib2 {
               bytes(o + 13) & 0xff)
           case 3 =>
             nPts = u32(o + 1).toInt
+            val tmpl3 = u16(o + 7)
+            // an unknown grid template must fail loudly: parsing its
+            // octets with another template's layout would SILENTLY
+            // mis-georeference every pixel
+            require(tmpl3 == 0 || tmpl3 == 30,
+              s"unsupported grid definition template 3.$tmpl3 " +
+                "(supported: 3.0 lat/lon, 3.30 Lambert conformal)")
             width = u32(o + 25).toInt; height = u32(o + 29).toInt
-            val la1 = s32(o + 41) / 1e6; val lo1 = s32(o + 45) / 1e6
-            val la2 = s32(o + 50) / 1e6; val lo2 = s32(o + 54) / 1e6
-            px = u32(o + 58) / 1e6; py = u32(o + 62) / 1e6
-            scanMode = bytes(o + 66) & 0xff
-            require((scanMode & 0x30) == 0,
-              f"unsupported scanning mode 0x$scanMode%02x (consecutive-j/boustrophedon)")
-            // bounds from whichever corner is north/west, not from
-            // assuming the first point is NW
-            west = math.min(lo1, lo2) - px / 2
-            north = math.max(la1, la2) + py / 2
+            if (tmpl3 == 0) {
+              val la1 = s32(o + 41) / 1e6; val lo1 = s32(o + 45) / 1e6
+              val la2 = s32(o + 50) / 1e6; val lo2 = s32(o + 54) / 1e6
+              px = u32(o + 58) / 1e6; py = u32(o + 62) / 1e6
+              scanMode = bytes(o + 66) & 0xff
+              require((scanMode & 0x30) == 0,
+                f"unsupported scanning mode 0x$scanMode%02x (consecutive-j/boustrophedon)")
+              // bounds from whichever corner is north/west, not from
+              // assuming the first point is NW
+              west = math.min(lo1, lo2) - px / 2
+              north = math.max(la1, la2) + py / 2
+            } else { // 3.30 Lambert conformal (HRRR/NAM/RAP family)
+              val shape = bytes(o + 9) & 0xff
+              val radius = shape match {
+                case 0 => 6367470.0
+                case 6 => 6371229.0
+                case 1 =>
+                  val sf = bytes(o + 10) & 0xff
+                  u32(o + 11).toDouble / math.pow(10, sf)
+                case s => throw new IllegalArgumentException(
+                  s"earth shape $s not supported on Lambert grids " +
+                    "(spherical shapes 0/1/6 only; ellipsoidal LCC grids are not in the NCEP feeds)")
+              }
+              def lonNorm(v: Double) = if (v > 180) v - 360 else v
+              val la1 = s32(o + 33) / 1e6
+              val lo1 = lonNorm(s32(o + 37) / 1e6)
+              val lad = s32(o + 42) / 1e6
+              val lov = lonNorm(s32(o + 46) / 1e6)
+              val dx = u32(o + 50) / 1000.0 // millimeters → meters
+              val dy = u32(o + 54) / 1000.0
+              val pcf = bytes(o + 58) & 0xff
+              require((pcf & 0x80) == 0,
+                "south-pole-aspect Lambert grids not supported (projection centre flag bit 1)")
+              scanMode = bytes(o + 59) & 0xff
+              require((scanMode & 0x30) == 0,
+                f"unsupported scanning mode 0x$scanMode%02x (consecutive-j/boustrophedon)")
+              val latin1 = s32(o + 60) / 1e6
+              val latin2 = s32(o + 64) / 1e6
+              // anchor the projected frame at the declared first point
+              val (x1, y1) = graft.ops.Geo.fwdLambertConformalConicSph(
+                radius, latin1, latin2, lad, lov)(lo1, la1)
+              // normalize to the canonical top-left (max-y / min-x) corner
+              val xMin = if ((scanMode & 0x80) != 0) x1 - (width - 1) * dx else x1
+              val yMax = if ((scanMode & 0x40) != 0) y1 + (height - 1) * dy else y1
+              px = dx; py = dy
+              west = xMin - dx / 2
+              north = yMax + dy / 2
+              proj = Some(LccProj(radius, lov, latin1, latin2, lad))
+            }
           case 4 =>
             category = bytes(o + 4) & 0xff; parameter = bytes(o + 5) & 0xff
             forecastHours = u32(o + 13).toInt
@@ -470,7 +578,7 @@ object Grib2 {
       if (bitmap != null) { /* bitmap already applied into data */ }
     }
     Message(GeoTiff.Raster(width, height, data, west, north, px, py),
-      discipline, category, parameter, refTime, forecastHours)
+      discipline, category, parameter, refTime, forecastHours, proj)
   }
 
   /** Unpack a complex-packed (5.2/5.3) data section into present-cell

@@ -209,6 +209,93 @@ class Grib2Spec extends SparkSpec {
       s"unexpected failure message: ${e.getMessage}")
   }
 
+  private def lccMessage = {
+    // an HRRR-shaped Lambert grid: sphere 6371229 m, parallels 38.5/38.5,
+    // LoV -97.5, 3 km steps — small raster, real parameters
+    val w = 40; val h = 30
+    val data = Array.tabulate(w * h) { i =>
+      if (i % 13 == 0) Float.NaN else (280.0 + (i % 50) * 0.25).toFloat
+    }
+    val proj = Grib2.LccProj(radius = 6371229.0, lov = -97.5,
+      latin1 = 38.5, latin2 = 38.5, lad = 38.5)
+    // anchor: projected coords of the CONUS interior (origin near KS)
+    val (x0, y0) = graft.ops.Geo.fwdLambertConformalConicSph(
+      proj.radius, proj.latin1, proj.latin2, proj.lad, proj.lov)(-105.0, 35.0)
+    Grib2.Message(
+      GeoTiff.Raster(w, h, data, x0, y0 + 30 * 3000.0, 3000.0, 3000.0),
+      discipline = 0, category = 0, parameter = 0,
+      refTime = java.time.LocalDateTime.of(2024, 6, 1, 12, 0, 0),
+      forecastHours = 6, proj = Some(proj))
+  }
+
+  test("Lambert conformal grids (3.30) round-trip values, frame and projection") {
+    val m = lccMessage
+    for (scan <- Seq(0, 0x40)) { // north-first and the NCEP south-first order
+      val back = Grib2.read(Grib2.write(m, scanMode = scan))
+      assert(back.proj.contains(m.proj.get), s"proj params drifted at scan=$scan")
+      // the frame survives the microdegree round-trip to sub-meter
+      assert(math.abs(back.raster.west - m.raster.west) < 1.0)
+      assert(math.abs(back.raster.north - m.raster.north) < 1.0)
+      assert(back.raster.px == 3000.0 && back.raster.py == 3000.0)
+      back.raster.data.zip(m.raster.data).foreach { case (a, b) =>
+        if (b.isNaN) assert(a.isNaN)
+        else assert(math.abs(a - b) < 0.005, s"$a vs $b at scan=$scan")
+      }
+    }
+  }
+
+  test("Lambert grids expose exact per-pixel lon/lat through the decoder hook") {
+    val m = lccMessage
+    val bytes = Grib2.write(m)
+    val back = Grib2.read(bytes)
+    val Some((lons, lats)) = Grib2.lonLatArrays(back)
+    // cross-check one interior pixel against the inverse directly
+    val r = back.raster; val p = back.proj.get
+    val (x, y) = (r.west + 10.5 * r.px, r.north - 7.5 * r.py)
+    val (lonRef, latRef) = graft.ops.Geo.invLambertConformalConicSph(
+      p.radius, p.latin1, p.latin2, p.lad, p.lov)(x, y)
+    assert(math.abs(lons(7 * r.width + 10) - lonRef) < 1e-9)
+    assert(math.abs(lats(7 * r.width + 10) - latRef) < 1e-9)
+    // the grid straddles the anchor: lon/lat vary in BOTH directions
+    // along a row (conic rotation), unlike an affine lat/lon grid
+    assert(lats(0) != lats(r.width - 1),
+      "top-row latitudes must vary on a conic grid")
+    // lat/lon grids keep the affine path (no arrays)
+    assert(Grib2.lonLatArrays(Grib2.read(Grib2.write(sampleMessage))).isEmpty)
+    // and the Formats decoder surfaces the same hook
+    assert(Formats.Grib2Decoder.pixelLonLat(bytes).isDefined)
+  }
+
+  test("Lambert granules ingest with projected lon/lat, not affine degrees") {
+    val dir = Files.createTempDirectory("graft-lcc-ingest-").toString
+    Files.write(Paths.get(s"$dir/refl_20240601_1200.grib2"), Grib2.write(lccMessage))
+    val df = Formats.ingestDir(spark, dir)
+    val row = df.filter(col("y") === 7 && col("x") === 10).select("lon", "lat").head()
+    val m = Grib2.read(Grib2.write(lccMessage)); val p = m.proj.get
+    val (lonRef, latRef) = graft.ops.Geo.invLambertConformalConicSph(
+      p.radius, p.latin1, p.latin2, p.lad, p.lov)(
+      m.raster.west + 10.5 * m.raster.px, m.raster.north - 7.5 * m.raster.py)
+    assert(math.abs(row.getDouble(0) - lonRef) < 1e-9 &&
+      math.abs(row.getDouble(1) - latRef) < 1e-9,
+      s"ingested lon/lat ${row} should come from the LCC inverse ($lonRef, $latRef)")
+  }
+
+  test("unknown grid templates fail loudly, never a silent mis-georeference") {
+    val bytes = Grib2.write(sampleMessage)
+    def u32(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+    var pos = 16
+    var patched = false
+    while (pos < bytes.length - 4 && !patched) {
+      val len = u32(bytes, pos); val num = bytes(pos + 4) & 0xff
+      if (num == 3) { bytes(pos + 5 + 8) = 20.toByte; patched = true } // 3.20 polar stereo
+      else pos += len
+    }
+    assert(patched)
+    val e = intercept[IllegalArgumentException](Grib2.read(bytes))
+    assert(e.getMessage.contains("template 3.20"))
+  }
+
   test("complex packing + 2nd-order spatial differencing (5.3) round-trips") {
     // a smooth field is where spatial differencing earns its keep
     val w = 30; val h = 20
