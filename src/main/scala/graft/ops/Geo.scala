@@ -170,15 +170,34 @@ object Geo {
     * points along `lon0Deg`; at the pole (rho = 0) longitude is pinned
     * to lon0 so the function stays total and deterministic. */
   def invPolarStereographic(lon0Deg: Double, latTsDeg: Double)
-                           (x: Double, y: Double): (Double, Double) = {
+                           (x: Double, y: Double): (Double, Double) =
+    invPolarStereographicSph(EarthR, lon0Deg, latTsDeg)(x, y)
+
+  /** Radius-parameterized spherical polar stereographic inverse — the
+    * GRIB 3.20 grids declare their own sphere, like the Lambert ones. */
+  def invPolarStereographicSph(radius: Double, lon0Deg: Double, latTsDeg: Double)
+                              (x: Double, y: Double): (Double, Double) = {
     val k0 = (1.0 + math.sin(math.toRadians(latTsDeg))) / 2.0
     val rho = math.sqrt(x * x + y * y)
     val lat = math.toDegrees(
-      math.Pi / 2 - 2 * math.atan(rho / (2 * EarthR * k0)))
+      math.Pi / 2 - 2 * math.atan(rho / (2 * radius * k0)))
     val lon =
       if (rho == 0.0) lon0Deg
       else wrapLon(lon0Deg + math.toDegrees(math.atan2(x, -y)))
     (lon, lat)
+  }
+
+  /** Forward of [[invPolarStereographicSph]] (Snyder eq. 21-5..21-8
+    * north aspect on the declared sphere) — anchors GRIB 3.20 grids by
+    * their first point. */
+  def fwdPolarStereographicSph(radius: Double, lon0Deg: Double, latTsDeg: Double)
+                              (lonDeg: Double, latDeg: Double): (Double, Double) = {
+    val k0 = (1.0 + math.sin(math.toRadians(latTsDeg))) / 2.0
+    val rho = 2 * radius * k0 * math.tan(math.Pi / 4 - math.toRadians(latDeg) / 2)
+    val dLon = { val d = (lonDeg - lon0Deg) % 360.0
+                 if (d > 180) d - 360 else if (d < -180) d + 360 else d }
+    val theta = math.toRadians(dLon)
+    (rho * math.sin(theta), -rho * math.cos(theta))
   }
 
   /** Inverse ELLIPSOIDAL (WGS84) polar stereographic, north aspect,

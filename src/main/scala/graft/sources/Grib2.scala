@@ -40,26 +40,36 @@ import java.nio.ByteBuffer
   */
 object Grib2 {
 
-  /** Lambert-conformal grid parameters (section-3 template 3.30, the
-    * NCEP HRRR/NAM/RAP continental shape). When present, the raster's
+  /** Projected-grid parameters. When present, the raster's
     * west/north/px/py frame is PROJECTED METERS on the declared sphere
     * and per-pixel lon/lat comes from [[lonLatArrays]]; when absent the
     * frame is the regular lat/lon degrees of template 3.0. */
+  sealed trait GridProj { def radius: Double }
+  /** Lambert conformal (template 3.30 — NCEP HRRR/NAM/RAP). */
   case class LccProj(radius: Double, lov: Double,
-                     latin1: Double, latin2: Double, lad: Double)
+                     latin1: Double, latin2: Double, lad: Double) extends GridProj
+  /** North-aspect polar stereographic (template 3.20 — the NCEP
+    * Alaska/sea-ice grids; true scale at `lad`, down-axis `lov`). */
+  case class PsProj(radius: Double, lov: Double, lad: Double) extends GridProj
 
   case class Message(raster: GeoTiff.Raster,
                      discipline: Int, category: Int, parameter: Int,
                      refTime: java.time.LocalDateTime, forecastHours: Int,
-                     proj: Option[LccProj] = None)
+                     proj: Option[GridProj] = None)
+
+  private def invOf(p: GridProj): (Double, Double) => (Double, Double) = p match {
+    case LccProj(r, lov, l1, l2, lad) =>
+      graft.ops.Geo.invLambertConformalConicSph(r, l1, l2, lad, lov)
+    case PsProj(r, lov, lad) =>
+      graft.ops.Geo.invPolarStereographicSph(r, lov, lad)
+  }
 
   /** Exact per-pixel (lon, lat) at pixel centers for projected grids
     * (None for lat/lon grids — the affine path needs no arrays). */
   def lonLatArrays(m: Message): Option[(Array[Double], Array[Double])] =
     m.proj.map { p =>
       val r = m.raster
-      val inv = graft.ops.Geo.invLambertConformalConicSph(
-        p.radius, p.latin1, p.latin2, p.lad, p.lov) _
+      val inv = invOf(p)
       val lons = new Array[Double](r.width * r.height)
       val lats = new Array[Double](r.width * r.height)
       var y = 0
@@ -157,28 +167,40 @@ object Grib2 {
           bu8(b, scanMode)
         }
       case Some(p) =>
-        sec(3) { b => // grid definition, template 3.30 Lambert conformal
+        sec(3) { b => // grid definition, template 3.20/3.30 projected
           // first point per scan order, projected meters at pixel center
           val xFirst = if ((scanMode & 0x80) != 0) r.west + r.px * r.width - r.px / 2
                        else r.west + r.px / 2
           val yFirst = if ((scanMode & 0x40) != 0) r.north - r.py * r.height + r.py / 2
                        else r.north - r.py / 2
-          val (lo1, la1) = graft.ops.Geo.invLambertConformalConicSph(
-            p.radius, p.latin1, p.latin2, p.lad, p.lov)(xFirst, yFirst)
+          val (lo1, la1) = (p match {
+            case LccProj(rad, lov, l1, l2, lad) =>
+              graft.ops.Geo.invLambertConformalConicSph(rad, l1, l2, lad, lov) _
+            case PsProj(rad, lov, lad) =>
+              graft.ops.Geo.invPolarStereographicSph(rad, lov, lad) _
+          })(xFirst, yFirst)
           def lonE(v: Double) = if (v < 0) v + 360 else v // GRIB 0..360 east
-          bu8(b, 0); bu32(b, n); bu8(b, 0); bu8(b, 0); bu16(b, 30)
+          val (tmpl, lad, lov) = p match {
+            case l: LccProj => (30, l.lad, l.lov)
+            case s: PsProj  => (20, s.lad, s.lov)
+          }
+          bu8(b, 0); bu32(b, n); bu8(b, 0); bu8(b, 0); bu16(b, tmpl)
           // earth shape 1: sphere with declared scaled radius
           bu8(b, 1); bu8(b, 0); bu32(b, math.round(p.radius))
           bu8(b, 0); bu32(b, 0); bu8(b, 0); bu32(b, 0)
           bu32(b, r.width); bu32(b, r.height)
           bs32(b, math.round(la1 * 1e6)); bs32(b, math.round(lonE(lo1) * 1e6))
           bu8(b, 0x08) // resolution/component flags: u/v grid-relative
-          bs32(b, math.round(p.lad * 1e6)); bs32(b, math.round(lonE(p.lov) * 1e6))
+          bs32(b, math.round(lad * 1e6)); bs32(b, math.round(lonE(lov) * 1e6))
           bu32(b, math.round(r.px * 1000)); bu32(b, math.round(r.py * 1000)) // mm
-          bu8(b, 0) // projection centre: north pole, one cone
+          bu8(b, 0) // projection centre: north pole
           bu8(b, scanMode)
-          bs32(b, math.round(p.latin1 * 1e6)); bs32(b, math.round(p.latin2 * 1e6))
-          bs32(b, -90 * 1000000L); bu32(b, 0) // southern pole (unused)
+          p match {
+            case l: LccProj =>
+              bs32(b, math.round(l.latin1 * 1e6)); bs32(b, math.round(l.latin2 * 1e6))
+              bs32(b, -90 * 1000000L); bu32(b, 0) // southern pole (unused)
+            case _: PsProj => // 3.20 ends at the scanning mode
+          }
         }
     }
     sec(4) { b => // product definition, template 4.0
@@ -398,7 +420,7 @@ object Grib2 {
     var width = 0; var height = 0
     var west = 0.0; var north = 0.0; var px = 1.0; var py = 1.0
     var scanMode = 0
-    var proj: Option[LccProj] = None
+    var proj: Option[GridProj] = None
     var tmpl5 = 0
     var refR = 0.0f; var e = 0; var d = 0; var nbits = 0
     // complex-packing (5.2/5.3) parameters
@@ -434,9 +456,9 @@ object Grib2 {
             // an unknown grid template must fail loudly: parsing its
             // octets with another template's layout would SILENTLY
             // mis-georeference every pixel
-            require(tmpl3 == 0 || tmpl3 == 30,
+            require(tmpl3 == 0 || tmpl3 == 20 || tmpl3 == 30,
               s"unsupported grid definition template 3.$tmpl3 " +
-                "(supported: 3.0 lat/lon, 3.30 Lambert conformal)")
+                "(supported: 3.0 lat/lon, 3.20 polar stereographic, 3.30 Lambert conformal)")
             width = u32(o + 25).toInt; height = u32(o + 29).toInt
             if (tmpl3 == 0) {
               val la1 = s32(o + 41) / 1e6; val lo1 = s32(o + 45) / 1e6
@@ -449,7 +471,7 @@ object Grib2 {
               // assuming the first point is NW
               west = math.min(lo1, lo2) - px / 2
               north = math.max(la1, la2) + py / 2
-            } else { // 3.30 Lambert conformal (HRRR/NAM/RAP family)
+            } else { // 3.20 polar stereographic / 3.30 Lambert conformal
               val shape = bytes(o + 9) & 0xff
               val radius = shape match {
                 case 0 => 6367470.0
@@ -458,10 +480,12 @@ object Grib2 {
                   val sf = bytes(o + 10) & 0xff
                   u32(o + 11).toDouble / math.pow(10, sf)
                 case s => throw new IllegalArgumentException(
-                  s"earth shape $s not supported on Lambert grids " +
-                    "(spherical shapes 0/1/6 only; ellipsoidal LCC grids are not in the NCEP feeds)")
+                  s"earth shape $s not supported on projected grids " +
+                    "(spherical shapes 0/1/6 only; the NCEP feeds declare spheres)")
               }
               def lonNorm(v: Double) = if (v > 180) v - 360 else v
+              // templates 3.20 and 3.30 share every octet through the
+              // scanning mode; 3.30 appends the two standard parallels
               val la1 = s32(o + 33) / 1e6
               val lo1 = lonNorm(s32(o + 37) / 1e6)
               val lad = s32(o + 42) / 1e6
@@ -470,24 +494,39 @@ object Grib2 {
               val dy = u32(o + 54) / 1000.0
               val pcf = bytes(o + 58) & 0xff
               require((pcf & 0x80) == 0,
-                "south-pole-aspect Lambert grids not supported (projection centre flag bit 1)")
+                "south-pole-aspect projected grids not supported (projection centre flag bit 1)")
               scanMode = bytes(o + 59) & 0xff
               require((scanMode & 0x30) == 0,
                 f"unsupported scanning mode 0x$scanMode%02x (consecutive-j/boustrophedon)")
-              val latin1 = s32(o + 60) / 1e6
-              val latin2 = s32(o + 64) / 1e6
-              // anchor the projected frame at the declared first point
-              val (x1, y1) = graft.ops.Geo.fwdLambertConformalConicSph(
-                radius, latin1, latin2, lad, lov)(lo1, la1)
-              // normalize to the canonical top-left (max-y / min-x) corner
+              val (p, fwd) =
+                if (tmpl3 == 30) {
+                  val latin1 = s32(o + 60) / 1e6
+                  val latin2 = s32(o + 64) / 1e6
+                  (LccProj(radius, lov, latin1, latin2, lad): GridProj,
+                    graft.ops.Geo.fwdLambertConformalConicSph(
+                      radius, latin1, latin2, lad, lov) _)
+                } else
+                  (PsProj(radius, lov, lad): GridProj,
+                    graft.ops.Geo.fwdPolarStereographicSph(radius, lov, lad) _)
+              // anchor the projected frame at the declared first point,
+              // normalized to the canonical top-left (max-y/min-x) corner
+              val (x1, y1) = fwd(lo1, la1)
               val xMin = if ((scanMode & 0x80) != 0) x1 - (width - 1) * dx else x1
               val yMax = if ((scanMode & 0x40) != 0) y1 + (height - 1) * dy else y1
               px = dx; py = dy
               west = xMin - dx / 2
               north = yMax + dy / 2
-              proj = Some(LccProj(radius, lov, latin1, latin2, lad))
+              proj = Some(p)
             }
           case 4 =>
+            val tmpl4 = u16(o + 2)
+            // 4.0/4.1/4.2 (analysis/ensemble/derived) and 4.8/4.11/4.12
+            // (their accumulation forms) all share the 4.0 prefix this
+            // reader consumes (category/parameter/forecast octets 10-22);
+            // anything else could carry those octets with DIFFERENT
+            // meaning, so it fails loudly rather than mislabeling
+            require(Set(0, 1, 2, 8, 11, 12).contains(tmpl4),
+              s"unsupported product definition template 4.$tmpl4")
             category = bytes(o + 4) & 0xff; parameter = bytes(o + 5) & 0xff
             forecastHours = u32(o + 13).toInt
           case 5 =>

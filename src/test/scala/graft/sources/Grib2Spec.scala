@@ -250,7 +250,8 @@ class Grib2Spec extends SparkSpec {
     val back = Grib2.read(bytes)
     val Some((lons, lats)) = Grib2.lonLatArrays(back)
     // cross-check one interior pixel against the inverse directly
-    val r = back.raster; val p = back.proj.get
+    val r = back.raster
+    val Some(p: Grib2.LccProj) = back.proj
     val (x, y) = (r.west + 10.5 * r.px, r.north - 7.5 * r.py)
     val (lonRef, latRef) = graft.ops.Geo.invLambertConformalConicSph(
       p.radius, p.latin1, p.latin2, p.lad, p.lov)(x, y)
@@ -271,13 +272,69 @@ class Grib2Spec extends SparkSpec {
     Files.write(Paths.get(s"$dir/refl_20240601_1200.grib2"), Grib2.write(lccMessage))
     val df = Formats.ingestDir(spark, dir)
     val row = df.filter(col("y") === 7 && col("x") === 10).select("lon", "lat").head()
-    val m = Grib2.read(Grib2.write(lccMessage)); val p = m.proj.get
+    val m = Grib2.read(Grib2.write(lccMessage))
+    val Some(p: Grib2.LccProj) = m.proj
     val (lonRef, latRef) = graft.ops.Geo.invLambertConformalConicSph(
       p.radius, p.latin1, p.latin2, p.lad, p.lov)(
       m.raster.west + 10.5 * m.raster.px, m.raster.north - 7.5 * m.raster.py)
     assert(math.abs(row.getDouble(0) - lonRef) < 1e-9 &&
       math.abs(row.getDouble(1) - latRef) < 1e-9,
       s"ingested lon/lat ${row} should come from the LCC inverse ($lonRef, $latRef)")
+  }
+
+  test("polar stereographic grids (3.20) round-trip with exact lon/lat") {
+    // the NCEP Alaska shape: sphere 6371200 m, true scale 60°N, LoV 210°E
+    val w = 25; val h = 20
+    val data = Array.tabulate(w * h)(i => (260.0 + i * 0.1).toFloat)
+    val proj = Grib2.PsProj(radius = 6371200.0, lov = -150.0, lad = 60.0)
+    val (x0, y0) = graft.ops.Geo.fwdPolarStereographicSph(
+      proj.radius, proj.lov, proj.lad)(-160.0, 55.0)
+    val m = Grib2.Message(
+      GeoTiff.Raster(w, h, data, x0, y0 + 20 * 11250.0, 11250.0, 11250.0),
+      discipline = 0, category = 2, parameter = 2,
+      refTime = java.time.LocalDateTime.of(2024, 6, 1, 0, 0, 0),
+      forecastHours = 3, proj = Some(proj))
+    for (scan <- Seq(0, 0x40)) {
+      val back = Grib2.read(Grib2.write(m, scanMode = scan))
+      assert(back.proj.contains(proj), s"proj params drifted at scan=$scan")
+      assert(math.abs(back.raster.west - m.raster.west) < 1.0)
+      assert(math.abs(back.raster.north - m.raster.north) < 1.0)
+      back.raster.data.zip(m.raster.data).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 0.005, s"$a vs $b at scan=$scan")
+      }
+    }
+    // per-pixel lon/lat from the declared sphere's inverse
+    val back = Grib2.read(Grib2.write(m))
+    val Some((lons, lats)) = Grib2.lonLatArrays(back)
+    val (lonRef, latRef) = graft.ops.Geo.invPolarStereographicSph(
+      proj.radius, proj.lov, proj.lad)(
+      back.raster.west + 3.5 * back.raster.px, back.raster.north - 2.5 * back.raster.py)
+    assert(math.abs(lons(2 * w + 3) - lonRef) < 1e-9 &&
+      math.abs(lats(2 * w + 3) - latRef) < 1e-9)
+  }
+
+  test("product templates: accumulation form (4.8) reads, unknown forms fail") {
+    def patchTmpl4(bytes: Array[Byte], v: Int): Boolean = {
+      def u32(b: Array[Byte], o: Int): Int =
+        ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+      var pos = 16
+      while (pos < bytes.length - 4) {
+        val len = u32(bytes, pos); val num = bytes(pos + 4) & 0xff
+        if (num == 4) { bytes(pos + 5 + 3) = v.toByte; return true }
+        pos += len
+      }
+      false
+    }
+    // 4.8 shares the 4.0 prefix: identity fields survive
+    val ok = Grib2.write(sampleMessage)
+    assert(patchTmpl4(ok, 8))
+    val back = Grib2.read(ok)
+    assert(back.category == 1 && back.parameter == 8 && back.forecastHours == 12)
+    // 4.30 (satellite) does NOT share the prefix: loud failure
+    val bad = Grib2.write(sampleMessage)
+    assert(patchTmpl4(bad, 30))
+    val e = intercept[IllegalArgumentException](Grib2.read(bad))
+    assert(e.getMessage.contains("template 4.30"))
   }
 
   test("unknown grid templates fail loudly, never a silent mis-georeference") {
@@ -288,12 +345,12 @@ class Grib2Spec extends SparkSpec {
     var patched = false
     while (pos < bytes.length - 4 && !patched) {
       val len = u32(bytes, pos); val num = bytes(pos + 4) & 0xff
-      if (num == 3) { bytes(pos + 5 + 8) = 20.toByte; patched = true } // 3.20 polar stereo
+      if (num == 3) { bytes(pos + 5 + 8) = 40.toByte; patched = true } // 3.40 gaussian
       else pos += len
     }
     assert(patched)
     val e = intercept[IllegalArgumentException](Grib2.read(bytes))
-    assert(e.getMessage.contains("template 3.20"))
+    assert(e.getMessage.contains("template 3.40"))
   }
 
   test("complex packing + 2nd-order spatial differencing (5.3) round-trips") {
