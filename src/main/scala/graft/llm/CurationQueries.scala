@@ -176,6 +176,31 @@ object CurationQueries extends QueryModule {
             lit(ipRe), lit("[IP]")).as("redacted"))
     }),
 
+    // Unigram surprisal scoring (the CCNet LM-filter shape): score each
+    // doc by its mean per-token surprisal under a corpus-trained
+    // add-one-smoothed unigram model — wiki-like text scores low,
+    // gibberish high. Surprisal is QUANTIZED TO INTEGER BITS —
+    // length(bin((N+V) div (c+1))) ≈ log2(1/p) — so the whole query is
+    // integer arithmetic end-to-end: no transcendental ever runs, and
+    // the DuckDB oracle cannot drift by a ULP of a libm ln(). Shape at
+    // 100 TB: one shuffle to count the vocab, one to join tokens back
+    // (both on the word key), map-side partial everywhere; the totals
+    // side is a one-row broadcast.
+    "t_unigram_surprisal" -> ((s, dir) => {
+      val words = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      val vocab = words.groupBy("w").agg(count(lit(1)).as("c"))
+      val tot = vocab.agg(sum(col("c")).as("n_corpus"), count(lit(1)).as("v"))
+      words.join(vocab, "w").crossJoin(broadcast(tot))
+        .select(col("doc_id"),
+          length(bin(expr("(n_corpus + v) DIV (c + 1)"))).cast("long").as("bits"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum(col("bits")).as("sum_bits"))
+        .select(col("doc_id"), col("n_tokens"), col("sum_bits"),
+          (col("sum_bits").cast("double") / col("n_tokens")).as("mean_bits"))
+    }),
+
     // Vocabulary coverage / OOV-rate filter: fraction of tokens outside
     // a fixed reference vocabulary (tokenizer coverage screening). The
     // vocabulary is a broadcast-scale literal; the scan is one map-side
@@ -199,6 +224,18 @@ object CurationQueries extends QueryModule {
       |  FROM documents)""".stripMargin
 
   override def oracleSql = Map(
+    "t_unigram_surprisal" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents),
+        |v AS (SELECT w, count(*) AS c FROM w GROUP BY w),
+        |tot AS (SELECT sum(c) AS n_corpus, count(*) AS vs FROM v),
+        |sc AS (
+        |  SELECT doc_id, CAST(length(bin((n_corpus + vs) // (c + 1))) AS BIGINT) AS bits
+        |  FROM w JOIN v USING (w) CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_tokens, sum(bits) AS sum_bits,
+        |  CAST(sum(bits) AS DOUBLE) / count(*) AS mean_bits
+        |FROM sc GROUP BY doc_id""".stripMargin,
     "d_pii_redact" ->
       """WITH seeded AS (
         |  SELECT doc_id,
