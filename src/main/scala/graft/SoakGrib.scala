@@ -21,25 +21,38 @@ object SoakGrib {
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
 
     val w = 360; val h = 181 // a 1° global grid
-    def granule(step: Int): Grib2.Message = {
+    def granule(step: Int, proj: Option[Grib2.GridProj] = None): Grib2.Message = {
       val data = Array.tabulate(w * h) { i =>
         val x = i % w; val y = i / w
         if ((x + y + step) % 97 == 0) Float.NaN
         else (250.0 + 25.0 * math.sin(x * 0.05 + step * 0.3) *
           math.cos(y * 0.07)).toFloat
       }
-      Grib2.Message(GeoTiff.Raster(w, h, data, -180.0, 90.5, 1.0, 1.0),
-        discipline = 0, category = 0, parameter = 0,
+      val raster = proj match {
+        case None => GeoTiff.Raster(w, h, data, -180.0, 90.5, 1.0, 1.0)
+        case Some(p: Grib2.LccProj) =>
+          // an HRRR-like frame: 3 km steps anchored over the CONUS
+          val (x0, y0) = graft.ops.Geo.fwdLambertConformalConicSph(
+            p.radius, p.latin1, p.latin2, p.lad, p.lov)(-105.0, 35.0)
+          GeoTiff.Raster(w, h, data, x0, y0 + h * 3000.0, 3000.0, 3000.0)
+        case Some(_) => throw new IllegalStateException("unused in this soak")
+      }
+      Grib2.Message(raster, discipline = 0, category = 0, parameter = 0,
         refTime = java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0),
-        forecastHours = step)
+        forecastHours = step, proj = proj)
     }
 
-    for ((packing, label) <- Seq(0 -> "simple 5.0", 3 -> "complex+diff 5.3",
-                                 40 -> "jpeg2000 5.40", 41 -> "png 5.41")) {
+    val hrrrProj: Option[Grib2.GridProj] = Some(Grib2.LccProj(
+      radius = 6371229.0, lov = -97.5, latin1 = 38.5, latin2 = 38.5, lad = 38.5))
+    for ((packing, proj, label) <- Seq(
+           (0, None, "simple 5.0"), (3, None, "complex+diff 5.3"),
+           (40, None, "jpeg2000 5.40"), (41, None, "png 5.41"),
+           // the actual HRRR wire shape: Lambert grid + JPEG2000 packing
+           (40, hrrrProj, "lcc3.30 + 5.40"))) {
       val dir = Files.createTempDirectory(s"soak-grib-$packing-").toString
       var bytes = 0L
       (0 until nPer).foreach { i =>
-        val b = Grib2.write(granule(i), packing = packing)
+        val b = Grib2.write(granule(i, proj), packing = packing)
         bytes += b.length
         Files.write(Paths.get(f"$dir/g_$i%04d.grib2"), b)
       }
