@@ -47,6 +47,7 @@ object SoakGrib {
     for ((packing, proj, label) <- Seq(
            (0, None, "simple 5.0"), (3, None, "complex+diff 5.3"),
            (40, None, "jpeg2000 5.40"), (41, None, "png 5.41"),
+           (42, None, "ccsds/aec 5.42"),
            // the actual HRRR wire shape: Lambert grid + JPEG2000 packing
            (40, hrrrProj, "lcc3.30 + 5.40"))) {
       val dir = Files.createTempDirectory(s"soak-grib-$packing-").toString

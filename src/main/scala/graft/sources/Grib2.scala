@@ -20,6 +20,8 @@ import java.nio.ByteBuffer
   *    single tile/component — the eccodes jasper/openjpeg shape) via
   *    the self-contained [[Jpeg2000]] codec; lossy (compression type 1,
   *    irreversible 9/7) dead-letters with a transcode recipe.
+  *  - template 5.42 CCSDS/AEC packing (the Rice coder ECMWF's open
+  *    data ships) via the self-contained [[Ccsds]] codec.
   *
   * Written from the public WMO FM 92 GRIB-2 specification — no
   * eccodes/cfgrib on the JVM (the reference's decode path,
@@ -102,7 +104,7 @@ object Grib2 {
     * raster handed in is always canonical north-up. */
   def write(m: Message, decimals: Int = 2, packing: Int = 0,
             scanMode: Int = 0): Array[Byte] = {
-    require(Set(0, 2, 3, 40, 41).contains(packing), s"unsupported packing $packing")
+    require(Set(0, 2, 3, 40, 41, 42).contains(packing), s"unsupported packing $packing")
     require((scanMode & 0x30) == 0, "consecutive-j/boustrophedon not supported")
     val r = m.raster
     val n = r.width * r.height
@@ -233,6 +235,24 @@ object Grib2 {
       val (iw, ih) = if (hasNaN) (present.length, 1) else (r.width, r.height)
       sec(7) { b =>
         b.write(Jpeg2000.encode(present.map(_.toInt), iw, ih, nbits))
+      }
+    } else if (packing == 42) {
+      // CCSDS/AEC packing (template 5.42, ECMWF's default): the scaled
+      // integers stream through the Rice coder with the eccodes/libaec
+      // parameter shape — preprocessing on, 32-sample blocks, RSI 128.
+      require(present.nonEmpty, "CCSDS packing needs at least one present point")
+      val nbits = math.max(1, bitsFor(present.max))
+      val (jBlk, rsiBlk, fl) = (32, 128, Ccsds.FlagPreprocess)
+      sec(5) { b =>
+        bu32(b, n); bu16(b, 42)
+        bu32(b, java.lang.Float.floatToIntBits(ref.toFloat).toLong & 0xffffffffL)
+        bs16(b, 0); bs16(b, decimals)
+        bu8(b, nbits); bu8(b, 0)
+        bu8(b, fl); bu8(b, jBlk); bu16(b, rsiBlk)
+      }
+      writeBitmap(sec, scanData, hasNaN, bu8)
+      sec(7) { b =>
+        b.write(Ccsds.encode(present.map(_.toInt), nbits, jBlk, rsiBlk, fl))
       }
     } else if (packing == 41) {
       // PNG packing (template 5.41): the scaled integers become a PNG
@@ -427,6 +447,8 @@ object Grib2 {
     var ng = 0; var wref = 0; var wbits = 0
     var lref = 0; var linc = 0; var lastLen = 0; var lbits = 0
     var order = 0; var ds = 0
+    // CCSDS (5.42) parameters
+    var ccsdsFlags = 0; var ccsdsJ = 0; var ccsdsRsi = 0
     var category = 0; var parameter = 0; var forecastHours = 0
     var refTime = java.time.LocalDateTime.MIN
     var bitmap: Array[Boolean] = null
@@ -531,7 +553,7 @@ object Grib2 {
             forecastHours = u32(o + 13).toInt
           case 5 =>
             tmpl5 = u16(o + 4)
-            require(Set(0, 2, 3, 40, 41).contains(tmpl5), s"unsupported packing template 5.$tmpl5")
+            require(Set(0, 2, 3, 40, 41, 42).contains(tmpl5), s"unsupported packing template 5.$tmpl5")
             if (tmpl5 == 40) {
               // Only LOSSLESS (compression type 0) decodes: the stream
               // then carries a reversible 5/3 codestream our Jpeg2000
@@ -550,6 +572,11 @@ object Grib2 {
             }
             refR = java.lang.Float.intBitsToFloat(u32(o + 6).toInt)
             e = s16(o + 10); d = s16(o + 12); nbits = bytes(o + 14) & 0xff
+            if (tmpl5 == 42) { // CCSDS/AEC parameters
+              ccsdsFlags = bytes(o + 16) & 0xff
+              ccsdsJ = bytes(o + 17) & 0xff
+              ccsdsRsi = u16(o + 18)
+            }
             if (tmpl5 == 2 || tmpl5 == 3) {
               require((bytes(o + 17) & 0xff) == 0,
                 "missing-value management not supported (bitmap carries nodata)")
@@ -584,6 +611,12 @@ object Grib2 {
                 val base = refR / math.pow(10, d)
                 val factor = math.pow(2, e) / math.pow(10, d)
                 img.samples.map(x => base + x * factor)
+              } else if (tmpl5 == 42) {
+                val xs = Ccsds.decode(bytes, o, len - 5, nPresent,
+                  math.max(1, nbits), ccsdsJ, ccsdsRsi, ccsdsFlags)
+                val base = refR / math.pow(10, d)
+                val factor = math.pow(2, e) / math.pow(10, d)
+                xs.map(x => base + x * factor)
               } else if (tmpl5 == 41) {
                 val xs = PngCodec.decode(bytes, o)
                 require(xs.length == nPresent,

@@ -191,6 +191,32 @@ class Grib2Spec extends SparkSpec {
       "lossless JPEG2000 should out-compress simple packing on a smooth field")
   }
 
+  test("CCSDS/AEC packing (5.42) round-trips with a bitmap") {
+    val m = sampleMessage
+    val back = Grib2.read(Grib2.write(m, packing = 42))
+    back.raster.data.zip(m.raster.data).foreach { case (a, b) =>
+      if (b.isNaN) assert(a.isNaN)
+      else assert(math.abs(a - b) < 0.005, s"$a vs $b")
+    }
+  }
+
+  test("CCSDS/AEC packing (5.42) compresses a smooth field below simple packing") {
+    val w = 60; val h = 40
+    val smooth = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      (250.0 + 12.0 * math.sin(x * 0.2) + 8.0 * math.cos(y * 0.25)).toFloat
+    }
+    val m = sampleMessage.copy(raster =
+      GeoTiff.Raster(w, h, smooth, -180.0, 90.0, 6.0, 4.5))
+    val bytes = Grib2.write(m, packing = 42)
+    val back = Grib2.read(bytes)
+    back.raster.data.zip(m.raster.data).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 0.00501, s"$a vs $b")
+    }
+    assert(bytes.length < Grib2.write(m, packing = 0).length,
+      "the Rice coder should out-compress simple packing on a smooth field")
+  }
+
   test("LOSSY JPEG2000 (5.40 compression type 1) fails loudly with the recipe") {
     val bytes = Grib2.write(sampleMessage, packing = 40)
     // patch the section-5 compression-type octet (template offset 15)
