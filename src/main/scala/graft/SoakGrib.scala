@@ -20,8 +20,12 @@ object SoakGrib {
     val spark = Sessions.build(
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
 
-    val w = 360; val h = 181 // a 1° global grid
+    val w = 360 // 1° global grid; height varies by grid family below
     def granule(step: Int, proj: Option[Grib2.GridProj] = None): Grib2.Message = {
+      val h = proj match {
+        case Some(g: Grib2.GaussianGrid) => 2 * g.n
+        case _ => 181
+      }
       val data = Array.tabulate(w * h) { i =>
         val x = i % w; val y = i / w
         if ((x + y + step) % 97 == 0) Float.NaN
@@ -35,6 +39,8 @@ object SoakGrib {
           val (x0, y0) = graft.ops.Geo.fwdLambertConformalConicSph(
             p.radius, p.latin1, p.latin2, p.lad, p.lov)(-105.0, 35.0)
           GeoTiff.Raster(w, h, data, x0, y0 + h * 3000.0, 3000.0, 3000.0)
+        case Some(_: Grib2.GaussianGrid) =>
+          GeoTiff.Raster(w, h, data, 0.0, 90.0, 360.0 / w, 0.0 /* nominal */)
         case Some(_) => throw new IllegalStateException("unused in this soak")
       }
       Grib2.Message(raster, discipline = 0, category = 0, parameter = 0,
@@ -49,7 +55,10 @@ object SoakGrib {
            (40, None, "jpeg2000 5.40"), (41, None, "png 5.41"),
            (42, None, "ccsds/aec 5.42"),
            // the actual HRRR wire shape: Lambert grid + JPEG2000 packing
-           (40, hrrrProj, "lcc3.30 + 5.40"))) {
+           (40, hrrrProj, "lcc3.30 + 5.40"),
+           // the actual ECMWF wire shape: Gaussian grid + Rice packing
+           (42, Some(Grib2.GaussianGrid(90)): Option[Grib2.GridProj],
+             "gauss3.40 + 5.42"))) {
       val dir = Files.createTempDirectory(s"soak-grib-$packing-").toString
       var bytes = 0L
       (0 until nPer).foreach { i =>
@@ -60,7 +69,11 @@ object SoakGrib {
       val t0 = System.nanoTime()
       val n = graft.sources.Formats.ingestDir(spark, dir).count()
       val dt = (System.nanoTime() - t0) / 1e9
-      val px = nPer.toLong * w * h
+      val gh = proj match {
+        case Some(g: Grib2.GaussianGrid) => 2 * g.n
+        case _ => 181
+      }
+      val px = nPer.toLong * w * gh
       println(f"[soak-grib] $label%-18s $nPer granules  ${bytes / 1024}%6d KiB  " +
         f"$dt%6.2f s  ${nPer / dt}%6.1f granules/s  ${px / dt / 1e6}%6.1f Mpx/s  rows=$n")
     }

@@ -404,6 +404,40 @@ object Geo {
     (wrapLon(lon0Deg + math.toDegrees(theta / n)), lat)
   }
 
+  /** Latitudes of the global regular Gaussian grid with `n` parallels
+    * (n even): the Gauss–Legendre abscissae x_i (roots of P_n) mapped
+    * through lat = asin(x), descending north→south. Newton iteration
+    * with the standard cos seed converges quadratically; a FIXED 20
+    * rounds reaches the double floor for any n in operational use
+    * (ECMWF F1280 = n 2560) and keeps the table bit-deterministic. */
+  def gaussianLatitudes(n: Int): Array[Double] = {
+    require(n >= 2 && n % 2 == 0, s"Gaussian grid needs an even parallel count, got $n")
+    val lats = new Array[Double](n)
+    var i = 1
+    while (i <= n / 2) {
+      var x = math.cos(math.Pi * (i - 0.25) / (n + 0.5))
+      var it = 0
+      while (it < 20) {
+        // Legendre recurrence: P_k(x) and derivative via (1-x^2)P' = n(P_{n-1} - x P_n)
+        var p0 = 1.0; var p1 = x
+        var k = 2
+        while (k <= n) {
+          val p2 = ((2 * k - 1) * x * p1 - (k - 1) * p0) / k
+          p0 = p1; p1 = p2
+          k += 1
+        }
+        val dp = n * (p0 - x * p1) / (1 - x * x)
+        x -= p1 / dp
+        it += 1
+      }
+      val lat = math.toDegrees(math.asin(x))
+      lats(i - 1) = lat          // northern hemisphere, descending
+      lats(n - i) = -lat         // mirror
+      i += 1
+    }
+    lats
+  }
+
   /** Pixel window of a geo bbox in a north-up grid frame
     * (west,north origin; pw/ph = pixel sizes in degrees). Returns
     * (col_off, row_off, width, height) clamped to the grid, matching the

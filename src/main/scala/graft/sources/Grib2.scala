@@ -46,47 +46,79 @@ object Grib2 {
     * west/north/px/py frame is PROJECTED METERS on the declared sphere
     * and per-pixel lon/lat comes from [[lonLatArrays]]; when absent the
     * frame is the regular lat/lon degrees of template 3.0. */
-  sealed trait GridProj { def radius: Double }
+  sealed trait GridProj
   /** Lambert conformal (template 3.30 — NCEP HRRR/NAM/RAP). */
   case class LccProj(radius: Double, lov: Double,
                      latin1: Double, latin2: Double, lad: Double) extends GridProj
   /** North-aspect polar stereographic (template 3.20 — the NCEP
     * Alaska/sea-ice grids; true scale at `lad`, down-axis `lov`). */
   case class PsProj(radius: Double, lov: Double, lad: Double) extends GridProj
+  /** Global regular Gaussian grid (template 3.40 — ECMWF's native
+    * spectral-output grid): longitudes affine, latitudes at the 2N
+    * Gauss–Legendre abscissae. The raster frame stores a NOMINAL
+    * north/py (exact latitudes come from [[lonLatArrays]]). */
+  case class GaussianGrid(n: Int) extends GridProj
 
   case class Message(raster: GeoTiff.Raster,
                      discipline: Int, category: Int, parameter: Int,
                      refTime: java.time.LocalDateTime, forecastHours: Int,
                      proj: Option[GridProj] = None)
 
-  private def invOf(p: GridProj): (Double, Double) => (Double, Double) = p match {
-    case LccProj(r, lov, l1, l2, lad) =>
-      graft.ops.Geo.invLambertConformalConicSph(r, l1, l2, lad, lov)
-    case PsProj(r, lov, lad) =>
-      graft.ops.Geo.invPolarStereographicSph(r, lov, lad)
-  }
-
-  /** Exact per-pixel (lon, lat) at pixel centers for projected grids
-    * (None for lat/lon grids — the affine path needs no arrays). */
+  /** Exact per-pixel (lon, lat) at pixel centers for non-affine grids
+    * (None for regular lat/lon — the affine path needs no arrays). */
   def lonLatArrays(m: Message): Option[(Array[Double], Array[Double])] =
     m.proj.map { p =>
       val r = m.raster
-      val inv = invOf(p)
       val lons = new Array[Double](r.width * r.height)
       val lats = new Array[Double](r.width * r.height)
-      var y = 0
-      while (y < r.height) {
-        val py = r.north - (y + 0.5) * r.py
-        var x = 0
-        while (x < r.width) {
-          val (lon, lat) = inv(r.west + (x + 0.5) * r.px, py)
-          lons(y * r.width + x) = lon; lats(y * r.width + x) = lat
-          x += 1
-        }
-        y += 1
+      p match {
+        case GaussianGrid(nPar) =>
+          // lon affine, lat from the Gaussian table (north→south — the
+          // raster is already normalized north-up)
+          val glats = gaussLatsCached(2 * nPar)
+          var y = 0
+          while (y < r.height) {
+            val lat = glats(y)
+            var x = 0
+            while (x < r.width) {
+              lons(y * r.width + x) = r.west + (x + 0.5) * r.px
+              lats(y * r.width + x) = lat
+              x += 1
+            }
+            y += 1
+          }
+        case _ =>
+          val inv: (Double, Double) => (Double, Double) = p match {
+            case LccProj(rad, lov, l1, l2, lad) =>
+              graft.ops.Geo.invLambertConformalConicSph(rad, l1, l2, lad, lov)
+            case PsProj(rad, lov, lad) =>
+              graft.ops.Geo.invPolarStereographicSph(rad, lov, lad)
+            case _: GaussianGrid => throw new IllegalStateException("handled above")
+          }
+          var y = 0
+          while (y < r.height) {
+            val py = r.north - (y + 0.5) * r.py
+            var x = 0
+            while (x < r.width) {
+              val (lon, lat) = inv(r.west + (x + 0.5) * r.px, py)
+              lons(y * r.width + x) = lon; lats(y * r.width + x) = lat
+              x += 1
+            }
+            y += 1
+          }
       }
       (lons, lats)
     }
+
+  /** Gaussian latitudes are O(n²) to compute (Newton × Legendre
+    * recurrence) — memoized per parallel count so a 10⁶-granule feed
+    * on one executor pays the table once, not per file. Bounded: the
+    * operational grids use a handful of resolutions. */
+  private val gaussCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Double]]()
+  private def gaussLatsCached(n: Int): Array[Double] = {
+    if (gaussCache.size() > 64) gaussCache.clear()
+    gaussCache.computeIfAbsent(n, graft.ops.Geo.gaussianLatitudes)
+  }
 
   def canHandle(b: Array[Byte]): Boolean =
     b.length >= 4 && b(0) == 'G' && b(1) == 'R' && b(2) == 'I' && b(3) == 'B'
@@ -168,6 +200,27 @@ object Grib2 {
           bu32(b, math.round(r.px * 1e6)); bu32(b, math.round(r.py * 1e6))
           bu8(b, scanMode)
         }
+      case Some(g: GaussianGrid) =>
+        sec(3) { b => // grid definition, template 3.40 regular Gaussian
+          val glats = graft.ops.Geo.gaussianLatitudes(2 * g.n)
+          require(r.height == 2 * g.n,
+            s"Gaussian raster carries ${r.height} rows for N=${g.n}")
+          val (la1, la2) = if ((scanMode & 0x40) != 0) (glats.last, glats.head)
+                           else (glats.head, glats.last)
+          val westCenter = r.west + r.px / 2
+          val eastCenter = r.west + r.px * r.width - r.px / 2
+          val (lo1, lo2) = if ((scanMode & 0x80) != 0) (eastCenter, westCenter)
+                           else (westCenter, eastCenter)
+          bu8(b, 0); bu32(b, n); bu8(b, 0); bu8(b, 0); bu16(b, 40)
+          bu8(b, 6); bu8(b, 0); bu32(b, 0); bu8(b, 0); bu32(b, 0); bu8(b, 0); bu32(b, 0)
+          bu32(b, r.width); bu32(b, r.height); bu32(b, 0); bu32(b, 0)
+          bs32(b, math.round(la1 * 1e6)); bs32(b, math.round(lo1 * 1e6))
+          bu8(b, 0x30)
+          bs32(b, math.round(la2 * 1e6)); bs32(b, math.round(lo2 * 1e6))
+          bu32(b, math.round(r.px * 1e6)) // Di
+          bu32(b, g.n)                    // N replaces Dj
+          bu8(b, scanMode)
+        }
       case Some(p) =>
         sec(3) { b => // grid definition, template 3.20/3.30 projected
           // first point per scan order, projected meters at pixel center
@@ -180,15 +233,17 @@ object Grib2 {
               graft.ops.Geo.invLambertConformalConicSph(rad, l1, l2, lad, lov) _
             case PsProj(rad, lov, lad) =>
               graft.ops.Geo.invPolarStereographicSph(rad, lov, lad) _
+            case _: GaussianGrid => throw new IllegalStateException("handled above")
           })(xFirst, yFirst)
           def lonE(v: Double) = if (v < 0) v + 360 else v // GRIB 0..360 east
-          val (tmpl, lad, lov) = p match {
-            case l: LccProj => (30, l.lad, l.lov)
-            case s: PsProj  => (20, s.lad, s.lov)
+          val (tmpl, lad, lov, radius) = p match {
+            case l: LccProj => (30, l.lad, l.lov, l.radius)
+            case s: PsProj  => (20, s.lad, s.lov, s.radius)
+            case _: GaussianGrid => throw new IllegalStateException("handled above")
           }
           bu8(b, 0); bu32(b, n); bu8(b, 0); bu8(b, 0); bu16(b, tmpl)
           // earth shape 1: sphere with declared scaled radius
-          bu8(b, 1); bu8(b, 0); bu32(b, math.round(p.radius))
+          bu8(b, 1); bu8(b, 0); bu32(b, math.round(radius))
           bu8(b, 0); bu32(b, 0); bu8(b, 0); bu32(b, 0)
           bu32(b, r.width); bu32(b, r.height)
           bs32(b, math.round(la1 * 1e6)); bs32(b, math.round(lonE(lo1) * 1e6))
@@ -478,9 +533,9 @@ object Grib2 {
             // an unknown grid template must fail loudly: parsing its
             // octets with another template's layout would SILENTLY
             // mis-georeference every pixel
-            require(tmpl3 == 0 || tmpl3 == 20 || tmpl3 == 30,
+            require(tmpl3 == 0 || tmpl3 == 20 || tmpl3 == 30 || tmpl3 == 40,
               s"unsupported grid definition template 3.$tmpl3 " +
-                "(supported: 3.0 lat/lon, 3.20 polar stereographic, 3.30 Lambert conformal)")
+                "(supported: 3.0 lat/lon, 3.20 polar stereo, 3.30 Lambert, 3.40 Gaussian)")
             width = u32(o + 25).toInt; height = u32(o + 29).toInt
             if (tmpl3 == 0) {
               val la1 = s32(o + 41) / 1e6; val lo1 = s32(o + 45) / 1e6
@@ -493,6 +548,27 @@ object Grib2 {
               // assuming the first point is NW
               west = math.min(lo1, lo2) - px / 2
               north = math.max(la1, la2) + py / 2
+            } else if (tmpl3 == 40) { // global regular Gaussian (ECMWF F-grids)
+              val la1 = s32(o + 41) / 1e6; val lo1 = s32(o + 45) / 1e6
+              val la2 = s32(o + 50) / 1e6; val lo2 = s32(o + 54) / 1e6
+              px = u32(o + 58) / 1e6 // Di
+              val nPar = u32(o + 62).toInt // N: parallels pole→equator
+              scanMode = bytes(o + 66) & 0xff
+              require((scanMode & 0x30) == 0,
+                f"unsupported scanning mode 0x$scanMode%02x (consecutive-j/boustrophedon)")
+              require(height == 2 * nPar,
+                s"regional Gaussian subsets not supported ($height rows for N=$nPar; " +
+                  "global grids carry Nj = 2N)")
+              val glats = gaussLatsCached(2 * nPar)
+              // the declared first/last points must sit on the table —
+              // anything else means a subset or a different grid family
+              require(math.abs(math.max(la1, la2) - glats(0)) < 1e-3,
+                f"first Gaussian parallel ${math.max(la1, la2)}%.4f != table ${glats(0)}%.4f")
+              west = math.min(lo1, lo2) - px / 2
+              // NOMINAL affine frame; exact latitudes via lonLatArrays
+              py = (glats(0) - glats(height - 1)) / (height - 1)
+              north = glats(0) + py / 2
+              proj = Some(GaussianGrid(nPar))
             } else { // 3.20 polar stereographic / 3.30 Lambert conformal
               val shape = bytes(o + 9) & 0xff
               val radius = shape match {

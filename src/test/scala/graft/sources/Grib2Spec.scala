@@ -363,6 +363,72 @@ class Grib2Spec extends SparkSpec {
     assert(e.getMessage.contains("template 4.30"))
   }
 
+  test("Gaussian latitudes are the Legendre roots (analytic + property checks)") {
+    // n=2: P_2(x) = (3x^2-1)/2, root 1/sqrt(3) → asin = 35.2644°
+    val l2 = graft.ops.Geo.gaussianLatitudes(2)
+    assert(math.abs(l2(0) - math.toDegrees(math.asin(1 / math.sqrt(3)))) < 1e-12)
+    assert(l2(1) == -l2(0))
+    // larger grid: descending, antisymmetric, and every sin(lat) is a
+    // root of P_n to the double floor
+    val n = 64
+    val lats = graft.ops.Geo.gaussianLatitudes(n)
+    assert(lats.sliding(2).forall(p => p(0) > p(1)), "latitudes must descend")
+    assert(lats.zip(lats.reverse).forall { case (a, b) => math.abs(a + b) < 1e-12 })
+    for (lat <- lats.take(5)) {
+      val x = math.sin(math.toRadians(lat))
+      var p0 = 1.0; var p1 = x
+      for (k <- 2 to n) { val p2 = ((2 * k - 1) * x * p1 - (k - 1) * p0) / k; p0 = p1; p1 = p2 }
+      assert(math.abs(p1) < 1e-12, s"sin($lat) is not a P_$n root (P=$p1)")
+    }
+  }
+
+  test("Gaussian grids (3.40) round-trip and expose exact non-uniform latitudes") {
+    val nPar = 16 // an F16 grid: 64x32
+    val w = 64; val h = 2 * nPar
+    val data = Array.tabulate(w * h)(i => (270.0 + (i % 40) * 0.2).toFloat)
+    val m = Grib2.Message(
+      GeoTiff.Raster(w, h, data, 0.0, 90.0, 360.0 / w, 0.0 /* nominal */),
+      discipline = 0, category = 3, parameter = 0,
+      refTime = java.time.LocalDateTime.of(2024, 6, 1, 0, 0, 0),
+      forecastHours = 0, proj = Some(Grib2.GaussianGrid(nPar)))
+    for (scan <- Seq(0, 0x40)) {
+      val back = Grib2.read(Grib2.write(m, scanMode = scan))
+      assert(back.proj.contains(Grib2.GaussianGrid(nPar)))
+      back.raster.data.zip(m.raster.data).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 0.005, s"$a vs $b at scan=$scan")
+      }
+      val Some((lons, lats)) = Grib2.lonLatArrays(back)
+      val glats = graft.ops.Geo.gaussianLatitudes(h)
+      // row latitudes match the table exactly; lon is affine
+      assert((0 until h).forall(y => lats(y * w) == glats(y)))
+      assert(math.abs(lons(5) - (0.0 + 5.5 * 360.0 / w)) < 1e-12)
+      // Gaussian rows are NEARLY uniform in latitude but not affine:
+      // equator spacing is slightly wider than pole spacing, and the
+      // rows sit visibly off the uniform-grid centers — the thing an
+      // affine frame cannot express
+      val dPole = glats(0) - glats(1)
+      val dEq = glats(h / 2 - 1) - glats(h / 2)
+      assert(dEq > dPole, s"equator spacing should exceed pole spacing ($dPole vs $dEq)")
+      val maxDevFromUniform = (0 until h).map(y =>
+        math.abs(glats(y) - (90.0 - (y + 0.5) * 180.0 / h))).max
+      assert(maxDevFromUniform > 0.1,
+        s"Gaussian rows should sit off the uniform centers, max dev $maxDevFromUniform")
+    }
+    // a patched row count (subset) fails loudly
+    val bytes = Grib2.write(m)
+    def u32(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+    var pos = 16
+    var patched = false
+    while (pos < bytes.length - 4 && !patched) {
+      val len = u32(bytes, pos); val num = bytes(pos + 4) & 0xff
+      if (num == 3) { bytes(pos + 5 + 9 + 53) = (nPar / 2).toByte; patched = true } // N octets 68-71
+      else pos += len
+    }
+    assert(patched)
+    intercept[IllegalArgumentException](Grib2.read(bytes))
+  }
+
   test("unknown grid templates fail loudly, never a silent mis-georeference") {
     val bytes = Grib2.write(sampleMessage)
     def u32(b: Array[Byte], o: Int): Int =
@@ -371,12 +437,12 @@ class Grib2Spec extends SparkSpec {
     var patched = false
     while (pos < bytes.length - 4 && !patched) {
       val len = u32(bytes, pos); val num = bytes(pos + 4) & 0xff
-      if (num == 3) { bytes(pos + 5 + 8) = 40.toByte; patched = true } // 3.40 gaussian
+      if (num == 3) { bytes(pos + 5 + 8) = 90.toByte; patched = true } // 3.90 space view
       else pos += len
     }
     assert(patched)
     val e = intercept[IllegalArgumentException](Grib2.read(bytes))
-    assert(e.getMessage.contains("template 3.40"))
+    assert(e.getMessage.contains("template 3.90"))
   }
 
   test("complex packing + 2nd-order spatial differencing (5.3) round-trips") {
