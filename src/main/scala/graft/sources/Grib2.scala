@@ -58,6 +58,14 @@ object Grib2 {
     * Gauss–Legendre abscissae. The raster frame stores a NOMINAL
     * north/py (exact latitudes come from [[lonLatArrays]]). */
   case class GaussianGrid(n: Int) extends GridProj
+  /** Global REDUCED Gaussian grid (template 3.40 with a points-per-row
+    * list — the ECMWF HRES octahedral family, e.g. O1280): row j
+    * carries pl(j) points spanning the full circle from 0°E at spacing
+    * 360/pl(j). The raster is the max(pl)-wide rectangle with ragged
+    * tails NaN-padded — no resampling, the real points keep their
+    * exact coordinates through [[lonLatArrays]] and the padding never
+    * survives the long-form explode (NaN cells are dropped). */
+  case class ReducedGaussianGrid(n: Int, pl: Seq[Int]) extends GridProj
 
   case class Message(raster: GeoTiff.Raster,
                      discipline: Int, category: Int, parameter: Int,
@@ -87,13 +95,30 @@ object Grib2 {
             }
             y += 1
           }
+        case ReducedGaussianGrid(nPar, pl) =>
+          // each row spans the full circle from 0°E at its own spacing;
+          // padded tail cells get out-of-row coordinates but are NaN in
+          // the raster and never survive the long-form explode
+          val glats = gaussLatsCached(2 * nPar)
+          var y = 0
+          while (y < r.height) {
+            val lat = glats(y)
+            val step = 360.0 / pl(y)
+            var x = 0
+            while (x < r.width) {
+              lons(y * r.width + x) = x * step
+              lats(y * r.width + x) = lat
+              x += 1
+            }
+            y += 1
+          }
         case _ =>
           val inv: (Double, Double) => (Double, Double) = p match {
             case LccProj(rad, lov, l1, l2, lad) =>
               graft.ops.Geo.invLambertConformalConicSph(rad, l1, l2, lad, lov)
             case PsProj(rad, lov, lad) =>
               graft.ops.Geo.invPolarStereographicSph(rad, lov, lad)
-            case _: GaussianGrid => throw new IllegalStateException("handled above")
+            case _ => throw new IllegalStateException("handled above")
           }
           var y = 0
           while (y < r.height) {
@@ -139,9 +164,28 @@ object Grib2 {
     require(Set(0, 2, 3, 40, 41, 42).contains(packing), s"unsupported packing $packing")
     require((scanMode & 0x30) == 0, "consecutive-j/boustrophedon not supported")
     val r = m.raster
-    val n = r.width * r.height
-    // reorder into scan order (writer side of the normalization contract)
-    val scanData = reorder(r.data, r.width, r.height, scanMode)
+    val reducedPl: Option[Seq[Int]] =
+      m.proj.collect { case rg: ReducedGaussianGrid => rg.pl }
+    val n = reducedPl.map(_.sum).getOrElse(r.width * r.height)
+    // reorder into scan order (writer side of the normalization
+    // contract); reduced grids slice the ragged rows out of the padded
+    // rectangle instead (scan mode 0 only — enforced at the reader too)
+    val scanData = reducedPl match {
+      case Some(pl) =>
+        require(scanMode == 0, "reduced Gaussian grids write scan mode 0 only")
+        require(pl.length == r.height && pl.max <= r.width,
+          s"row list (${pl.length} rows, max ${pl.max}) does not fit ${r.width}x${r.height}")
+        val out = new Array[Float](pl.sum)
+        var dst = 0
+        var jj = 0
+        while (jj < r.height) {
+          Array.copy(r.data, jj * r.width, out, dst, pl(jj))
+          dst += pl(jj)
+          jj += 1
+        }
+        out
+      case None => reorder(r.data, r.width, r.height, scanMode)
+    }
     val valid = scanData.filter(!_.isNaN)
     require(valid.nonEmpty, "all-NaN grid")
     val scale = math.pow(10, decimals)
@@ -200,6 +244,27 @@ object Grib2 {
           bu32(b, math.round(r.px * 1e6)); bu32(b, math.round(r.py * 1e6))
           bu8(b, scanMode)
         }
+      case Some(rg: ReducedGaussianGrid) =>
+        sec(3) { b => // template 3.40 + points-per-row list (O-grids)
+          val glats = graft.ops.Geo.gaussianLatitudes(2 * rg.n)
+          require(r.height == 2 * rg.n,
+            s"reduced Gaussian raster carries ${r.height} rows for N=${rg.n}")
+          bu8(b, 0); bu32(b, n)
+          bu8(b, 2) // octets per list entry
+          bu8(b, 1) // interpretation: number of points per row
+          bu16(b, 40)
+          bu8(b, 6); bu8(b, 0); bu32(b, 0); bu8(b, 0); bu32(b, 0); bu8(b, 0); bu32(b, 0)
+          bu32(b, 0xFFFFFFFFL) // Ni: missing (varies per row)
+          bu32(b, r.height); bu32(b, 0); bu32(b, 0)
+          bs32(b, math.round(glats.head * 1e6)); bs32(b, 0) // first point 0°E
+          bu8(b, 0x30)
+          bs32(b, math.round(glats.last * 1e6))
+          bs32(b, math.round((360.0 - 360.0 / rg.pl.last) * 1e6)) // last point
+          bu32(b, 0xFFFFFFFFL) // Di: missing
+          bu32(b, rg.n)
+          bu8(b, scanMode)
+          rg.pl.foreach(p => bu16(b, p)) // the row list follows the template
+        }
       case Some(g: GaussianGrid) =>
         sec(3) { b => // grid definition, template 3.40 regular Gaussian
           val glats = graft.ops.Geo.gaussianLatitudes(2 * g.n)
@@ -233,13 +298,13 @@ object Grib2 {
               graft.ops.Geo.invLambertConformalConicSph(rad, l1, l2, lad, lov) _
             case PsProj(rad, lov, lad) =>
               graft.ops.Geo.invPolarStereographicSph(rad, lov, lad) _
-            case _: GaussianGrid => throw new IllegalStateException("handled above")
+            case _ => throw new IllegalStateException("handled above")
           })(xFirst, yFirst)
           def lonE(v: Double) = if (v < 0) v + 360 else v // GRIB 0..360 east
           val (tmpl, lad, lov, radius) = p match {
             case l: LccProj => (30, l.lad, l.lov, l.radius)
             case s: PsProj  => (20, s.lad, s.lov, s.radius)
-            case _: GaussianGrid => throw new IllegalStateException("handled above")
+            case _ => throw new IllegalStateException("handled above")
           }
           bu8(b, 0); bu32(b, n); bu8(b, 0); bu8(b, 0); bu16(b, tmpl)
           // earth shape 1: sphere with declared scaled radius
@@ -548,27 +613,49 @@ object Grib2 {
               // assuming the first point is NW
               west = math.min(lo1, lo2) - px / 2
               north = math.max(la1, la2) + py / 2
-            } else if (tmpl3 == 40) { // global regular Gaussian (ECMWF F-grids)
+            } else if (tmpl3 == 40) { // global Gaussian (ECMWF F- and O-grids)
               val la1 = s32(o + 41) / 1e6; val lo1 = s32(o + 45) / 1e6
-              val la2 = s32(o + 50) / 1e6; val lo2 = s32(o + 54) / 1e6
-              px = u32(o + 58) / 1e6 // Di
               val nPar = u32(o + 62).toInt // N: parallels pole→equator
               scanMode = bytes(o + 66) & 0xff
-              require((scanMode & 0x30) == 0,
-                f"unsupported scanning mode 0x$scanMode%02x (consecutive-j/boustrophedon)")
               require(height == 2 * nPar,
                 s"regional Gaussian subsets not supported ($height rows for N=$nPar; " +
                   "global grids carry Nj = 2N)")
               val glats = gaussLatsCached(2 * nPar)
               // the declared first/last points must sit on the table —
               // anything else means a subset or a different grid family
-              require(math.abs(math.max(la1, la2) - glats(0)) < 1e-3,
-                f"first Gaussian parallel ${math.max(la1, la2)}%.4f != table ${glats(0)}%.4f")
-              west = math.min(lo1, lo2) - px / 2
-              // NOMINAL affine frame; exact latitudes via lonLatArrays
-              py = (glats(0) - glats(height - 1)) / (height - 1)
-              north = glats(0) + py / 2
-              proj = Some(GaussianGrid(nPar))
+              require(math.abs(math.max(la1, s32(o + 50) / 1e6) - glats(0)) < 1e-3,
+                f"first Gaussian parallel != table head ${glats(0)}%.4f")
+              val listOctets = bytes(o + 5) & 0xff
+              val listInterp = bytes(o + 6) & 0xff
+              if (listOctets > 0) { // REDUCED grid: points-per-row list
+                require(listInterp == 1,
+                  s"optional-list interpretation $listInterp not supported (1 = points per row)")
+                require(listOctets == 2 || listOctets == 4,
+                  s"unsupported list octet width $listOctets")
+                require(scanMode == 0,
+                  f"reduced Gaussian grids support scan mode 0 only, got 0x$scanMode%02x")
+                val pl = IndexedSeq.tabulate(height) { jj =>
+                  val base = o + 67 + jj * listOctets
+                  if (listOctets == 2) u16(base) else u32(base).toInt
+                }
+                require(pl.forall(_ > 0), "zero-point row in reduced-grid list")
+                width = pl.max
+                px = 360.0 / width // nominal; exact lon is per-row
+                west = 0.0
+                py = (glats(0) - glats(height - 1)) / (height - 1)
+                north = glats(0) + py / 2
+                proj = Some(ReducedGaussianGrid(nPar, pl))
+              } else { // regular F-grid
+                val lo2 = s32(o + 54) / 1e6
+                px = u32(o + 58) / 1e6 // Di
+                require((scanMode & 0x30) == 0,
+                  f"unsupported scanning mode 0x$scanMode%02x (consecutive-j/boustrophedon)")
+                west = math.min(lo1, lo2) - px / 2
+                // NOMINAL affine frame; exact latitudes via lonLatArrays
+                py = (glats(0) - glats(height - 1)) / (height - 1)
+                north = glats(0) + py / 2
+                proj = Some(GaussianGrid(nPar))
+              }
             } else { // 3.20 polar stereographic / 3.30 Lambert conformal
               val shape = bytes(o + 9) & 0xff
               val radius = shape match {
@@ -716,14 +803,33 @@ object Grib2 {
         pos += len
       }
     }
-    // thinned/quasi-regular grids carry fewer points than W×H; building
-    // a rectangular raster from them would silently mis-place pixels
-    require(nPts == width * height,
-      s"thinned/quasi-regular grid ($nPts points for ${width}x$height) not supported")
-    // normalize scan order to canonical north-up/west-east
-    if (scanMode != 0) {
-      data = reorder(data, width, height, scanMode)
-      if (bitmap != null) { /* bitmap already applied into data */ }
+    proj match {
+      case Some(ReducedGaussianGrid(_, pl)) =>
+        // ragged rows → NaN-padded rectangle, each row left-anchored;
+        // real points keep exact coords via lonLatArrays, padding never
+        // survives the long-form explode
+        require(nPts == pl.sum,
+          s"reduced grid carries $nPts points but the row list sums to ${pl.sum}")
+        val padded = Array.fill(width * height)(Float.NaN)
+        var src = 0
+        var jj = 0
+        while (jj < height) {
+          Array.copy(data, src, padded, jj * width, pl(jj))
+          src += pl(jj)
+          jj += 1
+        }
+        data = padded
+      case _ =>
+        // thinned/quasi-regular grids OUTSIDE the declared reduced-
+        // Gaussian form carry fewer points than W×H; building a
+        // rectangle from them would silently mis-place pixels
+        require(nPts == width * height,
+          s"thinned/quasi-regular grid ($nPts points for ${width}x$height) not supported")
+        // normalize scan order to canonical north-up/west-east
+        if (scanMode != 0) {
+          data = reorder(data, width, height, scanMode)
+          if (bitmap != null) { /* bitmap already applied into data */ }
+        }
     }
     Message(GeoTiff.Raster(width, height, data, west, north, px, py),
       discipline, category, parameter, refTime, forecastHours, proj)

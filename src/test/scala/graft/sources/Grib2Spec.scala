@@ -429,6 +429,43 @@ class Grib2Spec extends SparkSpec {
     intercept[IllegalArgumentException](Grib2.read(bytes))
   }
 
+  test("reduced Gaussian grids (octahedral family) round-trip ragged rows exactly") {
+    // an O8-style grid: 16 rows, 4j+16 points per row from each pole
+    val nPar = 8
+    val half = (1 to nPar).map(j => 4 * j + 16)
+    val pl = half ++ half.reverse
+    val h = 2 * nPar; val w = pl.max
+    val data = Array.fill(w * h)(Float.NaN)
+    for (j <- 0 until h; x <- 0 until pl(j))
+      data(j * w + x) = if ((j, x) == (3, 5)) Float.NaN // a REAL nodata hole
+                        else (270.0f + j * 2.0f + x * 0.25f)
+    val m = Grib2.Message(
+      GeoTiff.Raster(w, h, data, 0.0, 90.0, 360.0 / w, 0.0),
+      discipline = 0, category = 3, parameter = 1,
+      refTime = java.time.LocalDateTime.of(2024, 6, 2, 0, 0, 0),
+      forecastHours = 0, proj = Some(Grib2.ReducedGaussianGrid(nPar, pl)))
+    val bytes = Grib2.write(m, packing = 42) // the real ECMWF pairing
+    val back = Grib2.read(bytes)
+    assert(back.proj.contains(Grib2.ReducedGaussianGrid(nPar, pl)))
+    assert(back.raster.width == w && back.raster.height == h)
+    for (j <- 0 until h; x <- 0 until w) {
+      val (a, b) = (back.raster.data(j * w + x), m.raster.data(j * w + x))
+      if (b.isNaN) assert(a.isNaN, s"($j,$x): expected NaN, got $a")
+      else assert(math.abs(a - b) < 0.005, s"($j,$x): $a vs $b")
+    }
+    // exact per-row coordinates: lon spacing varies by row
+    val Some((lons, lats)) = Grib2.lonLatArrays(back)
+    val glats = graft.ops.Geo.gaussianLatitudes(h)
+    assert(lats(0) == glats(0) && lats((h - 1) * w) == glats(h - 1))
+    assert(math.abs(lons(0 * w + 3) - 3 * 360.0 / pl(0)) < 1e-12)
+    assert(math.abs(lons(7 * w + 3) - 3 * 360.0 / pl(7)) < 1e-12)
+    assert(lons(0 * w + 3) != lons(7 * w + 3), "row spacing must differ")
+    // ingest drops the padding: one row per REAL non-NaN point
+    val dir = Files.createTempDirectory("graft-ogrid-").toString
+    Files.write(Paths.get(s"$dir/t_20240602_0000.grib2"), bytes)
+    assert(Formats.ingestDir(spark, dir).count() == pl.sum - 1L)
+  }
+
   test("unknown grid templates fail loudly, never a silent mis-georeference") {
     val bytes = Grib2.write(sampleMessage)
     def u32(b: Array[Byte], o: Int): Int =
