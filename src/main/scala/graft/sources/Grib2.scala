@@ -585,6 +585,10 @@ object Grib2 {
       if (new String(bytes, pos, math.min(4, bytes.length - pos)) == "7777") { pos = bytes.length }
       else {
         val len = u32(pos).toInt
+        // a corrupt length ≤ the 5-byte section header (or negative via
+        // overflow) would re-parse the same bytes forever — the decode
+        // loop must always make forward progress
+        require(len > 5, s"implausible section length $len at offset $pos")
         val num = bytes(pos + 4) & 0xff
         val o = pos + 5
         num match {
@@ -594,6 +598,8 @@ object Grib2 {
               bytes(o + 13) & 0xff)
           case 3 =>
             nPts = u32(o + 1).toInt
+            require(nPts > 0 && nPts <= (1 << 26),
+              s"implausible point count $nPts (corrupt section 3?)")
             val tmpl3 = u16(o + 7)
             // an unknown grid template must fail loudly: parsing its
             // octets with another template's layout would SILENTLY
@@ -602,6 +608,11 @@ object Grib2 {
               s"unsupported grid definition template 3.$tmpl3 " +
                 "(supported: 3.0 lat/lon, 3.20 polar stereo, 3.30 Lambert, 3.40 Gaussian)")
             width = u32(o + 25).toInt; height = u32(o + 29).toInt
+            // corrupt dimension octets must dead-letter, not OOM the
+            // executor with a multi-GiB allocation (width is checked
+            // after the reduced-grid branch may overwrite it)
+            require(height > 0 && height <= (1 << 24),
+              s"implausible grid height $height")
             if (tmpl3 == 0) {
               val la1 = s32(o + 41) / 1e6; val lo1 = s32(o + 45) / 1e6
               val la2 = s32(o + 50) / 1e6; val lo2 = s32(o + 54) / 1e6
@@ -703,6 +714,8 @@ object Grib2 {
               north = yMax + dy / 2
               proj = Some(p)
             }
+            require(width > 0 && width.toLong * height <= (1 << 26),
+              s"implausible grid shape ${width}x$height (corrupt section 3?)")
           case 4 =>
             val tmpl4 = u16(o + 2)
             // 4.0/4.1/4.2 (analysis/ensemble/derived) and 4.8/4.11/4.12

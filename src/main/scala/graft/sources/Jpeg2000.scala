@@ -1105,6 +1105,8 @@ object Jpeg2000 {
           throw new IllegalArgumentException(f"unsupported marker 0x$m%04x in main header")
       }
     }
+    require(w > 0 && h > 0 && w.toLong * h <= (1L << 26),
+      s"implausible image shape ${w}x$h (corrupt SIZ?)")
     require(w > 0 && h > 0 && depth > 0 && levels >= 0 && expnts != null,
       "incomplete main header (need SIZ, COD, QCD before SOT)")
 

@@ -1,0 +1,70 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+/** Corruption tolerance for the GRIB decode stack — the dead-letter
+  * contract at feed scale: a damaged granule must either decode or
+  * THROW (any exception is fine; ingestDirQuarantine records it), and
+  * must do so promptly without pathological allocation. Covers every
+  * packing (bit, complex, J2K, PNG, CCSDS) and every grid family the
+  * reader supports, under both random byte flips and truncation. A
+  * hang or an OOM here would take an executor down with the granule;
+  * an exception costs one dead-letter row. */
+class GribFuzzSpec extends AnyFunSuite {
+
+  private def baseMessages: Seq[(String, Array[Byte])] = {
+    val w = 24; val h = 16
+    val data = Array.tabulate(w * h)(i =>
+      if (i % 19 == 0) Float.NaN else (250.0f + (i % 40) * 0.5f))
+    val latlon = Grib2.Message(
+      GeoTiff.Raster(w, h, data, -180.0, 90.0, 15.0, 11.25),
+      0, 0, 0, java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0), 0)
+    val lcc = latlon.copy(proj = Some(Grib2.LccProj(6371229.0, -97.5, 38.5, 38.5, 38.5)),
+      raster = GeoTiff.Raster(w, h, data, 0.0, h * 3000.0, 3000.0, 3000.0))
+    val gauss = latlon.copy(proj = Some(Grib2.GaussianGrid(h / 2)),
+      raster = GeoTiff.Raster(w, h, data, 0.0, 90.0, 360.0 / w, 0.0))
+    Seq(
+      "simple" -> Grib2.write(latlon, packing = 0),
+      "complex" -> Grib2.write(latlon, packing = 3),
+      "jpeg2000" -> Grib2.write(latlon, packing = 40),
+      "png" -> Grib2.write(latlon, packing = 41),
+      "ccsds" -> Grib2.write(latlon, packing = 42),
+      "lcc+j2k" -> Grib2.write(lcc, packing = 40),
+      "gauss+ccsds" -> Grib2.write(gauss, packing = 42))
+  }
+
+  test("byte-flipped granules decode or throw — never hang, never huge allocs") {
+    val rnd = new Random(41)
+    for ((label, good) <- baseMessages) {
+      // sanity: the pristine stream decodes
+      Grib2.read(good)
+      var decoded = 0; var threw = 0
+      for (trial <- 0 until 120) {
+        val bad = good.clone()
+        val flips = 1 + rnd.nextInt(4)
+        for (_ <- 0 until flips)
+          bad(rnd.nextInt(bad.length)) = rnd.nextInt(256).toByte
+        val t0 = System.nanoTime()
+        try { Grib2.read(bad); decoded += 1 }
+        catch { case _: Exception => threw += 1 }
+        val dt = (System.nanoTime() - t0) / 1e9
+        assert(dt < 5.0, s"$label trial $trial took ${dt}s — decode must stay prompt")
+      }
+      info(s"$label: $decoded decoded, $threw dead-lettered of 120 corruptions")
+      assert(decoded + threw == 120)
+    }
+  }
+
+  test("truncated granules throw promptly at every cut point class") {
+    val rnd = new Random(43)
+    for ((label, good) <- baseMessages; trial <- 0 until 40) {
+      val cut = 1 + rnd.nextInt(good.length - 1)
+      val t0 = System.nanoTime()
+      try { Grib2.read(java.util.Arrays.copyOfRange(good, 0, cut)); () }
+      catch { case _: Exception => () }
+      assert((System.nanoTime() - t0) / 1e9 < 5.0,
+        s"$label truncated at $cut must fail promptly")
+    }
+  }
+}
