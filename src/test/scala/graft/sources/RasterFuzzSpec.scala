@@ -1,0 +1,75 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+/** The GribFuzzSpec contract extended to the OTHER raster decoders:
+  * GeoTIFF (stripped and tiled+deflate COG) and NetCDF classic. A
+  * corrupt granule must decode or throw promptly — never hang on a
+  * cyclic/zero offset walk, never attempt a corrupt-dimension-sized
+  * allocation — so the quarantine path can dead-letter it. */
+class RasterFuzzSpec extends AnyFunSuite {
+
+  private def baseFiles: Seq[(String, Array[Byte])] = {
+    val w = 24; val h = 16
+    val data = Array.tabulate(w * h)(i =>
+      if (i % 19 == 0) Float.NaN else (20.0f + (i % 31) * 0.5f))
+    val strip = GeoTiff.write(GeoTiff.Raster(w, h, data, -180.0, 90.0, 15.0, 11.25))
+    val cog = GeoTiff.writeCog(Seq(data), w, h, -180.0, 90.0, 15.0, 11.25)
+    val lat = Array.tabulate(h)(j => 90f - j * 11.25f)
+    val lon = Array.tabulate(w)(i => -180f + i * 15f)
+    val nc = NetCdf.write(
+      Seq("lat" -> h, "lon" -> w),
+      Seq(NetCdf.Variable("lat", Seq("lat"), lat, None),
+        NetCdf.Variable("lon", Seq("lon"), lon, None),
+        NetCdf.Variable("t2m", Seq("lat", "lon"), data, None)))
+    val lat5 = Array(40f, 30f, 20f, 10f, 0f)
+    val lon7 = Array(-30f, -20f, -10f, 0f, 10f, 20f, 30f)
+    val d57 = Array.tabulate(5 * 7)(i => if (i % 11 == 0) -9999f else i * 0.25f)
+    val h5 = Hdf5.write(
+      Seq("lat" -> 5, "lon" -> 7),
+      Seq(NetCdf.Variable("lat", Seq("lat"), lat5, None),
+        NetCdf.Variable("lon", Seq("lon"), lon7, None),
+        NetCdf.Variable("precip", Seq("lat", "lon"), d57, Some(-9999f))))
+    Seq("tiff-strip" -> strip, "tiff-cog" -> cog, "netcdf" -> nc, "hdf5" -> h5)
+  }
+
+  private def decodeAny(label: String, bytes: Array[Byte]): Unit = label match {
+    case l if l.startsWith("tiff") => GeoTiff.read(bytes); ()
+    case _ =>
+      val f = NetCdf.readAny(bytes)
+      f.gridVars.headOption.foreach(v => f.rasters(v.name))
+  }
+
+  test("byte-flipped rasters decode or throw — never hang, never huge allocs") {
+    val rnd = new Random(47)
+    for ((label, good) <- baseFiles) {
+      decodeAny(label, good) // pristine must decode
+      var decoded = 0; var threw = 0
+      for (trial <- 0 until 120) {
+        val bad = good.clone()
+        for (_ <- 0 to rnd.nextInt(4))
+          bad(rnd.nextInt(bad.length)) = rnd.nextInt(256).toByte
+        val t0 = System.nanoTime()
+        try { decodeAny(label, bad); decoded += 1 }
+        catch { case _: Exception => threw += 1 }
+        val dt = (System.nanoTime() - t0) / 1e9
+        assert(dt < 5.0, s"$label trial $trial took ${dt}s — decode must stay prompt")
+      }
+      info(s"$label: $decoded decoded, $threw dead-lettered of 120 corruptions")
+      assert(decoded + threw == 120)
+    }
+  }
+
+  test("truncated rasters throw promptly") {
+    val rnd = new Random(53)
+    for ((label, good) <- baseFiles; _ <- 0 until 40) {
+      val cut = 1 + rnd.nextInt(good.length - 1)
+      val t0 = System.nanoTime()
+      try { decodeAny(label, java.util.Arrays.copyOfRange(good, 0, cut)) }
+      catch { case _: Exception => () }
+      assert((System.nanoTime() - t0) / 1e9 < 5.0,
+        s"$label truncated at $cut must fail promptly")
+    }
+  }
+}
