@@ -77,6 +77,44 @@ object SoakGrib {
       println(f"[soak-grib] $label%-18s $nPer granules  ${bytes / 1024}%6d KiB  " +
         f"$dt%6.2f s  ${nPer / dt}%6.1f granules/s  ${px / dt / 1e6}%6.1f Mpx/s  rows=$n")
     }
+
+    // production-sized single granules, decoded in-process (no Spark):
+    // the per-file cost the chipper pays on REAL operational dimensions
+    def single(label: String, m: Grib2.Message, packing: Int): Unit = {
+      val b = Grib2.write(m, packing = packing)
+      val t0 = System.nanoTime()
+      val back = Grib2.read(b)
+      val ll = Grib2.lonLatArrays(back)
+      val dt = (System.nanoTime() - t0) / 1e9
+      val npx = back.raster.width.toLong * back.raster.height
+      println(f"[soak-grib-1] $label%-22s ${b.length / 1024}%6d KiB  " +
+        f"$dt%6.2f s  ${npx / dt / 1e6}%6.1f Mpx/s  ll=${ll.isDefined}")
+    }
+    locally { // HRRR CONUS dimensions: 1799x1059 on the Lambert grid
+      val (hw, hh) = (1799, 1059)
+      val p = Grib2.LccProj(6371229.0, -97.5, 38.5, 38.5, 38.5)
+      val (x0, y0) = graft.ops.Geo.fwdLambertConformalConicSph(
+        p.radius, p.latin1, p.latin2, p.lad, p.lov)(-105.0, 25.0)
+      val data = Array.tabulate(hw * hh)(i =>
+        (250.0 + 25.0 * math.sin((i % hw) * 0.01) * math.cos((i / hw) * 0.013)).toFloat)
+      single("hrrr 1799x1059 lcc+j2k", Grib2.Message(
+        GeoTiff.Raster(hw, hh, data, x0, y0 + hh * 3000.0, 3000.0, 3000.0),
+        0, 0, 0, java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0), 0,
+        Some(p)), packing = 40)
+    }
+    locally { // an O320-scale reduced Gaussian (N=320, 640 ragged rows)
+      val nPar = 320
+      val half = (1 to nPar).map(jj => 4 * jj + 16)
+      val pl = half ++ half.reverse
+      val w = pl.max; val h = 2 * nPar
+      val data = Array.fill(w * h)(Float.NaN)
+      for (jj <- 0 until h; x <- 0 until pl(jj))
+        data(jj * w + x) = (260.0 + 20.0 * math.sin(x * 0.02) * math.cos(jj * 0.01)).toFloat
+      single(s"o$nPar ${pl.sum}pts gauss+aec", Grib2.Message(
+        GeoTiff.Raster(w, h, data, 0.0, 90.0, 360.0 / w, 0.0),
+        0, 0, 0, java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0), 0,
+        Some(Grib2.ReducedGaussianGrid(nPar, pl))), packing = 42)
+    }
     spark.stop()
   }
 }
