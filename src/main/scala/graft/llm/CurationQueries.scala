@@ -233,7 +233,7 @@ object CurationQueries extends QueryModule {
         |sc AS (
         |  SELECT doc_id, CAST(length(bin((n_corpus + vs) // (c + 1))) AS BIGINT) AS bits
         |  FROM w JOIN v USING (w) CROSS JOIN tot)
-        |SELECT doc_id, count(*) AS n_tokens, sum(bits) AS sum_bits,
+        |SELECT doc_id, count(*) AS n_tokens, CAST(sum(bits) AS BIGINT) AS sum_bits,
         |  CAST(sum(bits) AS DOUBLE) / count(*) AS mean_bits
         |FROM sc GROUP BY doc_id""".stripMargin,
     "d_pii_redact" ->

@@ -46,18 +46,37 @@ object Formats {
     val name = "grib2"
     def canHandle(b: Array[Byte]) = Grib2.canHandle(b)
     def decode(b: Array[Byte]) = Grib2.read(b).raster
+    /** GRIB legally allows each message its own grid definition, but the
+      * ingest flatMap pairs ONE lon/lat array set (from the first message)
+      * with EVERY message's pixels — a mixed-grid file would silently
+      * mis-georeference later messages. Fail loudly instead. */
+    private def requireOneGrid(ms: Seq[Grib2.Message]): Seq[Grib2.Message] = {
+      val h = ms.head
+      ms.zipWithIndex.foreach { case (m, i) =>
+        val same = m.raster.width == h.raster.width &&
+          m.raster.height == h.raster.height &&
+          m.raster.west == h.raster.west && m.raster.north == h.raster.north &&
+          m.raster.px == h.raster.px && m.raster.py == h.raster.py &&
+          m.proj == h.proj
+        require(same,
+          s"message $i carries a different grid (${m.raster.width}x${m.raster.height} " +
+            s"proj=${m.proj}) than message 0 (${h.raster.width}x${h.raster.height} " +
+            s"proj=${h.proj}); mixed-grid GRIB files must be split before ingest")
+      }
+      ms
+    }
     /** One entry per concatenated message, indexed by forecast hour. */
     override def decodeMulti(b: Array[Byte]): Seq[(Int, GeoTiff.Raster)] =
-      Grib2.readAll(b).map(m => m.forecastHours -> m.raster)
+      requireOneGrid(Grib2.readAll(b)).map(m => m.forecastHours -> m.raster)
     override def listVariables(b: Array[Byte]): Seq[String] =
       Grib2.readAll(b).map(m => s"d${m.discipline}_c${m.category}_p${m.parameter}").distinct
     /** Projected (Lambert 3.30) grids carry exact per-pixel lon/lat —
       * the same non-affine hook curvilinear NetCDF uses; lat/lon grids
       * return None and keep the affine fast path. Multi-message files
-      * share one grid definition, so the first message's arrays serve
-      * the whole file. */
+      * must share one grid definition (enforced in decodeMulti and here),
+      * so the first message's arrays serve the whole file. */
     override def pixelLonLat(b: Array[Byte]): Option[(Array[Double], Array[Double])] =
-      Grib2.lonLatArrays(Grib2.read(b))
+      Grib2.lonLatArrays(requireOneGrid(Grib2.readAll(b)).head)
   }
 
   object NetCdfDecoder extends Decoder {

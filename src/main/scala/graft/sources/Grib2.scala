@@ -631,6 +631,12 @@ object Grib2 {
               require(height == 2 * nPar,
                 s"regional Gaussian subsets not supported ($height rows for N=$nPar; " +
                   "global grids carry Nj = 2N)")
+              // gaussianLatitudes is O(N^2) Newton x Legendre — a corrupt
+              // granule with a huge but self-consistent N must dead-letter
+              // promptly, not hang the executor. 8192 covers F/O2560
+              // (N=2560) with generous margin over any operational grid.
+              require(nPar >= 1 && nPar <= 8192,
+                s"implausible Gaussian grid N=$nPar (operational max is O(2560))")
               val glats = gaussLatsCached(2 * nPar)
               // the declared first/last points must sit on the table —
               // anything else means a subset or a different grid family
@@ -741,7 +747,9 @@ object Grib2 {
               //   grib_set -r -s packingType=grid_simple in.grib2 out.grib2
               // (or wgrib2 in.grib2 -set_grib_type simple -grib_out
               // out.grib2), after which the file reads via template 5.0.
-              val ctype = bytes(o + 15) & 0xff
+              // octet 22 = type of compression (0 lossless, 1 lossy);
+              // octet 21 (o+15) is the ORIGINAL FIELD TYPE, not this flag
+              val ctype = bytes(o + 16) & 0xff
               require(ctype == 0,
                 "lossy (irreversible 9/7) JPEG2000 packing not supported — " +
                   "re-encode with grid_simple or lossless JPEG2000")

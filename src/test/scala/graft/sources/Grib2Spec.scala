@@ -219,20 +219,35 @@ class Grib2Spec extends SparkSpec {
 
   test("LOSSY JPEG2000 (5.40 compression type 1) fails loudly with the recipe") {
     val bytes = Grib2.write(sampleMessage, packing = 40)
-    // patch the section-5 compression-type octet (template offset 15)
+    // patch the section-5 compression-type octet (octet 22 = section
+    // offset 5+16; octet 21 at 5+15 is the original-field-type flag,
+    // which must NOT trip the lossy gate — asserted below)
     def u32(b: Array[Byte], o: Int): Int =
       ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
     var pos = 16
     var patched = false
     while (pos < bytes.length - 4 && !patched) {
       val len = u32(bytes, pos); val num = bytes(pos + 4) & 0xff
-      if (num == 5) { bytes(pos + 5 + 15) = 1.toByte; patched = true }
+      if (num == 5) { bytes(pos + 5 + 16) = 1.toByte; patched = true }
       else pos += len
     }
     assert(patched)
     val e = intercept[IllegalArgumentException](Grib2.read(bytes))
     assert(e.getMessage.contains("lossy") && e.getMessage.contains("grid_simple"),
       s"unexpected failure message: ${e.getMessage}")
+
+    // and a LOSSLESS stream whose ORIGINAL FIELD TYPE is integer
+    // (octet 21 = 1) is legal — it must decode, not be mislabeled lossy
+    val intOrig = Grib2.write(sampleMessage, packing = 40)
+    pos = 16; patched = false
+    while (pos < intOrig.length - 4 && !patched) {
+      val len = u32(intOrig, pos); val num = intOrig(pos + 4) & 0xff
+      if (num == 5) { intOrig(pos + 5 + 15) = 1.toByte; patched = true }
+      else pos += len
+    }
+    assert(patched)
+    val m = Grib2.read(intOrig)
+    assert(m.raster.data.count(!_.isNaN) == sampleMessage.raster.data.count(!_.isNaN))
   }
 
   private def lccMessage = {
@@ -544,6 +559,20 @@ class Grib2Spec extends SparkSpec {
     assert(Formats.Grib2Decoder.decodeMulti(bytes).map(_._1) == Seq(12, 18, 24))
   }
 
+  test("mixed-grid multi-message files fail loudly instead of mis-georeferencing") {
+    val m = sampleMessage
+    val shifted = m.copy(forecastHours = 18,
+      raster = m.raster.copy(west = m.raster.west + 10.0))
+    val bytes = Grib2.write(m) ++ Grib2.write(shifted)
+    val e = intercept[IllegalArgumentException] {
+      Formats.Grib2Decoder.decodeMulti(bytes)
+    }
+    assert(e.getMessage.contains("different grid"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      Formats.Grib2Decoder.pixelLonLat(bytes)
+    }
+  }
+
   test("mixed-format directory ingests tiff and grib2 together") {
     val dir = Files.createTempDirectory("graft-mixed-").toString
     val m = sampleMessage
@@ -570,7 +599,7 @@ class Grib2Spec extends SparkSpec {
     var patched = false
     while (pos < bad.length - 4 && !patched) {
       val len = u32(bad, pos); val num = bad(pos + 4) & 0xff
-      if (num == 5) { bad(pos + 5 + 15) = 1.toByte; patched = true }
+      if (num == 5) { bad(pos + 5 + 16) = 1.toByte; patched = true }
       else pos += len
     }
     assert(patched)

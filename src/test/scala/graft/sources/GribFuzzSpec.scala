@@ -67,4 +67,32 @@ class GribFuzzSpec extends AnyFunSuite {
         s"$label truncated at $cut must fail promptly")
     }
   }
+
+  test("corrupt 3.40 with a huge self-consistent N dead-letters promptly") {
+    // gaussianLatitudes is O(N^2): a granule whose N and Nj octets are
+    // both corrupted to a large consistent pair must be rejected BEFORE
+    // the latitude table is built (N=100000 would be ~10^10+ ops)
+    val good = baseMessages.collectFirst { case ("gauss+ccsds", b) => b }.get
+    val bad = good.clone()
+    def u32(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+    def pu32(b: Array[Byte], o: Int, v: Int): Unit = {
+      b(o) = (v >>> 24).toByte; b(o + 1) = (v >>> 16).toByte
+      b(o + 2) = (v >>> 8).toByte; b(o + 3) = v.toByte
+    }
+    var pos = 16; var patched = false
+    while (pos < bad.length - 4 && !patched) {
+      val len = u32(bad, pos); val num = bad(pos + 4) & 0xff
+      if (num == 3) {
+        pu32(bad, pos + 34, 200000) // Nj (octets 35-38)
+        pu32(bad, pos + 67, 100000) // N  (octets 68-71)
+        patched = true
+      } else pos += len
+    }
+    assert(patched)
+    val t0 = System.nanoTime()
+    val e = intercept[IllegalArgumentException](Grib2.read(bad))
+    assert((System.nanoTime() - t0) / 1e9 < 5.0, "must reject before the O(N^2) table")
+    assert(e.getMessage.contains("implausible Gaussian grid N"), e.getMessage)
+  }
 }

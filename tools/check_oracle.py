@@ -72,6 +72,20 @@ def main():
         ok = True
         for c in g.columns:
             gv, ev = g[c], e[c]
+            # Dtype-strict for integer columns: the driver's gate hashes the
+            # typed value representation, so a Spark BIGINT against a DuckDB
+            # HUGEINT/DOUBLE (e.g. DuckDB widens sum(BIGINT) -> HUGEINT,
+            # which fetchdf renders as float64/object) hash-mismatches even
+            # when every value is equal. Mirror that here instead of
+            # silently coercing both sides to float.
+            g_int = pd.api.types.is_integer_dtype(gv)
+            e_int = pd.api.types.is_integer_dtype(ev)
+            if g_int != e_int:
+                print(f"  ✗ {name}.{c}: dtype drift spark={gv.dtype} "
+                      f"duck={ev.dtype} (driver hash gate would fail; "
+                      f"CAST the oracle to match)")
+                ok = False
+                continue
             if pd.api.types.is_float_dtype(gv) or pd.api.types.is_float_dtype(ev):
                 ga = gv.astype(float).to_numpy()
                 ea = ev.astype(float).to_numpy()
