@@ -31,6 +31,43 @@ class ProjectionSpec extends AnyFunSuite {
     }
   }
 
+  test("southern-parallel LCC (n < 0) round-trips; symmetric parallels refuse") {
+    // a southern-hemisphere cone (e.g. an Australian/Antarctic forecast
+    // grid): n < 0, rho flips sign, the atan2 arguments flip — the
+    // Snyder p.107 sign rules must recover exact coordinates, not NaN
+    val (lat1, lat2, lat0, lon0) = (-18.0, -36.0, -25.0, 135.0)
+    val phi1 = math.toRadians(lat1); val phi2 = math.toRadians(lat2)
+    def t(phi: Double) = math.tan(math.Pi / 4 + phi / 2)
+    val n = math.log(math.cos(phi1) / math.cos(phi2)) / math.log(t(phi2) / t(phi1))
+    assert(n < 0, s"southern cone should give n < 0, got $n")
+    val bigF = math.cos(phi1) * math.pow(t(phi1), n) / n
+    val rho0 = R * bigF / math.pow(t(math.toRadians(lat0)), n)
+    def fwd(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val rho = R * bigF / math.pow(t(math.toRadians(latDeg)), n)
+      val theta = math.toRadians(n * (lonDeg - lon0))
+      (rho * math.sin(theta), rho0 - rho * math.cos(theta))
+    }
+    val inv = Geo.invLambertConformalConic(lat1, lat2, lat0, lon0) _
+    for (lon <- Seq(113.0, 135.0, 153.5); lat <- Seq(-44.0, -25.0, -11.5)) {
+      val (x, y) = fwd(lon, lat)
+      val (lonB, latB) = inv(x, y)
+      assert(!latB.isNaN && !lonB.isNaN, s"southern LCC gave NaN at ($lon,$lat)")
+      assert(math.abs(lonB - lon) < tol && math.abs(latB - lat) < tol,
+        s"southern LCC round-trip drifted: ($lon,$lat) -> ($x,$y) -> ($lonB,$latB)")
+    }
+    // output longitude is wrapped, not left outside (-180, 180]
+    val (lonFar, _) = inv(fwd(178.0, -25.0)._1, fwd(178.0, -25.0)._2)
+    assert(lonFar > -180.0 && lonFar <= 180.0)
+    // symmetric parallels (lat1 = -lat2): n = 0, the cone degenerates to
+    // a cylinder — must refuse loudly, never divide by zero into NaN
+    assertThrows[IllegalArgumentException] {
+      Geo.invLambertConformalConic(-30.0, 30.0, 0.0, 0.0)(1.0, 1.0)
+    }
+    assertThrows[IllegalArgumentException] {
+      Geo.invLambertConformalConicSph(6371229.0, -30.0, 30.0, 0.0, 0.0)(1.0, 1.0)
+    }
+  }
+
   test("inverse ellipsoidal Mercator round-trips the forward projection") {
     val e = Geo.WGS84E
     def fwd(lonDeg: Double, latDeg: Double): (Double, Double) = {
