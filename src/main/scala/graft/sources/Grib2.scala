@@ -53,6 +53,11 @@ object Grib2 {
   /** North-aspect polar stereographic (template 3.20 — the NCEP
     * Alaska/sea-ice grids; true scale at `lad`, down-axis `lov`). */
   case class PsProj(radius: Double, lov: Double, lad: Double) extends GridProj
+  /** Mercator (template 3.10 — tropical-band products, e.g. the NWS
+    * Pacific/Caribbean sector grids): true scale at `lad`; `lon0` is
+    * the frame's zero-x meridian (the declared first point's
+    * longitude). */
+  case class MercProj(radius: Double, lon0: Double, lad: Double) extends GridProj
   /** Global regular Gaussian grid (template 3.40 — ECMWF's native
     * spectral-output grid): longitudes affine, latitudes at the 2N
     * Gauss–Legendre abscissae. The raster frame stores a NOMINAL
@@ -118,6 +123,8 @@ object Grib2 {
               graft.ops.Geo.invLambertConformalConicSph(rad, l1, l2, lad, lov)
             case PsProj(rad, lov, lad) =>
               graft.ops.Geo.invPolarStereographicSph(rad, lov, lad)
+            case MercProj(rad, lon0, lad) =>
+              graft.ops.Geo.invMercatorSph(rad, lon0, lad)
             case _ => throw new IllegalStateException("handled above")
           }
           var y = 0
@@ -286,6 +293,33 @@ object Grib2 {
           bu32(b, g.n)                    // N replaces Dj
           bu8(b, scanMode)
         }
+      case Some(mp: MercProj) =>
+        sec(3) { b => // grid definition, template 3.10 Mercator
+          val inv = graft.ops.Geo.invMercatorSph(mp.radius, mp.lon0, mp.lad) _
+          // first/last points per scan order, projected meters at centers
+          val xFirst = if ((scanMode & 0x80) != 0) r.west + r.px * r.width - r.px / 2
+                       else r.west + r.px / 2
+          val yFirst = if ((scanMode & 0x40) != 0) r.north - r.py * r.height + r.py / 2
+                       else r.north - r.py / 2
+          val xLast = if ((scanMode & 0x80) != 0) r.west + r.px / 2
+                      else r.west + r.px * r.width - r.px / 2
+          val yLast = if ((scanMode & 0x40) != 0) r.north - r.py / 2
+                      else r.north - r.py * r.height + r.py / 2
+          val (lo1, la1) = inv(xFirst, yFirst)
+          val (lo2, la2) = inv(xLast, yLast)
+          def lonE(v: Double) = if (v < 0) v + 360 else v
+          bu8(b, 0); bu32(b, n); bu8(b, 0); bu8(b, 0); bu16(b, 10)
+          bu8(b, 1); bu8(b, 0); bu32(b, math.round(mp.radius))
+          bu8(b, 0); bu32(b, 0); bu8(b, 0); bu32(b, 0)
+          bu32(b, r.width); bu32(b, r.height)
+          bs32(b, math.round(la1 * 1e6)); bs32(b, math.round(lonE(lo1) * 1e6))
+          bu8(b, 0x08) // resolution/component flags
+          bs32(b, math.round(mp.lad * 1e6))
+          bs32(b, math.round(la2 * 1e6)); bs32(b, math.round(lonE(lo2) * 1e6))
+          bu8(b, scanMode)
+          bu32(b, 0) // orientation: i along equator
+          bu32(b, math.round(r.px * 1000)); bu32(b, math.round(r.py * 1000)) // mm
+        }
       case Some(p) =>
         sec(3) { b => // grid definition, template 3.20/3.30 projected
           // first point per scan order, projected meters at pixel center
@@ -322,6 +356,7 @@ object Grib2 {
               bs32(b, math.round(l.latin1 * 1e6)); bs32(b, math.round(l.latin2 * 1e6))
               bs32(b, -90 * 1000000L); bu32(b, 0) // southern pole (unused)
             case _: PsProj => // 3.20 ends at the scanning mode
+            case other => throw new IllegalStateException(s"handled above: $other")
           }
         }
     }
@@ -604,9 +639,10 @@ object Grib2 {
             // an unknown grid template must fail loudly: parsing its
             // octets with another template's layout would SILENTLY
             // mis-georeference every pixel
-            require(tmpl3 == 0 || tmpl3 == 20 || tmpl3 == 30 || tmpl3 == 40,
+            require(tmpl3 == 0 || tmpl3 == 10 || tmpl3 == 20 || tmpl3 == 30 || tmpl3 == 40,
               s"unsupported grid definition template 3.$tmpl3 " +
-                "(supported: 3.0 lat/lon, 3.20 polar stereo, 3.30 Lambert, 3.40 Gaussian)")
+                "(supported: 3.0 lat/lon, 3.10 Mercator, 3.20 polar stereo, " +
+                "3.30 Lambert, 3.40 Gaussian)")
             width = u32(o + 25).toInt; height = u32(o + 29).toInt
             // corrupt dimension octets must dead-letter, not OOM the
             // executor with a multi-GiB allocation (width is checked
@@ -673,6 +709,42 @@ object Grib2 {
                 north = glats(0) + py / 2
                 proj = Some(GaussianGrid(nPar))
               }
+            } else if (tmpl3 == 10) { // Mercator (tropical-band products)
+              val shape = bytes(o + 9) & 0xff
+              val radius = shape match {
+                case 0 => 6367470.0
+                case 6 => 6371229.0
+                case 1 =>
+                  val sf = bytes(o + 10) & 0xff
+                  u32(o + 11).toDouble / math.pow(10, sf)
+                case sh => throw new IllegalArgumentException(
+                  s"earth shape $sh not supported on projected grids " +
+                    "(spherical shapes 0/1/6 only)")
+              }
+              def lonNorm(v: Double) = if (v > 180) v - 360 else v
+              // template 3.10 octets: La1 39-42, Lo1 43-46, LaD 48-51,
+              // La2 52-55, Lo2 56-59, scan 60, orientation 61-64,
+              // Di 65-68, Dj 69-72 (10^-3 m at LaD)
+              val la1 = s32(o + 33) / 1e6
+              val lo1 = lonNorm(s32(o + 37) / 1e6)
+              val lad = s32(o + 42) / 1e6
+              scanMode = bytes(o + 54) & 0xff
+              require((scanMode & 0x30) == 0,
+                f"unsupported scanning mode 0x$scanMode%02x (consecutive-j/boustrophedon)")
+              require(u32(o + 55) == 0,
+                "rotated Mercator (non-zero grid orientation) not supported")
+              val dx = u32(o + 59) / 1000.0
+              val dy = u32(o + 63) / 1000.0
+              // zero-x meridian at the first point's longitude keeps x
+              // magnitudes small and wrap-free across the antimeridian
+              val fwd = graft.ops.Geo.fwdMercatorSph(radius, lo1, lad) _
+              val (x1, y1) = fwd(lo1, la1)
+              val xMin = if ((scanMode & 0x80) != 0) x1 - (width - 1) * dx else x1
+              val yMax = if ((scanMode & 0x40) != 0) y1 + (height - 1) * dy else y1
+              px = dx; py = dy
+              west = xMin - dx / 2
+              north = yMax + dy / 2
+              proj = Some(MercProj(radius, lo1, lad))
             } else { // 3.20 polar stereographic / 3.30 Lambert conformal
               val shape = bytes(o + 9) & 0xff
               val radius = shape match {

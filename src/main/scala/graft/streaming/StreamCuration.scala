@@ -88,6 +88,17 @@ object StreamCuration {
       wm = empty(StructType(Seq(StructField("max_id", LongType)))))
   }
 
+  /** Eager stage materialization with optional wall-clock visibility:
+    * set GRAFT_STAGE_TIMING=1 (Soak harnesses) to print per-boundary
+    * seconds. Semantics identical to bare localCheckpoint(). */
+  private def chk(label: String)(df: DataFrame): DataFrame =
+    if (sys.env.contains("GRAFT_STAGE_TIMING")) {
+      val t0 = System.nanoTime()
+      val r = df.localCheckpoint()
+      println(f"[chk] $label%-12s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    } else df.localCheckpoint()
+
   /** Classify one id-ordered batch against the accumulated state.
     * Returns (kept(doc_id, source, n_tokens), state DELTAS to append).
     * With empty state this IS the batch pipeline (see
@@ -146,7 +157,7 @@ object StreamCuration {
         // fpMin feeds both the pre-filter and the final anti-join —
         // materialize it or the fingerprint+groupBy subtree runs twice
         // (the doubled-reference pathology the later stages also guard)
-        val fpm = fpMin.localCheckpoint()
+        val fpm = chk("fpm")(fpMin)
         val bc = batch.sparkSession.sparkContext.broadcast(bloom)
         val might = udf((f: String) => bc.value.mightContainString(f))
         val maybeDup = fpm.filter(might(col("fp")))
@@ -163,15 +174,15 @@ object StreamCuration {
 
     // -- stage 2: quality gate (stateless). Materialized once: spans,
     // the stage-3 filter, and the state delta all consume it.
-    val k2 = k1.filter(TextAnalysis.qualityScore(col("text")) >= QualityMin)
-      .localCheckpoint()
+    val k2 = chk("k2")(
+      k1.filter(TextAnalysis.qualityScore(col("text")) >= QualityMin))
 
     // -- stage 3: stale-span gate. A span is stale for doc d iff an
     // EARLIER stage-2 survivor emitted the same hash (state spans, or a
     // smaller-id doc in this batch).
-    val spans = Dedup.spanWindows(k2.select(col("doc_id"), col("text")),
-        "text", SpanW, keep = Seq("doc_id"))
-      .localCheckpoint()
+    val spans = chk("spans")(
+      Dedup.spanWindows(k2.select(col("doc_id"), col("text")),
+        "text", SpanW, keep = Seq("doc_id")))
     val hFirst = spans.groupBy("h").agg(min("doc_id").as("h_first"))
     val staleInBatch = spans.join(hFirst, "h")
       .filter(col("doc_id") > col("h_first"))
@@ -196,7 +207,7 @@ object StreamCuration {
         (col("pos") + (SpanW - 1)).as("fin")))
       .filter(col("coverage") > StaleCoverageMax)
       .select("doc_id")
-    val k3 = k2.join(heavy, Seq("doc_id"), "left_anti").localCheckpoint()
+    val k3 = chk("k3")(k2.join(heavy, Seq("doc_id"), "left_anti"))
 
     // -- stage 4: fuzzy dedup. Candidates through shared LSH band keys
     // only — in-batch pairs via the capped generator, cross-batch pairs
@@ -225,14 +236,14 @@ object StreamCuration {
     // past the cap the incremental run degrades gracefully: its extra
     // early pairs were exactly verified, so it only drops MORE true
     // near-dups than the batch run's whole-bucket exclusion.
-    val sh = Dedup.shingles(k3.select("doc_id", "text"), "doc_id", "text", spread = false)
-      .localCheckpoint()
+    val sh = chk("sh")(
+      Dedup.shingles(k3.select("doc_id", "text"), "doc_id", "text", spread = false))
     val sig = Dedup.minhashSignature(sh, 8)
     // bands is batch-sized and consumed three times (bucket count,
     // capped generation, cross-batch probe) — materialize IT, never
     // the state-sized union (a checkpoint of state ∪ batch would copy
     // the whole corpus index every batch)
-    val bands = Dedup.lshBands(sig, 8, 2).localCheckpoint()
+    val bands = chk("bands")(Dedup.lshBands(sig, 8, 2))
     // The combined-index cap only matters for buckets the BATCH
     // touches: a bucket with no batch member generates no new pair on
     // either the in-batch or cross-batch side, so its hotness is
@@ -246,10 +257,9 @@ object StreamCuration {
     // counts stay exact for every batch-touched bucket, so cap
     // decisions are unchanged from the unrestricted form.
     val batchKeys = bands.select("band", "key").distinct()
-    val stateTouched = st.bands
+    val stateTouched = chk("stateTouched")(st.bands
       .join(batchKeys.hint("shuffle_hash"), Seq("band", "key"), "left_semi")
-      .distinct()
-      .localCheckpoint()
+      .distinct())
     val combined = bands.select("id", "band", "key").unionByName(stateTouched)
     val hot = Dedup.hotBuckets(combined, maxBucket).select("band", "key")
     val bandsCapped = bands.join(hot, Seq("band", "key"), "left_anti")

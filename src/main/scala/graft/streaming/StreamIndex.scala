@@ -48,12 +48,48 @@ import org.apache.spark.sql.functions._
   */
 object StreamIndex {
 
-  /** Coarse-quantizer shape (matches the gated s_ann_ivf_kmeans). */
+  /** Fixed coarse-quantizer shape for the ORACLE-GATED queries (the
+    * DuckDB twin replays k-means with this literal k — s_ann_ivf_stream
+    * / s_semdedup_stream pass it explicitly). Production callers leave
+    * `k = Auto` and get [[Similarity.cellCount]] (⌈√n⌉ of the training
+    * batch, the SemDeDup-paper 10⁴–10⁵-cells band at web scale) so the
+    * per-batch pruned state read tracks cell occupancy, not the corpus. */
   val K = 8
   val Iters = 2
 
+  /** Sentinel: derive k from the training batch via Similarity.cellCount. */
+  val Auto = 0
+
   private def fsOf(s: SparkSession, p: Path) =
     p.getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** Pre-train and freeze the coarse quantizer on a REPRESENTATIVE
+    * sample, before any batch arrives — the production FAISS pattern
+    * (`train()` on a corpus sample, then add). Training on the first
+    * batch alone (the [[processBatch]] fallback) is only as good as
+    * that batch's coverage: under topic-drift arrival, unseen topics
+    * crowd into whichever frozen cells sit nearest and the per-batch
+    * pruned state read creeps toward corpus-sized (SoakSemdedup's
+    * "local" geometry measures exactly this). The sample rows are NOT
+    * added to any list — they arrive later through their own batches.
+    * Idempotent: re-training overwrites the same deterministic
+    * centroids; an existing quantizer is left untouched unless
+    * `overwrite`. */
+  def trainQuantizer(sample: DataFrame, dir: String,
+                     k: Int = Auto, iters: Int = Iters,
+                     overwrite: Boolean = false): Unit = {
+    val s = sample.sparkSession
+    import s.implicits._
+    val centPath = new Path(s"$dir/centroids")
+    val fs = fsOf(s, centPath)
+    if (!fs.exists(centPath) || overwrite) {
+      val kEff = if (k > 0) k else Similarity.cellCount(sample.count())
+      val trained = Similarity.ivfKmeansCentroids(sample, kEff, iters)
+        .collect().map(r => (r.getInt(0), r.getSeq[Long](1), r.getLong(2)))
+        .toSeq.toDF("cid", "cq", "cnrm2")
+      trained.write.mode("overwrite").parquet(centPath.toString)
+    }
+  }
 
   /** Absorb one batch of quantized vectors `(vec_id, q, nrm2)` into the
     * index at `dir`: train-and-freeze centroids if this is the first
@@ -61,7 +97,7 @@ object StreamIndex {
     * `k`/`iters` only matter on the training (first) call — afterwards
     * the persisted quantizer governs. */
   def processBatch(batch: DataFrame, dir: String,
-                   k: Int = K, iters: Int = Iters): Unit = {
+                   k: Int = Auto, iters: Int = Iters): Unit = {
     val s = batch.sparkSession
     import s.implicits._
     val centPath = new Path(s"$dir/centroids")
@@ -69,10 +105,11 @@ object StreamIndex {
     val cents =
       if (fs.exists(centPath)) s.read.parquet(centPath.toString)
       else {
+        val kEff = if (k > 0) k else Similarity.cellCount(batch.count())
         // literal-back the trained centroids (config-scale collect, the
         // coarseOf pattern) so neither the write nor every later
         // assignment re-executes the k-means lineage
-        val trained = Similarity.ivfKmeansCentroids(batch, k, iters)
+        val trained = Similarity.ivfKmeansCentroids(batch, kEff, iters)
           .collect().map(r => (r.getInt(0), r.getSeq[Long](1), r.getLong(2)))
           .toSeq.toDF("cid", "cq", "cnrm2")
         trained.write.mode("overwrite").parquet(centPath.toString)
@@ -106,7 +143,7 @@ object StreamIndex {
     * `distinct()` (X2). */
   def semdedupBatch(batch: DataFrame, dir: String, minCos: Double,
                     maxCluster: Int = 4096,
-                    k: Int = K, iters: Int = Iters): DataFrame = {
+                    k: Int = Auto, iters: Int = Iters): DataFrame = {
     val s = batch.sparkSession
     import s.implicits._
     val centPath = new Path(s"$dir/centroids")
@@ -114,7 +151,8 @@ object StreamIndex {
     val cents =
       if (fs.exists(centPath)) s.read.parquet(centPath.toString)
       else {
-        val trained = Similarity.ivfKmeansCentroids(batch, k, iters)
+        val kEff = if (k > 0) k else Similarity.cellCount(batch.count())
+        val trained = Similarity.ivfKmeansCentroids(batch, kEff, iters)
           .collect().map(r => (r.getInt(0), r.getSeq[Long](1), r.getLong(2)))
           .toSeq.toDF("cid", "cq", "cnrm2")
         trained.write.mode("overwrite").parquet(centPath.toString)
@@ -134,6 +172,8 @@ object StreamIndex {
           .distinct() // replayed appends collapse (X2)
           .select(col("cid"), col("vec_id"), col("q"), col("nrm2"))
       else assigned.limit(0).select("cid", "vec_id", "q", "nrm2")
+    if (sys.env.contains("GRAFT_STAGE_TIMING"))
+      println(s"[sdd] touched=${touched.length} cells, pruned state read=${state.count()} rows")
     val combined = state.unionByName(assigned.select("cid", "vec_id", "q", "nrm2"))
     val hot = combined.groupBy("cid").agg(count(lit(1)).as("n"))
       .filter(col("n") > maxCluster).select("cid")

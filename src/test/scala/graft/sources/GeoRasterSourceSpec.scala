@@ -105,6 +105,12 @@ class GeoRasterSourceSpec extends SparkSpec {
     val legacy = """["/drop/a.tif","/drop/b\"q\".nc","/drop/c\\back.grib2"]"""
     val back = stream.deserializeOffset(legacy).asInstanceOf[GeoRasterOffset]
     assert(back.files == Seq("/drop/a.tif", "/drop/b\"q\".nc", "/drop/c\\back.grib2"))
+    // format detection anchors on the FIRST element: a legacy file name
+    // containing the literal "b64: substring mid-payload must still route
+    // to the legacy parser, not be base64-decoded to garbage
+    val tricky = """["/drop/a.tif","/drop/weird\"b64:name.nc"]"""
+    val backT = stream.deserializeOffset(tricky).asInstanceOf[GeoRasterOffset]
+    assert(backT.files == Seq("/drop/a.tif", "/drop/weird\"b64:name.nc"))
   }
 
   test("drop-zone listing is dot-anchored: x.gtif / data.func never reach the sniffer") {

@@ -27,6 +27,26 @@ class GeoTiffSpec extends SparkSpec {
     assert(back.bounds == ((-180.0, -90.0, 180.0, 90.0)))
   }
 
+  test("BigTIFF (version 43, 8-byte offsets) round-trips and sniffs") {
+    val r = sampleRaster
+    val bytes = GeoTiff.writeBig(r)
+    // header: II + 43 + offset-size 8 + reserved 0
+    assert(bytes(2) == 43 && bytes(3) == 0 && bytes(4) == 8)
+    assert(GeoTiff.canHandle(bytes), "sniffer must accept BigTIFF")
+    assert(Formats.sniff(bytes).map(_.name).contains("geotiff"))
+    val back = GeoTiff.read(bytes)
+    assert(back.width == r.width && back.height == r.height)
+    assert(back.west == r.west && back.north == r.north &&
+      back.px == r.px && back.py == r.py)
+    assert(back.data.zip(r.data).forall { case (a, b) =>
+      (a.isNaN && b.isNaN) || a == b })
+    assert(GeoTiff.bandCount(bytes) == 1)
+    // a classic-TIFF byte stream with version 43 but a wrong offset
+    // size must NOT sniff as TIFF (reserved fields are load-bearing)
+    val bad = bytes.clone(); bad(4) = 4
+    assert(!GeoTiff.canHandle(bad))
+  }
+
   test("per-file variable discovery across formats") {
     assert(Formats.GeoTiffDecoder.listVariables(GeoTiff.write(sampleRaster)) == Seq("band_1"))
     val g = Grib2.write(Grib2.Message(sampleRaster, 0, 1, 8,

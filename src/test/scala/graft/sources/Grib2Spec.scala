@@ -269,6 +269,48 @@ class Grib2Spec extends SparkSpec {
       forecastHours = 6, proj = Some(proj))
   }
 
+  private def mercMessage = {
+    // a tropical-band Mercator sector (the NWS Caribbean shape): sphere
+    // 6371229 m, true scale at 20N, 10 km steps, anchored west of 60W
+    val w = 36; val h = 24
+    val data = Array.tabulate(w * h) { i =>
+      if (i % 17 == 0) Float.NaN else (297.0 + (i % 30) * 0.1).toFloat
+    }
+    val proj = Grib2.MercProj(radius = 6371229.0, lon0 = -75.0, lad = 20.0)
+    val (x0, y0) = graft.ops.Geo.fwdMercatorSph(
+      proj.radius, proj.lon0, proj.lad)(-75.0, 12.0)
+    Grib2.Message(
+      GeoTiff.Raster(w, h, data, x0, y0 + h * 10000.0, 10000.0, 10000.0),
+      discipline = 0, category = 0, parameter = 0,
+      refTime = java.time.LocalDateTime.of(2024, 9, 1, 6, 0, 0),
+      forecastHours = 12, proj = Some(proj))
+  }
+
+  test("Mercator grids (3.10) round-trip values and exact per-pixel lon/lat") {
+    val m = mercMessage
+    val Some((lons0, lats0)) = Grib2.lonLatArrays(m)
+    for (scan <- Seq(0, 0x40)) {
+      val back = Grib2.read(Grib2.write(m, scanMode = scan))
+      assert(back.proj.exists(_.isInstanceOf[Grib2.MercProj]),
+        s"projection lost at scan=$scan")
+      assert(back.raster.px == 10000.0 && back.raster.py == 10000.0)
+      back.raster.data.zip(m.raster.data).foreach { case (a, b) =>
+        if (b.isNaN) assert(a.isNaN)
+        else assert(math.abs(a - b) < 0.005, s"$a vs $b at scan=$scan")
+      }
+      // the reader re-anchors the frame at the first point's meridian,
+      // so geographic identity is asserted on the per-pixel arrays (the
+      // microdegree header rounding bounds the drift)
+      val Some((lons, lats)) = Grib2.lonLatArrays(back)
+      lons.zip(lons0).zip(lats.zip(lats0)).foreach { case ((a, b), (c, d)) =>
+        assert(math.abs(a - b) < 5e-4, s"lon drift $a vs $b at scan=$scan")
+        assert(math.abs(c - d) < 5e-4, s"lat drift $c vs $d at scan=$scan")
+      }
+    }
+    // the decoder hook surfaces the curvilinear coordinates
+    assert(Formats.Grib2Decoder.pixelLonLat(Grib2.write(m)).isDefined)
+  }
+
   test("Lambert conformal grids (3.30) round-trip values, frame and projection") {
     val m = lccMessage
     for (scan <- Seq(0, 0x40)) { // north-first and the NCEP south-first order

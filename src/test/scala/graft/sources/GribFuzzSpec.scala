@@ -24,8 +24,11 @@ class GribFuzzSpec extends AnyFunSuite {
       raster = GeoTiff.Raster(w, h, data, 0.0, h * 3000.0, 3000.0, 3000.0))
     val gauss = latlon.copy(proj = Some(Grib2.GaussianGrid(h / 2)),
       raster = GeoTiff.Raster(w, h, data, 0.0, 90.0, 360.0 / w, 0.0))
+    val merc = latlon.copy(proj = Some(Grib2.MercProj(6371229.0, -75.0, 20.0)),
+      raster = GeoTiff.Raster(w, h, data, 0.0, h * 10000.0, 10000.0, 10000.0))
     Seq(
       "simple" -> Grib2.write(latlon, packing = 0),
+      "merc+simple" -> Grib2.write(merc, packing = 0),
       "complex" -> Grib2.write(latlon, packing = 3),
       "jpeg2000" -> Grib2.write(latlon, packing = 40),
       "png" -> Grib2.write(latlon, packing = 41),

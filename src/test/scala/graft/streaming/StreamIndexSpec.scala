@@ -31,13 +31,13 @@ class StreamIndexSpec extends SparkSpec {
     val q = corpus
     val inc = tmpDir()
     Seq((0L, 200L), (200L, 350L), (350L, Long.MaxValue)).foreach { case (lo, hi) =>
-      StreamIndex.processBatch(q.filter(col("vec_id") >= lo && col("vec_id") < hi), inc)
+      StreamIndex.processBatch(q.filter(col("vec_id") >= lo && col("vec_id") < hi), inc, k = StreamIndex.K)
     }
     val one = tmpDir()
     // same first-batch quantizer, whole corpus in one append: the
     // reference batch build under the frozen-centroid contract
-    StreamIndex.processBatch(q.filter(col("vec_id") < 200), one)
-    StreamIndex.processBatch(q.filter(col("vec_id") >= 200), one)
+    StreamIndex.processBatch(q.filter(col("vec_id") < 200), one, k = StreamIndex.K)
+    StreamIndex.processBatch(q.filter(col("vec_id") >= 200), one, k = StreamIndex.K)
     val (ri, r1) = (results(inc), results(one))
     assert(ri.nonEmpty && ri == r1,
       s"incremental diverged from batch: inc=${ri.take(3)} one=${r1.take(3)}")
