@@ -41,14 +41,19 @@ object CurationQueries extends QueryModule {
       val d1 = docs.join(keep1, "doc_id")
       // 2. quality gate (t_quality_score's formula, shared helper)
       val quality = TextAnalysis.qualityScore(col("text"))
-      // Stage outputs are materialized once (localCheckpoint): each is
-      // consumed by several downstream stages, and without truncation
-      // every reference re-executes the whole upstream filter chain —
-      // the doubled-reference pathology again, compounded per stage.
-      // (Lazy persist boundaries were tried and are 1.7-4.7x SLOWER
-      // here: AQE loses the materialized sizes and the concurrent
-      // stages race-compute the shared cache.)
-      val d2 = d1.filter(quality >= 0.3).localCheckpoint()
+      // Stage placement: d3 and sh are materialized once
+      // (localCheckpoint) — each is consumed by several downstream
+      // stages, and without truncation every reference re-executes the
+      // whole upstream filter chain (the doubled-reference pathology,
+      // compounded per stage). d2 is NOT a boundary: both of its
+      // consumers sit inside the single d3-checkpoint job, where its
+      // shuffles dedupe via ReusedExchange — an own checkpoint would
+      // only write the full text column to block store a second time
+      // (measured equal at sf0.1, strictly fewer corpus-sized
+      // materializations at scale). Lazy persist boundaries were tried
+      // and are 1.7-4.7x SLOWER here: AQE loses the materialized sizes
+      // and concurrent stages race-compute the shared cache.
+      val d2 = d1.filter(quality >= 0.3)
       // 3. boilerplate gate: duplicated-span coverage among survivors
       val heavy = Dedup.spanCoverage(
           Dedup.spanHashes(d2, "doc_id", "text", 20, spread = false), 20)

@@ -16,8 +16,9 @@ import java.nio.{ByteBuffer, ByteOrder}
   *    compact link messages, AND via dense storage (fractal heap +
   *    name-index B-tree v2) — the layout netcdf-c switches to above 8
   *    links, i.e. every wide NetCDF-4 file; direct-root and
-  *    root-indirect heaps covered, filtered heaps / huge+tiny IDs /
-  *    multi-level B-trees (≈370+ links) fail loudly
+  *    root-indirect heaps and multi-level name-index B-trees
+  *    (hundreds-of-variables files) covered; filtered heaps and
+  *    huge/tiny heap IDs fail loudly
   *  - dataspace v1/v2, datatype classes: fixed-point, IEEE float,
   *    string, reference, vlen
   *  - data layout v3: contiguous and chunked (B-tree v1 chunk index,
@@ -192,9 +193,9 @@ object Hdf5 {
     * block headers, so an object at logical offset X inside a block
     * whose logical range starts at B sits X−B bytes into the block's
     * on-disk allocation. Covered: direct-root heaps, root indirect
-    * blocks over direct children (any row count); fails loudly on
-    * filtered heaps, non-managed (huge/tiny) IDs, nested indirect
-    * children, and B-trees deeper than one leaf (≈370+ links). */
+    * blocks over direct children (any row count) and name-index
+    * B-trees of any depth; fails loudly on filtered heaps, non-managed
+    * (huge/tiny) IDs, and nested indirect children. */
   private def denseLinks(bb: ByteBuffer, bytes: Array[Byte], fhAddr: Long, bt2Addr: Long,
                          links: scala.collection.mutable.Buffer[(String, Long)]): Unit = {
     val h = off(fhAddr, bytes)
@@ -242,22 +243,60 @@ object Hdf5 {
         val cb = off(child, bytes); expectSig(cb, "FHDB")
         cb + (ho - (rowStart + c.toLong * rowSize(r))).toInt
       }
-    // B-tree v2 name index: walk the records; hashes are not consulted
-    // (listing is order-independent), only the embedded heap IDs
+    // B-tree v2 name index: walk the records at every level; hashes
+    // are not consulted (listing is order-independent), only the
+    // embedded heap IDs. Multi-level trees (hundreds of links — wide
+    // NetCDF-4 files) descend through BTIN internal nodes whose child
+    // pointers carry variable-width record counts: the widths follow
+    // libhdf5's H5B2 sizing (bytes to encode the max records a child
+    // node/subtree can hold, derived from node size and record size).
     val b = off(bt2Addr, bytes); expectSig(b, "BTHD")
+    val nodeSize = bb.getInt(b + 6)
     val recordSize = bb.getShort(b + 10) & 0xffff
     val depth = bb.getShort(b + 12) & 0xffff
-    require(depth == 0, s"B-tree v2 of depth $depth not supported (≈370+ links in one group)")
-    val leafAddr = bb.getLong(b + 16)
-    val nRec = bb.getShort(b + 24) & 0xffff
-    val l = off(leafAddr, bytes); expectSig(l, "BTLF")
-    for (i <- 0 until nRec) {
-      val idAt = l + 6 + i * recordSize + 4 // past the 4-byte name hash
+    require(depth <= 8, s"implausible B-tree v2 depth $depth (corrupt header?)")
+    val rootAddr2 = bb.getLong(b + 16)
+    val rootNRec = bb.getShort(b + 24) & 0xffff
+    require(nodeSize > 10 + recordSize && recordSize > 4,
+      s"implausible B-tree v2 geometry (node $nodeSize, record $recordSize)")
+    def encSize(v: Long): Int = (63 - java.lang.Long.numberOfLeadingZeros(v)) / 8 + 1
+    // per-level maxima (H5B2): leaf capacity, then each internal level's
+    // record capacity given its child-pointer overhead, and the
+    // cumulative subtree capacity that sizes the depth≥2 "total" field
+    val maxNrec = new Array[Long](depth + 1)
+    val cumMaxNrec = new Array[Long](depth + 1)
+    maxNrec(0) = (nodeSize - 10) / recordSize
+    cumMaxNrec(0) = maxNrec(0)
+    for (d <- 1 to depth) {
+      val ptr = 8 + encSize(maxNrec(d - 1)) +
+        (if (d >= 2) encSize(cumMaxNrec(d - 1)) else 0)
+      maxNrec(d) = (nodeSize - 10 - ptr) / (recordSize + ptr)
+      require(maxNrec(d) > 0, s"B-tree v2 node too small for depth-$d pointers")
+      cumMaxNrec(d) = (maxNrec(d) + 1) * cumMaxNrec(d - 1) + maxNrec(d)
+    }
+    def emit(idAt: Int): Unit = {
       val idFlags = bytes(idAt) & 0xff
       require((idFlags & 0x30) == 0,
         s"non-managed fractal-heap object (type ${(idFlags >> 4) & 3}) not supported")
       links += parseLink(bb, bytes, resolve(unsignedLE(idAt + 1, offSize)))
     }
+    def descend(addr: Long, nRec: Int, d: Int): Unit =
+      if (d == 0) {
+        val l = off(addr, bytes); expectSig(l, "BTLF")
+        for (i <- 0 until nRec) emit(l + 6 + i * recordSize + 4)
+      } else {
+        val a = off(addr, bytes); expectSig(a, "BTIN")
+        for (i <- 0 until nRec) emit(a + 6 + i * recordSize + 4)
+        val n1 = encSize(maxNrec(d - 1))
+        val n2 = if (d >= 2) encSize(cumMaxNrec(d - 1)) else 0
+        val ptrBase = a + 6 + nRec * recordSize
+        val ptrSz = 8 + n1 + n2
+        for (i <- 0 to nRec) {
+          val at = ptrBase + i * ptrSz
+          descend(bb.getLong(at), unsignedLE(at + 8, n1).toInt, d - 1)
+        }
+      }
+    descend(rootAddr2, rootNRec, depth)
   }
 
   private def walkGroupBtree(bb: ByteBuffer, bytes: Array[Byte], addr: Long, heapData: Long,
@@ -950,7 +989,33 @@ object Hdf5 {
       if (!singleDirect) at = align8(at + 13 + offSize + nRows * width * 8L + 4)
       val frhpAddr = at; at = align8(at + 146)
       val recordSize = 4 + heapIdLen
-      val btlfAddr = at; at = align8(at + 6 + allNames.size * recordSize + 4)
+      // leaf partitioning: past one leaf's capacity the index becomes a
+      // depth-1 tree — k leaves in record order with k-1 separator
+      // records pulled up into a BTIN root (the reader consults neither
+      // hashes nor balance, only completeness)
+      val nodeSize = 2048
+      val leafCap = (nodeSize - 10) / recordSize
+      val perLeaf = math.min(leafCap, 120)
+      val leafChunks = scala.collection.mutable.Buffer[Seq[(Long, Int)]]()
+      val sepRecords = scala.collection.mutable.Buffer[(Long, Int)]()
+      if (heapIds.size <= leafCap) leafChunks += heapIds.toSeq
+      else {
+        var rest = heapIds.toSeq
+        while (rest.nonEmpty) {
+          val take = math.min(perLeaf, rest.size)
+          leafChunks += rest.take(take)
+          rest = rest.drop(take)
+          if (rest.nonEmpty) { sepRecords += rest.head; rest = rest.tail }
+        }
+      }
+      val deep = leafChunks.size > 1
+      val leafAddrs = scala.collection.mutable.Buffer[Long]()
+      leafChunks.foreach { ch =>
+        leafAddrs += at; at = align8(at + 6 + ch.size * recordSize + 4)
+      }
+      val btinAddr = at
+      if (deep) at = align8(at + 6 + sepRecords.size * recordSize +
+        leafChunks.size * 9L + 4) // child ptr: addr(8) + nrec(1)
       val bthdAddr = at
 
       for ((b, ai) <- blocks.zip(blockAddrs)) {
@@ -991,20 +1056,34 @@ object Hdf5 {
       u16(if (singleDirect) 0 else nRows)
       u32(0) // checksum (unread)
       padTo8()
-      require(pos.toLong == btlfAddr, "BTLF layout drift")
-      raw("BTLF".getBytes); u8(0); u8(5) // version, type 5: link-name index
-      heapIds.foreach { case (lo, len) =>
+      def record(lo: Long, len: Int): Unit = {
         u32(0) // name hash (unread by this codec's reader)
         u8(0)  // heap ID: version 0, managed
         u32(lo); u16(len)
       }
-      u32(0) // checksum (unread)
-      padTo8()
+      for ((ch, ai) <- leafChunks.zip(leafAddrs)) {
+        require(pos.toLong == ai, "BTLF layout drift")
+        raw("BTLF".getBytes); u8(0); u8(5) // version, type 5: link-name index
+        ch.foreach { case (lo, len) => record(lo, len) }
+        u32(0) // checksum (unread)
+        padTo8()
+      }
+      if (deep) {
+        require(pos.toLong == btinAddr, "BTIN layout drift")
+        raw("BTIN".getBytes); u8(0); u8(5)
+        sepRecords.foreach { case (lo, len) => record(lo, len) }
+        for ((ch, ai) <- leafChunks.zip(leafAddrs)) { u64(ai); u8(ch.size) }
+        u32(0) // checksum (unread)
+        padTo8()
+      }
       require(pos.toLong == bthdAddr, "BTHD layout drift")
       raw("BTHD".getBytes); u8(0); u8(5)
-      u32(2048); u16(recordSize); u16(0) // node size, record size, depth 0
+      u32(nodeSize); u16(recordSize)
+      u16(if (deep) 1 else 0) // depth
       u8(100); u8(40) // split/merge percents (libhdf5 defaults)
-      u64(btlfAddr); u16(allNames.size); u64(allNames.size.toLong)
+      u64(if (deep) btinAddr else leafAddrs.head)
+      u16(if (deep) sepRecords.size else allNames.size)
+      u64(allNames.size.toLong)
       u32(0) // checksum (unread)
       padTo8()
 

@@ -203,6 +203,27 @@ class Hdf5Spec extends SparkSpec {
     assert(nc.gridVars.size == 30)
   }
 
+  test("dense root group with a MULTI-LEVEL name B-tree (400 links) reads") {
+    // 400 variables × 11-byte records ≫ one 2048-byte leaf (185 records)
+    // → the writer emits a depth-1 tree (leaves + BTIN root) and the
+    // reader walks internal records and child pointers with the H5B2
+    // variable-width count fields
+    val vars = Seq(
+      NetCdf.Variable("lat", Seq("lat"), Array(40f, 30f), None),
+      NetCdf.Variable("lon", Seq("lon"), Array(-30f, -20f), None)) ++
+      (1 to 400).map(i => NetCdf.Variable(f"var_$i%03d", Seq("lat", "lon"),
+        Array.tabulate(4)(j => (i * 10 + j).toFloat), None))
+    val bytes = Hdf5.write(Seq("lat" -> 2, "lon" -> 2), vars, denseRoot = true)
+    val f = Hdf5.read(bytes)
+    assert(f.datasets.size == 402)
+    for (i <- Seq(1, 186, 200, 399, 400)) {
+      val d = f.datasets.find(_.name == f"var_$i%03d").get
+      assert(d.data.sameElements(Array.tabulate(4)(j => (i * 10 + j).toFloat)), s"var $i")
+    }
+    val nc = NetCdf.readAny(bytes)
+    assert(nc.gridVars.size == 400)
+  }
+
   test("addresses beyond the file (≥2 GiB offsets) are rejected loudly") {
     val bytes = fixture()
     val bad = bytes.clone()

@@ -76,8 +76,9 @@ class StreamIndexSpec extends SparkSpec {
     // not ids < k
     val q = corpus.withColumn("vec_id", col("vec_id") + 1000000L)
     val idx = tmpDir()
-    StreamIndex.processBatch(q, idx)
-    assert(spark.read.parquet(s"$idx/centroids").count() == StreamIndex.K)
+    StreamIndex.processBatch(q, idx) // k = Auto: ⌈√n⌉ of the training batch
+    assert(spark.read.parquet(s"$idx/centroids").count() ==
+      graft.llm.Similarity.cellCount(q.count()))
     val queries = q.filter(col("vec_id") < 1000008L)
       .select(col("vec_id").as("qid"), col("q").as("qa"), col("nrm2").as("na"))
     val res = StreamIndex.search(spark, idx, queries, nprobe = 2, topK = 3)
