@@ -104,9 +104,21 @@ object StreamCuration {
     * With empty state this IS the batch pipeline (see
     * [[endstateBatch]]). `maxBucket` is the LSH hot-bucket cap applied
     * to the combined (state ∪ batch) band index — configurable so
-    * tests can drive the capped cross-batch path at spec scale. */
+    * tests can drive the capped cross-batch path at spec scale.
+    *
+    * `oneShot` (set only by [[endstateBatch]]) declares that state is
+    * empty AND the returned deltas will never be consumed: the k2 and
+    * spans boundaries then fold into the single k3 job — every
+    * consumer of both frames sits inside it and meets through an
+    * exchange (fp for k1, h for the span gate), so ReusedExchange
+    * dedupes the recomputation and the fold removes two corpus-sized
+    * text materializations plus two job constants (the same argument
+    * that removed d_pipeline_e2e's d2 boundary). The streaming path
+    * must NOT fold them: saveDeltas consumes spans/k2-derived deltas
+    * in separate jobs, where an unchecked frame re-runs its subtree. */
   def processBatch(batchIn: DataFrame, st: State,
-                   maxBucket: Int = 1024): (DataFrame, State) = {
+                   maxBucket: Int = 1024,
+                   oneShot: Boolean = false): (DataFrame, State) = {
     val batch = batchIn.select(col("doc_id"), col("source"), col("text"))
 
     // Arrival-order contract, ENFORCED: every semantics above keys
@@ -122,11 +134,19 @@ object StreamCuration {
     // The watermark probe is a tiny aggregate; the batch range scan
     // runs ONLY when state has a mark, so the batch form (empty
     // state) pays nothing.
-    val wmRow = st.wm.agg(max("max_id")).head()
-    if (!wmRow.isNullAt(0)) {
+    // oneShot skips the probe job outright: endstateBatch always
+    // passes emptyState, so the mark is known-absent.
+    val hwmOpt: Option[Long] =
+      if (oneShot) None
+      else {
+        val wmRow = st.wm.agg(max("max_id")).head()
+        if (wmRow.isNullAt(0)) None else Some(wmRow.getLong(0))
+      }
+    val hasState = hwmOpt.isDefined
+    hwmOpt.foreach { hwm =>
       val batchRange = batch.agg(min("doc_id"), max("doc_id")).head()
       if (!batchRange.isNullAt(0)) {
-        val (bMin, bMax, hwm) = (batchRange.getLong(0), batchRange.getLong(1), wmRow.getLong(0))
+        val (bMin, bMax) = (batchRange.getLong(0), batchRange.getLong(1))
         require(bMin > hwm || bMax <= hwm,
           s"arrival-order violation: batch [$bMin, $bMax] straddles the state " +
             s"high-water mark $hwm — new ids mixed with already-processed ones " +
@@ -152,7 +172,11 @@ object StreamCuration {
     val fp = batch.withColumn("fp", TextAnalysis.fingerprint(col("text")))
     val firstIn = fp.groupBy("fp").agg(min("doc_id").as("first_id"))
     val fpMin = fp.join(firstIn, "fp").filter(col("doc_id") === col("first_id"))
-    val k1 = (st.fpBloom match {
+    // Known-empty state: every state-side subtree below is skipped —
+    // an anti/semi join against an empty relation is a no-op by value
+    // but still costs plan nodes, a broadcast of nothing, and (for
+    // the checkpointed stateTouched) a whole scheduled job.
+    val k1 = (if (!hasState) fpMin else st.fpBloom match {
       case Some(bloom) =>
         // fpMin feeds both the pre-filter and the final anti-join —
         // materialize it or the fingerprint+groupBy subtree runs twice
@@ -172,15 +196,20 @@ object StreamCuration {
         fpMin.join(st.fps, Seq("fp"), "left_anti")
     }).select("doc_id", "source", "text")
 
+    // Stream-only boundaries (see `oneShot` in the method scaladoc):
+    // folded into the k3 job for the one-shot batch form.
+    def streamChk(label: String)(df: DataFrame): DataFrame =
+      if (oneShot) df else chk(label)(df)
+
     // -- stage 2: quality gate (stateless). Materialized once: spans,
     // the stage-3 filter, and the state delta all consume it.
-    val k2 = chk("k2")(
+    val k2 = streamChk("k2")(
       k1.filter(TextAnalysis.qualityScore(col("text")) >= QualityMin))
 
     // -- stage 3: stale-span gate. A span is stale for doc d iff an
     // EARLIER stage-2 survivor emitted the same hash (state spans, or a
     // smaller-id doc in this batch).
-    val spans = chk("spans")(
+    val spans = streamChk("spans")(
       Dedup.spanWindows(k2.select(col("doc_id"), col("text")),
         "text", SpanW, keep = Seq("doc_id")))
     val hFirst = spans.groupBy("h").agg(min("doc_id").as("h_first"))
@@ -196,12 +225,20 @@ object StreamCuration {
     // on. The trailing distinct makes the intersection a set even when
     // a crash-replayed append left duplicate state rows; it reuses the
     // state-side bucketing, so it introduces no exchange either.
-    val batchH = spans.select("h").distinct()
-    val stateHits = st.spans.join(batchH.hint("shuffle_hash"), Seq("h"), "left_semi")
-      .distinct()
-    val staleFromState = spans.join(stateHits, Seq("h"), "left_semi")
-      .select("doc_id", "n_tokens", "pos")
-    val stale = staleInBatch.unionByName(staleFromState).distinct()
+    // Empty state: staleInBatch alone, and duplicate-free by
+    // construction (spanWindows emits one row per (doc_id, pos) and
+    // the hFirst join never multiplies rows), so the union leg AND
+    // the dedup shuffle both drop.
+    val stale =
+      if (!hasState) staleInBatch
+      else {
+        val batchH = spans.select("h").distinct()
+        val stateHits = st.spans.join(batchH.hint("shuffle_hash"), Seq("h"), "left_semi")
+          .distinct()
+        val staleFromState = spans.join(stateHits, Seq("h"), "left_semi")
+          .select("doc_id", "n_tokens", "pos")
+        staleInBatch.unionByName(staleFromState).distinct()
+      }
     val heavy = Dedup.mergedCoverage(stale.select(col("doc_id").as("id"),
         col("n_tokens"), col("pos").as("start"),
         (col("pos") + (SpanW - 1)).as("fin")))
@@ -256,32 +293,42 @@ object StreamCuration {
     // candidate probe (one state scan for the whole band path). The
     // counts stay exact for every batch-touched bucket, so cap
     // decisions are unchanged from the unrestricted form.
-    val batchKeys = bands.select("band", "key").distinct()
-    val stateTouched = chk("stateTouched")(st.bands
-      .join(batchKeys.hint("shuffle_hash"), Seq("band", "key"), "left_semi")
-      .distinct())
-    val combined = bands.select("id", "band", "key").unionByName(stateTouched)
+    val stateTouchedOpt =
+      if (!hasState) None
+      else {
+        val batchKeys = bands.select("band", "key").distinct()
+        Some(chk("stateTouched")(st.bands
+          .join(batchKeys.hint("shuffle_hash"), Seq("band", "key"), "left_semi")
+          .distinct()))
+      }
+    val combined = stateTouchedOpt.fold(bands.select("id", "band", "key"))(
+      stx => bands.select("id", "band", "key").unionByName(stx))
     val hot = Dedup.hotBuckets(combined, maxBucket).select("band", "key")
     val bandsCapped = bands.join(hot, Seq("band", "key"), "left_anti")
     val inVerified = Dedup.pairJaccard(
         Dedup.candidatePairs(bandsCapped, maxBucket = Int.MaxValue), sh)
       .filter(col("jacc") >= JaccardMin)
-    val candOld = bandsCapped
-      .join(stateTouched.join(hot, Seq("band", "key"), "left_anti")
-        .withColumnRenamed("id", "doc_a"), Seq("band", "key"))
-      .select(col("doc_a"), col("id").as("doc_b")).distinct()
-    val oldIds = candOld.select(col("doc_a").as("doc_id")).distinct()
-    // restrict-then-dedupe: oldIds is candidate-sized, so the distinct
-    // that guards against crash-replayed duplicate doc rows runs on a
-    // tiny frame, never on corpus-sized doc state; the shuffle-hash
-    // hint streams doc state (bucketed by doc_id) through the probe
-    val shOld = Dedup.shingles(
-      st.docs.join(oldIds.hint("shuffle_hash"), Seq("doc_id")).distinct(),
-      "doc_id", "text", spread = false)
-    val oldVerified = Dedup.pairJaccard(candOld, sh.unionByName(shOld))
-      .filter(col("jacc") >= JaccardMin)
-    val drop = inVerified.select(col("doc_b").as("doc_id"))
-      .unionByName(oldVerified.select(col("doc_b").as("doc_id"))).distinct()
+    val drop = stateTouchedOpt match {
+      case None =>
+        inVerified.select(col("doc_b").as("doc_id")).distinct()
+      case Some(stateTouched) =>
+        val candOld = bandsCapped
+          .join(stateTouched.join(hot, Seq("band", "key"), "left_anti")
+            .withColumnRenamed("id", "doc_a"), Seq("band", "key"))
+          .select(col("doc_a"), col("id").as("doc_b")).distinct()
+        val oldIds = candOld.select(col("doc_a").as("doc_id")).distinct()
+        // restrict-then-dedupe: oldIds is candidate-sized, so the distinct
+        // that guards against crash-replayed duplicate doc rows runs on a
+        // tiny frame, never on corpus-sized doc state; the shuffle-hash
+        // hint streams doc state (bucketed by doc_id) through the probe
+        val shOld = Dedup.shingles(
+          st.docs.join(oldIds.hint("shuffle_hash"), Seq("doc_id")).distinct(),
+          "doc_id", "text", spread = false)
+        val oldVerified = Dedup.pairJaccard(candOld, sh.unionByName(shOld))
+          .filter(col("jacc") >= JaccardMin)
+        inVerified.select(col("doc_b").as("doc_id"))
+          .unionByName(oldVerified.select(col("doc_b").as("doc_id"))).distinct()
+    }
     val kept = k3.join(drop, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("source"),
         TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens"))
@@ -299,7 +346,8 @@ object StreamCuration {
   /** The whole corpus as ONE batch — the oracle-gated batch form
     * (`d_incremental_endstate`). */
   def endstateBatch(docs: DataFrame, maxBucket: Int = 1024): DataFrame =
-    processBatch(docs, emptyState(docs.sparkSession), maxBucket)._1
+    processBatch(docs, emptyState(docs.sparkSession), maxBucket,
+      oneShot = true)._1
 
   // ---- persisted-state runner -------------------------------------
 
