@@ -134,22 +134,26 @@ object Dedup {
       .unionByName(nodes.select(col("id").as("u"), col("id").as("v")))
       .distinct().localCheckpoint()
     var labels = nodes.withColumn("canonical", col("id"))
-    for (_ <- 1 to rounds) {
-      // The jump self-join references `hop` twice, so without
+    for (r <- 1 to rounds) {
+      // The jump self-join references `hop` twice, so without ANY
       // materialization each round's plan embeds the previous round's
       // subtree twice — 2^rounds re-evaluations AND a plan whose size
       // doubles per round, which Catalyst then re-optimizes on every
       // execution (measured: 6.7 s/run fixed cost on a 45-node graph vs
       // 0.8 s checkpointed; a cache() alone doesn't help because the
-      // plan, not the data, is the cost). localCheckpoint truncates the
-      // lineage per round — the standard iterative-algorithm discipline
-      // (GraphX Pregel checkpoints the same way); on executor loss the
-      // job restarts the iteration instead of recomputing through
-      // lineage, the right trade for a bounded 3-round loop.
-      val hop = edgesPlus
+      // plan, not the data, is the cost). Checkpointing EVERY round is
+      // the other extreme: each localCheckpoint is a scheduled job
+      // whose constant dominates at low volume. Truncating every OTHER
+      // round bounds the embedded depth at one lazy round — its
+      // duplicated references meet in the next job's exchanges, where
+      // ReusedExchange computes them once — and halves the per-call job
+      // count. Lineage discipline is unchanged in kind (GraphX Pregel
+      // checkpoints on an interval for the same reason); on executor
+      // loss the job restarts at most two rounds back.
+      val hopRaw = edgesPlus
         .join(labels.withColumnRenamed("id", "v"), Seq("v"))
         .groupBy(col("u").as("id")).agg(min("canonical").as("canonical"))
-        .localCheckpoint()
+      val hop = if (r % 2 == 0) hopRaw.localCheckpoint() else hopRaw
       labels = hop
         .join(hop.select(col("id").as("canonical"), col("canonical").as("c2")),
           Seq("canonical"))
@@ -170,11 +174,15 @@ object Dedup {
     * `canonicalize`, linear lineage, rounds bounded by graph diameter
     * needs (rank, not convergence, is the goal). */
   def pagerankInt(pairs: DataFrame, rounds: Int = 3): DataFrame = {
-    // Same per-round lineage truncation as `canonicalize`: the rank
-    // chain is referenced linearly, but without truncation each
-    // execution re-optimizes a plan that deepens with rounds and
-    // re-derives the edge set from its upstream (measured ~3× on a
-    // 45-node graph: 1.6 s → 0.5 s warm).
+    // Truncation boundary placement: edges and deg are the REUSED
+    // frames (consumed every round) — they checkpoint once. The rank
+    // chain itself is strictly linear (each p_k referenced exactly
+    // once by p_{k+1}), so with checkpointed inputs the un-truncated
+    // chain is an ordinary `rounds`-deep join stack with no subtree
+    // duplication — per-round checkpoints there only added one
+    // scheduled job per round (the historical ~3× measurement predates
+    // the edges/deg boundaries and conflated their re-derivation with
+    // chain depth; re-measured at sf0.1: chain-lazy is faster).
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .distinct().localCheckpoint()
@@ -188,7 +196,6 @@ object Dedup {
         .groupBy(col("u").as("id")).agg(sum("c").as("s"))
         .select(col("id"),
           (lit(150000L) + floor((col("s") * 17).cast("double") / 20).cast("long")).as("pr"))
-        .localCheckpoint()
     }
     p
   }
