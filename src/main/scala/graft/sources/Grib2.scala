@@ -16,10 +16,11 @@ import java.nio.ByteBuffer
   *  - template 5.41 PNG packing (8/16-bit grayscale, 24-bit RGB,
   *    32-bit RGBA; full five-filter decode) — self-contained JVM PNG
   *    codec, no imageio.
-  *  - template 5.40 JPEG2000 packing, LOSSLESS profile (reversible 5/3,
-  *    single tile/component — the eccodes jasper/openjpeg shape) via
-  *    the self-contained [[Jpeg2000]] codec; lossy (compression type 1,
-  *    irreversible 9/7) dead-letters with a transcode recipe.
+  *  - template 5.40 JPEG2000 packing (single tile/component — the
+  *    eccodes jasper/openjpeg shape) via the self-contained
+  *    [[Jpeg2000]] codec: lossless (reversible 5/3) exactly, and lossy
+  *    (compression type 1, irreversible 9/7 — e.g. MRMS) as the
+  *    nearest-integer reconstruction with `Message.lossy` set.
   *  - template 5.42 CCSDS/AEC packing (the Rice coder ECMWF's open
   *    data ships) via the self-contained [[Ccsds]] codec.
   *
@@ -72,10 +73,15 @@ object Grib2 {
     * survives the long-form explode (NaN cells are dropped). */
   case class ReducedGaussianGrid(n: Int, pl: Seq[Int]) extends GridProj
 
+  /** `lossy` marks fields unpacked from an IRREVERSIBLE codestream
+    * (5.40 compression type 1): values are the codec's nearest-integer
+    * reconstruction, not the producer's exact scaled integers —
+    * exactness-sensitive consumers filter on it. */
   case class Message(raster: GeoTiff.Raster,
                      discipline: Int, category: Int, parameter: Int,
                      refTime: java.time.LocalDateTime, forecastHours: Int,
-                     proj: Option[GridProj] = None)
+                     proj: Option[GridProj] = None,
+                     lossy: Boolean = false)
 
   /** Exact per-pixel (lon, lat) at pixel centers for non-affine grids
     * (None for regular lat/lon — the affine path needs no arrays). */
@@ -165,10 +171,16 @@ object Grib2 {
     * decimal digits preserved; NaN cells go to the section-6 bitmap.
     * `scanMode` writes the grid in the given scanning order (0x40 = +j
     * rows south→north, 0x80 = -i within rows) for codec testing — the
-    * raster handed in is always canonical north-up. */
+    * raster handed in is always canonical north-up.
+    * `j2kQuantShift`: with packing 40, Some(n) switches section 7 to
+    * the IRREVERSIBLE 9/7 codestream (compression type 1) quantized at
+    * Δ = 2^n per subband nominal range — the lossy form rate-limited
+    * producers emit. */
   def write(m: Message, decimals: Int = 2, packing: Int = 0,
-            scanMode: Int = 0): Array[Byte] = {
+            scanMode: Int = 0, j2kQuantShift: Option[Int] = None): Array[Byte] = {
     require(Set(0, 2, 3, 40, 41, 42).contains(packing), s"unsupported packing $packing")
+    require(j2kQuantShift.isEmpty || packing == 40,
+      "j2kQuantShift only applies to JPEG2000 packing (40)")
     require((scanMode & 0x30) == 0, "consecutive-j/boustrophedon not supported")
     val r = m.raster
     val reducedPl: Option[Seq[Int]] =
@@ -383,13 +395,17 @@ object Grib2 {
         bu32(b, java.lang.Float.floatToIntBits(ref.toFloat).toLong & 0xffffffffL)
         bs16(b, 0); bs16(b, decimals)
         bu8(b, nbits); bu8(b, 0)
-        bu8(b, 0)   // compression type: lossless
-        bu8(b, 255) // target compression ratio: missing (lossless)
+        bu8(b, if (j2kQuantShift.isDefined) 1 else 0) // compression type
+        bu8(b, 255) // target compression ratio: missing
       }
       writeBitmap(sec, scanData, hasNaN, bu8)
       val (iw, ih) = if (hasNaN) (present.length, 1) else (r.width, r.height)
       sec(7) { b =>
-        b.write(Jpeg2000.encode(present.map(_.toInt), iw, ih, nbits))
+        b.write(j2kQuantShift match {
+          case Some(qs) => Jpeg2000.encode(present.map(_.toInt), iw, ih, nbits,
+            irreversible = true, quantShift = qs)
+          case None => Jpeg2000.encode(present.map(_.toInt), iw, ih, nbits)
+        })
       }
     } else if (packing == 42) {
       // CCSDS/AEC packing (template 5.42, ECMWF's default): the scaled
@@ -604,6 +620,7 @@ object Grib2 {
     var order = 0; var ds = 0
     // CCSDS (5.42) parameters
     var ccsdsFlags = 0; var ccsdsJ = 0; var ccsdsRsi = 0
+    var lossyField = false
     var category = 0; var parameter = 0; var forecastHours = 0
     var refTime = java.time.LocalDateTime.MIN
     var bitmap: Array[Boolean] = null
@@ -809,22 +826,19 @@ object Grib2 {
             tmpl5 = u16(o + 4)
             require(Set(0, 2, 3, 40, 41, 42).contains(tmpl5), s"unsupported packing template 5.$tmpl5")
             if (tmpl5 == 40) {
-              // Only LOSSLESS (compression type 0) decodes: the stream
-              // then carries a reversible 5/3 codestream our Jpeg2000
-              // codec reads exactly. A LOSSY (type 1, irreversible 9/7)
-              // stream would decode approximate values that break the
-              // exact-integer aggregation discipline, so it dead-letters
-              // with a TRANSCODE RECIPE instead (matching the
-              // reference's eccodes path, formats/grib.py:122-230):
-              //   grib_set -r -s packingType=grid_simple in.grib2 out.grib2
-              // (or wgrib2 in.grib2 -set_grib_type simple -grib_out
-              // out.grib2), after which the file reads via template 5.0.
-              // octet 22 = type of compression (0 lossless, 1 lossy);
-              // octet 21 (o+15) is the ORIGINAL FIELD TYPE, not this flag
+              // octet 22 = type of compression: 0 lossless (reversible
+              // 5/3), 1 lossy (irreversible 9/7 + scalar quantization,
+              // e.g. rate-limited MRMS products) — both decode through
+              // the self-contained Jpeg2000 codec (reference path:
+              // eccodes via formats/grib.py:122-230). Lossy fields are
+              // the codec's nearest-integer reconstruction, flagged on
+              // the Message so exactness-sensitive consumers can
+              // filter. octet 21 (o+15) is the ORIGINAL FIELD TYPE,
+              // not this flag.
               val ctype = bytes(o + 16) & 0xff
-              require(ctype == 0,
-                "lossy (irreversible 9/7) JPEG2000 packing not supported — " +
-                  "re-encode with grid_simple or lossless JPEG2000")
+              require(ctype == 0 || ctype == 1,
+                s"unknown JPEG2000 compression type $ctype")
+              lossyField = ctype == 1
             }
             refR = java.lang.Float.intBitsToFloat(u32(o + 6).toInt)
             e = s16(o + 10); d = s16(o + 12); nbits = bytes(o + 14) & 0xff
@@ -925,7 +939,8 @@ object Grib2 {
         }
     }
     Message(GeoTiff.Raster(width, height, data, west, north, px, py),
-      discipline, category, parameter, refTime, forecastHours, proj)
+      discipline, category, parameter, refTime, forecastHours, proj,
+      lossy = lossyField)
   }
 
   /** Unpack a complex-packed (5.2/5.3) data section into present-cell

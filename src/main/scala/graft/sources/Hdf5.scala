@@ -23,7 +23,9 @@ import java.nio.{ByteBuffer, ByteOrder}
   *    string, reference, vlen
   *  - data layout v3: contiguous and chunked (B-tree v1 chunk index,
   *    any nesting level, partial edge chunks)
-  *  - filter pipeline v1/v2: deflate (id 1) and byte-shuffle (id 2)
+  *  - filter pipeline v1/v2: deflate (id 1), byte-shuffle (id 2) and
+  *    fletcher32 checksum (id 3, verified then stripped — corrupt
+  *    chunks fail loudly instead of decoding wrong numbers)
   *  - attribute messages v1/v2/v3, including NetCDF-4's DIMENSION_LIST
   *    (vlen of object references resolved through the global heap) and
   *    CLASS/NAME dimension-scale tags, _FillValue
@@ -576,6 +578,7 @@ object Hdf5 {
           if ((mask & (1 << i)) == 0) chunk = id match {
             case 1 => inflate(chunk)
             case 2 => unshuffle(chunk, elemSize)
+            case 3 => fletcherStrip(chunk)
             case f => throw new IllegalArgumentException(s"unsupported filter $f")
           }
         }
@@ -596,6 +599,50 @@ object Hdf5 {
     }
     inf.end()
     out.toByteArray
+  }
+
+  /** HDF5 Fletcher-32 (filter id 3, H5_checksum_fletcher32): 16-bit
+    * big-endian words, running sums folded mod 2^16−1 every 360 words
+    * (the largest block that cannot overflow 32 bits), odd trailing
+    * byte treated as the high byte of a final word. The filter stores
+    * the checksum appended little-endian; verify and strip. */
+  private[sources] def fletcher32(data: Array[Byte], len: Int): Long = {
+    var sum1 = 0L; var sum2 = 0L
+    var i = 0
+    val words = len / 2
+    var left = words
+    while (left > 0) {
+      var tlen = math.min(left, 360)
+      left -= tlen
+      while (tlen > 0) {
+        sum1 += ((data(i) & 0xffL) << 8) | (data(i + 1) & 0xffL)
+        sum2 += sum1
+        i += 2; tlen -= 1
+      }
+      sum1 = (sum1 & 0xffff) + (sum1 >> 16)
+      sum2 = (sum2 & 0xffff) + (sum2 >> 16)
+    }
+    if (len % 2 == 1) {
+      sum1 += (data(len - 1) & 0xffL) << 8
+      sum2 += sum1
+      sum1 = (sum1 & 0xffff) + (sum1 >> 16)
+      sum2 = (sum2 & 0xffff) + (sum2 >> 16)
+    }
+    sum1 = (sum1 & 0xffff) + (sum1 >> 16)
+    sum2 = (sum2 & 0xffff) + (sum2 >> 16)
+    ((sum2 & 0xffff) << 16) | (sum1 & 0xffff)
+  }
+
+  private def fletcherStrip(chunk: Array[Byte]): Array[Byte] = {
+    require(chunk.length >= 4, "fletcher32 chunk shorter than its checksum")
+    val n = chunk.length - 4
+    val stored = (chunk(n) & 0xffL) | ((chunk(n + 1) & 0xffL) << 8) |
+      ((chunk(n + 2) & 0xffL) << 16) | ((chunk(n + 3) & 0xffL) << 24)
+    val computed = fletcher32(chunk, n)
+    require(computed == stored,
+      f"fletcher32 checksum mismatch: stored 0x$stored%08x, computed 0x$computed%08x " +
+        "(corrupt chunk)")
+    java.util.Arrays.copyOfRange(chunk, 0, n)
   }
 
   private def unshuffle(in: Array[Byte], elemSize: Int): Array[Byte] = {
@@ -682,7 +729,8 @@ object Hdf5 {
     * through a global heap and both a fill-value message and a
     * _FillValue attribute. */
   def write(dims: Seq[(String, Int)], variables: Seq[NetCdf.Variable],
-            shuffle: Boolean = false, denseRoot: Boolean = false): Array[Byte] = {
+            shuffle: Boolean = false, denseRoot: Boolean = false,
+            fletcher: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def pos = out.size
     def u8(v: Int): Unit = out.write(v & 0xff)
@@ -847,6 +895,17 @@ object Hdf5 {
           for (b <- 0 until 4; i <- 0 until nEl) sh(b * nEl + i) = payload(i * 4 + b)
           payload = sh
         }
+        if (fletcher) {
+          // netcdf-c pipeline order (shuffle, fletcher32, deflate):
+          // the checksum covers the post-shuffle bytes, appended LE
+          val ck = fletcher32(payload, payload.length)
+          val withCk = java.util.Arrays.copyOf(payload, payload.length + 4)
+          withCk(payload.length) = ck.toByte
+          withCk(payload.length + 1) = (ck >> 8).toByte
+          withCk(payload.length + 2) = (ck >> 16).toByte
+          withCk(payload.length + 3) = (ck >> 24).toByte
+          payload = withCk
+        }
         val defl = new java.util.zip.Deflater()
         defl.setInput(payload); defl.finish()
         val cbytes = new Array[Byte](payload.length + 64)
@@ -873,7 +932,8 @@ object Hdf5 {
           bb.putInt(1); bb.putLong(gheapAddr.toLong); bb.putInt(gheapIdx((v.name, di)))
         }
       }, v.dims.size * 16)
-      val filterIds = (if (shuffle) Seq((2, Seq(4))) else Nil) :+ ((1, Seq(6)))
+      val filterIds = (if (shuffle) Seq((2, Seq(4))) else Nil) ++
+        (if (fletcher) Seq((3, Seq.empty[Int])) else Nil) :+ ((1, Seq(6)))
       val msgs = Seq(
         0x01 -> dataspaceMsg(shape.toSeq),
         0x03 -> f32Dt,

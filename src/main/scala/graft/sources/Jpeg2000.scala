@@ -10,18 +10,21 @@ import scala.collection.mutable.ArrayBuffer
   *  - raw codestream (SOC..EOC, no JP2 container — GRIB section 7
   *    carries the bare codestream),
   *  - single tile, single component, no subsampling,
-  *  - REVERSIBLE 5/3 wavelet (lossless; GRIB 5.40 "lossless" type 0),
+  *  - REVERSIBLE 5/3 wavelet (lossless; GRIB 5.40 compression type 0)
+  *    with quantization style 0,
+  *  - IRREVERSIBLE 9/7 wavelet (lossy; GRIB 5.40 compression type 1,
+  *    e.g. rate-limited MRMS products) with scalar quantization,
+  *    derived or expounded, mid-bin (r = ½) reconstruction,
   *  - single quality layer, no precinct partitioning (default 2^15),
   *  - code-blocks up to 64×64, default coding mode (no bypass /
   *    reset / termall / vertically-causal / segmentation symbols).
   *
   * Anything outside the subset fails loudly (the GRIB reader
   * dead-letters the file with the thrown reason) rather than decoding
-  * wrong numbers. The irreversible 9/7 path (lossy, type 1) is
-  * deliberately not implemented: GRIB fields are quantized integers and
-  * every lossless producer uses 5/3; a lossy stream decodes
-  * APPROXIMATE floats that would silently break the engine's
-  * exact-integer aggregation discipline (ops/Exact.scala).
+  * wrong numbers. Lossy streams decode to the nearest integer of the
+  * 9/7 synthesis — APPROXIMATE by construction; the GRIB reader
+  * surfaces which packing produced a field so exactness-sensitive
+  * consumers can filter on it.
   *
   * All five progression orders are accepted: with one layer, one
   * component and one precinct per resolution, every progression
@@ -786,6 +789,118 @@ object Jpeg2000 {
     }
   }
 
+  // ---- irreversible 9/7 DWT (Annex F.4.8) --------------------------
+
+  // Lifting constants (Table F.4). Scaling follows the STANDARD's
+  // filter normalization — analysis lowpass DC gain 1 (the tabulated
+  // h0 sums to 1.0), analysis highpass Nyquist gain 2 — which the
+  // pure lifting chain delivers at gains K and 2/K respectively, so
+  // the forward scales even×(1/K), odd×K and the inverse undoes both
+  // BEFORE un-lifting. (openjpeg stores high bands internally at half
+  // this scale and compensates with gain-0 stepsizes — an internal
+  // convention that cancels out in the codestream; conforming streams
+  // are exchangeable either way.)
+  private val A97 = -1.586134342059924
+  private val B97 = -0.052980118572961
+  private val G97 = 0.882911075530934
+  private val D97 = 0.443506852043971
+  private val K97 = 1.230174104914001
+
+  /** One 1-D inverse 9/7 step: mallat-ordered low/high at
+    * `off + i*stride` back to interleaved samples (mirror of
+    * [[inv53]]; whole-sample symmetric extension, even start parity). */
+  private def inv97(buf: Array[Double], off: Int, stride: Int, n: Int,
+                    scratch: Array[Double]): Unit = {
+    if (n <= 1) { return } // single sample: transform is identity
+    val nd = n / 2
+    val ns = (n + 1) / 2
+    val x = scratch
+    var i = 0
+    // undo the final scaling while interleaving
+    while (i < ns) { x(2 * i) = K97 * buf(off + i * stride); i += 1 }
+    i = 0
+    while (i < nd) { x(2 * i + 1) = buf(off + (ns + i) * stride) / K97; i += 1 }
+    @inline def at(pos: Int): Double = {
+      var pp = pos
+      if (pp < 0) pp = -pp
+      if (pp > n - 1) pp = 2 * (n - 1) - pp
+      x(pp)
+    }
+    // un-lift in reverse order: δ, γ, β, α
+    var k = 0
+    while (k < ns) { x(2 * k) -= D97 * (at(2 * k - 1) + at(2 * k + 1)); k += 1 }
+    k = 0
+    while (k < nd) { x(2 * k + 1) -= G97 * (at(2 * k) + at(2 * k + 2)); k += 1 }
+    k = 0
+    while (k < ns) { x(2 * k) -= B97 * (at(2 * k - 1) + at(2 * k + 1)); k += 1 }
+    k = 0
+    while (k < nd) { x(2 * k + 1) -= A97 * (at(2 * k) + at(2 * k + 2)); k += 1 }
+    i = 0
+    while (i < n) { buf(off + i * stride) = x(i); i += 1 }
+  }
+
+  /** Forward of [[inv97]] (encoder + spec round-trips). */
+  private def fwd97(buf: Array[Double], off: Int, stride: Int, n: Int,
+                    scratch: Array[Double]): Unit = {
+    if (n <= 1) { return }
+    val nd = n / 2
+    val ns = (n + 1) / 2
+    val x = scratch
+    var i = 0
+    while (i < n) { x(i) = buf(off + i * stride); i += 1 }
+    @inline def at(pos: Int): Double = {
+      var pp = pos
+      if (pp < 0) pp = -pp
+      if (pp > n - 1) pp = 2 * (n - 1) - pp
+      x(pp)
+    }
+    var k = 0
+    while (k < nd) { x(2 * k + 1) += A97 * (at(2 * k) + at(2 * k + 2)); k += 1 }
+    k = 0
+    while (k < ns) { x(2 * k) += B97 * (at(2 * k - 1) + at(2 * k + 1)); k += 1 }
+    k = 0
+    while (k < nd) { x(2 * k + 1) += G97 * (at(2 * k) + at(2 * k + 2)); k += 1 }
+    k = 0
+    while (k < ns) { x(2 * k) += D97 * (at(2 * k - 1) + at(2 * k + 1)); k += 1 }
+    i = 0
+    while (i < ns) { buf(off + i * stride) = x(2 * i) / K97; i += 1 }
+    i = 0
+    while (i < nd) { buf(off + (ns + i) * stride) = x(2 * i + 1) * K97; i += 1 }
+  }
+
+  /** Multi-level 2-D irreversible transforms, same mallat layout and
+    * level order as the reversible pair. */
+  def dwtForward97(a: Array[Double], w: Int, h: Int, levels: Int): Unit = {
+    val scratch = new Array[Double](math.max(w, h))
+    var lw = w; var lh = h
+    var l = 0
+    while (l < levels) {
+      var y = 0
+      while (y < lh) { fwd97(a, y * w, 1, lw, scratch); y += 1 }
+      var x = 0
+      while (x < lw) { fwd97(a, x, w, lh, scratch); x += 1 }
+      lw = (lw + 1) / 2; lh = (lh + 1) / 2
+      l += 1
+    }
+  }
+
+  def dwtInverse97(a: Array[Double], w: Int, h: Int, levels: Int): Unit = {
+    val scratch = new Array[Double](math.max(w, h))
+    val ws = new Array[Int](levels + 1); val hs = new Array[Int](levels + 1)
+    ws(0) = w; hs(0) = h
+    var l = 1
+    while (l <= levels) { ws(l) = (ws(l - 1) + 1) / 2; hs(l) = (hs(l - 1) + 1) / 2; l += 1 }
+    l = levels
+    while (l >= 1) {
+      val lw = ws(l - 1); val lh = hs(l - 1)
+      var x = 0
+      while (x < lw) { inv97(a, x, w, lh, scratch); x += 1 }
+      var y = 0
+      while (y < lh) { inv97(a, y * w, 1, lw, scratch); y += 1 }
+      l -= 1
+    }
+  }
+
   // ---- Tier-2: codestream (Annexes A/B) ----------------------------
 
   /** Band geometry at one resolution in the mallat-layout frame:
@@ -822,18 +937,29 @@ object Jpeg2000 {
   }
 
   /** Encode `samples` (w×h raster of unsigned ints < 2^depth) as a
-    * lossless single-tile codestream. `cbExpX`/`cbExpY` set the
-    * code-block size (default 64×64, jasper's default); `sop`/`eph`
-    * emit the optional packet markers some producers enable — both
-    * exist mainly so specs can exercise the decoder against every
-    * stream shape a foreign encoder emits. */
+    * single-tile codestream. `cbExpX`/`cbExpY` set the code-block
+    * size (64×64 default, jasper's default); `sop`/`eph` emit the
+    * optional packet markers some producers enable — both exist
+    * mainly so specs can exercise the decoder against every stream
+    * shape a foreign encoder emits.
+    *
+    * `irreversible = true` switches to the 9/7 transform with scalar
+    * quantization (the lossy 5.40 profile): every subband step is
+    * Δ_b = 2^(quantShift)·(1 + quantMant/2^11) relative to its
+    * nominal range (quantShift 0 ≈ near-lossless, each +1 doubles
+    * the step), signalled as QCD style 2, or style 1 (derived, one
+    * transmitted pair) when `qcdDerived` is set. */
   def encode(samples: Array[Int], w: Int, h: Int, depth: Int,
              cbExpX: Int = 6, cbExpY: Int = 6,
-             sop: Boolean = false, eph: Boolean = false): Array[Byte] = {
+             sop: Boolean = false, eph: Boolean = false,
+             irreversible: Boolean = false, quantShift: Int = 0,
+             quantMant: Int = 0, qcdDerived: Boolean = false): Array[Byte] = {
     require(w > 0 && h > 0 && samples.length == w * h, "bad raster shape")
     require(depth >= 1 && depth <= 25, s"unsupported depth $depth")
     require(cbExpX >= 2 && cbExpY >= 2 && cbExpX + cbExpY <= 12,
       s"bad code-block exponents $cbExpX/$cbExpY (T.800 limit: area ≤ 4096)")
+    require(quantShift >= 0 && quantMant >= 0 && quantMant <= 2047,
+      s"bad quantization parameters shift=$quantShift mant=$quantMant")
     val levels = {
       // decompose while both dims stay ≥ 2 samples at the low band,
       // capped at jasper's default of 5
@@ -842,17 +968,65 @@ object Jpeg2000 {
       l
     }
     val guard = 2
+    // Effective quantization exponent per subband — also the style-0
+    // exponent (where it degenerates to the nominal range R_b and the
+    // step is 1). Derived style transmits only ε0 = ε_LL; the decoder
+    // reconstructs the rest via E-5, so the encoder must quantize
+    // with exactly those per-band steps.
+    def epsFor(r: Int, band: Int): Int =
+      if (!irreversible) depth + bandGain(band)
+      else if (qcdDerived) {
+        val nB = if (r == 0) levels else levels - r + 1
+        (depth - quantShift) - levels + nB
+      } else depth + bandGain(band) - quantShift
+    def deltaFor(r: Int, band: Int): Double =
+      math.pow(2.0, depth + bandGain(band) - epsFor(r, band)) *
+        (1.0 + quantMant / 2048.0)
     // DC level shift then wavelet
     val a = new Array[Int](w * h)
     val shift = 1 << (depth - 1)
-    var i = 0
-    while (i < a.length) {
-      require(samples(i) >= 0 && (depth >= 25 || samples(i) < (1 << depth)),
-        s"sample ${samples(i)} out of $depth-bit range")
-      a(i) = samples(i) - shift
-      i += 1
+    if (irreversible) {
+      val fa = new Array[Double](w * h)
+      var i = 0
+      while (i < fa.length) {
+        require(samples(i) >= 0 && (depth >= 25 || samples(i) < (1 << depth)),
+          s"sample ${samples(i)} out of $depth-bit range")
+        fa(i) = samples(i) - shift
+        i += 1
+      }
+      dwtForward97(fa, w, h, levels)
+      // quantize each mallat-layout band region: q = sign·⌊|c|/Δ_b⌋
+      var r = 0
+      while (r <= levels) {
+        for ((band, bx0, by0, bw0, bh0) <- bandsAtRes(w, h, levels, r)) {
+          val eps = epsFor(r, band)
+          require(eps >= 1 && eps <= 31,
+            s"quantization exponent $eps out of range (quantShift too coarse)")
+          val delta = deltaFor(r, band)
+          var yy = 0
+          while (yy < bh0) {
+            var xx = 0
+            while (xx < bw0) {
+              val idx = (by0 + yy) * w + (bx0 + xx)
+              val q = (math.abs(fa(idx)) / delta).toInt
+              a(idx) = if (fa(idx) < 0) -q else q
+              xx += 1
+            }
+            yy += 1
+          }
+        }
+        r += 1
+      }
+    } else {
+      var i = 0
+      while (i < a.length) {
+        require(samples(i) >= 0 && (depth >= 25 || samples(i) < (1 << depth)),
+          s"sample ${samples(i)} out of $depth-bit range")
+        a(i) = samples(i) - shift
+        i += 1
+      }
+      dwtForward(a, w, h, levels)
     }
-    dwtForward(a, w, h, levels)
 
     val out = ArrayBuffer[Byte]()
     // SOC
@@ -879,23 +1053,41 @@ object Jpeg2000 {
     out += (cbExpX - 2).toByte // xcb
     out += (cbExpY - 2).toByte // ycb
     out += 0.toByte         // code-block style: default
-    out += 1.toByte         // transform: 5/3 reversible
-    // QCD — style 0 (no quantization), one exponent byte per subband
+    out += (if (irreversible) 0 else 1).toByte // transform
+    // QCD — subband order: LL_levels, then per resolution HL, LH, HH
     u16be(out, 0xFF5C)
-    u16be(out, 3 + (3 * levels + 1))
-    out += ((guard << 5) | 0).toByte
-    // subband order: LL_levels, then per resolution HL, LH, HH
-    out += (((depth + bandGain(BandLL)) << 3) & 0xFF).toByte
-    var r = 1
-    while (r <= levels) {
-      for (band <- Seq(BandHL, BandLH, BandHH))
-        out += (((depth + bandGain(band)) << 3) & 0xFF).toByte
-      r += 1
+    if (!irreversible) {
+      // style 0 (no quantization), one exponent byte per subband
+      u16be(out, 3 + (3 * levels + 1))
+      out += ((guard << 5) | 0).toByte
+      out += (((depth + bandGain(BandLL)) << 3) & 0xFF).toByte
+      var r = 1
+      while (r <= levels) {
+        for (band <- Seq(BandHL, BandLH, BandHH))
+          out += (((depth + bandGain(band)) << 3) & 0xFF).toByte
+        r += 1
+      }
+    } else if (qcdDerived) {
+      // style 1 (scalar derived): one 16-bit (ε0, μ0) pair
+      u16be(out, 3 + 2)
+      out += ((guard << 5) | 1).toByte
+      u16be(out, (epsFor(0, BandLL) << 11) | quantMant)
+    } else {
+      // style 2 (scalar expounded): 16-bit (ε, μ) per subband
+      u16be(out, 3 + 2 * (3 * levels + 1))
+      out += ((guard << 5) | 2).toByte
+      u16be(out, (epsFor(0, BandLL) << 11) | quantMant)
+      var r = 1
+      while (r <= levels) {
+        for (band <- Seq(BandHL, BandLH, BandHH))
+          u16be(out, (epsFor(r, band) << 11) | quantMant)
+        r += 1
+      }
     }
 
     // tile body: one packet per resolution (LRCP, 1 layer, 1 precinct)
     val body = ArrayBuffer[Byte]()
-    r = 0
+    var r = 0
     while (r <= levels) {
       val bands = bandsAtRes(w, h, levels, r)
       case class Blk(numbps: Int, seg: Array[Byte], passes: Int)
@@ -928,7 +1120,7 @@ object Jpeg2000 {
       else {
         bw.bit(1)
         for ((band, nbx, nby, blks) <- perBand; if blks.nonEmpty) {
-          val mb = depth + bandGain(band) + guard - 1
+          val mb = epsFor(r, band) + guard - 1
           val incl = new TagTree(nbx, nby)
           val zbp = new TagTree(nbx, nby)
           incl.setLeaves(blks.map(b => if (b.numbps > 0) 0 else 1).toArray)
@@ -1025,8 +1217,10 @@ object Jpeg2000 {
     var w = 0; var h = 0; var depth = 0; var signed = false
     var levels = -1; var cbw = 0; var cbh = 0; var cbStyle = 0
     var sopUsed = false; var ephUsed = false
+    var irreversible = false
     var guard = 0
-    var expnts: Array[Int] = null
+    var expnts: Array[Int] = null   // style 0: exponents only
+    var qMants: Array[Int] = null   // styles 1/2: 11-bit mantissas
     var qStyle = -1
 
     var sotSeen = false
@@ -1073,7 +1267,9 @@ object Jpeg2000 {
           cbStyle = u8()
           require(cbStyle == 0,
             f"code-block style 0x$cbStyle%02x not supported (bypass/reset/termall/causal)")
-          require(u8() == 1, "irreversible 9/7 transform not supported (lossy 5.40)")
+          val xfm = u8()
+          require(xfm == 0 || xfm == 1, s"bad transform byte $xfm")
+          irreversible = xfm == 0
           if ((scod & 0x01) != 0) {
             // explicit precinct sizes: accept only full-size (≥ band)
             var i = 0
@@ -1090,9 +1286,22 @@ object Jpeg2000 {
           val sq = u8()
           qStyle = sq & 0x1F
           guard = (sq >> 5) & 0x7
-          require(qStyle == 0, "quantized (lossy) codestreams not supported")
-          val nb = lqcd - 3
-          expnts = Array.fill(nb)(u8() >> 3)
+          qStyle match {
+            case 0 => // no quantization (reversible): 8-bit exponents
+              expnts = Array.fill(lqcd - 3)(u8() >> 3)
+            case 1 | 2 => // scalar derived / expounded: 16-bit (ε, μ)
+              val nb = (lqcd - 3) / 2
+              require(nb >= 1, s"QCD style $qStyle with no step sizes")
+              expnts = new Array[Int](nb); qMants = new Array[Int](nb)
+              var i = 0
+              while (i < nb) {
+                val v = u16()
+                expnts(i) = v >> 11; qMants(i) = v & 0x7FF
+                i += 1
+              }
+            case s =>
+              throw new IllegalArgumentException(s"unsupported quantization style $s")
+          }
           p = base + lqcd - 2
         case 0xFF64 | 0xFF63 | 0xFF55 | 0xFF57 | 0xFF58 =>
           // COM, CRG, TLM, PLM, PLT — informational pointers, skip.
@@ -1109,6 +1318,17 @@ object Jpeg2000 {
       s"implausible image shape ${w}x$h (corrupt SIZ?)")
     require(w > 0 && h > 0 && depth > 0 && levels >= 0 && expnts != null,
       "incomplete main header (need SIZ, COD, QCD before SOT)")
+    // T.800 pairs the transforms with their quantization modes: the
+    // reversible 5/3 carries style-0 (no quantization, exponents
+    // only); the irreversible 9/7 carries scalar quantization
+    // (derived or expounded). A crossed combination has no defined
+    // step sizes — refuse rather than guess.
+    require(irreversible == (qStyle != 0),
+      s"transform/quantization mismatch: ${if (irreversible) "9/7" else "5/3"} " +
+        s"with QCD style $qStyle")
+    if (qStyle == 2)
+      require(expnts.length >= 3 * levels + 1,
+        s"expounded QCD carries ${expnts.length} step sizes for ${3 * levels + 1} subbands")
 
     // SOT (marker already consumed)
     val lsot = u16()
@@ -1129,6 +1349,7 @@ object Jpeg2000 {
 
     // decode packets, resolution-major
     val a = new Array[Int](w * h)
+    val fa = if (irreversible) new Array[Double](w * h) else null
     var r = 0
     while (r <= levels) {
       if (sopUsed && p + 1 < end &&
@@ -1136,7 +1357,8 @@ object Jpeg2000 {
       val br = new HeaderBitReader(bytes, p)
       val bands = bandsAtRes(w, h, levels, r)
       case class Contrib(band: Int, bx0: Int, by0: Int, x0: Int, y0: Int,
-                         cw: Int, ch: Int, numbps: Int, passes: Int, segLen: Int)
+                         cw: Int, ch: Int, numbps: Int, passes: Int, segLen: Int,
+                         delta: Double)
       val contribs = ArrayBuffer[Contrib]()
       if (br.bit() == 1) {
         for ((band, bx0, by0, bw0, bh0) <- bands) {
@@ -1144,8 +1366,25 @@ object Jpeg2000 {
           val nby = (bh0 + cbh - 1) / cbh
           if (nbx > 0 && nby > 0) {
             val sbIdx = if (r == 0) 0 else 1 + 3 * (r - 1) + (band - 1)
-            require(sbIdx < expnts.length, "QCD carries too few subband exponents")
-            val mb = guard + expnts(sbIdx) - 1
+            // Effective (ε, μ) for this subband: style 2 transmits one
+            // entry per subband in sbIdx order; style 1 (derived)
+            // transmits only the LL pair and scales by decomposition
+            // depth, ε_b = ε0 − N_L + n_b (E-5), n_b = number of
+            // decompositions from the original image to the subband.
+            val (epsB, muB) =
+              if (qStyle == 1) {
+                val nB = if (r == 0) levels else levels - r + 1
+                (expnts(0) - levels + nB, qMants(0))
+              } else {
+                require(sbIdx < expnts.length, "QCD carries too few subband exponents")
+                (expnts(sbIdx), if (qStyle == 0) 0 else qMants(sbIdx))
+              }
+            // Δ_b = 2^(R_b − ε_b)·(1 + μ_b/2^11), R_b = B + band gain
+            // (E.1.1). Unused (1.0) on the reversible path.
+            val delta =
+              if (!irreversible) 1.0
+              else math.pow(2.0, depth + bandGain(band) - epsB) * (1.0 + muB / 2048.0)
+            val mb = guard + epsB - 1
             require(mb >= 1 && mb <= 30, s"implausible Mb $mb")
             val incl = new TagTree(nbx, nby)
             val zbp = new TagTree(nbx, nby)
@@ -1180,7 +1419,7 @@ object Jpeg2000 {
                 val x0 = cx * cbw; val y0 = cy * cbh
                 contribs += Contrib(band, bx0, by0, x0, y0,
                   math.min(cbw, bw0 - x0), math.min(cbh, bh0 - y0),
-                  numbps, np, segLen)
+                  numbps, np, segLen, delta)
               }
             }
           }
@@ -1199,7 +1438,17 @@ object Jpeg2000 {
         while (yy < cb.ch) {
           var xx = 0
           while (xx < cb.cw) {
-            a((cb.by0 + cb.y0 + yy) * w + (cb.bx0 + cb.x0 + xx)) = coeffs(yy * cb.cw + xx)
+            val dst = (cb.by0 + cb.y0 + yy) * w + (cb.bx0 + cb.x0 + xx)
+            val q = coeffs(yy * cb.cw + xx)
+            if (irreversible) {
+              // Mid-bin reconstruction (E.1.1.2 with r = 1/2, the
+              // choice openjpeg's Tier-1 bakes in via oneplushalf):
+              // x̂ = sign(q)·(|q| + ½)·Δ_b for q ≠ 0. With a fully
+              // coded single-layer stream |q| is the exact quantizer
+              // output, so the ½ places the value at its bin center.
+              if (q != 0)
+                fa(dst) = (if (q < 0) -(math.abs(q) + 0.5) else q + 0.5) * cb.delta
+            } else a(dst) = q
             xx += 1
           }
           yy += 1
@@ -1209,11 +1458,24 @@ object Jpeg2000 {
       r += 1
     }
 
-    dwtInverse(a, w, h, levels)
-    if (!signed) {
-      val shift = 1 << (depth - 1)
+    if (irreversible) {
+      dwtInverse97(fa, w, h, levels)
+      val shift = if (signed) 0 else 1 << (depth - 1)
+      val lo = if (signed) -(1 << (depth - 1)) else 0
+      val hi = (if (signed) (1 << (depth - 1)) else (1 << depth)) - 1
       var i = 0
-      while (i < a.length) { a(i) += shift; i += 1 }
+      while (i < a.length) {
+        val v = math.round(fa(i) + shift).toInt
+        a(i) = math.max(lo, math.min(hi, v))
+        i += 1
+      }
+    } else {
+      dwtInverse(a, w, h, levels)
+      if (!signed) {
+        val shift = 1 << (depth - 1)
+        var i = 0
+        while (i < a.length) { a(i) += shift; i += 1 }
+      }
     }
     Image(w, h, depth, signed, a)
   }

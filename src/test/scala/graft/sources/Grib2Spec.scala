@@ -217,37 +217,40 @@ class Grib2Spec extends SparkSpec {
       "the Rice coder should out-compress simple packing on a smooth field")
   }
 
-  test("LOSSY JPEG2000 (5.40 compression type 1) fails loudly with the recipe") {
-    val bytes = Grib2.write(sampleMessage, packing = 40)
-    // patch the section-5 compression-type octet (octet 22 = section
-    // offset 5+16; octet 21 at 5+15 is the original-field-type flag,
-    // which must NOT trip the lossy gate — asserted below)
+  test("LOSSY JPEG2000 (5.40 compression type 1): decodes approximately, Message.lossy set") {
+    // real lossy round-trip: irreversible 9/7 at Δ = 2^2 — values come
+    // back within the quantization tolerance scaled by the packing
+    // factor, and the message is flagged so exactness-sensitive
+    // consumers can filter
+    val bytes = Grib2.write(sampleMessage, packing = 40,
+      j2kQuantShift = Some(2))
+    val m = Grib2.read(bytes)
+    assert(m.lossy, "compression type 1 must set Message.lossy")
+    // D=2 decimals → packing factor 10^-2; X error ≤ 3·Δ (spec bound)
+    val tol = (3 << 2) / 100.0 + 1e-6
+    m.raster.data.zip(sampleMessage.raster.data).foreach { case (a, b) =>
+      if (b.isNaN) assert(a.isNaN)
+      else assert(math.abs(a - b) <= tol, s"$a vs $b (tol $tol)")
+    }
+    // lossless stays exact and unflagged
+    assert(!Grib2.read(Grib2.write(sampleMessage, packing = 40)).lossy)
+
+    // a LOSSLESS stream whose ORIGINAL FIELD TYPE is integer
+    // (octet 21 = 1) is legal — it must decode, not be mislabeled lossy
     def u32(b: Array[Byte], o: Int): Int =
       ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+    val intOrig = Grib2.write(sampleMessage, packing = 40)
     var pos = 16
     var patched = false
-    while (pos < bytes.length - 4 && !patched) {
-      val len = u32(bytes, pos); val num = bytes(pos + 4) & 0xff
-      if (num == 5) { bytes(pos + 5 + 16) = 1.toByte; patched = true }
-      else pos += len
-    }
-    assert(patched)
-    val e = intercept[IllegalArgumentException](Grib2.read(bytes))
-    assert(e.getMessage.contains("lossy") && e.getMessage.contains("grid_simple"),
-      s"unexpected failure message: ${e.getMessage}")
-
-    // and a LOSSLESS stream whose ORIGINAL FIELD TYPE is integer
-    // (octet 21 = 1) is legal — it must decode, not be mislabeled lossy
-    val intOrig = Grib2.write(sampleMessage, packing = 40)
-    pos = 16; patched = false
     while (pos < intOrig.length - 4 && !patched) {
       val len = u32(intOrig, pos); val num = intOrig(pos + 4) & 0xff
       if (num == 5) { intOrig(pos + 5 + 15) = 1.toByte; patched = true }
       else pos += len
     }
     assert(patched)
-    val m = Grib2.read(intOrig)
-    assert(m.raster.data.count(!_.isNaN) == sampleMessage.raster.data.count(!_.isNaN))
+    val m2 = Grib2.read(intOrig)
+    assert(!m2.lossy, "octet 21 (original field type) must not flag lossy")
+    assert(m2.raster.data.count(!_.isNaN) == sampleMessage.raster.data.count(!_.isNaN))
   }
 
   private def lccMessage = {
@@ -627,13 +630,14 @@ class Grib2Spec extends SparkSpec {
     assert(df.select("time").distinct().count() == 2)
   }
 
-  test("quarantining ingest: lossy-5.40 granules dead-letter with reason, the rest decode") {
+  test("quarantining ingest: undecodable granules dead-letter with reason, lossy 5.40 decodes") {
     val dir = Files.createTempDirectory("graft-quarantine-").toString
     val m = sampleMessage
     Files.write(Paths.get(s"$dir/t2m_20240101_0000.grib2"), Grib2.write(m))
-    // lossless 5.40 now DECODES — it belongs with the good granules
-    Files.write(Paths.get(s"$dir/t2m_20240101_0600.grib2"), Grib2.write(m, packing = 40))
-    // a LOSSY 5.40 granule: patch the compression-type octet to 1
+    // LOSSY 5.40 now DECODES — it belongs with the good granules
+    Files.write(Paths.get(s"$dir/t2m_20240101_0600.grib2"),
+      Grib2.write(m, packing = 40, j2kQuantShift = Some(0)))
+    // an UNSUPPORTED packing template (patch 5.40 → 5.50): undecodable
     val bad = Grib2.write(m, packing = 40)
     def u32(b: Array[Byte], o: Int): Int =
       ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
@@ -641,13 +645,13 @@ class Grib2Spec extends SparkSpec {
     var patched = false
     while (pos < bad.length - 4 && !patched) {
       val len = u32(bad, pos); val num = bad(pos + 4) & 0xff
-      if (num == 5) { bad(pos + 5 + 16) = 1.toByte; patched = true }
+      if (num == 5) { bad(pos + 5 + 5) = 50.toByte; patched = true } // template lo byte
       else pos += len
     }
     assert(patched)
     Files.write(Paths.get(s"$dir/t2m_20240101_1200.grib2"), bad)
 
-    // default batch ingest still fails loudly on the lossy granule …
+    // default batch ingest still fails loudly on the bad granule …
     intercept[org.apache.spark.SparkException] {
       Formats.ingestDir(spark, dir).count()
     }
@@ -659,6 +663,6 @@ class Grib2Spec extends SparkSpec {
     val dl = dead.collect()
     assert(dl.length == 1)
     assert(dl(0).getString(0) == "t2m_20240101_1200.grib2")
-    assert(dl(0).getString(1).contains("lossy"))
+    assert(dl(0).getString(1).contains("unsupported packing template"))
   }
 }

@@ -15,7 +15,8 @@ class Hdf5Spec extends SparkSpec {
 
   // lat descending (north-up), lon ascending; w=7 forces the writer's
   // partial edge chunk (rows axis chunks at h-1=4, cols full)
-  private def fixture(shuffle: Boolean = false): Array[Byte] = {
+  private def fixture(shuffle: Boolean = false,
+                      fletcher: Boolean = false): Array[Byte] = {
     val lat = Array(40f, 30f, 20f, 10f, 0f)
     val lon = Array(-30f, -20f, -10f, 0f, 10f, 20f, 30f)
     val data = Array.tabulate(nT * h * w)(i => if (i % 11 == 0) -9999f else i * 0.25f)
@@ -25,7 +26,7 @@ class Hdf5Spec extends SparkSpec {
         NetCdf.Variable("lat", Seq("lat"), lat, None),
         NetCdf.Variable("lon", Seq("lon"), lon, None),
         NetCdf.Variable("precip", Seq("time", "lat", "lon"), data, Some(-9999f))),
-      shuffle = shuffle)
+      shuffle = shuffle, fletcher = fletcher)
   }
 
   test("sniffs on the 4-byte prefix and the full signature") {
@@ -57,6 +58,47 @@ class Hdf5Spec extends SparkSpec {
     val a = plain.datasets.find(_.name == "precip").get.data
     val b = shuf.datasets.find(_.name == "precip").get.data
     assert(a.sameElements(b))
+  }
+
+  test("fletcher32 checksum filter: verifies and strips; corruption fails loudly") {
+    // netcdf-c checksum=on pipeline: shuffle → fletcher32 → deflate
+    for (sh <- Seq(false, true)) {
+      val f = Hdf5.read(fixture(shuffle = sh, fletcher = true))
+      val expected = Hdf5.read(fixture()).datasets.find(_.name == "precip").get.data
+      assert(f.datasets.find(_.name == "precip").get.data.sameElements(expected),
+        s"fletcher round-trip (shuffle=$sh)")
+    }
+    // H5_checksum_fletcher32 hand-computed vectors (16-bit big-endian
+    // words, mod-65535 end folds, odd tail = high byte of a final word):
+    //   "ab"   one word 0x6162: sum1 = sum2 = 0x6162
+    //   "abcd" sum1 = 0x6162+0x6364 = 0xC4C6,
+    //          sum2 = 0x6162+0xC4C6 = 0x12628, folded 0x2629
+    //   "abc"  words 0x6162, 0x6300: sum1 = 0xC462,
+    //          sum2 = 0x6162+0xC462 = 0x125C4, folded 0x25C5
+    assert(Hdf5.fletcher32("ab".getBytes, 2) == 0x61626162L)
+    assert(Hdf5.fletcher32("abcd".getBytes, 4) == 0x2629C4C6L)
+    assert(Hdf5.fletcher32("abc".getBytes, 3) == 0x25C5C462L)
+    // corrupt ONE raw byte of a checksummed file inside a chunk: the
+    // read must fail with the checksum message, never return wrong data
+    val good = fixture(fletcher = true)
+    val plainData = Hdf5.read(good).datasets.find(_.name == "precip").get.data
+    var failedLoudly = false
+    var i = good.length - 5
+    while (!failedLoudly && i > good.length / 2) {
+      val bad = good.clone(); bad(i) = (bad(i) ^ 0x55).toByte
+      try {
+        val d = Hdf5.read(bad).datasets.find(_.name == "precip").get.data
+        if (!d.sameElements(plainData)) fail("corrupt chunk decoded to wrong data without error")
+      } catch {
+        case e: IllegalArgumentException
+          if e.getMessage != null && e.getMessage.contains("fletcher32") =>
+          failedLoudly = true
+        case _: Exception => // corrupted structure elsewhere — also loud
+          failedLoudly = true
+      }
+      i -= 1
+    }
+    assert(failedLoudly, "no byte flip produced a loud failure")
   }
 
   test("DIMENSION_LIST resolves through the global heap into NetCDF dims") {
