@@ -29,7 +29,7 @@ object GridQueries extends QueryModule {
         .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))
         .toSeq.toDF("yt", "xt", "sx", "sy", "wq")
     })
-  override def clearCaches(): Unit = probeCache.clear()
+  override def clearCaches(): Unit = { probeCache.clear(); Grid.clearCache() }
 
 
   /** Boundary set: 5 diagonal boxes sweeping the globe + 1 disjoint box
