@@ -105,32 +105,32 @@ object CurationQueries extends QueryModule {
     // Multi-rule quality gate (the Gopher-rules shape): word count,
     // mean word length, type-token ratio, and the top-bigram repetition
     // fraction, each an integer-count signal; the pass flag ANDs the
-    // configured windows. One pass over exploded words + one over
-    // non-distinct bigrams, both map-side-partial aggregations.
+    // configured windows. Every signal is a PER-DOCUMENT array fold —
+    // distinct counts and the top-bigram count come from sorted-array
+    // run lengths — so the whole query is one shuffle-free projection.
+    // (The previous explode form pushed ~200 rows/doc through two wide
+    // aggregations plus a join: corpus-sized shuffles for per-row
+    // answers. At 100 TB the fold is the only plan that scales.)
     "t_gopher_quality" -> ((s, dir) => {
       val ws = split(trim(lower(col("text"))), "\\s+")
       val docs = Tables.documents(s, dir).select(col("doc_id"), ws.as("ws"))
-      val w = docs.select(col("doc_id"), explode(col("ws")).as("w"))
-      val wa = w.groupBy("doc_id").agg(
-        count(lit(1)).as("n_words"),
-        countDistinct(col("w")).as("n_distinct"),
-        sum(length(col("w"))).as("sum_len"))
-      val bg = docs.select(col("doc_id"), explode(
-          when(size(col("ws")) >= 2,
-            transform(sequence(lit(0), size(col("ws")) - 2),
-              i => concat_ws(" ", element_at(col("ws"), i + 1), element_at(col("ws"), i + 2))))
-            .otherwise(array().cast("array<string>"))).as("s"))
-      val bga = bg.groupBy("doc_id", "s").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id").agg(max(col("c")).as("maxc"), sum(col("c")).as("sumc"))
-      val ttr = col("n_distinct").cast("double") / col("n_words")
-      val mwl = col("sum_len").cast("double") / col("n_words")
-      val rep = col("maxc").cast("double") / col("sumc")
-      wa.join(bga, Seq("doc_id"), "left").select(
-        col("doc_id"), col("n_words"),
+      val nWords = size(col("ws")).cast("long")
+      // Σ length(word) = length of the separator-less concatenation
+      val sumLen = length(concat_ws("", col("ws"))).cast("long")
+      // distinct words / top-bigram count: sorted-array run folds
+      val nDistinct = TextAnalysis.distinctCount(col("ws"))
+      val bigrams = expr(
+        "transform(slice(ws, 1, size(ws) - 1), (x, i) -> concat(x, ' ', ws[i + 1]))")
+      val maxRun = TextAnalysis.maxRunCount(bigrams)
+      val sumB = size(bigrams).cast("long")
+      val ttr = nDistinct.cast("double") / nWords
+      val mwl = sumLen.cast("double") / nWords
+      val rep = when(sumB > 0, maxRun.cast("double") / sumB).otherwise(lit(0.0))
+      docs.select(
+        col("doc_id"), nWords.as("n_words"),
         mwl.as("mean_word_len"), ttr.as("ttr"),
-        coalesce(rep, lit(0.0)).as("top_bigram_frac"),
-        (col("n_words") >= 30 && ttr >= 0.35 &&
-          coalesce(rep, lit(0.0)) <= 0.1 &&
+        rep.as("top_bigram_frac"),
+        (nWords >= 30 && ttr >= 0.35 && rep <= 0.1 &&
           mwl >= 3.8 && mwl <= 5.2).cast("int").as("pass"))
     }),
 

@@ -21,28 +21,27 @@ object PipelineQueries extends QueryModule {
     // duplicate-word fraction and the mass of the single most frequent
     // word bigram. Highly repetitive docs (boilerplate, keyword spam,
     // scraped nav bars) score high on both and get dropped before
-    // training. Everything is per-doc map-side until the tiny per-doc
-    // aggregate — one shuffle on doc_id, no joins against other docs.
+    // training. Fully shuffle-free: every signal is a per-document
+    // sorted-array fold (non-distinct bigram multiplicities come from
+    // run lengths — the shared shingle index is DISTINCT by
+    // construction and can't serve here, and the old explode + two
+    // aggregations + join moved corpus-sized bigram rows for per-row
+    // answers).
     "t_repetition" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val w = docs.select(col("doc_id"), wordsCol.as("ws"))
-      val base = w.select(
+      val bigrams = expr(
+        "transform(slice(ws, 1, size(ws) - 1), (x, i) -> concat(x, ' ', ws[i + 1]))")
+      val nWords = size(col("ws")).cast("long")
+      val top = TextAnalysis.maxRunCount(bigrams)
+      val tot = size(bigrams).cast("long")
+      w.select(
         col("doc_id"),
-        size(col("ws")).cast("long").as("n_words"),
-        size(array_distinct(col("ws"))).cast("long").as("n_distinct"))
-      // non-distinct bigrams (repetition needs multiplicity; the shared
-      // shingle index is DISTINCT by construction and can't serve here)
-      val bg = w
-        .select(col("doc_id"), explode(expr(
-          "transform(slice(ws, 1, size(ws) - 1), (x, i) -> concat(x, ' ', ws[i + 1]))")).as("s"))
-        .groupBy("doc_id", "s").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id")
-        .agg(max("c").as("top"), sum("c").as("tot"))
-      base.join(bg, Seq("doc_id"), "left").select(
-        col("doc_id"),
-        col("n_words"),
-        (lit(1.0) - col("n_distinct").cast("double") / col("n_words")).as("dup_word_frac"),
-        coalesce(col("top").cast("double") / col("tot"), lit(0.0)).as("top_bigram_frac"))
+        nWords.as("n_words"),
+        (lit(1.0) - TextAnalysis.distinctCount(col("ws")).cast("double") / nWords)
+          .as("dup_word_frac"),
+        when(tot > 0, top.cast("double") / tot).otherwise(lit(0.0))
+          .as("top_bigram_frac"))
     }),
 
     // Curriculum ordering: a TOTAL global rank of the corpus by quality

@@ -88,6 +88,29 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(pr(1L) > pr(2L))
   }
 
+  test("sorted-run folds match their explode/groupBy definitions") {
+    import org.apache.spark.sql.functions._
+    // distinctCount ≡ size(array_distinct); maxRunCount ≡ max per-key
+    // count — checked per row against exploded aggregates on arrays
+    // covering empties, singletons, all-equal, and mixed multiplicity
+    val rows = Seq(
+      Seq.empty[String], Seq("a"), Seq("a", "a", "a"),
+      Seq("a", "b", "a", "c", "a", "b"), Seq("", "", "x"),
+      (1 to 300).map(i => s"w${i % 37}"))
+    val df = rows.zipWithIndex
+      .map { case (a, i) => (i.toLong, a) }.toDF("id", "arr")
+    val got = df.select(col("id"),
+        TextAnalysis.distinctCount(col("arr")).as("d"),
+        TextAnalysis.maxRunCount(col("arr")).as("m"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    rows.zipWithIndex.foreach { case (a, i) =>
+      val expD = a.distinct.size.toLong
+      val expM = if (a.isEmpty) 0L
+        else a.groupBy(identity).values.map(_.size).max.toLong
+      assert(got(i.toLong) == ((expD, expM)), s"row $i: $a")
+    }
+  }
+
   test("w8_scd2: intervals chain per user, one current row per user") {
     val out = PipelineQueries.queries("w8_scd2")(spark, sf0001)
       .orderBy("user_id", "valid_from").collect()
