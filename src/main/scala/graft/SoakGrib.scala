@@ -80,8 +80,9 @@ object SoakGrib {
 
     // production-sized single granules, decoded in-process (no Spark):
     // the per-file cost the chipper pays on REAL operational dimensions
-    def single(label: String, m: Grib2.Message, packing: Int): Unit = {
-      val b = Grib2.write(m, packing = packing)
+    def single(label: String, m: Grib2.Message, packing: Int,
+               j2kQuantShift: Option[Int] = None): Unit = {
+      val b = Grib2.write(m, packing = packing, j2kQuantShift = j2kQuantShift)
       val t0 = System.nanoTime()
       val back = Grib2.read(b)
       val ll = Grib2.lonLatArrays(back)
@@ -97,10 +98,15 @@ object SoakGrib {
         p.radius, p.latin1, p.latin2, p.lad, p.lov)(-105.0, 25.0)
       val data = Array.tabulate(hw * hh)(i =>
         (250.0 + 25.0 * math.sin((i % hw) * 0.01) * math.cos((i / hw) * 0.013)).toFloat)
-      single("hrrr 1799x1059 lcc+j2k", Grib2.Message(
+      val msg = Grib2.Message(
         GeoTiff.Raster(hw, hh, data, x0, y0 + hh * 3000.0, 3000.0, 3000.0),
         0, 0, 0, java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0), 0,
-        Some(p)), packing = 40)
+        Some(p))
+      single("hrrr 1799x1059 lcc+j2k", msg, packing = 40)
+      // the MRMS wire shape: same frame, irreversible 9/7 (float DWT +
+      // dequantization replace the integer 5/3 path)
+      single("hrrr 1799x1059 lossy97", msg, packing = 40,
+        j2kQuantShift = Some(2))
     }
     locally { // an O320-scale reduced Gaussian (N=320, 640 ragged rows)
       val nPar = 320
