@@ -49,4 +49,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString("\n"))
     assert(audited == SparkEntry.queries.size)
   }
+
+  test("per-document text signals execute with ZERO exchanges") {
+    // t_gopher_quality / t_repetition answer per-row questions with
+    // sorted-hash run folds — the scale claim is that NOTHING
+    // shuffles, and it is plan-gated here, not just prose
+    for (name <- Seq("t_gopher_quality", "t_repetition")) {
+      val df = SparkEntry.queries(name)(spark, sf0001)
+      df.count()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"$name grew a shuffle — the per-row fold contract broke:\n$plan")
+      assert(!plan.contains("Join"), s"$name grew a join:\n$plan")
+    }
+  }
 }
