@@ -31,6 +31,7 @@ class GribFuzzSpec extends AnyFunSuite {
       "merc+simple" -> Grib2.write(merc, packing = 0),
       "complex" -> Grib2.write(latlon, packing = 3),
       "jpeg2000" -> Grib2.write(latlon, packing = 40),
+      "jpeg2000-lossy97" -> Grib2.write(latlon, packing = 40, j2kQuantShift = Some(2)),
       "png" -> Grib2.write(latlon, packing = 41),
       "ccsds" -> Grib2.write(latlon, packing = 42),
       "lcc+j2k" -> Grib2.write(lcc, packing = 40),
