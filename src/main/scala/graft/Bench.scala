@@ -62,8 +62,14 @@ object Bench {
       try { evalAll(fn(spark, sfDir)) } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val (p1, p2) = (pass(), pass())
-    val results = p1.zip(p2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
+    // Three measured passes, per-query MIN: with a documented ±30%
+    // host-noise band (46.8–64.8 s across identical builds), the
+    // two-pass min still carried noticeable upward noise — a third
+    // pass costs ~45 s of driver time and tightens the floor estimate
+    // (min-of-N converges to steady state as N grows).
+    val (p1, p2, p3) = (pass(), pass(), pass())
+    val results = p1.zip(p2).zip(p3).map {
+      case (((n, a), (_, b)), (_, c)) => n -> math.min(a, math.min(b, c)) }
     def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val total = results.map(_._2).sum
     // Full per-query detail goes to a file; the stdout line must stay
