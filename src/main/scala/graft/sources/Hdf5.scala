@@ -15,9 +15,9 @@ import java.nio.{ByteBuffer, ByteOrder}
   *  - groups via symbol tables (B-tree v1 + SNOD + local heap), via
   *    compact link messages, AND via dense storage (fractal heap +
   *    name-index B-tree v2) — the layout netcdf-c switches to above 8
-  *    links, i.e. every wide NetCDF-4 file; direct-root and
-  *    root-indirect heaps and multi-level name-index B-trees
-  *    (hundreds-of-variables files) covered; filtered heaps and
+  *    links, i.e. every wide NetCDF-4 file; direct-root heaps,
+  *    indirect blocks NESTED to any depth (thousands-of-links files),
+  *    and multi-level name-index B-trees covered; filtered heaps and
   *    huge/tiny heap IDs fail loudly
   *  - dataspace v1/v2, datatype classes: fixed-point, IEEE float,
   *    string, reference, vlen
@@ -194,11 +194,13 @@ object Hdf5 {
     * the compact path uses. The heap's logical address space includes
     * block headers, so an object at logical offset X inside a block
     * whose logical range starts at B sits X−B bytes into the block's
-    * on-disk allocation. Covered: direct-root heaps, root indirect
-    * blocks over direct children (any row count) and name-index
-    * B-trees of any depth; fails loudly on filtered heaps, non-managed
-    * (huge/tiny) IDs, and nested indirect children. */
-  private def denseLinks(bb: ByteBuffer, bytes: Array[Byte], fhAddr: Long, bt2Addr: Long,
+    * on-disk allocation. Covered: direct-root heaps, indirect blocks
+    * nested to any depth (each child indirect block restarts the
+    * doubling table over its own span, mirroring libhdf5's
+    * relative-offset re-lookup) and name-index B-trees of any depth;
+    * fails loudly on filtered heaps and non-managed (huge/tiny)
+    * IDs. */
+  private[sources] def denseLinks(bb: ByteBuffer, bytes: Array[Byte], fhAddr: Long, bt2Addr: Long,
                          links: scala.collection.mutable.Buffer[(String, Long)]): Unit = {
     val h = off(fhAddr, bytes)
     require(bytes(h) == 'F' && bytes(h + 1) == 'R' && bytes(h + 2) == 'H' && bytes(h + 3) == 'P',
@@ -226,25 +228,36 @@ object Hdf5 {
     def expectSig(a: Int, sig: String): Unit =
       require((0 until 4).forall(i => bytes(a + i) == sig.charAt(i).toByte),
         s"expected $sig at file offset $a")
-    // physical offset of the object at logical heap offset `ho`
+    // physical offset of the object at logical heap offset `ho`.
+    // Indirect blocks nest: rows below maxDirectRows point at direct
+    // blocks; rows at/above it point at CHILD indirect blocks, each
+    // spanning rowSize(r) bytes with its own doubling table that
+    // restarts at startSize — so the walk recurses with the offset
+    // made relative to the child's span (the layout netcdf-c reaches
+    // past ~32 KiB of link messages under default heap parameters,
+    // i.e. thousands-of-variables files).
+    def resolveIn(ibAddr: Long, base: Long, ho: Long, depth: Int): Int = {
+      require(depth < 16, s"implausible fractal-heap nesting at offset $ho (corrupt heap?)")
+      val ib = off(ibAddr, bytes); expectSig(ib, "FHIB")
+      val entries = ib + 13 + offSize // sig, version, heap-header addr, block offset
+      val rel = ho - base
+      var r = 0
+      var rowStart = 0L
+      while (rel >= rowStart + tableWidth * rowSize(r)) {
+        rowStart += tableWidth * rowSize(r); r += 1
+      }
+      val c = ((rel - rowStart) / rowSize(r)).toInt
+      val childBase = base + rowStart + c.toLong * rowSize(r)
+      val child = bb.getLong(entries + (r * tableWidth + c) * 8)
+      if (r < maxDirectRows) {
+        val cb = off(child, bytes); expectSig(cb, "FHDB")
+        cb + (ho - childBase).toInt
+      } else resolveIn(child, childBase, ho, depth + 1)
+    }
     def resolve(ho: Long): Int =
       if (curRows == 0) { // root IS a direct block at logical offset 0
         val a = off(rootAddr, bytes); expectSig(a, "FHDB"); a + ho.toInt
-      } else {
-        val ib = off(rootAddr, bytes); expectSig(ib, "FHIB")
-        val entries = ib + 13 + offSize // sig, version, heap-header addr, block offset
-        var r = 0
-        var rowStart = 0L
-        while (ho >= rowStart + tableWidth * rowSize(r)) {
-          rowStart += tableWidth * rowSize(r); r += 1
-        }
-        require(r < maxDirectRows,
-          s"fractal-heap offset $ho lands in an indirect child row ($r) — not supported")
-        val c = ((ho - rowStart) / rowSize(r)).toInt
-        val child = bb.getLong(entries + (r * tableWidth + c) * 8)
-        val cb = off(child, bytes); expectSig(cb, "FHDB")
-        cb + (ho - (rowStart + c.toLong * rowSize(r))).toInt
-      }
+      } else resolveIn(rootAddr, 0L, ho, 0)
     // B-tree v2 name index: walk the records at every level; hashes
     // are not consulted (listing is order-independent), only the
     // embedded heap IDs. Multi-level trees (hundreds of links — wide

@@ -101,6 +101,77 @@ class Hdf5Spec extends SparkSpec {
     assert(failedLoudly, "no byte flip produced a loud failure")
   }
 
+  test("fractal heap resolves through NESTED indirect blocks (thousands-of-links layout)") {
+    // Hand-built heap bytes (the OHDR-v2 test's fabricate-the-layout
+    // style): width 4, start 512, maxDirect 1024 → maxDirectRows 3,
+    // so root rows 0-2 are direct (heap offsets < 8192) and row 3
+    // entries are CHILD indirect blocks spanning 2048 bytes whose own
+    // doubling table restarts at 512. Links are placed at offsets
+    // 8192+ so every resolve recurses root FHIB → child FHIB → FHDB.
+    val bytes = new Array[Byte](2048)
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val Undef = -1L
+    def sig(at: Int, s: String): Unit = (0 until 4).foreach(i => bytes(at + i) = s.charAt(i).toByte)
+    // FRHP at 0
+    sig(0, "FRHP"); bytes(4) = 0
+    bb.putShort(5, 7.toShort)        // heap ID length
+    bb.putShort(7, 0.toShort)        // no I/O filters
+    bb.putShort(110, 4.toShort)      // table width
+    bb.putLong(112, 512L)            // start block size
+    bb.putLong(120, 1024L)           // max direct block size
+    bb.putShort(128, 32.toShort)     // max heap size bits → 4-byte offsets
+    bb.putLong(132, 160L)            // root indirect block
+    bb.putShort(140, 4.toShort)      // current rows in root
+    // root FHIB at 160: 16 entries (rows 0-3 × width 4)
+    sig(160, "FHIB"); bytes(164) = 0
+    bb.putLong(165, 0L)              // heap header addr (unread)
+    bb.putInt(173, 0)                // block offset (offSize = 4)
+    for (i <- 0 until 16) bb.putLong(177 + i * 8, Undef)
+    bb.putLong(177 + 12 * 8, 320L)   // row 3, col 0 → CHILD indirect block
+    // child FHIB at 320: its table restarts at 512; one row of 4
+    sig(320, "FHIB"); bytes(324) = 0
+    bb.putLong(325, 0L)
+    bb.putInt(333, 8192)             // block offset within the heap
+    for (i <- 0 until 4) bb.putLong(337 + i * 8, Undef)
+    bb.putLong(337, 384L)            // row 0, col 0 → FHDB (heap 8192..8704)
+    bb.putLong(337 + 8, 896L)        // row 0, col 1 → FHDB (heap 8704..9216)
+    def fhdb(at: Int, logical: Int): Unit = {
+      sig(at, "FHDB"); bytes(at + 4) = 0
+      bb.putLong(at + 5, 0L); bb.putInt(at + 13, logical)
+    }
+    def link(at: Int, name: String, addr: Long): Unit = {
+      bytes(at) = 1; bytes(at + 1) = 0 // version, flags (1-byte name len)
+      bytes(at + 2) = name.length.toByte
+      name.getBytes("UTF-8").zipWithIndex.foreach { case (b, i) => bytes(at + 3 + i) = b }
+      bb.putLong(at + 3 + name.length, addr)
+    }
+    fhdb(384, 8192)
+    link(384 + 17, "alpha", 0x1111L)  // heap offset 8209
+    link(384 + 33, "beta", 0x2222L)   // heap offset 8225
+    fhdb(896, 8704)
+    link(896 + 17, "gamma", 0x3333L)  // heap offset 8721 (col 1!)
+    // BTHD at 1408, depth 0, one BTLF leaf at 1440 with 3 records
+    sig(1408, "BTHD")
+    bb.putInt(1414, 512)             // node size
+    bb.putShort(1418, 11.toShort)    // record size: hash(4) + id(7)
+    bb.putShort(1420, 0.toShort)     // depth
+    bb.putLong(1424, 1440L)          // root node
+    bb.putShort(1432, 3.toShort)     // root record count
+    sig(1440, "BTLF")
+    def rec(i: Int, heapOff: Int): Unit = {
+      val at = 1446 + i * 11
+      bb.putInt(at, 0)               // name hash (unread)
+      bytes(at + 4) = 0              // heap ID: version 0, managed
+      bb.putInt(at + 5, heapOff); bb.putShort(at + 9, 16.toShort)
+    }
+    rec(0, 8209); rec(1, 8225); rec(2, 8721)
+
+    val links = scala.collection.mutable.Buffer[(String, Long)]()
+    Hdf5.denseLinks(bb, bytes, 0L, 1408L, links)
+    assert(links.toSet == Set(("alpha", 0x1111L), ("beta", 0x2222L), ("gamma", 0x3333L)),
+      s"nested-indirect resolution produced $links")
+  }
+
   test("DIMENSION_LIST resolves through the global heap into NetCDF dims") {
     val nc = Hdf5.toNetCdf(fixture())
     // _Netcdf4Dimid restores creation order despite name-sorted traversal
