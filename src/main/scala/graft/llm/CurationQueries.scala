@@ -223,8 +223,37 @@ object CurationQueries extends QueryModule {
         .select(col("doc_id"), col("n_words"), col("n_oov"),
           (col("n_oov").cast("double") / col("n_words")).as("oov_rate"),
           (col("n_oov").cast("double") / col("n_words") <= 0.5).cast("int").as("keep"))
+    }),
+
+    // Context-window chunking (the curation→packing bridge): each
+    // document splits into ChunkLen-token windows on a ChunkStride
+    // stride (overlap keeps boundary context), the final window
+    // clamped at the document end. Pure map-side: the chunk list is a
+    // per-row transform over the word array, posexploded — no shuffle,
+    // so at 100 TB the cost is the scan plus the ~1.33x token
+    // re-emission from overlap.
+    "t_chunk_windows" -> ((s, dir) => {
+      val ws = split(trim(lower(col("text"))), "\\s+")
+      val nChunks = greatest(lit(0),
+        ceil((size(col("ws")) - ChunkLen).cast("double") / ChunkStride).cast("int"))
+      Tables.documents(s, dir).select(col("doc_id"), ws.as("ws"))
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), nChunks),
+            i => slice(col("ws"), i * ChunkStride + 1, lit(ChunkLen)))))
+        .select(col("doc_id"), col("pos").cast("int").as("chunk_idx"),
+          size(col("col")).cast("long").as("n_tokens"),
+          md5(concat_ws(" ", col("col"))).as("chunk_hash"))
     })
   )
+
+  /** Chunking geometry for t_chunk_windows: 32-token windows on a
+    * 24-token stride (8-token overlap) — the context-window prep step
+    * between curation and packing. (Real pipelines use 2-8k windows;
+    * the driver corpus averages ~54 words/doc, so the spec-scale
+    * geometry is shrunk proportionally to actually exercise the
+    * multi-chunk and clamped-tail paths.) */
+  private val ChunkLen = 32
+  private val ChunkStride = 24
 
   private val wordsCte =
     """words AS (
@@ -232,6 +261,21 @@ object CurationQueries extends QueryModule {
       |  FROM documents)""".stripMargin
 
   override def oracleSql = Map(
+    "t_chunk_windows" ->
+      s"""WITH $wordsCte,
+         |idx AS (
+         |  SELECT id, ws, unnest(range(0, greatest(0,
+         |    CAST(ceil((len(ws) - $ChunkLen) / $ChunkStride.0) AS BIGINT)) + 1)) AS chunk_idx
+         |  FROM words),
+         |c AS (
+         |  SELECT id, chunk_idx,
+         |    ws[chunk_idx * $ChunkStride + 1 :
+         |       least(chunk_idx * $ChunkStride + $ChunkLen, len(ws))] AS chunk
+         |  FROM idx)
+         |SELECT id AS doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+         |  CAST(len(chunk) AS BIGINT) AS n_tokens,
+         |  md5(array_to_string(chunk, ' ')) AS chunk_hash
+         |FROM c""".stripMargin,
     "t_unigram_surprisal" ->
       """WITH w AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
