@@ -54,9 +54,6 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
 
-    // Two measured passes, per-query MIN: the steady-state latency of a
-    // plan is its floor, and single-pass totals on a shared host wander
-    // ±30% with neighbor load (measured 31-42 s for an identical build).
     def pass() = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { evalAll(fn(spark, sfDir)) } catch { case _: Throwable => () }

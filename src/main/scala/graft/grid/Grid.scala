@@ -57,6 +57,10 @@ object Grid {
     cubeCache.clear()
   }
 
+  /** Per-dataset eviction (the retire-one-dataset lifecycle). */
+  def evictCache(dir: String): Unit =
+    Option(cubeCache.remove(dir)).foreach(df => { df.unpersist(); () })
+
   /** Identical construction in DuckDB SQL, used as a CTE by oracles. */
   val sqlCte: String =
     """grid AS (

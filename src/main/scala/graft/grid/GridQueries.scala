@@ -30,6 +30,7 @@ object GridQueries extends QueryModule {
         .toSeq.toDF("yt", "xt", "sx", "sy", "wq")
     })
   override def clearCaches(): Unit = { probeCache.clear(); Grid.clearCache() }
+  override def evictCaches(dir: String): Unit = Grid.evictCache(dir)
 
 
   /** Boundary set: 5 diagonal boxes sweeping the globe + 1 disjoint box

@@ -119,8 +119,7 @@ object CurationQueries extends QueryModule {
       val sumLen = length(concat_ws("", col("ws"))).cast("long")
       // distinct words / top-bigram count: sorted-array run folds
       val nDistinct = TextAnalysis.distinctCount(col("ws"))
-      val bigrams = expr(
-        "transform(slice(ws, 1, size(ws) - 1), (x, i) -> concat(x, ' ', ws[i + 1]))")
+      val bigrams = TextAnalysis.bigramsOf("ws")
       val maxRun = TextAnalysis.maxRunCount(bigrams)
       val sumB = size(bigrams).cast("long")
       val ttr = nDistinct.cast("double") / nWords

@@ -30,8 +30,7 @@ object PipelineQueries extends QueryModule {
     "t_repetition" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val w = docs.select(col("doc_id"), wordsCol.as("ws"))
-      val bigrams = expr(
-        "transform(slice(ws, 1, size(ws) - 1), (x, i) -> concat(x, ' ', ws[i + 1]))")
+      val bigrams = TextAnalysis.bigramsOf("ws")
       val nWords = size(col("ws")).cast("long")
       val top = TextAnalysis.maxRunCount(bigrams)
       val tot = size(bigrams).cast("long")

@@ -31,6 +31,14 @@ object TextAnalysis {
 
   /** Normalized fingerprint: md5 of lowercased whitespace-collapsed text
     * (rolling-hash document identity for exact/near-exact dedup). */
+  /** Non-distinct word-bigram array over a word-array column (order
+    * preserved, multiplicity kept — the DISTINCT shared shingle index
+    * cannot serve repetition counts). Shared by the gopher-quality
+    * and repetition folds so their bigram construction cannot
+    * diverge. */
+  def bigramsOf(wsCol: String): Column = expr(
+    s"transform(slice($wsCol, 1, size($wsCol) - 1), (x, i) -> concat(x, ' ', $wsCol[i + 1]))")
+
   /** Number of distinct strings in `arr`, as a per-row fold: boundary
     * count over the sorted array of 64-bit element hashes (primitive
     * sort + compares; equal hash = equal string up to the ~2^-65

@@ -23,6 +23,13 @@ object Formats {
       * single-granule formats yield one entry. */
     def decodeMulti(bytes: Array[Byte]): Seq[(Int, GeoTiff.Raster)] =
       Seq(0 -> decode(bytes))
+    /** Like [[decodeMulti]] plus a per-message LOSSY flag: true when
+      * the values are an approximate reconstruction (GRIB2 5.40
+      * compression type 1, irreversible 9/7) rather than the
+      * producer's exact scaled integers. Ingest carries it as a
+      * column so exactness-sensitive consumers can filter. */
+    def decodeMultiFlagged(bytes: Array[Byte]): Seq[(Int, GeoTiff.Raster, Boolean)] =
+      decodeMulti(bytes).map { case (s, r) => (s, r, false) }
     /** Per-file variable discovery (formats/base.py:108-131): GeoTIFF
       * bands are `band_N`, GRIB2 keys are the (discipline, category,
       * parameter) VariableKey, NetCDF uses the variable name. */
@@ -67,7 +74,9 @@ object Formats {
     }
     /** One entry per concatenated message, indexed by forecast hour. */
     override def decodeMulti(b: Array[Byte]): Seq[(Int, GeoTiff.Raster)] =
-      requireOneGrid(Grib2.readAll(b)).map(m => m.forecastHours -> m.raster)
+      decodeMultiFlagged(b).map { case (s, r, _) => (s, r) }
+    override def decodeMultiFlagged(b: Array[Byte]): Seq[(Int, GeoTiff.Raster, Boolean)] =
+      requireOneGrid(Grib2.readAll(b)).map(m => (m.forecastHours, m.raster, m.lossy))
     override def listVariables(b: Array[Byte]): Seq[String] =
       Grib2.readAll(b).map(m => s"d${m.discipline}_c${m.category}_p${m.parameter}").distinct
     /** Projected (Lambert 3.30) grids carry exact per-pixel lon/lat —
@@ -129,14 +138,15 @@ object Formats {
         // curvilinear grids carry exact per-pixel coords instead
         val ll = dec.pixelLonLat(bytes)
         for {
-          (step, r) <- dec.decodeMulti(bytes)
+          (step, r, lossy) <- dec.decodeMultiFlagged(bytes)
           y <- 0 until r.height; x <- 0 until r.width
           v = r.data(y * r.width + x) if !v.isNaN
         } yield (fname, step, y, x, v.toDouble,
           ll.map(_._1(y * r.width + x)).getOrElse(r.west + (x + 0.5) * r.px),
-          ll.map(_._2(y * r.width + x)).getOrElse(r.north - (y + 0.5) * r.py))
+          ll.map(_._2(y * r.width + x)).getOrElse(r.north - (y + 0.5) * r.py),
+          lossy)
       }
-    }.toDF("fname", "step", "y", "x", "v", "lon", "lat")
+    }.toDF("fname", "step", "y", "x", "v", "lon", "lat", "lossy")
     // multi-timestep files: valid time = filename time + step hours
     pixels.withColumn("time",
       graft.streaming.IngestStream.extractTime(col("fname"))
@@ -144,13 +154,12 @@ object Formats {
   }
 
   /** Quarantining ingest: like [[ingestDir]], but a granule whose
-    * decode fails (packing template 5.40/JPEG2000, corrupt bytes,
+    * decode fails (unsupported packing/grid template, corrupt bytes,
     * unknown format) routes to a DEAD-LETTER frame with the failure
     * reason instead of failing the whole batch — a 100-granule feed
-    * with three 5.40 files ingests 97 (the reference transcodes such
-    * feeds through eccodes, formats/grib.py:122-230; on the JVM we
-    * quarantine for an ingest-side transcode instead of shipping a
-    * JPEG2000 decoder).
+    * with three undecodable files ingests 97 (the reference reaches
+    * the same outcome by transcoding through eccodes,
+    * formats/grib.py:122-230).
     *
     * Returns (pixels, deadLetters(fname, reason)). Both frames derive
     * from ONE classified decode pass; consumers reading both should
@@ -171,19 +180,20 @@ object Formats {
             throw new IllegalArgumentException(s"unknown format"))
           val ll = dec.pixelLonLat(bytes)
           for {
-            (step, r) <- dec.decodeMulti(bytes)
+            (step, r, lossy) <- dec.decodeMultiFlagged(bytes)
             y <- 0 until r.height; x <- 0 until r.width
             v = r.data(y * r.width + x) if !v.isNaN
           } yield (fname, step, y, x, v.toDouble,
             ll.map(_._1(y * r.width + x)).getOrElse(r.west + (x + 0.5) * r.px),
             ll.map(_._2(y * r.width + x)).getOrElse(r.north - (y + 0.5) * r.py),
-            null: String)
+            lossy, null: String)
         } catch {
           case e: Exception =>
-            Seq((fname, 0, 0, 0, 0.0, 0.0, 0.0, s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+            Seq((fname, 0, 0, 0, 0.0, 0.0, 0.0, false,
+              s"${e.getClass.getSimpleName}: ${e.getMessage}"))
         }
       }
-    }.toDF("fname", "step", "y", "x", "v", "lon", "lat", "err")
+    }.toDF("fname", "step", "y", "x", "v", "lon", "lat", "lossy", "err")
     val pixels = classified.filter(col("err").isNull).drop("err")
       .withColumn("time",
         graft.streaming.IngestStream.extractTime(col("fname"))

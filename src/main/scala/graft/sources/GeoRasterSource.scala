@@ -49,7 +49,8 @@ object GeoRasterSource {
     StructField("v", DoubleType, nullable = false),
     StructField("lon", DoubleType, nullable = false),
     StructField("lat", DoubleType, nullable = false),
-    StructField("time", TimestampType, nullable = true)))
+    StructField("time", TimestampType, nullable = true),
+    StructField("lossy", BooleanType, nullable = false)))
 
   /** Plain-Scala twin of IngestStream.extractTime's regex chain (the
     * Column version can't run inside a partition reader). Returns epoch
@@ -189,11 +190,11 @@ class GeoRasterReaderFactory(fields: Array[String],
       // at fleet scale one bad object must not kill a 100 TB ingest)
       // decode ONCE; under ignoreCorrupt any read/sniff/decode failure
       // (incl. truncated payloads) downgrades to an empty granule
-      private val decoded: Option[(Seq[(Int, GeoTiff.Raster)], Option[(Array[Double], Array[Double])])] =
+      private val decoded: Option[(Seq[(Int, GeoTiff.Raster, Boolean)], Option[(Array[Double], Array[Double])])] =
         try {
           val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file))
           Formats.sniff(bytes) match {
-            case Some(d) => Some((d.decodeMulti(bytes), d.pixelLonLat(bytes)))
+            case Some(d) => Some((d.decodeMultiFlagged(bytes), d.pixelLonLat(bytes)))
             case None if ignoreCorrupt => None
             case None =>
               throw new IllegalArgumentException(s"unknown format: $file")
@@ -208,6 +209,7 @@ class GeoRasterReaderFactory(fields: Array[String],
       private val rasters = decoded.map(_._1).getOrElse(Seq.empty).iterator
       private var step = 0
       private var r: GeoTiff.Raster = _
+      private var lossy = false
       private var i = -1
       private var row: InternalRow = _
 
@@ -223,6 +225,7 @@ class GeoRasterReaderFactory(fields: Array[String],
           case "lon" => ll.map(_._1(i)).getOrElse(r.west + (x + 0.5) * r.px)
           case "lat" => ll.map(_._2(i)).getOrElse(r.north - (y + 0.5) * r.py)
           case "time" => baseMicros.map(_ + step * 3600L * 1000000L).orNull
+          case "lossy" => lossy
         }
         InternalRow.fromSeq(vals.toIndexedSeq)
       }
@@ -236,8 +239,8 @@ class GeoRasterReaderFactory(fields: Array[String],
             r = null
           }
           if (!rasters.hasNext) return false
-          val (s, raster) = rasters.next()
-          step = s; r = raster; i = -1
+          val (s, raster, lsy) = rasters.next()
+          step = s; r = raster; lossy = lsy; i = -1
         }
         false
       }

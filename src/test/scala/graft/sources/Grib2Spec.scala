@@ -353,6 +353,20 @@ class Grib2Spec extends SparkSpec {
     assert(Formats.Grib2Decoder.pixelLonLat(bytes).isDefined)
   }
 
+  test("lossy provenance reaches the ingest column: 9/7 granules flag true, 5/3 false") {
+    val dir = Files.createTempDirectory("graft-lossy-ingest-").toString
+    Files.write(Paths.get(s"$dir/t2m_20240101_0000.grib2"),
+      Grib2.write(sampleMessage, packing = 40))
+    Files.write(Paths.get(s"$dir/t2m_20240101_0600.grib2"),
+      Grib2.write(sampleMessage, packing = 40, j2kQuantShift = Some(0)))
+    val flags = Formats.ingestDir(spark, dir)
+      .groupBy("fname").agg(collect_set(col("lossy")).as("ls"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Boolean](1).toSet).toMap
+    assert(flags("t2m_20240101_0000.grib2") == Set(false))
+    assert(flags("t2m_20240101_0600.grib2") == Set(true),
+      "irreversible-9/7 pixels must carry lossy = true so exact-integer consumers can filter")
+  }
+
   test("Lambert granules ingest with projected lon/lat, not affine degrees") {
     val dir = Files.createTempDirectory("graft-lcc-ingest-").toString
     Files.write(Paths.get(s"$dir/refl_20240601_1200.grib2"), Grib2.write(lccMessage))

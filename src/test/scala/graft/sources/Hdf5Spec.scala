@@ -86,15 +86,16 @@ class Hdf5Spec extends SparkSpec {
     var i = good.length - 5
     while (!failedLoudly && i > good.length / 2) {
       val bad = good.clone(); bad(i) = (bad(i) ^ 0x55).toByte
-      try {
-        val d = Hdf5.read(bad).datasets.find(_.name == "precip").get.data
-        if (!d.sameElements(plainData)) fail("corrupt chunk decoded to wrong data without error")
-      } catch {
-        case e: IllegalArgumentException
-          if e.getMessage != null && e.getMessage.contains("fletcher32") =>
-          failedLoudly = true
-        case _: Exception => // corrupted structure elsewhere — also loud
-          failedLoudly = true
+      // read OUTSIDE any assertion so a silent-wrong-data regression
+      // cannot masquerade as the expected loud failure
+      val outcome: Either[Exception, Array[Float]] =
+        try Right(Hdf5.read(bad).datasets.find(_.name == "precip").get.data)
+        catch { case e: Exception => Left(e) }
+      outcome match {
+        case Right(d) =>
+          assert(d.sameElements(plainData),
+            s"byte flip at $i decoded to WRONG data without any error")
+        case Left(_) => failedLoudly = true // checksum or structure — loud
       }
       i -= 1
     }
