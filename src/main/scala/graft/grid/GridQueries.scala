@@ -207,7 +207,9 @@ object GridQueries extends QueryModule {
     // shuffle joins — and quantized integer weights make the sums exact
     // and order-independent (hash-matchable).
     "f14_regrid_bilinear" -> ((s, dir) => {
-      Regrid.bilinear(s, Grid.fromLineitem(s, dir), Grid.W, Grid.H, 48, 36)
+      Regrid.probeResample(Grid.fromLineitem(s, dir),
+        probesOf(s, "f14_regrid_bilinear")(
+          Regrid.bilinearProbes(s, Grid.W, Grid.H, 48, 36)))
     }),
 
     // F14 — regrid, cubic (Keys kernel, a=−0.5): same probe-join shape;
@@ -215,7 +217,9 @@ object GridQueries extends QueryModule {
     // quantized-integer sums are order-independent and the one final
     // divide is a single IEEE instruction (Exact.scala discipline).
     "f14_regrid_cubic" -> ((s, dir) => {
-      Regrid.cubic(s, Grid.fromLineitem(s, dir), Grid.W, Grid.H, 48, 36)
+      Regrid.probeResample(Grid.fromLineitem(s, dir),
+        probesOf(s, "f14_regrid_cubic")(
+          Regrid.cubicProbes(s, Grid.W, Grid.H, 48, 36)))
     }),
 
     // F14 — regrid with CRS reprojection (geoprocessing/regrid.py:23-70
@@ -225,10 +229,11 @@ object GridQueries extends QueryModule {
     // plan — reprojection only changes how the (tiny, broadcast) probe
     // table is built.
     "f14_regrid_reproject" -> ((s, dir) => {
-      val probes = Regrid.reprojectProbes(s, Grid.W, Grid.H,
-        srcWest = -180.0, srcNorth = 90.0, pxDeg = Grid.PX, pyDeg = Grid.PY,
-        tgtW = 48, tgtH = 32,
-        mw = -18000000.0, mn = 14000000.0, pxm = 750000.0, pym = 875000.0)
+      val probes = probesOf(s, "f14_regrid_reproject")(
+        Regrid.reprojectProbes(s, Grid.W, Grid.H,
+          srcWest = -180.0, srcNorth = 90.0, pxDeg = Grid.PX, pyDeg = Grid.PY,
+          tgtW = 48, tgtH = 32,
+          mw = -18000000.0, mn = 14000000.0, pxm = 750000.0, pym = 875000.0))
       Regrid.probeResample(Grid.fromLineitem(s, dir), probes)
     }),
 
