@@ -50,4 +50,29 @@ class GridStoreSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == before)
     assert(parquetFiles().size < filesBefore)
   }
+
+  test("serving-mode cube cache: pins once per dir, evicts per dataset, clears fully") {
+    import graft.Tables
+    val dir = "/root/testdata/sf0.001"
+    val was = Tables.cacheEnabled
+    try {
+      Tables.cacheEnabled = true
+      Grid.clearCache()
+      val a = Grid.fromLineitem(spark, dir)
+      assert(Grid.fromLineitem(spark, dir) eq a,
+        "same dir must serve the SAME pinned frame in serving mode")
+      assert(a.storageLevel.useMemory, "serving-mode cube must be cached")
+      Grid.evictCache(dir)
+      assert(a.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+        "per-dataset eviction must unpersist the cube")
+      val b = Grid.fromLineitem(spark, dir)
+      assert(!(b eq a), "post-eviction access rebuilds")
+      Grid.clearCache()
+      assert(b.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      Tables.cacheEnabled = false
+      val c = Grid.fromLineitem(spark, dir)
+      assert(c.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+        "Verify mode (cache off) must keep raw derivations")
+    } finally { Tables.cacheEnabled = was; Grid.clearCache() }
+  }
 }
