@@ -2,13 +2,14 @@ package graft.sources
 
 import java.nio.ByteBuffer
 
-/** Minimal NetCDF classic (CDF-1) codec: float variables on
+/** Minimal NetCDF classic codec (CDF-1, CDF-2/64-bit-offset,
+  * CDF-5/64-bit-data): float variables on
   * (time?, y, x) dimensions with coordinate variables and a
   * `_FillValue` attribute mapped to NaN — the reference's NetCDF
   * surface (formats/netcdf.py:33-366: variable list, time-dim
   * detection, rectilinear AND curvilinear grids, CRS detection,
   * _FillValue→NaN). Written from the public NetCDF classic format
-  * specification (magic `CDF\x01`, big-endian headers + contiguous
+  * specification (magic `CDF\x01|\x02|\x05`, big-endian headers + contiguous
   * aligned data).
   *
   * Spatial dimensions are recognized by the reference's name sets
@@ -139,7 +140,8 @@ object NetCdf {
   }
 
   def canHandle(b: Array[Byte]): Boolean =
-    b.length >= 4 && b(0) == 'C' && b(1) == 'D' && b(2) == 'F' && b(3) == 1
+    b.length >= 4 && b(0) == 'C' && b(1) == 'D' && b(2) == 'F' &&
+      (b(3) == 1 || b(3) == 2 || b(3) == 5)
 
   /** Dispatch on magic: classic CDF-1 or NetCDF-4 (HDF5 container,
     * decoded natively by Hdf5 and assembled through the dimension-scale
@@ -156,72 +158,89 @@ object NetCdf {
   // ---- encode ------------------------------------------------------
 
   /** Write dims + float variables (row-major, time-major), optional
-    * global NC_CHAR attributes and per-variable NC_CHAR attributes. */
+    * global NC_CHAR attributes and per-variable NC_CHAR attributes.
+    * `version`: 1 (CDF-1), 2 (CDF-2, 64-bit begin offsets) or 5
+    * (CDF-5, 64-bit counts/sizes too) — same field-width rules as the
+    * reader, so specs round-trip every classic variant. */
   def write(dims: Seq[(String, Int)], variables: Seq[Variable],
-            gattrs: Seq[(String, String)] = Nil): Array[Byte] = {
+            gattrs: Seq[(String, String)] = Nil,
+            version: Int = 1): Array[Byte] = {
+    require(version == 1 || version == 2 || version == 5, s"bad CDF version $version")
+    val nnW = if (version == 5) 8 else 4   // NON_NEG width
+    val offW = if (version == 1) 4 else 8  // OFFSET width
     val out = new java.io.ByteArrayOutputStream()
     def u32(v: Int): Unit = {
       out.write(v >> 24); out.write((v >> 16) & 0xff)
       out.write((v >> 8) & 0xff); out.write(v & 0xff)
     }
+    def nonNeg(v: Long): Unit = {
+      if (nnW == 8) u32((v >>> 32).toInt)
+      u32(v.toInt)
+    }
+    def offsetF(v: Long): Unit = {
+      if (offW == 8) u32((v >>> 32).toInt)
+      u32(v.toInt)
+    }
     def name(s: String): Unit = {
-      u32(s.length); out.write(s.getBytes)
+      nonNeg(s.length.toLong); out.write(s.getBytes)
       val pad = (4 - s.length % 4) % 4
       (0 until pad).foreach(_ => out.write(0))
     }
     def charAttr(n: String, v: String): Unit = {
-      name(n); u32(NC_CHAR); u32(v.length)
+      name(n); u32(NC_CHAR); nonNeg(v.length.toLong)
       out.write(v.getBytes)
       val pad = (4 - v.length % 4) % 4
       (0 until pad).foreach(_ => out.write(0))
     }
-    out.write("CDF".getBytes); out.write(1) // magic + version
-    u32(0) // numrecs
+    def absent(): Unit = { nonNeg(0L); nonNeg(0L) } // ZERO ZERO
+    out.write("CDF".getBytes); out.write(version) // magic + version
+    nonNeg(0L) // numrecs
     // dim_list
-    u32(NC_DIMENSION); u32(dims.size)
-    dims.foreach { case (n, sz) => name(n); u32(sz) }
+    u32(NC_DIMENSION); nonNeg(dims.size.toLong)
+    dims.foreach { case (n, sz) => name(n); nonNeg(sz.toLong) }
     // global attributes
-    if (gattrs.isEmpty) { u32(0); u32(0) }
+    if (gattrs.isEmpty) absent()
     else {
-      u32(NC_ATTRIBUTE); u32(gattrs.size)
+      u32(NC_ATTRIBUTE); nonNeg(gattrs.size.toLong)
       gattrs.foreach { case (n, v) => charAttr(n, v) }
     }
     // var_list — compute header size first to lay out offsets
-    def nameSz(s: String) = 4 + s.length + (4 - s.length % 4) % 4
+    def nameSz(s: String) = nnW + s.length + (4 - s.length % 4) % 4
     def charAttrSz(n: String, v: String) =
-      nameSz(n) + 8 + v.length + (4 - v.length % 4) % 4
+      nameSz(n) + 4 + nnW + v.length + (4 - v.length % 4) % 4
     def varHeaderSize(v: Variable): Int = {
-      nameSz(v.name) + 4 + 4 * v.dims.size +
-        8 + // attr list tag + count (or ABSENT zeros)
-        (if (v.fill.isDefined) nameSz("_FillValue") + 8 + 4 else 0) +
+      val nAtts = (if (v.fill.isDefined) 1 else 0) + v.attrs.size
+      nameSz(v.name) + nnW + nnW * v.dims.size +
+        (if (nAtts == 0) 2 * nnW else 4 + nnW) + // attr list tag+count / ABSENT
+        (if (v.fill.isDefined) nameSz("_FillValue") + 4 + nnW + 4 else 0) +
         v.attrs.map { case (n, s) => charAttrSz(n, s) }.sum +
-        4 + 4 + 4 // type, vsize, begin
+        4 + nnW + offW // type, vsize, begin
     }
-    val fixed = out.size() + 8 + variables.map(varHeaderSize).sum
+    val fixed = out.size() + 4 + nnW + variables.map(varHeaderSize).sum
     var begin = fixed
     val begins = variables.map { v =>
       val b = begin
       begin += v.data.length * 4
       b
     }
-    u32(NC_VARIABLE); u32(variables.size)
+    u32(NC_VARIABLE); nonNeg(variables.size.toLong)
     for ((v, b) <- variables.zip(begins)) {
       name(v.name)
-      u32(v.dims.size)
-      v.dims.foreach(d => u32(dims.indexWhere(_._1 == d)))
+      nonNeg(v.dims.size.toLong)
+      v.dims.foreach(d => nonNeg(dims.indexWhere(_._1 == d).toLong))
       val nAtts = (if (v.fill.isDefined) 1 else 0) + v.attrs.size
-      if (nAtts == 0) { u32(0); u32(0) }
+      if (nAtts == 0) absent()
       else {
-        u32(NC_ATTRIBUTE); u32(nAtts)
+        u32(NC_ATTRIBUTE); nonNeg(nAtts.toLong)
         v.fill.foreach { f =>
-          name("_FillValue"); u32(NC_FLOAT); u32(1)
+          name("_FillValue"); u32(NC_FLOAT); nonNeg(1L)
           u32(java.lang.Float.floatToIntBits(f))
         }
         v.attrs.foreach { case (n, s) => charAttr(n, s) }
       }
       u32(NC_FLOAT)
-      u32(v.data.length * 4) // vsize
-      u32(b) // begin
+      nonNeg(v.data.length.toLong * 4) // vsize
+      offsetF(b.toLong) // begin
     }
     require(out.size() == fixed, s"header layout mismatch ${out.size()} vs $fixed")
     variables.foreach(_.data.foreach(f => u32(java.lang.Float.floatToIntBits(f))))
@@ -232,23 +251,43 @@ object NetCdf {
 
   def read(bytes: Array[Byte]): File = {
     require(canHandle(bytes), "not NetCDF classic")
+    // Version byte widens fields per the classic-format BNF: CDF-2
+    // (NC_64BIT_OFFSET, the default for >2 GiB model output) keeps
+    // 4-byte counts but 8-byte `begin` offsets; CDF-5 (NC_64BIT_DATA,
+    // pnetcdf) widens every NON_NEG — counts, name/dim lengths,
+    // attribute nelems, vsize — to 8 bytes as well.
+    val version = bytes(3).toInt
     val bb = ByteBuffer.wrap(bytes) // big-endian by default
     bb.position(4)
-    bb.getInt // numrecs
+    def nonNeg(): Long = if (version == 5) bb.getLong else bb.getInt.toLong
+    def offsetF(): Long = if (version == 1) bb.getInt.toLong else bb.getLong
+    val numrecs = nonNeg()
+    require(numrecs >= 0, "STREAMING numrecs not supported")
     def name(): String = {
-      val len = bb.getInt
+      val len = nonNeg().toInt
       val s = new Array[Byte](len); bb.get(s)
       bb.position(bb.position() + (4 - len % 4) % 4)
       new String(s)
     }
+    /** Tag + count of one list; ABSENT is ZERO ZERO with
+      * NON_NEG-width zeros (16 bytes in CDF-5, 8 otherwise). */
+    def listCount(expected: Int): Int = {
+      val tag = bb.getInt
+      if (tag == expected) nonNeg().toInt
+      else {
+        require(tag == 0, s"bad list tag $tag (expected $expected or ABSENT)")
+        if (version == 5) require(bb.getInt == 0 && bb.getLong == 0L, "bad ABSENT encoding")
+        else require(bb.getInt == 0, "bad ABSENT encoding")
+        0
+      }
+    }
     /** One attribute list; returns (fill, string attrs). */
     def attrList(): (Option[Float], Map[String, String]) = {
-      val aTag = bb.getInt; val nAtts = bb.getInt
-      require(aTag == NC_ATTRIBUTE || (aTag == 0 && nAtts == 0))
+      val nAtts = listCount(NC_ATTRIBUTE)
       var fill: Option[Float] = None
       val strs = scala.collection.mutable.Map[String, String]()
       for (_ <- 0 until nAtts) {
-        val an = name(); val at = bb.getInt; val ac = bb.getInt
+        val an = name(); val at = bb.getInt; val ac = nonNeg().toInt
         if (an == "_FillValue" && at == NC_FLOAT && ac == 1)
           fill = Some(java.lang.Float.intBitsToFloat(bb.getInt))
         else if (at == NC_CHAR) {
@@ -268,30 +307,32 @@ object NetCdf {
       (fill, strs.toMap)
     }
     // dims
-    val dimTag = bb.getInt; val nDims = bb.getInt
-    require(dimTag == NC_DIMENSION || (dimTag == 0 && nDims == 0))
-    val dims = (0 until nDims).map(_ => (name(), bb.getInt))
+    val nDims = listCount(NC_DIMENSION)
+    val dims = (0 until nDims).map(_ => (name(), nonNeg().toInt))
     // global atts
     val (_, gattrs) = attrList()
     // vars
-    val vTag = bb.getInt; val nVars = bb.getInt
-    require(vTag == NC_VARIABLE || (vTag == 0 && nVars == 0))
+    val nVars = listCount(NC_VARIABLE)
     val metas = (0 until nVars).map { _ =>
       val vn = name()
-      val nd = bb.getInt
-      val vdims = (0 until nd).map(i => dims(bb.getInt)._1)
+      val nd = nonNeg().toInt
+      val vdims = (0 until nd).map(_ => dims(nonNeg().toInt)._1)
       val (fill, strAttrs) = attrList()
       val typ = bb.getInt
       require(typ == NC_FLOAT, s"only float variables supported, got $typ")
-      val vsize = bb.getInt
-      val begin = bb.getInt
+      val vsize = nonNeg()
+      val begin = offsetF()
       (vn, vdims, fill, strAttrs, vsize, begin)
     }
     val variables = metas.map { case (vn, vdims, fill, strAttrs, vsize, begin) =>
-      val n = vsize / 4
+      require(begin >= 0 && begin + vsize <= bytes.length,
+        s"variable '$vn' data [$begin, ${begin + vsize}) outside the file " +
+          s"(${bytes.length} bytes; offsets beyond 2 GiB need a chunked reader)")
+      val n = (vsize / 4).toInt
       val data = new Array[Float](n)
+      val b0 = begin.toInt
       var i = 0
-      while (i < n) { data(i) = bb.getFloat(begin + i * 4); i += 1 }
+      while (i < n) { data(i) = bb.getFloat(b0 + i * 4); i += 1 }
       Variable(vn, vdims, data, fill, strAttrs)
     }
     File(dims, variables, gattrs)

@@ -29,6 +29,42 @@ class NetCdfSpec extends SparkSpec {
     assert(f.vars.last.fill.contains(-9999f))
   }
 
+  test("CDF-2 and CDF-5 variants round-trip identically to CDF-1") {
+    val w = 6; val h = 4; val nT = 3
+    val lat = Array(75f, 45f, 15f, -15f)
+    val lon = Array(-150f, -90f, -30f, 30f, 90f, 150f)
+    val data = Array.tabulate(nT * h * w)(i => if (i % 17 == 0) -9999f else i * 0.5f)
+    def build(version: Int) = NetCdf.write(
+      Seq("time" -> nT, "lat" -> h, "lon" -> w),
+      Seq(
+        NetCdf.Variable("lat", Seq("lat"), lat, None),
+        NetCdf.Variable("lon", Seq("lon"), lon, None),
+        NetCdf.Variable("precip", Seq("time", "lat", "lon"), data, Some(-9999f),
+          Map("units" -> "mm"))),
+      gattrs = Seq("crs" -> "EPSG:4326"), version = version)
+    val ref = NetCdf.read(build(1))
+    for (v <- Seq(2, 5)) {
+      val bytes = build(v)
+      assert((bytes(3) & 0xff) == v, s"magic version byte must be $v")
+      assert(NetCdf.canHandle(bytes) && Formats.sniff(bytes).map(_.name).contains("netcdf"))
+      // header widths actually differ (the variant is real, not a relabel)
+      assert(bytes.length > build(1).length, s"CDF-$v header must be wider than CDF-1")
+      val f = NetCdf.read(bytes)
+      assert(f.dims == ref.dims, s"CDF-$v dims")
+      assert(f.gattrs == ref.gattrs, s"CDF-$v global attrs")
+      f.vars.zip(ref.vars).foreach { case (a, b) =>
+        assert(a.name == b.name && a.dims == b.dims && a.fill == b.fill &&
+          a.attrs == b.attrs && a.data.sameElements(b.data), s"CDF-$v var ${b.name}")
+      }
+      // the full pipeline (raster assembly) agrees too
+      val ra = f.rasters("precip"); val rb = ref.rasters("precip")
+      ra.zip(rb).foreach { case ((ta, a), (tb, b)) =>
+        assert(ta == tb && a.data.zip(b.data).forall(p =>
+          (p._1.isNaN && p._2.isNaN) || p._1 == p._2))
+      }
+    }
+  }
+
   test("netcdf files ingest through the chipper with step-offset times") {
     val dir = java.nio.file.Files.createTempDirectory("graft-nc-").toString
     java.nio.file.Files.write(
