@@ -32,8 +32,18 @@ object NetCdf {
   val YNames = Set("latitude", "lat", "y")
   val XNames = Set("longitude", "lon", "x")
 
+  /** `ncType` is the ON-DISK type (NC_FLOAT default; BYTE/SHORT/INT/
+    * DOUBLE accepted): `data` always holds the decoded values as
+    * floats, with CF packing (scale_factor/add_offset — the ERA5-style
+    * packed-short layout) already applied and packed fill values
+    * already NaN'd by the reader (in which case `fill` is None, since
+    * the stored sentinel no longer appears in `data`). `numAttrs`
+    * carries scalar numeric attributes (the writer emits them as
+    * NC_DOUBLE for fixture round-trips). */
   case class Variable(name: String, dims: Seq[String], data: Array[Float],
-                      fill: Option[Float], attrs: Map[String, String] = Map.empty)
+                      fill: Option[Float], attrs: Map[String, String] = Map.empty,
+                      numAttrs: Map[String, Double] = Map.empty,
+                      ncType: Int = 5)
   case class File(dims: Seq[(String, Int)], vars: Seq[Variable],
                   gattrs: Map[String, String] = Map.empty) {
     def dimSize(n: String): Int = dims.find(_._1 == n).get._2
@@ -205,22 +215,47 @@ object NetCdf {
       gattrs.foreach { case (n, v) => charAttr(n, v) }
     }
     // var_list — compute header size first to lay out offsets
-    def nameSz(s: String) = nnW + s.length + (4 - s.length % 4) % 4
+    def esOf(t: Int): Int = t match {
+      case 1 => 1; case 3 => 2; case 4 | NC_FLOAT => 4; case 6 => 8
+      case t => throw new IllegalArgumentException(s"unsupported write type $t")
+    }
+    def pad4(n: Int) = (4 - n % 4) % 4
+    def nameSz(s: String) = nnW + s.length + pad4(s.length)
     def charAttrSz(n: String, v: String) =
-      nameSz(n) + 4 + nnW + v.length + (4 - v.length % 4) % 4
+      nameSz(n) + 4 + nnW + v.length + pad4(v.length)
+    def fillSz(v: Variable) = {
+      val es = esOf(v.ncType)
+      nameSz("_FillValue") + 4 + nnW + es + pad4(es)
+    }
+    def vsizeOf(v: Variable) = {
+      val raw = v.data.length * esOf(v.ncType)
+      raw + pad4(raw) // data slabs pad to 4-byte alignment
+    }
     def varHeaderSize(v: Variable): Int = {
-      val nAtts = (if (v.fill.isDefined) 1 else 0) + v.attrs.size
+      val nAtts = (if (v.fill.isDefined) 1 else 0) + v.attrs.size + v.numAttrs.size
       nameSz(v.name) + nnW + nnW * v.dims.size +
         (if (nAtts == 0) 2 * nnW else 4 + nnW) + // attr list tag+count / ABSENT
-        (if (v.fill.isDefined) nameSz("_FillValue") + 4 + nnW + 4 else 0) +
+        (if (v.fill.isDefined) fillSz(v) else 0) +
         v.attrs.map { case (n, s) => charAttrSz(n, s) }.sum +
+        v.numAttrs.keys.toSeq.map(n => nameSz(n) + 4 + nnW + 8).sum + // NC_DOUBLE scalars
         4 + nnW + offW // type, vsize, begin
+    }
+    /** One value in the variable's external type (+alignment padding
+      * is handled at slab level). */
+    def typedValue(t: Int, f: Double): Unit = t match {
+      case 1 => out.write(f.toByte.toInt)
+      case 3 => out.write((f.toShort >> 8) & 0xff); out.write(f.toShort & 0xff)
+      case 4 => u32(f.toInt)
+      case NC_FLOAT => u32(java.lang.Float.floatToIntBits(f.toFloat))
+      case 6 =>
+        val bits = java.lang.Double.doubleToLongBits(f)
+        u32((bits >>> 32).toInt); u32(bits.toInt)
     }
     val fixed = out.size() + 4 + nnW + variables.map(varHeaderSize).sum
     var begin = fixed
     val begins = variables.map { v =>
       val b = begin
-      begin += v.data.length * 4
+      begin += vsizeOf(v)
       b
     }
     u32(NC_VARIABLE); nonNeg(variables.size.toLong)
@@ -228,22 +263,29 @@ object NetCdf {
       name(v.name)
       nonNeg(v.dims.size.toLong)
       v.dims.foreach(d => nonNeg(dims.indexWhere(_._1 == d).toLong))
-      val nAtts = (if (v.fill.isDefined) 1 else 0) + v.attrs.size
+      val nAtts = (if (v.fill.isDefined) 1 else 0) + v.attrs.size + v.numAttrs.size
       if (nAtts == 0) absent()
       else {
         u32(NC_ATTRIBUTE); nonNeg(nAtts.toLong)
         v.fill.foreach { f =>
-          name("_FillValue"); u32(NC_FLOAT); nonNeg(1L)
-          u32(java.lang.Float.floatToIntBits(f))
+          name("_FillValue"); u32(v.ncType); nonNeg(1L)
+          typedValue(v.ncType, f.toDouble)
+          (0 until pad4(esOf(v.ncType))).foreach(_ => out.write(0))
+        }
+        v.numAttrs.toSeq.sortBy(_._1).foreach { case (n, d) =>
+          name(n); u32(6); nonNeg(1L); typedValue(6, d)
         }
         v.attrs.foreach { case (n, s) => charAttr(n, s) }
       }
-      u32(NC_FLOAT)
-      nonNeg(v.data.length.toLong * 4) // vsize
+      u32(v.ncType)
+      nonNeg(vsizeOf(v).toLong) // vsize (padded)
       offsetF(b.toLong) // begin
     }
     require(out.size() == fixed, s"header layout mismatch ${out.size()} vs $fixed")
-    variables.foreach(_.data.foreach(f => u32(java.lang.Float.floatToIntBits(f))))
+    variables.foreach { v =>
+      v.data.foreach(f => typedValue(v.ncType, f.toDouble))
+      (0 until pad4(v.data.length * esOf(v.ncType))).foreach(_ => out.write(0))
+    }
     out.toByteArray
   }
 
@@ -281,59 +323,103 @@ object NetCdf {
         0
       }
     }
-    /** One attribute list; returns (fill, string attrs). */
-    def attrList(): (Option[Float], Map[String, String]) = {
+    /** Size in bytes of one element of a numeric external type. */
+    def elemSize(t: Int): Int = t match {
+      case 1 | 2 => 1 // NC_BYTE, NC_CHAR
+      case 3 => 2     // NC_SHORT
+      case 4 | NC_FLOAT => 4
+      case 6 => 8     // NC_DOUBLE
+      case t => throw new IllegalArgumentException(s"unknown external type $t")
+    }
+    /** One numeric value of type `t` at the current position. */
+    def numValue(t: Int): Double = t match {
+      case 1 => bb.get().toDouble
+      case 3 => bb.getShort.toDouble
+      case 4 => bb.getInt.toDouble
+      case NC_FLOAT => java.lang.Float.intBitsToFloat(bb.getInt).toDouble
+      case 6 => bb.getDouble
+      case t => throw new IllegalArgumentException(s"non-numeric type $t")
+    }
+    /** One attribute list; returns (raw fill, string attrs, scalar
+      * numeric attrs). The fill is kept RAW (pre-scaling) — packing
+      * sentinels are compared in the stored domain. */
+    def attrList(): (Option[Double], Map[String, String], Map[String, Double]) = {
       val nAtts = listCount(NC_ATTRIBUTE)
-      var fill: Option[Float] = None
+      var fill: Option[Double] = None
       val strs = scala.collection.mutable.Map[String, String]()
+      val nums = scala.collection.mutable.Map[String, Double]()
       for (_ <- 0 until nAtts) {
         val an = name(); val at = bb.getInt; val ac = nonNeg().toInt
-        if (an == "_FillValue" && at == NC_FLOAT && ac == 1)
-          fill = Some(java.lang.Float.intBitsToFloat(bb.getInt))
-        else if (at == NC_CHAR) {
+        if (at == NC_CHAR) {
           val s = new Array[Byte](ac); bb.get(s)
           bb.position(bb.position() + (4 - ac % 4) % 4)
           strs(an) = new String(s)
+        } else if (ac == 1) {
+          val v = numValue(at)
+          bb.position(bb.position() + (4 - elemSize(at) % 4) % 4)
+          if (an == "_FillValue") fill = Some(v) else nums(an) = v
         } else {
-          val sz = at match {
-            case NC_FLOAT => 4 * ac
-            case 4 => 4 * ac // NC_INT
-            case 6 => 8 * ac // NC_DOUBLE
-            case _ => 4 * ac
-          }
-          bb.position(bb.position() + sz)
+          val sz = elemSize(at) * ac
+          bb.position(bb.position() + sz + (4 - sz % 4) % 4)
         }
       }
-      (fill, strs.toMap)
+      (fill, strs.toMap, nums.toMap)
     }
     // dims
     val nDims = listCount(NC_DIMENSION)
     val dims = (0 until nDims).map(_ => (name(), nonNeg().toInt))
     // global atts
-    val (_, gattrs) = attrList()
+    val (_, gattrs, _) = attrList()
     // vars
     val nVars = listCount(NC_VARIABLE)
     val metas = (0 until nVars).map { _ =>
       val vn = name()
       val nd = nonNeg().toInt
       val vdims = (0 until nd).map(_ => dims(nonNeg().toInt)._1)
-      val (fill, strAttrs) = attrList()
+      val (fill, strAttrs, numAttrs) = attrList()
       val typ = bb.getInt
-      require(typ == NC_FLOAT, s"only float variables supported, got $typ")
+      require(typ != NC_CHAR, s"character data variable '$vn' not supported")
+      elemSize(typ) // rejects unknown types loudly
       val vsize = nonNeg()
       val begin = offsetF()
-      (vn, vdims, fill, strAttrs, vsize, begin)
+      (vn, vdims, typ, fill, strAttrs, numAttrs, vsize, begin)
     }
-    val variables = metas.map { case (vn, vdims, fill, strAttrs, vsize, begin) =>
+    val variables = metas.map { case (vn, vdims, typ, fillRaw, strAttrs, numAttrs, vsize, begin) =>
       require(begin >= 0 && begin + vsize <= bytes.length,
         s"variable '$vn' data [$begin, ${begin + vsize}) outside the file " +
           s"(${bytes.length} bytes; offsets beyond 2 GiB need a chunked reader)")
-      val n = (vsize / 4).toInt
-      val data = new Array[Float](n)
-      val b0 = begin.toInt
+      val es = elemSize(typ)
+      require(vdims.forall(d => dims.find(_._1 == d).get._2 > 0),
+        s"variable '$vn' uses an unlimited (record) dimension — record " +
+          "variables not supported")
+      val nEl = vdims.map(d => dims.find(_._1 == d).get._2.toLong).product.toInt
+      require(nEl.toLong * es <= vsize,
+        s"variable '$vn': $nEl elements of $es bytes exceed vsize $vsize")
+      // CF packing (the ERA5-style layout): values = raw·scale + offset
+      // with the fill sentinel compared RAW and NaN'd BEFORE scaling.
+      // Without packing attrs this is the identity and the raw fill is
+      // kept on the Variable for the caller's masking (the historical
+      // behavior); with packing, masking must happen here — the scaled
+      // sentinel would otherwise leak as a plausible number — so fill
+      // is consumed and cleared.
+      val scale = numAttrs.getOrElse("scale_factor", 1.0)
+      val offs = numAttrs.getOrElse("add_offset", 0.0)
+      val packed = scale != 1.0 || offs != 0.0
+      val data = new Array[Float](nEl)
+      bb.position(begin.toInt)
       var i = 0
-      while (i < n) { data(i) = bb.getFloat(b0 + i * 4); i += 1 }
-      Variable(vn, vdims, data, fill, strAttrs)
+      while (i < nEl) {
+        val raw = numValue(typ)
+        data(i) =
+          if (packed) {
+            if (fillRaw.exists(_ == raw)) Float.NaN
+            else (raw * scale + offs).toFloat
+          } else raw.toFloat
+        i += 1
+      }
+      Variable(vn, vdims, data,
+        if (packed) None else fillRaw.map(_.toFloat),
+        strAttrs, numAttrs, ncType = typ)
     }
     File(dims, variables, gattrs)
   }

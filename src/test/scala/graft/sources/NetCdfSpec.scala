@@ -29,6 +29,48 @@ class NetCdfSpec extends SparkSpec {
     assert(f.vars.last.fill.contains(-9999f))
   }
 
+  test("typed variables + CF packing: ERA5-shaped shorts unscale, fill NaNs, other types decode") {
+    val w = 5; val h = 3
+    // ERA5-style packed short: t2m = raw·scale + offset, fill −32767
+    val scale = 0.0016653; val offset = 266.53
+    val raw = Array.tabulate(h * w)(i => if (i == 7) -32767f else (i * 1000 - 5000).toFloat)
+    val lat = Array(60f, 30f, 0f); val lon = Array(0f, 10f, 20f, 30f, 40f)
+    val bytes = NetCdf.write(
+      Seq("lat" -> h, "lon" -> w),
+      Seq(
+        NetCdf.Variable("lat", Seq("lat"), lat, None),
+        NetCdf.Variable("lon", Seq("lon"), lon, None),
+        NetCdf.Variable("t2m", Seq("lat", "lon"), raw, Some(-32767f),
+          numAttrs = Map("scale_factor" -> scale, "add_offset" -> offset),
+          ncType = 3)))
+    val f = NetCdf.read(bytes)
+    val t2m = f.vars.find(_.name == "t2m").get
+    assert(t2m.ncType == 3 && t2m.fill.isEmpty,
+      "packed fill must be consumed by the reader (the scaled sentinel would leak)")
+    raw.zipWithIndex.foreach { case (r, i) =>
+      if (i == 7) assert(t2m.data(i).isNaN, "fill sentinel must NaN before scaling")
+      else assert(math.abs(t2m.data(i) - (r * scale + offset)) < 1e-4,
+        s"unscaled value at $i: ${t2m.data(i)} vs ${r * scale + offset}")
+    }
+    // rasters() sees already-masked data — no double-masking surprises
+    val (_, rast) = f.rasters("t2m").head
+    assert(rast.data(7).isNaN && !rast.data(0).isNaN)
+
+    // unpacked INT / DOUBLE / BYTE round-trip raw with typed fills
+    for ((t, vals, fill) <- Seq(
+        (4, Array(1f, -2f, 70000f, 4f, 5f, 6f, 7f, 8f, 9f, 10f, 11f, 12f, 13f, 14f, -999f), Some(-999f)),
+        (6, Array.tabulate(15)(i => i * 0.25f), None),
+        (1, Array.tabulate(15)(i => (i - 7).toFloat), Some(-128f)))) {
+      val b = NetCdf.write(Seq("lat" -> h, "lon" -> w),
+        Seq(NetCdf.Variable("lat", Seq("lat"), lat, None),
+          NetCdf.Variable("lon", Seq("lon"), lon, None),
+          NetCdf.Variable("v", Seq("lat", "lon"), vals, fill, ncType = t)))
+      val vr = NetCdf.read(b).vars.find(_.name == "v").get
+      assert(vr.ncType == t && vr.fill == fill, s"type $t metadata")
+      assert(vr.data.sameElements(vals), s"type $t values")
+    }
+  }
+
   test("CDF-2 and CDF-5 variants round-trip identically to CDF-1") {
     val w = 6; val h = 4; val nT = 3
     val lat = Array(75f, 45f, 15f, -15f)
