@@ -724,9 +724,23 @@ object Hdf5 {
         case _ => d.shape.map(sz => dimBySize.getOrElse(sz,
           throw new IllegalArgumentException(s"${d.name}: no dimension of size $sz")))
       }
-      val fill = d.attrs.get("_FillValue").collect { case v: Double => v.toFloat }
+      val fillRaw = d.attrs.get("_FillValue").collect { case v: Double => v }
       val strAttrs = d.attrs.collect { case (k, v: String) => k -> v }
-      NetCdf.Variable(d.name, vdims, d.data, fill, strAttrs)
+      val numAttrs = d.attrs.collect {
+        case (k, v: Double) if k != "_FillValue" => k -> v }
+      // CF packing — same contract as the classic reader: unscale in
+      // the reader, sentinel compared RAW and NaN'd before scaling,
+      // fill cleared (the scaled sentinel must not leak downstream)
+      val scale = numAttrs.getOrElse("scale_factor", 1.0)
+      val offs = numAttrs.getOrElse("add_offset", 0.0)
+      val packed = scale != 1.0 || offs != 0.0
+      val data =
+        if (!packed) d.data
+        else d.data.map(r =>
+          if (fillRaw.exists(_.toFloat == r)) Float.NaN
+          else (r * scale + offs).toFloat)
+      NetCdf.Variable(d.name, vdims, data,
+        if (packed) None else fillRaw.map(_.toFloat), strAttrs, numAttrs)
     }
     NetCdf.File(dims, vars)
   }
@@ -772,6 +786,12 @@ object Hdf5 {
       bb.put(0x11.toByte).put(0x20.toByte).put(0x1f.toByte).put(0.toByte).putInt(4)
       bb.putShort(0).putShort(32).put(23.toByte).put(8.toByte).put(0.toByte).put(23.toByte).putInt(127)
     }, 20)
+    // IEEE double (sign 63, exp 52×11 bias 1023, mantissa 0×52) — the
+    // type netcdf-c stores scale_factor/add_offset attributes in
+    val f64Dt: Array[Byte] = bodyBuf({ bb =>
+      bb.put(0x11.toByte).put(0x20.toByte).put(0x3f.toByte).put(0.toByte).putInt(8)
+      bb.putShort(0).putShort(64).put(52.toByte).put(11.toByte).put(0.toByte).put(52.toByte).putInt(1023)
+    }, 24)
     def strDt(len: Int): Array[Byte] = bodyBuf({ bb =>
       bb.put(0x13.toByte).put(0.toByte).put(0.toByte).put(0.toByte).putInt(len)
     }, 8)
@@ -972,7 +992,10 @@ object Hdf5 {
         }, 8 + filterIds.map(f => 8 + 4 * f._2.size + 4).sum),
         0x0C -> attrMsg("DIMENSION_LIST", vlenRefDt, dataspaceMsg(Seq(v.dims.size)), dimListData)) ++
         v.fill.map(f => 0x0C -> attrMsg("_FillValue", f32Dt, scalarDs,
-          bodyBuf(bb => { bb.putFloat(f); () }, 4))).toSeq
+          bodyBuf(bb => { bb.putFloat(f); () }, 4))).toSeq ++
+        v.numAttrs.toSeq.sortBy(_._1).map { case (n, d) =>
+          0x0C -> attrMsg(n, f64Dt, scalarDs,
+            bodyBuf(bb => { bb.putDouble(d); () }, 8)) }
       ohAddrs(v.name) = pos
       raw(objectHeader(msgs))
       padTo8()

@@ -184,6 +184,27 @@ class Hdf5Spec extends SparkSpec {
     assert(nc.vars.find(_.name == "lat").get.dims == Seq("lat"))
   }
 
+  test("NetCDF-4 CF packing: scale_factor/add_offset unscale, sentinel NaNs, fill cleared") {
+    // the packed-short ERA5 layout as NetCDF-4: raw values + double
+    // scale/offset attrs; the toNetCdf assembly must unscale with the
+    // sentinel compared raw (same contract as the classic reader)
+    val scale = 0.002; val offset = 250.0
+    val raw = Array.tabulate(4 * 3)(i => if (i == 5) -32767f else (i * 500 - 1000).toFloat)
+    val bytes = Hdf5.write(
+      Seq("y" -> 4, "x" -> 3),
+      Seq(NetCdf.Variable("t2m", Seq("y", "x"), raw, Some(-32767f),
+        numAttrs = Map("scale_factor" -> scale, "add_offset" -> offset))))
+    val nc = Hdf5.toNetCdf(bytes)
+    val v = nc.vars.find(_.name == "t2m").get
+    assert(v.fill.isEmpty, "packed fill must be consumed")
+    assert(v.numAttrs.get("scale_factor").contains(scale))
+    raw.zipWithIndex.foreach { case (r, i) =>
+      if (i == 5) assert(v.data(i).isNaN)
+      else assert(math.abs(v.data(i) - (r * scale + offset)) < 1e-3,
+        s"at $i: ${v.data(i)} vs ${r * scale + offset}")
+    }
+  }
+
   test("anonymous dimension (no coordinate variable) still resolves") {
     val data = Array.tabulate(4 * 3)(_.toFloat)
     val bytes = Hdf5.write(
