@@ -5,9 +5,11 @@ import java.util.zip.{Deflater, Inflater}
 
 /** Self-contained GeoTIFF codec covering the shapes the reference
   * platform actually produces and consumes: strip- OR tile-organized,
-  * uncompressed, LZW- or deflate-compressed with predictor 1/2/3, one
+  * uncompressed, LZW- or deflate-compressed with predictor 1/2/3 (byte
+  * planes 4 or 8 deep), one
   * or many bands (chunky and planar layouts), uint8/int16/uint16/
-  * int32/float32 samples, II/MM byte order, with the two GeoTIFF
+  * int32/uint32/float32/float64 samples (doubles narrow to the
+  * engine's float32 pixel model at decode), II/MM byte order, with the two GeoTIFF
   * georeferencing tags (ModelPixelScale + ModelTiepoint) the reference
   * relies on for bounds/affine recovery (formats/geotiff.py:37-373,
   * formats/base.py:40-82) and GDAL's ASCII nodata tag.
@@ -176,14 +178,16 @@ object GeoTiff {
     case "uint16"  => (16, 1)
     case "int16"   => (16, 2)
     case "int32"   => (32, 2)
+    case "uint32"  => (32, 1)
     case "float32" => (32, 3)
+    case "float64" => (64, 3)
     case other => throw new IllegalArgumentException(s"unsupported dtype: $other")
   }
 
   /** Deflate predictor by dtype, exactly the reference's rule
     * (asset_writer.py:213-235): 3 for floats, 2 for ints. */
   def predictorFor(dtype: String): Int =
-    if (dtype == "float32") 3 else 2
+    if (dtype.startsWith("float")) 3 else 2
 
   /** Internal tile block size by raster dimensions — the reference's
     * exact rule (asset_writer.py:168-186): <512 px → 128, <2048 → 256,
@@ -256,7 +260,11 @@ object GeoTiff {
       bits match {
         case 8  => buf.put(x.toInt.toByte)
         case 16 => buf.putShort(x.toInt.toShort)
-        case 32 => if (fmt == 3) buf.putFloat(x.toFloat) else buf.putInt(x.toInt)
+        case 32 =>
+          if (fmt == 3) buf.putFloat(x.toFloat)
+          else if (fmt == 1) buf.putInt(x.toLong.toInt) // unsigned wrap
+          else buf.putInt(x.toInt)
+        case 64 => buf.putDouble(x)
       }
     }
 
@@ -610,6 +618,9 @@ object GeoTiff {
             case 4 =>
               val at = base + i * 4
               buf.putInt(at, buf.getInt(at) - buf.getInt(at - stride * 4))
+            case 8 =>
+              val at = base + i * 8
+              buf.putLong(at, buf.getLong(at) - buf.getLong(at - stride * 8))
           }
           i -= 1
         }
@@ -625,11 +636,14 @@ object GeoTiff {
       for (r <- 0 until raw.length / rowBytes) {
         val base = r * rowBytes
         for (j <- 0 until rowSamples) {
-          val bitsv = in.getInt(base + j * 4)
-          out(base + j) = (bitsv >>> 24).toByte
-          out(base + rowSamples + j) = (bitsv >>> 16).toByte
-          out(base + 2 * rowSamples + j) = (bitsv >>> 8).toByte
-          out(base + 3 * rowSamples + j) = bitsv.toByte
+          val bitsv = if (bps == 8) in.getLong(base + j * 8)
+                      else in.getInt(base + j * 4).toLong & 0xffffffffL
+          var pl = 0
+          while (pl < bps) {
+            out(base + pl * rowSamples + j) =
+              (bitsv >>> (8 * (bps - 1 - pl))).toByte
+            pl += 1
+          }
         }
         var i = rowBytes - 1
         while (i >= stride) {
@@ -663,6 +677,9 @@ object GeoTiff {
               case 4 =>
                 val at = base + i * 4
                 buf.putInt(at, buf.getInt(at) + buf.getInt(at - stride * 4))
+              case 8 =>
+                val at = base + i * 8
+                buf.putLong(at, buf.getLong(at) + buf.getLong(at - stride * 8))
             }
             i += 1
           }
@@ -680,12 +697,14 @@ object GeoTiff {
             i += 1
           }
           for (j <- 0 until rowSamples) {
-            val bitsv =
-              ((raw(base + j) & 0xff) << 24) |
-              ((raw(base + rowSamples + j) & 0xff) << 16) |
-              ((raw(base + 2 * rowSamples + j) & 0xff) << 8) |
-              (raw(base + 3 * rowSamples + j) & 0xff)
-            ob.putInt(base + j * 4, bitsv)
+            var bitsv = 0L
+            var pl = 0
+            while (pl < bps) {
+              bitsv = (bitsv << 8) | (raw(base + pl * rowSamples + j) & 0xffL)
+              pl += 1
+            }
+            if (bps == 8) ob.putLong(base + j * 8, bitsv)
+            else ob.putInt(base + j * 4, bitsv.toInt)
           }
         }
         out
@@ -879,11 +898,12 @@ object GeoTiff {
       s"band $band not in file (has ${d.spp})")
     require(Set(1, 5, 8, 32946).contains(d.compression),
       s"unsupported compression ${d.compression} (none/LZW/deflate only)")
-    require(Set((8, 1), (16, 1), (16, 2), (32, 2), (32, 3)).contains((d.bits, d.fmt)) ||
+    require(Set((8, 1), (16, 1), (16, 2), (32, 1), (32, 2), (32, 3),
+        (64, 3)).contains((d.bits, d.fmt)) ||
       (d.bits == 8 && d.fmt == 2),
       s"unsupported sample type: ${d.bits}-bit format ${d.fmt}")
-    require(d.predictor != 3 || (d.bits == 32 && d.fmt == 3),
-      "floating-point predictor requires float32 samples")
+    require(d.predictor != 3 || (d.fmt == 3 && (d.bits == 32 || d.bits == 64)),
+      "floating-point predictor requires float32/float64 samples")
     val bps = d.bits / 8
     val chans = if (d.planar == 2) 1 else d.spp
     val stride = if (d.planar == 2) 1 else d.spp
@@ -931,8 +951,10 @@ object GeoTiff {
             case (8, 2)  => raw(at).toFloat
             case (16, 1) => (rb.getShort(at) & 0xffff).toFloat
             case (16, 2) => rb.getShort(at).toFloat
+            case (32, 1) => (rb.getInt(at).toLong & 0xffffffffL).toFloat
             case (32, 2) => rb.getInt(at).toFloat
             case (32, 3) => rb.getFloat(at)
+            case (64, 3) => rb.getDouble(at).toFloat // engine model is float32
             case _ => sys.error("unreachable")
           }
           data((y0 + yy) * width + x0 + xx) = v

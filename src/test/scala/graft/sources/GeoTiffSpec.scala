@@ -144,6 +144,35 @@ class GeoTiffSpec extends SparkSpec {
     assert(GeoTiff.read(bytes).data.sameElements(data))
   }
 
+  test("float64 + predictor 3 round-trips (scientific DEM shape; engine narrows to f32)") {
+    val w = 70; val h = 40
+    // values chosen exactly representable in float32 so the declared
+    // narrowing at decode is lossless for the fixture
+    val data = Array.tabulate(w * h) { i =>
+      if (i % 47 == 3) Float.NaN else (i * 0.25f - 500.0f)
+    }
+    val bytes = GeoTiff.writeCog(Seq(data), w, h, 5.0, 45.0, 0.5, 0.5,
+      tileSize = 32, dtype = "float64")
+    val back = GeoTiff.read(bytes)
+    assert(back.data.zip(data).forall { case (a, b) =>
+      (a.isNaN && b.isNaN) || a == b })
+    // and through LZW as well (predictor-3 byte planes are 8 deep)
+    val lzw = GeoTiff.writeCog(Seq(data), w, h, 5.0, 45.0, 0.5, 0.5,
+      tileSize = 32, dtype = "float64", compression = 5)
+    assert(GeoTiff.read(lzw).data.zip(data).forall { case (a, b) =>
+      (a.isNaN && b.isNaN) || a == b })
+  }
+
+  test("uint32 + predictor 2 round-trips (large-count rasters above int32)") {
+    val w = 40; val h = 25
+    // exercise values past Int.MaxValue (unsigned range), f32-exact
+    val data = Array.tabulate(w * h)(i =>
+      if (i % 3 == 0) 3.0e9f else (i * 1024).toFloat)
+    val bytes = GeoTiff.writeCog(Seq(data), w, h, 0.0, 10.0, 1.0, 1.0,
+      tileSize = 16, dtype = "uint32")
+    assert(GeoTiff.read(bytes).data.sameElements(data))
+  }
+
   test("planar (band-sequential) multi-band layout decodes") {
     val w = 20; val h = 20
     val bands = Seq.tabulate(2)(b =>
