@@ -31,7 +31,26 @@ class RasterFuzzSpec extends AnyFunSuite {
       Seq(NetCdf.Variable("lat", Seq("lat"), lat5, None),
         NetCdf.Variable("lon", Seq("lon"), lon7, None),
         NetCdf.Variable("precip", Seq("lat", "lon"), d57, Some(-9999f))))
-    Seq("tiff-strip" -> strip, "tiff-cog" -> cog, "netcdf" -> nc, "hdf5" -> h5)
+    // the round-8 format surface: 64-bit classic variants, CF-packed
+    // typed data, float64 COGs with 8-deep predictor planes
+    val nc5 = NetCdf.write(
+      Seq("lat" -> h, "lon" -> w),
+      Seq(NetCdf.Variable("lat", Seq("lat"), lat, None),
+        NetCdf.Variable("lon", Seq("lon"), lon, None),
+        NetCdf.Variable("t2m", Seq("lat", "lon"), data, None)), version = 5)
+    val raw = Array.tabulate(w * h)(i => if (i % 19 == 0) -32767f else (i * 10 - 1000).toFloat)
+    val ncPacked = NetCdf.write(
+      Seq("lat" -> h, "lon" -> w),
+      Seq(NetCdf.Variable("lat", Seq("lat"), lat, None),
+        NetCdf.Variable("lon", Seq("lon"), lon, None),
+        NetCdf.Variable("t2m", Seq("lat", "lon"), raw, Some(-32767f),
+          numAttrs = Map("scale_factor" -> 0.01, "add_offset" -> 270.0),
+          ncType = 3)), version = 2)
+    val cog64 = GeoTiff.writeCog(Seq(data), w, h, -180.0, 90.0, 15.0, 11.25,
+      dtype = "float64")
+    Seq("tiff-strip" -> strip, "tiff-cog" -> cog, "tiff-cog-f64" -> cog64,
+      "netcdf" -> nc, "netcdf-cdf5" -> nc5, "netcdf-cdf2-packed" -> ncPacked,
+      "hdf5" -> h5)
   }
 
   private def decodeAny(label: String, bytes: Array[Byte]): Unit = label match {
