@@ -29,8 +29,6 @@ object TextAnalysis {
   def countMatches(text: Column, re: String): Column =
     size(regexp_extract_all(text, lit(re), lit(0)))
 
-  /** Normalized fingerprint: md5 of lowercased whitespace-collapsed text
-    * (rolling-hash document identity for exact/near-exact dedup). */
   /** Non-distinct word-bigram array over a word-array column (order
     * preserved, multiplicity kept — the DISTINCT shared shingle index
     * cannot serve repetition counts). Shared by the gopher-quality
@@ -69,6 +67,8 @@ object TextAnalysis {
       },
       acc => acc.getField("best"))
 
+  /** Normalized fingerprint: md5 of lowercased whitespace-collapsed text
+    * (rolling-hash document identity for exact/near-exact dedup). */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 

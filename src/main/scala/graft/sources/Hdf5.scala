@@ -726,11 +726,17 @@ object Hdf5 {
       }
       val fillRaw = d.attrs.get("_FillValue").collect { case v: Double => v }
       val strAttrs = d.attrs.collect { case (k, v: String) => k -> v }
+      // scalar numeric attrs, minus HDF5/netcdf-4 INTERNAL bookkeeping
+      // (_Netcdf4Dimid etc.) — those must not leak onto the exchange
+      // Variable where a re-export would duplicate them
       val numAttrs = d.attrs.collect {
-        case (k, v: Double) if k != "_FillValue" => k -> v }
+        case (k, v: Double) if k != "_FillValue" && !k.startsWith("_Netcdf4") =>
+          k -> v }
       // CF packing — same contract as the classic reader: unscale in
       // the reader, sentinel compared RAW and NaN'd before scaling,
-      // fill cleared (the scaled sentinel must not leak downstream)
+      // fill cleared and the packing attrs dropped (the unpacked
+      // Variable is float data; keeping them would double-apply on a
+      // write∘read round trip)
       val scale = numAttrs.getOrElse("scale_factor", 1.0)
       val offs = numAttrs.getOrElse("add_offset", 0.0)
       val packed = scale != 1.0 || offs != 0.0
@@ -740,7 +746,8 @@ object Hdf5 {
           if (fillRaw.exists(_.toFloat == r)) Float.NaN
           else (r * scale + offs).toFloat)
       NetCdf.Variable(d.name, vdims, data,
-        if (packed) None else fillRaw.map(_.toFloat), strAttrs, numAttrs)
+        if (packed) None else fillRaw.map(_.toFloat), strAttrs,
+        if (packed) numAttrs - "scale_factor" - "add_offset" else numAttrs)
     }
     NetCdf.File(dims, vars)
   }

@@ -202,7 +202,9 @@ object NetCdf {
       val pad = (4 - v.length % 4) % 4
       (0 until pad).foreach(_ => out.write(0))
     }
-    def absent(): Unit = { nonNeg(0L); nonNeg(0L) } // ZERO ZERO
+    // ABSENT = 4-byte zero tag + NON_NEG-width zero count (the spec's
+    // ZERO ZERO / ZERO ZERO64 — NOT two NON_NEG zeros)
+    def absent(): Unit = { u32(0); nonNeg(0L) }
     out.write("CDF".getBytes); out.write(version) // magic + version
     nonNeg(0L) // numrecs
     // dim_list
@@ -232,9 +234,8 @@ object NetCdf {
       raw + pad4(raw) // data slabs pad to 4-byte alignment
     }
     def varHeaderSize(v: Variable): Int = {
-      val nAtts = (if (v.fill.isDefined) 1 else 0) + v.attrs.size + v.numAttrs.size
       nameSz(v.name) + nnW + nnW * v.dims.size +
-        (if (nAtts == 0) 2 * nnW else 4 + nnW) + // attr list tag+count / ABSENT
+        4 + nnW + // attr list tag + count (identical width when ABSENT)
         (if (v.fill.isDefined) fillSz(v) else 0) +
         v.attrs.map { case (n, s) => charAttrSz(n, s) }.sum +
         v.numAttrs.keys.toSeq.map(n => nameSz(n) + 4 + nnW + 8).sum + // NC_DOUBLE scalars
@@ -311,17 +312,17 @@ object NetCdf {
       bb.position(bb.position() + (4 - len % 4) % 4)
       new String(s)
     }
-    /** Tag + count of one list; ABSENT is ZERO ZERO with
-      * NON_NEG-width zeros (16 bytes in CDF-5, 8 otherwise). */
+    /** Tag + count of one list. The tag is ALWAYS 4 bytes; the count
+      * is NON_NEG-width — and ABSENT (ZERO ZERO / ZERO ZERO64 per the
+      * spec BNF) is exactly a zero tag + zero count in those same
+      * widths, so present and absent lists parse uniformly (12 bytes
+      * absent in CDF-5, 8 in CDF-1/2). */
     def listCount(expected: Int): Int = {
       val tag = bb.getInt
-      if (tag == expected) nonNeg().toInt
-      else {
-        require(tag == 0, s"bad list tag $tag (expected $expected or ABSENT)")
-        if (version == 5) require(bb.getInt == 0 && bb.getLong == 0L, "bad ABSENT encoding")
-        else require(bb.getInt == 0, "bad ABSENT encoding")
-        0
-      }
+      val n = nonNeg().toInt
+      if (tag == 0) require(n == 0, s"ABSENT list with nonzero count $n")
+      else require(tag == expected, s"bad list tag $tag (expected $expected or ABSENT)")
+      n
     }
     /** Size in bytes of one element of a numeric external type. */
     def elemSize(t: Int): Int = t match {
@@ -392,7 +393,13 @@ object NetCdf {
       require(vdims.forall(d => dims.find(_._1 == d).get._2 > 0),
         s"variable '$vn' uses an unlimited (record) dimension — record " +
           "variables not supported")
-      val nEl = vdims.map(d => dims.find(_._1 == d).get._2.toLong).product.toInt
+      val nElL = vdims.map(d => dims.find(_._1 == d).get._2.toLong).product
+      // validate the Long product BEFORE narrowing: a corrupt header
+      // whose dim product wraps past Int.MaxValue must dead-letter, not
+      // sneak a small wrapped count past the vsize bound below
+      require(nElL >= 0 && nElL <= Int.MaxValue / es,
+        s"variable '$vn': implausible element count $nElL (corrupt dims?)")
+      val nEl = nElL.toInt
       require(nEl.toLong * es <= vsize,
         s"variable '$vn': $nEl elements of $es bytes exceed vsize $vsize")
       // CF packing (the ERA5-style layout): values = raw·scale + offset
@@ -407,19 +414,35 @@ object NetCdf {
       val packed = scale != 1.0 || offs != 0.0
       val data = new Array[Float](nEl)
       bb.position(begin.toInt)
-      var i = 0
-      while (i < nEl) {
-        val raw = numValue(typ)
-        data(i) =
-          if (packed) {
-            if (fillRaw.exists(_ == raw)) Float.NaN
-            else (raw * scale + offs).toFloat
-          } else raw.toFloat
-        i += 1
+      if (typ == NC_FLOAT && !packed) {
+        // the dominant ingest case keeps its tight loop — no per-element
+        // type dispatch or Double round-trip on the hot path
+        val b0 = begin.toInt
+        var i = 0
+        while (i < nEl) { data(i) = bb.getFloat(b0 + i * 4); i += 1 }
+      } else {
+        val fillD = fillRaw.getOrElse(Double.NaN)
+        val hasFill = fillRaw.isDefined
+        var i = 0
+        while (i < nEl) {
+          val raw = numValue(typ)
+          data(i) =
+            if (packed) {
+              if (hasFill && fillD == raw) Float.NaN
+              else (raw * scale + offs).toFloat
+            } else raw.toFloat
+          i += 1
+        }
       }
+      // Closure under write∘read: once unpacked, the Variable IS float
+      // data — drop the packing attrs and declare NC_FLOAT, or a
+      // re-export would truncate unscaled values back into the short
+      // type and double-apply the scaling on the next read.
       Variable(vn, vdims, data,
         if (packed) None else fillRaw.map(_.toFloat),
-        strAttrs, numAttrs, ncType = typ)
+        strAttrs,
+        if (packed) numAttrs - "scale_factor" - "add_offset" else numAttrs,
+        ncType = if (packed) NC_FLOAT else typ)
     }
     File(dims, variables, gattrs)
   }

@@ -53,7 +53,7 @@ class GridStoreSpec extends SparkSpec {
 
   test("serving-mode cube cache: pins once per dir, evicts per dataset, clears fully") {
     import graft.Tables
-    val dir = "/root/testdata/sf0.001"
+    val dir = sf0001
     val was = Tables.cacheEnabled
     try {
       Tables.cacheEnabled = true

@@ -30,6 +30,27 @@ class GeoRasterSourceSpec extends SparkSpec {
     assert(dsv2.exceptAll(legacy).isEmpty && legacy.exceptAll(dsv2).isEmpty)
   }
 
+  test("lossy column rides the DSv2 reader, reset PER MESSAGE in a mixed file") {
+    // one GRIB file, two concatenated messages over the same grid:
+    // lossless 5/3 then lossy 9/7 — the per-raster flag must reset
+    // between messages of the SAME granule, not stick
+    val d = Files.createTempDirectory("graft-dsv2-lossy-").toString
+    val w = 8; val h = 6
+    val data = Array.tabulate(w * h)(i => (250.0 + i * 0.5).toFloat)
+    def msg(fh: Int) = Grib2.Message(
+      GeoTiff.Raster(w, h, data, -180.0, 90.0, 45.0, 30.0),
+      0, 0, 0, java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0), fh)
+    val bytes = Grib2.write(msg(0), packing = 40) ++
+      Grib2.write(msg(6), packing = 40, j2kQuantShift = Some(0))
+    Files.write(Paths.get(s"$d/t2m_20240101_0000.grib2"), bytes)
+    val rows = spark.read.format("georaster").load(d)
+      .groupBy("step", "lossy").count().collect()
+      .map(r => (r.getInt(0), r.getBoolean(1)) -> r.getLong(2)).toMap
+    assert(rows.keySet == Set((0, false), (6, true)),
+      s"per-message lossy flags wrong: $rows")
+    assert(rows.values.toSet == Set(w.toLong * h))
+  }
+
   test("column pruning reaches the reader (scan schema = selected cols)") {
     val pruned = spark.read.format("georaster").load(dir).select("v")
     val scan = pruned.queryExecution.executedPlan.collectFirst {

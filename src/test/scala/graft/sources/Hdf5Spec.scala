@@ -197,7 +197,10 @@ class Hdf5Spec extends SparkSpec {
     val nc = Hdf5.toNetCdf(bytes)
     val v = nc.vars.find(_.name == "t2m").get
     assert(v.fill.isEmpty, "packed fill must be consumed")
-    assert(v.numAttrs.get("scale_factor").contains(scale))
+    assert(!v.numAttrs.contains("scale_factor"),
+      "packing attrs must be dropped from the unpacked Variable")
+    assert(!v.numAttrs.keys.exists(_.startsWith("_Netcdf4")),
+      "internal bookkeeping attrs must not leak onto the exchange type")
     raw.zipWithIndex.foreach { case (r, i) =>
       if (i == 5) assert(v.data(i).isNaN)
       else assert(math.abs(v.data(i) - (r * scale + offset)) < 1e-3,

@@ -45,8 +45,17 @@ class NetCdfSpec extends SparkSpec {
           ncType = 3)))
     val f = NetCdf.read(bytes)
     val t2m = f.vars.find(_.name == "t2m").get
-    assert(t2m.ncType == 3 && t2m.fill.isEmpty,
+    assert(t2m.fill.isEmpty,
       "packed fill must be consumed by the reader (the scaled sentinel would leak)")
+    // closure under write∘read: the unpacked Variable is FLOAT data
+    // with the packing attrs dropped — re-exporting must not truncate
+    // back to shorts or double-apply the scaling
+    assert(t2m.ncType == 5 && !t2m.numAttrs.contains("scale_factor"))
+    val reread = NetCdf.read(NetCdf.write(f.dims, f.vars))
+      .vars.find(_.name == "t2m").get
+    t2m.data.zip(reread.data).foreach { case (a, b) =>
+      assert((a.isNaN && b.isNaN) || a == b, s"re-export drift: $a vs $b")
+    }
     raw.zipWithIndex.foreach { case (r, i) =>
       if (i == 7) assert(t2m.data(i).isNaN, "fill sentinel must NaN before scaling")
       else assert(math.abs(t2m.data(i) - (r * scale + offset)) < 1e-4,
