@@ -38,8 +38,11 @@ object Grid {
     * this cache it taxed every one of the ~15 grid-family queries with
     * the same corpus-wide groupBy. Verify keeps raw scans (cache off)
     * so the correctness gate still exercises the full derivation. */
+  // keyed by (session, dir): a cached plan is bound to the session that
+  // built it, so a later same-JVM session over the same dir must build
+  // its own entry instead of inheriting a DataFrame on a stopped session
   private val cubeCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   def fromLineitem(spark: SparkSession, dir: String): DataFrame = {
     def build = Tables.lineitem(spark, dir)
@@ -49,17 +52,27 @@ object Grid {
         (col("l_partkey") % W).cast("int").as("x"))
       .agg(max(col("l_quantity")).cast("double").as("v"))
     if (!Tables.cacheEnabled) build
-    else cubeCache.computeIfAbsent(dir, _ => build.cache())
+    else cubeCache.computeIfAbsent((spark, dir), _ => build.cache())
   }
 
+  // a stopped session's cache blocks are already gone — dropping the
+  // map entry is the whole cleanup, so a throwing unpersist is benign
+  private def unpersistQuietly(df: DataFrame): Unit =
+    try { df.unpersist(); () } catch { case _: Exception => }
+
   def clearCache(): Unit = {
-    cubeCache.values.forEach(df => { df.unpersist(); () })
+    cubeCache.values.forEach(unpersistQuietly(_))
     cubeCache.clear()
   }
 
   /** Per-dataset eviction (the retire-one-dataset lifecycle). */
-  def evictCache(dir: String): Unit =
-    Option(cubeCache.remove(dir)).foreach(df => { df.unpersist(); () })
+  def evictCache(dir: String): Unit = {
+    val it = cubeCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._2 == dir) { unpersistQuietly(e.getValue); it.remove() }
+    }
+  }
 
   /** Identical construction in DuckDB SQL, used as a CTE by oracles. */
   val sqlCte: String =

@@ -196,18 +196,21 @@ object AggQueries extends QueryModule {
     // the sketch DETERMINISTIC — mergeable across partitions with no
     // random state, same estimate on any engine — so it oracles exactly
     // alongside the exact count it approximates. Groups smaller than k
-    // fall back to the exact count (the KMV rule).
+    // fall back to the exact count (the KMV rule). u_k comes from the
+    // native KmvKthMin aggregate (k longs of state per group, ordinary
+    // partial+final aggregation) — the previous row_number() window
+    // sorted the whole distinct corpus through #groups (= 3) tasks,
+    // the textbook skewed-window scale-killer. The k-th smallest
+    // multiset value is tie-break independent, so the heap matches the
+    // oracle's (u, l_partkey)-ordered row_number exactly.
     "a15_kmv_distinct" -> ((s, dir) => {
       val k = 32
-      import org.apache.spark.sql.expressions.Window
       val d = Tables.lineitem(s, dir).select("l_returnflag", "l_partkey").distinct()
         .withColumn("u",
           expr("CAST(conv(substring(md5(CAST(l_partkey AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
-      val w = Window.partitionBy("l_returnflag").orderBy(col("u").asc, col("l_partkey").asc)
-      val kth = d.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === k).select(col("l_returnflag"), col("u").as("uk"))
-      d.groupBy("l_returnflag").agg(count(lit(1)).as("n_exact"))
-        .join(kth, Seq("l_returnflag"), "left")
+      d.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_exact"),
+          graft.functions.KmvSketch.kthMin(col("u"), k).as("uk"))
         .select(col("l_returnflag"), col("n_exact"),
           when(col("uk").isNull, col("n_exact"))
             .otherwise(floor(lit((k - 1).toDouble) * math.pow(16, 15)

@@ -386,8 +386,12 @@ object NetCdf {
       (vn, vdims, typ, fill, strAttrs, numAttrs, vsize, begin)
     }
     val variables = metas.map { case (vn, vdims, typ, fillRaw, strAttrs, numAttrs, vsize, begin) =>
-      require(begin >= 0 && begin + vsize <= bytes.length,
-        s"variable '$vn' data [$begin, ${begin + vsize}) outside the file " +
+      // overflow-safe form: begin + vsize near Long.MaxValue must not
+      // wrap negative and slip past the guard (the diagnostic, not a
+      // raw BufferUnderflow downstream, is the dead-letter reason)
+      require(begin >= 0 && vsize >= 0 && begin <= bytes.length &&
+          vsize <= bytes.length - begin,
+        s"variable '$vn' data [$begin, +$vsize) outside the file " +
           s"(${bytes.length} bytes; offsets beyond 2 GiB need a chunked reader)")
       val es = elemSize(typ)
       require(vdims.forall(d => dims.find(_._1 == d).get._2 > 0),

@@ -563,6 +563,17 @@ object StreamCuration {
     try merged.writeTo(out) finally out.close()
     fs.delete(p, false)
     require(fs.rename(tmp, p), "bloom sidecar rename failed")
+    // wm FIRST: processBatch gates its state-join skips on wm presence
+    // (the cheap one-row probe), so wm-present must be a sound proxy
+    // for state-MAY-be-present. Key-sets-before-wm would let a crash
+    // between the two leave non-empty persisted key-sets behind an
+    // empty wm: the restart would skip every state-side join and
+    // silently drop cross-batch dedup. This order's failure mode is
+    // the safe direction — wm present over (partially) missing
+    // key-set appends makes the joins run against smaller state,
+    // which is a value no-op at worst, and the foreachBatch
+    // checkpoint replays the interrupted batch's appends anyway.
+    delta.wm.write.mode("append").parquet(part(dir, "wm"))
     // key-sets append THROUGH their bucketed tables so every state
     // file carries a bucket id reads can trust. The repartition aligns
     // write tasks 1:1 with buckets (repartition and bucketing share
@@ -576,7 +587,6 @@ object StreamCuration {
       .write.mode("append").insertInto(tables("bands"))
     delta.docs.repartition(StateBuckets, col("doc_id"))
       .write.mode("append").insertInto(tables("docs"))
-    delta.wm.write.mode("append").parquet(part(dir, "wm"))
   }
 
   /** Compact the append-only state: each key-set rewrites to a single
