@@ -19,15 +19,27 @@ object GridQueries extends QueryModule {
     * similarity family already uses for centroids/codebooks. Parity
     * note: the DuckDB oracles consume the identical rows as inline
     * VALUES, so re-paying the projection math per run would bench the
-    * engine against an oracle that gets the same table for free. */
+    * engine against an oracle that gets the same table for free.
+    *
+    * Literal-backing is CAPPED: it collects to the driver and embeds
+    * the rows in every consuming plan, which is only sane at config
+    * scale. Past [[LiteralBackMaxTargets]] target pixels the builder's
+    * distributed frame is returned as-is (cached lazily, never
+    * collected) — a 7200×3600 global target regrids through the
+    * sort-merge path with zero driver materialization (SoakRegrid). */
+  val LiteralBackMaxTargets = 16384L // 128×128 targets ≈ ≤262k cubic probes
   private val probeCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private def probesOf(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
+  private def probesOf(s: SparkSession, key: String, tgtPixels: Long)(
+      build: => DataFrame): DataFrame =
     probeCache.computeIfAbsent(key, _ => {
-      import s.implicits._
-      build.select("yt", "xt", "sx", "sy", "wq").collect()
-        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))
-        .toSeq.toDF("yt", "xt", "sx", "sy", "wq")
+      if (tgtPixels > LiteralBackMaxTargets) build
+      else {
+        import s.implicits._
+        build.select("yt", "xt", "sx", "sy", "wq").collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+          .toSeq.toDF("yt", "xt", "sx", "sy", "wq")
+      }
     })
   override def clearCaches(): Unit = { probeCache.clear(); Grid.clearCache() }
   override def evictCaches(dir: String): Unit = Grid.evictCache(dir)
@@ -208,7 +220,7 @@ object GridQueries extends QueryModule {
     // and order-independent (hash-matchable).
     "f14_regrid_bilinear" -> ((s, dir) => {
       Regrid.probeResample(Grid.fromLineitem(s, dir),
-        probesOf(s, "f14_regrid_bilinear")(
+        probesOf(s, "f14_regrid_bilinear", 1728)(
           Regrid.bilinearProbes(s, Grid.W, Grid.H, 48, 36)))
     }),
 
@@ -218,7 +230,7 @@ object GridQueries extends QueryModule {
     // divide is a single IEEE instruction (Exact.scala discipline).
     "f14_regrid_cubic" -> ((s, dir) => {
       Regrid.probeResample(Grid.fromLineitem(s, dir),
-        probesOf(s, "f14_regrid_cubic")(
+        probesOf(s, "f14_regrid_cubic", 1728)(
           Regrid.cubicProbes(s, Grid.W, Grid.H, 48, 36)))
     }),
 
@@ -229,7 +241,7 @@ object GridQueries extends QueryModule {
     // plan — reprojection only changes how the (tiny, broadcast) probe
     // table is built.
     "f14_regrid_reproject" -> ((s, dir) => {
-      val probes = probesOf(s, "f14_regrid_reproject")(
+      val probes = probesOf(s, "f14_regrid_reproject", 1536)(
         Regrid.reprojectProbes(s, Grid.W, Grid.H,
           srcWest = -180.0, srcNorth = 90.0, pxDeg = Grid.PX, pyDeg = Grid.PY,
           tgtW = 48, tgtH = 32,
@@ -245,7 +257,7 @@ object GridQueries extends QueryModule {
     // projection math cannot drift between engines because only ONE
     // engine computes it.
     "f14_regrid_tm" -> ((s, dir) => {
-      val probes = probesOf(s, "f14_regrid_tm")(Regrid.reprojectProbesGeneric(s, Grid.W, Grid.H,
+      val probes = probesOf(s, "f14_regrid_tm", 375)(Regrid.reprojectProbesGeneric(s, Grid.W, Grid.H,
         srcWest = -180.0, srcNorth = 90.0, pxDeg = Grid.PX, pyDeg = Grid.PY,
         tgtW = 25, tgtH = 15,
         mw = -2000000.0, mn = 6000000.0, pxm = 160000.0, pym = 200000.0,
@@ -258,7 +270,7 @@ object GridQueries extends QueryModule {
     // 39°N 96°W) through the same generic probe hook — conic support
     // is just another 30-line inverse, the plan is unchanged.
     "f14_regrid_lcc" -> ((s, dir) => {
-      val probes = probesOf(s, "f14_regrid_lcc")(Regrid.reprojectProbesGeneric(s, Grid.W, Grid.H,
+      val probes = probesOf(s, "f14_regrid_lcc", 375)(Regrid.reprojectProbesGeneric(s, Grid.W, Grid.H,
         srcWest = -180.0, srcNorth = 90.0, pxDeg = Grid.PX, pyDeg = Grid.PY,
         tgtW = 25, tgtH = 15,
         mw = -2400000.0, mn = 1600000.0, pxm = 200000.0, pym = 200000.0,
@@ -270,7 +282,7 @@ object GridQueries extends QueryModule {
     // (EPSG:3395-style, datum-true): the inverse latitude series is the
     // fixed-point iteration, datum support without touching the plan.
     "f14_regrid_emerc" -> ((s, dir) => {
-      val probes = probesOf(s, "f14_regrid_emerc")(Regrid.reprojectProbesGeneric(s, Grid.W, Grid.H,
+      val probes = probesOf(s, "f14_regrid_emerc", 375)(Regrid.reprojectProbesGeneric(s, Grid.W, Grid.H,
         srcWest = -180.0, srcNorth = 90.0, pxDeg = Grid.PX, pyDeg = Grid.PY,
         tgtW = 25, tgtH = 15,
         mw = -3000000.0, mn = 7000000.0, pxm = 240000.0, pym = 400000.0,
@@ -284,7 +296,7 @@ object GridQueries extends QueryModule {
     // wraps around the full circle and the pole is a removable
     // singularity the inverse pins deterministically.
     "f14_regrid_stereo" -> ((s, dir) => {
-      val probes = probesOf(s, "f14_regrid_stereo")(Regrid.reprojectProbesGeneric(s, Grid.W, Grid.H,
+      val probes = probesOf(s, "f14_regrid_stereo", 400)(Regrid.reprojectProbesGeneric(s, Grid.W, Grid.H,
         srcWest = -180.0, srcNorth = 90.0, pxDeg = Grid.PX, pyDeg = Grid.PY,
         tgtW = 20, tgtH = 20,
         mw = -4000000.0, mn = 4000000.0, pxm = 400000.0, pym = 400000.0,
@@ -296,7 +308,7 @@ object GridQueries extends QueryModule {
     // parallels 29.5/45.5°N, origin 23°N 96°W): the equal-area conic
     // complement to f14_regrid_lcc through the same hook.
     "f14_regrid_albers" -> ((s, dir) => {
-      val probes = probesOf(s, "f14_regrid_albers")(Regrid.reprojectProbesGeneric(s, Grid.W, Grid.H,
+      val probes = probesOf(s, "f14_regrid_albers", 360)(Regrid.reprojectProbesGeneric(s, Grid.W, Grid.H,
         srcWest = -180.0, srcNorth = 90.0, pxDeg = Grid.PX, pyDeg = Grid.PY,
         tgtW = 24, tgtH = 15,
         mw = -2400000.0, mn = 3200000.0, pxm = 200000.0, pym = 200000.0,
@@ -311,7 +323,7 @@ object GridQueries extends QueryModule {
     // a full source pixel row: datum handling is a correctness feature,
     // not a refinement.
     "f14_regrid_stereo_ell" -> ((s, dir) => {
-      val probes = probesOf(s, "f14_regrid_stereo_ell")(Regrid.reprojectProbesGeneric(s, Grid.W, Grid.H,
+      val probes = probesOf(s, "f14_regrid_stereo_ell", 400)(Regrid.reprojectProbesGeneric(s, Grid.W, Grid.H,
         srcWest = -180.0, srcNorth = 90.0, pxDeg = Grid.PX, pyDeg = Grid.PY,
         tgtW = 20, tgtH = 20,
         mw = -4000000.0, mn = 4000000.0, pxm = 400000.0, pym = 400000.0,
@@ -323,7 +335,7 @@ object GridQueries extends QueryModule {
     // EPSG:5070 family: WGS84 q/m series, standard parallels
     // 29.5/45.5°N, origin 23°N 96°W) through the same hook.
     "f14_regrid_albers_ell" -> ((s, dir) => {
-      val probes = probesOf(s, "f14_regrid_albers_ell")(Regrid.reprojectProbesGeneric(s, Grid.W, Grid.H,
+      val probes = probesOf(s, "f14_regrid_albers_ell", 360)(Regrid.reprojectProbesGeneric(s, Grid.W, Grid.H,
         srcWest = -180.0, srcNorth = 90.0, pxDeg = Grid.PX, pyDeg = Grid.PY,
         tgtW = 24, tgtH = 15,
         mw = -2400000.0, mn = 3200000.0, pxm = 200000.0, pym = 200000.0,
@@ -336,7 +348,7 @@ object GridQueries extends QueryModule {
     // 33/45°N, origin 39°N 96°W) — completes the conformal side of the
     // ellipsoidal conic pair (Albers_ell is the equal-area side).
     "f14_regrid_lcc_ell" -> ((s, dir) => {
-      val probes = probesOf(s, "f14_regrid_lcc_ell")(Regrid.reprojectProbesGeneric(s, Grid.W, Grid.H,
+      val probes = probesOf(s, "f14_regrid_lcc_ell", 375)(Regrid.reprojectProbesGeneric(s, Grid.W, Grid.H,
         srcWest = -180.0, srcNorth = 90.0, pxDeg = Grid.PX, pyDeg = Grid.PY,
         tgtW = 25, tgtH = 15,
         mw = -2400000.0, mn = 1600000.0, pxm = 200000.0, pym = 200000.0,
@@ -349,7 +361,7 @@ object GridQueries extends QueryModule {
     // series inverse) — the last of the ellipsoidal upgrades; every
     // spherical projection in the suite now has its datum-true twin.
     "f14_regrid_tm_ell" -> ((s, dir) => {
-      val probes = probesOf(s, "f14_regrid_tm_ell")(Regrid.reprojectProbesGeneric(s, Grid.W, Grid.H,
+      val probes = probesOf(s, "f14_regrid_tm_ell", 375)(Regrid.reprojectProbesGeneric(s, Grid.W, Grid.H,
         srcWest = -180.0, srcNorth = 90.0, pxDeg = Grid.PX, pyDeg = Grid.PY,
         tgtW = 25, tgtH = 15,
         mw = -2000000.0, mn = 6000000.0, pxm = 160000.0, pym = 200000.0,

@@ -181,11 +181,20 @@ object Regrid {
   }
 
   /** Resample a long-form grid (t, y, x, v) with a probe table
-    * (yt, xt, sy, sx, wq): ONE broadcast equi-join + ONE aggregation.
-    * v must be integer-valued (the cube's contract) so num is an exact
-    * BIGINT sum. Returns (t, yt, xt, v). */
+    * (yt, xt, sy, sx, wq): ONE equi-join + ONE aggregation. v must be
+    * integer-valued (the cube's contract) so num is an exact BIGINT
+    * sum. Returns (t, yt, xt, v).
+    *
+    * No broadcast hint: the join strategy is a SIZE decision, not a
+    * shape invariant. Config-scale probe tables (small targets,
+    * literal-backed) broadcast on their own statistics; a continental
+    * target (7200×3600 ≈ 26M targets, ×4–16 rows/pixel) must NOT be
+    * forced into a grid-sized broadcast — the planner sort-merges or
+    * shuffle-hashes on the (sy, sx) pixel key instead, which is also
+    * the tile key's refinement, so a tiled source layout co-locates.
+    * SoakRegrid drives the large-target path and asserts the plan. */
   def probeResample(grid: DataFrame, probes: DataFrame): DataFrame =
-    grid.join(broadcast(probes), col("y") === col("sy") && col("x") === col("sx"))
+    grid.join(probes, col("y") === col("sy") && col("x") === col("sx"))
       .groupBy("t", "yt", "xt")
       .agg(sum(col("wq") * col("v").cast("long")).as("num"),
         sum(col("wq")).as("den"))
