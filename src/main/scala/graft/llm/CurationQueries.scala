@@ -117,11 +117,13 @@ object CurationQueries extends QueryModule {
       val nWords = size(col("ws")).cast("long")
       // Σ length(word) = length of the separator-less concatenation
       val sumLen = length(concat_ws("", col("ws"))).cast("long")
-      // distinct words / top-bigram count: sorted-array run folds
-      val nDistinct = TextAnalysis.distinctCount(col("ws"))
-      val bigrams = TextAnalysis.bigramsOf("ws")
-      val maxRun = TextAnalysis.maxRunCount(bigrams)
-      val sumB = size(bigrams).cast("long")
+      // distinct words / top-bigram run: ONE fused native kernel call
+      // per document (functions/RunStats.scala) — word hashes computed
+      // once, bigram keys are adjacent-hash mixes, primitive sorts
+      val rs = graft.functions.BigramRunStats.bigramStats(col("ws"))
+      val nDistinct = rs.getField("n_distinct_words")
+      val maxRun = rs.getField("max_bigram_run")
+      val sumB = rs.getField("n_bigrams")
       val ttr = nDistinct.cast("double") / nWords
       val mwl = sumLen.cast("double") / nWords
       val rep = when(sumB > 0, maxRun.cast("double") / sumB).otherwise(lit(0.0))

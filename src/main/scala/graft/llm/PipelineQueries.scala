@@ -30,14 +30,15 @@ object PipelineQueries extends QueryModule {
     "t_repetition" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val w = docs.select(col("doc_id"), wordsCol.as("ws"))
-      val bigrams = TextAnalysis.bigramsOf("ws")
       val nWords = size(col("ws")).cast("long")
-      val top = TextAnalysis.maxRunCount(bigrams)
-      val tot = size(bigrams).cast("long")
+      // one fused native kernel call per document (RunStats.scala)
+      val rs = graft.functions.BigramRunStats.bigramStats(col("ws"))
+      val top = rs.getField("max_bigram_run")
+      val tot = rs.getField("n_bigrams")
       w.select(
         col("doc_id"),
         nWords.as("n_words"),
-        (lit(1.0) - TextAnalysis.distinctCount(col("ws")).cast("double") / nWords)
+        (lit(1.0) - rs.getField("n_distinct_words").cast("double") / nWords)
           .as("dup_word_frac"),
         when(tot > 0, top.cast("double") / tot).otherwise(lit(0.0))
           .as("top_bigram_frac"))

@@ -44,28 +44,19 @@ object TextAnalysis {
     * cardinalities and the same determinism class as the md5-derived
     * dedup keys everywhere else in this library). Shuffle-free
     * replacement for explode + countDistinct when the answer is
-    * per-row. */
+    * per-row. Native kernel (functions/RunStats.scala) — the composed
+    * `aggregate(array_sort(transform(...)))` form evaluates its fold
+    * lambda interpreted per element, a 2–6× constant on scan-rate ops. */
   def distinctCount(arr: Column): Column =
-    aggregate(array_sort(transform(arr, x => xxhash64(x))),
-      struct(lit(null).cast("long").as("prev"), lit(0L).as("n")),
-      (acc, x) => struct(x.as("prev"),
-        (acc.getField("n") + when(acc.getField("prev").isNull ||
-          x =!= acc.getField("prev"), 1L).otherwise(0L)).as("n")),
-      acc => acc.getField("n"))
+    graft.functions.StringArrayRunStats.runStats(arr).getField("n_distinct")
 
   /** Count of the most frequent string in `arr` (0 for empty), as a
     * per-row fold: longest equal run in the sorted element-hash array
     * (same collision reasoning as [[distinctCount]]). Shuffle-free
-    * replacement for explode + groupBy + max(count). */
+    * replacement for explode + groupBy + max(count); same native
+    * kernel as [[distinctCount]]. */
   def maxRunCount(arr: Column): Column =
-    aggregate(array_sort(transform(arr, x => xxhash64(x))),
-      struct(lit(null).cast("long").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-      (acc, x) => {
-        val r = when(acc.getField("prev").isNotNull && x === acc.getField("prev"),
-          acc.getField("run") + 1).otherwise(lit(1L))
-        struct(x.as("prev"), r.as("run"), greatest(acc.getField("best"), r).as("best"))
-      },
-      acc => acc.getField("best"))
+    graft.functions.StringArrayRunStats.runStats(arr).getField("max_run")
 
   /** Normalized fingerprint: md5 of lowercased whitespace-collapsed text
     * (rolling-hash document identity for exact/near-exact dedup). */
