@@ -158,31 +158,27 @@ object CurationQueries extends QueryModule {
     // PII redaction (the Dolma/FineWeb scrub step): emails, international
     // phone numbers and IPv4 addresses replaced with typed tags, plus
     // per-doc match counts for the redaction audit trail. Pure map-side
-    // regexp work — at 100 TB this is scan-rate bound like every other
+    // scan work — at 100 TB this is scan-rate bound like every other
     // text op. The synthetic corpus carries no organic PII, so the query
     // seeds each doc with deterministic PII derived from doc_id — the
     // SAME seeding runs in the DuckDB oracle, so the redaction engine
-    // (not the seeding) is what the hash gate compares. Patterns stay in
-    // the Java∩RE2 dialect (classes, bounded reps, \b) so the two
-    // engines cannot diverge on regex semantics.
+    // (not the seeding) is what the hash gate compares. Detection runs
+    // in the fused PiiScan kernel (functions/PiiScan.scala), whose
+    // scanners reproduce the Java∩RE2 regex semantics the oracle runs
+    // — PiiScanSpec fuzzes the kernel against the regexp_* forms.
     "d_pii_redact" -> ((s, dir) => {
       val seeded = concat(col("text"),
         lit(" contact: user"), col("doc_id").cast("string"),
         lit("@example.com tel +120655500"),
         lpad((col("doc_id") % 100).cast("string"), 2, "0"),
         lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".77"))
-      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-      val phoneRe = "\\+\\d{8,15}"
-      val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-      Tables.documents(s, dir).select(col("doc_id"), seeded.as("t"))
+      val pii = graft.functions.PiiScan.scanCol(seeded)
+      Tables.documents(s, dir).select(col("doc_id"), pii.as("p"))
         .select(col("doc_id"),
-          regexp_count(col("t"), lit(emailRe)).cast("long").as("n_emails"),
-          regexp_count(col("t"), lit(phoneRe)).cast("long").as("n_phones"),
-          regexp_count(col("t"), lit(ipRe)).cast("long").as("n_ips"),
-          regexp_replace(regexp_replace(regexp_replace(col("t"),
-            lit(emailRe), lit("[EMAIL]")),
-            lit(phoneRe), lit("[PHONE]")),
-            lit(ipRe), lit("[IP]")).as("redacted"))
+          col("p.n_emails").as("n_emails"),
+          col("p.n_phones").as("n_phones"),
+          col("p.n_ips").as("n_ips"),
+          col("p.redacted").as("redacted"))
     }),
 
     // Unigram surprisal scoring (the CCNet LM-filter shape): score each

@@ -66,37 +66,51 @@ object TextAnalysis {
   /** The engine's document quality score (t_quality_score's formula,
     * shared with the curation pipelines): stopword density up,
     * punctuation density down, alpha ratio up, clamped to [0, 1].
-    * Integer counts + single IEEE divisions so it hashes cross-engine. */
+    * Integer counts + single IEEE divisions so it hashes cross-engine.
+    * Counts come from the single-pass byte-scan kernels
+    * (functions/TextScan.scala) instead of java.util.regex — identical
+    * match semantics (stated per kernel), 5-10× the scan rate. */
   def qualityScore(t: Column): Column = {
+    import graft.functions.TextScan
     val nChars = length(t).cast("long")
     val nWords = tokenCountWs(t).cast("long")
-    val nAlpha = length(regexp_replace(t, "[^A-Za-z]", "")).cast("long")
-    val nPunct = countMatches(t, "[.,;:!?]").cast("long")
-    val nStop = countMatches(lower(t), stopwordRe("en")).cast("long")
+    val nAlpha = TextScan.alphaCount(t)
+    val nPunct = TextScan.asciiClassCount(t, ".,;:!?")
+    val nStop = TextScan.wordSetCounts(lower(t), Seq(stopwords("en")))
+      .getItem(0).cast("long")
     least(lit(1.0), greatest(lit(0.0),
       lit(0.25) + nStop.cast("double") / nWords * 2.0
         - nPunct.cast("double") / nChars * 3.0
         + nAlpha.cast("double") / nChars * 0.5))
   }
 
-  /** Language stopword marker lists for the n-gram language-ID heuristic. */
-  val stopwordRe: Map[String, String] = Map(
-    "en" -> "\\b(the|and|of|to|in|is|that|for)\\b",
-    "es" -> "\\b(el|la|de|que|los|en|un|una)\\b",
-    "de" -> "\\b(der|die|das|und|ist|ein|nicht)\\b",
-    "fr" -> "\\b(le|les|des|une|est|et|dans)\\b"
+  /** Language stopword marker lists for the language-ID heuristic. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for"),
+    "es" -> Seq("el", "la", "de", "que", "los", "en", "un", "una"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht"),
+    "fr" -> Seq("le", "les", "des", "une", "est", "et", "dans")
   )
+
+  /** The same lists as `\b`-delimited alternations — the regex twins
+    * the DuckDB oracles run (WordSetCounts documents the equivalence). */
+  val stopwordRe: Map[String, String] =
+    stopwords.map { case (l, ws) => l -> ws.mkString("\\b(", "|", ")\\b") }
   val cjkRe = "[\\u4e00-\\u9fff]"
 
   /** Heuristic language ID: CJK presence wins, else argmax of stopword
-    * hit counts with a fixed tie-break order, 'und' when all zero. */
+    * hit counts with a fixed tie-break order, 'und' when all zero.
+    * All four counts come from ONE token scan (WordSetCounts); the
+    * CJK probe is a code-point range scan — no regex on the hot path. */
   def langId(text: Column): Column = {
-    val lower_ = lower(text)
-    val cEn = countMatches(lower_, stopwordRe("en"))
-    val cEs = countMatches(lower_, stopwordRe("es"))
-    val cDe = countMatches(lower_, stopwordRe("de"))
-    val cFr = countMatches(lower_, stopwordRe("fr"))
-    when(countMatches(text, cjkRe) > 0, "zh")
+    import graft.functions.TextScan
+    val counts = TextScan.wordSetCounts(lower(text),
+      Seq(stopwords("en"), stopwords("es"), stopwords("de"), stopwords("fr")))
+    val cEn = counts.getItem(0)
+    val cEs = counts.getItem(1)
+    val cDe = counts.getItem(2)
+    val cFr = counts.getItem(3)
+    when(TextScan.cjkCount(text) > 0, "zh")
       .when(cEn + cEs + cDe + cFr === 0, "und")
       .when(cEn >= cEs && cEn >= cDe && cEn >= cFr, "en")
       .when(cEs >= cDe && cEs >= cFr, "es")

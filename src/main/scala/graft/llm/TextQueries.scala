@@ -17,14 +17,18 @@ object TextQueries extends QueryModule {
         TextAnalysis.tokenCountApprox(col("text")).as("n_approx"))
     }),
 
-    // Quality scoring: length/alpha/punct/stopword ratios + linear score.
+    // Quality scoring: length/alpha/punct/stopword ratios + linear
+    // score. Counts via the byte-scan kernels (TextScan.scala), regex
+    // semantics preserved — the oracle still runs the regex forms.
     "t_quality_score" -> ((s, dir) => {
+      import graft.functions.TextScan
       val t = col("text")
       val nChars = length(t).cast("long")
       val nWords = TextAnalysis.tokenCountWs(t).cast("long")
-      val nAlpha = length(regexp_replace(t, "[^A-Za-z]", "")).cast("long")
-      val nPunct = TextAnalysis.countMatches(t, "[.,;:!?]").cast("long")
-      val nStop = TextAnalysis.countMatches(lower(t), TextAnalysis.stopwordRe("en")).cast("long")
+      val nAlpha = TextScan.alphaCount(t)
+      val nPunct = TextScan.asciiClassCount(t, ".,;:!?")
+      val nStop = TextScan.wordSetCounts(lower(t),
+        Seq(TextAnalysis.stopwords("en"))).getItem(0).cast("long")
       Tables.documents(s, dir).select(
         col("doc_id"), nChars.as("n_chars"), nWords.as("n_words"),
         (nAlpha.cast("double") / nChars).as("alpha_ratio"),
