@@ -41,36 +41,51 @@ object CurationQueries extends QueryModule {
       val d1 = docs.join(keep1, "doc_id")
       // 2. quality gate (t_quality_score's formula, shared helper)
       val quality = TextAnalysis.qualityScore(col("text"))
-      // Stage placement: d3 and sh are materialized once
-      // (localCheckpoint) — each is consumed by several downstream
-      // stages, and without truncation every reference re-executes the
-      // whole upstream filter chain (the doubled-reference pathology,
-      // compounded per stage). d2 is NOT a boundary: both of its
-      // consumers sit inside the single d3-checkpoint job, where its
-      // shuffles dedupe via ReusedExchange — an own checkpoint would
-      // only write the full text column to block store a second time
-      // (measured equal at sf0.1, strictly fewer corpus-sized
-      // materializations at scale). Lazy persist boundaries were tried
-      // and are 1.7-4.7x SLOWER here: AQE loses the materialized sizes
-      // and concurrent stages race-compute the shared cache.
+      // Boundary discipline (r9, replacing the r8 shape that
+      // checkpointed full text at d3 and the corpus shingle set at
+      // sh): every multiply-consumed frame is materialized once, but
+      // the PAYLOADS are keys and signatures — survivor ids (ids3),
+      // band keys (~50 B/doc), candidate pair ids, and the CANDIDATE
+      // docs' shingles — never the corpus text or the corpus shingle
+      // set. Text re-reads from the source parquet behind an id
+      // semi-join where needed (column-pruned scan-only; at 100 TB a
+      // compressed source re-scan strictly beats writing the corpus
+      // to block store and reading it back). d2 is still NOT a
+      // boundary: its consumers meet inside the ids3 job, where its
+      // shuffles dedupe via ReusedExchange. Lazy persist boundaries
+      // were tried and are 1.7-4.7x SLOWER here: AQE loses the
+      // materialized sizes and concurrent stages race-compute the
+      // shared cache.
       val d2 = d1.filter(quality >= 0.3)
-      // 3. boilerplate gate: duplicated-span coverage among survivors
+      // 3. boilerplate gate: duplicated-span coverage among survivors;
+      // checkpoint SURVIVOR IDS only
       val heavy = Dedup.spanCoverage(
           Dedup.spanHashes(d2, "doc_id", "text", 20, spread = false), 20)
         .filter(col("coverage") > 0.5).select("doc_id")
-      val d3 = d2.join(heavy, Seq("doc_id"), "left_anti").localCheckpoint()
-      // 4. fuzzy dedup on what's left
-      val sh = Dedup.shingles(d3, "doc_id", "text", spread = false).localCheckpoint()
-      val pairs = Dedup.pairJaccard(
-          Dedup.candidatePairs(Dedup.lshBands(Dedup.minhashSignature(sh))), sh)
+      val ids3 = d2.select("doc_id")
+        .join(heavy, Seq("doc_id"), "left_anti").localCheckpoint()
+      def d3text = docs.join(ids3, Seq("doc_id"), "left_semi")
+      // 4. fuzzy dedup on what's left: signatures/bands checkpoint;
+      // shingles rebuild from the source for the (small) candidate set
+      val bands = Dedup.lshBands(Dedup.minhashSignature(
+          Dedup.shingles(d3text, "doc_id", "text", spread = false)))
+        .localCheckpoint()
+      val cand = Dedup.candidatePairs(bands).localCheckpoint()
+      val candIds = cand.select(col("doc_a").as("doc_id"))
+        .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
+      val shCand = Dedup.shingles(
+          docs.join(candIds, Seq("doc_id"), "left_semi"),
+          "doc_id", "text", spread = false).localCheckpoint()
+      val pairs = Dedup.pairJaccard(cand, shCand)
         .filter(col("jacc") >= 0.5).select("doc_a", "doc_b")
       val dropFuzzy = Dedup.canonicalize(pairs)
         .filter(col("id") =!= col("canonical"))
         .select(col("id").as("doc_id"))
-      val d4 = d3.join(dropFuzzy, Seq("doc_id"), "left_anti")
-      d4.groupBy("source").agg(
-        count(lit(1)).as("n_docs"),
-        sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("n_tokens"))
+      docs.join(ids3, Seq("doc_id"), "left_semi")
+        .join(dropFuzzy, Seq("doc_id"), "left_anti")
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("n_tokens"))
     }),
 
     // The INCREMENTAL curation pipeline's end state, batch form: same
