@@ -518,14 +518,24 @@ object GridQueries extends QueryModule {
 
     // S8 — overview pyramid: average-downsampled levels 2 and 4 in one
     // table (the COG overview equivalent; level chosen at read time).
+    // Level 4 derives from level 2's exact BIGINT (sum, count) partials
+    // — sum-of-sums ≡ direct sum, so the value is bit-identical while
+    // the cube is scanned and shuffled ONCE instead of once per level
+    // (how real overview builders cascade levels too).
     "s8_overview_pyramid" -> ((s, dir) => {
-      val g = Grid.fromLineitem(s, dir)
-      def level(f: Int): DataFrame =
-        g.groupBy(col("t"), (col("y") / f).cast("int").as("yt"),
-                  (col("x") / f).cast("int").as("xt"))
-          .agg((sum(col("v").cast("long")).cast("double") / count(lit(1))).as("v"))
-          .withColumn("level", lit(f))
-      level(2).unionByName(level(4))
+      val l2p = Grid.fromLineitem(s, dir)
+        .groupBy(col("t"), (col("y") / 2).cast("int").as("yt"),
+                 (col("x") / 2).cast("int").as("xt"))
+        .agg(sum(col("v").cast("long")).as("s"), count(lit(1)).as("n"))
+      val l2 = l2p.select(col("t"), col("yt"), col("xt"),
+        (col("s").cast("double") / col("n")).as("v"), lit(2).as("level"))
+      val l4 = l2p
+        .groupBy(col("t"), (col("yt") / 2).cast("int").as("yt4"),
+                 (col("xt") / 2).cast("int").as("xt4"))
+        .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
+        .select(col("t"), col("yt4").as("yt"), col("xt4").as("xt"),
+          (col("s").cast("double") / col("n")).as("v"), lit(4).as("level"))
+      l2.unionByName(l4)
     })
   )
 

@@ -100,13 +100,11 @@ object AggQueries extends QueryModule {
     // ALL inputs — union semantics give nansum for free).
     "a7b_raster_combine_ops" -> ((s, dir) => {
       val g = graft.grid.Grid.fromLineitem(s, dir)
-      val a = g.filter(year(col("t")) === 1996)
+      // the three yearly inputs are disjoint slices of ONE cube, so
+      // union-of-three-filters is a single filtered scan (the r8 form
+      // scanned the cube three times for the same rows)
+      g.filter(year(col("t")).isin(1996, 1997, 1998))
         .select(month(col("t")).cast("int").as("m"), col("y"), col("x"), col("v"))
-      val b = g.filter(year(col("t")) === 1997)
-        .select(month(col("t")).cast("int").as("m"), col("y"), col("x"), col("v"))
-      val c = g.filter(year(col("t")) === 1998)
-        .select(month(col("t")).cast("int").as("m"), col("y"), col("x"), col("v"))
-      a.unionByName(b).unionByName(c)
         .groupBy("m", "y", "x")
         .agg(sum(col("v").cast("long")).cast("double").as("csum"),
           min(col("v")).as("cmin"), max(col("v")).as("cmax"),
