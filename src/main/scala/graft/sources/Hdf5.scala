@@ -23,6 +23,13 @@ import java.nio.{ByteBuffer, ByteOrder}
   *    string, reference, vlen
   *  - data layout v3: contiguous and chunked (B-tree v1 chunk index,
   *    any nesting level, partial edge chunks)
+  *  - data layout v4 (HDF5 ≥1.10, h5py libver='latest'/netcdf-c with
+  *    version bounds): all five chunk index types — single chunk,
+  *    implicit, fixed array (paged + unpaged data blocks), extensible
+  *    array (index-block elements + the directly-addressed data
+  *    blocks; secondary/super blocks and paged EA data blocks fail
+  *    loudly), and version-2 B-trees (record types 10/11, any depth
+  *    via the shared BTHD walker)
   *  - filter pipeline v1/v2: deflate (id 1), byte-shuffle (id 2) and
   *    fletcher32 checksum (id 3, verified then stripped — corrupt
   *    chunks fail loudly instead of decoding wrong numbers)
@@ -260,12 +267,35 @@ object Hdf5 {
       } else resolveIn(rootAddr, 0L, ho, 0)
     // B-tree v2 name index: walk the records at every level; hashes
     // are not consulted (listing is order-independent), only the
-    // embedded heap IDs. Multi-level trees (hundreds of links — wide
-    // NetCDF-4 files) descend through BTIN internal nodes whose child
-    // pointers carry variable-width record counts: the widths follow
-    // libhdf5's H5B2 sizing (bytes to encode the max records a child
-    // node/subtree can hold, derived from node size and record size).
-    val b = off(bt2Addr, bytes); expectSig(b, "BTHD")
+    // embedded heap IDs (each record = 4-byte name hash + heap ID).
+    walkBtreeV2(bb, bytes, bt2Addr) { (idAt0, _) =>
+      val idAt = idAt0 + 4 // skip the name hash
+      val idFlags = bytes(idAt) & 0xff
+      require((idFlags & 0x30) == 0,
+        s"non-managed fractal-heap object (type ${(idFlags >> 4) & 3}) not supported")
+      links += parseLink(bb, bytes, resolve(unsignedLE(idAt + 1, offSize)))
+    }
+  }
+
+  /** Walk every record of a version-2 B-tree, calling `onRecord` with
+    * (record offset, record size). Multi-level trees descend through
+    * BTIN internal nodes whose child pointers carry variable-width
+    * record counts: the widths follow libhdf5's H5B2 sizing (bytes to
+    * encode the max records a child node/subtree can hold, derived
+    * from node size and record size). Shared by the dense-group name
+    * index (record types 5/6) and the layout-v4 chunk indexes
+    * (record types 10/11). */
+  private def walkBtreeV2(bb: ByteBuffer, bytes: Array[Byte], bt2Addr: Long)(
+      onRecord: (Int, Int) => Unit): Unit = {
+    def uLE(at: Int, n: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < n) { v |= (bytes(at + i) & 0xffL) << (8 * i); i += 1 }
+      v
+    }
+    def sig4(a: Int, sig: String): Unit =
+      require((0 until 4).forall(i => bytes(a + i) == sig.charAt(i).toByte),
+        s"expected $sig at file offset $a")
+    val b = off(bt2Addr, bytes); sig4(b, "BTHD")
     val nodeSize = bb.getInt(b + 6)
     val recordSize = bb.getShort(b + 10) & 0xffff
     val depth = bb.getShort(b + 12) & 0xffff
@@ -289,26 +319,20 @@ object Hdf5 {
       require(maxNrec(d) > 0, s"B-tree v2 node too small for depth-$d pointers")
       cumMaxNrec(d) = (maxNrec(d) + 1) * cumMaxNrec(d - 1) + maxNrec(d)
     }
-    def emit(idAt: Int): Unit = {
-      val idFlags = bytes(idAt) & 0xff
-      require((idFlags & 0x30) == 0,
-        s"non-managed fractal-heap object (type ${(idFlags >> 4) & 3}) not supported")
-      links += parseLink(bb, bytes, resolve(unsignedLE(idAt + 1, offSize)))
-    }
     def descend(addr: Long, nRec: Int, d: Int): Unit =
       if (d == 0) {
-        val l = off(addr, bytes); expectSig(l, "BTLF")
-        for (i <- 0 until nRec) emit(l + 6 + i * recordSize + 4)
+        val l = off(addr, bytes); sig4(l, "BTLF")
+        for (i <- 0 until nRec) onRecord(l + 6 + i * recordSize, recordSize)
       } else {
-        val a = off(addr, bytes); expectSig(a, "BTIN")
-        for (i <- 0 until nRec) emit(a + 6 + i * recordSize + 4)
+        val a = off(addr, bytes); sig4(a, "BTIN")
+        for (i <- 0 until nRec) onRecord(a + 6 + i * recordSize, recordSize)
         val n1 = encSize(maxNrec(d - 1))
         val n2 = if (d >= 2) encSize(cumMaxNrec(d - 1)) else 0
         val ptrBase = a + 6 + nRec * recordSize
         val ptrSz = 8 + n1 + n2
         for (i <- 0 to nRec) {
           val at = ptrBase + i * ptrSz
-          descend(bb.getLong(at), unsignedLE(at + 8, n1).toInt, d - 1)
+          descend(bb.getLong(at), uLE(at + 8, n1).toInt, d - 1)
         }
       }
     descend(rootAddr2, rootNRec, depth)
@@ -474,12 +498,18 @@ object Hdf5 {
     var dt: Dt = null
     var fillRaw: Option[Array[Byte]] = None
     var layoutClass = -1
+    var layoutVer = 3
     var dataAddr = Undef
     var dataSize = 0L
     var compact: Array[Byte] = null
     var chunkDims: Array[Int] = null
     var btree = Undef
     var filters: Seq[Int] = Nil
+    // layout v4 chunk-index state (HDF5 File Format Spec IV.A.2.i)
+    var v4IdxType = 0
+    var v4Flags = 0
+    var v4SingleSize = 0L
+    var v4SingleMask = 0
     val attrs = scala.collection.mutable.Map[String, Any]()
 
     msgs.foreach {
@@ -500,19 +530,56 @@ object Hdf5 {
         }
       case (0x08, off) =>
         val ver = bytes(off) & 0xff
-        require(ver == 3, s"only layout message v3 supported, got v$ver")
+        require(ver == 3 || ver == 4, s"only layout message v3/v4 supported, got v$ver")
+        layoutVer = ver
         layoutClass = bytes(off + 1) & 0xff
-        layoutClass match {
-          case 0 => // compact: size(2) + data
+        (ver, layoutClass) match {
+          case (_, 0) => // compact: size(2) + data — same shape in v3/v4
             val sz = bb.getShort(off + 2) & 0xffff
             compact = java.util.Arrays.copyOfRange(bytes, off + 4, off + 4 + sz)
-          case 1 =>
+          case (_, 1) =>
             dataAddr = bb.getLong(off + 2); dataSize = bb.getLong(off + 10)
-          case 2 =>
+          case (3, 2) =>
             val ndim = bytes(off + 2) & 0xff
             btree = bb.getLong(off + 3)
             chunkDims = (0 until ndim).map(i => bb.getInt(off + 11 + i * 4)).toArray
-          case c => throw new IllegalArgumentException(s"unsupported layout class $c")
+          case (4, 2) =>
+            // v4 chunked (HDF5 ≥1.10): flags(1), dimensionality(1,
+            // rank+1 incl. the element-size dim — same convention as
+            // v3), dim-size encoded length(1), dims, chunk indexing
+            // type(1), type-specific info, index address(8). FA/EA/BT2
+            // geometry is re-stated inside the index structures
+            // themselves, so only the single-chunk fields are kept.
+            v4Flags = bytes(off + 2) & 0xff
+            val ndim = bytes(off + 3) & 0xff
+            val encLen = bytes(off + 4) & 0xff
+            require(encLen >= 1 && encLen <= 8, s"bad v4 dim encoding length $encLen")
+            var p = off + 5
+            chunkDims = (0 until ndim).map { _ =>
+              var v = 0L; var i = 0
+              while (i < encLen) { v |= (bytes(p + i) & 0xffL) << (8 * i); i += 1 }
+              p += encLen
+              require(v > 0 && v <= Int.MaxValue, s"bad v4 chunk dim $v")
+              v.toInt
+            }.toArray
+            v4IdxType = bytes(p) & 0xff; p += 1
+            v4IdxType match {
+              case 1 => // single chunk: filtered variant carries size+mask
+                if ((v4Flags & 2) != 0) {
+                  v4SingleSize = bb.getLong(p); p += 8
+                  v4SingleMask = bb.getInt(p); p += 4
+                }
+              case 2 => // implicit: no config
+              case 3 => p += 1 // fixed array: page bits (FAHD restates)
+              case 4 => p += 6 // extensible array: 6 param bytes (EAHD restates)
+              case 5 => p += 6 // v2 B-tree: node size(4)+split(1)+merge(1) (BTHD restates)
+              case t => throw new IllegalArgumentException(
+                s"unsupported v4 chunk index type $t")
+            }
+            btree = bb.getLong(p) // index (or single-chunk) address
+          case (_, 3) => throw new IllegalArgumentException(
+            "virtual dataset layout (class 3) not supported")
+          case (_, c) => throw new IllegalArgumentException(s"unsupported layout class $c")
         }
       case (0x0B, off) =>
         val ver = bytes(off) & 0xff
@@ -545,8 +612,13 @@ object Hdf5 {
           var i = 0
           while (i < n) { System.arraycopy(fb, 0, out, i * dt.size, dt.size); i += 1 }
         }
-        if (btree != Undef)
-          readChunks(bb, bytes, btree, dims.map(_.toInt).toArray, chunkDims, dt.size, filters, out)
+        if (btree != Undef) {
+          if (layoutVer == 3)
+            readChunks(bb, bytes, btree, dims.map(_.toInt).toArray, chunkDims, dt.size, filters, out)
+          else
+            readChunksV4(bb, bytes, btree, dims.map(_.toInt).toArray, chunkDims,
+              dt.size, filters, out, v4IdxType, v4Flags, v4SingleSize, v4SingleMask)
+        }
         out
       case c => throw new IllegalArgumentException(s"no layout for dataset at $addr (class $c)")
     }
@@ -585,18 +657,197 @@ object Hdf5 {
       if (level > 0) readChunks(bb, bytes, child, dims, chunkDims, elemSize, filters, out)
       else {
         val c = off(child, bytes)
-        var chunk = java.util.Arrays.copyOfRange(bytes, c, c + nbytes)
-        // filters apply in reverse order on read; honor the skip mask
-        filters.zipWithIndex.reverse.foreach { case (id, i) =>
-          if ((mask & (1 << i)) == 0) chunk = id match {
-            case 1 => inflate(chunk)
-            case 2 => unshuffle(chunk, elemSize)
-            case 3 => fletcherStrip(chunk)
-            case f => throw new IllegalArgumentException(s"unsupported filter $f")
-          }
-        }
+        val chunk = defilter(java.util.Arrays.copyOfRange(bytes, c, c + nbytes),
+          filters, mask, elemSize)
         scatter(chunk, offs, dims, chunkDims, elemSize, out)
       }
+    }
+  }
+
+  /** Apply the filter pipeline to one raw chunk on read (reverse
+    * order, honoring the per-chunk skip mask). */
+  private def defilter(chunkIn: Array[Byte], filters: Seq[Int], mask: Int,
+                       elemSize: Int): Array[Byte] = {
+    var chunk = chunkIn
+    filters.zipWithIndex.reverse.foreach { case (id, i) =>
+      if ((mask & (1 << i)) == 0) chunk = id match {
+        case 1 => inflate(chunk)
+        case 2 => unshuffle(chunk, elemSize)
+        case 3 => fletcherStrip(chunk)
+        case f => throw new IllegalArgumentException(s"unsupported filter $f")
+      }
+    }
+    chunk
+  }
+
+  /** Read a layout-v4 chunked dataset through its chunk index (HDF5
+    * ≥1.10 files — the reference reads them transparently via
+    * h5netcdf, formats/netcdf.py:33-366). Index types per the HDF5
+    * File Format Spec v3:
+    *   1 Single Chunk — the address IS the one chunk (filtered size +
+    *     mask live in the layout message);
+    *   2 Implicit — unfiltered chunks back-to-back at the address in
+    *     chunk-linear (row-major grid) order, early-allocated;
+    *   3 Fixed Array (spec III.G) — FAHD header + FADB data block,
+    *     paged and unpaged; elements are chunk addresses (client 0)
+    *     or address+size+filter-mask (client 1);
+    *   4 Extensible Array (spec III.F) — EAHD header + EAIB index
+    *     block; elements inline in the index block plus the two data
+    *     blocks (EADB) the index block addresses directly (the first
+    *     two super blocks, H5EA geometry: sblk u holds 2^(u/2) data
+    *     blocks of min_elmts·2^((u+1)/2) elements). Secondary/super
+    *     blocks and paged data blocks fail loudly.
+    *   5 Version-2 B-tree — BTHD walk (shared with the dense-group
+    *     name index), record type 10 (address + scaled offsets) or 11
+    *     (+ variable-width size + filter mask).
+    */
+  private def readChunksV4(bb: ByteBuffer, bytes: Array[Byte], idxAddr: Long,
+                           dims: Array[Int], chunkDims: Array[Int], elemSize: Int,
+                           filters: Seq[Int], out: Array[Byte],
+                           idxType: Int, flags: Int,
+                           singleSize: Long, singleMask: Int): Unit = {
+    val rank = dims.length
+    def uLE(at: Int, n: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < n) { v |= (bytes(at + i) & 0xffL) << (8 * i); i += 1 }
+      v
+    }
+    def sig4(a: Int, sig: String): Unit =
+      require((0 until 4).forall(i => bytes(a + i) == sig.charAt(i).toByte),
+        s"expected $sig at file offset $a")
+    val grid = (0 until rank).map(i => (dims(i) + chunkDims(i) - 1) / chunkDims(i)).toArray
+    val nChunks = grid.map(_.toLong).product
+    require(nChunks <= Int.MaxValue, s"implausible chunk count $nChunks")
+    val nominal = chunkDims.take(rank).map(_.toLong).product * elemSize
+    require(nominal <= Int.MaxValue, s"chunk larger than 2 GiB ($nominal bytes)")
+    def offsOf(ci: Int): Array[Int] = {
+      val o = new Array[Int](rank)
+      var rem = ci
+      var d = rank - 1
+      while (d >= 0) { o(d) = (rem % grid(d)) * chunkDims(d); rem /= grid(d); d -= 1 }
+      o
+    }
+    def place(offs: Array[Int], addr: Long, size: Long, mask: Int, filtered: Boolean): Unit = {
+      if (addr == Undef) return // unallocated chunk keeps the fill value
+      val c = off(addr, bytes)
+      var chunk = java.util.Arrays.copyOfRange(bytes, c, c + size.toInt)
+      if (filtered) chunk = defilter(chunk, filters, mask, elemSize)
+      scatter(chunk, offs, dims, chunkDims, elemSize, out)
+    }
+    // FA/EA element: client 0 = chunk address only (unfiltered); client
+    // 1 = address(8) + chunk size (element size − 12) + filter mask(4)
+    def placeElement(ci: Int, at: Int, elmtSize: Int, clientId: Int): Unit = {
+      require(clientId == 0 || clientId == 1, s"unknown chunk-index client $clientId")
+      if (clientId == 0) place(offsOf(ci), uLE(at, elmtSize), nominal, 0, filtered = false)
+      else {
+        val szW = elmtSize - 12
+        require(szW >= 1 && szW <= 8, s"bad filtered element size $elmtSize")
+        place(offsOf(ci), bb.getLong(at), uLE(at + 8, szW), bb.getInt(at + 8 + szW),
+          filtered = true)
+      }
+    }
+
+    idxType match {
+      case 1 => // single chunk
+        require(nChunks == 1, s"single-chunk index with $nChunks chunks")
+        if ((flags & 2) != 0) place(offsOf(0), idxAddr, singleSize, singleMask, filtered = true)
+        else place(offsOf(0), idxAddr, nominal, 0, filtered = false)
+
+      case 2 => // implicit: unfiltered, early-allocated, chunk-linear
+        var ci = 0
+        while (ci < nChunks) {
+          place(offsOf(ci), idxAddr + ci * nominal, nominal, 0, filtered = false)
+          ci += 1
+        }
+
+      case 3 => // fixed array
+        val a = off(idxAddr, bytes); sig4(a, "FAHD")
+        val clientId = bytes(a + 5) & 0xff
+        val entrySize = bytes(a + 6) & 0xff
+        val pageBits = bytes(a + 7) & 0xff
+        val maxEntries = bb.getLong(a + 8)
+        val dbAddr = bb.getLong(a + 16)
+        require(maxEntries == nChunks,
+          s"fixed-array entry count $maxEntries != chunk count $nChunks")
+        if (dbAddr != Undef) {
+          val d0 = off(dbAddr, bytes); sig4(d0, "FADB")
+          var p = d0 + 6 + 8 // ver(1) + client(1) + header address(8)
+          val pageN = 1L << pageBits
+          if (maxEntries > pageN) { // paged data block
+            val nPages = ((maxEntries + pageN - 1) / pageN).toInt
+            p += (nPages + 7) / 8 // page-init bitmap
+            var ci = 0
+            for (pg <- 0 until nPages) {
+              val inPage = math.min(pageN, maxEntries - pg.toLong * pageN).toInt
+              for (_ <- 0 until inPage) { placeElement(ci, p, entrySize, clientId); p += entrySize; ci += 1 }
+              p += 4 // per-page checksum
+            }
+          } else {
+            var ci = 0
+            while (ci < maxEntries) { placeElement(ci, p, entrySize, clientId); p += entrySize; ci += 1 }
+          }
+        }
+
+      case 4 => // extensible array
+        val a = off(idxAddr, bytes); sig4(a, "EAHD")
+        val clientId = bytes(a + 5) & 0xff
+        val elmtSize = bytes(a + 6) & 0xff
+        val maxNelmtsBits = bytes(a + 7) & 0xff
+        val idxBlkElmts = bytes(a + 8) & 0xff
+        val dblkMinElmts = bytes(a + 9) & 0xff
+        // a+10 = secondary-block min data ptrs, a+11 = dblk page bits
+        val dblkPageN = 1L << (bytes(a + 11) & 0xff)
+        val idxBlkAddr = bb.getLong(a + 12 + 48) // after the six 8-byte length fields
+        if (idxBlkAddr != Undef) {
+          val ib = off(idxBlkAddr, bytes); sig4(ib, "EAIB")
+          var p = ib + 6 + 8 // ver(1) + client(1) + header address(8)
+          var ci = 0
+          // the index block always holds its full idxBlkElmts capacity
+          while (ci < idxBlkElmts) {
+            if (ci < nChunks) placeElement(ci, p, elmtSize, clientId)
+            p += elmtSize; ci += 1
+          }
+          // the index block directly addresses the data blocks of the
+          // first two super blocks: sblk 0 and 1 hold 2^(u/2) = 1 block
+          // each, of dblkMinElmts·2^((u+1)/2) elements (H5EA geometry)
+          val blkOffW = (maxNelmtsBits + 7) / 8
+          for (u <- 0 to 1 if ci < nChunks) {
+            val dblkNelmts = dblkMinElmts.toLong << ((u + 1) / 2)
+            require(dblkNelmts <= dblkPageN,
+              "paged extensible-array data blocks not supported")
+            val dAddr = bb.getLong(p); p += 8
+            if (dAddr != Undef) {
+              val db = off(dAddr, bytes); sig4(db, "EADB")
+              var q = db + 6 + 8 + blkOffW // ver + client + hdr addr + block offset
+              var i = 0L
+              while (i < dblkNelmts && ci < nChunks) {
+                placeElement(ci, q, elmtSize, clientId); q += elmtSize; ci += 1; i += 1
+              }
+            } else ci += dblkNelmts.toInt // unallocated block keeps fill
+          }
+          require(ci >= nChunks,
+            s"extensible-array secondary blocks not supported (chunk $ci of $nChunks " +
+              "is beyond the index block's direct data blocks)")
+        }
+
+      case 5 => // version-2 B-tree of chunk records
+        walkBtreeV2(bb, bytes, idxAddr) { (recAt, recSize) =>
+          // type 10: address(8) + rank scaled offsets (8 each);
+          // type 11: address(8) + size(recSize−12−8·rank) + mask(4) + offsets
+          val szW = recSize - 12 - 8 * rank
+          val filtered = szW >= 1
+          require(filtered || recSize == 8 + 8 * rank,
+            s"unrecognized chunk record size $recSize for rank $rank")
+          val addr = bb.getLong(recAt)
+          val (size, mask, offBase) =
+            if (filtered) (uLE(recAt + 8, szW), bb.getInt(recAt + 8 + szW), recAt + 12 + szW)
+            else (nominal, 0, recAt + 8)
+          val offs = (0 until rank).map(i =>
+            (bb.getLong(offBase + i * 8) * chunkDims(i)).toInt).toArray
+          place(offs, addr, size, mask, filtered)
+        }
+
+      case t => throw new IllegalArgumentException(s"unsupported v4 chunk index type $t")
     }
   }
 
@@ -762,9 +1013,17 @@ object Hdf5 {
     * partial edge chunk) behind deflate, with DIMENSION_LIST references
     * through a global heap and both a fill-value message and a
     * _FillValue attribute. */
+  /** `layoutV4`: emit the data variables with a LAYOUT MESSAGE v4 and
+    * the given chunk index type (1 single, 2 implicit, 3 fixed array,
+    * 4 extensible array, 5 v2 B-tree) — the HDF5 ≥1.10 layouts h5py
+    * `libver='latest'` / `H5Pset_libver_bounds` produce. `v4Unfiltered`
+    * stores raw chunks with no filter pipeline (forced for implicit,
+    * which the format defines as unfiltered); `v4PageBits` sizes the
+    * fixed-array pages (small values force the paged data block). */
   def write(dims: Seq[(String, Int)], variables: Seq[NetCdf.Variable],
             shuffle: Boolean = false, denseRoot: Boolean = false,
-            fletcher: Boolean = false): Array[Byte] = {
+            fletcher: Boolean = false, layoutV4: Option[Int] = None,
+            v4Unfiltered: Boolean = false, v4PageBits: Int = 10): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def pos = out.size
     def u8(v: Int): Unit = out.write(v & 0xff)
@@ -929,43 +1188,187 @@ object Hdf5 {
           cbuf.putFloat(if (ok) v.data(src) else v.fill.getOrElse(0f))
         }
         var payload = cbuf.array()
-        if (shuffle) {
-          val nEl = payload.length / 4
-          val sh = new Array[Byte](payload.length)
-          for (b <- 0 until 4; i <- 0 until nEl) sh(b * nEl + i) = payload(i * 4 + b)
-          payload = sh
+        val storeFiltered = layoutV4 != Some(2) && !v4Unfiltered
+        if (storeFiltered) {
+          if (shuffle) {
+            val nEl = payload.length / 4
+            val sh = new Array[Byte](payload.length)
+            for (b <- 0 until 4; i <- 0 until nEl) sh(b * nEl + i) = payload(i * 4 + b)
+            payload = sh
+          }
+          if (fletcher) {
+            // netcdf-c pipeline order (shuffle, fletcher32, deflate):
+            // the checksum covers the post-shuffle bytes, appended LE
+            val ck = fletcher32(payload, payload.length)
+            val withCk = java.util.Arrays.copyOf(payload, payload.length + 4)
+            withCk(payload.length) = ck.toByte
+            withCk(payload.length + 1) = (ck >> 8).toByte
+            withCk(payload.length + 2) = (ck >> 16).toByte
+            withCk(payload.length + 3) = (ck >> 24).toByte
+            payload = withCk
+          }
+          val defl = new java.util.zip.Deflater()
+          defl.setInput(payload); defl.finish()
+          val cbytes = new Array[Byte](payload.length + 64)
+          val nz = defl.deflate(cbytes)
+          defl.end()
+          payload = java.util.Arrays.copyOf(cbytes, nz)
         }
-        if (fletcher) {
-          // netcdf-c pipeline order (shuffle, fletcher32, deflate):
-          // the checksum covers the post-shuffle bytes, appended LE
-          val ck = fletcher32(payload, payload.length)
-          val withCk = java.util.Arrays.copyOf(payload, payload.length + 4)
-          withCk(payload.length) = ck.toByte
-          withCk(payload.length + 1) = (ck >> 8).toByte
-          withCk(payload.length + 2) = (ck >> 16).toByte
-          withCk(payload.length + 3) = (ck >> 24).toByte
-          payload = withCk
-        }
-        val defl = new java.util.zip.Deflater()
-        defl.setInput(payload); defl.finish()
-        val cbytes = new Array[Byte](payload.length + 64)
-        val nz = defl.deflate(cbytes)
-        defl.end()
         val addr = pos
-        raw(java.util.Arrays.copyOf(cbytes, nz))
-        padTo8()
-        chunkEntries += ((cc, addr.toLong, nz))
+        raw(payload)
+        // implicit chunks must be back-to-back at their nominal size
+        if (layoutV4 != Some(2)) padTo8()
+        chunkEntries += ((cc, addr.toLong, payload.length))
       }
-      val btreeAddr = pos
-      raw("TREE".getBytes); u8(1); u8(0); u16(chunkEntries.size)
-      u64(Undef); u64(Undef)
-      chunkEntries.foreach { case (cc, addr, nz) =>
-        u32(nz.toLong); u32(0)
-        cc.foreach(c => u64(c.toLong)); u64(0)
-        u64(addr)
+      val storeFiltered = layoutV4 != Some(2) && !v4Unfiltered
+      val layoutMsg: Array[Byte] = layoutV4 match {
+        case None =>
+          val btreeAddr = pos
+          raw("TREE".getBytes); u8(1); u8(0); u16(chunkEntries.size)
+          u64(Undef); u64(Undef)
+          chunkEntries.foreach { case (cc, addr, nz) =>
+            u32(nz.toLong); u32(0)
+            cc.foreach(c => u64(c.toLong)); u64(0)
+            u64(addr)
+          }
+          u32(0); u32(0); shape.foreach(d => u64(d.toLong)); u64(0) // final key
+          padTo8()
+          bodyBuf({ bb =>
+            bb.put(3.toByte).put(2.toByte).put((rank + 1).toByte)
+            bb.putLong(btreeAddr.toLong)
+            chunkDims.foreach(bb.putInt); bb.putInt(4)
+          }, 11 + (rank + 1) * 4)
+        case Some(idxType) =>
+          val clientId = if (storeFiltered) 1 else 0
+          val elmtSize = if (storeFiltered) 16 else 8 // addr + size(4) + mask(4) | addr
+          def element(bb: ByteBuffer, e: Option[(Long, Int)]): Unit = e match {
+            case Some((addr, nz)) =>
+              bb.putLong(addr)
+              if (storeFiltered) { bb.putInt(nz); bb.putInt(0) }
+            case None =>
+              bb.putLong(Undef)
+              if (storeFiltered) { bb.putInt(0); bb.putInt(0) }
+          }
+          val idxAddr: Long = idxType match {
+            case 1 => // single chunk: the address IS the chunk
+              require(chunkEntries.size == 1, "single-chunk index needs one chunk")
+              chunkEntries.head._2
+            case 2 => // implicit: base address of the back-to-back chunks
+              padTo8()
+              chunkEntries.head._2
+            case 3 => // fixed array: FAHD + FADB (paged when count > page)
+              val pageN = 1L << v4PageBits
+              val n = chunkEntries.size
+              val dbAddr = pos.toLong
+              raw("FADB".getBytes); u8(0); u8(clientId); u64(Undef) // hdr addr patched never read
+              if (n > pageN) {
+                val nPages = ((n + pageN - 1) / pageN).toInt
+                for (_ <- 0 until (nPages + 7) / 8) u8(0xff) // all pages initialized
+                var ci = 0
+                for (pg <- 0 until nPages) {
+                  val inPage = math.min(pageN, n - pg.toLong * pageN).toInt
+                  raw(bodyBuf({ bb =>
+                    for (_ <- 0 until inPage) {
+                      element(bb, Some((chunkEntries(ci)._2, chunkEntries(ci)._3))); ci += 1
+                    }
+                  }, inPage * elmtSize))
+                  u32(0) // page checksum (reader skips)
+                }
+              } else raw(bodyBuf({ bb =>
+                chunkEntries.foreach(e => element(bb, Some((e._2, e._3))))
+              }, n * elmtSize))
+              u32(0) // data block checksum
+              padTo8()
+              val hdr = pos.toLong
+              raw("FAHD".getBytes); u8(0); u8(clientId); u8(elmtSize); u8(v4PageBits)
+              u64(n.toLong); u64(dbAddr); u32(0)
+              padTo8()
+              hdr
+            case 4 => // extensible array: EAHD + EAIB (+ direct EADBs)
+              val idxBlkElmts = 2; val dblkMinElmts = 2; val maxNelmtsBits = 16
+              val blkOffW = (maxNelmtsBits + 7) / 8
+              val n = chunkEntries.size
+              // data blocks for super blocks 0 and 1 (1 block each, of
+              // dblkMinElmts·2^((u+1)/2) elements)
+              val dblkAddrs = new Array[Long](2)
+              var next = idxBlkElmts
+              for (u <- 0 to 1) {
+                val cap = dblkMinElmts << ((u + 1) / 2)
+                if (next < n) {
+                  dblkAddrs(u) = pos.toLong
+                  raw("EADB".getBytes); u8(0); u8(clientId); u64(Undef)
+                  for (_ <- 0 until blkOffW) u8(0)
+                  raw(bodyBuf({ bb =>
+                    for (i <- 0 until cap)
+                      element(bb, if (next + i < n)
+                        Some((chunkEntries(next + i)._2, chunkEntries(next + i)._3)) else None)
+                  }, cap * elmtSize))
+                  u32(0)
+                  padTo8()
+                } else dblkAddrs(u) = Undef
+                next += cap
+              }
+              require(next >= n,
+                s"fixture writer: $n chunks exceed the EA index block's direct data blocks")
+              val nsblks = 1 + (maxNelmtsBits - 1) // log2(dblkMinElmts=2) = 1
+              val ibAddr = pos.toLong
+              raw("EAIB".getBytes); u8(0); u8(clientId); u64(Undef)
+              raw(bodyBuf({ bb =>
+                for (i <- 0 until idxBlkElmts)
+                  element(bb, if (i < n) Some((chunkEntries(i)._2, chunkEntries(i)._3)) else None)
+              }, idxBlkElmts * elmtSize))
+              dblkAddrs.foreach(u64)
+              for (_ <- 0 until nsblks - 2) u64(Undef) // super blocks: none
+              u32(0)
+              padTo8()
+              val hdr = pos.toLong
+              raw("EAHD".getBytes); u8(0); u8(clientId); u8(elmtSize)
+              u8(maxNelmtsBits); u8(idxBlkElmts); u8(dblkMinElmts); u8(2); u8(10)
+              u64(0); u64(0); u64(2); u64(0); u64(n.toLong); u64(n.toLong)
+              u64(ibAddr); u32(0)
+              padTo8()
+              hdr
+            case 5 => // v2 B-tree, depth 0: BTHD + one BTLF of records
+              val recSize = if (storeFiltered) 8 + 4 + 4 + 8 * rank else 8 + 8 * rank
+              val leafAddr = pos.toLong
+              raw("BTLF".getBytes); u8(0); u8(if (storeFiltered) 11 else 10)
+              raw(bodyBuf({ bb =>
+                chunkEntries.foreach { case (cc, addr, nz) =>
+                  bb.putLong(addr)
+                  if (storeFiltered) { bb.putInt(nz); bb.putInt(0) }
+                  cc.indices.foreach(d => bb.putLong((cc(d) / chunkDims(d)).toLong))
+                }
+              }, chunkEntries.size * recSize))
+              u32(0)
+              padTo8()
+              val hdr = pos.toLong
+              raw("BTHD".getBytes); u8(0); u8(if (storeFiltered) 11 else 10)
+              u32(2048); u16(recSize); u16(0) // node size, record size, depth 0
+              u8(100); u8(40) // split/merge percent
+              u64(leafAddr); u16(chunkEntries.size); u64(chunkEntries.size.toLong)
+              u32(0)
+              padTo8()
+              hdr
+            case t => throw new IllegalArgumentException(s"fixture writer: v4 index $t")
+          }
+          bodyBuf({ bb =>
+            bb.put(4.toByte).put(2.toByte) // version 4, chunked
+            val singleFiltered = idxType == 1 && storeFiltered
+            bb.put((if (singleFiltered) 2 else 0).toByte) // flags
+            bb.put((rank + 1).toByte).put(4.toByte) // ndims (incl elem), 4-byte dims
+            chunkDims.foreach(bb.putInt); bb.putInt(4)
+            bb.put(idxType.toByte)
+            idxType match {
+              case 1 if singleFiltered =>
+                bb.putLong(chunkEntries.head._3.toLong); bb.putInt(0)
+              case 3 => bb.put(v4PageBits.toByte)
+              case 4 => bb.put(16.toByte).put(2.toByte).put(2.toByte).put(2.toByte).putShort(10)
+              case 5 => bb.putInt(2048); bb.put(100.toByte).put(40.toByte)
+              case _ =>
+            }
+            bb.putLong(idxAddr)
+          }, 32 + (rank + 1) * 4 + 16)
       }
-      u32(0); u32(0); shape.foreach(d => u64(d.toLong)); u64(0) // final key
-      padTo8()
 
       val dimListData = bodyBuf({ bb =>
         v.dims.indices.foreach { di =>
@@ -984,19 +1387,15 @@ object Hdf5 {
             case None => bb.put(0.toByte)
           }
         }, 12),
-        0x08 -> bodyBuf({ bb =>
-          bb.put(3.toByte).put(2.toByte).put((rank + 1).toByte)
-          bb.putLong(btreeAddr.toLong)
-          chunkDims.foreach(bb.putInt); bb.putInt(4)
-        }, 11 + (rank + 1) * 4),
-        0x0B -> bodyBuf({ bb =>
+        0x08 -> layoutMsg) ++
+        (if (!storeFiltered) Nil else Seq(0x0B -> bodyBuf({ bb =>
           bb.put(1.toByte).put(filterIds.size.toByte); bb.putShort(0); bb.putInt(0)
           filterIds.foreach { case (id, cvals) =>
             bb.putShort(id.toShort).putShort(0).putShort(0).putShort(cvals.size.toShort)
             cvals.foreach(bb.putInt)
             if (cvals.size % 2 == 1) bb.putInt(0)
           }
-        }, 8 + filterIds.map(f => 8 + 4 * f._2.size + 4).sum),
+        }, 8 + filterIds.map(f => 8 + 4 * f._2.size + 4).sum))) ++ Seq(
         0x0C -> attrMsg("DIMENSION_LIST", vlenRefDt, dataspaceMsg(Seq(v.dims.size)), dimListData)) ++
         v.fill.map(f => 0x0C -> attrMsg("_FillValue", f32Dt, scalarDs,
           bodyBuf(bb => { bb.putFloat(f); () }, 4))).toSeq ++

@@ -1,0 +1,127 @@
+package graft.sources
+
+import graft.SparkSpec
+
+/** Layout-message-v4 chunk indexes (HDF5 ≥1.10 — the files h5py
+  * `libver='latest'` / netcdf-c with `H5Pset_libver_bounds` emit):
+  * single chunk, implicit, fixed array (paged + unpaged), extensible
+  * array (index-block elements + direct data blocks), and v2 B-tree
+  * records, each with filtered and/or unfiltered chunks, all verified
+  * against the identical data written through the v3/B-tree-v1 layout.
+  */
+class Hdf5LayoutV4Spec extends SparkSpec {
+
+  private val h = 5; private val w = 7; private val nT = 3
+
+  private def vars(n: Int) = {
+    val lat = Array(40f, 30f, 20f, 10f, 0f)
+    val lon = Array(-30f, -20f, -10f, 0f, 10f, 20f, 30f)
+    val data = Array.tabulate(n * h * w)(i => if (i % 11 == 0) -9999f else i * 0.25f)
+    (Seq("time" -> n, "lat" -> h, "lon" -> w),
+      Seq(
+        NetCdf.Variable("lat", Seq("lat"), lat, None),
+        NetCdf.Variable("lon", Seq("lon"), lon, None),
+        NetCdf.Variable("precip", Seq("time", "lat", "lon"), data, Some(-9999f))),
+      data)
+  }
+
+  private def precipOf(bytes: Array[Byte]): Array[Float] =
+    Hdf5.read(bytes).datasets.find(_.name == "precip").get.data
+
+  private def check(layoutV4: Int, unfiltered: Boolean = false,
+                    pageBits: Int = 10, timesteps: Int = nT): Unit = {
+    val (dims, vs, data) = vars(timesteps)
+    val v4 = Hdf5.write(dims, vs, layoutV4 = Some(layoutV4),
+      v4Unfiltered = unfiltered, v4PageBits = pageBits)
+    assert(precipOf(v4).sameElements(data),
+      s"v4 index $layoutV4 (unfiltered=$unfiltered, pageBits=$pageBits)")
+    // same bytes through the v3 reference layout
+    assert(precipOf(Hdf5.write(dims, vs)).sameElements(data))
+  }
+
+  // The fixture writer chunks 3-D vars as (1, h-1, w): 3 timesteps ×
+  // 2 row-chunks = 6 chunks with partial edges — every index walks
+  // multiple entries and the scatter clips.
+
+  test("single chunk, filtered and raw") {
+    // a 1-D coordinate-shaped variable would be contiguous; force one
+    // chunk by writing a single-timestep file whose data var chunks
+    // (1, h-1, w) — still 2 chunks, so use a tiny h: simplest is a
+    // 1×4×3 var chunked (1, 3, 3)? The writer's rule gives one chunk
+    // only when rank<2 axes divide; use h=2 (chunk rows = h-1=1)…
+    // instead: 1 timestep and h small enough that h-1 >= h is false —
+    // so craft dims directly with h=3 ⇒ chunks (1,2,3): 2 chunks.
+    // Single-chunk therefore gets its own shape: (1, 1, w) data.
+    val lat = Array(40f)
+    val lon = Array(-30f, -20f, -10f)
+    val data = Array(1f, 2.5f, -3f)
+    val dims = Seq("time" -> 1, "lat" -> 1, "lon" -> 3)
+    val vs = Seq(
+      NetCdf.Variable("lat", Seq("lat"), lat, None),
+      NetCdf.Variable("lon", Seq("lon"), lon, None),
+      NetCdf.Variable("precip", Seq("time", "lat", "lon"), data, None))
+    for (unf <- Seq(false, true)) {
+      val bytes = Hdf5.write(dims, vs, layoutV4 = Some(1), v4Unfiltered = unf)
+      assert(precipOf(bytes).sameElements(data), s"single chunk unfiltered=$unf")
+    }
+  }
+
+  test("implicit index: unfiltered chunks at base + i*nominal") {
+    check(2) // implicit is unfiltered by definition (writer enforces)
+  }
+
+  test("fixed array, unpaged, filtered and raw elements") {
+    check(3)
+    check(3, unfiltered = true)
+  }
+
+  test("fixed array, PAGED data block (page bits 2, 12 chunks)") {
+    // 6 timesteps × 2 row-chunks = 12 chunks > 2^2 page ⇒ 3 pages,
+    // page bitmap + per-page checksums in the FADB
+    check(3, pageBits = 2, timesteps = 6)
+    check(3, unfiltered = true, pageBits = 2, timesteps = 6)
+  }
+
+  test("extensible array: index-block elements + two direct data blocks") {
+    // writer geometry: 2 inline elements, data blocks of 2 and 4 ⇒
+    // capacity 8; 6 chunks exercises inline + both EADBs
+    check(4)
+    check(4, unfiltered = true)
+  }
+
+  test("v2 B-tree chunk records, types 10 and 11") {
+    check(5)                  // type 11: addr + size + mask + scaled offsets
+    check(5, unfiltered = true) // type 10: addr + scaled offsets
+  }
+
+  test("v4-layout NetCDF-4 file ingests end-to-end through the format stack") {
+    val (dims, vs, _) = vars(nT)
+    for (idx <- Seq(2, 3, 4, 5)) {
+      val bytes = Hdf5.write(dims, vs, layoutV4 = Some(idx),
+        v4Unfiltered = idx == 2)
+      val nc = Hdf5.toNetCdf(bytes)
+      val v = nc.vars.find(_.name == "precip").get
+      assert(v.dims == Seq("time", "lat", "lon"), s"idx $idx dims")
+      assert(Formats.sniff(bytes).map(_.name).contains("netcdf"))
+    }
+  }
+
+  test("unknown chunk index type fails loudly") {
+    val (dims, vs, _) = vars(nT)
+    val good = Hdf5.write(dims, vs, layoutV4 = Some(3))
+    // corrupt the index-type byte inside the layout message: find the
+    // v4 signature (04 02 flags ndims enc) and bump the index type
+    val bytes = good.clone()
+    var patched = false
+    for (i <- 0 until bytes.length - 30 if !patched) {
+      if (bytes(i) == 4 && bytes(i + 1) == 2 && bytes(i + 2) == 0 &&
+          bytes(i + 3) == 4 && bytes(i + 4) == 4) {
+        val idxTypeAt = i + 5 + 4 * 4 // 4 dims × 4-byte encoding
+        if (bytes(idxTypeAt) == 3) { bytes(idxTypeAt) = 9; patched = true }
+      }
+    }
+    assert(patched, "fixture did not contain the expected v4 layout bytes")
+    val e = intercept[IllegalArgumentException](Hdf5.read(bytes))
+    assert(e.getMessage.contains("chunk index type"))
+  }
+}
