@@ -21,6 +21,9 @@ import java.nio.ByteBuffer
   *    [[Jpeg2000]] codec: lossless (reversible 5/3) exactly, and lossy
   *    (compression type 1, irreversible 9/7 — e.g. MRMS) as the
   *    nearest-integer reconstruction with `Message.lossy` set.
+  *  - template 5.200 run-length packing with level values (the
+  *    radar/nowcast products JMA distributes): level-table lookup +
+  *    base-(2^n−1−MV) run digits, exact at the declared decimal scale
   *  - template 5.42 CCSDS/AEC packing (the Rice coder ECMWF's open
   *    data ships) via the self-contained [[Ccsds]] codec.
   *
@@ -178,7 +181,7 @@ object Grib2 {
     * producers emit. */
   def write(m: Message, decimals: Int = 2, packing: Int = 0,
             scanMode: Int = 0, j2kQuantShift: Option[Int] = None): Array[Byte] = {
-    require(Set(0, 2, 3, 40, 41, 42).contains(packing), s"unsupported packing $packing")
+    require(Set(0, 2, 3, 40, 41, 42, 200).contains(packing), s"unsupported packing $packing")
     require(j2kQuantShift.isEmpty || packing == 40,
       "j2kQuantShift only applies to JPEG2000 packing (40)")
     require((scanMode & 0x30) == 0, "consecutive-j/boustrophedon not supported")
@@ -445,6 +448,43 @@ object Grib2 {
       writeBitmap(sec, scanData, hasNaN, bu8)
       val (iw, ih) = if (hasNaN) (present.length, 1) else (r.width, r.height)
       sec(7) { b => b.write(PngCodec.encode(present, iw, ih, depth)) }
+    } else if (packing == 200) {
+      // Run-length packing with level values (template 5.200 — the
+      // radar/nowcast products JMA distributes): the data section is a
+      // stream of nbits-wide symbols where 0 = missing, 1..MV = level
+      // table entries, and symbols above MV are little-endian
+      // base-(2^nbits−1−MV) digits of (run length − 1) for the
+      // preceding level. The level table holds the distinct scaled
+      // values, so the round-trip is exact at `decimals` precision.
+      val scaledAll = scanData.filter(!_.isNaN).map(v => math.round(v * scale))
+      val levels = scaledAll.distinct.sorted
+      require(levels.forall(l => l >= 0 && l <= 0xffff),
+        "5.200 level values must fit unsigned 16 bits after scaling")
+      val mv = levels.length
+      val nbits = math.max(8, bitsFor(mv + 2L))
+      val rng = (1 << nbits) - 1 - mv
+      val symOf = levels.zipWithIndex.map { case (l, i) => l -> (i + 1) }.toMap
+      sec(5) { b =>
+        bu32(b, n); bu16(b, 200)
+        bu8(b, nbits); bu16(b, mv); bu16(b, mv); bu8(b, decimals)
+        levels.foreach(l => bu16(b, l.toInt))
+      }
+      writeBitmap(sec, scanData, hasNaN, bu8)
+      sec(7) { b =>
+        val w = new BitWriter(b)
+        val syms = scaledAll.map(symOf)
+        var i = 0
+        while (i < syms.length) {
+          val s0 = syms(i)
+          var j = i + 1
+          while (j < syms.length && syms(j) == s0) j += 1
+          w.put(s0.toLong, nbits)
+          var rem = (j - i - 1).toLong
+          while (rem > 0) { w.put(mv + 1 + (rem % rng), nbits); rem /= rng }
+          i = j
+        }
+        w.flush()
+      }
     } else if (packing == 0) {
       val maxX = if (present.isEmpty) 1L else present.max
       val nbits = bitsFor(maxX)
@@ -620,6 +660,9 @@ object Grib2 {
     var order = 0; var ds = 0
     // CCSDS (5.42) parameters
     var ccsdsFlags = 0; var ccsdsJ = 0; var ccsdsRsi = 0
+    // run-length (5.200) parameters
+    var rlNbits = 0; var rlMv = 0; var rlMvl = 0; var rlDec = 0
+    var rlLevels: Array[Int] = null
     var lossyField = false
     var category = 0; var parameter = 0; var forecastHours = 0
     var refTime = java.time.LocalDateTime.MIN
@@ -824,8 +867,25 @@ object Grib2 {
             forecastHours = u32(o + 13).toInt
           case 5 =>
             tmpl5 = u16(o + 4)
-            require(Set(0, 2, 3, 40, 41, 42).contains(tmpl5), s"unsupported packing template 5.$tmpl5")
-            if (tmpl5 == 40) {
+            require(Set(0, 2, 3, 40, 41, 42, 200).contains(tmpl5),
+              s"unsupported packing template 5.$tmpl5")
+            if (tmpl5 == 200) {
+              // run-length packing with level values (JMA radar/nowcast
+              // products): nbits(1), MV(2), MVL(2), decimal scale(1),
+              // then MVL 2-byte scaled representative values. No
+              // reference/binary-scale octets — the level table IS the
+              // value mapping.
+              rlNbits = bytes(o + 6) & 0xff
+              rlMv = u16(o + 7)
+              rlMvl = u16(o + 9)
+              rlDec = { val v = bytes(o + 11) & 0xff; if ((v & 0x80) != 0) -(v & 0x7f) else v }
+              require(rlNbits >= 1 && rlNbits <= 16, s"implausible 5.200 bit width $rlNbits")
+              require(rlMv <= rlMvl && rlMvl <= 0xffff && rlMvl > 0,
+                s"implausible 5.200 level counts MV=$rlMv MVL=$rlMvl")
+              require((1 << rlNbits) - 1 - rlMv >= 1,
+                s"5.200 bit width $rlNbits leaves no run-length symbols above MV=$rlMv")
+              rlLevels = (0 until rlMvl).map(i => u16(o + 12 + 2 * i)).toArray
+            } else if (tmpl5 == 40) {
               // octet 22 = type of compression: 0 lossless (reversible
               // 5/3), 1 lossy (irreversible 9/7 + scalar quantization,
               // e.g. rate-limited MRMS products) — both decode through
@@ -840,8 +900,10 @@ object Grib2 {
                 s"unknown JPEG2000 compression type $ctype")
               lossyField = ctype == 1
             }
-            refR = java.lang.Float.intBitsToFloat(u32(o + 6).toInt)
-            e = s16(o + 10); d = s16(o + 12); nbits = bytes(o + 14) & 0xff
+            if (tmpl5 != 200) { // 5.200 has no reference/binary-scale octets
+              refR = java.lang.Float.intBitsToFloat(u32(o + 6).toInt)
+              e = s16(o + 10); d = s16(o + 12); nbits = bytes(o + 14) & 0xff
+            }
             if (tmpl5 == 42) { // CCSDS/AEC parameters
               ccsdsFlags = bytes(o + 16) & 0xff
               ccsdsJ = bytes(o + 17) & 0xff
@@ -894,6 +956,9 @@ object Grib2 {
                 val base = refR / math.pow(10, d)
                 val factor = math.pow(2, e) / math.pow(10, d)
                 xs.map(x => base + x * factor)
+              } else if (tmpl5 == 200) {
+                decodeRunLength(bytes, o, len - 5, nPresent,
+                  rlNbits, rlMv, rlMvl, rlDec, rlLevels)
               } else {
                 decodeComplex(bytes, o, nPresent, refR, e, d, nbits,
                   ng, wref, wbits, lref, linc, lastLen, lbits, order, ds)
@@ -941,6 +1006,53 @@ object Grib2 {
     Message(GeoTiff.Raster(width, height, data, west, north, px, py),
       discipline, category, parameter, refTime, forecastHours, proj,
       lossy = lossyField)
+  }
+
+  /** Unpack a run-length-packed (5.200) data section into present-cell
+    * values, in scan order. Symbol stream semantics (the wgrib2
+    * unpk_run_length / JMA convention): each run opens with a LEVEL
+    * symbol (0 = missing → NaN; 1..MV → representative value
+    * levels(l−1) / 10^dec), optionally followed by digit symbols
+    * > MV that accumulate (run length − 1) in little-endian base
+    * (2^nbits − 1 − MV): digit value = symbol − MV − 1. Decoding stops
+    * once the grid is full, so zero-bit stream padding never decodes
+    * as a spurious missing run. */
+  private def decodeRunLength(bytes: Array[Byte], o: Int, dataLen: Int,
+                              nPresent: Int, nbits: Int, mv: Int, mvl: Int,
+                              dec: Int, levels: Array[Int]): Array[Double] = {
+    val rng = (1 << nbits) - 1 - mv
+    val f = math.pow(10, dec)
+    val nSyms = dataLen * 8 / nbits
+    val r = new BitReader(bytes, o)
+    val syms = new Array[Int](nSyms)
+    var k = 0
+    while (k < nSyms) { syms(k) = r.get(nbits).toInt; k += 1 }
+    val out = new Array[Double](nPresent)
+    var i = 0; var oIdx = 0
+    while (i < nSyms && oIdx < nPresent) {
+      val s = syms(i); i += 1
+      require(s <= mv,
+        s"run-length stream: digit symbol $s opens a run (level symbols are 0..$mv)")
+      var repeat = 1L; var base = 1L
+      while (i < nSyms && syms(i) > mv) {
+        repeat += (syms(i) - mv - 1).toLong * base
+        base *= rng
+        i += 1
+      }
+      val v = if (s == 0) Double.NaN else {
+        require(s <= mvl, s"level symbol $s beyond the $mvl-entry table")
+        levels(s - 1) / f
+      }
+      var c = 0L
+      while (c < repeat) {
+        require(oIdx < nPresent,
+          s"run-length stream overruns the grid ($nPresent points)")
+        out(oIdx) = v; oIdx += 1; c += 1
+      }
+    }
+    require(oIdx == nPresent,
+      s"run-length stream decoded $oIdx of $nPresent points")
+    out
   }
 
   /** Unpack a complex-packed (5.2/5.3) data section into present-cell

@@ -44,6 +44,48 @@ class Grib2Spec extends SparkSpec {
     }
   }
 
+  test("run-length packing (5.200) round-trips a radar-like field exactly") {
+    // radar/nowcast shape: mostly-zero field with a few intensity
+    // levels and LONG zero runs — a 600-point run forces multi-digit
+    // base-(2^nbits−1−MV) run lengths, and the scattered NaNs ride the
+    // bitmap like every other packing
+    val w = 40; val h = 20
+    val data = Array.tabulate(w * h) { i =>
+      if (i % 173 == 0) Float.NaN
+      else if (i < 100) (i % 5) * 2.5f
+      else if (i >= 700) 12.5f
+      else 0f
+    }
+    val m = Grib2.Message(
+      GeoTiff.Raster(w, h, data, -180.0, 90.0, 9.0, 9.0),
+      discipline = 0, category = 15, parameter = 195,
+      refTime = java.time.LocalDateTime.of(2024, 6, 1, 12, 0, 0),
+      forecastHours = 0)
+    val bytes = Grib2.write(m, decimals = 1, packing = 200)
+    val back = Grib2.read(bytes)
+    back.raster.data.zip(data).foreach { case (a, b) =>
+      if (b.isNaN) assert(a.isNaN)
+      else assert(a == b, s"$a vs $b — the level table holds exact scaled values")
+    }
+    // the RLE stream should be far smaller than 8-bit simple packing
+    assert(bytes.length < Grib2.write(m, decimals = 1, packing = 0).length)
+  }
+
+  test("run-length granules (5.200) decode through the production ingest path") {
+    val w = 16; val h = 8
+    val data = Array.tabulate(w * h)(i => if (i % 7 == 0) 5.5f else 0f)
+    val m = Grib2.Message(
+      GeoTiff.Raster(w, h, data, -180.0, 90.0, 22.5, 22.5),
+      0, 15, 195, java.time.LocalDateTime.of(2024, 6, 1, 12, 0, 0), 0)
+    val dir = Files.createTempDirectory("graft-rle-ingest-").toString
+    Files.write(Paths.get(s"$dir/radar_20240601_1200.grib2"),
+      Grib2.write(m, decimals = 1, packing = 200))
+    val df = Formats.ingestDir(spark, dir)
+    assert(df.count() == w * h)
+    val v = df.filter(col("y") === 0 && col("x") === 7).select("v").head().getDouble(0)
+    assert(v == 5.5)
+  }
+
   test("PNG packing (5.41) round-trips with a bitmap (nPresent×1 image)") {
     val m = sampleMessage
     val back = Grib2.read(Grib2.write(m, packing = 41))

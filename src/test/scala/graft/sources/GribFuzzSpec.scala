@@ -34,6 +34,7 @@ class GribFuzzSpec extends AnyFunSuite {
       "jpeg2000-lossy97" -> Grib2.write(latlon, packing = 40, j2kQuantShift = Some(2)),
       "png" -> Grib2.write(latlon, packing = 41),
       "ccsds" -> Grib2.write(latlon, packing = 42),
+      "runlength" -> Grib2.write(latlon, packing = 200),
       "lcc+j2k" -> Grib2.write(lcc, packing = 40),
       "gauss+ccsds" -> Grib2.write(gauss, packing = 42))
   }
