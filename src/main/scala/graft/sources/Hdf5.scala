@@ -1020,10 +1020,17 @@ object Hdf5 {
     * stores raw chunks with no filter pipeline (forced for implicit,
     * which the format defines as unfiltered); `v4PageBits` sizes the
     * fixed-array pages (small values force the paged data block). */
+  /** `subgroup`: place every DATA variable inside a named child group
+    * (dimension scales stay at the root — the netcdf-c nested-group
+    * shape, where child variables reference parent dims through
+    * DIMENSION_LIST object addresses). */
   def write(dims: Seq[(String, Int)], variables: Seq[NetCdf.Variable],
             shuffle: Boolean = false, denseRoot: Boolean = false,
             fletcher: Boolean = false, layoutV4: Option[Int] = None,
-            v4Unfiltered: Boolean = false, v4PageBits: Int = 10): Array[Byte] = {
+            v4Unfiltered: Boolean = false, v4PageBits: Int = 10,
+            subgroup: Option[String] = None): Array[Byte] = {
+    require(subgroup.isEmpty || !denseRoot,
+      "fixture writer: subgroup + denseRoot not combined")
     val out = new java.io.ByteArrayOutputStream()
     def pos = out.size
     def u8(v: Int): Unit = out.write(v & 0xff)
@@ -1101,18 +1108,24 @@ object Hdf5 {
     val varByName = variables.map(v => v.name -> v).toMap
     val dimSets = dims.map { case (n, sz) => (n, sz, varByName.get(n)) }
     val dataVars = variables.filterNot(v => dims.exists(_._1 == v.name))
-    val allNames = dimSets.map(_._1) ++ dataVars.map(_.name)
+    // root links: dims + either the data vars or the one child group;
+    // the ONE local heap serves both groups' symbol tables (name
+    // offsets are heap-relative, and both STABs point at it)
+    val allNames = dimSets.map(_._1) ++
+      subgroup.map(Seq(_)).getOrElse(dataVars.map(_.name))
+    val heapNames = allNames ++
+      (if (subgroup.isDefined) dataVars.map(_.name) else Nil)
 
     out.write(new Array[Byte](96)) // superblock placeholder, patched below
 
     // local heap with the root group's link names
-    val nameBytes = allNames.map(n => n.getBytes("UTF-8") :+ 0.toByte)
+    val nameBytes = heapNames.map(n => n.getBytes("UTF-8") :+ 0.toByte)
     val nameOffs = scala.collection.mutable.Map[String, Long]()
     val heapAddr = pos
     val dataSz = nameBytes.map(b => ((b.length + 7) / 8) * 8).sum
     raw("HEAP".getBytes); u8(0); u8(0); u8(0); u8(0)
     u64(dataSz); u64(Undef); u64(heapAddr + 32)
-    allNames.zip(nameBytes).foreach { case (n, b) =>
+    heapNames.zip(nameBytes).foreach { case (n, b) =>
       nameOffs(n) = pos - (heapAddr + 32); raw(pad8(b))
     }
 
@@ -1404,6 +1417,30 @@ object Hdf5 {
             bodyBuf(bb => { bb.putDouble(d); () }, 8)) }
       ohAddrs(v.name) = pos
       raw(objectHeader(msgs))
+      padTo8()
+    }
+
+    // child group holding the data variables (nested-group layout):
+    // its own SNOD + B-tree + symbol-table header, names resolved
+    // through the shared local heap
+    subgroup.foreach { sub =>
+      val childNames = dataVars.map(_.name).sorted
+      val snodAddr = pos
+      raw("SNOD".getBytes); u16(1); u16(childNames.size)
+      childNames.foreach { n =>
+        u64(nameOffs(n)); u64(ohAddrs(n)); u32(0); u32(0)
+        out.write(new Array[Byte](16))
+      }
+      padTo8()
+      val btreeAddr = pos
+      raw("TREE".getBytes); u8(0); u8(0); u16(1)
+      u64(Undef); u64(Undef)
+      u64(nameOffs(childNames.head)); u64(snodAddr); u64(nameOffs(childNames.last))
+      padTo8()
+      ohAddrs(sub) = pos
+      raw(objectHeader(Seq(0x11 -> bodyBuf({ bb =>
+        bb.putLong(btreeAddr.toLong); bb.putLong(heapAddr.toLong)
+      }, 16))))
       padTo8()
     }
 

@@ -106,6 +106,27 @@ class Hdf5LayoutV4Spec extends SparkSpec {
     }
   }
 
+  test("NetCDF-4 nested groups: child variables resolve parent dims") {
+    val (dims, vs, data) = vars(nT)
+    val bytes = Hdf5.write(dims, vs, subgroup = Some("surface"))
+    // raw HDF5 view: group-qualified names, data intact
+    val f = Hdf5.read(bytes)
+    assert(f.datasets.map(_.name).sorted ==
+      Seq("lat", "lon", "surface/precip", "time"))
+    assert(f.datasets.find(_.name == "surface/precip").get.data.sameElements(data))
+    // NetCDF view (h5netcdf's group-path mode): the child variable
+    // keeps its group-qualified name and resolves the PARENT group's
+    // dimensions through the DIMENSION_LIST object references
+    val nc = Hdf5.toNetCdf(bytes)
+    val v = nc.vars.find(_.name == "surface/precip").get
+    assert(v.dims == Seq("time", "lat", "lon"))
+    assert(nc.dims.map(_._1) == Seq("time", "lat", "lon"))
+    // same bytes through the nested v4-layout combination
+    val v4 = Hdf5.read(Hdf5.write(dims, vs, subgroup = Some("surface"),
+      layoutV4 = Some(3)))
+    assert(v4.datasets.find(_.name == "surface/precip").get.data.sameElements(data))
+  }
+
   test("unknown chunk index type fails loudly") {
     val (dims, vs, _) = vars(nT)
     val good = Hdf5.write(dims, vs, layoutV4 = Some(3))
