@@ -88,15 +88,17 @@ object PipelineQueries extends QueryModule {
     // on the corpus.
     "t_tfidf_topk" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val n = docs.count()
+      // corpus size as a one-row broadcast (like t_domain_mix), not a
+      // separate driver count() action per invocation
+      val n = docs.agg(count(lit(1)).as("n"))
       val words = docs.select(col("doc_id"), explode(wordsCol).as("w"))
       val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
       val df = words.select("doc_id", "w").distinct()
         .groupBy("w").agg(count(lit(1)).as("df"))
       val win = Window.partitionBy("doc_id")
         .orderBy(col("score").desc, col("w").asc)
-      tf.join(df, Seq("w"))
-        .withColumn("score", (col("tf") * lit(n)).cast("double") / col("df"))
+      tf.join(df, Seq("w")).crossJoin(broadcast(n))
+        .withColumn("score", (col("tf") * col("n")).cast("double") / col("df"))
         .withColumn("rank", row_number().over(win))
         .filter(col("rank") <= 3)
         .select(col("doc_id"), col("w").as("term"), col("score"), col("rank"))

@@ -187,6 +187,54 @@ object Geo {
     (lon, lat)
   }
 
+  /** Inverse geostationary / space-view perspective (GRIB2 grid 3.90,
+    * the Meteosat/GOES/Himawari full-disc family; CGMS LRIT/HRIT
+    * normalized geostationary geometry, also eccodes'
+    * grib_iterator_class_space_view.c). The satellite sits `h` meters
+    * from the EARTH CENTER above (0°N, `lopDeg`); inputs are the two
+    * scan angles in radians — x positive east, y positive north, both
+    * zero at the sub-satellite point. The view ray S + t·d intersects
+    * the (re, rp) ellipsoid at the near root of
+    *   t²(cos²y + u·sin²y) − 2·h·cosx·cosy·t + (h² − re²) = 0,
+    * u = re²/rp²; a negative discriminant means the ray misses the
+    * disc (a space pixel) → (NaN, NaN). Geodetic latitude converts
+    * from the geocentric intersection via tanφ = u·tanφc. */
+  def invGeostationary(re: Double, rp: Double, lopDeg: Double, h: Double)
+                      (x: Double, y: Double): (Double, Double) = {
+    val u = (re * re) / (rp * rp)
+    val cx = math.cos(x); val sx = math.sin(x)
+    val cy = math.cos(y); val sy = math.sin(y)
+    val a = cy * cy + u * sy * sy
+    val bHalf = h * cx * cy
+    val disc = bHalf * bHalf - a * (h * h - re * re)
+    if (disc < 0) return (Double.NaN, Double.NaN)
+    val t = (bHalf - math.sqrt(disc)) / a
+    val pX = h - t * cx * cy
+    val pY = t * sx * cy
+    val pZ = t * sy
+    val lon = wrapLon(lopDeg + math.toDegrees(math.atan2(pY, pX)))
+    val lat = math.toDegrees(math.atan(u * pZ / math.sqrt(pX * pX + pY * pY)))
+    (lon, lat)
+  }
+
+  /** Forward of [[invGeostationary]]: (lon, lat) → the two scan angles
+    * in radians, for anchoring tests and sector math. */
+  def fwdGeostationary(re: Double, rp: Double, lopDeg: Double, h: Double)
+                      (lonDeg: Double, latDeg: Double): (Double, Double) = {
+    val u = (re * re) / (rp * rp)
+    val phiC = math.atan(math.tan(math.toRadians(latDeg)) / u) // geocentric
+    // local ellipsoid radius at geocentric latitude
+    val cc = math.cos(phiC); val sc = math.sin(phiC)
+    val rl = rp / math.sqrt(1.0 - (1.0 - (rp * rp) / (re * re)) * cc * cc)
+    val dl = math.toRadians(lonDeg - lopDeg)
+    val pX = rl * cc * math.cos(dl)
+    val pY = rl * cc * math.sin(dl)
+    val pZ = rl * sc
+    val x = math.atan2(pY, h - pX)
+    val y = math.atan2(pZ, math.sqrt((h - pX) * (h - pX) + pY * pY))
+    (x, y)
+  }
+
   /** Inverse spherical Mercator on a declared sphere, true scale at
     * `latTsDeg` (Snyder 1987 eq. 7-4/7-5 with the cos φ₁ scale factor)
     * — the GRIB template 3.10 frame (tropical-band products). `lon0Deg`

@@ -3,9 +3,13 @@ package graft.sources
 import java.nio.ByteBuffer
 
 /** Minimal self-contained GRIB2 codec: edition-2 messages on a regular
-  * lat/lon grid (template 3.0) or a Lambert-conformal projected grid
-  * (template 3.30 — the NCEP HRRR/NAM/RAP continental shape, exposing
-  * exact per-pixel lon/lat through the non-affine decoder hook),
+  * lat/lon grid (template 3.0), projected grids (3.10 Mercator, 3.20
+  * polar stereographic, 3.30 Lambert conformal — the NCEP
+  * HRRR/NAM/RAP continental shape), Gaussian grids (3.40 regular +
+  * reduced), and space-view/geostationary grids (3.90 — the
+  * Meteosat/GOES/Himawari full-disc family, CGMS perspective
+  * geometry), all exposing exact per-pixel lon/lat through the
+  * non-affine decoder hook;
   * product template 4.0, an optional bitmap (section 6) carrying
   * nodata, and these data representations:
   *
@@ -75,6 +79,17 @@ object Grib2 {
     * exact coordinates through [[lonLatArrays]] and the padding never
     * survives the long-form explode (NaN cells are dropped). */
   case class ReducedGaussianGrid(n: Int, pl: Seq[Int]) extends GridProj
+  /** Space-view / geostationary perspective (template 3.90 — the
+    * Meteosat/GOES/Himawari full-disc imagery family): the satellite
+    * sits `nr` equatorial radii from the earth CENTER over
+    * (0°N, `lop`). The raster frame is SCAN-ANGLE RADIANS (px/py are
+    * per-grid-length angular steps, west/north anchor the
+    * sub-satellite point at angle zero); exact per-pixel lon/lat
+    * comes from the CGMS geostationary inverse in [[lonLatArrays]],
+    * with off-disc (space) pixels → NaN coordinates — such pixels are
+    * bitmap-missing in any real product, so they never survive the
+    * long-form explode. */
+  case class SpaceViewProj(re: Double, rp: Double, lop: Double, nr: Double) extends GridProj
 
   /** `lossy` marks fields unpacked from an IRREVERSIBLE codestream
     * (5.40 compression type 1): values are the codec's nearest-integer
@@ -134,6 +149,8 @@ object Grib2 {
               graft.ops.Geo.invPolarStereographicSph(rad, lov, lad)
             case MercProj(rad, lon0, lad) =>
               graft.ops.Geo.invMercatorSph(rad, lon0, lad)
+            case SpaceViewProj(re, rp, lop, nr) =>
+              graft.ops.Geo.invGeostationary(re, rp, lop, nr * re)
             case _ => throw new IllegalStateException("handled above")
           }
           var y = 0
@@ -307,6 +324,31 @@ object Grib2 {
           bu32(b, math.round(r.px * 1e6)) // Di
           bu32(b, g.n)                    // N replaces Dj
           bu8(b, scanMode)
+        }
+      case Some(sv: SpaceViewProj) =>
+        sec(3) { b => // template 3.90 space view / geostationary
+          require(sv.re == sv.rp, "fixture writer emits spherical space-view only")
+          // recover the grid geometry from the scan-angle raster frame
+          val dxGl = math.round(2.0 * math.asin(1.0 / sv.nr) / r.px)
+          val dyGl = math.round(2.0 * math.asin(1.0 / sv.nr) / r.py)
+          val xpC = -r.west / r.px
+          val ypC = r.north / r.py
+          val xpScan = if ((scanMode & 0x80) != 0) r.width - xpC else xpC
+          val ypScan = if ((scanMode & 0x40) != 0) r.height - ypC else ypC
+          def lonE(v: Double) = if (v < 0) v + 360 else v
+          bu8(b, 0); bu32(b, n); bu8(b, 0); bu8(b, 0); bu16(b, 90)
+          bu8(b, 1); bu8(b, 0); bu32(b, math.round(sv.re)) // shape 1: scaled sphere
+          bu8(b, 0); bu32(b, 0); bu8(b, 0); bu32(b, 0)
+          bu32(b, r.width); bu32(b, r.height)
+          bs32(b, 0) // Lap: equatorial sub-satellite point
+          bs32(b, math.round(lonE(sv.lop) * 1e6))
+          bu8(b, 0x08) // resolution/component flags
+          bu32(b, dxGl); bu32(b, dyGl)
+          bu32(b, math.round(xpScan * 1000)); bu32(b, math.round(ypScan * 1000))
+          bu8(b, scanMode)
+          bu32(b, 0) // grid orientation
+          bu32(b, math.round(sv.nr * 1e6))
+          bu32(b, 0); bu32(b, 0) // Xo / Yo sector offsets
         }
       case Some(mp: MercProj) =>
         sec(3) { b => // grid definition, template 3.10 Mercator
@@ -699,10 +741,11 @@ object Grib2 {
             // an unknown grid template must fail loudly: parsing its
             // octets with another template's layout would SILENTLY
             // mis-georeference every pixel
-            require(tmpl3 == 0 || tmpl3 == 10 || tmpl3 == 20 || tmpl3 == 30 || tmpl3 == 40,
+            require(tmpl3 == 0 || tmpl3 == 10 || tmpl3 == 20 || tmpl3 == 30 ||
+                tmpl3 == 40 || tmpl3 == 90,
               s"unsupported grid definition template 3.$tmpl3 " +
                 "(supported: 3.0 lat/lon, 3.10 Mercator, 3.20 polar stereo, " +
-                "3.30 Lambert, 3.40 Gaussian)")
+                "3.30 Lambert, 3.40 Gaussian, 3.90 space view)")
             width = u32(o + 25).toInt; height = u32(o + 29).toInt
             // corrupt dimension octets must dead-letter, not OOM the
             // executor with a multi-GiB allocation (width is checked
@@ -769,6 +812,49 @@ object Grib2 {
                 north = glats(0) + py / 2
                 proj = Some(GaussianGrid(nPar))
               }
+            } else if (tmpl3 == 90) { // space view / geostationary
+              val shape = bytes(o + 9) & 0xff
+              val radius = shape match {
+                case 0 => 6367470.0
+                case 6 => 6371229.0
+                case 1 =>
+                  val sf = bytes(o + 10) & 0xff
+                  u32(o + 11).toDouble / math.pow(10, sf)
+                case sh => throw new IllegalArgumentException(
+                  s"earth shape $sh not supported on space-view grids " +
+                    "(spherical shapes 0/1/6 only)")
+              }
+              def lonNorm(v: Double) = if (v > 180) v - 360 else v
+              val lap = s32(o + 33)
+              require(lap == 0,
+                "non-equatorial sub-satellite point not supported (Lap must be 0 — " +
+                  "every operational geostationary product is equatorial)")
+              val lop = lonNorm(s32(o + 37) / 1e6)
+              val dxGl = u32(o + 42).toInt // apparent earth diameter, grid lengths
+              val dyGl = u32(o + 46).toInt
+              require(dxGl > 0 && dyGl > 0, s"implausible apparent diameter $dxGl x $dyGl")
+              val xp = u32(o + 50) / 1000.0 // sub-satellite pixel, grid lengths
+              val yp = u32(o + 54) / 1000.0
+              scanMode = bytes(o + 58) & 0xff
+              require((scanMode & 0x30) == 0,
+                f"unsupported scanning mode 0x$scanMode%02x (consecutive-j/boustrophedon)")
+              require(u32(o + 59) == 0, "rotated space-view grids not supported")
+              val nr = u32(o + 63) / 1e6 // camera altitude, earth radii FROM CENTER
+              require(nr > 1.0, s"satellite distance $nr must exceed one earth radius")
+              require(u32(o + 67) == 0 && u32(o + 71) == 0,
+                "space-view sector offsets (Xo/Yo) not supported — full-disc only")
+              // per-grid-length scan angle: the full disc subtends
+              // 2·asin(1/Nr) and spans dx grid lengths
+              val rx = 2.0 * math.asin(1.0 / nr) / dxGl
+              val ry = 2.0 * math.asin(1.0 / nr) / dyGl
+              // normalize the sub-satellite pixel into the canonical
+              // north-up/west-east frame the data is reordered into
+              val xpC = if ((scanMode & 0x80) != 0) width - xp else xp
+              val ypC = if ((scanMode & 0x40) != 0) height - yp else yp
+              px = rx; py = ry
+              west = -xpC * rx
+              north = ypC * ry
+              proj = Some(SpaceViewProj(radius, radius, lop, nr))
             } else if (tmpl3 == 10) { // Mercator (tropical-band products)
               val shape = bytes(o + 9) & 0xff
               val radius = shape match {

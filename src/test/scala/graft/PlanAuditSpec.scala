@@ -20,6 +20,7 @@ class PlanAuditSpec extends SparkSpec {
     "s_ann_bruteforce", "s_ann_ivf", "s_ann_ivf_kmeans", "s_ann_ivfpq",
     "s_ann_ivfpq_resid", "s_ann_ivf_stream", "t_domain_mix",
     "t_unigram_surprisal", // one-row corpus-totals broadcast, like t_domain_mix
+    "t_tfidf_topk", // one-row corpus-count broadcast, like t_domain_mix
     "v_transform_dispatch", "w9_funnel")
 
   test("no cartesian products; nested-loop joins only in the reviewed set") {

@@ -44,6 +44,55 @@ class Grib2Spec extends SparkSpec {
     }
   }
 
+  test("space-view grids (3.90) round-trip with exact geostationary lon/lat") {
+    // Meteosat-like full disc: sphere, satellite ~6.62 radii from the
+    // earth center over 9.5°E, disc spanning 18 grid lengths of a
+    // 20×20 grid, sub-satellite point at grid coordinate (10.5, 10.5)
+    // so pixel (10, 10)'s CENTER is exactly the zero scan angle
+    val w = 20; val h = 20
+    val re = 6367470.0
+    val nr = 6.621936 // chosen so nr·1e6 is integral (exact round-trip)
+    val lop = 9.5
+    val rx = 2.0 * math.asin(1.0 / nr) / 18
+    val ry = rx
+    val inv = graft.ops.Geo.invGeostationary(re, re, lop, nr * re) _
+    val data = Array.tabulate(w * h) { k =>
+      val i = k % w; val j = k / w
+      val x = (i + 0.5 - 10.5) * rx; val y = (10.5 - (j + 0.5)) * ry
+      val (lon, _) = inv(x, y)
+      if (lon.isNaN) Float.NaN else (i + j).toFloat // off-disc = missing
+    }
+    assert(data.count(_.isNaN) > 0 && data.count(!_.isNaN) > 200,
+      "fixture should mix disc and space pixels")
+    val m = Grib2.Message(
+      GeoTiff.Raster(w, h, data, -10.5 * rx, 10.5 * ry, rx, ry),
+      discipline = 0, category = 6, parameter = 1,
+      refTime = java.time.LocalDateTime.of(2024, 6, 1, 12, 0, 0),
+      forecastHours = 0, proj = Some(Grib2.SpaceViewProj(re, re, lop, nr)))
+    val back = Grib2.read(Grib2.write(m, decimals = 0))
+    val Some(p: Grib2.SpaceViewProj) = back.proj
+    assert(p.re == re && p.lop == lop && math.abs(p.nr - nr) < 1e-12)
+    back.raster.data.zip(data).foreach { case (a, b) =>
+      if (b.isNaN) assert(a.isNaN) else assert(a == b)
+    }
+    // exact per-pixel lon/lat: the sub-satellite pixel reads (lop, 0)
+    val Some((lons, lats)) = Grib2.lonLatArrays(back)
+    assert(math.abs(lons(10 * w + 10) - lop) < 1e-9)
+    assert(math.abs(lats(10 * w + 10)) < 1e-9)
+    // fwd∘inv is the identity on the disc
+    val fwd = graft.ops.Geo.fwdGeostationary(re, re, lop, nr * re) _
+    for (j <- 5 until 15; i <- 5 until 15) {
+      val x0 = (i + 0.5 - 10.5) * rx; val y0 = (10.5 - (j + 0.5)) * ry
+      val k = j * w + i
+      if (!lons(k).isNaN) {
+        val (x1, y1) = fwd(lons(k), lats(k))
+        assert(math.abs(x1 - x0) < 1e-12 && math.abs(y1 - y0) < 1e-12)
+      }
+    }
+    // space pixels carry NaN coordinates (and are bitmap-missing)
+    assert(lons(0).isNaN && lats(0).isNaN)
+  }
+
   test("run-length packing (5.200) round-trips a radar-like field exactly") {
     // radar/nowcast shape: mostly-zero field with a few intensity
     // levels and LONG zero runs — a 600-point run forces multi-digit
@@ -590,12 +639,12 @@ class Grib2Spec extends SparkSpec {
     var patched = false
     while (pos < bytes.length - 4 && !patched) {
       val len = u32(bytes, pos); val num = bytes(pos + 4) & 0xff
-      if (num == 3) { bytes(pos + 5 + 8) = 90.toByte; patched = true } // 3.90 space view
+      if (num == 3) { bytes(pos + 5 + 8) = 110.toByte; patched = true } // 3.110 equatorial azimuthal
       else pos += len
     }
     assert(patched)
     val e = intercept[IllegalArgumentException](Grib2.read(bytes))
-    assert(e.getMessage.contains("template 3.90"))
+    assert(e.getMessage.contains("template 3.110"))
   }
 
   test("complex packing + 2nd-order spatial differencing (5.3) round-trips") {
