@@ -26,10 +26,10 @@ import java.nio.{ByteBuffer, ByteOrder}
   *  - data layout v4 (HDF5 ≥1.10, h5py libver='latest'/netcdf-c with
   *    version bounds): all five chunk index types — single chunk,
   *    implicit, fixed array (paged + unpaged data blocks), extensible
-  *    array (index-block elements + the directly-addressed data
-  *    blocks; secondary/super blocks and paged EA data blocks fail
-  *    loudly), and version-2 B-trees (record types 10/11, any depth
-  *    via the shared BTHD walker)
+  *    array (index-block elements, direct data blocks AND super
+  *    blocks with the H5EA geometric growth; paged EA data blocks
+  *    fail loudly), and version-2 B-trees (record types 10/11, any
+  *    depth via the shared BTHD walker)
   *  - filter pipeline v1/v2: deflate (id 1), byte-shuffle (id 2) and
   *    fletcher32 checksum (id 3, verified then stripped — corrupt
   *    chunks fail loudly instead of decoding wrong numbers)
@@ -798,36 +798,67 @@ object Hdf5 {
         // a+10 = secondary-block min data ptrs, a+11 = dblk page bits
         val dblkPageN = 1L << (bytes(a + 11) & 0xff)
         val idxBlkAddr = bb.getLong(a + 12 + 48) // after the six 8-byte length fields
+        require(dblkMinElmts > 0 && (dblkMinElmts & (dblkMinElmts - 1)) == 0,
+          s"extensible-array data block min elements $dblkMinElmts must be a power of 2")
+        // H5EA geometry: super block u holds 2^(u/2) data blocks of
+        // dblkMinElmts·2^((u+1)/2) elements; the index block addresses
+        // the data blocks of super blocks 0-1 directly, then the super
+        // blocks themselves (nsblks = 1 + maxNelmtsBits − log2(min))
+        val nsblks = 1 + maxNelmtsBits -
+          (31 - Integer.numberOfLeadingZeros(dblkMinElmts))
+        val blkOffW = (maxNelmtsBits + 7) / 8
+        def dblkNelmts(u: Int): Long = dblkMinElmts.toLong << ((u + 1) / 2)
         if (idxBlkAddr != Undef) {
           val ib = off(idxBlkAddr, bytes); sig4(ib, "EAIB")
           var p = ib + 6 + 8 // ver(1) + client(1) + header address(8)
-          var ci = 0
+          var ci = 0L
           // the index block always holds its full idxBlkElmts capacity
           while (ci < idxBlkElmts) {
-            if (ci < nChunks) placeElement(ci, p, elmtSize, clientId)
+            if (ci < nChunks) placeElement(ci.toInt, p, elmtSize, clientId)
             p += elmtSize; ci += 1
           }
-          // the index block directly addresses the data blocks of the
-          // first two super blocks: sblk 0 and 1 hold 2^(u/2) = 1 block
-          // each, of dblkMinElmts·2^((u+1)/2) elements (H5EA geometry)
-          val blkOffW = (maxNelmtsBits + 7) / 8
-          for (u <- 0 to 1 if ci < nChunks) {
-            val dblkNelmts = dblkMinElmts.toLong << ((u + 1) / 2)
-            require(dblkNelmts <= dblkPageN,
-              "paged extensible-array data blocks not supported")
-            val dAddr = bb.getLong(p); p += 8
-            if (dAddr != Undef) {
+          // one data block's elements; Undef address = unallocated,
+          // those chunks keep the fill value
+          def readDblk(dAddr: Long, cap: Long): Unit =
+            if (dAddr == Undef) ci += cap
+            else {
               val db = off(dAddr, bytes); sig4(db, "EADB")
               var q = db + 6 + 8 + blkOffW // ver + client + hdr addr + block offset
               var i = 0L
-              while (i < dblkNelmts && ci < nChunks) {
-                placeElement(ci, q, elmtSize, clientId); q += elmtSize; ci += 1; i += 1
+              while (i < cap) {
+                if (ci < nChunks) placeElement(ci.toInt, q, elmtSize, clientId)
+                q += elmtSize; ci += 1; i += 1
               }
-            } else ci += dblkNelmts.toInt // unallocated block keeps fill
+            }
+          // direct data blocks (super blocks 0 and 1: one block each)
+          for (u <- 0 to 1) {
+            require(dblkNelmts(u) <= dblkPageN,
+              "paged extensible-array data blocks not supported")
+            val dAddr = bb.getLong(p); p += 8
+            if (ci < nChunks) readDblk(dAddr, dblkNelmts(u)) else ci += dblkNelmts(u)
+          }
+          // super blocks 2..nsblks: EASB holding its data block addresses
+          var u = 2
+          while (u < nsblks && ci < nChunks) {
+            val cap = dblkNelmts(u)
+            require(cap <= dblkPageN,
+              "paged extensible-array data blocks not supported")
+            val ndblks = 1 << (u / 2)
+            val sAddr = bb.getLong(p); p += 8
+            if (sAddr == Undef) ci += ndblks.toLong * cap
+            else {
+              val sb = off(sAddr, bytes); sig4(sb, "EASB")
+              var q = sb + 6 + 8 + blkOffW // ver + client + hdr addr + block offset
+              for (_ <- 0 until ndblks) {
+                val dAddr = bb.getLong(q); q += 8
+                if (ci < nChunks) readDblk(dAddr, cap) else ci += cap
+              }
+            }
+            u += 1
           }
           require(ci >= nChunks,
-            s"extensible-array secondary blocks not supported (chunk $ci of $nChunks " +
-              "is beyond the index block's direct data blocks)")
+            s"extensible-array index exhausted at chunk $ci of $nChunks " +
+              s"($nsblks super blocks — corrupt header?)")
         }
 
       case 5 => // version-2 B-tree of chunk records
@@ -1297,18 +1328,17 @@ object Hdf5 {
               u64(n.toLong); u64(dbAddr); u32(0)
               padTo8()
               hdr
-            case 4 => // extensible array: EAHD + EAIB (+ direct EADBs)
+            case 4 => // extensible array: EAHD + EAIB + EADBs + EASBs
               val idxBlkElmts = 2; val dblkMinElmts = 2; val maxNelmtsBits = 16
               val blkOffW = (maxNelmtsBits + 7) / 8
               val n = chunkEntries.size
-              // data blocks for super blocks 0 and 1 (1 block each, of
-              // dblkMinElmts·2^((u+1)/2) elements)
-              val dblkAddrs = new Array[Long](2)
+              val nsblks = 1 + maxNelmtsBits - 1 // log2(dblkMinElmts=2) = 1
+              def dblkCap(u: Int) = dblkMinElmts << ((u + 1) / 2)
               var next = idxBlkElmts
-              for (u <- 0 to 1) {
-                val cap = dblkMinElmts << ((u + 1) / 2)
-                if (next < n) {
-                  dblkAddrs(u) = pos.toLong
+              def writeDblk(cap: Int): Long =
+                if (next >= n) { next += cap; Undef }
+                else {
+                  val a0 = pos.toLong
                   raw("EADB".getBytes); u8(0); u8(clientId); u64(Undef)
                   for (_ <- 0 until blkOffW) u8(0)
                   raw(bodyBuf({ bb =>
@@ -1318,20 +1348,39 @@ object Hdf5 {
                   }, cap * elmtSize))
                   u32(0)
                   padTo8()
-                } else dblkAddrs(u) = Undef
-                next += cap
+                  next += cap
+                  a0
+                }
+              // super blocks 0/1: one data block each, addressed from
+              // the index block directly
+              val directAddrs = (0 to 1).map(u => writeDblk(dblkCap(u)))
+              // super blocks 2+: 2^(u/2) data blocks behind an EASB
+              val sblkAddrs = scala.collection.mutable.Buffer[Long]()
+              var su = 2
+              while (su < nsblks && next < n) {
+                val dAddrs = (0 until (1 << (su / 2))).map(_ => writeDblk(dblkCap(su)))
+                if (dAddrs.forall(_ == Undef)) sblkAddrs += Undef
+                else {
+                  val sA = pos.toLong
+                  raw("EASB".getBytes); u8(0); u8(clientId); u64(Undef)
+                  for (_ <- 0 until blkOffW) u8(0)
+                  dAddrs.foreach(u64)
+                  u32(0)
+                  padTo8()
+                  sblkAddrs += sA
+                }
+                su += 1
               }
-              require(next >= n,
-                s"fixture writer: $n chunks exceed the EA index block's direct data blocks")
-              val nsblks = 1 + (maxNelmtsBits - 1) // log2(dblkMinElmts=2) = 1
+              while (sblkAddrs.size < nsblks - 2) sblkAddrs += Undef
+              require(next >= n, s"fixture writer: $n chunks exceed EA capacity")
               val ibAddr = pos.toLong
               raw("EAIB".getBytes); u8(0); u8(clientId); u64(Undef)
               raw(bodyBuf({ bb =>
                 for (i <- 0 until idxBlkElmts)
                   element(bb, if (i < n) Some((chunkEntries(i)._2, chunkEntries(i)._3)) else None)
               }, idxBlkElmts * elmtSize))
-              dblkAddrs.foreach(u64)
-              for (_ <- 0 until nsblks - 2) u64(Undef) // super blocks: none
+              directAddrs.foreach(u64)
+              sblkAddrs.foreach(u64)
               u32(0)
               padTo8()
               val hdr = pos.toLong

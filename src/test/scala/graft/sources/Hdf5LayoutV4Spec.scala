@@ -84,9 +84,17 @@ class Hdf5LayoutV4Spec extends SparkSpec {
 
   test("extensible array: index-block elements + two direct data blocks") {
     // writer geometry: 2 inline elements, data blocks of 2 and 4 ⇒
-    // capacity 8; 6 chunks exercises inline + both EADBs
+    // direct capacity 8; 6 chunks exercises inline + both EADBs
     check(4)
     check(4, unfiltered = true)
+  }
+
+  test("extensible array: SUPER blocks (40 chunks spill past the direct blocks)") {
+    // 20 timesteps × 2 row-chunks = 40 chunks: inline(2) + direct(2+4)
+    // + sblk2 (2×4) + sblk3 (2×8) + part of sblk4 (4×8) — EASB walk,
+    // geometric data-block growth, and a partially-filled final block
+    check(4, timesteps = 20)
+    check(4, unfiltered = true, timesteps = 20)
   }
 
   test("v2 B-tree chunk records, types 10 and 11") {
