@@ -26,10 +26,10 @@ import java.nio.{ByteBuffer, ByteOrder}
   *  - data layout v4 (HDF5 ≥1.10, h5py libver='latest'/netcdf-c with
   *    version bounds): all five chunk index types — single chunk,
   *    implicit, fixed array (paged + unpaged data blocks), extensible
-  *    array (index-block elements, direct data blocks AND super
-  *    blocks with the H5EA geometric growth; paged EA data blocks
-  *    fail loudly), and version-2 B-trees (record types 10/11, any
-  *    depth via the shared BTHD walker)
+  *    array (index-block elements, direct data blocks, super blocks
+  *    with the H5EA geometric growth, and paged data blocks), and
+  *    version-2 B-trees (record types 10/11, any depth via the shared
+  *    BTHD walker)
   *  - filter pipeline v1/v2: deflate (id 1), byte-shuffle (id 2) and
   *    fletcher32 checksum (id 3, verified then stripped — corrupt
   *    chunks fail loudly instead of decoding wrong numbers)
@@ -818,22 +818,36 @@ object Hdf5 {
             p += elmtSize; ci += 1
           }
           // one data block's elements; Undef address = unallocated,
-          // those chunks keep the fill value
+          // those chunks keep the fill value. A block larger than the
+          // page size stores its elements in PAGES of dblkPageN
+          // elements, each followed by a 4-byte checksum, directly
+          // after the block header.
           def readDblk(dAddr: Long, cap: Long): Unit =
             if (dAddr == Undef) ci += cap
             else {
               val db = off(dAddr, bytes); sig4(db, "EADB")
               var q = db + 6 + 8 + blkOffW // ver + client + hdr addr + block offset
-              var i = 0L
-              while (i < cap) {
-                if (ci < nChunks) placeElement(ci.toInt, q, elmtSize, clientId)
-                q += elmtSize; ci += 1; i += 1
+              if (cap <= dblkPageN) {
+                var i = 0L
+                while (i < cap) {
+                  if (ci < nChunks) placeElement(ci.toInt, q, elmtSize, clientId)
+                  q += elmtSize; ci += 1; i += 1
+                }
+              } else {
+                val nPages = ((cap + dblkPageN - 1) / dblkPageN).toInt
+                for (pg <- 0 until nPages) {
+                  val inPage = math.min(dblkPageN, cap - pg.toLong * dblkPageN)
+                  var i = 0L
+                  while (i < inPage) {
+                    if (ci < nChunks) placeElement(ci.toInt, q, elmtSize, clientId)
+                    q += elmtSize; ci += 1; i += 1
+                  }
+                  q += 4 // per-page checksum
+                }
               }
             }
           // direct data blocks (super blocks 0 and 1: one block each)
           for (u <- 0 to 1) {
-            require(dblkNelmts(u) <= dblkPageN,
-              "paged extensible-array data blocks not supported")
             val dAddr = bb.getLong(p); p += 8
             if (ci < nChunks) readDblk(dAddr, dblkNelmts(u)) else ci += dblkNelmts(u)
           }
@@ -841,8 +855,6 @@ object Hdf5 {
           var u = 2
           while (u < nsblks && ci < nChunks) {
             val cap = dblkNelmts(u)
-            require(cap <= dblkPageN,
-              "paged extensible-array data blocks not supported")
             val ndblks = 1 << (u / 2)
             val sAddr = bb.getLong(p); p += 8
             if (sAddr == Undef) ci += ndblks.toLong * cap
@@ -1059,7 +1071,7 @@ object Hdf5 {
             shuffle: Boolean = false, denseRoot: Boolean = false,
             fletcher: Boolean = false, layoutV4: Option[Int] = None,
             v4Unfiltered: Boolean = false, v4PageBits: Int = 10,
-            subgroup: Option[String] = None): Array[Byte] = {
+            eaPageBits: Int = 10, subgroup: Option[String] = None): Array[Byte] = {
     require(subgroup.isEmpty || !denseRoot,
       "fixture writer: subgroup + denseRoot not combined")
     val out = new java.io.ByteArrayOutputStream()
@@ -1334,6 +1346,7 @@ object Hdf5 {
               val n = chunkEntries.size
               val nsblks = 1 + maxNelmtsBits - 1 // log2(dblkMinElmts=2) = 1
               def dblkCap(u: Int) = dblkMinElmts << ((u + 1) / 2)
+              val eaPageN = 1 << eaPageBits
               var next = idxBlkElmts
               def writeDblk(cap: Int): Long =
                 if (next >= n) { next += cap; Undef }
@@ -1341,11 +1354,22 @@ object Hdf5 {
                   val a0 = pos.toLong
                   raw("EADB".getBytes); u8(0); u8(clientId); u64(Undef)
                   for (_ <- 0 until blkOffW) u8(0)
-                  raw(bodyBuf({ bb =>
-                    for (i <- 0 until cap)
-                      element(bb, if (next + i < n)
-                        Some((chunkEntries(next + i)._2, chunkEntries(next + i)._3)) else None)
-                  }, cap * elmtSize))
+                  def elems(from: Int, count: Int): Unit =
+                    raw(bodyBuf({ bb =>
+                      for (i <- 0 until count)
+                        element(bb, if (from + i < n)
+                          Some((chunkEntries(from + i)._2, chunkEntries(from + i)._3)) else None)
+                    }, count * elmtSize))
+                  if (cap <= eaPageN) elems(next, cap)
+                  else { // paged: pages of eaPageN elements + checksum each
+                    var done = 0
+                    while (done < cap) {
+                      val inPage = math.min(eaPageN, cap - done)
+                      elems(next + done, inPage)
+                      u32(0) // page checksum (reader skips)
+                      done += inPage
+                    }
+                  }
                   u32(0)
                   padTo8()
                   next += cap
@@ -1385,7 +1409,7 @@ object Hdf5 {
               padTo8()
               val hdr = pos.toLong
               raw("EAHD".getBytes); u8(0); u8(clientId); u8(elmtSize)
-              u8(maxNelmtsBits); u8(idxBlkElmts); u8(dblkMinElmts); u8(2); u8(10)
+              u8(maxNelmtsBits); u8(idxBlkElmts); u8(dblkMinElmts); u8(2); u8(eaPageBits)
               u64(0); u64(0); u64(2); u64(0); u64(n.toLong); u64(n.toLong)
               u64(ibAddr); u32(0)
               padTo8()

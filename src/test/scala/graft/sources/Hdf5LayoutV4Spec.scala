@@ -29,10 +29,11 @@ class Hdf5LayoutV4Spec extends SparkSpec {
     Hdf5.read(bytes).datasets.find(_.name == "precip").get.data
 
   private def check(layoutV4: Int, unfiltered: Boolean = false,
-                    pageBits: Int = 10, timesteps: Int = nT): Unit = {
+                    pageBits: Int = 10, eaPageBits: Int = 10,
+                    timesteps: Int = nT): Unit = {
     val (dims, vs, data) = vars(timesteps)
     val v4 = Hdf5.write(dims, vs, layoutV4 = Some(layoutV4),
-      v4Unfiltered = unfiltered, v4PageBits = pageBits)
+      v4Unfiltered = unfiltered, v4PageBits = pageBits, eaPageBits = eaPageBits)
     assert(precipOf(v4).sameElements(data),
       s"v4 index $layoutV4 (unfiltered=$unfiltered, pageBits=$pageBits)")
     // same bytes through the v3 reference layout
@@ -95,6 +96,14 @@ class Hdf5LayoutV4Spec extends SparkSpec {
     // geometric data-block growth, and a partially-filled final block
     check(4, timesteps = 20)
     check(4, unfiltered = true, timesteps = 20)
+  }
+
+  test("extensible array: PAGED data blocks (page bits 2)") {
+    // with 2^2-element pages, the 8-element sblk3/sblk4 data blocks
+    // split into checksummed pages; 40 chunks covers paged + unpaged
+    // blocks in one walk
+    check(4, eaPageBits = 2, timesteps = 20)
+    check(4, unfiltered = true, eaPageBits = 2, timesteps = 20)
   }
 
   test("v2 B-tree chunk records, types 10 and 11") {
