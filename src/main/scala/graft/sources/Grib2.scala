@@ -37,10 +37,9 @@ import java.nio.ByteBuffer
   * number) which we surface as the VariableKey triple).
   *
   * Section-3 scanning-mode flags (octet 72) are parsed and normalized:
-  * +j (0x40, south→north rows) and -i (0x80, east→west) grids decode to
-  * the canonical north-up/west-east raster; the unsupported consecutive-
-  * j / boustrophedon orderings (0x20/0x10) fail loudly rather than
-  * silently mis-georeference.
+  * All 16 scanning-mode flag combinations — ±i (0x80), ±j (0x40),
+  * consecutive-j column-major (0x20) and boustrophedon alternating
+  * lines (0x10) — decode to the canonical north-up/west-east raster.
   *
   * Complex-packing stream layout (templates 7.2/7.3): each of the group
   * reference / width / length streams is byte-aligned; for 5.3 the data
@@ -201,7 +200,6 @@ object Grib2 {
     require(Set(0, 2, 3, 40, 41, 42, 200).contains(packing), s"unsupported packing $packing")
     require(j2kQuantShift.isEmpty || packing == 40,
       "j2kQuantShift only applies to JPEG2000 packing (40)")
-    require((scanMode & 0x30) == 0, "consecutive-j/boustrophedon not supported")
     val r = m.raster
     val reducedPl: Option[Seq[Int]] =
       m.proj.collect { case rg: ReducedGaussianGrid => rg.pl }
@@ -223,7 +221,7 @@ object Grib2 {
           jj += 1
         }
         out
-      case None => reorder(r.data, r.width, r.height, scanMode)
+      case None => toScanOrder(r.data, r.width, r.height, scanMode)
     }
     val valid = scanData.filter(!_.isNaN)
     require(valid.nonEmpty, "all-NaN grid")
@@ -648,20 +646,51 @@ object Grib2 {
     def align(): Unit = { acc = 0L; nb = 0 }
   }
 
-  /** Reorder a canonical north-up row-major grid into the given scan
-    * order (used by the writer; applying it twice is the identity, so
-    * the reader uses the same function to normalize back). */
-  private def reorder(data: Array[Float], w: Int, h: Int, scanMode: Int): Array[Float] = {
-    if (scanMode == 0) return data
+  /** Position of canonical pixel (row, col) — row 0 = north, col 0 =
+    * west — in the declared scan sequence. Handles all four flag bits
+    * of the GRIB2 scanning mode (table 3.4): 0x80 −i (east→west),
+    * 0x40 +j (south→north), 0x20 consecutive-j (column-major), 0x10
+    * boustrophedon (adjacent rows — or columns, under 0x20 — scan in
+    * opposite directions; the FIRST scan line uses the declared
+    * direction). */
+  private def scanIndex(row: Int, col: Int, w: Int, h: Int, mode: Int): Int = {
+    val rScan = if ((mode & 0x40) != 0) h - 1 - row else row
+    val cScan = if ((mode & 0x80) != 0) w - 1 - col else col
+    if ((mode & 0x20) == 0) {
+      val c = if ((mode & 0x10) != 0 && rScan % 2 == 1) w - 1 - cScan else cScan
+      rScan * w + c
+    } else {
+      val r = if ((mode & 0x10) != 0 && cScan % 2 == 1) h - 1 - rScan else rScan
+      cScan * h + r
+    }
+  }
+
+  /** Canonical north-up row-major grid → declared scan order (writer). */
+  private def toScanOrder(data: Array[Float], w: Int, h: Int, mode: Int): Array[Float] = {
+    if (mode == 0) return data
     val out = new Array[Float](data.length)
     var row = 0
     while (row < h) {
-      val srcRow = if ((scanMode & 0x40) != 0) h - 1 - row else row
-      var cx = 0
-      while (cx < w) {
-        val srcX = if ((scanMode & 0x80) != 0) w - 1 - cx else cx
-        out(row * w + cx) = data(srcRow * w + srcX)
-        cx += 1
+      var col = 0
+      while (col < w) {
+        out(scanIndex(row, col, w, h, mode)) = data(row * w + col)
+        col += 1
+      }
+      row += 1
+    }
+    out
+  }
+
+  /** Declared scan order → canonical north-up row-major grid (reader). */
+  private def fromScanOrder(data: Array[Float], w: Int, h: Int, mode: Int): Array[Float] = {
+    if (mode == 0) return data
+    val out = new Array[Float](data.length)
+    var row = 0
+    while (row < h) {
+      var col = 0
+      while (col < w) {
+        out(row * w + col) = data(scanIndex(row, col, w, h, mode))
+        col += 1
       }
       row += 1
     }
@@ -757,8 +786,6 @@ object Grib2 {
               val la2 = s32(o + 50) / 1e6; val lo2 = s32(o + 54) / 1e6
               px = u32(o + 58) / 1e6; py = u32(o + 62) / 1e6
               scanMode = bytes(o + 66) & 0xff
-              require((scanMode & 0x30) == 0,
-                f"unsupported scanning mode 0x$scanMode%02x (consecutive-j/boustrophedon)")
               // bounds from whichever corner is north/west, not from
               // assuming the first point is NW
               west = math.min(lo1, lo2) - px / 2
@@ -804,8 +831,6 @@ object Grib2 {
               } else { // regular F-grid
                 val lo2 = s32(o + 54) / 1e6
                 px = u32(o + 58) / 1e6 // Di
-                require((scanMode & 0x30) == 0,
-                  f"unsupported scanning mode 0x$scanMode%02x (consecutive-j/boustrophedon)")
                 west = math.min(lo1, lo2) - px / 2
                 // NOMINAL affine frame; exact latitudes via lonLatArrays
                 py = (glats(0) - glats(height - 1)) / (height - 1)
@@ -836,8 +861,6 @@ object Grib2 {
               val xp = u32(o + 50) / 1000.0 // sub-satellite pixel, grid lengths
               val yp = u32(o + 54) / 1000.0
               scanMode = bytes(o + 58) & 0xff
-              require((scanMode & 0x30) == 0,
-                f"unsupported scanning mode 0x$scanMode%02x (consecutive-j/boustrophedon)")
               require(u32(o + 59) == 0, "rotated space-view grids not supported")
               val nr = u32(o + 63) / 1e6 // camera altitude, earth radii FROM CENTER
               require(nr > 1.0, s"satellite distance $nr must exceed one earth radius")
@@ -875,8 +898,6 @@ object Grib2 {
               val lo1 = lonNorm(s32(o + 37) / 1e6)
               val lad = s32(o + 42) / 1e6
               scanMode = bytes(o + 54) & 0xff
-              require((scanMode & 0x30) == 0,
-                f"unsupported scanning mode 0x$scanMode%02x (consecutive-j/boustrophedon)")
               require(u32(o + 55) == 0,
                 "rotated Mercator (non-zero grid orientation) not supported")
               val dx = u32(o + 59) / 1000.0
@@ -916,8 +937,6 @@ object Grib2 {
               require((pcf & 0x80) == 0,
                 "south-pole-aspect projected grids not supported (projection centre flag bit 1)")
               scanMode = bytes(o + 59) & 0xff
-              require((scanMode & 0x30) == 0,
-                f"unsupported scanning mode 0x$scanMode%02x (consecutive-j/boustrophedon)")
               val (p, fwd) =
                 if (tmpl3 == 30) {
                   val latin1 = s32(o + 60) / 1e6
@@ -1085,7 +1104,7 @@ object Grib2 {
           s"thinned/quasi-regular grid ($nPts points for ${width}x$height) not supported")
         // normalize scan order to canonical north-up/west-east
         if (scanMode != 0) {
-          data = reorder(data, width, height, scanMode)
+          data = fromScanOrder(data, width, height, scanMode)
           if (bitmap != null) { /* bitmap already applied into data */ }
         }
     }

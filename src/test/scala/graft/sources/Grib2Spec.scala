@@ -667,9 +667,13 @@ class Grib2Spec extends SparkSpec {
     assert(bytes.length < Grib2.write(m, packing = 0).length)
   }
 
-  test("+j and -i scanning modes normalize back to north-up/west-east") {
+  test("all 16 scanning-mode flag combinations normalize back to north-up/west-east") {
     val m = sampleMessage
-    for (scan <- Seq(0x40, 0x80, 0xC0); packing <- Seq(0, 2)) {
+    // ±i (0x80), ±j (0x40), consecutive-j column-major (0x20) and
+    // boustrophedon alternating lines (0x10), in every combination —
+    // the 6×8 grid is non-square, so a wrong column-major transpose
+    // or a mis-phased alternation cannot cancel out
+    for (scan <- (0 until 16).map(_ << 4); packing <- Seq(0, 2)) {
       val back = Grib2.read(Grib2.write(m, packing = packing, scanMode = scan))
       assert(back.raster.west == m.raster.west &&
         back.raster.north == m.raster.north, s"bounds wrong for scan=$scan")
@@ -680,17 +684,6 @@ class Grib2Spec extends SparkSpec {
     }
   }
 
-  test("unsupported scanning modes fail loudly, not silently mis-georeference") {
-    val m = sampleMessage
-    intercept[IllegalArgumentException] {
-      Grib2.write(m, scanMode = 0x20)
-    }
-    // hand-corrupt the scanning octet of a valid message to 0x20:
-    // section 3 starts at byte 16+21; octet 72 of it = 16+21+71
-    val bytes = Grib2.write(m)
-    bytes(16 + 21 + 71) = 0x20.toByte
-    intercept[IllegalArgumentException] { Grib2.read(bytes) }
-  }
 
   test("negative first-point latitudes survive sign-magnitude encoding") {
     val m = sampleMessage.copy(raster = sampleMessage.raster.copy(
