@@ -10,7 +10,10 @@ import java.nio.ByteBuffer
   * detection, rectilinear AND curvilinear grids, CRS detection,
   * _FillValue→NaN). Written from the public NetCDF classic format
   * specification (magic `CDF\x01|\x02|\x05`, big-endian headers + contiguous
-  * aligned data).
+  * aligned data). Record (unlimited) dimensions decode: numrecs-long
+  * first dims with per-record slabs interleaved at the recsize stride,
+  * including the lone-record-variable unpadded special case — the
+  * dominant CF time-series layout.
   *
   * Spatial dimensions are recognized by the reference's name sets
   * (netcdf.py:276-277): y ∈ {latitude, lat, y}, x ∈ {longitude, lon, x},
@@ -172,10 +175,25 @@ object NetCdf {
     * `version`: 1 (CDF-1), 2 (CDF-2, 64-bit begin offsets) or 5
     * (CDF-5, 64-bit counts/sizes too) — same field-width rules as the
     * reader, so specs round-trip every classic variant. */
+  /** `unlimited`: name of the record dimension (its size in `dims` is
+    * the record COUNT; the header stores 0 and numrecs carries the
+    * count). Record variables — those whose first dim is `unlimited` —
+    * store per-record slabs interleaved record-by-record, padded to 4
+    * bytes unless there is exactly one record variable (the spec's
+    * special case). */
   def write(dims: Seq[(String, Int)], variables: Seq[Variable],
             gattrs: Seq[(String, String)] = Nil,
-            version: Int = 1): Array[Byte] = {
+            version: Int = 1, unlimited: Option[String] = None): Array[Byte] = {
     require(version == 1 || version == 2 || version == 5, s"bad CDF version $version")
+    val nRecs = unlimited.map(u => dims.find(_._1 == u)
+      .getOrElse(sys.error(s"unlimited dim '$u' not in dims"))._2).getOrElse(0)
+    def isRecV(v: Variable): Boolean = unlimited.exists(v.dims.headOption.contains(_))
+    variables.foreach(v => require(!unlimited.exists(v.dims.drop(1).contains(_)),
+      s"variable '${v.name}': the unlimited dimension may only be first"))
+    val recVars = variables.filter(isRecV)
+    val singleRec = recVars.size == 1
+    recVars.foreach(v => require(nRecs > 0 && v.data.length % nRecs == 0,
+      s"variable '${v.name}': data length not a multiple of $nRecs records"))
     val nnW = if (version == 5) 8 else 4   // NON_NEG width
     val offW = if (version == 1) 4 else 8  // OFFSET width
     val out = new java.io.ByteArrayOutputStream()
@@ -206,10 +224,11 @@ object NetCdf {
     // ZERO ZERO / ZERO ZERO64 — NOT two NON_NEG zeros)
     def absent(): Unit = { u32(0); nonNeg(0L) }
     out.write("CDF".getBytes); out.write(version) // magic + version
-    nonNeg(0L) // numrecs
-    // dim_list
+    nonNeg(nRecs.toLong) // numrecs
+    // dim_list (the unlimited dim stores size 0)
     u32(NC_DIMENSION); nonNeg(dims.size.toLong)
-    dims.foreach { case (n, sz) => name(n); nonNeg(sz.toLong) }
+    dims.foreach { case (n, sz) =>
+      name(n); nonNeg(if (unlimited.contains(n)) 0L else sz.toLong) }
     // global attributes
     if (gattrs.isEmpty) absent()
     else {
@@ -230,8 +249,12 @@ object NetCdf {
       nameSz("_FillValue") + 4 + nnW + es + pad4(es)
     }
     def vsizeOf(v: Variable) = {
-      val raw = v.data.length * esOf(v.ncType)
-      raw + pad4(raw) // data slabs pad to 4-byte alignment
+      val raw =
+        if (isRecV(v)) (v.data.length / nRecs) * esOf(v.ncType) // ONE record
+        else v.data.length * esOf(v.ncType)
+      // slabs pad to 4-byte alignment — except a lone record variable,
+      // whose records are contiguous and unpadded (spec special case)
+      if (isRecV(v) && singleRec) raw else raw + pad4(raw)
     }
     def varHeaderSize(v: Variable): Int = {
       nameSz(v.name) + nnW + nnW * v.dims.size +
@@ -253,12 +276,18 @@ object NetCdf {
         u32((bits >>> 32).toInt); u32(bits.toInt)
     }
     val fixed = out.size() + 4 + nnW + variables.map(varHeaderSize).sum
+    // fixed variables lay out first; record variables' begins point at
+    // their slot inside record 0, after which records repeat every
+    // recsize = sum of record vsizes
     var begin = fixed
-    val begins = variables.map { v =>
-      val b = begin
-      begin += vsizeOf(v)
-      b
+    val beginByName = scala.collection.mutable.Map[String, Long]()
+    variables.filterNot(isRecV).foreach { v =>
+      beginByName(v.name) = begin.toLong; begin += vsizeOf(v)
     }
+    recVars.foreach { v =>
+      beginByName(v.name) = begin.toLong; begin += vsizeOf(v)
+    }
+    val begins = variables.map(v => beginByName(v.name))
     u32(NC_VARIABLE); nonNeg(variables.size.toLong)
     for ((v, b) <- variables.zip(begins)) {
       name(v.name)
@@ -279,13 +308,19 @@ object NetCdf {
         v.attrs.foreach { case (n, s) => charAttr(n, s) }
       }
       u32(v.ncType)
-      nonNeg(vsizeOf(v).toLong) // vsize (padded)
-      offsetF(b.toLong) // begin
+      nonNeg(vsizeOf(v).toLong) // vsize (padded; one record for record vars)
+      offsetF(b) // begin
     }
     require(out.size() == fixed, s"header layout mismatch ${out.size()} vs $fixed")
-    variables.foreach { v =>
+    variables.filterNot(isRecV).foreach { v =>
       v.data.foreach(f => typedValue(v.ncType, f.toDouble))
       (0 until pad4(v.data.length * esOf(v.ncType))).foreach(_ => out.write(0))
+    }
+    // records interleave: record r = every record variable's r-th slab
+    for (r <- 0 until nRecs; v <- recVars) {
+      val perRec = v.data.length / nRecs
+      (r * perRec until (r + 1) * perRec).foreach(i => typedValue(v.ncType, v.data(i).toDouble))
+      if (!singleRec) (0 until pad4(perRec * esOf(v.ncType))).foreach(_ => out.write(0))
     }
     out.toByteArray
   }
@@ -385,27 +420,53 @@ object NetCdf {
       val begin = offsetF()
       (vn, vdims, typ, fill, strAttrs, numAttrs, vsize, begin)
     }
+    // Record (unlimited-dimension) layout: the unlimited dim is stored
+    // with size 0 and its effective length is numrecs; variables whose
+    // FIRST dim is unlimited store one per-record slab of `vsize`
+    // bytes each, all record variables interleaved per record —
+    // record r of a variable lives at begin + r·recsize where recsize
+    // is the sum of every record variable's vsize (with exactly one
+    // record variable, its declared vsize is already the unpadded
+    // record, per the spec's special case — the header value is
+    // authoritative either way).
+    def sizeOf(d: String): Int = dims.find(_._1 == d).get._2
+    def isRecordVar(vdims: Seq[String]): Boolean =
+      vdims.headOption.exists(sizeOf(_) == 0)
+    require(numrecs <= Int.MaxValue, s"implausible record count $numrecs")
+    val nRecs = numrecs.toInt
+    val recSize = metas.collect {
+      case m if isRecordVar(m._2) =>
+        require(m._7 != 0xffffffffL,
+          s"variable '${m._1}': vsize overflow marker (>4 GiB records) not supported")
+        m._7
+    }.sum
     val variables = metas.map { case (vn, vdims, typ, fillRaw, strAttrs, numAttrs, vsize, begin) =>
-      // overflow-safe form: begin + vsize near Long.MaxValue must not
-      // wrap negative and slip past the guard (the diagnostic, not a
-      // raw BufferUnderflow downstream, is the dead-letter reason)
-      require(begin >= 0 && vsize >= 0 && begin <= bytes.length &&
-          vsize <= bytes.length - begin,
-        s"variable '$vn' data [$begin, +$vsize) outside the file " +
-          s"(${bytes.length} bytes; offsets beyond 2 GiB need a chunked reader)")
       val es = elemSize(typ)
-      require(vdims.forall(d => dims.find(_._1 == d).get._2 > 0),
-        s"variable '$vn' uses an unlimited (record) dimension — record " +
-          "variables not supported")
-      val nElL = vdims.map(d => dims.find(_._1 == d).get._2.toLong).product
+      val isRec = isRecordVar(vdims)
+      require(vdims.drop(if (isRec) 1 else 0).forall(sizeOf(_) > 0),
+        s"variable '$vn': the unlimited (record) dimension may only be the first")
+      // overflow-safe bounds: the last byte this variable can touch
+      // (the diagnostic, not a raw BufferUnderflow downstream, is the
+      // dead-letter reason)
+      val span = if (isRec && nRecs > 0) (nRecs - 1).toLong * recSize + vsize
+                 else if (isRec) 0L else vsize
+      require(begin >= 0 && vsize >= 0 && recSize >= 0 && span >= 0 &&
+          begin <= bytes.length && span <= bytes.length - begin,
+        s"variable '$vn' data [$begin, +$span) outside the file " +
+          s"(${bytes.length} bytes; offsets beyond 2 GiB need a chunked reader)")
+      val shape = vdims.map(d => { val sz = sizeOf(d); if (sz == 0) nRecs else sz })
+      val nElL = shape.map(_.toLong).product
       // validate the Long product BEFORE narrowing: a corrupt header
       // whose dim product wraps past Int.MaxValue must dead-letter, not
       // sneak a small wrapped count past the vsize bound below
       require(nElL >= 0 && nElL <= Int.MaxValue / es,
         s"variable '$vn': implausible element count $nElL (corrupt dims?)")
       val nEl = nElL.toInt
-      require(nEl.toLong * es <= vsize,
-        s"variable '$vn': $nEl elements of $es bytes exceed vsize $vsize")
+      // elements that must fit one contiguous slab: a whole record for
+      // record variables, the whole variable otherwise
+      val perSlab = if (isRec) shape.drop(1).map(_.toLong).product.toInt else nEl
+      require(perSlab.toLong * es <= (if (isRec) vsize else vsize),
+        s"variable '$vn': $perSlab elements of $es bytes exceed vsize $vsize")
       // CF packing (the ERA5-style layout): values = raw·scale + offset
       // with the fill sentinel compared RAW and NaN'd BEFORE scaling.
       // Without packing attrs this is the identity and the raw fill is
@@ -417,26 +478,32 @@ object NetCdf {
       val offs = numAttrs.getOrElse("add_offset", 0.0)
       val packed = scale != 1.0 || offs != 0.0
       val data = new Array[Float](nEl)
-      bb.position(begin.toInt)
-      if (typ == NC_FLOAT && !packed) {
-        // the dominant ingest case keeps its tight loop — no per-element
-        // type dispatch or Double round-trip on the hot path
-        val b0 = begin.toInt
-        var i = 0
-        while (i < nEl) { data(i) = bb.getFloat(b0 + i * 4); i += 1 }
-      } else {
-        val fillD = fillRaw.getOrElse(Double.NaN)
-        val hasFill = fillRaw.isDefined
-        var i = 0
-        while (i < nEl) {
-          val raw = numValue(typ)
-          data(i) =
-            if (packed) {
-              if (hasFill && fillD == raw) Float.NaN
-              else (raw * scale + offs).toFloat
-            } else raw.toFloat
-          i += 1
+      val nSlabs = if (isRec) nRecs else 1
+      var slab = 0
+      var di = 0
+      while (slab < nSlabs) {
+        val b0 = (begin + slab.toLong * (if (isRec) recSize else 0L)).toInt
+        if (typ == NC_FLOAT && !packed) {
+          // the dominant ingest case keeps its tight loop — no
+          // per-element type dispatch or Double round-trip
+          var i = 0
+          while (i < perSlab) { data(di) = bb.getFloat(b0 + i * 4); i += 1; di += 1 }
+        } else {
+          bb.position(b0)
+          val fillD = fillRaw.getOrElse(Double.NaN)
+          val hasFill = fillRaw.isDefined
+          var i = 0
+          while (i < perSlab) {
+            val raw = numValue(typ)
+            data(di) =
+              if (packed) {
+                if (hasFill && fillD == raw) Float.NaN
+                else (raw * scale + offs).toFloat
+              } else raw.toFloat
+            i += 1; di += 1
+          }
         }
+        slab += 1
       }
       // Closure under write∘read: once unpacked, the Variable IS float
       // data — drop the packing attrs and declare NC_FLOAT, or a
@@ -448,6 +515,10 @@ object NetCdf {
         if (packed) numAttrs - "scale_factor" - "add_offset" else numAttrs,
         ncType = if (packed) NC_FLOAT else typ)
     }
-    File(dims, variables, gattrs)
+    // present the unlimited dimension at its EFFECTIVE length — every
+    // consumer (and a write∘read round trip, which re-emits it as a
+    // fixed dim of identical data) sees real shapes, never the stored 0
+    File(dims.map { case (n, sz) => (n, if (sz == 0) nRecs else sz) },
+      variables, gattrs)
   }
 }

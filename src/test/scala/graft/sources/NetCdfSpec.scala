@@ -235,4 +235,58 @@ class NetCdfSpec extends SparkSpec {
     assert(rows((1, 2)) == (20.25, 41.0))
     val _ = col("y")
   }
+  test("record (unlimited time) dimension: interleaved records round-trip") {
+    // the dominant CF time-series shape: time is UNLIMITED, the data
+    // variable's records interleave with a second record variable so
+    // the per-record padding + recsize stride both matter
+    val w = 6; val h = 4; val nT = 5
+    val lat = Array(75f, 45f, 15f, -15f)
+    val lon = Array(-150f, -90f, -30f, 30f, 90f, 150f)
+    val times = Array.tabulate(nT)(_ * 24f)
+    val data = Array.tabulate(nT * h * w)(i => if (i % 17 == 0) -9999f else i * 0.5f)
+    for (version <- Seq(1, 2, 5)) {
+      val bytes = NetCdf.write(
+        Seq("time" -> nT, "lat" -> h, "lon" -> w),
+        Seq(
+          NetCdf.Variable("lat", Seq("lat"), lat, None),
+          NetCdf.Variable("lon", Seq("lon"), lon, None),
+          NetCdf.Variable("time", Seq("time"), times, None), // record var #2
+          NetCdf.Variable("precip", Seq("time", "lat", "lon"), data, Some(-9999f))),
+        version = version, unlimited = Some("time"))
+      val f = NetCdf.read(bytes)
+      assert(f.dims == Seq("time" -> nT, "lat" -> h, "lon" -> w), s"v$version dims")
+      assert(f.vars.find(_.name == "time").get.data.sameElements(times), s"v$version time")
+      assert(f.vars.find(_.name == "precip").get.data.sameElements(data), s"v$version data")
+      // and the rasters explode per record exactly like the fixed form
+      assert(f.rasters("precip").size == nT)
+    }
+  }
+
+  test("record dimension: the lone-record-variable unpadded special case") {
+    // with exactly ONE record variable the spec stores records
+    // contiguously UNPADDED; a 1-byte element type with a non-multiple
+    // -of-4 record size catches any wrong padding immediately
+    val w = 3; val nT = 4
+    val xs = Array(0f, 10f, 20f)
+    val data = Array.tabulate(nT * w)(i => (i % 120).toFloat)
+    val bytes = NetCdf.write(
+      Seq("time" -> nT, "x" -> w),
+      Seq(
+        NetCdf.Variable("x", Seq("x"), xs, None),
+        NetCdf.Variable("v", Seq("time", "x"), data, None, ncType = 1)), // NC_BYTE
+      unlimited = Some("time"))
+    val f = NetCdf.read(bytes)
+    assert(f.vars.find(_.name == "v").get.data.sameElements(data))
+  }
+
+  test("record variables with the unlimited dim not first fail loudly") {
+    val e = intercept[IllegalArgumentException] {
+      NetCdf.write(
+        Seq("time" -> 2, "x" -> 3),
+        Seq(NetCdf.Variable("v", Seq("x", "time"), new Array[Float](6), None)),
+        unlimited = Some("time"))
+    }
+    assert(e.getMessage.contains("only be first"))
+  }
+
 }
