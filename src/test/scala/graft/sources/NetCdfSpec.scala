@@ -127,6 +127,36 @@ class NetCdfSpec extends SparkSpec {
     assert(t2.toString == "2024-01-01 02:00:00.0")
   }
 
+  test("record-dimension files ingest through the chipper like fixed ones") {
+    // the SAME data as sampleFile but laid out as records (unlimited
+    // time): the production ingest path must see identical pixels
+    val w = 6; val h = 4; val nT = 3
+    val lat = Array(75f, 45f, 15f, -15f)
+    val lon = Array(-150f, -90f, -30f, 30f, 90f, 150f)
+    val data = Array.tabulate(nT * h * w)(i => if (i % 17 == 0) -9999f else i * 0.5f)
+    val rec = NetCdf.write(
+      Seq("time" -> nT, "lat" -> h, "lon" -> w),
+      Seq(
+        NetCdf.Variable("lat", Seq("lat"), lat, None),
+        NetCdf.Variable("lon", Seq("lon"), lon, None),
+        NetCdf.Variable("precip", Seq("time", "lat", "lon"), data, Some(-9999f))),
+      unlimited = Some("time"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ncrec-").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/precip_20240101.nc"), rec)
+    val df = Formats.ingestDir(spark, dir)
+    val dirFixed = java.nio.file.Files.createTempDirectory("graft-ncfix-").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dirFixed/precip_20240101.nc"), sampleFile)
+    val fixed = Formats.ingestDir(spark, dirFixed)
+    assert(df.count() == fixed.count())
+    val a = df.select("step", "y", "x", "v").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3))).toSet
+    val b = fixed.select("step", "y", "x", "v").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(a == b, "record and fixed layouts must ingest identical pixels")
+  }
+
   test("multi-timestep variable explodes to north-up rasters with NaN fill") {
     val f = NetCdf.read(sampleFile)
     val rs = f.rasters("precip")
