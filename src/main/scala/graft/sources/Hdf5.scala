@@ -17,7 +17,8 @@ import java.nio.{ByteBuffer, ByteOrder}
   *    name-index B-tree v2) — the layout netcdf-c switches to above 8
   *    links, i.e. every wide NetCDF-4 file; direct-root heaps,
   *    indirect blocks NESTED to any depth (thousands-of-links files),
-  *    and multi-level name-index B-trees covered; filtered heaps and
+  *    and multi-level name-index B-trees covered; FILTERED heaps
+  *    (direct blocks behind the heap's own deflate pipeline) decode;
   *    huge/tiny heap IDs fail loudly
   *  - dataspace v1/v2, datatype classes: fixed-point, IEEE float,
   *    string, reference, vlen
@@ -214,13 +215,22 @@ object Hdf5 {
       s"expected FRHP at $fhAddr")
     val heapIdLen = bb.getShort(h + 5) & 0xffff
     val ioFilterLen = bb.getShort(h + 7) & 0xffff
-    require(ioFilterLen == 0, "filtered fractal heaps not supported")
     val tableWidth = bb.getShort(h + 110) & 0xffff
     val startSize = bb.getLong(h + 112)
     val maxDirect = bb.getLong(h + 120)
     val maxHeapBits = bb.getShort(h + 128) & 0xffff
     val rootAddr = bb.getLong(h + 132)
     val curRows = bb.getShort(h + 140) & 0xffff
+    // FILTERED heap (ioFilterLen > 0): direct blocks are stored behind
+    // the heap's own filter pipeline (whole block filtered); the FRHP
+    // gains the filtered ROOT direct block's size + mask, and indirect-
+    // block entries for direct children gain (size, mask) after the
+    // address. Filters decode through the shared pipeline kernel.
+    val filtered = ioFilterLen > 0
+    val (rootFilteredSize, rootFilterMask, heapFilters) =
+      if (!filtered) (0L, 0, Seq.empty[Int])
+      else (bb.getLong(h + 142), bb.getInt(h + 150),
+        parseFilterPipeline(bb, bytes, h + 154))
     val offSize = (maxHeapBits + 7) / 8
     require(heapIdLen > offSize, s"heap ID length $heapIdLen too small for $offSize-byte offsets")
     // doubling table: rows 0 and 1 hold start-size blocks, row r ≥ 2
@@ -232,20 +242,36 @@ object Hdf5 {
       while (i < n) { v |= (bytes(at + i) & 0xffL) << (8 * i); i += 1 }
       v
     }
-    def expectSig(a: Int, sig: String): Unit =
-      require((0 until 4).forall(i => bytes(a + i) == sig.charAt(i).toByte),
-        s"expected $sig at file offset $a")
-    // physical offset of the object at logical heap offset `ho`.
-    // Indirect blocks nest: rows below maxDirectRows point at direct
-    // blocks; rows at/above it point at CHILD indirect blocks, each
-    // spanning rowSize(r) bytes with its own doubling table that
+    def expectSig(b: Array[Byte], a: Int, sig: String): Unit =
+      require((0 until 4).forall(i => b(a + i) == sig.charAt(i).toByte),
+        s"expected $sig at offset $a")
+    // one defiltered direct block per address (several links usually
+    // share a block — decompress once)
+    val blockCache = new java.util.HashMap[Long, Array[Byte]]()
+    def directBlock(addr: Long, filteredSize: Long, mask: Int): Array[Byte] = {
+      var buf = blockCache.get(addr)
+      if (buf == null) {
+        val a = off(addr, bytes)
+        buf =
+          if (!filtered) bytes
+          else defilter(java.util.Arrays.copyOfRange(bytes, a, a + filteredSize.toInt),
+            heapFilters, mask, 1)
+        if (filtered) expectSig(buf, 0, "FHDB")
+        blockCache.put(addr, buf)
+      }
+      buf
+    }
+    // physical (buffer, offset) of the object at logical heap offset
+    // `ho`. Indirect blocks nest: rows below maxDirectRows point at
+    // direct blocks; rows at/above it point at CHILD indirect blocks,
+    // each spanning rowSize(r) bytes with its own doubling table that
     // restarts at startSize — so the walk recurses with the offset
     // made relative to the child's span (the layout netcdf-c reaches
     // past ~32 KiB of link messages under default heap parameters,
     // i.e. thousands-of-variables files).
-    def resolveIn(ibAddr: Long, base: Long, ho: Long, depth: Int): Int = {
+    def resolveIn(ibAddr: Long, base: Long, ho: Long, depth: Int): (Array[Byte], Int) = {
       require(depth < 16, s"implausible fractal-heap nesting at offset $ho (corrupt heap?)")
-      val ib = off(ibAddr, bytes); expectSig(ib, "FHIB")
+      val ib = off(ibAddr, bytes); expectSig(bytes, ib, "FHIB")
       val entries = ib + 13 + offSize // sig, version, heap-header addr, block offset
       val rel = ho - base
       var r = 0
@@ -255,15 +281,31 @@ object Hdf5 {
       }
       val c = ((rel - rowStart) / rowSize(r)).toInt
       val childBase = base + rowStart + c.toLong * rowSize(r)
-      val child = bb.getLong(entries + (r * tableWidth + c) * 8)
+      // entry widths: direct-child rows carry addr(8) [+ size(8) +
+      // mask(4) when filtered]; indirect-child rows carry addr(8) only
+      val dirW = if (filtered) 20 else 8
       if (r < maxDirectRows) {
-        val cb = off(child, bytes); expectSig(cb, "FHDB")
-        cb + (ho - childBase).toInt
-      } else resolveIn(child, childBase, ho, depth + 1)
+        val at = entries + (r * tableWidth + c) * dirW
+        val child = bb.getLong(at)
+        val (fSz, fMask) =
+          if (filtered) (bb.getLong(at + 8), bb.getInt(at + 16)) else (0L, 0)
+        val buf = directBlock(child, fSz, fMask)
+        val cb = if (filtered) 0 else off(child, bytes)
+        expectSig(buf, cb, "FHDB")
+        (buf, cb + (ho - childBase).toInt)
+      } else {
+        val directCells = maxDirectRows.toInt * tableWidth
+        val at = entries + directCells * dirW +
+          ((r - maxDirectRows.toInt) * tableWidth + c) * 8
+        resolveIn(bb.getLong(at), childBase, ho, depth + 1)
+      }
     }
-    def resolve(ho: Long): Int =
+    def resolve(ho: Long): (Array[Byte], Int) =
       if (curRows == 0) { // root IS a direct block at logical offset 0
-        val a = off(rootAddr, bytes); expectSig(a, "FHDB"); a + ho.toInt
+        val buf = directBlock(rootAddr, rootFilteredSize, rootFilterMask)
+        val a = if (filtered) 0 else off(rootAddr, bytes)
+        expectSig(buf, a, "FHDB")
+        (buf, a + ho.toInt)
       } else resolveIn(rootAddr, 0L, ho, 0)
     // B-tree v2 name index: walk the records at every level; hashes
     // are not consulted (listing is order-independent), only the
@@ -273,7 +315,9 @@ object Hdf5 {
       val idFlags = bytes(idAt) & 0xff
       require((idFlags & 0x30) == 0,
         s"non-managed fractal-heap object (type ${(idFlags >> 4) & 3}) not supported")
-      links += parseLink(bb, bytes, resolve(unsignedLE(idAt + 1, offSize)))
+      val (buf, o) = resolve(unsignedLE(idAt + 1, offSize))
+      links += parseLink(
+        ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN), buf, o)
     }
   }
 
@@ -582,17 +626,7 @@ object Hdf5 {
           case (_, c) => throw new IllegalArgumentException(s"unsupported layout class $c")
         }
       case (0x0B, off) =>
-        val ver = bytes(off) & 0xff
-        val nf = bytes(off + 1) & 0xff
-        var p = off + (if (ver == 1) 8 else 2)
-        filters = (0 until nf).map { _ =>
-          val id = bb.getShort(p) & 0xffff
-          val nameLen = if (ver == 1 || id >= 256) bb.getShort(p + 2) & 0xffff else 0
-          val nClient = bb.getShort(p + 6) & 0xffff
-          p += 8 + (if (ver == 1) ((nameLen + 7) / 8) * 8 else nameLen) + 4 * nClient
-          if (ver == 1 && nClient % 2 == 1) p += 4
-          id
-        }
+        filters = parseFilterPipeline(bb, bytes, off)
       case (0x0C, off) => readAttr(bb, bytes, off).foreach(attrs += _)
       case _ =>
     }
@@ -661,6 +695,23 @@ object Hdf5 {
           filters, mask, elemSize)
         scatter(chunk, offs, dims, chunkDims, elemSize, out)
       }
+    }
+  }
+
+  /** Parse a Filter Pipeline message (v1/v2) body into filter ids —
+    * shared by the dataset 0x0B message and the fractal-heap I/O
+    * filter info. */
+  private def parseFilterPipeline(bb: ByteBuffer, bytes: Array[Byte], off: Int): Seq[Int] = {
+    val ver = bytes(off) & 0xff
+    val nf = bytes(off + 1) & 0xff
+    var p = off + (if (ver == 1) 8 else 2)
+    (0 until nf).map { _ =>
+      val id = bb.getShort(p) & 0xffff
+      val nameLen = if (ver == 1 || id >= 256) bb.getShort(p + 2) & 0xffff else 0
+      val nClient = bb.getShort(p + 6) & 0xffff
+      p += 8 + (if (ver == 1) ((nameLen + 7) / 8) * 8 else nameLen) + 4 * nClient
+      if (ver == 1 && nClient % 2 == 1) p += 4
+      id
     }
   }
 
@@ -1071,9 +1122,11 @@ object Hdf5 {
             shuffle: Boolean = false, denseRoot: Boolean = false,
             fletcher: Boolean = false, layoutV4: Option[Int] = None,
             v4Unfiltered: Boolean = false, v4PageBits: Int = 10,
-            eaPageBits: Int = 10, subgroup: Option[String] = None): Array[Byte] = {
+            eaPageBits: Int = 10, subgroup: Option[String] = None,
+            filteredHeap: Boolean = false): Array[Byte] = {
     require(subgroup.isEmpty || !denseRoot,
       "fixture writer: subgroup + denseRoot not combined")
+    require(!filteredHeap || denseRoot, "filteredHeap applies to dense roots")
     val out = new java.io.ByteArrayOutputStream()
     def pos = out.size
     def u8(v: Int): Unit = out.write(v & 0xff)
@@ -1591,15 +1644,54 @@ object Hdf5 {
       padTo8()
 
       // layout: [direct blocks][FHIB?][FRHP][BTLF][BTHD][root OH] —
-      // sizes are deterministic, so every forward address is computed
-      // here and asserted at write time
+      // sizes are deterministic (filtered blocks pre-compress below),
+      // so every forward address is computed here and asserted
       def align8(v: Long) = (v + 7) & ~7L
       val base = pos.toLong
-      val blockAddrs = blocks.scanLeft(base)((a, b) => a + b.size).init
-      var at = align8(base + blocks.map(_.size).sum)
+      // filtered heaps compress each WHOLE direct block (header + data)
+      // up front so layout addresses are known; the per-block filtered
+      // sizes flow into the FHIB entries / FRHP root fields
+      val frhpAddrSlot = new Array[Long](1) // patched into block headers
+      def fhdbBytes(b: Blk): Array[Byte] = {
+        val buf = ByteBuffer.allocate(b.size.toInt).order(ByteOrder.LITTLE_ENDIAN)
+        buf.put('F'.toByte).put('H'.toByte).put('D'.toByte).put('B'.toByte)
+        buf.put(0.toByte)
+        buf.putLong(frhpAddrSlot(0))
+        buf.putInt(b.logical.toInt) // block offset, offSize bytes
+        for ((lo, body) <- b.objs) { buf.position((lo - b.logical).toInt); buf.put(body) }
+        buf.array()
+      }
+      def deflateAll(bs: Array[Byte]): Array[Byte] = {
+        val d = new java.util.zip.Deflater()
+        d.setInput(bs); d.finish()
+        val out0 = new Array[Byte](bs.length + 64)
+        val n0 = d.deflate(out0); d.end()
+        java.util.Arrays.copyOf(out0, n0)
+      }
+      // NOTE: the FRHP address is referenced inside each block header,
+      // and compressed sizes depend on content — resolve the circle by
+      // computing sizes with a placeholder FRHP address of 0, then
+      // compressing FINAL content once addresses are fixed. To keep
+      // compressed sizes stable, the reader never checks the embedded
+      // heap-header address, so the placeholder simply stays 0 in
+      // filtered fixtures.
+      val filteredBlocks: Seq[Array[Byte]] =
+        if (filteredHeap) blocks.toSeq.map(b => deflateAll(fhdbBytes(b))) else Nil
+      def storedSize(i: Int): Long =
+        if (filteredHeap) filteredBlocks(i).length.toLong else blocks(i).size
+      val blockAddrs = blocks.indices.scanLeft(base)((a, i) => a + storedSize(i)).init
+      var at = align8(base + blocks.indices.map(storedSize).sum)
       val fhibAddr = at
-      if (!singleDirect) at = align8(at + 13 + offSize + nRows * width * 8L + 4)
-      val frhpAddr = at; at = align8(at + 146)
+      val dirEntryW = if (filteredHeap) 20 else 8
+      if (!singleDirect) at = align8(at + 13 + offSize + nRows * width * dirEntryW.toLong + 4)
+      val pipelineMsg: Array[Byte] =
+        if (!filteredHeap) Array.emptyByteArray
+        else bodyBuf({ b2 =>
+          b2.put(2.toByte).put(1.toByte) // v2, one filter
+          b2.putShort(1).putShort(0).putShort(1).putInt(6) // deflate, 1 cval, level 6
+        }, 12)
+      val frhpAddr = at
+      at = align8(at + 146 + (if (filteredHeap) 12 + pipelineMsg.length else 0))
       val recordSize = 4 + heapIdLen
       // leaf partitioning: past one leaf's capacity the index becomes a
       // depth-1 tree — k leaves in record order with k-1 separator
@@ -1630,29 +1722,29 @@ object Hdf5 {
         leafChunks.size * 9L + 4) // child ptr: addr(8) + nrec(1)
       val bthdAddr = at
 
-      for ((b, ai) <- blocks.zip(blockAddrs)) {
+      frhpAddrSlot(0) = if (filteredHeap) 0L else frhpAddr
+      for ((i, ai) <- blocks.indices.zip(blockAddrs)) {
         require(pos.toLong == ai, s"direct-block layout drift at $ai")
-        val buf = ByteBuffer.allocate(b.size.toInt).order(ByteOrder.LITTLE_ENDIAN)
-        buf.put('F'.toByte).put('H'.toByte).put('D'.toByte).put('B'.toByte)
-        buf.put(0.toByte)
-        buf.putLong(frhpAddr)
-        buf.putInt(b.logical.toInt) // block offset, offSize bytes
-        for ((lo, body) <- b.objs) { buf.position((lo - b.logical).toInt); buf.put(body) }
-        raw(buf.array())
+        if (filteredHeap) raw(filteredBlocks(i))
+        else raw(fhdbBytes(blocks(i)))
       }
       padTo8()
       if (!singleDirect) {
         require(pos.toLong == fhibAddr, "FHIB layout drift")
         raw("FHIB".getBytes); u8(0); u64(frhpAddr); u32(0) // root block offset = 0
-        for (r <- 0 until nRows; c <- 0 until width)
-          u64(blocks.find(b => b.row == r && b.col == c)
-            .map(b => blockAddrs(blocks.indexOf(b))).getOrElse(Undef))
+        for (r <- 0 until nRows; c <- 0 until width) {
+          val bi = blocks.indexWhere(b => b.row == r && b.col == c)
+          u64(if (bi >= 0) blockAddrs(bi) else Undef)
+          if (filteredHeap) { // direct entries gain (size, mask)
+            u64(if (bi >= 0) storedSize(bi) else 0L); u32(0)
+          }
+        }
         u32(0) // checksum (unread)
         padTo8()
       }
       require(pos.toLong == frhpAddr, "FRHP layout drift")
       raw("FRHP".getBytes); u8(0)
-      u16(heapIdLen); u16(0) // ID length, no I/O filters
+      u16(heapIdLen); u16(if (filteredHeap) pipelineMsg.length else 0)
       u8(0) // flags: no checksummed blocks
       u32(maxDirectBlk) // max managed object size
       u64(0); u64(Undef) // next huge ID, huge B-tree v2
@@ -1666,6 +1758,11 @@ object Hdf5 {
       u16(1) // starting rows in root indirect block
       u64(if (singleDirect) blockAddrs.head else fhibAddr)
       u16(if (singleDirect) 0 else nRows)
+      if (filteredHeap) { // filtered root direct block size + mask + pipeline
+        u64(if (singleDirect) storedSize(0) else 0L)
+        u32(0)
+        raw(pipelineMsg)
+      }
       u32(0) // checksum (unread)
       padTo8()
       def record(lo: Long, len: Int): Unit = {

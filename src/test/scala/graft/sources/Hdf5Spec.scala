@@ -320,6 +320,40 @@ class Hdf5Spec extends SparkSpec {
         .sameElements(Array.tabulate(12)(j => (i * 100 + j).toFloat)), s"v$i data")
   }
 
+  test("FILTERED fractal heap: deflated direct blocks, single-block and indirect") {
+    // heaps whose direct blocks sit behind the heap's own deflate
+    // pipeline: link resolution must decompress the block before
+    // reading the link message; the FRHP carries the filtered root
+    // size + pipeline, FHIB direct entries gain (size, mask)
+    val lat = Array(40f, 30f, 20f)
+    val lon = Array(-30f, -20f, -10f, 0f)
+    // single direct block (root IS the filtered block)
+    val vsSmall = Seq(
+      NetCdf.Variable("lat", Seq("lat"), lat, None),
+      NetCdf.Variable("lon", Seq("lon"), lon, None)) ++
+      (1 to 10).map(i => NetCdf.Variable(s"v$i", Seq("lat", "lon"),
+        Array.tabulate(12)(j => (i * 100 + j).toFloat), None))
+    val small = Hdf5.read(Hdf5.write(Seq("lat" -> 3, "lon" -> 4), vsSmall,
+      denseRoot = true, filteredHeap = true))
+    assert(small.datasets.map(_.name).sorted ==
+      (Seq("lat", "lon") ++ (1 to 10).map(i => s"v$i")).sorted)
+    for (i <- 1 to 10)
+      assert(small.datasets.find(_.name == s"v$i").get.data
+        .sameElements(Array.tabulate(12)(j => (i * 100 + j).toFloat)), s"v$i data")
+    // multiple filtered blocks behind a root indirect block
+    val vsWide = Seq(
+      NetCdf.Variable("lat", Seq("lat"), lat, None),
+      NetCdf.Variable("lon", Seq("lon"), lon, None)) ++
+      (1 to 30).map(i => NetCdf.Variable(f"temperature_level_$i%02d", Seq("lat", "lon"),
+        Array.tabulate(12)(j => (i * 1000 + j).toFloat), None))
+    val wide = Hdf5.read(Hdf5.write(Seq("lat" -> 3, "lon" -> 4), vsWide,
+      denseRoot = true, filteredHeap = true))
+    assert(wide.datasets.size == 32)
+    for (i <- Seq(1, 15, 30))
+      assert(wide.datasets.find(_.name == f"temperature_level_$i%02d").get.data
+        .sameElements(Array.tabulate(12)(j => (i * 1000 + j).toFloat)))
+  }
+
   test("dense root group with a root INDIRECT block (links spill over direct blocks)") {
     // 30 long-named variables → link bodies ≈ 31 B each ≈ 1 KB total,
     // spilling past the 512-byte start block into multiple row-0
