@@ -187,6 +187,62 @@ object Geo {
     (lon, lat)
   }
 
+  /** Rotated lat/lon (GRIB2 grid 3.1 — the COSMO/ICON/CORDEX regional
+    * grid family): the grid lives in a coordinate system whose NORTH
+    * pole sits at true (−spLat, spLon+180) — an unrotated grid
+    * declares its south pole of projection at (−90, 0). Built from
+    * explicit basis vectors so no trig-identity sign convention can
+    * drift: ẑ' is the rotated pole's true unit vector, x̂' the rotated
+    * (0°, 0°) direction, ŷ' = ẑ'×x̂'; a rotated point's true vector is
+    * the basis combination, then φ = asin(v_z), λ = atan2(v_y, v_x).
+    * Returns (trueLon, trueLat) from rotated degrees. */
+  def invRotatedPole(spLatDeg: Double, spLonDeg: Double)
+                    (lonRDeg: Double, latRDeg: Double): (Double, Double) = {
+    val (xh, yh, zh) = rotatedBasis(spLatDeg, spLonDeg)
+    val lr = math.toRadians(lonRDeg); val pr = math.toRadians(latRDeg)
+    val a = math.cos(pr) * math.cos(lr)
+    val b = math.cos(pr) * math.sin(lr)
+    val c = math.sin(pr)
+    val vx = a * xh._1 + b * yh._1 + c * zh._1
+    val vy = a * xh._2 + b * yh._2 + c * zh._2
+    val vz = a * xh._3 + b * yh._3 + c * zh._3
+    (wrapLon(math.toDegrees(math.atan2(vy, vx))),
+      math.toDegrees(math.asin(math.max(-1.0, math.min(1.0, vz)))))
+  }
+
+  /** Forward of [[invRotatedPole]]: true (lon, lat) → rotated degrees
+    * (the basis transpose). */
+  def fwdRotatedPole(spLatDeg: Double, spLonDeg: Double)
+                    (lonDeg: Double, latDeg: Double): (Double, Double) = {
+    val (xh, yh, zh) = rotatedBasis(spLatDeg, spLonDeg)
+    val l = math.toRadians(lonDeg); val p = math.toRadians(latDeg)
+    val vx = math.cos(p) * math.cos(l)
+    val vy = math.cos(p) * math.sin(l)
+    val vz = math.sin(p)
+    val a = vx * xh._1 + vy * xh._2 + vz * xh._3
+    val b = vx * yh._1 + vy * yh._2 + vz * yh._3
+    val c = vx * zh._1 + vy * zh._2 + vz * zh._3
+    (wrapLon(math.toDegrees(math.atan2(b, a))),
+      math.toDegrees(math.asin(math.max(-1.0, math.min(1.0, c)))))
+  }
+
+  private def rotatedBasis(spLatDeg: Double, spLonDeg: Double)
+      : ((Double, Double, Double), (Double, Double, Double), (Double, Double, Double)) = {
+    // rotated NORTH pole at true (−spLat, spLon+180)
+    val pp = math.toRadians(-spLatDeg)
+    val lp = math.toRadians(spLonDeg + 180.0)
+    val zh = (math.cos(pp) * math.cos(lp), math.cos(pp) * math.sin(lp), math.sin(pp))
+    // x̂' = the rotated (0°, 0°) direction: the pole vector tilted 90°
+    // down its own meridian (the northward tangent there). Identity
+    // check: spLat=−90, spLon=0 → pp=π/2, lp=π gives
+    // (−sin(π/2)cos(π), −sin(π/2)sin(π), cos(π/2)) = (1, 0, 0) ✓
+    val xh = (-math.sin(pp) * math.cos(lp), -math.sin(pp) * math.sin(lp), math.cos(pp))
+    val yh = (zh._2 * xh._3 - zh._3 * xh._2,
+      zh._3 * xh._1 - zh._1 * xh._3,
+      zh._1 * xh._2 - zh._2 * xh._1) // ẑ' × x̂'
+    (xh, yh, zh)
+  }
+
   /** Inverse geostationary / space-view perspective (GRIB2 grid 3.90,
     * the Meteosat/GOES/Himawari full-disc family; CGMS LRIT/HRIT
     * normalized geostationary geometry, also eccodes'

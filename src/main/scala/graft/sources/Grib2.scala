@@ -89,6 +89,11 @@ object Grib2 {
     * bitmap-missing in any real product, so they never survive the
     * long-form explode. */
   case class SpaceViewProj(re: Double, rp: Double, lop: Double, nr: Double) extends GridProj
+  /** Rotated lat/lon (template 3.1 — the COSMO/ICON/CORDEX regional
+    * family): the raster frame is ROTATED degrees; true per-pixel
+    * lon/lat comes from the pole rotation in [[lonLatArrays]].
+    * `spLat`/`spLon` are the declared south pole of projection. */
+  case class RotatedLatLonProj(spLat: Double, spLon: Double) extends GridProj
 
   /** `lossy` marks fields unpacked from an IRREVERSIBLE codestream
     * (5.40 compression type 1): values are the codec's nearest-integer
@@ -150,6 +155,8 @@ object Grib2 {
               graft.ops.Geo.invMercatorSph(rad, lon0, lad)
             case SpaceViewProj(re, rp, lop, nr) =>
               graft.ops.Geo.invGeostationary(re, rp, lop, nr * re)
+            case RotatedLatLonProj(spLat, spLon) =>
+              graft.ops.Geo.invRotatedPole(spLat, spLon)
             case _ => throw new IllegalStateException("handled above")
           }
           var y = 0
@@ -280,6 +287,27 @@ object Grib2 {
           bs32(b, math.round(la2 * 1e6)); bs32(b, math.round(lo2 * 1e6))
           bu32(b, math.round(r.px * 1e6)); bu32(b, math.round(r.py * 1e6))
           bu8(b, scanMode)
+        }
+      case Some(rot: RotatedLatLonProj) =>
+        sec(3) { b => // template 3.1: the 3.0 octets + pole of rotation
+          val northCenter = r.north - r.py / 2
+          val southCenter = r.north - r.py * r.height + r.py / 2
+          val westCenter = r.west + r.px / 2
+          val eastCenter = r.west + r.px * r.width - r.px / 2
+          val (la1, la2) = if ((scanMode & 0x40) != 0) (southCenter, northCenter)
+                           else (northCenter, southCenter)
+          val (lo1, lo2) = if ((scanMode & 0x80) != 0) (eastCenter, westCenter)
+                           else (westCenter, eastCenter)
+          bu8(b, 0); bu32(b, n); bu8(b, 0); bu8(b, 0); bu16(b, 1)
+          bu8(b, 6); bu8(b, 0); bu32(b, 0); bu8(b, 0); bu32(b, 0); bu8(b, 0); bu32(b, 0)
+          bu32(b, r.width); bu32(b, r.height); bu32(b, 0); bu32(b, 0)
+          bs32(b, math.round(la1 * 1e6)); bs32(b, math.round(lo1 * 1e6))
+          bu8(b, 0x30)
+          bs32(b, math.round(la2 * 1e6)); bs32(b, math.round(lo2 * 1e6))
+          bu32(b, math.round(r.px * 1e6)); bu32(b, math.round(r.py * 1e6))
+          bu8(b, scanMode)
+          bs32(b, math.round(rot.spLat * 1e6)); bs32(b, math.round(rot.spLon * 1e6))
+          bu32(b, 0) // rotation angle
         }
       case Some(rg: ReducedGaussianGrid) =>
         sec(3) { b => // template 3.40 + points-per-row list (O-grids)
@@ -770,26 +798,35 @@ object Grib2 {
             // an unknown grid template must fail loudly: parsing its
             // octets with another template's layout would SILENTLY
             // mis-georeference every pixel
-            require(tmpl3 == 0 || tmpl3 == 10 || tmpl3 == 20 || tmpl3 == 30 ||
-                tmpl3 == 40 || tmpl3 == 90,
+            require(tmpl3 == 0 || tmpl3 == 1 || tmpl3 == 10 || tmpl3 == 20 ||
+                tmpl3 == 30 || tmpl3 == 40 || tmpl3 == 90,
               s"unsupported grid definition template 3.$tmpl3 " +
-                "(supported: 3.0 lat/lon, 3.10 Mercator, 3.20 polar stereo, " +
-                "3.30 Lambert, 3.40 Gaussian, 3.90 space view)")
+                "(supported: 3.0 lat/lon, 3.1 rotated lat/lon, 3.10 Mercator, " +
+                "3.20 polar stereo, 3.30 Lambert, 3.40 Gaussian, 3.90 space view)")
             width = u32(o + 25).toInt; height = u32(o + 29).toInt
             // corrupt dimension octets must dead-letter, not OOM the
             // executor with a multi-GiB allocation (width is checked
             // after the reduced-grid branch may overwrite it)
             require(height > 0 && height <= (1 << 24),
               s"implausible grid height $height")
-            if (tmpl3 == 0) {
+            if (tmpl3 == 0 || tmpl3 == 1) {
               val la1 = s32(o + 41) / 1e6; val lo1 = s32(o + 45) / 1e6
               val la2 = s32(o + 50) / 1e6; val lo2 = s32(o + 54) / 1e6
               px = u32(o + 58) / 1e6; py = u32(o + 62) / 1e6
               scanMode = bytes(o + 66) & 0xff
               // bounds from whichever corner is north/west, not from
-              // assuming the first point is NW
+              // assuming the first point is NW (in ROTATED degrees for
+              // 3.1 — the affine frame lives in the rotated system)
               west = math.min(lo1, lo2) - px / 2
               north = math.max(la1, la2) + py / 2
+              if (tmpl3 == 1) { // rotated lat/lon: pole + rotation angle
+                val spLat = s32(o + 67) / 1e6
+                val spLon = s32(o + 71) / 1e6
+                require(u32(o + 75) == 0,
+                  "rotated lat/lon with a nonzero rotation angle not supported " +
+                    "(COSMO/CORDEX grids declare 0)")
+                proj = Some(RotatedLatLonProj(spLat, spLon))
+              }
             } else if (tmpl3 == 40) { // global Gaussian (ECMWF F- and O-grids)
               val la1 = s32(o + 41) / 1e6; val lo1 = s32(o + 45) / 1e6
               val nPar = u32(o + 62).toInt // N: parallels pole→equator

@@ -44,6 +44,51 @@ class Grib2Spec extends SparkSpec {
     }
   }
 
+  test("rotated lat/lon grids (3.1) round-trip with exact unrotated coordinates") {
+    // COSMO-EU-like: south pole of projection at (-39.25, -162); a
+    // 10x8 rotated-degree grid around the rotated origin
+    val w = 10; val h = 8
+    val spLat = -39.25; val spLon = -162.0
+    val data = Array.tabulate(w * h)(i => if (i % 13 == 0) Float.NaN else i * 0.5f)
+    val m = Grib2.Message(
+      GeoTiff.Raster(w, h, data, -5.0, 4.0, 1.0, 1.0), // rotated degrees
+      discipline = 0, category = 0, parameter = 0,
+      refTime = java.time.LocalDateTime.of(2024, 3, 1, 0, 0, 0),
+      forecastHours = 6, proj = Some(Grib2.RotatedLatLonProj(spLat, spLon)))
+    val back = Grib2.read(Grib2.write(m, decimals = 1))
+    val Some(p: Grib2.RotatedLatLonProj) = back.proj
+    assert(p.spLat == spLat && p.spLon == spLon)
+    assert(back.raster.west == -5.0 && back.raster.north == 4.0)
+    back.raster.data.zip(data).foreach { case (a, b) =>
+      if (b.isNaN) assert(a.isNaN) else assert(math.abs(a - b) < 0.05)
+    }
+    val Some((lons, lats)) = Grib2.lonLatArrays(back)
+    val fwd = graft.ops.Geo.fwdRotatedPole(spLat, spLon) _
+    val inv = graft.ops.Geo.invRotatedPole(spLat, spLon) _
+    // fwd∘inv identity at every pixel, in rotated coordinates
+    for (j <- 0 until h; i <- 0 until w) {
+      val k = j * w + i
+      val (lr, pr) = fwd(lons(k), lats(k))
+      assert(math.abs(lr - (-5.0 + (i + 0.5))) < 1e-9 &&
+        math.abs(pr - (4.0 - (j + 0.5))) < 1e-9, s"pixel ($i,$j)")
+    }
+    // the rotated NORTH pole maps to true (-spLat, spLon+180)
+    val (plon, plat) = inv(0.0, 90.0)
+    assert(math.abs(plat - 39.25) < 1e-9 && math.abs(plon - 18.0) < 1e-9)
+    // rotation preserves great-circle distances (pure rotation test)
+    def gc(lo1: Double, la1: Double, lo2: Double, la2: Double): Double = {
+      def r(d: Double) = math.toRadians(d)
+      math.acos(math.min(1.0, math.sin(r(la1)) * math.sin(r(la2)) +
+        math.cos(r(la1)) * math.cos(r(la2)) * math.cos(r(lo1 - lo2))))
+    }
+    val dTrue = gc(lons(0), lats(0), lons(w * h - 1), lats(w * h - 1))
+    val dRot = gc(-4.5, 3.5, -5.0 + (w - 0.5), 4.0 - (h - 0.5))
+    assert(math.abs(dTrue - dRot) < 1e-9)
+    // identity pole: rotated coordinates ARE true coordinates
+    val (l0, p0) = graft.ops.Geo.invRotatedPole(-90.0, 0.0)(12.5, -33.25)
+    assert(math.abs(l0 - 12.5) < 1e-9 && math.abs(p0 - (-33.25)) < 1e-9)
+  }
+
   test("space-view grids (3.90) round-trip with exact geostationary lon/lat") {
     // Meteosat-like full disc: sphere, satellite ~6.62 radii from the
     // earth center over 9.5°E, disc spanning 18 grid lengths of a
