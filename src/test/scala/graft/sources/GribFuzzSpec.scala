@@ -35,6 +35,16 @@ class GribFuzzSpec extends AnyFunSuite {
       "png" -> Grib2.write(latlon, packing = 41),
       "ccsds" -> Grib2.write(latlon, packing = 42),
       "runlength" -> Grib2.write(latlon, packing = 200),
+      "rotated" -> Grib2.write(latlon.copy(
+        proj = Some(Grib2.RotatedLatLonProj(-39.25, -162.0)),
+        raster = GeoTiff.Raster(w, h, data, -6.0, 4.0, 0.5, 0.5))),
+      "spaceview" -> Grib2.write(latlon.copy(
+        proj = Some(Grib2.SpaceViewProj(6367470.0, 6367470.0, 0.0, 6.621936)),
+        raster = {
+          val rx = 2.0 * math.asin(1.0 / 6.621936) / (w - 2)
+          GeoTiff.Raster(w, h, data.map(v => if (v.isNaN) 0f else v),
+            -(w / 2.0) * rx, (h / 2.0) * rx, rx, rx)
+        })),
       "lcc+j2k" -> Grib2.write(lcc, packing = 40),
       "gauss+ccsds" -> Grib2.write(gauss, packing = 42))
   }
