@@ -58,13 +58,18 @@ object CurationQueries extends QueryModule {
       // shared cache.
       val d2 = d1.filter(quality >= 0.3)
       // 3. boilerplate gate: duplicated-span coverage among survivors;
-      // checkpoint SURVIVOR IDS only
+      // checkpoint SURVIVOR IDS only — plus the per-doc (source,
+      // n_tokens) pair, ~24 B/doc, computed in the SAME scan that
+      // evaluates the quality gate, so the final per-source stats
+      // stage aggregates the id frame directly and the corpus text is
+      // never re-read (or re-split) after this point.
       val heavy = Dedup.spanCoverage(
           Dedup.spanHashes(d2, "doc_id", "text", 20, spread = false), 20)
         .filter(col("coverage") > 0.5).select("doc_id")
-      val ids3 = d2.select("doc_id")
+      val ids3 = d2.select(col("doc_id"), col("source"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
         .join(heavy, Seq("doc_id"), "left_anti").localCheckpoint()
-      def d3text = docs.join(ids3, Seq("doc_id"), "left_semi")
+      def d3text = docs.join(ids3.select("doc_id"), Seq("doc_id"), "left_semi")
       // 4. fuzzy dedup on what's left: signatures/bands checkpoint;
       // shingles rebuild from the source for the (small) candidate set
       val bands = Dedup.lshBands(Dedup.minhashSignature(
@@ -81,11 +86,10 @@ object CurationQueries extends QueryModule {
       val dropFuzzy = Dedup.canonicalize(pairs)
         .filter(col("id") =!= col("canonical"))
         .select(col("id").as("doc_id"))
-      docs.join(ids3, Seq("doc_id"), "left_semi")
-        .join(dropFuzzy, Seq("doc_id"), "left_anti")
+      ids3.join(dropFuzzy, Seq("doc_id"), "left_anti")
         .groupBy("source").agg(
           count(lit(1)).as("n_docs"),
-          sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("n_tokens"))
+          sum(col("n_tokens")).as("n_tokens"))
     }),
 
     // The INCREMENTAL curation pipeline's end state, batch form: same
@@ -106,13 +110,15 @@ object CurationQueries extends QueryModule {
     // training document sharing ANY 8-gram with a held-out benchmark
     // document is contaminated. The 8-gram inverted index makes this an
     // equi-join — at 100 TB the index is the shuffle and no pair ever
-    // forms except through a shared 8-gram.
+    // forms except through a shared 8-gram. The index key is a 60-bit
+    // md5-derived integer (Dedup.shingleHashes), mirrored in the
+    // oracle, so the shuffle moves longs instead of gram strings.
     "d_decontaminate_ngram" -> ((s, dir) => {
-      val sh8 = Dedup.shingles(Tables.documents(s, dir), "doc_id", "text", n = 8)
+      val sh8 = Dedup.shingleHashes(Tables.documents(s, dir), "doc_id", "text", n = 8)
         .withColumn("g", expr(gateSpark("id")))
-      val bench = sh8.filter(col("g") >= 90).select(col("id").as("bench_doc"), col("s"))
-      val train = sh8.filter(col("g") < 90).select(col("id").as("train_doc"), col("s"))
-      bench.join(train, "s")
+      val bench = sh8.filter(col("g") >= 90).select(col("id").as("bench_doc"), col("h"))
+      val train = sh8.filter(col("g") < 90).select(col("id").as("train_doc"), col("h"))
+      bench.join(train, "h")
         .groupBy("bench_doc", "train_doc")
         .agg(count(lit(1)).as("n_collisions"))
     }),
@@ -504,11 +510,12 @@ object CurationQueries extends QueryModule {
       val joins = (1 to 8).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
       s"""WITH $wordsCte,
          |sh AS (
-         |  SELECT DISTINCT id, $joins AS s
+         |  SELECT DISTINCT id,
+         |    CAST(concat('0x', substring(md5($joins), 1, 15)) AS BIGINT) AS h
          |  FROM words CROSS JOIN range(400) t(i) WHERE i < len(ws) - 7),
          |g AS (SELECT DISTINCT id, ${gateDuck("id")} AS gg FROM sh)
          |SELECT a.id AS bench_doc, b.id AS train_doc, count(*) AS n_collisions
-         |FROM sh a JOIN sh b ON a.s = b.s
+         |FROM sh a JOIN sh b ON a.h = b.h
          |JOIN g ga ON ga.id = a.id JOIN g gb ON gb.id = b.id
          |WHERE ga.gg >= 90 AND gb.gg < 90
          |GROUP BY 1, 2""".stripMargin

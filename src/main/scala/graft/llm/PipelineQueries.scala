@@ -82,10 +82,13 @@ object PipelineQueries extends QueryModule {
     // TF-IDF top terms per document with a RATIONAL idf weight
     // (tf·N/df instead of tf·log(N/df) — log's last-ulp varies across
     // libm implementations and would break the cross-engine hash gate;
-    // the ranking intent is identical). tf and df are two hash
-    // aggregates over the exploded word stream; the df table is
-    // vocabulary-sized and the score join shuffles on the word, never
-    // on the corpus.
+    // the ranking intent is identical). The corpus is exploded ONCE:
+    // tf is the (doc, word) hash aggregate, and df — the number of
+    // documents containing each word — is derived from tf itself
+    // (tf's rows ARE the distinct (doc, word) pairs), so the second
+    // corpus-wide explode+shuffle the textbook two-scan form pays
+    // never happens. df is vocabulary-sized; the score join is left
+    // to AQE, which broadcasts it at any realistic vocab scale.
     "t_tfidf_topk" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       // corpus size as a one-row broadcast (like t_domain_mix), not a
@@ -93,8 +96,7 @@ object PipelineQueries extends QueryModule {
       val n = docs.agg(count(lit(1)).as("n"))
       val words = docs.select(col("doc_id"), explode(wordsCol).as("w"))
       val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-      val df = words.select("doc_id", "w").distinct()
-        .groupBy("w").agg(count(lit(1)).as("df"))
+      val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
       val win = Window.partitionBy("doc_id")
         .orderBy(col("score").desc, col("w").asc)
       tf.join(df, Seq("w")).crossJoin(broadcast(n))
