@@ -239,8 +239,8 @@ object GeoTiff {
                overviewLevels: Int = 0,
                compression: Int = 8,
                stripped: Boolean = false): Array[Byte] = {
-    require(Set(1, 5, 8).contains(compression),
-      s"compression $compression not supported (1 none, 5 LZW, 8 deflate)")
+    require(Set(1, 5, 8, 32773).contains(compression),
+      s"compression $compression not supported (1 none, 5 LZW, 8 deflate, 32773 PackBits)")
     val s = bands.size
     require(s >= 1, "at least one band")
     require(bands.forall(_.length == width * height), "band size mismatch")
@@ -302,6 +302,7 @@ object GeoTiff {
         case 1 => pred
         case 5 => lzwEncode(pred)
         case 8 => deflate(pred)
+        case 32773 => packbitsEncode(pred, rowSamples * bps)
       }
     }
     // one compressed payload per (plane, tileRow, tileCol); edge tiles
@@ -565,6 +566,63 @@ object GeoTiff {
       }
     }
     require(at >= expected, s"LZW stream ended at $at of $expected bytes")
+    out
+  }
+
+  // ---- TIFF PackBits (spec §9): the byte-oriented RLE of scanned and
+  // legacy GeoTIFFs (compression 32773). Control byte n ∈ [0,127]
+  // copies n+1 literal bytes, n ∈ [−127,−1] repeats the next byte 1−n
+  // times, −128 is a no-op. Rows compress INDEPENDENTLY per the spec —
+  // the encoder restarts at every scanline; the decoder accepts the
+  // concatenated per-row streams as one (runs never cross rows in a
+  // conforming file, so whole-chunk decode yields identical bytes). --
+
+  private[sources] def packbitsEncode(raw: Array[Byte], rowBytes: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    var base = 0
+    while (base < raw.length) {
+      val end = math.min(base + rowBytes, raw.length)
+      var i = base
+      while (i < end) {
+        var run = 1
+        while (i + run < end && run < 128 && raw(i + run) == raw(i)) run += 1
+        if (run >= 2) {
+          out.write(1 - run) // −(run−1) as a signed byte
+          out.write(raw(i))
+          i += run
+        } else {
+          // literal stretch: up to 128 bytes, stopping where a run starts
+          var j = i + 1
+          while (j < end && j - i < 128 &&
+                 !(j + 1 < end && raw(j) == raw(j + 1))) j += 1
+          out.write(j - i - 1)
+          out.write(raw, i, j - i)
+          i = j
+        }
+      }
+      base = end
+    }
+    out.toByteArray
+  }
+
+  private[sources] def packbitsDecode(comp: Array[Byte], expected: Int): Array[Byte] = {
+    val out = new Array[Byte](expected)
+    var at = 0; var i = 0
+    while (at < expected) {
+      require(i < comp.length, s"PackBits stream ended at $at of $expected bytes")
+      val n = comp(i); i += 1
+      if (n >= 0) {
+        val cnt = n + 1
+        require(i + cnt <= comp.length && at + cnt <= expected,
+          s"PackBits literal overruns (at $at of $expected)")
+        System.arraycopy(comp, i, out, at, cnt); i += cnt; at += cnt
+      } else if (n != -128) {
+        val cnt = 1 - n
+        require(i < comp.length && at + cnt <= expected,
+          s"PackBits run overruns (at $at of $expected)")
+        java.util.Arrays.fill(out, at, at + cnt, comp(i)); i += 1; at += cnt
+      }
+    }
     out
   }
 
@@ -896,8 +954,8 @@ object GeoTiff {
         nodata = d0.nodata.orElse(base.nodata))
     require(band >= 1 && band <= d.spp,
       s"band $band not in file (has ${d.spp})")
-    require(Set(1, 5, 8, 32946).contains(d.compression),
-      s"unsupported compression ${d.compression} (none/LZW/deflate only)")
+    require(Set(1, 5, 8, 32773, 32946).contains(d.compression),
+      s"unsupported compression ${d.compression} (none/LZW/deflate/PackBits only)")
     require(Set((8, 1), (16, 1), (16, 2), (32, 1), (32, 2), (32, 3),
         (64, 3)).contains((d.bits, d.fmt)) ||
       (d.bits == 8 && d.fmt == 2),
@@ -935,6 +993,7 @@ object GeoTiff {
       val raw0 = d.compression match {
         case 1 => java.util.Arrays.copyOfRange(bytes, off, off + expect)
         case 5 => lzwDecode(java.util.Arrays.copyOfRange(bytes, off, off + len), expect)
+        case 32773 => packbitsDecode(java.util.Arrays.copyOfRange(bytes, off, off + len), expect)
         case _ => inflate(java.util.Arrays.copyOfRange(bytes, off, off + len), expect)
       }
       val raw = undoPredictor(raw0, d.predictor, rowSamples, bps, d.fmt,

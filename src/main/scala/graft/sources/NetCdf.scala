@@ -59,10 +59,29 @@ object NetCdf {
         if (YNames(yd.toLowerCase) && XNames(xd.toLowerCase)) Some((yd, xd)) else None
       }
 
-    /** Data variables on a (…, y, x) grid. */
+    /** Data variables on a (…, y, x) grid. Character variables are
+      * label arrays, never rasters. */
     def gridVars: Seq[Variable] =
-      vars.filter(v => spatialDimsOf(v).isDefined &&
+      vars.filter(v => spatialDimsOf(v).isDefined && v.ncType != 2 &&
         !YNames(v.name.toLowerCase) && !XNames(v.name.toLowerCase))
+
+    /** NC_CHAR data variable decoded to row strings — the classic-model
+      * string convention (station names, label axes): the LAST
+      * dimension is the string width, every outer index yields one
+      * string, NUL- and trailing-space-trimmed. A dimensionless or 1-D
+      * char variable yields a single string. */
+    def charValues(varName: String): Seq[String] = {
+      val v = vars.find(_.name == varName).getOrElse(
+        throw new IllegalArgumentException(s"no variable $varName"))
+      require(v.ncType == 2, s"'$varName' is not a character variable")
+      val width = v.dims.lastOption.map(dimSize).getOrElse(1) max 1
+      v.data.grouped(width).map { cs =>
+        val s = new String(cs.map(c => (c.toInt & 0xff).toByte), "ISO-8859-1")
+        val nul = s.indexOf('\u0000')
+        (if (nul >= 0) s.substring(0, nul) else s)
+          .reverse.dropWhile(_ == ' ').reverse
+      }.toSeq
+    }
 
     /** CRS detection (netcdf.py:344-350): global `crs` attribute, else
       * `spatial_ref` variable's `crs_wkt`, else EPSG:4326. */
@@ -237,7 +256,7 @@ object NetCdf {
     }
     // var_list — compute header size first to lay out offsets
     def esOf(t: Int): Int = t match {
-      case 1 => 1; case 3 => 2; case 4 | NC_FLOAT => 4; case 6 => 8
+      case 1 | NC_CHAR => 1; case 3 => 2; case 4 | NC_FLOAT => 4; case 6 => 8
       case t => throw new IllegalArgumentException(s"unsupported write type $t")
     }
     def pad4(n: Int) = (4 - n % 4) % 4
@@ -268,6 +287,7 @@ object NetCdf {
       * is handled at slab level). */
     def typedValue(t: Int, f: Double): Unit = t match {
       case 1 => out.write(f.toByte.toInt)
+      case NC_CHAR => out.write(f.toInt & 0xff)
       case 3 => out.write((f.toShort >> 8) & 0xff); out.write(f.toShort & 0xff)
       case 4 => u32(f.toInt)
       case NC_FLOAT => u32(java.lang.Float.floatToIntBits(f.toFloat))
@@ -367,9 +387,13 @@ object NetCdf {
       case 6 => 8     // NC_DOUBLE
       case t => throw new IllegalArgumentException(s"unknown external type $t")
     }
-    /** One numeric value of type `t` at the current position. */
+    /** One value of type `t` at the current position. NC_CHAR reads as
+      * the unsigned code unit — character data variables (station
+      * names, label axes) carry their bytes through the float array
+      * and decode to strings via [[File.charValues]]. */
     def numValue(t: Int): Double = t match {
       case 1 => bb.get().toDouble
+      case 2 => (bb.get() & 0xff).toDouble
       case 3 => bb.getShort.toDouble
       case 4 => bb.getInt.toDouble
       case NC_FLOAT => java.lang.Float.intBitsToFloat(bb.getInt).toDouble
@@ -414,7 +438,6 @@ object NetCdf {
       val vdims = (0 until nd).map(_ => dims(nonNeg().toInt)._1)
       val (fill, strAttrs, numAttrs) = attrList()
       val typ = bb.getInt
-      require(typ != NC_CHAR, s"character data variable '$vn' not supported")
       elemSize(typ) // rejects unknown types loudly
       val vsize = nonNeg()
       val begin = offsetF()

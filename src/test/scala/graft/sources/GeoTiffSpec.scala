@@ -207,6 +207,33 @@ class GeoTiffSpec extends SparkSpec {
     assert(dec.sameElements(noisy), "raw LZW kernel round-trip")
   }
 
+  test("PackBits compression round-trips (legacy/scanned GeoTIFF RLE)") {
+    val w = 150; val h = 90
+    // flat regions (long runs) + noise stripes (literal stretches)
+    val v = Array.tabulate(w * h) { i =>
+      if ((i / w) % 3 == 0) 7f else ((i * 31) % 13).toFloat
+    }
+    val b = GeoTiff.writeCog(Seq(v), w, h, -5.0, 55.0, 0.2, 0.2,
+      tileSize = 64, dtype = "uint8", compression = 32773)
+    assert(GeoTiff.read(b).data.sameElements(v))
+    // float32 with predictor 3 rides the same per-row restart
+    val f = Array.tabulate(w * h)(i => (i / w) * 0.5f + (i % 7) * 0.125f)
+    val fb = GeoTiff.writeCog(Seq(f), w, h, -5.0, 55.0, 0.2, 0.2,
+      tileSize = 64, compression = 32773)
+    assert(GeoTiff.read(fb).data.sameElements(f))
+    // raw kernel: every control-byte case (runs ≥128 split, literal
+    // caps, single trailing byte) against a pathological stream
+    val noisy = Array.tabulate(10000) { i =>
+      if (i % 400 < 300) 42.toByte else (((i * 2654435761L) >>> 5) % 251).toByte
+    }
+    val enc = GeoTiff.packbitsEncode(noisy, 997) // deliberately odd row size
+    assert(GeoTiff.packbitsDecode(enc, noisy.length).sameElements(noisy))
+    assert(enc.length < noisy.length, "runs should compress")
+    val ex = intercept[IllegalArgumentException](
+      GeoTiff.packbitsDecode(Array[Byte](5, 1, 2), 10))
+    assert(ex.getMessage.contains("PackBits"))
+  }
+
   test("stripped organization (GDAL's small-raster default): deflate and LZW, short last strip") {
     // 100×37 with rowsPerStrip 8 → 5 strips, the last short (5 rows) —
     // strips are NOT padded, unlike tiles
