@@ -19,7 +19,10 @@ import java.nio.{ByteBuffer, ByteOrder}
   *    indirect blocks NESTED to any depth (thousands-of-links files),
   *    and multi-level name-index B-trees covered; FILTERED heaps
   *    (direct blocks behind the heap's own deflate pipeline) decode;
-  *    huge/tiny heap IDs fail loudly
+  *    TINY heap IDs (object embedded in the ID) and HUGE heap IDs
+  *    (direct address form, and the indirect form keyed into the
+  *    heap's huge-object v2 B-tree) resolve; filtered huge objects
+  *    fail loudly
   *  - dataspace v1/v2, datatype classes: fixed-point, IEEE float,
   *    string, reference, vlen
   *  - data layout v3: contiguous and chunked (B-tree v1 chunk index,
@@ -205,9 +208,11 @@ object Hdf5 {
     * on-disk allocation. Covered: direct-root heaps, indirect blocks
     * nested to any depth (each child indirect block restarts the
     * doubling table over its own span, mirroring libhdf5's
-    * relative-offset re-lookup) and name-index B-trees of any depth;
-    * fails loudly on filtered heaps and non-managed (huge/tiny)
-    * IDs. */
+    * relative-offset re-lookup) and name-index B-trees of any depth.
+    * Non-managed IDs resolve too: TINY objects decode straight from
+    * the ID bytes, HUGE objects through the direct (address in ID)
+    * form or the huge-object v2 B-tree; only filtered huge objects
+    * fail loudly. */
   private[sources] def denseLinks(bb: ByteBuffer, bytes: Array[Byte], fhAddr: Long, bt2Addr: Long,
                          links: scala.collection.mutable.Buffer[(String, Long)]): Unit = {
     val h = off(fhAddr, bytes)
@@ -313,11 +318,43 @@ object Hdf5 {
     walkBtreeV2(bb, bytes, bt2Addr) { (idAt0, _) =>
       val idAt = idAt0 + 4 // skip the name hash
       val idFlags = bytes(idAt) & 0xff
-      require((idFlags & 0x30) == 0,
-        s"non-managed fractal-heap object (type ${(idFlags >> 4) & 3}) not supported")
-      val (buf, o) = resolve(unsignedLE(idAt + 1, offSize))
-      links += parseLink(
-        ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN), buf, o)
+      ((idFlags >> 4) & 3) match {
+        case 0 => // managed: resolve through the doubling table
+          val (buf, o) = resolve(unsignedLE(idAt + 1, offSize))
+          links += parseLink(
+            ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN), buf, o)
+        case 2 => // tiny: the link message IS the ID. Normal form keeps
+          // length−1 in the low 4 flag bits; IDs longer than 18 bytes
+          // use the extended form's extra low-byte (12-bit lengths).
+          val (len, at) =
+            if (heapIdLen <= 18) ((idFlags & 0x0f) + 1, idAt + 1)
+            else ((((idFlags & 0x0f) << 8) | (bytes(idAt + 1) & 0xff)) + 1, idAt + 2)
+          require(at - idAt + len <= heapIdLen,
+            s"tiny heap object of $len bytes overruns its $heapIdLen-byte ID")
+          links += parseLink(bb, bytes, at)
+        case 1 => // huge: past the max managed size. Direct IDs (ID wide
+          // enough for address+length, libhdf5's rule) point straight at
+          // the object; otherwise the ID is a key into the heap's huge-
+          // object v2 B-tree (record type 1: address, length, ID).
+          require(!filtered, "filtered huge heap objects not supported")
+          if (heapIdLen >= 17) {
+            links += parseLink(bb, bytes, off(unsignedLE(idAt + 1, 8), bytes))
+          } else {
+            val hugeBt2 = bb.getLong(h + 22)
+            require(hugeBt2 != -1L, "huge heap ID but no huge-object B-tree")
+            val wantId = unsignedLE(idAt + 1, math.min(8, heapIdLen - 1))
+            var found = false
+            walkBtreeV2(bb, bytes, hugeBt2) { (rAt, _) =>
+              if (!found && unsignedLE(rAt + 16, 8) == wantId) {
+                found = true
+                links += parseLink(bb, bytes, off(bb.getLong(rAt), bytes))
+              }
+            }
+            require(found, s"huge object $wantId not in the huge-object B-tree")
+          }
+        case t =>
+          throw new IllegalArgumentException(s"unknown fractal-heap ID type $t")
+      }
     }
   }
 
@@ -1123,10 +1160,15 @@ object Hdf5 {
             fletcher: Boolean = false, layoutV4: Option[Int] = None,
             v4Unfiltered: Boolean = false, v4PageBits: Int = 10,
             eaPageBits: Int = 10, subgroup: Option[String] = None,
-            filteredHeap: Boolean = false): Array[Byte] = {
+            filteredHeap: Boolean = false,
+            denseIdStyle: String = "managed"): Array[Byte] = {
     require(subgroup.isEmpty || !denseRoot,
       "fixture writer: subgroup + denseRoot not combined")
     require(!filteredHeap || denseRoot, "filteredHeap applies to dense roots")
+    require(Set("managed", "tinyhuge", "hugebtree").contains(denseIdStyle),
+      s"unknown denseIdStyle '$denseIdStyle'")
+    require(denseIdStyle == "managed" || (denseRoot && !filteredHeap),
+      "tiny/huge ID styles apply to unfiltered dense roots")
     val out = new java.io.ByteArrayOutputStream()
     def pos = out.size
     def u8(v: Int): Unit = out.write(v & 0xff)
@@ -1606,7 +1648,12 @@ object Hdf5 {
       // — this codec's reader consults neither, and the caveat is the
       // price of fabricating fixtures without libhdf5.
       val width = 4; val startBlk = 512L; val maxDirectBlk = 65536L
-      val offSize = 4; val heapIdLen = 7
+      val offSize = 4
+      val heapIdLen = if (denseIdStyle == "tinyhuge") 18 else 7
+      // tiny/huge styles declare a small max-managed-object size so a
+      // long link name legitimately overflows to huge storage, exactly
+      // as libhdf5 routes objects past the FRHP limit
+      val maxManagedObj = if (denseIdStyle == "managed") maxDirectBlk else 96L
       val dbHeader = 5 + 8 + offSize // flags=0: no block checksum
       def rowSize(r: Int): Long = if (r < 2) startBlk else startBlk << (r - 1)
       def linkBody(name: String, addr: Long): Array[Byte] = {
@@ -1616,29 +1663,61 @@ object Hdf5 {
           bb.put(1.toByte).put(0.toByte).put(nb.length.toByte).put(nb).putLong(addr)
         }, 11 + nb.length)
       }
-      // pack link bodies into direct blocks in creation order; logical
-      // offsets count block headers, exactly like a real heap
+      // per-link heap ID: managed (block offset + length), tiny (body
+      // embedded in the ID), or huge (direct address, or a key into the
+      // huge-object B-tree)
+      sealed trait Hid
+      case class Managed(lo: Long, len: Int) extends Hid
+      case class Tiny(body: Array[Byte]) extends Hid
+      case class Huge(addr: Long, len: Int, id: Long) extends Hid
+      // huge bodies store as raw contiguous objects, written FIRST so
+      // their addresses are known before any layout arithmetic
+      padTo8()
+      val hugeObjs = scala.collection.mutable.Buffer[(String, Long, Int)]()
+      val tinyByName = scala.collection.mutable.Map[String, Array[Byte]]()
+      for (n <- allNames) {
+        val lb = linkBody(n, ohAddrs(n))
+        if (denseIdStyle != "managed" && lb.length > maxManagedObj) {
+          hugeObjs += ((n, pos.toLong, lb.length)); raw(lb)
+        } else if (denseIdStyle == "tinyhuge" &&
+                   lb.length <= math.min(16, heapIdLen - 1)) {
+          tinyByName(n) = lb
+        }
+      }
+      padTo8()
+      val hugeByName = hugeObjs.zipWithIndex.map { case ((n, a, l), i) =>
+        n -> Huge(a, l, i + 1L)
+      }.toMap
+      // pack the remaining (managed) link bodies into direct blocks in
+      // creation order; logical offsets count block headers, exactly
+      // like a real heap
       case class Blk(row: Int, col: Int, logical: Long, size: Long,
                      objs: scala.collection.mutable.Buffer[(Long, Array[Byte])])
       val blocks = scala.collection.mutable.Buffer[Blk]()
       var fill = 0L
-      val heapIds = scala.collection.mutable.Buffer[(Long, Int)]() // logical, len
+      val heapIds = scala.collection.mutable.Buffer[(String, Hid)]() // creation order
       for (n <- allNames) {
-        val lb = linkBody(n, ohAddrs(n))
-        require(lb.length <= startBlk - dbHeader, s"link body for '$n' exceeds a start block")
-        if (blocks.isEmpty || fill + lb.length > blocks.last.size) {
-          val (r, c) =
-            if (blocks.isEmpty) (0, 0)
-            else if (blocks.last.col + 1 < width) (blocks.last.row, blocks.last.col + 1)
-            else (blocks.last.row + 1, 0)
-          val logical = if (blocks.isEmpty) 0L else blocks.last.logical + blocks.last.size
-          blocks += Blk(r, c, logical, rowSize(r), scala.collection.mutable.Buffer())
-          fill = dbHeader
+        if (hugeByName.contains(n)) heapIds += ((n, hugeByName(n)))
+        else if (tinyByName.contains(n)) heapIds += ((n, Tiny(tinyByName(n))))
+        else {
+          val lb = linkBody(n, ohAddrs(n))
+          require(lb.length <= startBlk - dbHeader, s"link body for '$n' exceeds a start block")
+          if (blocks.isEmpty || fill + lb.length > blocks.last.size) {
+            val (r, c) =
+              if (blocks.isEmpty) (0, 0)
+              else if (blocks.last.col + 1 < width) (blocks.last.row, blocks.last.col + 1)
+              else (blocks.last.row + 1, 0)
+            val logical = if (blocks.isEmpty) 0L else blocks.last.logical + blocks.last.size
+            blocks += Blk(r, c, logical, rowSize(r), scala.collection.mutable.Buffer())
+            fill = dbHeader
+          }
+          val b = blocks.last
+          heapIds += ((n, Managed(b.logical + fill, lb.length)))
+          b.objs += ((b.logical + fill, lb)); fill += lb.length
         }
-        val b = blocks.last
-        heapIds += ((b.logical + fill, lb.length))
-        b.objs += ((b.logical + fill, lb)); fill += lb.length
       }
+      require(blocks.nonEmpty,
+        "fixture writer: at least one managed link is required")
       val singleDirect = blocks.size == 1
       val nRows = blocks.last.row + 1
       padTo8()
@@ -1700,8 +1779,8 @@ object Hdf5 {
       val nodeSize = 2048
       val leafCap = (nodeSize - 10) / recordSize
       val perLeaf = math.min(leafCap, 120)
-      val leafChunks = scala.collection.mutable.Buffer[Seq[(Long, Int)]]()
-      val sepRecords = scala.collection.mutable.Buffer[(Long, Int)]()
+      val leafChunks = scala.collection.mutable.Buffer[Seq[(String, Hid)]]()
+      val sepRecords = scala.collection.mutable.Buffer[(String, Hid)]()
       if (heapIds.size <= leafCap) leafChunks += heapIds.toSeq
       else {
         var rest = heapIds.toSeq
@@ -1721,6 +1800,11 @@ object Hdf5 {
       if (deep) at = align8(at + 6 + sepRecords.size * recordSize +
         leafChunks.size * 9L + 4) // child ptr: addr(8) + nrec(1)
       val bthdAddr = at
+      // indirect huge IDs resolve through a second, single-leaf v2
+      // B-tree (record type 1: address 8 + length 8 + id 8 = 24 bytes)
+      val hugeBtree = denseIdStyle == "hugebtree" && hugeObjs.nonEmpty
+      val hugeBtlfAddr = align8(bthdAddr + 38)
+      val hugeBthdAddr = align8(hugeBtlfAddr + 6 + hugeObjs.size * 24L + 4)
 
       frhpAddrSlot(0) = if (filteredHeap) 0L else frhpAddr
       for ((i, ai) <- blocks.indices.zip(blockAddrs)) {
@@ -1746,13 +1830,16 @@ object Hdf5 {
       raw("FRHP".getBytes); u8(0)
       u16(heapIdLen); u16(if (filteredHeap) pipelineMsg.length else 0)
       u8(0) // flags: no checksummed blocks
-      u32(maxDirectBlk) // max managed object size
-      u64(0); u64(Undef) // next huge ID, huge B-tree v2
+      u32(maxManagedObj) // max managed object size
+      u64(hugeObjs.size.toLong) // next huge ID
+      u64(if (hugeBtree) hugeBthdAddr else Undef) // huge B-tree v2
       u64(0); u64(Undef) // free space, free-space manager
       val managed = blocks.map(_.size).sum
       u64(managed); u64(managed); u64(managed) // managed, allocated, iterator
-      u64(allNames.size.toLong) // managed objects
-      u64(0); u64(0); u64(0); u64(0) // huge/tiny sizes + counts
+      val nTiny = heapIds.count(_._2.isInstanceOf[Tiny])
+      u64((allNames.size - hugeObjs.size - nTiny).toLong) // managed objects
+      u64(hugeObjs.map(_._3.toLong).sum); u64(hugeObjs.size.toLong) // huge size + count
+      u64(tinyByName.values.map(_.length.toLong).sum); u64(nTiny.toLong) // tiny size + count
       u16(width); u64(startBlk); u64(maxDirectBlk)
       u16(32) // max heap size (bits) → 4-byte offsets
       u16(1) // starting rows in root indirect block
@@ -1765,22 +1852,33 @@ object Hdf5 {
       }
       u32(0) // checksum (unread)
       padTo8()
-      def record(lo: Long, len: Int): Unit = {
+      def record(id: Hid): Unit = {
         u32(0) // name hash (unread by this codec's reader)
-        u8(0)  // heap ID: version 0, managed
-        u32(lo); u16(len)
+        val before = pos
+        id match {
+          case Managed(lo, len) => u8(0); u32(lo); u16(len)
+          case Tiny(body) => u8(0x20 | (body.length - 1)); raw(body)
+          case Huge(addr, len, hid) =>
+            if (denseIdStyle == "tinyhuge") { u8(0x10); u64(addr); u64(len.toLong) }
+            else { // indirect: the B-tree key in the remaining ID bytes
+              u8(0x10)
+              var v = hid
+              for (_ <- 0 until heapIdLen - 1) { u8((v & 0xff).toInt); v >>= 8 }
+            }
+        }
+        while (pos - before < heapIdLen) u8(0) // IDs are fixed-width
       }
       for ((ch, ai) <- leafChunks.zip(leafAddrs)) {
         require(pos.toLong == ai, "BTLF layout drift")
         raw("BTLF".getBytes); u8(0); u8(5) // version, type 5: link-name index
-        ch.foreach { case (lo, len) => record(lo, len) }
+        ch.foreach { case (_, id) => record(id) }
         u32(0) // checksum (unread)
         padTo8()
       }
       if (deep) {
         require(pos.toLong == btinAddr, "BTIN layout drift")
         raw("BTIN".getBytes); u8(0); u8(5)
-        sepRecords.foreach { case (lo, len) => record(lo, len) }
+        sepRecords.foreach { case (_, id) => record(id) }
         for ((ch, ai) <- leafChunks.zip(leafAddrs)) { u64(ai); u8(ch.size) }
         u32(0) // checksum (unread)
         padTo8()
@@ -1795,6 +1893,25 @@ object Hdf5 {
       u64(allNames.size.toLong)
       u32(0) // checksum (unread)
       padTo8()
+      if (hugeBtree) {
+        require(pos.toLong == hugeBtlfAddr, "huge BTLF layout drift")
+        raw("BTLF".getBytes); u8(0); u8(1) // type 1: huge, indirect, unfiltered
+        hugeObjs.zipWithIndex.foreach { case ((_, a, l), i) =>
+          u64(a); u64(l.toLong); u64(i + 1L)
+        }
+        u32(0) // checksum (unread)
+        padTo8()
+        require(pos.toLong == hugeBthdAddr, "huge BTHD layout drift")
+        raw("BTHD".getBytes); u8(0); u8(1)
+        u32(nodeSize); u16(24)
+        u16(0) // depth: single leaf
+        u8(100); u8(40)
+        u64(hugeBtlfAddr)
+        u16(hugeObjs.size)
+        u64(hugeObjs.size.toLong)
+        u32(0) // checksum (unread)
+        padTo8()
+      }
 
       // root object header: Link Info only (new-style group)
       val a = pos

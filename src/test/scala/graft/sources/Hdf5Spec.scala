@@ -320,6 +320,63 @@ class Hdf5Spec extends SparkSpec {
         .sameElements(Array.tabulate(12)(j => (i * 100 + j).toFloat)), s"v$i data")
   }
 
+  test("TINY and direct HUGE heap IDs resolve (18-byte-ID heap geometry)") {
+    // 18-byte heap IDs (libhdf5's rule: ≥17 makes huge IDs direct, ≤18
+    // keeps tiny IDs in the normal 4-bit-length form). Short names (≤3
+    // chars → ≤14-byte link bodies) embed as tiny IDs; names past the
+    // 96-byte max-managed-object size overflow to direct huge storage;
+    // midsize names stay managed.
+    val lat = Array(40f, 30f, 20f)
+    val lon = Array(-30f, -20f, -10f, 0f)
+    val longName = "huge_" + ("x" * 150)
+    val vars = Seq(
+      NetCdf.Variable("lat", Seq("lat"), lat, None),
+      NetCdf.Variable("lon", Seq("lon"), lon, None)) ++ // tiny (3-char)
+      (1 to 8).map(i => NetCdf.Variable(s"v$i", Seq("lat", "lon"),
+        Array.tabulate(12)(j => (i * 100 + j).toFloat), None)) ++ // tiny (2-char)
+      Seq(
+        NetCdf.Variable("var_managed_mid", Seq("lat", "lon"),
+          Array.tabulate(12)(_.toFloat + 0.5f), None), // managed
+        NetCdf.Variable(longName, Seq("lat", "lon"),
+          Array.tabulate(12)(_.toFloat * 2f), None)) // huge
+    val bytes = Hdf5.write(Seq("lat" -> 3, "lon" -> 4), vars,
+      denseRoot = true, denseIdStyle = "tinyhuge")
+    val f = Hdf5.read(bytes)
+    assert(f.datasets.map(_.name).sorted == vars.map(_.name).sorted)
+    assert(f.datasets.find(_.name == longName).get.data
+      .sameElements(Array.tabulate(12)(_.toFloat * 2f)))
+    assert(f.datasets.find(_.name == "v3").get.data
+      .sameElements(Array.tabulate(12)(j => (300 + j).toFloat)))
+  }
+
+  test("indirect HUGE heap IDs resolve through the huge-object B-tree v2") {
+    // default 7-byte IDs: a huge link's ID is a key into the heap's
+    // huge-object B-tree (record type 1: address, length, id) — the
+    // layout real libhdf5 dense groups use for oversized link messages
+    val lat = Array(40f, 30f, 20f)
+    val lon = Array(-30f, -20f, -10f, 0f)
+    val longA = "huge_a_" + ("y" * 120)
+    val longB = "huge_b_" + ("z" * 180)
+    val vars = Seq(
+      NetCdf.Variable("lat", Seq("lat"), lat, None),
+      NetCdf.Variable("lon", Seq("lon"), lon, None)) ++
+      (1 to 9).map(i => NetCdf.Variable(s"var$i", Seq("lat", "lon"),
+        Array.tabulate(12)(j => (i * 10 + j).toFloat), None)) ++
+      Seq(
+        NetCdf.Variable(longA, Seq("lat", "lon"),
+          Array.tabulate(12)(_.toFloat + 1f), None),
+        NetCdf.Variable(longB, Seq("lat", "lon"),
+          Array.tabulate(12)(_.toFloat + 2f), None))
+    val bytes = Hdf5.write(Seq("lat" -> 3, "lon" -> 4), vars,
+      denseRoot = true, denseIdStyle = "hugebtree")
+    val f = Hdf5.read(bytes)
+    assert(f.datasets.map(_.name).sorted == vars.map(_.name).sorted)
+    assert(f.datasets.find(_.name == longA).get.data
+      .sameElements(Array.tabulate(12)(_.toFloat + 1f)))
+    assert(f.datasets.find(_.name == longB).get.data
+      .sameElements(Array.tabulate(12)(_.toFloat + 2f)))
+  }
+
   test("FILTERED fractal heap: deflated direct blocks, single-block and indirect") {
     // heaps whose direct blocks sit behind the heap's own deflate
     // pipeline: link resolution must decompress the block before
