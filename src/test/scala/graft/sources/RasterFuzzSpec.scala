@@ -48,9 +48,39 @@ class RasterFuzzSpec extends AnyFunSuite {
           ncType = 3)), version = 2)
     val cog64 = GeoTiff.writeCog(Seq(data), w, h, -180.0, 90.0, 15.0, 11.25,
       dtype = "float64")
+    // the round-9 surface: PackBits compression, NC_CHAR label
+    // variables, tiny/huge fractal-heap link IDs
+    val cogPb = GeoTiff.writeCog(Seq(data), w, h, -180.0, 90.0, 15.0, 11.25,
+      compression = 32773)
+    val ncChar = NetCdf.write(
+      Seq("lat" -> h, "lon" -> w, "station" -> 2, "strlen" -> 8),
+      Seq(NetCdf.Variable("lat", Seq("lat"), lat, None),
+        NetCdf.Variable("lon", Seq("lon"), lon, None),
+        NetCdf.Variable("station_name", Seq("station", "strlen"),
+          ("HalleyVI" + "Vostok  ").map(_.toFloat).toArray, None, ncType = 2),
+        NetCdf.Variable("t2m", Seq("lat", "lon"), data, None)))
+    val h5TinyHuge = Hdf5.write(
+      Seq("lat" -> 5, "lon" -> 7),
+      Seq(NetCdf.Variable("lat", Seq("lat"), lat5, None),
+        NetCdf.Variable("lon", Seq("lon"), lon7, None)) ++
+        (1 to 8).map(i => NetCdf.Variable(s"v$i", Seq("lat", "lon"),
+          d57.map(_ + i), None)) :+
+        NetCdf.Variable("var_managed_mid", Seq("lat", "lon"), d57, None) :+
+        NetCdf.Variable("huge_" + "q" * 140, Seq("lat", "lon"), d57, None),
+      denseRoot = true, denseIdStyle = "tinyhuge")
+    val h5HugeBt = Hdf5.write(
+      Seq("lat" -> 5, "lon" -> 7),
+      Seq(NetCdf.Variable("lat", Seq("lat"), lat5, None),
+        NetCdf.Variable("lon", Seq("lon"), lon7, None)) ++
+        (1 to 9).map(i => NetCdf.Variable(s"var$i", Seq("lat", "lon"),
+          d57.map(_ + i), None)) :+
+        NetCdf.Variable("huge_" + "r" * 160, Seq("lat", "lon"), d57, None),
+      denseRoot = true, denseIdStyle = "hugebtree")
     Seq("tiff-strip" -> strip, "tiff-cog" -> cog, "tiff-cog-f64" -> cog64,
+      "tiff-cog-packbits" -> cogPb,
       "netcdf" -> nc, "netcdf-cdf5" -> nc5, "netcdf-cdf2-packed" -> ncPacked,
-      "hdf5" -> h5)
+      "netcdf-charvar" -> ncChar,
+      "hdf5" -> h5, "hdf5-tinyhuge" -> h5TinyHuge, "hdf5-hugebtree" -> h5HugeBt)
   }
 
   private def decodeAny(label: String, bytes: Array[Byte]): Unit = label match {
