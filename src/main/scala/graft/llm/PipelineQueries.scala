@@ -97,13 +97,17 @@ object PipelineQueries extends QueryModule {
       val words = docs.select(col("doc_id"), explode(wordsCol).as("w"))
       val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
       val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
-      val win = Window.partitionBy("doc_id")
-        .orderBy(col("score").desc, col("w").asc)
+      // per-doc top 3 via the bounded top-k aggregate: partials reduce
+      // each map partition to ≤3 rows per doc BEFORE the doc_id
+      // shuffle — where the window form shuffles every scored term and
+      // sorts each group. Tie-break (score DESC, term ASC) identical.
       tf.join(df, Seq("w")).crossJoin(broadcast(n))
         .withColumn("score", (col("tf") * col("n")).cast("double") / col("df"))
-        .withColumn("rank", row_number().over(win))
-        .filter(col("rank") <= 3)
-        .select(col("doc_id"), col("w").as("term"), col("score"), col("rank"))
+        .groupBy("doc_id")
+        .agg(graft.functions.TopK.byScore(col("score"), col("w"), 3).as("top"))
+        .select(col("doc_id"), posexplode(col("top")))
+        .select(col("doc_id"), col("col.term").as("term"),
+          col("col.score").as("score"), (col("pos") + 1).cast("int").as("rank"))
     }),
 
     // Grouping-sets rollup (CUBE) over the event stream: every
