@@ -161,9 +161,16 @@ class PropertySpec extends AnyFunSuite {
     for (edges <- samples(edgeGen, 5)) {
       val pairs = edges.map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
         .distinct.toDF("doc_a", "doc_b")
-      // rounds beyond diameter: 20-node graphs settle well within 6
+      // rounds beyond diameter: 20-node graphs settle well within 6.
+      // BOTH execution paths must agree: the default (size-gated
+      // driver union-find) and the distributed pointer-jump loop,
+      // forced here with driverCap = 0
       val labels = graft.llm.Dedup.canonicalize(pairs, 6)
         .as[(Long, Long)].collect().toMap
+      val labelsDist = graft.llm.Dedup.canonicalize(pairs, 6, driverCap = 0)
+        .as[(Long, Long)].collect().toMap
+      assert(labels == labelsDist,
+        "driver union-find and distributed pointer-jump disagree")
       edges.foreach { case (a, b) =>
         assert(labels(a) == labels(b),
           s"edge ($a,$b) split across clusters: ${labels(a)} vs ${labels(b)}")
