@@ -22,8 +22,13 @@ final class TopKBuf(val k: Int) {
   val terms = new Array[UTF8String](k)
   var size = 0
 
-  private def beats(s: Double, t: UTF8String, i: Int): Boolean =
-    s > scores(i) || (s == scores(i) && t.compareTo(terms(i)) < 0)
+  // java.lang.Double.compare gives Spark's sort semantics (NaN orders
+  // above every value, NaN == NaN), so the aggregate stays equal to
+  // the row_number window even when the score expression emits NaN
+  private def beats(s: Double, t: UTF8String, i: Int): Boolean = {
+    val c = java.lang.Double.compare(s, scores(i))
+    c > 0 || (c == 0 && t.compareTo(terms(i)) < 0)
+  }
 
   def insert(s: Double, t: UTF8String): Unit = {
     var pos = 0

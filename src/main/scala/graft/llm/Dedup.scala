@@ -21,7 +21,18 @@ object Dedup {
     * a join output); the exchange only earns its cost on raw
     * small-file reads that would otherwise explode on one task. */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3,
-               spread: Boolean = true): DataFrame = {
+               spread: Boolean = true): DataFrame =
+    shingleFrame(docs, idCol, textCol, n, spread, "s", "string", identity)
+
+  /** Shared scaffolding of the shingle builders: tokenize, explode the
+    * n-gram windows, distinct (id, key). The two public forms differ
+    * ONLY in the per-gram key projection — keeping the tokenization and
+    * the short-document guard in one place, since the oracle parity of
+    * every shingle consumer depends on them staying identical. */
+  private def shingleFrame(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int, spread: Boolean, outCol: String,
+                           emptyType: String,
+                           key: Column => Column): DataFrame = {
     val ws = split(trim(lower(col(textCol))), "\\s+")
     // documents often arrive as one small file = one input split; spread
     // the regex/explode work across the cluster before the narrow ops.
@@ -31,8 +42,9 @@ object Dedup {
       .select(col("id"), explode(
         when(size(col("ws")) >= n,
           transform(sequence(lit(0), size(col("ws")) - n),
-            i => concat_ws(" ", (0 until n).map(d => element_at(col("ws"), i + d + 1)): _*)))
-          .otherwise(array().cast("array<string>"))).as("s"))
+            i => key(concat_ws(" ",
+              (0 until n).map(d => element_at(col("ws"), i + d + 1)): _*))))
+          .otherwise(array().cast(s"array<$emptyType>"))).as(outCol))
       .distinct()
   }
 
@@ -45,20 +57,9 @@ object Dedup {
     * gate stays exact even on a hash collision (both engines produce
     * the identical extra pair). */
   def shingleHashes(docs: DataFrame, idCol: String, textCol: String,
-                    n: Int = 3, spread: Boolean = true): DataFrame = {
-    val ws = split(trim(lower(col(textCol))), "\\s+")
-    (if (spread) docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-     else docs)
-      .select(col(idCol).as("id"), ws.as("ws"))
-      .select(col("id"), explode(
-        when(size(col("ws")) >= n,
-          transform(sequence(lit(0), size(col("ws")) - n),
-            i => conv(substring(md5(concat_ws(" ",
-              (0 until n).map(d => element_at(col("ws"), i + d + 1)): _*)), 1, 15),
-              16, 10).cast("long")))
-          .otherwise(array().cast("array<long>"))).as("h"))
-      .distinct()
-  }
+                    n: Int = 3, spread: Boolean = true): DataFrame =
+    shingleFrame(docs, idCol, textCol, n, spread, "h", "long",
+      g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))
 
   /** MinHash signatures: k hash slots carved out of ONE md5 per shingle
     * (disjoint 4-hex-char substrings of a strong hash behave as
@@ -161,6 +162,17 @@ object Dedup {
   def canonicalize(pairs: DataFrame, rounds: Int = 3,
                    driverCap: Long = 1L << 20): DataFrame = {
     val s = pairs.sparkSession
+    // ids must be integral: the long cast below would quietly NULL
+    // string/UUID ids and corrupt labels far from the cause
+    Seq("doc_a", "doc_b").foreach { c =>
+      val dt = pairs.schema(c).dataType
+      require(Seq(org.apache.spark.sql.types.ByteType,
+          org.apache.spark.sql.types.ShortType,
+          org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.LongType).contains(dt),
+        s"canonicalize needs integral doc ids; '$c' is $dt — hash or " +
+          "dictionary-encode non-numeric ids first")
+    }
     val edgesRaw = pairs
       .select(col("doc_a").cast("long").as("u"), col("doc_b").cast("long").as("v"))
       .localCheckpoint()

@@ -315,6 +315,7 @@ object Hdf5 {
     // B-tree v2 name index: walk the records at every level; hashes
     // are not consulted (listing is order-independent), only the
     // embedded heap IDs (each record = 4-byte name hash + heap ID).
+    var hugeMap: java.util.HashMap[Long, Long] = null
     walkBtreeV2(bb, bytes, bt2Addr) { (idAt0, _) =>
       val idAt = idAt0 + 4 // skip the name hash
       val idFlags = bytes(idAt) & 0xff
@@ -335,22 +336,25 @@ object Hdf5 {
         case 1 => // huge: past the max managed size. Direct IDs (ID wide
           // enough for address+length, libhdf5's rule) point straight at
           // the object; otherwise the ID is a key into the heap's huge-
-          // object v2 B-tree (record type 1: address, length, ID).
+          // object v2 B-tree (record type 1: address, length, ID),
+          // walked ONCE into an id→address map shared by every huge
+          // link — a per-link walk would be quadratic in huge links.
           require(!filtered, "filtered huge heap objects not supported")
           if (heapIdLen >= 17) {
             links += parseLink(bb, bytes, off(unsignedLE(idAt + 1, 8), bytes))
           } else {
-            val hugeBt2 = bb.getLong(h + 22)
-            require(hugeBt2 != -1L, "huge heap ID but no huge-object B-tree")
-            val wantId = unsignedLE(idAt + 1, math.min(8, heapIdLen - 1))
-            var found = false
-            walkBtreeV2(bb, bytes, hugeBt2) { (rAt, _) =>
-              if (!found && unsignedLE(rAt + 16, 8) == wantId) {
-                found = true
-                links += parseLink(bb, bytes, off(bb.getLong(rAt), bytes))
+            if (hugeMap == null) {
+              val hugeBt2 = bb.getLong(h + 22)
+              require(hugeBt2 != -1L, "huge heap ID but no huge-object B-tree")
+              hugeMap = new java.util.HashMap[Long, Long]()
+              walkBtreeV2(bb, bytes, hugeBt2) { (rAt, _) =>
+                hugeMap.put(unsignedLE(rAt + 16, 8), bb.getLong(rAt))
               }
             }
-            require(found, s"huge object $wantId not in the huge-object B-tree")
+            val wantId = unsignedLE(idAt + 1, math.min(8, heapIdLen - 1))
+            require(hugeMap.containsKey(wantId),
+              s"huge object $wantId not in the huge-object B-tree")
+            links += parseLink(bb, bytes, off(hugeMap.get(wantId), bytes))
           }
         case t =>
           throw new IllegalArgumentException(s"unknown fractal-heap ID type $t")

@@ -17,6 +17,18 @@ class TopKSpec extends SparkSpec {
     val small = new TopKBuf(4)
     small.insert(1.0, UTF8String.fromString("only"))
     assert(small.size == 1)
+    // NaN orders ABOVE every value (Spark's sort semantics under
+    // DESC), insertion-order independent; NaN ties break on the term
+    val n1 = new TopKBuf(2)
+    n1.insert(Double.NaN, UTF8String.fromString("n"))
+    n1.insert(99.0, UTF8String.fromString("v"))
+    val n2 = new TopKBuf(2)
+    n2.insert(99.0, UTF8String.fromString("v"))
+    n2.insert(Double.NaN, UTF8String.fromString("n"))
+    for (b <- Seq(n1, n2)) {
+      assert(b.terms(0).toString == "n" && b.scores(0).isNaN)
+      assert(b.terms(1).toString == "v")
+    }
   }
 
   test("matches the row_number window form on real data") {
