@@ -95,6 +95,25 @@ object TextQueries extends QueryModule {
         .select("doc_id", "lang", "g")
     }),
 
+    // Deterministic EXACT-k per-group sample: the k docs with the
+    // smallest doc-id hashes per source — reproducible (same corpus →
+    // same sample, unlike ORDER BY rand()), and bounded-memory at any
+    // scale: the per-group k-th minimum comes from the KMV aggregate
+    // (k longs of state, partial+final — no window, no per-group
+    // sort), then one filter pass keeps u ≤ k-th. Groups below k keep
+    // everything (NULL threshold). Ties at the threshold (only hash
+    // collisions) are kept by BOTH engines identically.
+    "t_hash_sample" -> ((s, dir) => {
+      val hashed = Tables.documents(s, dir)
+        .withColumn("u",
+          expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
+      val kth = hashed.groupBy("source")
+        .agg(graft.functions.KmvSketch.kthMin(col("u"), 5).as("uk"))
+      hashed.join(kth, "source")
+        .filter(col("uk").isNull || col("u") <= col("uk"))
+        .select("source", "doc_id", "u")
+    }),
+
     // Deterministic train/val/test split (80/10/10): the same hash gate
     // assigns each document a stable split — membership never changes
     // as the corpus grows, which leakage-free incremental training needs.
@@ -173,6 +192,20 @@ object TextQueries extends QueryModule {
         |  CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS g
         |FROM documents
         |WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 20""".stripMargin,
+    "t_hash_sample" ->
+      """WITH h AS (
+        |  SELECT source, doc_id,
+        |    CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS u
+        |  FROM documents),
+        |rn AS (
+        |  SELECT source, u, row_number() OVER (PARTITION BY source ORDER BY u) AS r
+        |  FROM h),
+        |kth AS (
+        |  SELECT source, max(CASE WHEN r = 5 THEN u END) AS uk
+        |  FROM rn GROUP BY source)
+        |SELECT h.source AS source, doc_id, u
+        |FROM h JOIN kth ON h.source = kth.source
+        |WHERE uk IS NULL OR u <= uk""".stripMargin,
     "t_dataset_split" ->
       """WITH g AS (
         |  SELECT doc_id, lang,
