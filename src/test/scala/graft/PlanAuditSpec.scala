@@ -51,6 +51,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(audited == SparkEntry.queries.size)
   }
 
+  test("sketch-backed rankers execute without a Window") {
+    // a15_kmv_distinct and t_hash_sample replaced skewed row_number
+    // windows with bounded-memory aggregates — a Window reappearing in
+    // either plan means the scale fix regressed
+    for (name <- Seq("a15_kmv_distinct", "t_hash_sample")) {
+      val df = SparkEntry.queries(name)(spark, sf0001)
+      df.count()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"$name plan regained a Window:\n$plan")
+    }
+  }
+
   test("per-document text signals execute with ZERO exchanges") {
     // t_gopher_quality / t_repetition answer per-row questions with
     // sorted-hash run folds — the scale claim is that NOTHING
