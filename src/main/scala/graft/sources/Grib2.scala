@@ -203,10 +203,13 @@ object Grib2 {
     * Δ = 2^n per subband nominal range — the lossy form rate-limited
     * producers emit. */
   def write(m: Message, decimals: Int = 2, packing: Int = 0,
-            scanMode: Int = 0, j2kQuantShift: Option[Int] = None): Array[Byte] = {
+            scanMode: Int = 0, j2kQuantShift: Option[Int] = None,
+            missingMgmt: Int = 0): Array[Byte] = {
     require(Set(0, 2, 3, 40, 41, 42, 200).contains(packing), s"unsupported packing $packing")
     require(j2kQuantShift.isEmpty || packing == 40,
       "j2kQuantShift only applies to JPEG2000 packing (40)")
+    require(missingMgmt == 0 || (missingMgmt == 1 && (packing == 2 || packing == 3)),
+      "missingMgmt 1 (primary in-group markers) applies to complex packing only")
     val r = m.raster
     val reducedPl: Option[Seq[Int]] =
       m.proj.collect { case rg: ReducedGaussianGrid => rg.pl }
@@ -570,33 +573,92 @@ object Grib2 {
       }
     } else {
       val order = if (packing == 3) 2 else 0
-      require(present.length > order, "too few points for spatial differencing")
-      // spatial differencing over the present-value sequence
-      val diffed = new Array[Long](present.length)
-      var i = 0
-      while (i < present.length) {
-        diffed(i) =
-          if (i < order) present(i)
-          else if (order == 2) present(i) - 2 * present(i - 1) + present(i - 2)
-          else present(i)
-        i += 1
+      val mvm = missingMgmt
+      // with missing-value management the NaN points stay IN the
+      // packed stream as in-group markers (the wgrib2/NCEP shape)
+      // instead of traveling in a bitmap
+      val pts: Array[Long] =
+        if (mvm == 0) present
+        else scanData.map(v => if (v.isNaN) 0L else math.round(v * scale - ref))
+      val ptMiss: Array[Boolean] =
+        if (mvm == 0) new Array[Boolean](pts.length) else scanData.map(_.isNaN)
+      val nmIdx = pts.indices.filter(j => !ptMiss(j)).toArray
+      require(nmIdx.length > order, "too few points for spatial differencing")
+      // spatial differencing over the NON-MISSING chain (identical to
+      // the plain chain when nothing is missing)
+      val diffed = pts.clone()
+      if (order == 2) {
+        var t = nmIdx.length - 1
+        while (t >= 2) {
+          val j = nmIdx(t)
+          diffed(j) = pts(j) - 2 * pts(nmIdx(t - 1)) + pts(nmIdx(t - 2))
+          t -= 1
+        }
       }
-      val packVals = diffed.drop(order)
-      val gmin = if (order > 0) packVals.min else 0L
-      val offset = packVals.map(_ - gmin)
-      // group split
-      val groups = offset.grouped(GroupLen).toArray
-      val ng = groups.length
-      val refs = groups.map(_.min)
-      val widths = groups.map(g => { val mx = g.max - g.min; if (mx == 0) 0 else bitsFor(mx) })
-      val nbitsRef = bitsFor(math.max(1L, refs.max))
+      // standard wire form (g2lib compack / eccodes): the packed group
+      // stream covers ALL points — the first `order` (non-missing)
+      // slots pack as ZERO (their original values travel in the extra
+      // descriptors and overwrite these slots at decode) and the
+      // overall minimum is taken over the differenced tail only
+      val firstVals = nmIdx.take(order).map(pts)
+      val tailIdx = nmIdx.drop(order)
+      val gmin = if (order > 0) tailIdx.map(diffed).min else 0L
+      val offset = new Array[Long](pts.length)
+      tailIdx.foreach(j => offset(j) = diffed(j) - gmin)
+      // group split boundaries: the `order` zero placeholders get
+      // their OWN width-0 group when they lead the stream (otherwise
+      // they'd widen whichever group they land in) — lengths go
+      // non-uniform through the scaled-length stream (lbits)
+      val cuts = scala.collection.mutable.Buffer[Int](0)
+      if (order > 0 && mvm == 0) cuts += order
+      while (cuts.last < pts.length)
+        cuts += math.min(cuts.last + GroupLen, pts.length)
+      val ng = cuts.length - 1
+      val ranges = (0 until ng).map(k => (cuts(k), cuts(k + 1)))
+      // per group: reference/width over the non-missing members; the
+      // all-ones symbol at the group width marks a missing point, so a
+      // group holding one needs width >= 1 and a spread clear of the
+      // marker; an all-missing group is a width-0 group whose
+      // reference is all-ones at the reference width (patched below)
+      val legitMin = ranges.map { case (lo, hi) =>
+        var m = Long.MaxValue
+        var j = lo; while (j < hi) { if (!ptMiss(j) && offset(j) < m) m = offset(j); j += 1 }
+        m
+      }
+      val widths = ranges.zipWithIndex.map { case ((lo, hi), k) =>
+        if (legitMin(k) == Long.MaxValue) 0
+        else {
+          var mx = 0L; var hasMiss = false
+          var j = lo
+          while (j < hi) {
+            if (ptMiss(j)) hasMiss = true
+            else if (offset(j) - legitMin(k) > mx) mx = offset(j) - legitMin(k)
+            j += 1
+          }
+          val w0 = if (mx == 0) 0 else bitsFor(mx)
+          if (!hasMiss) w0
+          else { val w1 = math.max(1, w0); if (mx == (1L << w1) - 1) w1 + 1 else w1 }
+        }
+      }.toArray
+      val legitRefs = legitMin.filter(_ != Long.MaxValue)
+      val nbitsRef = {
+        var nb = bitsFor(math.max(1L, legitRefs.max))
+        if (mvm > 0 && legitRefs.exists(_ == (1L << nb) - 1)) nb += 1
+        nb
+      }
+      val msng1 = (1L << nbitsRef) - 1
+      val refs = legitMin.map(v => if (v == Long.MaxValue) msng1 else v).toArray
       val wref = widths.min
       val wbits = { val mx = widths.max - wref; if (mx == 0) 0 else bitsFor(mx.toLong) }
-      val lref = GroupLen; val linc = 1
-      val lastLen = groups.last.length
-      val lbits = 0 // all non-last groups are exactly GroupLen (scaled length 0)
+      val lens = ranges.map { case (lo, hi) => hi - lo }.toArray
+      val lastLen = lens.last
+      val lref = if (ng == 1) lens.head else lens.init.min
+      val linc = 1
+      val lbits =
+        if (ng == 1) 0
+        else { val mx = lens.init.map(_ - lref).max; if (mx == 0) 0 else bitsFor(mx.toLong) }
       // ds: octets for the sign-magnitude descriptors (z values + gmin)
-      val descMax = (present.take(order) :+ math.abs(gmin)).map(math.abs).max
+      val descMax = (firstVals :+ math.abs(gmin)).map(math.abs).max
       val ds = math.max(1, (bitsFor(descMax) + 1 + 7) / 8)
 
       sec(5) { b =>
@@ -605,28 +667,40 @@ object Grib2 {
         bs16(b, 0); bs16(b, decimals)
         bu8(b, nbitsRef); bu8(b, 0)
         bu8(b, 1) // group splitting method: general
-        bu8(b, 0) // missing value management: none (bitmap carries nodata)
-        bu32(b, 0); bu32(b, 0) // primary/secondary missing substitutes
+        bu8(b, mvm) // missing value management
+        // primary missing substitute (decoders mask it; cfgrib → NaN)
+        bu32(b, if (mvm > 0) java.lang.Float.floatToIntBits(9999.0f).toLong & 0xffffffffL else 0L)
+        bu32(b, 0) // secondary substitute (unused at mvm <= 1)
         bu32(b, ng)
         bu8(b, wref); bu8(b, wbits)
         bu32(b, lref); bu8(b, linc); bu32(b, lastLen)
         bu8(b, lbits)
         if (packing == 3) { bu8(b, order); bu8(b, ds) }
       }
-      writeBitmap(sec, scanData, hasNaN, bu8)
+      if (mvm > 0) sec(6)(b => bu8(b, 255)) // markers in-stream, no bitmap
+      else writeBitmap(sec, scanData, hasNaN, bu8)
       sec(7) { b =>
         def sm(v: Long): Unit = { // sign-magnitude over ds octets
           val a = math.abs(v) | (if (v < 0) 1L << (ds * 8 - 1) else 0L)
           var k = ds - 1
           while (k >= 0) { bu8(b, ((a >> (k * 8)) & 0xff).toInt); k -= 1 }
         }
-        if (packing == 3) { present.take(order).foreach(sm); sm(gmin) }
+        if (packing == 3) { firstVals.foreach(sm); sm(gmin) }
         val w = new BitWriter(b)
         refs.foreach(x => w.put(x, nbitsRef)); w.flush()
         if (wbits > 0) { widths.foreach(x => w.put((x - wref).toLong, wbits)); w.flush() }
-        // lbits == 0: no scaled-length stream
-        for ((g, gi) <- groups.zipWithIndex; x <- g)
-          if (widths(gi) > 0) w.put(x - refs(gi), widths(gi))
+        if (lbits > 0) {
+          // ng scaled lengths; the last is overwritten from lastLen at
+          // decode (and may undershoot lref), so write 0 for it
+          lens.init.foreach(l => w.put((l - lref).toLong, lbits))
+          w.put(0L, lbits)
+          w.flush()
+        }
+        for ((k, (lo, hi)) <- ranges.zipWithIndex.map(_.swap); j <- lo until hi)
+          if (widths(k) > 0) {
+            if (ptMiss(j)) w.put((1L << widths(k)) - 1, widths(k))
+            else w.put(offset(j) - refs(k), widths(k))
+          }
         w.flush()
       }
     }
@@ -756,7 +830,7 @@ object Grib2 {
     // complex-packing (5.2/5.3) parameters
     var ng = 0; var wref = 0; var wbits = 0
     var lref = 0; var linc = 0; var lastLen = 0; var lbits = 0
-    var order = 0; var ds = 0
+    var order = 0; var ds = 0; var mvMgmt = 0
     // CCSDS (5.42) parameters
     var ccsdsFlags = 0; var ccsdsJ = 0; var ccsdsRsi = 0
     // run-length (5.200) parameters
@@ -1052,8 +1126,15 @@ object Grib2 {
               ccsdsRsi = u16(o + 18)
             }
             if (tmpl5 == 2 || tmpl5 == 3) {
-              require((bytes(o + 17) & 0xff) == 0,
-                "missing-value management not supported (bitmap carries nodata)")
+              // octet 23: missing-value management. 0 = none (bitmap
+              // carries nodata); 1 = primary missing substitute;
+              // 2 = primary + secondary. The NCEP complex-packed
+              // products (GFS/NAM via wgrib2) use in-group missing
+              // markers instead of a bitmap; both substitute classes
+              // decode to NaN, the reference's masked-array semantics
+              // (cfgrib masks missing to NaN).
+              mvMgmt = bytes(o + 17) & 0xff
+              require(mvMgmt <= 2, s"unknown missing-value management $mvMgmt")
               ng = u32(o + 26).toInt
               wref = bytes(o + 30) & 0xff; wbits = bytes(o + 31) & 0xff
               lref = u32(o + 32).toInt; linc = bytes(o + 36) & 0xff
@@ -1103,7 +1184,7 @@ object Grib2 {
                   rlNbits, rlMv, rlMvl, rlDec, rlLevels)
               } else {
                 decodeComplex(bytes, o, nPresent, refR, e, d, nbits,
-                  ng, wref, wbits, lref, linc, lastLen, lbits, order, ds)
+                  ng, wref, wbits, lref, linc, lastLen, lbits, order, ds, mvMgmt)
               }
             data = new Array[Float](nPts)
             var i = 0; var pi = 0
@@ -1203,7 +1284,7 @@ object Grib2 {
                             refR: Float, e: Int, d: Int, nbitsRef: Int,
                             ng: Int, wref: Int, wbits: Int,
                             lref: Int, linc: Int, lastLen: Int, lbits: Int,
-                            order: Int, ds: Int): Array[Double] = {
+                            order: Int, ds: Int, mvm: Int = 0): Array[Double] = {
     var p = o
     def signMag(): Long = { // ds-octet sign-magnitude
       var v = 0L
@@ -1224,30 +1305,77 @@ object Grib2 {
     lens(ng - 1) = lastLen
 
     val vals = new Array[Long](nPresent)
-    // seed with the explicitly-stored original first values (5.3)
+    // missing-value management (g2lib comunpack semantics): a
+    // constant (width-0) group whose reference is all-ones at the
+    // reference width is wholly primary-missing (all-ones−1 →
+    // secondary, mvm 2); inside a width-w group, the all-ones symbol
+    // at w bits marks a primary-missing point (all-ones−1 secondary)
+    val miss = if (mvm > 0) new Array[Boolean](nPresent) else null
+    if (mvm > 0) require(nbitsRef > 0,
+      "missing-value management needs a nonzero reference width")
+    val msng1 = (1L << nbitsRef) - 1
+    val msng2 = msng1 - 1
+    // the packed group stream covers ALL points (g2lib/eccodes wire
+    // form); the first `order` slots are placeholders overwritten
+    // from the explicitly-stored original first values below
     var i = 0
-    while (i < order) { vals(i) = firstVals(i); i += 1 }
     var g = 0
     while (g < ng) {
+      val wg = widths(g)
+      val allMiss = mvm > 0 && wg == 0 &&
+        (refs(g) == msng1 || (mvm == 2 && refs(g) == msng2))
       var k = 0
       while (k < lens(g) && i < nPresent) {
-        vals(i) = refs(g) + (if (widths(g) == 0) 0L else r.get(widths(g))) + gmin
+        if (wg == 0) {
+          if (allMiss) miss(i) = true
+          else vals(i) = refs(g) + gmin
+        } else {
+          val x = r.get(wg)
+          if (mvm > 0 && (x == (1L << wg) - 1 || (mvm == 2 && x == (1L << wg) - 2)))
+            miss(i) = true
+          else vals(i) = refs(g) + x + gmin
+        }
         i += 1; k += 1
       }
       g += 1
     }
     require(i == nPresent, s"complex packing group lengths cover $i of $nPresent values")
-    // undo spatial differencing
-    if (order == 1) {
-      var j = 1
-      while (j < nPresent) { vals(j) += vals(j - 1); j += 1 }
-    } else if (order == 2) {
-      var j = 2
-      while (j < nPresent) { vals(j) += 2 * vals(j - 1) - vals(j - 2); j += 1 }
+    if (mvm > 0 && order > 0) {
+      // seed and accumulate over the NON-MISSING chain only: the first
+      // `order` non-missing points are the stored originals, every
+      // later one is a (gmin-restored) difference on its non-missing
+      // predecessors
+      var seen = 0; var p1 = 0L; var p2 = 0L
+      var j = 0
+      while (j < nPresent) {
+        if (!miss(j)) {
+          if (seen < order) vals(j) = firstVals(seen)
+          else if (order == 1) vals(j) += p1
+          else vals(j) += 2 * p1 - p2
+          p2 = p1; p1 = vals(j)
+          seen += 1
+        }
+        j += 1
+      }
+      require(seen >= order || seen == 0,
+        s"fewer non-missing points ($seen) than the differencing order $order")
+    } else {
+      // seed the stored originals, then undo spatial differencing
+      var j0 = 0
+      while (j0 < order) { vals(j0) = firstVals(j0); j0 += 1 }
+      if (order == 1) {
+        var j = 1
+        while (j < nPresent) { vals(j) += vals(j - 1); j += 1 }
+      } else if (order == 2) {
+        var j = 2
+        while (j < nPresent) { vals(j) += 2 * vals(j - 1) - vals(j - 2); j += 1 }
+      }
     }
     val base = refR / math.pow(10, d)
     val factor = math.pow(2, e) / math.pow(10, d)
-    vals.map(x => base + x * factor)
+    Array.tabulate(nPresent) { t =>
+      if (miss != null && miss(t)) Double.NaN else base + vals(t) * factor
+    }
   }
 
 }

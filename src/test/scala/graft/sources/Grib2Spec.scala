@@ -712,6 +712,38 @@ class Grib2Spec extends SparkSpec {
     assert(bytes.length < Grib2.write(m, packing = 0).length)
   }
 
+  test("complex-packing missing-value management (octet 23 = 1) round-trips") {
+    // the wgrib2/NCEP shape: nodata travels as in-group all-ones
+    // markers (no bitmap). Scattered NaNs, NaN runs (whole groups
+    // missing), and NaNs BEFORE the first data point — the case that
+    // stresses the non-missing differencing chain.
+    val w = 30; val h = 20
+    val f = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      if (i < 3 || (y == 7) || (x == 11 && y % 3 == 0)) Float.NaN
+      else (250.0 + 2.5 * x + 1.5 * y + 0.04 * x * y).toFloat
+    }
+    val m = sampleMessage.copy(raster =
+      GeoTiff.Raster(w, h, f, -180.0, 90.0, 12.0, 9.0))
+    for (packing <- Seq(2, 3)) {
+      val bytes = Grib2.write(m, packing = packing, missingMgmt = 1)
+      // the message declares mvm 1 and carries NO bitmap section data
+      val back = Grib2.read(bytes)
+      back.raster.data.zip(m.raster.data).zipWithIndex.foreach { case ((a, b), i) =>
+        if (b.isNaN) assert(a.isNaN, s"5.$packing mvm point $i: $a should be NaN")
+        else assert(math.abs(a - b) < 0.005, s"5.$packing mvm point $i: $a vs $b")
+      }
+    }
+    // bitmap-free: an mvm message is smaller than the bitmap form
+    // plus the w*h/8 bitmap only when markers are cheap — just assert
+    // both decode identically rather than a size relation
+    val viaBitmap = Grib2.read(Grib2.write(m, packing = 3))
+    val viaMvm = Grib2.read(Grib2.write(m, packing = 3, missingMgmt = 1))
+    viaBitmap.raster.data.zip(viaMvm.raster.data).foreach { case (a, b) =>
+      assert((a.isNaN && b.isNaN) || a == b)
+    }
+  }
+
   test("all 16 scanning-mode flag combinations normalize back to north-up/west-east") {
     val m = sampleMessage
     // ±i (0x80), ±j (0x40), consecutive-j column-major (0x20) and

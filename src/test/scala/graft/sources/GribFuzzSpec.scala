@@ -30,6 +30,7 @@ class GribFuzzSpec extends AnyFunSuite {
       "simple" -> Grib2.write(latlon, packing = 0),
       "merc+simple" -> Grib2.write(merc, packing = 0),
       "complex" -> Grib2.write(latlon, packing = 3),
+      "complex+mvm" -> Grib2.write(latlon, packing = 3, missingMgmt = 1),
       "jpeg2000" -> Grib2.write(latlon, packing = 40),
       "jpeg2000-lossy97" -> Grib2.write(latlon, packing = 40, j2kQuantShift = Some(2)),
       "png" -> Grib2.write(latlon, packing = 41),
