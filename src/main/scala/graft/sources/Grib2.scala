@@ -204,12 +204,13 @@ object Grib2 {
     * producers emit. */
   def write(m: Message, decimals: Int = 2, packing: Int = 0,
             scanMode: Int = 0, j2kQuantShift: Option[Int] = None,
-            missingMgmt: Int = 0): Array[Byte] = {
+            missingMgmt: Int = 0, sdOrder: Int = 2): Array[Byte] = {
     require(Set(0, 2, 3, 40, 41, 42, 200).contains(packing), s"unsupported packing $packing")
     require(j2kQuantShift.isEmpty || packing == 40,
       "j2kQuantShift only applies to JPEG2000 packing (40)")
     require(missingMgmt == 0 || (missingMgmt == 1 && (packing == 2 || packing == 3)),
       "missingMgmt 1 (primary in-group markers) applies to complex packing only")
+    require(sdOrder == 1 || sdOrder == 2, "spatial differencing order must be 1 or 2")
     val r = m.raster
     val reducedPl: Option[Seq[Int]] =
       m.proj.collect { case rg: ReducedGaussianGrid => rg.pl }
@@ -572,7 +573,7 @@ object Grib2 {
         w.flush()
       }
     } else {
-      val order = if (packing == 3) 2 else 0
+      val order = if (packing == 3) sdOrder else 0
       val mvm = missingMgmt
       // with missing-value management the NaN points stay IN the
       // packed stream as in-group markers (the wgrib2/NCEP shape)
@@ -592,6 +593,12 @@ object Grib2 {
         while (t >= 2) {
           val j = nmIdx(t)
           diffed(j) = pts(j) - 2 * pts(nmIdx(t - 1)) + pts(nmIdx(t - 2))
+          t -= 1
+        }
+      } else if (order == 1) {
+        var t = nmIdx.length - 1
+        while (t >= 1) {
+          diffed(nmIdx(t)) = pts(nmIdx(t)) - pts(nmIdx(t - 1))
           t -= 1
         }
       }

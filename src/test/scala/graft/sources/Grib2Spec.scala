@@ -712,6 +712,24 @@ class Grib2Spec extends SparkSpec {
     assert(bytes.length < Grib2.write(m, packing = 0).length)
   }
 
+  test("first-order spatial differencing (5.3, order 1) round-trips, with and without mvm") {
+    val w = 24; val h = 16
+    val f = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      if (i < 2 || (x == 9 && y % 4 == 1)) Float.NaN
+      else (80.0 + 1.75 * x + 0.9 * y).toFloat
+    }
+    val m = sampleMessage.copy(raster =
+      GeoTiff.Raster(w, h, f, -180.0, 90.0, 15.0, 11.25))
+    for (mvm <- Seq(0, 1)) {
+      val back = Grib2.read(Grib2.write(m, packing = 3, sdOrder = 1, missingMgmt = mvm))
+      back.raster.data.zip(m.raster.data).zipWithIndex.foreach { case ((a, b), i) =>
+        if (b.isNaN) assert(a.isNaN, s"order-1 mvm=$mvm point $i")
+        else assert(math.abs(a - b) < 0.005, s"order-1 mvm=$mvm point $i: $a vs $b")
+      }
+    }
+  }
+
   test("complex-packing missing-value management (octet 23 = 1) round-trips") {
     // the wgrib2/NCEP shape: nodata travels as in-group all-ones
     // markers (no bitmap). Scattered NaNs, NaN runs (whole groups
