@@ -99,7 +99,7 @@ object Hdf5 {
       case v => throw new IllegalArgumentException(s"unsupported superblock v$v")
     }
     val out = scala.collection.mutable.Buffer[Dataset]()
-    readGroup(bb, bytes, rootAddr, "", out)
+    readGroup(bb, bytes, rootAddr, "", out, rootAddr)
     File(out.toSeq)
   }
 
@@ -168,16 +168,11 @@ object Hdf5 {
     msgs.toSeq.map { case (t, off, _) => (t, off) }
   }
 
-  private def readGroup(bb: ByteBuffer, bytes: Array[Byte], addr: Long,
-                        prefix: String, out: scala.collection.mutable.Buffer[Dataset]): Unit = {
-    val msgs = messages(bb, bytes, addr)
-    val types = msgs.map(_._1).toSet
-    if (types.contains(0x08)) { // data layout → dataset
-      out += readDataset(bb, bytes, addr, prefix, msgs)
-      return
-    }
-    val links = scala.collection.mutable.Buffer[(String, Long)]()
-    msgs.foreach {
+  /** All links of the group object at `addr` (compact messages,
+    * old-style symbol table, dense fractal heap). */
+  private def linksOf(bb: ByteBuffer, bytes: Array[Byte], addr: Long): Seq[Link] = {
+    val links = scala.collection.mutable.Buffer[Link]()
+    messages(bb, bytes, addr).foreach {
       case (0x11, off) => // symbol table: btree addr + local heap addr
         val btree = bb.getLong(off); val heap = bb.getLong(off + 8)
         val heapData = bb.getLong(Hdf5.off(heap, bytes) + 24)
@@ -189,8 +184,53 @@ object Hdf5 {
       case (0x06, off) => links += parseLink(bb, bytes, off)
       case _ =>
     }
-    links.foreach { case (name, child) =>
-      readGroup(bb, bytes, child, prefix + name + "/", out)
+    links.toSeq
+  }
+
+  /** Resolve a soft-link path to an object-header address: absolute
+    * paths walk from the root, relative ones from the linking group;
+    * soft links may chain (depth-guarded against cycles). Returns None
+    * for a DANGLING path — a legitimate HDF5 state that iteration
+    * skips (h5ls/h5py behavior), never an error. */
+  private def resolvePath(bb: ByteBuffer, bytes: Array[Byte], rootAddr: Long,
+                          fromAddr: Long, path: String, depth: Int): Option[Long] = {
+    require(depth < 16, s"soft-link chain too deep at '$path' (cycle?)")
+    var cur = if (path.startsWith("/")) rootAddr else fromAddr
+    for (part <- path.split("/").iterator.filter(_.nonEmpty)) {
+      linksOf(bb, bytes, cur).find(_._1 == part) match {
+        case Some((_, Left(a))) => cur = a
+        case Some((_, Right(p2))) =>
+          resolvePath(bb, bytes, rootAddr, cur, p2, depth + 1) match {
+            case Some(a) => cur = a
+            case None => return None
+          }
+        case None => return None
+      }
+    }
+    Some(cur)
+  }
+
+  private def readGroup(bb: ByteBuffer, bytes: Array[Byte], addr: Long,
+                        prefix: String, out: scala.collection.mutable.Buffer[Dataset],
+                        rootAddr: Long, seen: Set[Long] = Set.empty): Unit = {
+    // ancestor guard: a link (soft or hard) back to an enclosing group
+    // would recurse forever; the same group under SIBLING names is
+    // legitimate (an alias) and stays allowed
+    if (seen.contains(addr)) return
+    val msgs = messages(bb, bytes, addr)
+    if (msgs.map(_._1).contains(0x08)) { // data layout → dataset
+      out += readDataset(bb, bytes, addr, prefix, msgs)
+      return
+    }
+    val seen2 = seen + addr
+    linksOf(bb, bytes, addr).foreach {
+      case (name, Left(child)) =>
+        readGroup(bb, bytes, child, prefix + name + "/", out, rootAddr, seen2)
+      case (name, Right(path)) =>
+        // soft link: resolve (dangling targets are skipped, like h5py
+        // iteration); the linked object surfaces under the LINK's name
+        resolvePath(bb, bytes, rootAddr, addr, path, 0).foreach(child =>
+          readGroup(bb, bytes, child, prefix + name + "/", out, rootAddr, seen2))
     }
   }
 
@@ -214,7 +254,7 @@ object Hdf5 {
     * form or the huge-object v2 B-tree; only filtered huge objects
     * fail loudly. */
   private[sources] def denseLinks(bb: ByteBuffer, bytes: Array[Byte], fhAddr: Long, bt2Addr: Long,
-                         links: scala.collection.mutable.Buffer[(String, Long)]): Unit = {
+                         links: scala.collection.mutable.Buffer[Link]): Unit = {
     val h = off(fhAddr, bytes)
     require(bytes(h) == 'F' && bytes(h + 1) == 'R' && bytes(h + 2) == 'H' && bytes(h + 3) == 'P',
       s"expected FRHP at $fhAddr")
@@ -424,7 +464,7 @@ object Hdf5 {
   }
 
   private def walkGroupBtree(bb: ByteBuffer, bytes: Array[Byte], addr: Long, heapData: Long,
-                             links: scala.collection.mutable.Buffer[(String, Long)]): Unit = {
+                             links: scala.collection.mutable.Buffer[Link]): Unit = {
     val a = off(addr, bytes)
     require(bytes(a) == 'T' && bytes(a + 1) == 'R', s"expected TREE at $addr")
     val level = bytes(a + 5) & 0xff
@@ -442,17 +482,25 @@ object Hdf5 {
           val e = c + 8 + i * 40
           val nameOff = bb.getLong(e)
           val ohAddr = bb.getLong(e + 8)
-          links += ((cString(bytes, off(heapData + nameOff, bytes)), ohAddr))
+          links += ((cString(bytes, off(heapData + nameOff, bytes)), Left(ohAddr)))
         }
       }
     }
   }
 
-  private def parseLink(bb: ByteBuffer, bytes: Array[Byte], off: Int): (String, Long) = {
+  /** One parsed link: hard (object-header address) or soft (path,
+    * resolved during traversal). */
+  private[sources] type Link = (String, Either[Long, String])
+
+  private def parseLink(bb: ByteBuffer, bytes: Array[Byte], off: Int): Link = {
     val flags = bytes(off + 1) & 0xff
     var p = off + 2
+    var linkType = 0
     if ((flags & 0x08) != 0) {
-      require((bytes(p) & 0xff) == 0, "only hard links supported"); p += 1
+      linkType = bytes(p) & 0xff
+      require(linkType <= 1,
+        s"link type $linkType not supported (0 hard, 1 soft; external/user-defined fail loudly)")
+      p += 1
     }
     if ((flags & 0x04) != 0) p += 8 // creation order
     if ((flags & 0x10) != 0) p += 1 // charset
@@ -464,7 +512,12 @@ object Hdf5 {
     }
     p += lenBytes
     val name = new String(bytes, p, nameLen, "UTF-8")
-    (name, bb.getLong(p + nameLen))
+    p += nameLen
+    if (linkType == 0) (name, Left(bb.getLong(p)))
+    else { // soft: 2-byte length + path bytes
+      val plen = bb.getShort(p) & 0xffff
+      (name, Right(new String(bytes, p + 2, plen, "UTF-8")))
+    }
   }
 
   private def cString(bytes: Array[Byte], off: Int): String = {
@@ -1165,7 +1218,10 @@ object Hdf5 {
             v4Unfiltered: Boolean = false, v4PageBits: Int = 10,
             eaPageBits: Int = 10, subgroup: Option[String] = None,
             filteredHeap: Boolean = false,
-            denseIdStyle: String = "managed"): Array[Byte] = {
+            denseIdStyle: String = "managed",
+            softLinks: Seq[(String, String)] = Nil): Array[Byte] = {
+    require(softLinks.isEmpty || denseRoot,
+      "fixture writer: soft links are emitted in dense roots")
     require(subgroup.isEmpty || !denseRoot,
       "fixture writer: subgroup + denseRoot not combined")
     require(!filteredHeap || denseRoot, "filteredHeap applies to dense roots")
@@ -1667,6 +1723,19 @@ object Hdf5 {
           bb.put(1.toByte).put(0.toByte).put(nb.length.toByte).put(nb).putLong(addr)
         }, 11 + nb.length)
       }
+      def softBody(name: String, path: String): Array[Byte] = {
+        val nb = name.getBytes("UTF-8"); val pb = path.getBytes("UTF-8")
+        require(nb.length < 256 && pb.length < 65536, "soft link name/path too long")
+        bodyBuf({ bb =>
+          bb.put(1.toByte).put(0x08.toByte).put(1.toByte) // flags: explicit type; 1 = soft
+            .put(nb.length.toByte).put(nb)
+            .putShort(pb.length.toShort).put(pb)
+        }, 6 + nb.length + pb.length)
+      }
+      val softMap = softLinks.toMap
+      val denseNames = allNames ++ softLinks.map(_._1)
+      def bodyOf(n: String): Array[Byte] =
+        softMap.get(n).map(t => softBody(n, t)).getOrElse(linkBody(n, ohAddrs(n)))
       // per-link heap ID: managed (block offset + length), tiny (body
       // embedded in the ID), or huge (direct address, or a key into the
       // huge-object B-tree)
@@ -1679,8 +1748,8 @@ object Hdf5 {
       padTo8()
       val hugeObjs = scala.collection.mutable.Buffer[(String, Long, Int)]()
       val tinyByName = scala.collection.mutable.Map[String, Array[Byte]]()
-      for (n <- allNames) {
-        val lb = linkBody(n, ohAddrs(n))
+      for (n <- denseNames) {
+        val lb = bodyOf(n)
         if (denseIdStyle != "managed" && lb.length > maxManagedObj) {
           hugeObjs += ((n, pos.toLong, lb.length)); raw(lb)
         } else if (denseIdStyle == "tinyhuge" &&
@@ -1700,11 +1769,11 @@ object Hdf5 {
       val blocks = scala.collection.mutable.Buffer[Blk]()
       var fill = 0L
       val heapIds = scala.collection.mutable.Buffer[(String, Hid)]() // creation order
-      for (n <- allNames) {
+      for (n <- denseNames) {
         if (hugeByName.contains(n)) heapIds += ((n, hugeByName(n)))
         else if (tinyByName.contains(n)) heapIds += ((n, Tiny(tinyByName(n))))
         else {
-          val lb = linkBody(n, ohAddrs(n))
+          val lb = bodyOf(n)
           require(lb.length <= startBlk - dbHeader, s"link body for '$n' exceeds a start block")
           if (blocks.isEmpty || fill + lb.length > blocks.last.size) {
             val (r, c) =
@@ -1841,7 +1910,7 @@ object Hdf5 {
       val managed = blocks.map(_.size).sum
       u64(managed); u64(managed); u64(managed) // managed, allocated, iterator
       val nTiny = heapIds.count(_._2.isInstanceOf[Tiny])
-      u64((allNames.size - hugeObjs.size - nTiny).toLong) // managed objects
+      u64((denseNames.size - hugeObjs.size - nTiny).toLong) // managed objects
       u64(hugeObjs.map(_._3.toLong).sum); u64(hugeObjs.size.toLong) // huge size + count
       u64(tinyByName.values.map(_.length.toLong).sum); u64(nTiny.toLong) // tiny size + count
       u16(width); u64(startBlk); u64(maxDirectBlk)
@@ -1893,8 +1962,8 @@ object Hdf5 {
       u16(if (deep) 1 else 0) // depth
       u8(100); u8(40) // split/merge percents (libhdf5 defaults)
       u64(if (deep) btinAddr else leafAddrs.head)
-      u16(if (deep) sepRecords.size else allNames.size)
-      u64(allNames.size.toLong)
+      u16(if (deep) sepRecords.size else denseNames.size)
+      u64(denseNames.size.toLong)
       u32(0) // checksum (unread)
       padTo8()
       if (hugeBtree) {

@@ -167,9 +167,10 @@ class Hdf5Spec extends SparkSpec {
     }
     rec(0, 8209); rec(1, 8225); rec(2, 8721)
 
-    val links = scala.collection.mutable.Buffer[(String, Long)]()
+    val links = scala.collection.mutable.Buffer[Hdf5.Link]()
     Hdf5.denseLinks(bb, bytes, 0L, 1408L, links)
-    assert(links.toSet == Set(("alpha", 0x1111L), ("beta", 0x2222L), ("gamma", 0x3333L)),
+    assert(links.toSet == Set(("alpha", Left(0x1111L)), ("beta", Left(0x2222L)),
+      ("gamma", Left(0x3333L))),
       s"nested-indirect resolution produced $links")
   }
 
@@ -318,6 +319,35 @@ class Hdf5Spec extends SparkSpec {
     for (i <- 1 to 10)
       assert(f.datasets.find(_.name == s"v$i").get.data
         .sameElements(Array.tabulate(12)(j => (i * 100 + j).toFloat)), s"v$i data")
+  }
+
+  test("soft links resolve (absolute, relative, chained); dangling are skipped") {
+    val lat = Array(40f, 30f, 20f)
+    val lon = Array(-30f, -20f, -10f, 0f)
+    val vars = Seq(
+      NetCdf.Variable("lat", Seq("lat"), lat, None),
+      NetCdf.Variable("lon", Seq("lon"), lon, None)) ++
+      (1 to 9).map(i => NetCdf.Variable(s"var$i", Seq("lat", "lon"),
+        Array.tabulate(12)(j => (i * 10 + j).toFloat), None))
+    val bytes = Hdf5.write(Seq("lat" -> 3, "lon" -> 4), vars,
+      denseRoot = true,
+      softLinks = Seq(
+        "alias_abs" -> "/var3",      // absolute path
+        "alias_rel" -> "var5",       // relative to the linking group
+        "alias_chain" -> "alias_abs", // soft → soft chain
+        "alias_dangling" -> "/no_such_var"))
+    val f = Hdf5.read(bytes)
+    // aliased datasets surface under the LINK's name, data intact
+    assert(f.datasets.find(_.name == "alias_abs").get.data
+      .sameElements(Array.tabulate(12)(j => (30 + j).toFloat)))
+    assert(f.datasets.find(_.name == "alias_rel").get.data
+      .sameElements(Array.tabulate(12)(j => (50 + j).toFloat)))
+    assert(f.datasets.find(_.name == "alias_chain").get.data
+      .sameElements(Array.tabulate(12)(j => (30 + j).toFloat)))
+    // dangling links are skipped, not errors (h5py iteration behavior)
+    assert(!f.datasets.exists(_.name == "alias_dangling"))
+    // the hard-linked originals are all still there
+    assert((1 to 9).forall(i => f.datasets.exists(_.name == s"var$i")))
   }
 
   test("TINY and direct HUGE heap IDs resolve (18-byte-ID heap geometry)") {
