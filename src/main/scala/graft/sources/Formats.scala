@@ -88,6 +88,34 @@ object Formats {
       Grib2.lonLatArrays(requireOneGrid(Grib2.readAll(b)).head)
   }
 
+  object Grib1Decoder extends Decoder {
+    val name = "grib1"
+    def canHandle(b: Array[Byte]) = Grib1.canHandle(b)
+    def decode(b: Array[Byte]) = Grib1.read(b).raster
+    /** Same mixed-grid hazard as edition 2: one lon/lat set serves all
+      * messages, so a file mixing grids must fail loudly. */
+    private def requireOneGrid(ms: Seq[Grib2.Message]): Seq[Grib2.Message] = {
+      val h = ms.head
+      ms.zipWithIndex.foreach { case (m, i) =>
+        val same = m.raster.width == h.raster.width &&
+          m.raster.height == h.raster.height &&
+          m.raster.west == h.raster.west && m.raster.north == h.raster.north &&
+          m.raster.px == h.raster.px && m.raster.py == h.raster.py &&
+          m.proj == h.proj
+        require(same,
+          s"message $i carries a different grid than message 0; " +
+            "mixed-grid GRIB files must be split before ingest")
+      }
+      ms
+    }
+    override def decodeMulti(b: Array[Byte]): Seq[(Int, GeoTiff.Raster)] =
+      requireOneGrid(Grib1.readAll(b)).map(m => (m.forecastHours, m.raster))
+    override def listVariables(b: Array[Byte]): Seq[String] =
+      Grib1.readAll(b).map(m => s"d${m.discipline}_c${m.category}_p${m.parameter}").distinct
+    override def pixelLonLat(b: Array[Byte]): Option[(Array[Double], Array[Double])] =
+      Grib2.lonLatArrays(requireOneGrid(Grib1.readAll(b)).head)
+  }
+
   object NetCdfDecoder extends Decoder {
     val name = "netcdf"
     def canHandle(b: Array[Byte]) = NetCdf.canHandle(b) || Hdf5.canHandle(b)
@@ -115,7 +143,8 @@ object Formats {
     }
   }
 
-  val registry: Seq[Decoder] = Seq(GeoTiffDecoder, Grib2Decoder, NetCdfDecoder)
+  val registry: Seq[Decoder] =
+    Seq(GeoTiffDecoder, Grib2Decoder, Grib1Decoder, NetCdfDecoder)
 
   def sniff(bytes: Array[Byte]): Option[Decoder] = registry.find(_.canHandle(bytes))
 

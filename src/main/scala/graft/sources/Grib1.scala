@@ -1,0 +1,332 @@
+package graft.sources
+
+/** Minimal GRIB edition-1 codec (WMO FM-92 GRIB1) — the legacy
+  * archives (ERA-40-era reanalyses, pre-2000s NCEP/DWD products) that
+  * the reference reads through eccodes (formats/grib.py:122-230).
+  * Written from the public WMO Manual on Codes edition-1 tables:
+  * fixed-offset IS/PDS/GDS/BMS/BDS sections, sign-magnitude 16/24-bit
+  * integers, IBM System/370 32-bit reference floats.
+  *
+  * Covered: simple packing (the overwhelming GRIB1 wire form), bitmap
+  * nodata, lat/lon (grid type 0) and regular global Gaussian (type 4)
+  * grids, all 8 edition-1 scan-mode combinations, multi-message
+  * concatenation. Complex/second-order packing, spherical harmonics,
+  * predefined (GDS-less) grids, and other grid types FAIL LOUDLY.
+  *
+  * Messages surface as [[Grib2.Message]], so the whole ingest path
+  * (chipper, variable discovery, multi-message step indexing) is
+  * shared with edition 2. GRIB1 has no discipline octet; messages
+  * carry discipline 255 (the GRIB2 "missing" sentinel) and the
+  * parameter-table version as the category, giving
+  * `d255_c{table}_p{param}` variable names that cannot collide with
+  * an edition-2 product's.
+  */
+object Grib1 {
+
+  def canHandle(b: Array[Byte]): Boolean =
+    b.length > 8 && b(0) == 'G' && b(1) == 'R' && b(2) == 'I' && b(3) == 'B' &&
+      (b(7) & 0xff) == 1
+
+  // ---- fixed-width big-endian + sign-magnitude readers --------------
+  private def u8(b: Array[Byte], o: Int): Int = b(o) & 0xff
+  private def u16(b: Array[Byte], o: Int): Int = ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+  private def u24(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 16) | ((b(o + 1) & 0xff) << 8) | (b(o + 2) & 0xff)
+  private def u32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+  private def sm16(b: Array[Byte], o: Int): Int = {
+    val v = u16(b, o); if ((v & 0x8000) != 0) -(v & 0x7fff) else v
+  }
+  private def sm24(b: Array[Byte], o: Int): Int = {
+    val v = u24(b, o); if ((v & 0x800000) != 0) -(v & 0x7fffff) else v
+  }
+
+  /** IBM System/370 single: sign, 7-bit base-16 exponent (bias 64),
+    * 24-bit fraction — the edition-1 reference-value float. */
+  private[sources] def ibm32(bits: Long): Double = {
+    if ((bits & 0x7fffffffL) == 0) return 0.0
+    val s = if ((bits >>> 31) != 0) -1.0 else 1.0
+    val e = ((bits >>> 24) & 0x7f).toInt - 64
+    s * ((bits & 0xffffff).toDouble / (1 << 24)) * math.pow(16.0, e)
+  }
+
+  private[sources] def toIbm32(v: Double): Long = {
+    if (v == 0.0) return 0L
+    val s = if (v < 0) 1L else 0L
+    val a = math.abs(v)
+    // smallest e with a/16^e < 1 → fraction in [1/16, 1)
+    var e = math.floor(math.log(a) / math.log(16.0)).toInt + 1
+    var frac = math.round(a / math.pow(16.0, e) * (1 << 24))
+    if (frac >= (1 << 24)) { frac >>= 4; e += 1 } // rounding overflow
+    require(e + 64 >= 0 && e + 64 <= 127, s"value $v outside IBM float range")
+    (s << 31) | ((e + 64).toLong << 24) | (frac & 0xffffff)
+  }
+
+  // ---- decode -------------------------------------------------------
+
+  def read(bytes: Array[Byte]): Grib2.Message = readAll(bytes).head
+
+  def readAll(bytes: Array[Byte]): Seq[Grib2.Message] = {
+    require(canHandle(bytes), "not GRIB1")
+    val out = scala.collection.mutable.Buffer[Grib2.Message]()
+    var pos = 0
+    while (pos + 8 <= bytes.length) {
+      require(new String(bytes, pos, 4) == "GRIB", s"expected GRIB at offset $pos")
+      require(u8(bytes, pos + 7) == 1, "only GRIB edition 1")
+      val total = u24(bytes, pos + 4)
+      require(total > 8 && pos + total <= bytes.length,
+        s"implausible message length $total at offset $pos")
+      require(new String(bytes, pos + total - 4, 4) == "7777",
+        s"message at $pos does not end in 7777")
+      out += readMessage(bytes, pos)
+      pos += total
+    }
+    out.toSeq
+  }
+
+  private def readMessage(bytes: Array[Byte], start: Int): Grib2.Message = {
+    var o = start + 8
+    // ---- PDS ----
+    val pdsLen = u24(bytes, o)
+    require(pdsLen >= 28, s"implausible PDS length $pdsLen")
+    val table = u8(bytes, o + 3)
+    val flags = u8(bytes, o + 7)
+    val param = u8(bytes, o + 8)
+    val yy = u8(bytes, o + 12); val mm = u8(bytes, o + 13); val dd = u8(bytes, o + 14)
+    val hh = u8(bytes, o + 15); val mn = u8(bytes, o + 16)
+    val unit = u8(bytes, o + 17)
+    val p1 = u8(bytes, o + 18); val p2 = u8(bytes, o + 19)
+    val tri = u8(bytes, o + 20)
+    val century = u8(bytes, o + 24)
+    val dScale = sm16(bytes, o + 26)
+    val year = (century - 1) * 100 + yy
+    val refTime = java.time.LocalDateTime.of(year, mm, dd, hh, mn)
+    def hoursOf(n: Int): Int = unit match {
+      case 0 => require(n % 60 == 0, s"sub-hour forecast step ($n min)"); n / 60
+      case 1 => n
+      case 2 => n * 24
+      case 10 => n * 3
+      case 11 => n * 6
+      case 12 => n * 12
+      case u => throw new IllegalArgumentException(s"unsupported time unit $u")
+    }
+    val forecastHours = tri match {
+      case 0 | 1 => hoursOf(if (tri == 1) 0 else p1)
+      case 2 | 3 | 4 | 5 => hoursOf(p2) // interval products: end of period
+      case 10 => hoursOf((p1 << 8) | p2)
+      case t => throw new IllegalArgumentException(s"unsupported time range indicator $t")
+    }
+    o += pdsLen
+    // ---- GDS ----
+    require((flags & 0x80) != 0,
+      "GRIB1 message without GDS (predefined grid) not supported")
+    val gdsLen = u24(bytes, o)
+    val gtype = u8(bytes, o + 5)
+    require(gtype == 0 || gtype == 4,
+      s"unsupported GRIB1 grid type $gtype (0 lat/lon, 4 Gaussian)")
+    val ni = u16(bytes, o + 6); val nj = u16(bytes, o + 8)
+    require(ni > 0 && ni != 0xffff && nj > 0 && ni.toLong * nj <= (1 << 26),
+      s"implausible GRIB1 grid shape ${ni}x$nj (quasi-regular rows not supported)")
+    val la1 = sm24(bytes, o + 10) / 1000.0; val lo1 = sm24(bytes, o + 13) / 1000.0
+    val la2 = sm24(bytes, o + 17) / 1000.0; val lo2 = sm24(bytes, o + 20) / 1000.0
+    val scanMode = u8(bytes, o + 27)
+    // edition 1 defines scan bits 1-3 only (±i, ±j, column-major)
+    require((scanMode & 0x1f) == 0, f"implausible GRIB1 scan mode 0x$scanMode%02x")
+    var px = 0.0; var py = 0.0; var west = 0.0; var north = 0.0
+    var proj: Option[Grib2.GridProj] = None
+    if (gtype == 0) {
+      val di = u16(bytes, o + 23); val dj = u16(bytes, o + 25)
+      // 0xffff = "not given" → derive from the corner span
+      px = if (di != 0xffff) di / 1000.0
+           else math.abs(lo2 - lo1) / math.max(1, ni - 1)
+      py = if (dj != 0xffff) dj / 1000.0
+           else math.abs(la2 - la1) / math.max(1, nj - 1)
+      west = math.min(lo1, lo2) - px / 2
+      north = math.max(la1, la2) + py / 2
+    } else { // regular global Gaussian
+      val nPar = u16(bytes, o + 25)
+      require(nPar >= 1 && nPar <= 8192, s"implausible Gaussian N=$nPar")
+      require(nj == 2 * nPar,
+        s"regional Gaussian subsets not supported ($nj rows for N=$nPar)")
+      val glats = Grib2.gaussLatsCached(2 * nPar)
+      px = 360.0 / ni
+      west = math.min(lo1, lo2) - px / 2
+      py = (glats(0) - glats(nj - 1)) / (nj - 1)
+      north = glats(0) + py / 2
+      proj = Some(Grib2.GaussianGrid(nPar))
+    }
+    o += gdsLen
+    // ---- BMS (optional) ----
+    var bitmap: Array[Boolean] = null
+    if ((flags & 0x40) != 0) {
+      val bmsLen = u24(bytes, o)
+      require(u16(bytes, o + 4) == 0,
+        "predefined (centre-table) bitmaps not supported")
+      bitmap = new Array[Boolean](ni * nj)
+      var i = 0
+      while (i < bitmap.length) {
+        bitmap(i) = ((bytes(o + 6 + i / 8) >> (7 - i % 8)) & 1) == 1
+        i += 1
+      }
+      o += bmsLen
+    }
+    // ---- BDS ----
+    val bdsFlags = u8(bytes, o + 3) >> 4
+    require((bdsFlags & 0x04) == 0, "spherical-harmonic GRIB1 data not supported")
+    require((bdsFlags & 0x02) == 0, "second-order GRIB1 packing not supported")
+    require((bdsFlags & 0x01) == 0, "additional-flag (octet 14) GRIB1 forms not supported")
+    val e = sm16(bytes, o + 4)
+    val refR = ibm32(u32(bytes, o + 6))
+    val nbits = u8(bytes, o + 10)
+    val nPresent = if (bitmap == null) ni * nj else bitmap.count(identity)
+    val base = refR / math.pow(10, dScale)
+    val factor = math.pow(2, e) / math.pow(10, dScale)
+    val present = new Array[Double](nPresent)
+    if (nbits == 0) java.util.Arrays.fill(present, base) // constant field
+    else {
+      val r = new Grib2.BitReader(bytes, o + 11)
+      var i = 0
+      while (i < nPresent) { present(i) = base + r.get(nbits) * factor; i += 1 }
+    }
+    var data = new Array[Float](ni * nj)
+    var i = 0; var pi = 0
+    while (i < data.length) {
+      if (bitmap != null && !bitmap(i)) data(i) = Float.NaN
+      else { data(i) = present(pi).toFloat; pi += 1 }
+      i += 1
+    }
+    if (scanMode != 0) data = Grib2.fromScanOrder(data, ni, nj, scanMode)
+    Grib2.Message(GeoTiff.Raster(ni, nj, data, west, north, px, py),
+      discipline = 255, category = table, parameter = param,
+      refTime = refTime, forecastHours = forecastHours, proj = proj)
+  }
+
+  // ---- fixture writer ----------------------------------------------
+
+  /** Encode one message (simple packing; bitmap when the raster holds
+    * NaN; lat/lon grid). Gaussian output is not needed for fixtures —
+    * decode-side Gaussian coverage rides hand-built GDS bytes in the
+    * spec. */
+  def write(m: Grib2.Message, decimals: Int = 2, scanMode: Int = 0): Array[Byte] = {
+    require((scanMode & 0x1f) == 0, "edition-1 scan modes use bits 1-3 only")
+    val r = m.raster
+    val scan = Grib2.toScanOrder(r.data, r.width, r.height, scanMode)
+    val valid = scan.filter(!_.isNaN)
+    require(valid.nonEmpty, "all-NaN grid")
+    val hasNaN = scan.exists(_.isNaN)
+    val scale = math.pow(10, decimals)
+    // the reference value must round-trip through IBM encoding: use
+    // the DECODED value of the encoded minimum so X offsets are exact
+    val refBits = toIbm32(math.floor(valid.min * scale))
+    val refR = ibm32(refBits)
+    val xs = scan.filter(!_.isNaN).map(v => math.round(v * scale - refR))
+    require(xs.forall(_ >= 0), "reference value above a data point")
+    val nbits = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, xs.max)))
+    require(nbits <= 24, s"simple packing width $nbits too wide")
+
+    val out = new java.io.ByteArrayOutputStream()
+    def u8w(v: Int): Unit = out.write(v & 0xff)
+    def u16w(v: Int): Unit = { u8w(v >> 8); u8w(v) }
+    def u24w(v: Int): Unit = { u8w(v >> 16); u8w(v >> 8); u8w(v) }
+    def sm24w(v: Int): Unit = u24w(if (v < 0) 0x800000 | -v else v)
+    def section(body: java.io.ByteArrayOutputStream => Unit): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      body(b)
+      val payload = b.toByteArray
+      val padded = if ((payload.length + 3) % 2 == 0) payload
+                   else payload :+ 0.toByte // sections have even length
+      val res = new java.io.ByteArrayOutputStream()
+      val len = padded.length + 3
+      res.write(len >> 16); res.write((len >> 8) & 0xff); res.write(len & 0xff)
+      res.write(padded)
+      res.toByteArray
+    }
+    def u16wTo(b: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      b.write((v >> 8) & 0xff); b.write(v & 0xff)
+    }
+    // PDS
+    val pds = section { b =>
+      def w8(v: Int) = b.write(v & 0xff)
+      w8(m.category) // table version
+      w8(98) // centre (ECMWF — fixture convention)
+      w8(0)  // generating process
+      w8(255) // grid id: none, GDS present
+      w8(if (hasNaN) 0xc0 else 0x80) // flags: GDS (+BMS)
+      w8(m.parameter)
+      w8(1); u16wTo(b, 0) // level type sfc, level 0
+      val t = m.refTime
+      w8(t.getYear % 100 match { case 0 => 100; case y => y })
+      w8(t.getMonthValue); w8(t.getDayOfMonth); w8(t.getHour); w8(t.getMinute)
+      w8(1) // unit: hours
+      w8(m.forecastHours); w8(0); w8(0) // P1, P2, range indicator 0
+      u16wTo(b, 0) // number in average
+      w8(0) // missing from averages
+      w8((t.getYear - 1) / 100 + 1) // century
+      w8(0) // subcentre
+      u16wTo(b, decimals) // decimal scale (non-negative here)
+    }
+    // GDS: lat/lon
+    val la1 = math.round((r.north - r.py / 2) * 1000).toInt
+    val lo1 = math.round((r.west + r.px / 2) * 1000).toInt
+    val la2 = math.round((r.north - r.py / 2 - (r.height - 1) * r.py) * 1000).toInt
+    val lo2 = math.round((r.west + r.px / 2 + (r.width - 1) * r.px) * 1000).toInt
+    val gds = section { b =>
+      def w8(v: Int) = b.write(v & 0xff)
+      def w16(v: Int) = { w8(v >> 8); w8(v) }
+      def w24sm(v: Int) = { val a = if (v < 0) 0x800000 | -v else v; w8(a >> 16); w8(a >> 8); w8(a) }
+      w8(0); w8(255) // NV, PV: none
+      w8(0) // grid type 0: lat/lon
+      w16(r.width); w16(r.height)
+      w24sm(la1); w24sm(lo1)
+      w8(0x80) // resolution flags: directions given
+      w24sm(la2); w24sm(lo2)
+      w16(math.round(r.px * 1000).toInt); w16(math.round(r.py * 1000).toInt)
+      w8(scanMode)
+      w24sm(0); w8(0) // reserved
+    }
+    // BMS
+    val bms = if (!hasNaN) Array.emptyByteArray else section { b =>
+      val nBits = scan.length
+      val unused = (8 - nBits % 8) % 8
+      b.write(unused)
+      b.write(0); b.write(0) // table reference 0: bitmap follows
+      var acc = 0; var nb = 0
+      for (v <- scan) {
+        acc = (acc << 1) | (if (v.isNaN) 0 else 1); nb += 1
+        if (nb == 8) { b.write(acc); acc = 0; nb = 0 }
+      }
+      if (nb > 0) b.write(acc << (8 - nb))
+    }
+    // BDS — flag nibble 0 (grid, simple, float), unused-bit count low
+    val dataBits = xs.length * nbits
+    val bds = {
+      val b = new java.io.ByteArrayOutputStream()
+      val unused = (8 - dataBits % 8) % 8
+      b.write((0 << 4) | unused)
+      val eAbs = 0
+      b.write((eAbs >> 8) & 0xff); b.write(eAbs & 0xff) // binary scale 0
+      val rb = refBits
+      b.write(((rb >> 24) & 0xff).toInt); b.write(((rb >> 16) & 0xff).toInt)
+      b.write(((rb >> 8) & 0xff).toInt); b.write((rb & 0xff).toInt)
+      b.write(nbits)
+      val w = new Grib2.BitWriter(b)
+      xs.foreach(x => w.put(x, nbits))
+      w.flush()
+      val payload = b.toByteArray
+      val padded = if ((payload.length + 3) % 2 == 0) payload else payload :+ 0.toByte
+      val res = new java.io.ByteArrayOutputStream()
+      val len = padded.length + 3
+      res.write(len >> 16); res.write((len >> 8) & 0xff); res.write(len & 0xff)
+      res.write(padded)
+      res.toByteArray
+    }
+    val body = pds ++ gds ++ bms ++ bds
+    val total = 8 + body.length + 4
+    val head = new java.io.ByteArrayOutputStream()
+    head.write('G'); head.write('R'); head.write('I'); head.write('B')
+    head.write(total >> 16); head.write((total >> 8) & 0xff); head.write(total & 0xff)
+    head.write(1) // edition
+    head.toByteArray ++ body ++ "7777".getBytes
+  }
+}

@@ -179,13 +179,14 @@ object Grib2 {
     * on one executor pays the table once, not per file. Bounded: the
     * operational grids use a handful of resolutions. */
   private val gaussCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Double]]()
-  private def gaussLatsCached(n: Int): Array[Double] = {
+  private[sources] def gaussLatsCached(n: Int): Array[Double] = {
     if (gaussCache.size() > 64) gaussCache.clear()
     gaussCache.computeIfAbsent(n, graft.ops.Geo.gaussianLatitudes)
   }
 
   def canHandle(b: Array[Byte]): Boolean =
-    b.length >= 4 && b(0) == 'G' && b(1) == 'R' && b(2) == 'I' && b(3) == 'B'
+    b.length > 8 && b(0) == 'G' && b(1) == 'R' && b(2) == 'I' && b(3) == 'B' &&
+      (b(7) & 0xff) == 2 // octet 8 = edition; edition 1 routes to Grib1
 
   /** Nominal group size for complex packing (encoder choice). */
   private val GroupLen = 20
@@ -736,7 +737,7 @@ object Grib2 {
       }
     }
 
-  private class BitWriter(b: java.io.ByteArrayOutputStream) {
+  private[sources] class BitWriter(b: java.io.ByteArrayOutputStream) {
     private var acc = 0L; private var nb = 0
     def put(x: Long, bits: Int): Unit = {
       acc = (acc << bits) | (x & ((1L << bits) - 1)); nb += bits
@@ -745,7 +746,7 @@ object Grib2 {
     def flush(): Unit = { if (nb > 0) { b.write(((acc << (8 - nb)) & 0xff).toInt); nb = 0 }; acc = 0L }
   }
 
-  private class BitReader(bytes: Array[Byte], var pos: Int) {
+  private[sources] class BitReader(bytes: Array[Byte], var pos: Int) {
     private var acc = 0L; private var nb = 0
     def get(bits: Int): Long = {
       if (bits == 0) return 0L
@@ -775,7 +776,7 @@ object Grib2 {
   }
 
   /** Canonical north-up row-major grid → declared scan order (writer). */
-  private def toScanOrder(data: Array[Float], w: Int, h: Int, mode: Int): Array[Float] = {
+  private[sources] def toScanOrder(data: Array[Float], w: Int, h: Int, mode: Int): Array[Float] = {
     if (mode == 0) return data
     val out = new Array[Float](data.length)
     var row = 0
@@ -791,7 +792,7 @@ object Grib2 {
   }
 
   /** Declared scan order → canonical north-up row-major grid (reader). */
-  private def fromScanOrder(data: Array[Float], w: Int, h: Int, mode: Int): Array[Float] = {
+  private[sources] def fromScanOrder(data: Array[Float], w: Int, h: Int, mode: Int): Array[Float] = {
     if (mode == 0) return data
     val out = new Array[Float](data.length)
     var row = 0

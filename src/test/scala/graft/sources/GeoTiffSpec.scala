@@ -61,7 +61,11 @@ class GeoTiffSpec extends SparkSpec {
 
   test("registry sniffs formats by magic bytes") {
     assert(Formats.sniff(GeoTiff.write(sampleRaster)).map(_.name).contains("geotiff"))
-    assert(Formats.sniff("GRIBxxxx".getBytes).map(_.name).contains("grib2"))
+    // GRIB sniffs on magic + the edition octet (octet 8)
+    def gribPrefix(edition: Int) = "GRIBxxx".getBytes ++ Array(edition.toByte, 0.toByte)
+    assert(Formats.sniff(gribPrefix(2)).map(_.name).contains("grib2"))
+    assert(Formats.sniff(gribPrefix(1)).map(_.name).contains("grib1"))
+    assert(Formats.sniff(gribPrefix(3)).isEmpty) // unknown edition
     assert(Formats.sniff("CDFxx".getBytes).map(_.name).contains("netcdf"))
     assert(Formats.sniff(Array[Byte](0x89.toByte, 'H', 'D', 'F')).map(_.name).contains("netcdf"))
     assert(Formats.sniff("not-a-raster".getBytes).isEmpty)

@@ -1,0 +1,130 @@
+package graft.sources
+
+import graft.SparkSpec
+import scala.util.Random
+
+class Grib1Spec extends SparkSpec {
+
+  private def sampleMessage = {
+    val w = 24; val h = 16
+    val data = Array.tabulate(w * h) { i =>
+      if (i % 19 == 0) Float.NaN else (250.0f + (i % 31) * 0.5f)
+    }
+    Grib2.Message(GeoTiff.Raster(w, h, data, -180.0, 90.0, 15.0, 11.25),
+      discipline = 255, category = 128, parameter = 11,
+      refTime = java.time.LocalDateTime.of(1987, 6, 15, 12, 0),
+      forecastHours = 6)
+  }
+
+  test("IBM System/370 float codec round-trips the reference-value domain") {
+    for (v <- Seq(0.0, 1.0, -1.0, 0.5, 100.25, -9999.0, 24000.0, 1e-6, 6.1e5, -0.125)) {
+      val back = Grib1.ibm32(Grib1.toIbm32(v))
+      assert(math.abs(back - v) <= math.abs(v) * 1e-6 + 1e-12, s"$v -> $back")
+    }
+    // known encoding: 1.0 = 16^(65-64) x 0x100000/2^24
+    assert(Grib1.ibm32(0x41100000L) == 1.0)
+    assert(Grib1.ibm32(0xc1100000L) == -1.0)
+  }
+
+  test("edition-1 write → read round-trips pixels, bitmap NaN, georeferencing, time") {
+    val m = sampleMessage
+    val bytes = Grib1.write(m)
+    assert(Grib1.canHandle(bytes))
+    assert(!Grib2.canHandle(bytes), "edition byte must route editions apart")
+    assert(Formats.sniff(bytes).map(_.name).contains("grib1"))
+    val back = Grib1.read(bytes)
+    assert(back.raster.width == 24 && back.raster.height == 16)
+    assert(back.raster.west == -180.0 && back.raster.north == 90.0)
+    assert(back.category == 128 && back.parameter == 11 && back.discipline == 255)
+    assert(back.refTime == m.refTime && back.forecastHours == 6)
+    back.raster.data.zip(m.raster.data).foreach { case (a, b) =>
+      if (b.isNaN) assert(a.isNaN)
+      else assert(math.abs(a - b) < 0.005, s"$a vs $b")
+    }
+  }
+
+  test("multi-message files index by forecast hour through the decoder registry") {
+    val m = sampleMessage
+    val both = Grib1.write(m) ++ Grib1.write(m.copy(forecastHours = 12))
+    val steps = Formats.Grib1Decoder.decodeMulti(both).map(_._1)
+    assert(steps == Seq(6, 12))
+    assert(Formats.Grib1Decoder.listVariables(both) == Seq("d255_c128_p11"))
+  }
+
+  test("edition-1 scan modes (±i, ±j, column-major) normalize to north-up") {
+    val m = sampleMessage
+    for (mode <- Seq(0x80, 0x40, 0x20, 0xc0, 0xe0)) {
+      val back = Grib1.read(Grib1.write(m, scanMode = mode))
+      back.raster.data.zip(m.raster.data).foreach { case (a, b) =>
+        assert((a.isNaN && b.isNaN) || math.abs(a - b) < 0.005,
+          f"scan 0x$mode%02x: $a vs $b")
+      }
+    }
+  }
+
+  test("Gaussian grid (type 4) resolves latitudes from the Gaussian table") {
+    // patch a lat/lon message into the type-4 form: same GDS octet
+    // layout, octets 26-27 carry N instead of Dj
+    val nPar = 8
+    val w = 20; val h = 2 * nPar
+    val data = Array.tabulate(w * h)(i => 270.0f + (i % 13) * 0.25f)
+    val m = Grib2.Message(GeoTiff.Raster(w, h, data, 0.0, 90.0, 18.0, 11.25),
+      discipline = 255, category = 128, parameter = 11,
+      refTime = java.time.LocalDateTime.of(1987, 6, 15, 12, 0), forecastHours = 0)
+    val bytes = Grib1.write(m)
+    val gds = 8 + 28 // after IS + PDS
+    bytes(gds + 5) = 4 // grid type: Gaussian
+    bytes(gds + 25) = 0; bytes(gds + 26) = nPar.toByte // N
+    val back = Grib1.read(bytes)
+    assert(back.proj.contains(Grib2.GaussianGrid(nPar)))
+    assert(back.raster.height == 2 * nPar)
+    // first Gaussian parallel for N=8 is ~84.0°N (table, not linear)
+    assert(back.raster.north > 84.0 && back.raster.north < 90.0)
+    assert(back.raster.data.sameElements(data))
+  }
+
+  test("ingestDir decodes a dropped GRIB1 granule end-to-end") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-g1-").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/t2m_19870615.grib"), Grib1.write(sampleMessage))
+    val df = Formats.ingestDir(spark, dir)
+    assert(df.count() == sampleMessage.raster.data.count(!_.isNaN))
+  }
+
+  test("unsupported edition-1 forms fail loudly") {
+    val good = Grib1.write(sampleMessage)
+    // spherical harmonics flag in the BDS
+    val bds = {
+      // walk sections: IS(8) + PDS(28) + GDS + BMS to find the BDS
+      var o = 8 + 28
+      val gdsLen = ((good(o) & 0xff) << 16) | ((good(o + 1) & 0xff) << 8) | (good(o + 2) & 0xff)
+      o += gdsLen
+      val bmsLen = ((good(o) & 0xff) << 16) | ((good(o + 1) & 0xff) << 8) | (good(o + 2) & 0xff)
+      o + bmsLen
+    }
+    val sph = good.clone(); sph(bds + 3) = (sph(bds + 3) | 0x40).toByte
+    val e1 = intercept[IllegalArgumentException](Grib1.read(sph))
+    assert(e1.getMessage.contains("spherical-harmonic"))
+    // unknown grid type
+    val badGrid = good.clone(); badGrid(8 + 28 + 5) = 3
+    val e2 = intercept[IllegalArgumentException](Grib1.read(badGrid))
+    assert(e2.getMessage.contains("unsupported GRIB1 grid type"))
+  }
+
+  test("byte-flipped edition-1 granules decode or throw — never hang") {
+    val good = Grib1.write(sampleMessage)
+    val rnd = new Random(31)
+    var decoded = 0; var threw = 0
+    for (trial <- 0 until 150) {
+      val bad = good.clone()
+      for (_ <- 0 to rnd.nextInt(4))
+        bad(rnd.nextInt(bad.length)) = rnd.nextInt(256).toByte
+      val t0 = System.nanoTime()
+      try { Grib1.readAll(bad); decoded += 1 }
+      catch { case _: Exception => threw += 1 }
+      assert((System.nanoTime() - t0) / 1e9 < 30.0, s"trial $trial must terminate")
+    }
+    info(s"$decoded decoded, $threw dead-lettered of 150 corruptions")
+    assert(decoded + threw == 150)
+  }
+}
