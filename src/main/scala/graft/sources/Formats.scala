@@ -49,29 +49,32 @@ object Formats {
       (1 to GeoTiff.bandCount(b)).map(i => s"band_$i")
   }
 
+  /** GRIB (either edition) legally allows each message its own grid
+    * definition, but the ingest flatMap pairs ONE lon/lat array set
+    * (from the first message) with EVERY message's pixels — a
+    * mixed-grid file would silently mis-georeference later messages.
+    * Fail loudly instead; shared by both edition decoders so the
+    * invariant cannot drift. */
+  private def requireOneGrid(ms: Seq[Grib2.Message]): Seq[Grib2.Message] = {
+    val h = ms.head
+    ms.zipWithIndex.foreach { case (m, i) =>
+      val same = m.raster.width == h.raster.width &&
+        m.raster.height == h.raster.height &&
+        m.raster.west == h.raster.west && m.raster.north == h.raster.north &&
+        m.raster.px == h.raster.px && m.raster.py == h.raster.py &&
+        m.proj == h.proj
+      require(same,
+        s"message $i carries a different grid (${m.raster.width}x${m.raster.height} " +
+          s"proj=${m.proj}) than message 0 (${h.raster.width}x${h.raster.height} " +
+          s"proj=${h.proj}); mixed-grid GRIB files must be split before ingest")
+    }
+    ms
+  }
+
   object Grib2Decoder extends Decoder {
     val name = "grib2"
     def canHandle(b: Array[Byte]) = Grib2.canHandle(b)
     def decode(b: Array[Byte]) = Grib2.read(b).raster
-    /** GRIB legally allows each message its own grid definition, but the
-      * ingest flatMap pairs ONE lon/lat array set (from the first message)
-      * with EVERY message's pixels — a mixed-grid file would silently
-      * mis-georeference later messages. Fail loudly instead. */
-    private def requireOneGrid(ms: Seq[Grib2.Message]): Seq[Grib2.Message] = {
-      val h = ms.head
-      ms.zipWithIndex.foreach { case (m, i) =>
-        val same = m.raster.width == h.raster.width &&
-          m.raster.height == h.raster.height &&
-          m.raster.west == h.raster.west && m.raster.north == h.raster.north &&
-          m.raster.px == h.raster.px && m.raster.py == h.raster.py &&
-          m.proj == h.proj
-        require(same,
-          s"message $i carries a different grid (${m.raster.width}x${m.raster.height} " +
-            s"proj=${m.proj}) than message 0 (${h.raster.width}x${h.raster.height} " +
-            s"proj=${h.proj}); mixed-grid GRIB files must be split before ingest")
-      }
-      ms
-    }
     /** One entry per concatenated message, indexed by forecast hour. */
     override def decodeMulti(b: Array[Byte]): Seq[(Int, GeoTiff.Raster)] =
       decodeMultiFlagged(b).map { case (s, r, _) => (s, r) }
@@ -92,22 +95,6 @@ object Formats {
     val name = "grib1"
     def canHandle(b: Array[Byte]) = Grib1.canHandle(b)
     def decode(b: Array[Byte]) = Grib1.read(b).raster
-    /** Same mixed-grid hazard as edition 2: one lon/lat set serves all
-      * messages, so a file mixing grids must fail loudly. */
-    private def requireOneGrid(ms: Seq[Grib2.Message]): Seq[Grib2.Message] = {
-      val h = ms.head
-      ms.zipWithIndex.foreach { case (m, i) =>
-        val same = m.raster.width == h.raster.width &&
-          m.raster.height == h.raster.height &&
-          m.raster.west == h.raster.west && m.raster.north == h.raster.north &&
-          m.raster.px == h.raster.px && m.raster.py == h.raster.py &&
-          m.proj == h.proj
-        require(same,
-          s"message $i carries a different grid than message 0; " +
-            "mixed-grid GRIB files must be split before ingest")
-      }
-      ms
-    }
     override def decodeMulti(b: Array[Byte]): Seq[(Int, GeoTiff.Raster)] =
       requireOneGrid(Grib1.readAll(b)).map(m => (m.forecastHours, m.raster))
     override def listVariables(b: Array[Byte]): Seq[String] =

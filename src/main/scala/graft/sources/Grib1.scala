@@ -137,12 +137,22 @@ object Grib1 {
     var proj: Option[Grib2.GridProj] = None
     if (gtype == 0) {
       val di = u16(bytes, o + 23); val dj = u16(bytes, o + 25)
-      // 0xffff = "not given" → derive from the corner span
+      // the i direction runs lo1→lo2 (reversed under the −i scan
+      // flag); measuring the span ALONG that direction modulo 360 —
+      // and anchoring west at the direction's start — stays correct
+      // for grids crossing the 0°/360° wrap, where min/max of the
+      // corners would mis-georeference every pixel
+      val eastward = (scanMode & 0x80) == 0
+      val lonSpan = {
+        val d = if (eastward) lo2 - lo1 else lo1 - lo2
+        if (d < 0) d + 360 else d
+      }
       px = if (di != 0xffff) di / 1000.0
-           else math.abs(lo2 - lo1) / math.max(1, ni - 1)
+           else lonSpan / math.max(1, ni - 1)
       py = if (dj != 0xffff) dj / 1000.0
            else math.abs(la2 - la1) / math.max(1, nj - 1)
-      west = math.min(lo1, lo2) - px / 2
+      val startLon = if (eastward) lo1 else lo2
+      west = (if (startLon > 180) startLon - 360 else startLon) - px / 2
       north = math.max(la1, la2) + py / 2
     } else { // regular global Gaussian
       val nPar = u16(bytes, o + 25)
@@ -163,6 +173,8 @@ object Grib1 {
       val bmsLen = u24(bytes, o)
       require(u16(bytes, o + 4) == 0,
         "predefined (centre-table) bitmaps not supported")
+      require(bmsLen >= 6 + (ni * nj + 7) / 8,
+        s"BMS length $bmsLen too short for ${ni}x$nj bitmap bits")
       bitmap = new Array[Boolean](ni * nj)
       var i = 0
       while (i < bitmap.length) {
@@ -172,9 +184,13 @@ object Grib1 {
       o += bmsLen
     }
     // ---- BDS ----
+    // BDS octet 4 high nibble, WMO Code Table 11: bit 1 (0x8)
+    // grid-point/spherical-harmonic, bit 2 (0x4) simple/complex,
+    // bit 3 (0x2) float/INTEGER original type (same unpacking math —
+    // allowed), bit 4 (0x1) octet-14 additional flags
     val bdsFlags = u8(bytes, o + 3) >> 4
-    require((bdsFlags & 0x04) == 0, "spherical-harmonic GRIB1 data not supported")
-    require((bdsFlags & 0x02) == 0, "second-order GRIB1 packing not supported")
+    require((bdsFlags & 0x08) == 0, "spherical-harmonic GRIB1 data not supported")
+    require((bdsFlags & 0x04) == 0, "second-order GRIB1 packing not supported")
     require((bdsFlags & 0x01) == 0, "additional-flag (octet 14) GRIB1 forms not supported")
     val e = sm16(bytes, o + 4)
     val refR = ibm32(u32(bytes, o + 6))
@@ -220,7 +236,7 @@ object Grib1 {
     // the DECODED value of the encoded minimum so X offsets are exact
     val refBits = toIbm32(math.floor(valid.min * scale))
     val refR = ibm32(refBits)
-    val xs = scan.filter(!_.isNaN).map(v => math.round(v * scale - refR))
+    val xs = valid.map(v => math.round(v * scale - refR))
     require(xs.forall(_ >= 0), "reference value above a data point")
     val nbits = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, xs.max)))
     require(nbits <= 24, s"simple packing width $nbits too wide")

@@ -644,8 +644,15 @@ object Grib2 {
             j += 1
           }
           val w0 = if (mx == 0) 0 else bitsFor(mx)
-          if (!hasMiss) w0
-          else { val w1 = math.max(1, w0); if (mx == (1L << w1) - 1) w1 + 1 else w1 }
+          if (mvm == 0) w0
+          else {
+            // under missing management the all-ones symbol is the
+            // marker in EVERY group (decoders check unconditionally),
+            // so a legitimate maximum may never collide with it — not
+            // just in groups that happen to contain a missing point
+            val w1 = if (hasMiss) math.max(1, w0) else w0
+            if (w1 > 0 && mx == (1L << w1) - 1) w1 + 1 else w1
+          }
         }
       }.toArray
       val legitRefs = legitMin.filter(_ != Long.MaxValue)

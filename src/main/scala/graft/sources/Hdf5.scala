@@ -170,9 +170,16 @@ object Hdf5 {
 
   /** All links of the group object at `addr` (compact messages,
     * old-style symbol table, dense fractal heap). */
-  private def linksOf(bb: ByteBuffer, bytes: Array[Byte], addr: Long): Seq[Link] = {
+  private def linksOf(bb: ByteBuffer, bytes: Array[Byte], addr: Long): Seq[Link] =
+    linksOf(bb, bytes, messages(bb, bytes, addr))
+
+  /** Overload over already-parsed header messages — readGroup has them
+    * in hand for the dataset check, so the header isn't parsed twice
+    * per group. */
+  private def linksOf(bb: ByteBuffer, bytes: Array[Byte],
+                      msgs: Seq[(Int, Int)]): Seq[Link] = {
     val links = scala.collection.mutable.Buffer[Link]()
-    messages(bb, bytes, addr).foreach {
+    msgs.foreach {
       case (0x11, off) => // symbol table: btree addr + local heap addr
         val btree = bb.getLong(off); val heap = bb.getLong(off + 8)
         val heapData = bb.getLong(Hdf5.off(heap, bytes) + 24)
@@ -223,7 +230,7 @@ object Hdf5 {
       return
     }
     val seen2 = seen + addr
-    linksOf(bb, bytes, addr).foreach {
+    linksOf(bb, bytes, msgs).foreach {
       case (name, Left(child)) =>
         readGroup(bb, bytes, child, prefix + name + "/", out, rootAddr, seen2)
       case (name, Right(path)) =>
@@ -482,7 +489,16 @@ object Hdf5 {
           val e = c + 8 + i * 40
           val nameOff = bb.getLong(e)
           val ohAddr = bb.getLong(e + 8)
-          links += ((cString(bytes, off(heapData + nameOff, bytes)), Left(ohAddr)))
+          val cacheType = bb.getInt(e + 16)
+          val name = cString(bytes, off(heapData + nameOff, bytes))
+          // cache type 2 = symbolic (soft) link: the header address is
+          // undefined and the scratch area's first word is the local-
+          // heap offset of the path string — the DEFAULT h5py/libhdf5
+          // soft-link layout for old-style groups
+          if (cacheType == 2) {
+            val pathOff = bb.getInt(e + 24) & 0xffffffffL
+            links += ((name, Right(cString(bytes, off(heapData + pathOff, bytes)))))
+          } else links += ((name, Left(ohAddr)))
         }
       }
     }
@@ -1220,8 +1236,8 @@ object Hdf5 {
             filteredHeap: Boolean = false,
             denseIdStyle: String = "managed",
             softLinks: Seq[(String, String)] = Nil): Array[Byte] = {
-    require(softLinks.isEmpty || denseRoot,
-      "fixture writer: soft links are emitted in dense roots")
+    require(softLinks.isEmpty || subgroup.isEmpty,
+      "fixture writer: soft links + subgroup not combined")
     require(subgroup.isEmpty || !denseRoot,
       "fixture writer: subgroup + denseRoot not combined")
     require(!filteredHeap || denseRoot, "filteredHeap applies to dense roots")
@@ -1311,8 +1327,10 @@ object Hdf5 {
     // offsets are heap-relative, and both STABs point at it)
     val allNames = dimSets.map(_._1) ++
       subgroup.map(Seq(_)).getOrElse(dataVars.map(_.name))
-    val heapNames = allNames ++
-      (if (subgroup.isDefined) dataVars.map(_.name) else Nil)
+    val heapNames = (allNames ++
+      (if (subgroup.isDefined) dataVars.map(_.name) else Nil) ++
+      (if (denseRoot) Nil
+       else softLinks.flatMap { case (n, t) => Seq(n, t) })).distinct
 
     out.write(new Array[Byte](96)) // superblock placeholder, patched below
 
@@ -1673,13 +1691,23 @@ object Hdf5 {
     }
 
     val rootAddr: Long = if (!denseRoot) {
-      // SNOD with entries sorted by link name
+      // SNOD with entries sorted by link name; soft links store as
+      // cache-type-2 entries whose scratch word is the local-heap
+      // offset of the path string (the default libhdf5 layout)
       val snodAddr = pos
-      val sorted = allNames.sorted
+      val rootSoft = softLinks.toMap
+      val sorted = (allNames ++ softLinks.map(_._1)).sorted
       raw("SNOD".getBytes); u16(1); u16(sorted.size)
       sorted.foreach { n =>
-        u64(nameOffs(n)); u64(ohAddrs(n)); u32(0); u32(0)
-        out.write(new Array[Byte](16))
+        u64(nameOffs(n))
+        rootSoft.get(n) match {
+          case Some(target) =>
+            u64(Undef); u32(2); u32(0)
+            u32(nameOffs(target)); u32(0); u64(0) // scratch: path offset
+          case None =>
+            u64(ohAddrs(n)); u32(0); u32(0)
+            out.write(new Array[Byte](16))
+        }
       }
       padTo8()
 

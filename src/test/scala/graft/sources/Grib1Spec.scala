@@ -102,13 +102,48 @@ class Grib1Spec extends SparkSpec {
       val bmsLen = ((good(o) & 0xff) << 16) | ((good(o + 1) & 0xff) << 8) | (good(o + 2) & 0xff)
       o + bmsLen
     }
-    val sph = good.clone(); sph(bds + 3) = (sph(bds + 3) | 0x40).toByte
+    // WMO Table 11 nibble: 0x8 spherical, 0x4 complex, 0x2 integer, 0x1 extras
+    val sph = good.clone(); sph(bds + 3) = (sph(bds + 3) | 0x80).toByte
     val e1 = intercept[IllegalArgumentException](Grib1.read(sph))
     assert(e1.getMessage.contains("spherical-harmonic"))
+    val second = good.clone(); second(bds + 3) = (second(bds + 3) | 0x40).toByte
+    val e2 = intercept[IllegalArgumentException](Grib1.read(second))
+    assert(e2.getMessage.contains("second-order"))
+    // the INTEGER-original-type flag changes nothing about simple
+    // unpacking — several centres set it and the message must decode
+    val intType = good.clone(); intType(bds + 3) = (intType(bds + 3) | 0x20).toByte
+    val viaInt = Grib1.read(intType)
+    Grib1.read(good).raster.data.zip(viaInt.raster.data).foreach { case (a, b) =>
+      assert((a.isNaN && b.isNaN) || a == b)
+    }
     // unknown grid type
     val badGrid = good.clone(); badGrid(8 + 28 + 5) = 3
-    val e2 = intercept[IllegalArgumentException](Grib1.read(badGrid))
-    assert(e2.getMessage.contains("unsupported GRIB1 grid type"))
+    val e3 = intercept[IllegalArgumentException](Grib1.read(badGrid))
+    assert(e3.getMessage.contains("unsupported GRIB1 grid type"))
+  }
+
+  test("grids crossing the 0°/360° wrap georeference from the scan start") {
+    // patch a written message's GDS to lo1=350.5, lo2=9.5 with Di "not
+    // given" — a 20°-wide regional grid across Greenwich. min/max of
+    // the corners would declare a 340° span; the span must be measured
+    // ALONG the scan direction modulo 360.
+    val w = 20; val h = 16
+    val data = Array.tabulate(w * h)(i => 100.0f + (i % 7))
+    val m = Grib2.Message(GeoTiff.Raster(w, h, data, -10.0, 90.0, 1.0, 11.25),
+      discipline = 255, category = 128, parameter = 11,
+      refTime = java.time.LocalDateTime.of(1987, 6, 15, 12, 0), forecastHours = 0)
+    val bytes = Grib1.write(m)
+    val gds = 8 + 28
+    def w24(at: Int, v: Int): Unit = {
+      bytes(at) = (v >> 16).toByte; bytes(at + 1) = (v >> 8).toByte; bytes(at + 2) = v.toByte
+    }
+    w24(gds + 13, 350500) // lo1 = 350.5 (was −9.5)
+    w24(gds + 20, 9500)   // lo2 = 9.5
+    bytes(gds + 23) = 0xff.toByte; bytes(gds + 24) = 0xff.toByte // Di not given
+    val back = Grib1.read(bytes)
+    assert(math.abs(back.raster.px - 1.0) < 1e-9, s"px=${back.raster.px}")
+    assert(math.abs(back.raster.west - (-10.0)) < 1e-9, s"west=${back.raster.west}")
+    assert(back.raster.data.sameElements(data))
   }
 
   test("byte-flipped edition-1 granules decode or throw — never hang") {

@@ -730,6 +730,21 @@ class Grib2Spec extends SparkSpec {
     }
   }
 
+  test("mvm reserves the all-ones marker in EVERY group, not just missing ones") {
+    // a group whose legitimate offsets span exactly 0..2^w−1 collides
+    // with the missing marker unless the writer widens it — decoders
+    // (ours and g2lib's) check the marker unconditionally, so without
+    // the reservation a real maximum decodes as NaN
+    val w = 40; val h = 1
+    val f = Array.tabulate(w * h)(i => (i % 4).toFloat) // offsets 0..3 per group
+    val m = sampleMessage.copy(raster =
+      GeoTiff.Raster(w, h, f, -180.0, 90.0, 9.0, 9.0))
+    val back = Grib2.read(Grib2.write(m, decimals = 0, packing = 2, missingMgmt = 1))
+    back.raster.data.zip(f).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(!a.isNaN && a == b, s"point $i: $a vs $b (marker collision?)")
+    }
+  }
+
   test("complex-packing missing-value management (octet 23 = 1) round-trips") {
     // the wgrib2/NCEP shape: nodata travels as in-group all-ones
     // markers (no bitmap). Scattered NaNs, NaN runs (whole groups

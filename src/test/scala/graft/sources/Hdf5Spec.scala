@@ -321,6 +321,25 @@ class Hdf5Spec extends SparkSpec {
         .sameElements(Array.tabulate(12)(j => (i * 100 + j).toFloat)), s"v$i data")
   }
 
+  test("OLD-style (symbol-table) soft links resolve — the default h5py layout") {
+    // cache-type-2 SNOD entries whose scratch word points at the path
+    // string in the local heap — what h5py emits WITHOUT libver=latest
+    val lat = Array(40f, 30f, 20f)
+    val lon = Array(-30f, -20f, -10f, 0f)
+    val vars = Seq(
+      NetCdf.Variable("lat", Seq("lat"), lat, None),
+      NetCdf.Variable("lon", Seq("lon"), lon, None),
+      NetCdf.Variable("precip", Seq("lat", "lon"),
+        Array.tabulate(12)(_.toFloat * 3f), None))
+    val bytes = Hdf5.write(Seq("lat" -> 3, "lon" -> 4), vars,
+      softLinks = Seq("alias" -> "/precip", "dangle" -> "/no_such"))
+    val f = Hdf5.read(bytes)
+    assert(f.datasets.find(_.name == "alias").get.data
+      .sameElements(Array.tabulate(12)(_.toFloat * 3f)))
+    assert(!f.datasets.exists(_.name == "dangle"))
+    assert(f.datasets.exists(_.name == "precip"))
+  }
+
   test("soft links resolve (absolute, relative, chained); dangling are skipped") {
     val lat = Array(40f, 30f, 20f)
     val lon = Array(-30f, -20f, -10f, 0f)
