@@ -60,6 +60,7 @@ object GeoTiff {
   private val TAG_PIXEL_SCALE = 33550
   private val TAG_TIEPOINT = 33922
   private val TAG_GDAL_NODATA = 42113
+  private val TAG_JPEG_TABLES = 347
 
   /** Magic sniff (formats/registry.py + geotiff.py:43-52): classic
     * TIFF (version 42) and BigTIFF (version 43 — 8-byte offsets, the
@@ -239,14 +240,14 @@ object GeoTiff {
                overviewLevels: Int = 0,
                compression: Int = 8,
                stripped: Boolean = false): Array[Byte] = {
-    require(Set(1, 5, 8, 32773).contains(compression),
-      s"compression $compression not supported (1 none, 5 LZW, 8 deflate, 32773 PackBits)")
+    require(Set(1, 5, 7, 8, 32773).contains(compression),
+      s"compression $compression not supported (1 none, 5 LZW, 7 JPEG, 8 deflate, 32773 PackBits)")
     val s = bands.size
     require(s >= 1, "at least one band")
     require(bands.forall(_.length == width * height), "band size mismatch")
     val (bits, fmt) = dtypeSpec(dtype)
     val bps = bits / 8
-    val predictor = predictorFor(dtype)
+    val predictor = if (compression == 7) 1 else predictorFor(dtype)
     if (fmt != 3)
       require(nodata.isDefined || bands.forall(!_.exists(_.isNaN)),
         "integer dtype with NaN cells needs an explicit nodata value")
@@ -254,6 +255,16 @@ object GeoTiff {
     val stride = if (planar) 1 else s // predictor lag = interleaved channels
     val planes = if (planar) s else 1
     val chans = if (planar) 1 else s
+    if (compression == 7) {
+      require(bits == 8 && fmt == 1, "JPEG compression requires uint8 samples")
+      require(chans == 1 || chans == 3,
+        "JPEG compression requires 1 (grayscale) or 3 (YCbCr) interleaved samples")
+    }
+    // shared abbreviated-stream tables (TIFF JPEGTables tag 347) —
+    // content-independent for the fixed fixture tables, so one blob
+    // serves every tile, the GDAL layout
+    lazy val jpegTablesBytes: Array[Byte] = JpegCodec.encodeStreams(
+      JpegCodec.Image(8, 8, 1, new Array[Byte](64)), abbreviated = true)._1
 
     def encodeValue(buf: ByteBuffer, v: Float): Unit = {
       val x = if (v.isNaN && fmt != 3) fill else v.toDouble
@@ -301,6 +312,10 @@ object GeoTiff {
       compression match {
         case 1 => pred
         case 5 => lzwEncode(pred)
+        case 7 => // abbreviated per-chunk scan; tables live in tag 347
+          JpegCodec.encodeStreams(
+            JpegCodec.Image(rowSamples / chans, pred.length / rowSamples, chans, pred),
+            abbreviated = true)._2
         case 8 => deflate(pred)
         case 32773 => packbitsEncode(pred, rowSamples * bps)
       }
@@ -380,7 +395,8 @@ object GeoTiff {
         Entry(TAG_HEIGHT, 3, 1, Some(pg.h.toLong), None),
         arr(TAG_BITS, 3, shorts(Seq.fill(s)(bits)), s),
         Entry(TAG_COMPRESSION, 3, 1, Some(compression.toLong), None),
-        Entry(TAG_PHOTOMETRIC, 3, 1, Some(1L), None),
+        Entry(TAG_PHOTOMETRIC, 3, 1,
+          Some(if (compression == 7 && chans == 3) 6L else 1L), None),
         Entry(TAG_SAMPLES_PER_PIXEL, 3, 1, Some(s.toLong), None),
         Entry(TAG_PLANAR_CONFIG, 3, 1, Some(if (planar) 2L else 1L), None),
         Entry(TAG_PREDICTOR, 3, 1, Some(predictor.toLong), None)) ++
@@ -396,6 +412,9 @@ object GeoTiff {
         arr(TAG_TILE_OFFSETS, 4, longs(Seq.fill(nTiles)(0L)), nTiles),
         arr(TAG_TILE_BYTES, 4, longs(tiles.map(_.length.toLong)), nTiles))) ++
       Seq(arr(TAG_SAMPLE_FORMAT, 3, shorts(Seq.fill(s)(fmt)), s)) ++
+      (if (compression == 7)
+        Seq(arr(TAG_JPEG_TABLES, 7, jpegTablesBytes, jpegTablesBytes.length))
+       else Nil) ++
       (if (pg.overview) Nil else Seq( // georeferencing on the base image
         arr(TAG_PIXEL_SCALE, 12, doubles(Seq(px, py, 0.0)), 3),
         arr(TAG_TIEPOINT, 12, doubles(Seq(0, 0, 0, west, north, 0)), 6))) ++
@@ -778,7 +797,9 @@ object GeoTiff {
                          chunkOffs: Array[Long], chunkBytes: Array[Long],
                          tiled: Boolean, rowsPerStrip: Int,
                          px: Double, py: Double, west: Double, north: Double,
-                         order: ByteOrder, next: Long)
+                         order: ByteOrder, next: Long,
+                         photometric: Int = 1,
+                         jpegTables: Option[Array[Byte]] = None)
 
   private def parseIfd0(bytes: Array[Byte]): Ifd = {
     require(canHandle(bytes), "not a TIFF")
@@ -834,6 +855,8 @@ object GeoTiff {
     var compression = 1; var predictor = 1
     var tileW = 0; var tileH = 0
     var nodata: Option[Double] = None
+    var photometric = 1
+    var jpegTables: Option[Array[Byte]] = None
 
     def typeSize(t: Int) = t match {
       case 3 => 2; case 4 => 4; case 12 => 8; case 16 | 17 => 8; case _ => 1
@@ -901,7 +924,11 @@ object GeoTiff {
           nodata = if (s.isEmpty) None
             else if (s.equalsIgnoreCase("nan")) Some(Double.NaN)
             else scala.util.Try(s.toDouble).toOption
-        case _ => // ignore (photometric, descriptions, GeoKeys, …)
+        case TAG_PHOTOMETRIC => photometric = tagValues(typ, 1, valAt)(0).toInt
+        case TAG_JPEG_TABLES => // type 7 UNDEFINED: raw byte array
+          val base = if (count <= inlineCap) valAt else offAt(valAt)
+          jpegTables = Some(java.util.Arrays.copyOfRange(bytes, base, base + count))
+        case _ => // ignore (descriptions, GeoKeys, …)
       }
     }
     val tiled = tileOffs.nonEmpty
@@ -912,7 +939,8 @@ object GeoTiff {
       if (tiled) tileBytesA else chunkBytes,
       tiled, rowsPerStrip, px, py, west, north, order,
       if (big) buf.getLong(entryBase + n.toLong.toInt * entrySize)
-      else buf.getInt(ifdOff + 2 + n * 12).toLong & 0xffffffffL)
+      else buf.getInt(ifdOff + 2 + n * 12).toLong & 0xffffffffL,
+      photometric, jpegTables)
   }
 
   /** Number of bands in the file (`band_N` discovery,
@@ -954,8 +982,13 @@ object GeoTiff {
         nodata = d0.nodata.orElse(base.nodata))
     require(band >= 1 && band <= d.spp,
       s"band $band not in file (has ${d.spp})")
-    require(Set(1, 5, 8, 32773, 32946).contains(d.compression),
-      s"unsupported compression ${d.compression} (none/LZW/deflate/PackBits only)")
+    require(Set(1, 5, 7, 8, 32773, 32946).contains(d.compression),
+      s"unsupported compression ${d.compression} (none/LZW/JPEG/deflate/PackBits only)")
+    if (d.compression == 7) {
+      require(d.bits == 8 && d.fmt == 1,
+        s"JPEG compression carries uint8 samples, not ${d.bits}-bit format ${d.fmt}")
+      require(d.predictor == 1, "JPEG compression does not combine with a predictor")
+    }
     require(Set((8, 1), (16, 1), (16, 2), (32, 1), (32, 2), (32, 3),
         (64, 3)).contains((d.bits, d.fmt)) ||
       (d.bits == 8 && d.fmt == 2),
@@ -993,6 +1026,18 @@ object GeoTiff {
       val raw0 = d.compression match {
         case 1 => java.util.Arrays.copyOfRange(bytes, off, off + expect)
         case 5 => lzwDecode(java.util.Arrays.copyOfRange(bytes, off, off + len), expect)
+        case 7 => // baseline JPEG; tables may live in the shared JPEGTables tag
+          val pre = d.jpegTables.map { tb =>
+            val t = new JpegCodec.Tables; JpegCodec.parseTables(tb, t); t
+          }
+          val img = JpegCodec.decode(
+            java.util.Arrays.copyOfRange(bytes, off, off + len), pre,
+            colorTransform = d.photometric == 6)
+          require(img.comps == chans,
+            s"JPEG chunk carries ${img.comps} components, expected $chans")
+          require(img.width == cw && img.height == rows,
+            s"JPEG chunk is ${img.width}x${img.height}, expected ${cw}x$rows")
+          img.data
         case 32773 => packbitsDecode(java.util.Arrays.copyOfRange(bytes, off, off + len), expect)
         case _ => inflate(java.util.Arrays.copyOfRange(bytes, off, off + len), expect)
       }

@@ -330,4 +330,50 @@ class GeoTiffSpec extends SparkSpec {
     assert(back.py == 1.0)
     assert(back.data.toSeq == Seq(3f, 4f, 1f, 2f)) // flipped to north-up
   }
+
+  test("JPEG compression (7): tiled uint8 decodes within lossy tolerance, tables in tag 347") {
+    val w = 40; val h = 28
+    val band = Array.tabulate(w * h)(i => (((i % w) * 3 + (i / w) * 5) % 256).toFloat)
+    val bytes = GeoTiff.writeCog(Seq(band), w, h, -180.0, 90.0, 360.0 / w, 180.0 / h,
+      tileSize = 16, dtype = "uint8", compression = 7)
+    val back = GeoTiff.read(bytes)
+    assert(back.width == w && back.height == h)
+    assert(back.west == -180.0 && back.north == 90.0)
+    val maxErr = back.data.zip(band).map { case (a, b) => math.abs(a - b) }.max
+    assert(maxErr <= 2, s"lossy error $maxErr beyond q=1 tolerance")
+  }
+
+  test("JPEG 3-band chunky writes photometric YCbCr and decodes per band") {
+    val w = 24; val h = 16
+    val r = Array.tabulate(w * h)(i => ((i % w) * 10 % 256).toFloat)
+    val g = Array.tabulate(w * h)(i => ((i / w) * 12 % 256).toFloat)
+    val b = Array.tabulate(w * h)(_ => 128f)
+    val bytes = GeoTiff.writeCog(Seq(r, g, b), w, h, 0.0, 0.0, 1.0, 1.0,
+      tileSize = 16, dtype = "uint8", compression = 7)
+    assert(GeoTiff.bandCount(bytes) == 3)
+    for ((src, bandNo) <- Seq(r, g, b).zipWithIndex) {
+      val back = GeoTiff.readBand(bytes, bandNo + 1, 0)
+      val maxErr = back.data.zip(src).map { case (a, x) => math.abs(a - x) }.max
+      assert(maxErr <= 4, s"band ${bandNo + 1} error $maxErr") // YCbCr double rounding
+    }
+  }
+
+  test("JPEG stripped layout with a short last strip decodes") {
+    val w = 20; val h = 26 // 16-row strips: last strip is 10 rows
+    val band = Array.tabulate(w * h)(i => ((i * 7) % 256).toFloat)
+    val bytes = GeoTiff.writeCog(Seq(band), w, h, 0.0, 0.0, 1.0, 1.0,
+      tileSize = 16, dtype = "uint8", compression = 7, stripped = true)
+    val back = GeoTiff.read(bytes)
+    assert(back.width == w && back.height == h)
+    val maxErr = back.data.zip(band).map { case (a, x) => math.abs(a - x) }.max
+    assert(maxErr <= 2)
+  }
+
+  test("JPEG compression rejects non-uint8 dtypes loudly") {
+    val e = intercept[IllegalArgumentException] {
+      GeoTiff.writeCog(Seq(Array.fill(16)(1f)), 4, 4, 0, 0, 1, 1,
+        dtype = "float32", compression = 7)
+    }
+    assert(e.getMessage.contains("uint8"))
+  }
 }

@@ -52,6 +52,9 @@ class RasterFuzzSpec extends AnyFunSuite {
     // variables, tiny/huge fractal-heap link IDs
     val cogPb = GeoTiff.writeCog(Seq(data), w, h, -180.0, 90.0, 15.0, 11.25,
       compression = 32773)
+    val dataU8 = Array.tabulate(w * h)(i => ((i * 7) % 256).toFloat)
+    val cogJpeg = GeoTiff.writeCog(Seq(dataU8), w, h, -180.0, 90.0, 15.0, 11.25,
+      tileSize = 16, dtype = "uint8", compression = 7)
     val ncChar = NetCdf.write(
       Seq("lat" -> h, "lon" -> w, "station" -> 2, "strlen" -> 8),
       Seq(NetCdf.Variable("lat", Seq("lat"), lat, None),
@@ -77,7 +80,7 @@ class RasterFuzzSpec extends AnyFunSuite {
         NetCdf.Variable("huge_" + "r" * 160, Seq("lat", "lon"), d57, None),
       denseRoot = true, denseIdStyle = "hugebtree")
     Seq("tiff-strip" -> strip, "tiff-cog" -> cog, "tiff-cog-f64" -> cog64,
-      "tiff-cog-packbits" -> cogPb,
+      "tiff-cog-packbits" -> cogPb, "tiff-cog-jpeg" -> cogJpeg,
       "netcdf" -> nc, "netcdf-cdf5" -> nc5, "netcdf-cdf2-packed" -> ncPacked,
       "netcdf-charvar" -> ncChar,
       "hdf5" -> h5, "hdf5-tinyhuge" -> h5TinyHuge, "hdf5-hugebtree" -> h5HugeBt)
