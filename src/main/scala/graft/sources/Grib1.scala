@@ -7,11 +7,15 @@ package graft.sources
   * fixed-offset IS/PDS/GDS/BMS/BDS sections, sign-magnitude 16/24-bit
   * integers, IBM System/370 32-bit reference floats.
   *
-  * Covered: simple packing (the overwhelming GRIB1 wire form), bitmap
+  * Covered: simple packing (the overwhelming GRIB1 wire form),
+  * second-order/complex packing in the standard GRIBEX form (the
+  * ERA-era ECMWF archive encoding: secondary-bitmap groups or
+  * row-by-row, constant or per-group second-order widths), bitmap
   * nodata, lat/lon (grid type 0) and regular global Gaussian (type 4)
   * grids, all 8 edition-1 scan-mode combinations, multi-message
-  * concatenation. Complex/second-order packing, spherical harmonics,
-  * predefined (GDS-less) grids, and other grid types FAIL LOUDLY.
+  * concatenation. Spherical harmonics, predefined (GDS-less) grids,
+  * general-extended/boustrophedonic/spatially-differenced second
+  * order, and other grid types FAIL LOUDLY.
   *
   * Messages surface as [[Grib2.Message]], so the whole ingest path
   * (chipper, variable discovery, multi-message step indexing) is
@@ -190,8 +194,6 @@ object Grib1 {
     // allowed), bit 4 (0x1) octet-14 additional flags
     val bdsFlags = u8(bytes, o + 3) >> 4
     require((bdsFlags & 0x08) == 0, "spherical-harmonic GRIB1 data not supported")
-    require((bdsFlags & 0x04) == 0, "second-order GRIB1 packing not supported")
-    require((bdsFlags & 0x01) == 0, "additional-flag (octet 14) GRIB1 forms not supported")
     val e = sm16(bytes, o + 4)
     val refR = ibm32(u32(bytes, o + 6))
     val nbits = u8(bytes, o + 10)
@@ -199,11 +201,88 @@ object Grib1 {
     val base = refR / math.pow(10, dScale)
     val factor = math.pow(2, e) / math.pow(10, dScale)
     val present = new Array[Double](nPresent)
-    if (nbits == 0) java.util.Arrays.fill(present, base) // constant field
-    else {
-      val r = new Grib2.BitReader(bytes, o + 11)
-      var i = 0
-      while (i < nPresent) { present(i) = base + r.get(nbits) * factor; i += 1 }
+    if ((bdsFlags & 0x04) != 0) {
+      // ---- second-order (complex) packing: the GRIBEX BDS form of
+      // the ERA-era ECMWF archives. Octets (1-based within the BDS):
+      // 12-13 N1 (octet where first-order data begin), 14 extended
+      // flags, 15-16 N2 (second-order data), 17-18 P1 (group count),
+      // 19-20 P2 (second-order value count), 21 reserved, 22+ the
+      // second-order width octets (one per group when "different
+      // widths", one total otherwise), then the secondary bitmap
+      // (one bit per present point, 1 opens a group) when flagged.
+      // Without a secondary bitmap, each grid ROW is a group (the
+      // eccodes row-by-row form). value = (R + (FO_g + SO_j)·2^E)/10^D.
+      require((bdsFlags & 0x01) != 0,
+        "second-order packing requires the octet-14 extended flags")
+      val ext = u8(bytes, o + 13)
+      require((ext & 0x80) == 0, "matrix-of-values GRIB1 fields not supported")
+      require((ext & 0x10) == 0,
+        "general extended second-order packing not supported (standard GRIBEX form only)")
+      require((ext & 0x08) == 0, "boustrophedonic second-order ordering not supported")
+      require((ext & 0x06) == 0,
+        "spatial differencing in second-order packing not supported")
+      val n1 = u16(bytes, o + 11)
+      val n2 = u16(bytes, o + 14)
+      val p1 = u16(bytes, o + 16)
+      val p2 = u16(bytes, o + 18)
+      require(p2 == nPresent,
+        s"second-order P2 $p2 does not match $nPresent present points")
+      val diffWidths = (ext & 0x20) != 0
+      val secBitmap = (ext & 0x40) != 0
+      val widths: Array[Int] =
+        if (diffWidths) Array.tabulate(p1)(g => u8(bytes, o + 21 + g))
+        else Array.fill(p1)(u8(bytes, o + 21))
+      val sizes = new Array[Int](p1)
+      if (secBitmap) {
+        val bmOff = o + 21 + (if (diffWidths) p1 else 1)
+        var g = -1; var i = 0
+        while (i < nPresent) {
+          if (((bytes(bmOff + (i >> 3)) >> (7 - (i & 7))) & 1) == 1) g += 1
+          require(g >= 0, "secondary bitmap must open a group at the first point")
+          require(g < p1, s"secondary bitmap opens more than P1=$p1 groups")
+          sizes(g) += 1
+          i += 1
+        }
+        require(g == p1 - 1, s"secondary bitmap opened ${g + 1} groups, P1=$p1")
+      } else {
+        require(p1 == nj,
+          s"row-by-row second-order packing expects P1=$nj rows, got $p1")
+        var row = 0
+        while (row < nj) {
+          var cx = 0
+          while (cx < ni) {
+            if (bitmap == null || bitmap(row * ni + cx)) sizes(row) += 1
+            cx += 1
+          }
+          row += 1
+        }
+      }
+      val fo = new Array[Long](p1)
+      if (nbits > 0) {
+        val fr = new Grib2.BitReader(bytes, o + n1 - 1)
+        var g = 0
+        while (g < p1) { fo(g) = fr.get(nbits); g += 1 }
+      }
+      val sr = new Grib2.BitReader(bytes, o + n2 - 1)
+      var pi2 = 0; var g = 0
+      while (g < p1) {
+        var j = 0
+        while (j < sizes(g)) {
+          val so = if (widths(g) == 0) 0L else sr.get(widths(g))
+          present(pi2) = base + (fo(g) + so) * factor
+          pi2 += 1; j += 1
+        }
+        g += 1
+      }
+    } else {
+      require((bdsFlags & 0x01) == 0,
+        "additional-flag (octet 14) GRIB1 forms not supported")
+      if (nbits == 0) java.util.Arrays.fill(present, base) // constant field
+      else {
+        val r = new Grib2.BitReader(bytes, o + 11)
+        var i = 0
+        while (i < nPresent) { present(i) = base + r.get(nbits) * factor; i += 1 }
+      }
     }
     var data = new Array[Float](ni * nj)
     var i = 0; var pi = 0
@@ -224,39 +303,162 @@ object Grib1 {
     * NaN; lat/lon grid). Gaussian output is not needed for fixtures —
     * decode-side Gaussian coverage rides hand-built GDS bytes in the
     * spec. */
-  def write(m: Grib2.Message, decimals: Int = 2, scanMode: Int = 0): Array[Byte] = {
-    require((scanMode & 0x1f) == 0, "edition-1 scan modes use bits 1-3 only")
-    val r = m.raster
-    val scan = Grib2.toScanOrder(r.data, r.width, r.height, scanMode)
+  def write(m: Grib2.Message, decimals: Int = 2, scanMode: Int = 0): Array[Byte] =
+    writeWith(m, decimals, scanMode)(scan => simpleBds(scan, decimals))
+
+  /** Second-order (complex) packed fixture, the GRIBEX BDS form of
+    * the ERA-era ECMWF archives (see the decode-side comment for the
+    * octet map). `rowByRow = true` writes the no-secondary-bitmap
+    * variant where each grid row is a group; otherwise present points
+    * chunk into `groupLen`-sized groups delimited by the secondary
+    * bitmap. `differentWidths` selects per-group second-order width
+    * octets vs one shared width. */
+  def writeSecondOrder(m: Grib2.Message, decimals: Int = 2,
+                       rowByRow: Boolean = false,
+                       differentWidths: Boolean = true,
+                       groupLen: Int = 13,
+                       scanMode: Int = 0): Array[Byte] =
+    writeWith(m, decimals, scanMode)(scan =>
+      secondOrderBds(scan, m.raster.width, m.raster.height, decimals,
+        rowByRow, differentWidths, groupLen))
+
+  /** 3-byte length + even-length padding shared by every section. */
+  private def sectionBytes(payload: Array[Byte]): Array[Byte] = {
+    val padded = if ((payload.length + 3) % 2 == 0) payload
+                 else payload :+ 0.toByte // sections have even length
+    val res = new java.io.ByteArrayOutputStream()
+    val len = padded.length + 3
+    res.write(len >> 16); res.write((len >> 8) & 0xff); res.write(len & 0xff)
+    res.write(padded)
+    res.toByteArray
+  }
+
+  /** Scaled non-negative integer offsets of the present points plus
+    * the IBM-encoded reference: the shared front half of every BDS.
+    * The reference value must round-trip through IBM encoding, so the
+    * offsets are computed against the DECODED encoded minimum. */
+  private def scaledOffsets(scan: Array[Float], decimals: Int): (Long, Array[Long]) = {
     val valid = scan.filter(!_.isNaN)
     require(valid.nonEmpty, "all-NaN grid")
-    val hasNaN = scan.exists(_.isNaN)
     val scale = math.pow(10, decimals)
-    // the reference value must round-trip through IBM encoding: use
-    // the DECODED value of the encoded minimum so X offsets are exact
     val refBits = toIbm32(math.floor(valid.min * scale))
     val refR = ibm32(refBits)
     val xs = valid.map(v => math.round(v * scale - refR))
     require(xs.forall(_ >= 0), "reference value above a data point")
+    (refBits, xs)
+  }
+
+  private def writeIbm(b: java.io.ByteArrayOutputStream, refBits: Long): Unit = {
+    b.write(((refBits >> 24) & 0xff).toInt); b.write(((refBits >> 16) & 0xff).toInt)
+    b.write(((refBits >> 8) & 0xff).toInt); b.write((refBits & 0xff).toInt)
+  }
+
+  private def simpleBds(scan: Array[Float], decimals: Int): Array[Byte] = {
+    val (refBits, xs) = scaledOffsets(scan, decimals)
     val nbits = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, xs.max)))
     require(nbits <= 24, s"simple packing width $nbits too wide")
+    val b = new java.io.ByteArrayOutputStream()
+    val dataBits = xs.length * nbits
+    val unused = (8 - dataBits % 8) % 8
+    b.write((0 << 4) | unused) // flag nibble 0 (grid, simple, float)
+    b.write(0); b.write(0) // binary scale 0
+    writeIbm(b, refBits)
+    b.write(nbits)
+    val w = new Grib2.BitWriter(b)
+    xs.foreach(x => w.put(x, nbits))
+    w.flush()
+    sectionBytes(b.toByteArray)
+  }
 
-    val out = new java.io.ByteArrayOutputStream()
-    def u8w(v: Int): Unit = out.write(v & 0xff)
-    def u16w(v: Int): Unit = { u8w(v >> 8); u8w(v) }
-    def u24w(v: Int): Unit = { u8w(v >> 16); u8w(v >> 8); u8w(v) }
-    def sm24w(v: Int): Unit = u24w(if (v < 0) 0x800000 | -v else v)
+  private def secondOrderBds(scan: Array[Float], w0: Int, h0: Int,
+                             decimals: Int, rowByRow: Boolean,
+                             differentWidths: Boolean, groupLen: Int): Array[Byte] = {
+    require(groupLen >= 1, "groupLen >= 1")
+    val (refBits, xs) = scaledOffsets(scan, decimals)
+    val sizes: Array[Int] =
+      if (rowByRow)
+        Array.tabulate(h0)(row => (0 until w0).count(cx => !scan(row * w0 + cx).isNaN))
+      else {
+        val n = xs.length
+        Array.tabulate((n + groupLen - 1) / groupLen)(g =>
+          math.min(groupLen, n - g * groupLen))
+      }
+    val p1 = sizes.length
+    val fo = new Array[Long](p1); val soW = new Array[Int](p1)
+    val so = new Array[Long](xs.length)
+    var at = 0
+    for (g <- 0 until p1) if (sizes(g) > 0) {
+      var mn = Long.MaxValue
+      for (j <- 0 until sizes(g)) mn = math.min(mn, xs(at + j))
+      fo(g) = mn
+      var mx = 0L
+      for (j <- 0 until sizes(g)) {
+        so(at + j) = xs(at + j) - mn; mx = math.max(mx, so(at + j))
+      }
+      soW(g) = if (mx == 0) 0 else 64 - java.lang.Long.numberOfLeadingZeros(mx)
+      at += sizes(g)
+    }
+    val nbits = math.max(1,
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, fo.max)))
+    require(nbits <= 24, s"first-order width $nbits too wide")
+    val widths: Array[Int] =
+      if (differentWidths) soW else Array.fill(p1)(if (p1 == 0) 0 else soW.max)
+    val widthBytes = if (differentWidths) p1 else 1
+    val secBytes = if (rowByRow) 0 else (xs.length + 7) / 8
+    val n1 = 22 + widthBytes + secBytes
+    val n2 = n1 + (p1 * nbits + 7) / 8
+    require(n2 <= 0xffff, "second-order BDS pointers exceed 16 bits")
+    val soBits = (0 until p1).map(g => sizes(g).toLong * widths(g)).sum
+    val unused = ((8 - soBits % 8) % 8).toInt
+    val b = new java.io.ByteArrayOutputStream()
+    // flag nibble: bit 2 complex (0x4) + bit 4 octet-14 flags (0x1)
+    b.write((0x5 << 4) | unused)
+    b.write(0); b.write(0) // binary scale 0
+    writeIbm(b, refBits)
+    b.write(nbits)
+    b.write(n1 >> 8); b.write(n1 & 0xff)
+    b.write((if (rowByRow) 0 else 0x40) | (if (differentWidths) 0x20 else 0))
+    b.write(n2 >> 8); b.write(n2 & 0xff)
+    b.write(p1 >> 8); b.write(p1 & 0xff)
+    b.write(xs.length >> 8); b.write(xs.length & 0xff)
+    b.write(0) // octet 21 reserved
+    if (differentWidths) widths.foreach(b.write)
+    else b.write(if (p1 == 0) 0 else widths(0))
+    if (!rowByRow) { // secondary bitmap: a 1 opens each group
+      val bw = new Grib2.BitWriter(b)
+      var g2 = 0; var left = 0
+      for (_ <- xs.indices) {
+        if (left == 0) { bw.put(1, 1); left = sizes(g2); g2 += 1 }
+        else bw.put(0, 1)
+        left -= 1
+      }
+      bw.flush()
+    }
+    val fw = new Grib2.BitWriter(b)
+    fo.foreach(v => fw.put(v, nbits))
+    fw.flush()
+    val sw = new Grib2.BitWriter(b)
+    var at2 = 0
+    for (g <- 0 until p1) {
+      if (widths(g) > 0)
+        for (j <- 0 until sizes(g)) sw.put(so(at2 + j), widths(g))
+      at2 += sizes(g)
+    }
+    sw.flush()
+    sectionBytes(b.toByteArray)
+  }
+
+  private def writeWith(m: Grib2.Message, decimals: Int, scanMode: Int)
+                       (mkBds: Array[Float] => Array[Byte]): Array[Byte] = {
+    require((scanMode & 0x1f) == 0, "edition-1 scan modes use bits 1-3 only")
+    val r = m.raster
+    val scan = Grib2.toScanOrder(r.data, r.width, r.height, scanMode)
+    val hasNaN = scan.exists(_.isNaN)
+
     def section(body: java.io.ByteArrayOutputStream => Unit): Array[Byte] = {
       val b = new java.io.ByteArrayOutputStream()
       body(b)
-      val payload = b.toByteArray
-      val padded = if ((payload.length + 3) % 2 == 0) payload
-                   else payload :+ 0.toByte // sections have even length
-      val res = new java.io.ByteArrayOutputStream()
-      val len = padded.length + 3
-      res.write(len >> 16); res.write((len >> 8) & 0xff); res.write(len & 0xff)
-      res.write(padded)
-      res.toByteArray
+      sectionBytes(b.toByteArray)
     }
     def u16wTo(b: java.io.ByteArrayOutputStream, v: Int): Unit = {
       b.write((v >> 8) & 0xff); b.write(v & 0xff)
@@ -314,29 +516,7 @@ object Grib1 {
       }
       if (nb > 0) b.write(acc << (8 - nb))
     }
-    // BDS — flag nibble 0 (grid, simple, float), unused-bit count low
-    val dataBits = xs.length * nbits
-    val bds = {
-      val b = new java.io.ByteArrayOutputStream()
-      val unused = (8 - dataBits % 8) % 8
-      b.write((0 << 4) | unused)
-      val eAbs = 0
-      b.write((eAbs >> 8) & 0xff); b.write(eAbs & 0xff) // binary scale 0
-      val rb = refBits
-      b.write(((rb >> 24) & 0xff).toInt); b.write(((rb >> 16) & 0xff).toInt)
-      b.write(((rb >> 8) & 0xff).toInt); b.write((rb & 0xff).toInt)
-      b.write(nbits)
-      val w = new Grib2.BitWriter(b)
-      xs.foreach(x => w.put(x, nbits))
-      w.flush()
-      val payload = b.toByteArray
-      val padded = if ((payload.length + 3) % 2 == 0) payload else payload :+ 0.toByte
-      val res = new java.io.ByteArrayOutputStream()
-      val len = padded.length + 3
-      res.write(len >> 16); res.write((len >> 8) & 0xff); res.write(len & 0xff)
-      res.write(padded)
-      res.toByteArray
-    }
+    val bds = mkBds(scan)
     val body = pds ++ gds ++ bms ++ bds
     val total = 8 + body.length + 4
     val head = new java.io.ByteArrayOutputStream()

@@ -146,6 +146,92 @@ class Grib1Spec extends SparkSpec {
     assert(back.raster.data.sameElements(data))
   }
 
+  // BDS offset walk shared by the second-order tests
+  private def bdsAt(bytes: Array[Byte]): Int = {
+    var o = 8 + 28
+    val gdsLen = ((bytes(o) & 0xff) << 16) | ((bytes(o + 1) & 0xff) << 8) | (bytes(o + 2) & 0xff)
+    o += gdsLen
+    val flags = bytes(8 + 7) & 0xff
+    if ((flags & 0x40) != 0) {
+      val bmsLen = ((bytes(o) & 0xff) << 16) | ((bytes(o + 1) & 0xff) << 8) | (bytes(o + 2) & 0xff)
+      o += bmsLen
+    }
+    o
+  }
+
+  test("second-order packing (secondary-bitmap groups, per-group widths) decodes " +
+       "identically to simple packing") {
+    val m = sampleMessage
+    val viaSimple = Grib1.read(Grib1.write(m)).raster.data
+    val bytes = Grib1.writeSecondOrder(m, differentWidths = true, groupLen = 13)
+    // wire form really is second-order: complex + extended-flag bits set
+    val bds = bdsAt(bytes)
+    assert(((bytes(bds + 3) & 0xff) >> 4) == 0x5, "flag nibble: complex + octet-14")
+    assert((bytes(bds + 13) & 0xff) == 0x60, "ext flags: secondary bitmap + widths")
+    val back = Grib1.read(bytes).raster.data
+    back.zip(viaSimple).foreach { case (a, b) =>
+      assert((a.isNaN && b.isNaN) || a == b, s"$a vs $b")
+    }
+  }
+
+  test("second-order row-by-row with one shared width decodes identically") {
+    val m = sampleMessage
+    val viaSimple = Grib1.read(Grib1.write(m)).raster.data
+    val bytes = Grib1.writeSecondOrder(m, rowByRow = true, differentWidths = false)
+    val bds = bdsAt(bytes)
+    assert((bytes(bds + 13) & 0xff) == 0x00, "ext flags: row-by-row, constant width")
+    val back = Grib1.read(bytes).raster.data
+    back.zip(viaSimple).foreach { case (a, b) =>
+      assert((a.isNaN && b.isNaN) || a == b, s"$a vs $b")
+    }
+  }
+
+  test("second-order width-0 groups: row-constant fields carry no second-order data") {
+    val w = 16; val h = 8
+    val data = Array.tabulate(w * h)(i => 100f + (i / w) * 2f) // constant per row
+    val m = sampleMessage.copy(raster = GeoTiff.Raster(w, h, data, -180.0, 90.0, 22.5, 22.5))
+    val bytes = Grib1.writeSecondOrder(m, rowByRow = true, differentWidths = true)
+    val back = Grib1.read(bytes).raster.data
+    back.zip(data).foreach { case (a, b) => assert(a == b, s"$a vs $b") }
+  }
+
+  test("second-order singleton groups (groupLen=1) reduce to pure first-order") {
+    val m = sampleMessage
+    val viaSimple = Grib1.read(Grib1.write(m)).raster.data
+    val back = Grib1.read(Grib1.writeSecondOrder(m, groupLen = 1)).raster.data
+    back.zip(viaSimple).foreach { case (a, b) =>
+      assert((a.isNaN && b.isNaN) || a == b)
+    }
+  }
+
+  test("general-extended / boustrophedonic / spatial-difference second order fail loudly") {
+    val good = Grib1.writeSecondOrder(sampleMessage)
+    val bds = bdsAt(good)
+    for ((bit, msg) <- Seq(0x10 -> "general extended", 0x08 -> "boustrophedonic",
+                           0x02 -> "spatial differencing", 0x80 -> "matrix")) {
+      val bad = good.clone(); bad(bds + 13) = (bad(bds + 13) | bit).toByte
+      val e = intercept[IllegalArgumentException](Grib1.read(bad))
+      assert(e.getMessage.contains(msg), s"bit $bit -> ${e.getMessage}")
+    }
+  }
+
+  test("byte-flipped second-order granules decode or throw — never hang") {
+    val good = Grib1.writeSecondOrder(sampleMessage, groupLen = 7)
+    val rnd = new Random(83)
+    var decoded = 0; var threw = 0
+    for (trial <- 0 until 150) {
+      val bad = good.clone()
+      for (_ <- 0 to rnd.nextInt(4))
+        bad(rnd.nextInt(bad.length)) = rnd.nextInt(256).toByte
+      val t0 = System.nanoTime()
+      try { Grib1.readAll(bad); decoded += 1 }
+      catch { case _: Exception => threw += 1 }
+      assert((System.nanoTime() - t0) / 1e9 < 30.0, s"trial $trial must terminate")
+    }
+    info(s"$decoded decoded, $threw dead-lettered of 150 corruptions")
+    assert(decoded + threw == 150)
+  }
+
   test("byte-flipped edition-1 granules decode or throw — never hang") {
     val good = Grib1.write(sampleMessage)
     val rnd = new Random(31)
