@@ -24,7 +24,10 @@ import java.nio.{ByteBuffer, ByteOrder}
   *    heap's huge-object v2 B-tree) resolve; filtered huge objects
   *    fail loudly
   *  - dataspace v1/v2, datatype classes: fixed-point, IEEE float,
-  *    string, reference, vlen
+  *    string, reference, vlen; string DATASETS (fixed-length in both
+  *    the netcdf-c NC_CHAR size-1 form and the h5py width-W form, and
+  *    vlen strings resolved through the global heap) surface as
+  *    NC_CHAR-style label variables
   *  - data layout v3: contiguous and chunked (B-tree v1 chunk index,
   *    any nesting level, partial edge chunks)
   *  - data layout v4 (HDF5 ≥1.10, h5py libver='latest'/netcdf-c with
@@ -52,8 +55,12 @@ object Hdf5 {
 
   private val Undef = -1L // 0xFFFFFFFFFFFFFFFF: the undefined address
 
+  /** `isChar`: a string dataset (fixed-length class 3 or vlen-string
+    * class 9) surfaced as char codes, NC_CHAR-style — the trailing
+    * shape entry is the string width. */
   case class Dataset(name: String, addr: Long, shape: Seq[Int],
-                     data: Array[Float], attrs: Map[String, Any])
+                     data: Array[Float], attrs: Map[String, Any],
+                     isChar: Boolean = false)
   case class File(datasets: Seq[Dataset])
 
   /** Sniff on the 4-byte `\x89HDF` prefix (matching the reference's sniff,
@@ -741,7 +748,10 @@ object Hdf5 {
       case _ =>
     }
     require(dt != null, s"object at $addr is not a dataset")
-    require(dt.cls == 0 || dt.cls == 1, "only numeric datasets supported")
+    require(dt.cls == 0 || dt.cls == 1 || dt.cls == 3 ||
+      (dt.cls == 9 && dt.base.exists(_.cls == 3)),
+      s"unsupported dataset datatype class ${dt.cls} " +
+        "(numeric, string and vlen-string only)")
 
     val n = dims.product.max(1).toInt
     val raw: Array[Byte] = layoutClass match {
@@ -766,17 +776,66 @@ object Hdf5 {
         out
       case c => throw new IllegalArgumentException(s"no layout for dataset at $addr (class $c)")
     }
-    val data = new Array[Float](n)
-    if (raw == null) {
-      val fv = fillRaw.map(fb =>
-        element(ByteBuffer.wrap(fb).order(ByteOrder.LITTLE_ENDIAN), fb, 0, dt)).getOrElse(0.0)
-      java.util.Arrays.fill(data, fv.toFloat)
-    } else {
-      val rbb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+    if (dt.cls == 3) {
+      // fixed-length strings as NC_CHAR-style char codes. netcdf-c
+      // stores NC_CHAR data as size-1 strings with the string-length
+      // axis as a REAL dimension, so size 1 keeps the shape; h5py-style
+      // width-W strings fold the width into the type, so it surfaces
+      // as a synthetic trailing axis.
+      val total = n * dt.size
+      val data = new Array[Float](total)
+      if (raw != null) {
+        var i = 0
+        while (i < math.min(total, raw.length)) { data(i) = (raw(i) & 0xff).toFloat; i += 1 }
+      }
+      val shape = if (dt.size == 1) dims.map(_.toInt) else dims.map(_.toInt) :+ dt.size
+      Dataset(prefix.stripSuffix("/"), addr, shape, data, attrs.toMap, isChar = true)
+    } else if (dt.cls == 9) {
+      // vlen strings (the netcdf-4 NC_STRING / h5py str form): each
+      // 16-byte element is (length u32, global-heap address u64,
+      // heap index u32); pad to the longest string for the char-code
+      // surface.
+      require(dt.size == 16, s"vlen element size ${dt.size}, expected 16")
+      val strs = new Array[Array[Byte]](n)
+      var w = 1
       var i = 0
-      while (i < n) { data(i) = element(rbb, raw, i * dt.size, dt).toFloat; i += 1 }
+      while (i < n) {
+        strs(i) =
+          if (raw == null) Array.emptyByteArray
+          else {
+            val rbb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+            val len = rbb.getInt(i * 16)
+            if (len <= 0) Array.emptyByteArray
+            else {
+              val p = gheapObject(bb, bytes, rbb.getLong(i * 16 + 4), rbb.getInt(i * 16 + 12))
+              java.util.Arrays.copyOfRange(p, 0, math.min(len, p.length))
+            }
+          }
+        w = math.max(w, strs(i).length)
+        i += 1
+      }
+      val data = new Array[Float](n * w)
+      i = 0
+      while (i < n) {
+        var j = 0
+        while (j < strs(i).length) { data(i * w + j) = (strs(i)(j) & 0xff).toFloat; j += 1 }
+        i += 1
+      }
+      Dataset(prefix.stripSuffix("/"), addr, dims.map(_.toInt) :+ w, data,
+        attrs.toMap, isChar = true)
+    } else {
+      val data = new Array[Float](n)
+      if (raw == null) {
+        val fv = fillRaw.map(fb =>
+          element(ByteBuffer.wrap(fb).order(ByteOrder.LITTLE_ENDIAN), fb, 0, dt)).getOrElse(0.0)
+        java.util.Arrays.fill(data, fv.toFloat)
+      } else {
+        val rbb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+        var i = 0
+        while (i < n) { data(i) = element(rbb, raw, i * dt.size, dt).toFloat; i += 1 }
+      }
+      Dataset(prefix.stripSuffix("/"), addr, dims.map(_.toInt), data, attrs.toMap)
     }
-    Dataset(prefix.stripSuffix("/"), addr, dims.map(_.toInt), data, attrs.toMap)
   }
 
   /** Walk a v1 B-tree of raw data chunks, decompress, and scatter each
@@ -1170,11 +1229,39 @@ object Hdf5 {
       })
       .map(d => d.name -> d.shape.head)
     val dimBySize = dims.toMap.map(_.swap) // fallback resolution (first wins is fine: sizes differ in practice)
+    // string datasets may need synthetic width dims (h5py-style fixed
+    // strings and vlen strings fold the width into the type)
+    val extraDims = scala.collection.mutable.LinkedHashMap[String, Int]()
     val vars = f.datasets.map { d =>
-      val vdims: Seq[String] = d.attrs.get("DIMENSION_LIST") match {
+      val listed: Option[Seq[String]] = d.attrs.get("DIMENSION_LIST") match {
         case Some(refs: Seq[_]) =>
-          refs.map(r => byAddr.getOrElse(r.asInstanceOf[Long],
-            throw new IllegalArgumentException(s"${d.name}: DIMENSION_LIST ref to unknown object")))
+          Some(refs.map(r => byAddr.getOrElse(r.asInstanceOf[Long],
+            throw new IllegalArgumentException(s"${d.name}: DIMENSION_LIST ref to unknown object"))))
+        case _ => None
+      }
+      if (d.isChar) {
+        val vdims: Seq[String] = listed match {
+          case Some(names) if names.size == d.shape.size => names
+          case Some(names) if names.size == d.shape.size - 1 =>
+            val sd = s"${d.name}_strlen"
+            extraDims(sd) = d.shape.last
+            names :+ sd
+          case Some(names) => throw new IllegalArgumentException(
+            s"${d.name}: DIMENSION_LIST rank ${names.size} vs shape rank ${d.shape.size}")
+          case None =>
+            d.shape.zipWithIndex.map { case (sz, i) =>
+              dimBySize.get(sz).filter(_ => i < d.shape.size - 1).getOrElse {
+                val sd = if (i == d.shape.size - 1) s"${d.name}_strlen"
+                         else s"${d.name}_dim$i"
+                extraDims(sd) = sz; sd
+              }
+            }
+        }
+        NetCdf.Variable(d.name, vdims, d.data, None,
+          d.attrs.collect { case (k, v: String) => k -> v }, Map.empty, ncType = 2)
+      } else {
+      val vdims: Seq[String] = listed match {
+        case Some(names) => names
         case _ if isScale(d.name) => Seq(d.name)
         case _ => d.shape.map(sz => dimBySize.getOrElse(sz,
           throw new IllegalArgumentException(s"${d.name}: no dimension of size $sz")))
@@ -1203,8 +1290,9 @@ object Hdf5 {
       NetCdf.Variable(d.name, vdims, data,
         if (packed) None else fillRaw.map(_.toFloat), strAttrs,
         if (packed) numAttrs - "scale_factor" - "add_offset" else numAttrs)
+      }
     }
-    NetCdf.File(dims, vars)
+    NetCdf.File(dims ++ extraDims.toSeq, vars)
   }
 
   // ================= fixture writer =================================
@@ -1235,7 +1323,8 @@ object Hdf5 {
             eaPageBits: Int = 10, subgroup: Option[String] = None,
             filteredHeap: Boolean = false,
             denseIdStyle: String = "managed",
-            softLinks: Seq[(String, String)] = Nil): Array[Byte] = {
+            softLinks: Seq[(String, String)] = Nil,
+            vlenStr: Boolean = false): Array[Byte] = {
     require(softLinks.isEmpty || subgroup.isEmpty,
       "fixture writer: soft links + subgroup not combined")
     require(subgroup.isEmpty || !denseRoot,
@@ -1385,6 +1474,85 @@ object Hdf5 {
 
     // data variables: deflated chunks + chunk btree + object header
     dataVars.foreach { v =>
+      if (v.ncType == 2) {
+        // ---- char variable. Default: the netcdf-c NC_CHAR shape — a
+        // FIXED string of size 1 with the string-length axis as a real
+        // dimension, contiguous storage. With `vlenStr`: the
+        // NC_STRING/h5py shape — vlen strings through a global heap,
+        // the width folded out of the dataspace.
+        val cshape = v.dims.map(d => dims.find(_._1 == d).get._2).toArray
+        if (!vlenStr) {
+          val dataAddr = pos
+          v.data.foreach(f => u8(f.toInt & 0xff))
+          padTo8()
+          val charDt = bodyBuf({ bb =>
+            bb.put(0x13.toByte).put(0.toByte).put(0.toByte).put(0.toByte); bb.putInt(1)
+          }, 8)
+          val dimListData = bodyBuf({ bb =>
+            v.dims.indices.foreach { di =>
+              bb.putInt(1); bb.putLong(gheapAddr.toLong); bb.putInt(gheapIdx((v.name, di)))
+            }
+          }, v.dims.size * 16)
+          val msgs = Seq(
+            0x01 -> dataspaceMsg(cshape.toSeq),
+            0x03 -> charDt,
+            0x05 -> bodyBuf(bb => { bb.put(2.toByte).put(1.toByte).put(0.toByte).put(0.toByte) }, 4),
+            0x08 -> bodyBuf({ bb =>
+              bb.put(3.toByte).put(1.toByte); bb.putLong(dataAddr.toLong)
+              bb.putLong(v.data.length.toLong)
+            }, 18),
+            0x0C -> attrMsg("DIMENSION_LIST", vlenRefDt,
+              dataspaceMsg(Seq(v.dims.size)), dimListData))
+          ohAddrs(v.name) = pos
+          raw(objectHeader(msgs))
+          padTo8()
+        } else {
+          val width = cshape.last
+          val outer = cshape.dropRight(1)
+          val nEl = outer.product.max(1)
+          val strsB: Seq[Array[Byte]] = (0 until nEl).map { i =>
+            val cs = v.data.slice(i * width, (i + 1) * width).map(f => (f.toInt & 0xff).toByte)
+            var e2 = cs.length
+            while (e2 > 0 && (cs(e2 - 1) == 0 || cs(e2 - 1) == ' '.toByte)) e2 -= 1
+            java.util.Arrays.copyOfRange(cs, 0, e2)
+          }
+          val strHeapAddr = pos
+          val heapSz = 16 + strsB.map(s => 16 + ((s.length + 7) / 8) * 8).sum
+          raw("GCOL".getBytes); u8(1); u8(0); u8(0); u8(0)
+          u64(heapSz.toLong)
+          strsB.zipWithIndex.foreach { case (s, i) =>
+            u16(i + 1); u16(1); u32(0); u64(s.length.toLong); raw(pad8(s))
+          }
+          padTo8()
+          val dataAddr = pos
+          strsB.zipWithIndex.foreach { case (s, i) =>
+            u32(s.length.toLong); u64(strHeapAddr.toLong); u32((i + 1).toLong)
+          }
+          padTo8()
+          val vlenStrDt = bodyBuf({ bb =>
+            bb.put(0x19.toByte).put(1.toByte).put(0.toByte).put(0.toByte); bb.putInt(16)
+            bb.put(0x13.toByte).put(0.toByte).put(0.toByte).put(0.toByte); bb.putInt(1)
+          }, 16)
+          val dimListData = bodyBuf({ bb =>
+            outer.indices.foreach { di =>
+              bb.putInt(1); bb.putLong(gheapAddr.toLong); bb.putInt(gheapIdx((v.name, di)))
+            }
+          }, outer.length * 16)
+          val msgs = Seq(
+            0x01 -> dataspaceMsg(outer.toSeq),
+            0x03 -> vlenStrDt,
+            0x05 -> bodyBuf(bb => { bb.put(2.toByte).put(1.toByte).put(0.toByte).put(0.toByte) }, 4),
+            0x08 -> bodyBuf({ bb =>
+              bb.put(3.toByte).put(1.toByte); bb.putLong(dataAddr.toLong)
+              bb.putLong(nEl * 16L)
+            }, 18),
+            0x0C -> attrMsg("DIMENSION_LIST", vlenRefDt,
+              dataspaceMsg(Seq(outer.length)), dimListData))
+          ohAddrs(v.name) = pos
+          raw(objectHeader(msgs))
+          padTo8()
+        }
+      } else {
       val shape = v.dims.map(d => dims.find(_._1 == d).get._2).toArray
       val rank = shape.length
       // one leading-index slice per chunk; split the next axis to force
@@ -1664,6 +1832,7 @@ object Hdf5 {
       ohAddrs(v.name) = pos
       raw(objectHeader(msgs))
       padTo8()
+      }
     }
 
     // child group holding the data variables (nested-group layout):

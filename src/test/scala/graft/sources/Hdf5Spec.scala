@@ -526,4 +526,39 @@ class Hdf5Spec extends SparkSpec {
       .select("lon", "lat", "v").collect()(0)
     assert(r.getDouble(0) == -20.0 && r.getDouble(1) == 40.0)
   }
+
+  private def charFixture(vlen: Boolean): Array[Byte] = {
+    val lat = Array(40f, 30f, 20f, 10f, 0f)
+    val lon = Array(-30f, -20f, -10f, 0f, 10f, 20f, 30f)
+    val data = Array.tabulate(h * w)(i => i * 0.5f)
+    val names = "HalleyVI" + "Vostok  " // 2 stations, width 8
+    Hdf5.write(
+      Seq("lat" -> h, "lon" -> w, "station" -> 2, "strlen" -> 8),
+      Seq(
+        NetCdf.Variable("lat", Seq("lat"), lat, None),
+        NetCdf.Variable("lon", Seq("lon"), lon, None),
+        NetCdf.Variable("station_name", Seq("station", "strlen"),
+          names.map(_.toFloat).toArray, None, ncType = 2),
+        NetCdf.Variable("t2m", Seq("lat", "lon"), data, None)),
+      vlenStr = vlen)
+  }
+
+  test("fixed-string dataset (netcdf-c NC_CHAR shape) decodes to label strings") {
+    val f = NetCdf.readAny(charFixture(vlen = false))
+    assert(f.charValues("station_name") == Seq("HalleyVI", "Vostok"))
+    // label variables never raster; the numeric variable still does
+    assert(!f.gridVars.exists(_.name == "station_name"))
+    assert(f.gridVars.exists(_.name == "t2m"))
+    assert(f.rasters("t2m").forall(_._2.data.count(!_.isNaN) == h * w))
+  }
+
+  test("vlen-string dataset (NC_STRING/h5py shape) resolves through the global heap") {
+    val f = NetCdf.readAny(charFixture(vlen = true))
+    assert(f.charValues("station_name") == Seq("HalleyVI", "Vostok"))
+    // the width axis is synthetic (folded into the type on the wire)
+    val v = f.vars.find(_.name == "station_name").get
+    assert(v.dims == Seq("station", "station_name_strlen"))
+    assert(f.dimSize("station_name_strlen") == 8) // longest string
+    assert(f.gridVars.exists(_.name == "t2m"))
+  }
 }
