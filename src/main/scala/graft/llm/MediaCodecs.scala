@@ -138,8 +138,24 @@ object MediaCodecs {
     out.toByteArray
   }
 
-  /** Decode all PNG frames of a (possibly single-frame) payload. */
+  /** Decode all frames of a payload: concatenated PNG frames, or one
+    * baseline JPEG (via the native T.81 codec) surfaced in the same
+    * packed-pixel form — gray as the sample, RGB as R<<16|G<<8|B. */
   def decodeFrames(b: Array[Byte]): Seq[graft.sources.PngCodec.Image] = {
+    if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
+      val img = graft.sources.JpegCodec.decode(b)
+      val px = new Array[Long](img.width * img.height)
+      var i = 0
+      while (i < px.length) {
+        px(i) =
+          if (img.comps == 1) (img.data(i) & 0xff).toLong
+          else ((img.data(i * 3) & 0xff).toLong << 16) |
+            ((img.data(i * 3 + 1) & 0xff).toLong << 8) |
+            (img.data(i * 3 + 2) & 0xff).toLong
+        i += 1
+      }
+      return Seq(graft.sources.PngCodec.Image(img.width, img.height, px, b.length))
+    }
     val frames = scala.collection.mutable.Buffer[graft.sources.PngCodec.Image]()
     var p = 0
     while (p + 8 <= b.length && b.slice(p, p + 8).sameElements(PngSig)) {
@@ -147,7 +163,7 @@ object MediaCodecs {
       frames += img
       p = img.end
     }
-    require(frames.nonEmpty, "no PNG frames")
+    require(frames.nonEmpty, "no PNG or JPEG frames")
     frames.toSeq
   }
 

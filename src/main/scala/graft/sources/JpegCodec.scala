@@ -390,23 +390,34 @@ object JpegCodec {
     (if (r < 0) 0 else if (r > 255) 255 else r).toByte
   }
 
+  /** Separable IDCT: a column pass then a row pass (128 8-tap dot
+    * products instead of the 4096-term direct form). */
   private def idctInto(coef: Array[Double], plane: Array[Byte], pw: Int,
                        py: Int, px: Int): Unit = {
+    val tmp = new Array[Double](64) // tmp(u + y*8) = Σ_v C(v) F(u,v) cos_v(y)
     var y = 0
+    while (y < 8) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var v = 0
+        while (v < 8) {
+          val f = coef(v * 8 + u)
+          if (f != 0.0) s += Cn(v) * f * CosT(v)(y)
+          v += 1
+        }
+        tmp(y * 8 + u) = s
+        u += 1
+      }
+      y += 1
+    }
+    y = 0
     while (y < 8) {
       var x = 0
       while (x < 8) {
         var s = 0.0
         var u = 0
-        while (u < 8) {
-          var v = 0
-          while (v < 8) {
-            val f = coef(v * 8 + u)
-            if (f != 0.0) s += Cn(u) * Cn(v) * f * CosT(u)(x) * CosT(v)(y)
-            v += 1
-          }
-          u += 1
-        }
+        while (u < 8) { s += Cn(u) * tmp(y * 8 + u) * CosT(u)(x); u += 1 }
         val r = math.round(s / 4 + 128).toInt
         plane((py + y) * pw + px + x) =
           (if (r < 0) 0 else if (r > 255) 255 else r).toByte
@@ -617,26 +628,34 @@ object JpegCodec {
   private def putAmp(bw: BitWriter, v: Int, t: Int): Unit =
     if (t > 0) bw.put(if (v >= 0) v else v + (1 << t) - 1, t)
 
-  /** Forward DCT of the 8x8 block at (py, px), quantized by `qz`
-    * (zigzag-order steps), coefficients out in ZIGZAG order. */
+  /** Separable forward DCT of the 8x8 block at (py, px), quantized by
+    * `qz` (zigzag-order steps), coefficients out in ZIGZAG order. */
   private def fdct(plane: Array[Int], pw: Int, py: Int, px: Int,
                    qz: Array[Int], out: Array[Int]): Unit = {
+    val tmp = new Array[Double](64) // tmp(x + v*8) = Σ_y f(x,y) cos_v(y)
+    var v = 0
+    while (v < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var y = 0
+        while (y < 8) {
+          s += (plane((py + y) * pw + px + x) - 128) * CosT(v)(y)
+          y += 1
+        }
+        tmp(v * 8 + x) = s
+        x += 1
+      }
+      v += 1
+    }
     var k = 0
     while (k < 64) {
       val nat = Zigzag(k)
-      val u = nat % 8; val v = nat / 8
+      val u = nat % 8; val vv = nat / 8
       var s = 0.0
-      var y = 0
-      while (y < 8) {
-        var x = 0
-        while (x < 8) {
-          s += (plane((py + y) * pw + px + x) - 128) * CosT(u)(x) * CosT(v)(y)
-          x += 1
-        }
-        y += 1
-      }
-      val f = s * Cn(u) * Cn(v) / 4
-      out(k) = math.round(f / qz(k)).toInt
+      var x = 0
+      while (x < 8) { s += CosT(u)(x) * tmp(vv * 8 + x); x += 1 }
+      out(k) = math.round(s * Cn(u) * Cn(vv) / 4 / qz(k)).toInt
       k += 1
     }
   }

@@ -41,4 +41,30 @@ class AhashSpec extends SparkSpec {
     val d = hamming(m(1L), m(2L))
     assert(d >= 16, s"unrelated scenes only $d bits apart")
   }
+
+  test("a JPEG re-encode of the same scene hashes within small hamming distance") {
+    // the aHash robustness claim across the codecs the corpus carries:
+    // identical content as lossless PNG vs near-lossless baseline JPEG
+    def scene(x: Int, y: Int) = (x * 7 + y * 3 + (x * y) % 31) % 200
+    val w = 64; val h = 64
+    val gray = Array.tabulate(w * h)(i => scene(i % w, i / w).toByte)
+    val jpeg = graft.sources.JpegCodec.encode(
+      graft.sources.JpegCodec.Image(w, h, 1, gray))
+    val m = hashOf(Seq(
+      img(1L, w, h, scene),
+      Multimodal.Media(2L, "image", jpeg)))
+    val d = hamming(m(1L), m(2L))
+    assert(d <= 4, s"JPEG re-encode moved $d of 64 bits")
+  }
+
+  test("resizeNearest decodes JPEG payloads through the same partition-local pass") {
+    val w = 32; val h = 16
+    val gray = Array.tabulate(w * h)(i => ((i * 5) % 256).toByte)
+    val jpeg = graft.sources.JpegCodec.encode(
+      graft.sources.JpegCodec.Image(w, h, 1, gray))
+    val ds = spark.createDataset(Seq(Multimodal.Media(9L, "image", jpeg)))
+    val r = Multimodal.resizeNearest(ds, 2).collect()(0)
+    assert(r.getInt(1) == 16 && r.getInt(2) == 8)
+    assert(r.getLong(3) > 0L)
+  }
 }
