@@ -69,56 +69,132 @@ object Hdf5 {
   def canHandle(b: Array[Byte]): Boolean =
     b.length >= 4 && (b(0) & 0xff) == 0x89 && b(1) == 'H' && b(2) == 'D' && b(3) == 'F'
 
-  // ================= reader =========================================
+  /** Positional-read source for the reader: a whole-file byte array
+    * (the binaryFile ingest path) or a SeekableByteChannel behind an
+    * LRU page cache — granules beyond JVM array addressing
+    * (multi-GiB NetCDF-4/ERA5-class files), which the reference reads
+    * via h5netcdf's mmap. All multi-byte reads are little-endian
+    * except the explicit BE helpers (big-endian numeric datasets). */
+  final class H5In private (arr: Array[Byte],
+                            ch: java.nio.channels.SeekableByteChannel,
+                            val length: Long) {
+    private val abb =
+      if (arr == null) null
+      else ByteBuffer.wrap(arr).order(ByteOrder.LITTLE_ENDIAN)
 
-  /** Bounds-checked address → array offset. Files are read fully into a
-    * JVM byte array, so every valid in-file address fits in an Int; an
-    * address at/past the array length (notably the ≥2 GiB offsets a JVM
-    * array cannot hold) fails loudly instead of silently truncating. */
-  private def off(addr: Long, bytes: Array[Byte]): Int = {
-    require(addr >= 0 && addr < bytes.length,
-      s"HDF5 address $addr out of range (file is ${bytes.length} bytes; " +
-        "offsets beyond 2 GiB are not supported by the in-memory reader)")
-    addr.toInt
+    private val PageShift = 20 // 1 MiB pages
+    private val PageSize = 1 << PageShift
+    private val pages = new java.util.LinkedHashMap[Long, Array[Byte]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Long, Array[Byte]]): Boolean = size > 64
+    }
+    private def page(pi: Long): Array[Byte] = {
+      val got = pages.get(pi)
+      if (got != null) got
+      else {
+        val at = pi << PageShift
+        val len = math.min(PageSize.toLong, length - at).toInt
+        val buf = ByteBuffer.allocate(len)
+        ch.position(at)
+        while (buf.hasRemaining)
+          require(ch.read(buf) >= 0, s"HDF5 channel EOF at ${at + buf.position()}")
+        val a = buf.array()
+        pages.put(pi, a)
+        a
+      }
+    }
+    private def chk(a: Long, n: Int): Unit =
+      if (a < 0 || a + n > length) throw new IllegalArgumentException(
+        s"HDF5 address $a out of range (file is $length bytes)")
+
+    def apply(a: Long): Byte = {
+      chk(a, 1)
+      if (arr != null) arr(a.toInt)
+      else page(a >> PageShift)((a & (PageSize - 1)).toInt)
+    }
+    def slice(a: Long, len: Int): Array[Byte] = {
+      require(len >= 0, s"negative slice length $len")
+      chk(a, len)
+      if (arr != null) java.util.Arrays.copyOfRange(arr, a.toInt, a.toInt + len)
+      else {
+        val out = new Array[Byte](len)
+        var done = 0
+        while (done < len) {
+          val at = a + done
+          val p = page(at >> PageShift)
+          val po = (at & (PageSize - 1)).toInt
+          val n = math.min(len - done, p.length - po)
+          System.arraycopy(p, po, out, done, n)
+          done += n
+        }
+        out
+      }
+    }
+    private def leBuf(a: Long, n: Int): ByteBuffer =
+      if (arr != null) { chk(a, n); abb }
+      else ByteBuffer.wrap(slice(a, n)).order(ByteOrder.LITTLE_ENDIAN)
+    private def pos(a: Long): Int = if (arr != null) a.toInt else 0
+    def getShort(a: Long): Short = leBuf(a, 2).getShort(pos(a))
+    def getInt(a: Long): Int = leBuf(a, 4).getInt(pos(a))
+    def getLong(a: Long): Long = leBuf(a, 8).getLong(pos(a))
+    def getFloat(a: Long): Float = leBuf(a, 4).getFloat(pos(a))
+    def getDouble(a: Long): Double = leBuf(a, 8).getDouble(pos(a))
+    def getIntBE(a: Long): Int = Integer.reverseBytes(getInt(a))
+    def getLongBE(a: Long): Long = java.lang.Long.reverseBytes(getLong(a))
+    def string(a: Long, len: Int): String = new String(slice(a, len), "UTF-8")
+    def close(): Unit = if (ch != null) ch.close()
   }
+
+  object H5In {
+    def apply(bytes: Array[Byte]): H5In = new H5In(bytes, null, bytes.length.toLong)
+    /** Open a file for positional reads (any size; pages cached). The
+      * caller closes. */
+    def fromPath(path: String): H5In = {
+      val ch = java.nio.file.Files.newByteChannel(java.nio.file.Paths.get(path))
+      new H5In(null, ch, ch.size())
+    }
+  }
+
+  // ================= reader =========================================
 
   /** Parsed datatype: cls ∈ {0 fixed, 1 float, 3 string, 7 reference,
     * 9 vlen}; consumed = encoded byte length (for walking attributes). */
   private case class Dt(cls: Int, size: Int, bigEndian: Boolean, signed: Boolean,
                         base: Option[Dt], consumed: Int)
 
-  def read(bytes: Array[Byte]): File = {
-    require(canHandle(bytes), "not HDF5")
-    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-    val ver = bytes(8) & 0xff
+  def read(bytes: Array[Byte]): File = read(H5In(bytes))
+
+  def read(in: H5In): File = {
+    require(in.length > 8 && canHandle(in.slice(0, 8)), "not HDF5")
+    val ver = in(8) & 0xff
     val rootAddr = ver match {
       case 0 | 1 =>
-        require((bytes(13) & 0xff) == 8 && (bytes(14) & 0xff) == 8,
+        require((in(13) & 0xff) == 8 && (in(14) & 0xff) == 8,
           "only 8-byte offsets/lengths supported")
         val fixed = if (ver == 0) 24 else 28 // v1 adds indexed-storage-k + reserved
         // base/freespace/eof/driver addresses, then the root group's
         // symbol table entry: link-name-offset(8), object-header-addr(8)
-        bb.getLong(fixed + 32 + 8)
+        in.getLong(fixed + 32 + 8)
       case 2 | 3 =>
-        require((bytes(9) & 0xff) == 8 && (bytes(10) & 0xff) == 8,
+        require((in(9) & 0xff) == 8 && (in(10) & 0xff) == 8,
           "only 8-byte offsets/lengths supported")
-        bb.getLong(36)
+        in.getLong(36)
       case v => throw new IllegalArgumentException(s"unsupported superblock v$v")
     }
     val out = scala.collection.mutable.Buffer[Dataset]()
-    readGroup(bb, bytes, rootAddr, "", out, rootAddr)
+    readGroup(in, rootAddr, "", out, rootAddr)
     File(out.toSeq)
   }
 
   /** All header messages of the object at `addr`, continuations resolved. */
-  private def messages(bb: ByteBuffer, bytes: Array[Byte], addr: Long): Seq[(Int, Int)] = {
+  private def messages(in: H5In, addr: Long): Seq[(Int, Long)] = {
     // returns (message type, body offset); body length is implicit in the parse
-    val msgs = scala.collection.mutable.Buffer[(Int, Int, Int)]() // type, off, size
-    val a = off(addr, bytes)
-    if (bytes(a) == 1) { // v1 object header
-      val nMsgs = bb.getShort(a + 2) & 0xffff
+    val msgs = scala.collection.mutable.Buffer[(Int, Long, Int)]() // type, off, size
+    val a = addr
+    if (in(a) == 1) { // v1 object header
+      val nMsgs = in.getShort(a + 2) & 0xffff
       // blocks of raw messages: (start, end); first block after 16-byte prefix
-      val hdrSize = bb.getInt(a + 8)
+      val hdrSize = in.getInt(a + 8)
       var blocks = List((a + 16, a + 16 + hdrSize))
       var read = 0
       while (blocks.nonEmpty && read < nMsgs) {
@@ -126,28 +202,28 @@ object Hdf5 {
         blocks = blocks.tail
         var p = start
         while (p + 8 <= end && read < nMsgs) {
-          val typ = bb.getShort(p) & 0xffff
-          val sz = bb.getShort(p + 2) & 0xffff
+          val typ = in.getShort(p) & 0xffff
+          val sz = in.getShort(p + 2) & 0xffff
           val body = p + 8
           if (typ == 0x10) // continuation: offset(8) + length(8)
-            blocks = blocks :+ ((off(bb.getLong(body), bytes),
-              off(bb.getLong(body) + bb.getLong(body + 8) - 1, bytes) + 1))
+            blocks = blocks :+ ((in.getLong(body),
+              in.getLong(body) + in.getLong(body + 8)))
           else if (typ != 0) msgs += ((typ, body, sz))
           read += 1
           p = body + sz
         }
       }
-    } else if (bytes(a) == 'O' && bytes(a + 1) == 'H' && bytes(a + 2) == 'D' && bytes(a + 3) == 'R') {
-      val flags = bytes(a + 5) & 0xff
+    } else if (in(a) == 'O' && in(a + 1) == 'H' && in(a + 2) == 'D' && in(a + 3) == 'R') {
+      val flags = in(a + 5) & 0xff
       var p = a + 6
       if ((flags & 0x20) != 0) p += 16 // access/mod/change/birth times
       if ((flags & 0x10) != 0) p += 4  // max compact / min dense
       val szBytes = 1 << (flags & 3)
       val chunk0 = szBytes match {
-        case 1 => bytes(p) & 0xffL
-        case 2 => bb.getShort(p) & 0xffffL
-        case 4 => bb.getInt(p) & 0xffffffffL
-        case _ => bb.getLong(p)
+        case 1 => in(p) & 0xffL
+        case 2 => in.getShort(p) & 0xffffL
+        case 4 => in.getInt(p) & 0xffffffffL
+        case _ => in.getLong(p)
       }
       p += szBytes
       var blocks = List((p, p + chunk0.toInt))
@@ -156,15 +232,15 @@ object Hdf5 {
         blocks = blocks.tail
         var q = start
         while (q + 4 <= end) {
-          val typ = bytes(q) & 0xff
-          val sz = bb.getShort(q + 1) & 0xffff
+          val typ = in(q) & 0xff
+          val sz = in.getShort(q + 1) & 0xffff
           var body = q + 4
           if ((flags & 0x04) != 0) body += 2 // creation-order field per message
           if (body + sz > end) q = end // trailing gap, not a real message
           else {
             if (typ == 0x10) {
-              val o = off(bb.getLong(body), bytes)
-              val len = bb.getLong(body + 8).toInt
+              val o = in.getLong(body)
+              val len = in.getLong(body + 8)
               blocks = blocks :+ ((o + 4, o + len - 4)) // skip OCHK sig + checksum
             } else if (typ != 0) msgs += ((typ, body, sz))
             q = body + sz
@@ -177,25 +253,25 @@ object Hdf5 {
 
   /** All links of the group object at `addr` (compact messages,
     * old-style symbol table, dense fractal heap). */
-  private def linksOf(bb: ByteBuffer, bytes: Array[Byte], addr: Long): Seq[Link] =
-    linksOf(bb, bytes, messages(bb, bytes, addr))
+  private def linksOf(in: H5In, addr: Long): Seq[Link] =
+    linksOf(in, messages(in, addr))
 
   /** Overload over already-parsed header messages — readGroup has them
     * in hand for the dataset check, so the header isn't parsed twice
     * per group. */
-  private def linksOf(bb: ByteBuffer, bytes: Array[Byte],
-                      msgs: Seq[(Int, Int)]): Seq[Link] = {
+  private def linksOf(in: H5In,
+                      msgs: Seq[(Int, Long)]): Seq[Link] = {
     val links = scala.collection.mutable.Buffer[Link]()
     msgs.foreach {
       case (0x11, off) => // symbol table: btree addr + local heap addr
-        val btree = bb.getLong(off); val heap = bb.getLong(off + 8)
-        val heapData = bb.getLong(Hdf5.off(heap, bytes) + 24)
-        walkGroupBtree(bb, bytes, btree, heapData, links)
+        val btree = in.getLong(off); val heap = in.getLong(off + 8)
+        val heapData = in.getLong(heap + 24)
+        walkGroupBtree(in, btree, heapData, links)
       case (0x02, off) => // link info: dense groups route via fractal heap
-        val base = off + 2 + (if ((bytes(off + 1) & 1) != 0) 8 else 0)
-        val fh = bb.getLong(base)
-        if (fh != Undef) denseLinks(bb, bytes, fh, bb.getLong(base + 8), links)
-      case (0x06, off) => links += parseLink(bb, bytes, off)
+        val base = off + 2 + (if ((in(off + 1) & 1) != 0) 8 else 0)
+        val fh = in.getLong(base)
+        if (fh != Undef) denseLinks(in, fh, in.getLong(base + 8), links)
+      case (0x06, off) => links += parseLink(in, off)
       case _ =>
     }
     links.toSeq
@@ -206,15 +282,15 @@ object Hdf5 {
     * soft links may chain (depth-guarded against cycles). Returns None
     * for a DANGLING path — a legitimate HDF5 state that iteration
     * skips (h5ls/h5py behavior), never an error. */
-  private def resolvePath(bb: ByteBuffer, bytes: Array[Byte], rootAddr: Long,
+  private def resolvePath(in: H5In, rootAddr: Long,
                           fromAddr: Long, path: String, depth: Int): Option[Long] = {
     require(depth < 16, s"soft-link chain too deep at '$path' (cycle?)")
     var cur = if (path.startsWith("/")) rootAddr else fromAddr
     for (part <- path.split("/").iterator.filter(_.nonEmpty)) {
-      linksOf(bb, bytes, cur).find(_._1 == part) match {
+      linksOf(in, cur).find(_._1 == part) match {
         case Some((_, Left(a))) => cur = a
         case Some((_, Right(p2))) =>
-          resolvePath(bb, bytes, rootAddr, cur, p2, depth + 1) match {
+          resolvePath(in, rootAddr, cur, p2, depth + 1) match {
             case Some(a) => cur = a
             case None => return None
           }
@@ -224,27 +300,27 @@ object Hdf5 {
     Some(cur)
   }
 
-  private def readGroup(bb: ByteBuffer, bytes: Array[Byte], addr: Long,
+  private def readGroup(in: H5In, addr: Long,
                         prefix: String, out: scala.collection.mutable.Buffer[Dataset],
                         rootAddr: Long, seen: Set[Long] = Set.empty): Unit = {
     // ancestor guard: a link (soft or hard) back to an enclosing group
     // would recurse forever; the same group under SIBLING names is
     // legitimate (an alias) and stays allowed
     if (seen.contains(addr)) return
-    val msgs = messages(bb, bytes, addr)
+    val msgs = messages(in, addr)
     if (msgs.map(_._1).contains(0x08)) { // data layout → dataset
-      out += readDataset(bb, bytes, addr, prefix, msgs)
+      out += readDataset(in, addr, prefix, msgs)
       return
     }
     val seen2 = seen + addr
-    linksOf(bb, bytes, msgs).foreach {
+    linksOf(in, msgs).foreach {
       case (name, Left(child)) =>
-        readGroup(bb, bytes, child, prefix + name + "/", out, rootAddr, seen2)
+        readGroup(in, child, prefix + name + "/", out, rootAddr, seen2)
       case (name, Right(path)) =>
         // soft link: resolve (dangling targets are skipped, like h5py
         // iteration); the linked object surfaces under the LINK's name
-        resolvePath(bb, bytes, rootAddr, addr, path, 0).foreach(child =>
-          readGroup(bb, bytes, child, prefix + name + "/", out, rootAddr, seen2))
+        resolvePath(in, rootAddr, addr, path, 0).foreach(child =>
+          readGroup(in, child, prefix + name + "/", out, rootAddr, seen2))
     }
   }
 
@@ -267,19 +343,19 @@ object Hdf5 {
     * the ID bytes, HUGE objects through the direct (address in ID)
     * form or the huge-object v2 B-tree; only filtered huge objects
     * fail loudly. */
-  private[sources] def denseLinks(bb: ByteBuffer, bytes: Array[Byte], fhAddr: Long, bt2Addr: Long,
+  private[sources] def denseLinks(in: H5In, fhAddr: Long, bt2Addr: Long,
                          links: scala.collection.mutable.Buffer[Link]): Unit = {
-    val h = off(fhAddr, bytes)
-    require(bytes(h) == 'F' && bytes(h + 1) == 'R' && bytes(h + 2) == 'H' && bytes(h + 3) == 'P',
+    val h = fhAddr
+    require(in(h) == 'F' && in(h + 1) == 'R' && in(h + 2) == 'H' && in(h + 3) == 'P',
       s"expected FRHP at $fhAddr")
-    val heapIdLen = bb.getShort(h + 5) & 0xffff
-    val ioFilterLen = bb.getShort(h + 7) & 0xffff
-    val tableWidth = bb.getShort(h + 110) & 0xffff
-    val startSize = bb.getLong(h + 112)
-    val maxDirect = bb.getLong(h + 120)
-    val maxHeapBits = bb.getShort(h + 128) & 0xffff
-    val rootAddr = bb.getLong(h + 132)
-    val curRows = bb.getShort(h + 140) & 0xffff
+    val heapIdLen = in.getShort(h + 5) & 0xffff
+    val ioFilterLen = in.getShort(h + 7) & 0xffff
+    val tableWidth = in.getShort(h + 110) & 0xffff
+    val startSize = in.getLong(h + 112)
+    val maxDirect = in.getLong(h + 120)
+    val maxHeapBits = in.getShort(h + 128) & 0xffff
+    val rootAddr = in.getLong(h + 132)
+    val curRows = in.getShort(h + 140) & 0xffff
     // FILTERED heap (ioFilterLen > 0): direct blocks are stored behind
     // the heap's own filter pipeline (whole block filtered); the FRHP
     // gains the filtered ROOT direct block's size + mask, and indirect-
@@ -288,38 +364,37 @@ object Hdf5 {
     val filtered = ioFilterLen > 0
     val (rootFilteredSize, rootFilterMask, heapFilters) =
       if (!filtered) (0L, 0, Seq.empty[Int])
-      else (bb.getLong(h + 142), bb.getInt(h + 150),
-        parseFilterPipeline(bb, bytes, h + 154))
+      else (in.getLong(h + 142), in.getInt(h + 150),
+        parseFilterPipeline(in, h + 154))
     val offSize = (maxHeapBits + 7) / 8
     require(heapIdLen > offSize, s"heap ID length $heapIdLen too small for $offSize-byte offsets")
     // doubling table: rows 0 and 1 hold start-size blocks, row r ≥ 2
     // holds start << (r−1); only rows of direct blocks are walkable
     def rowSize(r: Int): Long = if (r < 2) startSize else startSize << (r - 1)
     val maxDirectRows = (63 - java.lang.Long.numberOfLeadingZeros(maxDirect / startSize)) + 2
-    def unsignedLE(at: Int, n: Int): Long = {
+    def unsignedLE(at: Long, n: Int): Long = {
       var v = 0L; var i = 0
-      while (i < n) { v |= (bytes(at + i) & 0xffL) << (8 * i); i += 1 }
+      while (i < n) { v |= (in(at + i) & 0xffL) << (8 * i); i += 1 }
       v
     }
-    def expectSig(b: Array[Byte], a: Int, sig: String): Unit =
+    def expectSig(b: H5In, a: Long, sig: String): Unit =
       require((0 until 4).forall(i => b(a + i) == sig.charAt(i).toByte),
         s"expected $sig at offset $a")
     // one defiltered direct block per address (several links usually
-    // share a block — decompress once)
-    val blockCache = new java.util.HashMap[Long, Array[Byte]]()
-    def directBlock(addr: Long, filteredSize: Long, mask: Int): Array[Byte] = {
-      var buf = blockCache.get(addr)
-      if (buf == null) {
-        val a = off(addr, bytes)
-        buf =
-          if (!filtered) bytes
-          else defilter(java.util.Arrays.copyOfRange(bytes, a, a + filteredSize.toInt),
-            heapFilters, mask, 1)
-        if (filtered) expectSig(buf, 0, "FHDB")
-        blockCache.put(addr, buf)
+    // share a block — decompress once); unfiltered blocks read in
+    // place through the file source at their absolute offset
+    val blockCache = new java.util.HashMap[Long, H5In]()
+    def directBlock(addr: Long, filteredSize: Long, mask: Int): (H5In, Long) =
+      if (!filtered) (in, addr)
+      else {
+        var buf = blockCache.get(addr)
+        if (buf == null) {
+          buf = H5In(defilter(in.slice(addr, filteredSize.toInt),
+            heapFilters, mask, 1))
+          blockCache.put(addr, buf)
+        }
+        (buf, 0L)
       }
-      buf
-    }
     // physical (buffer, offset) of the object at logical heap offset
     // `ho`. Indirect blocks nest: rows below maxDirectRows point at
     // direct blocks; rows at/above it point at CHILD indirect blocks,
@@ -328,9 +403,9 @@ object Hdf5 {
     // made relative to the child's span (the layout netcdf-c reaches
     // past ~32 KiB of link messages under default heap parameters,
     // i.e. thousands-of-variables files).
-    def resolveIn(ibAddr: Long, base: Long, ho: Long, depth: Int): (Array[Byte], Int) = {
+    def resolveIn(ibAddr: Long, base: Long, ho: Long, depth: Int): (H5In, Long) = {
       require(depth < 16, s"implausible fractal-heap nesting at offset $ho (corrupt heap?)")
-      val ib = off(ibAddr, bytes); expectSig(bytes, ib, "FHIB")
+      val ib = ibAddr; expectSig(in, ib, "FHIB")
       val entries = ib + 13 + offSize // sig, version, heap-header addr, block offset
       val rel = ho - base
       var r = 0
@@ -345,48 +420,45 @@ object Hdf5 {
       val dirW = if (filtered) 20 else 8
       if (r < maxDirectRows) {
         val at = entries + (r * tableWidth + c) * dirW
-        val child = bb.getLong(at)
+        val child = in.getLong(at)
         val (fSz, fMask) =
-          if (filtered) (bb.getLong(at + 8), bb.getInt(at + 16)) else (0L, 0)
-        val buf = directBlock(child, fSz, fMask)
-        val cb = if (filtered) 0 else off(child, bytes)
+          if (filtered) (in.getLong(at + 8), in.getInt(at + 16)) else (0L, 0)
+        val (buf, cb) = directBlock(child, fSz, fMask)
         expectSig(buf, cb, "FHDB")
-        (buf, cb + (ho - childBase).toInt)
+        (buf, cb + (ho - childBase))
       } else {
         val directCells = maxDirectRows.toInt * tableWidth
         val at = entries + directCells * dirW +
           ((r - maxDirectRows.toInt) * tableWidth + c) * 8
-        resolveIn(bb.getLong(at), childBase, ho, depth + 1)
+        resolveIn(in.getLong(at), childBase, ho, depth + 1)
       }
     }
-    def resolve(ho: Long): (Array[Byte], Int) =
+    def resolve(ho: Long): (H5In, Long) =
       if (curRows == 0) { // root IS a direct block at logical offset 0
-        val buf = directBlock(rootAddr, rootFilteredSize, rootFilterMask)
-        val a = if (filtered) 0 else off(rootAddr, bytes)
+        val (buf, a) = directBlock(rootAddr, rootFilteredSize, rootFilterMask)
         expectSig(buf, a, "FHDB")
-        (buf, a + ho.toInt)
+        (buf, a + ho)
       } else resolveIn(rootAddr, 0L, ho, 0)
     // B-tree v2 name index: walk the records at every level; hashes
     // are not consulted (listing is order-independent), only the
     // embedded heap IDs (each record = 4-byte name hash + heap ID).
     var hugeMap: java.util.HashMap[Long, Long] = null
-    walkBtreeV2(bb, bytes, bt2Addr) { (idAt0, _) =>
+    walkBtreeV2(in, bt2Addr) { (idAt0, _) =>
       val idAt = idAt0 + 4 // skip the name hash
-      val idFlags = bytes(idAt) & 0xff
+      val idFlags = in(idAt) & 0xff
       ((idFlags >> 4) & 3) match {
         case 0 => // managed: resolve through the doubling table
           val (buf, o) = resolve(unsignedLE(idAt + 1, offSize))
-          links += parseLink(
-            ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN), buf, o)
+          links += parseLink(buf, o)
         case 2 => // tiny: the link message IS the ID. Normal form keeps
           // length−1 in the low 4 flag bits; IDs longer than 18 bytes
           // use the extended form's extra low-byte (12-bit lengths).
           val (len, at) =
             if (heapIdLen <= 18) ((idFlags & 0x0f) + 1, idAt + 1)
-            else ((((idFlags & 0x0f) << 8) | (bytes(idAt + 1) & 0xff)) + 1, idAt + 2)
+            else ((((idFlags & 0x0f) << 8) | (in(idAt + 1) & 0xff)) + 1, idAt + 2)
           require(at - idAt + len <= heapIdLen,
             s"tiny heap object of $len bytes overruns its $heapIdLen-byte ID")
-          links += parseLink(bb, bytes, at)
+          links += parseLink(in, at)
         case 1 => // huge: past the max managed size. Direct IDs (ID wide
           // enough for address+length, libhdf5's rule) point straight at
           // the object; otherwise the ID is a key into the heap's huge-
@@ -395,20 +467,20 @@ object Hdf5 {
           // link — a per-link walk would be quadratic in huge links.
           require(!filtered, "filtered huge heap objects not supported")
           if (heapIdLen >= 17) {
-            links += parseLink(bb, bytes, off(unsignedLE(idAt + 1, 8), bytes))
+            links += parseLink(in, unsignedLE(idAt + 1, 8))
           } else {
             if (hugeMap == null) {
-              val hugeBt2 = bb.getLong(h + 22)
+              val hugeBt2 = in.getLong(h + 22)
               require(hugeBt2 != -1L, "huge heap ID but no huge-object B-tree")
               hugeMap = new java.util.HashMap[Long, Long]()
-              walkBtreeV2(bb, bytes, hugeBt2) { (rAt, _) =>
-                hugeMap.put(unsignedLE(rAt + 16, 8), bb.getLong(rAt))
+              walkBtreeV2(in, hugeBt2) { (rAt, _) =>
+                hugeMap.put(unsignedLE(rAt + 16, 8), in.getLong(rAt))
               }
             }
             val wantId = unsignedLE(idAt + 1, math.min(8, heapIdLen - 1))
             require(hugeMap.containsKey(wantId),
               s"huge object $wantId not in the huge-object B-tree")
-            links += parseLink(bb, bytes, off(hugeMap.get(wantId), bytes))
+            links += parseLink(in, hugeMap.get(wantId))
           }
         case t =>
           throw new IllegalArgumentException(s"unknown fractal-heap ID type $t")
@@ -424,23 +496,23 @@ object Hdf5 {
     * from node size and record size). Shared by the dense-group name
     * index (record types 5/6) and the layout-v4 chunk indexes
     * (record types 10/11). */
-  private def walkBtreeV2(bb: ByteBuffer, bytes: Array[Byte], bt2Addr: Long)(
-      onRecord: (Int, Int) => Unit): Unit = {
-    def uLE(at: Int, n: Int): Long = {
+  private def walkBtreeV2(in: H5In, bt2Addr: Long)(
+      onRecord: (Long, Int) => Unit): Unit = {
+    def uLE(at: Long, n: Int): Long = {
       var v = 0L; var i = 0
-      while (i < n) { v |= (bytes(at + i) & 0xffL) << (8 * i); i += 1 }
+      while (i < n) { v |= (in(at + i) & 0xffL) << (8 * i); i += 1 }
       v
     }
-    def sig4(a: Int, sig: String): Unit =
-      require((0 until 4).forall(i => bytes(a + i) == sig.charAt(i).toByte),
+    def sig4(a: Long, sig: String): Unit =
+      require((0 until 4).forall(i => in(a + i) == sig.charAt(i).toByte),
         s"expected $sig at file offset $a")
-    val b = off(bt2Addr, bytes); sig4(b, "BTHD")
-    val nodeSize = bb.getInt(b + 6)
-    val recordSize = bb.getShort(b + 10) & 0xffff
-    val depth = bb.getShort(b + 12) & 0xffff
+    val b = bt2Addr; sig4(b, "BTHD")
+    val nodeSize = in.getInt(b + 6)
+    val recordSize = in.getShort(b + 10) & 0xffff
+    val depth = in.getShort(b + 12) & 0xffff
     require(depth <= 8, s"implausible B-tree v2 depth $depth (corrupt header?)")
-    val rootAddr2 = bb.getLong(b + 16)
-    val rootNRec = bb.getShort(b + 24) & 0xffff
+    val rootAddr2 = in.getLong(b + 16)
+    val rootNRec = in.getShort(b + 24) & 0xffff
     require(nodeSize > 10 + recordSize && recordSize > 4,
       s"implausible B-tree v2 geometry (node $nodeSize, record $recordSize)")
     def encSize(v: Long): Int = (63 - java.lang.Long.numberOfLeadingZeros(v)) / 8 + 1
@@ -460,10 +532,10 @@ object Hdf5 {
     }
     def descend(addr: Long, nRec: Int, d: Int): Unit =
       if (d == 0) {
-        val l = off(addr, bytes); sig4(l, "BTLF")
+        val l = addr; sig4(l, "BTLF")
         for (i <- 0 until nRec) onRecord(l + 6 + i * recordSize, recordSize)
       } else {
-        val a = off(addr, bytes); sig4(a, "BTIN")
+        val a = addr; sig4(a, "BTIN")
         for (i <- 0 until nRec) onRecord(a + 6 + i * recordSize, recordSize)
         val n1 = encSize(maxNrec(d - 1))
         val n2 = if (d >= 2) encSize(cumMaxNrec(d - 1)) else 0
@@ -471,40 +543,40 @@ object Hdf5 {
         val ptrSz = 8 + n1 + n2
         for (i <- 0 to nRec) {
           val at = ptrBase + i * ptrSz
-          descend(bb.getLong(at), uLE(at + 8, n1).toInt, d - 1)
+          descend(in.getLong(at), uLE(at + 8, n1).toInt, d - 1)
         }
       }
     descend(rootAddr2, rootNRec, depth)
   }
 
-  private def walkGroupBtree(bb: ByteBuffer, bytes: Array[Byte], addr: Long, heapData: Long,
+  private def walkGroupBtree(in: H5In, addr: Long, heapData: Long,
                              links: scala.collection.mutable.Buffer[Link]): Unit = {
-    val a = off(addr, bytes)
-    require(bytes(a) == 'T' && bytes(a + 1) == 'R', s"expected TREE at $addr")
-    val level = bytes(a + 5) & 0xff
-    val n = bb.getShort(a + 6) & 0xffff
+    val a = addr
+    require(in(a) == 'T' && in(a + 1) == 'R', s"expected TREE at $addr")
+    val level = in(a + 5) & 0xff
+    val n = in.getShort(a + 6) & 0xffff
     var p = a + 24 // past sig, type, level, entries, 2 sibling addrs
     p += 8 // key 0
     for (_ <- 0 until n) {
-      val child = bb.getLong(p); p += 16 // child + following key
-      if (level > 0) walkGroupBtree(bb, bytes, child, heapData, links)
+      val child = in.getLong(p); p += 16 // child + following key
+      if (level > 0) walkGroupBtree(in, child, heapData, links)
       else { // SNOD symbol-table node
-        val c = off(child, bytes)
-        require(bytes(c) == 'S' && bytes(c + 1) == 'N', s"expected SNOD at $child")
-        val nSym = bb.getShort(c + 6) & 0xffff
+        val c = child
+        require(in(c) == 'S' && in(c + 1) == 'N', s"expected SNOD at $child")
+        val nSym = in.getShort(c + 6) & 0xffff
         for (i <- 0 until nSym) {
           val e = c + 8 + i * 40
-          val nameOff = bb.getLong(e)
-          val ohAddr = bb.getLong(e + 8)
-          val cacheType = bb.getInt(e + 16)
-          val name = cString(bytes, off(heapData + nameOff, bytes))
+          val nameOff = in.getLong(e)
+          val ohAddr = in.getLong(e + 8)
+          val cacheType = in.getInt(e + 16)
+          val name = cString(in, heapData + nameOff)
           // cache type 2 = symbolic (soft) link: the header address is
           // undefined and the scratch area's first word is the local-
           // heap offset of the path string — the DEFAULT h5py/libhdf5
           // soft-link layout for old-style groups
           if (cacheType == 2) {
-            val pathOff = bb.getInt(e + 24) & 0xffffffffL
-            links += ((name, Right(cString(bytes, off(heapData + pathOff, bytes)))))
+            val pathOff = in.getInt(e + 24) & 0xffffffffL
+            links += ((name, Right(cString(in, heapData + pathOff))))
           } else links += ((name, Left(ohAddr)))
         }
       }
@@ -515,12 +587,12 @@ object Hdf5 {
     * resolved during traversal). */
   private[sources] type Link = (String, Either[Long, String])
 
-  private def parseLink(bb: ByteBuffer, bytes: Array[Byte], off: Int): Link = {
-    val flags = bytes(off + 1) & 0xff
+  private def parseLink(in: H5In, off: Long): Link = {
+    val flags = in(off + 1) & 0xff
     var p = off + 2
     var linkType = 0
     if ((flags & 0x08) != 0) {
-      linkType = bytes(p) & 0xff
+      linkType = in(p) & 0xff
       require(linkType <= 1,
         s"link type $linkType not supported (0 hard, 1 soft; external/user-defined fail loudly)")
       p += 1
@@ -529,121 +601,121 @@ object Hdf5 {
     if ((flags & 0x10) != 0) p += 1 // charset
     val lenBytes = 1 << (flags & 3)
     val nameLen = lenBytes match {
-      case 1 => bytes(p) & 0xff
-      case 2 => bb.getShort(p) & 0xffff
-      case _ => bb.getInt(p)
+      case 1 => in(p) & 0xff
+      case 2 => in.getShort(p) & 0xffff
+      case _ => in.getInt(p)
     }
     p += lenBytes
-    val name = new String(bytes, p, nameLen, "UTF-8")
+    val name = in.string(p, nameLen)
     p += nameLen
-    if (linkType == 0) (name, Left(bb.getLong(p)))
+    if (linkType == 0) (name, Left(in.getLong(p)))
     else { // soft: 2-byte length + path bytes
-      val plen = bb.getShort(p) & 0xffff
-      (name, Right(new String(bytes, p + 2, plen, "UTF-8")))
+      val plen = in.getShort(p) & 0xffff
+      (name, Right(in.string(p + 2, plen)))
     }
   }
 
-  private def cString(bytes: Array[Byte], off: Int): String = {
+  private def cString(in: H5In, off: Long): String = {
     var e = off
-    while (bytes(e) != 0) e += 1
-    new String(bytes, off, e - off, "UTF-8")
+    while (in(e) != 0) e += 1
+    in.string(off, (e - off).toInt)
   }
 
-  private def parseDt(bb: ByteBuffer, bytes: Array[Byte], off: Int): Dt = {
-    val cls = bytes(off) & 0x0f
-    val b0 = bytes(off + 1) & 0xff
-    val size = bb.getInt(off + 4)
+  private def parseDt(in: H5In, off: Long): Dt = {
+    val cls = in(off) & 0x0f
+    val b0 = in(off + 1) & 0xff
+    val size = in.getInt(off + 4)
     cls match {
       case 0 => Dt(0, size, (b0 & 1) != 0, (b0 & 8) != 0, None, 8 + 4)
       case 1 => Dt(1, size, (b0 & 1) != 0, signed = true, None, 8 + 12)
       case 3 => Dt(3, size, bigEndian = false, signed = false, None, 8)
       case 7 => Dt(7, size, bigEndian = false, signed = false, None, 8)
       case 9 =>
-        val base = parseDt(bb, bytes, off + 8)
+        val base = parseDt(in, off + 8)
         Dt(9, size, bigEndian = false, signed = false, Some(base), 8 + base.consumed)
       case c => throw new IllegalArgumentException(s"unsupported datatype class $c")
     }
   }
 
   /** (rank, dims, consumed bytes) from a dataspace message. */
-  private def parseDs(bb: ByteBuffer, bytes: Array[Byte], off: Int): (Int, Seq[Long], Int) = {
-    val ver = bytes(off) & 0xff
-    val rank = bytes(off + 1) & 0xff
-    val flags = bytes(off + 2) & 0xff
+  private def parseDs(in: H5In, off: Long): (Int, Seq[Long], Int) = {
+    val ver = in(off) & 0xff
+    val rank = in(off + 1) & 0xff
+    val flags = in(off + 2) & 0xff
     val hdr = if (ver == 1) 8 else 4
-    val dims = (0 until rank).map(i => bb.getLong(off + hdr + i * 8))
+    val dims = (0 until rank).map(i => in.getLong(off + hdr + i * 8))
     val maxLen = if ((flags & 1) != 0) rank * 8 else 0
     (rank, dims, hdr + rank * 8 + maxLen)
   }
 
-  private def element(bb: ByteBuffer, bytes: Array[Byte], off: Int, dt: Dt): Double = {
-    def beShort = ((bytes(off) & 0xff) << 8 | (bytes(off + 1) & 0xff)).toShort
-    def beInt = ByteBuffer.wrap(bytes, off, 4).order(ByteOrder.BIG_ENDIAN).getInt
-    def beLong = ByteBuffer.wrap(bytes, off, 8).order(ByteOrder.BIG_ENDIAN).getLong
+  private def element(in: H5In, off: Long, dt: Dt): Double = {
+    def beShort = ((in(off) & 0xff) << 8 | (in(off + 1) & 0xff)).toShort
+    def beInt = in.getIntBE(off)
+    def beLong = in.getLongBE(off)
     dt.cls match {
       case 1 if dt.size == 4 =>
-        java.lang.Float.intBitsToFloat(if (dt.bigEndian) beInt else bb.getInt(off)).toDouble
+        java.lang.Float.intBitsToFloat(if (dt.bigEndian) beInt else in.getInt(off)).toDouble
       case 1 if dt.size == 8 =>
-        java.lang.Double.longBitsToDouble(if (dt.bigEndian) beLong else bb.getLong(off))
+        java.lang.Double.longBitsToDouble(if (dt.bigEndian) beLong else in.getLong(off))
       case 0 => dt.size match {
-        case 1 => val v = bytes(off).toLong; (if (dt.signed) v else v & 0xff).toDouble
-        case 2 => val v = if (dt.bigEndian) beShort else bb.getShort(off)
+        case 1 => val v = in(off).toLong; (if (dt.signed) v else v & 0xff).toDouble
+        case 2 => val v = if (dt.bigEndian) beShort else in.getShort(off)
           (if (dt.signed) v.toLong else v & 0xffff).toDouble
-        case 4 => val v = if (dt.bigEndian) beInt else bb.getInt(off)
+        case 4 => val v = if (dt.bigEndian) beInt else in.getInt(off)
           (if (dt.signed) v.toLong else v & 0xffffffffL).toDouble
-        case _ => (if (dt.bigEndian) beLong else bb.getLong(off)).toDouble
+        case _ => (if (dt.bigEndian) beLong else in.getLong(off)).toDouble
       }
       case c => throw new IllegalArgumentException(s"non-numeric element class $c")
     }
   }
 
   /** One global-heap object's payload. */
-  private def gheapObject(bb: ByteBuffer, bytes: Array[Byte], addr: Long, idx: Int): Array[Byte] = {
-    val a = off(addr, bytes)
-    require(bytes(a) == 'G' && bytes(a + 1) == 'C', s"expected GCOL at $addr")
-    val end = a + bb.getLong(a + 8).toInt
+  private def gheapObject(in: H5In, addr: Long, idx: Int): Array[Byte] = {
+    val a = addr
+    require(in(a) == 'G' && in(a + 1) == 'C', s"expected GCOL at $addr")
+    val end = a + in.getLong(a + 8).toInt
     var p = a + 16
     while (p + 16 <= end) {
-      val oidx = bb.getShort(p) & 0xffff
-      val osize = bb.getLong(p + 8).toInt
-      if (oidx == idx) return java.util.Arrays.copyOfRange(bytes, p + 16, p + 16 + osize)
+      val oidx = in.getShort(p) & 0xffff
+      val osize = in.getLong(p + 8).toInt
+      if (oidx == idx) return in.slice(p + 16, osize)
       if (oidx == 0) throw new IllegalArgumentException(s"global heap object $idx not found")
       p += 16 + ((osize + 7) / 8) * 8
     }
     throw new IllegalArgumentException(s"global heap object $idx not found")
   }
 
-  private def readAttr(bb: ByteBuffer, bytes: Array[Byte], off: Int): Option[(String, Any)] = {
-    val ver = bytes(off) & 0xff
+  private def readAttr(in: H5In, off: Long): Option[(String, Any)] = {
+    val ver = in(off) & 0xff
     require(ver >= 1 && ver <= 3, s"unsupported attribute message v$ver")
-    val nameSize = bb.getShort(off + 2) & 0xffff
-    val dtSize = bb.getShort(off + 4) & 0xffff
-    val dsSize = bb.getShort(off + 6) & 0xffff
-    if (ver >= 2 && (bytes(off + 1) & 3) != 0) return None // shared dt/ds: skip
+    val nameSize = in.getShort(off + 2) & 0xffff
+    val dtSize = in.getShort(off + 4) & 0xffff
+    val dsSize = in.getShort(off + 6) & 0xffff
+    if (ver >= 2 && (in(off + 1) & 3) != 0) return None // shared dt/ds: skip
     var p = off + 8 + (if (ver == 3) 1 else 0)
     def pad8(n: Int) = ((n + 7) / 8) * 8
-    val name = cString(bytes, p)
+    val name = cString(in, p)
     p += (if (ver == 1) pad8(nameSize) else nameSize)
-    val dt = parseDt(bb, bytes, p)
+    val dt = parseDt(in, p)
     val dtOff = p
     p += (if (ver == 1) pad8(dtSize) else dtSize)
-    val (_, dims, _) = parseDs(bb, bytes, p)
+    val (_, dims, _) = parseDs(in, p)
     p += (if (ver == 1) pad8(dsSize) else dsSize)
     val n = dims.product.max(1).toInt
     val value: Any = dt.cls match {
-      case 3 => cString(bytes, p)
+      case 3 => cString(in, p)
       case 0 | 1 =>
-        if (n == 1) element(bb, bytes, p, dt)
-        else (0 until n).map(i => element(bb, bytes, p + i * dt.size, dt))
+        if (n == 1) element(in, p, dt)
+        else (0 until n).map(i => element(in, p + i * dt.size, dt))
       case 9 if dt.base.exists(_.cls == 7) =>
         // vlen of object references (DIMENSION_LIST): per element a
         // (length, gheap addr, index) triple; resolve the first ref
         (0 until n).map { i =>
           val e = p + i * 16
-          val len = bb.getInt(e)
+          val len = in.getInt(e)
           if (len == 0) Undef
           else {
-            val payload = gheapObject(bb, bytes, bb.getLong(e + 4), bb.getInt(e + 12))
+            val payload = gheapObject(in, in.getLong(e + 4), in.getInt(e + 12))
             ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN).getLong(0)
           }
         }
@@ -653,8 +725,8 @@ object Hdf5 {
     Some(name -> value)
   }
 
-  private def readDataset(bb: ByteBuffer, bytes: Array[Byte], addr: Long,
-                          prefix: String, msgs: Seq[(Int, Int)]): Dataset = {
+  private def readDataset(in: H5In, addr: Long,
+                          prefix: String, msgs: Seq[(Int, Long)]): Dataset = {
     var dims: Seq[Long] = Nil
     var dt: Dt = null
     var fillRaw: Option[Array[Byte]] = None
@@ -674,36 +746,36 @@ object Hdf5 {
     val attrs = scala.collection.mutable.Map[String, Any]()
 
     msgs.foreach {
-      case (0x01, off) => dims = parseDs(bb, bytes, off)._2
-      case (0x03, off) => dt = parseDt(bb, bytes, off)
+      case (0x01, off) => dims = parseDs(in, off)._2
+      case (0x03, off) => dt = parseDt(in, off)
       case (0x05, off) =>
-        val ver = bytes(off) & 0xff
+        val ver = in(off) & 0xff
         if (ver <= 2) {
-          if ((bytes(off + 3) & 0xff) == 1) {
-            val sz = bb.getInt(off + 4)
-            if (sz > 0) fillRaw = Some(java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + sz))
+          if ((in(off + 3) & 0xff) == 1) {
+            val sz = in.getInt(off + 4)
+            if (sz > 0) fillRaw = Some(in.slice(off + 8, sz))
           }
         } else { // v3: flags bit 5 = fill value defined
-          if ((bytes(off + 1) & 0x20) != 0) {
-            val sz = bb.getInt(off + 2)
-            if (sz > 0) fillRaw = Some(java.util.Arrays.copyOfRange(bytes, off + 6, off + 6 + sz))
+          if ((in(off + 1) & 0x20) != 0) {
+            val sz = in.getInt(off + 2)
+            if (sz > 0) fillRaw = Some(in.slice(off + 6, sz))
           }
         }
       case (0x08, off) =>
-        val ver = bytes(off) & 0xff
+        val ver = in(off) & 0xff
         require(ver == 3 || ver == 4, s"only layout message v3/v4 supported, got v$ver")
         layoutVer = ver
-        layoutClass = bytes(off + 1) & 0xff
+        layoutClass = in(off + 1) & 0xff
         (ver, layoutClass) match {
           case (_, 0) => // compact: size(2) + data — same shape in v3/v4
-            val sz = bb.getShort(off + 2) & 0xffff
-            compact = java.util.Arrays.copyOfRange(bytes, off + 4, off + 4 + sz)
+            val sz = in.getShort(off + 2) & 0xffff
+            compact = in.slice(off + 4, sz)
           case (_, 1) =>
-            dataAddr = bb.getLong(off + 2); dataSize = bb.getLong(off + 10)
+            dataAddr = in.getLong(off + 2); dataSize = in.getLong(off + 10)
           case (3, 2) =>
-            val ndim = bytes(off + 2) & 0xff
-            btree = bb.getLong(off + 3)
-            chunkDims = (0 until ndim).map(i => bb.getInt(off + 11 + i * 4)).toArray
+            val ndim = in(off + 2) & 0xff
+            btree = in.getLong(off + 3)
+            chunkDims = (0 until ndim).map(i => in.getInt(off + 11 + i * 4)).toArray
           case (4, 2) =>
             // v4 chunked (HDF5 ≥1.10): flags(1), dimensionality(1,
             // rank+1 incl. the element-size dim — same convention as
@@ -711,24 +783,24 @@ object Hdf5 {
             // type(1), type-specific info, index address(8). FA/EA/BT2
             // geometry is re-stated inside the index structures
             // themselves, so only the single-chunk fields are kept.
-            v4Flags = bytes(off + 2) & 0xff
-            val ndim = bytes(off + 3) & 0xff
-            val encLen = bytes(off + 4) & 0xff
+            v4Flags = in(off + 2) & 0xff
+            val ndim = in(off + 3) & 0xff
+            val encLen = in(off + 4) & 0xff
             require(encLen >= 1 && encLen <= 8, s"bad v4 dim encoding length $encLen")
             var p = off + 5
             chunkDims = (0 until ndim).map { _ =>
               var v = 0L; var i = 0
-              while (i < encLen) { v |= (bytes(p + i) & 0xffL) << (8 * i); i += 1 }
+              while (i < encLen) { v |= (in(p + i) & 0xffL) << (8 * i); i += 1 }
               p += encLen
               require(v > 0 && v <= Int.MaxValue, s"bad v4 chunk dim $v")
               v.toInt
             }.toArray
-            v4IdxType = bytes(p) & 0xff; p += 1
+            v4IdxType = in(p) & 0xff; p += 1
             v4IdxType match {
               case 1 => // single chunk: filtered variant carries size+mask
                 if ((v4Flags & 2) != 0) {
-                  v4SingleSize = bb.getLong(p); p += 8
-                  v4SingleMask = bb.getInt(p); p += 4
+                  v4SingleSize = in.getLong(p); p += 8
+                  v4SingleMask = in.getInt(p); p += 4
                 }
               case 2 => // implicit: no config
               case 3 => p += 1 // fixed array: page bits (FAHD restates)
@@ -737,14 +809,14 @@ object Hdf5 {
               case t => throw new IllegalArgumentException(
                 s"unsupported v4 chunk index type $t")
             }
-            btree = bb.getLong(p) // index (or single-chunk) address
+            btree = in.getLong(p) // index (or single-chunk) address
           case (_, 3) => throw new IllegalArgumentException(
             "virtual dataset layout (class 3) not supported")
           case (_, c) => throw new IllegalArgumentException(s"unsupported layout class $c")
         }
       case (0x0B, off) =>
-        filters = parseFilterPipeline(bb, bytes, off)
-      case (0x0C, off) => readAttr(bb, bytes, off).foreach(attrs += _)
+        filters = parseFilterPipeline(in, off)
+      case (0x0C, off) => readAttr(in, off).foreach(attrs += _)
       case _ =>
     }
     require(dt != null, s"object at $addr is not a dataset")
@@ -753,13 +825,15 @@ object Hdf5 {
       s"unsupported dataset datatype class ${dt.cls} " +
         "(numeric, string and vlen-string only)")
 
+    require(dims.product.max(1) <= Int.MaxValue,
+      s"variable of ${dims.product} elements exceeds the materializing " +
+        "reader's 2^31-element cap (chunk-subset reads needed)")
     val n = dims.product.max(1).toInt
     val raw: Array[Byte] = layoutClass match {
       case 0 => compact
       case 1 =>
         if (dataAddr == Undef) null
-        else java.util.Arrays.copyOfRange(bytes, off(dataAddr, bytes),
-          off(dataAddr + dataSize - 1, bytes) + 1)
+        else in.slice(dataAddr, dataSize.toInt)
       case 2 =>
         val out = new Array[Byte](n * dt.size)
         fillRaw.foreach { fb =>
@@ -768,9 +842,9 @@ object Hdf5 {
         }
         if (btree != Undef) {
           if (layoutVer == 3)
-            readChunks(bb, bytes, btree, dims.map(_.toInt).toArray, chunkDims, dt.size, filters, out)
+            readChunks(in, btree, dims.map(_.toInt).toArray, chunkDims, dt.size, filters, out)
           else
-            readChunksV4(bb, bytes, btree, dims.map(_.toInt).toArray, chunkDims,
+            readChunksV4(in, btree, dims.map(_.toInt).toArray, chunkDims,
               dt.size, filters, out, v4IdxType, v4Flags, v4SingleSize, v4SingleMask)
         }
         out
@@ -807,7 +881,7 @@ object Hdf5 {
             val len = rbb.getInt(i * 16)
             if (len <= 0) Array.emptyByteArray
             else {
-              val p = gheapObject(bb, bytes, rbb.getLong(i * 16 + 4), rbb.getInt(i * 16 + 12))
+              val p = gheapObject(in, rbb.getLong(i * 16 + 4), rbb.getInt(i * 16 + 12))
               java.util.Arrays.copyOfRange(p, 0, math.min(len, p.length))
             }
           }
@@ -827,12 +901,12 @@ object Hdf5 {
       val data = new Array[Float](n)
       if (raw == null) {
         val fv = fillRaw.map(fb =>
-          element(ByteBuffer.wrap(fb).order(ByteOrder.LITTLE_ENDIAN), fb, 0, dt)).getOrElse(0.0)
+          element(H5In(fb), 0, dt)).getOrElse(0.0)
         java.util.Arrays.fill(data, fv.toFloat)
       } else {
-        val rbb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+        val rin = H5In(raw)
         var i = 0
-        while (i < n) { data(i) = element(rbb, raw, i * dt.size, dt).toFloat; i += 1 }
+        while (i < n) { data(i) = element(rin, i.toLong * dt.size, dt).toFloat; i += 1 }
       }
       Dataset(prefix.stripSuffix("/"), addr, dims.map(_.toInt), data, attrs.toMap)
     }
@@ -840,27 +914,27 @@ object Hdf5 {
 
   /** Walk a v1 B-tree of raw data chunks, decompress, and scatter each
     * chunk into the row-major output (clipping partial edge chunks). */
-  private def readChunks(bb: ByteBuffer, bytes: Array[Byte], addr: Long, dims: Array[Int],
+  private def readChunks(in: H5In, addr: Long, dims: Array[Int],
                          chunkDims: Array[Int], elemSize: Int, filters: Seq[Int],
                          out: Array[Byte]): Unit = {
-    val a = off(addr, bytes)
-    require(bytes(a) == 'T' && bytes(a + 1) == 'R', s"expected TREE at $addr")
-    require((bytes(a + 4) & 0xff) == 1, "expected chunk btree (type 1)")
-    val level = bytes(a + 5) & 0xff
-    val n = bb.getShort(a + 6) & 0xffff
+    val a = addr
+    require(in(a) == 'T' && in(a + 1) == 'R', s"expected TREE at $addr")
+    require((in(a + 4) & 0xff) == 1, "expected chunk btree (type 1)")
+    val level = in(a + 5) & 0xff
+    val n = in.getShort(a + 6) & 0xffff
     val rank = dims.length
     val keySize = 8 + (rank + 1) * 8
     var p = a + 24
     for (_ <- 0 until n) {
-      val nbytes = bb.getInt(p)
-      val mask = bb.getInt(p + 4)
-      val offs = (0 until rank).map(i => bb.getLong(p + 8 + i * 8).toInt).toArray
-      val child = bb.getLong(p + keySize)
+      val nbytes = in.getInt(p)
+      val mask = in.getInt(p + 4)
+      val offs = (0 until rank).map(i => in.getLong(p + 8 + i * 8).toInt).toArray
+      val child = in.getLong(p + keySize)
       p += keySize + 8
-      if (level > 0) readChunks(bb, bytes, child, dims, chunkDims, elemSize, filters, out)
+      if (level > 0) readChunks(in, child, dims, chunkDims, elemSize, filters, out)
       else {
-        val c = off(child, bytes)
-        val chunk = defilter(java.util.Arrays.copyOfRange(bytes, c, c + nbytes),
+        val c = child
+        val chunk = defilter(in.slice(c, nbytes),
           filters, mask, elemSize)
         scatter(chunk, offs, dims, chunkDims, elemSize, out)
       }
@@ -870,14 +944,14 @@ object Hdf5 {
   /** Parse a Filter Pipeline message (v1/v2) body into filter ids —
     * shared by the dataset 0x0B message and the fractal-heap I/O
     * filter info. */
-  private def parseFilterPipeline(bb: ByteBuffer, bytes: Array[Byte], off: Int): Seq[Int] = {
-    val ver = bytes(off) & 0xff
-    val nf = bytes(off + 1) & 0xff
+  private def parseFilterPipeline(in: H5In, off: Long): Seq[Int] = {
+    val ver = in(off) & 0xff
+    val nf = in(off + 1) & 0xff
     var p = off + (if (ver == 1) 8 else 2)
     (0 until nf).map { _ =>
-      val id = bb.getShort(p) & 0xffff
-      val nameLen = if (ver == 1 || id >= 256) bb.getShort(p + 2) & 0xffff else 0
-      val nClient = bb.getShort(p + 6) & 0xffff
+      val id = in.getShort(p) & 0xffff
+      val nameLen = if (ver == 1 || id >= 256) in.getShort(p + 2) & 0xffff else 0
+      val nClient = in.getShort(p + 6) & 0xffff
       p += 8 + (if (ver == 1) ((nameLen + 7) / 8) * 8 else nameLen) + 4 * nClient
       if (ver == 1 && nClient % 2 == 1) p += 4
       id
@@ -921,19 +995,19 @@ object Hdf5 {
     *     name index), record type 10 (address + scaled offsets) or 11
     *     (+ variable-width size + filter mask).
     */
-  private def readChunksV4(bb: ByteBuffer, bytes: Array[Byte], idxAddr: Long,
+  private def readChunksV4(in: H5In, idxAddr: Long,
                            dims: Array[Int], chunkDims: Array[Int], elemSize: Int,
                            filters: Seq[Int], out: Array[Byte],
                            idxType: Int, flags: Int,
                            singleSize: Long, singleMask: Int): Unit = {
     val rank = dims.length
-    def uLE(at: Int, n: Int): Long = {
+    def uLE(at: Long, n: Int): Long = {
       var v = 0L; var i = 0
-      while (i < n) { v |= (bytes(at + i) & 0xffL) << (8 * i); i += 1 }
+      while (i < n) { v |= (in(at + i) & 0xffL) << (8 * i); i += 1 }
       v
     }
-    def sig4(a: Int, sig: String): Unit =
-      require((0 until 4).forall(i => bytes(a + i) == sig.charAt(i).toByte),
+    def sig4(a: Long, sig: String): Unit =
+      require((0 until 4).forall(i => in(a + i) == sig.charAt(i).toByte),
         s"expected $sig at file offset $a")
     val grid = (0 until rank).map(i => (dims(i) + chunkDims(i) - 1) / chunkDims(i)).toArray
     val nChunks = grid.map(_.toLong).product
@@ -949,20 +1023,20 @@ object Hdf5 {
     }
     def place(offs: Array[Int], addr: Long, size: Long, mask: Int, filtered: Boolean): Unit = {
       if (addr == Undef) return // unallocated chunk keeps the fill value
-      val c = off(addr, bytes)
-      var chunk = java.util.Arrays.copyOfRange(bytes, c, c + size.toInt)
+      val c = addr
+      var chunk = in.slice(c, size.toInt)
       if (filtered) chunk = defilter(chunk, filters, mask, elemSize)
       scatter(chunk, offs, dims, chunkDims, elemSize, out)
     }
     // FA/EA element: client 0 = chunk address only (unfiltered); client
     // 1 = address(8) + chunk size (element size − 12) + filter mask(4)
-    def placeElement(ci: Int, at: Int, elmtSize: Int, clientId: Int): Unit = {
+    def placeElement(ci: Int, at: Long, elmtSize: Int, clientId: Int): Unit = {
       require(clientId == 0 || clientId == 1, s"unknown chunk-index client $clientId")
       if (clientId == 0) place(offsOf(ci), uLE(at, elmtSize), nominal, 0, filtered = false)
       else {
         val szW = elmtSize - 12
         require(szW >= 1 && szW <= 8, s"bad filtered element size $elmtSize")
-        place(offsOf(ci), bb.getLong(at), uLE(at + 8, szW), bb.getInt(at + 8 + szW),
+        place(offsOf(ci), in.getLong(at), uLE(at + 8, szW), in.getInt(at + 8 + szW),
           filtered = true)
       }
     }
@@ -981,16 +1055,16 @@ object Hdf5 {
         }
 
       case 3 => // fixed array
-        val a = off(idxAddr, bytes); sig4(a, "FAHD")
-        val clientId = bytes(a + 5) & 0xff
-        val entrySize = bytes(a + 6) & 0xff
-        val pageBits = bytes(a + 7) & 0xff
-        val maxEntries = bb.getLong(a + 8)
-        val dbAddr = bb.getLong(a + 16)
+        val a = idxAddr; sig4(a, "FAHD")
+        val clientId = in(a + 5) & 0xff
+        val entrySize = in(a + 6) & 0xff
+        val pageBits = in(a + 7) & 0xff
+        val maxEntries = in.getLong(a + 8)
+        val dbAddr = in.getLong(a + 16)
         require(maxEntries == nChunks,
           s"fixed-array entry count $maxEntries != chunk count $nChunks")
         if (dbAddr != Undef) {
-          val d0 = off(dbAddr, bytes); sig4(d0, "FADB")
+          val d0 = (dbAddr); sig4(d0, "FADB")
           var p = d0 + 6 + 8 // ver(1) + client(1) + header address(8)
           val pageN = 1L << pageBits
           if (maxEntries > pageN) { // paged data block
@@ -1009,15 +1083,15 @@ object Hdf5 {
         }
 
       case 4 => // extensible array
-        val a = off(idxAddr, bytes); sig4(a, "EAHD")
-        val clientId = bytes(a + 5) & 0xff
-        val elmtSize = bytes(a + 6) & 0xff
-        val maxNelmtsBits = bytes(a + 7) & 0xff
-        val idxBlkElmts = bytes(a + 8) & 0xff
-        val dblkMinElmts = bytes(a + 9) & 0xff
+        val a = idxAddr; sig4(a, "EAHD")
+        val clientId = in(a + 5) & 0xff
+        val elmtSize = in(a + 6) & 0xff
+        val maxNelmtsBits = in(a + 7) & 0xff
+        val idxBlkElmts = in(a + 8) & 0xff
+        val dblkMinElmts = in(a + 9) & 0xff
         // a+10 = secondary-block min data ptrs, a+11 = dblk page bits
-        val dblkPageN = 1L << (bytes(a + 11) & 0xff)
-        val idxBlkAddr = bb.getLong(a + 12 + 48) // after the six 8-byte length fields
+        val dblkPageN = 1L << (in(a + 11) & 0xff)
+        val idxBlkAddr = in.getLong(a + 12 + 48) // after the six 8-byte length fields
         require(dblkMinElmts > 0 && (dblkMinElmts & (dblkMinElmts - 1)) == 0,
           s"extensible-array data block min elements $dblkMinElmts must be a power of 2")
         // H5EA geometry: super block u holds 2^(u/2) data blocks of
@@ -1029,7 +1103,7 @@ object Hdf5 {
         val blkOffW = (maxNelmtsBits + 7) / 8
         def dblkNelmts(u: Int): Long = dblkMinElmts.toLong << ((u + 1) / 2)
         if (idxBlkAddr != Undef) {
-          val ib = off(idxBlkAddr, bytes); sig4(ib, "EAIB")
+          val ib = idxBlkAddr; sig4(ib, "EAIB")
           var p = ib + 6 + 8 // ver(1) + client(1) + header address(8)
           var ci = 0L
           // the index block always holds its full idxBlkElmts capacity
@@ -1045,7 +1119,7 @@ object Hdf5 {
           def readDblk(dAddr: Long, cap: Long): Unit =
             if (dAddr == Undef) ci += cap
             else {
-              val db = off(dAddr, bytes); sig4(db, "EADB")
+              val db = (dAddr); sig4(db, "EADB")
               var q = db + 6 + 8 + blkOffW // ver + client + hdr addr + block offset
               if (cap <= dblkPageN) {
                 var i = 0L
@@ -1068,7 +1142,7 @@ object Hdf5 {
             }
           // direct data blocks (super blocks 0 and 1: one block each)
           for (u <- 0 to 1) {
-            val dAddr = bb.getLong(p); p += 8
+            val dAddr = in.getLong(p); p += 8
             if (ci < nChunks) readDblk(dAddr, dblkNelmts(u)) else ci += dblkNelmts(u)
           }
           // super blocks 2..nsblks: EASB holding its data block addresses
@@ -1076,13 +1150,13 @@ object Hdf5 {
           while (u < nsblks && ci < nChunks) {
             val cap = dblkNelmts(u)
             val ndblks = 1 << (u / 2)
-            val sAddr = bb.getLong(p); p += 8
+            val sAddr = in.getLong(p); p += 8
             if (sAddr == Undef) ci += ndblks.toLong * cap
             else {
-              val sb = off(sAddr, bytes); sig4(sb, "EASB")
+              val sb = (sAddr); sig4(sb, "EASB")
               var q = sb + 6 + 8 + blkOffW // ver + client + hdr addr + block offset
               for (_ <- 0 until ndblks) {
-                val dAddr = bb.getLong(q); q += 8
+                val dAddr = in.getLong(q); q += 8
                 if (ci < nChunks) readDblk(dAddr, cap) else ci += cap
               }
             }
@@ -1094,19 +1168,19 @@ object Hdf5 {
         }
 
       case 5 => // version-2 B-tree of chunk records
-        walkBtreeV2(bb, bytes, idxAddr) { (recAt, recSize) =>
+        walkBtreeV2(in, idxAddr) { (recAt, recSize) =>
           // type 10: address(8) + rank scaled offsets (8 each);
           // type 11: address(8) + size(recSize−12−8·rank) + mask(4) + offsets
           val szW = recSize - 12 - 8 * rank
           val filtered = szW >= 1
           require(filtered || recSize == 8 + 8 * rank,
             s"unrecognized chunk record size $recSize for rank $rank")
-          val addr = bb.getLong(recAt)
+          val addr = in.getLong(recAt)
           val (size, mask, offBase) =
-            if (filtered) (uLE(recAt + 8, szW), bb.getInt(recAt + 8 + szW), recAt + 12 + szW)
+            if (filtered) (uLE(recAt + 8, szW), in.getInt(recAt + 8 + szW), recAt + 12 + szW)
             else (nominal, 0, recAt + 8)
           val offs = (0 until rank).map(i =>
-            (bb.getLong(offBase + i * 8) * chunkDims(i)).toInt).toArray
+            (in.getLong(offBase + i * 8) * chunkDims(i)).toInt).toArray
           place(offs, addr, size, mask, filtered)
         }
 
@@ -1215,8 +1289,10 @@ object Hdf5 {
 
   /** Interpret an HDF5 file through the NetCDF-4 dimension-scale
     * conventions, producing the same model as the classic reader. */
-  def toNetCdf(bytes: Array[Byte]): NetCdf.File = {
-    val f = read(bytes)
+  def toNetCdf(bytes: Array[Byte]): NetCdf.File = toNetCdf(H5In(bytes))
+
+  def toNetCdf(in: H5In): NetCdf.File = {
+    val f = read(in)
     val byAddr = f.datasets.map(d => d.addr -> d.name).toMap
     val isScale = f.datasets
       .filter(_.attrs.get("CLASS").contains("DIMENSION_SCALE")).map(_.name).toSet

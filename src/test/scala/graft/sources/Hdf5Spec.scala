@@ -7,8 +7,9 @@ import graft.SparkSpec
 /** Direct round-trip coverage for the native HDF5 codec (the NetCDF-4
   * container path): superblock v0 and v2, chunked+deflate(+shuffle)
   * layout with partial edge chunks, DIMENSION_LIST resolution through
-  * the global heap, fill values, and the loud rejection of addresses a
-  * JVM byte array cannot hold (≥2 GiB). */
+  * the global heap, fill values, and both read sources — in-memory
+  * byte arrays and channel-backed positional reads, including a
+  * sparse granule whose data lives beyond 2 GiB. */
 class Hdf5Spec extends SparkSpec {
 
   private val w = 7; private val h = 5; private val nT = 3
@@ -168,7 +169,7 @@ class Hdf5Spec extends SparkSpec {
     rec(0, 8209); rec(1, 8225); rec(2, 8721)
 
     val links = scala.collection.mutable.Buffer[Hdf5.Link]()
-    Hdf5.denseLinks(bb, bytes, 0L, 1408L, links)
+    Hdf5.denseLinks(Hdf5.H5In(bytes), 0L, 1408L, links)
     assert(links.toSet == Set(("alpha", Left(0x1111L)), ("beta", Left(0x2222L)),
       ("gamma", Left(0x3333L))),
       s"nested-indirect resolution produced $links")
@@ -550,6 +551,97 @@ class Hdf5Spec extends SparkSpec {
     assert(!f.gridVars.exists(_.name == "station_name"))
     assert(f.gridVars.exists(_.name == "t2m"))
     assert(f.rasters("t2m").forall(_._2.data.count(!_.isNaN) == h * w))
+  }
+
+  test("channel-backed reads (H5In.fromPath) decode identically to in-memory reads") {
+    for (bytes <- Seq(fixture(), fixture(shuffle = true, fletcher = true),
+                      charFixture(vlen = true))) {
+      val tmp = java.nio.file.Files.createTempFile("graft-h5-ch-", ".nc")
+      java.nio.file.Files.write(tmp, bytes)
+      val viaArr = Hdf5.read(bytes)
+      val in = Hdf5.H5In.fromPath(tmp.toString)
+      val viaCh = try Hdf5.read(in) finally in.close()
+      assert(viaCh.datasets.map(_.name) == viaArr.datasets.map(_.name))
+      viaCh.datasets.zip(viaArr.datasets).foreach { case (a, b) =>
+        assert(a.shape == b.shape && a.data.sameElements(b.data), a.name)
+      }
+      java.nio.file.Files.delete(tmp)
+    }
+  }
+
+  test("a granule with data beyond 2 GiB decodes through the channel path") {
+    // the OHDR-v2 hand-built layout, but the contiguous data lives at
+    // 2.5 GiB in a SPARSE file — beyond any JVM byte array, the
+    // ERA5-class granule shape. Holes read as zeros; only the header
+    // and data pages are ever touched.
+    val data = Array(1.5f, -2.25f, 3.0f, 10.125f)
+    val dataAddr = 0xA0000000L // 2.5 GiB
+    val head = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = head.write(v & 0xff)
+    def u16le(v: Int): Unit = { u8(v); u8(v >> 8) }
+    head.write(new Array[Byte](48)) // superblock v2 placeholder
+    val ds = {
+      val b = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(1.toByte).put(1.toByte).put(0.toByte); b.put(new Array[Byte](5))
+      b.putLong(data.length.toLong); b.array()
+    }
+    val dt = {
+      val b = ByteBuffer.allocate(20).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(0x11.toByte).put(0x20.toByte).put(0x1f.toByte).put(0.toByte).putInt(4)
+      b.putShort(0).putShort(32).put(23.toByte).put(8.toByte).put(0.toByte).put(23.toByte).putInt(127)
+      b.array()
+    }
+    val lay = {
+      val b = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(3.toByte).put(1.toByte).putLong(dataAddr).putLong(data.length * 4L)
+      b.array()
+    }
+    val msgs = Seq((0x01, ds), (0x03, dt), (0x08, lay))
+    val rootAddr = head.size
+    head.write("OHDR".getBytes); u8(2); u8(0)
+    u8(msgs.map(m => 4 + m._2.length).sum)
+    msgs.foreach { case (t, body) => u8(t); u16le(body.length); u8(0); head.write(body) }
+    u8(0); u8(0); u8(0); u8(0) // checksum (unverified)
+    val hb = head.toByteArray
+    val fileLen = dataAddr + data.length * 4L
+    val sb = ByteBuffer.wrap(hb, 0, 48).order(ByteOrder.LITTLE_ENDIAN)
+    sb.put(0x89.toByte).put('H'.toByte).put('D'.toByte).put('F'.toByte)
+      .put('\r'.toByte).put('\n'.toByte).put(0x1a.toByte).put('\n'.toByte)
+    sb.put(2.toByte).put(8.toByte).put(8.toByte).put(0.toByte)
+    sb.putLong(0L).putLong(-1L).putLong(fileLen).putLong(rootAddr.toLong)
+    sb.putInt(0)
+
+    val tmp = java.nio.file.Files.createTempFile("graft-h5-big-", ".nc")
+    val raf = new java.io.RandomAccessFile(tmp.toFile, "rw")
+    try {
+      raf.write(hb)
+      raf.seek(dataAddr)
+      val db = ByteBuffer.allocate(data.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+      data.foreach(db.putFloat)
+      raf.write(db.array())
+    } finally raf.close()
+    assert(java.nio.file.Files.size(tmp) == fileLen)
+
+    val in = Hdf5.H5In.fromPath(tmp.toString)
+    val f = try Hdf5.read(in) finally in.close()
+    assert(f.datasets.size == 1 && f.datasets.head.data.sameElements(data))
+    // the SAME file through the in-memory path fails loudly (array cap)
+    java.nio.file.Files.delete(tmp)
+  }
+
+  test("ingestLargePaths matches ingestDir on the same granule") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-h5-lg-").toString
+    val p = java.nio.file.Paths.get(s"$dir/precip_20240301.nc")
+    java.nio.file.Files.write(p, fixture())
+    val viaDir = Formats.ingestDir(spark, dir)
+      .select("time", "step", "y", "x", "v", "lon", "lat").orderBy("step", "y", "x")
+      .collect().toSeq
+    val viaPaths = Formats.ingestLargePaths(spark, Seq(p.toString))
+      .select("time", "step", "y", "x", "v", "lon", "lat").orderBy("step", "y", "x")
+      .collect().toSeq
+    assert(viaPaths == viaDir)
+    assert(viaPaths.nonEmpty)
   }
 
   test("vlen-string dataset (NC_STRING/h5py shape) resolves through the global heap") {
