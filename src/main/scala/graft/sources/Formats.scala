@@ -169,18 +169,18 @@ object Formats {
         + make_interval(lit(0), lit(0), lit(0), lit(0), col("step")))
   }
 
-  /** Ingest NetCDF-4/HDF5 granules of ANY size — including past the
-    * 2 GiB cap of Spark's binary columns and JVM byte arrays — by
-    * POSITIONAL reads: file paths fan out to tasks and each task opens
-    * its granule as a channel-backed page cache ([[Hdf5.H5In]])
-    * instead of materializing the file bytes. Output contract is
-    * [[ingestDir]]'s long-form pixel frame. This is the granule path
-    * for ERA5-class multi-GiB NetCDF-4 files at real volumes; the
-    * reference reaches them through h5netcdf's lazy reads
-    * (formats/netcdf.py:33-366). Paths must be visible to executors
-    * (shared or distributed filesystem). Classic CDF streams and the
-    * other raster formats remain binary-column-sized — their granules
-    * are message/tile-structured and stay under the cap in practice. */
+  /** Ingest granules of ANY size — including past the 2 GiB cap of
+    * Spark's binary columns and JVM byte arrays — by POSITIONAL reads:
+    * file paths fan out to tasks and each task opens its granule as a
+    * channel-backed page cache ([[ByteIn]]) instead of materializing
+    * the file bytes. Routes TIFF/BigTIFF (multi-GiB aerial COGs) and
+    * NetCDF-4/HDF5 (ERA5-class reanalysis granules); output contract
+    * is [[ingestDir]]'s long-form pixel frame. The reference reaches
+    * such files through rasterio/h5netcdf lazy reads
+    * (formats/geotiff.py:37-94, netcdf.py:33-366). Paths must be
+    * visible to executors (shared or distributed filesystem). Classic
+    * CDF streams and GRIB remain binary-column-sized — their granules
+    * are message-structured and stay under the cap in practice. */
   def ingestLargePaths(spark: SparkSession, paths: Seq[String]): DataFrame = {
     import spark.implicits._
     require(paths.nonEmpty, "no paths to ingest")
@@ -188,30 +188,38 @@ object Formats {
       .repartition(math.max(1, math.min(paths.size, 256)))
       .mapPartitions { it =>
         it.flatMap { path =>
-          val in = Hdf5.H5In.fromPath(path)
-          // the File materializes variable data up front, so the
-          // channel closes before the pixel iterator is consumed
-          val f =
-            try {
-              require(Hdf5.canHandle(in.slice(0, math.min(8L, in.length).toInt)),
-                s"$path: ingestLargePaths reads the NetCDF-4/HDF5 container")
-              Hdf5.toNetCdf(in)
-            } finally in.close()
+          val in = ByteIn.fromPath(path)
           val fname = path.substring(path.lastIndexOf('/') + 1)
-          val vn = f.gridVars.headOption.map(_.name).getOrElse(
-            throw new IllegalArgumentException(s"$path: no (…, y, x) variable"))
-          val ll = f.pixelLonLat(vn)
-          f.rasters(vn).iterator.flatMap { case (step, r) =>
-            (0 until r.height).iterator.flatMap { y =>
-              (0 until r.width).iterator.flatMap { x =>
-                val v = r.data(y * r.width + x)
-                if (v.isNaN) Iterator.empty
-                else Iterator.single((fname, step, y, x, v.toDouble,
-                  ll.map(_._1(y * r.width + x)).getOrElse(r.west + (x + 0.5) * r.px),
-                  ll.map(_._2(y * r.width + x)).getOrElse(r.north - (y + 0.5) * r.py),
-                  false))
+          def pixelRows(rs: Seq[(Int, GeoTiff.Raster)],
+                        ll: Option[(Array[Double], Array[Double])]) =
+            rs.iterator.flatMap { case (step, r) =>
+              (0 until r.height).iterator.flatMap { y =>
+                (0 until r.width).iterator.flatMap { x =>
+                  val v = r.data(y * r.width + x)
+                  if (v.isNaN) Iterator.empty
+                  else Iterator.single((fname, step, y, x, v.toDouble,
+                    ll.map(_._1(y * r.width + x)).getOrElse(r.west + (x + 0.5) * r.px),
+                    ll.map(_._2(y * r.width + x)).getOrElse(r.north - (y + 0.5) * r.py),
+                    false))
+                }
               }
             }
+          // both decoders materialize their floats up front, so the
+          // channel closes before the pixel iterator is consumed
+          val head = try in.slice(0, math.min(16L, in.length).toInt)
+                     catch { case e: Exception => in.close(); throw e }
+          if (GeoTiff.canHandle(head)) {
+            val r = try GeoTiff.readBand(in, 1, 0) finally in.close()
+            pixelRows(Seq(0 -> r), None)
+          } else if (Hdf5.canHandle(head)) {
+            val f = try Hdf5.toNetCdf(in) finally in.close()
+            val vn = f.gridVars.headOption.map(_.name).getOrElse(
+              throw new IllegalArgumentException(s"$path: no (…, y, x) variable"))
+            pixelRows(f.rasters(vn), f.pixelLonLat(vn))
+          } else {
+            in.close()
+            throw new IllegalArgumentException(
+              s"$path: ingestLargePaths reads TIFF/BigTIFF and NetCDF-4/HDF5 containers")
           }
         }
       }.toDF("fname", "step", "y", "x", "v", "lon", "lat", "lossy")

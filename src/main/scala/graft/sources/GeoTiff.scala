@@ -801,27 +801,24 @@ object GeoTiff {
                          photometric: Int = 1,
                          jpegTables: Option[Array[Byte]] = None)
 
-  private def parseIfd0(bytes: Array[Byte]): Ifd = {
-    require(canHandle(bytes), "not a TIFF")
-    val buf = ByteBuffer.wrap(bytes)
-      .order(if (bytes(0) == 'I') ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
-    if (isBigTiff(bytes)) {
-      val off0 = buf.getLong(8)
-      require(off0 >= 16 && off0 <= Int.MaxValue,
-        s"BigTIFF IFD0 offset $off0 outside the in-memory granule " +
-          "(byte-array readers cap at 2 GiB; larger files need ranged reads)")
-      parseIfdAt(bytes, off0.toInt)
-    } else parseIfdAt(bytes, buf.getInt(4))
+  private def parseIfd0(in: ByteIn): Ifd = {
+    val head = in.slice(0, math.min(16L, in.length).toInt)
+    require(canHandle(head), "not a TIFF")
+    in.setOrder(if (head(0) == 'I') ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+    if (isBigTiff(head)) {
+      val off0 = in.getLong(8)
+      require(off0 >= 16 && off0 < in.length,
+        s"BigTIFF IFD0 offset $off0 outside the file")
+      parseIfdAt(in, off0)
+    } else parseIfdAt(in, in.getInt(4).toLong & 0xffffffffL)
   }
 
   /** Every IFD in the file, following the next-IFD chain — page 0 is
     * the full-resolution image, later pages a COG's overview pyramid. */
-  private def parseChain(bytes: Array[Byte]): Seq[Ifd] = {
-    val out = scala.collection.mutable.Buffer(parseIfd0(bytes))
-    while (out.last.next != 0 && out.size < 64) {
-      require(out.last.next <= Int.MaxValue, "IFD offset beyond 2 GiB in-memory cap")
-      out += parseIfdAt(bytes, out.last.next.toInt)
-    }
+  private def parseChain(in: ByteIn): Seq[Ifd] = {
+    val out = scala.collection.mutable.Buffer(parseIfd0(in))
+    while (out.last.next != 0 && out.size < 64)
+      out += parseIfdAt(in, out.last.next)
     out.toSeq
   }
 
@@ -829,22 +826,21 @@ object GeoTiff {
     * supplement): entry count u64 (vs u16), 20-byte entries with u64
     * counts and an 8-byte inline value field (vs 12/u32/4), next-IFD
     * u64, and the LONG8 (16) / SLONG8 (17) / IFD8 (18) value types. */
-  private def parseIfdAt(bytes: Array[Byte], ifdOff: Int): Ifd = {
-    val big = isBigTiff(bytes)
-    val order = if (bytes(0) == 'I') ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
-    val buf = ByteBuffer.wrap(bytes).order(order)
+  private def parseIfdAt(in: ByteIn, ifdOff: Long): Ifd = {
+    val big = isBigTiff(in.slice(0, math.min(16L, in.length).toInt))
+    val order = in.byteOrder
     val n = if (big) {
-      val n64 = buf.getLong(ifdOff)
+      val n64 = in.getLong(ifdOff)
       require(n64 >= 0 && n64 <= 0xffff, s"implausible BigTIFF entry count $n64")
       n64.toInt
-    } else buf.getShort(ifdOff) & 0xffff
+    } else in.getShort(ifdOff) & 0xffff
     val entryBase = ifdOff + (if (big) 8 else 2)
     val entrySize = if (big) 20 else 12
     val inlineCap = if (big) 8 else 4
-    def offAt(at: Int): Int = {
-      val o = if (big) buf.getLong(at) else buf.getInt(at).toLong & 0xffffffffL
-      require(o >= 0 && o <= Int.MaxValue, s"tag value offset $o beyond 2 GiB in-memory cap")
-      o.toInt
+    def offAt(at: Long): Long = {
+      val o = if (big) in.getLong(at) else in.getInt(at).toLong & 0xffffffffL
+      require(o >= 0 && o < in.length, s"tag value offset $o outside the file")
+      o
     }
 
     var width = 0; var height = 0; var rowsPerStrip = Int.MaxValue
@@ -861,37 +857,37 @@ object GeoTiff {
     def typeSize(t: Int) = t match {
       case 3 => 2; case 4 => 4; case 12 => 8; case 16 | 17 => 8; case _ => 1
     }
-    def tagValues(typ: Int, count: Int, at: Int): Array[Long] = {
+    def tagValues(typ: Int, count: Int, at: Long): Array[Long] = {
       val inline = typeSize(typ) * count <= inlineCap
       val base = if (inline) at else offAt(at)
       (0 until count).map { i =>
         typ match {
-          case 1 => (bytes(base + i) & 0xff).toLong
-          case 3 => (buf.getShort(base + i * 2) & 0xffff).toLong
-          case 4 => buf.getInt(base + i * 4).toLong & 0xffffffffL
-          case 16 | 17 => buf.getLong(base + i * 8) // LONG8 / SLONG8
+          case 1 => (in(base + i) & 0xff).toLong
+          case 3 => (in.getShort(base + i * 2) & 0xffff).toLong
+          case 4 => in.getInt(base + i * 4).toLong & 0xffffffffL
+          case 16 | 17 => in.getLong(base + i * 8) // LONG8 / SLONG8
           case _ => throw new IllegalArgumentException(s"type $typ")
         }
       }.toArray
     }
-    def tagDoubles(count: Int, at: Int): Array[Double] = {
+    def tagDoubles(count: Int, at: Long): Array[Double] = {
       val base = if (big && count == 1) at else offAt(at)
-      (0 until count).map(i => buf.getDouble(base + i * 8)).toArray
+      (0 until count).map(i => in.getDouble(base + i * 8)).toArray
     }
-    def tagAscii(count: Int, at: Int): String = {
+    def tagAscii(count: Int, at: Long): String = {
       val base = if (count <= inlineCap) at else offAt(at)
-      new String(bytes, base, count, "US-ASCII").takeWhile(_ != '\u0000').trim
+      new String(in.slice(base, count), "US-ASCII").takeWhile(_ != '\u0000').trim
     }
 
     for (i <- 0 until n) {
       val e = entryBase + i * entrySize
-      val id = buf.getShort(e) & 0xffff
-      val typ = buf.getShort(e + 2) & 0xffff
+      val id = in.getShort(e) & 0xffff
+      val typ = in.getShort(e + 2) & 0xffff
       val count = (if (big) {
-        val c64 = buf.getLong(e + 4)
+        val c64 = in.getLong(e + 4)
         require(c64 >= 0 && c64 <= Int.MaxValue, s"implausible tag count $c64")
         c64
-      } else buf.getInt(e + 4).toLong & 0xffffffffL).toInt
+      } else in.getInt(e + 4).toLong & 0xffffffffL).toInt
       val valAt = e + (if (big) 12 else 8)
       id match {
         case TAG_WIDTH => width = tagValues(typ, 1, valAt)(0).toInt
@@ -927,7 +923,7 @@ object GeoTiff {
         case TAG_PHOTOMETRIC => photometric = tagValues(typ, 1, valAt)(0).toInt
         case TAG_JPEG_TABLES => // type 7 UNDEFINED: raw byte array
           val base = if (count <= inlineCap) valAt else offAt(valAt)
-          jpegTables = Some(java.util.Arrays.copyOfRange(bytes, base, base + count))
+          jpegTables = Some(in.slice(base, count))
         case _ => // ignore (descriptions, GeoKeys, …)
       }
     }
@@ -938,14 +934,14 @@ object GeoTiff {
       if (tiled) tileOffs else chunkOffs,
       if (tiled) tileBytesA else chunkBytes,
       tiled, rowsPerStrip, px, py, west, north, order,
-      if (big) buf.getLong(entryBase + n.toLong.toInt * entrySize)
-      else buf.getInt(ifdOff + 2 + n * 12).toLong & 0xffffffffL,
+      if (big) in.getLong(entryBase + n.toLong.toInt * entrySize)
+      else in.getInt(ifdOff + 2 + n * 12).toLong & 0xffffffffL,
       photometric, jpegTables)
   }
 
   /** Number of bands in the file (`band_N` discovery,
     * formats/geotiff.py:58-94). */
-  def bandCount(bytes: Array[Byte]): Int = parseIfd0(bytes).spp
+  def bandCount(bytes: Array[Byte]): Int = parseIfd0(ByteIn(bytes)).spp
 
   /** Decode band 1. */
   def read(bytes: Array[Byte]): Raster = readBand(bytes, 1)
@@ -961,14 +957,19 @@ object GeoTiff {
     * level inventory a low-zoom reader picks from (the reference's
     * TiTiler serves overviews the same way, asset_writer.py:63-68). */
   def levels(bytes: Array[Byte]): Seq[(Int, Int)] =
-    parseChain(bytes).map(d => (d.width, d.height))
+    parseChain(ByteIn(bytes)).map(d => (d.width, d.height))
 
   /** Decode one band of one pyramid level (level 0 = full resolution).
     * Overview pages carry no georeferencing tags; theirs derives from
     * page 0's affine scaled by the dimension ratio, GDAL's overview
     * convention. */
-  def readBand(bytes: Array[Byte], band: Int, level: Int): Raster = {
-    val pages = parseChain(bytes)
+  def readBand(bytes: Array[Byte], band: Int, level: Int): Raster =
+    readBand(ByteIn(bytes), band, level)
+
+  /** Decode from a positional-read source — the channel-backed path
+    * for BigTIFF granules beyond JVM array addressing. */
+  def readBand(in: ByteIn, band: Int, level: Int): Raster = {
+    val pages = parseChain(in)
     require(level >= 0 && level < pages.size,
       s"level $level not in file (has ${pages.size})")
     val base = pages.head
@@ -1013,7 +1014,6 @@ object GeoTiff {
     val chunksPerPlane = ta * td
     val planeBase = if (d.planar == 2) (band - 1) * chunksPerPlane else 0
 
-    val buf = ByteBuffer.wrap(bytes).order(d.order)
     for (ci <- 0 until chunksPerPlane) {
       val ty = ci / ta; val tx = ci % ta
       val y0 = ty * ch; val x0 = tx * cw
@@ -1021,25 +1021,24 @@ object GeoTiff {
       val rows = if (d.tiled) ch else math.min(ch, height - y0)
       val rowSamples = cw * chans
       val expect = rows * rowSamples * bps
-      val off = d.chunkOffs(planeBase + ci).toInt
+      val off = d.chunkOffs(planeBase + ci)
       val len = d.chunkBytes(planeBase + ci).toInt
       val raw0 = d.compression match {
-        case 1 => java.util.Arrays.copyOfRange(bytes, off, off + expect)
-        case 5 => lzwDecode(java.util.Arrays.copyOfRange(bytes, off, off + len), expect)
+        case 1 => in.slice(off, expect)
+        case 5 => lzwDecode(in.slice(off, len), expect)
         case 7 => // baseline JPEG; tables may live in the shared JPEGTables tag
           val pre = d.jpegTables.map { tb =>
             val t = new JpegCodec.Tables; JpegCodec.parseTables(tb, t); t
           }
-          val img = JpegCodec.decode(
-            java.util.Arrays.copyOfRange(bytes, off, off + len), pre,
+          val img = JpegCodec.decode(in.slice(off, len), pre,
             colorTransform = d.photometric == 6)
           require(img.comps == chans,
             s"JPEG chunk carries ${img.comps} components, expected $chans")
           require(img.width == cw && img.height == rows,
             s"JPEG chunk is ${img.width}x${img.height}, expected ${cw}x$rows")
           img.data
-        case 32773 => packbitsDecode(java.util.Arrays.copyOfRange(bytes, off, off + len), expect)
-        case _ => inflate(java.util.Arrays.copyOfRange(bytes, off, off + len), expect)
+        case 32773 => packbitsDecode(in.slice(off, len), expect)
+        case _ => inflate(in.slice(off, len), expect)
       }
       val raw = undoPredictor(raw0, d.predictor, rowSamples, bps, d.fmt,
         stride, d.order)

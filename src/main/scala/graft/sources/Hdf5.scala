@@ -69,92 +69,6 @@ object Hdf5 {
   def canHandle(b: Array[Byte]): Boolean =
     b.length >= 4 && (b(0) & 0xff) == 0x89 && b(1) == 'H' && b(2) == 'D' && b(3) == 'F'
 
-  /** Positional-read source for the reader: a whole-file byte array
-    * (the binaryFile ingest path) or a SeekableByteChannel behind an
-    * LRU page cache — granules beyond JVM array addressing
-    * (multi-GiB NetCDF-4/ERA5-class files), which the reference reads
-    * via h5netcdf's mmap. All multi-byte reads are little-endian
-    * except the explicit BE helpers (big-endian numeric datasets). */
-  final class H5In private (arr: Array[Byte],
-                            ch: java.nio.channels.SeekableByteChannel,
-                            val length: Long) {
-    private val abb =
-      if (arr == null) null
-      else ByteBuffer.wrap(arr).order(ByteOrder.LITTLE_ENDIAN)
-
-    private val PageShift = 20 // 1 MiB pages
-    private val PageSize = 1 << PageShift
-    private val pages = new java.util.LinkedHashMap[Long, Array[Byte]](16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[Long, Array[Byte]]): Boolean = size > 64
-    }
-    private def page(pi: Long): Array[Byte] = {
-      val got = pages.get(pi)
-      if (got != null) got
-      else {
-        val at = pi << PageShift
-        val len = math.min(PageSize.toLong, length - at).toInt
-        val buf = ByteBuffer.allocate(len)
-        ch.position(at)
-        while (buf.hasRemaining)
-          require(ch.read(buf) >= 0, s"HDF5 channel EOF at ${at + buf.position()}")
-        val a = buf.array()
-        pages.put(pi, a)
-        a
-      }
-    }
-    private def chk(a: Long, n: Int): Unit =
-      if (a < 0 || a + n > length) throw new IllegalArgumentException(
-        s"HDF5 address $a out of range (file is $length bytes)")
-
-    def apply(a: Long): Byte = {
-      chk(a, 1)
-      if (arr != null) arr(a.toInt)
-      else page(a >> PageShift)((a & (PageSize - 1)).toInt)
-    }
-    def slice(a: Long, len: Int): Array[Byte] = {
-      require(len >= 0, s"negative slice length $len")
-      chk(a, len)
-      if (arr != null) java.util.Arrays.copyOfRange(arr, a.toInt, a.toInt + len)
-      else {
-        val out = new Array[Byte](len)
-        var done = 0
-        while (done < len) {
-          val at = a + done
-          val p = page(at >> PageShift)
-          val po = (at & (PageSize - 1)).toInt
-          val n = math.min(len - done, p.length - po)
-          System.arraycopy(p, po, out, done, n)
-          done += n
-        }
-        out
-      }
-    }
-    private def leBuf(a: Long, n: Int): ByteBuffer =
-      if (arr != null) { chk(a, n); abb }
-      else ByteBuffer.wrap(slice(a, n)).order(ByteOrder.LITTLE_ENDIAN)
-    private def pos(a: Long): Int = if (arr != null) a.toInt else 0
-    def getShort(a: Long): Short = leBuf(a, 2).getShort(pos(a))
-    def getInt(a: Long): Int = leBuf(a, 4).getInt(pos(a))
-    def getLong(a: Long): Long = leBuf(a, 8).getLong(pos(a))
-    def getFloat(a: Long): Float = leBuf(a, 4).getFloat(pos(a))
-    def getDouble(a: Long): Double = leBuf(a, 8).getDouble(pos(a))
-    def getIntBE(a: Long): Int = Integer.reverseBytes(getInt(a))
-    def getLongBE(a: Long): Long = java.lang.Long.reverseBytes(getLong(a))
-    def string(a: Long, len: Int): String = new String(slice(a, len), "UTF-8")
-    def close(): Unit = if (ch != null) ch.close()
-  }
-
-  object H5In {
-    def apply(bytes: Array[Byte]): H5In = new H5In(bytes, null, bytes.length.toLong)
-    /** Open a file for positional reads (any size; pages cached). The
-      * caller closes. */
-    def fromPath(path: String): H5In = {
-      val ch = java.nio.file.Files.newByteChannel(java.nio.file.Paths.get(path))
-      new H5In(null, ch, ch.size())
-    }
-  }
-
   // ================= reader =========================================
 
   /** Parsed datatype: cls ∈ {0 fixed, 1 float, 3 string, 7 reference,
@@ -162,9 +76,9 @@ object Hdf5 {
   private case class Dt(cls: Int, size: Int, bigEndian: Boolean, signed: Boolean,
                         base: Option[Dt], consumed: Int)
 
-  def read(bytes: Array[Byte]): File = read(H5In(bytes))
+  def read(bytes: Array[Byte]): File = read(ByteIn(bytes))
 
-  def read(in: H5In): File = {
+  def read(in: ByteIn): File = {
     require(in.length > 8 && canHandle(in.slice(0, 8)), "not HDF5")
     val ver = in(8) & 0xff
     val rootAddr = ver match {
@@ -187,7 +101,7 @@ object Hdf5 {
   }
 
   /** All header messages of the object at `addr`, continuations resolved. */
-  private def messages(in: H5In, addr: Long): Seq[(Int, Long)] = {
+  private def messages(in: ByteIn, addr: Long): Seq[(Int, Long)] = {
     // returns (message type, body offset); body length is implicit in the parse
     val msgs = scala.collection.mutable.Buffer[(Int, Long, Int)]() // type, off, size
     val a = addr
@@ -253,13 +167,13 @@ object Hdf5 {
 
   /** All links of the group object at `addr` (compact messages,
     * old-style symbol table, dense fractal heap). */
-  private def linksOf(in: H5In, addr: Long): Seq[Link] =
+  private def linksOf(in: ByteIn, addr: Long): Seq[Link] =
     linksOf(in, messages(in, addr))
 
   /** Overload over already-parsed header messages — readGroup has them
     * in hand for the dataset check, so the header isn't parsed twice
     * per group. */
-  private def linksOf(in: H5In,
+  private def linksOf(in: ByteIn,
                       msgs: Seq[(Int, Long)]): Seq[Link] = {
     val links = scala.collection.mutable.Buffer[Link]()
     msgs.foreach {
@@ -282,7 +196,7 @@ object Hdf5 {
     * soft links may chain (depth-guarded against cycles). Returns None
     * for a DANGLING path — a legitimate HDF5 state that iteration
     * skips (h5ls/h5py behavior), never an error. */
-  private def resolvePath(in: H5In, rootAddr: Long,
+  private def resolvePath(in: ByteIn, rootAddr: Long,
                           fromAddr: Long, path: String, depth: Int): Option[Long] = {
     require(depth < 16, s"soft-link chain too deep at '$path' (cycle?)")
     var cur = if (path.startsWith("/")) rootAddr else fromAddr
@@ -300,7 +214,7 @@ object Hdf5 {
     Some(cur)
   }
 
-  private def readGroup(in: H5In, addr: Long,
+  private def readGroup(in: ByteIn, addr: Long,
                         prefix: String, out: scala.collection.mutable.Buffer[Dataset],
                         rootAddr: Long, seen: Set[Long] = Set.empty): Unit = {
     // ancestor guard: a link (soft or hard) back to an enclosing group
@@ -343,7 +257,7 @@ object Hdf5 {
     * the ID bytes, HUGE objects through the direct (address in ID)
     * form or the huge-object v2 B-tree; only filtered huge objects
     * fail loudly. */
-  private[sources] def denseLinks(in: H5In, fhAddr: Long, bt2Addr: Long,
+  private[sources] def denseLinks(in: ByteIn, fhAddr: Long, bt2Addr: Long,
                          links: scala.collection.mutable.Buffer[Link]): Unit = {
     val h = fhAddr
     require(in(h) == 'F' && in(h + 1) == 'R' && in(h + 2) == 'H' && in(h + 3) == 'P',
@@ -377,19 +291,19 @@ object Hdf5 {
       while (i < n) { v |= (in(at + i) & 0xffL) << (8 * i); i += 1 }
       v
     }
-    def expectSig(b: H5In, a: Long, sig: String): Unit =
+    def expectSig(b: ByteIn, a: Long, sig: String): Unit =
       require((0 until 4).forall(i => b(a + i) == sig.charAt(i).toByte),
         s"expected $sig at offset $a")
     // one defiltered direct block per address (several links usually
     // share a block — decompress once); unfiltered blocks read in
     // place through the file source at their absolute offset
-    val blockCache = new java.util.HashMap[Long, H5In]()
-    def directBlock(addr: Long, filteredSize: Long, mask: Int): (H5In, Long) =
+    val blockCache = new java.util.HashMap[Long, ByteIn]()
+    def directBlock(addr: Long, filteredSize: Long, mask: Int): (ByteIn, Long) =
       if (!filtered) (in, addr)
       else {
         var buf = blockCache.get(addr)
         if (buf == null) {
-          buf = H5In(defilter(in.slice(addr, filteredSize.toInt),
+          buf = ByteIn(defilter(in.slice(addr, filteredSize.toInt),
             heapFilters, mask, 1))
           blockCache.put(addr, buf)
         }
@@ -403,7 +317,7 @@ object Hdf5 {
     // made relative to the child's span (the layout netcdf-c reaches
     // past ~32 KiB of link messages under default heap parameters,
     // i.e. thousands-of-variables files).
-    def resolveIn(ibAddr: Long, base: Long, ho: Long, depth: Int): (H5In, Long) = {
+    def resolveIn(ibAddr: Long, base: Long, ho: Long, depth: Int): (ByteIn, Long) = {
       require(depth < 16, s"implausible fractal-heap nesting at offset $ho (corrupt heap?)")
       val ib = ibAddr; expectSig(in, ib, "FHIB")
       val entries = ib + 13 + offSize // sig, version, heap-header addr, block offset
@@ -433,7 +347,7 @@ object Hdf5 {
         resolveIn(in.getLong(at), childBase, ho, depth + 1)
       }
     }
-    def resolve(ho: Long): (H5In, Long) =
+    def resolve(ho: Long): (ByteIn, Long) =
       if (curRows == 0) { // root IS a direct block at logical offset 0
         val (buf, a) = directBlock(rootAddr, rootFilteredSize, rootFilterMask)
         expectSig(buf, a, "FHDB")
@@ -496,7 +410,7 @@ object Hdf5 {
     * from node size and record size). Shared by the dense-group name
     * index (record types 5/6) and the layout-v4 chunk indexes
     * (record types 10/11). */
-  private def walkBtreeV2(in: H5In, bt2Addr: Long)(
+  private def walkBtreeV2(in: ByteIn, bt2Addr: Long)(
       onRecord: (Long, Int) => Unit): Unit = {
     def uLE(at: Long, n: Int): Long = {
       var v = 0L; var i = 0
@@ -549,7 +463,7 @@ object Hdf5 {
     descend(rootAddr2, rootNRec, depth)
   }
 
-  private def walkGroupBtree(in: H5In, addr: Long, heapData: Long,
+  private def walkGroupBtree(in: ByteIn, addr: Long, heapData: Long,
                              links: scala.collection.mutable.Buffer[Link]): Unit = {
     val a = addr
     require(in(a) == 'T' && in(a + 1) == 'R', s"expected TREE at $addr")
@@ -587,7 +501,7 @@ object Hdf5 {
     * resolved during traversal). */
   private[sources] type Link = (String, Either[Long, String])
 
-  private def parseLink(in: H5In, off: Long): Link = {
+  private def parseLink(in: ByteIn, off: Long): Link = {
     val flags = in(off + 1) & 0xff
     var p = off + 2
     var linkType = 0
@@ -615,13 +529,13 @@ object Hdf5 {
     }
   }
 
-  private def cString(in: H5In, off: Long): String = {
+  private def cString(in: ByteIn, off: Long): String = {
     var e = off
     while (in(e) != 0) e += 1
     in.string(off, (e - off).toInt)
   }
 
-  private def parseDt(in: H5In, off: Long): Dt = {
+  private def parseDt(in: ByteIn, off: Long): Dt = {
     val cls = in(off) & 0x0f
     val b0 = in(off + 1) & 0xff
     val size = in.getInt(off + 4)
@@ -638,7 +552,7 @@ object Hdf5 {
   }
 
   /** (rank, dims, consumed bytes) from a dataspace message. */
-  private def parseDs(in: H5In, off: Long): (Int, Seq[Long], Int) = {
+  private def parseDs(in: ByteIn, off: Long): (Int, Seq[Long], Int) = {
     val ver = in(off) & 0xff
     val rank = in(off + 1) & 0xff
     val flags = in(off + 2) & 0xff
@@ -648,7 +562,7 @@ object Hdf5 {
     (rank, dims, hdr + rank * 8 + maxLen)
   }
 
-  private def element(in: H5In, off: Long, dt: Dt): Double = {
+  private def element(in: ByteIn, off: Long, dt: Dt): Double = {
     def beShort = ((in(off) & 0xff) << 8 | (in(off + 1) & 0xff)).toShort
     def beInt = in.getIntBE(off)
     def beLong = in.getLongBE(off)
@@ -670,7 +584,7 @@ object Hdf5 {
   }
 
   /** One global-heap object's payload. */
-  private def gheapObject(in: H5In, addr: Long, idx: Int): Array[Byte] = {
+  private def gheapObject(in: ByteIn, addr: Long, idx: Int): Array[Byte] = {
     val a = addr
     require(in(a) == 'G' && in(a + 1) == 'C', s"expected GCOL at $addr")
     val end = a + in.getLong(a + 8).toInt
@@ -685,7 +599,7 @@ object Hdf5 {
     throw new IllegalArgumentException(s"global heap object $idx not found")
   }
 
-  private def readAttr(in: H5In, off: Long): Option[(String, Any)] = {
+  private def readAttr(in: ByteIn, off: Long): Option[(String, Any)] = {
     val ver = in(off) & 0xff
     require(ver >= 1 && ver <= 3, s"unsupported attribute message v$ver")
     val nameSize = in.getShort(off + 2) & 0xffff
@@ -725,7 +639,7 @@ object Hdf5 {
     Some(name -> value)
   }
 
-  private def readDataset(in: H5In, addr: Long,
+  private def readDataset(in: ByteIn, addr: Long,
                           prefix: String, msgs: Seq[(Int, Long)]): Dataset = {
     var dims: Seq[Long] = Nil
     var dt: Dt = null
@@ -901,10 +815,10 @@ object Hdf5 {
       val data = new Array[Float](n)
       if (raw == null) {
         val fv = fillRaw.map(fb =>
-          element(H5In(fb), 0, dt)).getOrElse(0.0)
+          element(ByteIn(fb), 0, dt)).getOrElse(0.0)
         java.util.Arrays.fill(data, fv.toFloat)
       } else {
-        val rin = H5In(raw)
+        val rin = ByteIn(raw)
         var i = 0
         while (i < n) { data(i) = element(rin, i.toLong * dt.size, dt).toFloat; i += 1 }
       }
@@ -914,7 +828,7 @@ object Hdf5 {
 
   /** Walk a v1 B-tree of raw data chunks, decompress, and scatter each
     * chunk into the row-major output (clipping partial edge chunks). */
-  private def readChunks(in: H5In, addr: Long, dims: Array[Int],
+  private def readChunks(in: ByteIn, addr: Long, dims: Array[Int],
                          chunkDims: Array[Int], elemSize: Int, filters: Seq[Int],
                          out: Array[Byte]): Unit = {
     val a = addr
@@ -944,7 +858,7 @@ object Hdf5 {
   /** Parse a Filter Pipeline message (v1/v2) body into filter ids —
     * shared by the dataset 0x0B message and the fractal-heap I/O
     * filter info. */
-  private def parseFilterPipeline(in: H5In, off: Long): Seq[Int] = {
+  private def parseFilterPipeline(in: ByteIn, off: Long): Seq[Int] = {
     val ver = in(off) & 0xff
     val nf = in(off + 1) & 0xff
     var p = off + (if (ver == 1) 8 else 2)
@@ -995,7 +909,7 @@ object Hdf5 {
     *     name index), record type 10 (address + scaled offsets) or 11
     *     (+ variable-width size + filter mask).
     */
-  private def readChunksV4(in: H5In, idxAddr: Long,
+  private def readChunksV4(in: ByteIn, idxAddr: Long,
                            dims: Array[Int], chunkDims: Array[Int], elemSize: Int,
                            filters: Seq[Int], out: Array[Byte],
                            idxType: Int, flags: Int,
@@ -1289,9 +1203,9 @@ object Hdf5 {
 
   /** Interpret an HDF5 file through the NetCDF-4 dimension-scale
     * conventions, producing the same model as the classic reader. */
-  def toNetCdf(bytes: Array[Byte]): NetCdf.File = toNetCdf(H5In(bytes))
+  def toNetCdf(bytes: Array[Byte]): NetCdf.File = toNetCdf(ByteIn(bytes))
 
-  def toNetCdf(in: H5In): NetCdf.File = {
+  def toNetCdf(in: ByteIn): NetCdf.File = {
     val f = read(in)
     val byAddr = f.datasets.map(d => d.addr -> d.name).toMap
     val isScale = f.datasets

@@ -376,4 +376,87 @@ class GeoTiffSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("uint8"))
   }
+
+  test("channel-backed reads decode identically to in-memory reads") {
+    val w = 24; val h = 16
+    val data = Array.tabulate(w * h)(i => if (i % 19 == 0) Float.NaN else i * 0.5f)
+    val dataU8 = Array.tabulate(w * h)(i => ((i * 7) % 256).toFloat)
+    val fixtures: Seq[Array[Byte]] = Seq(
+      GeoTiff.write(GeoTiff.Raster(w, h, data, -180.0, 90.0, 15.0, 11.25)),
+      GeoTiff.writeBig(GeoTiff.Raster(w, h, data, -180.0, 90.0, 15.0, 11.25)),
+      GeoTiff.writeCog(Seq(data), w, h, -180.0, 90.0, 15.0, 11.25, tileSize = 16),
+      GeoTiff.writeCog(Seq(data), w, h, -180.0, 90.0, 15.0, 11.25, compression = 32773),
+      GeoTiff.writeCog(Seq(dataU8), w, h, -180.0, 90.0, 15.0, 11.25,
+        tileSize = 16, dtype = "uint8", compression = 7))
+    for ((bytes, i) <- fixtures.zipWithIndex) {
+      val tmp = java.nio.file.Files.createTempFile("graft-tif-ch-", ".tif")
+      java.nio.file.Files.write(tmp, bytes)
+      val viaArr = GeoTiff.read(bytes)
+      val in = ByteIn.fromPath(tmp.toString)
+      val viaCh = try GeoTiff.readBand(in, 1, 0) finally in.close()
+      assert(viaCh.width == viaArr.width && viaCh.height == viaArr.height, s"fixture $i")
+      viaCh.data.zip(viaArr.data).foreach { case (a, b) =>
+        assert((a.isNaN && b.isNaN) || a == b, s"fixture $i")
+      }
+      java.nio.file.Files.delete(tmp)
+    }
+  }
+
+  test("a BigTIFF strip beyond 2 GiB decodes through the channel path") {
+    // hand-built BigTIFF whose single uncompressed strip lives at
+    // 2.5 GiB in a SPARSE file — the >4 GiB aerial-COG shape no JVM
+    // byte array can hold. Holes cost nothing; only the header and
+    // data pages are touched.
+    val w = 6; val h = 4
+    val data = Array.tabulate(w * h)(i => i * 1.5f)
+    val dataAddr = 0xA0000000L // 2.5 GiB
+    val nTags = 9
+    val head = java.nio.ByteBuffer.allocate(16 + 8 + nTags * 20 + 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    head.put('I'.toByte).put('I'.toByte).putShort(43)
+    head.putShort(8).putShort(0).putLong(16L) // IFD0 right after header
+    head.putLong(nTags.toLong)
+    def tag(id: Int, typ: Int, count: Long, value: Long): Unit = {
+      head.putShort(id.toShort).putShort(typ.toShort).putLong(count).putLong(value)
+    }
+    tag(256, 3, 1, w); tag(257, 3, 1, h); tag(258, 3, 1, 32)
+    tag(259, 3, 1, 1); tag(262, 3, 1, 1)
+    tag(273, 16, 1, dataAddr)        // StripOffsets LONG8 beyond 2 GiB
+    tag(278, 3, 1, h)
+    tag(279, 16, 1, data.length * 4L)
+    tag(339, 3, 1, 3)
+    head.putLong(0L) // next IFD
+    val fileLen = dataAddr + data.length * 4L
+    val tmp = java.nio.file.Files.createTempFile("graft-tif-big-", ".tif")
+    val raf = new java.io.RandomAccessFile(tmp.toFile, "rw")
+    try {
+      raf.write(head.array())
+      raf.seek(dataAddr)
+      val db = java.nio.ByteBuffer.allocate(data.length * 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      data.foreach(db.putFloat)
+      raf.write(db.array())
+    } finally raf.close()
+    assert(java.nio.file.Files.size(tmp) == fileLen)
+    val in = ByteIn.fromPath(tmp.toString)
+    val r = try GeoTiff.readBand(in, 1, 0) finally in.close()
+    assert(r.width == w && r.height == h)
+    assert(r.data.sameElements(data))
+    java.nio.file.Files.delete(tmp)
+  }
+
+  test("ingestLargePaths routes a TIFF granule row-for-row like ingestDir") {
+    val w = 10; val h = 6
+    val data = Array.tabulate(w * h)(i => if (i % 7 == 0) Float.NaN else i * 0.25f)
+    val dir = java.nio.file.Files.createTempDirectory("graft-tif-lg-").toString
+    val p = java.nio.file.Paths.get(s"$dir/ndvi_20240301.tif")
+    java.nio.file.Files.write(p,
+      GeoTiff.writeCog(Seq(data), w, h, -10.0, 50.0, 0.5, 0.5, tileSize = 8))
+    val sel = Seq("time", "step", "y", "x", "v", "lon", "lat")
+    val viaDir = Formats.ingestDir(spark, dir)
+      .selectExpr(sel: _*).orderBy("y", "x").collect().toSeq
+    val viaPaths = Formats.ingestLargePaths(spark, Seq(p.toString))
+      .selectExpr(sel: _*).orderBy("y", "x").collect().toSeq
+    assert(viaPaths == viaDir && viaPaths.nonEmpty)
+  }
 }

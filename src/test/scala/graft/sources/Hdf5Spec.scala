@@ -169,7 +169,7 @@ class Hdf5Spec extends SparkSpec {
     rec(0, 8209); rec(1, 8225); rec(2, 8721)
 
     val links = scala.collection.mutable.Buffer[Hdf5.Link]()
-    Hdf5.denseLinks(Hdf5.H5In(bytes), 0L, 1408L, links)
+    Hdf5.denseLinks(ByteIn(bytes), 0L, 1408L, links)
     assert(links.toSet == Set(("alpha", Left(0x1111L)), ("beta", Left(0x2222L)),
       ("gamma", Left(0x3333L))),
       s"nested-indirect resolution produced $links")
@@ -553,13 +553,13 @@ class Hdf5Spec extends SparkSpec {
     assert(f.rasters("t2m").forall(_._2.data.count(!_.isNaN) == h * w))
   }
 
-  test("channel-backed reads (H5In.fromPath) decode identically to in-memory reads") {
+  test("channel-backed reads (ByteIn.fromPath) decode identically to in-memory reads") {
     for (bytes <- Seq(fixture(), fixture(shuffle = true, fletcher = true),
                       charFixture(vlen = true))) {
       val tmp = java.nio.file.Files.createTempFile("graft-h5-ch-", ".nc")
       java.nio.file.Files.write(tmp, bytes)
       val viaArr = Hdf5.read(bytes)
-      val in = Hdf5.H5In.fromPath(tmp.toString)
+      val in = ByteIn.fromPath(tmp.toString)
       val viaCh = try Hdf5.read(in) finally in.close()
       assert(viaCh.datasets.map(_.name) == viaArr.datasets.map(_.name))
       viaCh.datasets.zip(viaArr.datasets).foreach { case (a, b) =>
@@ -622,7 +622,7 @@ class Hdf5Spec extends SparkSpec {
     } finally raf.close()
     assert(java.nio.file.Files.size(tmp) == fileLen)
 
-    val in = Hdf5.H5In.fromPath(tmp.toString)
+    val in = ByteIn.fromPath(tmp.toString)
     val f = try Hdf5.read(in) finally in.close()
     assert(f.datasets.size == 1 && f.datasets.head.data.sameElements(data))
     // the SAME file through the in-memory path fails loudly (array cap)
