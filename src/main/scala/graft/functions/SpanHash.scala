@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, GraftShim}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** All rolling w-token window hashes of a token array in ONE pass — the
@@ -101,8 +101,91 @@ object SpanHashWindows {
     new String(c)
   }
 
+  /** 60-bit integer window hashes: the value of the first 15 hex chars
+    * of each window's md5 — identical to
+    * `conv(substring(md5(window), 1, 15), 16, 10)`, the same
+    * oracle-mirrorable truncation [[graft.llm.Dedup.shingleHashes]]
+    * uses. Every span shuffle/join/group then moves 8-byte longs
+    * instead of 32-char hex strings (the 100 TB inverted-index key
+    * shape); a truncation collision produces the identical merged
+    * group in BOTH engines because the oracle applies the same
+    * substring. Digest bytes 0-6 are the top 56 bits, the high nibble
+    * of byte 7 the low 4. */
+  def hashesLong(arr: ArrayData, w: Int): ArrayData = {
+    val n = arr.numElements()
+    if (w <= 0 || n < w) return new GenericArrayData(new Array[Long](0))
+    val toks = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i).getBytes
+      i += 1
+    }
+    val md = MessageDigest.getInstance("MD5")
+    val out = new Array[Long](n - w + 1)
+    i = 0
+    while (i <= n - w) {
+      md.reset()
+      var j = 0
+      var written = 0
+      while (j < w) {
+        val t = toks(i + j)
+        if (t != null) {
+          if (written > 0) md.update(SPACE)
+          md.update(t)
+          written += 1
+        }
+        j += 1
+      }
+      val d = md.digest()
+      var v = 0L
+      var b = 0
+      while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      out(i) = (v << 4) | ((d(7) >> 4) & 0xfL)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Column API: all md5 window hashes of `tokens` with window `w`. */
   def spanHashWindows(tokens: Column, w: Int): Column =
     GraftShim.column(SpanHashWindows(GraftShim.expression(tokens),
       GraftShim.expression(org.apache.spark.sql.functions.lit(w))))
+
+  /** Column API: 60-bit long window hashes (see [[hashesLong]]). */
+  def spanHashWindowsLong(tokens: Column, w: Int): Column =
+    GraftShim.column(SpanHashWindowsLong(GraftShim.expression(tokens),
+      GraftShim.expression(org.apache.spark.sql.functions.lit(w))))
+}
+
+/** Long-keyed sibling of [[SpanHashWindows]]: same windows, same md5,
+  * but each hash leaves the kernel as the 60-bit integer value of its
+  * first 15 hex chars (no hex string is ever built). */
+case class SpanHashWindowsLong(tokens: Expression, width: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = tokens
+  override def right: Expression = width
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() = {
+    val ok = tokens.dataType.isInstanceOf[ArrayType] &&
+      tokens.dataType.asInstanceOf[ArrayType].elementType == StringType &&
+      width.dataType == IntegerType
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"span_hash_windows_long expects (array<string>, int), got " +
+        s"(${tokens.dataType.simpleString}, ${width.dataType.simpleString})")
+  }
+
+  override protected def nullSafeEval(arr: Any, w: Any): Any =
+    SpanHashWindows.hashesLong(arr.asInstanceOf[ArrayData], w.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (arr, w) =>
+      s"${ev.value} = graft.functions.SpanHashWindows.hashesLong($arr, $w);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(tokens = newLeft, width = newRight)
+
+  override def prettyName: String = "span_hash_windows_long"
 }

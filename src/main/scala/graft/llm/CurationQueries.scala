@@ -346,7 +346,7 @@ object CurationQueries extends QueryModule {
         |w3 AS (SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM d2),
         |spans AS MATERIALIZED (
         |  SELECT id, i AS start, i + 19 AS fin,
-        |         md5(array_to_string(ws[i+1:i+20], ' ')) AS h
+        |         CAST(concat('0x', substring(md5(array_to_string(ws[i+1:i+20], ' ')), 1, 15)) AS BIGINT) AS h
         |  FROM (SELECT id, ws, unnest(range(greatest(len(ws) - 19, 0))) AS i FROM w3)),
         |duph AS (SELECT h FROM spans GROUP BY h HAVING count(DISTINCT id) >= 2),
         |iv AS (SELECT id, start, fin FROM spans JOIN duph USING (h)),
@@ -371,16 +371,16 @@ object CurationQueries extends QueryModule {
         |hashed AS (SELECT id, md5(s) AS h FROM sh),
         |sig AS (
         |  SELECT id,
-        |    min(substring(h, 1, 4)) AS m1, min(substring(h, 5, 4)) AS m2,
-        |    min(substring(h, 9, 4)) AS m3, min(substring(h, 13, 4)) AS m4,
-        |    min(substring(h, 17, 4)) AS m5, min(substring(h, 21, 4)) AS m6,
-        |    min(substring(h, 25, 4)) AS m7, min(substring(h, 29, 4)) AS m8
+        |    min(CAST(concat('0x', substring(h, 1, 4)) AS INT)) AS m1, min(CAST(concat('0x', substring(h, 5, 4)) AS INT)) AS m2,
+        |    min(CAST(concat('0x', substring(h, 9, 4)) AS INT)) AS m3, min(CAST(concat('0x', substring(h, 13, 4)) AS INT)) AS m4,
+        |    min(CAST(concat('0x', substring(h, 17, 4)) AS INT)) AS m5, min(CAST(concat('0x', substring(h, 21, 4)) AS INT)) AS m6,
+        |    min(CAST(concat('0x', substring(h, 25, 4)) AS INT)) AS m7, min(CAST(concat('0x', substring(h, 29, 4)) AS INT)) AS m8
         |  FROM hashed GROUP BY id),
         |bands AS (
-        |  SELECT id, 1 AS band, md5(m1 || m2) AS key FROM sig UNION ALL
-        |  SELECT id, 2, md5(m3 || m4) FROM sig UNION ALL
-        |  SELECT id, 3, md5(m5 || m6) FROM sig UNION ALL
-        |  SELECT id, 4, md5(m7 || m8) FROM sig),
+        |  SELECT id, 1 AS band, CAST(m1 AS BIGINT) * 65536 + m2 AS key FROM sig UNION ALL
+        |  SELECT id, 2, CAST(m3 AS BIGINT) * 65536 + m4 FROM sig UNION ALL
+        |  SELECT id, 3, CAST(m5 AS BIGINT) * 65536 + m6 FROM sig UNION ALL
+        |  SELECT id, 4, CAST(m7 AS BIGINT) * 65536 + m8 FROM sig),
         |hotb AS (SELECT band, key FROM bands GROUP BY band, key HAVING count(*) > 1024),
         |bandsc AS (
         |  SELECT b.id, b.band, b.key FROM bands b
@@ -451,7 +451,7 @@ object CurationQueries extends QueryModule {
         |w3 AS (SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM k2),
         |spans AS MATERIALIZED (
         |  SELECT id, len(ws) AS n_tokens, i AS start, i + 19 AS fin,
-        |         md5(array_to_string(ws[i+1:i+20], ' ')) AS h
+        |         CAST(concat('0x', substring(md5(array_to_string(ws[i+1:i+20], ' ')), 1, 15)) AS BIGINT) AS h
         |  FROM (SELECT id, ws, unnest(range(greatest(len(ws) - 19, 0))) AS i FROM w3)),
         |hfirst AS (SELECT h, min(id) AS h_first FROM spans GROUP BY 1),
         |iv AS (SELECT DISTINCT s.id, s.n_tokens, s.start, s.fin
@@ -476,16 +476,16 @@ object CurationQueries extends QueryModule {
         |hashed AS (SELECT id, md5(s) AS h FROM sh),
         |sig AS (
         |  SELECT id,
-        |    min(substring(h, 1, 4)) AS m1, min(substring(h, 5, 4)) AS m2,
-        |    min(substring(h, 9, 4)) AS m3, min(substring(h, 13, 4)) AS m4,
-        |    min(substring(h, 17, 4)) AS m5, min(substring(h, 21, 4)) AS m6,
-        |    min(substring(h, 25, 4)) AS m7, min(substring(h, 29, 4)) AS m8
+        |    min(CAST(concat('0x', substring(h, 1, 4)) AS INT)) AS m1, min(CAST(concat('0x', substring(h, 5, 4)) AS INT)) AS m2,
+        |    min(CAST(concat('0x', substring(h, 9, 4)) AS INT)) AS m3, min(CAST(concat('0x', substring(h, 13, 4)) AS INT)) AS m4,
+        |    min(CAST(concat('0x', substring(h, 17, 4)) AS INT)) AS m5, min(CAST(concat('0x', substring(h, 21, 4)) AS INT)) AS m6,
+        |    min(CAST(concat('0x', substring(h, 25, 4)) AS INT)) AS m7, min(CAST(concat('0x', substring(h, 29, 4)) AS INT)) AS m8
         |  FROM hashed GROUP BY id),
         |bands AS (
-        |  SELECT id, 1 AS band, md5(m1 || m2) AS key FROM sig UNION ALL
-        |  SELECT id, 2, md5(m3 || m4) FROM sig UNION ALL
-        |  SELECT id, 3, md5(m5 || m6) FROM sig UNION ALL
-        |  SELECT id, 4, md5(m7 || m8) FROM sig),
+        |  SELECT id, 1 AS band, CAST(m1 AS BIGINT) * 65536 + m2 AS key FROM sig UNION ALL
+        |  SELECT id, 2, CAST(m3 AS BIGINT) * 65536 + m4 FROM sig UNION ALL
+        |  SELECT id, 3, CAST(m5 AS BIGINT) * 65536 + m6 FROM sig UNION ALL
+        |  SELECT id, 4, CAST(m7 AS BIGINT) * 65536 + m8 FROM sig),
         |hotb AS (SELECT band, key FROM bands GROUP BY band, key HAVING count(*) > 1024),
         |bandsc AS (
         |  SELECT b.id, b.band, b.key FROM bands b

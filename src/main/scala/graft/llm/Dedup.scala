@@ -64,22 +64,35 @@ object Dedup {
   /** MinHash signatures: k hash slots carved out of ONE md5 per shingle
     * (disjoint 4-hex-char substrings of a strong hash behave as
     * independent hash functions) — one pass, no k× row blowup, a single
-    * groupBy with map-side partial mins. Output one row per id with
-    * columns m1..mk (k ≤ 8). */
+    * groupBy with map-side partial mins. Each slot is the 16-bit
+    * INTEGER value of its hex chars: fixed-width lowercase hex compares
+    * lexicographically exactly as its numeric value, so the mins — and
+    * therefore every signature and LSH candidate — are identical to the
+    * old string-slot form, while the signature shuffle carries 4-byte
+    * ints instead of 4-char strings and the band keys pack to one long
+    * (see [[lshBands]]). Output one row per id with m1..mk (k ≤ 8). */
   def minhashSignature(sh: DataFrame, k: Int = 8): DataFrame = {
     require(k <= 8, "k slots of 4 hex chars must fit one md5")
     val hashed = sh.select(col("id"), md5(col("s")).as("h"))
     val slots = (1 to k).map(x =>
-      min(substring(col("h"), (x - 1) * 4 + 1, 4)).as(s"m$x"))
+      min(conv(substring(col("h"), (x - 1) * 4 + 1, 4), 16, 10).cast("int"))
+        .as(s"m$x"))
     hashed.groupBy("id").agg(slots.head, slots.tail: _*)
   }
 
   /** LSH banding: k minhash slots → k/rows band keys; docs sharing any
-    * band key become candidates. (id, band, key). */
+    * band key become candidates. (id, band, key). The key packs the
+    * band's slots 16 bits apiece into ONE long (rows ≤ 4) — exact
+    * (collision-free, unlike the old md5-of-concatenation string key)
+    * and 8 bytes on the wire instead of 32 chars, so the band
+    * equi-join/group shuffles a fraction of the bytes. */
   def lshBands(sig: DataFrame, k: Int = 8, rows: Int = 2): DataFrame = {
+    require(rows <= 4, "band key packs 16-bit slots into one long")
     val bands = (1 to k / rows).map { b =>
       val cols = ((b - 1) * rows + 1 to b * rows).map(x => col(s"m$x"))
-      struct(lit(b).as("band"), md5(concat(cols: _*)).as("key"))
+      val key = cols.foldLeft(lit(0L).cast("long")) {
+        (acc, c) => acc * lit(65536L) + c.cast("long") }
+      struct(lit(b).as("band"), key.as("key"))
     }
     sig.select(col("id"), explode(array(bands: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
@@ -386,16 +399,20 @@ object Dedup {
     * tokenize, drop docs shorter than the window, and emit one row per
     * window position with `keep` passthrough columns plus
     * (n_tokens, pos, h). Hashing is the one-pass native
-    * `span_hash_windows` kernel; the whole thing is a stateless
-    * projection, so batch ([[spanHashes]]) and streaming
-    * (`Windows.novelSpans`) share one definition of "a span". */
+    * `span_hash_windows_long` kernel — `h` is the 60-bit integer value
+    * of the window md5's first 15 hex chars (the same oracle-mirrorable
+    * truncation as [[shingleHashes]]), so every downstream span
+    * shuffle/join/group moves 8-byte longs instead of 32-char hex
+    * strings. The whole thing is a stateless projection, so batch
+    * ([[spanHashes]]) and streaming (`Windows.novelSpans`) share one
+    * definition of "a span". */
   def spanWindows(docs: DataFrame, textCol: String, w: Int,
                   keep: Seq[String]): DataFrame = {
     val ws = split(trim(lower(col(textCol))), "\\s+")
     docs.select(keep.map(col) :+ ws.as("ws"): _*)
       .filter(size(col("ws")) >= w)
       .select(keep.map(col) :+ size(col("ws")).cast("long").as("n_tokens") :+
-        posexplode(graft.functions.SpanHashWindows.spanHashWindows(col("ws"), w)): _*)
+        posexplode(graft.functions.SpanHashWindows.spanHashWindowsLong(col("ws"), w)): _*)
       .select(keep.map(col) :+ col("n_tokens") :+
         col("pos").cast("long").as("pos") :+ col("col").as("h"): _*)
   }

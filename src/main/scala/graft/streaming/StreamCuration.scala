@@ -80,9 +80,9 @@ object StreamCuration {
       s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     State(
       fps = empty(StructType(Seq(StructField("fp", StringType)))),
-      spans = empty(StructType(Seq(StructField("h", StringType)))),
+      spans = empty(StructType(Seq(StructField("h", LongType)))),
       bands = empty(StructType(Seq(StructField("id", LongType),
-        StructField("band", IntegerType), StructField("key", StringType)))),
+        StructField("band", IntegerType), StructField("key", LongType)))),
       docs = empty(StructType(Seq(StructField("doc_id", LongType),
         StructField("text", StringType)))),
       wm = empty(StructType(Seq(StructField("max_id", LongType)))))
@@ -381,8 +381,8 @@ object StreamCuration {
     * per state set. */
   private def tableShape(name: String): (Seq[(String, String)], Seq[String]) = name match {
     case "fps"   => (Seq("fp" -> "STRING"), Seq("fp"))
-    case "spans" => (Seq("h" -> "STRING"), Seq("h"))
-    case "bands" => (Seq("id" -> "BIGINT", "band" -> "INT", "key" -> "STRING"), Seq("band", "key"))
+    case "spans" => (Seq("h" -> "BIGINT"), Seq("h"))
+    case "bands" => (Seq("id" -> "BIGINT", "band" -> "INT", "key" -> "BIGINT"), Seq("band", "key"))
     case "docs"  => (Seq("doc_id" -> "BIGINT", "text" -> "STRING"), Seq("doc_id"))
     case other   => sys.error(s"no bucketed state table for '$other'")
   }

@@ -50,6 +50,26 @@ class SpanHashSpec extends SparkSpec {
     assert(out.isEmpty)
   }
 
+  test("long form equals conv(substring(md5, 1, 15), 16, 10) of the string form") {
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog again and again",
+      "über café naïve 中文 tokens mixed with ascii ones here now ok",
+      "a b c d e f"
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      .select(col("id"), split(trim(lower(col("text"))), "\\s+").as("ws"))
+    for (w <- Seq(2, 5)) {
+      val both = docs.filter(size(col("ws")) >= w)
+        .select(
+          transform(SpanHashWindows.spanHashWindows(col("ws"), w),
+            h => conv(substring(h, 1, 15), 16, 10).cast("long")).as("a"),
+          SpanHashWindows.spanHashWindowsLong(col("ws"), w).as("b"))
+        .collect()
+      both.foreach { r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"w=$w mismatch")
+      }
+    }
+  }
+
   test("the expression participates in whole-stage codegen") {
     // build on Range with a non-foldable token so neither
     // ConvertToLocalRelation nor constant folding evaluates the

@@ -44,7 +44,8 @@ def main():
     top = sorted(best.items(), key=lambda kv: -kv[1])[:20]
     print(json.dumps({"total_sec": round(total, 3), "n": len(best),
                       "sf": sf_dir,
-                      "top": {k: round(v, 3) for k, v in top}}))
+                      "top": {k: round(v, 3) for k, v in top},
+                      "queries": {k: round(v, 4) for k, v in best.items()}}))
 
 
 if __name__ == "__main__":
