@@ -277,7 +277,7 @@ object Hdf5 {
     // address. Filters decode through the shared pipeline kernel.
     val filtered = ioFilterLen > 0
     val (rootFilteredSize, rootFilterMask, heapFilters) =
-      if (!filtered) (0L, 0, Seq.empty[Int])
+      if (!filtered) (0L, 0, Seq.empty[Filter])
       else (in.getLong(h + 142), in.getInt(h + 150),
         parseFilterPipeline(in, h + 154))
     val offSize = (maxHeapBits + 7) / 8
@@ -651,7 +651,7 @@ object Hdf5 {
     var compact: Array[Byte] = null
     var chunkDims: Array[Int] = null
     var btree = Undef
-    var filters: Seq[Int] = Nil
+    var filters: Seq[Filter] = Nil
     // layout v4 chunk-index state (HDF5 File Format Spec IV.A.2.i)
     var v4IdxType = 0
     var v4Flags = 0
@@ -829,7 +829,7 @@ object Hdf5 {
   /** Walk a v1 B-tree of raw data chunks, decompress, and scatter each
     * chunk into the row-major output (clipping partial edge chunks). */
   private def readChunks(in: ByteIn, addr: Long, dims: Array[Int],
-                         chunkDims: Array[Int], elemSize: Int, filters: Seq[Int],
+                         chunkDims: Array[Int], elemSize: Int, filters: Seq[Filter],
                          out: Array[Byte]): Unit = {
     val a = addr
     require(in(a) == 'T' && in(a + 1) == 'R', s"expected TREE at $addr")
@@ -848,17 +848,24 @@ object Hdf5 {
       if (level > 0) readChunks(in, child, dims, chunkDims, elemSize, filters, out)
       else {
         val c = child
-        val chunk = defilter(in.slice(c, nbytes),
-          filters, mask, elemSize)
+        // chunkDims carries the trailing element-size dim (layout v3
+        // convention) — the raw byte count is the rank-many pixel dims
+        // times the element size
+        val chunk = defilter(in.slice(c, nbytes), filters, mask, elemSize,
+          chunkDims.take(dims.length).map(_.toLong).product.toInt * elemSize)
         scatter(chunk, offs, dims, chunkDims, elemSize, out)
       }
     }
   }
 
-  /** Parse a Filter Pipeline message (v1/v2) body into filter ids —
-    * shared by the dataset 0x0B message and the fractal-heap I/O
-    * filter info. */
-  private def parseFilterPipeline(in: ByteIn, off: Long): Seq[Int] = {
+  /** One pipeline entry: filter id + its client-data values (szip
+    * needs cd[0..3]; the rest ignore them). */
+  case class Filter(id: Int, cd: Array[Int])
+
+  /** Parse a Filter Pipeline message (v1/v2) body into (id, client
+    * data) entries — shared by the dataset 0x0B message and the
+    * fractal-heap I/O filter info. */
+  private def parseFilterPipeline(in: ByteIn, off: Long): Seq[Filter] = {
     val ver = in(off) & 0xff
     val nf = in(off + 1) & 0xff
     var p = off + (if (ver == 1) 8 else 2)
@@ -866,23 +873,28 @@ object Hdf5 {
       val id = in.getShort(p) & 0xffff
       val nameLen = if (ver == 1 || id >= 256) in.getShort(p + 2) & 0xffff else 0
       val nClient = in.getShort(p + 6) & 0xffff
-      p += 8 + (if (ver == 1) ((nameLen + 7) / 8) * 8 else nameLen) + 4 * nClient
+      val cdAt = p + 8 + (if (ver == 1) ((nameLen + 7) / 8) * 8 else nameLen)
+      val cd = (0 until nClient).map(i => in.getInt(cdAt + 4L * i)).toArray
+      p = cdAt + 4 * nClient
       if (ver == 1 && nClient % 2 == 1) p += 4
-      id
+      Filter(id, cd)
     }
   }
 
   /** Apply the filter pipeline to one raw chunk on read (reverse
-    * order, honoring the per-chunk skip mask). */
-  private def defilter(chunkIn: Array[Byte], filters: Seq[Int], mask: Int,
-                       elemSize: Int): Array[Byte] = {
+    * order, honoring the per-chunk skip mask). `rawSize` is the
+    * expected unfiltered byte count — szip needs it for its sample
+    * count (−1 where the caller cannot know it, e.g. heap blocks). */
+  private def defilter(chunkIn: Array[Byte], filters: Seq[Filter], mask: Int,
+                       elemSize: Int, rawSize: Int = -1): Array[Byte] = {
     var chunk = chunkIn
-    filters.zipWithIndex.reverse.foreach { case (id, i) =>
-      if ((mask & (1 << i)) == 0) chunk = id match {
+    filters.zipWithIndex.reverse.foreach { case (f, i) =>
+      if ((mask & (1 << i)) == 0) chunk = f.id match {
         case 1 => inflate(chunk)
         case 2 => unshuffle(chunk, elemSize)
         case 3 => fletcherStrip(chunk)
-        case f => throw new IllegalArgumentException(s"unsupported filter $f")
+        case 4 => Szip.decode(chunk, f.cd, rawSize, elemSize)
+        case id => throw new IllegalArgumentException(s"unsupported filter $id")
       }
     }
     chunk
@@ -911,7 +923,7 @@ object Hdf5 {
     */
   private def readChunksV4(in: ByteIn, idxAddr: Long,
                            dims: Array[Int], chunkDims: Array[Int], elemSize: Int,
-                           filters: Seq[Int], out: Array[Byte],
+                           filters: Seq[Filter], out: Array[Byte],
                            idxType: Int, flags: Int,
                            singleSize: Long, singleMask: Int): Unit = {
     val rank = dims.length
@@ -939,7 +951,7 @@ object Hdf5 {
       if (addr == Undef) return // unallocated chunk keeps the fill value
       val c = addr
       var chunk = in.slice(c, size.toInt)
-      if (filtered) chunk = defilter(chunk, filters, mask, elemSize)
+      if (filtered) chunk = defilter(chunk, filters, mask, elemSize, nominal.toInt)
       scatter(chunk, offs, dims, chunkDims, elemSize, out)
     }
     // FA/EA element: client 0 = chunk address only (unfiltered); client
@@ -1287,6 +1299,11 @@ object Hdf5 {
 
   // ================= fixture writer =================================
 
+  /** szip client data the fixture writer stores and encodes with:
+    * RAW|NN|LSB options, 16-bit samples, 16 pixels/block, 32/scanline. */
+  val SzipFixtureCd: Array[Int] = Array(
+    Szip.MaskRaw | Szip.MaskNn | Szip.MaskLsb, 16, 16, 32)
+
   /** Write a NetCDF-4 file in netcdf-c's default shape: superblock v0,
     * v1 object headers, symbol-table root group; one dataset per
     * dimension (the coordinate variable's data when one exists, with
@@ -1306,8 +1323,14 @@ object Hdf5 {
     * (dimension scales stay at the root — the netcdf-c nested-group
     * shape, where child variables reference parent dims through
     * DIMENSION_LIST object addresses). */
+  /** `szip`: store the data variables as int16 datasets behind the
+    * szip filter (NN + LSB options, 16 pixels/block, 32/scanline) —
+    * the ERA5-class packed-short layout a szip-enabled netcdf-c
+    * emits. Values must fit non-negative 16-bit; fill must be None
+    * (the spec fixtures hold both). */
   def write(dims: Seq[(String, Int)], variables: Seq[NetCdf.Variable],
             shuffle: Boolean = false, denseRoot: Boolean = false,
+            szip: Boolean = false,
             fletcher: Boolean = false, layoutV4: Option[Int] = None,
             v4Unfiltered: Boolean = false, v4PageBits: Int = 10,
             eaPageBits: Int = 10, subgroup: Option[String] = None,
@@ -1324,6 +1347,8 @@ object Hdf5 {
       s"unknown denseIdStyle '$denseIdStyle'")
     require(denseIdStyle == "managed" || (denseRoot && !filteredHeap),
       "tiny/huge ID styles apply to unfiltered dense roots")
+    require(!szip || (!shuffle && !fletcher && layoutV4.isEmpty),
+      "fixture writer: szip is its own single-filter pipeline")
     val out = new java.io.ByteArrayOutputStream()
     def pos = out.size
     def u8(v: Int): Unit = out.write(v & 0xff)
@@ -1563,7 +1588,8 @@ object Hdf5 {
         var rem = ci
         val cc = new Array[Int](rank)
         for (d <- (rank - 1) to 0 by -1) { cc(d) = (rem % grid(d)) * chunkDims(d); rem /= grid(d) }
-        val cbuf = ByteBuffer.allocate(cTotal * 4).order(ByteOrder.LITTLE_ENDIAN)
+        val cbuf = ByteBuffer.allocate(cTotal * (if (szip) 2 else 4))
+          .order(ByteOrder.LITTLE_ENDIAN)
         for (ei <- 0 until cTotal) {
           var er = ei
           var src = 0
@@ -1572,11 +1598,19 @@ object Hdf5 {
             val coord = cc(d) + er % chunkDims(d); er /= chunkDims(d)
             if (coord >= shape(d)) ok = false else src += coord * strides(d)
           }
-          cbuf.putFloat(if (ok) v.data(src) else v.fill.getOrElse(0f))
+          val value = if (ok) v.data(src) else v.fill.getOrElse(0f)
+          if (szip) {
+            val sv = value.toInt
+            require(sv >= 0 && sv <= 0x7fff && sv.toFloat == value,
+              s"szip fixture sample $value not a non-negative 15-bit integer")
+            cbuf.putShort(sv.toShort)
+          } else cbuf.putFloat(value)
         }
         var payload = cbuf.array()
         val storeFiltered = layoutV4 != Some(2) && !v4Unfiltered
-        if (storeFiltered) {
+        if (storeFiltered && szip) {
+          payload = Szip.encode(payload, SzipFixtureCd, 2)
+        } else if (storeFiltered) {
           if (shuffle) {
             val nEl = payload.length / 4
             val sh = new Array[Byte](payload.length)
@@ -1623,7 +1657,7 @@ object Hdf5 {
           bodyBuf({ bb =>
             bb.put(3.toByte).put(2.toByte).put((rank + 1).toByte)
             bb.putLong(btreeAddr.toLong)
-            chunkDims.foreach(bb.putInt); bb.putInt(4)
+            chunkDims.foreach(bb.putInt); bb.putInt(if (szip) 2 else 4)
           }, 11 + (rank + 1) * 4)
         case Some(idxType) =>
           val clientId = if (storeFiltered) 1 else 0
@@ -1792,14 +1826,21 @@ object Hdf5 {
           bb.putInt(1); bb.putLong(gheapAddr.toLong); bb.putInt(gheapIdx((v.name, di)))
         }
       }, v.dims.size * 16)
-      val filterIds = (if (shuffle) Seq((2, Seq(4))) else Nil) ++
-        (if (fletcher) Seq((3, Seq.empty[Int])) else Nil) :+ ((1, Seq(6)))
+      val filterIds =
+        if (szip) Seq((4, SzipFixtureCd.toSeq))
+        else (if (shuffle) Seq((2, Seq(4))) else Nil) ++
+          (if (fletcher) Seq((3, Seq.empty[Int])) else Nil) :+ ((1, Seq(6)))
+      val i16DtMsg: Array[Byte] = bodyBuf({ bb =>
+        bb.put(0x10.toByte).put(0x08.toByte).put(0.toByte).put(0.toByte).putInt(2)
+        bb.putShort(0).putShort(16)
+      }, 12)
       val msgs = Seq(
         0x01 -> dataspaceMsg(shape.toSeq),
-        0x03 -> f32Dt,
+        0x03 -> (if (szip) i16DtMsg else f32Dt),
         0x05 -> bodyBuf({ bb =>
           bb.put(2.toByte).put(1.toByte).put(0.toByte)
           v.fill match {
+            case Some(f) if szip => bb.put(1.toByte).putInt(2).putShort(f.toInt.toShort)
             case Some(f) => bb.put(1.toByte).putInt(4).putFloat(f)
             case None => bb.put(0.toByte)
           }
@@ -1814,8 +1855,8 @@ object Hdf5 {
           }
         }, 8 + filterIds.map(f => 8 + 4 * f._2.size + 4).sum))) ++ Seq(
         0x0C -> attrMsg("DIMENSION_LIST", vlenRefDt, dataspaceMsg(Seq(v.dims.size)), dimListData)) ++
-        v.fill.map(f => 0x0C -> attrMsg("_FillValue", f32Dt, scalarDs,
-          bodyBuf(bb => { bb.putFloat(f); () }, 4))).toSeq ++
+        (if (szip) Nil else v.fill.map(f => 0x0C -> attrMsg("_FillValue", f32Dt,
+          scalarDs, bodyBuf(bb => { bb.putFloat(f); () }, 4))).toSeq) ++
         v.numAttrs.toSeq.sortBy(_._1).map { case (n, d) =>
           0x0C -> attrMsg(n, f64Dt, scalarDs,
             bodyBuf(bb => { bb.putDouble(d); () }, 8)) }

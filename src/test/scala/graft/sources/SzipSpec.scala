@@ -1,0 +1,97 @@
+package graft.sources
+
+import graft.SparkSpec
+
+/** HDF5 szip filter (id 4) — decoded through the self-contained CCSDS
+  * extended-Rice coder. Fixtures are writer-emitted (the established
+  * byte-crafted discipline: no szip-capable C library exists in this
+  * environment), so the spec proves the full file path — filter
+  * pipeline client data → per-chunk Rice decode → int16 samples —
+  * round-trips bit-exactly, and that every unsupported szip variant
+  * fails loudly by name. */
+class SzipSpec extends SparkSpec {
+
+  private val w = 7; private val h = 5; private val nT = 3
+
+  /** Integer-valued field with zero-runs (exercises zero-block coding),
+    * ramps (k-split) and jumps (uncompressed blocks). */
+  private def field(i: Int): Float = (i % 97) match {
+    case m if m < 20 => 100f                // constant run → zero blocks
+    case m if m < 60 => (m * 13 % 512).toFloat // small deltas → k-split
+    case m => (m * 517 % 32768).toFloat     // wild jumps → uncompressed
+  }
+
+  private def fixture(): Array[Byte] = {
+    val lat = Array(40f, 30f, 20f, 10f, 0f)
+    val lon = Array(-30f, -20f, -10f, 0f, 10f, 20f, 30f)
+    val data = Array.tabulate(nT * h * w)(field)
+    Hdf5.write(
+      Seq("time" -> nT, "lat" -> h, "lon" -> w),
+      Seq(
+        NetCdf.Variable("lat", Seq("lat"), lat, None),
+        NetCdf.Variable("lon", Seq("lon"), lon, None),
+        NetCdf.Variable("precip", Seq("time", "lat", "lon"), data, None)),
+      szip = true)
+  }
+
+  test("szip-filtered int16 chunks round-trip bit-exactly through the file path") {
+    val f = Hdf5.read(fixture())
+    val precip = f.datasets.find(_.name == "precip").get
+    assert(precip.shape == Seq(nT, h, w))
+    val expected = Array.tabulate(nT * h * w)(field)
+    assert(precip.data.sameElements(expected))
+    // the sibling coordinate variables stay plain f32
+    assert(f.datasets.find(_.name == "lat").get.data.sameElements(
+      Array(40f, 30f, 20f, 10f, 0f)))
+  }
+
+  test("raw-buffer round-trip across modes, block sizes and byte orders") {
+    val rnd = new scala.util.Random(42)
+    for {
+      nn <- Seq(0, Szip.MaskNn)
+      msb <- Seq(Szip.MaskLsb, Szip.MaskMsb)
+      ppb <- Seq(8, 16, 32)
+      count <- Seq(ppb, 64, 97) // whole block, whole scanlines, ragged tail
+    } {
+      val cd = Array(Szip.MaskRaw | nn | msb, 16, ppb, ppb * 2)
+      val raw = new Array[Byte](count * 2)
+      val samples = Array.tabulate(count)(i =>
+        if (i % 13 < 5) 7 else rnd.nextInt(0x8000))
+      samples.zipWithIndex.foreach { case (v, i) =>
+        if (msb == Szip.MaskMsb) {
+          raw(2 * i) = (v >> 8).toByte; raw(2 * i + 1) = v.toByte
+        } else {
+          raw(2 * i) = v.toByte; raw(2 * i + 1) = (v >> 8).toByte
+        }
+      }
+      val enc = Szip.encode(raw, cd, 2)
+      val dec = Szip.decode(enc, cd, raw.length, 2)
+      assert(dec.sameElements(raw), s"nn=$nn msb=$msb ppb=$ppb count=$count")
+    }
+  }
+
+  test("8-bit samples round-trip") {
+    val cd = Array(Szip.MaskRaw | Szip.MaskNn | Szip.MaskMsb, 8, 8, 16)
+    val raw = Array.tabulate(50)(i => ((i * 7) % 256).toByte)
+    assert(Szip.decode(Szip.encode(raw, cd, 1), cd, raw.length, 1)
+      .sameElements(raw))
+  }
+
+  test("unsupported szip variants fail loudly by name") {
+    def err(cd: Array[Int], elemSize: Int = 2): String =
+      intercept[IllegalArgumentException](
+        Szip.decode(Array[Byte](0), cd, 64, elemSize)).getMessage
+    assert(err(Array(Szip.MaskRaw | Szip.MaskEc | Szip.MaskMsb, 32, 16, 32), 4)
+      .contains("32-bit samples"))
+    assert(err(Array(Szip.MaskRaw | Szip.MaskChip | Szip.MaskMsb, 16, 16, 32))
+      .contains("CHIP"))
+    assert(err(Array(Szip.MaskRaw | Szip.MaskMsb, 16, 10, 32))
+      .contains("pixels-per-block"))
+    assert(err(Array(Szip.MaskRaw | Szip.MaskMsb, 16, 16, 40))
+      .contains("pixels-per-scanline"))
+    // heap blocks pass no raw size — szip there is a loud no
+    assert(intercept[IllegalArgumentException](
+      Szip.decode(Array[Byte](0), Array(Szip.MaskRaw | Szip.MaskMsb, 16, 16, 32),
+        -1, 2)).getMessage.contains("unfiltered chunk size"))
+  }
+}
