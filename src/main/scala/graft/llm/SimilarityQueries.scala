@@ -124,6 +124,25 @@ object SimilarityQueries extends QueryModule {
         .select("qid", "vec_id", "cos", "rank")
     }),
 
+    // Recall@k evaluation: the acceptance harness every index change
+    // runs before shipping — exact top-3 ground truth vs the IVF
+    // index's top-3, per query. At scale the truth side is the one
+    // expensive leg (brute force over the corpus), computed once per
+    // evaluation batch and reused across candidate index configs; the
+    // per-query join is evaluation-set-sized.
+    "s_ann_recall_eval" -> ((s, dir) => {
+      val truth = queries("s_ann_bruteforce")(s, dir)
+        .filter(col("rank") <= 3).select(col("qid"), col("vec_id"))
+      val approx = queries("s_ann_ivf")(s, dir)
+        .select(col("qid"), col("vec_id")).withColumn("hit", lit(1L))
+      truth.join(approx, Seq("qid", "vec_id"), "left")
+        .groupBy("qid").agg(
+          count(lit(1)).as("n_truth"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .select(col("qid"), col("n_truth"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_truth")).as("recall"))
+    }),
+
     // LSH-bucketed ANN: candidates share an 8-bit hyperplane bucket;
     // exact cosine within bucket, top-3. The scale path — the bucket join
     // replaces the all-pairs cross join.
@@ -418,6 +437,53 @@ object SimilarityQueries extends QueryModule {
          |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
          |  FROM scored) t
          |WHERE rank <= 5""".stripMargin,
+    "s_ann_recall_eval" ->
+      s"""WITH $quantSql,
+         |truth AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |        CAST(list_dot_product(a.qv, b.qv) AS DOUBLE)
+         |          / (sqrt(CAST(a.nrm2 AS DOUBLE)) * sqrt(CAST(b.nrm2 AS DOUBLE))) DESC,
+         |        b.vec_id ASC) AS rank
+         |    FROM qn a JOIN qn b ON a.vec_id < 8 AND b.vec_id != a.vec_id) t
+         |  WHERE rank <= 3),
+         |ql AS (SELECT qn.vec_id AS vec_id, qv, nrm2, label
+         |       FROM qn JOIN embeddings e ON qn.vec_id = e.vec_id),
+         |comps AS (
+         |  SELECT label, CAST(i AS INT) AS i, qv[CAST(i+1 AS INT)] AS c
+         |  FROM ql CROSS JOIN range(64) ii(i)),
+         |cent AS (
+         |  SELECT label, i, CAST(floor(CAST(sum(c) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+         |  FROM comps GROUP BY 1, 2),
+         |centv AS (SELECT label, list(cv ORDER BY i) AS cq FROM cent GROUP BY 1),
+         |centn AS (SELECT label, cq, list_dot_product(cq, cq) AS cnrm2 FROM centv),
+         |queries AS (SELECT vec_id AS qid, qv AS qa, nrm2 AS na FROM ql WHERE vec_id < 8),
+         |probe AS (
+         |  SELECT qid, qa, na, label,
+         |    row_number() OVER (PARTITION BY qid ORDER BY
+         |      CAST(list_dot_product(qa, cq) AS DOUBLE)
+         |        / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(cnrm2 AS DOUBLE))) DESC,
+         |      label ASC) AS crank
+         |  FROM queries CROSS JOIN centn),
+         |probed AS (SELECT qid, qa, na, label FROM probe WHERE crank <= 2),
+         |ivfscored AS (
+         |  SELECT qid, b.vec_id AS vec_id,
+         |    CAST(list_dot_product(qa, b.qv) AS DOUBLE)
+         |      / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(b.nrm2 AS DOUBLE))) AS cos
+         |  FROM probed JOIN ql b ON probed.label = b.label AND b.vec_id != qid),
+         |ivfr AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+         |    FROM ivfscored) t
+         |  WHERE rank <= 3)
+         |SELECT t.qid AS qid, CAST(count(*) AS BIGINT) AS n_truth,
+         |  CAST(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |  CAST(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*) AS recall
+         |FROM truth t LEFT JOIN ivfr i ON t.qid = i.qid AND t.vec_id = i.vec_id
+         |GROUP BY 1""".stripMargin,
     "s_ann_lsh" ->
       s"""WITH $quantSql,
          |comps AS (

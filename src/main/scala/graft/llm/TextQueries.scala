@@ -8,6 +8,25 @@ import org.apache.spark.sql.functions._
 object TextQueries extends QueryModule {
 
   override def queries = Map(
+    // One BPE-training iteration at corpus scale: adjacent-character
+    // pair counts weighted by word frequency — the merge-candidate
+    // table a tokenizer trainer ranks each round. Scale shape: the
+    // corpus collapses to the VOCABULARY first (one word-count
+    // aggregation — the only corpus-sized shuffle), and pair explosion
+    // runs over distinct words weighted by count, so the expensive
+    // part is vocabulary-sized regardless of corpus size — exactly how
+    // fastBPE/HF trainers stay tractable at 100 TB.
+    "t_bpe_pairs" -> ((s, dir) => {
+      val words = Tables.documents(s, dir)
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+        .filter(length(col("w")) >= 2)
+      val wc = words.groupBy("w").agg(count(lit(1)).as("c"))
+      wc.select(col("c"), explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum(col("c")).as("n"))
+    }),
+
     // Token counting: whitespace, BPE-ish regex, chars/4 estimate.
     "t_token_count" -> ((s, dir) => {
       Tables.documents(s, dir).select(
@@ -129,6 +148,16 @@ object TextQueries extends QueryModule {
   )
 
   override def oracleSql = Map(
+    "t_bpe_pairs" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents),
+        |wc AS (
+        |  SELECT w, count(*) AS c FROM toks WHERE strlen(w) >= 2 GROUP BY w),
+        |pairs AS (
+        |  SELECT substring(w, CAST(i + 1 AS INT), 2) AS pair, c
+        |  FROM wc CROSS JOIN range(32) t(i) WHERE i < strlen(w) - 1)
+        |SELECT pair, CAST(sum(c) AS BIGINT) AS n FROM pairs GROUP BY pair""".stripMargin,
     "t_token_count" ->
       """SELECT doc_id,
         |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws,
