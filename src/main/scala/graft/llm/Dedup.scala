@@ -135,12 +135,20 @@ object Dedup {
     bands.groupBy("band", "key").agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > maxBucket)
 
-  /** Exact Jaccard for given pairs from their distinct shingle sets. */
+  /** Exact Jaccard for given pairs from their distinct shingle sets.
+    * The intersection join keys on the 60-bit md5 truncation of each
+    * shingle, not the gram string — the candidate-side shuffle moves
+    * 8-byte longs (the same inverted-index key shape as
+    * [[shingleHashes]]); the md5 is a map-side projection. The oracles
+    * apply the identical truncation, so even a truncation collision
+    * (which would count one extra intersection row) is mirrored. */
   def pairJaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("c"))
+    val shh = sh.select(col("id"),
+      conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
     val inter = pairs
-      .join(sh.select(col("id").as("doc_a"), col("s")), Seq("doc_a"))
-      .join(sh.select(col("id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .join(shh.select(col("id").as("doc_a"), col("h")), Seq("doc_a"))
+      .join(shh.select(col("id").as("doc_b"), col("h")), Seq("doc_b", "h"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
     inter
       .join(sizes.select(col("id").as("doc_a"), col("c").as("ca")), Seq("doc_a"))

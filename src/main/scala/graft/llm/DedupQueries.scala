@@ -157,11 +157,13 @@ object DedupQueries extends QueryModule {
       |cands AS (
       |  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
       |  FROM bandsc a JOIN bandsc b ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+      |shh AS (
+      |  SELECT id, CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT) AS h FROM sh),
       |inter AS (
       |  SELECT doc_a, doc_b, count(*) AS i
       |  FROM cands
-      |  JOIN sh sa ON sa.id = doc_a
-      |  JOIN sh sb ON sb.id = doc_b AND sb.s = sa.s
+      |  JOIN shh sa ON sa.id = doc_a
+      |  JOIN shh sb ON sb.id = doc_b AND sb.h = sa.h
       |  GROUP BY 1, 2)""".stripMargin
 
   override def queries = Map(
