@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{Haversine, QDotProduct, SpanHashWindows, TileMaskedStats, TileStatsPartial}
+import graft.functions.{Haversine, QDotProduct, SpanHashWindows, SpanHashWindowsLong, TileMaskedStats, TileStatsPartial}
 
 /** Deployment-grade wiring for the engine's native expressions:
   * `--conf spark.sql.extensions=graft.GraftExtensions` makes
@@ -43,6 +43,9 @@ object GraftExtensions {
       exprs => TileMaskedStats(exprs(0), exprs(1))),
     ("span_hash_windows", "span_hash_windows(tokens, w) - md5 of every w-token window",
       exprs => SpanHashWindows(exprs(0), exprs(1))),
+    ("span_hash_windows_long",
+      "span_hash_windows_long(tokens, w) - 60-bit integer md5 of every w-token window",
+      exprs => SpanHashWindowsLong(exprs(0), exprs(1))),
     ("q_dot", "q_dot(a, b) - exact integer dot product of two quantized vectors",
       exprs => QDotProduct(exprs(0), exprs(1))))
 }

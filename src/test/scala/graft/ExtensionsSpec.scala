@@ -11,6 +11,10 @@ class ExtensionsSpec extends SparkSpec {
     assert(h.length == 2)
     // same md5 as the documented semantics: md5('a b')
     assert(h.head == "0cc9cd4dd26c5137b675a0d819cb9ab0")
+    // the long form is the 60-bit value of the first 15 hex chars
+    val hl = spark.sql("SELECT span_hash_windows_long(array('a','b','c'), 2) AS h")
+      .collect()(0).getSeq[Long](0)
+    assert(hl.head == java.lang.Long.parseLong("0cc9cd4dd26c513", 16))
     val km = spark.sql("SELECT haversine_km(0D, 0D, 0D, 1D) AS km")
       .collect()(0).getDouble(0)
     assert(math.abs(km - 111.19) < 0.5, s"got $km")
