@@ -78,10 +78,13 @@ object CurationQueries extends QueryModule {
       val cand = Dedup.candidatePairs(bands).localCheckpoint()
       val candIds = cand.select(col("doc_a").as("doc_id"))
         .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
-      val shCand = Dedup.shingles(
+      // verification needs only HASHES: the candidate shingle frame is
+      // built as distinct 60-bit keys (no gram strings ever
+      // materialize), and the oracle collapses the same truncation
+      val shCand = Dedup.shingleHashes(
           docs.join(candIds, Seq("doc_id"), "left_semi"),
           "doc_id", "text", spread = false).localCheckpoint()
-      val pairs = Dedup.pairJaccard(cand, shCand)
+      val pairs = Dedup.pairJaccardHashed(cand, shCand)
         .filter(col("jacc") >= 0.5).select("doc_a", "doc_b")
       val dropFuzzy = Dedup.canonicalize(pairs)
         .filter(col("id") =!= col("canonical"))
@@ -389,7 +392,8 @@ object CurationQueries extends QueryModule {
         |  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
         |  FROM bandsc a JOIN bandsc b ON a.band = b.band AND a.key = b.key AND a.id < b.id),
         |shh AS (
-        |  SELECT id, CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT) AS h FROM sh),
+        |  SELECT DISTINCT id, CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT) AS h FROM sh),
+        |sizesh AS (SELECT id, count(*) AS c FROM shh GROUP BY 1),
         |inter AS (
         |  SELECT doc_a, doc_b, count(*) AS i
         |  FROM cands
@@ -398,7 +402,7 @@ object CurationQueries extends QueryModule {
         |  GROUP BY 1, 2),
         |prs AS MATERIALIZED (
         |  SELECT doc_a, doc_b
-        |  FROM inter JOIN sizes ca ON ca.id = doc_a JOIN sizes cb ON cb.id = doc_b
+        |  FROM inter JOIN sizesh ca ON ca.id = doc_a JOIN sizesh cb ON cb.id = doc_b
         |  WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.5),
         |edges AS MATERIALIZED (
         |  SELECT doc_a AS u, doc_b AS v FROM prs

@@ -142,10 +142,22 @@ object Dedup {
     * [[shingleHashes]]); the md5 is a map-side projection. The oracles
     * apply the identical truncation, so even a truncation collision
     * (which would count one extra intersection row) is mirrored. */
-  def pairJaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("c"))
-    val shh = sh.select(col("id"),
-      conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
+  def pairJaccard(pairs: DataFrame, sh: DataFrame): DataFrame =
+    scoredJaccard(pairs,
+      sh.select(col("id"),
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h")))
+
+  /** [[pairJaccard]] over an ALREADY-HASHED shingle frame (id, h) —
+    * e.g. [[shingleHashes]] output, letting a verification-only caller
+    * skip materializing gram strings entirely. Set sizes and
+    * intersections both count the given rows, so a caller handing a
+    * DISTINCT-hash frame must mirror that distinctness in its oracle
+    * (collision-collapsed on both sides). */
+  def pairJaccardHashed(pairs: DataFrame, shh: DataFrame): DataFrame =
+    scoredJaccard(pairs, shh)
+
+  private def scoredJaccard(pairs: DataFrame, shh: DataFrame): DataFrame = {
+    val sizes = shh.groupBy("id").agg(count(lit(1)).as("c"))
     val inter = pairs
       .join(shh.select(col("id").as("doc_a"), col("h")), Seq("doc_a"))
       .join(shh.select(col("id").as("doc_b"), col("h")), Seq("doc_b", "h"))
