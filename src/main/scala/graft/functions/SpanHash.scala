@@ -54,15 +54,17 @@ object SpanHashWindows {
   private val SPACE = ' '.toByte
   private val HEX = "0123456789abcdef".toCharArray
 
-  /** Static kernel shared by interpreted + generated code paths.
-    * Null tokens are skipped separator-and-all, matching
-    * `concat_ws(" ", ...)` exactly so the composed-form parity holds on
-    * ANY input array (split() never emits nulls, but the expression is
-    * library-public). */
-  def hashes(arr: ArrayData, w: Int): ArrayData = {
+  /** The one shared digest walk: decode each token's UTF-8 bytes
+    * exactly once, then per window feed tokens to one reused
+    * MessageDigest and hand the digest to `emit`. Null tokens are
+    * skipped separator-and-all, matching `concat_ws(" ", ...)` exactly
+    * so the composed-form parity holds on ANY input array (split()
+    * never emits nulls, but the expression is library-public). BOTH
+    * output projections (hex string, 60-bit long) ride this loop so
+    * the null/separator invariant cannot drift between them. */
+  private def eachWindowDigest(arr: ArrayData, w: Int)
+                              (emit: (Int, Array[Byte]) => Unit): Unit = {
     val n = arr.numElements()
-    if (w <= 0 || n < w) return new GenericArrayData(new Array[AnyRef](0))
-    // decode each token's UTF-8 bytes exactly once
     val toks = new Array[Array[Byte]](n)
     var i = 0
     while (i < n) {
@@ -70,7 +72,6 @@ object SpanHashWindows {
       i += 1
     }
     val md = MessageDigest.getInstance("MD5")
-    val out = new Array[AnyRef](n - w + 1)
     i = 0
     while (i <= n - w) {
       md.reset()
@@ -85,9 +86,17 @@ object SpanHashWindows {
         }
         j += 1
       }
-      out(i) = UTF8String.fromString(hex(md.digest()))
+      emit(i, md.digest())
       i += 1
     }
+  }
+
+  /** Static kernel shared by interpreted + generated code paths. */
+  def hashes(arr: ArrayData, w: Int): ArrayData = {
+    val n = arr.numElements()
+    if (w <= 0 || n < w) return new GenericArrayData(new Array[AnyRef](0))
+    val out = new Array[AnyRef](n - w + 1)
+    eachWindowDigest(arr, w)((i, d) => out(i) = UTF8String.fromString(hex(d)))
     new GenericArrayData(out)
   }
 
@@ -114,34 +123,12 @@ object SpanHashWindows {
   def hashesLong(arr: ArrayData, w: Int): ArrayData = {
     val n = arr.numElements()
     if (w <= 0 || n < w) return new GenericArrayData(new Array[Long](0))
-    val toks = new Array[Array[Byte]](n)
-    var i = 0
-    while (i < n) {
-      toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i).getBytes
-      i += 1
-    }
-    val md = MessageDigest.getInstance("MD5")
     val out = new Array[Long](n - w + 1)
-    i = 0
-    while (i <= n - w) {
-      md.reset()
-      var j = 0
-      var written = 0
-      while (j < w) {
-        val t = toks(i + j)
-        if (t != null) {
-          if (written > 0) md.update(SPACE)
-          md.update(t)
-          written += 1
-        }
-        j += 1
-      }
-      val d = md.digest()
+    eachWindowDigest(arr, w) { (i, d) =>
       var v = 0L
       var b = 0
       while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
       out(i) = (v << 4) | ((d(7) >> 4) & 0xfL)
-      i += 1
     }
     new GenericArrayData(out)
   }

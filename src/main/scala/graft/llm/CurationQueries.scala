@@ -370,7 +370,6 @@ object CurationQueries extends QueryModule {
         |sh AS MATERIALIZED (
         |  SELECT DISTINCT id, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS s
         |  FROM (SELECT id, ws, unnest(range(greatest(len(ws) - 2, 0))) AS i FROM wsh)),
-        |sizes AS (SELECT id, count(*) AS c FROM sh GROUP BY 1),
         |hashed AS (SELECT id, md5(s) AS h FROM sh),
         |sig AS (
         |  SELECT id,

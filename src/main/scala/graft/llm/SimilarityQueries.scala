@@ -107,6 +107,37 @@ object SimilarityQueries extends QueryModule {
       |  FROM embeddings),
       |qn AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS nrm2 FROM q)""".stripMargin
 
+  /** Shared oracle CTE chain: supplied-label IVF — per-label centroids,
+    * top-2 probe, exact cosine within probed cells, scored as
+    * `ivfscored(qid, vec_id, cos)`. Consumed by BOTH the s_ann_ivf
+    * oracle and the recall harness so the index definition cannot
+    * drift between them. */
+  private val ivfScoredCte =
+    """ql AS (SELECT qn.vec_id AS vec_id, qv, nrm2, label
+      |       FROM qn JOIN embeddings e ON qn.vec_id = e.vec_id),
+      |comps AS (
+      |  SELECT label, CAST(i AS INT) AS i, qv[CAST(i+1 AS INT)] AS c
+      |  FROM ql CROSS JOIN range(64) ii(i)),
+      |cent AS (
+      |  SELECT label, i, CAST(floor(CAST(sum(c) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+      |  FROM comps GROUP BY 1, 2),
+      |centv AS (SELECT label, list(cv ORDER BY i) AS cq FROM cent GROUP BY 1),
+      |centn AS (SELECT label, cq, list_dot_product(cq, cq) AS cnrm2 FROM centv),
+      |queries AS (SELECT vec_id AS qid, qv AS qa, nrm2 AS na FROM ql WHERE vec_id < 8),
+      |probe AS (
+      |  SELECT qid, qa, na, label,
+      |    row_number() OVER (PARTITION BY qid ORDER BY
+      |      CAST(list_dot_product(qa, cq) AS DOUBLE)
+      |        / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(cnrm2 AS DOUBLE))) DESC,
+      |      label ASC) AS crank
+      |  FROM queries CROSS JOIN centn),
+      |probed AS (SELECT qid, qa, na, label FROM probe WHERE crank <= 2),
+      |ivfscored AS (
+      |  SELECT qid, b.vec_id AS vec_id,
+      |    CAST(list_dot_product(qa, b.qv) AS DOUBLE)
+      |      / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(b.nrm2 AS DOUBLE))) AS cos
+      |  FROM probed JOIN ql b ON probed.label = b.label AND b.vec_id != qid)""".stripMargin
+
   override def queries = Map(
     // Brute-force cosine top-5 per query vector (vec_id < 8), the exact
     // baseline every ANN variant is judged against.
@@ -448,30 +479,7 @@ object SimilarityQueries extends QueryModule {
          |        b.vec_id ASC) AS rank
          |    FROM qn a JOIN qn b ON a.vec_id < 8 AND b.vec_id != a.vec_id) t
          |  WHERE rank <= 3),
-         |ql AS (SELECT qn.vec_id AS vec_id, qv, nrm2, label
-         |       FROM qn JOIN embeddings e ON qn.vec_id = e.vec_id),
-         |comps AS (
-         |  SELECT label, CAST(i AS INT) AS i, qv[CAST(i+1 AS INT)] AS c
-         |  FROM ql CROSS JOIN range(64) ii(i)),
-         |cent AS (
-         |  SELECT label, i, CAST(floor(CAST(sum(c) AS DOUBLE) / count(*)) AS BIGINT) AS cv
-         |  FROM comps GROUP BY 1, 2),
-         |centv AS (SELECT label, list(cv ORDER BY i) AS cq FROM cent GROUP BY 1),
-         |centn AS (SELECT label, cq, list_dot_product(cq, cq) AS cnrm2 FROM centv),
-         |queries AS (SELECT vec_id AS qid, qv AS qa, nrm2 AS na FROM ql WHERE vec_id < 8),
-         |probe AS (
-         |  SELECT qid, qa, na, label,
-         |    row_number() OVER (PARTITION BY qid ORDER BY
-         |      CAST(list_dot_product(qa, cq) AS DOUBLE)
-         |        / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(cnrm2 AS DOUBLE))) DESC,
-         |      label ASC) AS crank
-         |  FROM queries CROSS JOIN centn),
-         |probed AS (SELECT qid, qa, na, label FROM probe WHERE crank <= 2),
-         |ivfscored AS (
-         |  SELECT qid, b.vec_id AS vec_id,
-         |    CAST(list_dot_product(qa, b.qv) AS DOUBLE)
-         |      / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(b.nrm2 AS DOUBLE))) AS cos
-         |  FROM probed JOIN ql b ON probed.label = b.label AND b.vec_id != qid),
+         |$ivfScoredCte,
          |ivfr AS (
          |  SELECT qid, vec_id FROM (
          |    SELECT qid, vec_id,
@@ -511,34 +519,11 @@ object SimilarityQueries extends QueryModule {
          |WHERE rank <= 3""".stripMargin,
     "s_ann_ivf" ->
       s"""WITH $quantSql,
-         |ql AS (SELECT qn.vec_id AS vec_id, qv, nrm2, label
-         |       FROM qn JOIN embeddings e ON qn.vec_id = e.vec_id),
-         |comps AS (
-         |  SELECT label, CAST(i AS INT) AS i, qv[CAST(i+1 AS INT)] AS c
-         |  FROM ql CROSS JOIN range(64) ii(i)),
-         |cent AS (
-         |  SELECT label, i, CAST(floor(CAST(sum(c) AS DOUBLE) / count(*)) AS BIGINT) AS cv
-         |  FROM comps GROUP BY 1, 2),
-         |centv AS (SELECT label, list(cv ORDER BY i) AS cq FROM cent GROUP BY 1),
-         |centn AS (SELECT label, cq, list_dot_product(cq, cq) AS cnrm2 FROM centv),
-         |queries AS (SELECT vec_id AS qid, qv AS qa, nrm2 AS na FROM ql WHERE vec_id < 8),
-         |probe AS (
-         |  SELECT qid, qa, na, label,
-         |    row_number() OVER (PARTITION BY qid ORDER BY
-         |      CAST(list_dot_product(qa, cq) AS DOUBLE)
-         |        / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(cnrm2 AS DOUBLE))) DESC,
-         |      label ASC) AS crank
-         |  FROM queries CROSS JOIN centn),
-         |probed AS (SELECT qid, qa, na, label FROM probe WHERE crank <= 2),
-         |scored AS (
-         |  SELECT qid, b.vec_id AS vec_id,
-         |    CAST(list_dot_product(qa, b.qv) AS DOUBLE)
-         |      / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(b.nrm2 AS DOUBLE))) AS cos
-         |  FROM probed JOIN ql b ON probed.label = b.label AND b.vec_id != qid)
+         |$ivfScoredCte
          |SELECT qid, vec_id, cos, rank FROM (
          |  SELECT qid, vec_id, cos,
          |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
-         |  FROM scored) t
+         |  FROM ivfscored) t
          |WHERE rank <= 3""".stripMargin,
     "s_ann_ivf_kmeans" -> {
       def assignSql(cents: String): String =

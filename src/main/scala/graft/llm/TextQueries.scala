@@ -153,10 +153,10 @@ object TextQueries extends QueryModule {
         |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
         |  FROM documents),
         |wc AS (
-        |  SELECT w, count(*) AS c FROM toks WHERE strlen(w) >= 2 GROUP BY w),
+        |  SELECT w, count(*) AS c FROM toks WHERE length(w) >= 2 GROUP BY w),
         |pairs AS (
         |  SELECT substring(w, CAST(i + 1 AS INT), 2) AS pair, c
-        |  FROM wc CROSS JOIN range(32) t(i) WHERE i < strlen(w) - 1)
+        |  FROM (SELECT w, c, unnest(range(greatest(length(w) - 1, 0))) AS i FROM wc))
         |SELECT pair, CAST(sum(c) AS BIGINT) AS n FROM pairs GROUP BY pair""".stripMargin,
     "t_token_count" ->
       """SELECT doc_id,

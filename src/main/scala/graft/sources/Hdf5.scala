@@ -851,8 +851,10 @@ object Hdf5 {
         // chunkDims carries the trailing element-size dim (layout v3
         // convention) — the raw byte count is the rank-many pixel dims
         // times the element size
+        val rawSize = chunkDims.take(dims.length).map(_.toLong).product * elemSize
+        require(rawSize <= Int.MaxValue, s"chunk larger than 2 GiB ($rawSize bytes)")
         val chunk = defilter(in.slice(c, nbytes), filters, mask, elemSize,
-          chunkDims.take(dims.length).map(_.toLong).product.toInt * elemSize)
+          rawSize.toInt)
         scatter(chunk, offs, dims, chunkDims, elemSize, out)
       }
     }

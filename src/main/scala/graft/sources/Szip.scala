@@ -29,8 +29,11 @@ package graft.sources
   * values szip's ≤32 range admits; 64 would be legal CCSDS but szip
   * caps blocks at 32 pixels). 32-bit samples (floats, ints) fail
   * loudly — szlib recodes those as interleaved byte streams, a layout
-  * variant this engine has no fixture ground truth for. Chip/K13
-  * options fail loudly. Every guard names the feature.
+  * variant this engine has no fixture ground truth for. The CHIP option fails loudly; the ALLOW-K13 bit is accepted and
+  * ignored — it only constrains the ENCODER's split-exponent choice
+  * (H5Pset_szip ORs it in by default), so real files carry it and a
+  * decoder's behavior is identical either way. Every guard names
+  * the feature.
   */
 object Szip {
 

@@ -424,6 +424,25 @@ object StreamCuration {
       // pre-create the location so reading a never-written table lists
       // an empty dir instead of logging FileNotFound on every load
       fs.mkdirs(p)
+      // Integer-key format guard: span hashes and band keys switched
+      // from md5 hex strings to fixed-width longs (round 9). A state
+      // dir persisted by the string-key engine is NOT readable through
+      // the BIGINT table (Parquet BINARY vs bigint), and band keys are
+      // not derivable from their md5-of-concat form — so fail by name
+      // instead of with a raw Parquet conversion error.
+      if (name == "spans" || name == "bands") {
+        val keyCol = if (name == "spans") "h" else "key"
+        if (fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))) {
+          val actual = s.read.parquet(part(dir, name)).schema
+          actual.find(_.name == keyCol).foreach { f =>
+            require(f.dataType == org.apache.spark.sql.types.LongType,
+              s"persisted '$name' state at ${part(dir, name)} stores '$keyCol' as " +
+                s"${f.dataType.simpleString} — written by the pre-integer-key engine " +
+                "(md5 hex keys). Delete the state directory and replay the stream; " +
+                "band keys cannot be derived from their md5-of-concatenation form.")
+          }
+        }
+      }
       val t = tableId(dir, name)
       s.sql(stateTableDdl(t, name, part(dir, name)))
       val unbucketed = fs.listStatus(p).map(_.getPath.getName)

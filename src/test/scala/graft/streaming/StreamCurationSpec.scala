@@ -282,6 +282,18 @@ class StreamCurationSpec extends SparkSpec {
       s"migrated files must be bucketed: ${migrated.take(3).mkString(",")}")
   }
 
+  test("state persisted with string keys (pre-integer-key engine) fails loudly by name") {
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-cur-legacy-").toString
+    import spark.implicits._
+    // the round-8 layout: span hashes as md5 hex strings
+    Seq("0cc9cd4dd26c5137b675a0d819cb9ab0", "ffeeddccbbaa99887766554433221100")
+      .toDF("h").write.mode("append").parquet(s"$stateDir/spans")
+    val e = intercept[IllegalArgumentException](
+      StreamCuration.ensureStateTables(spark, stateDir))
+    assert(e.getMessage.contains("pre-integer-key"),
+      s"expected the named legacy-state guard, got: ${e.getMessage}")
+  }
+
   test("a missing bloom sidecar over existing state heals, and the healed bloom still drops pre-sidecar duplicates") {
     val ids = docs.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
     val (c1, c2, maxId) = (ids(ids.length / 3), ids(2 * ids.length / 3), ids.last)
