@@ -21,18 +21,7 @@ object Dedup {
     * a join output); the exchange only earns its cost on raw
     * small-file reads that would otherwise explode on one task. */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3,
-               spread: Boolean = true): DataFrame =
-    shingleFrame(docs, idCol, textCol, n, spread, "s", "string", identity)
-
-  /** Shared scaffolding of the shingle builders: tokenize, explode the
-    * n-gram windows, distinct (id, key). The two public forms differ
-    * ONLY in the per-gram key projection — keeping the tokenization and
-    * the short-document guard in one place, since the oracle parity of
-    * every shingle consumer depends on them staying identical. */
-  private def shingleFrame(docs: DataFrame, idCol: String, textCol: String,
-                           n: Int, spread: Boolean, outCol: String,
-                           emptyType: String,
-                           key: Column => Column): DataFrame = {
+               spread: Boolean = true): DataFrame = {
     val ws = split(trim(lower(col(textCol))), "\\s+")
     // documents often arrive as one small file = one input split; spread
     // the regex/explode work across the cluster before the narrow ops.
@@ -42,9 +31,9 @@ object Dedup {
       .select(col("id"), explode(
         when(size(col("ws")) >= n,
           transform(sequence(lit(0), size(col("ws")) - n),
-            i => key(concat_ws(" ",
-              (0 until n).map(d => element_at(col("ws"), i + d + 1)): _*))))
-          .otherwise(array().cast(s"array<$emptyType>"))).as(outCol))
+            i => concat_ws(" ",
+              (0 until n).map(d => element_at(col("ws"), i + d + 1)): _*)))
+          .otherwise(array().cast("array<string>"))).as("s"))
       .distinct()
   }
 
@@ -57,9 +46,23 @@ object Dedup {
     * gate stays exact even on a hash collision (both engines produce
     * the identical extra pair). */
   def shingleHashes(docs: DataFrame, idCol: String, textCol: String,
-                    n: Int = 3, spread: Boolean = true): DataFrame =
-    shingleFrame(docs, idCol, textCol, n, spread, "h", "long",
-      g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))
+                    n: Int = 3, spread: Boolean = true): DataFrame = {
+    // Same tokenization and short-document guard as shingleFrame, but
+    // the per-gram key comes from the one-pass native window hasher:
+    // span_hash_windows_long(ws, n) digests "tok1 tok2 … tokn" per
+    // position — exactly md5(concat_ws(" ", …)) truncated to 60 bits,
+    // so the values (and the oracles) are unchanged while the
+    // concat/md5 Catalyst allocation storm becomes one compiled loop.
+    // A sub-n-token doc yields an empty hash array, which explode
+    // drops — the same rows the WHEN-guarded form emitted.
+    val ws = split(trim(lower(col(textCol))), "\\s+")
+    (if (spread) docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+     else docs)
+      .select(col(idCol).as("id"), ws.as("ws"))
+      .select(col("id"), explode(
+        graft.functions.SpanHashWindows.spanHashWindowsLong(col("ws"), n)).as("h"))
+      .distinct()
+  }
 
   /** MinHash signatures: k hash slots carved out of ONE md5 per shingle
     * (disjoint 4-hex-char substrings of a strong hash behave as
