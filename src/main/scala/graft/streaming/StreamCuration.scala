@@ -279,7 +279,11 @@ object StreamCuration {
     // bands is batch-sized and consumed three times (bucket count,
     // capped generation, cross-batch probe) — materialize IT, never
     // the state-sized union (a checkpoint of state ∪ batch would copy
-    // the whole corpus index every batch)
+    // the whole corpus index every batch). Folding the sh/bands
+    // boundaries in the oneShot form (the k2/spans treatment) was
+    // measured NEUTRAL at sf0.1 — ReusedExchange already dedupes the
+    // shared distinct/agg subtrees, so the two saved jobs buy nothing;
+    // keeping one boundary set for both paths wins on divergence risk.
     val bands = chk("bands")(Dedup.lshBands(sig, 8, 2))
     // The combined-index cap only matters for buckets the BATCH
     // touches: a bucket with no batch member generates no new pair on
