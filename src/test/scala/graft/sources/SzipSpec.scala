@@ -77,6 +77,37 @@ class SzipSpec extends SparkSpec {
       .sameElements(raw))
   }
 
+  test("24-bit samples round-trip") {
+    val cd = Array(Szip.MaskRaw | Szip.MaskNn | Szip.MaskLsb, 24, 16, 32)
+    val rnd = new scala.util.Random(7)
+    val raw = new Array[Byte](70 * 3)
+    (0 until 70).foreach { i =>
+      val v = if (i % 9 < 4) 0x123456 else rnd.nextInt(1 << 24)
+      raw(3 * i) = v.toByte; raw(3 * i + 1) = (v >> 8).toByte
+      raw(3 * i + 2) = (v >> 16).toByte
+    }
+    assert(Szip.decode(Szip.encode(raw, cd, 3), cd, raw.length, 3)
+      .sameElements(raw))
+  }
+
+  test("corrupt szip streams decode or throw — never hang, never huge allocs") {
+    val cd = Array(Szip.MaskRaw | Szip.MaskNn | Szip.MaskMsb, 16, 16, 32)
+    val raw = Array.tabulate(128)(i => ((i * 31) % 256).toByte)
+    val enc = Szip.encode(raw, cd, 2)
+    val rnd = new scala.util.Random(3)
+    var threw = 0
+    for (_ <- 1 to 60) {
+      val bad = enc.clone()
+      bad(rnd.nextInt(bad.length)) = rnd.nextInt(256).toByte
+      try { Szip.decode(bad, cd, raw.length, 2); () }
+      catch { case _: IllegalArgumentException | _: IllegalStateException => threw += 1 }
+    }
+    // truncation must also be loud
+    intercept[IllegalArgumentException](
+      Szip.decode(enc.take(enc.length / 3), cd, raw.length, 2))
+    assert(threw >= 0) // completion without hangs/OOM is the property
+  }
+
   test("unsupported szip variants fail loudly by name") {
     def err(cd: Array[Int], elemSize: Int = 2): String =
       intercept[IllegalArgumentException](
