@@ -62,6 +62,12 @@ object SpanHashWindows {
     * never emits nulls, but the expression is library-public). BOTH
     * output projections (hex string, 60-bit long) ride this loop so
     * the null/separator invariant cannot drift between them. */
+  /** Package-visible alias for sibling kernels ([[MinhashSlots]]) that
+    * fold over the same window digests. */
+  private[functions] def eachWindowDigestShared(arr: ArrayData, w: Int)
+                                               (emit: (Int, Array[Byte]) => Unit): Unit =
+    eachWindowDigest(arr, w)(emit)
+
   private def eachWindowDigest(arr: ArrayData, w: Int)
                               (emit: (Int, Array[Byte]) => Unit): Unit = {
     val n = arr.numElements()

@@ -70,10 +70,12 @@ object CurationQueries extends QueryModule {
           size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
         .join(heavy, Seq("doc_id"), "left_anti").localCheckpoint()
       def d3text = docs.join(ids3.select("doc_id"), Seq("doc_id"), "left_semi")
-      // 4. fuzzy dedup on what's left: signatures/bands checkpoint;
-      // shingles rebuild from the source for the (small) candidate set
-      val bands = Dedup.lshBands(Dedup.minhashSignature(
-          Dedup.shingles(d3text, "doc_id", "text", spread = false)))
+      // 4. fuzzy dedup on what's left. Signatures come from the one-pass
+      // minhash kernel — a map-side projection over the survivor scan
+      // (no shingle explode, no distinct, no per-doc aggregation); the
+      // candidate set's shingle hashes rebuild from the source later.
+      val bands = Dedup.lshBands(
+          Dedup.minhashFromText(d3text, "doc_id", "text"))
         .localCheckpoint()
       val cand = Dedup.candidatePairs(bands).localCheckpoint()
       val candIds = cand.select(col("doc_a").as("doc_id"))

@@ -83,6 +83,28 @@ object Dedup {
     hashed.groupBy("id").agg(slots.head, slots.tail: _*)
   }
 
+  /** MinHash signatures straight from document text, as a single
+    * map-side projection: the [[graft.functions.MinhashSlots]] kernel
+    * folds the 8 slot minima over the n-token window digests in one
+    * compiled pass per document. Because min is idempotent, the minimum
+    * over all window POSITIONS equals the minimum over the distinct
+    * shingle SET — signatures are bit-identical to
+    * `minhashSignature(shingles(docs))` (spec-pinned), but the shingle
+    * explode, the distinct exchange and the per-doc aggregation
+    * exchange all disappear: at any scale the signature stage costs
+    * exactly one scan. Documents shorter than n tokens produce no row,
+    * matching the relational form. */
+  def minhashFromText(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, k: Int = 8): DataFrame = {
+    require(k == 8, "the minhash kernel folds all 8 md5 slot fields")
+    val ws = split(trim(lower(col(textCol))), "\\s+")
+    docs.select(col(idCol).as("id"),
+        graft.functions.MinhashSlots.minhashSlots(ws, n).as("ms"))
+      .filter(size(col("ms")) > 0)
+      .select(col("id") +:
+        (1 to k).map(x => col("ms").getItem(x - 1).as(s"m$x")): _*)
+  }
+
   /** LSH banding: k minhash slots → k/rows band keys; docs sharing any
     * band key become candidates. (id, band, key). The key packs the
     * band's slots 16 bits apiece into ONE long (rows ≤ 4) — exact

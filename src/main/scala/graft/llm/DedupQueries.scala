@@ -24,7 +24,7 @@ object DedupQueries extends QueryModule {
   private def lshVerifiedOf(s: org.apache.spark.sql.SparkSession, dir: String) =
     lshPairsCache.computeIfAbsent(dir, d => {
       val sh = shinglesOf(s, d)
-      val sig = Dedup.minhashSignature(sh, 8)
+      val sig = Dedup.minhashFromText(Tables.documents(s, d), "doc_id", "text")
       val cands = Dedup.candidatePairs(Dedup.lshBands(sig, 8, 2))
       Dedup.pairJaccard(cands, sh).cache()
     })
@@ -225,7 +225,8 @@ object DedupQueries extends QueryModule {
     // flood shows up here before it shows up as a stuck reducer.
     "d_lsh_bucket_profile" -> ((s, dir) =>
       Dedup.hotBuckets(
-        Dedup.lshBands(Dedup.minhashSignature(shinglesOf(s, dir), 8), 8, 2),
+        Dedup.lshBands(
+          Dedup.minhashFromText(Tables.documents(s, dir), "doc_id", "text"), 8, 2),
         maxBucket = 1)),
 
     // Benchmark decontamination: the hash-gate split (t_dataset_split's

@@ -275,7 +275,11 @@ object StreamCuration {
     // near-dups than the batch run's whole-bucket exclusion.
     val sh = chk("sh")(
       Dedup.shingles(k3.select("doc_id", "text"), "doc_id", "text", spread = false))
-    val sig = Dedup.minhashSignature(sh, 8)
+    // signatures from the one-pass minhash kernel (bit-identical to the
+    // shingle-aggregate form, MinhashSlotsSpec): the sig path costs one
+    // scan of k3 and no exchange; sh above remains the VERIFICATION
+    // frame (pairJaccard and the cross-batch shingle union)
+    val sig = Dedup.minhashFromText(k3, "doc_id", "text")
     // bands is batch-sized and consumed three times (bucket count,
     // capped generation, cross-batch probe) — materialize IT, never
     // the state-sized union (a checkpoint of state ∪ batch would copy
