@@ -31,7 +31,7 @@ object SoakDedup {
 
     val t0 = System.nanoTime()
     val sh = Dedup.shingles(docs, "doc_id", "text").cache()
-    val sig = Dedup.minhashSignature(sh, 8)
+    val sig = Dedup.minhashFromText(docs, "doc_id", "text") // kernel path, as production
     val cands = Dedup.candidatePairs(Dedup.lshBands(sig, 8, 2))
     val verified = Dedup.pairJaccard(cands, sh).filter(col("jacc") >= 0.5).count()
     val dt = (System.nanoTime() - t0) / 1e9
