@@ -42,7 +42,9 @@ final class ByteIn private (arr: Array[Byte],
     }
   }
   private def chk(a: Long, n: Int): Unit =
-    if (a < 0 || a + n > length) throw new IllegalArgumentException(
+    // compare as a > length - n: a corrupt near-Long.MaxValue address
+    // would wrap a + n negative and slip past the additive form
+    if (a < 0 || n > length || a > length - n) throw new IllegalArgumentException(
       s"address $a out of range (file is $length bytes)")
 
   def apply(a: Long): Byte = {

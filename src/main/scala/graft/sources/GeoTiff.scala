@@ -1002,6 +1002,12 @@ object GeoTiff {
     val chan = if (d.planar == 2) 0 else band - 1
 
     val width = d.width; val height = d.height
+    // materializing-reader cap, stated loudly (the HDF5 path's rule):
+    // the decoded band is one Float array, so width*height must fit —
+    // a 3e9-pixel mosaic would otherwise wrap the allocation negative
+    require(width.toLong * height <= Int.MaxValue,
+      s"band of $width x $height pixels exceeds the materializing " +
+        "reader's 2^31-element cap (tile-subset reads needed)")
     val data = new Array[Float](width * height)
 
     // unify strips and tiles as chunks of (chunkW, chunkH) at (x0, y0)

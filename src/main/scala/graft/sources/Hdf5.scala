@@ -739,15 +739,25 @@ object Hdf5 {
       s"unsupported dataset datatype class ${dt.cls} " +
         "(numeric, string and vlen-string only)")
 
-    require(dims.product.max(1) <= Int.MaxValue,
-      s"variable of ${dims.product} elements exceeds the materializing " +
-        "reader's 2^31-element cap (chunk-subset reads needed)")
+    // cap on BYTES, not elements: the decode buffer is n * dt.size, so
+    // an element-only cap would admit e.g. 772M float32s (a standard
+    // ERA5 monthly granule) and wrap the allocation size negative
+    require(dims.product.max(1) * dt.size <= Int.MaxValue,
+      s"variable of ${dims.product} x ${dt.size}-byte elements exceeds the " +
+        "materializing reader's 2 GiB cap (chunk-subset reads needed)")
     val n = dims.product.max(1).toInt
     val raw: Array[Byte] = layoutClass match {
       case 0 => compact
       case 1 =>
         if (dataAddr == Undef) null
-        else in.slice(dataAddr, dataSize.toInt)
+        else {
+          // corrupt headers can claim any size — guard before the
+          // Int narrowing or the slice wraps to a short/negative read
+          require(dataSize >= 0 && dataSize <= Int.MaxValue,
+            s"contiguous dataset of $dataSize bytes exceeds the " +
+              "materializing reader's 2 GiB cap")
+          in.slice(dataAddr, dataSize.toInt)
+        }
       case 2 =>
         val out = new Array[Byte](n * dt.size)
         fillRaw.foreach { fb =>
