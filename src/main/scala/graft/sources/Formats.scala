@@ -135,6 +135,32 @@ object Formats {
 
   def sniff(bytes: Array[Byte]): Option[Decoder] = registry.find(_.canHandle(bytes))
 
+  /** ONE definition of a raster's long-form pixel rows — the
+    * center-of-pixel affine fallback (reference:
+    * virtual_zarr.py:326-344) and NaN→drop nodata discipline shared by
+    * every ingest path, so the georeferencing convention cannot drift
+    * between the binary-column, large-path and quarantine readers. */
+  private def rasterRows(fname: String, step: Int, r: GeoTiff.Raster,
+                         ll: Option[(Array[Double], Array[Double])],
+                         lossy: Boolean)
+      : Iterator[(String, Int, Int, Int, Double, Double, Double, Boolean)] =
+    (0 until r.height).iterator.flatMap { y =>
+      (0 until r.width).iterator.flatMap { x =>
+        val v = r.data(y * r.width + x)
+        if (v.isNaN) Iterator.empty
+        else Iterator.single((fname, step, y, x, v.toDouble,
+          ll.map(_._1(y * r.width + x)).getOrElse(r.west + (x + 0.5) * r.px),
+          ll.map(_._2(y * r.width + x)).getOrElse(r.north - (y + 0.5) * r.py),
+          lossy))
+      }
+    }
+
+  /** Valid time = filename time + step hours (multi-timestep files). */
+  private def withValidTime(pixels: DataFrame): DataFrame =
+    pixels.withColumn("time",
+      graft.streaming.IngestStream.extractTime(col("fname"))
+        + make_interval(lit(0), lit(0), lit(0), lit(0), col("step")))
+
   /** Batch ingest: read every raster file under `dir` via binaryFile,
     * decode partition-wise (the chipper), explode to long-form pixels
     * with filename-derived time. NaN → NULL at the decode boundary
@@ -153,20 +179,11 @@ object Formats {
         // (reference: virtual_zarr.py:326-344 affine at centers);
         // curvilinear grids carry exact per-pixel coords instead
         val ll = dec.pixelLonLat(bytes)
-        for {
-          (step, r, lossy) <- dec.decodeMultiFlagged(bytes)
-          y <- 0 until r.height; x <- 0 until r.width
-          v = r.data(y * r.width + x) if !v.isNaN
-        } yield (fname, step, y, x, v.toDouble,
-          ll.map(_._1(y * r.width + x)).getOrElse(r.west + (x + 0.5) * r.px),
-          ll.map(_._2(y * r.width + x)).getOrElse(r.north - (y + 0.5) * r.py),
-          lossy)
+        dec.decodeMultiFlagged(bytes).iterator.flatMap {
+          case (step, r, lossy) => rasterRows(fname, step, r, ll, lossy) }
       }
     }.toDF("fname", "step", "y", "x", "v", "lon", "lat", "lossy")
-    // multi-timestep files: valid time = filename time + step hours
-    pixels.withColumn("time",
-      graft.streaming.IngestStream.extractTime(col("fname"))
-        + make_interval(lit(0), lit(0), lit(0), lit(0), col("step")))
+    withValidTime(pixels)
   }
 
   /** Ingest granules of ANY size — including past the 2 GiB cap of
@@ -193,17 +210,7 @@ object Formats {
           def pixelRows(rs: Seq[(Int, GeoTiff.Raster)],
                         ll: Option[(Array[Double], Array[Double])]) =
             rs.iterator.flatMap { case (step, r) =>
-              (0 until r.height).iterator.flatMap { y =>
-                (0 until r.width).iterator.flatMap { x =>
-                  val v = r.data(y * r.width + x)
-                  if (v.isNaN) Iterator.empty
-                  else Iterator.single((fname, step, y, x, v.toDouble,
-                    ll.map(_._1(y * r.width + x)).getOrElse(r.west + (x + 0.5) * r.px),
-                    ll.map(_._2(y * r.width + x)).getOrElse(r.north - (y + 0.5) * r.py),
-                    false))
-                }
-              }
-            }
+              rasterRows(fname, step, r, ll, lossy = false) }
           // both decoders materialize their floats up front, so the
           // channel closes before the pixel iterator is consumed
           val head = try in.slice(0, math.min(16L, in.length).toInt)
@@ -223,9 +230,7 @@ object Formats {
           }
         }
       }.toDF("fname", "step", "y", "x", "v", "lon", "lat", "lossy")
-    pixels.withColumn("time",
-      graft.streaming.IngestStream.extractTime(col("fname"))
-        + make_interval(lit(0), lit(0), lit(0), lit(0), col("step")))
+    withValidTime(pixels)
   }
 
   /** Quarantining ingest: like [[ingestDir]], but a granule whose
@@ -254,14 +259,10 @@ object Formats {
           val dec = sniff(bytes).getOrElse(
             throw new IllegalArgumentException(s"unknown format"))
           val ll = dec.pixelLonLat(bytes)
-          for {
-            (step, r, lossy) <- dec.decodeMultiFlagged(bytes)
-            y <- 0 until r.height; x <- 0 until r.width
-            v = r.data(y * r.width + x) if !v.isNaN
-          } yield (fname, step, y, x, v.toDouble,
-            ll.map(_._1(y * r.width + x)).getOrElse(r.west + (x + 0.5) * r.px),
-            ll.map(_._2(y * r.width + x)).getOrElse(r.north - (y + 0.5) * r.py),
-            lossy, null: String)
+          dec.decodeMultiFlagged(bytes).iterator.flatMap {
+            case (step, r, lossy) =>
+              rasterRows(fname, step, r, ll, lossy).map(t =>
+                (t._1, t._2, t._3, t._4, t._5, t._6, t._7, t._8, null: String)) }
         } catch {
           case e: Exception =>
             Seq((fname, 0, 0, 0, 0.0, 0.0, 0.0, false,
@@ -269,10 +270,7 @@ object Formats {
         }
       }
     }.toDF("fname", "step", "y", "x", "v", "lon", "lat", "lossy", "err")
-    val pixels = classified.filter(col("err").isNull).drop("err")
-      .withColumn("time",
-        graft.streaming.IngestStream.extractTime(col("fname"))
-          + make_interval(lit(0), lit(0), lit(0), lit(0), col("step")))
+    val pixels = withValidTime(classified.filter(col("err").isNull).drop("err"))
     val dead = classified.filter(col("err").isNotNull)
       .select(col("fname"), col("err").as("reason"))
     (pixels, dead)
