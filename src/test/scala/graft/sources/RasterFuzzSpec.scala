@@ -79,11 +79,21 @@ class RasterFuzzSpec extends AnyFunSuite {
           d57.map(_ + i), None)) :+
         NetCdf.Variable("huge_" + "r" * 160, Seq("lat", "lon"), d57, None),
       denseRoot = true, denseIdStyle = "hugebtree")
+    // the late-round-9 surface: szip-filtered int16 chunks through the
+    // extended-Rice coder
+    val h5Szip = Hdf5.write(
+      Seq("lat" -> 5, "lon" -> 7),
+      Seq(NetCdf.Variable("lat", Seq("lat"), lat5, None),
+        NetCdf.Variable("lon", Seq("lon"), lon7, None),
+        NetCdf.Variable("precip", Seq("lat", "lon"),
+          Array.tabulate(5 * 7)(i => (i * 13 % 512).toFloat), None)),
+      szip = true)
     Seq("tiff-strip" -> strip, "tiff-cog" -> cog, "tiff-cog-f64" -> cog64,
       "tiff-cog-packbits" -> cogPb, "tiff-cog-jpeg" -> cogJpeg,
       "netcdf" -> nc, "netcdf-cdf5" -> nc5, "netcdf-cdf2-packed" -> ncPacked,
       "netcdf-charvar" -> ncChar,
-      "hdf5" -> h5, "hdf5-tinyhuge" -> h5TinyHuge, "hdf5-hugebtree" -> h5HugeBt)
+      "hdf5" -> h5, "hdf5-tinyhuge" -> h5TinyHuge, "hdf5-hugebtree" -> h5HugeBt,
+      "hdf5-szip" -> h5Szip)
   }
 
   private def decodeAny(label: String, bytes: Array[Byte]): Unit = label match {
