@@ -54,13 +54,20 @@ object SoakNetcdf {
         NetCdf.Variable("t2m", Seq("lat", "lon"),
           field(step).map(v => if (v.isNaN) -9999f else v), Some(-9999f)),
         shuffle = shuffle)
+    def szipGranule(step: Int): Array[Byte] =
+      // szip stores int16 samples; quantize the field into 15-bit range
+      Hdf5.write(dims, coords :+
+        NetCdf.Variable("t2m", Seq("lat", "lon"),
+          field(step).map(v => if (v.isNaN) 0f else (v * 10).toInt.toFloat), None),
+        szip = true)
 
     for ((label, gen) <- Seq[(String, Int => Array[Byte])](
            ("cdf1 float", floatGranule(_, 1)),
            ("cdf5 float", floatGranule(_, 5)),
            ("cdf2 packed-short", packedGranule),
            ("nc4 deflate", hdf5Granule(_, false)),
-           ("nc4 shuffle+deflate", hdf5Granule(_, true)))) {
+           ("nc4 shuffle+deflate", hdf5Granule(_, true)),
+           ("nc4 szip int16", szipGranule))) {
       val dir = Files.createTempDirectory("soak-nc-").toString
       var bytes = 0L
       (0 until nPer).foreach { i =>
