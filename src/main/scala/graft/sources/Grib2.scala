@@ -362,10 +362,10 @@ object Grib2 {
           // recover the grid geometry from the scan-angle raster frame
           val dxGl = math.round(2.0 * math.asin(1.0 / sv.nr) / r.px)
           val dyGl = math.round(2.0 * math.asin(1.0 / sv.nr) / r.py)
-          val xpC = -r.west / r.px
-          val ypC = r.north / r.py
-          val xpScan = if ((scanMode & 0x80) != 0) r.width - xpC else xpC
-          val ypScan = if ((scanMode & 0x40) != 0) r.height - ypC else ypC
+          val xpC = -r.west / r.px - 0.5 // west edge → center coordinate
+          val ypC = r.north / r.py - 0.5
+          val xpScan = if ((scanMode & 0x80) != 0) r.width - 1 - xpC else xpC
+          val ypScan = if ((scanMode & 0x40) != 0) r.height - 1 - ypC else ypC
           def lonE(v: Double) = if (v < 0) v + 360 else v
           bu8(b, 0); bu32(b, n); bu8(b, 0); bu8(b, 0); bu16(b, 90)
           bu8(b, 1); bu8(b, 0); bu32(b, math.round(sv.re)) // shape 1: scaled sphere
@@ -997,12 +997,17 @@ object Grib2 {
               val rx = 2.0 * math.asin(1.0 / nr) / dxGl
               val ry = 2.0 * math.asin(1.0 / nr) / dyGl
               // normalize the sub-satellite pixel into the canonical
-              // north-up/west-east frame the data is reordered into
-              val xpC = if ((scanMode & 0x80) != 0) width - xp else xp
-              val ypC = if ((scanMode & 0x40) != 0) height - yp else yp
+              // north-up/west-east frame the data is reordered into.
+              // Xp/Yp are pixel-CENTER coordinates (eccodes/CGMS:
+              // pixel i's center scan angle is (i − Xp)·rx) — unlike
+              // the x1/dx templates where x1 is itself a center — so
+              // the west/north EDGES sit half a grid length beyond,
+              // and a mirrored scan renumbers centers as width−1−xp.
+              val xpC = if ((scanMode & 0x80) != 0) width - 1 - xp else xp
+              val ypC = if ((scanMode & 0x40) != 0) height - 1 - yp else yp
               px = rx; py = ry
-              west = -xpC * rx
-              north = ypC * ry
+              west = -(xpC + 0.5) * rx
+              north = (ypC + 0.5) * ry
               proj = Some(SpaceViewProj(radius, radius, lop, nr))
             } else if (tmpl3 == 10) { // Mercator (tropical-band products)
               val shape = bytes(o + 9) & 0xff

@@ -718,7 +718,7 @@ object Hdf5 {
                 }
               case 2 => // implicit: no config
               case 3 => p += 1 // fixed array: page bits (FAHD restates)
-              case 4 => p += 6 // extensible array: 6 param bytes (EAHD restates)
+              case 4 => p += 5 // extensible array: 5 param bytes (EAHD restates)
               case 5 => p += 6 // v2 B-tree: node size(4)+split(1)+merge(1) (BTHD restates)
               case t => throw new IllegalArgumentException(
                 s"unsupported v4 chunk index type $t")
@@ -1008,6 +1008,7 @@ object Hdf5 {
           if (maxEntries > pageN) { // paged data block
             val nPages = ((maxEntries + pageN - 1) / pageN).toInt
             p += (nPages + 7) / 8 // page-init bitmap
+            p += 4 // data-block PREFIX checksum (H5FA: before the pages)
             var ci = 0
             for (pg <- 0 until nPages) {
               val inPage = math.min(pageN, maxEntries - pg.toLong * pageN).toInt
@@ -1059,6 +1060,7 @@ object Hdf5 {
             else {
               val db = (dAddr); sig4(db, "EADB")
               var q = db + 6 + 8 + blkOffW // ver + client + hdr addr + block offset
+              if (cap > dblkPageN) q += 4 // paged: PREFIX checksum before page 0
               if (cap <= dblkPageN) {
                 var i = 0L
                 while (i < cap) {
@@ -1093,6 +1095,13 @@ object Hdf5 {
             else {
               val sb = (sAddr); sig4(sb, "EASB")
               var q = sb + 6 + 8 + blkOffW // ver + client + hdr addr + block offset
+              if (cap > dblkPageN) {
+                // paged data blocks: the super block carries a
+                // page-init bitmap (ndblks x pages-per-dblk bits)
+                // between the block offset and the addresses
+                val npg = ((cap + dblkPageN - 1) / dblkPageN).toInt
+                q += (ndblks.toLong * npg + 7) / 8
+              }
               for (_ <- 0 until ndblks) {
                 val dAddr = in.getLong(q); q += 8
                 if (ci < nChunks) readDblk(dAddr, cap) else ci += cap
@@ -1697,6 +1706,7 @@ object Hdf5 {
               if (n > pageN) {
                 val nPages = ((n + pageN - 1) / pageN).toInt
                 for (_ <- 0 until (nPages + 7) / 8) u8(0xff) // all pages initialized
+                u32(0) // PREFIX checksum (H5FA: prefix ends before page 0)
                 var ci = 0
                 for (pg <- 0 until nPages) {
                   val inPage = math.min(pageN, n - pg.toLong * pageN).toInt
@@ -1707,10 +1717,12 @@ object Hdf5 {
                   }, inPage * elmtSize))
                   u32(0) // page checksum (reader skips)
                 }
-              } else raw(bodyBuf({ bb =>
-                chunkEntries.foreach(e => element(bb, Some((e._2, e._3))))
-              }, n * elmtSize))
-              u32(0) // data block checksum
+              } else {
+                raw(bodyBuf({ bb =>
+                  chunkEntries.foreach(e => element(bb, Some((e._2, e._3))))
+                }, n * elmtSize))
+                u32(0) // data block checksum
+              }
               padTo8()
               val hdr = pos.toLong
               raw("FAHD".getBytes); u8(0); u8(clientId); u8(elmtSize); u8(v4PageBits)
@@ -1737,8 +1749,9 @@ object Hdf5 {
                         element(bb, if (from + i < n)
                           Some((chunkEntries(from + i)._2, chunkEntries(from + i)._3)) else None)
                     }, count * elmtSize))
-                  if (cap <= eaPageN) elems(next, cap)
-                  else { // paged: pages of eaPageN elements + checksum each
+                  if (cap <= eaPageN) { elems(next, cap); u32(0) }
+                  else { // paged: prefix checksum, then pages + checksum each
+                    u32(0) // PREFIX checksum (H5EA: prefix ends before page 0)
                     var done = 0
                     while (done < cap) {
                       val inPage = math.min(eaPageN, cap - done)
@@ -1747,7 +1760,6 @@ object Hdf5 {
                       done += inPage
                     }
                   }
-                  u32(0)
                   padTo8()
                   next += cap
                   a0
@@ -1765,6 +1777,11 @@ object Hdf5 {
                   val sA = pos.toLong
                   raw("EASB".getBytes); u8(0); u8(clientId); u64(Undef)
                   for (_ <- 0 until blkOffW) u8(0)
+                  if (dblkCap(su) > eaPageN) {
+                    val npg = (dblkCap(su) + eaPageN - 1) / eaPageN
+                    for (_ <- 0 until ((dAddrs.size.toLong * npg + 7) / 8).toInt)
+                      u8(0xff) // page-init bitmap: all pages written
+                  }
                   dAddrs.foreach(u64)
                   u32(0)
                   padTo8()
@@ -1825,7 +1842,9 @@ object Hdf5 {
               case 1 if singleFiltered =>
                 bb.putLong(chunkEntries.head._3.toLong); bb.putInt(0)
               case 3 => bb.put(v4PageBits.toByte)
-              case 4 => bb.put(16.toByte).put(2.toByte).put(2.toByte).put(2.toByte).putShort(10)
+              case 4 => // max bits, idx elmts, min ptrs, min elmts, page bits
+                bb.put(16.toByte).put(2.toByte).put(2.toByte).put(2.toByte)
+                  .put(eaPageBits.toByte)
               case 5 => bb.putInt(2048); bb.put(100.toByte).put(40.toByte)
               case _ =>
             }

@@ -92,8 +92,10 @@ class Grib2Spec extends SparkSpec {
   test("space-view grids (3.90) round-trip with exact geostationary lon/lat") {
     // Meteosat-like full disc: sphere, satellite ~6.62 radii from the
     // earth center over 9.5°E, disc spanning 18 grid lengths of a
-    // 20×20 grid, sub-satellite point at grid coordinate (10.5, 10.5)
-    // so pixel (10, 10)'s CENTER is exactly the zero scan angle
+    // 20×20 grid, sub-satellite point Xp=Yp=10 — a pixel-CENTER
+    // coordinate (eccodes/CGMS: center_i = (i − Xp)·rx), the integer
+    // value every operational product carries, so pixel (10, 10)'s
+    // CENTER is exactly the zero scan angle
     val w = 20; val h = 20
     val re = 6367470.0
     val nr = 6.621936 // chosen so nr·1e6 is integral (exact round-trip)
@@ -103,7 +105,7 @@ class Grib2Spec extends SparkSpec {
     val inv = graft.ops.Geo.invGeostationary(re, re, lop, nr * re) _
     val data = Array.tabulate(w * h) { k =>
       val i = k % w; val j = k / w
-      val x = (i + 0.5 - 10.5) * rx; val y = (10.5 - (j + 0.5)) * ry
+      val x = (i - 10) * rx; val y = (10 - j) * ry
       val (lon, _) = inv(x, y)
       if (lon.isNaN) Float.NaN else (i + j).toFloat // off-disc = missing
     }
@@ -127,7 +129,7 @@ class Grib2Spec extends SparkSpec {
     // fwd∘inv is the identity on the disc
     val fwd = graft.ops.Geo.fwdGeostationary(re, re, lop, nr * re) _
     for (j <- 5 until 15; i <- 5 until 15) {
-      val x0 = (i + 0.5 - 10.5) * rx; val y0 = (10.5 - (j + 0.5)) * ry
+      val x0 = (i - 10) * rx; val y0 = (10 - j) * ry
       val k = j * w + i
       if (!lons(k).isNaN) {
         val (x1, y1) = fwd(lons(k), lats(k))
