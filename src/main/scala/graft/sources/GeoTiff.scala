@@ -1010,6 +1010,12 @@ object GeoTiff {
         "reader's 2^31-element cap (tile-subset reads needed)")
     val data = new Array[Float](width * height)
 
+    // shared JPEGTables parse ONCE — a pyramid COG decodes thousands
+    // of tiles against the same abbreviated table stream
+    lazy val jpegPre = d.jpegTables.map { tb =>
+      val t = new JpegCodec.Tables; JpegCodec.parseTables(tb, t); t
+    }
+
     // unify strips and tiles as chunks of (chunkW, chunkH) at (x0, y0)
     val (ta, td, cw, ch) =
       if (d.tiled) ((width + d.tileW - 1) / d.tileW,
@@ -1033,10 +1039,7 @@ object GeoTiff {
         case 1 => in.slice(off, expect)
         case 5 => lzwDecode(in.slice(off, len), expect)
         case 7 => // baseline JPEG; tables may live in the shared JPEGTables tag
-          val pre = d.jpegTables.map { tb =>
-            val t = new JpegCodec.Tables; JpegCodec.parseTables(tb, t); t
-          }
-          val img = JpegCodec.decode(in.slice(off, len), pre,
+          val img = JpegCodec.decode(in.slice(off, len), jpegPre,
             colorTransform = d.photometric == 6)
           require(img.comps == chans,
             s"JPEG chunk carries ${img.comps} components, expected $chans")

@@ -192,6 +192,7 @@ object Grib1 {
     // grid-point/spherical-harmonic, bit 2 (0x4) simple/complex,
     // bit 3 (0x2) float/INTEGER original type (same unpacking math —
     // allowed), bit 4 (0x1) octet-14 additional flags
+    val bdsLen = u24(bytes, o)
     val bdsFlags = u8(bytes, o + 3) >> 4
     require((bdsFlags & 0x08) == 0, "spherical-harmonic GRIB1 data not supported")
     val e = sm16(bytes, o + 4)
@@ -245,18 +246,38 @@ object Grib1 {
         }
         require(g == p1 - 1, s"secondary bitmap opened ${g + 1} groups, P1=$p1")
       } else {
-        require(p1 == nj,
-          s"row-by-row second-order packing expects P1=$nj rows, got $p1")
+        // "each row is a group" follows the CONSECUTIVE scan
+        // direction: i-consecutive scans group the nj grid rows of ni
+        // points; j-consecutive (column-major, bit 0x20) scans group
+        // the ni columns of nj points. The bitmap is stored in scan
+        // order, so group g's points are the linear run [g·run, (g+1)·run).
+        val colMajor = (scanMode & 0x20) != 0
+        val nGroups = if (colMajor) ni else nj
+        val runLen = if (colMajor) nj else ni
+        require(p1 == nGroups,
+          s"row-by-row second-order packing expects P1=$nGroups consecutive-" +
+            s"direction rows, got $p1")
         var row = 0
-        while (row < nj) {
+        while (row < nGroups) {
           var cx = 0
-          while (cx < ni) {
-            if (bitmap == null || bitmap(row * ni + cx)) sizes(row) += 1
+          while (cx < runLen) {
+            if (bitmap == null || bitmap(row * runLen + cx)) sizes(row) += 1
             cx += 1
           }
           row += 1
         }
       }
+      // every bit read must land inside this BDS — a corrupt width or
+      // pointer must dead-letter, never stream into the next message
+      // N2 marks where second-order data WOULD begin — with zero SO
+      // bits (all widths 0) it legally points one past the section
+      require(n1 >= 12 && n2 >= n1 && n2 - 1 <= bdsLen,
+        s"second-order pointers N1=$n1 N2=$n2 outside BDS of $bdsLen octets")
+      require(n1 - 1 + (p1.toLong * nbits + 7) / 8 <= bdsLen,
+        s"first-order data ($p1 x $nbits bits at N1=$n1) overruns the BDS")
+      val soBitsTotal = (0 until p1).map(g => sizes(g).toLong * widths(g)).sum
+      require(n2 - 1 + (soBitsTotal + 7) / 8 <= bdsLen,
+        s"second-order data ($soBitsTotal bits at N2=$n2) overruns the BDS")
       val fo = new Array[Long](p1)
       if (nbits > 0) {
         val fr = new Grib2.BitReader(bytes, o + n1 - 1)
@@ -279,6 +300,8 @@ object Grib1 {
         "additional-flag (octet 14) GRIB1 forms not supported")
       if (nbits == 0) java.util.Arrays.fill(present, base) // constant field
       else {
+        require(11 + (nPresent.toLong * nbits + 7) / 8 <= bdsLen,
+          s"simple-packed data ($nPresent x $nbits bits) overruns the BDS of $bdsLen octets")
         val r = new Grib2.BitReader(bytes, o + 11)
         var i = 0
         while (i < nPresent) { present(i) = base + r.get(nbits) * factor; i += 1 }
@@ -408,6 +431,9 @@ object Grib1 {
     val n1 = 22 + widthBytes + secBytes
     val n2 = n1 + (p1 * nbits + 7) / 8
     require(n2 <= 0xffff, "second-order BDS pointers exceed 16 bits")
+    require(p1 <= 0xffff, s"second-order group count $p1 exceeds the 16-bit P1 field")
+    require(xs.length <= 0xffff,
+      s"second-order point count ${xs.length} exceeds the 16-bit P2 field")
     val soBits = (0 until p1).map(g => sizes(g).toLong * widths(g)).sum
     val unused = ((8 - soBits % 8) % 8).toInt
     val b = new java.io.ByteArrayOutputStream()
@@ -477,6 +503,8 @@ object Grib1 {
       w8(t.getYear % 100 match { case 0 => 100; case y => y })
       w8(t.getMonthValue); w8(t.getDayOfMonth); w8(t.getHour); w8(t.getMinute)
       w8(1) // unit: hours
+      require(m.forecastHours >= 0 && m.forecastHours <= 255,
+        s"fixture writer emits one-octet P1 forecast hours (0-255), got ${m.forecastHours}")
       w8(m.forecastHours); w8(0); w8(0) // P1, P2, range indicator 0
       u16wTo(b, 0) // number in average
       w8(0) // missing from averages
@@ -484,11 +512,19 @@ object Grib1 {
       w8(0) // subcentre
       u16wTo(b, decimals) // decimal scale (non-negative here)
     }
-    // GDS: lat/lon
-    val la1 = math.round((r.north - r.py / 2) * 1000).toInt
-    val lo1 = math.round((r.west + r.px / 2) * 1000).toInt
-    val la2 = math.round((r.north - r.py / 2 - (r.height - 1) * r.py) * 1000).toInt
-    val lo2 = math.round((r.west + r.px / 2 + (r.width - 1) * r.px) * 1000).toInt
+    // GDS: lat/lon. First/last points are the SCAN start/end corners:
+    // a -i scan (0x80) starts at the east edge, a +j scan (0x40) at
+    // the south — the decoder anchors west/north from these plus the
+    // scan mode, so a writer pinning NW->SE regardless of scan would
+    // mis-georeference every non-default mode.
+    val northC = r.north - r.py / 2
+    val southC = northC - (r.height - 1) * r.py
+    val westC = r.west + r.px / 2
+    val eastC = westC + (r.width - 1) * r.px
+    val la1 = math.round((if ((scanMode & 0x40) != 0) southC else northC) * 1000).toInt
+    val la2 = math.round((if ((scanMode & 0x40) != 0) northC else southC) * 1000).toInt
+    val lo1 = math.round((if ((scanMode & 0x80) != 0) eastC else westC) * 1000).toInt
+    val lo2 = math.round((if ((scanMode & 0x80) != 0) westC else eastC) * 1000).toInt
     val gds = section { b =>
       def w8(v: Int) = b.write(v & 0xff)
       def w16(v: Int) = { w8(v >> 8); w8(v) }

@@ -59,6 +59,13 @@ class Grib1Spec extends SparkSpec {
         assert((a.isNaN && b.isNaN) || math.abs(a - b) < 0.005,
           f"scan 0x$mode%02x: $a vs $b")
       }
+      // georeferencing must survive too: the writer's first/last GDS
+      // points are the SCAN corners, so a writer pinning NW->SE would
+      // shift west/north for every mirrored mode (caught 2026-08)
+      assert(math.abs(back.raster.west - m.raster.west) < 1e-6,
+        f"scan 0x$mode%02x west: ${back.raster.west} vs ${m.raster.west}")
+      assert(math.abs(back.raster.north - m.raster.north) < 1e-6,
+        f"scan 0x$mode%02x north: ${back.raster.north} vs ${m.raster.north}")
     }
   }
 
