@@ -60,6 +60,47 @@ object PipelineQueries extends QueryModule {
         .select(col("doc_id"), col("quality"), col("rank"))
     }),
 
+    // Balanced shard assignment: distribute documents across 16 output
+    // shards with near-equal TOKEN mass — the last step before writing
+    // training shards. Greedy longest-processing-time bin packing is
+    // inherently sequential; the distributed equivalent is rank by size
+    // descending and deal round-robin (rank mod N), which bounds the
+    // per-shard spread by one max-document and is fully parallel:
+    // Rank.globalRank range-partitions the size sort, so no task ever
+    // holds more than its range slice at any corpus size.
+    "t_shard_assign" -> ((s, dir) => {
+      val sized = Tables.documents(s, dir)
+        .select(col("doc_id"), size(wordsCol).cast("long").as("tokens"))
+      graft.ops.Rank.globalRank(sized,
+        Seq(col("tokens").desc, col("doc_id").asc))
+        .withColumn("shard", (col("rank") - 1) % 16)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("tokens").as("n_tokens"),
+          min("tokens").as("min_tokens"), max("tokens").as("max_tokens"))
+    }),
+
+    // Linear quality-classifier inference (the fastText/DCLM-style
+    // model-based filter): score = bias + Σ count(w)·weight(w) over a
+    // trained vocabulary. The model is a config-scale artifact (like
+    // the IVF centroids/PQ codebooks), so inference is a broadcast
+    // hash join against the exploded corpus with map-side partial sums
+    // — the per-doc shuffle carries one partial long per document, and
+    // nothing corpus-sized ever moves. Integer centi-weights keep the
+    // margin exact cross-engine.
+    "t_quality_lr" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val weights = s.createDataFrame(QualityLrModel.weights)
+        .toDF("w", "wt")
+      val dot = docs.select(col("doc_id"), explode(wordsCol).as("w"))
+        .join(broadcast(weights), Seq("w"))
+        .groupBy("doc_id").agg(sum("wt").as("dot"))
+      val margin = coalesce(col("dot"), lit(0L)) + lit(QualityLrModel.biasCents)
+      docs.select(col("doc_id")).join(dot, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (margin.cast("double") / 100.0).as("margin"),
+          (margin > 0).as("keep"))
+    }),
+
     // Sequence packing: greedy contiguous packing of documents into
     // fixed 2048-token training sequences, per source domain. Bin id is
     // floor(preceding-token-count / 2048) over a deterministic doc_id
@@ -348,6 +389,49 @@ object PipelineQueries extends QueryModule {
         |SELECT user_id, event_type AS state, ts AS valid_from,
         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
-        |FROM changes""".stripMargin
+        |FROM changes""".stripMargin,
+    "t_shard_assign" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS tokens
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, tokens,
+        |    row_number() OVER (ORDER BY tokens DESC, doc_id ASC) AS rank
+        |  FROM t)
+        |SELECT CAST((rank - 1) % 16 AS BIGINT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(tokens) AS BIGINT) AS n_tokens,
+        |  min(tokens) AS min_tokens, max(tokens) AS max_tokens
+        |FROM r GROUP BY 1""".stripMargin,
+    "t_quality_lr" ->
+      s"""WITH wt(w, wt) AS (SELECT * FROM (VALUES ${QualityLrModel.sqlValues}) v(w, wt)),
+        |words AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+        |  FROM documents),
+        |dot AS (
+        |  SELECT doc_id, CAST(sum(wt) AS BIGINT) AS dot
+        |  FROM words JOIN wt USING (w) GROUP BY 1)
+        |SELECT d.doc_id AS doc_id,
+        |  CAST(coalesce(dot, 0) + ${QualityLrModel.biasCents} AS DOUBLE) / 100.0 AS margin,
+        |  (coalesce(dot, 0) + ${QualityLrModel.biasCents}) > 0 AS keep
+        |FROM documents d LEFT JOIN dot USING (doc_id)""".stripMargin
   )
+}
+
+/** Trained-model artifact for `t_quality_lr` — a linear classifier's
+  * vocabulary weights in integer centi-units (config scale: a real
+  * fastText-style quality model is a few MB of weights, broadcast like
+  * the IVF centroids / PQ codebooks). Positive weight = signal of
+  * useful content; negative = boilerplate/noise markers. */
+private[llm] object QualityLrModel {
+  val weights: Seq[(String, Long)] = Seq(
+    "spark" -> 20L, "vector" -> 18L, "data" -> 15L, "query" -> 12L,
+    "join" -> 10L, "fast" -> 8L, "merge" -> 5L, "scan" -> -6L,
+    "slow" -> -25L, "error" -> -30L, "the" -> -2L, "a" -> -1L)
+  val biasCents: Long = -400L
+
+  /** The same model as a DuckDB VALUES list for the oracle. */
+  def sqlValues: String =
+    weights.map { case (w, c) => s"('$w', $c)" }.mkString(", ")
 }

@@ -111,6 +111,39 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("t_shard_assign: 16 shards partition the corpus with bounded token spread") {
+    val out = PipelineQueries.queries("t_shard_assign")(spark, sf0001).collect()
+    assert(out.length == 16)
+    val nDocs = out.map(_.getLong(1)).sum
+    val total = graft.Tables.documents(spark, sf0001).count()
+    assert(nDocs == total) // a partition: every doc lands in exactly one shard
+    // round-robin-by-size-rank bounds the spread: any two shards differ
+    // by at most one document per "deal round", so the token-mass gap is
+    // bounded by the largest document
+    val masses = out.map(_.getLong(2))
+    val maxDoc = out.map(_.getLong(4)).max
+    assert(masses.max - masses.min <= maxDoc,
+      s"spread ${masses.max - masses.min} exceeds max doc $maxDoc")
+  }
+
+  test("t_quality_lr: margin is the exact sparse dot product plus bias") {
+    val out = PipelineQueries.queries("t_quality_lr")(spark, sf0001).collect()
+    val total = graft.Tables.documents(spark, sf0001).count()
+    assert(out.length == total) // left join keeps vocab-free docs
+    // recompute one doc's margin by hand from the raw text
+    val wts = QualityLrModel.weights.toMap
+    val raw = graft.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.take(20).foreach { r =>
+      val words = raw(r.getLong(0)).trim.toLowerCase.split("\\s+")
+      val dot = words.map(w => wts.getOrElse(w, 0L)).sum
+      val expect = (dot + QualityLrModel.biasCents).toDouble / 100.0
+      assert(r.getDouble(1) == expect, s"doc ${r.getLong(0)}")
+      assert(r.getBoolean(2) == (dot + QualityLrModel.biasCents > 0))
+    }
+  }
+
   test("w8_scd2: intervals chain per user, one current row per user") {
     val out = PipelineQueries.queries("w8_scd2")(spark, sf0001)
       .orderBy("user_id", "valid_from").collect()
