@@ -77,4 +77,16 @@ class PlanAuditSpec extends SparkSpec {
       assert(!plan.contains("Join"), s"$name grew a join:\n$plan")
     }
   }
+
+  test("t_quality_lr: the model join is broadcast, never a corpus shuffle") {
+    // classifier inference joins the exploded corpus against a
+    // config-scale weight vector — if the weights ever arrive via a
+    // shuffle join, every corpus word row pays an exchange for a
+    // model-sized table
+    val df = SparkEntry.queries("t_quality_lr")(spark, sf0001)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"t_quality_lr lost the broadcast model join:\n$plan")
+  }
 }
