@@ -536,7 +536,16 @@ object GridQueries extends QueryModule {
         .select(col("t"), col("yt4").as("yt"), col("xt4").as("xt"),
           (col("s").cast("double") / col("n")).as("v"), lit(4).as("level"))
       l2.unionByName(l4)
-    })
+    }),
+
+    // Morton keys over the cube's tile coordinates — the clustering
+    // key GridStore.writeZOrdered sorts by so parquet min/max stats
+    // prune bbox reads in BOTH dimensions (see ZOrder.scala; the
+    // 2-D-pruning claim itself is measured in ZOrderSpec). Pure
+    // shift/mask arithmetic, mirrored bit-for-bit in the oracle.
+    "f16_zorder_key" -> ((s, dir) =>
+      Grid.fromLineitem(s, dir).select(col("y"), col("x")).distinct()
+        .withColumn("z", ZOrder.zkey(col("y"), col("x"))))
   )
 
   private def withCtes(body: String): String =
@@ -563,6 +572,21 @@ object GridQueries extends QueryModule {
   }
 
   override def oracleSql = Map(
+    "f16_zorder_key" -> withCtes(
+      """, zt AS (SELECT DISTINCT y, x FROM grid),
+        |za AS (SELECT y, x,
+        |  (CAST(x AS BIGINT) | (CAST(x AS BIGINT) << 16)) & 281470681808895 AS xs,
+        |  (CAST(y AS BIGINT) | (CAST(y AS BIGINT) << 16)) & 281470681808895 AS ys
+        |  FROM zt),
+        |zb AS (SELECT y, x, (xs | (xs << 8)) & 71777214294589695 AS xs,
+        |  (ys | (ys << 8)) & 71777214294589695 AS ys FROM za),
+        |zc AS (SELECT y, x, (xs | (xs << 4)) & 1085102592571150095 AS xs,
+        |  (ys | (ys << 4)) & 1085102592571150095 AS ys FROM zb),
+        |zd AS (SELECT y, x, (xs | (xs << 2)) & 3689348814741910323 AS xs,
+        |  (ys | (ys << 2)) & 3689348814741910323 AS ys FROM zc),
+        |ze AS (SELECT y, x, (xs | (xs << 1)) & 6148914691236517205 AS xs,
+        |  (ys | (ys << 1)) & 6148914691236517205 AS ys FROM zd)
+        |SELECT y, x, (ys << 1) | xs AS z FROM ze""".stripMargin),
     "p3_bbox_pixels" -> withCtes(
       """SELECT t, y, x, v, lon, lat FROM px
         |WHERE lon >= -60.0 AND lon < 60.0 AND lat >= -30.0 AND lat < 30.0

@@ -21,6 +21,24 @@ object GridStore {
       .partitionBy("collection", "p_date")
       .parquet(path)
 
+  /** Persist with Morton-interleaved (tile_y, tile_x) clustering so
+    * parquet row-group min/max statistics prune in BOTH spatial
+    * dimensions (see [[ZOrder]]). Same partition layout as [[write]];
+    * only the within-partition sort differs. Range-partitioning on the
+    * z key also distributes a skew-free write at any tile count —
+    * no single task ever owns more than its key range. */
+  def writeZOrdered(df: DataFrame, path: String,
+                    maxRecordsPerFile: Long = 0L): Unit =
+    df.withColumn("p_date", date_format(col("t"), "yyyy-MM-dd"))
+      .withColumn("_z", ZOrder.zkey(col("tile_y"), col("tile_x")))
+      .repartitionByRange(col("collection"), col("p_date"), col("_z"))
+      .sortWithinPartitions(col("collection"), col("p_date"), col("_z"))
+      .drop("_z")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("collection", "p_date")
+      .parquet(path)
+
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
