@@ -45,12 +45,18 @@ object GridStore {
   /** Compaction (the reference's debounced-rebuild X6 maps to an
     * OPTIMIZE cadence, SURVEY §2.9): rewrite each (collection, p_date)
     * partition into one sorted file so incremental appends don't
-    * accumulate small files. Content-preserving; run off the hot path. */
-  def compact(spark: SparkSession, path: String): Unit = {
+    * accumulate small files. Content-preserving; run off the hot path.
+    * `zOrdered = true` re-clusters on the Morton key while compacting
+    * (the OPTIMIZE ZORDER cadence) — incremental appends arrive in
+    * ingest order, so this is where the 2-D layout is (re)established. */
+  def compact(spark: SparkSession, path: String, zOrdered: Boolean = false): Unit = {
     val df = read(spark, path)
     val tmp = path + ".compact"
+    val sortKeys =
+      if (zOrdered) Seq(ZOrder.zkey(col("tile_y"), col("tile_x")))
+      else Seq(col("tile_y"), col("tile_x"))
     df.repartition(col("collection"), col("p_date"))
-      .sortWithinPartitions(col("tile_y"), col("tile_x"))
+      .sortWithinPartitions(sortKeys: _*)
       .write.mode("overwrite").partitionBy("collection", "p_date").parquet(tmp)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)

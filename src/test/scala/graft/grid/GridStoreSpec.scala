@@ -49,6 +49,13 @@ class GridStoreSpec extends SparkSpec {
     GridStore.compact(spark, path)
     assert(spark.read.parquet(path).count() == before)
     assert(parquetFiles().size < filesBefore)
+    // OPTIMIZE ZORDER cadence: re-clustering compaction is also
+    // content-preserving and leaves files Morton-sorted
+    val rows = spark.read.parquet(path)
+      .select("tile_y", "tile_x", "t", "tile").collect().toSet
+    GridStore.compact(spark, path, zOrdered = true)
+    assert(spark.read.parquet(path)
+      .select("tile_y", "tile_x", "t", "tile").collect().toSet == rows)
   }
 
   test("serving-mode cube cache: pins once per dir, evicts per dataset, clears fully") {

@@ -182,6 +182,48 @@ class StreamCurationSpec extends SparkSpec {
     assert(replay.count() == 0)
   }
 
+  test("crash after the wm row, before the key-set appends: replay converges on the batch kept set") {
+    // saveDeltas writes bloom, then wm, then the key-sets — a crash
+    // between wm and the key-sets is the ordering's DESIGNED failure
+    // direction: wm-present over missing key-set appends means the
+    // restart still runs every state-side join (against smaller
+    // state), and the checkpoint's replay of the interrupted batch
+    // re-appends what was lost. This simulates that exact window.
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-wmcrash-").toString
+    val ids = docs.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val cut = ids(ids.length / 2)
+    val wave1 = docs.filter(col("doc_id") < cut)
+    val wave2 = docs.filter(col("doc_id") >= cut)
+
+    val (_, d1) = StreamCuration.processBatch(wave1, StreamCuration.emptyState(spark))
+    // replicate saveDeltas' prefix only: bloom sidecar + the wm row
+    StreamCuration.ensureStateTables(spark, stateDir)
+    val bloom = d1.fps.stat.bloomFilter("fp",
+      StreamCuration.BloomItems, StreamCuration.BloomFpp)
+    val bp = new org.apache.hadoop.fs.Path(s"$stateDir/fp.bloom")
+    val bfs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = bfs.create(bp, true)
+    try bloom.writeTo(out) finally out.close()
+    d1.wm.write.mode("append").parquet(s"$stateDir/wm")
+
+    // restart: wm present, key-sets empty — every fp in the replayed
+    // batch is bloom-POSITIVE but the confirm join against empty fps
+    // state must kill the false drops
+    val stR = StreamCuration.loadState(spark, stateDir)
+    assert(stR.fpBloom.isDefined && stR.fps.isEmpty,
+      "crash simulation should leave bloom+wm behind empty key-sets")
+    val (k1r, d1r) = StreamCuration.processBatch(wave1, stR)
+    StreamCuration.saveDeltas(d1r, stateDir)
+    val (k2, d2) = StreamCuration.processBatch(wave2,
+      StreamCuration.loadState(spark, stateDir))
+    StreamCuration.saveDeltas(d2, stateDir)
+
+    val kept = keptSet(k1r) ++ keptSet(k2)
+    assert(kept == batchKept,
+      s"crash-replay diverged: only-replay=${kept -- batchKept} " +
+        s"only-batch=${batchKept -- kept}")
+  }
+
   test("persisted-state streaming runner reproduces the batch kept set; replay is idempotent") {
     val base = java.nio.file.Files.createTempDirectory("graft-curation-").toString
     val (srcDir, stateDir, keptDir, ckptDir) =
