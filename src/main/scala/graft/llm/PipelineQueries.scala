@@ -60,6 +60,22 @@ object PipelineQueries extends QueryModule {
         .select(col("doc_id"), col("quality"), col("rank"))
     }),
 
+    // Token-budget selection: take the highest-quality documents until
+    // a token budget is exhausted ("the best 1B tokens"). The running
+    // total in quality order is sum() OVER (ORDER BY …) — which Spark
+    // plans as a SINGLE-partition window at any corpus size;
+    // Rank.prefixSum is the range-partitioned two-pass form (partition
+    // sums to the driver, offsets broadcast, map-side stamping).
+    "t_token_budget" -> ((s, dir) => {
+      val quality = TextAnalysis.qualityScore(col("text"))
+      val scored = Tables.documents(s, dir).select(
+        col("doc_id"), quality.as("quality"),
+        size(wordsCol).cast("long").as("tokens"))
+      graft.ops.Rank.prefixSum(scored,
+        Seq(col("quality").desc, col("doc_id").asc), "tokens", "cum_tokens")
+        .withColumn("keep", col("cum_tokens") <= 50000L)
+    }),
+
     // Balanced shard assignment: distribute documents across 16 output
     // shards with near-equal TOKEN mass — the last step before writing
     // training shards. Greedy longest-processing-time bin packing is
@@ -390,6 +406,27 @@ object PipelineQueries extends QueryModule {
         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
         |FROM changes""".stripMargin,
+    "t_token_budget" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS nc,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS nw,
+        |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS na,
+        |    CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS np,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|for)\b')) AS BIGINT) AS ns,
+        |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS tokens
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, least(1.0, greatest(0.0,
+        |    0.25 + CAST(ns AS DOUBLE) / nw * 2.0
+        |         - CAST(np AS DOUBLE) / nc * 3.0
+        |         + CAST(na AS DOUBLE) / nc * 0.5)) AS quality,
+        |    tokens
+        |  FROM c)
+        |SELECT doc_id, quality, tokens,
+        |  CAST(sum(tokens) OVER (ORDER BY quality DESC, doc_id ASC) AS BIGINT) AS cum_tokens,
+        |  CAST(sum(tokens) OVER (ORDER BY quality DESC, doc_id ASC) AS BIGINT) <= 50000 AS keep
+        |FROM q""".stripMargin,
     "t_shard_assign" ->
       """WITH t AS (
         |  SELECT doc_id,

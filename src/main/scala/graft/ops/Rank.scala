@@ -41,4 +41,42 @@ object Rank {
     }
     spark.createDataFrame(ranked, schema)
   }
+
+  /** Global running sum of `valueCol` (long) in `sortExprs` order —
+    * the scalable form of `sum(v) OVER (ORDER BY ...)`, which Spark
+    * plans as a SINGLE-partition window. Same two-pass mechanism as
+    * [[globalRank]]: range-partition on the sort key, sort within
+    * partitions, one pass sums each partition, the per-partition
+    * offsets broadcast (numPartitions longs), and each partition
+    * stamps `offset + local running sum` map-side.
+    *
+    * The sort must be a TOTAL order (unique tiebreaker) or the running
+    * sum at tied rows is partition-placement-dependent. */
+  def prefixSum(df: DataFrame, sortExprs: Seq[Column], valueCol: String,
+                cumCol: String = "cum",
+                numPartitions: Option[Int] = None): DataFrame = {
+    require(!df.columns.contains(cumCol),
+      s"input already has a '$cumCol' column — pass a different cumCol")
+    val spark = df.sparkSession
+    val parts = numPartitions.getOrElse(spark.sparkContext.defaultParallelism)
+    val sorted = df.repartitionByRange(parts, sortExprs: _*)
+      .sortWithinPartitions(sortExprs: _*)
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    val schema = sorted.schema.add(cumCol, LongType, nullable = false)
+    val rows = sorted.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pass 1: one long per partition to the driver
+    val partSums = rows.mapPartitionsWithIndex { (i, it) =>
+      var s = 0L
+      it.foreach(r => s += r.getLong(vIdx))
+      Iterator.single(i -> s)
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    // pass 2: stamp map-side from the broadcast offsets
+    val stamped = rows.mapPartitionsWithIndex { (i, it) =>
+      var acc = offsets(i)
+      it.map { r => acc += r.getLong(vIdx); Row.fromSeq(r.toSeq :+ acc) }
+    }
+    spark.createDataFrame(stamped, schema)
+  }
 }

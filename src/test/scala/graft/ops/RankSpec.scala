@@ -29,4 +29,30 @@ class RankSpec extends SparkSpec {
       numPartitions = Some(7)).select("rank").as[Long].collect().sorted
     assert(ranks.toSeq == (1L to 777L))
   }
+
+  test("prefixSum equals the single-partition window for any partition count") {
+    val df = spark.range(1000).select(
+      (col("id") * 2654435761L % 97).as("v"), col("id"),
+      ((col("id") * 7919) % 350 + 1).as("tokens"))
+    val expected = df.orderBy(col("v").desc, col("id").asc)
+      .collect().scanLeft(0L -> 0L) { case ((_, acc), r) =>
+        r.getLong(1) -> (acc + r.getLong(2))
+      }.drop(1).toMap
+    for (parts <- Seq(1, 3, 8, 32)) {
+      val got = Rank.prefixSum(df, Seq(col("v").desc, col("id").asc),
+          "tokens", numPartitions = Some(parts))
+        .select("id", "cum").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+
+  test("prefixSum: last row carries the grand total; empty partitions are fine") {
+    val df = spark.range(50).select(col("id").as("v"), col("id"),
+      lit(3L).as("tokens"))
+    val out = Rank.prefixSum(df, Seq(col("v").asc, col("id").asc),
+      "tokens", numPartitions = Some(32)) // 32 ranges over 50 rows
+    assert(out.agg(max("cum")).head().getLong(0) == 150L)
+    assert(out.count() == 50)
+  }
 }
