@@ -12,8 +12,10 @@ package graft.sources
   * ERA-era ECMWF archive encoding: secondary-bitmap groups or
   * row-by-row, constant or per-group second-order widths), bitmap
   * nodata, lat/lon (grid type 0) and regular global Gaussian (type 4)
-  * grids, all 8 edition-1 scan-mode combinations, multi-message
-  * concatenation. Spherical harmonics, predefined (GDS-less) grids,
+  * grids, the GDS-less predefined global lat/lon grids (NCEP ON388
+  * Table B ids 2/3/4 — the pre-2000 NCEP archive form), all 8
+  * edition-1 scan-mode combinations, multi-message concatenation.
+  * Spherical harmonics, regional/thinned/polar predefined grids,
   * general-extended/boustrophedonic/spatially-differenced second
   * order, and other grid types FAIL LOUDLY.
   *
@@ -89,12 +91,18 @@ object Grib1 {
     out.toSeq
   }
 
+  /** NCEP ON388 Table B global lat/lon grids, the GDS-less predefined
+    * form: id → (ni, nj, degrees). All three scan +i −j from (90°, 0°). */
+  private val predefinedGrids = Map(
+    2 -> (144, 73, 2.5), 3 -> (360, 181, 1.0), 4 -> (720, 361, 0.5))
+
   private def readMessage(bytes: Array[Byte], start: Int): Grib2.Message = {
     var o = start + 8
     // ---- PDS ----
     val pdsLen = u24(bytes, o)
     require(pdsLen >= 28, s"implausible PDS length $pdsLen")
     val table = u8(bytes, o + 3)
+    val gridId = u8(bytes, o + 6)
     val flags = u8(bytes, o + 7)
     val param = u8(bytes, o + 8)
     val yy = u8(bytes, o + 12); val mm = u8(bytes, o + 13); val dd = u8(bytes, o + 14)
@@ -122,23 +130,37 @@ object Grib1 {
       case t => throw new IllegalArgumentException(s"unsupported time range indicator $t")
     }
     o += pdsLen
-    // ---- GDS ----
-    require((flags & 0x80) != 0,
-      "GRIB1 message without GDS (predefined grid) not supported")
+    // ---- GDS, or a predefined (centre-table) grid when absent ----
+    var ni = 0; var nj = 0; var scanMode = 0
+    var px = 0.0; var py = 0.0; var west = 0.0; var north = 0.0
+    var proj: Option[Grib2.GridProj] = None
+    if ((flags & 0x80) == 0) {
+      // GDS-less message: PDS octet 7 names an NCEP ON388 Table B
+      // grid — the form the pre-2000 NCEP archives (reanalysis-1 era)
+      // shipped. The global lat/lon entries are supported; regional/
+      // thinned/polar predefined grids dead-letter by number.
+      val (w, h, d) = predefinedGrids.getOrElse(gridId,
+        throw new IllegalArgumentException(
+          s"predefined GRIB1 grid $gridId not supported " +
+            "(global lat/lon grids 2/3/4 only)"))
+      ni = w; nj = h
+      scanMode = 0 // ON388: +i (0°→east), −j (90°→south), row-major
+      px = d; py = d
+      west = -px / 2 // first column centered on 0°
+      north = 90.0 + py / 2 // first row centered on the pole
+    } else {
     val gdsLen = u24(bytes, o)
     val gtype = u8(bytes, o + 5)
     require(gtype == 0 || gtype == 4,
       s"unsupported GRIB1 grid type $gtype (0 lat/lon, 4 Gaussian)")
-    val ni = u16(bytes, o + 6); val nj = u16(bytes, o + 8)
+    ni = u16(bytes, o + 6); nj = u16(bytes, o + 8)
     require(ni > 0 && ni != 0xffff && nj > 0 && ni.toLong * nj <= (1 << 26),
       s"implausible GRIB1 grid shape ${ni}x$nj (quasi-regular rows not supported)")
     val la1 = sm24(bytes, o + 10) / 1000.0; val lo1 = sm24(bytes, o + 13) / 1000.0
     val la2 = sm24(bytes, o + 17) / 1000.0; val lo2 = sm24(bytes, o + 20) / 1000.0
-    val scanMode = u8(bytes, o + 27)
+    scanMode = u8(bytes, o + 27)
     // edition 1 defines scan bits 1-3 only (±i, ±j, column-major)
     require((scanMode & 0x1f) == 0, f"implausible GRIB1 scan mode 0x$scanMode%02x")
-    var px = 0.0; var py = 0.0; var west = 0.0; var north = 0.0
-    var proj: Option[Grib2.GridProj] = None
     if (gtype == 0) {
       val di = u16(bytes, o + 23); val dj = u16(bytes, o + 25)
       // the i direction runs lo1→lo2 (reversed under the −i scan
@@ -171,6 +193,7 @@ object Grib1 {
       proj = Some(Grib2.GaussianGrid(nPar))
     }
     o += gdsLen
+    }
     // ---- BMS (optional) ----
     var bitmap: Array[Boolean] = null
     if ((flags & 0x40) != 0) {
@@ -326,8 +349,10 @@ object Grib1 {
     * NaN; lat/lon grid). Gaussian output is not needed for fixtures —
     * decode-side Gaussian coverage rides hand-built GDS bytes in the
     * spec. */
-  def write(m: Grib2.Message, decimals: Int = 2, scanMode: Int = 0): Array[Byte] =
-    writeWith(m, decimals, scanMode)(scan => simpleBds(scan, decimals))
+  def write(m: Grib2.Message, decimals: Int = 2, scanMode: Int = 0,
+            predefinedGrid: Option[Int] = None): Array[Byte] =
+    writeWith(m, decimals, scanMode, predefinedGrid)(scan =>
+      simpleBds(scan, decimals))
 
   /** Second-order (complex) packed fixture, the GRIBEX BDS form of
     * the ERA-era ECMWF archives (see the decode-side comment for the
@@ -474,10 +499,22 @@ object Grib1 {
     sectionBytes(b.toByteArray)
   }
 
-  private def writeWith(m: Grib2.Message, decimals: Int, scanMode: Int)
+  private def writeWith(m: Grib2.Message, decimals: Int, scanMode: Int,
+                        predefinedGrid: Option[Int] = None)
                        (mkBds: Array[Float] => Array[Byte]): Array[Byte] = {
     require((scanMode & 0x1f) == 0, "edition-1 scan modes use bits 1-3 only")
     val r = m.raster
+    predefinedGrid.foreach { id =>
+      require(scanMode == 0, "predefined grids scan +i -j (mode 0) by definition")
+      val (w, h, d) = predefinedGrids.getOrElse(id,
+        throw new IllegalArgumentException(s"no predefined grid $id in the fixture table"))
+      require(r.width == w && r.height == h &&
+        math.abs(r.px - d) < 1e-9 && math.abs(r.py - d) < 1e-9 &&
+        math.abs(r.west - (-d / 2)) < 1e-9 &&
+        math.abs(r.north - (90.0 + d / 2)) < 1e-9,
+        s"raster geometry does not match predefined grid $id " +
+          s"(${w}x$h at $d°, first point 90°/0°)")
+    }
     val scan = Grib2.toScanOrder(r.data, r.width, r.height, scanMode)
     val hasNaN = scan.exists(_.isNaN)
 
@@ -495,8 +532,9 @@ object Grib1 {
       w8(m.category) // table version
       w8(98) // centre (ECMWF — fixture convention)
       w8(0)  // generating process
-      w8(255) // grid id: none, GDS present
-      w8(if (hasNaN) 0xc0 else 0x80) // flags: GDS (+BMS)
+      w8(predefinedGrid.getOrElse(255)) // grid id (255: none, GDS present)
+      val gdsBit = if (predefinedGrid.isEmpty) 0x80 else 0
+      w8(gdsBit | (if (hasNaN) 0x40 else 0)) // flags: GDS? + BMS?
       w8(m.parameter)
       w8(1); u16wTo(b, 0) // level type sfc, level 0
       val t = m.refTime
@@ -553,7 +591,8 @@ object Grib1 {
       if (nb > 0) b.write(acc << (8 - nb))
     }
     val bds = mkBds(scan)
-    val body = pds ++ gds ++ bms ++ bds
+    val body = pds ++
+      (if (predefinedGrid.isEmpty) gds else Array.emptyByteArray) ++ bms ++ bds
     val total = 8 + body.length + 4
     val head = new java.io.ByteArrayOutputStream()
     head.write('G'); head.write('R'); head.write('I'); head.write('B')

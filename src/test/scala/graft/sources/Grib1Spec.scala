@@ -43,6 +43,42 @@ class Grib1Spec extends SparkSpec {
     }
   }
 
+  test("predefined (GDS-less) grid 2 round-trips; unknown grid numbers are loud") {
+    // NCEP ON388 grid 2: global 2.5°, 144x73, first point 90°/0° —
+    // the GDS-less form pre-2000 NCEP archives shipped
+    val w = 144; val h = 73; val d = 2.5
+    val data = Array.tabulate(w * h) { i =>
+      if (i % 53 == 0) Float.NaN else (220.0f + (i % 101) * 0.25f)
+    }
+    val m = Grib2.Message(
+      GeoTiff.Raster(w, h, data, -d / 2, 90.0 + d / 2, d, d),
+      discipline = 255, category = 3, parameter = 11,
+      refTime = java.time.LocalDateTime.of(1979, 1, 1, 0, 0),
+      forecastHours = 0)
+    val bytes = Grib1.write(m, predefinedGrid = Some(2))
+    // the wire form really is GDS-less: PDS octet 8 has no GDS bit
+    assert(Formats.sniff(bytes).map(_.name).contains("grib1"))
+    val back = Grib1.read(bytes)
+    assert(back.raster.width == w && back.raster.height == h)
+    assert(math.abs(back.raster.west - (-d / 2)) < 1e-9)
+    assert(math.abs(back.raster.north - (90.0 + d / 2)) < 1e-9)
+    assert(back.raster.px == d && back.raster.py == d)
+    back.raster.data.zip(m.raster.data).foreach { case (a, b) =>
+      if (b.isNaN) assert(a.isNaN) else assert(math.abs(a - b) < 0.005)
+    }
+    // an unknown predefined grid number dead-letters by name
+    val unknown = bytes.clone()
+    // PDS starts at offset 8; octet 7 (grid id) is at 8 + 6
+    unknown(8 + 6) = 21
+    val e = intercept[IllegalArgumentException] { Grib1.read(unknown) }
+    assert(e.getMessage.contains("predefined GRIB1 grid 21"))
+    // geometry that doesn't match the table is a writer error
+    val bad = intercept[IllegalArgumentException] {
+      Grib1.write(sampleMessage, predefinedGrid = Some(2))
+    }
+    assert(bad.getMessage.contains("does not match predefined grid"))
+  }
+
   test("multi-message files index by forecast hour through the decoder registry") {
     val m = sampleMessage
     val both = Grib1.write(m) ++ Grib1.write(m.copy(forecastHours = 12))
