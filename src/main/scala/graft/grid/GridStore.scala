@@ -14,9 +14,16 @@ object GridStore {
   /** Persist a long-form or tiled frame. `df` must carry `collection`
     * and `t`; a `p_date` partition column is derived from t. */
   def write(df: DataFrame, path: String): Unit =
+    // the sort leads with the partition columns: FileFormatWriter
+    // REQUIRES ordering by the partitionBy columns and would insert
+    // its own SortExec above a tile-only sort — a sort that is not
+    // contractually stable, so the tile clustering could silently
+    // scramble on spill. Satisfying the requirement ourselves keeps
+    // ONE sort and guarantees the within-file layout.
     df.withColumn("p_date", date_format(col("t"), "yyyy-MM-dd"))
       .repartition(col("collection"), col("p_date"))
-      .sortWithinPartitions(col("tile_y"), col("tile_x"))
+      .sortWithinPartitions(
+        col("collection"), col("p_date"), col("tile_y"), col("tile_x"))
       .write.mode("overwrite")
       .partitionBy("collection", "p_date")
       .parquet(path)
@@ -52,9 +59,12 @@ object GridStore {
   def compact(spark: SparkSession, path: String, zOrdered: Boolean = false): Unit = {
     val df = read(spark, path)
     val tmp = path + ".compact"
-    val sortKeys =
-      if (zOrdered) Seq(ZOrder.zkey(col("tile_y"), col("tile_x")))
-      else Seq(col("tile_y"), col("tile_x"))
+    // partition-column sort prefix for the same reason as [[write]]:
+    // without it the writer's own (unstable) sort would undo the
+    // clustering this compaction exists to establish
+    val sortKeys = Seq(col("collection"), col("p_date")) ++
+      (if (zOrdered) Seq(ZOrder.zkey(col("tile_y"), col("tile_x")))
+       else Seq(col("tile_y"), col("tile_x")))
     df.repartition(col("collection"), col("p_date"))
       .sortWithinPartitions(sortKeys: _*)
       .write.mode("overwrite").partitionBy("collection", "p_date").parquet(tmp)

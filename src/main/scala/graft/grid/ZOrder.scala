@@ -36,10 +36,18 @@ object ZOrder {
       c.bitwiseOR(shiftleft(c, sh)).bitwiseAND(lit(mask))
     }
 
-  /** Interleaved key: y bits at odd positions, x bits at even. */
+  /** Interleaved key: y bits at odd positions, x bits at even. Out-of-
+    * domain coordinates fail LOUDLY (like [[zkeyRef]]) — a silently
+    * garbled key would scramble the clustering with no symptom beyond
+    * quietly lost pruning. */
   def zkey(y: Column, x: Column): Column =
-    shiftleft(spread(y.cast("long")), 1)
-      .bitwiseOR(spread(x.cast("long")))
+    when(y >= 0 && x >= 0,
+      shiftleft(spread(y.cast("long")), 1)
+        .bitwiseOR(spread(x.cast("long"))))
+      .otherwise(raise_error(concat(
+        lit("z-order coords must be non-negative: ("),
+        y.cast("string"), lit(", "), x.cast("string"), lit(")")))
+        .cast("long"))
 
   /** Reference implementation for specs and driver-side callers. */
   def zkeyRef(y: Int, x: Int): Long = {

@@ -27,6 +27,36 @@ object BpeTrain {
     * concatenates to the new token. */
   final case class Merge(rank: Int, a: String, b: String)
 
+  /** Seed tokenization: one token per Unicode CODE POINT. Splitting by
+    * UTF-16 char would break surrogate pairs (emoji, CJK extensions)
+    * into lone surrogates, which do not survive Spark's UTF-8 row
+    * encoding — distinct characters would collapse into '?' pairs and
+    * trained tokens would no longer reconstruct their words. */
+  def charTokens(w: String): IndexedSeq[String] = {
+    val out = IndexedSeq.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
+
+  /** The trainer's deterministic tie-break order: UTF-8 byte order —
+    * what Spark's binary string collation sorts by. (Java String
+    * ordering differs for supplementary vs U+E000..U+FFFF characters;
+    * pinning the bytes keeps driver-side reimplementations honest.) */
+  val tokenOrder: Ordering[String] = (a: String, b: String) => {
+    val ab = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val bb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(ab.length, bb.length)
+    var r = 0
+    while (i < n && r == 0) { r = (ab(i) & 0xff) - (bb(i) & 0xff); i += 1 }
+    if (r != 0) r else ab.length - bb.length
+  }
+
   /** Leftmost-greedy non-overlapping application of ONE merge to a
     * token sequence. */
   def applyMerge(toks: IndexedSeq[String], a: String, b: String): IndexedSeq[String] = {
@@ -42,7 +72,7 @@ object BpeTrain {
 
   /** Tokenize one word with a trained merge list (rank order). */
   def encode(word: String, merges: Seq[Merge]): IndexedSeq[String] =
-    merges.sortBy(_.rank).foldLeft(word.map(_.toString): IndexedSeq[String]) {
+    merges.sortBy(_.rank).foldLeft(charTokens(word)) {
       (ts, m) => applyMerge(ts, m.a, m.b)
     }
 
@@ -61,7 +91,7 @@ object BpeTrain {
     var vocab: Dataset[(String, Seq[String], Long)] = wordCounts
       .select(col("w"), col("c").cast("long"))
       .as[(String, Long)]
-      .map { case (w, c) => (w, w.map(_.toString): Seq[String], c) }
+      .map { case (w, c) => (w, charTokens(w): Seq[String], c) }
       .persist()
     vocab.count() // materialize the seed before the loop mutates lineage
 
@@ -76,7 +106,8 @@ object BpeTrain {
       }.groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
         .map { case ((a, b), n) => (a, b, n) }
         .toDF("a", "b", "n")
-        // deterministic argmax: count desc, then pair lexicographic —
+        // deterministic argmax: count desc, then pair in UTF-8 byte
+        // order ([[tokenOrder]] — Spark's binary string collation) —
         // the tie-break every reproducible trainer fixes
         .orderBy(col("n").desc, col("a").asc, col("b").asc)
         .head(1)

@@ -88,5 +88,11 @@ class PlanAuditSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       s"t_quality_lr lost the broadcast model join:\n$plan")
+    // the query has TWO joins (model, then the doc_id left join) — a
+    // lone contains(BroadcastHashJoin) would pass even if the model
+    // join degraded to a shuffle while the tiny doc_id join broadcast;
+    // at this scale NO join may shuffle
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"t_quality_lr shuffles a join that should broadcast:\n$plan")
   }
 }

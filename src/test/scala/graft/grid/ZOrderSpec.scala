@@ -28,6 +28,12 @@ class ZOrderSpec extends SparkSpec {
     assert(ZOrder.zkeyRef(5, 9) < ZOrder.zkeyRef(5, 10))
     // interleave is a bijection on the sample
     assert(got.values.toSet.size == got.size)
+    // out-of-domain coordinates are loud, not garbled keys
+    val e = intercept[Exception] {
+      Seq((-1, 4)).toDF("y", "x")
+        .select(ZOrder.zkey(col("y"), col("x"))).collect()
+    }
+    assert(e.getMessage.contains("non-negative"))
   }
 
   /** Sum of rows the parquet scans actually surfaced (i.e. rows in row
@@ -68,7 +74,8 @@ class ZOrderSpec extends SparkSpec {
     val rmPath = Files.createTempDirectory("graft-rowmajor-").toString
     tiles.withColumn("p_date", date_format(col("t"), "yyyy-MM-dd"))
       .repartition(col("collection"), col("p_date"))
-      .sortWithinPartitions(col("tile_y"), col("tile_x"))
+      .sortWithinPartitions(
+        col("collection"), col("p_date"), col("tile_y"), col("tile_x"))
       .write.mode("overwrite")
       .option("maxRecordsPerFile", 2048L)
       .partitionBy("collection", "p_date").parquet(rmPath)

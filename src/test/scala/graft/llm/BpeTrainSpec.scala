@@ -9,10 +9,12 @@ import graft.SparkSpec
 class BpeTrainSpec extends SparkSpec {
   import spark.implicits._
 
-  /** Independent sequential reference trainer. */
+  /** Independent sequential reference trainer (code-point seeds,
+    * UTF-8-byte tie-break — BpeTrain.tokenOrder's contract). */
   private def refTrain(wc: Map[String, Long], nMerges: Int): Seq[(String, String)] = {
+    implicit val ord: Ordering[String] = BpeTrain.tokenOrder
     var vocab: Map[String, (IndexedSeq[String], Long)] =
-      wc.map { case (w, c) => w -> (w.map(_.toString): IndexedSeq[String], c) }
+      wc.map { case (w, c) => w -> (BpeTrain.charTokens(w), c) }
     val merges = Seq.newBuilder[(String, String)]
     var done = false
     var k = 0
@@ -48,8 +50,13 @@ class BpeTrainSpec extends SparkSpec {
   }
 
   test("distributed trainer matches the sequential reference on the classic corpus") {
+    // includes non-BMP words: U+1F44D/U+1F600 are surrogate PAIRS in
+    // UTF-16 — code-point seeding must keep them distinct through
+    // Spark's UTF-8 row encoding (char-level splitting would collapse
+    // both into lone-surrogate '?' tokens)
     val wc = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L,
-      "lowest" -> 2L, "aaaa" -> 4L)
+      "lowest" -> 2L, "aaaa" -> 4L,
+      "👍👍ok" -> 3L, "😀😀ok" -> 2L)
     val df = wc.toSeq.toDF("w", "c")
     val (merges, vocabOut) = BpeTrain.train(df, 10)
     val expect = refTrain(wc, 10)
