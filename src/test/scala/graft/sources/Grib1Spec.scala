@@ -291,4 +291,31 @@ class Grib1Spec extends SparkSpec {
     info(s"$decoded decoded, $threw dead-lettered of 150 corruptions")
     assert(decoded + threw == 150)
   }
+
+  test("byte-flipped GDS-less granules decode or throw — never hang") {
+    // the predefined-grid path has its own offsets (no GDS section), so
+    // it gets its own corruption sweep
+    val w = 144; val h = 73; val d = 2.5
+    val m = Grib2.Message(
+      GeoTiff.Raster(w, h,
+        Array.tabulate(w * h)(i => 250.0f + (i % 37) * 0.5f),
+        -d / 2, 90.0 + d / 2, d, d),
+      discipline = 255, category = 3, parameter = 11,
+      refTime = java.time.LocalDateTime.of(1979, 1, 1, 0, 0),
+      forecastHours = 0)
+    val good = Grib1.write(m, predefinedGrid = Some(2))
+    val rnd = new Random(47)
+    var decoded = 0; var threw = 0
+    for (trial <- 0 until 150) {
+      val bad = good.clone()
+      for (_ <- 0 to rnd.nextInt(4))
+        bad(rnd.nextInt(bad.length)) = rnd.nextInt(256).toByte
+      val t0 = System.nanoTime()
+      try { Grib1.readAll(bad); decoded += 1 }
+      catch { case _: Exception => threw += 1 }
+      assert((System.nanoTime() - t0) / 1e9 < 30.0, s"trial $trial must terminate")
+    }
+    info(s"$decoded decoded, $threw dead-lettered of 150 corruptions")
+    assert(decoded + threw == 150)
+  }
 }
