@@ -81,7 +81,8 @@ object Formats {
     override def decodeMultiFlagged(b: Array[Byte]): Seq[(Int, GeoTiff.Raster, Boolean)] =
       requireOneGrid(Grib2.readAll(b)).map(m => (m.forecastHours, m.raster, m.lossy))
     override def listVariables(b: Array[Byte]): Seq[String] =
-      Grib2.readAll(b).map(m => s"d${m.discipline}_c${m.category}_p${m.parameter}").distinct
+      Grib2.readAll(b).map(m =>
+        s"d${m.discipline}_c${m.category}_p${m.parameter}${m.variant}").distinct
     /** Projected (Lambert 3.30) grids carry exact per-pixel lon/lat —
       * the same non-affine hook curvilinear NetCDF uses; lat/lon grids
       * return None and keep the affine fast path. Multi-message files
@@ -98,7 +99,8 @@ object Formats {
     override def decodeMulti(b: Array[Byte]): Seq[(Int, GeoTiff.Raster)] =
       requireOneGrid(Grib1.readAll(b)).map(m => (m.forecastHours, m.raster))
     override def listVariables(b: Array[Byte]): Seq[String] =
-      Grib1.readAll(b).map(m => s"d${m.discipline}_c${m.category}_p${m.parameter}").distinct
+      Grib1.readAll(b).map(m =>
+        s"d${m.discipline}_c${m.category}_p${m.parameter}${m.variant}").distinct
     override def pixelLonLat(b: Array[Byte]): Option[(Array[Double], Array[Double])] =
       Grib2.lonLatArrays(requireOneGrid(Grib1.readAll(b)).head)
   }

@@ -99,11 +99,17 @@ object Grib2 {
     * (5.40 compression type 1): values are the codec's nearest-integer
     * reconstruction, not the producer's exact scaled integers —
     * exactness-sensitive consumers filter on it. */
+  /** `variant` distinguishes statistically-derived products of the
+    * same parameter in variable naming: a 4.9 probability-of-
+    * precipitation field is NOT precipitation, so it must not collide
+    * with the 4.0 deterministic variable ("" deterministic, "_prob"
+    * 4.5/4.9, "_pct" 4.10, "_sp" 4.15). */
   case class Message(raster: GeoTiff.Raster,
                      discipline: Int, category: Int, parameter: Int,
                      refTime: java.time.LocalDateTime, forecastHours: Int,
                      proj: Option[GridProj] = None,
-                     lossy: Boolean = false)
+                     lossy: Boolean = false,
+                     variant: String = "")
 
   /** Exact per-pixel (lon, lat) at pixel centers for non-affine grids
     * (None for regular lat/lon — the affine path needs no arrays). */
@@ -205,8 +211,11 @@ object Grib2 {
     * producers emit. */
   def write(m: Message, decimals: Int = 2, packing: Int = 0,
             scanMode: Int = 0, j2kQuantShift: Option[Int] = None,
-            missingMgmt: Int = 0, sdOrder: Int = 2): Array[Byte] = {
+            missingMgmt: Int = 0, sdOrder: Int = 2,
+            productTemplate: Int = 0): Array[Byte] = {
     require(Set(0, 2, 3, 40, 41, 42, 200).contains(packing), s"unsupported packing $packing")
+    require(Set(0, 9, 15).contains(productTemplate),
+      s"fixture writer emits product templates 4.0/4.9/4.15 only, got 4.$productTemplate")
     require(j2kQuantShift.isEmpty || packing == 40,
       "j2kQuantShift only applies to JPEG2000 packing (40)")
     require(missingMgmt == 0 || (missingMgmt == 1 && (packing == 2 || packing == 3)),
@@ -448,13 +457,33 @@ object Grib2 {
           }
         }
     }
-    sec(4) { b => // product definition, template 4.0
-      bu16(b, 0); bu16(b, 0)
+    sec(4) { b => // product definition: the shared 4.0 body (octets
+      // 6-34), then the template-specific tail for 4.9/4.15
+      bu16(b, 0); bu16(b, productTemplate)
       bu8(b, m.category); bu8(b, m.parameter)
       bu8(b, 0); bu8(b, 0); bu8(b, 0); bu16(b, 0); bu8(b, 0)
       bu8(b, 1) // time unit: hours
       bu32(b, m.forecastHours)
       bu8(b, 1); bu8(b, 0); bu32(b, 0); bu8(b, 255); bu8(b, 0); bu32(b, 0)
+      productTemplate match {
+        case 0 => ()
+        case 9 => // probability over an interval: probability block
+          // (35-47) + end-of-interval time + ONE time-range spec
+          bu8(b, 0); bu8(b, 1); bu8(b, 1) // prob 0 of 1, type 1 (> lower)
+          bu8(b, 0); bu32(b, 10) // lower limit: scale 0, value 10
+          bu8(b, 0); bu32(b, 0) // upper limit (unused for type 1)
+          val e = m.refTime.plusHours(m.forecastHours)
+          bu16(b, e.getYear); bu8(b, e.getMonthValue); bu8(b, e.getDayOfMonth)
+          bu8(b, e.getHour); bu8(b, e.getMinute); bu8(b, e.getSecond)
+          bu8(b, 1); bu32(b, 0) // one time range, 0 values missing
+          bu8(b, 1); bu8(b, 2) // statistical process 1, increment type 2
+          bu8(b, 1); bu32(b, m.forecastHours) // range length (hours)
+          bu8(b, 1); bu32(b, 0) // increment (hours), 0
+        case 15 => // spatially processed: statistical process, spatial
+          // processing type, number of points used
+          bu8(b, 0); bu8(b, 0); bu8(b, 4)
+        case t => throw new IllegalStateException(s"guarded above: 4.$t")
+      }
     }
 
     // ---- packing-specific sections 5 + 7 ----
@@ -852,6 +881,7 @@ object Grib2 {
     var rlNbits = 0; var rlMv = 0; var rlMvl = 0; var rlDec = 0
     var rlLevels: Array[Int] = null
     var lossyField = false
+    var variant = ""
     var category = 0; var parameter = 0; var forecastHours = 0
     var refTime = java.time.LocalDateTime.MIN
     var bitmap: Array[Boolean] = null
@@ -1092,15 +1122,26 @@ object Grib2 {
               s"implausible grid shape ${width}x$height (corrupt section 3?)")
           case 4 =>
             val tmpl4 = u16(o + 2)
-            // 4.0/4.1/4.2 (analysis/ensemble/derived) and 4.8/4.11/4.12
-            // (their accumulation forms) all share the 4.0 prefix this
-            // reader consumes (category/parameter/forecast octets 10-22);
-            // anything else could carry those octets with DIFFERENT
-            // meaning, so it fails loudly rather than mislabeling
-            require(Set(0, 1, 2, 8, 11, 12).contains(tmpl4),
+            // 4.0/4.1/4.2 (analysis/ensemble/derived), 4.8/4.11/4.12
+            // (their accumulation forms), 4.5/4.9 (probability), 4.10
+            // (percentile) and 4.15 (spatially processed) all share the
+            // 4.0 prefix this reader consumes (category/parameter/
+            // forecast octets 10-22 — their template-specific octets
+            // follow the shared fixed-surface block at 23-34); anything
+            // else could carry those octets with DIFFERENT meaning, so
+            // it fails loudly rather than mislabeling
+            require(Set(0, 1, 2, 5, 8, 9, 10, 11, 12, 15).contains(tmpl4),
               s"unsupported product definition template 4.$tmpl4")
             category = bytes(o + 4) & 0xff; parameter = bytes(o + 5) & 0xff
             forecastHours = u32(o + 13).toInt
+            // statistically-derived products are DIFFERENT variables
+            // from their deterministic parameter (see Message.variant)
+            variant = tmpl4 match {
+              case 5 | 9 => "_prob"
+              case 10 => "_pct"
+              case 15 => "_sp"
+              case _ => ""
+            }
           case 5 =>
             tmpl5 = u16(o + 4)
             require(Set(0, 2, 3, 40, 41, 42, 200).contains(tmpl5),
@@ -1248,7 +1289,7 @@ object Grib2 {
     }
     Message(GeoTiff.Raster(width, height, data, west, north, px, py),
       discipline, category, parameter, refTime, forecastHours, proj,
-      lossy = lossyField)
+      lossy = lossyField, variant = variant)
   }
 
   /** Unpack a run-length-packed (5.200) data section into present-cell

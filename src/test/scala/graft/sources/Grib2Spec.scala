@@ -814,6 +814,43 @@ class Grib2Spec extends SparkSpec {
     assert(Formats.Grib2Decoder.decodeMulti(bytes).map(_._1) == Seq(12, 18, 24))
   }
 
+  test("probability (4.9) and spatially-processed (4.15) products decode as distinct variables") {
+    val m = sampleMessage
+    // P(param > threshold) is NOT the deterministic parameter — the
+    // same (discipline, category, parameter) octets must surface as a
+    // different variable, or a probability field silently overwrites
+    // its base field in the catalog
+    val prob = Grib2.write(m, productTemplate = 9)
+    val backP = Grib2.read(prob)
+    assert(backP.variant == "_prob")
+    assert(Formats.Grib2Decoder.listVariables(prob) == Seq("d0_c1_p8_prob"))
+    backP.raster.data.zip(m.raster.data).foreach { case (a, b) =>
+      if (b.isNaN) assert(a.isNaN) else assert(math.abs(a - b) < 0.005)
+    }
+    assert(backP.forecastHours == m.forecastHours)
+
+    val sp = Grib2.write(m, productTemplate = 15)
+    assert(Grib2.read(sp).variant == "_sp")
+    assert(Formats.Grib2Decoder.listVariables(sp) == Seq("d0_c1_p8_sp"))
+
+    // a 4.0 + 4.9 pair of the same parameter is TWO variables
+    val both = Grib2.write(m) ++ prob
+    assert(Formats.Grib2Decoder.listVariables(both) ==
+      Seq("d0_c1_p8", "d0_c1_p8_prob"))
+
+    // unknown statistical templates still dead-letter by number
+    val bad = prob.clone()
+    // walk sections from the end of the 16-octet indicator to find
+    // section 4, then overwrite its template number (octets 8-9)
+    var o = 16
+    def u32(p: Int) = ((bad(p) & 0xffL) << 24) | ((bad(p + 1) & 0xffL) << 16) |
+      ((bad(p + 2) & 0xffL) << 8) | (bad(p + 3) & 0xffL)
+    while ((bad(o + 4) & 0xff) != 4) o += u32(o).toInt
+    bad(o + 7) = 0; bad(o + 8) = 30 // template 4.30 (satellite product)
+    val e = intercept[IllegalArgumentException] { Grib2.read(bad) }
+    assert(e.getMessage.contains("4.30"))
+  }
+
   test("mixed-grid multi-message files fail loudly instead of mis-georeferencing") {
     val m = sampleMessage
     val shifted = m.copy(forecastHours = 18,
