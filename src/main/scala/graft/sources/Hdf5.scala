@@ -223,7 +223,7 @@ object Hdf5 {
     if (seen.contains(addr)) return
     val msgs = messages(in, addr)
     if (msgs.map(_._1).contains(0x08)) { // data layout → dataset
-      out += readDataset(in, addr, prefix, msgs)
+      out += readDataset(in, addr, prefix, msgs, rootAddr)
       return
     }
     val seen2 = seen + addr
@@ -639,8 +639,111 @@ object Hdf5 {
     Some(name -> value)
   }
 
+  /** Parse a serialized dataspace selection (File Format Spec III.C,
+    * the form VDS mappings embed). Returns (blocks, nextOffset):
+    * None = H5S_SEL_ALL (every element); Some(list of (start, count)
+    * per dimension) for NONE (empty list) and hyperslabs — v1 explicit
+    * blocks (u32 start/end pairs) and v2 regular patterns
+    * (start/stride/count/block u64 per dim, expanded to blocks). */
+  private def parseSelection(blob: Array[Byte], off0: Int)
+      : (Option[Seq[(Array[Long], Array[Long])]], Int) = {
+    val bb = ByteBuffer.wrap(blob).order(ByteOrder.LITTLE_ENDIAN)
+    val typ = bb.getInt(off0); val ver = bb.getInt(off0 + 4)
+    typ match {
+      case 3 => // H5S_SEL_ALL: version + 8 reserved bytes
+        require(ver == 1, s"unsupported ALL-selection version $ver")
+        (None, off0 + 16)
+      case 0 => // H5S_SEL_NONE
+        require(ver == 1, s"unsupported NONE-selection version $ver")
+        (Some(Nil), off0 + 16)
+      case 2 if ver == 1 => // hyperslab: explicit block list
+        var p = off0 + 8
+        p += 4 // reserved
+        p += 4 // encoded length (implicit in the parse)
+        val rank = bb.getInt(p); p += 4
+        val nb = bb.getInt(p); p += 4
+        require(rank > 0 && rank <= 32, s"implausible selection rank $rank")
+        require(nb >= 0 && nb <= (1 << 20), s"implausible block count $nb")
+        val blocks = (0 until nb).map { _ =>
+          val st = new Array[Long](rank); val ct = new Array[Long](rank)
+          var d = 0
+          while (d < rank) { st(d) = bb.getInt(p) & 0xffffffffL; p += 4; d += 1 }
+          d = 0
+          while (d < rank) { // opposite corner, INCLUSIVE
+            ct(d) = (bb.getInt(p) & 0xffffffffL) - st(d) + 1; p += 4; d += 1
+          }
+          (st, ct)
+        }
+        (Some(blocks), p)
+      case 2 if ver == 2 => // regular hyperslab: start/stride/count/block
+        var p = off0 + 8
+        p += 1 // flags
+        p += 4 // encoded length
+        val rank = bb.getInt(p); p += 4
+        require(rank > 0 && rank <= 32, s"implausible selection rank $rank")
+        val st = new Array[Long](rank); val sd = new Array[Long](rank)
+        val cn = new Array[Long](rank); val bl = new Array[Long](rank)
+        var d = 0
+        while (d < rank) {
+          st(d) = bb.getLong(p); sd(d) = bb.getLong(p + 8)
+          cn(d) = bb.getLong(p + 16); bl(d) = bb.getLong(p + 24)
+          p += 32; d += 1
+        }
+        require(cn.product <= (1 << 20), s"implausible regular pattern ${cn.toSeq}")
+        // expand count repetitions along every dim into explicit blocks
+        val blocks = Seq.newBuilder[(Array[Long], Array[Long])]
+        def rec(dim: Int, start: Array[Long]): Unit =
+          if (dim == rank) blocks += ((start.clone(), bl.clone()))
+          else {
+            var i = 0L
+            while (i < cn(dim)) {
+              start(dim) = st(dim) + i * sd(dim)
+              rec(dim + 1, start); i += 1
+            }
+          }
+        rec(0, new Array[Long](rank))
+        (Some(blocks.result()), p)
+      case 1 => throw new IllegalArgumentException(
+        "point-list virtual selections not supported")
+      case t => throw new IllegalArgumentException(s"unknown selection type $t")
+    }
+  }
+
+  /** Row-major element indices of a selection over `dims` (None = all). */
+  private def selIndices(sel: Option[Seq[(Array[Long], Array[Long])]],
+                         dims: Array[Int]): Array[Int] = {
+    val rank = dims.length
+    val strides = new Array[Long](rank)
+    var s = 1L
+    var d = rank - 1
+    while (d >= 0) { strides(d) = s; s *= dims(d); d -= 1 }
+    sel match {
+      case None => Array.range(0, dims.product)
+      case Some(blocks) =>
+        val out = Array.newBuilder[Int]
+        for ((st, ct) <- blocks) {
+          require(st.length == rank,
+            s"selection rank ${st.length} does not match dataset rank $rank")
+          def rec(dm: Int, base: Long): Unit =
+            if (dm == rank) out += base.toInt
+            else {
+              var i = 0L
+              while (i < ct(dm)) {
+                val c = st(dm) + i
+                require(c >= 0 && c < dims(dm),
+                  s"selection coordinate $c exceeds extent ${dims(dm)} in dim $dm")
+                rec(dm + 1, base + c * strides(dm)); i += 1
+              }
+            }
+          rec(0, 0L)
+        }
+        out.result()
+    }
+  }
+
   private def readDataset(in: ByteIn, addr: Long,
-                          prefix: String, msgs: Seq[(Int, Long)]): Dataset = {
+                          prefix: String, msgs: Seq[(Int, Long)],
+                          rootAddr: Long): Dataset = {
     var dims: Seq[Long] = Nil
     var dt: Dt = null
     var fillRaw: Option[Array[Byte]] = None
@@ -657,6 +760,9 @@ object Hdf5 {
     var v4Flags = 0
     var v4SingleSize = 0L
     var v4SingleMask = 0
+    // virtual dataset (layout class 3) mapping-blob location
+    var vdsGheap = Undef
+    var vdsIdx = 0
     val attrs = scala.collection.mutable.Map[String, Any]()
 
     msgs.foreach {
@@ -724,8 +830,11 @@ object Hdf5 {
                 s"unsupported v4 chunk index type $t")
             }
             btree = in.getLong(p) // index (or single-chunk) address
-          case (_, 3) => throw new IllegalArgumentException(
-            "virtual dataset layout (class 3) not supported")
+          case (_, 3) => // virtual dataset: (gheap address, index) of
+            // the mapping blob; resolution happens below once the
+            // dataspace/datatype messages are in hand
+            vdsGheap = in.getLong(off + 2)
+            vdsIdx = in.getInt(off + 10)
           case (_, c) => throw new IllegalArgumentException(s"unsupported layout class $c")
         }
       case (0x0B, off) =>
@@ -746,6 +855,60 @@ object Hdf5 {
       s"variable of ${dims.product} x ${dt.size}-byte elements exceeds the " +
         "materializing reader's 2 GiB cap (chunk-subset reads needed)")
     val n = dims.product.max(1).toInt
+
+    if (layoutClass == 3) {
+      // ---- virtual dataset (VDS, HDF5 ≥1.10): the data is a MAPPING
+      // onto other datasets. Same-file sources ('.') resolve through
+      // the normal group traversal and scatter by serialized dataspace
+      // selection (ALL / hyperslab v1 / regular hyperslab v2);
+      // cross-file and printf-pattern mappings fail loudly — the
+      // bytes-in reader has no directory context to open siblings.
+      require(dt.cls == 0 || dt.cls == 1,
+        "virtual STRING datasets not supported (numeric mappings only)")
+      val vdims = dims.map(_.toInt)
+      val data = new Array[Float](n)
+      val fv = fillRaw.map(fb => element(ByteIn(fb), 0, dt)).getOrElse(0.0).toFloat
+      java.util.Arrays.fill(data, fv)
+      val blob = gheapObject(in, vdsGheap, vdsIdx)
+      val bb = ByteBuffer.wrap(blob).order(ByteOrder.LITTLE_ENDIAN)
+      require((blob(0) & 0xff) == 0,
+        s"unsupported VDS global heap block version ${blob(0) & 0xff}")
+      val nMaps = bb.getLong(1)
+      require(nMaps >= 0 && nMaps <= 65536, s"implausible VDS mapping count $nMaps")
+      var p = 9
+      def cstr(): String = {
+        val s = p
+        while (p < blob.length && blob(p) != 0) p += 1
+        require(p < blob.length, "unterminated string in VDS mapping")
+        val r = new String(blob, s, p - s, java.nio.charset.StandardCharsets.UTF_8)
+        p += 1; r
+      }
+      var k = 0L
+      while (k < nMaps) {
+        val srcFile = cstr(); val srcPath = cstr()
+        require(srcFile == ".",
+          s"cross-file virtual mapping to '$srcFile' not supported (same-file '.' only)")
+        require(!srcPath.contains("%b"),
+          s"printf-pattern virtual mapping '$srcPath' not supported")
+        val (srcSel, p1) = parseSelection(blob, p); p = p1
+        val (virtSel, p2) = parseSelection(blob, p); p = p2
+        val srcAddr = resolvePath(in, rootAddr, rootAddr, srcPath, 0).getOrElse(
+          throw new IllegalArgumentException(
+            s"virtual mapping source '$srcPath' not found"))
+        val src = readDataset(in, srcAddr, srcPath.stripPrefix("/"),
+          messages(in, srcAddr), rootAddr)
+        val sIdx = selIndices(srcSel, src.shape.toArray)
+        val vIdx = selIndices(virtSel, vdims.toArray)
+        require(sIdx.length == vIdx.length,
+          s"virtual mapping '$srcPath' selects ${sIdx.length} source elements " +
+            s"for ${vIdx.length} virtual slots")
+        var i = 0
+        while (i < vIdx.length) { data(vIdx(i)) = src.data(sIdx(i)); i += 1 }
+        k += 1
+      }
+      return Dataset(prefix.stripSuffix("/"), addr, vdims, data, attrs.toMap)
+    }
+
     val raw: Array[Byte] = layoutClass match {
       case 0 => compact
       case 1 =>
@@ -1358,9 +1521,13 @@ object Hdf5 {
             filteredHeap: Boolean = false,
             denseIdStyle: String = "managed",
             softLinks: Seq[(String, String)] = Nil,
-            vlenStr: Boolean = false): Array[Byte] = {
+            vlenStr: Boolean = false,
+            virtualStack: Boolean = false): Array[Byte] = {
     require(softLinks.isEmpty || subgroup.isEmpty,
       "fixture writer: soft links + subgroup not combined")
+    require(!virtualStack || (subgroup.isEmpty && !denseRoot && !szip &&
+      layoutV4.isEmpty && !shuffle && !fletcher),
+      "fixture writer: virtualStack is its own root-group layout")
     require(subgroup.isEmpty || !denseRoot,
       "fixture writer: subgroup + denseRoot not combined")
     require(!filteredHeap || denseRoot, "filteredHeap applies to dense roots")
@@ -1450,8 +1617,15 @@ object Hdf5 {
     // root links: dims + either the data vars or the one child group;
     // the ONE local heap serves both groups' symbol tables (name
     // offsets are heap-relative, and both STABs point at it)
+    // virtual-stack sources are real root-linked datasets of their own
+    val vdsSrcNames: Seq[String] =
+      if (!virtualStack) Nil
+      else dataVars.filter(_.ncType != 2).flatMap { v =>
+        val nT = dims.find(_._1 == v.dims.head).get._2
+        (0 until nT).map(k => s"${v.name}_src$k")
+      }
     val allNames = dimSets.map(_._1) ++
-      subgroup.map(Seq(_)).getOrElse(dataVars.map(_.name))
+      subgroup.map(Seq(_)).getOrElse(dataVars.map(_.name)) ++ vdsSrcNames
     val heapNames = (allNames ++
       (if (subgroup.isDefined) dataVars.map(_.name) else Nil) ++
       (if (denseRoot) Nil
@@ -1588,6 +1762,95 @@ object Hdf5 {
           raw(objectHeader(msgs))
           padTo8()
         }
+      } else if (virtualStack) {
+        // ---- virtual dataset (VDS, layout class 3): the classic
+        // stacking shape — one real 2-D source dataset per leading
+        // index, the named variable a VIRTUAL map assembling them
+        // (same-file sources '.'; libhdf5 writes the identical layout
+        // for h5py virtual_sources). Checksums in the mapping blob are
+        // written zero like the dense-root fixtures — the reader
+        // consults neither.
+        val shape = v.dims.map(d => dims.find(_._1 == d).get._2).toArray
+        require(shape.length >= 2, "virtualStack needs rank >= 2 variables")
+        val nT = shape.head
+        val slice = shape.drop(1).product
+        // real contiguous sources, one per leading index
+        for (k <- 0 until nT) {
+          val dataAddr = pos
+          for (i <- 0 until slice)
+            u32(java.lang.Float.floatToIntBits(v.data(k * slice + i)).toLong & 0xffffffffL)
+          padTo8()
+          val msgs = Seq(
+            0x01 -> dataspaceMsg(shape.drop(1).toSeq),
+            0x03 -> f32Dt,
+            0x05 -> bodyBuf(bb => { bb.put(2.toByte).put(1.toByte).put(0.toByte).put(0.toByte) }, 4),
+            0x08 -> bodyBuf({ bb =>
+              bb.put(3.toByte).put(1.toByte)
+              bb.putLong(dataAddr.toLong); bb.putLong(slice * 4L)
+            }, 18))
+          ohAddrs(s"${v.name}_src$k") = pos
+          raw(objectHeader(msgs))
+          padTo8()
+        }
+        // the VDS mapping blob in its own global heap collection:
+        // version 0, entry count, then per mapping (file, dataset,
+        // source selection = ALL, virtual selection = one hyperslab-v1
+        // block pinning the leading index), checksum (zeroed)
+        val blobB = new java.io.ByteArrayOutputStream()
+        val blb = new java.io.DataOutputStream(blobB)
+        def bu32le(v0: Long): Unit = {
+          blb.write(v0.toInt & 0xff); blb.write((v0 >> 8).toInt & 0xff)
+          blb.write((v0 >> 16).toInt & 0xff); blb.write((v0 >> 24).toInt & 0xff)
+        }
+        blb.write(0) // version
+        bu32le(nT); bu32le(0) // entry count (u64 LE)
+        for (k <- 0 until nT) {
+          blb.write('.'.toInt); blb.write(0)
+          blb.write(s"/${v.name}_src$k".getBytes("UTF-8")); blb.write(0)
+          // source selection: H5S_SEL_ALL v1 + 8 reserved
+          bu32le(3); bu32le(1); bu32le(0); bu32le(0)
+          // virtual selection: hyperslab v1, one block
+          val rank = shape.length
+          bu32le(2); bu32le(1); bu32le(0) // type, version, reserved
+          bu32le(8L + 2L * rank * 4) // encoded length (rank+nblocks+coords)
+          bu32le(rank); bu32le(1)
+          bu32le(k); for (_ <- 1 until rank) bu32le(0) // start
+          bu32le(k); for (d <- 1 until rank) bu32le(shape(d) - 1L) // end, inclusive
+        }
+        bu32le(0) // checksum (unchecked)
+        val blob = blobB.toByteArray
+        val vdsGcol = pos
+        raw("GCOL".getBytes); u8(1); u8(0); u8(0); u8(0)
+        u64(16 + 16 + ((blob.length + 7) / 8) * 8)
+        u16(1); u16(1); u32(0); u64(blob.length)
+        raw(pad8(blob))
+        // the virtual dataset itself
+        val dimListData = bodyBuf({ bb =>
+          v.dims.indices.foreach { di =>
+            bb.putInt(1); bb.putLong(gheapAddr.toLong); bb.putInt(gheapIdx((v.name, di)))
+          }
+        }, v.dims.size * 16)
+        val msgs = Seq(
+          0x01 -> dataspaceMsg(shape.toSeq),
+          0x03 -> f32Dt,
+          0x05 -> bodyBuf({ bb =>
+            bb.put(2.toByte).put(1.toByte).put(0.toByte)
+            v.fill match {
+              case Some(f) => bb.put(1.toByte).putInt(4).putFloat(f)
+              case None => bb.put(0.toByte)
+            }
+          }, 12),
+          0x08 -> bodyBuf({ bb =>
+            bb.put(4.toByte).put(3.toByte) // layout v4, class 3 virtual
+            bb.putLong(vdsGcol.toLong); bb.putInt(1)
+          }, 14),
+          0x0C -> attrMsg("DIMENSION_LIST", vlenRefDt,
+            dataspaceMsg(Seq(v.dims.size)), dimListData)) ++
+          v.fill.map(f => 0x0C -> attrMsg("_FillValue", f32Dt,
+            scalarDs, bodyBuf(bb => { bb.putFloat(f); () }, 4))).toSeq
+        ohAddrs(v.name) = pos
+        raw(objectHeader(msgs))
+        padTo8()
       } else {
       val shape = v.dims.map(d => dims.find(_._1 == d).get._2).toArray
       val rank = shape.length

@@ -1,0 +1,98 @@
+package graft.sources
+
+import graft.SparkSpec
+
+/** Virtual datasets (layout class 3, HDF5 >= 1.10 -- h5py
+  * `VirtualLayout`/`virtual_sources`): the named variable is a MAPPING
+  * over real source datasets. Same-file sources ('.') resolve and
+  * scatter by serialized dataspace selection; cross-file and
+  * printf-pattern mappings fail loudly (the bytes-in reader has no
+  * directory context).
+  */
+class Hdf5VdsSpec extends SparkSpec {
+
+  private val h = 5; private val w = 7; private val nT = 3
+
+  private def vars(n: Int) = {
+    val lat = Array(40f, 30f, 20f, 10f, 0f)
+    val lon = Array(-30f, -20f, -10f, 0f, 10f, 20f, 30f)
+    val data = Array.tabulate(n * h * w)(i => if (i % 11 == 0) -9999f else i * 0.25f)
+    (Seq("time" -> n, "lat" -> h, "lon" -> w),
+      Seq(
+        NetCdf.Variable("lat", Seq("lat"), lat, None),
+        NetCdf.Variable("lon", Seq("lon"), lon, None),
+        NetCdf.Variable("precip", Seq("time", "lat", "lon"), data, Some(-9999f))),
+      data)
+  }
+
+  test("a virtual stack reads identically to the chunked form; sources are real datasets") {
+    val (dims, vs, data) = vars(nT)
+    val vds = Hdf5.write(dims, vs, virtualStack = true)
+    val f = Hdf5.read(vds)
+    val precip = f.datasets.find(_.name == "precip").get
+    assert(precip.shape == Seq(nT, h, w))
+    assert(precip.data.sameElements(data), "virtual assembly diverged from the source data")
+    // the reference layout agrees
+    assert(Hdf5.read(Hdf5.write(dims, vs)).datasets.find(_.name == "precip").get
+      .data.sameElements(data))
+    // each per-timestep source is an ordinary dataset of its slice
+    for (k <- 0 until nT) {
+      val src = f.datasets.find(_.name == s"precip_src$k").get
+      assert(src.shape == Seq(h, w))
+      assert(src.data.sameElements(data.slice(k * h * w, (k + 1) * h * w)))
+    }
+  }
+
+  test("the virtual variable ingests through the production NetCDF path") {
+    val (dims, vs, data) = vars(nT)
+    val vds = Hdf5.write(dims, vs, virtualStack = true)
+    assert(Formats.sniff(vds).map(_.name).contains("netcdf"))
+    val steps = Formats.NetCdfDecoder.decodeMulti(vds)
+    assert(steps.size == nT)
+    // timestep 1's raster equals the second slice, nodata as NaN
+    val r1 = steps(1)._2
+    assert(r1.width == w && r1.height == h)
+    for (i <- 0 until h * w) {
+      val expect = data(h * w + i)
+      if (expect == -9999f) assert(r1.data(i).isNaN)
+      else assert(r1.data(i) == expect)
+    }
+  }
+
+  test("cross-file and dangling virtual mappings fail loudly") {
+    val (dims, vs, _) = vars(nT)
+    val good = Hdf5.write(dims, vs, virtualStack = true)
+
+    // patch the first mapping's source FILE ('.') to another name;
+    // the needle is dot, NUL, "/precip_src0", NUL -- unique to the blob
+    val srcPath = "/precip_src0".getBytes("UTF-8")
+    val cross = good.clone()
+    val dotNeedle = Array[Byte]('.'.toByte, 0.toByte) ++ srcPath :+ 0.toByte
+    val at = indexOfSlice(cross, dotNeedle)
+    assert(at >= 0, "mapping blob not found in fixture bytes")
+    cross(at) = 'x'.toByte
+    val e1 = intercept[IllegalArgumentException] { Hdf5.read(cross) }
+    assert(e1.getMessage.contains("cross-file virtual mapping"), e1.getMessage)
+
+    // patch the mapped dataset PATH to a dangling name (the blob copy
+    // only -- the real link names live in the local heap, untouched)
+    val dangling = good.clone()
+    val pathNeedle = srcPath :+ 0.toByte
+    val pAt = indexOfSlice(dangling, pathNeedle)
+    assert(pAt >= 0)
+    dangling(pAt + srcPath.length - 1) = '9'.toByte // ..._src9: no such link
+    val e2 = intercept[IllegalArgumentException] { Hdf5.read(dangling) }
+    assert(e2.getMessage.contains("not found"), e2.getMessage)
+  }
+
+  private def indexOfSlice(hay: Array[Byte], needle: Array[Byte]): Int = {
+    var i = 0
+    while (i + needle.length <= hay.length) {
+      var j = 0
+      while (j < needle.length && hay(i + j) == needle(j)) j += 1
+      if (j == needle.length) return i
+      i += 1
+    }
+    -1
+  }
+}
