@@ -36,11 +36,17 @@ object GridStore {
     * no single task ever owns more than its key range. */
   def writeZOrdered(df: DataFrame, path: String,
                     maxRecordsPerFile: Long = 0L): Unit =
+    // the z key is sorted as an EXPRESSION, never a projected-then-
+    // dropped column: dropping a sort column after the sort erases the
+    // plan's known ordering, so the file writer would insert its own
+    // non-stable (collection, p_date) sort and silently scramble the
+    // z-clustering (caught by SoakZorder — the spec's single-date
+    // in-memory sort happened to be stable and hid it)
     df.withColumn("p_date", date_format(col("t"), "yyyy-MM-dd"))
-      .withColumn("_z", ZOrder.zkey(col("tile_y"), col("tile_x")))
-      .repartitionByRange(col("collection"), col("p_date"), col("_z"))
-      .sortWithinPartitions(col("collection"), col("p_date"), col("_z"))
-      .drop("_z")
+      .repartitionByRange(col("collection"), col("p_date"),
+        ZOrder.zkey(col("tile_y"), col("tile_x")))
+      .sortWithinPartitions(col("collection"), col("p_date"),
+        ZOrder.zkey(col("tile_y"), col("tile_x")))
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("collection", "p_date")
