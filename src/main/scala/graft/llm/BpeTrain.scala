@@ -87,13 +87,20 @@ object BpeTrain {
     val spark = wordCounts.sparkSession
     import spark.implicits._
 
-    // seed: every word as its character sequence, vocabulary-sized
+    // seed: every word as its character sequence, vocabulary-sized.
+    // localCheckpoint (eager) rather than persist: an iterative loop
+    // that persists each round nests every prior round's cached plan
+    // inside the next one's — the plan tree (and the cache-name
+    // treeString Spark renders for it) grows quadratically with the
+    // merge count until the plan STRING alone OOMs the driver (caught
+    // by SoakBpe at 24 merges). Checkpointing truncates the lineage to
+    // the materialized blocks, so every round's plan is one map over a
+    // LogicalRDD regardless of rank.
     var vocab: Dataset[(String, Seq[String], Long)] = wordCounts
       .select(col("w"), col("c").cast("long"))
       .as[(String, Long)]
       .map { case (w, c) => (w, charTokens(w): Seq[String], c) }
-      .persist()
-    vocab.count() // materialize the seed before the loop mutates lineage
+      .localCheckpoint()
 
     val merges = Seq.newBuilder[Merge]
     var rank = 0
@@ -115,12 +122,9 @@ object BpeTrain {
       else {
         val (a, b) = (best(0).getString(0), best(0).getString(1))
         merges += Merge(rank, a, b)
-        val prev = vocab
-        vocab = prev.map { case (w, ts, c) =>
+        vocab = vocab.map { case (w, ts, c) =>
           (w, applyMerge(ts.toIndexedSeq, a, b): Seq[String], c)
-        }.persist()
-        vocab.count() // eager: bound lineage to one round
-        prev.unpersist()
+        }.localCheckpoint() // eager: truncate lineage to one round
         rank += 1
       }
     }
