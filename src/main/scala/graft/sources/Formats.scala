@@ -78,8 +78,22 @@ object Formats {
     /** One entry per concatenated message, indexed by forecast hour. */
     override def decodeMulti(b: Array[Byte]): Seq[(Int, GeoTiff.Raster)] =
       decodeMultiFlagged(b).map { case (s, r, _) => (s, r) }
-    override def decodeMultiFlagged(b: Array[Byte]): Seq[(Int, GeoTiff.Raster, Boolean)] =
-      requireOneGrid(Grib2.readAll(b)).map(m => (m.forecastHours, m.raster, m.lossy))
+    override def decodeMultiFlagged(b: Array[Byte]): Seq[(Int, GeoTiff.Raster, Boolean)] = {
+      val ms = requireOneGrid(Grib2.readAll(b))
+      // the pixel frame keys rows by (file, step) with no variant
+      // column — a deterministic field and a statistical product of
+      // the same parameter in one granule would merge into ONE stream
+      // of silently conflicting pixels, so mixed-variant files
+      // dead-letter instead (they are distinct catalog variables, see
+      // Message.variant)
+      val variants = ms.map(_.variant).distinct
+      require(variants.size <= 1,
+        "granule mixes statistical-product variants " +
+          variants.sorted.map(v => if (v.isEmpty) "deterministic" else v)
+            .mkString("(", ", ", ")") +
+          " — one pixel stream cannot carry both")
+      ms.map(m => (m.forecastHours, m.raster, m.lossy))
+    }
     override def listVariables(b: Array[Byte]): Seq[String] =
       Grib2.readAll(b).map(m =>
         s"d${m.discipline}_c${m.category}_p${m.parameter}${m.variant}").distinct

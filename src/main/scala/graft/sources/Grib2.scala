@@ -214,8 +214,8 @@ object Grib2 {
             missingMgmt: Int = 0, sdOrder: Int = 2,
             productTemplate: Int = 0): Array[Byte] = {
     require(Set(0, 2, 3, 40, 41, 42, 200).contains(packing), s"unsupported packing $packing")
-    require(Set(0, 9, 15).contains(productTemplate),
-      s"fixture writer emits product templates 4.0/4.9/4.15 only, got 4.$productTemplate")
+    require(Set(0, 5, 9, 10, 15).contains(productTemplate),
+      s"fixture writer emits product templates 4.0/5/9/10/15 only, got 4.$productTemplate")
     require(j2kQuantShift.isEmpty || packing == 40,
       "j2kQuantShift only applies to JPEG2000 packing (40)")
     require(missingMgmt == 0 || (missingMgmt == 1 && (packing == 2 || packing == 3)),
@@ -465,20 +465,25 @@ object Grib2 {
       bu8(b, 1) // time unit: hours
       bu32(b, m.forecastHours)
       bu8(b, 1); bu8(b, 0); bu32(b, 0); bu8(b, 255); bu8(b, 0); bu32(b, 0)
+      def probBlock(): Unit = { // octets 35-47 shared by 4.5/4.9
+        bu8(b, 0); bu8(b, 1); bu8(b, 1) // prob 0 of 1, type 1 (> lower)
+        bu8(b, 0); bu32(b, 10) // lower limit: scale 0, value 10
+        bu8(b, 0); bu32(b, 0) // upper limit (unused for type 1)
+      }
+      def intervalBlock(): Unit = { // the 4.8-style time-interval tail
+        val e = m.refTime.plusHours(m.forecastHours)
+        bu16(b, e.getYear); bu8(b, e.getMonthValue); bu8(b, e.getDayOfMonth)
+        bu8(b, e.getHour); bu8(b, e.getMinute); bu8(b, e.getSecond)
+        bu8(b, 1); bu32(b, 0) // one time range, 0 values missing
+        bu8(b, 1); bu8(b, 2) // statistical process 1, increment type 2
+        bu8(b, 1); bu32(b, m.forecastHours) // range length (hours)
+        bu8(b, 1); bu32(b, 0) // increment (hours), 0
+      }
       productTemplate match {
         case 0 => ()
-        case 9 => // probability over an interval: probability block
-          // (35-47) + end-of-interval time + ONE time-range spec
-          bu8(b, 0); bu8(b, 1); bu8(b, 1) // prob 0 of 1, type 1 (> lower)
-          bu8(b, 0); bu32(b, 10) // lower limit: scale 0, value 10
-          bu8(b, 0); bu32(b, 0) // upper limit (unused for type 1)
-          val e = m.refTime.plusHours(m.forecastHours)
-          bu16(b, e.getYear); bu8(b, e.getMonthValue); bu8(b, e.getDayOfMonth)
-          bu8(b, e.getHour); bu8(b, e.getMinute); bu8(b, e.getSecond)
-          bu8(b, 1); bu32(b, 0) // one time range, 0 values missing
-          bu8(b, 1); bu8(b, 2) // statistical process 1, increment type 2
-          bu8(b, 1); bu32(b, m.forecastHours) // range length (hours)
-          bu8(b, 1); bu32(b, 0) // increment (hours), 0
+        case 5 => probBlock() // probability at a point in time
+        case 9 => probBlock(); intervalBlock() // probability over interval
+        case 10 => bu8(b, 50); intervalBlock() // 50th percentile over interval
         case 15 => // spatially processed: statistical process, spatial
           // processing type, number of points used
           bu8(b, 0); bu8(b, 0); bu8(b, 4)

@@ -687,9 +687,21 @@ object Hdf5 {
         while (d < rank) {
           st(d) = bb.getLong(p); sd(d) = bb.getLong(p + 8)
           cn(d) = bb.getLong(p + 16); bl(d) = bb.getLong(p + 24)
+          // per-dim bounds BEFORE any product: raw 8-byte counts from a
+          // corrupt file can make cn.product wrap Long and pass a
+          // product-only check while the expansion loop runs ~2^64
+          // iterations (hang/OOM — the fuzz contract forbids both)
+          require(cn(d) >= 1 && cn(d) <= (1 << 20) &&
+            bl(d) >= 1 && sd(d) >= 1 && st(d) >= 0,
+            s"implausible regular-hyperslab dim $d: start=${st(d)} " +
+              s"stride=${sd(d)} count=${cn(d)} block=${bl(d)}")
           p += 32; d += 1
         }
-        require(cn.product <= (1 << 20), s"implausible regular pattern ${cn.toSeq}")
+        // overflow-safe total-block bound (per-dim caps alone still let
+        // the product wrap at rank 32)
+        val totalBlocks = cn.foldLeft(1L)((a, c) =>
+          if (a > (1 << 20)) a else a * c)
+        require(totalBlocks <= (1 << 20), s"implausible regular pattern ${cn.toSeq}")
         // expand count repetitions along every dim into explicit blocks
         val blocks = Seq.newBuilder[(Array[Long], Array[Long])]
         def rec(dim: Int, start: Array[Long]): Unit =
@@ -703,6 +715,8 @@ object Hdf5 {
           }
         rec(0, new Array[Long](rank))
         (Some(blocks.result()), p)
+      case 2 => throw new IllegalArgumentException(
+        s"unsupported hyperslab selection version $ver (v1/v2 only)")
       case 1 => throw new IllegalArgumentException(
         "point-list virtual selections not supported")
       case t => throw new IllegalArgumentException(s"unknown selection type $t")
@@ -743,7 +757,7 @@ object Hdf5 {
 
   private def readDataset(in: ByteIn, addr: Long,
                           prefix: String, msgs: Seq[(Int, Long)],
-                          rootAddr: Long): Dataset = {
+                          rootAddr: Long, vdsDepth: Int = 0): Dataset = {
     var dims: Seq[Long] = Nil
     var dt: Dt = null
     var fillRaw: Option[Array[Byte]] = None
@@ -865,6 +879,13 @@ object Hdf5 {
       // bytes-in reader has no directory context to open siblings.
       require(dt.cls == 0 || dt.cls == 1,
         "virtual STRING datasets not supported (numeric mappings only)")
+      // a corrupt mapping can point a virtual dataset at itself (or a
+      // chain of virtual datasets back to it) — unguarded recursion
+      // would die with a StackOverflowError, an Error the quarantine
+      // paths' `catch Exception` cannot contain, so ONE crafted
+      // granule would kill the whole ingest job
+      require(vdsDepth < 4,
+        s"virtual-dataset mapping chain deeper than 4 at '$prefix' (cycle?)")
       val vdims = dims.map(_.toInt)
       val data = new Array[Float](n)
       val fv = fillRaw.map(fb => element(ByteIn(fb), 0, dt)).getOrElse(0.0).toFloat
@@ -883,6 +904,9 @@ object Hdf5 {
         val r = new String(blob, s, p - s, java.nio.charset.StandardCharsets.UTF_8)
         p += 1; r
       }
+      // mappings onto the SAME source decode it once, not per mapping
+      val srcCache = scala.collection.mutable.Map[Long, Dataset]()
+      val srcNames = scala.collection.mutable.LinkedHashSet[String]()
       var k = 0L
       while (k < nMaps) {
         val srcFile = cstr(); val srcPath = cstr()
@@ -895,8 +919,10 @@ object Hdf5 {
         val srcAddr = resolvePath(in, rootAddr, rootAddr, srcPath, 0).getOrElse(
           throw new IllegalArgumentException(
             s"virtual mapping source '$srcPath' not found"))
-        val src = readDataset(in, srcAddr, srcPath.stripPrefix("/"),
-          messages(in, srcAddr), rootAddr)
+        srcNames += srcPath.stripPrefix("/")
+        val src = srcCache.getOrElseUpdate(srcAddr,
+          readDataset(in, srcAddr, srcPath.stripPrefix("/"),
+            messages(in, srcAddr), rootAddr, vdsDepth + 1))
         val sIdx = selIndices(srcSel, src.shape.toArray)
         val vIdx = selIndices(virtSel, vdims.toArray)
         require(sIdx.length == vIdx.length,
@@ -906,6 +932,10 @@ object Hdf5 {
         while (i < vIdx.length) { data(vIdx(i)) = src.data(sIdx(i)); i += 1 }
         k += 1
       }
+      // record the consumed sources so variable discovery can exclude
+      // them — they are storage internals of THIS dataset, and
+      // surfacing them as grid variables would double-ingest the pixels
+      attrs += ("_vds_sources" -> srcNames.toSeq)
       return Dataset(prefix.stripSuffix("/"), addr, vdims, data, attrs.toMap)
     }
 
@@ -1402,7 +1432,18 @@ object Hdf5 {
   def toNetCdf(bytes: Array[Byte]): NetCdf.File = toNetCdf(ByteIn(bytes))
 
   def toNetCdf(in: ByteIn): NetCdf.File = {
-    val f = read(in)
+    val raw0 = read(in)
+    // datasets consumed as virtual-mapping sources are storage
+    // internals of their virtual dataset — surfacing them as variables
+    // would double-ingest the same pixels (once via the stack, once
+    // per slice)
+    val vdsSources: Set[String] = raw0.datasets.flatMap(
+      _.attrs.get("_vds_sources") match {
+        case Some(names: Seq[_]) => names.map(_.toString)
+        case _ => Nil
+      }).toSet
+    val f = File(raw0.datasets.filterNot(d => vdsSources.contains(d.name))
+      .map(d => d.copy(attrs = d.attrs - "_vds_sources")))
     val byAddr = f.datasets.map(d => d.addr -> d.name).toMap
     val isScale = f.datasets
       .filter(_.attrs.get("CLASS").contains("DIMENSION_SCALE")).map(_.name).toSet

@@ -832,11 +832,30 @@ class Grib2Spec extends SparkSpec {
     val sp = Grib2.write(m, productTemplate = 15)
     assert(Grib2.read(sp).variant == "_sp")
     assert(Formats.Grib2Decoder.listVariables(sp) == Seq("d0_c1_p8_sp"))
+    // point-in-time probability (4.5) and percentile (4.10) route too
+    assert(Grib2.read(Grib2.write(m, productTemplate = 5)).variant == "_prob")
+    val pct = Grib2.write(m, productTemplate = 10)
+    assert(Grib2.read(pct).variant == "_pct")
+    assert(Formats.Grib2Decoder.listVariables(pct) == Seq("d0_c1_p8_pct"))
+    Grib2.read(pct).raster.data.zip(m.raster.data).foreach { case (a, b) =>
+      if (b.isNaN) assert(a.isNaN) else assert(math.abs(a - b) < 0.005)
+    }
 
-    // a 4.0 + 4.9 pair of the same parameter is TWO variables
+    // a 4.0 + 4.9 pair of the same parameter is TWO variables in the
+    // catalog — and because the pixel frame has no variant column, the
+    // MIXED granule dead-letters at decode instead of merging two
+    // different quantities into one silently conflicting stream
     val both = Grib2.write(m) ++ prob
     assert(Formats.Grib2Decoder.listVariables(both) ==
       Seq("d0_c1_p8", "d0_c1_p8_prob"))
+    val eMix = intercept[IllegalArgumentException] {
+      Formats.Grib2Decoder.decodeMulti(both)
+    }
+    assert(eMix.getMessage.contains("mixes statistical-product variants"),
+      eMix.getMessage)
+    // same-variant multi-message files still decode per step
+    val onlyProb = prob ++ Grib2.write(m.copy(forecastHours = 18), productTemplate = 9)
+    assert(Formats.Grib2Decoder.decodeMulti(onlyProb).map(_._1) == Seq(12, 18))
 
     // unknown statistical templates still dead-letter by number
     val bad = prob.clone()

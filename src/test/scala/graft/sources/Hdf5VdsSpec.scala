@@ -47,6 +47,10 @@ class Hdf5VdsSpec extends SparkSpec {
     val (dims, vs, data) = vars(nT)
     val vds = Hdf5.write(dims, vs, virtualStack = true)
     assert(Formats.sniff(vds).map(_.name).contains("netcdf"))
+    // variable discovery must NOT surface the mapping sources — they
+    // are storage internals of the virtual dataset, and listing them
+    // would double-ingest the same pixels once per slice
+    assert(Formats.NetCdfDecoder.listVariables(vds) == Seq("precip"))
     val steps = Formats.NetCdfDecoder.decodeMulti(vds)
     assert(steps.size == nT)
     // timestep 1's raster equals the second slice, nodata as NaN
