@@ -1312,6 +1312,12 @@ object Grib2 {
     val rng = (1 << nbits) - 1 - mv
     val f = math.pow(10, dec)
     val nSyms = dataLen * 8 / nbits
+    // a legal stream never needs more symbols than one value plus a
+    // base-rng run suffix per emitted point (runs longer than the grid
+    // are rejected below), so a corrupt section length can't force a
+    // 32x-the-message Int allocation
+    require(nSyms >= 0 && nSyms <= nPresent.toLong * 34 + 8,
+      s"run-length stream of $nSyms symbols for $nPresent points (corrupt section length?)")
     val r = new BitReader(bytes, o)
     val syms = new Array[Int](nSyms)
     var k = 0
@@ -1359,6 +1365,16 @@ object Grib2 {
       val mag = v & ((1L << (ds * 8 - 1)) - 1)
       if (neg) -mag else mag
     }
+    // the group count comes raw from the section-5 header: a corrupt
+    // 32-bit value would allocate three ng-sized arrays (refs, widths,
+    // lens) BEFORE any bit read could fail — an OutOfMemoryError the
+    // quarantine's `catch Exception` cannot contain (found by
+    // FuzzSweep). Groups partition the present points, so ng is
+    // bounded by them; the reference stream must also fit the section.
+    require(ng >= 1 && ng <= nPresent.max(1),
+      s"complex packing declares $ng groups for $nPresent present points")
+    require(o + (ng.toLong * nbitsRef + 7) / 8 <= bytes.length,
+      s"complex-packing group references ($ng x $nbitsRef bits) overrun the message")
     val firstVals = Array.fill(order)(signMag())
     val gmin = if (order > 0) signMag() else 0L
 
