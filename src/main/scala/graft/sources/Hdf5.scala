@@ -544,10 +544,48 @@ object Hdf5 {
       case 1 => Dt(1, size, (b0 & 1) != 0, signed = true, None, 8 + 12)
       case 3 => Dt(3, size, bigEndian = false, signed = false, None, 8)
       case 7 => Dt(7, size, bigEndian = false, signed = false, None, 8)
+      case 8 => // enumeration (NC_ENUM — classification rasters like
+        // cloud masks): an integer base type plus named member values;
+        // data decodes as the base type, labels surface as an attr
+        val base = parseDt(in, off + 8)
+        require(base.cls == 0, s"enum base class ${base.cls} not supported (integer only)")
+        val n = (in(off + 1) & 0xff) | ((in(off + 2) & 0xff) << 8)
+        val ver = (in(off) & 0xff) >> 4
+        var p = off + 8 + base.consumed
+        var k = 0
+        while (k < n) { // member names: NUL-terminated, 8-padded in v1/v2
+          val s = p
+          while (in(p) != 0) p += 1
+          p += 1
+          if (ver < 3) p = s + ((p - s + 7) / 8) * 8
+          k += 1
+        }
+        p += n.toLong * base.size // member values
+        Dt(8, size, base.bigEndian, base.signed, Some(base), (p - off).toInt)
       case 9 =>
         val base = parseDt(in, off + 8)
         Dt(9, size, bigEndian = false, signed = false, Some(base), 8 + base.consumed)
       case c => throw new IllegalArgumentException(s"unsupported datatype class $c")
+    }
+  }
+
+  /** Member (name, value) pairs of an enum datatype message. */
+  private def enumMembers(in: ByteIn, off: Long): Seq[(String, Long)] = {
+    val base = parseDt(in, off + 8)
+    val n = (in(off + 1) & 0xff) | ((in(off + 2) & 0xff) << 8)
+    val ver = (in(off) & 0xff) >> 4
+    var p = off + 8 + base.consumed
+    val names = (0 until n).map { _ =>
+      val s = p
+      while (in(p) != 0) p += 1
+      val name = new String(in.slice(s, (p - s).toInt),
+        java.nio.charset.StandardCharsets.UTF_8)
+      p += 1
+      if (ver < 3) p = s + ((p - s + 7) / 8) * 8
+      name
+    }
+    names.zipWithIndex.map { case (name, i) =>
+      name -> element(in, p + i.toLong * base.size, base).toLong
     }
   }
 
@@ -579,6 +617,7 @@ object Hdf5 {
           (if (dt.signed) v.toLong else v & 0xffffffffL).toDouble
         case _ => (if (dt.bigEndian) beLong else in.getLong(off)).toDouble
       }
+      case 8 => element(in, off, dt.base.get) // enum: decode as its base
       case c => throw new IllegalArgumentException(s"non-numeric element class $c")
     }
   }
@@ -781,7 +820,15 @@ object Hdf5 {
 
     msgs.foreach {
       case (0x01, off) => dims = parseDs(in, off)._2
-      case (0x03, off) => dt = parseDt(in, off)
+      case (0x03, off) =>
+        dt = parseDt(in, off)
+        if (dt.cls == 8) {
+          // classification semantics travel with the data: surface the
+          // member table CF-style (flag_values/flag_meanings)
+          val members = enumMembers(in, off)
+          attrs += ("flag_values" -> members.map(_._2).mkString(" "))
+          attrs += ("flag_meanings" -> members.map(_._1).mkString(" "))
+        }
       case (0x05, off) =>
         val ver = in(off) & 0xff
         if (ver <= 2) {
@@ -857,10 +904,15 @@ object Hdf5 {
       case _ =>
     }
     require(dt != null, s"object at $addr is not a dataset")
-    require(dt.cls == 0 || dt.cls == 1 || dt.cls == 3 ||
+    require(dt.cls == 0 || dt.cls == 1 || dt.cls == 3 || dt.cls == 8 ||
       (dt.cls == 9 && dt.base.exists(_.cls == 3)),
       s"unsupported dataset datatype class ${dt.cls} " +
-        "(numeric, string and vlen-string only)")
+        "(numeric, enum, string and vlen-string only)")
+    // a fill value carried only in the FILL MESSAGE (enum vars, and
+    // files from writers that skip the _FillValue attribute) must still
+    // reach the NetCDF layer's sentinel handling
+    if ((dt.cls == 0 || dt.cls == 1 || dt.cls == 8) && !attrs.contains("_FillValue"))
+      fillRaw.foreach(fb => attrs += ("_FillValue" -> element(ByteIn(fb), 0, dt)))
 
     // cap on BYTES, not elements: the decode buffer is n * dt.size, so
     // an element-only cap would admit e.g. 772M float32s (a standard
@@ -1563,7 +1615,8 @@ object Hdf5 {
             denseIdStyle: String = "managed",
             softLinks: Seq[(String, String)] = Nil,
             vlenStr: Boolean = false,
-            virtualStack: Boolean = false): Array[Byte] = {
+            virtualStack: Boolean = false,
+            enumVars: Map[String, Seq[String]] = Map.empty): Array[Byte] = {
     require(softLinks.isEmpty || subgroup.isEmpty,
       "fixture writer: soft links + subgroup not combined")
     require(!virtualStack || (subgroup.isEmpty && !denseRoot && !szip &&
@@ -1895,6 +1948,10 @@ object Hdf5 {
       } else {
       val shape = v.dims.map(d => dims.find(_._1 == d).get._2).toArray
       val rank = shape.length
+      val enumOf = enumVars.get(v.name)
+      require(enumOf.isEmpty || (layoutV4.isEmpty && !szip),
+        "fixture writer: enum variables use the v3 chunked layout")
+      val elemB = if (szip) 2 else if (enumOf.isDefined) 1 else 4
       // one leading-index slice per chunk; split the next axis to force
       // a partial edge chunk when it doesn't divide evenly
       val chunkDims = shape.zipWithIndex.map { case (d, i) =>
@@ -1913,7 +1970,7 @@ object Hdf5 {
         var rem = ci
         val cc = new Array[Int](rank)
         for (d <- (rank - 1) to 0 by -1) { cc(d) = (rem % grid(d)) * chunkDims(d); rem /= grid(d) }
-        val cbuf = ByteBuffer.allocate(cTotal * (if (szip) 2 else 4))
+        val cbuf = ByteBuffer.allocate(cTotal * elemB)
           .order(ByteOrder.LITTLE_ENDIAN)
         for (ei <- 0 until cTotal) {
           var er = ei
@@ -1929,6 +1986,11 @@ object Hdf5 {
             require(sv >= 0 && sv <= 0x7fff && sv.toFloat == value,
               s"szip fixture sample $value not a non-negative 15-bit integer")
             cbuf.putShort(sv.toShort)
+          } else if (enumOf.isDefined) {
+            val code = value.toInt
+            require(code >= 0 && code < enumOf.get.size && code.toFloat == value,
+              s"enum fixture sample $value is not a member code")
+            cbuf.put(code.toByte)
           } else cbuf.putFloat(value)
         }
         var payload = cbuf.array()
@@ -1982,7 +2044,7 @@ object Hdf5 {
           bodyBuf({ bb =>
             bb.put(3.toByte).put(2.toByte).put((rank + 1).toByte)
             bb.putLong(btreeAddr.toLong)
-            chunkDims.foreach(bb.putInt); bb.putInt(if (szip) 2 else 4)
+            chunkDims.foreach(bb.putInt); bb.putInt(elemB)
           }, 11 + (rank + 1) * 4)
         case Some(idxType) =>
           val clientId = if (storeFiltered) 1 else 0
@@ -2169,13 +2231,33 @@ object Hdf5 {
         bb.put(0x10.toByte).put(0x08.toByte).put(0.toByte).put(0.toByte).putInt(2)
         bb.putShort(0).putShort(16)
       }, 12)
+      // enum-of-uint8 datatype: v1 class-8 header (member count in the
+      // class bit field), the base int message, 8-padded NUL-terminated
+      // member names, then the member values (codes = label indexes)
+      def enumDtMsg(labels: Seq[String]): Array[Byte] = {
+        val head = bodyBuf({ bb =>
+          bb.put(0x18.toByte) // version 1, class 8
+          bb.put((labels.size & 0xff).toByte)
+            .put(((labels.size >> 8) & 0xff).toByte).put(0.toByte)
+          bb.putInt(1) // enum size = base size
+        }, 8)
+        val base = bodyBuf({ bb =>
+          bb.put(0x10.toByte).put(0.toByte).put(0.toByte).put(0.toByte).putInt(1)
+          bb.putShort(0).putShort(8)
+        }, 12)
+        val names = labels.toArray.flatMap(l => pad8(l.getBytes("UTF-8") :+ 0.toByte))
+        head ++ base ++ names ++ labels.indices.map(_.toByte).toArray
+      }
       val msgs = Seq(
         0x01 -> dataspaceMsg(shape.toSeq),
-        0x03 -> (if (szip) i16DtMsg else f32Dt),
+        0x03 -> (if (szip) i16DtMsg
+                 else enumOf.map(enumDtMsg).getOrElse(f32Dt)),
         0x05 -> bodyBuf({ bb =>
           bb.put(2.toByte).put(1.toByte).put(0.toByte)
           v.fill match {
             case Some(f) if szip => bb.put(1.toByte).putInt(2).putShort(f.toInt.toShort)
+            case Some(f) if enumOf.isDefined =>
+              bb.put(1.toByte).putInt(1).put(f.toInt.toByte)
             case Some(f) => bb.put(1.toByte).putInt(4).putFloat(f)
             case None => bb.put(0.toByte)
           }
@@ -2190,7 +2272,8 @@ object Hdf5 {
           }
         }, 8 + filterIds.map(f => 8 + 4 * f._2.size + 4).sum))) ++ Seq(
         0x0C -> attrMsg("DIMENSION_LIST", vlenRefDt, dataspaceMsg(Seq(v.dims.size)), dimListData)) ++
-        (if (szip) Nil else v.fill.map(f => 0x0C -> attrMsg("_FillValue", f32Dt,
+        (if (szip || enumOf.isDefined) Nil
+         else v.fill.map(f => 0x0C -> attrMsg("_FillValue", f32Dt,
           scalarDs, bodyBuf(bb => { bb.putFloat(f); () }, 4))).toSeq) ++
         v.numAttrs.toSeq.sortBy(_._1).map { case (n, d) =>
           0x0C -> attrMsg(n, f64Dt, scalarDs,

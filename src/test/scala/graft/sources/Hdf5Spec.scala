@@ -653,4 +653,31 @@ class Hdf5Spec extends SparkSpec {
     assert(f.dimSize("station_name_strlen") == 8) // longest string
     assert(f.gridVars.exists(_.name == "t2m"))
   }
+
+  test("enum dataset (NC_ENUM cloud-mask shape) decodes codes + CF flag attrs") {
+    val h = 5; val w = 7
+    val lat = Array(40f, 30f, 20f, 10f, 0f)
+    val lon = Array(-30f, -20f, -10f, 0f, 10f, 20f, 30f)
+    val labels = Seq("clear", "cloudy", "snow", "missing")
+    // codes 0..2 as data, 3 as the fill sentinel
+    val codes = Array.tabulate(h * w)(i => if (i % 13 == 0) 3f else (i % 3).toFloat)
+    val bytes = Hdf5.write(
+      Seq("lat" -> h, "lon" -> w),
+      Seq(NetCdf.Variable("lat", Seq("lat"), lat, None),
+        NetCdf.Variable("lon", Seq("lon"), lon, None),
+        NetCdf.Variable("mask", Seq("lat", "lon"), codes, Some(3f))),
+      enumVars = Map("mask" -> labels))
+    val ds = Hdf5.read(bytes).datasets.find(_.name == "mask").get
+    assert(ds.data.sameElements(codes))
+    // classification semantics surface CF-style
+    assert(ds.attrs("flag_meanings") == "clear cloudy snow missing")
+    assert(ds.attrs("flag_values") == "0 1 2 3")
+    // production ingest: the granule decodes as a raster, fill -> NaN
+    val f = NetCdf.readAny(bytes)
+    val r = f.rasters("mask").head._2
+    for (i <- 0 until h * w) {
+      if (codes(i) == 3f) assert(r.data(i).isNaN)
+      else assert(r.data(i) == codes(i))
+    }
+  }
 }
