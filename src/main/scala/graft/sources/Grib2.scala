@@ -212,10 +212,11 @@ object Grib2 {
   def write(m: Message, decimals: Int = 2, packing: Int = 0,
             scanMode: Int = 0, j2kQuantShift: Option[Int] = None,
             missingMgmt: Int = 0, sdOrder: Int = 2,
-            productTemplate: Int = 0): Array[Byte] = {
+            productTemplate: Int = 0,
+            ensMember: Int = 1, ensDerived: Int = 0): Array[Byte] = {
     require(Set(0, 2, 3, 40, 41, 42, 200).contains(packing), s"unsupported packing $packing")
-    require(Set(0, 5, 9, 10, 15).contains(productTemplate),
-      s"fixture writer emits product templates 4.0/5/9/10/15 only, got 4.$productTemplate")
+    require(Set(0, 1, 2, 5, 9, 10, 15).contains(productTemplate),
+      s"fixture writer emits product templates 4.0/1/2/5/9/10/15 only, got 4.$productTemplate")
     require(j2kQuantShift.isEmpty || packing == 40,
       "j2kQuantShift only applies to JPEG2000 packing (40)")
     require(missingMgmt == 0 || (missingMgmt == 1 && (packing == 2 || packing == 3)),
@@ -481,6 +482,10 @@ object Grib2 {
       }
       productTemplate match {
         case 0 => ()
+        case 1 => // individual ensemble member: type, perturbation, total
+          bu8(b, 3); bu8(b, ensMember); bu8(b, 8)
+        case 2 => // derived ensemble: derived type (0 mean/4 spread), total
+          bu8(b, ensDerived); bu8(b, 8)
         case 5 => probBlock() // probability at a point in time
         case 9 => probBlock(); intervalBlock() // probability over interval
         case 10 => bu8(b, 50); intervalBlock() // 50th percentile over interval
@@ -1140,8 +1145,16 @@ object Grib2 {
             category = bytes(o + 4) & 0xff; parameter = bytes(o + 5) & 0xff
             forecastHours = u32(o + 13).toInt
             // statistically-derived products are DIFFERENT variables
-            // from their deterministic parameter (see Message.variant)
+            // from their deterministic parameter (see Message.variant).
+            // Ensemble members (4.1/4.11, perturbation number at octet
+            // 36) and derived-ensemble statistics (4.2/4.12, derived
+            // type at octet 35) are distinguished the same way — a
+            // 50-member GEFS granule would otherwise merge 50 rasters
+            // into one per-step stream, and an ensemble MEAN would
+            // merge with its SPREAD
             variant = tmpl4 match {
+              case 1 | 11 => s"_m${bytes(o + 30) & 0xff}"
+              case 2 | 12 => s"_d${bytes(o + 29) & 0xff}"
               case 5 | 9 => "_prob"
               case 10 => "_pct"
               case 15 => "_sp"

@@ -857,6 +857,25 @@ class Grib2Spec extends SparkSpec {
     val onlyProb = prob ++ Grib2.write(m.copy(forecastHours = 18), productTemplate = 9)
     assert(Formats.Grib2Decoder.decodeMulti(onlyProb).map(_._1) == Seq(12, 18))
 
+    // ensemble members are distinct variables (a 50-member GEFS file
+    // would otherwise merge 50 rasters into one per-step stream), and
+    // a multi-member granule dead-letters like any mixed-variant one
+    val m3 = Grib2.write(m, productTemplate = 1, ensMember = 3)
+    assert(Grib2.read(m3).variant == "_m3")
+    assert(Formats.Grib2Decoder.listVariables(m3) == Seq("d0_c1_p8_m3"))
+    val twoMembers = m3 ++ Grib2.write(m, productTemplate = 1, ensMember = 4)
+    val eEns = intercept[IllegalArgumentException] {
+      Formats.Grib2Decoder.decodeMulti(twoMembers)
+    }
+    assert(eEns.getMessage.contains("mixes statistical-product variants"))
+    // derived-ensemble mean and spread are distinct too
+    assert(Grib2.read(Grib2.write(m, productTemplate = 2, ensDerived = 0)).variant == "_d0")
+    assert(Grib2.read(Grib2.write(m, productTemplate = 2, ensDerived = 4)).variant == "_d4")
+    // one member's multi-step file decodes normally
+    val m3steps = m3 ++ Grib2.write(m.copy(forecastHours = 18),
+      productTemplate = 1, ensMember = 3)
+    assert(Formats.Grib2Decoder.decodeMulti(m3steps).map(_._1) == Seq(12, 18))
+
     // unknown statistical templates still dead-letter by number
     val bad = prob.clone()
     // walk sections from the end of the 16-octet indicator to find
