@@ -27,6 +27,8 @@ object FuzzSweep {
       ("grib2-simple", Grib2.write(msg), b => { Grib2.readAll(b); () }),
       ("grib2-prob-4.9", Grib2.write(msg, productTemplate = 9), b => { Grib2.readAll(b); () }),
       ("grib2-pct-4.10", Grib2.write(msg, productTemplate = 10), b => { Grib2.readAll(b); () }),
+      ("grib2-ens-4.1", Grib2.write(msg, productTemplate = 1, ensMember = 7),
+        b => { Grib2.readAll(b); () }),
       ("grib2-complex-mvm", Grib2.write(msg, packing = 3, missingMgmt = 1), b => { Grib2.readAll(b); () }),
       ("grib2-rle-5.200",
         Grib2.write(msg.copy(raster = msg.raster.copy(
@@ -46,6 +48,16 @@ object FuzzSweep {
           NetCdf.Variable("lon", Seq("lon"), lon7, None),
           NetCdf.Variable("precip", Seq("time", "lat", "lon"), d357, Some(-9999f))),
         virtualStack = true), b => {
+          val f = NetCdf.readAny(b)
+          f.gridVars.headOption.foreach(v => f.rasters(v.name))
+        }),
+      ("hdf5-enum", Hdf5.write(
+        Seq("lat" -> 5, "lon" -> 7),
+        Seq(NetCdf.Variable("lat", Seq("lat"), lat5, None),
+          NetCdf.Variable("lon", Seq("lon"), lon7, None),
+          NetCdf.Variable("mask", Seq("lat", "lon"),
+            Array.tabulate(5 * 7)(i => (i % 3).toFloat), Some(3f))),
+        enumVars = Map("mask" -> Seq("clear", "cloudy", "snow", "missing"))), b => {
           val f = NetCdf.readAny(b)
           f.gridVars.headOption.foreach(v => f.rasters(v.name))
         }),

@@ -97,12 +97,20 @@ class RasterFuzzSpec extends AnyFunSuite {
         NetCdf.Variable("precip", Seq("time", "lat", "lon"),
           Array.tabulate(2 * 5 * 7)(i => i * 0.5f), Some(-9999f))),
       virtualStack = true)
+    // NC_ENUM classification raster (cloud-mask shape)
+    val h5Enum = Hdf5.write(
+      Seq("lat" -> 5, "lon" -> 7),
+      Seq(NetCdf.Variable("lat", Seq("lat"), lat5, None),
+        NetCdf.Variable("lon", Seq("lon"), lon7, None),
+        NetCdf.Variable("mask", Seq("lat", "lon"),
+          Array.tabulate(5 * 7)(i => (i % 3).toFloat), Some(3f))),
+      enumVars = Map("mask" -> Seq("clear", "cloudy", "snow", "missing")))
     Seq("tiff-strip" -> strip, "tiff-cog" -> cog, "tiff-cog-f64" -> cog64,
       "tiff-cog-packbits" -> cogPb, "tiff-cog-jpeg" -> cogJpeg,
       "netcdf" -> nc, "netcdf-cdf5" -> nc5, "netcdf-cdf2-packed" -> ncPacked,
       "netcdf-charvar" -> ncChar,
       "hdf5" -> h5, "hdf5-tinyhuge" -> h5TinyHuge, "hdf5-hugebtree" -> h5HugeBt,
-      "hdf5-szip" -> h5Szip, "hdf5-vds" -> h5Vds)
+      "hdf5-szip" -> h5Szip, "hdf5-vds" -> h5Vds, "hdf5-enum" -> h5Enum)
   }
 
   private def decodeAny(label: String, bytes: Array[Byte]): Unit = label match {
