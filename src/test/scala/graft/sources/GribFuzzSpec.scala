@@ -47,7 +47,9 @@ class GribFuzzSpec extends AnyFunSuite {
             -(w / 2.0) * rx, (h / 2.0) * rx, rx, rx)
         })),
       "lcc+j2k" -> Grib2.write(lcc, packing = 40),
-      "gauss+ccsds" -> Grib2.write(gauss, packing = 42))
+      "gauss+ccsds" -> Grib2.write(gauss, packing = 42),
+      "prob-4.9" -> Grib2.write(latlon, productTemplate = 9),
+      "ens-4.1" -> Grib2.write(latlon, productTemplate = 1, ensMember = 7))
   }
 
   test("byte-flipped granules decode or throw — never hang, never huge allocs") {
