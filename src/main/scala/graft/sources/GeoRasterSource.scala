@@ -5,10 +5,11 @@ import java.util.{Collections => JCollections}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -35,9 +36,13 @@ class GeoRasterSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "georaster"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     GeoRasterSource.schema
+  // writes carry their OWN (long-form subset) schema: without this,
+  // Spark validates the input frame against the fixed 9-column read
+  // schema and rejects every write
+  override def supportsExternalMetadata(): Boolean = true
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table =
-    new GeoRasterTable(properties.get("path"))
+    new GeoRasterTable(properties.get("path"), schema)
 }
 
 object GeoRasterSource {
@@ -77,14 +82,21 @@ object GeoRasterSource {
   }
 }
 
-class GeoRasterTable(path: String) extends Table with SupportsRead {
+class GeoRasterTable(path: String, tableSchema: StructType = GeoRasterSource.schema)
+    extends Table with SupportsRead with SupportsWrite {
   require(path != null, "georaster requires a path: spark.read.format(\"georaster\").load(dir)")
-  override def name(): String = s"georaster(`$path`)"
-  override def schema(): StructType = GeoRasterSource.schema
+  // the name must survive Spark's identifier quoting (it appears in
+  // error messages via toSQLId) — parens after a backtick-quoted part
+  // make the reporter itself throw
+  override def name(): String = s"georaster $path"
+  override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GeoRasterScanBuilder(path, options.getBoolean("ignorecorrupt", false))
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GeoRasterWriteBuilder(path, info)
 }
 
 class GeoRasterScanBuilder(path: String, ignoreCorrupt: Boolean)
@@ -248,4 +260,124 @@ class GeoRasterReaderFactory(fields: Array[String],
       override def close(): Unit = ()
     }
   }
+}
+
+/** DataSource V2 WRITE side — the COG sink as a first-class Spark
+  * writer:
+  *
+  * {{{
+  * df.repartition($"fname", $"step")        // one raster per task
+  *   .write.format("georaster").mode("append")   // DSv2 path writes need append/overwrite
+  *   .option("width", 64).option("height", 48)
+  *   .option("west", -180.0).option("north", 90.0)
+  *   .option("px", 5.625).option("py", 3.75)
+  *   .save(outDir)
+  * }}}
+  *
+  * Rows are the engine's long form (fname, step, y, x, v); each
+  * (fname, step) group in a task becomes one Cloud-Optimized GeoTIFF
+  * `name_sN.tif` on the fixed grid the options declare (absent pixels
+  * = nodata, the write∘read-symmetric NaN). Files are created
+  * EXCLUSIVELY, so a group accidentally split across tasks fails
+  * loudly instead of silently truncating a raster — co-locate with
+  * `repartition(fname, step)` as above. The grid is config (one
+  * collection = one grid, the engine-wide storage convention); deriving
+  * it per task from the rows would make output georeferencing depend
+  * on which pixels happened to survive upstream filters.
+  */
+class GeoRasterWriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuilder {
+  override def build(): Write = new GeoRasterWrite(path, info)
+}
+
+class GeoRasterWrite(path: String, info: LogicalWriteInfo) extends Write with BatchWrite {
+  private val opts = info.options
+  private def reqOpt(k: String): String = {
+    val v = opts.get(k)
+    require(v != null, s"georaster write requires option '$k' " +
+      "(width/height/west/north/px/py declare the output grid)")
+    v
+  }
+  // resolve eagerly so a missing option fails at plan time, not in tasks
+  private val geom = GeoRasterWriteGeom(
+    reqOpt("width").toInt, reqOpt("height").toInt,
+    reqOpt("west").toDouble, reqOpt("north").toDouble,
+    reqOpt("px").toDouble, reqOpt("py").toDouble,
+    Option(opts.get("dtype")).getOrElse("float32"))
+  private val fieldIdx: Map[String, Int] = {
+    val s = info.schema()
+    val need = Seq("fname", "step", "y", "x", "v")
+    val missing = need.filterNot(n => s.fieldNames.contains(n))
+    require(missing.isEmpty,
+      s"georaster write needs columns ${need.mkString(", ")}; missing: ${missing.mkString(", ")}")
+    need.map(n => n -> s.fieldIndex(n)).toMap
+  }
+  override def toBatch: BatchWrite = this
+  override def createBatchWriterFactory(pi: PhysicalWriteInfo): DataWriterFactory =
+    GeoRasterWriterFactory(path, geom, fieldIdx)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+case class GeoRasterWriteGeom(width: Int, height: Int, west: Double,
+                              north: Double, px: Double, py: Double,
+                              dtype: String)
+
+case class GeoRasterWriterFactory(path: String, geom: GeoRasterWriteGeom,
+                                  fieldIdx: Map[String, Int]) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GeoRasterWriter(path, geom, fieldIdx)
+}
+
+case class GeoRasterCommit(files: Seq[String]) extends WriterCommitMessage
+
+class GeoRasterWriter(path: String, geom: GeoRasterWriteGeom,
+                      fieldIdx: Map[String, Int]) extends DataWriter[InternalRow] {
+  private val iF = fieldIdx("fname"); private val iS = fieldIdx("step")
+  private val iY = fieldIdx("y"); private val iX = fieldIdx("x")
+  private val iV = fieldIdx("v")
+  private val acc = scala.collection.mutable.LinkedHashMap[(String, Int), Array[Float]]()
+  private val written = scala.collection.mutable.Buffer[org.apache.hadoop.fs.Path]()
+
+  override def write(row: InternalRow): Unit = {
+    val fname = row.getUTF8String(iF).toString
+    val step = row.getInt(iS)
+    val y = row.getInt(iY); val x = row.getInt(iX)
+    require(y >= 0 && y < geom.height && x >= 0 && x < geom.width,
+      s"pixel ($y, $x) outside the declared ${geom.width}x${geom.height} grid")
+    val arr = acc.getOrElseUpdate((fname, step),
+      Array.fill(geom.width * geom.height)(Float.NaN))
+    arr(y * geom.width + x) = row.getDouble(iV).toFloat
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val out = new org.apache.hadoop.fs.Path(path)
+    val fs = out.getFileSystem(conf)
+    fs.mkdirs(out)
+    val files = acc.map { case ((fname, step), arr) =>
+      val base = fname.lastIndexOf('.') match {
+        case -1 => fname
+        case i => fname.substring(0, i)
+      }
+      val p = new org.apache.hadoop.fs.Path(out, s"${base}_s$step.tif")
+      val bytes = GeoTiff.writeCogAuto(Seq(arr), geom.width, geom.height,
+        geom.west, geom.north, geom.px, geom.py, dtype = geom.dtype)
+      // EXCLUSIVE create: a raster split across tasks must fail loudly,
+      // never silently keep whichever partial landed last
+      val os = fs.create(p, false)
+      try os.write(bytes) finally os.close()
+      written += p
+      p.toString
+    }.toSeq
+    GeoRasterCommit(files)
+  }
+
+  override def abort(): Unit = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    written.foreach { p =>
+      try p.getFileSystem(conf).delete(p, false) catch { case _: Exception => }
+    }
+  }
+
+  override def close(): Unit = ()
 }

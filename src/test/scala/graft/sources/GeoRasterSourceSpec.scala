@@ -142,4 +142,49 @@ class GeoRasterSourceSpec extends SparkSpec {
     val names = GeoRasterScan.listFiles(d).map(f => new java.io.File(f).getName).toSet
     assert(names == Set("a.tif", "b.tiff", "c.nc", "d.grib2"))
   }
+
+  test("write side: long-form rows round-trip through COGs and back") {
+    val out = Files.createTempDirectory("graft-dsv2-w-").toString
+    val rows = spark.read.format("georaster").load(dir)
+      .select("fname", "step", "y", "x", "v")
+    rows.repartition(col("fname"), col("step"))
+      .write.format("georaster").mode("append")
+      .option("width", 8).option("height", 6)
+      .option("west", -180.0).option("north", 90.0)
+      .option("px", 45.0).option("py", 30.0)
+      .save(out)
+    // one COG per (fname, step); pixel values survive the round trip
+    val files = new java.io.File(out).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).sorted // Hadoop local-FS .crc sidecars
+    assert(files.length == 3 && files.forall(_.endsWith("_s0.tif")), files.toSeq)
+    val back = spark.read.format("georaster").load(out)
+      .select("fname", "y", "x", "v").collect()
+      .map(r => (r.getString(0).stripSuffix("_s0.tif"), r.getInt(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    val expect = rows.select("fname", "y", "x", "v").collect()
+      .map(r => (r.getString(0).stripSuffix(".tif"), r.getInt(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    assert(back == expect)
+  }
+
+  test("write side: missing grid options and off-grid pixels fail loudly") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-dsv2-bad-").toString
+    val df = Seq(("f.tif", 0, 1, 1, 5.0)).toDF("fname", "step", "y", "x", "v")
+    val e = intercept[Exception] {
+      df.write.format("georaster").mode("append").option("width", 8).save(out)
+    }
+    assert(e.getMessage.contains("requires option"), e.getMessage)
+    val offGrid = Seq(("f.tif", 0, 99, 1, 5.0)).toDF("fname", "step", "y", "x", "v")
+    val e2 = intercept[Exception] {
+      offGrid.write.format("georaster").mode("append")
+        .option("width", 8).option("height", 6)
+        .option("west", -180.0).option("north", 90.0)
+        .option("px", 45.0).option("py", 30.0)
+        .save(out)
+    }
+    assert(e2.getMessage.contains("outside the declared") ||
+      Option(e2.getCause).exists(_.getMessage.contains("outside the declared")),
+      e2.getMessage)
+  }
 }
