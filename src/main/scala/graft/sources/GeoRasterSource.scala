@@ -10,6 +10,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -92,7 +93,7 @@ class GeoRasterTable(path: String, tableSchema: StructType = GeoRasterSource.sch
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE).asJava
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GeoRasterScanBuilder(path, options.getBoolean("ignorecorrupt", false))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -316,6 +317,27 @@ class GeoRasterWrite(path: String, info: LogicalWriteInfo) extends Write with Ba
     GeoRasterWriterFactory(path, geom, fieldIdx)
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+
+  // streaming twin (writeStream.format("georaster")): each micro-batch
+  // appends its rasters as COGs — the continuous export/serving path.
+  // Exclusive creation makes a REPLAYED epoch fail loudly on the files
+  // it already wrote rather than silently re-truncating them; at-least-
+  // once delivery with idempotent names is the drop-zone contract the
+  // ingest side already documents (keptDir semantics).
+  override def toStreaming: StreamingWrite = new StreamingWrite {
+    override def createStreamingWriterFactory(pi: PhysicalWriteInfo): StreamingDataWriterFactory =
+      GeoRasterStreamingWriterFactory(path, geom, fieldIdx)
+    override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+    override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  }
+}
+
+case class GeoRasterStreamingWriterFactory(path: String, geom: GeoRasterWriteGeom,
+                                           fieldIdx: Map[String, Int])
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new GeoRasterWriter(path, geom, fieldIdx)
 }
 
 case class GeoRasterWriteGeom(width: Int, height: Int, west: Double,

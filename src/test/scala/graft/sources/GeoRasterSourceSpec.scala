@@ -167,6 +167,34 @@ class GeoRasterSourceSpec extends SparkSpec {
     assert(back == expect)
   }
 
+  test("streaming write: micro-batches append COGs readable by the source") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val out = Files.createTempDirectory("graft-dsv2-sw-").toString
+    val mem = MemoryStream[(String, Int, Int, Int, Double)]
+    val q = mem.toDS().toDF("fname", "step", "y", "x", "v")
+      .writeStream.format("georaster")
+      .option("width", 4).option("height", 3)
+      .option("west", -180.0).option("north", 90.0)
+      .option("px", 90.0).option("py", 60.0)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-dsv2-sw-ckpt-").toString)
+      .start(out)
+    // two batches, two rasters
+    mem.addData((0 until 12).map(i => ("a.tif", 0, i / 4, i % 4, i * 1.0)): _*)
+    q.processAllAvailable()
+    mem.addData((0 until 12).map(i => ("b.tif", 0, i / 4, i % 4, i + 100.0)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val back = spark.read.format("georaster").load(out)
+      .select("fname", "y", "x", "v").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getDouble(3))).toSet
+    val expect = ((0 until 12).map(i => ("a_s0.tif", i / 4, i % 4, i * 1.0)) ++
+      (0 until 12).map(i => ("b_s0.tif", i / 4, i % 4, i + 100.0))).toSet
+    assert(back == expect)
+  }
+
   test("write side: missing grid options and off-grid pixels fail loudly") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft-dsv2-bad-").toString
