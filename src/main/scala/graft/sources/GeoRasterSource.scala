@@ -94,8 +94,20 @@ class GeoRasterTable(path: String, tableSchema: StructType = GeoRasterSource.sch
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE).asJava
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // supportsExternalMetadata exists for the WRITE side's subset
+    // schema; on the read side a user-specified schema would flow in
+    // unchecked and the partition reader has no decoder for unknown or
+    // retyped columns — reject at plan time instead of a per-row
+    // MatchError in executors
+    tableSchema.fields.foreach { f =>
+      require(GeoRasterSource.schema.fields.exists(g =>
+        g.name == f.name && g.dataType == f.dataType),
+        s"georaster read does not support a user-specified schema " +
+          s"(column '${f.name}: ${f.dataType.simpleString}' is not in the source schema)")
+    }
     new GeoRasterScanBuilder(path, options.getBoolean("ignorecorrupt", false))
+  }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GeoRasterWriteBuilder(path, info)
 }
@@ -278,10 +290,12 @@ class GeoRasterReaderFactory(fields: Array[String],
   * Rows are the engine's long form (fname, step, y, x, v); each
   * (fname, step) group in a task becomes one Cloud-Optimized GeoTIFF
   * `name_sN.tif` on the fixed grid the options declare (absent pixels
-  * = nodata, the write∘read-symmetric NaN). Files are created
-  * EXCLUSIVELY, so a group accidentally split across tasks fails
-  * loudly instead of silently truncating a raster — co-locate with
-  * `repartition(fname, step)` as above. The grid is config (one
+  * = nodata, the write∘read-symmetric NaN). Co-locating each raster
+  * group with `repartition(fname, step)` as above is part of the
+  * WRITE CONTRACT: files are created exclusively so a split group
+  * fails loudly on filesystems with atomic exclusive create
+  * (HDFS/S3A) — on the local filesystem Hadoop's create is
+  * check-then-act, so the guard is advisory there. The grid is config (one
   * collection = one grid, the engine-wide storage convention); deriving
   * it per task from the rows would make output georeferencing depend
   * on which pixels happened to survive upstream filters.
@@ -303,20 +317,49 @@ class GeoRasterWrite(path: String, info: LogicalWriteInfo) extends Write with Ba
     reqOpt("width").toInt, reqOpt("height").toInt,
     reqOpt("west").toDouble, reqOpt("north").toDouble,
     reqOpt("px").toDouble, reqOpt("py").toDouble,
-    Option(opts.get("dtype")).getOrElse("float32"))
+    Option(opts.get("dtype")).getOrElse("float32"),
+    Option(opts.get("nodata")).map(_.toDouble))
+  require(geom.dtype == "float32" || geom.nodata.isDefined,
+    s"georaster write with dtype '${geom.dtype}' requires option 'nodata' " +
+      "(absent pixels need an encodable sentinel; float32 uses NaN)")
+  // schema is checked by TYPE, not just name: supportsExternalMetadata
+  // means Spark ships the frame's own schema with no cast, and e.g. a
+  // FloatType v read through getDouble would reinterpret raw bits into
+  // garbage pixels with no error
   private val fieldIdx: Map[String, Int] = {
     val s = info.schema()
-    val need = Seq("fname", "step", "y", "x", "v")
-    val missing = need.filterNot(n => s.fieldNames.contains(n))
-    require(missing.isEmpty,
-      s"georaster write needs columns ${need.mkString(", ")}; missing: ${missing.mkString(", ")}")
-    need.map(n => n -> s.fieldIndex(n)).toMap
+    val need = Seq("fname" -> StringType, "step" -> IntegerType,
+      "y" -> IntegerType, "x" -> IntegerType, "v" -> DoubleType)
+    val problems = need.flatMap { case (n, t) =>
+      s.fields.find(_.name == n) match {
+        case None => Some(s"missing column $n: $t")
+        case Some(f) if f.dataType != t =>
+          Some(s"column $n is ${f.dataType.simpleString}, need ${t.simpleString}")
+        case _ => None
+      }
+    }
+    require(problems.isEmpty,
+      s"georaster write schema mismatch: ${problems.mkString("; ")}")
+    need.map { case (n, _) => n -> s.fieldIndex(n) }.toMap
   }
+  // the SESSION's hadoop conf (s3a credentials etc.), shipped to tasks —
+  // a bare executor-side `new Configuration()` would drop every
+  // spark.hadoop.* setting
+  private val hadoopConf = new SerializableHadoopConf(
+    org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
   override def toBatch: BatchWrite = this
   override def createBatchWriterFactory(pi: PhysicalWriteInfo): DataWriterFactory =
-    GeoRasterWriterFactory(path, geom, fieldIdx)
+    GeoRasterWriterFactory(path, geom, fieldIdx, hadoopConf)
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    // committed tasks' COGs must not survive a failed JOB: with the
+    // exclusive-create contract, leftovers would poison every re-run
+    val conf = hadoopConf.value
+    messages.collect { case GeoRasterCommit(files) => files }.flatten.foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      try p.getFileSystem(conf).delete(p, false) catch { case _: Exception => }
+    }
+  }
 
   // streaming twin (writeStream.format("georaster")): each micro-batch
   // appends its rasters as COGs — the continuous export/serving path.
@@ -326,34 +369,52 @@ class GeoRasterWrite(path: String, info: LogicalWriteInfo) extends Write with Ba
   // ingest side already documents (keptDir semantics).
   override def toStreaming: StreamingWrite = new StreamingWrite {
     override def createStreamingWriterFactory(pi: PhysicalWriteInfo): StreamingDataWriterFactory =
-      GeoRasterStreamingWriterFactory(path, geom, fieldIdx)
+      GeoRasterStreamingWriterFactory(path, geom, fieldIdx, hadoopConf)
     override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
     override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
   }
 }
 
+/** Minimal serializable Hadoop Configuration carrier (the spark-core
+  * twin is private[spark]). */
+class SerializableHadoopConf(@transient var value: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
+  }
+}
+
 case class GeoRasterStreamingWriterFactory(path: String, geom: GeoRasterWriteGeom,
-                                           fieldIdx: Map[String, Int])
+                                           fieldIdx: Map[String, Int],
+                                           conf: SerializableHadoopConf)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
-    new GeoRasterWriter(path, geom, fieldIdx)
+    new GeoRasterWriter(path, geom, fieldIdx, conf)
 }
 
 case class GeoRasterWriteGeom(width: Int, height: Int, west: Double,
                               north: Double, px: Double, py: Double,
-                              dtype: String)
+                              dtype: String, nodata: Option[Double] = None)
 
 case class GeoRasterWriterFactory(path: String, geom: GeoRasterWriteGeom,
-                                  fieldIdx: Map[String, Int]) extends DataWriterFactory {
+                                  fieldIdx: Map[String, Int],
+                                  conf: SerializableHadoopConf) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GeoRasterWriter(path, geom, fieldIdx)
+    new GeoRasterWriter(path, geom, fieldIdx, conf)
 }
 
 case class GeoRasterCommit(files: Seq[String]) extends WriterCommitMessage
 
 class GeoRasterWriter(path: String, geom: GeoRasterWriteGeom,
-                      fieldIdx: Map[String, Int]) extends DataWriter[InternalRow] {
+                      fieldIdx: Map[String, Int],
+                      conf: SerializableHadoopConf) extends DataWriter[InternalRow] {
   private val iF = fieldIdx("fname"); private val iS = fieldIdx("step")
   private val iY = fieldIdx("y"); private val iX = fieldIdx("x")
   private val iV = fieldIdx("v")
@@ -361,7 +422,14 @@ class GeoRasterWriter(path: String, geom: GeoRasterWriteGeom,
   private val written = scala.collection.mutable.Buffer[org.apache.hadoop.fs.Path]()
 
   override def write(row: InternalRow): Unit = {
+    require(!row.isNullAt(iF) && !row.isNullAt(iS) && !row.isNullAt(iY) &&
+      !row.isNullAt(iX) && !row.isNullAt(iV),
+      "georaster write rows must be non-null in fname/step/y/x/v")
     val fname = row.getUTF8String(iF).toString
+    // the fname column becomes a file name INSIDE the output dir —
+    // separators would let a row write outside it
+    require(!fname.contains('/') && !fname.contains('\\'),
+      s"fname '$fname' contains a path separator")
     val step = row.getInt(iS)
     val y = row.getInt(iY); val x = row.getInt(iX)
     require(y >= 0 && y < geom.height && x >= 0 && x < geom.width,
@@ -372,9 +440,8 @@ class GeoRasterWriter(path: String, geom: GeoRasterWriteGeom,
   }
 
   override def commit(): WriterCommitMessage = {
-    val conf = new org.apache.hadoop.conf.Configuration()
     val out = new org.apache.hadoop.fs.Path(path)
-    val fs = out.getFileSystem(conf)
+    val fs = out.getFileSystem(conf.value)
     fs.mkdirs(out)
     val files = acc.map { case ((fname, step), arr) =>
       val base = fname.lastIndexOf('.') match {
@@ -383,23 +450,24 @@ class GeoRasterWriter(path: String, geom: GeoRasterWriteGeom,
       }
       val p = new org.apache.hadoop.fs.Path(out, s"${base}_s$step.tif")
       val bytes = GeoTiff.writeCogAuto(Seq(arr), geom.width, geom.height,
-        geom.west, geom.north, geom.px, geom.py, dtype = geom.dtype)
+        geom.west, geom.north, geom.px, geom.py, dtype = geom.dtype,
+        nodata = geom.nodata)
       // EXCLUSIVE create: a raster split across tasks must fail loudly,
-      // never silently keep whichever partial landed last
+      // never silently keep whichever partial landed last. Track the
+      // path BEFORE writing so a failed write's partial file is still
+      // cleaned by abort (a leftover would fail every retry's create).
       val os = fs.create(p, false)
-      try os.write(bytes) finally os.close()
       written += p
+      try os.write(bytes) finally os.close()
       p.toString
     }.toSeq
     GeoRasterCommit(files)
   }
 
-  override def abort(): Unit = {
-    val conf = new org.apache.hadoop.conf.Configuration()
+  override def abort(): Unit =
     written.foreach { p =>
-      try p.getFileSystem(conf).delete(p, false) catch { case _: Exception => }
+      try p.getFileSystem(conf.value).delete(p, false) catch { case _: Exception => }
     }
-  }
 
   override def close(): Unit = ()
 }

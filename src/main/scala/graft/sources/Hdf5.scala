@@ -547,21 +547,10 @@ object Hdf5 {
       case 8 => // enumeration (NC_ENUM — classification rasters like
         // cloud masks): an integer base type plus named member values;
         // data decodes as the base type, labels surface as an attr
-        val base = parseDt(in, off + 8)
+        val (base, names, namesEnd) = enumTable(in, off)
         require(base.cls == 0, s"enum base class ${base.cls} not supported (integer only)")
-        val n = (in(off + 1) & 0xff) | ((in(off + 2) & 0xff) << 8)
-        val ver = (in(off) & 0xff) >> 4
-        var p = off + 8 + base.consumed
-        var k = 0
-        while (k < n) { // member names: NUL-terminated, 8-padded in v1/v2
-          val s = p
-          while (in(p) != 0) p += 1
-          p += 1
-          if (ver < 3) p = s + ((p - s + 7) / 8) * 8
-          k += 1
-        }
-        p += n.toLong * base.size // member values
-        Dt(8, size, base.bigEndian, base.signed, Some(base), (p - off).toInt)
+        val end = namesEnd + names.size.toLong * base.size // + member values
+        Dt(8, size, base.bigEndian, base.signed, Some(base), (end - off).toInt)
       case 9 =>
         val base = parseDt(in, off + 8)
         Dt(9, size, bigEndian = false, signed = false, Some(base), 8 + base.consumed)
@@ -569,8 +558,12 @@ object Hdf5 {
     }
   }
 
-  /** Member (name, value) pairs of an enum datatype message. */
-  private def enumMembers(in: ByteIn, off: Long): Seq[(String, Long)] = {
+  /** The ONE walk over an enum datatype message's member names
+    * (NUL-terminated, 8-padded in v1/v2): (base type, names, offset
+    * past the names). parseDt derives `consumed` from it and
+    * enumMembers reads the values after it, so the padding rule can
+    * never diverge between the two. */
+  private def enumTable(in: ByteIn, off: Long): (Dt, Seq[String], Long) = {
     val base = parseDt(in, off + 8)
     val n = (in(off + 1) & 0xff) | ((in(off + 2) & 0xff) << 8)
     val ver = (in(off) & 0xff) >> 4
@@ -584,8 +577,14 @@ object Hdf5 {
       if (ver < 3) p = s + ((p - s + 7) / 8) * 8
       name
     }
+    (base, names, p)
+  }
+
+  /** Member (name, value) pairs of an enum datatype message. */
+  private def enumMembers(in: ByteIn, off: Long): Seq[(String, Long)] = {
+    val (base, names, valuesAt) = enumTable(in, off)
     names.zipWithIndex.map { case (name, i) =>
-      name -> element(in, p + i.toLong * base.size, base).toLong
+      name -> element(in, valuesAt + i.toLong * base.size, base).toLong
     }
   }
 
@@ -830,17 +829,20 @@ object Hdf5 {
           attrs += ("flag_meanings" -> members.map(_._1).mkString(" "))
         }
       case (0x05, off) =>
+        // a fill value is at most one element (8 bytes numeric, 16
+        // vlen) — cap the slice so a corrupt size never allocates big
+        def take(at: Long, sz: Int): Unit =
+          if (sz > 0 && sz <= 64) fillRaw = Some(in.slice(at, sz))
         val ver = in(off) & 0xff
-        if (ver <= 2) {
-          if ((in(off + 3) & 0xff) == 1) {
-            val sz = in.getInt(off + 4)
-            if (sz > 0) fillRaw = Some(in.slice(off + 8, sz))
-          }
+        if (ver == 1) {
+          // v1 has NO 'defined' byte: version, space-alloc, write-time,
+          // size(4), value — reading it with the v2 layout would take
+          // the size's first byte as the flag and misparse every v1 fill
+          take(off + 7, in.getInt(off + 3))
+        } else if (ver == 2) { // v2 adds the 'fill value defined' byte
+          if ((in(off + 3) & 0xff) == 1) take(off + 8, in.getInt(off + 4))
         } else { // v3: flags bit 5 = fill value defined
-          if ((in(off + 1) & 0x20) != 0) {
-            val sz = in.getInt(off + 2)
-            if (sz > 0) fillRaw = Some(in.slice(off + 6, sz))
-          }
+          if ((in(off + 1) & 0x20) != 0) take(off + 6, in.getInt(off + 2))
         }
       case (0x08, off) =>
         val ver = in(off) & 0xff
@@ -908,11 +910,11 @@ object Hdf5 {
       (dt.cls == 9 && dt.base.exists(_.cls == 3)),
       s"unsupported dataset datatype class ${dt.cls} " +
         "(numeric, enum, string and vlen-string only)")
-    // a fill value carried only in the FILL MESSAGE (enum vars, and
-    // files from writers that skip the _FillValue attribute) must still
-    // reach the NetCDF layer's sentinel handling
-    if ((dt.cls == 0 || dt.cls == 1 || dt.cls == 8) && !attrs.contains("_FillValue"))
-      fillRaw.foreach(fb => attrs += ("_FillValue" -> element(ByteIn(fb), 0, dt)))
+    // NOTE: the HDF5 fill MESSAGE is the allocation background, NOT a
+    // missing-data sentinel — h5py files legitimately fill with 0 over
+    // fully-written data, so injecting it as _FillValue would NaN real
+    // zeros. Sentinel semantics come only from the _FillValue
+    // ATTRIBUTE (what netcdf-c writes), matching h5py/xarray behavior.
 
     // cap on BYTES, not elements: the decode buffer is n * dt.size, so
     // an element-only cap would admit e.g. 772M float32s (a standard
@@ -2272,7 +2274,12 @@ object Hdf5 {
           }
         }, 8 + filterIds.map(f => 8 + 4 * f._2.size + 4).sum))) ++ Seq(
         0x0C -> attrMsg("DIMENSION_LIST", vlenRefDt, dataspaceMsg(Seq(v.dims.size)), dimListData)) ++
-        (if (szip || enumOf.isDefined) Nil
+        (if (szip) Nil
+         else if (enumOf.isDefined)
+           // sentinel semantics live in the ATTRIBUTE (netcdf-c style);
+           // the fill MESSAGE above is only the allocation background
+           v.fill.map(f => 0x0C -> attrMsg("_FillValue", f64Dt,
+             scalarDs, bodyBuf(bb => { bb.putDouble(f.toDouble); () }, 8))).toSeq
          else v.fill.map(f => 0x0C -> attrMsg("_FillValue", f32Dt,
           scalarDs, bodyBuf(bb => { bb.putFloat(f); () }, 4))).toSeq) ++
         v.numAttrs.toSeq.sortBy(_._1).map { case (n, d) =>

@@ -195,6 +195,48 @@ class GeoRasterSourceSpec extends SparkSpec {
     assert(back == expect)
   }
 
+  test("write side: int16 + nodata encodes sparse rasters; wrong-typed v is rejected") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-dsv2-i16-").toString
+    // sparse: only 2 of 12 pixels — the rest must encode as nodata.
+    // repartition co-locates the raster group (the writer contract;
+    // local-FS exclusive create is advisory, not atomic)
+    val df = Seq(("m.tif", 0, 0, 0, 7.0), ("m.tif", 0, 2, 3, 9.0))
+      .toDF("fname", "step", "y", "x", "v")
+      .repartition(col("fname"), col("step"))
+    df.write.format("georaster").mode("append")
+      .option("width", 4).option("height", 3)
+      .option("west", -180.0).option("north", 90.0)
+      .option("px", 90.0).option("py", 60.0)
+      .option("dtype", "int16").option("nodata", -9999.0)
+      .save(out)
+    val back = spark.read.format("georaster").load(out)
+      .select("y", "x", "v").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(back == Set((0, 0, 7.0), (2, 3, 9.0))) // nodata pixels dropped as NaN
+    // integer dtype without nodata is a plan-time error
+    val e = intercept[Exception] {
+      df.write.format("georaster").mode("append")
+        .option("width", 4).option("height", 3)
+        .option("west", -180.0).option("north", 90.0)
+        .option("px", 90.0).option("py", 60.0)
+        .option("dtype", "int16")
+        .save(Files.createTempDirectory("graft-x-").toString)
+    }
+    assert(e.getMessage.contains("requires option 'nodata'"), e.getMessage)
+    // a FloatType v would be reinterpreted bit-garbage through
+    // getDouble — rejected by TYPE at plan time
+    val floatV = df.withColumn("v", col("v").cast("float"))
+    val e2 = intercept[Exception] {
+      floatV.write.format("georaster").mode("append")
+        .option("width", 4).option("height", 3)
+        .option("west", -180.0).option("north", 90.0)
+        .option("px", 90.0).option("py", 60.0)
+        .save(Files.createTempDirectory("graft-x2-").toString)
+    }
+    assert(e2.getMessage.contains("schema mismatch"), e2.getMessage)
+  }
+
   test("write side: missing grid options and off-grid pixels fail loudly") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft-dsv2-bad-").toString
