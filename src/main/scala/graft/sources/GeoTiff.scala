@@ -239,7 +239,8 @@ object GeoTiff {
                planar: Boolean = false,
                overviewLevels: Int = 0,
                compression: Int = 8,
-               stripped: Boolean = false): Array[Byte] = {
+               stripped: Boolean = false,
+               sparse: Boolean = false): Array[Byte] = {
     require(Set(1, 5, 7, 8, 32773).contains(compression),
       s"compression $compression not supported (1 none, 5 LZW, 7 JPEG, 8 deflate, 32773 PackBits)")
     val s = bands.size
@@ -328,6 +329,32 @@ object GeoTiff {
       for {
         p <- 0 until planes; ty <- 0 until td; tx <- 0 until ta
       } yield {
+        // GDAL SPARSE_OK: an all-nodata tile is never written — its
+        // offset AND bytecount stay 0 (empty payload here; the offset
+        // map below translates emptiness to offset 0)
+        def allNaN: Boolean = {
+          var yy = 0
+          var all = true
+          while (all && yy < tileSize) {
+            var xx = 0
+            while (all && xx < tileSize) {
+              val y = ty * tileSize + yy; val x = tx * tileSize + xx
+              if (y < pg.h && x < pg.w) {
+                var c = 0
+                while (all && c < chans) {
+                  val band = if (planar) p else c
+                  if (!pg.bands(band)(y * pg.w + x).isNaN) all = false
+                  c += 1
+                }
+              }
+              xx += 1
+            }
+            yy += 1
+          }
+          all
+        }
+        if (sparse && fmt == 3 && allNaN) Array.emptyByteArray
+        else {
         val rowSamples = tileSize * chans
         val raw = ByteBuffer.allocate(tileSize * rowSamples * bps)
           .order(ByteOrder.LITTLE_ENDIAN)
@@ -340,6 +367,7 @@ object GeoTiff {
           encodeValue(raw, v)
         }
         pack(raw.array(), rowSamples)
+        }
       }
     }
     // STRIP organization — GDAL's default for small rasters: chunks of
@@ -444,7 +472,8 @@ object GeoTiff {
       val offs = Array.fill(pages.size)(IndexedSeq.empty[Int])
       for (pi <- pages.indices.reverse)
         offs(pi) = pageTiles(pi).map { t =>
-          val off = at; at += t.length + (t.length & 1); off
+          if (t.isEmpty) 0 // sparse tile: offset 0 = never written
+          else { val off = at; at += t.length + (t.length & 1); off }
         }
       offs.toIndexedSeq
     }
@@ -475,7 +504,7 @@ object GeoTiff {
         out.position(payloadOffs(pi)(i).get)
         out.put(p)
       }
-      for ((t, i) <- pageTiles(pi).zipWithIndex) {
+      for ((t, i) <- pageTiles(pi).zipWithIndex if t.nonEmpty) {
         out.position(pageTileOffs(pi)(i))
         out.put(t)
       }
@@ -1035,6 +1064,20 @@ object GeoTiff {
       val expect = rows * rowSamples * bps
       val off = d.chunkOffs(planeBase + ci)
       val len = d.chunkBytes(planeBase + ci).toInt
+      if (off == 0 || len == 0) {
+        // SPARSE tile (GDAL SPARSE_OK COGs): offset/bytecount 0 means
+        // the tile was never written — every covered pixel is nodata.
+        // Decoding would otherwise slice the HEADER bytes as pixels.
+        var yy = 0
+        while (yy < rows && y0 + yy < height) {
+          var xx = 0
+          while (xx < cw && x0 + xx < width) {
+            data((y0 + yy) * width + (x0 + xx)) = Float.NaN
+            xx += 1
+          }
+          yy += 1
+        }
+      } else {
       val raw0 = d.compression match {
         case 1 => in.slice(off, expect)
         case 5 => lzwDecode(in.slice(off, len), expect)
@@ -1073,6 +1116,7 @@ object GeoTiff {
           xx += 1
         }
         yy += 1
+      }
       }
     }
 

@@ -459,4 +459,31 @@ class GeoTiffSpec extends SparkSpec {
       .selectExpr(sel: _*).orderBy("y", "x").collect().toSeq
     assert(viaPaths == viaDir && viaPaths.nonEmpty)
   }
+
+  test("sparse (GDAL SPARSE_OK) tiles decode as nodata, never as header bytes") {
+    // 32x32 raster in 16px tiles: tile (0,0) all-NaN -> written sparse
+    // (offset 0, bytecount 0); the other three tiles carry data
+    val w = 32; val h = 32
+    val data = Array.tabulate(w * h) { i =>
+      val y = i / w; val x = i % w
+      if (y < 16 && x < 16) Float.NaN else (y * 100 + x).toFloat
+    }
+    val bytes = GeoTiff.writeCog(Seq(data), w, h, -180.0, 90.0, 1.0, 1.0,
+      tileSize = 16, sparse = true)
+    // the wire really is sparse: smaller than the dense form
+    val dense = GeoTiff.writeCog(Seq(data), w, h, -180.0, 90.0, 1.0, 1.0,
+      tileSize = 16)
+    assert(bytes.length < dense.length,
+      s"sparse form (${bytes.length}) not smaller than dense (${dense.length})")
+    val r = GeoTiff.read(bytes)
+    for (i <- 0 until w * h) {
+      if (data(i).isNaN) assert(r.data(i).isNaN, s"pixel $i should be nodata")
+      else assert(r.data(i) == data(i), s"pixel $i")
+    }
+    // a fully-sparse raster (every tile empty) also round-trips
+    val allNaN = GeoTiff.read(GeoTiff.writeCog(
+      Seq(Array.fill(w * h)(Float.NaN)), w, h, -180.0, 90.0, 1.0, 1.0,
+      tileSize = 16, sparse = true))
+    assert(allNaN.data.forall(_.isNaN))
+  }
 }
