@@ -97,6 +97,11 @@ class RasterFuzzSpec extends AnyFunSuite {
         NetCdf.Variable("precip", Seq("time", "lat", "lon"),
           Array.tabulate(2 * 5 * 7)(i => i * 0.5f), Some(-9999f))),
       virtualStack = true)
+    // sparse COG (GDAL SPARSE_OK): tile (0,0) all-NaN -> offset 0
+    val cogSparse = GeoTiff.writeCog(
+      Seq(Array.tabulate(32 * 32)(i =>
+        if (i / 32 < 16 && i % 32 < 16) Float.NaN else i.toFloat)),
+      32, 32, -180.0, 90.0, 1.0, 1.0, tileSize = 16, sparse = true)
     // NC_ENUM classification raster (cloud-mask shape)
     val h5Enum = Hdf5.write(
       Seq("lat" -> 5, "lon" -> 7),
@@ -107,6 +112,7 @@ class RasterFuzzSpec extends AnyFunSuite {
       enumVars = Map("mask" -> Seq("clear", "cloudy", "snow", "missing")))
     Seq("tiff-strip" -> strip, "tiff-cog" -> cog, "tiff-cog-f64" -> cog64,
       "tiff-cog-packbits" -> cogPb, "tiff-cog-jpeg" -> cogJpeg,
+      "tiff-cog-sparse" -> cogSparse,
       "netcdf" -> nc, "netcdf-cdf5" -> nc5, "netcdf-cdf2-packed" -> ncPacked,
       "netcdf-charvar" -> ncChar,
       "hdf5" -> h5, "hdf5-tinyhuge" -> h5TinyHuge, "hdf5-hugebtree" -> h5HugeBt,
