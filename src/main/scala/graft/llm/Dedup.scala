@@ -112,7 +112,11 @@ object Dedup {
     * and 8 bytes on the wire instead of 32 chars, so the band
     * equi-join/group shuffles a fraction of the bytes. */
   def lshBands(sig: DataFrame, k: Int = 8, rows: Int = 2): DataFrame = {
-    require(rows <= 4, "band key packs 16-bit slots into one long")
+    // rows <= 3 keeps the packed key within 48 bits, so it is always
+    // non-negative; rows = 4 would use all 64 bits and wrap negative for
+    // m1 >= 32768 (still injective, but any oracle that errors on BIGINT
+    // overflow instead of wrapping would diverge).
+    require(rows <= 3, "band key packs 16-bit slots into one non-negative long (rows <= 3)")
     val bands = (1 to k / rows).map { b =>
       val cols = ((b - 1) * rows + 1 to b * rows).map(x => col(s"m$x"))
       val key = cols.foldLeft(lit(0L).cast("long")) {

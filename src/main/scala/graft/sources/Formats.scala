@@ -37,6 +37,36 @@ object Formats {
     /** Exact per-pixel (lon, lat), row-major, for non-affine
       * (curvilinear) grids; None for affine formats. */
     def pixelLonLat(bytes: Array[Byte]): Option[(Array[Double], Array[Double])] = None
+    /** Directory-context variants: formats whose granules reference
+      * SIBLING files (HDF5 cross-file virtual datasets) resolve them
+      * through `siblings`; every other format ignores it. The ingest
+      * paths call these with a resolver rooted at the granule's own
+      * directory ([[Formats.siblingsOf]]). */
+    def decodeMultiFlagged(bytes: Array[Byte], siblings: Option[Hdf5.Siblings])
+        : Seq[(Int, GeoTiff.Raster, Boolean)] = decodeMultiFlagged(bytes)
+    def listVariables(bytes: Array[Byte], siblings: Option[Hdf5.Siblings]): Seq[String] =
+      listVariables(bytes)
+    def pixelLonLat(bytes: Array[Byte], siblings: Option[Hdf5.Siblings])
+        : Option[(Array[Double], Array[Double])] = pixelLonLat(bytes)
+  }
+
+  /** Sibling resolver rooted at `path`'s directory, for granule
+    * formats that reference other files (HDF5 cross-file VDS). Source
+    * names may carry subdirectory components but must stay INSIDE the
+    * granule's directory — a mapping string is untrusted file content,
+    * and without the guard a crafted granule could read any file the
+    * executor can (`/etc/...`, credentials) into pixel values. Absent
+    * files resolve to None (dangling mapping → fill value). */
+  def siblingsOf(path: String): Hdf5.Siblings = { name =>
+    require(name.nonEmpty && !name.startsWith("/") && !name.contains('\\') &&
+      !name.contains(':') && !name.split('/').contains("..") &&
+      !name.split('/').contains(""),
+      s"virtual mapping source '$name' escapes the granule directory")
+    val local = path.stripPrefix("file:")
+    val dir = local.substring(0, local.lastIndexOf('/') + 1)
+    val p = java.nio.file.Paths.get(dir + name)
+    if (java.nio.file.Files.isRegularFile(p)) Some(ByteIn.fromPath(dir + name))
+    else None
   }
 
   object GeoTiffDecoder extends Decoder {
@@ -144,6 +174,20 @@ object Formats {
       val f = NetCdf.readAny(b)
       f.pixelLonLat(gridVar(f))
     }
+    override def decodeMultiFlagged(b: Array[Byte], siblings: Option[Hdf5.Siblings])
+        : Seq[(Int, GeoTiff.Raster, Boolean)] = {
+      val f = NetCdf.readAny(b, siblings)
+      f.rasters(gridVar(f)).map { case (s, r) => (s, r, false) }
+    }
+    override def listVariables(b: Array[Byte], siblings: Option[Hdf5.Siblings]): Seq[String] = {
+      val f = NetCdf.readAny(b, siblings)
+      f.gridVars.map(_.name)
+    }
+    override def pixelLonLat(b: Array[Byte], siblings: Option[Hdf5.Siblings])
+        : Option[(Array[Double], Array[Double])] = {
+      val f = NetCdf.readAny(b, siblings)
+      f.pixelLonLat(gridVar(f))
+    }
   }
 
   val registry: Seq[Decoder] =
@@ -191,11 +235,12 @@ object Formats {
         val dec = sniff(bytes).getOrElse(
           throw new IllegalArgumentException(s"unknown format: $path"))
         val fname = path.substring(path.lastIndexOf('/') + 1)
+        val sib = Some(siblingsOf(path))
         // geo coords at pixel CENTERS — the engine-wide convention
         // (reference: virtual_zarr.py:326-344 affine at centers);
         // curvilinear grids carry exact per-pixel coords instead
-        val ll = dec.pixelLonLat(bytes)
-        dec.decodeMultiFlagged(bytes).iterator.flatMap {
+        val ll = dec.pixelLonLat(bytes, sib)
+        dec.decodeMultiFlagged(bytes, sib).iterator.flatMap {
           case (step, r, lossy) => rasterRows(fname, step, r, ll, lossy) }
       }
     }.toDF("fname", "step", "y", "x", "v", "lon", "lat", "lossy")
@@ -235,7 +280,7 @@ object Formats {
             val r = try GeoTiff.readBand(in, 1, 0) finally in.close()
             pixelRows(Seq(0 -> r), None)
           } else if (Hdf5.canHandle(head)) {
-            val f = try Hdf5.toNetCdf(in) finally in.close()
+            val f = try Hdf5.toNetCdf(in, Some(siblingsOf(path))) finally in.close()
             val vn = f.gridVars.headOption.map(_.name).getOrElse(
               throw new IllegalArgumentException(s"$path: no (…, y, x) variable"))
             pixelRows(f.rasters(vn), f.pixelLonLat(vn))
@@ -274,8 +319,9 @@ object Formats {
         try {
           val dec = sniff(bytes).getOrElse(
             throw new IllegalArgumentException(s"unknown format"))
-          val ll = dec.pixelLonLat(bytes)
-          dec.decodeMultiFlagged(bytes).iterator.flatMap {
+          val sib = Some(siblingsOf(path))
+          val ll = dec.pixelLonLat(bytes, sib)
+          dec.decodeMultiFlagged(bytes, sib).iterator.flatMap {
             case (step, r, lossy) =>
               rasterRows(fname, step, r, ll, lossy).map(t =>
                 (t._1, t._2, t._3, t._4, t._5, t._6, t._7, t._8, null: String)) }

@@ -347,9 +347,12 @@ class GeoRasterWrite(path: String, info: LogicalWriteInfo) extends Write with Ba
   // spark.hadoop.* setting
   private val hadoopConf = new SerializableHadoopConf(
     org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+  private val maxBuffered =
+    Option(opts.get("maxBufferedRasters")).map(_.toInt)
+      .getOrElse(GeoRasterWriter.DefaultMaxBufferedRasters)
   override def toBatch: BatchWrite = this
   override def createBatchWriterFactory(pi: PhysicalWriteInfo): DataWriterFactory =
-    GeoRasterWriterFactory(path, geom, fieldIdx, hadoopConf)
+    GeoRasterWriterFactory(path, geom, fieldIdx, hadoopConf, maxBuffered)
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     // committed tasks' COGs must not survive a failed JOB: with the
@@ -405,16 +408,31 @@ case class GeoRasterWriteGeom(width: Int, height: Int, west: Double,
 
 case class GeoRasterWriterFactory(path: String, geom: GeoRasterWriteGeom,
                                   fieldIdx: Map[String, Int],
-                                  conf: SerializableHadoopConf) extends DataWriterFactory {
+                                  conf: SerializableHadoopConf,
+                                  maxBuffered: Int = GeoRasterWriter.DefaultMaxBufferedRasters)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GeoRasterWriter(path, geom, fieldIdx, conf)
+    new GeoRasterWriter(path, geom, fieldIdx, conf, maxBuffered)
 }
 
 case class GeoRasterCommit(files: Seq[String]) extends WriterCommitMessage
 
+object GeoRasterWriter {
+  /** Cap on concurrently buffered (fname, step) rasters per task. A
+    * correctly repartitioned write sees each group exactly once per
+    * task, so even a conservative cap is generous; the cap exists to
+    * turn a mis-partitioned write (round-robin input, no
+    * repartition(fname, step)) into an immediate, explained failure
+    * instead of an executor OOM. Override with the `maxBufferedRasters`
+    * write option. */
+  val DefaultMaxBufferedRasters = 64
+}
+
 class GeoRasterWriter(path: String, geom: GeoRasterWriteGeom,
                       fieldIdx: Map[String, Int],
-                      conf: SerializableHadoopConf) extends DataWriter[InternalRow] {
+                      conf: SerializableHadoopConf,
+                      maxBuffered: Int = GeoRasterWriter.DefaultMaxBufferedRasters)
+    extends DataWriter[InternalRow] {
   private val iF = fieldIdx("fname"); private val iS = fieldIdx("step")
   private val iY = fieldIdx("y"); private val iX = fieldIdx("x")
   private val iV = fieldIdx("v")
@@ -434,6 +452,17 @@ class GeoRasterWriter(path: String, geom: GeoRasterWriteGeom,
     val y = row.getInt(iY); val x = row.getInt(iX)
     require(y >= 0 && y < geom.height && x >= 0 && x < geom.width,
       s"pixel ($y, $x) outside the declared ${geom.width}x${geom.height} grid")
+    // Each buffered raster is width*height floats; the write contract
+    // (see GeoRasterTable scaladoc) requires the caller to
+    // repartition(fname, step) so a task sees few complete groups. Fail
+    // loudly here rather than let a mis-partitioned write accumulate
+    // hundreds of rasters and OOM the executor long before the
+    // exclusive-create guard would catch the split group at commit.
+    if (!acc.contains((fname, step)) && acc.size >= maxBuffered)
+      throw new IllegalStateException(
+        s"task buffers $maxBuffered rasters already (cap $maxBuffered); " +
+          "repartition the frame by (fname, step) before df.write so each " +
+          "task receives complete groups, or raise the maxBufferedRasters write option")
     val arr = acc.getOrElseUpdate((fname, step),
       Array.fill(geom.width * geom.height)(Float.NaN))
     arr(y * geom.width + x) = row.getDouble(iV).toFloat

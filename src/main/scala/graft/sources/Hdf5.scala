@@ -76,12 +76,49 @@ object Hdf5 {
   private case class Dt(cls: Int, size: Int, bigEndian: Boolean, signed: Boolean,
                         base: Option[Dt], consumed: Int)
 
+  /** Sibling-file resolver for cross-file virtual datasets: maps a VDS
+    * mapping's source file name (as stored in the file — relative to
+    * the virtual file's own directory) to an open [[ByteIn]], or None
+    * when that file is absent (a DANGLING mapping: its region keeps
+    * the fill value, matching HDF5's default VDS view semantics).
+    * Path SAFETY is the resolver's job (refuse absolute paths and
+    * `..` escapes — see `Formats.siblingsOf`); lifecycle is the
+    * reader's: every resolved ByteIn is closed before `read` returns. */
+  type Siblings = String => Option[ByteIn]
+
+  /** Per-read state for cross-file VDS resolution: caches each sibling
+    * file's (ByteIn, root address) so N mappings onto one member file
+    * open and parse it once, and closes everything when the read ends.
+    * `siblings = None` means the caller had no directory context
+    * (bytes-only entry points) — cross-file mappings then fail loudly
+    * instead of silently producing fill values. */
+  private class ReadCtx(val siblings: Option[Siblings]) {
+    private val opened =
+      scala.collection.mutable.Map[String, Option[(ByteIn, Long)]]()
+    def resolve(name: String): Option[(ByteIn, Long)] =
+      opened.getOrElseUpdate(name,
+        siblings.flatMap(f => f(name)).map(s => (s, rootAddrOf(s))))
+    def closeAll(): Unit =
+      opened.valuesIterator.flatten.foreach(o => o._1.close())
+  }
+
   def read(bytes: Array[Byte]): File = read(ByteIn(bytes))
 
-  def read(in: ByteIn): File = {
+  def read(in: ByteIn): File = read(in, None)
+
+  def read(in: ByteIn, siblings: Option[Siblings]): File = {
+    val rootAddr = rootAddrOf(in)
+    val out = scala.collection.mutable.Buffer[Dataset]()
+    val ctx = new ReadCtx(siblings)
+    try readGroup(in, rootAddr, "", out, rootAddr, ctx)
+    finally ctx.closeAll()
+    File(out.toSeq)
+  }
+
+  private def rootAddrOf(in: ByteIn): Long = {
     require(in.length > 8 && canHandle(in.slice(0, 8)), "not HDF5")
     val ver = in(8) & 0xff
-    val rootAddr = ver match {
+    ver match {
       case 0 | 1 =>
         require((in(13) & 0xff) == 8 && (in(14) & 0xff) == 8,
           "only 8-byte offsets/lengths supported")
@@ -95,9 +132,6 @@ object Hdf5 {
         in.getLong(36)
       case v => throw new IllegalArgumentException(s"unsupported superblock v$v")
     }
-    val out = scala.collection.mutable.Buffer[Dataset]()
-    readGroup(in, rootAddr, "", out, rootAddr)
-    File(out.toSeq)
   }
 
   /** All header messages of the object at `addr`, continuations resolved. */
@@ -216,25 +250,26 @@ object Hdf5 {
 
   private def readGroup(in: ByteIn, addr: Long,
                         prefix: String, out: scala.collection.mutable.Buffer[Dataset],
-                        rootAddr: Long, seen: Set[Long] = Set.empty): Unit = {
+                        rootAddr: Long, ctx: ReadCtx,
+                        seen: Set[Long] = Set.empty): Unit = {
     // ancestor guard: a link (soft or hard) back to an enclosing group
     // would recurse forever; the same group under SIBLING names is
     // legitimate (an alias) and stays allowed
     if (seen.contains(addr)) return
     val msgs = messages(in, addr)
     if (msgs.map(_._1).contains(0x08)) { // data layout → dataset
-      out += readDataset(in, addr, prefix, msgs, rootAddr)
+      out += readDataset(in, addr, prefix, msgs, rootAddr, 0, ctx)
       return
     }
     val seen2 = seen + addr
     linksOf(in, msgs).foreach {
       case (name, Left(child)) =>
-        readGroup(in, child, prefix + name + "/", out, rootAddr, seen2)
+        readGroup(in, child, prefix + name + "/", out, rootAddr, ctx, seen2)
       case (name, Right(path)) =>
         // soft link: resolve (dangling targets are skipped, like h5py
         // iteration); the linked object surfaces under the LINK's name
         resolvePath(in, rootAddr, addr, path, 0).foreach(child =>
-          readGroup(in, child, prefix + name + "/", out, rootAddr, seen2))
+          readGroup(in, child, prefix + name + "/", out, rootAddr, ctx, seen2))
     }
   }
 
@@ -795,7 +830,8 @@ object Hdf5 {
 
   private def readDataset(in: ByteIn, addr: Long,
                           prefix: String, msgs: Seq[(Int, Long)],
-                          rootAddr: Long, vdsDepth: Int = 0): Dataset = {
+                          rootAddr: Long, vdsDepth: Int,
+                          ctx: ReadCtx): Dataset = {
     var dims: Seq[Long] = Nil
     var dt: Dt = null
     var fillRaw: Option[Array[Byte]] = None
@@ -927,10 +963,18 @@ object Hdf5 {
     if (layoutClass == 3) {
       // ---- virtual dataset (VDS, HDF5 ≥1.10): the data is a MAPPING
       // onto other datasets. Same-file sources ('.') resolve through
-      // the normal group traversal and scatter by serialized dataspace
-      // selection (ALL / hyperslab v1 / regular hyperslab v2);
-      // cross-file and printf-pattern mappings fail loudly — the
-      // bytes-in reader has no directory context to open siblings.
+      // the normal group traversal; CROSS-FILE sources (the h5py/NWP
+      // post-processing layout that aggregates member files into one
+      // logical cube — reference reads them via h5netcdf,
+      // formats/netcdf.py:33-366) resolve through the read's sibling
+      // resolver, with an ABSENT member filling its region with the
+      // fill value (HDF5's default VDS view). Both scatter by
+      // serialized dataspace selection (ALL / hyperslab v1 / regular
+      // hyperslab v2). Printf-pattern mappings ('%b' unlimited-
+      // dimension VDS) fail loudly: their extent is defined by
+      // directory ENUMERATION at open time, which the materializing
+      // reader — whose shapes come from the declared dataspace —
+      // cannot honor without silently truncating a growing cube.
       require(dt.cls == 0 || dt.cls == 1,
         "virtual STRING datasets not supported (numeric mappings only)")
       // a corrupt mapping can point a virtual dataset at itself (or a
@@ -959,31 +1003,44 @@ object Hdf5 {
         p += 1; r
       }
       // mappings onto the SAME source decode it once, not per mapping
-      val srcCache = scala.collection.mutable.Map[Long, Dataset]()
+      val srcCache = scala.collection.mutable.Map[(String, Long), Dataset]()
       val srcNames = scala.collection.mutable.LinkedHashSet[String]()
       var k = 0L
       while (k < nMaps) {
         val srcFile = cstr(); val srcPath = cstr()
-        require(srcFile == ".",
-          s"cross-file virtual mapping to '$srcFile' not supported (same-file '.' only)")
-        require(!srcPath.contains("%b"),
-          s"printf-pattern virtual mapping '$srcPath' not supported")
+        require(!srcFile.contains("%b") && !srcPath.contains("%b"),
+          s"printf-pattern virtual mapping '$srcFile':'$srcPath' not supported " +
+            "(unlimited-dimension VDS: extent is directory enumeration, " +
+            "which a declared-shape read cannot honor)")
         val (srcSel, p1) = parseSelection(blob, p); p = p1
         val (virtSel, p2) = parseSelection(blob, p); p = p2
-        val srcAddr = resolvePath(in, rootAddr, rootAddr, srcPath, 0).getOrElse(
-          throw new IllegalArgumentException(
-            s"virtual mapping source '$srcPath' not found"))
-        srcNames += srcPath.stripPrefix("/")
-        val src = srcCache.getOrElseUpdate(srcAddr,
-          readDataset(in, srcAddr, srcPath.stripPrefix("/"),
-            messages(in, srcAddr), rootAddr, vdsDepth + 1))
-        val sIdx = selIndices(srcSel, src.shape.toArray)
-        val vIdx = selIndices(virtSel, vdims.toArray)
-        require(sIdx.length == vIdx.length,
-          s"virtual mapping '$srcPath' selects ${sIdx.length} source elements " +
-            s"for ${vIdx.length} virtual slots")
-        var i = 0
-        while (i < vIdx.length) { data(vIdx(i)) = src.data(sIdx(i)); i += 1 }
+        // (sibling ByteIn, that file's root): same file reuses this read's
+        val resolved: Option[(ByteIn, Long)] =
+          if (srcFile == ".") Some((in, rootAddr))
+          else {
+            require(ctx.siblings.nonEmpty,
+              s"cross-file virtual mapping to '$srcFile' needs directory " +
+                "context (bytes-only entry point; ingest through " +
+                "Formats.ingestDir / ingestLargePaths, which supply it)")
+            ctx.resolve(srcFile) // None = absent member → fill region
+          }
+        resolved.foreach { case (sIn, sRoot) =>
+          val srcAddr = resolvePath(sIn, sRoot, sRoot, srcPath, 0).getOrElse(
+            throw new IllegalArgumentException(
+              s"virtual mapping source '$srcPath' not found" +
+                (if (srcFile == ".") "" else s" in '$srcFile'")))
+          if (srcFile == ".") srcNames += srcPath.stripPrefix("/")
+          val src = srcCache.getOrElseUpdate((srcFile, srcAddr),
+            readDataset(sIn, srcAddr, srcPath.stripPrefix("/"),
+              messages(sIn, srcAddr), sRoot, vdsDepth + 1, ctx))
+          val sIdx = selIndices(srcSel, src.shape.toArray)
+          val vIdx = selIndices(virtSel, vdims.toArray)
+          require(sIdx.length == vIdx.length,
+            s"virtual mapping '$srcPath' selects ${sIdx.length} source elements " +
+              s"for ${vIdx.length} virtual slots")
+          var i = 0
+          while (i < vIdx.length) { data(vIdx(i)) = src.data(sIdx(i)); i += 1 }
+        }
         k += 1
       }
       // record the consumed sources so variable discovery can exclude
@@ -1485,8 +1542,10 @@ object Hdf5 {
     * conventions, producing the same model as the classic reader. */
   def toNetCdf(bytes: Array[Byte]): NetCdf.File = toNetCdf(ByteIn(bytes))
 
-  def toNetCdf(in: ByteIn): NetCdf.File = {
-    val raw0 = read(in)
+  def toNetCdf(in: ByteIn): NetCdf.File = toNetCdf(in, None)
+
+  def toNetCdf(in: ByteIn, siblings: Option[Siblings]): NetCdf.File = {
+    val raw0 = read(in, siblings)
     // datasets consumed as virtual-mapping sources are storage
     // internals of their virtual dataset — surfacing them as variables
     // would double-ingest the same pixels (once via the stack, once
@@ -1618,7 +1677,10 @@ object Hdf5 {
             softLinks: Seq[(String, String)] = Nil,
             vlenStr: Boolean = false,
             virtualStack: Boolean = false,
+            virtualCrossFiles: Seq[(String, String)] = Nil,
             enumVars: Map[String, Seq[String]] = Map.empty): Array[Byte] = {
+    require(virtualCrossFiles.isEmpty || virtualStack,
+      "fixture writer: virtualCrossFiles implies virtualStack")
     require(softLinks.isEmpty || subgroup.isEmpty,
       "fixture writer: soft links + subgroup not combined")
     require(!virtualStack || (subgroup.isEmpty && !denseRoot && !szip &&
@@ -1715,7 +1777,7 @@ object Hdf5 {
     // offsets are heap-relative, and both STABs point at it)
     // virtual-stack sources are real root-linked datasets of their own
     val vdsSrcNames: Seq[String] =
-      if (!virtualStack) Nil
+      if (!virtualStack || virtualCrossFiles.nonEmpty) Nil // cross-file: sources live elsewhere
       else dataVars.filter(_.ncType != 2).flatMap { v =>
         val nT = dims.find(_._1 == v.dims.head).get._2
         (0 until nT).map(k => s"${v.name}_src$k")
@@ -1870,8 +1932,11 @@ object Hdf5 {
         require(shape.length >= 2, "virtualStack needs rank >= 2 variables")
         val nT = shape.head
         val slice = shape.drop(1).product
-        // real contiguous sources, one per leading index
-        for (k <- 0 until nT) {
+        require(virtualCrossFiles.isEmpty || virtualCrossFiles.length == nT,
+          s"virtualCrossFiles: need one (file, path) per leading index ($nT)")
+        // real contiguous sources, one per leading index (same-file
+        // stacks only — cross-file stacks keep sources in sibling files)
+        for (k <- 0 until nT if virtualCrossFiles.isEmpty) {
           val dataAddr = pos
           for (i <- 0 until slice)
             u32(java.lang.Float.floatToIntBits(v.data(k * slice + i)).toLong & 0xffffffffL)
@@ -1901,8 +1966,11 @@ object Hdf5 {
         blb.write(0) // version
         bu32le(nT); bu32le(0) // entry count (u64 LE)
         for (k <- 0 until nT) {
-          blb.write('.'.toInt); blb.write(0)
-          blb.write(s"/${v.name}_src$k".getBytes("UTF-8")); blb.write(0)
+          val (sf, sp) =
+            if (virtualCrossFiles.isEmpty) (".", s"/${v.name}_src$k")
+            else virtualCrossFiles(k)
+          blb.write(sf.getBytes("UTF-8")); blb.write(0)
+          blb.write(sp.getBytes("UTF-8")); blb.write(0)
           // source selection: H5S_SEL_ALL v1 + 8 reserved
           bu32le(3); bu32le(1); bu32le(0); bu32le(0)
           // virtual selection: hyperslab v1, one block

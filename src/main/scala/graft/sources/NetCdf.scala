@@ -178,8 +178,12 @@ object NetCdf {
   /** Dispatch on magic: classic CDF-1 or NetCDF-4 (HDF5 container,
     * decoded natively by Hdf5 and assembled through the dimension-scale
     * conventions into the same model). */
-  def readAny(bytes: Array[Byte]): File =
-    if (Hdf5.canHandle(bytes)) Hdf5.toNetCdf(bytes) else read(bytes)
+  def readAny(bytes: Array[Byte]): File = readAny(bytes, None)
+
+  /** `siblings`: directory context for HDF5 cross-file virtual
+    * datasets (see [[Hdf5.Siblings]]); classic CDF ignores it. */
+  def readAny(bytes: Array[Byte], siblings: Option[Hdf5.Siblings]): File =
+    if (Hdf5.canHandle(bytes)) Hdf5.toNetCdf(ByteIn(bytes), siblings) else read(bytes)
 
   private val NC_DIMENSION = 10
   private val NC_VARIABLE = 11

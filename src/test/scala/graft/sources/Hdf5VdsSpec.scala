@@ -5,9 +5,12 @@ import graft.SparkSpec
 /** Virtual datasets (layout class 3, HDF5 >= 1.10 -- h5py
   * `VirtualLayout`/`virtual_sources`): the named variable is a MAPPING
   * over real source datasets. Same-file sources ('.') resolve and
-  * scatter by serialized dataspace selection; cross-file and
-  * printf-pattern mappings fail loudly (the bytes-in reader has no
-  * directory context).
+  * scatter by serialized dataspace selection; CROSS-FILE sources (the
+  * NWP member-file aggregation layout) resolve through a sibling
+  * resolver rooted at the granule's directory, with absent members
+  * filling their region (HDF5 default VDS view). Bytes-only entry
+  * points have no directory context, so cross-file mappings fail
+  * loudly there; printf-pattern ('%b') mappings always fail loudly.
   */
 class Hdf5VdsSpec extends SparkSpec {
 
@@ -87,6 +90,111 @@ class Hdf5VdsSpec extends SparkSpec {
     dangling(pAt + srcPath.length - 1) = '9'.toByte // ..._src9: no such link
     val e2 = intercept[IllegalArgumentException] { Hdf5.read(dangling) }
     assert(e2.getMessage.contains("not found"), e2.getMessage)
+  }
+
+  // ---- cross-file VDS --------------------------------------------
+
+  /** Member file k: a standalone HDF5 granule holding /precip = slice k. */
+  private def memberBytes(data: Array[Float], k: Int): Array[Byte] = {
+    val lat = Array(40f, 30f, 20f, 10f, 0f)
+    val lon = Array(-30f, -20f, -10f, 0f, 10f, 20f, 30f)
+    Hdf5.write(Seq("lat" -> h, "lon" -> w),
+      Seq(
+        NetCdf.Variable("lat", Seq("lat"), lat, None),
+        NetCdf.Variable("lon", Seq("lon"), lon, None),
+        NetCdf.Variable("precip", Seq("lat", "lon"),
+          data.slice(k * h * w, (k + 1) * h * w), Some(-9999f))))
+  }
+
+  private def writeCrossFixture(dir: java.nio.file.Path,
+                                members: Seq[(Int, String)]): Array[Float] = {
+    val (dims, vs, data) = vars(nT)
+    members.foreach { case (k, name) =>
+      val p = dir.resolve(name)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, memberBytes(data, k))
+    }
+    val vds = Hdf5.write(dims, vs, virtualStack = true,
+      virtualCrossFiles = Seq(("m0.h5", "/precip"), ("members/m1.h5", "/precip"),
+        ("m2.h5", "/precip")))
+    java.nio.file.Files.write(dir.resolve("precip_20240102T00.nc"), vds)
+    data
+  }
+
+  test("cross-file virtual mappings assemble sibling member files") {
+    val dir = java.nio.file.Files.createTempDirectory("vdsx")
+    val data = writeCrossFixture(dir,
+      Seq(0 -> "m0.h5", 1 -> "members/m1.h5", 2 -> "m2.h5"))
+    val vp = dir.resolve("precip_20240102T00.nc").toString
+    val f = Hdf5.read(ByteIn.fromPath(vp), Some(Formats.siblingsOf(vp)))
+    val precip = f.datasets.find(_.name == "precip").get
+    assert(precip.shape == Seq(nT, h, w))
+    assert(precip.data.sameElements(data),
+      "cross-file virtual assembly diverged from the member data")
+    // members are files of their own, NOT datasets of the virtual file
+    assert(!f.datasets.exists(_.name.contains("_src")))
+  }
+
+  test("an absent member file fills its region (dangling mapping, default VDS view)") {
+    val dir = java.nio.file.Files.createTempDirectory("vdsd")
+    val data = writeCrossFixture(dir, Seq(0 -> "m0.h5", 2 -> "m2.h5")) // m1 missing
+    val vp = dir.resolve("precip_20240102T00.nc").toString
+    val f = Hdf5.read(ByteIn.fromPath(vp), Some(Formats.siblingsOf(vp)))
+    val precip = f.datasets.find(_.name == "precip").get
+    val slice = h * w
+    assert(precip.data.slice(0, slice).sameElements(data.slice(0, slice)))
+    assert(precip.data.slice(slice, 2 * slice).forall(_ == -9999f),
+      "absent member's region must hold the fill value")
+    assert(precip.data.slice(2 * slice, 3 * slice)
+      .sameElements(data.slice(2 * slice, 3 * slice)))
+  }
+
+  test("a cross-file stack ingests through the production directory path") {
+    val dir = java.nio.file.Files.createTempDirectory("vdsi")
+    val data = writeCrossFixture(dir,
+      Seq(0 -> "m0.h5", 1 -> "members/m1.h5", 2 -> "m2.h5"))
+    val df = Formats.ingestDir(spark, dir.toString)
+    // only the virtual granule matches the glob; members feed it
+    assert(df.select("fname").distinct.collect().map(_.getString(0)).toSeq ==
+      Seq("precip_20240102T00.nc"))
+    val rows = df.collect()
+    assert(rows.length == data.count(_ != -9999f))
+    // spot-check: timestep 2, pixel (0, 1) carries slice 2's value
+    val v201 = rows.find(r => r.getInt(1) == 2 && r.getInt(2) == 0 && r.getInt(3) == 1).get
+    assert(v201.getDouble(4) == data(2 * h * w + 1).toDouble)
+  }
+
+  test("mapping source names cannot escape the granule directory") {
+    val dir = java.nio.file.Files.createTempDirectory("vdse")
+    val (dims, vs, _) = vars(nT)
+    val evil = Hdf5.write(dims, vs, virtualStack = true,
+      virtualCrossFiles = Seq(("../evil.h5", "/precip"), ("m1.h5", "/precip"),
+        ("m2.h5", "/precip")))
+    val vp = dir.resolve("evil.nc")
+    java.nio.file.Files.write(vp, evil)
+    val e = intercept[IllegalArgumentException] {
+      Hdf5.read(ByteIn.fromPath(vp.toString), Some(Formats.siblingsOf(vp.toString)))
+    }
+    assert(e.getMessage.contains("escapes the granule directory"), e.getMessage)
+    // absolute paths are rejected the same way
+    val abs = intercept[IllegalArgumentException] {
+      Formats.siblingsOf(vp.toString).apply("/etc/passwd")
+    }
+    assert(abs.getMessage.contains("escapes"), abs.getMessage)
+  }
+
+  test("printf-pattern mappings fail loudly even with directory context") {
+    val dir = java.nio.file.Files.createTempDirectory("vdsp")
+    val (dims, vs, _) = vars(nT)
+    val pf = Hdf5.write(dims, vs, virtualStack = true,
+      virtualCrossFiles = Seq(("m%b.h5", "/precip"), ("m1.h5", "/precip"),
+        ("m2.h5", "/precip")))
+    val vp = dir.resolve("pf.nc")
+    java.nio.file.Files.write(vp, pf)
+    val e = intercept[IllegalArgumentException] {
+      Hdf5.read(ByteIn.fromPath(vp.toString), Some(Formats.siblingsOf(vp.toString)))
+    }
+    assert(e.getMessage.contains("printf-pattern"), e.getMessage)
   }
 
   private def indexOfSlice(hay: Array[Byte], needle: Array[Byte]): Int = {
