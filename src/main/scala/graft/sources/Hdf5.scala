@@ -73,8 +73,16 @@ object Hdf5 {
 
   /** Parsed datatype: cls ∈ {0 fixed, 1 float, 3 string, 7 reference,
     * 9 vlen}; consumed = encoded byte length (for walking attributes). */
+  /** `precision`/`bitOffset`: a fixed-point type's significant-bit
+    * field (datatype message properties) — full-width for ordinary
+    * integers, narrower for n-bit-filtered datasets, where the value
+    * is the field at [bitOffset, bitOffset+precision), sign-extended
+    * from its own top bit when signed. */
   private case class Dt(cls: Int, size: Int, bigEndian: Boolean, signed: Boolean,
-                        base: Option[Dt], consumed: Int)
+                        base: Option[Dt], consumed: Int,
+                        precision: Int = 0, bitOffset: Int = 0) {
+    def narrowed: Boolean = cls == 0 && precision > 0 && precision < 8 * size
+  }
 
   /** Sibling-file resolver for cross-file virtual datasets: maps a VDS
     * mapping's source file name (as stored in the file — relative to
@@ -575,7 +583,9 @@ object Hdf5 {
     val b0 = in(off + 1) & 0xff
     val size = in.getInt(off + 4)
     cls match {
-      case 0 => Dt(0, size, (b0 & 1) != 0, (b0 & 8) != 0, None, 8 + 4)
+      case 0 => Dt(0, size, (b0 & 1) != 0, (b0 & 8) != 0, None, 8 + 4,
+        precision = in.getShort(off + 10) & 0xffff,
+        bitOffset = in.getShort(off + 8) & 0xffff)
       case 1 => Dt(1, size, (b0 & 1) != 0, signed = true, None, 8 + 12)
       case 3 => Dt(3, size, bigEndian = false, signed = false, None, 8)
       case 7 => Dt(7, size, bigEndian = false, signed = false, None, 8)
@@ -643,6 +653,23 @@ object Hdf5 {
         java.lang.Float.intBitsToFloat(if (dt.bigEndian) beInt else in.getInt(off)).toDouble
       case 1 if dt.size == 8 =>
         java.lang.Double.longBitsToDouble(if (dt.bigEndian) beLong else in.getLong(off))
+      case 0 if dt.narrowed =>
+        // n-bit field: the stored bytes carry the value at
+        // [bitOffset, bitOffset+precision); padding bits are undefined
+        // (the n-bit filter zeroes them), so mask then sign-extend
+        // from the field's OWN top bit — reading the full width would
+        // misinterpret every negative value as large-positive
+        var raw = 0L
+        var i = 0
+        while (i < dt.size) {
+          val shift = if (dt.bigEndian) 8 * (dt.size - 1 - i) else 8 * i
+          raw |= (in(off + i) & 0xffL) << shift
+          i += 1
+        }
+        val field = (raw >>> dt.bitOffset) & ((1L << dt.precision) - 1)
+        (if (dt.signed)
+          (field << (64 - dt.precision)) >> (64 - dt.precision)
+         else field).toDouble
       case 0 => dt.size match {
         case 1 => val v = in(off).toLong; (if (dt.signed) v else v & 0xff).toDouble
         case 2 => val v = if (dt.bigEndian) beShort else in.getShort(off)
@@ -1210,6 +1237,8 @@ object Hdf5 {
         case 2 => unshuffle(chunk, elemSize)
         case 3 => fletcherStrip(chunk)
         case 4 => Szip.decode(chunk, f.cd, rawSize, elemSize)
+        case 5 => H5Packed.nbitDecode(chunk, f.cd)
+        case 6 => H5Packed.scaleoffsetDecode(chunk, f.cd)
         case id => throw new IllegalArgumentException(s"unsupported filter $id")
       }
     }
@@ -1678,9 +1707,28 @@ object Hdf5 {
             vlenStr: Boolean = false,
             virtualStack: Boolean = false,
             virtualCrossFiles: Seq[(String, String)] = Nil,
+            nbitPrecision: Option[Int] = None,
+            scaleOffsetInt: Boolean = false,
+            scaleOffsetDScale: Option[Int] = None,
             enumVars: Map[String, Seq[String]] = Map.empty): Array[Byte] = {
     require(virtualCrossFiles.isEmpty || virtualStack,
       "fixture writer: virtualCrossFiles implies virtualStack")
+    // `nbitPrecision`: int16 data variables packed by the N-BIT filter
+    // (id 5) to the given bit precision (offset 0 — the h5py shape).
+    // `scaleOffsetInt`: int16 data variables behind the SCALE+OFFSET
+    // filter (id 6) in integer mode (H5Z_SO_INT). `scaleOffsetDScale`:
+    // float32 variables behind scale+offset D-scaling with the given
+    // decimal scale factor.
+    val packedFilter = nbitPrecision.isDefined || scaleOffsetInt ||
+      scaleOffsetDScale.isDefined
+    require(Seq(nbitPrecision.isDefined, scaleOffsetInt,
+      scaleOffsetDScale.isDefined).count(identity) <= 1,
+      "fixture writer: one packed filter at a time")
+    require(!packedFilter || (!szip && !shuffle && !fletcher &&
+      layoutV4.isEmpty && !virtualStack && enumVars.isEmpty),
+      "fixture writer: nbit/scaleoffset are their own single-filter pipelines")
+    nbitPrecision.foreach(p => require(p >= 2 && p < 16,
+      s"nbit fixture precision $p (int16 range)"))
     require(softLinks.isEmpty || subgroup.isEmpty,
       "fixture writer: soft links + subgroup not combined")
     require(!virtualStack || (subgroup.isEmpty && !denseRoot && !szip &&
@@ -2021,7 +2069,8 @@ object Hdf5 {
       val enumOf = enumVars.get(v.name)
       require(enumOf.isEmpty || (layoutV4.isEmpty && !szip),
         "fixture writer: enum variables use the v3 chunked layout")
-      val elemB = if (szip) 2 else if (enumOf.isDefined) 1 else 4
+      val int16Packed = nbitPrecision.isDefined || scaleOffsetInt
+      val elemB = if (szip || int16Packed) 2 else if (enumOf.isDefined) 1 else 4
       // one leading-index slice per chunk; split the next axis to force
       // a partial edge chunk when it doesn't divide evenly
       val chunkDims = shape.zipWithIndex.map { case (d, i) =>
@@ -2035,6 +2084,26 @@ object Hdf5 {
       val grid = shape.zip(chunkDims).map { case (d, c) => (d + c - 1) / c }
       val nChunks = grid.product
       val cTotal = chunkDims.product
+      // client data for the packed-bit filters (H5Packed): element
+      // count is per-CHUNK (chunks are stored full-size, edges padded)
+      val packedCd: Option[Array[Int]] =
+        if (nbitPrecision.isDefined)
+          // [valid-count, compress flag, nelmts, ATOMIC, size, LE, precision, offset]
+          Some(Array(8, 1, cTotal, 1, 2, 0, nbitPrecision.get, 0))
+        else if (scaleOffsetInt)
+          // [SO_INT, factor, nelmts, int class, size, signed, LE, filavail(, filval)]
+          Some(Array(2, 0, cTotal, 0, 2, 1, 0) ++
+            (v.fill match {
+              case Some(f) => Array(1, f.toInt & 0xffff)
+              case None => Array(0)
+            }))
+        else scaleOffsetDScale.map(sf =>
+          // [DSCALE, factor, nelmts, float class, size, unsigned, LE, filavail(, filval)]
+          Array(0, sf, cTotal, 1, 4, 0, 0) ++
+            (v.fill match {
+              case Some(f) => Array(1, java.lang.Float.floatToIntBits(f))
+              case None => Array(0)
+            }))
       val chunkEntries = scala.collection.mutable.Buffer[(Array[Int], Long, Int)]()
       for (ci <- 0 until nChunks) {
         var rem = ci
@@ -2056,6 +2125,14 @@ object Hdf5 {
             require(sv >= 0 && sv <= 0x7fff && sv.toFloat == value,
               s"szip fixture sample $value not a non-negative 15-bit integer")
             cbuf.putShort(sv.toShort)
+          } else if (int16Packed) {
+            val sv = value.toInt
+            require(sv >= Short.MinValue && sv <= Short.MaxValue && sv.toFloat == value,
+              s"packed-filter fixture sample $value not a 16-bit integer")
+            nbitPrecision.foreach(pr => require(
+              sv >= -(1 << (pr - 1)) && sv < (1 << (pr - 1)),
+              s"nbit fixture sample $sv outside signed $pr-bit range"))
+            cbuf.putShort(sv.toShort)
           } else if (enumOf.isDefined) {
             val code = value.toInt
             require(code >= 0 && code < enumOf.get.size && code.toFloat == value,
@@ -2067,6 +2144,10 @@ object Hdf5 {
         val storeFiltered = layoutV4 != Some(2) && !v4Unfiltered
         if (storeFiltered && szip) {
           payload = Szip.encode(payload, SzipFixtureCd, 2)
+        } else if (storeFiltered && packedCd.isDefined) {
+          payload =
+            if (nbitPrecision.isDefined) H5Packed.nbitEncode(payload, packedCd.get)
+            else H5Packed.scaleoffsetEncode(payload, packedCd.get)
         } else if (storeFiltered) {
           if (shuffle) {
             val nEl = payload.length / 4
@@ -2295,12 +2376,17 @@ object Hdf5 {
       }, v.dims.size * 16)
       val filterIds =
         if (szip) Seq((4, SzipFixtureCd.toSeq))
+        else if (packedCd.isDefined)
+          Seq(((if (nbitPrecision.isDefined) 5 else 6), packedCd.get.toSeq))
         else (if (shuffle) Seq((2, Seq(4))) else Nil) ++
           (if (fletcher) Seq((3, Seq.empty[Int])) else Nil) :+ ((1, Seq(6)))
-      val i16DtMsg: Array[Byte] = bodyBuf({ bb =>
+      // int16, with the bit precision the n-bit filter packs to (full
+      // 16 for the unpacked fixtures)
+      def i16Dt(precision: Int): Array[Byte] = bodyBuf({ bb =>
         bb.put(0x10.toByte).put(0x08.toByte).put(0.toByte).put(0.toByte).putInt(2)
-        bb.putShort(0).putShort(16)
+        bb.putShort(0).putShort(precision.toShort)
       }, 12)
+      val i16DtMsg: Array[Byte] = i16Dt(16)
       // enum-of-uint8 datatype: v1 class-8 header (member count in the
       // class bit field), the base int message, 8-padded NUL-terminated
       // member names, then the member values (codes = label indexes)
@@ -2320,12 +2406,14 @@ object Hdf5 {
       }
       val msgs = Seq(
         0x01 -> dataspaceMsg(shape.toSeq),
-        0x03 -> (if (szip) i16DtMsg
+        0x03 -> (if (szip || scaleOffsetInt) i16DtMsg
+                 else if (nbitPrecision.isDefined) i16Dt(nbitPrecision.get)
                  else enumOf.map(enumDtMsg).getOrElse(f32Dt)),
         0x05 -> bodyBuf({ bb =>
           bb.put(2.toByte).put(1.toByte).put(0.toByte)
           v.fill match {
-            case Some(f) if szip => bb.put(1.toByte).putInt(2).putShort(f.toInt.toShort)
+            case Some(f) if szip || int16Packed =>
+              bb.put(1.toByte).putInt(2).putShort(f.toInt.toShort)
             case Some(f) if enumOf.isDefined =>
               bb.put(1.toByte).putInt(1).put(f.toInt.toByte)
             case Some(f) => bb.put(1.toByte).putInt(4).putFloat(f)
@@ -2342,7 +2430,12 @@ object Hdf5 {
           }
         }, 8 + filterIds.map(f => 8 + 4 * f._2.size + 4).sum))) ++ Seq(
         0x0C -> attrMsg("DIMENSION_LIST", vlenRefDt, dataspaceMsg(Seq(v.dims.size)), dimListData)) ++
-        (if (szip) Nil
+        (if (int16Packed)
+           // sentinel semantics live in the ATTRIBUTE (netcdf-c
+           // writes _FillValue with the dataset's own int16 type)
+           v.fill.map(f => 0x0C -> attrMsg("_FillValue", i16DtMsg, scalarDs,
+             bodyBuf(bb => { bb.putShort(f.toInt.toShort); () }, 2))).toSeq
+         else if (szip) Nil
          else if (enumOf.isDefined)
            // sentinel semantics live in the ATTRIBUTE (netcdf-c style);
            // the fill MESSAGE above is only the allocation background

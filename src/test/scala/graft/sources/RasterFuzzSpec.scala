@@ -110,13 +110,32 @@ class RasterFuzzSpec extends AnyFunSuite {
         NetCdf.Variable("mask", Seq("lat", "lon"),
           Array.tabulate(5 * 7)(i => (i % 3).toFloat), Some(3f))),
       enumVars = Map("mask" -> Seq("clear", "cloudy", "snow", "missing")))
+    // round-10 surface: the packed-bit filters (nbit id 5, scaleoffset
+    // id 6) — header bytes, minbits, and the bitstream all get flipped
+    val h5Nbit = Hdf5.write(
+      Seq("lat" -> 5, "lon" -> 7),
+      Seq(NetCdf.Variable("lat", Seq("lat"), lat5, None),
+        NetCdf.Variable("lon", Seq("lon"), lon7, None),
+        NetCdf.Variable("t2m", Seq("lat", "lon"),
+          Array.tabulate(5 * 7)(i => (i * 37 % 2000 - 1000).toFloat), None)),
+      nbitPrecision = Some(12))
+    val h5So = Hdf5.write(
+      Seq("lat" -> 5, "lon" -> 7),
+      Seq(NetCdf.Variable("lat", Seq("lat"), lat5, None),
+        NetCdf.Variable("lon", Seq("lon"), lon7, None),
+        NetCdf.Variable("t2m", Seq("lat", "lon"),
+          Array.tabulate(5 * 7)(i =>
+            if (i % 11 == 0) -9999f else (i * 17 % 700 - 350).toFloat),
+          Some(-9999f))),
+      scaleOffsetInt = true)
     Seq("tiff-strip" -> strip, "tiff-cog" -> cog, "tiff-cog-f64" -> cog64,
       "tiff-cog-packbits" -> cogPb, "tiff-cog-jpeg" -> cogJpeg,
       "tiff-cog-sparse" -> cogSparse,
       "netcdf" -> nc, "netcdf-cdf5" -> nc5, "netcdf-cdf2-packed" -> ncPacked,
       "netcdf-charvar" -> ncChar,
       "hdf5" -> h5, "hdf5-tinyhuge" -> h5TinyHuge, "hdf5-hugebtree" -> h5HugeBt,
-      "hdf5-szip" -> h5Szip, "hdf5-vds" -> h5Vds, "hdf5-enum" -> h5Enum)
+      "hdf5-szip" -> h5Szip, "hdf5-vds" -> h5Vds, "hdf5-enum" -> h5Enum,
+      "hdf5-nbit" -> h5Nbit, "hdf5-scaleoffset" -> h5So)
   }
 
   private def decodeAny(label: String, bytes: Array[Byte]): Unit = label match {
