@@ -47,12 +47,7 @@ object MediaCodecs {
       .put(0.toByte).put(0.toByte).put(0.toByte)
     chunk("IHDR", ihdr.array())
     val raw = new Array[Byte](h * (1 + w)) // filter byte 0 + w gray bytes per row
-    val deflater = new java.util.zip.Deflater()
-    deflater.setInput(raw); deflater.finish()
-    val buf = new Array[Byte](raw.length + 64)
-    val nz = deflater.deflate(buf)
-    deflater.end()
-    chunk("IDAT", java.util.Arrays.copyOf(buf, nz))
+    chunk("IDAT", graft.sources.PngCodec.deflate(raw)) // thread-reused Deflater
     chunk("IEND", Array.emptyByteArray)
     out.toByteArray
   }
@@ -158,7 +153,7 @@ object MediaCodecs {
     }
     val frames = scala.collection.mutable.Buffer[graft.sources.PngCodec.Image]()
     var p = 0
-    while (p + 8 <= b.length && b.slice(p, p + 8).sameElements(PngSig)) {
+    while (p + 8 <= b.length && sigAt(b, p)) {
       val img = graft.sources.PngCodec.decodeImage(b, p)
       frames += img
       p = img.end
@@ -183,6 +178,13 @@ object MediaCodecs {
   private def u32be(b: Array[Byte], o: Int): Int =
     ByteBuffer.wrap(b, o, 4).getInt
 
+  /** Allocation-free PNG-signature probe (the frame walks run per row). */
+  private def sigAt(b: Array[Byte], p: Int): Boolean = {
+    var i = 0
+    while (i < 8) { if (b(p + i) != PngSig(i)) return false; i += 1 }
+    true
+  }
+
   /** Walk one PNG's chunks from `off` (which must point at a signature);
     * returns (width, height, offsetAfterIEND). */
   private def pngOne(b: Array[Byte], off: Int): (Int, Int, Int) = {
@@ -204,7 +206,7 @@ object MediaCodecs {
   private def parsePngSeq(b: Array[Byte]): Header = {
     val (w, h, end0) = pngOne(b, 0)
     var n = 1; var p = end0
-    while (p + 8 <= b.length && b.slice(p, p + 8).sameElements(PngSig)) {
+    while (p + 8 <= b.length && sigAt(b, p)) {
       val (_, _, e) = pngOne(b, p); p = e; n += 1
     }
     Header(if (n > 1) "png-seq" else "png", w, h, 1, 0, n)

@@ -26,15 +26,39 @@ object Multimodal {
   private def dims(docId: Long, textLen: Int): (Int, Int) =
     (16 + textLen % 64, 16 + (docId % 32).toInt)
 
+  /** Slim (doc_id, text byte length) projection, SPREAD across the
+    * cluster when the input arrives under-parallel. Synthesis and
+    * decode are CPU-bound codec work; at bench scale the documents
+    * table is a single parquet split, so without the spread every
+    * payload would encode+decode inside ONE task while the other 31
+    * cores idle. The shuffle moves 16-byte rows (never text or pixels)
+    * and only fires when the scan has fewer partitions than cores —
+    * production-scale inputs already arrive in many splits and skip it. */
+  private def slimSpread(docs: DataFrame, spread: Boolean = true): Dataset[(Long, Int)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val slim = docs.select(col("doc_id"),
+      octet_length(col("text")).cast("int").as("len"))
+    val cores = spark.sparkContext.defaultParallelism
+    // file count is a cheap upper-bound proxy for scan parallelism
+    // (probing .rdd.getNumPartitions would pay full physical planning
+    // twice per query); an explicit numPartitions keeps AQE from
+    // coalescing the spread back into one partition. Header-parse-only
+    // corpora pass spread = false: their per-row work is too cheap to
+    // repay an exchange.
+    val files = try docs.inputFiles.length catch { case _: Exception => 0 }
+    val out = if (spread && files < cores) slim.repartition(cores) else slim
+    out.as[(Long, Int)]
+  }
+
   /** Synthesize real media containers from documents: even image ids get
     * PNG, odd get JPEG; audio is PCM WAV with one sample frame per text
     * char; video is a PNG frame sequence. */
   def asMedia(docs: DataFrame): Dataset[Media] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .mapPartitions(_.map { case (id, text) =>
-        val len = text.getBytes("UTF-8").length
+    slimSpread(docs, spread = false)
+      .mapPartitions(_.map { case (id, len) =>
         val (w, h) = dims(id, len)
         val kind = (id % 3) match {
           case 0 => "image"
@@ -60,9 +84,8 @@ object Multimodal {
   def asPatternedMedia(docs: DataFrame): Dataset[Media] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .mapPartitions(_.flatMap { case (id, text) =>
-        val len = text.getBytes("UTF-8").length
+    slimSpread(docs)
+      .mapPartitions(_.flatMap { case (id, len) =>
         val (w, h) = dims(id, len)
         if (id % 3 == 0 && id % 2 == 0)
           Some(Media(id, "image",
@@ -159,9 +182,8 @@ object Multimodal {
   def asPatternedAudio(docs: DataFrame): Dataset[Media] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .mapPartitions(_.flatMap { case (id, text) =>
-        val len = text.getBytes("UTF-8").length
+    slimSpread(docs, spread = false)
+      .mapPartitions(_.flatMap { case (id, len) =>
         if (id % 3 == 1)
           Some(Media(id, "audio", MediaCodecs.wavPattern(8000, len,
             i => ((id * 31 + i * 7) % 4096).toInt - 2048)))

@@ -10,6 +10,36 @@ object PngCodec {
   private val Sig: Array[Byte] =
     Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte)
 
+  // A Deflater/Inflater owns a native zlib window (~256 KB) whose
+  // allocation dwarfs the actual compression work for the KB-sized
+  // payloads the multimodal corpus carries; constructing one PER IMAGE
+  // made the codec constants the dominant cost of every media query.
+  // java.util.zip objects are single-threaded, so reuse is per-TASK-
+  // thread: reset() between uses, never end(). BEST_SPEED because the
+  // engine's PNG writes are fixture/feature payloads, not archival
+  // storage — the stream stays a fully standard deflate stream.
+  private val sharedDeflater = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue() =
+      new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
+  }
+  private val sharedInflater = new ThreadLocal[java.util.zip.Inflater] {
+    override def initialValue() = new java.util.zip.Inflater()
+  }
+
+  /** Deflate `raw` through the thread's reused Deflater. */
+  private[graft] def deflate(raw: Array[Byte]): Array[Byte] = {
+    val defl = sharedDeflater.get()
+    defl.reset()
+    defl.setInput(raw); defl.finish()
+    val zout = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val buf = new Array[Byte](64 * 1024)
+    while (!defl.finished()) {
+      val nz = defl.deflate(buf)
+      if (nz > 0) zout.write(buf, 0, nz)
+    }
+    zout.toByteArray
+  }
+
   private def chunk(out: java.io.ByteArrayOutputStream, typ: String,
                     payload: Array[Byte]): Unit = {
     def u32(v: Long): Unit = {
@@ -46,25 +76,17 @@ object PngCodec {
       }
     }
     // Deflate output can EXCEED the input for incompressible data (~5
-    // bytes per 64 KB block + headers), so loop until finished() rather
-    // than trusting a single one-shot deflate into a fixed buffer.
-    val defl = new java.util.zip.Deflater()
-    defl.setInput(raw); defl.finish()
-    val zout = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
-    val buf = new Array[Byte](64 * 1024)
-    while (!defl.finished()) {
-      val nz = defl.deflate(buf)
-      if (nz > 0) zout.write(buf, 0, nz)
-    }
-    defl.end()
-    require(zout.size > 0, "deflate produced no output")
+    // bytes per 64 KB block + headers); deflate() loops until
+    // finished() rather than trusting a one-shot into a fixed buffer.
+    val z = deflate(raw)
+    require(z.length > 0, "deflate produced no output")
     val out = new java.io.ByteArrayOutputStream()
     out.write(Sig)
     val ihdr = ByteBuffer.allocate(13)
       .putInt(w).putInt(h).put(bitDepth.toByte).put(colorType.toByte)
       .put(0.toByte).put(0.toByte).put(0.toByte)
     chunk(out, "IHDR", ihdr.array())
-    chunk(out, "IDAT", zout.toByteArray)
+    chunk(out, "IDAT", z)
     chunk(out, "IEND", Array.emptyByteArray)
     out.toByteArray
   }
@@ -108,8 +130,9 @@ object PngCodec {
       case (6, 8) => 4
       case o => throw new IllegalArgumentException(s"unsupported PNG format $o")
     }
-    // inflate
-    val inf = new java.util.zip.Inflater()
+    // inflate (thread-reused Inflater — see sharedInflater)
+    val inf = sharedInflater.get()
+    inf.reset()
     inf.setInput(idat.toByteArray)
     val raw = new Array[Byte](h * (1 + w * bpp))
     var got = 0
@@ -118,7 +141,6 @@ object PngCodec {
       require(k > 0 || !inf.needsInput(), "truncated PNG stream")
       got += k
     }
-    inf.end()
     require(got == raw.length, s"PNG stream yielded $got of ${raw.length} bytes")
     // reconstruct the five standard row filters
     val stride = w * bpp
