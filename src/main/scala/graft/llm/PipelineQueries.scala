@@ -139,20 +139,23 @@ object PipelineQueries extends QueryModule {
     // TF-IDF top terms per document with a RATIONAL idf weight
     // (tf·N/df instead of tf·log(N/df) — log's last-ulp varies across
     // libm implementations and would break the cross-engine hash gate;
-    // the ranking intent is identical). The corpus is exploded ONCE:
-    // tf is the (doc, word) hash aggregate, and df — the number of
-    // documents containing each word — is derived from tf itself
-    // (tf's rows ARE the distinct (doc, word) pairs), so the second
-    // corpus-wide explode+shuffle the textbook two-scan form pays
-    // never happens. df is vocabulary-sized; the score join is left
-    // to AQE, which broadcasts it at any realistic vocab scale.
+    // the ranking intent is identical). tf never shuffles AT ALL: each
+    // document's words live in its own row, so the `term_counts`
+    // kernel computes the (term, tf) pairs as a map-side projection —
+    // the textbook explode → groupBy(doc, word) form pays a
+    // corpus-sized exchange for counts that never needed to leave the
+    // row. df — the number of documents containing each word — derives
+    // from tf's rows (they ARE the distinct (doc, word) pairs) with a
+    // vocabulary-sized aggregate; the score join is left to AQE, which
+    // broadcasts df at any realistic vocab scale.
     "t_tfidf_topk" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       // corpus size as a one-row broadcast (like t_domain_mix), not a
       // separate driver count() action per invocation
       val n = docs.agg(count(lit(1)).as("n"))
-      val words = docs.select(col("doc_id"), explode(wordsCol).as("w"))
-      val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val tf = docs.select(col("doc_id"),
+          explode(graft.functions.TermCounts.termCounts(wordsCol)).as("e"))
+        .select(col("doc_id"), col("e.term").as("w"), col("e.tf").as("tf"))
       val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
       // per-doc top 3 via the bounded top-k aggregate: partials reduce
       // each map partition to ≤3 rows per doc BEFORE the doc_id
