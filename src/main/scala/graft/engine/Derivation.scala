@@ -43,16 +43,22 @@ object Derivation {
   def transitiveDownstream(edges: DataFrame, seeds: DataFrame,
                            maxDepth: Int): DataFrame = {
     // each frontier is consumed twice (next join + the union) — cache per
-    // level or the lineage re-executes once per remaining depth
-    val e = edges.cache()
-    var frontier = seeds.select(col("unit_id"), lit(0).as("depth")).cache()
+    // level or the lineage re-executes once per remaining depth. The
+    // caches register as stage boundaries so a RE-invocation (bench
+    // warm pass, repeated staleness sweeps) unpersists the previous
+    // walk's blocks instead of re-caching identical plans (the
+    // CacheManager "already cached" warning + a storage leak).
+    val key = "derivation:transitive"
+    graft.model.StageBoundaries.reset(key)
+    def mark(df: DataFrame) = graft.model.StageBoundaries.mark(key, df)
+    val e = mark(edges)
+    var frontier = mark(seeds.select(col("unit_id"), lit(0).as("depth")))
     var acc = frontier
     for (d <- 1 to maxDepth) {
-      frontier = frontier
+      frontier = mark(frontier
         .join(e, frontier("unit_id") === e("src"))
         .select(col("dst").as("unit_id"), lit(d).as("depth"))
-        .distinct()
-        .cache()
+        .distinct())
       acc = acc.unionByName(frontier)
     }
     acc.groupBy("unit_id").agg(min(col("depth")).as("depth"))

@@ -58,6 +58,13 @@ class Engine(spark: SparkSession, stateDir: String) {
   /** Run one recipe over `inputs`. Returns the per-unit action audit
     * (insert/overwrite/skip/keep). */
   def run(recipe: Recipe, inputs: DataFrame): DataFrame = {
+    // intra-run caches register as stage boundaries: a re-run (bench
+    // warm pass, engine re-trigger) drops the previous run's blocks
+    // first instead of re-caching identical plans (CacheManager
+    // "already cached" warnings + storage leak)
+    graft.model.StageBoundaries.reset(s"recipe:${recipe.name}")
+    def mark(df: DataFrame) =
+      graft.model.StageBoundaries.mark(s"recipe:${recipe.name}", df)
     val ledgerPath = s"$stateDir/${recipe.name}/ledger"
     val outPath = s"$stateDir/${recipe.name}/outputs"
     val linPath = s"$stateDir/${recipe.name}/lineage"
@@ -69,7 +76,7 @@ class Engine(spark: SparkSession, stateDir: String) {
     // Park not-ready units (honest rows in parked/, excluded from the
     // hash ledger so they classify as fresh inserts once revived); the
     // parked set is rewritten each run = the reference's sweep.
-    val ready = recipe.readiness(inputs, allUnits).cache()
+    val ready = mark(recipe.readiness(inputs, allUnits))
     val parked = ready.filter(!col("ready"))
       .select(col("unit_id"), col("reason"), current_timestamp().as("parked_at"))
     replaceParquet(parked, s"$stateDir/${recipe.name}/parked")
@@ -101,7 +108,7 @@ class Engine(spark: SparkSession, stateDir: String) {
       .join(parked.select("unit_id"), Seq("unit_id"), "left_anti")
       .unionByName(parked.select(col("unit_id"),
         lit(null).cast("string").as("input_hash"), lit("parked").as("action")))
-      .cache()
+      .transform(mark)
 
     val toRun = audit.filter(col("action").isin("insert", "overwrite"))
       .select(col("unit_id"))
@@ -114,7 +121,7 @@ class Engine(spark: SparkSession, stateDir: String) {
       return audit
     }
 
-    val produced = recipe.transform(inputs, toRun).cache()
+    val produced = mark(recipe.transform(inputs, toRun))
 
     // Overwrite-in-place, partition-pruned: outputs are partitioned by
     // unit_id and dynamic overwrite replaces exactly the re-derived
