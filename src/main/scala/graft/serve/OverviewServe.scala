@@ -1,0 +1,76 @@
+package graft.serve
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.grid.{GridStore, Overviews}
+
+/** Serving-layer overview routing (SURVEY §4; the reference serves
+  * zoomed-out reads from COG overview levels,
+  * ingestion/asset_writer.py:188-211 + titiler's reader): persisted
+  * overview TABLES beside the base cube, and a read function that
+  * routes a (bbox, resolution) request to the coarsest level whose
+  * pixel size still satisfies it. Callers stop hand-picking levels —
+  * the router owns the base-table-vs-overview decision, so a tile
+  * server pays 1/f² of the scan whenever the request resolution
+  * permits.
+  */
+object OverviewServe {
+
+  /** Overview table location: `<base>_ov<factor>` beside the base. */
+  def ovPath(basePath: String, level: Int): String =
+    if (level == 1) basePath else s"${basePath}_ov$level"
+
+  /** Build + persist the overview pyramid beside the base store.
+    * Level f holds the mean of `v` over f×f tile blocks. Levels
+    * cascade: each one aggregates the PREVIOUS level's (sum, count)
+    * partials — sum-of-sums ≡ direct sum, so every level is exactly
+    * the full-res aggregate while the base cube is scanned once, not
+    * once per level (the s8_overview_pyramid shape, persisted). */
+  def writeOverviews(spark: SparkSession, basePath: String,
+                     levels: Seq[Int] = Seq(2, 4)): Unit = {
+    require(levels.nonEmpty && levels == levels.sorted && levels.head >= 2,
+      s"overview levels must be ascending factors >= 2, got $levels")
+    levels.foldLeft(1) { (prev, f) =>
+      require(f % prev == 0,
+        s"overview level $f does not cascade from $prev (factors must divide)")
+      f
+    }
+    var prev = GridStore.read(spark, basePath)
+      .select(col("collection"), col("t"), col("tile_y"), col("tile_x"),
+        col("v").cast("double").as("s"), lit(1L).as("n"))
+      .persist() // each level's write re-reads the previous partials
+    var prevF = 1
+    try levels.foreach { f =>
+      val step = f / prevF
+      val next = prev.groupBy(col("collection"), col("t"),
+          (col("tile_y") / step).cast("int").as("tile_y"),
+          (col("tile_x") / step).cast("int").as("tile_x"))
+        .agg(sum("s").as("s"), sum("n").as("n"))
+        .persist()
+      GridStore.write(next.select(col("collection"), col("t"),
+        col("tile_y"), col("tile_x"),
+        (col("s") / col("n")).as("v"), col("n").as("n_base")), ovPath(basePath, f))
+      prev.unpersist()
+      prev = next
+      prevF = f
+    } finally prev.unpersist()
+  }
+
+  /** Time-range + tile-bbox read routed to the coarsest level whose
+    * pixel size still meets `requestedPxDeg` (Overviews.selectLevel).
+    * The bbox arrives in FULL-RES tile coordinates and is rescaled to
+    * the chosen level; both predicates stay sargable, so partition
+    * pruning (time) and row-group pruning (tile min/max) apply to the
+    * overview scan exactly as they do to a base scan. Output carries
+    * the chosen `level` so the renderer knows its ground resolution. */
+  def readBbox(spark: SparkSession, basePath: String, levels: Seq[Int],
+               basePxDeg: Double, requestedPxDeg: Double,
+               from: String, to: String,
+               tx0: Int, tx1: Int, ty0: Int, ty1: Int): DataFrame = {
+    val level = Overviews.selectLevel(levels, basePxDeg, requestedPxDeg)
+    GridStore.readRange(spark, ovPath(basePath, level), from, to,
+        Math.floorDiv(tx0, level), Math.floorDiv(tx1, level),
+        Math.floorDiv(ty0, level), Math.floorDiv(ty1, level))
+      .withColumn("level", lit(level))
+  }
+}

@@ -1,0 +1,69 @@
+package graft.serve
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Overview routing: the serving read must CHOOSE the coarsest
+  * sufficient level (asserted on the files actually scanned), and the
+  * served values must agree with the full-resolution answer. */
+class OverviewServeSpec extends SparkSpec {
+
+  private val PX = 0.25 // base pixel size, degrees
+
+  private def buildStore(): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ovserve").toString + "/cube"
+    val cube = (for (ty <- 0 until 64; tx <- 0 until 64)
+      yield ("c", ty, tx, (ty * 3 + tx * 7 % 13).toDouble))
+      .toDF("collection", "tile_y", "tile_x", "v")
+      .withColumn("t", to_timestamp(lit("2024-01-02 00:00:00")))
+    graft.grid.GridStore.write(cube, dir)
+    OverviewServe.writeOverviews(spark, dir, Seq(2, 4))
+    dir
+  }
+
+  test("a coarse request routes to the coarsest sufficient overview table") {
+    val dir = buildStore()
+    // requested 1.1 deg/px, base 0.25: level 4 (1.0 deg) suffices, 8 absent
+    val df = OverviewServe.readBbox(spark, dir, Seq(1, 2, 4),
+      basePxDeg = PX, requestedPxDeg = 1.1,
+      from = "2024-01-01", to = "2024-01-03", tx0 = 0, tx1 = 31, ty0 = 0, ty1 = 31)
+    assert(df.inputFiles.nonEmpty && df.inputFiles.forall(_.contains("_ov4")),
+      s"expected only _ov4 scans, got ${df.inputFiles.take(3).mkString(", ")}")
+    assert(df.select("level").distinct().collect().map(_.getInt(0)).toSeq == Seq(4))
+    // 32x32 full-res tiles -> 8x8 level-4 blocks
+    assert(df.count() == 64)
+    // block-mean cascade is exact: the bbox is level-aligned, so the
+    // served mean equals the full-resolution mean over the same bbox
+    val servedMean = df.agg(sum(col("v") * col("n_base")) / sum("n_base"))
+      .collect().head.getDouble(0)
+    val fullMean = graft.grid.GridStore.readRange(spark, dir,
+        "2024-01-01", "2024-01-03", 0, 31, 0, 31)
+      .agg(avg("v")).collect().head.getDouble(0)
+    assert(math.abs(servedMean - fullMean) < 1e-9,
+      s"served $servedMean vs full-res $fullMean")
+  }
+
+  test("a full-resolution request routes to the base table") {
+    val dir = buildStore()
+    val df = OverviewServe.readBbox(spark, dir, Seq(1, 2, 4),
+      basePxDeg = PX, requestedPxDeg = 0.3, // only level 1 satisfies
+      from = "2024-01-01", to = "2024-01-03", tx0 = 0, tx1 = 7, ty0 = 0, ty1 = 7)
+    assert(df.inputFiles.nonEmpty && !df.inputFiles.exists(_.contains("_ov")),
+      "full-res request must scan the base table")
+    assert(df.count() == 64) // 8x8 tiles, untouched resolution
+  }
+
+  test("mid-zoom picks the intermediate level and rescales the bbox") {
+    val dir = buildStore()
+    val df = OverviewServe.readBbox(spark, dir, Seq(1, 2, 4),
+      basePxDeg = PX, requestedPxDeg = 0.6, // level 2 (0.5) ok, level 4 (1.0) too coarse
+      from = "2024-01-01", to = "2024-01-03", tx0 = 8, tx1 = 15, ty0 = 8, ty1 = 15)
+    assert(df.inputFiles.forall(_.contains("_ov2")))
+    // tiles 8..15 -> level-2 blocks 4..7 in each axis
+    assert(df.count() == 16)
+    val coords = df.select("tile_y", "tile_x").collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    assert(coords.forall { case (y, x) => y >= 4 && y <= 7 && x >= 4 && x <= 7 })
+  }
+}
