@@ -142,6 +142,9 @@ object Formats {
     def decode(b: Array[Byte]) = Grib1.read(b).raster
     override def decodeMulti(b: Array[Byte]): Seq[(Int, GeoTiff.Raster)] =
       requireOneGrid(Grib1.readAll(b)).map(m => (m.forecastHours, m.raster))
+    /** Lossy rides through: thinned-grid expansion is a resample. */
+    override def decodeMultiFlagged(b: Array[Byte]): Seq[(Int, GeoTiff.Raster, Boolean)] =
+      requireOneGrid(Grib1.readAll(b)).map(m => (m.forecastHours, m.raster, m.lossy))
     override def listVariables(b: Array[Byte]): Seq[String] =
       Grib1.readAll(b).map(m =>
         s"d${m.discipline}_c${m.category}_p${m.parameter}${m.variant}").distinct

@@ -12,12 +12,18 @@ package graft.sources
   * ERA-era ECMWF archive encoding: secondary-bitmap groups or
   * row-by-row, constant or per-group second-order widths), bitmap
   * nodata, lat/lon (grid type 0) and regular global Gaussian (type 4)
-  * grids, the GDS-less predefined global lat/lon grids (NCEP ON388
-  * Table B ids 2/3/4 — the pre-2000 NCEP archive form), all 8
-  * edition-1 scan-mode combinations, multi-message concatenation.
-  * Spherical harmonics, regional/thinned/polar predefined grids,
-  * general-extended/boustrophedonic/spatially-differenced second
-  * order, and other grid types FAIL LOUDLY.
+  * grids, THINNED (quasi-regular) lat/lon and Gaussian grids via the
+  * GDS PL row-count list (the DWD / older-ECMWF reduced-grid archive
+  * form — rows expand nearest-neighbour to the widest row and the
+  * message flags LOSSY), the GDS-less predefined global lat/lon grids
+  * (NCEP ON388 Table B ids 2/3/4 — the pre-2000 NCEP archive form),
+  * all 8 edition-1 scan-mode combinations, multi-message
+  * concatenation. Spherical harmonics, general-extended/
+  * boustrophedonic/spatially-differenced second order, and other grid
+  * types FAIL LOUDLY — as do REGIONAL predefined (GDS-less) grid ids:
+  * their ON388 orientations are center-table lore that cannot be
+  * reproduced faithfully from the public spec alone, and a guessed
+  * orientation would mis-georeference every pixel silently.
   *
   * Messages surface as [[Grib2.Message]], so the whole ingest path
   * (chipper, variable discovery, multi-message step indexing) is
@@ -134,6 +140,7 @@ object Grib1 {
     var ni = 0; var nj = 0; var scanMode = 0
     var px = 0.0; var py = 0.0; var west = 0.0; var north = 0.0
     var proj: Option[Grib2.GridProj] = None
+    var pl: Array[Int] = null // thinned grid: per-row point counts
     if ((flags & 0x80) == 0) {
       // GDS-less message: PDS octet 7 names an NCEP ON388 Table B
       // grid — the form the pre-2000 NCEP archives (reanalysis-1 era)
@@ -150,17 +157,43 @@ object Grib1 {
       north = 90.0 + py / 2 // first row centered on the pole
     } else {
     val gdsLen = u24(bytes, o)
+    val nv = u8(bytes, o + 3)
+    val pvpl = u8(bytes, o + 4)
     val gtype = u8(bytes, o + 5)
     require(gtype == 0 || gtype == 4,
       s"unsupported GRIB1 grid type $gtype (0 lat/lon, 4 Gaussian)")
     ni = u16(bytes, o + 6); nj = u16(bytes, o + 8)
+    require(nj > 0 && nj != 0xffff, s"implausible GRIB1 row count $nj")
+    // ---- thinned (quasi-regular) grid: Ni missing, per-row point
+    // counts in the PL list (octet 5 names its 1-based GDS octet,
+    // after 4·NV vertical-coordinate octets). The DWD/older-ECMWF
+    // archive form — reduced lat/lon and reduced Gaussian (ERA-40's
+    // N80) both arrive this way; eccodes reads them for the reference
+    // (formats/grib.py:122-230). Rows expand to the widest row by
+    // nearest-neighbour along the parallel; the expansion is a
+    // resample, so the message is flagged LOSSY.
+    if (ni == 0xffff) {
+      require(pvpl != 255,
+        "thinned grid declares Ni missing but carries no PL list (octet 5 = 255)")
+      val plOff = o + (pvpl - 1) + 4 * nv
+      require(plOff + 2L * nj <= o + gdsLen,
+        s"PL list of $nj row counts overruns the GDS of $gdsLen octets")
+      pl = Array.tabulate(nj)(j => u16(bytes, plOff + 2 * j))
+      require(pl.forall(p => p >= 1 && p != 0xffff),
+        "implausible thinned-grid row count in the PL list")
+      ni = pl.max
+    }
     require(ni > 0 && ni != 0xffff && nj > 0 && ni.toLong * nj <= (1 << 26),
-      s"implausible GRIB1 grid shape ${ni}x$nj (quasi-regular rows not supported)")
+      s"implausible GRIB1 grid shape ${ni}x$nj")
     val la1 = sm24(bytes, o + 10) / 1000.0; val lo1 = sm24(bytes, o + 13) / 1000.0
     val la2 = sm24(bytes, o + 17) / 1000.0; val lo2 = sm24(bytes, o + 20) / 1000.0
     scanMode = u8(bytes, o + 27)
     // edition 1 defines scan bits 1-3 only (±i, ±j, column-major)
     require((scanMode & 0x1f) == 0, f"implausible GRIB1 scan mode 0x$scanMode%02x")
+    // a thinned row IS a parallel: column-major or westward scans have
+    // no defined row structure to expand (and don't occur in archives)
+    require(pl == null || (scanMode & 0xa0) == 0,
+      f"thinned grids decode eastward row-major only (scan 0x$scanMode%02x)")
     if (gtype == 0) {
       val di = u16(bytes, o + 23); val dj = u16(bytes, o + 25)
       // the i direction runs lo1→lo2 (reversed under the −i scan
@@ -195,14 +228,17 @@ object Grib1 {
     o += gdsLen
     }
     // ---- BMS (optional) ----
+    // thinned grids carry one point (and one bitmap bit) per PL entry,
+    // not ni·nj
+    val nPts = if (pl == null) ni * nj else pl.sum
     var bitmap: Array[Boolean] = null
     if ((flags & 0x40) != 0) {
       val bmsLen = u24(bytes, o)
       require(u16(bytes, o + 4) == 0,
         "predefined (centre-table) bitmaps not supported")
-      require(bmsLen >= 6 + (ni * nj + 7) / 8,
-        s"BMS length $bmsLen too short for ${ni}x$nj bitmap bits")
-      bitmap = new Array[Boolean](ni * nj)
+      require(bmsLen >= 6 + (nPts + 7) / 8,
+        s"BMS length $bmsLen too short for $nPts bitmap bits")
+      bitmap = new Array[Boolean](nPts)
       var i = 0
       while (i < bitmap.length) {
         bitmap(i) = ((bytes(o + 6 + i / 8) >> (7 - i % 8)) & 1) == 1
@@ -221,7 +257,7 @@ object Grib1 {
     val e = sm16(bytes, o + 4)
     val refR = ibm32(u32(bytes, o + 6))
     val nbits = u8(bytes, o + 10)
-    val nPresent = if (bitmap == null) ni * nj else bitmap.count(identity)
+    val nPresent = if (bitmap == null) nPts else bitmap.count(identity)
     val base = refR / math.pow(10, dScale)
     val factor = math.pow(2, e) / math.pow(10, dScale)
     val present = new Array[Double](nPresent)
@@ -281,12 +317,17 @@ object Grib1 {
           s"row-by-row second-order packing expects P1=$nGroups consecutive-" +
             s"direction rows, got $p1")
         var row = 0
+        var rowBase = 0
         while (row < nGroups) {
+          // a thinned row's run is its own PL count (colMajor is
+          // already excluded for thinned grids above)
+          val run = if (pl == null) runLen else pl(row)
           var cx = 0
-          while (cx < runLen) {
-            if (bitmap == null || bitmap(row * runLen + cx)) sizes(row) += 1
+          while (cx < run) {
+            if (bitmap == null || bitmap(rowBase + cx)) sizes(row) += 1
             cx += 1
           }
+          rowBase += run
           row += 1
         }
       }
@@ -331,16 +372,44 @@ object Grib1 {
       }
     }
     var data = new Array[Float](ni * nj)
-    var i = 0; var pi = 0
-    while (i < data.length) {
-      if (bitmap != null && !bitmap(i)) data(i) = Float.NaN
-      else { data(i) = present(pi).toFloat; pi += 1 }
-      i += 1
+    if (pl == null) {
+      var i = 0; var pi = 0
+      while (i < data.length) {
+        if (bitmap != null && !bitmap(i)) data(i) = Float.NaN
+        else { data(i) = present(pi).toFloat; pi += 1 }
+        i += 1
+      }
+    } else {
+      // expand each thinned row to the widest-row raster by
+      // nearest-neighbour along the parallel: column x of the output
+      // samples the row point whose center is closest,
+      // src = floor((x + 0.5)·nij / ni). NaN (bitmap-absent) points
+      // expand like any other value.
+      var bi = 0; var pi = 0
+      var row = 0
+      while (row < nj) {
+        val nij = pl(row)
+        val tmp = new Array[Float](nij)
+        var k = 0
+        while (k < nij) {
+          if (bitmap != null && !bitmap(bi)) tmp(k) = Float.NaN
+          else { tmp(k) = present(pi).toFloat; pi += 1 }
+          bi += 1; k += 1
+        }
+        var x = 0
+        while (x < ni) {
+          data(row * ni + x) = tmp(math.min(nij - 1,
+            ((x + 0.5) * nij / ni).toInt))
+          x += 1
+        }
+        row += 1
+      }
     }
     if (scanMode != 0) data = Grib2.fromScanOrder(data, ni, nj, scanMode)
     Grib2.Message(GeoTiff.Raster(ni, nj, data, west, north, px, py),
       discipline = 255, category = table, parameter = param,
-      refTime = refTime, forecastHours = forecastHours, proj = proj)
+      refTime = refTime, forecastHours = forecastHours, proj = proj,
+      lossy = pl != null) // row expansion is a resample
   }
 
   // ---- fixture writer ----------------------------------------------
@@ -369,6 +438,85 @@ object Grib1 {
     writeWith(m, decimals, scanMode)(scan =>
       secondOrderBds(scan, m.raster.width, m.raster.height, decimals,
         rowByRow, differentWidths, groupLen))
+
+  /** Thinned (quasi-regular) lat/lon fixture: row j carries
+    * `rows(j)` points spanning the full lon range; the GDS declares
+    * Ni missing with the per-row PL count list at octet 33 (NV = 0).
+    * Geometry is that of the EXPANDED grid: widest row = `ni` columns
+    * at `px` degrees. NaN points emit a bitmap (one bit per thinned
+    * point). */
+  def writeThinned(rows: Seq[Array[Float]], west: Double, north: Double,
+                   px: Double, py: Double, table: Int, param: Int,
+                   refTime: java.time.LocalDateTime, forecastHours: Int,
+                   decimals: Int = 2): Array[Byte] = {
+    val nj = rows.length
+    require(nj > 0 && rows.forall(_.nonEmpty), "thinned fixture needs non-empty rows")
+    val ni = rows.map(_.length).max
+    val scan = rows.toArray.flatten
+    val hasNaN = scan.exists(_.isNaN)
+    def u16wTo(b: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      b.write((v >> 8) & 0xff); b.write(v & 0xff)
+    }
+    def section(body: java.io.ByteArrayOutputStream => Unit): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      body(b)
+      sectionBytes(b.toByteArray)
+    }
+    val pds = section { b =>
+      def w8(v: Int) = b.write(v & 0xff)
+      w8(table); w8(98); w8(0); w8(255)
+      w8(0x80 | (if (hasNaN) 0x40 else 0)) // GDS present + BMS?
+      w8(param)
+      w8(1); u16wTo(b, 0)
+      val t = refTime
+      w8(t.getYear % 100 match { case 0 => 100; case y => y })
+      w8(t.getMonthValue); w8(t.getDayOfMonth); w8(t.getHour); w8(t.getMinute)
+      w8(1) // hours
+      w8(forecastHours); w8(0); w8(0)
+      u16wTo(b, 0); w8(0)
+      w8((t.getYear - 1) / 100 + 1)
+      w8(0)
+      u16wTo(b, decimals)
+    }
+    val northC = north - py / 2
+    val southC = northC - (nj - 1) * py
+    val westC = west + px / 2
+    val eastC = westC + (ni - 1) * px
+    val gds = section { b =>
+      def w8(v: Int) = b.write(v & 0xff)
+      def w16(v: Int) = { w8(v >> 8); w8(v) }
+      def w24sm(v: Int) = { val a = if (v < 0) 0x800000 | -v else v; w8(a >> 16); w8(a >> 8); w8(a) }
+      w8(0); w8(33) // NV = 0; PV/PL: the PL list starts at GDS octet 33
+      w8(0) // lat/lon
+      w16(0xffff); w16(nj) // Ni MISSING (thinned), Nj
+      w24sm(math.round(northC * 1000).toInt); w24sm(math.round(westC * 1000).toInt)
+      w8(0x80)
+      w24sm(math.round(southC * 1000).toInt); w24sm(math.round(eastC * 1000).toInt)
+      w16(0xffff) // Di missing (derived from the span)
+      w16(math.round(py * 1000).toInt)
+      w8(0) // scan +i −j
+      w24sm(0); w8(0) // reserved through octet 32
+      rows.foreach(r => w16(r.length)) // the PL list
+    }
+    val bms = if (!hasNaN) Array.emptyByteArray else section { b =>
+      val unused = (8 - scan.length % 8) % 8
+      b.write(unused); b.write(0); b.write(0)
+      var acc = 0; var nb = 0
+      for (v <- scan) {
+        acc = (acc << 1) | (if (v.isNaN) 0 else 1); nb += 1
+        if (nb == 8) { b.write(acc); acc = 0; nb = 0 }
+      }
+      if (nb > 0) b.write(acc << (8 - nb))
+    }
+    val bds = simpleBds(scan, decimals)
+    val body = pds ++ gds ++ bms ++ bds
+    val total = 8 + body.length + 4
+    val head = new java.io.ByteArrayOutputStream()
+    head.write('G'); head.write('R'); head.write('I'); head.write('B')
+    head.write(total >> 16); head.write((total >> 8) & 0xff); head.write(total & 0xff)
+    head.write(1)
+    head.toByteArray ++ body ++ "7777".getBytes
+  }
 
   /** 3-byte length + even-length padding shared by every section. */
   private def sectionBytes(payload: Array[Byte]): Array[Byte] = {

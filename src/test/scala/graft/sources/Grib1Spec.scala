@@ -318,4 +318,74 @@ class Grib1Spec extends SparkSpec {
     info(s"$decoded decoded, $threw dead-lettered of 150 corruptions")
     assert(decoded + threw == 150)
   }
+
+  test("thinned (quasi-regular) grids expand rows nearest-neighbour and flag lossy") {
+    // 4 parallels, widest 8 points; row values encode (row, point)
+    val pl = Seq(8, 6, 4, 8)
+    val rows = pl.zipWithIndex.map { case (n, r) =>
+      Array.tabulate(n)(k => (r * 100 + k * 2).toFloat)
+    }
+    val t0 = java.time.LocalDateTime.of(1992, 3, 1, 0, 0)
+    val bytes = Grib1.writeThinned(rows, west = -180.0, north = 90.0,
+      px = 45.0, py = 45.0, table = 128, param = 11, refTime = t0,
+      forecastHours = 12)
+    val m = Grib1.read(bytes)
+    assert(m.raster.width == 8 && m.raster.height == 4)
+    assert(m.lossy, "row expansion is a resample and must flag lossy")
+    assert(m.refTime == t0 && m.forecastHours == 12)
+    // expansion formula: out(x) = row(floor((x + 0.5) * nij / ni))
+    for (r <- 0 until 4; x <- 0 until 8) {
+      val nij = pl(r)
+      val expect = rows(r)(math.min(nij - 1, (x + 0.5).toInt * nij / 8))
+      val got = m.raster.data(r * 8 + x)
+      assert(got == rows(r)(math.min(nij - 1, ((x + 0.5) * nij / 8).toInt)),
+        s"row $r col $x: got $got")
+    }
+    // full rows pass through untouched
+    for (x <- 0 until 8) assert(m.raster.data(x) == rows(0)(x))
+  }
+
+  test("thinned grids carry bitmap NaN per thinned point and ingest end-to-end") {
+    val pl = Seq(6, 3, 6)
+    val rows = pl.zipWithIndex.map { case (n, r) =>
+      Array.tabulate(n)(k => if ((r + k) % 5 == 0) Float.NaN
+                             else (200 + r * 10 + k).toFloat)
+    }
+    val t0 = java.time.LocalDateTime.of(1992, 3, 1, 6, 0)
+    val bytes = Grib1.writeThinned(rows, west = 0.0, north = 45.0,
+      px = 60.0, py = 15.0, table = 128, param = 61, refTime = t0,
+      forecastHours = 0)
+    val m = Grib1.read(bytes)
+    // a NaN thinned point expands to NaN output columns
+    assert(m.raster.data(0).isNaN, "row 0 point 0 is NaN")
+    assert(!m.raster.data(2).isNaN && m.raster.data(2) == 202f)
+    // production ingest: dropped granule decodes through the registry
+    val dir = java.nio.file.Files.createTempDirectory("g1thin")
+    java.nio.file.Files.write(dir.resolve("precip_19920301T06.grib"), bytes)
+    val df = Formats.ingestDir(spark, dir.toString)
+    assert(df.count() > 0)
+    assert(df.filter(org.apache.spark.sql.functions.col("lossy")).count() == df.count(),
+      "every thinned-grid pixel must carry the lossy flag")
+  }
+
+  test("thinned-grid guards: missing PL list and bad scan modes are loud") {
+    val rows = Seq(Array(1f, 2f, 3f, 4f), Array(5f, 6f))
+    val good = Grib1.writeThinned(rows, 0.0, 45.0, 90.0, 45.0, 128, 11,
+      java.time.LocalDateTime.of(1992, 1, 1, 0, 0), 0)
+    // PL pointer (GDS octet 5) zapped to 255 -> "no PL list"
+    val gdsAt = {
+      // PDS is the first section after the 8-byte IS
+      val pdsLen = ((good(8) & 0xff) << 16) | ((good(9) & 0xff) << 8) | (good(10) & 0xff)
+      8 + pdsLen
+    }
+    val noPl = good.clone()
+    noPl(gdsAt + 4) = 255.toByte
+    val e = intercept[IllegalArgumentException] { Grib1.read(noPl) }
+    assert(e.getMessage.contains("no PL list"), e.getMessage)
+    // a westward (-i) scan on a thinned grid is refused
+    val badScan = good.clone()
+    badScan(gdsAt + 27) = 0x80.toByte
+    val e2 = intercept[IllegalArgumentException] { Grib1.read(badScan) }
+    assert(e2.getMessage.contains("thinned grids decode eastward"), e2.getMessage)
+  }
 }

@@ -128,6 +128,13 @@ class RasterFuzzSpec extends AnyFunSuite {
             if (i % 11 == 0) -9999f else (i * 17 % 700 - 350).toFloat),
           Some(-9999f))),
       scaleOffsetInt = true)
+    // thinned (quasi-regular) GRIB1: PL list, bitmap, NN row expansion
+    val g1Thinned = Grib1.writeThinned(
+      Seq(Array.tabulate(8)(k => 250f + k), Array.tabulate(5)(k => 260f + k),
+        Array.tabulate(8)(k => if (k == 3) Float.NaN else 270f + k)),
+      west = -180.0, north = 90.0, px = 45.0, py = 60.0, table = 128,
+      param = 11, refTime = java.time.LocalDateTime.of(1992, 3, 1, 0, 0),
+      forecastHours = 6)
     Seq("tiff-strip" -> strip, "tiff-cog" -> cog, "tiff-cog-f64" -> cog64,
       "tiff-cog-packbits" -> cogPb, "tiff-cog-jpeg" -> cogJpeg,
       "tiff-cog-sparse" -> cogSparse,
@@ -135,11 +142,13 @@ class RasterFuzzSpec extends AnyFunSuite {
       "netcdf-charvar" -> ncChar,
       "hdf5" -> h5, "hdf5-tinyhuge" -> h5TinyHuge, "hdf5-hugebtree" -> h5HugeBt,
       "hdf5-szip" -> h5Szip, "hdf5-vds" -> h5Vds, "hdf5-enum" -> h5Enum,
-      "hdf5-nbit" -> h5Nbit, "hdf5-scaleoffset" -> h5So)
+      "hdf5-nbit" -> h5Nbit, "hdf5-scaleoffset" -> h5So,
+      "grib1-thinned" -> g1Thinned)
   }
 
   private def decodeAny(label: String, bytes: Array[Byte]): Unit = label match {
     case l if l.startsWith("tiff") => GeoTiff.read(bytes); ()
+    case l if l.startsWith("grib1") => Grib1.readAll(bytes); ()
     case _ =>
       val f = NetCdf.readAny(bytes)
       f.gridVars.headOption.foreach(v => f.rasters(v.name))
