@@ -24,7 +24,7 @@ object CurationQueries extends QueryModule {
     "key", "join", "sort", "filter", "data", "column", "group", "order",
     "the", "a")
 
-  override def queries = Map(
+  override def queries = Map[String, graft.model.QueryFn](
     // The WHOLE curation pipeline as one plan — what a user actually
     // runs: exact dedup (normalized fingerprint, keep min id) → quality
     // gate (≥ 0.3) → boilerplate gate (duplicated-span coverage ≤ 0.5,
@@ -32,8 +32,32 @@ object CurationQueries extends QueryModule {
     // clusters, keep the min-id canonical) → per-source corpus stats.
     // Every stage is the library operator the standalone queries gate
     // individually; this query gates their COMPOSITION.
-    "d_pipeline_e2e" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
+    "d_pipeline_e2e" -> ((s, dir) => pipelineE2e(Tables.documents(s, dir))),
+
+    // The INCREMENTAL curation pipeline's end state, batch form: same
+    // four stages as d_pipeline_e2e but with greedy ARRIVAL-ORDER
+    // semantics (drop a doc iff an EARLIER doc already covers it) —
+    // the semantics an event-driven pipeline can maintain exactly,
+    // because a keep is final the moment it is emitted (batch CC
+    // canonicalization can merge old clusters retroactively). The
+    // streaming runner (streaming/StreamCuration.run) computes the
+    // identical answer over any id-ordered batch split —
+    // StreamCurationSpec proves batch ≡ incremental; this query gates
+    // the batch form against DuckDB.
+    "d_incremental_endstate" -> ((s, dir) =>
+      graft.streaming.StreamCuration.endstateBatch(Tables.documents(s, dir)))
+  ) ++ otherQueries
+
+  /** The d_pipeline_e2e plan over an arbitrary documents frame —
+    * shared by the registered query and the scaling soak
+    * (SoakPipelineScale), so the soak can never drift from what the
+    * bench row actually runs. `stage` wraps each materialized
+    * boundary (the localCheckpoints); the default just evaluates it —
+    * the soak passes a timing wrapper. */
+  def pipelineE2e(docs: org.apache.spark.sql.DataFrame,
+                  stage: (String, () => org.apache.spark.sql.DataFrame) =>
+                    org.apache.spark.sql.DataFrame = (_, f) => f())
+      : org.apache.spark.sql.DataFrame = {
       // 1. exact dedup
       val keep1 = docs
         .withColumn("fp", TextAnalysis.fingerprint(col("text")))
@@ -66,26 +90,30 @@ object CurationQueries extends QueryModule {
       val heavy = Dedup.spanCoverage(
           Dedup.spanHashes(d2, "doc_id", "text", 20, spread = false), 20)
         .filter(col("coverage") > 0.5).select("doc_id")
-      val ids3 = d2.select(col("doc_id"), col("source"),
-          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
-        .join(heavy, Seq("doc_id"), "left_anti").localCheckpoint()
+      val ids3 = stage("ids3 dedup+quality+span", () =>
+        d2.select(col("doc_id"), col("source"),
+            size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+          .join(heavy, Seq("doc_id"), "left_anti").localCheckpoint())
       def d3text = docs.join(ids3.select("doc_id"), Seq("doc_id"), "left_semi")
       // 4. fuzzy dedup on what's left. Signatures come from the one-pass
       // minhash kernel — a map-side projection over the survivor scan
       // (no shingle explode, no distinct, no per-doc aggregation); the
       // candidate set's shingle hashes rebuild from the source later.
-      val bands = Dedup.lshBands(
+      val bands = stage("bands minhash-kernel", () =>
+        Dedup.lshBands(
           Dedup.minhashFromText(d3text, "doc_id", "text"))
-        .localCheckpoint()
-      val cand = Dedup.candidatePairs(bands).localCheckpoint()
+        .localCheckpoint())
+      val cand = stage("cand candidatePairs", () =>
+        Dedup.candidatePairs(bands).localCheckpoint())
       val candIds = cand.select(col("doc_a").as("doc_id"))
         .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
       // verification needs only HASHES: the candidate shingle frame is
       // built as distinct 60-bit keys (no gram strings ever
       // materialize), and the oracle collapses the same truncation
-      val shCand = Dedup.shingleHashes(
+      val shCand = stage("shCand candidate-hashes", () =>
+        Dedup.shingleHashes(
           docs.join(candIds, Seq("doc_id"), "left_semi"),
-          "doc_id", "text", spread = false).localCheckpoint()
+          "doc_id", "text", spread = false).localCheckpoint())
       val pairs = Dedup.pairJaccardHashed(cand, shCand)
         .filter(col("jacc") >= 0.5).select("doc_a", "doc_b")
       val dropFuzzy = Dedup.canonicalize(pairs)
@@ -95,21 +123,9 @@ object CurationQueries extends QueryModule {
         .groupBy("source").agg(
           count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("n_tokens"))
-    }),
+  }
 
-    // The INCREMENTAL curation pipeline's end state, batch form: same
-    // four stages as d_pipeline_e2e but with greedy ARRIVAL-ORDER
-    // semantics (drop a doc iff an EARLIER doc already covers it) —
-    // the semantics an event-driven pipeline can maintain exactly,
-    // because a keep is final the moment it is emitted (batch CC
-    // canonicalization can merge old clusters retroactively). The
-    // streaming runner (streaming/StreamCuration.run) computes the
-    // identical answer over any id-ordered batch split —
-    // StreamCurationSpec proves batch ≡ incremental; this query gates
-    // the batch form against DuckDB.
-    "d_incremental_endstate" -> ((s, dir) =>
-      graft.streaming.StreamCuration.endstateBatch(Tables.documents(s, dir))),
-
+  private def otherQueries: Map[String, graft.model.QueryFn] = Map(
     // Exact n-gram-collision decontamination (the published long-n-gram
     // overlap method, complementary to d_decontaminate's LSH sweep): a
     // training document sharing ANY 8-gram with a held-out benchmark
