@@ -21,18 +21,22 @@ object SoakPipelineScale {
     val spark = Sessions.build(
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
 
-    val vocab = (0 until 64).map(i => s"w$i")
-    val vocabExpr = s"array(${vocab.map("'" + _ + "'").mkString(",")})"
+    // 65536-word vocabulary: SoakCuration's 64-word vocab is fine at
+    // 100k docs but adversarial at 1M — with 64 words there are only
+    // ~262k possible 3-gram shingles, so minhash band buckets flood
+    // with RANDOM collisions and the jaccard-verify stage measures the
+    // hot-bucket pathology instead of pipeline scaling. A real corpus
+    // has a vocabulary that dwarfs its shingle collision rate.
     def corpus(n: Int) = spark.range(n).select(
         col("id").as("doc_id"),
         (col("id") % 3).cast("string").as("source"),
         expr(s"""CASE WHEN id % 97 = 5 THEN concat_ws(' ', transform(sequence(0, 79), i ->
-             | element_at($vocabExpr, pmod(hash(31337 * 100 + i), 64) + 1)))
+             | concat('w', pmod(hash(31337 * 100 + i), 65536))))
              | ELSE concat_ws(' ', transform(sequence(0, 79), i ->
-             | element_at($vocabExpr,
+             | concat('w',
              |   pmod(hash(CASE WHEN id % 50 = 1 AND i = 7 THEN -id
              |             WHEN id % 50 = 1 THEN (id - 1) * 100 + i
-             |             ELSE id * 100 + i END), 64) + 1))) END""".stripMargin)
+             |             ELSE id * 100 + i END), 65536)))) END""".stripMargin)
           .as("text"))
       .repartition(32).cache()
 
