@@ -80,7 +80,8 @@ object Hdf5 {
     * from its own top bit when signed. */
   private case class Dt(cls: Int, size: Int, bigEndian: Boolean, signed: Boolean,
                         base: Option[Dt], consumed: Int,
-                        precision: Int = 0, bitOffset: Int = 0) {
+                        precision: Int = 0, bitOffset: Int = 0,
+                        members: Seq[(String, Int, Dt)] = Nil) {
     def narrowed: Boolean = cls == 0 && precision > 0 && precision < 8 * size
   }
 
@@ -266,7 +267,7 @@ object Hdf5 {
     if (seen.contains(addr)) return
     val msgs = messages(in, addr)
     if (msgs.map(_._1).contains(0x08)) { // data layout → dataset
-      out += readDataset(in, addr, prefix, msgs, rootAddr, 0, ctx)
+      out ++= readDatasetAll(in, addr, prefix, msgs, rootAddr, 0, ctx)
       return
     }
     val seen2 = seen + addr
@@ -596,6 +597,50 @@ object Hdf5 {
         require(base.cls == 0, s"enum base class ${base.cls} not supported (integer only)")
         val end = namesEnd + names.size.toLong * base.size // + member values
         Dt(8, size, base.bigEndian, base.signed, Some(base), (end - off).toInt)
+      case 6 => // compound (HDF-EOS/NASA tables, netcdf-4 NC_COMPOUND):
+        // members flatten to one variable each at the read surface
+        val ver = (in(off) & 0xff) >> 4
+        require(ver >= 1 && ver <= 3, s"compound datatype message v$ver")
+        val nMembers = (in(off + 1) & 0xff) | ((in(off + 2) & 0xff) << 8)
+        require(nMembers >= 1 && nMembers <= 1024,
+          s"implausible compound member count $nMembers")
+        var p = off + 8
+        val members = (0 until nMembers).map { _ =>
+          val nameStart = p
+          var q = p
+          while (in(q) != 0) q += 1
+          val name = new String(in.slice(nameStart, (q - nameStart).toInt),
+            java.nio.charset.StandardCharsets.UTF_8)
+          // v1/v2 names pad to 8; v3 names are bare NUL-terminated
+          p = if (ver <= 2) nameStart + ((q - nameStart + 1 + 7) / 8) * 8 else q + 1
+          val moff = ver match {
+            case 3 =>
+              // minimal bytes that hold the compound's total size
+              var nb = 1
+              while ((1L << (8 * nb)) <= size) nb += 1
+              var v = 0L
+              var i = 0
+              while (i < nb) { v |= (in(p + i) & 0xffL) << (8 * i); i += 1 }
+              p += nb
+              v.toInt
+            case _ =>
+              val v = in.getInt(p)
+              p += 4
+              if (ver == 1) {
+                require((in(p) & 0xff) == 0,
+                  "array-valued compound members not supported (scalar only)")
+                p += 28 // dimensionality, reserved, permutation, 4 dim sizes
+              }
+              v
+          }
+          val mdt = parseDt(in, p)
+          p += mdt.consumed
+          require(moff >= 0 && moff + mdt.size <= size,
+            s"compound member '$name' at $moff overruns the $size-byte element")
+          (name, moff, mdt)
+        }
+        Dt(6, size, bigEndian = false, signed = false, None, (p - off).toInt,
+          members = members)
       case 9 =>
         val base = parseDt(in, off + 8)
         Dt(9, size, bigEndian = false, signed = false, Some(base), 8 + base.consumed)
@@ -855,10 +900,22 @@ object Hdf5 {
     }
   }
 
+  /** Single-dataset form for consumers that cannot take a compound's
+    * member fan-out (VDS mapping sources). */
   private def readDataset(in: ByteIn, addr: Long,
                           prefix: String, msgs: Seq[(Int, Long)],
                           rootAddr: Long, vdsDepth: Int,
-                          ctx: ReadCtx): Dataset = {
+                          ctx: ReadCtx): Dataset =
+    readDatasetAll(in, addr, prefix, msgs, rootAddr, vdsDepth, ctx) match {
+      case Seq(d) => d
+      case _ => throw new IllegalArgumentException(
+        s"compound dataset at '$prefix' cannot serve as a virtual mapping source")
+    }
+
+  private def readDatasetAll(in: ByteIn, addr: Long,
+                             prefix: String, msgs: Seq[(Int, Long)],
+                             rootAddr: Long, vdsDepth: Int,
+                             ctx: ReadCtx): Seq[Dataset] = {
     var dims: Seq[Long] = Nil
     var dt: Dt = null
     var fillRaw: Option[Array[Byte]] = None
@@ -970,9 +1027,10 @@ object Hdf5 {
     }
     require(dt != null, s"object at $addr is not a dataset")
     require(dt.cls == 0 || dt.cls == 1 || dt.cls == 3 || dt.cls == 8 ||
-      (dt.cls == 9 && dt.base.exists(_.cls == 3)),
+      (dt.cls == 9 && dt.base.exists(_.cls == 3)) ||
+      (dt.cls == 6 && dt.members.forall(m => m._3.cls == 0 || m._3.cls == 1)),
       s"unsupported dataset datatype class ${dt.cls} " +
-        "(numeric, enum, string and vlen-string only)")
+        "(numeric, enum, string, vlen-string and numeric-member compound only)")
     // NOTE: the HDF5 fill MESSAGE is the allocation background, NOT a
     // missing-data sentinel — h5py files legitimately fill with 0 over
     // fully-written data, so injecting it as _FillValue would NaN real
@@ -1074,7 +1132,7 @@ object Hdf5 {
       // them — they are storage internals of THIS dataset, and
       // surfacing them as grid variables would double-ingest the pixels
       attrs += ("_vds_sources" -> srcNames.toSeq)
-      return Dataset(prefix.stripSuffix("/"), addr, vdims, data, attrs.toMap)
+      return Seq(Dataset(prefix.stripSuffix("/"), addr, vdims, data, attrs.toMap))
     }
 
     val raw: Array[Byte] = layoutClass match {
@@ -1118,7 +1176,7 @@ object Hdf5 {
         while (i < math.min(total, raw.length)) { data(i) = (raw(i) & 0xff).toFloat; i += 1 }
       }
       val shape = if (dt.size == 1) dims.map(_.toInt) else dims.map(_.toInt) :+ dt.size
-      Dataset(prefix.stripSuffix("/"), addr, shape, data, attrs.toMap, isChar = true)
+      Seq(Dataset(prefix.stripSuffix("/"), addr, shape, data, attrs.toMap, isChar = true))
     } else if (dt.cls == 9) {
       // vlen strings (the netcdf-4 NC_STRING / h5py str form): each
       // 16-byte element is (length u32, global-heap address u64,
@@ -1150,8 +1208,29 @@ object Hdf5 {
         while (j < strs(i).length) { data(i * w + j) = (strs(i)(j) & 0xff).toFloat; j += 1 }
         i += 1
       }
-      Dataset(prefix.stripSuffix("/"), addr, dims.map(_.toInt) :+ w, data,
-        attrs.toMap, isChar = true)
+      Seq(Dataset(prefix.stripSuffix("/"), addr, dims.map(_.toInt) :+ w, data,
+        attrs.toMap, isChar = true))
+    } else if (dt.cls == 6) {
+      // compound: each numeric member flattens to its own variable,
+      // named <dataset>.<member> (the h5py structured-array fields /
+      // HDF-EOS table columns, surfaced relationally)
+      val rin = if (raw == null) null else ByteIn(raw)
+      val fin = fillRaw.map(ByteIn(_)).orNull
+      dt.members.map { case (mname, moff, mdt) =>
+        val data = new Array[Float](n)
+        if (rin == null) {
+          val fv = if (fin == null) 0.0 else element(fin, moff.toLong, mdt)
+          java.util.Arrays.fill(data, fv.toFloat)
+        } else {
+          var i = 0
+          while (i < n) {
+            data(i) = element(rin, i.toLong * dt.size + moff, mdt).toFloat
+            i += 1
+          }
+        }
+        Dataset(prefix.stripSuffix("/") + "." + mname, addr,
+          dims.map(_.toInt), data, attrs.toMap)
+      }
     } else {
       val data = new Array[Float](n)
       if (raw == null) {
@@ -1163,7 +1242,7 @@ object Hdf5 {
         var i = 0
         while (i < n) { data(i) = element(rin, i.toLong * dt.size, dt).toFloat; i += 1 }
       }
-      Dataset(prefix.stripSuffix("/"), addr, dims.map(_.toInt), data, attrs.toMap)
+      Seq(Dataset(prefix.stripSuffix("/"), addr, dims.map(_.toInt), data, attrs.toMap))
     }
   }
 
@@ -1710,9 +1789,17 @@ object Hdf5 {
             nbitPrecision: Option[Int] = None,
             scaleOffsetInt: Boolean = false,
             scaleOffsetDScale: Option[Int] = None,
-            enumVars: Map[String, Seq[String]] = Map.empty): Array[Byte] = {
+            enumVars: Map[String, Seq[String]] = Map.empty,
+            compoundVars: Map[String, Seq[(String, String)]] = Map.empty): Array[Byte] = {
     require(virtualCrossFiles.isEmpty || virtualStack,
       "fixture writer: virtualCrossFiles implies virtualStack")
+    // `compoundVars`: variable → member list (name, type ∈ i16/i32/
+    // f32/f64); the variable stores as ONE contiguous compound dataset
+    // (v1 compound datatype message), member j of element i read from
+    // v.data(i·k + j).
+    require(compoundVars.isEmpty || (layoutV4.isEmpty && !szip && !shuffle &&
+      !fletcher && !virtualStack && enumVars.isEmpty),
+      "fixture writer: compound variables store contiguous, no filters")
     // `nbitPrecision`: int16 data variables packed by the N-BIT filter
     // (id 5) to the given bit precision (offset 0 — the h5py shape).
     // `scaleOffsetInt`: int16 data variables behind the SCALE+OFFSET
@@ -1968,6 +2055,90 @@ object Hdf5 {
           raw(objectHeader(msgs))
           padTo8()
         }
+      } else if (compoundVars.contains(v.name)) {
+        // ---- contiguous compound dataset (v1 compound datatype
+        // message, padded member names, 4-byte offsets, scalar
+        // members) — the HDF-EOS/NC_COMPOUND table shape
+        val members = compoundVars(v.name)
+        val shape = v.dims.map(d => dims.find(_._1 == d).get._2).toArray
+        val nEl = shape.product
+        def mSize(t: String): Int = t match {
+          case "i16" => 2; case "i32" => 4; case "f32" => 4; case "f64" => 8
+          case o => throw new IllegalArgumentException(s"compound member type $o")
+        }
+        val offs = members.map(m => mSize(m._2)).scanLeft(0)(_ + _)
+        val elemSize = offs.last
+        require(v.data.length == nEl * members.size,
+          s"compound fixture '${v.name}': ${v.data.length} values for " +
+            s"$nEl elements x ${members.size} members")
+        val dataAddr = pos
+        val dbuf = ByteBuffer.allocate(nEl * elemSize).order(ByteOrder.LITTLE_ENDIAN)
+        for (i <- 0 until nEl; (m, j) <- members.zipWithIndex) {
+          val value = v.data(i * members.size + j)
+          m._2 match {
+            case "i16" =>
+              require(value.toShort.toFloat == value, s"compound i16 sample $value")
+              dbuf.putShort(value.toShort)
+            case "i32" =>
+              require(value.toInt.toFloat == value, s"compound i32 sample $value")
+              dbuf.putInt(value.toInt)
+            case "f32" => dbuf.putFloat(value)
+            case _ => dbuf.putDouble(value.toDouble)
+          }
+        }
+        raw(dbuf.array())
+        padTo8()
+        def memberDt(t: String): Array[Byte] = t match {
+          case "i16" | "i32" => bodyBuf({ bb =>
+            bb.put(0x10.toByte).put(0x08.toByte).put(0.toByte).put(0.toByte)
+            bb.putInt(mSize(t))
+            bb.putShort(0).putShort((8 * mSize(t)).toShort)
+          }, 12)
+          case "f32" => f32Dt
+          case _ => f64Dt
+        }
+        val cmpDt = {
+          val b = new java.io.ByteArrayOutputStream()
+          val head = bodyBuf({ bb =>
+            bb.put(0x16.toByte) // version 1, class 6
+            bb.put((members.size & 0xff).toByte)
+              .put(((members.size >> 8) & 0xff).toByte)
+              .put(0.toByte) // bit-field byte 3
+            bb.putInt(elemSize)
+          }, 8)
+          b.write(head)
+          members.zipWithIndex.foreach { case ((mn, t), j) =>
+            b.write(pad8(mn.getBytes("UTF-8") :+ 0.toByte))
+            b.write(bodyBuf({ bb =>
+              bb.putInt(offs(j))
+              bb.put(0.toByte) // dimensionality 0 (scalar member)
+              bb.put(0.toByte).put(0.toByte).put(0.toByte) // reserved
+              bb.putInt(0) // permutation
+              bb.putInt(0) // reserved
+              (0 until 4).foreach(_ => bb.putInt(0)) // dim sizes
+            }, 32))
+            b.write(memberDt(t))
+          }
+          b.toByteArray
+        }
+        val dimListData = bodyBuf({ bb =>
+          v.dims.indices.foreach { di =>
+            bb.putInt(1); bb.putLong(gheapAddr.toLong); bb.putInt(gheapIdx((v.name, di)))
+          }
+        }, v.dims.size * 16)
+        val msgs = Seq(
+          0x01 -> dataspaceMsg(shape.toSeq),
+          0x03 -> cmpDt,
+          0x05 -> bodyBuf(bb => { bb.put(2.toByte).put(1.toByte).put(0.toByte).put(0.toByte) }, 4),
+          0x08 -> bodyBuf({ bb =>
+            bb.put(3.toByte).put(1.toByte); bb.putLong(dataAddr.toLong)
+            bb.putLong(nEl.toLong * elemSize)
+          }, 18),
+          0x0C -> attrMsg("DIMENSION_LIST", vlenRefDt,
+            dataspaceMsg(Seq(v.dims.size)), dimListData))
+        ohAddrs(v.name) = pos
+        raw(objectHeader(msgs))
+        padTo8()
       } else if (virtualStack) {
         // ---- virtual dataset (VDS, layout class 3): the classic
         // stacking shape — one real 2-D source dataset per leading
