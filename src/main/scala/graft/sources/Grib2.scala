@@ -767,6 +767,82 @@ object Grib2 {
     head.array() ++ body ++ "7777".getBytes
   }
 
+  /** Spectral fixture: sections 3.50/5.50/7.50 around the coefficient
+    * array (GRIB order — m = 0..M, n = m..J, (real, imag) pairs; the
+    * (0,0) real part rides unpacked in the DRS template). */
+  def writeSpectral(coefs: Array[Double], j: Int, mMax: Int,
+                    discipline: Int, category: Int, parameter: Int,
+                    refTime: java.time.LocalDateTime, forecastHours: Int,
+                    decimals: Int = 3): Array[Byte] = {
+    val nVals = 2 * SphericalHarmonics.nCoefficients(j, mMax)
+    require(coefs.length == nVals,
+      s"${coefs.length} coefficient values for truncation J=$j M=$mMax (need $nVals)")
+    val sections = scala.collection.mutable.Buffer[Array[Byte]]()
+    def sec(num: Int)(body: java.io.ByteArrayOutputStream => Unit): Unit = {
+      val b = new java.io.ByteArrayOutputStream()
+      body(b)
+      val payload = b.toByteArray
+      val bb = ByteBuffer.allocate(5 + payload.length)
+      bb.putInt(5 + payload.length).put(num.toByte).put(payload)
+      sections += bb.array()
+    }
+    def bu8(b: java.io.ByteArrayOutputStream, v: Int) = b.write(v & 0xff)
+    def bu16(b: java.io.ByteArrayOutputStream, v: Int) = { bu8(b, v >> 8); bu8(b, v) }
+    def bu32(b: java.io.ByteArrayOutputStream, v: Long) = {
+      bu8(b, (v >> 24).toInt); bu8(b, (v >> 16).toInt); bu8(b, (v >> 8).toInt); bu8(b, v.toInt)
+    }
+    sec(1) { b =>
+      bu16(b, 0); bu16(b, 0)
+      bu8(b, 2); bu8(b, 1); bu8(b, 1)
+      bu16(b, refTime.getYear); bu8(b, refTime.getMonthValue)
+      bu8(b, refTime.getDayOfMonth); bu8(b, refTime.getHour)
+      bu8(b, refTime.getMinute); bu8(b, refTime.getSecond)
+      bu8(b, 0); bu8(b, 1)
+    }
+    sec(3) { b => // grid definition template 3.50
+      bu8(b, 0); bu32(b, nVals); bu8(b, 0); bu8(b, 0); bu16(b, 50)
+      bu32(b, j); bu32(b, j); bu32(b, mMax) // J, K, M (triangular)
+      bu8(b, 1) // representation type: associated Legendre, 1st kind
+      bu8(b, 1) // representation mode: complex coefficients, m >= 0
+    }
+    sec(4) { b => // product definition 4.0 (shared body)
+      bu16(b, 0); bu16(b, 0)
+      bu8(b, category); bu8(b, parameter)
+      bu8(b, 0); bu8(b, 0); bu8(b, 0); bu16(b, 0); bu8(b, 0)
+      bu8(b, 1); bu32(b, forecastHours)
+      bu8(b, 1); bu8(b, 0); bu32(b, 0); bu8(b, 255); bu8(b, 0); bu32(b, 0)
+    }
+    // simple packing of all values except the leading (0,0) real part
+    val scale = math.pow(10, decimals)
+    val rest = coefs.drop(1)
+    val ref = if (rest.isEmpty) 0.0 else math.floor(rest.min * scale)
+    val xs = rest.map(v => math.round(v * scale - ref))
+    val nbits =
+      if (xs.isEmpty) 0
+      else math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, xs.max)))
+    require(nbits <= 24, s"spectral packing width $nbits too wide")
+    sec(5) { b => // DRS template 5.50
+      bu32(b, nVals); bu16(b, 50)
+      bu32(b, java.lang.Float.floatToIntBits(ref.toFloat).toLong & 0xffffffffL)
+      bu16(b, 0) // binary scale 0
+      bu16(b, decimals) // decimal scale (non-negative here)
+      bu8(b, nbits)
+      bu32(b, java.lang.Float.floatToIntBits(coefs(0).toFloat).toLong & 0xffffffffL)
+    }
+    sec(6) { b => bu8(b, 255) } // no bitmap
+    sec(7) { b =>
+      val w = new BitWriter(b)
+      xs.foreach(x => w.put(x, nbits))
+      w.flush()
+    }
+    val body = sections.toArray.flatten
+    val total = 16L + body.length + 4
+    val head = ByteBuffer.allocate(16)
+    head.put("GRIB".getBytes).putShort(0).put(discipline.toByte).put(2.toByte)
+      .putLong(total)
+    head.array() ++ body ++ "7777".getBytes
+  }
+
   private def writeBitmap(sec: Int => (java.io.ByteArrayOutputStream => Unit) => Unit,
                           data: Array[Float], hasNaN: Boolean,
                           bu8: (java.io.ByteArrayOutputStream, Int) => Unit): Unit =
@@ -890,6 +966,8 @@ object Grib2 {
     // run-length (5.200) parameters
     var rlNbits = 0; var rlMv = 0; var rlMvl = 0; var rlDec = 0
     var rlLevels: Array[Int] = null
+    // spectral (3.50/5.50) parameters
+    var specJ = -1; var specM = -1; var p00 = 0.0f
     var lossyField = false
     var variant = ""
     var category = 0; var parameter = 0; var forecastHours = 0
@@ -928,10 +1006,45 @@ object Grib2 {
             // octets with another template's layout would SILENTLY
             // mis-georeference every pixel
             require(tmpl3 == 0 || tmpl3 == 1 || tmpl3 == 10 || tmpl3 == 20 ||
-                tmpl3 == 30 || tmpl3 == 40 || tmpl3 == 90,
+                tmpl3 == 30 || tmpl3 == 40 || tmpl3 == 50 || tmpl3 == 90,
               s"unsupported grid definition template 3.$tmpl3 " +
                 "(supported: 3.0 lat/lon, 3.1 rotated lat/lon, 3.10 Mercator, " +
-                "3.20 polar stereo, 3.30 Lambert, 3.40 Gaussian, 3.90 space view)")
+                "3.20 polar stereo, 3.30 Lambert, 3.40 Gaussian, " +
+                "3.50 spherical harmonics, 3.90 space view)")
+            if (tmpl3 == 50) {
+              // ---- spherical harmonic coefficients (spectral-native
+              // model output). J/K/M pentagonal resolution; the data
+              // are complex coefficients, synthesized to a
+              // truncation-sized global lat/lon raster — see
+              // SphericalHarmonics for the convention and the
+              // reference comparison.
+              specJ = u32(o + 9).toInt
+              val specK = u32(o + 13).toInt
+              specM = u32(o + 17).toInt
+              val repType = bytes(o + 21) & 0xff
+              val repMode = bytes(o + 22) & 0xff
+              require(repType == 1,
+                s"spectral representation type $repType not supported " +
+                  "(1 = associated Legendre functions of the first kind)")
+              require(repMode == 1,
+                s"spectral representation mode $repMode not supported " +
+                  "(1 = complex coefficients, m >= 0)")
+              // triangular truncation (J = K, M <= J) is what every
+              // operational spectral model emits; a synthesis grid for
+              // the general pentagonal case has no canonical size
+              require(specJ >= 1 && specJ <= 2047 && specK == specJ &&
+                  specM >= 0 && specM <= specJ,
+                s"unsupported spectral truncation J=$specJ K=$specK M=$specM " +
+                  "(triangular J = K >= M only, J <= 2047)")
+              require(nPts == 2 * SphericalHarmonics.nCoefficients(specJ, specM),
+                s"spectral point count $nPts does not match truncation " +
+                  s"J=$specJ M=$specM " +
+                  s"(${2 * SphericalHarmonics.nCoefficients(specJ, specM)} values)")
+              width = 2 * (specJ + 1); height = specJ + 1
+              px = 360.0 / width; py = 180.0 / height
+              west = -180.0; north = 90.0
+              scanMode = 0
+            } else {
             width = u32(o + 25).toInt; height = u32(o + 29).toInt
             // corrupt dimension octets must dead-letter, not OOM the
             // executor with a multi-GiB allocation (width is checked
@@ -1128,6 +1241,7 @@ object Grib2 {
               north = yMax + dy / 2
               proj = Some(p)
             }
+            }
             require(width > 0 && width.toLong * height <= (1 << 26),
               s"implausible grid shape ${width}x$height (corrupt section 3?)")
           case 4 =>
@@ -1162,8 +1276,18 @@ object Grib2 {
             }
           case 5 =>
             tmpl5 = u16(o + 4)
-            require(Set(0, 2, 3, 40, 41, 42, 200).contains(tmpl5),
-              s"unsupported packing template 5.$tmpl5")
+            require(Set(0, 2, 3, 40, 41, 42, 50, 200).contains(tmpl5),
+              s"unsupported packing template 5.$tmpl5" +
+                (if (tmpl5 == 51) " (spectral complex packing: the " +
+                  "sub-truncation split + Laplacian scaling layout is " +
+                  "producer lore beyond the public template text; " +
+                  "decoding with guessed octets would corrupt every " +
+                  "coefficient silently — convert with eccodes first)"
+                 else ""))
+            if (tmpl5 == 50)
+              // spectral simple packing: the (0,0) real coefficient
+              // rides UNPACKED in the template (octets 21-24)
+              p00 = java.lang.Float.intBitsToFloat(u32(o + 15).toInt)
             if (tmpl5 == 200) {
               // run-length packing with level values (JMA radar/nowcast
               // products): nbits(1), MV(2), MVL(2), decimal scale(1),
@@ -1230,6 +1354,22 @@ object Grib2 {
                 i += 1
               }
             }
+          case 7 if tmpl5 == 50 =>
+            // spectral coefficients: value 0 is the unpacked (0,0)
+            // real part; the remaining nPts-1 pack like 5.0. The
+            // raster is the SYNTHESIS of the band-limited field onto
+            // the truncation-sized lat/lon grid set up in section 3.
+            require(specJ >= 1, "5.50 data section without a 3.50 grid definition")
+            require(bitmap == null, "bitmaps do not apply to spectral data")
+            val coefs = new Array[Double](nPts)
+            coefs(0) = p00
+            val base = refR / math.pow(10, d)
+            val factor = math.pow(2, e) / math.pow(10, d)
+            val r = new BitReader(bytes, o)
+            var ci = 1
+            while (ci < nPts) { coefs(ci) = base + r.get(nbits) * factor; ci += 1 }
+            data = SphericalHarmonics.synthesize(coefs, specJ, specM, width, height)
+            nPts = width * height // raster form for the final shape check
           case 7 =>
             val nPresent = if (bitmap == null) nPts else bitmap.count(identity)
             val present =

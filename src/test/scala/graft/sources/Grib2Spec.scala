@@ -922,7 +922,8 @@ class Grib2Spec extends SparkSpec {
     // LOSSY 5.40 now DECODES — it belongs with the good granules
     Files.write(Paths.get(s"$dir/t2m_20240101_0600.grib2"),
       Grib2.write(m, packing = 40, j2kQuantShift = Some(0)))
-    // an UNSUPPORTED packing template (patch 5.40 → 5.50): undecodable
+    // an UNSUPPORTED packing template (patch 5.40 → 5.1 matrix —
+    // 5.50 spectral decodes since round 10): undecodable
     val bad = Grib2.write(m, packing = 40)
     def u32(b: Array[Byte], o: Int): Int =
       ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
@@ -930,7 +931,7 @@ class Grib2Spec extends SparkSpec {
     var patched = false
     while (pos < bad.length - 4 && !patched) {
       val len = u32(bad, pos); val num = bad(pos + 4) & 0xff
-      if (num == 5) { bad(pos + 5 + 5) = 50.toByte; patched = true } // template lo byte
+      if (num == 5) { bad(pos + 5 + 5) = 1.toByte; patched = true } // template lo byte
       else pos += len
     }
     assert(patched)

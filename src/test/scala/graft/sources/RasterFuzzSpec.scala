@@ -128,6 +128,17 @@ class RasterFuzzSpec extends AnyFunSuite {
             if (i % 11 == 0) -9999f else (i * 17 % 700 - 350).toFloat),
           Some(-9999f))),
       scaleOffsetInt = true)
+    // GRIB2 spectral (3.50/5.50): coefficient stream + synthesis
+    val g2Spectral = {
+      val j = 6
+      val coefs = scala.collection.mutable.ArrayBuffer[Double]()
+      for (mm <- 0 to j; nn <- mm to j) {
+        coefs += (if (nn == 0) 275.0 else 1.0 / (nn + mm + 1))
+        coefs += (if (mm == 0) 0.0 else 0.05 * mm)
+      }
+      Grib2.writeSpectral(coefs.toArray, j, j, 0, 0, 11,
+        java.time.LocalDateTime.of(2001, 7, 1, 12, 0), 6)
+    }
     // thinned (quasi-regular) GRIB1: PL list, bitmap, NN row expansion
     val g1Thinned = Grib1.writeThinned(
       Seq(Array.tabulate(8)(k => 250f + k), Array.tabulate(5)(k => 260f + k),
@@ -143,12 +154,13 @@ class RasterFuzzSpec extends AnyFunSuite {
       "hdf5" -> h5, "hdf5-tinyhuge" -> h5TinyHuge, "hdf5-hugebtree" -> h5HugeBt,
       "hdf5-szip" -> h5Szip, "hdf5-vds" -> h5Vds, "hdf5-enum" -> h5Enum,
       "hdf5-nbit" -> h5Nbit, "hdf5-scaleoffset" -> h5So,
-      "grib1-thinned" -> g1Thinned)
+      "grib1-thinned" -> g1Thinned, "grib2-spectral" -> g2Spectral)
   }
 
   private def decodeAny(label: String, bytes: Array[Byte]): Unit = label match {
     case l if l.startsWith("tiff") => GeoTiff.read(bytes); ()
     case l if l.startsWith("grib1") => Grib1.readAll(bytes); ()
+    case l if l.startsWith("grib2") => Grib2.readAll(bytes); ()
     case _ =>
       val f = NetCdf.readAny(bytes)
       f.gridVars.headOption.foreach(v => f.rasters(v.name))
