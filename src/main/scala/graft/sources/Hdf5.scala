@@ -245,12 +245,15 @@ object Hdf5 {
     var cur = if (path.startsWith("/")) rootAddr else fromAddr
     for (part <- path.split("/").iterator.filter(_.nonEmpty)) {
       linksOf(in, cur).find(_._1 == part) match {
-        case Some((_, Left(a))) => cur = a
-        case Some((_, Right(p2))) =>
+        case Some((_, HardLink(a))) => cur = a
+        case Some((_, SoftLink(p2))) =>
           resolvePath(in, rootAddr, cur, p2, depth + 1) match {
             case Some(a) => cur = a
             case None => return None
           }
+        // a path cannot traverse into another FILE and still yield an
+        // address in this one; treat as dangling (iteration skips)
+        case Some((_, ExternalLink(_, _))) => return None
         case None => return None
       }
     }
@@ -260,7 +263,7 @@ object Hdf5 {
   private def readGroup(in: ByteIn, addr: Long,
                         prefix: String, out: scala.collection.mutable.Buffer[Dataset],
                         rootAddr: Long, ctx: ReadCtx,
-                        seen: Set[Long] = Set.empty): Unit = {
+                        seen: Set[Long] = Set.empty, extDepth: Int = 0): Unit = {
     // ancestor guard: a link (soft or hard) back to an enclosing group
     // would recurse forever; the same group under SIBLING names is
     // legitimate (an alias) and stays allowed
@@ -272,13 +275,33 @@ object Hdf5 {
     }
     val seen2 = seen + addr
     linksOf(in, msgs).foreach {
-      case (name, Left(child)) =>
-        readGroup(in, child, prefix + name + "/", out, rootAddr, ctx, seen2)
-      case (name, Right(path)) =>
+      case (name, HardLink(child)) =>
+        readGroup(in, child, prefix + name + "/", out, rootAddr, ctx, seen2, extDepth)
+      case (name, SoftLink(path)) =>
         // soft link: resolve (dangling targets are skipped, like h5py
         // iteration); the linked object surfaces under the LINK's name
         resolvePath(in, rootAddr, addr, path, 0).foreach(child =>
-          readGroup(in, child, prefix + name + "/", out, rootAddr, ctx, seen2))
+          readGroup(in, child, prefix + name + "/", out, rootAddr, ctx, seen2, extDepth))
+      case (name, ExternalLink(file, path)) =>
+        // external link: the mount-like aggregation layout. The target
+        // object (group OR dataset) surfaces under the LINK's name,
+        // decoded from the sibling file; missing files / dangling
+        // paths skip like soft links; chains across files are
+        // depth-guarded (A↔B external cycles would recurse forever —
+        // the per-file `seen` set can't catch them)
+        if (ctx.siblings.nonEmpty && extDepth < 4)
+          ctx.resolve(file).foreach { case (sIn, sRoot) =>
+            resolvePath(sIn, sRoot, sRoot, path, 0).foreach(child =>
+              readGroup(sIn, child, prefix + name + "/", out, sRoot, ctx,
+                Set.empty, extDepth + 1))
+          }
+        else if (ctx.siblings.isEmpty)
+          throw new IllegalArgumentException(
+            s"external link '$name' -> '$file':'$path' needs directory " +
+              "context (bytes-only entry point; ingest through " +
+              "Formats.ingestDir / ingestLargePaths, which supply it)")
+        else throw new IllegalArgumentException(
+          s"external-link chain deeper than 4 at '$prefix$name' (cycle?)")
     }
   }
 
@@ -534,8 +557,8 @@ object Hdf5 {
           // soft-link layout for old-style groups
           if (cacheType == 2) {
             val pathOff = in.getInt(e + 24) & 0xffffffffL
-            links += ((name, Right(cString(in, heapData + pathOff))))
-          } else links += ((name, Left(ohAddr)))
+            links += ((name, SoftLink(cString(in, heapData + pathOff))))
+          } else links += ((name, HardLink(ohAddr)))
         }
       }
     }
@@ -543,7 +566,14 @@ object Hdf5 {
 
   /** One parsed link: hard (object-header address) or soft (path,
     * resolved during traversal). */
-  private[sources] type Link = (String, Either[Long, String])
+  private[sources] sealed trait LinkTarget
+  private[sources] case class HardLink(addr: Long) extends LinkTarget
+  private[sources] case class SoftLink(path: String) extends LinkTarget
+  /** External link (H5L class 64): the target lives in ANOTHER file —
+    * resolved through the read's sibling resolver like cross-file VDS
+    * sources (same directory-rooted, path-escape-guarded contract). */
+  private[sources] case class ExternalLink(file: String, path: String) extends LinkTarget
+  private[sources] type Link = (String, LinkTarget)
 
   private def parseLink(in: ByteIn, off: Long): Link = {
     val flags = in(off + 1) & 0xff
@@ -551,8 +581,9 @@ object Hdf5 {
     var linkType = 0
     if ((flags & 0x08) != 0) {
       linkType = in(p) & 0xff
-      require(linkType <= 1,
-        s"link type $linkType not supported (0 hard, 1 soft; external/user-defined fail loudly)")
+      require(linkType <= 1 || linkType == 64,
+        s"link type $linkType not supported (0 hard, 1 soft, 64 external; " +
+          "user-defined fail loudly)")
       p += 1
     }
     if ((flags & 0x04) != 0) p += 8 // creation order
@@ -566,10 +597,21 @@ object Hdf5 {
     p += lenBytes
     val name = in.string(p, nameLen)
     p += nameLen
-    if (linkType == 0) (name, Left(in.getLong(p)))
-    else { // soft: 2-byte length + path bytes
+    if (linkType == 0) (name, HardLink(in.getLong(p)))
+    else if (linkType == 1) { // soft: 2-byte length + path bytes
       val plen = in.getShort(p) & 0xffff
-      (name, Right(in.string(p + 2, plen)))
+      (name, SoftLink(in.string(p + 2, plen)))
+    } else { // external (64): 2-byte length, then version|flags byte,
+      // file name NUL-terminated, object path NUL-terminated
+      val plen = in.getShort(p) & 0xffff
+      val body = p + 2
+      require((in(body) & 0xff) == 0,
+        s"external link version/flags ${in(body) & 0xff} not supported")
+      val file = cString(in, body + 1)
+      val path = cString(in, body + 1 + file.getBytes("UTF-8").length + 1)
+      require(2 + file.length + path.length + 3 <= plen + 2,
+        "external link value overruns its declared length")
+      (name, ExternalLink(file, path))
     }
   }
 
@@ -1783,6 +1825,7 @@ object Hdf5 {
             filteredHeap: Boolean = false,
             denseIdStyle: String = "managed",
             softLinks: Seq[(String, String)] = Nil,
+            externalLinks: Seq[(String, String, String)] = Nil,
             vlenStr: Boolean = false,
             virtualStack: Boolean = false,
             virtualCrossFiles: Seq[(String, String)] = Nil,
@@ -2675,11 +2718,24 @@ object Hdf5 {
       u64(nameOffs(sorted.head)); u64(snodAddr); u64(nameOffs(sorted.last))
       padTo8()
 
-      // root group object header
+      // root group object header; external links ride as LINK (0x06)
+      // messages beside the symbol table (linksOf walks both) —
+      // (link name, target file, target path), v1 message with the
+      // explicit-type flag, class 64, NUL-terminated value strings
       val a = pos
       raw(objectHeader(Seq(0x11 -> bodyBuf({ bb =>
         bb.putLong(btreeAddr.toLong); bb.putLong(heapAddr.toLong)
-      }, 16))))
+      }, 16)) ++ externalLinks.map { case (n, f, pth) =>
+        val nb = n.getBytes("UTF-8")
+        val fb = f.getBytes("UTF-8"); val pb2 = pth.getBytes("UTF-8")
+        require(nb.length < 256, "external link name too long")
+        0x06 -> bodyBuf({ bb =>
+          bb.put(1.toByte).put(0x08.toByte).put(64.toByte)
+          bb.put(nb.length.toByte).put(nb)
+          bb.putShort((1 + fb.length + 1 + pb2.length + 1).toShort)
+          bb.put(0.toByte).put(fb).put(0.toByte).put(pb2).put(0.toByte)
+        }, 7 + nb.length + fb.length + pb2.length + 3)
+      }))
       a.toLong
     } else {
       // ---- dense root group: the NEW-style layout netcdf-c emits for

@@ -170,8 +170,8 @@ class Hdf5Spec extends SparkSpec {
 
     val links = scala.collection.mutable.Buffer[Hdf5.Link]()
     Hdf5.denseLinks(ByteIn(bytes), 0L, 1408L, links)
-    assert(links.toSet == Set(("alpha", Left(0x1111L)), ("beta", Left(0x2222L)),
-      ("gamma", Left(0x3333L))),
+    assert(links.toSet == Set[Hdf5.Link](("alpha", Hdf5.HardLink(0x1111L)),
+      ("beta", Hdf5.HardLink(0x2222L)), ("gamma", Hdf5.HardLink(0x3333L))),
       s"nested-indirect resolution produced $links")
   }
 
