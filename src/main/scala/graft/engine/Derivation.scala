@@ -41,7 +41,46 @@ object Derivation {
     * maxDepth levels (inclusive of the seeds at depth 0). Returns
     * (unit_id, depth) with the minimal depth per unit. */
   def transitiveDownstream(edges: DataFrame, seeds: DataFrame,
-                           maxDepth: Int): DataFrame = {
+                           maxDepth: Int, driverCap: Long = 1L << 20): DataFrame = {
+    val spark = edges.sparkSession
+    // ADAPTIVE, like Dedup.canonicalize (SCALE.md r9 #8): a derivation
+    // lineage graph is unit-CATALOG-sized metadata, not corpus-sized —
+    // under the cap (1M edges ≈ 16 MB) the whole walk is one driver
+    // BFS over the collected edge list, where the distributed loop
+    // would pay ~2 scheduled jobs of pure latency per depth level.
+    // Past the cap the loop below runs unchanged. Exact same minima
+    // both paths (spec-gated).
+    // ONE action decides and fetches: collect capped+1 rows — under
+    // the cap the rows in hand ARE the edge list (no count job, no
+    // checkpoint); over it, fall back to the distributed loop (which
+    // recomputes the edge frame — the rare big-graph case)
+    val capInt = math.min(driverCap, Int.MaxValue - 1L).toInt
+    val probe = edges.select(col("src"), col("dst")).limit(capInt + 1).collect()
+    if (probe.length <= capInt) {
+      val adj = scala.collection.mutable.Map.empty[Any,
+        scala.collection.mutable.Buffer[Any]]
+      probe.foreach(r =>
+        adj.getOrElseUpdate(r.get(0),
+          scala.collection.mutable.Buffer.empty[Any]) += r.get(1))
+      val depth = scala.collection.mutable.LinkedHashMap.empty[Any, Int]
+      var frontier: Seq[Any] =
+        seeds.select(col("unit_id")).distinct().collect().map(_.get(0)).toSeq
+      frontier.foreach(u => depth(u) = 0)
+      for (d <- 1 to maxDepth) {
+        frontier = frontier.flatMap(u => adj.getOrElse(u, Nil))
+          .distinct.filterNot(depth.contains)
+        frontier.foreach(u => depth(u) = d) // BFS order == minimal depth
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        edges.schema("src").copy(name = "unit_id"),
+        org.apache.spark.sql.types.StructField("depth",
+          org.apache.spark.sql.types.IntegerType, nullable = false)))
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(
+            depth.toSeq.map { case (u, d) =>
+              org.apache.spark.sql.Row(u, d) }).asJava), schema)
+    }
     // each frontier is consumed twice (next join + the union) — cache per
     // level or the lineage re-executes once per remaining depth. The
     // caches register as stage boundaries so a RE-invocation (bench
@@ -51,12 +90,12 @@ object Derivation {
     val key = "derivation:transitive"
     graft.model.StageBoundaries.reset(key)
     def mark(df: DataFrame) = graft.model.StageBoundaries.mark(key, df)
-    val e = mark(edges)
+    val eM = mark(edges.select(col("src"), col("dst")))
     var frontier = mark(seeds.select(col("unit_id"), lit(0).as("depth")))
     var acc = frontier
     for (d <- 1 to maxDepth) {
       frontier = mark(frontier
-        .join(e, frontier("unit_id") === e("src"))
+        .join(eM, frontier("unit_id") === eM("src"))
         .select(col("dst").as("unit_id"), lit(d).as("depth"))
         .distinct())
       acc = acc.unionByName(frontier)

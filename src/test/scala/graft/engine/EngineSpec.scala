@@ -259,4 +259,19 @@ class EngineSpec extends SparkSpec {
     val a2 = engine.run(new PromotionRecipe, inputs)
     assert(a2.filter(col("action") === "skip").count() == 2)
   }
+
+  test("transitiveDownstream: driver BFS equals the distributed walk exactly") {
+    // diamond + chain + disconnected node; seed reaches 12 by two
+    // routes (depths 1 and 2) — min must win on both paths
+    val edges = Seq(
+      (1L, 11L), (1L, 12L), (11L, 12L), (12L, 13L), (13L, 14L),
+      (2L, 21L), (99L, 98L)).toDF("src", "dst")
+    val seeds = Seq(1L, 2L).toDF("unit_id")
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    val fast = sorted(Derivation.transitiveDownstream(edges, seeds, 3))
+    val dist = sorted(Derivation.transitiveDownstream(edges, seeds, 3, driverCap = 0))
+    assert(fast == dist, s"driver $fast vs distributed $dist")
+    assert(fast == Seq((1L, 0), (2L, 0), (11L, 1), (12L, 1), (13L, 2), (14L, 3), (21L, 1)))
+  }
 }
