@@ -443,25 +443,45 @@ object Hdf5 {
         case 1 => // huge: past the max managed size. Direct IDs (ID wide
           // enough for address+length, libhdf5's rule) point straight at
           // the object; otherwise the ID is a key into the heap's huge-
-          // object v2 B-tree (record type 1: address, length, ID),
-          // walked ONCE into an id→address map shared by every huge
+          // object v2 B-tree — record type 1 (address, length, ID) for
+          // plain heaps, type 3 on FILTERED heaps (address, stored
+          // length, filter mask, de-filtered size, ID; the object's
+          // bytes ran through the heap's own pipeline). Either tree is
+          // walked ONCE into an id→record map shared by every huge
           // link — a per-link walk would be quadratic in huge links.
-          require(!filtered, "filtered huge heap objects not supported")
-          if (heapIdLen >= 17) {
+          def defilteredHuge(addr: Long, len: Long, mask: Int, mem: Long): ByteIn = {
+            require(len > 0 && len <= Int.MaxValue && mem > 0 && mem <= Int.MaxValue,
+              s"implausible filtered huge object ($len stored, $mem raw)")
+            val buf = defilter(in.slice(addr, len.toInt), heapFilters, mask, 1,
+              mem.toInt)
+            require(buf.length == mem,
+              s"filtered huge object decoded ${buf.length} bytes, expected $mem")
+            ByteIn(buf)
+          }
+          if (!filtered && heapIdLen >= 17) {
             links += parseLink(in, unsignedLE(idAt + 1, 8))
+          } else if (filtered && heapIdLen >= 29) {
+            // direct filtered ID: addr(8), stored len(8), mask(4), raw size(8)
+            links += parseLink(defilteredHuge(unsignedLE(idAt + 1, 8),
+              unsignedLE(idAt + 9, 8), unsignedLE(idAt + 17, 4).toInt,
+              unsignedLE(idAt + 21, 8)), 0L)
           } else {
             if (hugeMap == null) {
               val hugeBt2 = in.getLong(h + 22)
               require(hugeBt2 != -1L, "huge heap ID but no huge-object B-tree")
               hugeMap = new java.util.HashMap[Long, Long]()
               walkBtreeV2(in, hugeBt2) { (rAt, _) =>
-                hugeMap.put(unsignedLE(rAt + 16, 8), in.getLong(rAt))
+                hugeMap.put(unsignedLE(rAt + (if (filtered) 28 else 16), 8), rAt)
               }
             }
             val wantId = unsignedLE(idAt + 1, math.min(8, heapIdLen - 1))
             require(hugeMap.containsKey(wantId),
               s"huge object $wantId not in the huge-object B-tree")
-            links += parseLink(in, hugeMap.get(wantId))
+            val rAt = hugeMap.get(wantId)
+            if (!filtered) links += parseLink(in, in.getLong(rAt))
+            else links += parseLink(defilteredHuge(in.getLong(rAt),
+              in.getLong(rAt + 8), in.getInt(rAt + 16),
+              in.getLong(rAt + 20)), 0L)
           }
         case t =>
           throw new IllegalArgumentException(s"unknown fractal-heap ID type $t")
@@ -1869,8 +1889,10 @@ object Hdf5 {
     require(!filteredHeap || denseRoot, "filteredHeap applies to dense roots")
     require(Set("managed", "tinyhuge", "hugebtree").contains(denseIdStyle),
       s"unknown denseIdStyle '$denseIdStyle'")
-    require(denseIdStyle == "managed" || (denseRoot && !filteredHeap),
-      "tiny/huge ID styles apply to unfiltered dense roots")
+    require(denseIdStyle == "managed" ||
+      (denseRoot && (denseIdStyle == "hugebtree" || !filteredHeap)),
+      "tiny ID style applies to unfiltered dense roots " +
+        "(filtered huge objects route via the hugebtree style)")
     require(!szip || (!shuffle && !fletcher && layoutV4.isEmpty),
       "fixture writer: szip is its own single-filter pipeline")
     val out = new java.io.ByteArrayOutputStream()
@@ -2787,19 +2809,30 @@ object Hdf5 {
       // huge bodies store as raw contiguous objects, written FIRST so
       // their addresses are known before any layout arithmetic
       padTo8()
-      val hugeObjs = scala.collection.mutable.Buffer[(String, Long, Int)]()
+      // (name, address, stored length, de-filtered length) — the two
+      // lengths differ only on filtered heaps, where huge bodies run
+      // through the heap's own pipeline (deflate here)
+      val hugeObjs = scala.collection.mutable.Buffer[(String, Long, Int, Int)]()
       val tinyByName = scala.collection.mutable.Map[String, Array[Byte]]()
       for (n <- denseNames) {
         val lb = bodyOf(n)
         if (denseIdStyle != "managed" && lb.length > maxManagedObj) {
-          hugeObjs += ((n, pos.toLong, lb.length)); raw(lb)
+          val stored = if (!filteredHeap) lb else {
+            val defl = new java.util.zip.Deflater()
+            defl.setInput(lb); defl.finish()
+            val zb = new Array[Byte](lb.length + 64)
+            val nz = defl.deflate(zb)
+            defl.end()
+            java.util.Arrays.copyOf(zb, nz)
+          }
+          hugeObjs += ((n, pos.toLong, stored.length, lb.length)); raw(stored)
         } else if (denseIdStyle == "tinyhuge" &&
                    lb.length <= math.min(16, heapIdLen - 1)) {
           tinyByName(n) = lb
         }
       }
       padTo8()
-      val hugeByName = hugeObjs.zipWithIndex.map { case ((n, a, l), i) =>
+      val hugeByName = hugeObjs.zipWithIndex.map { case ((n, a, l, _), i) =>
         n -> Huge(a, l, i + 1L)
       }.toMap
       // pack the remaining (managed) link bodies into direct blocks in
@@ -2918,7 +2951,8 @@ object Hdf5 {
       // B-tree (record type 1: address 8 + length 8 + id 8 = 24 bytes)
       val hugeBtree = denseIdStyle == "hugebtree" && hugeObjs.nonEmpty
       val hugeBtlfAddr = align8(bthdAddr + 38)
-      val hugeBthdAddr = align8(hugeBtlfAddr + 6 + hugeObjs.size * 24L + 4)
+      val hugeBthdAddr = align8(hugeBtlfAddr + 6 +
+        hugeObjs.size * (if (filteredHeap) 36L else 24L) + 4)
 
       frhpAddrSlot(0) = if (filteredHeap) 0L else frhpAddr
       for ((i, ai) <- blocks.indices.zip(blockAddrs)) {
@@ -3009,15 +3043,19 @@ object Hdf5 {
       padTo8()
       if (hugeBtree) {
         require(pos.toLong == hugeBtlfAddr, "huge BTLF layout drift")
-        raw("BTLF".getBytes); u8(0); u8(1) // type 1: huge, indirect, unfiltered
-        hugeObjs.zipWithIndex.foreach { case ((_, a, l), i) =>
-          u64(a); u64(l.toLong); u64(i + 1L)
+        // type 1 (huge indirect) or 3 (huge indirect FILTERED: stored
+        // length + mask + de-filtered size precede the id)
+        raw("BTLF".getBytes); u8(0); u8(if (filteredHeap) 3 else 1)
+        hugeObjs.zipWithIndex.foreach { case ((_, a, l, mem), i) =>
+          u64(a); u64(l.toLong)
+          if (filteredHeap) { u32(0); u64(mem.toLong) }
+          u64(i + 1L)
         }
         u32(0) // checksum (unread)
         padTo8()
         require(pos.toLong == hugeBthdAddr, "huge BTHD layout drift")
-        raw("BTHD".getBytes); u8(0); u8(1)
-        u32(nodeSize); u16(24)
+        raw("BTHD".getBytes); u8(0); u8(if (filteredHeap) 3 else 1)
+        u32(nodeSize); u16(if (filteredHeap) 36 else 24)
         u16(0) // depth: single leaf
         u8(100); u8(40)
         u64(hugeBtlfAddr)
