@@ -257,4 +257,35 @@ class GeoRasterSourceSpec extends SparkSpec {
       Option(e2.getCause).exists(_.getMessage.contains("outside the declared")),
       e2.getMessage)
   }
+
+  test("write side: a mis-partitioned write dies at the buffer cap, not at OOM") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-dsv2-cap-").toString
+    // 8 distinct rasters funneled into ONE partition with a cap of 4:
+    // the writer must fail loudly at raster 5 with a pointer to the
+    // repartition contract (silently buffering would OOM at scale)
+    val rows = (0 until 8).flatMap(m => Seq((f"g$m%02d.tif", 0, 0, 0, m * 1.0)))
+      .toDF("fname", "step", "y", "x", "v").coalesce(1)
+    val e = intercept[Exception] {
+      rows.write.format("georaster").mode("append")
+        .option("width", 4).option("height", 4)
+        .option("west", -180.0).option("north", 90.0)
+        .option("px", 45.0).option("py", 30.0)
+        .option("maxBufferedRasters", 4)
+        .save(out)
+    }
+    def deepMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage)
+        ++ Iterator.single("")).mkString(" | ")
+    assert(deepMsg(e).contains("repartition the frame by (fname, step)"), deepMsg(e))
+    // the same frame co-located (and a cap that admits the worst-case
+    // hash collision) writes fine
+    rows.repartition(col("fname"), col("step"))
+      .write.format("georaster").mode("append")
+      .option("width", 4).option("height", 4)
+      .option("west", -180.0).option("north", 90.0)
+      .option("px", 45.0).option("py", 30.0)
+      .option("maxBufferedRasters", 8)
+      .save(Files.createTempDirectory("graft-dsv2-cap2-").toString)
+  }
 }
