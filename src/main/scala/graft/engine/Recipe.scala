@@ -106,9 +106,16 @@ class Engine(spark: SparkSession, stateDir: String) {
     // carries exactly one row per parked unit.
     val audit = Derivation.idempotentMerge(ledger, units, "unit_id", "input_hash")
       .join(parked.select("unit_id"), Seq("unit_id"), "left_anti")
+      // the audit ESCAPES run() as its return value, and this run
+      // overwrites the ledger files its lineage reads — a lazy cache
+      // would be invalidated by the NEXT run's reset and silently
+      // re-read the new ledger (or hit deleted files). localCheckpoint
+      // materializes it eagerly and cuts the lineage, so the returned
+      // frame stays valid across subsequent runs; blocks free via the
+      // ContextCleaner when the caller drops it.
       .unionByName(parked.select(col("unit_id"),
         lit(null).cast("string").as("input_hash"), lit("parked").as("action")))
-      .transform(mark)
+      .localCheckpoint()
 
     val toRun = audit.filter(col("action").isin("insert", "overwrite"))
       .select(col("unit_id"))

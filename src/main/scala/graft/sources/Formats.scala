@@ -62,6 +62,15 @@ object Formats {
       !name.contains(':') && !name.split('/').contains("..") &&
       !name.split('/').contains(""),
       s"virtual mapping source '$name' escapes the granule directory")
+    // the resolver probes the LOCAL filesystem; on a remote scheme a
+    // silent miss would fill every member's region with the fill
+    // value (total data loss with zero errors), so refuse loudly —
+    // absent-member semantics only apply where absence is knowable
+    val scheme = "^([A-Za-z][A-Za-z0-9+.-]*):".r.findFirstMatchIn(path).map(_.group(1))
+    require(scheme.forall(_ == "file"),
+      s"sibling resolution (cross-file VDS / external links) supports " +
+        s"local paths only; granule arrived from '$path' — copy the " +
+        "granule directory to local/attached storage for ingest")
     val local = path.stripPrefix("file:")
     val dir = local.substring(0, local.lastIndexOf('/') + 1)
     val p = java.nio.file.Paths.get(dir + name)

@@ -176,6 +176,11 @@ object Grib1 {
       require(pvpl != 255,
         "thinned grid declares Ni missing but carries no PL list (octet 5 = 255)")
       val plOff = o + (pvpl - 1) + 4 * nv
+      // lower bound too: a corrupt pointer into the fixed 32-octet GDS
+      // header would decode geometry bytes as plausible row counts and
+      // silently expand the wrong row structure
+      require(plOff >= o + 32,
+        s"PL pointer (octet ${pvpl}, NV=$nv) lands inside the fixed GDS header")
       require(plOff + 2L * nj <= o + gdsLen,
         s"PL list of $nj row counts overruns the GDS of $gdsLen octets")
       pl = Array.tabulate(nj)(j => u16(bytes, plOff + 2 * j))

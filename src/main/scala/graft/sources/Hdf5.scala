@@ -58,9 +58,14 @@ object Hdf5 {
   /** `isChar`: a string dataset (fixed-length class 3 or vlen-string
     * class 9) surfaced as char codes, NC_CHAR-style — the trailing
     * shape entry is the string width. */
+  /** `srcFile`: which physical file the dataset came from (resolver-
+    * relative sibling name; "" = the root granule) — external links
+    * merge datasets from several files into one listing, and object
+    * ADDRESSES are only unique within their own file, so every
+    * address-keyed lookup (DIMENSION_LIST) must carry the file too. */
   case class Dataset(name: String, addr: Long, shape: Seq[Int],
                      data: Array[Float], attrs: Map[String, Any],
-                     isChar: Boolean = false)
+                     isChar: Boolean = false, srcFile: String = "")
   case class File(datasets: Seq[Dataset])
 
   /** Sniff on the 4-byte `\x89HDF` prefix (matching the reference's sniff,
@@ -106,9 +111,26 @@ object Hdf5 {
       scala.collection.mutable.Map[String, Option[(ByteIn, Long)]]()
     def resolve(name: String): Option[(ByteIn, Long)] =
       opened.getOrElseUpdate(name,
-        siblings.flatMap(f => f(name)).map(s => (s, rootAddrOf(s))))
+        siblings.flatMap(f => f(name)).map { s =>
+          // a corrupt/non-HDF5 member must stay LOUD, but its channel
+          // must not leak: the failure happens before the entry lands
+          // in `opened`, so closeAll would never see it (under
+          // quarantining ingest that's a handle leak per bad granule)
+          try (s, rootAddrOf(s))
+          catch { case e: Throwable => s.close(); throw e }
+        })
     def closeAll(): Unit =
       opened.valuesIterator.flatten.foreach(o => o._1.close())
+  }
+
+  /** Resolve `name` relative to the directory of the referring file
+    * (both resolver-relative): a link or VDS mapping inside
+    * "members/m1.h5" naming "m2.h5" probes "members/m2.h5" — the
+    * referring-file-relative search libhdf5 performs. The resolver's
+    * escape guard still applies to the combined name. */
+  private def joinRel(from: String, name: String): String = {
+    val slash = from.lastIndexOf('/')
+    if (slash < 0) name else from.substring(0, slash + 1) + name
   }
 
   def read(bytes: Array[Byte]): File = read(ByteIn(bytes))
@@ -260,28 +282,35 @@ object Hdf5 {
     Some(cur)
   }
 
+  /** `fileTag`: resolver-relative name of the file being walked ("" =
+    * root granule); `rootPrefix`: the traversal prefix at which THIS
+    * file's root was entered (datasets inside it surface under it). */
   private def readGroup(in: ByteIn, addr: Long,
                         prefix: String, out: scala.collection.mutable.Buffer[Dataset],
                         rootAddr: Long, ctx: ReadCtx,
-                        seen: Set[Long] = Set.empty, extDepth: Int = 0): Unit = {
+                        seen: Set[Long] = Set.empty, extDepth: Int = 0,
+                        fileTag: String = "", rootPrefix: String = ""): Unit = {
     // ancestor guard: a link (soft or hard) back to an enclosing group
     // would recurse forever; the same group under SIBLING names is
     // legitimate (an alias) and stays allowed
     if (seen.contains(addr)) return
     val msgs = messages(in, addr)
     if (msgs.map(_._1).contains(0x08)) { // data layout → dataset
-      out ++= readDatasetAll(in, addr, prefix, msgs, rootAddr, 0, ctx)
+      out ++= readDatasetAll(in, addr, prefix, msgs, rootAddr, 0, ctx,
+        fileTag, rootPrefix)
       return
     }
     val seen2 = seen + addr
     linksOf(in, msgs).foreach {
       case (name, HardLink(child)) =>
-        readGroup(in, child, prefix + name + "/", out, rootAddr, ctx, seen2, extDepth)
+        readGroup(in, child, prefix + name + "/", out, rootAddr, ctx, seen2,
+          extDepth, fileTag, rootPrefix)
       case (name, SoftLink(path)) =>
         // soft link: resolve (dangling targets are skipped, like h5py
         // iteration); the linked object surfaces under the LINK's name
         resolvePath(in, rootAddr, addr, path, 0).foreach(child =>
-          readGroup(in, child, prefix + name + "/", out, rootAddr, ctx, seen2, extDepth))
+          readGroup(in, child, prefix + name + "/", out, rootAddr, ctx, seen2,
+            extDepth, fileTag, rootPrefix))
       case (name, ExternalLink(file, path)) =>
         // external link: the mount-like aggregation layout. The target
         // object (group OR dataset) surfaces under the LINK's name,
@@ -289,12 +318,16 @@ object Hdf5 {
         // paths skip like soft links; chains across files are
         // depth-guarded (A↔B external cycles would recurse forever —
         // the per-file `seen` set can't catch them)
-        if (ctx.siblings.nonEmpty && extDepth < 4)
-          ctx.resolve(file).foreach { case (sIn, sRoot) =>
+        if (ctx.siblings.nonEmpty && extDepth < 4) {
+          // the target name resolves relative to the REFERRING file's
+          // directory, like libhdf5's sibling search
+          val tag = joinRel(fileTag, file)
+          ctx.resolve(tag).foreach { case (sIn, sRoot) =>
             resolvePath(sIn, sRoot, sRoot, path, 0).foreach(child =>
               readGroup(sIn, child, prefix + name + "/", out, sRoot, ctx,
-                Set.empty, extDepth + 1))
+                Set.empty, extDepth + 1, tag, prefix + name + "/"))
           }
+        }
         else if (ctx.siblings.isEmpty)
           throw new IllegalArgumentException(
             s"external link '$name' -> '$file':'$path' needs directory " +
@@ -629,8 +662,12 @@ object Hdf5 {
         s"external link version/flags ${in(body) & 0xff} not supported")
       val file = cString(in, body + 1)
       val path = cString(in, body + 1 + file.getBytes("UTF-8").length + 1)
-      require(2 + file.length + path.length + 3 <= plen + 2,
-        "external link value overruns its declared length")
+      // BYTE lengths, not char counts — a multibyte name must not
+      // defeat the bound and let cString read past the declared value
+      val consumed = 1 + file.getBytes("UTF-8").length + 1 +
+        path.getBytes("UTF-8").length + 1
+      require(consumed <= plen,
+        s"external link value overruns its declared length ($consumed > $plen)")
       (name, ExternalLink(file, path))
     }
   }
@@ -967,8 +1004,10 @@ object Hdf5 {
   private def readDataset(in: ByteIn, addr: Long,
                           prefix: String, msgs: Seq[(Int, Long)],
                           rootAddr: Long, vdsDepth: Int,
-                          ctx: ReadCtx): Dataset =
-    readDatasetAll(in, addr, prefix, msgs, rootAddr, vdsDepth, ctx) match {
+                          ctx: ReadCtx, fileTag: String = "",
+                          rootPrefix: String = ""): Dataset =
+    readDatasetAll(in, addr, prefix, msgs, rootAddr, vdsDepth, ctx,
+      fileTag, rootPrefix) match {
       case Seq(d) => d
       case _ => throw new IllegalArgumentException(
         s"compound dataset at '$prefix' cannot serve as a virtual mapping source")
@@ -977,7 +1016,8 @@ object Hdf5 {
   private def readDatasetAll(in: ByteIn, addr: Long,
                              prefix: String, msgs: Seq[(Int, Long)],
                              rootAddr: Long, vdsDepth: Int,
-                             ctx: ReadCtx): Seq[Dataset] = {
+                             ctx: ReadCtx, fileTag: String = "",
+                             rootPrefix: String = ""): Seq[Dataset] = {
     var dims: Seq[Long] = Nil
     var dt: Dt = null
     var fillRaw: Option[Array[Byte]] = None
@@ -1162,6 +1202,10 @@ object Hdf5 {
         val (srcSel, p1) = parseSelection(blob, p); p = p1
         val (virtSel, p2) = parseSelection(blob, p); p = p2
         // (sibling ByteIn, that file's root): same file reuses this read's
+        // cross-file member names resolve relative to the REFERRING
+        // file's directory (this dataset may itself live in an
+        // externally-linked sibling)
+        val srcTag = if (srcFile == ".") fileTag else joinRel(fileTag, srcFile)
         val resolved: Option[(ByteIn, Long)] =
           if (srcFile == ".") Some((in, rootAddr))
           else {
@@ -1169,17 +1213,19 @@ object Hdf5 {
               s"cross-file virtual mapping to '$srcFile' needs directory " +
                 "context (bytes-only entry point; ingest through " +
                 "Formats.ingestDir / ingestLargePaths, which supply it)")
-            ctx.resolve(srcFile) // None = absent member → fill region
+            ctx.resolve(srcTag) // None = absent member → fill region
           }
         resolved.foreach { case (sIn, sRoot) =>
           val srcAddr = resolvePath(sIn, sRoot, sRoot, srcPath, 0).getOrElse(
             throw new IllegalArgumentException(
               s"virtual mapping source '$srcPath' not found" +
                 (if (srcFile == ".") "" else s" in '$srcFile'")))
-          if (srcFile == ".") srcNames += srcPath.stripPrefix("/")
-          val src = srcCache.getOrElseUpdate((srcFile, srcAddr),
+          // exclusion matches SURFACED names, which carry the traversal
+          // prefix this file's root was entered under
+          if (srcFile == ".") srcNames += rootPrefix + srcPath.stripPrefix("/")
+          val src = srcCache.getOrElseUpdate((srcTag, srcAddr),
             readDataset(sIn, srcAddr, srcPath.stripPrefix("/"),
-              messages(sIn, srcAddr), sRoot, vdsDepth + 1, ctx))
+              messages(sIn, srcAddr), sRoot, vdsDepth + 1, ctx, srcTag))
           val sIdx = selIndices(srcSel, src.shape.toArray)
           val vIdx = selIndices(virtSel, vdims.toArray)
           require(sIdx.length == vIdx.length,
@@ -1194,7 +1240,8 @@ object Hdf5 {
       // them — they are storage internals of THIS dataset, and
       // surfacing them as grid variables would double-ingest the pixels
       attrs += ("_vds_sources" -> srcNames.toSeq)
-      return Seq(Dataset(prefix.stripSuffix("/"), addr, vdims, data, attrs.toMap))
+      return Seq(Dataset(prefix.stripSuffix("/"), addr, vdims, data, attrs.toMap,
+        srcFile = fileTag))
     }
 
     val raw: Array[Byte] = layoutClass match {
@@ -1238,7 +1285,8 @@ object Hdf5 {
         while (i < math.min(total, raw.length)) { data(i) = (raw(i) & 0xff).toFloat; i += 1 }
       }
       val shape = if (dt.size == 1) dims.map(_.toInt) else dims.map(_.toInt) :+ dt.size
-      Seq(Dataset(prefix.stripSuffix("/"), addr, shape, data, attrs.toMap, isChar = true))
+      Seq(Dataset(prefix.stripSuffix("/"), addr, shape, data, attrs.toMap,
+        isChar = true, srcFile = fileTag))
     } else if (dt.cls == 9) {
       // vlen strings (the netcdf-4 NC_STRING / h5py str form): each
       // 16-byte element is (length u32, global-heap address u64,
@@ -1271,7 +1319,7 @@ object Hdf5 {
         i += 1
       }
       Seq(Dataset(prefix.stripSuffix("/"), addr, dims.map(_.toInt) :+ w, data,
-        attrs.toMap, isChar = true))
+        attrs.toMap, isChar = true, srcFile = fileTag))
     } else if (dt.cls == 6) {
       // compound: each numeric member flattens to its own variable,
       // named <dataset>.<member> (the h5py structured-array fields /
@@ -1291,7 +1339,7 @@ object Hdf5 {
           }
         }
         Dataset(prefix.stripSuffix("/") + "." + mname, addr,
-          dims.map(_.toInt), data, attrs.toMap)
+          dims.map(_.toInt), data, attrs.toMap, srcFile = fileTag)
       }
     } else {
       val data = new Array[Float](n)
@@ -1304,7 +1352,8 @@ object Hdf5 {
         var i = 0
         while (i < n) { data(i) = element(rin, i.toLong * dt.size, dt).toFloat; i += 1 }
       }
-      Seq(Dataset(prefix.stripSuffix("/"), addr, dims.map(_.toInt), data, attrs.toMap))
+      Seq(Dataset(prefix.stripSuffix("/"), addr, dims.map(_.toInt), data, attrs.toMap,
+        srcFile = fileTag))
     }
   }
 
@@ -1727,7 +1776,12 @@ object Hdf5 {
       }).toSet
     val f = File(raw0.datasets.filterNot(d => vdsSources.contains(d.name))
       .map(d => d.copy(attrs = d.attrs - "_vds_sources")))
-    val byAddr = f.datasets.map(d => d.addr -> d.name).toMap
+    // object addresses are unique only WITHIN a file; external links
+    // merge several files into one listing, so the reference map keys
+    // on (source file, address) — a bare-address map would bind a
+    // linked variable's DIMENSION_LIST to whatever main-file dataset
+    // happens to share the offset
+    val byAddr = f.datasets.map(d => (d.srcFile, d.addr) -> d.name).toMap
     val isScale = f.datasets
       .filter(_.attrs.get("CLASS").contains("DIMENSION_SCALE")).map(_.name).toSet
     // netcdf-c records dimension creation order in _Netcdf4Dimid; group
@@ -1745,8 +1799,17 @@ object Hdf5 {
     val vars = f.datasets.map { d =>
       val listed: Option[Seq[String]] = d.attrs.get("DIMENSION_LIST") match {
         case Some(refs: Seq[_]) =>
-          Some(refs.map(r => byAddr.getOrElse(r.asInstanceOf[Long],
-            throw new IllegalArgumentException(s"${d.name}: DIMENSION_LIST ref to unknown object"))))
+          val names = refs.map(r => byAddr.get((d.srcFile, r.asInstanceOf[Long])))
+          if (names.forall(_.isDefined)) Some(names.map(_.get))
+          else if (d.srcFile.nonEmpty)
+            // a dataset mounted through an external link WITHOUT its
+            // own dimension scales (only the variable was linked):
+            // its refs point at unsurfaced objects in the sibling
+            // file — fall back to size-based dim matching, the same
+            // path a scale-less dataset takes
+            None
+          else throw new IllegalArgumentException(
+            s"${d.name}: DIMENSION_LIST ref to unknown object")
         case _ => None
       }
       if (d.isChar) {

@@ -260,6 +260,25 @@ class EngineSpec extends SparkSpec {
     assert(a2.filter(col("action") === "skip").count() == 2)
   }
 
+  test("an audit frame stays valid after the NEXT run rewrites the ledger") {
+    import java.nio.file.Files
+    val stateDir = Files.createTempDirectory("graft-engine3-").toString
+    val engine = new Engine(spark, stateDir)
+    val inputs = Seq(("g1", 0, 0, 1.0), ("g2", 0, 0, 9.0))
+      .toDF("granule_id", "y", "x", "v")
+    val a1 = engine.run(new PromotionRecipe, inputs)
+    val a1Actions = a1.collect().map(r =>
+      (r.getString(0), r.getString(2))).sortBy(_._1).toSeq
+    engine.run(new PromotionRecipe, inputs) // overwrites the ledger a1's lineage read
+    // the ESCAPED first-run audit must still read 'insert', not
+    // recompute against the new ledger (which would say 'skip') or
+    // die on the replaced parquet files
+    val again = a1.collect().map(r =>
+      (r.getString(0), r.getString(2))).sortBy(_._1).toSeq
+    assert(again == a1Actions && a1Actions.forall(_._2 == "insert"),
+      s"first audit drifted: $a1Actions -> $again")
+  }
+
   test("transitiveDownstream: driver BFS equals the distributed walk exactly") {
     // diamond + chain + disconnected node; seed reaches 12 by two
     // routes (depths 1 and 2) — min must win on both paths

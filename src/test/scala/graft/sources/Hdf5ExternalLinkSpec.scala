@@ -75,6 +75,69 @@ class Hdf5ExternalLinkSpec extends SparkSpec {
     assert(e.getMessage.contains("needs directory context"), e.getMessage)
   }
 
+  test("a mounted dataset from a DIFFERENTLY-laid-out sibling binds dims by size, not by address collision") {
+    // the sibling carries an extra leading variable, so its object
+    // addresses do NOT coincide with the main file's — a bare-address
+    // DIMENSION_LIST map would either throw or silently bind to the
+    // wrong main-file dataset
+    val dir = java.nio.file.Files.createTempDirectory("h5extl")
+    val shifted = Hdf5.write(Seq("lat" -> h, "lon" -> w),
+      Seq(
+        NetCdf.Variable("aaa_pad", Seq("lat", "lon"),
+          Array.fill(h * w)(7f), None),
+        NetCdf.Variable("lat", Seq("lat"), lat, None),
+        NetCdf.Variable("lon", Seq("lon"), lon, None),
+        NetCdf.Variable("precip", Seq("lat", "lon"),
+          Array.tabulate(h * w)(i => 5000f + i), None)))
+    java.nio.file.Files.write(dir.resolve("ms.h5"), shifted)
+    val main = dir.resolve("main.nc")
+    java.nio.file.Files.write(main, mainBytes(Seq(("mounted", "ms.h5", "/precip"))))
+    val f = NetCdf.readAny(java.nio.file.Files.readAllBytes(main),
+      Some(Formats.siblingsOf(main.toString)))
+    val mounted = f.vars.find(_.name == "mounted").get
+    assert(mounted.dims == Seq("lat", "lon"), mounted.dims.toString)
+    assert(mounted.data(3) == 5003f)
+  }
+
+  test("a sibling's OWN external links resolve relative to its directory") {
+    val dir = java.nio.file.Files.createTempDirectory("h5extn")
+    java.nio.file.Files.createDirectories(dir.resolve("members"))
+    java.nio.file.Files.write(dir.resolve("members/m2.h5"), memberBytes(4000f))
+    // m1 lives in members/ and links its sibling by BARE name — the
+    // libhdf5 referring-file-relative search
+    java.nio.file.Files.write(dir.resolve("members/m1.h5"),
+      mainBytes(Seq(("hop", "m2.h5", "/precip"))))
+    val main = dir.resolve("main.nc")
+    java.nio.file.Files.write(main, mainBytes(Seq(("nest", "members/m1.h5", "/"))))
+    val f = Hdf5.read(ByteIn.fromPath(main.toString),
+      Some(Formats.siblingsOf(main.toString)))
+    val hopped = f.datasets.find(_.name == "nest/hop").get
+    assert(hopped.data(0) == 4000f,
+      s"nested link resolved against the wrong directory: ${f.datasets.map(_.name)}")
+  }
+
+  test("a virtual stack inside a linked sibling still excludes its sources") {
+    val dir = java.nio.file.Files.createTempDirectory("h5extv")
+    val nT = 2
+    val stack = Hdf5.write(
+      Seq("time" -> nT, "lat" -> h, "lon" -> w),
+      Seq(NetCdf.Variable("lat", Seq("lat"), lat, None),
+        NetCdf.Variable("lon", Seq("lon"), lon, None),
+        NetCdf.Variable("precip", Seq("time", "lat", "lon"),
+          Array.tabulate(nT * h * w)(i => i * 0.5f), None)),
+      virtualStack = true)
+    java.nio.file.Files.write(dir.resolve("stack.h5"), stack)
+    val main = dir.resolve("main.nc")
+    java.nio.file.Files.write(main, mainBytes(Seq(("vc", "stack.h5", "/"))))
+    val f = NetCdf.readAny(java.nio.file.Files.readAllBytes(main),
+      Some(Formats.siblingsOf(main.toString)))
+    // the per-slice sources surface under the 'vc/' prefix if the
+    // exclusion loses the traversal prefix — the double-ingest trap
+    assert(!f.vars.exists(_.name.contains("_src")),
+      s"VDS sources leaked through the link: ${f.vars.map(_.name)}")
+    assert(f.vars.exists(_.name == "vc/precip"))
+  }
+
   test("external links ingest through the production directory path") {
     val dir = java.nio.file.Files.createTempDirectory("h5exti")
     java.nio.file.Files.write(dir.resolve("m3.h5"), memberBytes(3000f))
