@@ -42,9 +42,12 @@ object OverviewServe {
     var prevF = 1
     try levels.foreach { f =>
       val step = f / prevF
+      // floor, not truncation: readBbox rescales the request bbox with
+      // Math.floorDiv, and the two must agree for negative tile coords
+      // (truncation rounds toward zero, floorDiv toward -inf)
       val next = prev.groupBy(col("collection"), col("t"),
-          (col("tile_y") / step).cast("int").as("tile_y"),
-          (col("tile_x") / step).cast("int").as("tile_x"))
+          floor(col("tile_y") / step).cast("int").as("tile_y"),
+          floor(col("tile_x") / step).cast("int").as("tile_x"))
         .agg(sum("s").as("s"), sum("n").as("n"))
         .persist()
       GridStore.write(next.select(col("collection"), col("t"),

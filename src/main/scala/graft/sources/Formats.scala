@@ -71,10 +71,26 @@ object Formats {
       s"sibling resolution (cross-file VDS / external links) supports " +
         s"local paths only; granule arrived from '$path' — copy the " +
         "granule directory to local/attached storage for ingest")
-    val local = path.stripPrefix("file:")
+    // binaryFile's `path` is a URI string: percent-encoded characters
+    // (spaces etc.) must be decoded before probing the local
+    // filesystem, or a granule in such a directory would resolve no
+    // members and silently produce an all-fill cube — the exact
+    // silent-loss mode the remote-scheme guard above exists to prevent
+    val local =
+      if (scheme.isDefined)
+        try new java.net.URI(path).getPath
+        catch { case _: java.net.URISyntaxException => path.stripPrefix("file:") }
+      else path // plain filesystem path, not URI-encoded
     val dir = local.substring(0, local.lastIndexOf('/') + 1)
     val p = java.nio.file.Paths.get(dir + name)
-    if (java.nio.file.Files.isRegularFile(p)) Some(ByteIn.fromPath(dir + name))
+    if (java.nio.file.Files.isRegularFile(p) && java.nio.file.Files.isReadable(p))
+      Some(ByteIn.fromPath(dir + name))
+    else if (java.nio.file.Files.exists(p))
+      // present-but-unreadable is an environment fault, not a dangling
+      // mapping — filling its region would be silent data loss
+      throw new IllegalStateException(
+        s"virtual mapping member '$name' exists at '$p' but is not a " +
+          "readable regular file; refusing to treat it as absent (fill)")
     else None
   }
 

@@ -349,7 +349,7 @@ class GeoRasterWrite(path: String, info: LogicalWriteInfo) extends Write with Ba
     org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
   private val maxBuffered =
     Option(opts.get("maxBufferedRasters")).map(_.toInt)
-      .getOrElse(GeoRasterWriter.DefaultMaxBufferedRasters)
+      .getOrElse(GeoRasterWriter.defaultMaxBuffered(geom))
   override def toBatch: BatchWrite = this
   override def createBatchWriterFactory(pi: PhysicalWriteInfo): DataWriterFactory =
     GeoRasterWriterFactory(path, geom, fieldIdx, hadoopConf, maxBuffered)
@@ -409,7 +409,7 @@ case class GeoRasterWriteGeom(width: Int, height: Int, west: Double,
 case class GeoRasterWriterFactory(path: String, geom: GeoRasterWriteGeom,
                                   fieldIdx: Map[String, Int],
                                   conf: SerializableHadoopConf,
-                                  maxBuffered: Int = GeoRasterWriter.DefaultMaxBufferedRasters)
+                                  maxBuffered: Int = -1)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GeoRasterWriter(path, geom, fieldIdx, conf, maxBuffered)
@@ -418,21 +418,33 @@ case class GeoRasterWriterFactory(path: String, geom: GeoRasterWriteGeom,
 case class GeoRasterCommit(files: Seq[String]) extends WriterCommitMessage
 
 object GeoRasterWriter {
-  /** Cap on concurrently buffered (fname, step) rasters per task. A
-    * correctly repartitioned write sees each group exactly once per
-    * task, so even a conservative cap is generous; the cap exists to
-    * turn a mis-partitioned write (round-robin input, no
-    * repartition(fname, step)) into an immediate, explained failure
-    * instead of an executor OOM. Override with the `maxBufferedRasters`
-    * write option. */
-  val DefaultMaxBufferedRasters = 64
+  /** Floor on the derived buffer cap — even for huge rasters a task
+    * may legitimately hold a handful of groups at once (rows of
+    * co-partitioned groups interleave within the partition). */
+  val MinBufferedRasters = 64
+  /** Per-task memory budget for buffered raster pixels. The cap is a
+    * memory guard, so it is expressed in bytes and divided by the
+    * actual raster footprint — a flat raster COUNT would reject
+    * contract-following writes whenever distinct (fname, step) groups
+    * exceed the partition count (hash routing then sends ~groups/
+    * partitions COMPLETE groups to one task, all buffered at once
+    * because their rows interleave). */
+  val BufferBudgetBytes: Long = 2L << 30 // 2 GiB of floats per task
+  def defaultMaxBuffered(geom: GeoRasterWriteGeom): Int = {
+    val perRaster = math.max(1L, geom.width.toLong * geom.height * 4L)
+    math.max(MinBufferedRasters.toLong,
+      BufferBudgetBytes / perRaster).min(Int.MaxValue).toInt
+  }
 }
 
 class GeoRasterWriter(path: String, geom: GeoRasterWriteGeom,
                       fieldIdx: Map[String, Int],
                       conf: SerializableHadoopConf,
-                      maxBuffered: Int = GeoRasterWriter.DefaultMaxBufferedRasters)
+                      maxBuffered: Int = -1)
     extends DataWriter[InternalRow] {
+  // -1 = derive from the raster footprint (memory budget / raster bytes)
+  private val capRasters =
+    if (maxBuffered > 0) maxBuffered else GeoRasterWriter.defaultMaxBuffered(geom)
   private val iF = fieldIdx("fname"); private val iS = fieldIdx("step")
   private val iY = fieldIdx("y"); private val iX = fieldIdx("x")
   private val iV = fieldIdx("v")
@@ -452,15 +464,17 @@ class GeoRasterWriter(path: String, geom: GeoRasterWriteGeom,
     val y = row.getInt(iY); val x = row.getInt(iX)
     require(y >= 0 && y < geom.height && x >= 0 && x < geom.width,
       s"pixel ($y, $x) outside the declared ${geom.width}x${geom.height} grid")
-    // Each buffered raster is width*height floats; the write contract
-    // (see GeoRasterTable scaladoc) requires the caller to
-    // repartition(fname, step) so a task sees few complete groups. Fail
-    // loudly here rather than let a mis-partitioned write accumulate
-    // hundreds of rasters and OOM the executor long before the
-    // exclusive-create guard would catch the split group at commit.
-    if (!acc.contains((fname, step)) && acc.size >= maxBuffered)
+    // Each buffered raster is width*height floats; a repartition(fname,
+    // step) write legitimately routes MANY complete groups to one task
+    // (hash routing, groups > partitions), and their rows interleave, so
+    // the cap is a MEMORY budget (GeoRasterWriter.BufferBudgetBytes /
+    // raster bytes), not a small flat count. It still turns an
+    // unbounded mis-partitioned accumulation into an immediate,
+    // explained failure instead of an executor OOM.
+    if (!acc.contains((fname, step)) && acc.size >= capRasters)
       throw new IllegalStateException(
-        s"task buffers $maxBuffered rasters already (cap $maxBuffered); " +
+        s"task buffers $capRasters rasters already (cap $capRasters, " +
+          s"~${capRasters.toLong * geom.width * geom.height * 4 >> 20} MiB); " +
           "repartition the frame by (fname, step) before df.write so each " +
           "task receives complete groups, or raise the maxBufferedRasters write option")
     val arr = acc.getOrElseUpdate((fname, step),

@@ -1192,6 +1192,12 @@ object Hdf5 {
       // mappings onto the SAME source decode it once, not per mapping
       val srcCache = scala.collection.mutable.Map[(String, Long), Dataset]()
       val srcNames = scala.collection.mutable.LinkedHashSet[String]()
+      // cross-file sources, identified by (file tag, object address):
+      // if the granule ALSO mounts the member file via an external
+      // link, the link-surfaced dataset must be excluded too, or the
+      // pixels surface twice (once through the virtual cube, once
+      // through the mount)
+      val srcXIds = scala.collection.mutable.LinkedHashSet[(String, Long)]()
       var k = 0L
       while (k < nMaps) {
         val srcFile = cstr(); val srcPath = cstr()
@@ -1223,6 +1229,7 @@ object Hdf5 {
           // exclusion matches SURFACED names, which carry the traversal
           // prefix this file's root was entered under
           if (srcFile == ".") srcNames += rootPrefix + srcPath.stripPrefix("/")
+          else srcXIds += ((srcTag, srcAddr))
           val src = srcCache.getOrElseUpdate((srcTag, srcAddr),
             readDataset(sIn, srcAddr, srcPath.stripPrefix("/"),
               messages(sIn, srcAddr), sRoot, vdsDepth + 1, ctx, srcTag))
@@ -1240,6 +1247,8 @@ object Hdf5 {
       // them — they are storage internals of THIS dataset, and
       // surfacing them as grid variables would double-ingest the pixels
       attrs += ("_vds_sources" -> srcNames.toSeq)
+      if (srcXIds.nonEmpty)
+        attrs += ("_vds_xsources" -> srcXIds.toSeq.map { case (t, a) => s"$t\u0000$a" })
       return Seq(Dataset(prefix.stripSuffix("/"), addr, vdims, data, attrs.toMap,
         srcFile = fileTag))
     }
@@ -1774,8 +1783,20 @@ object Hdf5 {
         case Some(names: Seq[_]) => names.map(_.toString)
         case _ => Nil
       }).toSet
-    val f = File(raw0.datasets.filterNot(d => vdsSources.contains(d.name))
-      .map(d => d.copy(attrs = d.attrs - "_vds_sources")))
+    // cross-file mapping sources, keyed (file tag, object address): a
+    // granule that externally links a member file AND maps its datasets
+    // via cross-file VDS would otherwise surface the member pixels
+    // twice (once through the virtual cube, once through the mount)
+    val vdsXSources: Set[(String, Long)] = raw0.datasets.flatMap(
+      _.attrs.get("_vds_xsources") match {
+        case Some(ids: Seq[_]) => ids.map { s =>
+          val Array(t, a) = s.toString.split('\u0000'); (t, a.toLong)
+        }
+        case _ => Nil
+      }).toSet
+    val f = File(raw0.datasets.filterNot(d =>
+        vdsSources.contains(d.name) || vdsXSources.contains((d.srcFile, d.addr)))
+      .map(d => d.copy(attrs = d.attrs - "_vds_sources" - "_vds_xsources")))
     // object addresses are unique only WITHIN a file; external links
     // merge several files into one listing, so the reference map keys
     // on (source file, address) — a bare-address map would bind a

@@ -54,6 +54,37 @@ class OverviewServeSpec extends SparkSpec {
     assert(df.count() == 64) // 8x8 tiles, untouched resolution
   }
 
+  test("negative tile coordinates bucket and route consistently (floor, not truncation)") {
+    import spark.implicits._
+    // tiles straddle the origin: truncating division would bucket
+    // tile_y = -1 into block 0 while readBbox's floorDiv asks block -1
+    val dir = java.nio.file.Files.createTempDirectory("ovserveneg").toString + "/cube"
+    val cube = (for (ty <- -8 until 8; tx <- -8 until 8)
+      yield ("c", ty, tx, (ty * 5 + tx).toDouble))
+      .toDF("collection", "tile_y", "tile_x", "v")
+      .withColumn("t", to_timestamp(lit("2024-01-02 00:00:00")))
+    graft.grid.GridStore.write(cube, dir)
+    OverviewServe.writeOverviews(spark, dir, Seq(2, 4))
+    val df = OverviewServe.readBbox(spark, dir, Seq(1, 2, 4),
+      basePxDeg = PX, requestedPxDeg = 1.1, // level 4
+      from = "2024-01-01", to = "2024-01-03",
+      tx0 = -8, tx1 = 7, ty0 = -8, ty1 = 7)
+    // 16x16 full-res tiles -> 4x4 level-4 blocks spanning -2..1
+    assert(df.count() == 16, df.count().toString)
+    val coords = df.select("tile_y", "tile_x").collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    assert(coords.forall { case (y, x) => y >= -2 && y <= 1 && x >= -2 && x <= 1 },
+      coords.mkString(", "))
+    // exact block-mean cascade holds across the origin too
+    val servedMean = df.agg(sum(col("v") * col("n_base")) / sum("n_base"))
+      .collect().head.getDouble(0)
+    val fullMean = graft.grid.GridStore.readRange(spark, dir,
+        "2024-01-01", "2024-01-03", -8, 7, -8, 7)
+      .agg(avg("v")).collect().head.getDouble(0)
+    assert(math.abs(servedMean - fullMean) < 1e-9,
+      s"served $servedMean vs full-res $fullMean")
+  }
+
   test("mid-zoom picks the intermediate level and rescales the bbox") {
     val dir = buildStore()
     val df = OverviewServe.readBbox(spark, dir, Seq(1, 2, 4),

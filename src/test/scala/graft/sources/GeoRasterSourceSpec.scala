@@ -258,6 +258,30 @@ class GeoRasterSourceSpec extends SparkSpec {
       e2.getMessage)
   }
 
+  test("write side: the default cap admits many complete groups per task (memory-derived)") {
+    import spark.implicits._
+    // hash repartition legitimately routes groups/partitions COMPLETE
+    // groups to one task when distinct groups exceed partitions; a flat
+    // 64-raster cap would kill this contract-following write. The
+    // derived cap is BufferBudgetBytes / raster bytes — huge for 4x4.
+    assert(GeoRasterWriter.defaultMaxBuffered(
+      GeoRasterWriteGeom(4, 4, -180, 90, 45, 30, "float32")) > 1000000)
+    // and bounded for big rasters: 8k x 8k floats = 256 MiB -> 64 floor
+    assert(GeoRasterWriter.defaultMaxBuffered(
+      GeoRasterWriteGeom(8192, 8192, -180, 90, 0.01, 0.01, "float32")) ==
+      GeoRasterWriter.MinBufferedRasters)
+    val out = Files.createTempDirectory("graft-dsv2-many-").toString
+    val rows = (0 until 200).flatMap(m => Seq((f"g$m%03d.tif", 0, 0, 0, m * 1.0)))
+      .toDF("fname", "step", "y", "x", "v")
+      .repartition(2, col("fname"), col("step")) // ~100 groups per task
+    rows.write.format("georaster").mode("append")
+      .option("width", 4).option("height", 4)
+      .option("west", -180.0).option("north", 90.0)
+      .option("px", 45.0).option("py", 30.0)
+      .save(out)
+    assert(new java.io.File(out).listFiles().count(_.getName.endsWith(".tif")) == 200)
+  }
+
   test("write side: a mis-partitioned write dies at the buffer cap, not at OOM") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft-dsv2-cap-").toString

@@ -183,6 +183,71 @@ class Hdf5VdsSpec extends SparkSpec {
     assert(abs.getMessage.contains("escapes"), abs.getMessage)
   }
 
+  test("a granule that both LINKS and virtually MAPS a member surfaces its pixels once") {
+    // external link to m0.h5:/precip + cross-file VDS mapping over the
+    // same dataset: the link-surfaced variable is the virtual cube's
+    // storage internals and must be excluded, or the member's pixels
+    // ingest twice (once through the cube, once through the mount)
+    val dir = java.nio.file.Files.createTempDirectory("vdsxl")
+    val (dims, vs, data) = vars(nT)
+    Seq(0 -> "m0.h5", 1 -> "m1.h5", 2 -> "m2.h5").foreach { case (k, name) =>
+      java.nio.file.Files.write(dir.resolve(name), memberBytes(data, k))
+    }
+    val main = Hdf5.write(dims, vs, virtualStack = true,
+      virtualCrossFiles = Seq(("m0.h5", "/precip"), ("m1.h5", "/precip"),
+        ("m2.h5", "/precip")),
+      externalLinks = Seq(("mounted", "m0.h5", "/precip")))
+    val vp = dir.resolve("precip_20240102T00.nc")
+    java.nio.file.Files.write(vp, main)
+    val nf = Hdf5.toNetCdf(ByteIn.fromPath(vp.toString),
+      Some(Formats.siblingsOf(vp.toString)))
+    val names = nf.vars.map(_.name)
+    assert(names.contains("precip"), names.toString)
+    assert(!names.contains("mounted"),
+      s"link-mounted VDS source must not double-surface: $names")
+    // the cube itself still assembles all members
+    val precip = nf.vars.find(_.name == "precip").get
+    assert(precip.data.sameElements(data))
+    // a link to a NON-source dataset in the same member still surfaces
+    val main2 = Hdf5.write(dims, vs, virtualStack = true,
+      virtualCrossFiles = Seq(("m0.h5", "/precip"), ("m1.h5", "/precip"),
+        ("m2.h5", "/precip")),
+      externalLinks = Seq(("mlat", "m0.h5", "/lat")))
+    val vp2 = dir.resolve("precip2_20240102T00.nc")
+    java.nio.file.Files.write(vp2, main2)
+    val nf2 = Hdf5.toNetCdf(ByteIn.fromPath(vp2.toString),
+      Some(Formats.siblingsOf(vp2.toString)))
+    assert(nf2.vars.exists(_.name == "mlat"),
+      nf2.vars.map(_.name).toString)
+  }
+
+  test("sibling resolution decodes URI-encoded granule paths (spaces in directories)") {
+    // binaryFile hands the reader a URI string: a directory with a
+    // space arrives percent-encoded, and probing the RAW string would
+    // miss every member — an all-fill cube with zero errors
+    val dir = java.nio.file.Files.createTempDirectory("vds uri")
+    val data = writeCrossFixture(dir,
+      Seq(0 -> "m0.h5", 1 -> "members/m1.h5", 2 -> "m2.h5"))
+    val uriForm = dir.resolve("precip_20240102T00.nc").toUri.toString
+    assert(uriForm.contains("%20"), uriForm) // the fixture really encodes
+    val f = Hdf5.read(ByteIn.fromPath(
+        dir.resolve("precip_20240102T00.nc").toString),
+      Some(Formats.siblingsOf(uriForm)))
+    val precip = f.datasets.find(_.name == "precip").get
+    assert(precip.data.sameElements(data),
+      "URI-encoded granule path must still resolve members (not fill)")
+    // present-but-not-a-regular-file member: loud, never silent fill
+    val dir2 = java.nio.file.Files.createTempDirectory("vdsbad")
+    writeCrossFixture(dir2, Seq(0 -> "m0.h5", 2 -> "m2.h5"))
+    java.nio.file.Files.createDirectories(dir2.resolve("members/m1.h5"))
+    val vp2 = dir2.resolve("precip_20240102T00.nc").toString
+    val e = intercept[Exception] {
+      Hdf5.read(ByteIn.fromPath(vp2), Some(Formats.siblingsOf(vp2)))
+    }
+    assert(e.getMessage.contains("not a") && e.getMessage.contains("readable"),
+      e.getMessage)
+  }
+
   test("printf-pattern mappings fail loudly even with directory context") {
     val dir = java.nio.file.Files.createTempDirectory("vdsp")
     val (dims, vs, _) = vars(nT)
