@@ -769,11 +769,17 @@ object Grib2 {
 
   /** Spectral fixture: sections 3.50/5.50/7.50 around the coefficient
     * array (GRIB order — m = 0..M, n = m..J, (real, imag) pairs; the
-    * (0,0) real part rides unpacked in the DRS template). */
+    * (0,0) real part rides unpacked in the DRS template).
+    *
+    * `complexSubJ >= 0` switches to DRS 5.51 (spectral complex
+    * packing, the ECMWF native wire form): coefficients with
+    * m, n <= complexSubJ ride as a raw IEEE-32 block; the rest pack
+    * like 5.0 AFTER multiplication by (n(n+1))^laplacianP. */
   def writeSpectral(coefs: Array[Double], j: Int, mMax: Int,
                     discipline: Int, category: Int, parameter: Int,
                     refTime: java.time.LocalDateTime, forecastHours: Int,
-                    decimals: Int = 3): Array[Byte] = {
+                    decimals: Int = 3, complexSubJ: Int = -1,
+                    laplacianP: Double = 0.5): Array[Byte] = {
     val nVals = 2 * SphericalHarmonics.nCoefficients(j, mMax)
     require(coefs.length == nVals,
       s"${coefs.length} coefficient values for truncation J=$j M=$mMax (need $nVals)")
@@ -812,28 +818,84 @@ object Grib2 {
       bu8(b, 1); bu32(b, forecastHours)
       bu8(b, 1); bu8(b, 0); bu32(b, 0); bu8(b, 255); bu8(b, 0); bu32(b, 0)
     }
-    // simple packing of all values except the leading (0,0) real part
     val scale = math.pow(10, decimals)
-    val rest = coefs.drop(1)
-    val ref = if (rest.isEmpty) 0.0 else math.floor(rest.min * scale)
-    val xs = rest.map(v => math.round(v * scale - ref))
-    val nbits =
-      if (xs.isEmpty) 0
-      else math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, xs.max)))
-    require(nbits <= 24, s"spectral packing width $nbits too wide")
-    sec(5) { b => // DRS template 5.50
-      bu32(b, nVals); bu16(b, 50)
-      bu32(b, java.lang.Float.floatToIntBits(ref.toFloat).toLong & 0xffffffffL)
-      bu16(b, 0) // binary scale 0
-      bu16(b, decimals) // decimal scale (non-negative here)
-      bu8(b, nbits)
-      bu32(b, java.lang.Float.floatToIntBits(coefs(0).toFloat).toLong & 0xffffffffL)
-    }
-    sec(6) { b => bu8(b, 255) } // no bitmap
-    sec(7) { b =>
-      val w = new BitWriter(b)
-      xs.foreach(x => w.put(x, nbits))
-      w.flush()
+    if (complexSubJ < 0) {
+      // ---- DRS 5.50: simple packing of all values except the
+      // leading (0,0) real part
+      val rest = coefs.drop(1)
+      val ref = if (rest.isEmpty) 0.0 else math.floor(rest.min * scale)
+      val xs = rest.map(v => math.round(v * scale - ref))
+      val nbits =
+        if (xs.isEmpty) 0
+        else math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, xs.max)))
+      require(nbits <= 24, s"spectral packing width $nbits too wide")
+      sec(5) { b => // DRS template 5.50
+        bu32(b, nVals); bu16(b, 50)
+        bu32(b, java.lang.Float.floatToIntBits(ref.toFloat).toLong & 0xffffffffL)
+        bu16(b, 0) // binary scale 0
+        bu16(b, decimals) // decimal scale (non-negative here)
+        bu8(b, nbits)
+        bu32(b, java.lang.Float.floatToIntBits(coefs(0).toFloat).toLong & 0xffffffffL)
+      }
+      sec(6) { b => bu8(b, 255) } // no bitmap
+      sec(7) { b =>
+        val w = new BitWriter(b)
+        xs.foreach(x => w.put(x, nbits))
+        w.flush()
+      }
+    } else {
+      // ---- DRS 5.51: split the coefficient walk into the IEEE
+      // subset (m, n <= complexSubJ) and the Laplacian-scaled packed
+      // remainder, exactly as the reader expects to re-walk it
+      val subJ = complexSubJ
+      require(subJ <= j && subJ <= mMax,
+        s"5.51 fixture subset $subJ exceeds truncation J=$j M=$mMax")
+      val ieeeVals = scala.collection.mutable.ArrayBuffer[Double]()
+      val packedScaled = scala.collection.mutable.ArrayBuffer[Double]()
+      var ci = 0
+      for (m <- 0 to mMax) {
+        var n = m
+        if (m <= subJ) {
+          while (n <= subJ) {
+            ieeeVals += coefs(ci) * scale; ieeeVals += coefs(ci + 1) * scale
+            ci += 2; n += 1
+          }
+        }
+        while (n <= j) {
+          val op = math.pow(n.toDouble * (n + 1), laplacianP)
+          packedScaled += coefs(ci) * scale * op
+          packedScaled += coefs(ci + 1) * scale * op
+          ci += 2; n += 1
+        }
+      }
+      require(ci == nVals)
+      val ref = if (packedScaled.isEmpty) 0.0 else math.floor(packedScaled.min)
+      val xs = packedScaled.map(v => math.round(v - ref))
+      val nbits =
+        if (xs.isEmpty) 0
+        else math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, xs.max)))
+      require(nbits <= 24, s"5.51 packing width $nbits too wide")
+      val pMicro = math.round(laplacianP * 1e6)
+      sec(5) { b => // DRS template 5.51
+        bu32(b, nVals); bu16(b, 51)
+        bu32(b, java.lang.Float.floatToIntBits(ref.toFloat).toLong & 0xffffffffL)
+        bu16(b, 0) // binary scale 0
+        bu16(b, decimals)
+        bu8(b, nbits)
+        // P in 10^-6 units, sign-magnitude like every GRIB2 signed int
+        bu32(b, if (pMicro >= 0) pMicro else 0x80000000L | -pMicro)
+        bu16(b, subJ); bu16(b, subJ); bu16(b, subJ) // Js = Ks = Ms
+        bu32(b, ieeeVals.length) // Ts
+        bu8(b, 1) // precision: IEEE 32-bit
+      }
+      sec(6) { b => bu8(b, 255) } // no bitmap
+      sec(7) { b =>
+        ieeeVals.foreach(v =>
+          bu32(b, java.lang.Float.floatToIntBits(v.toFloat).toLong & 0xffffffffL))
+        val w = new BitWriter(b)
+        xs.foreach(x => w.put(x, nbits))
+        w.flush()
+      }
     }
     val body = sections.toArray.flatten
     val total = 16L + body.length + 4
@@ -966,8 +1028,9 @@ object Grib2 {
     // run-length (5.200) parameters
     var rlNbits = 0; var rlMv = 0; var rlMvl = 0; var rlDec = 0
     var rlLevels: Array[Int] = null
-    // spectral (3.50/5.50) parameters
+    // spectral (3.50/5.50/5.51) parameters
     var specJ = -1; var specM = -1; var p00 = 0.0f
+    var specP = 0.0; var specSubJ = -1; var specTs = 0; var specPrec = 1
     var lossyField = false
     var variant = ""
     var category = 0; var parameter = 0; var forecastHours = 0
@@ -1276,18 +1339,35 @@ object Grib2 {
             }
           case 5 =>
             tmpl5 = u16(o + 4)
-            require(Set(0, 2, 3, 40, 41, 42, 50, 200).contains(tmpl5),
-              s"unsupported packing template 5.$tmpl5" +
-                (if (tmpl5 == 51) " (spectral complex packing: the " +
-                  "sub-truncation split + Laplacian scaling layout is " +
-                  "producer lore beyond the public template text; " +
-                  "decoding with guessed octets would corrupt every " +
-                  "coefficient silently — convert with eccodes first)"
-                 else ""))
+            require(Set(0, 2, 3, 40, 41, 42, 50, 51, 200).contains(tmpl5),
+              s"unsupported packing template 5.$tmpl5")
             if (tmpl5 == 50)
               // spectral simple packing: the (0,0) real coefficient
               // rides UNPACKED in the template (octets 21-24)
               p00 = java.lang.Float.intBitsToFloat(u32(o + 15).toInt)
+            if (tmpl5 == 51) {
+              // spectral complex packing — the wire form ECMWF native
+              // spectral output actually ships. Public WMO template
+              // text; coefficient walk order and the Laplacian
+              // normalization convention pinned by the public eccodes
+              // implementation (the reference reads these through
+              // eccodes via formats/grib.py:122-230). A pentagonal
+              // SUBSET of low-degree coefficients rides as raw IEEE;
+              // every other coefficient packs like 5.0 after
+              // multiplication by (n(n+1))^P.
+              specP = s32(o + 15) * 1e-6 // octets 21-24: P in 10^-6 units
+              val sJ = u16(o + 19); val sK = u16(o + 21); val sM = u16(o + 23)
+              require(sJ == sK && sJ == sM,
+                s"unsupported 5.51 subset truncation Js=$sJ Ks=$sK Ms=$sM " +
+                  "(triangular subsets only — operational producers emit " +
+                  "Js = Ks = Ms)")
+              specSubJ = sJ
+              specTs = u32(o + 25).toInt // octets 31-34: unpacked value count
+              specPrec = bytes(o + 29) & 0xff // octet 35, code table 5.7
+              require(specPrec == 1 || specPrec == 2,
+                s"unsupported 5.51 unpacked-subset precision $specPrec " +
+                  "(1 = IEEE 32-bit, 2 = IEEE 64-bit)")
+            }
             if (tmpl5 == 200) {
               // run-length packing with level values (JMA radar/nowcast
               // products): nbits(1), MV(2), MVL(2), decimal scale(1),
@@ -1370,6 +1450,63 @@ object Grib2 {
             while (ci < nPts) { coefs(ci) = base + r.get(nbits) * factor; ci += 1 }
             data = SphericalHarmonics.synthesize(coefs, specJ, specM, width, height)
             nPts = width * height // raster form for the final shape check
+          case 7 if tmpl5 == 51 =>
+            // spectral complex packing: walk (m = 0..M, n = m..J) in
+            // GRIB coefficient order; subset members (m <= Ms, n <= Js)
+            // consume the leading IEEE block, everything else consumes
+            // the packed stream and unscales the Laplacian weighting —
+            // value = (R + X*2^E) * 10^-D / (n(n+1))^P
+            require(specJ >= 1, "5.51 data section without a 3.50 grid definition")
+            require(bitmap == null, "bitmaps do not apply to spectral data")
+            require(specSubJ >= 0 && specSubJ <= specJ && specSubJ <= specM,
+              s"5.51 subset truncation $specSubJ exceeds field truncation " +
+                s"J=$specJ M=$specM")
+            require(specTs == 2 * SphericalHarmonics.nCoefficients(specSubJ, specSubJ),
+              s"5.51 unpacked count $specTs does not match subset " +
+                s"truncation $specSubJ " +
+                s"(${2 * SphericalHarmonics.nCoefficients(specSubJ, specSubJ)} values)")
+            val ieeeW = if (specPrec == 1) 4 else 8
+            require(o + specTs.toLong * ieeeW <= pos + len,
+              s"5.51 unpacked subset ($specTs x $ieeeW bytes) overruns the data section")
+            val coefs = new Array[Double](nPts)
+            val dFac = math.pow(10, -d)
+            val bFac = math.pow(2, e)
+            // 1/(n(n+1))^P per total wavenumber; n = 0 never packs
+            // (it is always inside the subset), so index 0 is unused
+            val scals = new Array[Double](specJ + 1)
+            var sn = 1
+            while (sn <= specJ) {
+              val op = math.pow(sn.toDouble * (sn + 1), specP)
+              scals(sn) = if (op != 0.0 && !op.isInfinite) 1.0 / op else 0.0
+              sn += 1
+            }
+            var hPos = o // IEEE block head
+            def ieee(): Double = {
+              val v =
+                if (specPrec == 1) java.lang.Float.intBitsToFloat(u32(hPos).toInt).toDouble
+                else java.lang.Double.longBitsToDouble((u32(hPos) << 32) | u32(hPos + 4))
+              hPos += ieeeW; v
+            }
+            val r = new BitReader(bytes, o + specTs * ieeeW)
+            var ci = 0; var m = 0
+            while (m <= specM) {
+              var n = m
+              if (m <= specSubJ) {
+                while (n <= specSubJ) {
+                  coefs(ci) = ieee() * dFac; coefs(ci + 1) = ieee() * dFac
+                  ci += 2; n += 1
+                }
+              }
+              while (n <= specJ) {
+                coefs(ci) = (refR + r.get(nbits) * bFac) * dFac * scals(n)
+                coefs(ci + 1) = (refR + r.get(nbits) * bFac) * dFac * scals(n)
+                ci += 2; n += 1
+              }
+              m += 1
+            }
+            require(ci == nPts, s"5.51 walk produced $ci of $nPts values")
+            data = SphericalHarmonics.synthesize(coefs, specJ, specM, width, height)
+            nPts = width * height
           case 7 =>
             val nPresent = if (bitmap == null) nPts else bitmap.count(identity)
             val present =

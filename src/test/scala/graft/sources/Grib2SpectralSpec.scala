@@ -91,7 +91,7 @@ class Grib2SpectralSpec extends SparkSpec {
     assert(math.abs(row.getDouble(6) - (90.0 - 0.5 * (180.0 / 11))) < 1e-9)
   }
 
-  test("5.51 spectral complex packing and pentagonal truncations are loud") {
+  test("pentagonal truncations are loud") {
     val j = 4
     val coefs = coefArray(j, j)((n, m) => if (n == 0 && m == 0) (1.0, 0.0) else (0.0, 0.0))
     val good = Grib2.writeSpectral(coefs, j, j, 0, 0, 11, t0, 0)
@@ -107,16 +107,104 @@ class Grib2SpectralSpec extends SparkSpec {
       }
       fail(s"section $num not found")
     }
-    // DRS template number: section 5 octets 10-11 → low byte at p+10
-    val e1 = intercept[IllegalArgumentException] {
-      Grib2.read(patched(5, 10, 51.toByte))
-    }
-    assert(e1.getMessage.contains("5.51"), e1.getMessage)
     // pentagonal (K != J) truncation: K's low byte = octet 21-24 end
     // (section 3: 5 header + 9 body prefix + J(4) → K at p+18..21)
     val e2 = intercept[IllegalArgumentException] {
       Grib2.read(patched(3, 21, (j + 1).toByte))
     }
     assert(e2.getMessage.contains("triangular"), e2.getMessage)
+  }
+
+  // ---- DRS 5.51 spectral complex packing ---------------------------
+
+  test("5.51 complex packing decodes to the same raster as 5.50 simple packing") {
+    val j = 10
+    // a realistic red spectrum: power falls off with n, all coefficients
+    // non-zero so both the IEEE subset and the packed remainder carry data
+    val coefs = coefArray(j, j) { (n, m) =>
+      if (n == 0 && m == 0) (280.0, 0.0)
+      else (2.0 / ((n + 1) * (n + 1)) * (if (m % 2 == 0) 1 else -1),
+        1.0 / ((n + 1) * (m + 2)))
+    }
+    val simple = Grib2.read(Grib2.writeSpectral(coefs, j, j, 0, 0, 11, t0, 6,
+      decimals = 4))
+    val complex = Grib2.read(Grib2.writeSpectral(coefs, j, j, 0, 0, 11, t0, 6,
+      decimals = 4, complexSubJ = 3, laplacianP = 0.5))
+    assert(complex.raster.width == simple.raster.width &&
+      complex.raster.height == simple.raster.height)
+    assert(complex.refTime == t0 && complex.forecastHours == 6)
+    for (i <- simple.raster.data.indices)
+      assert(math.abs(complex.raster.data(i) - simple.raster.data(i)) < 2e-3,
+        s"pixel $i: 5.51 ${complex.raster.data(i)} vs 5.50 ${simple.raster.data(i)}")
+  }
+
+  test("5.51 Laplacian scaling actually applies (a negative-P fixture decodes too)") {
+    val j = 6
+    val coefs = coefArray(j, j) { (n, m) =>
+      if (n == 0 && m == 0) (10.0, 0.0) else (0.5 / (n + 1), 0.25 / (n + m + 1))
+    }
+    // P < 0 AMPLIFIES high wavenumbers at pack time; decode must invert it
+    val msg = Grib2.read(Grib2.writeSpectral(coefs, j, j, 0, 0, 11, t0, 0,
+      decimals = 4, complexSubJ = 1, laplacianP = -0.25))
+    val ref = Grib2.read(Grib2.writeSpectral(coefs, j, j, 0, 0, 11, t0, 0,
+      decimals = 4))
+    // two independently quantized encodings (and P < 0 costs the packed
+    // stream ~1 bit of resolution), so the band is wider than 5.50-only
+    for (i <- ref.raster.data.indices)
+      assert(math.abs(msg.raster.data(i) - ref.raster.data(i)) < 5e-3,
+        s"pixel $i: ${msg.raster.data(i)} vs ${ref.raster.data(i)}")
+  }
+
+  test("5.51 corrupt-subset octets are loud, not silently mis-decoded") {
+    val j = 6
+    val coefs = coefArray(j, j)((n, m) => (1.0 / (n + 1), 0.1 * m))
+    val good = Grib2.writeSpectral(coefs, j, j, 0, 0, 11, t0, 0,
+      complexSubJ = 2, laplacianP = 0.5)
+    def patched(num: Int, off: Int, v: Byte): Array[Byte] = {
+      val c = good.clone()
+      var p = 16
+      while (p < c.length - 4) {
+        val len = java.nio.ByteBuffer.wrap(c, p, 4).getInt
+        if ((c(p + 4) & 0xff) == num) { c(p + off) = v; return c }
+        p += len
+      }
+      fail(s"section $num not found")
+    }
+    // section 5 template body: octets 21-24 P, 25-26 Js, 27-28 Ks,
+    // 29-30 Ms, 31-34 Ts, 35 precision → section-relative offsets
+    // Js low byte = 25, precision = 34 (0-based from section start)
+    val ePent = intercept[IllegalArgumentException] {
+      Grib2.read(patched(5, 25, 5.toByte)) // Js != Ks: non-triangular subset
+    }
+    assert(ePent.getMessage.contains("triangular subsets"), ePent.getMessage)
+    val ePrec = intercept[IllegalArgumentException] {
+      Grib2.read(patched(5, 34, 7.toByte)) // precision outside table 5.7
+    }
+    assert(ePrec.getMessage.contains("precision"), ePrec.getMessage)
+    // Ts low byte: a wrong unpacked count would desynchronize the two
+    // streams and corrupt every coefficient after the subset
+    val eTs = intercept[IllegalArgumentException] {
+      Grib2.read(patched(5, 33, 99.toByte))
+    }
+    assert(eTs.getMessage.contains("does not match subset"), eTs.getMessage)
+  }
+
+  test("5.51 ingests through the production registry") {
+    val j = 8
+    val coefs = coefArray(j, j) { (n, m) =>
+      if (n == 0 && m == 0) (281.5, 0.0)
+      else if (n <= 4) (0.8 / (n + 1), 0.05 * m) else (0.0, 0.0)
+    }
+    val bytes = Grib2.writeSpectral(coefs, j, j, 0, 0, 11, t0, 12,
+      complexSubJ = 2, laplacianP = 0.5)
+    assert(Formats.sniff(bytes).map(_.name).contains("grib2"))
+    val dir = java.nio.file.Files.createTempDirectory("g2spec51")
+    java.nio.file.Files.write(dir.resolve("t850sc_20010701T12.grib2"), bytes)
+    val df = Formats.ingestDir(spark, dir.toString)
+    assert(df.count() == 18 * 9)
+    // the constant component survives the wire: global mean ~ 281.5/..
+    val mean = df.agg(org.apache.spark.sql.functions.avg("v"))
+      .collect().head.getDouble(0)
+    assert(math.abs(mean - 281.5) < 1.0, mean.toString)
   }
 }

@@ -139,6 +139,18 @@ class RasterFuzzSpec extends AnyFunSuite {
       Grib2.writeSpectral(coefs.toArray, j, j, 0, 0, 11,
         java.time.LocalDateTime.of(2001, 7, 1, 12, 0), 6)
     }
+    // GRIB2 spectral complex (5.51): IEEE subset + Laplacian-scaled pack
+    val g2Spectral51 = {
+      val j = 6
+      val coefs = scala.collection.mutable.ArrayBuffer[Double]()
+      for (mm <- 0 to j; nn <- mm to j) {
+        coefs += (if (nn == 0) 275.0 else 1.0 / (nn + mm + 1))
+        coefs += (if (mm == 0) 0.0 else 0.05 * mm)
+      }
+      Grib2.writeSpectral(coefs.toArray, j, j, 0, 0, 11,
+        java.time.LocalDateTime.of(2001, 7, 1, 12, 0), 6,
+        complexSubJ = 2, laplacianP = 0.5)
+    }
     // thinned (quasi-regular) GRIB1: PL list, bitmap, NN row expansion
     val g1Thinned = Grib1.writeThinned(
       Seq(Array.tabulate(8)(k => 250f + k), Array.tabulate(5)(k => 260f + k),
@@ -154,7 +166,8 @@ class RasterFuzzSpec extends AnyFunSuite {
       "hdf5" -> h5, "hdf5-tinyhuge" -> h5TinyHuge, "hdf5-hugebtree" -> h5HugeBt,
       "hdf5-szip" -> h5Szip, "hdf5-vds" -> h5Vds, "hdf5-enum" -> h5Enum,
       "hdf5-nbit" -> h5Nbit, "hdf5-scaleoffset" -> h5So,
-      "grib1-thinned" -> g1Thinned, "grib2-spectral" -> g2Spectral)
+      "grib1-thinned" -> g1Thinned, "grib2-spectral" -> g2Spectral,
+      "grib2-spectral-complex" -> g2Spectral51)
   }
 
   private def decodeAny(label: String, bytes: Array[Byte]): Unit = label match {
