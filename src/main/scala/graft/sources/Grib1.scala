@@ -141,6 +141,7 @@ object Grib1 {
     var px = 0.0; var py = 0.0; var west = 0.0; var north = 0.0
     var proj: Option[Grib2.GridProj] = None
     var pl: Array[Int] = null // thinned grid: per-row point counts
+    var specJ = -1; var specM = -1 // type-50 spherical harmonics
     if ((flags & 0x80) == 0) {
       // GDS-less message: PDS octet 7 names an NCEP ON388 Table B
       // grid — the form the pre-2000 NCEP archives (reanalysis-1 era)
@@ -160,8 +161,34 @@ object Grib1 {
     val nv = u8(bytes, o + 3)
     val pvpl = u8(bytes, o + 4)
     val gtype = u8(bytes, o + 5)
-    require(gtype == 0 || gtype == 4,
-      s"unsupported GRIB1 grid type $gtype (0 lat/lon, 4 Gaussian)")
+    require(gtype == 0 || gtype == 4 || gtype == 50,
+      s"unsupported GRIB1 grid type $gtype " +
+        "(0 lat/lon, 4 Gaussian, 50 spherical harmonics)")
+    if (gtype == 50) {
+      // ---- spherical harmonic coefficients (ERA-40-era ECMWF
+      // spectral archives): GDS octets 7-8 J, 9-10 K, 11-12 M,
+      // 13 representation type, 14 representation mode — the
+      // edition-1 twin of GRIB2 template 3.50, synthesized onto the
+      // same truncation-sized global lat/lon raster
+      val j = u16(bytes, o + 6); val k = u16(bytes, o + 8)
+      val m = u16(bytes, o + 10)
+      val repType = u8(bytes, o + 12); val repMode = u8(bytes, o + 13)
+      require(repType == 1,
+        s"spectral representation type $repType not supported " +
+          "(1 = associated Legendre functions of the first kind)")
+      require(repMode == 1,
+        s"spectral representation mode $repMode not supported " +
+          "(1 = complex coefficients, m >= 0)")
+      require(j >= 1 && j <= 2047 && k == j && m >= 0 && m <= j,
+        s"unsupported spectral truncation J=$j K=$k M=$m " +
+          "(triangular J = K >= M only, J <= 2047)")
+      specJ = j; specM = m
+      ni = 2 * (j + 1); nj = j + 1
+      px = 360.0 / ni; py = 180.0 / nj
+      west = -180.0; north = 90.0
+      scanMode = 0
+      o += gdsLen
+    } else {
     ni = u16(bytes, o + 6); nj = u16(bytes, o + 8)
     require(nj > 0 && nj != 0xffff, s"implausible GRIB1 row count $nj")
     // ---- thinned (quasi-regular) grid: Ni missing, per-row point
@@ -232,6 +259,7 @@ object Grib1 {
     }
     o += gdsLen
     }
+    }
     // ---- BMS (optional) ----
     // thinned grids carry one point (and one bitmap bit) per PL entry,
     // not ni·nj
@@ -258,13 +286,46 @@ object Grib1 {
     // allowed), bit 4 (0x1) octet-14 additional flags
     val bdsLen = u24(bytes, o)
     val bdsFlags = u8(bytes, o + 3) >> 4
-    require((bdsFlags & 0x08) == 0, "spherical-harmonic GRIB1 data not supported")
+    require((bdsFlags & 0x08) == 0 || specJ >= 1,
+      "spherical-harmonic BDS flag without a type-50 GDS")
+    require((bdsFlags & 0x08) != 0 || specJ < 0,
+      "type-50 GDS with a grid-point BDS")
     val e = sm16(bytes, o + 4)
     val refR = ibm32(u32(bytes, o + 6))
     val nbits = u8(bytes, o + 10)
-    val nPresent = if (bitmap == null) nPts else bitmap.count(identity)
     val base = refR / math.pow(10, dScale)
     val factor = math.pow(2, e) / math.pow(10, dScale)
+    if ((bdsFlags & 0x08) != 0) {
+      // ---- spherical harmonic coefficients, simple packing (WMO
+      // Code Table 11 bit 1; the edition-1 twin of GRIB2 DRS 5.50):
+      // octets 12-15 hold the (0,0) real coefficient as an IBM
+      // float, the remaining coefficients pack from octet 16.
+      // ECMWF's COMPLEX spectral BDS (bit 2 set — the sub-spectrum +
+      // scaled-remainder GRIBEX form) keeps its octet layout in
+      // center documentation this clean-room codec does not rely
+      // on, so it dead-letters by name.
+      require((bdsFlags & 0x04) == 0,
+        "complex-packed spherical-harmonic GRIB1 not supported " +
+          "(GRIBEX sub-spectrum form; convert with eccodes first, or " +
+          "re-archive as GRIB2 DRS 5.51 which this codec reads)")
+      require((bdsFlags & 0x01) == 0,
+        "additional-flag (octet 14) GRIB1 forms not supported")
+      require(bitmap == null, "bitmaps do not apply to spectral data")
+      val nVals = 2 * SphericalHarmonics.nCoefficients(specJ, specM)
+      require(15 + ((nVals - 1).toLong * nbits + 7) / 8 <= bdsLen,
+        s"spectral data ($nVals x $nbits bits) overruns the BDS of $bdsLen octets")
+      val coefs = new Array[Double](nVals)
+      coefs(0) = ibm32(u32(bytes, o + 11))
+      val r = new Grib2.BitReader(bytes, o + 15)
+      var ci = 1
+      while (ci < nVals) { coefs(ci) = base + r.get(nbits) * factor; ci += 1 }
+      val sdata = SphericalHarmonics.synthesize(coefs, specJ, specM, ni, nj)
+      return Grib2.Message(GeoTiff.Raster(ni, nj, sdata, west, north, px, py),
+        discipline = 255, category = table, parameter = param,
+        refTime = refTime, forecastHours = forecastHours, proj = None,
+        lossy = false)
+    }
+    val nPresent = if (bitmap == null) nPts else bitmap.count(identity)
     val present = new Array[Double](nPresent)
     if ((bdsFlags & 0x04) != 0) {
       // ---- second-order (complex) packing: the GRIBEX BDS form of
@@ -515,6 +576,81 @@ object Grib1 {
     }
     val bds = simpleBds(scan, decimals)
     val body = pds ++ gds ++ bms ++ bds
+    val total = 8 + body.length + 4
+    val head = new java.io.ByteArrayOutputStream()
+    head.write('G'); head.write('R'); head.write('I'); head.write('B')
+    head.write(total >> 16); head.write((total >> 8) & 0xff); head.write(total & 0xff)
+    head.write(1)
+    head.toByteArray ++ body ++ "7777".getBytes
+  }
+
+  /** Spherical-harmonic fixture (GDS type 50 + the SH-flagged
+    * simple-packed BDS): the edition-1 twin of Grib2.writeSpectral's
+    * 5.50 form — (0,0) real part as an IBM float in BDS octets 12-15,
+    * the rest simple-packed from octet 16. Coefficients in GRIB order
+    * (m = 0..M, n = m..J, (re, im) pairs). */
+  def writeSpectral(coefs: Array[Double], j: Int, mMax: Int,
+                    table: Int, param: Int,
+                    refTime: java.time.LocalDateTime, forecastHours: Int,
+                    decimals: Int = 3): Array[Byte] = {
+    val nVals = 2 * SphericalHarmonics.nCoefficients(j, mMax)
+    require(coefs.length == nVals,
+      s"${coefs.length} coefficient values for truncation J=$j M=$mMax (need $nVals)")
+    def section(body: java.io.ByteArrayOutputStream => Unit): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      body(b)
+      sectionBytes(b.toByteArray)
+    }
+    val pds = section { b =>
+      def w8(v: Int) = b.write(v & 0xff)
+      def w16(v: Int) = { w8(v >> 8); w8(v) }
+      w8(table); w8(98); w8(0); w8(255)
+      w8(0x80) // GDS present, no BMS
+      w8(param)
+      w8(1); w16(0) // level type/value
+      val t = refTime
+      w8(t.getYear % 100 match { case 0 => 100; case y => y })
+      w8(t.getMonthValue); w8(t.getDayOfMonth); w8(t.getHour); w8(t.getMinute)
+      w8(1) // hours
+      w8(forecastHours); w8(0); w8(0)
+      w16(0); w8(0)
+      w8((t.getYear - 1) / 100 + 1)
+      w8(0)
+      w16(decimals)
+    }
+    val gds = section { b =>
+      def w8(v: Int) = b.write(v & 0xff)
+      def w16(v: Int) = { w8(v >> 8); w8(v) }
+      w8(0); w8(255) // NV = 0; no PV/PL
+      w8(50) // spherical harmonic coefficients
+      w16(j); w16(j); w16(mMax) // J, K, M (triangular)
+      w8(1); w8(1) // representation type / mode
+      (15 to 32).foreach(_ => w8(0)) // reserved through octet 32
+    }
+    val scale = math.pow(10, decimals)
+    val rest = coefs.drop(1)
+    val refBits = toIbm32(math.floor(rest.min * scale))
+    val refR = ibm32(refBits)
+    val xs = rest.map(v => math.round(v * scale - refR))
+    require(xs.forall(_ >= 0), "reference value above a coefficient")
+    val nbits = math.max(1,
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, xs.max))).toInt
+    require(nbits <= 24, s"spectral packing width $nbits too wide")
+    val bds = {
+      val b = new java.io.ByteArrayOutputStream()
+      val dataBits = xs.length.toLong * nbits
+      val unused = ((8 - dataBits % 8) % 8).toInt
+      b.write(0x80 | unused) // flags: SH, simple; unused-bit count
+      b.write(0); b.write(0) // E = 0
+      writeIbm(b, refBits)
+      b.write(nbits)
+      writeIbm(b, toIbm32(coefs(0))) // (0,0) real, octets 12-15
+      val w = new Grib2.BitWriter(b)
+      xs.foreach(x => w.put(x, nbits))
+      w.flush()
+      sectionBytes(b.toByteArray)
+    }
+    val body = pds ++ gds ++ bds
     val total = 8 + body.length + 4
     val head = new java.io.ByteArrayOutputStream()
     head.write('G'); head.write('R'); head.write('I'); head.write('B')

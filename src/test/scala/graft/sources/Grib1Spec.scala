@@ -388,4 +388,66 @@ class Grib1Spec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException] { Grib1.read(badScan) }
     assert(e2.getMessage.contains("thinned grids decode eastward"), e2.getMessage)
   }
+
+  // ---- spherical harmonics (GDS type 50) ---------------------------
+
+  private def shCoefs(j: Int)(set: (Int, Int) => (Double, Double)): Array[Double] = {
+    val out = scala.collection.mutable.ArrayBuffer[Double]()
+    for (mm <- 0 to j; nn <- mm to j) {
+      val (re, im) = set(nn, mm)
+      out += re += im
+    }
+    out.toArray
+  }
+
+  test("spherical harmonics decode through the shared synthesis (vs GRIB2 5.50)") {
+    val j = 8
+    val t0 = java.time.LocalDateTime.of(1994, 3, 1, 12, 0)
+    val coefs = shCoefs(j) { (n, m) =>
+      if (n == 0 && m == 0) (252.0, 0.0)
+      else (1.0 / ((n + 1) * (n + 1)), 0.3 / (n + m + 2))
+    }
+    val g1 = Grib1.read(Grib1.writeSpectral(coefs, j, j, 128, 11, t0, 6,
+      decimals = 4))
+    val g2 = Grib2.read(Grib2.writeSpectral(coefs, j, j, 0, 0, 11, t0, 6,
+      decimals = 4))
+    assert(g1.raster.width == 2 * (j + 1) && g1.raster.height == j + 1)
+    assert(g1.refTime == t0 && g1.forecastHours == 6 && !g1.lossy)
+    assert(g1.category == 128 && g1.parameter == 11 && g1.discipline == 255)
+    // IBM-float reference + independent quantization: a slightly wider
+    // band than the 5.50-vs-5.51 IEEE comparison
+    for (i <- g1.raster.data.indices)
+      assert(math.abs(g1.raster.data(i) - g2.raster.data(i)) < 5e-3,
+        s"pixel $i: GRIB1 ${g1.raster.data(i)} vs GRIB2 ${g2.raster.data(i)}")
+  }
+
+  test("spectral GRIB1 ingests end-to-end; complex SH and bad GDS are loud") {
+    val j = 6
+    val t0 = java.time.LocalDateTime.of(1994, 3, 1, 0, 0)
+    val coefs = shCoefs(j)((n, m) =>
+      (if (n == 0 && m == 0) 100.0 else 0.5 / (n + 1), 0.02 * m))
+    val good = Grib1.writeSpectral(coefs, j, j, 128, 11, t0, 0)
+    assert(Formats.sniff(good).map(_.name).contains("grib1"))
+    val dir = java.nio.file.Files.createTempDirectory("g1sh")
+    java.nio.file.Files.write(dir.resolve("z500_19940301T00.grib"), good)
+    val df = Formats.ingestDir(spark, dir.toString)
+    assert(df.count() == 14 * 7)
+    // complex SH flag (bit 2) dead-letters by name
+    val bdsAt = {
+      var o = 8 + 28
+      val gdsLen = ((good(o) & 0xff) << 16) | ((good(o + 1) & 0xff) << 8) | (good(o + 2) & 0xff)
+      o + gdsLen
+    }
+    val cx = good.clone(); cx(bdsAt + 3) = (cx(bdsAt + 3) | 0x40).toByte
+    val e1 = intercept[IllegalArgumentException](Grib1.read(cx))
+    assert(e1.getMessage.contains("complex-packed spherical-harmonic"), e1.getMessage)
+    // a type-50 GDS with a grid-point BDS (SH flag cleared) is loud too
+    val gp = good.clone(); gp(bdsAt + 3) = (gp(bdsAt + 3) & 0x7f).toByte
+    val e2 = intercept[IllegalArgumentException](Grib1.read(gp))
+    assert(e2.getMessage.contains("type-50 GDS with a grid-point BDS"), e2.getMessage)
+    // pentagonal truncation: K (GDS octets 9-10) != J
+    val pent = good.clone(); pent(8 + 28 + 9) = (j + 1).toByte
+    val e3 = intercept[IllegalArgumentException](Grib1.read(pent))
+    assert(e3.getMessage.contains("triangular"), e3.getMessage)
+  }
 }

@@ -151,6 +151,17 @@ class RasterFuzzSpec extends AnyFunSuite {
         java.time.LocalDateTime.of(2001, 7, 1, 12, 0), 6,
         complexSubJ = 2, laplacianP = 0.5)
     }
+    // GRIB1 spherical harmonics: type-50 GDS + SH-flagged simple BDS
+    val g1Spectral = {
+      val j = 5
+      val coefs = scala.collection.mutable.ArrayBuffer[Double]()
+      for (mm <- 0 to j; nn <- mm to j) {
+        coefs += (if (nn == 0) 252.0 else 0.8 / (nn + 1))
+        coefs += 0.04 * mm
+      }
+      Grib1.writeSpectral(coefs.toArray, j, j, 128, 11,
+        java.time.LocalDateTime.of(1994, 3, 1, 0, 0), 6)
+    }
     // thinned (quasi-regular) GRIB1: PL list, bitmap, NN row expansion
     val g1Thinned = Grib1.writeThinned(
       Seq(Array.tabulate(8)(k => 250f + k), Array.tabulate(5)(k => 260f + k),
@@ -166,7 +177,8 @@ class RasterFuzzSpec extends AnyFunSuite {
       "hdf5" -> h5, "hdf5-tinyhuge" -> h5TinyHuge, "hdf5-hugebtree" -> h5HugeBt,
       "hdf5-szip" -> h5Szip, "hdf5-vds" -> h5Vds, "hdf5-enum" -> h5Enum,
       "hdf5-nbit" -> h5Nbit, "hdf5-scaleoffset" -> h5So,
-      "grib1-thinned" -> g1Thinned, "grib2-spectral" -> g2Spectral,
+      "grib1-thinned" -> g1Thinned, "grib1-spectral" -> g1Spectral,
+      "grib2-spectral" -> g2Spectral,
       "grib2-spectral-complex" -> g2Spectral51)
   }
 
