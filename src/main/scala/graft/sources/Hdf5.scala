@@ -889,17 +889,35 @@ object Hdf5 {
     * per dimension) for NONE (empty list) and hyperslabs — v1 explicit
     * blocks (u32 start/end pairs) and v2 regular patterns
     * (start/stride/count/block u64 per dim, expanded to blocks). */
-  private def parseSelection(blob: Array[Byte], off0: Int)
-      : (Option[Seq[(Array[Long], Array[Long])]], Int) = {
+  /** A serialized virtual-mapping dataspace selection. `VSelUnlim` is
+    * the regular hyperslab with H5S_UNLIMITED count on one dimension —
+    * the printf-pattern ('%b') unlimited-dimension VDS form, legal
+    * only where directory context bounds the extent. */
+  private sealed trait VSel
+  private case object VSelAll extends VSel
+  private case class VSelBlocks(blocks: Seq[(Array[Long], Array[Long])]) extends VSel
+  private case class VSelUnlim(st: Array[Long], sd: Array[Long],
+                               cn: Array[Long], bl: Array[Long], udim: Int) extends VSel
+
+  private def boundedSel(sel: VSel, what: String): Option[Seq[(Array[Long], Array[Long])]] =
+    sel match {
+      case VSelAll => None
+      case VSelBlocks(blocks) => Some(blocks)
+      case _: VSelUnlim => throw new IllegalArgumentException(
+        s"unlimited (H5S_UNLIMITED) $what selection outside a " +
+          "printf-pattern virtual mapping")
+    }
+
+  private def parseSelection(blob: Array[Byte], off0: Int): (VSel, Int) = {
     val bb = ByteBuffer.wrap(blob).order(ByteOrder.LITTLE_ENDIAN)
     val typ = bb.getInt(off0); val ver = bb.getInt(off0 + 4)
     typ match {
       case 3 => // H5S_SEL_ALL: version + 8 reserved bytes
         require(ver == 1, s"unsupported ALL-selection version $ver")
-        (None, off0 + 16)
+        (VSelAll, off0 + 16)
       case 0 => // H5S_SEL_NONE
         require(ver == 1, s"unsupported NONE-selection version $ver")
-        (Some(Nil), off0 + 16)
+        (VSelBlocks(Nil), off0 + 16)
       case 2 if ver == 1 => // hyperslab: explicit block list
         var p = off0 + 8
         p += 4 // reserved
@@ -918,7 +936,7 @@ object Hdf5 {
           }
           (st, ct)
         }
-        (Some(blocks), p)
+        (VSelBlocks(blocks), p)
       case 2 if ver == 2 => // regular hyperslab: start/stride/count/block
         var p = off0 + 8
         p += 1 // flags
@@ -927,10 +945,19 @@ object Hdf5 {
         require(rank > 0 && rank <= 32, s"implausible selection rank $rank")
         val st = new Array[Long](rank); val sd = new Array[Long](rank)
         val cn = new Array[Long](rank); val bl = new Array[Long](rank)
+        var udim = -1
         var d = 0
         while (d < rank) {
           st(d) = bb.getLong(p); sd(d) = bb.getLong(p + 8)
           cn(d) = bb.getLong(p + 16); bl(d) = bb.getLong(p + 24)
+          if (cn(d) == -1L) { // H5S_UNLIMITED (0xFFFFFFFFFFFFFFFF)
+            require(udim < 0,
+              "regular hyperslab with more than one H5S_UNLIMITED dimension")
+            udim = d
+            require(bl(d) >= 1 && sd(d) >= 1 && st(d) >= 0,
+              s"implausible unlimited-hyperslab dim $d: start=${st(d)} " +
+                s"stride=${sd(d)} block=${bl(d)}")
+          } else
           // per-dim bounds BEFORE any product: raw 8-byte counts from a
           // corrupt file can make cn.product wrap Long and pass a
           // product-only check while the expansion loop runs ~2^64
@@ -941,6 +968,7 @@ object Hdf5 {
               s"stride=${sd(d)} count=${cn(d)} block=${bl(d)}")
           p += 32; d += 1
         }
+        if (udim >= 0) return (VSelUnlim(st, sd, cn, bl, udim), p)
         // overflow-safe total-block bound (per-dim caps alone still let
         // the product wrap at rank 32)
         val totalBlocks = cn.foldLeft(1L)((a, c) =>
@@ -958,7 +986,7 @@ object Hdf5 {
             }
           }
         rec(0, new Array[Long](rank))
-        (Some(blocks.result()), p)
+        (VSelBlocks(blocks.result()), p)
       case 2 => throw new IllegalArgumentException(
         s"unsupported hyperslab selection version $ver (v1/v2 only)")
       case 1 => throw new IllegalArgumentException(
@@ -1171,10 +1199,7 @@ object Hdf5 {
       // granule would kill the whole ingest job
       require(vdsDepth < 4,
         s"virtual-dataset mapping chain deeper than 4 at '$prefix' (cycle?)")
-      val vdims = dims.map(_.toInt)
-      val data = new Array[Float](n)
-      val fv = fillRaw.map(fb => element(ByteIn(fb), 0, dt)).getOrElse(0.0).toFloat
-      java.util.Arrays.fill(data, fv)
+      val vdimsDecl = dims.map(_.toInt)
       val blob = gheapObject(in, vdsGheap, vdsIdx)
       val bb = ByteBuffer.wrap(blob).order(ByteOrder.LITTLE_ENDIAN)
       require((blob(0) & 0xff) == 0,
@@ -1189,6 +1214,83 @@ object Hdf5 {
         val r = new String(blob, s, p - s, java.nio.charset.StandardCharsets.UTF_8)
         p += 1; r
       }
+      // parse EVERY mapping before touching any source: printf-pattern
+      // ('%b') mappings change the dataset's EXTENT, which sizes the
+      // decode buffer
+      val rawMaps = scala.collection.mutable.Buffer[(String, String, VSel, VSel)]()
+      var k = 0L
+      while (k < nMaps) {
+        val srcFile = cstr(); val srcPath = cstr()
+        val (srcSel, p1) = parseSelection(blob, p); p = p1
+        val (virtSel, p2) = parseSelection(blob, p); p = p2
+        require(!srcPath.contains("%b"),
+          s"printf-pattern dataset-NAME mapping '$srcPath' not supported " +
+            "(member-per-FILE '%b' layouts only)")
+        rawMaps += ((srcFile, srcPath, srcSel, virtSel))
+        k += 1
+      }
+      // ---- printf-pattern expansion: the h5py unlimited-dimension
+      // member-per-file layout ("data_%b.h5"). The virtual selection is
+      // a regular hyperslab with H5S_UNLIMITED count on one axis; block
+      // b lives in the file with %b -> b. The extent is defined by
+      // DIRECTORY ENUMERATION at open time (HDF5's H5D_VDS_FIRST_MISSING
+      // view: members 0..N-1 until the first absent one), so it needs
+      // the sibling resolver -- bytes-only entry points stay loud.
+      val vdimsEff = vdimsDecl.toArray
+      val expanded = rawMaps.flatMap {
+        case (srcFile, srcPath, srcSel, u: VSelUnlim) =>
+          require(srcFile.contains("%b"),
+            "unlimited virtual selection without a printf-pattern source file")
+          require(ctx.siblings.nonEmpty,
+            s"printf-pattern virtual mapping to '$srcFile' needs directory " +
+              "context (bytes-only entry point; ingest through " +
+              "Formats.ingestDir / ingestLargePaths, which supply it)")
+          val rank = u.st.length
+          require(rank == vdimsEff.length,
+            s"printf mapping rank $rank does not match dataset rank ${vdimsEff.length}")
+          for (d <- 0 until rank if d != u.udim)
+            require(u.cn(d) == 1,
+              s"printf mapping with a repeated (count ${u.cn(d)}) bounded " +
+                s"pattern in dim $d not supported (count 1 per bounded dim)")
+          val members = scala.collection.mutable.Buffer[(String, String, VSel, VSel)]()
+          var b = 0
+          var miss = false
+          while (!miss && b <= (1 << 20)) {
+            val name = srcFile.replace("%b", b.toString)
+            if (ctx.resolve(joinRel(fileTag, name)).isEmpty) miss = true
+            else {
+              val st2 = u.st.clone()
+              st2(u.udim) = u.st(u.udim) + b.toLong * u.sd(u.udim)
+              members += ((name, srcPath, srcSel, VSelBlocks(Seq((st2, u.bl.clone())))))
+              val need = st2(u.udim) + u.bl(u.udim)
+              require(need <= Int.MaxValue, s"printf extent $need overflows")
+              if (need > vdimsEff(u.udim)) vdimsEff(u.udim) = need.toInt
+              b += 1
+            }
+          }
+          // zero members = a granule whose whole cube would silently be
+          // fill values; that is a broken drop, not an empty dataset
+          require(members.nonEmpty,
+            s"printf-pattern virtual mapping '$srcFile' resolved no members " +
+              "(file for block 0 absent) -- refusing to return an all-fill cube")
+          members
+        case m =>
+          // a printf file name with a BOUNDED virtual selection is not
+          // a form any writer emits — resolving the '%b' literally
+          // would silently fill the region
+          require(!m._1.contains("%b"),
+            s"printf-pattern source file '${m._1}' with a bounded virtual " +
+              "selection not supported (unlimited-dimension mappings only)")
+          Seq(m)
+      }
+      // re-check the decode cap against the ENUMERATED extent
+      require(vdimsEff.map(_.toLong).product.max(1) * 4 <= Int.MaxValue,
+        s"virtual dataset of ${vdimsEff.mkString("x")} elements exceeds the " +
+          "materializing reader's 2 GiB cap")
+      val nEff = vdimsEff.map(_.toLong).product.max(1).toInt
+      val data = new Array[Float](nEff)
+      val fv = fillRaw.map(fb => element(ByteIn(fb), 0, dt)).getOrElse(0.0).toFloat
+      java.util.Arrays.fill(data, fv)
       // mappings onto the SAME source decode it once, not per mapping
       val srcCache = scala.collection.mutable.Map[(String, Long), Dataset]()
       val srcNames = scala.collection.mutable.LinkedHashSet[String]()
@@ -1198,15 +1300,9 @@ object Hdf5 {
       // pixels surface twice (once through the virtual cube, once
       // through the mount)
       val srcXIds = scala.collection.mutable.LinkedHashSet[(String, Long)]()
-      var k = 0L
-      while (k < nMaps) {
-        val srcFile = cstr(); val srcPath = cstr()
-        require(!srcFile.contains("%b") && !srcPath.contains("%b"),
-          s"printf-pattern virtual mapping '$srcFile':'$srcPath' not supported " +
-            "(unlimited-dimension VDS: extent is directory enumeration, " +
-            "which a declared-shape read cannot honor)")
-        val (srcSel, p1) = parseSelection(blob, p); p = p1
-        val (virtSel, p2) = parseSelection(blob, p); p = p2
+      expanded.foreach { case (srcFile, srcPath, srcSelV, virtSelV) =>
+        val srcSel = boundedSel(srcSelV, "source")
+        val virtSel = boundedSel(virtSelV, "virtual")
         // (sibling ByteIn, that file's root): same file reuses this read's
         // cross-file member names resolve relative to the REFERRING
         // file's directory (this dataset may itself live in an
@@ -1219,7 +1315,7 @@ object Hdf5 {
               s"cross-file virtual mapping to '$srcFile' needs directory " +
                 "context (bytes-only entry point; ingest through " +
                 "Formats.ingestDir / ingestLargePaths, which supply it)")
-            ctx.resolve(srcTag) // None = absent member → fill region
+            ctx.resolve(srcTag) // None = absent member -> fill region
           }
         resolved.foreach { case (sIn, sRoot) =>
           val srcAddr = resolvePath(sIn, sRoot, sRoot, srcPath, 0).getOrElse(
@@ -1234,23 +1330,22 @@ object Hdf5 {
             readDataset(sIn, srcAddr, srcPath.stripPrefix("/"),
               messages(sIn, srcAddr), sRoot, vdsDepth + 1, ctx, srcTag))
           val sIdx = selIndices(srcSel, src.shape.toArray)
-          val vIdx = selIndices(virtSel, vdims.toArray)
+          val vIdx = selIndices(virtSel, vdimsEff)
           require(sIdx.length == vIdx.length,
             s"virtual mapping '$srcPath' selects ${sIdx.length} source elements " +
               s"for ${vIdx.length} virtual slots")
           var i = 0
           while (i < vIdx.length) { data(vIdx(i)) = src.data(sIdx(i)); i += 1 }
         }
-        k += 1
       }
       // record the consumed sources so variable discovery can exclude
-      // them — they are storage internals of THIS dataset, and
+      // them -- they are storage internals of THIS dataset, and
       // surfacing them as grid variables would double-ingest the pixels
       attrs += ("_vds_sources" -> srcNames.toSeq)
       if (srcXIds.nonEmpty)
         attrs += ("_vds_xsources" -> srcXIds.toSeq.map { case (t, a) => s"$t\u0000$a" })
-      return Seq(Dataset(prefix.stripSuffix("/"), addr, vdims, data, attrs.toMap,
-        srcFile = fileTag))
+      return Seq(Dataset(prefix.stripSuffix("/"), addr, vdimsEff.toSeq, data,
+        attrs.toMap, srcFile = fileTag))
     }
 
     val raw: Array[Byte] = layoutClass match {
@@ -1933,6 +2028,7 @@ object Hdf5 {
             vlenStr: Boolean = false,
             virtualStack: Boolean = false,
             virtualCrossFiles: Seq[(String, String)] = Nil,
+            virtualPrintf: Option[String] = None,
             nbitPrecision: Option[Int] = None,
             scaleOffsetInt: Boolean = false,
             scaleOffsetDScale: Option[Int] = None,
@@ -1940,6 +2036,12 @@ object Hdf5 {
             compoundVars: Map[String, Seq[(String, String)]] = Map.empty): Array[Byte] = {
     require(virtualCrossFiles.isEmpty || virtualStack,
       "fixture writer: virtualCrossFiles implies virtualStack")
+    // `virtualPrintf`: ONE unlimited-dimension printf mapping (h5py's
+    // member-per-file "data_%b.h5" layout) instead of per-index
+    // mappings; the dataspace declares extent 0 along the leading dim
+    // so the reader must derive it by directory enumeration
+    require(virtualPrintf.isEmpty || (virtualStack && virtualCrossFiles.isEmpty),
+      "fixture writer: virtualPrintf is its own mapping form")
     // `compoundVars`: variable → member list (name, type ∈ i16/i32/
     // f32/f64); the variable stores as ONE contiguous compound dataset
     // (v1 compound datatype message), member j of element i read from
@@ -2061,7 +2163,7 @@ object Hdf5 {
     // offsets are heap-relative, and both STABs point at it)
     // virtual-stack sources are real root-linked datasets of their own
     val vdsSrcNames: Seq[String] =
-      if (!virtualStack || virtualCrossFiles.nonEmpty) Nil // cross-file: sources live elsewhere
+      if (!virtualStack || virtualCrossFiles.nonEmpty || virtualPrintf.nonEmpty) Nil // cross-file: sources live elsewhere
       else dataVars.filter(_.ncType != 2).flatMap { v =>
         val nT = dims.find(_._1 == v.dims.head).get._2
         (0 until nT).map(k => s"${v.name}_src$k")
@@ -2304,7 +2406,7 @@ object Hdf5 {
           s"virtualCrossFiles: need one (file, path) per leading index ($nT)")
         // real contiguous sources, one per leading index (same-file
         // stacks only — cross-file stacks keep sources in sibling files)
-        for (k <- 0 until nT if virtualCrossFiles.isEmpty) {
+        for (k <- 0 until nT if virtualCrossFiles.isEmpty && virtualPrintf.isEmpty) {
           val dataAddr = pos
           for (i <- 0 until slice)
             u32(java.lang.Float.floatToIntBits(v.data(k * slice + i)).toLong & 0xffffffffL)
@@ -2332,6 +2434,26 @@ object Hdf5 {
           blb.write((v0 >> 16).toInt & 0xff); blb.write((v0 >> 24).toInt & 0xff)
         }
         blb.write(0) // version
+        if (virtualPrintf.isDefined) {
+          val rank = shape.length
+          bu32le(1); bu32le(0) // entry count (u64 LE): ONE printf mapping
+          blb.write(virtualPrintf.get.getBytes("UTF-8")); blb.write(0)
+          blb.write(s"/${v.name}".getBytes("UTF-8")); blb.write(0)
+          // source selection: H5S_SEL_ALL v1 + 8 reserved
+          bu32le(3); bu32le(1); bu32le(0); bu32le(0)
+          // virtual selection: REGULAR hyperslab v2 with H5S_UNLIMITED
+          // count along the leading dim — block b = member file b
+          def bu64le(v0: Long): Unit = { bu32le(v0 & 0xffffffffL); bu32le(v0 >>> 32) }
+          bu32le(2); bu32le(2) // type, version
+          blb.write(0) // flags
+          bu32le(4L + rank * 32L) // encoded length
+          bu32le(rank)
+          // dim 0: start 0, stride 1, count UNLIMITED, block 1
+          bu64le(0); bu64le(1); bu64le(-1L); bu64le(1)
+          for (d <- 1 until rank) { // bounded dims: one full-extent block
+            bu64le(0); bu64le(1); bu64le(1); bu64le(shape(d))
+          }
+        } else {
         bu32le(nT); bu32le(0) // entry count (u64 LE)
         for (k <- 0 until nT) {
           val (sf, sp) =
@@ -2349,6 +2471,7 @@ object Hdf5 {
           bu32le(k); for (_ <- 1 until rank) bu32le(0) // start
           bu32le(k); for (d <- 1 until rank) bu32le(shape(d) - 1L) // end, inclusive
         }
+        }
         bu32le(0) // checksum (unchecked)
         val blob = blobB.toByteArray
         val vdsGcol = pos
@@ -2363,7 +2486,10 @@ object Hdf5 {
           }
         }, v.dims.size * 16)
         val msgs = Seq(
-          0x01 -> dataspaceMsg(shape.toSeq),
+          // printf form: declared extent 0 along the unlimited dim —
+          // the reader must enumerate members for the true extent
+          0x01 -> dataspaceMsg(
+            if (virtualPrintf.isDefined) 0 +: shape.toSeq.tail else shape.toSeq),
           0x03 -> f32Dt,
           0x05 -> bodyBuf({ bb =>
             bb.put(2.toByte).put(1.toByte).put(0.toByte)

@@ -10,7 +10,10 @@ import graft.SparkSpec
   * resolver rooted at the granule's directory, with absent members
   * filling their region (HDF5 default VDS view). Bytes-only entry
   * points have no directory context, so cross-file mappings fail
-  * loudly there; printf-pattern ('%b') mappings always fail loudly.
+  * loudly there. Printf-pattern ('%b') unlimited-dimension mappings —
+  * h5py's member-per-file layout — enumerate members under directory
+  * context (first-missing view bounds the extent); bytes-only entry
+  * points and malformed bounded '%b' mappings fail loudly.
   */
 class Hdf5VdsSpec extends SparkSpec {
 
@@ -248,7 +251,7 @@ class Hdf5VdsSpec extends SparkSpec {
       e.getMessage)
   }
 
-  test("printf-pattern mappings fail loudly even with directory context") {
+  test("bounded (non-unlimited) printf mappings fail loudly even with directory context") {
     val dir = java.nio.file.Files.createTempDirectory("vdsp")
     val (dims, vs, _) = vars(nT)
     val pf = Hdf5.write(dims, vs, virtualStack = true,
@@ -260,6 +263,73 @@ class Hdf5VdsSpec extends SparkSpec {
       Hdf5.read(ByteIn.fromPath(vp.toString), Some(Formats.siblingsOf(vp.toString)))
     }
     assert(e.getMessage.contains("printf-pattern"), e.getMessage)
+  }
+
+  // ---- printf-pattern ('%b') unlimited-dimension VDS ---------------
+
+  private def writePrintfFixture(dir: java.nio.file.Path, pattern: String,
+                                 memberKs: Seq[Int]): Array[Float] = {
+    val (dims, vs, data) = vars(nT)
+    memberKs.foreach { k =>
+      val p = dir.resolve(pattern.replace("%b", k.toString))
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, memberBytes(data, k))
+    }
+    val vds = Hdf5.write(dims, vs, virtualStack = true,
+      virtualPrintf = Some(pattern))
+    java.nio.file.Files.write(dir.resolve("precip_20240102T00.nc"), vds)
+    data
+  }
+
+  test("printf-pattern VDS enumerates members under directory context") {
+    val dir = java.nio.file.Files.createTempDirectory("vdspf")
+    val data = writePrintfFixture(dir, "m%b.h5", Seq(0, 1, 2))
+    val vp = dir.resolve("precip_20240102T00.nc").toString
+    val f = Hdf5.read(ByteIn.fromPath(vp), Some(Formats.siblingsOf(vp)))
+    val precip = f.datasets.find(_.name == "precip").get
+    // the DECLARED extent is 0 along the unlimited dim — the shape
+    // must come from enumeration
+    assert(precip.shape == Seq(nT, h, w), precip.shape.toString)
+    assert(precip.data.sameElements(data),
+      "printf-pattern virtual assembly diverged from the member data")
+  }
+
+  test("printf extent stops at the first missing member (no silent gap fill)") {
+    val dir = java.nio.file.Files.createTempDirectory("vdspfg")
+    val data = writePrintfFixture(dir, "m%b.h5", Seq(0, 2)) // m1 missing
+    val vp = dir.resolve("precip_20240102T00.nc").toString
+    val f = Hdf5.read(ByteIn.fromPath(vp), Some(Formats.siblingsOf(vp)))
+    val precip = f.datasets.find(_.name == "precip").get
+    assert(precip.shape == Seq(1, h, w),
+      s"first-missing view must bound the extent at member 0, got ${precip.shape}")
+    assert(precip.data.sameElements(data.slice(0, h * w)))
+  }
+
+  test("printf with zero members and bytes-only printf reads are loud") {
+    val dir = java.nio.file.Files.createTempDirectory("vdspf0")
+    writePrintfFixture(dir, "m%b.h5", Seq(0)) // write main, then delete m0
+    java.nio.file.Files.delete(dir.resolve("m0.h5"))
+    val vp = dir.resolve("precip_20240102T00.nc").toString
+    val e0 = intercept[IllegalArgumentException] {
+      Hdf5.read(ByteIn.fromPath(vp), Some(Formats.siblingsOf(vp)))
+    }
+    assert(e0.getMessage.contains("resolved no members"), e0.getMessage)
+    // bytes-only: no directory context to enumerate
+    val bytes = java.nio.file.Files.readAllBytes(dir.resolve("precip_20240102T00.nc"))
+    val e1 = intercept[IllegalArgumentException] { Hdf5.read(bytes) }
+    assert(e1.getMessage.contains("needs directory context"), e1.getMessage)
+  }
+
+  test("printf granules ingest through the production directory path") {
+    val dir = java.nio.file.Files.createTempDirectory("vdspfi")
+    val data = writePrintfFixture(dir, "members/m%b.h5", Seq(0, 1, 2))
+    val df = Formats.ingestDir(spark, dir.toString)
+    assert(df.select("fname").distinct.collect().map(_.getString(0)).toSeq ==
+      Seq("precip_20240102T00.nc"))
+    val rows = df.collect()
+    assert(rows.length == data.count(_ != -9999f))
+    val v201 = rows.find(r => r.getInt(1) == 2 && r.getInt(2) == 0 && r.getInt(3) == 1).get
+    assert(v201.getDouble(4) == data(2 * h * w + 1).toDouble)
   }
 
   private def indexOfSlice(hay: Array[Byte], needle: Array[Byte]): Int = {
