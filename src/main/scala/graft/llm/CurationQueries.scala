@@ -135,11 +135,29 @@ object CurationQueries extends QueryModule {
     // md5-derived integer (Dedup.shingleHashes), mirrored in the
     // oracle, so the shuffle moves longs instead of gram strings.
     "d_decontaminate_ngram" -> ((s, dir) => {
-      val sh8 = Dedup.shingleHashes(Tables.documents(s, dir), "doc_id", "text", n = 8)
-        .withColumn("g", expr(gateSpark("id")))
-      val bench = sh8.filter(col("g") >= 90).select(col("id").as("bench_doc"), col("h"))
-      val train = sh8.filter(col("g") < 90).select(col("id").as("train_doc"), col("h"))
-      bench.join(train, "h")
+      // Shape notes (this is the index build + probe, so the exchange
+      // structure IS the query):
+      //  - gate FIRST: the split is a pure doc_id function, so each
+      //    document shingles once (one explode per side over disjoint
+      //    subsets = one corpus pass total);
+      //  - dedup rides the JOIN's partitioning: repartition(h) below
+      //    dropDuplicates(id, h) satisfies the aggregate's clustering
+      //    (h ⊂ {id, h}) AND the join's, so each side's gram stream
+      //    crosses the wire ONCE — the naive distinct() + join plans
+      //    two full exchanges per side (one on (id, h), one on h).
+      val docs = Tables.documents(s, dir)
+        .withColumn("g", expr(gateSpark("doc_id")))
+      def grams(side: org.apache.spark.sql.DataFrame, out: String): org.apache.spark.sql.DataFrame = {
+        val ws = split(trim(lower(col("text"))), "\\s+")
+        side.select(col("doc_id").as("id"), ws.as("ws"))
+          .select(col("id"), explode(
+            graft.functions.SpanHashWindows.spanHashWindowsLong(col("ws"), 8)).as("h"))
+          .repartition(col("h"))
+          .dropDuplicates("id", "h")
+          .select(col("id").as(out), col("h"))
+      }
+      grams(docs.filter(col("g") >= 90), "bench_doc")
+        .join(grams(docs.filter(col("g") < 90), "train_doc"), "h")
         .groupBy("bench_doc", "train_doc")
         .agg(count(lit(1)).as("n_collisions"))
     }),

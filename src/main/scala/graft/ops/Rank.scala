@@ -33,7 +33,13 @@ object Rank {
       s"input already has a '$outCol' column — pass a different output column")
     val parts = numPartitions.getOrElse(
       df.sparkSession.sparkContext.defaultParallelism)
-    val sorted = df.repartitionByRange(parts, sortExprs: _*)
+    // materialize the input ONCE: repartitionByRange runs a sampling
+    // job that would otherwise re-evaluate the whole upstream plan
+    // (here typically a regex/kernel-heavy scoring projection) a second
+    // time just to pick range bounds. The checkpointed rows are the
+    // slim (key, value) projection, so this is cheap at any scale.
+    val mat = df.localCheckpoint(true)
+    val sorted = mat.repartitionByRange(parts, sortExprs: _*)
       .sortWithinPartitions(sortExprs: _*)
     val rows = sorted.rdd
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
