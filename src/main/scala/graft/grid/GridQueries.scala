@@ -28,6 +28,26 @@ object GridQueries extends QueryModule {
     * collected) — a 7200×3600 global target regrids through the
     * sort-merge path with zero driver materialization (SoakRegrid). */
   val LiteralBackMaxTargets = 16384L // 128×128 targets ≈ ≤262k cubic probes
+
+  /** Persisted cube + overview pyramid for the s10c serve path, built
+    * once per (JVM, sf dir) — the disk artifact a serving deployment
+    * maintains continuously; the cold bench pass pays the build, warm
+    * passes and Verify read the routed overview scan. Keyed by dir so
+    * every scale factor gets its own store. */
+  private val servedStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def servedStore(s: SparkSession, dir: String): String =
+    servedStores.computeIfAbsent(dir, _ => {
+      val path = java.nio.file.Files.createTempDirectory("graft-served-")
+        .toString + "/cube"
+      GridStore.write(
+        Grid.fromLineitem(s, dir).select(
+          lit("lineitem").as("collection"), col("t"),
+          col("y").as("tile_y"), col("x").as("tile_x"), col("v")),
+        path)
+      graft.serve.OverviewServe.writeOverviews(s, path, Seq(2, 4))
+      path
+    })
   private val probeCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def probesOf(s: SparkSession, key: String, tgtPixels: Long)(
@@ -516,6 +536,24 @@ object GridQueries extends QueryModule {
           Algebra.rescaleEncode(col("v"), 0.0, 50.0).as("encoded"))
     }),
 
+    // S10c — the PERSISTED overview serve path: the cube and its
+    // average-downsampled pyramid live on disk (GridStore layout +
+    // serve/OverviewServe.writeOverviews), and the bbox read ROUTES to
+    // the coarsest sufficient level — the executed plan scans the _ov4
+    // table, never base tiles (asserted on this registered body in
+    // OverviewServeSpec). The exact BIGINT (sum, n) cascade makes the
+    // served means bit-identical to a base-level recompute, which is
+    // exactly what the DuckDB oracle computes from lineitem.
+    "s10c_served_overview" -> ((s, dir) => {
+      val store = servedStore(s, dir)
+      graft.serve.OverviewServe.readBbox(s, store, Seq(1, 2, 4),
+          basePxDeg = Grid.PX, requestedPxDeg = 25.0,
+          from = "1990-01-01", to = "2030-12-31",
+          tx0 = 0, tx1 = Grid.W - 1, ty0 = 0, ty1 = Grid.H - 1)
+        .select(col("t"), col("tile_y").as("yt"), col("tile_x").as("xt"),
+          col("v"), col("n_base").as("n"))
+    }),
+
     // S8 — overview pyramid: average-downsampled levels 2 and 4 in one
     // table (the COG overview equivalent; level chosen at read time).
     // Level 4 derives from level 2's exact BIGINT (sum, count) partials
@@ -850,6 +888,11 @@ object GridQueries extends QueryModule {
       """SELECT t, CAST(y // 4 AS INT) AS yt, CAST(x // 4 AS INT) AS xt,
         |  CAST(floor((least(greatest(CAST(sum(CAST(v AS BIGINT)) AS DOUBLE) / count(*), 0.0), 50.0) - 0.0)
         |       / 50.0 * 255.0 + 0.5) AS INT) AS encoded
+        |FROM grid GROUP BY 1, 2, 3""".stripMargin),
+    "s10c_served_overview" -> withCtes(
+      """SELECT t, CAST(y // 4 AS INT) AS yt, CAST(x // 4 AS INT) AS xt,
+        |  CAST(sum(CAST(v AS BIGINT)) AS DOUBLE) / count(*) AS v,
+        |  count(*) AS n
         |FROM grid GROUP BY 1, 2, 3""".stripMargin),
     "s8_overview_pyramid" -> withCtes(
       """SELECT t, CAST(y // 2 AS INT) AS yt, CAST(x // 2 AS INT) AS xt,

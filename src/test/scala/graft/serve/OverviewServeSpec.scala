@@ -54,6 +54,25 @@ class OverviewServeSpec extends SparkSpec {
     assert(df.count() == 64) // 8x8 tiles, untouched resolution
   }
 
+  test("the registered s10c serving query scans the _ov4 table, never base tiles") {
+    val df = graft.grid.GridQueries.queries("s10c_served_overview")(spark, sf0001)
+    val files = df.inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("_ov4")),
+      s"s10c must route to the persisted level-4 overview, scanned: " +
+        files.take(3).mkString(", "))
+    // and the routed answer equals a base-level recompute, exactly
+    // (BIGINT partial cascade): same rows, same means
+    val base = graft.grid.Grid.fromLineitem(spark, sf0001)
+      .groupBy(col("t"), (col("y") / 4).cast("int").as("yt"),
+               (col("x") / 4).cast("int").as("xt"))
+      .agg((sum(col("v").cast("long")).cast("double") / count(lit(1))).as("v"),
+        count(lit(1)).as("n"))
+    assert(df.count() == base.count())
+    assert(df.join(base, Seq("t", "yt", "xt"))
+      .filter(df("v") =!= base("v") || df("n") =!= base("n")).count() == 0,
+      "served values must equal the base-level recompute bit-for-bit")
+  }
+
   test("negative tile coordinates bucket and route consistently (floor, not truncation)") {
     import spark.implicits._
     // tiles straddle the origin: truncating division would bucket
