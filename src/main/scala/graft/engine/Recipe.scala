@@ -143,19 +143,42 @@ class Engine(spark: SparkSession, stateDir: String) {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("unit_id").parquet(outPath)
 
-    // Ledger reflects the post-merge hash state; parked units stay OUT
-    // of it so a revived unit classifies as a fresh insert. (Full
-    // rewrite is fine here: the ledger is unit-level METADATA — two
-    // small columns per unit — not data; it does not grow with history.)
-    replaceParquet(audit.filter(col("action") =!= "parked")
-      .select(col("unit_id"), col("input_hash")), ledgerPath)
-
-    // Lineage: one row per (re)materialized unit (engine.py:384-404).
+    // ---- commit protocol (SURVEY §7.4 hard-part 5): outputs →
+    // lineage → ledger, with the LEDGER swap as the single commit
+    // point. Lineage lands FIRST in a run directory whose name is a
+    // deterministic digest of the batch's (unit_id, input_hash) set,
+    // written mode-overwrite: a crash anywhere before the ledger swap
+    // leaves the old ledger in place, so the re-run classifies the
+    // SAME batch, rewrites the same output partitions (idempotent
+    // dynamic overwrite), and overwrites the SAME lineage run
+    // directory — no lineage row can be lost (the old failure mode:
+    // ledger committed, append crashed) and none can duplicate.
+    val batch = audit.filter(col("action").isin("insert", "overwrite"))
+      .select(col("unit_id"), col("input_hash"))
+      .collect() // unit-CATALOG-sized metadata, never data rows
+      .map(r => s"${r.getString(0)} ${r.getString(1)}")
+      .sorted
+    val runId = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      batch.foreach(s => md.update(s.getBytes("UTF-8")))
+      md.digest().map("%02x".format(_)).mkString.take(16)
+    }
+    // Lineage: one row per (re)materialized unit (engine.py:384-404),
+    // hive-partitioned by run_id so history stays append-only per run
+    // while each run's own rows are idempotent under re-execution.
     val lineage = audit.filter(col("action").isin("insert", "overwrite"))
       .select(col("unit_id"), col("input_hash"),
         lit(recipe.name).as("recipe"), lit(recipe.version).as("recipe_version"),
         current_timestamp().as("derived_at"))
-    lineage.write.mode("append").parquet(linPath)
+    lineage.write.mode("overwrite").parquet(s"$linPath/run_id=$runId")
+
+    // Ledger LAST — the commit point. It reflects the post-merge hash
+    // state; parked units stay OUT of it so a revived unit classifies
+    // as a fresh insert. (Full rewrite is fine here: the ledger is
+    // unit-level METADATA — two small columns per unit — not data; it
+    // does not grow with history.)
+    replaceParquet(audit.filter(col("action") =!= "parked")
+      .select(col("unit_id"), col("input_hash")), ledgerPath)
     audit
   }
 

@@ -48,6 +48,56 @@ class EngineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$stateDir/climatology/lineage").count() == 4)
   }
 
+  test("crash window cannot drop or duplicate lineage (ledger swap is the commit point)") {
+    val stateDir = Files.createTempDirectory("graft-engine-crash-").toString
+    val engine = new Engine(spark, stateDir)
+    val ledgerDir = java.nio.file.Paths.get(s"$stateDir/climatology/ledger")
+    val linDir = s"$stateDir/climatology/lineage"
+
+    engine.run(new ClimatologyRecipe, mkInputs(bump = false)) // 3 inserts
+    assert(spark.read.parquet(linDir).count() == 3)
+
+    // snapshot the committed ledger, then run the February bump —
+    // outputs + lineage land, ledger swaps
+    val snap = Files.createTempDirectory("graft-ledger-snap-")
+    def copyDir(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+      java.nio.file.Files.walk(from).forEach { p =>
+        val t = to.resolve(from.relativize(p).toString)
+        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    copyDir(ledgerDir, snap)
+    engine.run(new ClimatologyRecipe, mkInputs(bump = true)) // 1 overwrite
+    assert(spark.read.parquet(linDir).count() == 4)
+
+    // SIMULATED CRASH between the lineage write and the ledger swap:
+    // restore the pre-run ledger (outputs and lineage keep the new
+    // state — exactly the on-disk picture a kill in that window leaves)
+    def rmDir(p: java.nio.file.Path): Unit = if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(java.nio.file.Files.delete(_))
+    rmDir(ledgerDir)
+    copyDir(snap, ledgerDir)
+
+    // RE-RUN after the crash: the old ledger classifies the same batch
+    // again, the same lineage run directory overwrites idempotently —
+    // no duplicate rows — and the ledger commit completes
+    val a = engine.run(new ClimatologyRecipe, mkInputs(bump = true))
+    assert(a.filter(col("action") === "overwrite").count() == 1)
+    val lineage = spark.read.parquet(linDir)
+    assert(lineage.count() == 4,
+      s"crash re-run must not duplicate lineage rows, got ${lineage.count()}")
+    // one row per materialization, and February's carries the new hash
+    assert(lineage.groupBy("unit_id", "input_hash").count()
+      .filter(col("count") > 1).count() == 0)
+    // a THIRD run with identical inputs is all-skip and leaves lineage alone
+    val a2 = engine.run(new ClimatologyRecipe, mkInputs(bump = true))
+    assert(a2.filter(col("action") =!= "skip").count() == 0)
+    assert(spark.read.parquet(linDir).count() == 4)
+  }
+
   test("engine rewrites only re-derived units' partitions (pruned writes)") {
     val stateDir = Files.createTempDirectory("graft-engine5-").toString
     val engine = new Engine(spark, stateDir)
