@@ -10,9 +10,14 @@ import org.apache.spark.sql.functions._
   * (`CurationQueries.pipelineE2e` — the registered query delegates to
   * the same function, so the soak cannot drift from what the bench
   * measures), timing each materialized boundary plus the final
-  * aggregate. Corpus: the SoakCuration generator (seeded exact dups
-  * every 97 ids, near-dups every 50, 80 words) so every dedup stage
-  * does real work. Run on a QUIET host:
+  * aggregate. Corpus: seeded exact dups every 97 ids and near-dups
+  * every 50 that differ at FOUR spread positions (i % 20 == 7) — one
+  * changed word per 20-gram span, so the boilerplate gate can NOT
+  * remove them (every 20-span contains a change) and the LSH +
+  * jaccard stages verify ~20k true candidates per million docs
+  * (3-gram jaccard ≈ 0.73). The r10 generator's single-word near-dups
+  * were span-covered and dropped BEFORE fuzzy dedup, so the LSH
+  * stages only ever processed birthday noise. Run on a QUIET host:
   * `SPARK_DRIVER_MEM=48g sbt "runMain graft.SoakPipelineScale [sizes,csv]"`. */
 object SoakPipelineScale {
   def main(args: Array[String]): Unit = {
@@ -34,7 +39,7 @@ object SoakPipelineScale {
              | concat('w', pmod(hash(31337 * 100 + i), 65536))))
              | ELSE concat_ws(' ', transform(sequence(0, 79), i ->
              | concat('w',
-             |   pmod(hash(CASE WHEN id % 50 = 1 AND i = 7 THEN -id
+             |   pmod(hash(CASE WHEN id % 50 = 1 AND i % 20 = 7 THEN -(id * 100 + i)
              |             WHEN id % 50 = 1 THEN (id - 1) * 100 + i
              |             ELSE id * 100 + i END), 65536)))) END""".stripMargin)
           .as("text"))
@@ -42,14 +47,29 @@ object SoakPipelineScale {
 
     val stages = scala.collection.mutable.LinkedHashMap[String,
       scala.collection.mutable.Buffer[(Int, Double)]]()
+    // per-stage heap high-water mark (local[32]: driver + executors
+    // share one JVM, so the heap peak bounds the whole pipeline's
+    // memory). Pool peaks reset before each stage, max-of-pools read
+    // after — catches transient build-side/sort spikes that a
+    // usedMemory sample after the stage would miss.
+    import scala.jdk.CollectionConverters._
+    val heapPools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+      .asScala.filter(_.getType == java.lang.management.MemoryType.HEAP)
+    def resetPeaks(): Unit = heapPools.foreach(_.resetPeakUsage())
+    def peakGiB: Double =
+      heapPools.map(_.getPeakUsage.getUsed).sum / (1L << 30).toDouble
     def record(size: Int, name: String, dt: Double): Unit = {
-      println(f"[soak-scale] n=$size%8d  $name%-26s $dt%8.3f s")
+      // read-then-reset: each record reports the window since the
+      // previous one, so stage windows are disjoint
+      val hwm = peakGiB; resetPeaks()
+      println(f"[soak-scale] n=$size%8d  $name%-26s $dt%8.3f s  heap-hwm $hwm%6.2f GiB")
       stages.getOrElseUpdate(name, scala.collection.mutable.Buffer()) += ((size, dt))
     }
 
     for (n <- sizes; pass <- 1 to 2) { // pass 1 warms JIT/codegen per size
       val docs = corpus(n)
       docs.count() // materialize outside the timed stages
+      if (pass == 2) resetPeaks()
       val total0 = System.nanoTime()
       def stage(name: String, f: () => DataFrame): DataFrame = {
         val t0 = System.nanoTime()

@@ -8,19 +8,22 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
 
 /** Per-document MinHash signature in ONE compiled pass: for every
   * n-token window of `tokens`, md5 the window text ("tok1 tok2 … tokn",
-  * the [[SpanHashWindows]] digest walk) and fold the running minimum of
-  * each of the 8 disjoint 16-bit digest fields. Returns the 8 slot
-  * minima as array<int>, or an EMPTY array when the document has fewer
-  * than n tokens (no shingles → no signature row downstream).
+  * the [[SpanHashWindows]] digest walk, plus a '~'-salted second
+  * digest) and fold the running minimum of the 8 disjoint 31-BIT slot
+  * fields (slots 1-4 from md5(window) hex chars 1-8/9-16/17-24/25-32,
+  * slots 5-8 the same fields of md5(window || '~'), each & 0x7fffffff
+  * so a 2-slot band key packs one NON-NEGATIVE long). Returns the 8
+  * slot minima as array<int>, or an EMPTY array when the document has
+  * fewer than n tokens (no shingles → no signature row downstream).
   *
   * Equivalence to the relational form
   * (`Dedup.minhashSignature(Dedup.shingles(docs))`): min is idempotent,
   * so the minimum over ALL window positions equals the minimum over the
   * DISTINCT shingle set — the explode, the distinct exchange and the
   * per-doc aggregation exchange all collapse into this map-side
-  * projection while producing bit-identical signatures (slot x is the
-  * integer value of md5 hex chars 4x−3..4x, the same 16-bit field the
-  * SQL oracles read). MinhashSlotsSpec pins the parity.
+  * projection while producing bit-identical signatures (the SQL
+  * oracles read the same substring fields). MinhashSlotsSpec pins the
+  * parity.
   */
 case class MinhashSlots(tokens: Expression, width: Expression)
     extends BinaryExpression {
@@ -59,11 +62,22 @@ object MinhashSlots {
     val count = arr.numElements()
     if (n <= 0 || count < n) return new GenericArrayData(new Array[Int](0))
     val mins = Array.fill(K)(Int.MaxValue)
-    SpanHashWindows.eachWindowDigestShared(arr, n) { (_, d) =>
+    // 31-BIT slot fields (8 hex chars & 0x7fffffff): slots 1-4 from
+    // md5(window), 5-8 from md5(window || '~'). 16-bit fields were a
+    // measured scale defect — min-of-~80 concentrates each slot into a
+    // ~2^10 effective range, so 2-slot band keys collide at random past
+    // ~10^6 docs and the LSH candidate set grows quadratically
+    // (SoakPipelineScale 5M: 16.2M candidate pairs, 97% noise). The
+    // mask keeps band keys non-negative when two slots pack one long.
+    SpanHashWindows.eachWindowDigest2(arr, n) { (_, dA, dB) =>
       var x = 0
-      while (x < K) {
-        val v = ((d(2 * x) & 0xff) << 8) | (d(2 * x + 1) & 0xff)
-        if (v < mins(x)) mins(x) = v
+      while (x < 4) {
+        val vA = (((dA(4 * x) & 0xff) << 24) | ((dA(4 * x + 1) & 0xff) << 16) |
+          ((dA(4 * x + 2) & 0xff) << 8) | (dA(4 * x + 3) & 0xff)) & 0x7fffffff
+        if (vA < mins(x)) mins(x) = vA
+        val vB = (((dB(4 * x) & 0xff) << 24) | ((dB(4 * x + 1) & 0xff) << 16) |
+          ((dB(4 * x + 2) & 0xff) << 8) | (dB(4 * x + 3) & 0xff)) & 0x7fffffff
+        if (vB < mins(4 + x)) mins(4 + x) = vB
         x += 1
       }
     }

@@ -68,6 +68,45 @@ object SpanHashWindows {
                                                (emit: (Int, Array[Byte]) => Unit): Unit =
     eachWindowDigest(arr, w)(emit)
 
+  /** Dual-digest walk for [[MinhashSlots]]: per window, md5(text) AND
+    * md5(text || '~') — 32 digest bytes so 8 disjoint 31-bit slot
+    * fields exist (16-bit fields min-concentrate into a ~2^20
+    * effective band keyspace, which floods LSH candidates with
+    * birthday collisions past ~10^6 documents; see SCALE.md r11).
+    * The second digest clones the first's mid-state, so the window
+    * bytes are only fed once. */
+  private[functions] def eachWindowDigest2(arr: ArrayData, w: Int)
+      (emit: (Int, Array[Byte], Array[Byte]) => Unit): Unit = {
+    val n = arr.numElements()
+    val toks = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i).getBytes
+      i += 1
+    }
+    val md = MessageDigest.getInstance("MD5")
+    val TILDE = '~'.toByte
+    i = 0
+    while (i <= n - w) {
+      md.reset()
+      var j = 0
+      var written = 0
+      while (j < w) {
+        val t = toks(i + j)
+        if (t != null) {
+          if (written > 0) md.update(SPACE)
+          md.update(t)
+          written += 1
+        }
+        j += 1
+      }
+      val md2 = md.clone().asInstanceOf[MessageDigest]
+      md2.update(TILDE)
+      emit(i, md.digest(), md2.digest())
+      i += 1
+    }
+  }
+
   private def eachWindowDigest(arr: ArrayData, w: Int)
                               (emit: (Int, Array[Byte]) => Unit): Unit = {
     val n = arr.numElements()

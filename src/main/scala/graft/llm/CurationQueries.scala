@@ -406,19 +406,19 @@ object CurationQueries extends QueryModule {
         |sh AS MATERIALIZED (
         |  SELECT DISTINCT id, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS s
         |  FROM (SELECT id, ws, unnest(range(greatest(len(ws) - 2, 0))) AS i FROM wsh)),
-        |hashed AS (SELECT id, md5(s) AS h FROM sh),
+        |hashed AS (SELECT id, md5(s) AS h, md5(s || '~') AS h2 FROM sh),
         |sig AS (
         |  SELECT id,
-        |    min(CAST(concat('0x', substring(h, 1, 4)) AS INT)) AS m1, min(CAST(concat('0x', substring(h, 5, 4)) AS INT)) AS m2,
-        |    min(CAST(concat('0x', substring(h, 9, 4)) AS INT)) AS m3, min(CAST(concat('0x', substring(h, 13, 4)) AS INT)) AS m4,
-        |    min(CAST(concat('0x', substring(h, 17, 4)) AS INT)) AS m5, min(CAST(concat('0x', substring(h, 21, 4)) AS INT)) AS m6,
-        |    min(CAST(concat('0x', substring(h, 25, 4)) AS INT)) AS m7, min(CAST(concat('0x', substring(h, 29, 4)) AS INT)) AS m8
+        |    min(CAST(concat('0x', substring(h, 1, 8)) AS BIGINT) & 2147483647) AS m1, min(CAST(concat('0x', substring(h, 9, 8)) AS BIGINT) & 2147483647) AS m2,
+        |    min(CAST(concat('0x', substring(h, 17, 8)) AS BIGINT) & 2147483647) AS m3, min(CAST(concat('0x', substring(h, 25, 8)) AS BIGINT) & 2147483647) AS m4,
+        |    min(CAST(concat('0x', substring(h2, 1, 8)) AS BIGINT) & 2147483647) AS m5, min(CAST(concat('0x', substring(h2, 9, 8)) AS BIGINT) & 2147483647) AS m6,
+        |    min(CAST(concat('0x', substring(h2, 17, 8)) AS BIGINT) & 2147483647) AS m7, min(CAST(concat('0x', substring(h2, 25, 8)) AS BIGINT) & 2147483647) AS m8
         |  FROM hashed GROUP BY id),
         |bands AS (
-        |  SELECT id, 1 AS band, CAST(m1 AS BIGINT) * 65536 + m2 AS key FROM sig UNION ALL
-        |  SELECT id, 2, CAST(m3 AS BIGINT) * 65536 + m4 FROM sig UNION ALL
-        |  SELECT id, 3, CAST(m5 AS BIGINT) * 65536 + m6 FROM sig UNION ALL
-        |  SELECT id, 4, CAST(m7 AS BIGINT) * 65536 + m8 FROM sig),
+        |  SELECT id, 1 AS band, CAST(m1 AS BIGINT) * 2147483648 + m2 AS key FROM sig UNION ALL
+        |  SELECT id, 2, CAST(m3 AS BIGINT) * 2147483648 + m4 FROM sig UNION ALL
+        |  SELECT id, 3, CAST(m5 AS BIGINT) * 2147483648 + m6 FROM sig UNION ALL
+        |  SELECT id, 4, CAST(m7 AS BIGINT) * 2147483648 + m8 FROM sig),
         |hotb AS (SELECT band, key FROM bands GROUP BY band, key HAVING count(*) > 1024),
         |bandsc AS (
         |  SELECT b.id, b.band, b.key FROM bands b
@@ -514,19 +514,19 @@ object CurationQueries extends QueryModule {
         |  SELECT DISTINCT id, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS s
         |  FROM (SELECT id, ws, unnest(range(greatest(len(ws) - 2, 0))) AS i FROM wsh)),
         |sizes AS (SELECT id, count(*) AS c FROM sh GROUP BY 1),
-        |hashed AS (SELECT id, md5(s) AS h FROM sh),
+        |hashed AS (SELECT id, md5(s) AS h, md5(s || '~') AS h2 FROM sh),
         |sig AS (
         |  SELECT id,
-        |    min(CAST(concat('0x', substring(h, 1, 4)) AS INT)) AS m1, min(CAST(concat('0x', substring(h, 5, 4)) AS INT)) AS m2,
-        |    min(CAST(concat('0x', substring(h, 9, 4)) AS INT)) AS m3, min(CAST(concat('0x', substring(h, 13, 4)) AS INT)) AS m4,
-        |    min(CAST(concat('0x', substring(h, 17, 4)) AS INT)) AS m5, min(CAST(concat('0x', substring(h, 21, 4)) AS INT)) AS m6,
-        |    min(CAST(concat('0x', substring(h, 25, 4)) AS INT)) AS m7, min(CAST(concat('0x', substring(h, 29, 4)) AS INT)) AS m8
+        |    min(CAST(concat('0x', substring(h, 1, 8)) AS BIGINT) & 2147483647) AS m1, min(CAST(concat('0x', substring(h, 9, 8)) AS BIGINT) & 2147483647) AS m2,
+        |    min(CAST(concat('0x', substring(h, 17, 8)) AS BIGINT) & 2147483647) AS m3, min(CAST(concat('0x', substring(h, 25, 8)) AS BIGINT) & 2147483647) AS m4,
+        |    min(CAST(concat('0x', substring(h2, 1, 8)) AS BIGINT) & 2147483647) AS m5, min(CAST(concat('0x', substring(h2, 9, 8)) AS BIGINT) & 2147483647) AS m6,
+        |    min(CAST(concat('0x', substring(h2, 17, 8)) AS BIGINT) & 2147483647) AS m7, min(CAST(concat('0x', substring(h2, 25, 8)) AS BIGINT) & 2147483647) AS m8
         |  FROM hashed GROUP BY id),
         |bands AS (
-        |  SELECT id, 1 AS band, CAST(m1 AS BIGINT) * 65536 + m2 AS key FROM sig UNION ALL
-        |  SELECT id, 2, CAST(m3 AS BIGINT) * 65536 + m4 FROM sig UNION ALL
-        |  SELECT id, 3, CAST(m5 AS BIGINT) * 65536 + m6 FROM sig UNION ALL
-        |  SELECT id, 4, CAST(m7 AS BIGINT) * 65536 + m8 FROM sig),
+        |  SELECT id, 1 AS band, CAST(m1 AS BIGINT) * 2147483648 + m2 AS key FROM sig UNION ALL
+        |  SELECT id, 2, CAST(m3 AS BIGINT) * 2147483648 + m4 FROM sig UNION ALL
+        |  SELECT id, 3, CAST(m5 AS BIGINT) * 2147483648 + m6 FROM sig UNION ALL
+        |  SELECT id, 4, CAST(m7 AS BIGINT) * 2147483648 + m8 FROM sig),
         |hotb AS (SELECT band, key FROM bands GROUP BY band, key HAVING count(*) > 1024),
         |bandsc AS (
         |  SELECT b.id, b.band, b.key FROM bands b

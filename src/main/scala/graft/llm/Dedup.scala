@@ -64,22 +64,28 @@ object Dedup {
       .distinct()
   }
 
-  /** MinHash signatures: k hash slots carved out of ONE md5 per shingle
-    * (disjoint 4-hex-char substrings of a strong hash behave as
-    * independent hash functions) — one pass, no k× row blowup, a single
-    * groupBy with map-side partial mins. Each slot is the 16-bit
-    * INTEGER value of its hex chars: fixed-width lowercase hex compares
-    * lexicographically exactly as its numeric value, so the mins — and
-    * therefore every signature and LSH candidate — are identical to the
-    * old string-slot form, while the signature shuffle carries 4-byte
-    * ints instead of 4-char strings and the band keys pack to one long
-    * (see [[lshBands]]). Output one row per id with m1..mk (k ≤ 8). */
+  /** MinHash signatures: k hash slots carved out of TWO md5s per
+    * shingle — md5(s) for slots 1-4, md5(s || '~') for slots 5-8,
+    * 8-hex-char (31-bit) disjoint fields each (disjoint substrings of
+    * a strong hash behave as independent hash functions) — one pass,
+    * no k× row blowup, a single groupBy with map-side partial mins.
+    * 31 bits matter at scale: with 16-bit slots the min over ~80
+    * shingles concentrated each slot into a ~2^10 effective range, so
+    * 2-slot band keys collided at random past ~10^6 documents and the
+    * LSH candidate set grew QUADRATICALLY with corpus size (measured,
+    * SCALE.md r11 — 5M docs produced 16.2M candidate pairs, 97%
+    * noise). The 0x7fffffff mask keeps every slot non-negative so a
+    * 2-slot band key packs one non-negative long (see [[lshBands]]).
+    * Output one row per id with m1..mk (k ≤ 8). */
   def minhashSignature(sh: DataFrame, k: Int = 8): DataFrame = {
-    require(k <= 8, "k slots of 4 hex chars must fit one md5")
-    val hashed = sh.select(col("id"), md5(col("s")).as("h"))
-    val slots = (1 to k).map(x =>
-      min(conv(substring(col("h"), (x - 1) * 4 + 1, 4), 16, 10).cast("int"))
-        .as(s"m$x"))
+    require(k <= 8, "k slots of 8 hex chars must fit two md5s")
+    val hashed = sh.select(col("id"), md5(col("s")).as("h"),
+      md5(concat(col("s"), lit("~"))).as("h2"))
+    val slots = (1 to k).map { x =>
+      val (hc, f) = if (x <= 4) (col("h"), x) else (col("h2"), x - 4)
+      min(conv(substring(hc, (f - 1) * 8 + 1, 8), 16, 10).cast("long")
+        .bitwiseAND(lit(2147483647L)).cast("int")).as(s"m$x")
+    }
     hashed.groupBy("id").agg(slots.head, slots.tail: _*)
   }
 
@@ -107,20 +113,20 @@ object Dedup {
 
   /** LSH banding: k minhash slots → k/rows band keys; docs sharing any
     * band key become candidates. (id, band, key). The key packs the
-    * band's slots 16 bits apiece into ONE long (rows ≤ 4) — exact
+    * band's 31-bit slots into ONE long (rows ≤ 2) — exact
     * (collision-free, unlike the old md5-of-concatenation string key)
     * and 8 bytes on the wire instead of 32 chars, so the band
     * equi-join/group shuffles a fraction of the bytes. */
   def lshBands(sig: DataFrame, k: Int = 8, rows: Int = 2): DataFrame = {
-    // rows <= 3 keeps the packed key within 48 bits, so it is always
-    // non-negative; rows = 4 would use all 64 bits and wrap negative for
-    // m1 >= 32768 (still injective, but any oracle that errors on BIGINT
+    // rows <= 2 keeps the packed key within 62 bits, so it is always
+    // non-negative; rows = 3 would need 93 bits and wrap (still
+    // injective per 64-bit wrap, but any oracle that errors on BIGINT
     // overflow instead of wrapping would diverge).
-    require(rows <= 3, "band key packs 16-bit slots into one non-negative long (rows <= 3)")
+    require(rows <= 2, "band key packs 31-bit slots into one non-negative long (rows <= 2)")
     val bands = (1 to k / rows).map { b =>
       val cols = ((b - 1) * rows + 1 to b * rows).map(x => col(s"m$x"))
       val key = cols.foldLeft(lit(0L).cast("long")) {
-        (acc, c) => acc * lit(65536L) + c.cast("long") }
+        (acc, c) => acc * lit(2147483648L) + c.cast("long") }
       struct(lit(b).as("band"), key.as("key"))
     }
     sig.select(col("id"), explode(array(bands: _*)).as("bk"))

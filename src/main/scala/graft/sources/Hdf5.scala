@@ -296,6 +296,20 @@ object Hdf5 {
     if (seen.contains(addr)) return
     val msgs = messages(in, addr)
     if (msgs.map(_._1).contains(0x08)) { // data layout → dataset
+      // OPAQUE (class 5) and REFERENCE (class 7) datasets are
+      // metadata-adjacent (HDF-EOS runtime blobs, region-reference
+      // tables) — they carry no raster values, so they SKIP with a
+      // diagnostic instead of failing the granule. Every other
+      // unsupported class still dead-letters loudly in readDataset:
+      // those could be mis-decoded pixels; these cannot be pixels.
+      val dtCls = msgs.find(_._1 == 0x03).map { case (_, off) => in(off) & 0x0f }
+      if (dtCls.contains(5) || dtCls.contains(7)) {
+        System.err.println(s"[hdf5] skipping " +
+          (if (dtCls.contains(5)) "opaque" else "object-reference") +
+          s"-typed dataset '${prefix.stripSuffix("/")}' (metadata-adjacent, " +
+          "no raster values)")
+        return
+      }
       out ++= readDatasetAll(in, addr, prefix, msgs, rootAddr, 0, ctx,
         fileTag, rootPrefix)
       return
@@ -2029,6 +2043,7 @@ object Hdf5 {
             virtualStack: Boolean = false,
             virtualCrossFiles: Seq[(String, String)] = Nil,
             virtualPrintf: Option[String] = None,
+            opaqueExtra: Boolean = false,
             nbitPrecision: Option[Int] = None,
             scaleOffsetInt: Boolean = false,
             scaleOffsetDScale: Option[Int] = None,
@@ -2169,7 +2184,8 @@ object Hdf5 {
         (0 until nT).map(k => s"${v.name}_src$k")
       }
     val allNames = dimSets.map(_._1) ++
-      subgroup.map(Seq(_)).getOrElse(dataVars.map(_.name)) ++ vdsSrcNames
+      subgroup.map(Seq(_)).getOrElse(dataVars.map(_.name)) ++ vdsSrcNames ++
+      (if (opaqueExtra) Seq("runtime_meta") else Nil)
     val heapNames = (allNames ++
       (if (subgroup.isDefined) dataVars.map(_.name) else Nil) ++
       (if (denseRoot) Nil
@@ -2896,6 +2912,29 @@ object Hdf5 {
       raw(objectHeader(msgs))
       padTo8()
       }
+    }
+
+    // extra OPAQUE-typed dataset (the runtime-metadata blob shape the
+    // read side SKIPS with a diagnostic): v1 class-5 datatype with an
+    // 8-byte ASCII tag, contiguous 16-byte payload
+    if (opaqueExtra) {
+      val dataAddr = pos
+      raw(new Array[Byte](16))
+      padTo8()
+      val msgs = Seq(
+        0x01 -> dataspaceMsg(Seq(2)),
+        0x03 -> bodyBuf({ bb =>
+          bb.put(0x15.toByte).put(8.toByte).put(0.toByte).put(0.toByte)
+          bb.putInt(8) // element size
+          bb.put("metatag".getBytes("UTF-8")).put(0.toByte) // 8-byte tag
+        }, 16),
+        0x08 -> bodyBuf({ bb =>
+          bb.put(3.toByte).put(1.toByte)
+          bb.putLong(dataAddr.toLong); bb.putLong(16L)
+        }, 18))
+      ohAddrs("runtime_meta") = pos
+      raw(objectHeader(msgs))
+      padTo8()
     }
 
     // child group holding the data variables (nested-group layout):
