@@ -151,13 +151,22 @@ object Dedup {
     * `broadcast()` never falls back — at 10⁹ docs the 4-rows/doc band
     * frame would be a forced driver-side build → OOM.) */
   def candidatePairs(bands: DataFrame, maxBucket: Int = 1024): DataFrame = {
-    val capped = bands.join(
-      hotBuckets(bands, maxBucket).select("band", "key"),
-      Seq("band", "key"), "left_anti")
-    val a = capped.select(col("band"), col("key"), col("id").as("doc_a"))
-    val b = capped.select(col("band"), col("key"), col("id").as("doc_b"))
-    a.join(b, Seq("band", "key")).filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    // ONE two-phase aggregation materializes each bucket's (bounded)
+    // id list — NULL past the cap, which IS the hot-bucket exclusion —
+    // then two Generates stream the within-bucket pairs. The previous
+    // shape (count-groups pass → hot-bucket anti-join → band
+    // self-join) exchanged the band stream three times; this exchanges
+    // it once, and the per-group state is O(maxBucket) worst-case
+    // (functions/BoundedIds.scala), so no adversarial bucket can OOM
+    // an aggregation buffer the way a bare collect_list could.
+    val buckets = bands.groupBy("band", "key")
+      .agg(graft.functions.BoundedIds.boundedIds(col("id"), maxBucket).as("ids"))
+      .filter(col("ids").isNotNull && size(col("ids")) >= 2)
+    buckets
+      .select(explode(col("ids")).as("doc_a"), col("ids"))
+      .select(col("doc_a"),
+        explode(expr("filter(ids, x -> x > doc_a)")).as("doc_b"))
+      .distinct()
   }
 
   /** Band buckets above the pair-generation cap: (band, key, n_docs).
