@@ -28,7 +28,9 @@ object Explain {
       "d_repeated_spans" -> "input-spread exchange, then windowing as a projection; distinct-agg's two exchanges ship reduced partials; no joins",
       "d_span_coverage" -> "dup detection = min/max window on the h exchange (no materialize, no self-join); interval merge rides the per-doc window partitioning",
       "j8b_asof_native" -> "custom-operator as-of; small right side auto-picks the broadcast exec: zero shuffles/sorts",
-      "d_minhash_lsh" -> "capped LSH: hot buckets excluded via an aggregate + anti-join, NO broadcast hint on the band self-join (AQE decides)",
+      "d_minhash_lsh" -> "capped LSH: ONE two-phase bounded_ids aggregate materializes buckets (NULL past the cap = hot-bucket exclusion); pairs stream from two Generates — the band stream crosses the wire once",
+      "d_decontaminate_ngram" -> "gate below the shingle explode (one hash pass per doc); per-side dedup rides the join's h partitioning — each gram stream exchanges ONCE",
+      "s10c_served_overview" -> "persisted-pyramid serving: the scan reads the _ov4 table (see Location), never base tiles; p_date + tile predicates stay sargable on the overview exactly as on a base scan",
       "f14_regrid_lcc" -> "conic-projection warp — still the same single broadcast probe join",
       "d_incremental_endstate" -> "four-stage greedy curation in one plan: each stage a checkpointed boundary, fuzzy stage joins only through band keys",
       "s_ann_ivf_stream" -> "incremental IVF search: the inverted-list scan carries PartitionFilters on the probed cell ids — only those cells' files open",
