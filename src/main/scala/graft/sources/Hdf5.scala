@@ -86,7 +86,7 @@ object Hdf5 {
   private case class Dt(cls: Int, size: Int, bigEndian: Boolean, signed: Boolean,
                         base: Option[Dt], consumed: Int,
                         precision: Int = 0, bitOffset: Int = 0,
-                        members: Seq[(String, Int, Dt)] = Nil) {
+                        members: Seq[(String, Int, Dt, Seq[Int])] = Nil) {
     def narrowed: Boolean = cls == 0 && precision > 0 && precision < 8 * size
   }
 
@@ -726,6 +726,7 @@ object Hdf5 {
             java.nio.charset.StandardCharsets.UTF_8)
           // v1/v2 names pad to 8; v3 names are bare NUL-terminated
           p = if (ver <= 2) nameStart + ((q - nameStart + 1 + 7) / 8) * 8 else q + 1
+          var mdims: Seq[Int] = Nil
           val moff = ver match {
             case 3 =>
               // minimal bytes that hold the compound's total size
@@ -740,17 +741,30 @@ object Hdf5 {
               val v = in.getInt(p)
               p += 4
               if (ver == 1) {
-                require((in(p) & 0xff) == 0,
-                  "array-valued compound members not supported (scalar only)")
+                // v1 members carry their own dimensionality (the
+                // HDF-EOS table layout: a member can be a small fixed
+                // array, e.g. a per-row coordinate triple) —
+                // dimensionality(1), reserved(3), permutation(4),
+                // reserved(4), then 4 dim sizes; the member surfaces
+                // with its dims appended to the dataset's shape
+                val rank = in(p) & 0xff
+                require(rank <= 4, s"implausible compound member rank $rank")
+                mdims = (0 until rank).map { d0 =>
+                  val sz = in.getInt(p + 12 + 4 * d0)
+                  require(sz >= 1 && sz <= (1 << 20),
+                    s"implausible compound member dim size $sz")
+                  sz
+                }
                 p += 28 // dimensionality, reserved, permutation, 4 dim sizes
               }
               v
           }
           val mdt = parseDt(in, p)
           p += mdt.consumed
-          require(moff >= 0 && moff + mdt.size <= size,
+          require(moff >= 0 &&
+              moff + mdt.size.toLong * mdims.product.max(1) <= size,
             s"compound member '$name' at $moff overruns the $size-byte element")
-          (name, moff, mdt)
+          (name, moff, mdt, mdims)
         }
         Dt(6, size, bigEndian = false, signed = false, None, (p - off).toInt,
           members = members)
@@ -1444,20 +1458,33 @@ object Hdf5 {
       // HDF-EOS table columns, surfaced relationally)
       val rin = if (raw == null) null else ByteIn(raw)
       val fin = fillRaw.map(ByteIn(_)).orNull
-      dt.members.map { case (mname, moff, mdt) =>
-        val data = new Array[Float](n)
+      dt.members.map { case (mname, moff, mdt, mdims) =>
+        // array-valued members (v1 dimensionality) append their dims
+        // to the dataset shape; k inner elements sit contiguously at
+        // the member's offset inside each compound element
+        val k = mdims.product.max(1)
+        val data = new Array[Float](n * k)
         if (rin == null) {
-          val fv = if (fin == null) 0.0 else element(fin, moff.toLong, mdt)
-          java.util.Arrays.fill(data, fv.toFloat)
+          var j = 0
+          while (j < n * k) {
+            data(j) = (if (fin == null) 0.0
+                       else element(fin, moff.toLong + (j % k) * mdt.size, mdt)).toFloat
+            j += 1
+          }
         } else {
           var i = 0
           while (i < n) {
-            data(i) = element(rin, i.toLong * dt.size + moff, mdt).toFloat
+            var j = 0
+            while (j < k) {
+              data(i * k + j) =
+                element(rin, i.toLong * dt.size + moff + j.toLong * mdt.size, mdt).toFloat
+              j += 1
+            }
             i += 1
           }
         }
         Dataset(prefix.stripSuffix("/") + "." + mname, addr,
-          dims.map(_.toInt), data, attrs.toMap, srcFile = fileTag)
+          dims.map(_.toInt) ++ mdims, data, attrs.toMap, srcFile = fileTag)
       }
     } else {
       val data = new Array[Float](n)
@@ -1964,7 +1991,17 @@ object Hdf5 {
           d.attrs.collect { case (k, v: String) => k -> v }, Map.empty, ncType = 2)
       } else {
       val vdims: Seq[String] = listed match {
-        case Some(names) => names
+        case Some(names) if names.size == d.shape.size => names
+        case Some(names) if names.size < d.shape.size =>
+          // trailing axes folded into the element type (array-valued
+          // compound members): the dataset's DIMENSION_LIST names only
+          // the leading axes — synthesize names for the rest
+          names ++ d.shape.drop(names.size).zipWithIndex.map { case (sz, i) =>
+            val sd = s"${d.name.replace('.', '_')}_dim${names.size + i}"
+            extraDims(sd) = sz; sd
+          }
+        case Some(names) => throw new IllegalArgumentException(
+          s"${d.name}: DIMENSION_LIST rank ${names.size} vs shape rank ${d.shape.size}")
         case _ if isScale(d.name) => Seq(d.name)
         case _ => d.shape.map(sz => dimBySize.getOrElse(sz,
           throw new IllegalArgumentException(s"${d.name}: no dimension of size $sz")))
@@ -2324,25 +2361,34 @@ object Hdf5 {
         }
       } else if (compoundVars.contains(v.name)) {
         // ---- contiguous compound dataset (v1 compound datatype
-        // message, padded member names, 4-byte offsets, scalar
-        // members) — the HDF-EOS/NC_COMPOUND table shape
+        // message, padded member names, 4-byte offsets; a member type
+        // "f32x3" is an ARRAY member — v1 dimensionality 1, the
+        // HDF-EOS per-row coordinate-triple shape)
         val members = compoundVars(v.name)
         val shape = v.dims.map(d => dims.find(_._1 == d).get._2).toArray
         val nEl = shape.product
-        def mSize(t: String): Int = t match {
+        def parseM(t: String): (String, Int) = t.split("x") match {
+          case Array(b) => (b, 1)
+          case Array(b, c) => (b, c.toInt)
+        }
+        def mSize(t: String): Int = parseM(t)._1 match {
           case "i16" => 2; case "i32" => 4; case "f32" => 4; case "f64" => 8
           case o => throw new IllegalArgumentException(s"compound member type $o")
         }
-        val offs = members.map(m => mSize(m._2)).scanLeft(0)(_ + _)
+        val counts = members.map(m => parseM(m._2)._2)
+        val offs = members.zip(counts).map { case (m, c) => mSize(m._2) * c }
+          .scanLeft(0)(_ + _)
         val elemSize = offs.last
-        require(v.data.length == nEl * members.size,
+        val valOffs = counts.scanLeft(0)(_ + _)
+        val valsPerEl = valOffs.last
+        require(v.data.length == nEl * valsPerEl,
           s"compound fixture '${v.name}': ${v.data.length} values for " +
-            s"$nEl elements x ${members.size} members")
+            s"$nEl elements x $valsPerEl member values")
         val dataAddr = pos
         val dbuf = ByteBuffer.allocate(nEl * elemSize).order(ByteOrder.LITTLE_ENDIAN)
-        for (i <- 0 until nEl; (m, j) <- members.zipWithIndex) {
-          val value = v.data(i * members.size + j)
-          m._2 match {
+        for (i <- 0 until nEl; (m, j) <- members.zipWithIndex; c <- 0 until counts(j)) {
+          val value = v.data(i * valsPerEl + valOffs(j) + c)
+          parseM(m._2)._1 match {
             case "i16" =>
               require(value.toShort.toFloat == value, s"compound i16 sample $value")
               dbuf.putShort(value.toShort)
@@ -2355,7 +2401,7 @@ object Hdf5 {
         }
         raw(dbuf.array())
         padTo8()
-        def memberDt(t: String): Array[Byte] = t match {
+        def memberDt(t: String): Array[Byte] = parseM(t)._1 match {
           case "i16" | "i32" => bodyBuf({ bb =>
             bb.put(0x10.toByte).put(0x08.toByte).put(0.toByte).put(0.toByte)
             bb.putInt(mSize(t))
@@ -2378,11 +2424,12 @@ object Hdf5 {
             b.write(pad8(mn.getBytes("UTF-8") :+ 0.toByte))
             b.write(bodyBuf({ bb =>
               bb.putInt(offs(j))
-              bb.put(0.toByte) // dimensionality 0 (scalar member)
+              bb.put((if (counts(j) > 1) 1 else 0).toByte) // dimensionality
               bb.put(0.toByte).put(0.toByte).put(0.toByte) // reserved
               bb.putInt(0) // permutation
               bb.putInt(0) // reserved
-              (0 until 4).foreach(_ => bb.putInt(0)) // dim sizes
+              bb.putInt(if (counts(j) > 1) counts(j) else 0) // dim size 1
+              (0 until 3).foreach(_ => bb.putInt(0)) // dim sizes 2-4
             }, 32))
             b.write(memberDt(t))
           }

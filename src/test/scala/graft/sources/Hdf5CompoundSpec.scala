@@ -57,6 +57,41 @@ class Hdf5CompoundSpec extends AnyFunSuite {
     assert(mean.data(5) == 1.25f)
   }
 
+  test("array-valued members (v1 dimensionality) append their dims to the shape") {
+    val lat = Array(30f, 20f, 10f)
+    val lon = Array(0f, 10f, 20f, 30f)
+    // members: scalar id + a per-row coordinate TRIPLE (HDF-EOS shape)
+    val vals = 1 + 3
+    val data = new Array[Float](h * w * vals)
+    for (i <- 0 until h * w) {
+      data(i * vals) = (500 + i).toFloat
+      for (c <- 0 until 3) data(i * vals + 1 + c) = i * 10f + c
+    }
+    val bytes = Hdf5.write(
+      Seq("lat" -> h, "lon" -> w),
+      Seq(
+        NetCdf.Variable("lat", Seq("lat"), lat, None),
+        NetCdf.Variable("lon", Seq("lon"), lon, None),
+        NetCdf.Variable("trk", Seq("lat", "lon"), data, None)),
+      compoundVars = Map("trk" -> Seq("id" -> "i32", "xyz" -> "f32x3")))
+    val f = Hdf5.read(bytes)
+    val id = f.datasets.find(_.name == "trk.id").get
+    val xyz = f.datasets.find(_.name == "trk.xyz").get
+    assert(id.shape == Seq(h, w))
+    assert(xyz.shape == Seq(h, w, 3), xyz.shape.toString)
+    for (i <- 0 until h * w) {
+      assert(id.data(i) == (500 + i).toFloat)
+      for (c <- 0 until 3)
+        assert(xyz.data(i * 3 + c) == i * 10f + c, s"xyz at ($i, $c)")
+    }
+    // and the NetCDF model synthesizes a name for the trailing axis
+    val nf = NetCdf.readAny(bytes)
+    val v = nf.vars.find(_.name == "trk.xyz").get
+    assert(v.dims.take(2) == Seq("lat", "lon") && v.dims.size == 3,
+      v.dims.toString)
+    assert(nf.dims.toMap.get(v.dims(2)).contains(3))
+  }
+
   test("a string-member compound fails loudly") {
     // hand-patch a member datatype class to string (3): reader must
     // refuse rather than reinterpret bytes as numbers
