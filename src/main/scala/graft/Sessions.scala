@@ -15,6 +15,17 @@ object Sessions {
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // shuffles START wide and AQE coalesces them down by advisory
+      // size: a fixed 32-partition width is the measured wall once a
+      // single box holds >1M docs/per-stage exchange (9.5M-row
+      // per-task sorts spill; SCALE.md r11 — exact-dedup 9.6→3.4 s and
+      // the quality-gate join 25.5→6.2 s at 5M docs with a wider
+      // start). Small exchanges coalesce back to a handful of
+      // partitions, so bench-scale plans are unchanged; at cluster
+      // scale this is the standard initialPartitionNum ≫ cores setup.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS",
+          (math.max(1, cpus.toIntOption.getOrElse(32)) * 8).toString))
       .config("spark.sql.session.timeZone", "UTC")
       // let AQE re-plan (and in particular coalesce) the shuffle that
       // feeds a cached relation: the default false pins every .cache()d
