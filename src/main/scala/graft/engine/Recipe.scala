@@ -85,17 +85,52 @@ class Engine(spark: SparkSession, stateDir: String) {
 
     // Legacy flat-layout outputs (root-level parquet files from the old
     // full-rewrite path) would corrupt partition discovery under dynamic
-    // overwrite. Clear BOTH the data and the ledger BEFORE classification:
-    // the ledger's hashes describe the data just deleted, so every unit
-    // must re-classify as a fresh insert — otherwise 'skip' units keep
-    // their hashes while their output rows are gone forever.
+    // overwrite. The remedy clears BOTH the data and the ledger BEFORE
+    // classification (the ledger's hashes describe the data just
+    // deleted, so every unit must re-classify as a fresh insert) — but
+    // deleting user data on a structural heuristic is not something the
+    // engine may do silently on every run, so the migration is gated on
+    // an explicit opt-in conf; without it the layout fails BY NAME.
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val outP = new org.apache.hadoop.fs.Path(outPath)
     if (fs.exists(outP) && fs.listStatus(outP).exists(st =>
         st.isFile && st.getPath.getName.endsWith(".parquet"))) {
+      require(spark.conf.getOption(Engine.MigrateFlatLayoutConf).contains("true"),
+        s"output dir $outPath holds root-level parquet files — the " +
+          "pre-partitioned flat layout, which corrupts partition discovery " +
+          s"under dynamic overwrite. Set ${Engine.MigrateFlatLayoutConf}=true " +
+          "to clear the flat outputs AND the ledger and re-derive every unit " +
+          "ONCE, or clean the directory manually.")
+      // preserve the run sequence across the reset: a fresh seq=0 would
+      // let the re-derivation's lineage digest collide with the very
+      // first run's (same empty prior ledger, possibly same batch)
+      val preservedSeq = readRunSeq(fs, ledgerPath)
       fs.delete(outP, true)
       fs.delete(new org.apache.hadoop.fs.Path(ledgerPath), true)
+      if (preservedSeq > 0L) {
+        fs.mkdirs(new org.apache.hadoop.fs.Path(ledgerPath))
+        val out = fs.create(
+          new org.apache.hadoop.fs.Path(ledgerPath, "_run_seq"), true)
+        out.write(preservedSeq.toString.getBytes("UTF-8")); out.close()
+      }
+    }
+    // Legacy flat lineage files (pre run_id= partitioning) mixed with
+    // run_id= subdirs fail partition discovery — tuck them into a
+    // literal run_id=legacy partition once, preserving history.
+    val linP = new org.apache.hadoop.fs.Path(linPath)
+    if (fs.exists(linP)) {
+      val flatLin = fs.listStatus(linP).filter(st =>
+        st.isFile && st.getPath.getName.endsWith(".parquet"))
+      if (flatLin.nonEmpty) {
+        val legacy = new org.apache.hadoop.fs.Path(linPath, "run_id=legacy")
+        fs.mkdirs(legacy)
+        flatLin.foreach { st =>
+          require(fs.rename(st.getPath,
+            new org.apache.hadoop.fs.Path(legacy, st.getPath.getName)),
+            s"legacy lineage migration rename failed for ${st.getPath}")
+        }
+      }
     }
 
     val ledger = readOrEmpty(ledgerPath, units.select(col("unit_id"), col("input_hash")))
@@ -123,8 +158,9 @@ class Engine(spark: SparkSession, stateDir: String) {
       // Nothing re-derives, but a unit may have PARKED this run (its
       // 'keep' row was anti-joined out above) — the on-disk ledger must
       // still drop it, or revival would classify as a stale 'skip'.
-      replaceParquet(audit.filter(col("action") =!= "parked")
-        .select(col("unit_id"), col("input_hash")), ledgerPath)
+      commitLedger(audit.filter(col("action") =!= "parked")
+        .select(col("unit_id"), col("input_hash")), ledgerPath,
+        readRunSeq(fs, ledgerPath) + 1)
       return audit
     }
 
@@ -146,20 +182,27 @@ class Engine(spark: SparkSession, stateDir: String) {
     // ---- commit protocol (SURVEY §7.4 hard-part 5): outputs →
     // lineage → ledger, with the LEDGER swap as the single commit
     // point. Lineage lands FIRST in a run directory whose name is a
-    // deterministic digest of the batch's (unit_id, input_hash) set,
-    // written mode-overwrite: a crash anywhere before the ledger swap
-    // leaves the old ledger in place, so the re-run classifies the
-    // SAME batch, rewrites the same output partitions (idempotent
-    // dynamic overwrite), and overwrites the SAME lineage run
-    // directory — no lineage row can be lost (the old failure mode:
-    // ledger committed, append crashed) and none can duplicate.
+    // deterministic digest of (run sequence, the batch's (unit_id,
+    // input_hash) set), written mode-overwrite: a crash anywhere before
+    // the ledger swap leaves the old ledger AND the old sequence in
+    // place, so the re-run classifies the SAME batch, rewrites the same
+    // output partitions (idempotent dynamic overwrite), and overwrites
+    // the SAME lineage run directory — no lineage row can be lost (the
+    // old failure mode: ledger committed, append crashed) and none can
+    // duplicate. The sequence (bumped at every COMMITTED run) keeps two
+    // genuinely distinct runs that re-derive an identical batch — a
+    // parked-then-revived unit with unchanged inputs, or an opt-in
+    // flat-layout reset — from colliding on one run directory and
+    // mode-overwriting the earlier run's lineage history.
     val batch = audit.filter(col("action").isin("insert", "overwrite"))
       .select(col("unit_id"), col("input_hash"))
       .collect() // unit-CATALOG-sized metadata, never data rows
-      .map(r => s"${r.getString(0)} ${r.getString(1)}")
+      .map(r => s"${r.getString(0)}\u0000${r.getString(1)}")
       .sorted
+    val runSeq = readRunSeq(fs, ledgerPath)
     val runId = {
       val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(s"seq:$runSeq ".getBytes("UTF-8"))
       batch.foreach(s => md.update(s.getBytes("UTF-8")))
       md.digest().map("%02x".format(_)).mkString.take(16)
     }
@@ -177,9 +220,43 @@ class Engine(spark: SparkSession, stateDir: String) {
     // as a fresh insert. (Full rewrite is fine here: the ledger is
     // unit-level METADATA — two small columns per unit — not data; it
     // does not grow with history.)
-    replaceParquet(audit.filter(col("action") =!= "parked")
-      .select(col("unit_id"), col("input_hash")), ledgerPath)
+    commitLedger(audit.filter(col("action") =!= "parked")
+      .select(col("unit_id"), col("input_hash")), ledgerPath, runSeq + 1)
     audit
+  }
+
+  /** Monotonic committed-run counter, an `_run_seq` text file living
+    * INSIDE the ledger directory so the ledger swap commits both
+    * atomically (underscore-prefixed files are invisible to parquet
+    * reads). A crash-replay of an interrupted run sees the unchanged
+    * pre-swap sequence and regenerates the SAME run id; any committed
+    * run — including park-only and all-skip runs — advances it, so two
+    * distinct runs never share a lineage directory even when they
+    * re-derive an identical (unit_id, input_hash) batch. */
+  private def readRunSeq(fs: org.apache.hadoop.fs.FileSystem,
+                         ledgerPath: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(ledgerPath, "_run_seq")
+    if (!fs.exists(p)) 0L
+    else {
+      val in = fs.open(p)
+      val buf = new Array[Byte](32)
+      val n = math.max(0, in.read(buf)); in.close()
+      new String(buf, 0, n, "UTF-8").trim.toLong
+    }
+  }
+
+  /** Ledger commit: [[replaceParquet]] plus the run sequence riding in
+    * the same directory swap. */
+  private def commitLedger(df: DataFrame, path: String, nextSeq: Long): Unit = {
+    val tmp = path + ".tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(tmp, "_run_seq"), true)
+    out.write(nextSeq.toString.getBytes("UTF-8")); out.close()
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
   }
 
   /** Atomic-ish full rewrite: write to tmp, swap directories. */
@@ -192,6 +269,14 @@ class Engine(spark: SparkSession, stateDir: String) {
     fs.delete(dst, true)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
   }
+}
+
+object Engine {
+  /** Opt-in conf enabling the one-time destructive migration of
+    * pre-partitioned flat-layout outputs (clears outputs + ledger so
+    * every unit re-derives). Off by default: the engine refuses to
+    * delete user data on a structural heuristic alone. */
+  val MigrateFlatLayoutConf = "graft.engine.migrateFlatLayout"
 }
 
 /** Content hashing for recipe units (recipe.py:28-42 hashes asset

@@ -4,6 +4,7 @@ import java.nio.{ByteBuffer, ByteOrder}
 
 import org.apache.spark.sql.{Column, GraftShim}
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -42,6 +43,14 @@ case class BoundedIdsAgg(
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[IdListBuf] with UnaryLike[Expression] {
+
+  // update() casts the child's value straight to Long — a non-long id
+  // column must fail at ANALYSIS with a named type error, not as a
+  // ClassCastException deep inside the aggregate
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bounded_ids requires a BIGINT id column, got ${child.dataType.simpleString}")
 
   // state grows by doubling to min(cap, group size), so a huge cap
   // (Int.MaxValue = "uncapped", the incremental runner's contract)

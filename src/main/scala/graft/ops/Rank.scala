@@ -31,6 +31,17 @@ object Rank {
       : (RDD[Row], StructType) = {
     require(!df.columns.contains(outCol),
       s"input already has a '$outCol' column — pass a different output column")
+    // the localCheckpoint below materializes EVERY input column to
+    // executor storage and cuts lineage (executor loss re-fails instead
+    // of recomputing) — acceptable only for a slim (keys, value)
+    // projection, which is the module's contract. A wide frame at the
+    // stated 10^9-row scale would double storage and risk
+    // eviction-driven failure, so refuse it loudly: rank the projection,
+    // then join the payload back on the unique tiebreaker column.
+    require(df.schema.fields.length <= 8,
+      s"Rank input has ${df.schema.fields.length} columns — pass a slim " +
+        "(sort keys, value) projection and join payload columns back on " +
+        "the unique tiebreaker after ranking")
     val parts = numPartitions.getOrElse(
       df.sparkSession.sparkContext.defaultParallelism)
     // materialize the input ONCE: repartitionByRange runs a sampling

@@ -1296,6 +1296,13 @@ object Hdf5 {
               b += 1
             }
           }
+          // the loop must END on a missing member, not on the cap — a
+          // layout with >2^20 member files would otherwise silently
+          // truncate the unlimited extent (the decode cap need not fire
+          // first for small members)
+          require(miss,
+            s"printf-pattern virtual mapping '$srcFile' exceeds the 2^20 " +
+              "member enumeration cap -- refusing to return a truncated cube")
           // zero members = a granule whose whole cube would silently be
           // fill values; that is a broken drop, not an empty dataset
           require(members.nonEmpty,

@@ -366,6 +366,14 @@ object StreamCuration {
     * 1:1 with state buckets. */
   val StateBuckets = 32
 
+  /** Band-key format version persisted as a `_band_format` sentinel in
+    * the state dir. "2" = two 31-bit md5 minhash slots per band key
+    * (round 11, `functions/MinhashSlots.scala`); version 1 (16-bit
+    * slots) never wrote a sentinel and is detected by value space in
+    * [[ensureStateTables]]. Bump whenever band-key VALUES change even
+    * if the LongType schema does not. */
+  val BandFormatVersion = "2"
+
   /** Span and band state live in BUCKETED tables (hash-clustered by
     * their equi-join keys) so the per-batch state accesses in
     * [[processBatch]] read the bucket layout directly: the batch side
@@ -449,6 +457,40 @@ object StreamCuration {
                 "(md5 hex keys). Delete the state directory and replay the stream; " +
                 "band keys cannot be derived from their md5-of-concatenation form.")
           }
+        }
+      }
+      // VALUE-space format guard: minhash slots widened 16 → 31 bits
+      // (round 11), which changed band-key VALUES inside the same
+      // LongType schema — 16-bit-era keys (< 2^32) essentially never
+      // match new keys (two 31-bit slots ≈ 2^55+), so cross-batch
+      // probing against old state would silently return nothing. A
+      // `_band_format` sentinel versions the dir; a sentinel-less dir
+      // with data is classified by key value space (a new-format key
+      // lands below 2^32 with probability ~2^-30 per row, so max(key)
+      // over the table is a certain detector) and fails by name like
+      // the string-key guard above. Runs at most once per dir: the
+      // sentinel short-circuits every later open.
+      if (name == "bands") {
+        val fmtP = new org.apache.hadoop.fs.Path(dir, "_band_format")
+        val verOk = fs.exists(fmtP) && {
+          val in = fs.open(fmtP)
+          val buf = new Array[Byte](16)
+          val n = math.max(0, in.read(buf)); in.close()
+          new String(buf, 0, n, "UTF-8").trim == BandFormatVersion
+        }
+        if (!verOk) {
+          if (fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))) {
+            val mx = s.read.parquet(part(dir, name))
+              .agg(org.apache.spark.sql.functions.max("key")).head
+            require(mx.isNullAt(0) || mx.getLong(0) >= (1L << 32),
+              s"persisted 'bands' state at ${part(dir, name)} holds only " +
+                "sub-2^32 band keys — written by the 16-bit-minhash-slot " +
+                "engine (pre round 11). New 31-bit-slot keys would never " +
+                "match it, silently missing historical near-dups. Delete " +
+                "the curation state directory and replay the stream.")
+          }
+          val out = fs.create(fmtP, true)
+          out.write(BandFormatVersion.getBytes("UTF-8")); out.close()
         }
       }
       val t = tableId(dir, name)

@@ -98,6 +98,35 @@ class EngineSpec extends SparkSpec {
     assert(spark.read.parquet(linDir).count() == 4)
   }
 
+  test("re-deriving an identical batch in a LATER run never overwrites earlier lineage") {
+    val stateDir = Files.createTempDirectory("graft-engine-seq-").toString
+    val engine = new Engine(spark, stateDir)
+    val linDir = s"$stateDir/climatology/lineage"
+    val ledgerDir = s"$stateDir/climatology/ledger"
+
+    engine.run(new ClimatologyRecipe, mkInputs(bump = false)) // 3 inserts
+    assert(spark.read.parquet(linDir).count() == 3)
+
+    // Simulate a ledger reset that re-classifies the ORIGINAL batch
+    // (the park-then-revive / opt-in-migration shape): drop the ledger
+    // parquet but keep the committed run sequence, exactly what the
+    // flat-layout migration preserves.
+    val lp = java.nio.file.Paths.get(ledgerDir)
+    java.nio.file.Files.list(lp).toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .foreach(java.nio.file.Files.delete(_))
+
+    val a = engine.run(new ClimatologyRecipe, mkInputs(bump = false))
+    assert(a.filter(col("action") === "insert").count() == 3)
+    // identical (unit_id, input_hash) batch, but a DISTINCT run id: the
+    // first run's lineage rows (and derived_at history) must survive
+    val lineage = spark.read.parquet(linDir)
+    assert(lineage.count() == 6,
+      s"second derivation of the same batch must append a new run " +
+        s"directory, not overwrite the first — got ${lineage.count()} rows")
+    assert(lineage.select("run_id").distinct().count() == 2)
+  }
+
   test("engine rewrites only re-derived units' partitions (pruned writes)") {
     val stateDir = Files.createTempDirectory("graft-engine5-").toString
     val engine = new Engine(spark, stateDir)
@@ -142,11 +171,20 @@ class EngineSpec extends SparkSpec {
       .foreach(p => java.nio.file.Files.copy(p,
         java.nio.file.Paths.get(outDir, p.getFileName.toString)))
 
+    // Without the opt-in the engine must refuse BY NAME rather than
+    // silently delete user data on a structural heuristic.
+    val refusal = intercept[IllegalArgumentException] {
+      engine.run(new ClimatologyRecipe, mkInputs(bump = false))
+    }
+    assert(refusal.getMessage.contains(Engine.MigrateFlatLayoutConf))
+
     // Identical inputs would classify every unit 'skip' against the old
     // ledger — but the flat data is about to be cleared, so the engine
     // must drop the ledger too and re-derive EVERYTHING, or skipped
     // units' rows are silently lost.
-    val audit = engine.run(new ClimatologyRecipe, mkInputs(bump = false))
+    spark.conf.set(Engine.MigrateFlatLayoutConf, "true")
+    val audit = try engine.run(new ClimatologyRecipe, mkInputs(bump = false))
+    finally spark.conf.unset(Engine.MigrateFlatLayoutConf)
     assert(audit.groupBy("action").count().as[(String, Long)].collect().toMap
       == Map("insert" -> 3), "flat-layout migration must re-derive every unit")
     val out = spark.read.parquet(outDir)

@@ -532,7 +532,7 @@ class Hdf5Spec extends SparkSpec {
     val lat = Array(40f, 30f, 20f, 10f, 0f)
     val lon = Array(-30f, -20f, -10f, 0f, 10f, 20f, 30f)
     val data = Array.tabulate(h * w)(i => i * 0.5f)
-    val names = "HalleyVI" + "Vostok  " // 2 stations, width 8
+    val names = "HalleyVI" + "Vostok\u0000\u0000" // 2 stations, width 8
     Hdf5.write(
       Seq("lat" -> h, "lon" -> w, "station" -> 2, "strlen" -> 8),
       Seq(
