@@ -42,6 +42,18 @@ object FuzzSweep {
           Array.tabulate(gw * gh)(i => 220f + (i % 101) * 0.25f),
           -d / 2, 90 + d / 2, d, d)), predefinedGrid = Some(2))
       }, b => { Grib1.readAll(b); () }),
+      ("grib1-spectral-complex", {
+        val j = 8
+        val coefs = new Array[Double](2 * SphericalHarmonics.nCoefficients(j, j))
+        var ci = 0
+        for (mm <- 0 to j; nn <- mm to j) {
+          coefs(ci) = if (nn == 0 && mm == 0) 250.0 else 1.0 / ((nn + 1) * (nn + 1))
+          coefs(ci + 1) = 0.2 / (nn + mm + 2)
+          ci += 2
+        }
+        Grib1.writeSpectralComplex(coefs, j, j, subJ = 3, p = 0.5, 128, 130,
+          java.time.LocalDateTime.of(1989, 7, 15, 0, 0), 0)
+      }, b => { Grib1.readAll(b); () }),
       ("hdf5-vds", Hdf5.write(
         Seq("time" -> 3, "lat" -> 5, "lon" -> 7),
         Seq(NetCdf.Variable("lat", Seq("lat"), lat5, None),

@@ -296,29 +296,84 @@ object Grib1 {
     val base = refR / math.pow(10, dScale)
     val factor = math.pow(2, e) / math.pow(10, dScale)
     if ((bdsFlags & 0x08) != 0) {
-      // ---- spherical harmonic coefficients, simple packing (WMO
-      // Code Table 11 bit 1; the edition-1 twin of GRIB2 DRS 5.50):
-      // octets 12-15 hold the (0,0) real coefficient as an IBM
-      // float, the remaining coefficients pack from octet 16.
-      // ECMWF's COMPLEX spectral BDS (bit 2 set — the sub-spectrum +
-      // scaled-remainder GRIBEX form) keeps its octet layout in
-      // center documentation this clean-room codec does not rely
-      // on, so it dead-letters by name.
-      require((bdsFlags & 0x04) == 0,
-        "complex-packed spherical-harmonic GRIB1 not supported " +
-          "(GRIBEX sub-spectrum form; convert with eccodes first, or " +
-          "re-archive as GRIB2 DRS 5.51 which this codec reads)")
       require((bdsFlags & 0x01) == 0,
         "additional-flag (octet 14) GRIB1 forms not supported")
       require(bitmap == null, "bitmaps do not apply to spectral data")
       val nVals = 2 * SphericalHarmonics.nCoefficients(specJ, specM)
-      require(15 + ((nVals - 1).toLong * nbits + 7) / 8 <= bdsLen,
-        s"spectral data ($nVals x $nbits bits) overruns the BDS of $bdsLen octets")
       val coefs = new Array[Double](nVals)
-      coefs(0) = ibm32(u32(bytes, o + 11))
-      val r = new Grib2.BitReader(bytes, o + 15)
-      var ci = 1
-      while (ci < nVals) { coefs(ci) = base + r.get(nbits) * factor; ci += 1 }
+      if ((bdsFlags & 0x04) == 0) {
+        // ---- spherical harmonic coefficients, simple packing (WMO
+        // Code Table 11 bit 1; the edition-1 twin of GRIB2 DRS 5.50):
+        // octets 12-15 hold the (0,0) real coefficient as an IBM
+        // float, the remaining coefficients pack from octet 16.
+        require(15 + ((nVals - 1).toLong * nbits + 7) / 8 <= bdsLen,
+          s"spectral data ($nVals x $nbits bits) overruns the BDS of $bdsLen octets")
+        coefs(0) = ibm32(u32(bytes, o + 11))
+        val r = new Grib2.BitReader(bytes, o + 15)
+        var ci = 1
+        while (ci < nVals) { coefs(ci) = base + r.get(nbits) * factor; ci += 1 }
+      } else {
+        // ---- COMPLEX spectral packing (Code Table 11 bits 1+2): the
+        // GRIBEX sub-spectrum form of the ERA-15/ERA-40 native
+        // spectral archives, the edition-1 twin of GRIB2 DRS 5.51.
+        // Octet layout pinned by the public eccodes GRIBEX path
+        // (definitions/grib1 spectral-complex branch +
+        // data_g1complex_packing; the reference reads these through
+        // eccodes via formats/grib.py:122-230): BDS octets 12-13 N
+        // (1-based BDS octet where packed data begin), 14-15 P (the
+        // Laplacian scaling power, sign-magnitude, 10^-3 units — the
+        // edition-2 template stores the same quantity in 10^-6),
+        // 16/17/18 the sub-spectrum truncation JS/KS/MS (one octet
+        // each), 19.. the sub-spectrum coefficients UNPACKED as IBM
+        // floats (decimal-scaled like every GRIB1 value), octet N..
+        // the remaining coefficients simple-packed after
+        // multiplication by (n(n+1))^P:
+        // value = (R + X*2^E) * 10^-D / (n(n+1))^P.
+        val pStart = u16(bytes, o + 11)
+        val specP = sm16(bytes, o + 13) * 1e-3
+        val sJ = u8(bytes, o + 15); val sK = u8(bytes, o + 16); val sM = u8(bytes, o + 17)
+        require(sJ == sK && sJ == sM,
+          s"unsupported GRIB1 spectral-complex subset truncation JS=$sJ KS=$sK MS=$sM " +
+            "(triangular subsets only — operational producers emit JS = KS = MS)")
+        require(sJ <= specJ && sJ <= specM,
+          s"sub-spectrum truncation $sJ exceeds field truncation J=$specJ M=$specM")
+        val nSub = 2 * SphericalHarmonics.nCoefficients(sJ, sJ)
+        require(pStart >= 19 + 4 * nSub,
+          s"packed-data pointer N=$pStart overlaps the $nSub-value unpacked sub-spectrum")
+        require(pStart - 1 + ((nVals - nSub).toLong * nbits + 7) / 8 <= bdsLen,
+          s"spectral data (${nVals - nSub} x $nbits bits from octet $pStart) " +
+            s"overruns the BDS of $bdsLen octets")
+        val dFac = math.pow(10, -dScale)
+        // 1/(n(n+1))^P per total wavenumber; n = 0 is always inside
+        // the sub-spectrum, so index 0 is never consumed
+        val scals = new Array[Double](specJ + 1)
+        var sn = 1
+        while (sn <= specJ) {
+          val op = math.pow(sn.toDouble * (sn + 1), specP)
+          scals(sn) = if (op != 0.0 && !op.isInfinite) 1.0 / op else 0.0
+          sn += 1
+        }
+        var hPos = o + 18 // IBM sub-spectrum block head (octet 19)
+        def sub(): Double = { val v = ibm32(u32(bytes, hPos)); hPos += 4; v }
+        val r = new Grib2.BitReader(bytes, o + pStart - 1)
+        var ci = 0; var m = 0
+        while (m <= specM) {
+          var n = m
+          if (m <= sJ) {
+            while (n <= sJ) {
+              coefs(ci) = sub() * dFac; coefs(ci + 1) = sub() * dFac
+              ci += 2; n += 1
+            }
+          }
+          while (n <= specJ) {
+            coefs(ci) = (base + r.get(nbits) * factor) * scals(n)
+            coefs(ci + 1) = (base + r.get(nbits) * factor) * scals(n)
+            ci += 2; n += 1
+          }
+          m += 1
+        }
+        require(ci == nVals, s"spectral-complex walk produced $ci of $nVals values")
+      }
       val sdata = SphericalHarmonics.synthesize(coefs, specJ, specM, ni, nj)
       return Grib2.Message(GeoTiff.Raster(ni, nj, sdata, west, north, px, py),
         discipline = 255, category = table, parameter = param,
@@ -645,6 +700,115 @@ object Grib1 {
       writeIbm(b, refBits)
       b.write(nbits)
       writeIbm(b, toIbm32(coefs(0))) // (0,0) real, octets 12-15
+      val w = new Grib2.BitWriter(b)
+      xs.foreach(x => w.put(x, nbits))
+      w.flush()
+      sectionBytes(b.toByteArray)
+    }
+    val body = pds ++ gds ++ bds
+    val total = 8 + body.length + 4
+    val head = new java.io.ByteArrayOutputStream()
+    head.write('G'); head.write('R'); head.write('I'); head.write('B')
+    head.write(total >> 16); head.write((total >> 8) & 0xff); head.write(total & 0xff)
+    head.write(1)
+    head.toByteArray ++ body ++ "7777".getBytes
+  }
+
+  /** Complex (GRIBEX sub-spectrum) spherical-harmonic fixture — the
+    * edition-1 twin of Grib2.writeSpectralComplex's 5.51 form: BDS
+    * octets 12-13 the packed-data pointer N, 14-15 the Laplacian
+    * power P (sign-magnitude, 10^-3 units), 16/17/18 the triangular
+    * sub-spectrum truncation, 19.. the sub-spectrum UNPACKED as
+    * decimal-scaled IBM floats, octet N.. the remainder simple-packed
+    * after multiplication by (n(n+1))^P. Coefficients in GRIB order
+    * (m = 0..M, n = m..J, (re, im) pairs). */
+  def writeSpectralComplex(coefs: Array[Double], j: Int, mMax: Int,
+                           subJ: Int, p: Double,
+                           table: Int, param: Int,
+                           refTime: java.time.LocalDateTime, forecastHours: Int,
+                           decimals: Int = 3): Array[Byte] = {
+    val nVals = 2 * SphericalHarmonics.nCoefficients(j, mMax)
+    require(coefs.length == nVals,
+      s"${coefs.length} coefficient values for truncation J=$j M=$mMax (need $nVals)")
+    require(subJ >= 0 && subJ < j && subJ <= mMax,
+      s"sub-spectrum truncation $subJ must sit inside J=$j M=$mMax")
+    // split the GRIB-order walk into sub-spectrum and packed remainder
+    val subVals = scala.collection.mutable.ArrayBuffer[Double]()
+    val packVals = scala.collection.mutable.ArrayBuffer[(Double, Int)]() // (value, n)
+    var ci = 0; var m = 0
+    while (m <= mMax) {
+      var n = m
+      if (m <= subJ) {
+        while (n <= subJ) {
+          subVals += coefs(ci); subVals += coefs(ci + 1); ci += 2; n += 1
+        }
+      }
+      while (n <= j) {
+        packVals += ((coefs(ci), n)); packVals += ((coefs(ci + 1), n)); ci += 2; n += 1
+      }
+      m += 1
+    }
+    require(packVals.nonEmpty, "sub-spectrum swallows every coefficient")
+    val scale = math.pow(10, decimals)
+    val scaled = packVals.map { case (v, n) =>
+      v * scale * math.pow(n.toDouble * (n + 1), p)
+    }
+    val refBits = toIbm32(math.floor(scaled.min))
+    val refR = ibm32(refBits)
+    val xs = scaled.map(v => math.round(v - refR))
+    require(xs.forall(_ >= 0), "reference value above a coefficient")
+    val nbits = math.max(1,
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, xs.max))).toInt
+    require(nbits <= 24, s"spectral packing width $nbits too wide")
+    val pds = {
+      val b = new java.io.ByteArrayOutputStream()
+      def w8(v: Int) = b.write(v & 0xff)
+      def w16(v: Int) = { w8(v >> 8); w8(v) }
+      w8(table); w8(98); w8(0); w8(255)
+      w8(0x80) // GDS present, no BMS
+      w8(param)
+      w8(1); w16(0) // level type/value
+      val t = refTime
+      w8(t.getYear % 100 match { case 0 => 100; case y => y })
+      w8(t.getMonthValue); w8(t.getDayOfMonth); w8(t.getHour); w8(t.getMinute)
+      w8(1) // hours
+      w8(forecastHours); w8(0); w8(0)
+      w16(0); w8(0)
+      w8((t.getYear - 1) / 100 + 1)
+      w8(0)
+      w16(decimals)
+      sectionBytes(b.toByteArray)
+    }
+    val gds = {
+      val b = new java.io.ByteArrayOutputStream()
+      def w8(v: Int) = b.write(v & 0xff)
+      def w16(v: Int) = { w8(v >> 8); w8(v) }
+      w8(0); w8(255) // NV = 0; no PV/PL
+      w8(50) // spherical harmonic coefficients
+      w16(j); w16(j); w16(mMax) // J, K, M (triangular)
+      w8(1); w8(1) // representation type / mode
+      (15 to 32).foreach(_ => w8(0)) // reserved through octet 32
+      sectionBytes(b.toByteArray)
+    }
+    val nSub = subVals.length
+    val bds = {
+      val b = new java.io.ByteArrayOutputStream()
+      def w8(v: Int) = b.write(v & 0xff)
+      def w16sm(v: Int) = { // sign-magnitude 16
+        val mag = math.abs(v)
+        w8((if (v < 0) 0x80 else 0) | (mag >> 8)); w8(mag)
+      }
+      val dataBits = xs.length.toLong * nbits
+      val unused = ((8 - dataBits % 8) % 8).toInt
+      b.write(0xc0 | unused) // flags: SH, complex; unused-bit count
+      b.write(0); b.write(0) // E = 0
+      writeIbm(b, refBits)
+      b.write(nbits)
+      val pStart = 19 + 4 * nSub // packed data right after the IBM block
+      b.write(pStart >> 8); b.write(pStart & 0xff) // octets 12-13: N
+      w16sm(math.round(p * 1000).toInt) // octets 14-15: P in 10^-3 units
+      w8(subJ); w8(subJ); w8(subJ) // octets 16-18: JS/KS/MS
+      subVals.foreach(v => writeIbm(b, toIbm32(v * scale)))
       val w = new Grib2.BitWriter(b)
       xs.foreach(x => w.put(x, nbits))
       w.flush()

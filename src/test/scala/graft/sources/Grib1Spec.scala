@@ -432,16 +432,12 @@ class Grib1Spec extends SparkSpec {
     java.nio.file.Files.write(dir.resolve("z500_19940301T00.grib"), good)
     val df = Formats.ingestDir(spark, dir.toString)
     assert(df.count() == 14 * 7)
-    // complex SH flag (bit 2) dead-letters by name
+    // a type-50 GDS with a grid-point BDS (SH flag cleared) is loud
     val bdsAt = {
       var o = 8 + 28
       val gdsLen = ((good(o) & 0xff) << 16) | ((good(o + 1) & 0xff) << 8) | (good(o + 2) & 0xff)
       o + gdsLen
     }
-    val cx = good.clone(); cx(bdsAt + 3) = (cx(bdsAt + 3) | 0x40).toByte
-    val e1 = intercept[IllegalArgumentException](Grib1.read(cx))
-    assert(e1.getMessage.contains("complex-packed spherical-harmonic"), e1.getMessage)
-    // a type-50 GDS with a grid-point BDS (SH flag cleared) is loud too
     val gp = good.clone(); gp(bdsAt + 3) = (gp(bdsAt + 3) & 0x7f).toByte
     val e2 = intercept[IllegalArgumentException](Grib1.read(gp))
     assert(e2.getMessage.contains("type-50 GDS with a grid-point BDS"), e2.getMessage)
@@ -449,5 +445,92 @@ class Grib1Spec extends SparkSpec {
     val pent = good.clone(); pent(8 + 28 + 9) = (j + 1).toByte
     val e3 = intercept[IllegalArgumentException](Grib1.read(pent))
     assert(e3.getMessage.contains("triangular"), e3.getMessage)
+  }
+
+  // ---- complex (GRIBEX sub-spectrum) spherical harmonics ------------
+
+  test("complex-packed SH decodes to the same raster as simple SH and GRIB2 5.51") {
+    val j = 10
+    val t0 = java.time.LocalDateTime.of(1989, 7, 15, 12, 0)
+    val coefs = shCoefs(j) { (n, m) =>
+      if (n == 0 && m == 0) (287.6, 0.0)
+      else (1.2 / ((n + 1) * (n + 1)) - 0.01 * m, 0.4 / (n + m + 2))
+    }
+    val cplx = Grib1.read(Grib1.writeSpectralComplex(coefs, j, j, subJ = 3,
+      p = 0.5, 128, 130, t0, 12, decimals = 4))
+    val simple = Grib1.read(Grib1.writeSpectral(coefs, j, j, 128, 130, t0, 12,
+      decimals = 4))
+    val g2 = Grib2.read(Grib2.writeSpectral(coefs, j, j, 0, 0, 130, t0, 12,
+      decimals = 4, complexSubJ = 3, laplacianP = 0.5))
+    assert(cplx.raster.width == 2 * (j + 1) && cplx.raster.height == j + 1)
+    assert(cplx.refTime == t0 && cplx.forecastHours == 12 && !cplx.lossy)
+    assert(cplx.category == 128 && cplx.parameter == 130 && cplx.discipline == 255)
+    for (i <- cplx.raster.data.indices) {
+      assert(math.abs(cplx.raster.data(i) - simple.raster.data(i)) < 5e-3,
+        s"pixel $i: complex ${cplx.raster.data(i)} vs simple ${simple.raster.data(i)}")
+      assert(math.abs(cplx.raster.data(i) - g2.raster.data(i)) < 5e-3,
+        s"pixel $i: GRIB1 complex ${cplx.raster.data(i)} vs 5.51 ${g2.raster.data(i)}")
+    }
+  }
+
+  test("complex SH Laplacian scaling actually applies (negative P round-trips)") {
+    val j = 7
+    val t0 = java.time.LocalDateTime.of(1989, 7, 15, 0, 0)
+    val coefs = shCoefs(j)((n, m) =>
+      (if (n == 0 && m == 0) 55.0 else 0.8 / (n + 1), 0.05 * m))
+    val neg = Grib1.read(Grib1.writeSpectralComplex(coefs, j, j, subJ = 2,
+      p = -0.5, 128, 130, t0, 0, decimals = 4))
+    val simple = Grib1.read(Grib1.writeSpectral(coefs, j, j, 128, 130, t0, 0,
+      decimals = 4))
+    // negative P DIVIDES by (n(n+1))^0.5 before quantization, so the
+    // quantization step widens by up to sqrt(J(J+1)) on descale — the
+    // band is about amplification (a missing descale would be off by
+    // orders of magnitude), not bit-exactness
+    for (i <- neg.raster.data.indices)
+      assert(math.abs(neg.raster.data(i) - simple.raster.data(i)) < 2e-2,
+        s"pixel $i: P=-0.5 ${neg.raster.data(i)} vs simple ${simple.raster.data(i)}")
+  }
+
+  test("complex SH corrupt sub-spectrum octets are loud, not silently mis-decoded") {
+    val j = 6
+    val t0 = java.time.LocalDateTime.of(1989, 7, 15, 0, 0)
+    val coefs = shCoefs(j)((n, m) =>
+      (if (n == 0 && m == 0) 55.0 else 0.8 / (n + 1), 0.05 * m))
+    val good = Grib1.writeSpectralComplex(coefs, j, j, subJ = 2, p = 0.5,
+      128, 130, t0, 0)
+    val bdsAt = {
+      var o = 8 + 28
+      val gdsLen = ((good(o) & 0xff) << 16) | ((good(o + 1) & 0xff) << 8) | (good(o + 2) & 0xff)
+      o + gdsLen
+    }
+    assert(Grib1.read(good).raster.width == 2 * (j + 1)) // the offsets are right
+    // pentagonal subset (KS != JS, BDS octet 17)
+    val pent = good.clone(); pent(bdsAt + 16) = 3.toByte
+    val e1 = intercept[IllegalArgumentException](Grib1.read(pent))
+    assert(e1.getMessage.contains("triangular subsets"), e1.getMessage)
+    // subset exceeding the field truncation
+    val big = good.clone()
+    big(bdsAt + 15) = (j + 1).toByte; big(bdsAt + 16) = (j + 1).toByte
+    big(bdsAt + 17) = (j + 1).toByte
+    val e2 = intercept[IllegalArgumentException](Grib1.read(big))
+    assert(e2.getMessage.contains("exceeds field truncation"), e2.getMessage)
+    // packed-data pointer N overlapping the unpacked block (octets 12-13)
+    val ovl = good.clone(); ovl(bdsAt + 11) = 0.toByte; ovl(bdsAt + 12) = 19.toByte
+    val e3 = intercept[IllegalArgumentException](Grib1.read(ovl))
+    assert(e3.getMessage.contains("overlaps"), e3.getMessage)
+  }
+
+  test("complex SH ingests through the production registry") {
+    val j = 8
+    val t0 = java.time.LocalDateTime.of(1989, 7, 15, 6, 0)
+    val coefs = shCoefs(j)((n, m) =>
+      (if (n == 0 && m == 0) 500.0 else 2.0 / ((n + 1) * (m + 1)), -0.1 / (n + 1)))
+    val bytes = Grib1.writeSpectralComplex(coefs, j, j, subJ = 4, p = 0.5,
+      128, 129, t0, 6)
+    assert(Formats.sniff(bytes).map(_.name).contains("grib1"))
+    val dir = java.nio.file.Files.createTempDirectory("g1shc")
+    java.nio.file.Files.write(dir.resolve("z500_19890715T06.grib"), bytes)
+    val df = Formats.ingestDir(spark, dir.toString)
+    assert(df.count() == 2 * (j + 1) * (j + 1))
   }
 }
