@@ -26,7 +26,7 @@ object Explain {
       "s_ann_pq_rerank" -> "ADC candidates broadcast; raw vectors opened for 20 rows/query",
       "a21_pivot" -> "pivot = ONE hash aggregate, no distinct-values pre-pass",
       "d_repeated_spans" -> "input-spread exchange, then windowing as a projection; distinct-agg's two exchanges ship reduced partials; no joins",
-      "d_span_coverage" -> "dup detection = min/max window on the h exchange (no materialize, no self-join); interval merge rides the per-doc window partitioning",
+      "d_span_coverage" -> "dup detection = map-side-combinable min/max hash AGGREGATE (no sort anywhere); a duplicated-hash bloom (scalar subquery) prunes singleton spans MAP-SIDE before any exchange; exact semi-join kills bloom FPs; interval merge rides the per-doc window partitioning",
       "j8b_asof_native" -> "custom-operator as-of; small right side auto-picks the broadcast exec: zero shuffles/sorts",
       "d_minhash_lsh" -> "capped LSH: ONE two-phase bounded_ids aggregate materializes buckets (NULL past the cap = hot-bucket exclusion); pairs stream from two Generates — the band stream crosses the wire once",
       "d_decontaminate_ngram" -> "gate below the shingle explode (one hash pass per doc); per-side dedup rides the join's h partitioning — each gram stream exchanges ONCE",

@@ -92,26 +92,40 @@ object SoakAnn {
     // recall here is the adversarial floor, not the seeded-duplicate
     // recall (which is perfect; see SCALE.md / SoakDedup).
     println(f"[soak-ann] LSH recall@10          ${recall(lsh)}%8.3f")
-    val (cents, assigned) = time("IVF build (16x2 kmeans+assign)") {
-      val c = Similarity.ivfKmeansCentroids(q, 16, 2)
+    // --cells=N sizes the coarse quantizer (default 16; ~sqrt(n)/8 is
+    // the right order at 1M+), --probe-sweep prints the recall-vs-
+    // probe-budget curve — the measurement behind "probes buy recall,
+    // each probe costs ~1/cells of the corpus read"
+    val kCells = args.find(_.startsWith("--cells=")).map(_.drop(8).toInt).getOrElse(16)
+    val (cents, assigned) = time(s"IVF build (${kCells}x2 kmeans+assign)") {
+      val c = Similarity.ivfKmeansCentroids(q, kCells, 2)
       val a = Similarity.assignNearest(q, c).cache()
       a.count()
       (c, a)
     }
-    val ivf = time("IVF probe+search top-10") {
+    def ivfAt(nProbe: Int): Map[Long, Set[Long]] = {
       val probe = queries.crossJoin(broadcast(cents))
         .withColumn("ccos",
           expr("CAST(aggregate(zip_with(qa, cq, (x, y) -> x * y), 0L, (acc, v) -> acc + v) AS DOUBLE)" +
             " / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(cnrm2 AS DOUBLE)))"))
       val wc = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cid").asc)
       val probed = probe.withColumn("crank", row_number().over(wc))
-        .filter(col("crank") <= 4).select("qid", "qa", "na", "cid")
+        .filter(col("crank") <= nProbe).select("qid", "qa", "na", "cid")
       val corpus = assigned.select(col("cid"), col("vec_id"), col("q").as("qb"), col("nrm2").as("nb"))
       topSets(probed.join(corpus, Seq("cid")).filter(col("qid") =!= col("vec_id"))
         .withColumn("cos", expr(Similarity.cosExpr))
         .withColumn("rank", row_number().over(w)).filter(col("rank") <= 10))
     }
-    println(f"[soak-ann] IVF recall@10 (4/16)   ${recall(ivf)}%8.3f")
+    val baseProbe = math.max(1, kCells / 4)
+    val ivf = time("IVF probe+search top-10") { ivfAt(baseProbe) }
+    println(f"[soak-ann] IVF recall@10 ($baseProbe/$kCells)   ${recall(ivf)}%8.3f")
+    if (args.contains("--probe-sweep"))
+      for (np <- Seq(1, 2, 4, 8, 16, 32).filter(n => n <= kCells && n != baseProbe)) {
+        val t0 = System.nanoTime()
+        val r = recall(ivfAt(np))
+        println(f"[soak-ann] IVF recall@10 ($np%2d/$kCells probes) $r%8.3f  " +
+          f"${(System.nanoTime() - t0) / 1e9}%6.2f s  ~${100.0 * np / kCells}%5.1f%% corpus read")
+      }
     val pqK = args.find(_.startsWith("--pqk=")).map(_.drop(6).toInt).getOrElse(16)
     val (cb, codes) = time(s"PQ train+encode (8x$pqK)") {
       val sub = Similarity.pqSub(q, 8, 8)

@@ -521,23 +521,41 @@ object Dedup {
     * doc whose every window duplicates still reports coverage 1.0, not
     * w×.
     *
-    * Plan shape: the raw span frame flows through exactly TWO
-    * exchanges — by h (cross-doc duplicate detection) and by id (the
-    * coverage merge) — and is never materialized or joined back to
-    * itself. "Shared by ≥2 distinct docs" is min(id) ≠ max(id) over
-    * the h-partition, computed as a windowed aggregate on the SAME
-    * pass that will emit the rows (replacing the earlier
-    * checkpoint + countDistinct groupBy + self-join: the checkpoint
-    * stored the pipeline's biggest exploded frame just to read it
-    * twice, and countDistinct's expand doubled it in flight — both
-    * strictly worse than one extra column per row at every scale). */
+    * Plan shape (the r12 singleton-pruning form — the r11 window over
+    * h carried the one measured super-linearity left at the 5M-doc
+    * soak: WindowExec sorts the full exploded frame and pays a
+    * per-group constant across ~300M one-row hash groups): singleton
+    * span hashes are the overwhelming majority and carry zero
+    * coverage signal, so they must never reach a second exchange.
+    * (1) duplicated-hash detection is groupBy(h).agg(min(id),
+    * max(id)), min≠max, over the span stream REPARTITIONED BY H —
+    * the pre-partitioning makes partial+final aggregation run
+    * in-stage over AQE-sized partitions; without it the map-side
+    * partial builds an input-split-sized hash map (9.5M keys/split at
+    * 5M docs) that spills into sort fallback and measures 2x WORSE
+    * than the window it replaces (ProfSpan, SCALE.md). (2) The narrow
+    * dup column materializes ONCE via a lazy localCheckpoint —
+    * exchange reuse does not cross the scalar-subquery boundary, so
+    * without it the whole dup pipeline evaluates twice. (3) A bloom
+    * over the duplicated hashes ([[graft.functions.BloomSemi]], the
+    * manual form of Spark's runtime-filter injection) prunes the
+    * second pass over the span stream MAP-SIDE, before any exchange —
+    * measured 2x end-to-end at 5M docs vs the same plan without it.
+    * (4) An exact left-semi join kills the bloom's false positives on
+    * the thinned survivors. The windowing projection runs twice (both
+    * passes re-derive spans from the documents), which measures far
+    * cheaper than materializing or sorting the exploded frame — the
+    * r9 checkpoint experiment stored the pipeline's biggest frame
+    * just to read it twice. */
   def spanCoverage(spansIn: DataFrame, w: Int = 20): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wh = Window.partitionBy("h")
+    val dup = spansIn.repartition(col("h")).groupBy("h")
+      .agg(min(col("id")).as("mn"), max(col("id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select("h")
+      .localCheckpoint(false)
     mergedCoverage(spansIn
-      .withColumn("min_id", min(col("id")).over(wh))
-      .withColumn("max_id", max(col("id")).over(wh))
-      .filter(col("min_id") =!= col("max_id"))
+      .filter(graft.functions.BloomSemi.probe(dup, "h", col("h")))
+      .join(dup, Seq("h"), "left_semi")
       .select(col("id"), col("n_tokens"), col("pos").as("start"),
         (col("pos") + (w - 1)).as("fin")))
   }

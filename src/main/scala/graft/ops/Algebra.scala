@@ -60,7 +60,11 @@ object Algebra {
 
   /** Content/identity hashing (SURVEY F11): sha256 over the sorted,
     * pipe-joined member checksums — the reference's recipe input_hash.
+    * The collection feeding this MUST be bounded
+    * ([[graft.functions.BoundedDigest.boundedSortedJoin]] does both
+    * steps with an O(cap) buffer) — never sort_array(collect_list),
+    * whose aggregation buffer is unbounded by construction.
     * Ref: processing/recipe.py:28-42. */
-  def inputHash(sortedChecksums: Column): Column =
-    sha2(array_join(sortedChecksums, "|"), 256)
+  def inputHash(checksums: Column): Column =
+    sha2(graft.functions.BoundedDigest.boundedSortedJoin(checksums), 256)
 }

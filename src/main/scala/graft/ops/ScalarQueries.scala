@@ -173,13 +173,18 @@ object ScalarQueries extends QueryModule {
     }),
 
     // F11 — identity hashing: input_hash = sha256 over sorted member
-    // checksums (recipe idempotency key).
+    // checksums (recipe idempotency key). The sort makes the digest
+    // order-canonical, which forces materializing the group — so the
+    // collection is the BOUNDED aggregate (loud failure past the cap),
+    // never collect_list, whose buffer an adversarial million-member
+    // unit would grow until an executor OOMs mid-aggregation.
     "f11_input_hash" -> ((s, dir) => {
       Tables.lineitem(s, dir)
         .select(col("l_orderkey"),
           md5(concat_ws("_", col("l_orderkey"), col("l_linenumber"))).as("checksum"))
         .groupBy("l_orderkey")
-        .agg(Algebra.inputHash(sort_array(collect_list(col("checksum")))).as("input_hash"))
+        .agg(sha2(graft.functions.BoundedDigest.boundedSortedJoin(col("checksum")), 256)
+          .as("input_hash"))
     })
   )
 
