@@ -87,8 +87,13 @@ object CurationQueries extends QueryModule {
       // evaluates the quality gate, so the final per-source stats
       // stage aggregates the id frame directly and the corpus text is
       // never re-read (or re-split) after this point.
+      // Shape hint from the SOURCE scan's stats: d2's own estimate is
+      // join-product-blown (153 GB at sf0.1) and would always pick
+      // spanCoverage's scalable shape; the docs scan estimate is the
+      // trustworthy scale signal (d2 ⊆ docs).
       val heavy = Dedup.spanCoverage(
-          Dedup.spanHashes(d2, "doc_id", "text", 20, spread = false), 20)
+          Dedup.spanHashes(d2, "doc_id", "text", 20, spread = false), 20,
+          sizeHint = Some(docs.queryExecution.optimizedPlan.stats.sizeInBytes))
         .filter(col("coverage") > 0.5).select("doc_id")
       val ids3 = stage("ids3 dedup+quality+span", () =>
         d2.select(col("doc_id"), col("source"),

@@ -546,16 +546,85 @@ object Dedup {
     * passes re-derive spans from the documents), which measures far
     * cheaper than materializing or sorting the exploded frame — the
     * r9 checkpoint experiment stored the pipeline's biggest frame
-    * just to read it twice. */
-  def spanCoverage(spansIn: DataFrame, w: Int = 20): DataFrame = {
+    * just to read it twice.
+    *
+    * The shape is ADAPTIVE — the same stats-vs-threshold decision
+    * Spark's JoinSelection makes for broadcast, applied one level up:
+    *
+    * - Below `graft.span.windowShapeMaxBytes` (default 16 MB of
+    *   ESTIMATED span bytes — Catalyst's own sizeInBytes for the
+    *   spansIn plan) the r11 single-pass window shape runs: min/max
+    *   over h as window functions, one job, one pass over the spans,
+    *   and — decisive inside the curation pipeline — no checkpoint or
+    *   subquery boundary, so the span branch fuses into its consumer
+    *   job and the upstream exchanges dedupe via ReusedExchange.
+    *   This shape is 2x cheaper below ~1M docs (0.36 s vs 0.68 s at
+    *   sf0.1; 8.1 s vs 9.4 s at 1M, SCALE.md) and melts down above
+    *   (it sorts the full exploded frame: 163 s at 5M).
+    * - Above the threshold, the r12 scalable shape. Its second pass
+    *   is itself adaptive on the EXACT duplicated-hash count (free
+    *   once dup is checkpointed): when the dup set fits a broadcast
+    *   (`graft.span.broadcastDupLimit`, default 4M keys ≈ tens of MB
+    *   of longs) the thinning is a single broadcast left-semi join —
+    *   no bloom-build job, no exchange of the span stream. Past the
+    *   limit the bloom+shuffle-semi plan runs, with the bloom sized
+    *   FROM the measured count (items = nDup, bits for ~3% fpp,
+    *   capped at 2^28 ≈ 32 MB broadcast payload; a warn names the
+    *   cap when the count outruns it — the r12 fixed 4M/2^25 sizing
+    *   degraded silently past the 5M-doc soak).
+    *
+    * Estimate failure modes are asymmetric by construction: non-CBO
+    * stats only ever propagate SHRINK-free (filters keep child size),
+    * joins MULTIPLY them, and an unknown size defaults to
+    * spark.sql.defaultSizeInBytes (huge) — all err toward the
+    * scalable shape, which is correct at any size, merely ~2x slower
+    * at bench scale. A caller whose span stream sits above joins
+    * (whose product-blown stats would always pick the scalable shape
+    * — the curation pipeline's d2 estimates 153 GB at sf0.1) passes
+    * `sizeHint` captured at SCAN level, where Catalyst's estimate is
+    * trustworthy. */
+  def spanCoverage(spansIn: DataFrame, w: Int = 20,
+                   sizeHint: Option[BigInt] = None): DataFrame = {
+    val conf = spansIn.sparkSession.conf
+    val windowMax = conf.getOption("graft.span.windowShapeMaxBytes")
+      .map(_.toLong).getOrElse(16L << 20)
+    val est = sizeHint.getOrElse(
+      spansIn.queryExecution.optimizedPlan.stats.sizeInBytes)
+    if (est <= windowMax) {
+      import org.apache.spark.sql.expressions.Window
+      val wh = Window.partitionBy("h")
+      return mergedCoverage(spansIn
+        .withColumn("mn", min(col("id")).over(wh))
+        .withColumn("mx", max(col("id")).over(wh))
+        .filter(col("mn") =!= col("mx"))
+        .select(col("id"), col("n_tokens"), col("pos").as("start"),
+          (col("pos") + (w - 1)).as("fin")))
+    }
     val dup = spansIn.repartition(col("h")).groupBy("h")
       .agg(min(col("id")).as("mn"), max(col("id")).as("mx"))
       .filter(col("mn") =!= col("mx"))
       .select("h")
       .localCheckpoint(false)
-    mergedCoverage(spansIn
-      .filter(graft.functions.BloomSemi.probe(dup, "h", col("h")))
-      .join(dup, Seq("h"), "left_semi")
+    val nDup = dup.count() // materializes the lazy checkpoint (one pass)
+    val bcastLimit = conf.getOption("graft.span.broadcastDupLimit")
+      .map(_.toLong).getOrElse(4L * 1000 * 1000)
+    val thinned =
+      if (nDup <= bcastLimit)
+        spansIn.join(broadcast(dup), Seq("h"), "left_semi")
+      else {
+        // ~3% fpp wants n*7.3 bits; cap bounds the broadcast payload.
+        val wantBits = math.max(nDup * 8L, 1L << 20)
+        val bits = math.min(wantBits, 1L << 28)
+        if (bits < wantBits)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"spanCoverage bloom capped at 2^28 bits for $nDup duplicated " +
+              "hashes; false-positive rate degrades (results stay exact " +
+              "via the semi-join) — raise the cap or partition the corpus")
+        spansIn.filter(graft.functions.BloomSemi.probe(
+            dup, "h", col("h"), items = nDup, bits = bits))
+          .join(dup, Seq("h"), "left_semi")
+      }
+    mergedCoverage(thinned
       .select(col("id"), col("n_tokens"), col("pos").as("start"),
         (col("pos") + (w - 1)).as("fin")))
   }

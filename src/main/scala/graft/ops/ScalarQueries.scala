@@ -183,8 +183,7 @@ object ScalarQueries extends QueryModule {
         .select(col("l_orderkey"),
           md5(concat_ws("_", col("l_orderkey"), col("l_linenumber"))).as("checksum"))
         .groupBy("l_orderkey")
-        .agg(sha2(graft.functions.BoundedDigest.boundedSortedJoin(col("checksum")), 256)
-          .as("input_hash"))
+        .agg(Algebra.inputHash(col("checksum")).as("input_hash"))
     })
   )
 

@@ -350,7 +350,14 @@ object Grib1 {
         var sn = 1
         while (sn <= specJ) {
           val op = math.pow(sn.toDouble * (sn + 1), specP)
-          scals(sn) = if (op != 0.0 && !op.isInfinite) 1.0 / op else 0.0
+          // loud failure, matching the decoder's dead-letter-by-name
+          // convention: a P extreme enough to under/overflow the
+          // double range would silently zero whole wavenumbers
+          require(op != 0.0 && !op.isInfinite,
+            s"GRIB1 spectral-complex Laplacian scale (n(n+1))^P " +
+              s"unrepresentable at n=$sn, P=$specP (operator under/" +
+              "overflow would silently zero coefficients)")
+          scals(sn) = 1.0 / op
           sn += 1
         }
         var hPos = o + 18 // IBM sub-spectrum block head (octet 19)

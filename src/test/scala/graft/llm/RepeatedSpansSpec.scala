@@ -72,6 +72,33 @@ class RepeatedSpansSpec extends SparkSpec {
     }
   }
 
+  test("all three adaptive shapes agree: window, broadcast-semi, bloom+shuffle-semi") {
+    // spanCoverage picks its plan shape from size estimates/confs; the
+    // three shapes must be result-identical on a corpus with known
+    // coverage (docs 1,2 fully duplicated; 4,5 share one island).
+    val t = w(22, "s"); val shared = w(20, "p")
+    val docs = Seq(
+      (1L, t), (2L, t), (3L, w(30, "z")),
+      (4L, s"$shared ${w(6, "x")}"), (5L, s"${w(3, "y")} $shared")
+    ).toDF("doc_id", "text")
+    def run(): Map[Long, (Long, Double)] =
+      Dedup.spanCoverage(Dedup.spanHashes(docs, "doc_id", "text", 20), 20)
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("covered_tokens"), r.getAs[Double]("coverage"))).toMap
+    val window = run() // tiny estimate → window shape
+    spark.conf.set("graft.span.windowShapeMaxBytes", "0")
+    val bcast = run() // scalable shape, dup set under the broadcast limit
+    spark.conf.set("graft.span.broadcastDupLimit", "0")
+    val bloom = run() // scalable shape, bloom + shuffle semi-join
+    spark.conf.unset("graft.span.windowShapeMaxBytes")
+    spark.conf.unset("graft.span.broadcastDupLimit")
+    assert(window.keySet == Set(1L, 2L, 4L, 5L))
+    assert(window(4L)._1 == 20L && window(1L)._2 == 1.0)
+    assert(bcast == window)
+    assert(bloom == window)
+  }
+
   test("coverage with a gap counts both islands once each") {
     val shared = w(20, "s")
     // doc 1: [shared][5 filler][shared again] — two disjoint islands of
