@@ -336,6 +336,49 @@ class StreamCurationSpec extends SparkSpec {
       s"expected the named legacy-state guard, got: ${e.getMessage}")
   }
 
+  test("_band_format guard: 16-bit-era band state fails by name; sentinel'd and fresh dirs load") {
+    import spark.implicits._
+    // (1) fresh dir: first open must stamp the sentinel
+    val fresh = java.nio.file.Files.createTempDirectory("graft-bandfmt-fresh-").toString
+    StreamCuration.ensureStateTables(spark, fresh)
+    val freshSentinel = new java.io.File(fresh, "_band_format")
+    assert(freshSentinel.isFile, "a fresh state dir must get the _band_format sentinel")
+    assert(scala.io.Source.fromFile(freshSentinel).mkString.trim
+      == StreamCuration.BandFormatVersion)
+
+    // (2) 16-bit-slot-era state: sub-2^32 band keys, no sentinel —
+    // must fail BY NAME, not silently return zero matches forever
+    val legacy = java.nio.file.Files.createTempDirectory("graft-bandfmt-legacy-").toString
+    Seq((1L, 1, 123456789L), (2L, 2, 42L))
+      .toDF("id", "band", "key").write.mode("append").parquet(s"$legacy/bands")
+    val e = intercept[IllegalArgumentException](
+      StreamCuration.ensureStateTables(spark, legacy))
+    assert(e.getMessage.contains("16-bit-minhash-slot"),
+      s"expected the named band-format guard, got: ${e.getMessage}")
+    assert(!new java.io.File(legacy, "_band_format").exists,
+      "a failed format check must not stamp the sentinel")
+
+    // (3) sentinel-less dir with NEW-format keys (two 31-bit slots ≈
+    // ≥ 2^32): value-space classifier accepts it and stamps the
+    // sentinel, so the scan runs at most once per dir
+    val upgraded = java.nio.file.Files.createTempDirectory("graft-bandfmt-up-").toString
+    Seq((1L, 1, (3L << 32) + 7L), (2L, 2, 42L))
+      .toDF("id", "band", "key").write.mode("append").parquet(s"$upgraded/bands")
+    StreamCuration.ensureStateTables(spark, upgraded)
+    assert(new java.io.File(upgraded, "_band_format").isFile,
+      "a value-space-classified new-format dir must be stamped")
+
+    // (4) sentinel'd dir loads without re-running the classifier even
+    // though its keys alone would classify as 16-bit-era (the sentinel
+    // is authoritative — e.g. a small corpus whose keys happen low)
+    val stamped = java.nio.file.Files.createTempDirectory("graft-bandfmt-stamped-").toString
+    Seq((1L, 1, 42L)).toDF("id", "band", "key")
+      .write.mode("append").parquet(s"$stamped/bands")
+    val out = new java.io.FileOutputStream(new java.io.File(stamped, "_band_format"))
+    out.write(StreamCuration.BandFormatVersion.getBytes("UTF-8")); out.close()
+    StreamCuration.ensureStateTables(spark, stamped) // must not throw
+  }
+
   test("a missing bloom sidecar over existing state heals, and the healed bloom still drops pre-sidecar duplicates") {
     val ids = docs.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
     val (c1, c2, maxId) = (ids(ids.length / 3), ids(2 * ids.length / 3), ids.last)
