@@ -154,27 +154,29 @@ object SoakAnn {
     // Production two-stage shape: ADC top-100 candidates, exact-cosine
     // re-rank — raw vectors are touched for 100 rows/query instead of
     // the whole corpus (1000× less I/O at this corpus size).
-    val pqRr = time("PQ ADC top-100 + rerank") {
+    def pqLut = {
       val sub = Similarity.pqSub(q, 8, 8)
-      val lut = sub.filter(col("vec_id") < 100)
+      sub.filter(col("vec_id") < 100)
         .select(col("vec_id").as("qid"), col("m"), col("sv"), col("snrm2"))
         .join(broadcast(cb), Seq("m"))
         .withColumn("d2", col("snrm2") + col("cnrm2") - lit(2L) *
           expr("aggregate(zip_with(sv, cq, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
         .select("qid", "m", "cid", "d2")
-      val wd = Window.partitionBy(col("qid")).orderBy(col("adist2").asc, col("vec_id").asc)
-      val cand = codes.join(broadcast(lut), Seq("m", "cid"))
-        .filter(col("vec_id") =!= col("qid"))
-        .groupBy("qid", "vec_id").agg(sum("d2").as("adist2"))
-        .withColumn("rank", row_number().over(wd)).filter(col("rank") <= 100)
-        .select("qid", "vec_id")
-      topSets(cand
-        .join(q.select(col("vec_id"), col("q").as("qb"), col("nrm2").as("nb")), Seq("vec_id"))
-        .join(queries, Seq("qid"))
-        .withColumn("cos", expr(Similarity.cosExpr))
-        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 10))
+    }
+    val pqRr = time("PQ ADC top-100 + rerank") {
+      topSets(Similarity.pqRerankTopK(codes, pqLut, q, queries, 10, 100))
     }
     println(f"[soak-ann] PQ+rerank recall@10    ${recall(pqRr)}%8.3f")
+    // The adaptive window (α·points/cells): sized to expected cluster
+    // membership, so recall holds where the fixed window collapses —
+    // cells = the seeded cluster count on the clustered corpus, else
+    // the coarse quantizer's k.
+    val adaptiveW = Similarity.adaptiveRerankWindow(
+      nVecs, if (clustered) 200L else kCells.toLong)
+    val pqAd = time(s"PQ ADC + adaptive rerank@$adaptiveW") {
+      topSets(Similarity.pqRerankTopK(codes, pqLut, q, queries, 10, adaptiveW))
+    }
+    println(f"[soak-ann] PQ+adaptive recall@10  ${recall(pqAd)}%8.3f  (window $adaptiveW)")
 
     // Residual IVF-PQ (the FAISS IVFPQ design): PQ quantizes x − c(x)
     // (the residual after the coarse cell centroid), so code cells are

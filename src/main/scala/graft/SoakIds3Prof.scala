@@ -40,7 +40,10 @@ object SoakIds3Prof {
       val d2 = d1.filter(quality >= 0.3)
       t("d2 quality-gated count") { d2.select("doc_id").write.mode("overwrite").format("noop").save() }
       val sh = graft.llm.Dedup.spanHashes(d2, "doc_id", "text", 20, spread = false)
-      val heavy = graft.llm.Dedup.spanCoverage(sh, 20)
+      // lazy: the scalable spanCoverage shape runs its dup-detection
+      // jobs at construction — first dereference is inside the timed
+      // span stage, so those jobs stay attributed to it
+      lazy val heavy = graft.llm.Dedup.spanCoverage(sh, 20)
         .filter(col("coverage") > 0.5).select("doc_id")
       t("span coverage (full)") { heavy.write.mode("overwrite").format("noop").save() }
       t("ids3 slim anti-join") {

@@ -90,8 +90,11 @@ object CurationQueries extends QueryModule {
       // Shape hint from the SOURCE scan's stats: d2's own estimate is
       // join-product-blown (153 GB at sf0.1) and would always pick
       // spanCoverage's scalable shape; the docs scan estimate is the
-      // trustworthy scale signal (d2 ⊆ docs).
-      val heavy = Dedup.spanCoverage(
+      // trustworthy scale signal (d2 ⊆ docs). LAZY because the
+      // scalable shape runs its dup-detection jobs at construction
+      // (the exact-count dispatch) — deferring construction into the
+      // ids3 stage keeps the soaks' per-stage attribution honest.
+      lazy val heavy = Dedup.spanCoverage(
           Dedup.spanHashes(d2, "doc_id", "text", 20, spread = false), 20,
           sizeHint = Some(docs.queryExecution.optimizedPlan.stats.sizeInBytes))
         .filter(col("coverage") > 0.5).select("doc_id")

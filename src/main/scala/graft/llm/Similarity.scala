@@ -300,6 +300,52 @@ object Similarity {
       .toDF("m", "cid", "cq", "cnrm2")
   }
 
+  /** The rerank-window sizing rule measured in SCALE.md's 1M ANN soak:
+    * bare-PQ ADC reliably lands in the right CLUSTER but cannot
+    * fine-rank inside it (low-bit codes), so a fixed-count rerank
+    * window under-samples cluster membership as the corpus grows —
+    * recall collapsed at 1M clustered vectors with rerank@100 while
+    * the same window was fine at 100k. Size the window to expected
+    * cluster population instead: α · points / cells (α ≥ 1 absorbs
+    * uneven cluster sizes), floored so tiny corpora still rerank a
+    * meaningful set. Cells = the corpus's cluster count (the coarse
+    * quantizer's k, or the known label cardinality). */
+  def adaptiveRerankWindow(points: Long, cells: Long,
+                           alpha: Double = 2.0, floor: Int = 20): Int =
+    math.max(floor,
+      math.ceil(alpha * points.toDouble / math.max(1L, cells)).toInt)
+
+  /** Two-stage PQ retrieval (the production serving shape): ADC over
+    * 4-byte codes picks `rerankWindow` candidates per query, exact
+    * quantized cosine re-ranks them to top-`k` — raw vectors are
+    * opened for rerankWindow rows/query instead of the corpus. Final
+    * scores are EXACT, so the approximation only moves which rows are
+    * considered, never their reported similarity.
+    *
+    * codes: (vec_id, m, cid) PQ-encoded corpus; lut: (qid, m, cid, d2)
+    * per-query ADC lookup table (broadcast-size: queries × m × k);
+    * corpus: (vec_id, q, nrm2) quantized vectors for the exact stage;
+    * queries: (qid, qa, na). Pass `rerankWindow =`
+    * [[adaptiveRerankWindow]] unless an oracle pins a constant. */
+  def pqRerankTopK(codes: DataFrame, lut: DataFrame, corpus: DataFrame,
+                   queries: DataFrame, k: Int, rerankWindow: Int): DataFrame = {
+    val wd = Window.partitionBy(col("qid")).orderBy(col("adist2").asc, col("vec_id").asc)
+    val cand = codes.join(broadcast(lut), Seq("m", "cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id").agg(sum("d2").as("adist2"))
+      .withColumn("crank", row_number().over(wd))
+      .filter(col("crank") <= rerankWindow)
+      .select("qid", "vec_id")
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
+    cand
+      .join(corpus.select(col("vec_id"), col("q").as("qb"), col("nrm2").as("nb")),
+        Seq("vec_id"))
+      .join(queries, Seq("qid"))
+      .withColumn("cos", expr(cosExpr))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("qid", "vec_id", "cos", "rank")
+  }
+
   /** Random-hyperplane LSH bucket (nPlanes bits) per vector. Signs are
     * md5-derived so both engines (and every executor) agree without a
     * shared random state; the table is precomputed once driver-side and

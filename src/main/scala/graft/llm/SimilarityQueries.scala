@@ -303,20 +303,13 @@ object SimilarityQueries extends QueryModule {
         .withColumn("d2", col("snrm2") + col("cnrm2") - lit(2L) *
           expr("q_dot(sv, cq)"))
         .select("qid", "m", "cid", "d2")
-      val wd = Window.partitionBy(col("qid")).orderBy(col("adist2").asc, col("vec_id").asc)
-      val cand = codes.join(broadcast(lut), Seq("m", "cid"))
-        .filter(col("vec_id") =!= col("qid"))
-        .groupBy("qid", "vec_id").agg(sum("d2").as("adist2"))
-        .withColumn("crank", row_number().over(wd)).filter(col("crank") <= 20)
-        .select("qid", "vec_id")
-      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
-      cand
-        .join(q.select(col("vec_id"), col("q").as("qb"), col("nrm2").as("nb")), Seq("vec_id"))
-        .join(q.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("qid"), col("q").as("qa"), col("nrm2").as("na")), Seq("qid"))
-        .withColumn("cos", expr(Similarity.cosExpr))
-        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
-        .select("qid", "vec_id", "cos", "rank")
+      // window 20 is ORACLE-PINNED (the DuckDB SQL carries the same
+      // constant); production sizing is Similarity.adaptiveRerankWindow
+      // (α·points/cells — the rule the 1M clustered soak measured).
+      Similarity.pqRerankTopK(codes, lut, q,
+        q.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("q").as("qa"), col("nrm2").as("na")),
+        k = 5, rerankWindow = 20)
     }),
 
     // IVF-PQ (the FAISS IVFPQ shape, no residual encoding): a learned

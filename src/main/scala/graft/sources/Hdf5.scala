@@ -701,6 +701,23 @@ object Hdf5 {
         precision = in.getShort(off + 10) & 0xffff,
         bitOffset = in.getShort(off + 8) & 0xffff)
       case 1 => Dt(1, size, (b0 & 1) != 0, signed = true, None, 8 + 12)
+      case 2 => // time (class 2 — the H5T_UNIX_D32/64 family): bit 0
+        // byte order, one 2-byte bit-precision property. Decoded as a
+        // SIGNED full-width integer: the public spec carries no sign
+        // flag and producers store time_t (signed) epoch seconds.
+        val tPrec = in.getShort(off + 8) & 0xffff
+        require(tPrec >= 1 && tPrec <= 8 * size,
+          s"time precision $tPrec over a $size-byte element")
+        Dt(2, size, (b0 & 1) != 0, signed = true, None, 8 + 2)
+      case 4 => // bitfield (class 4): the fixed-point layout minus the
+        // sign flag — 2-byte bit offset + 2-byte precision; padding
+        // bits are undefined, values are UNSIGNED fields
+        val bOff = in.getShort(off + 8) & 0xffff
+        val bPrec = in.getShort(off + 10) & 0xffff
+        require(bPrec >= 1 && bOff + bPrec <= 8 * size,
+          s"bitfield [$bOff, +$bPrec) exceeds the $size-byte element")
+        Dt(4, size, (b0 & 1) != 0, signed = false, None, 8 + 4,
+          precision = bPrec, bitOffset = bOff)
       case 3 => Dt(3, size, bigEndian = false, signed = false, None, 8)
       case 7 => Dt(7, size, bigEndian = false, signed = false, None, 8)
       case 8 => // enumeration (NC_ENUM — classification rasters like
@@ -850,6 +867,10 @@ object Hdf5 {
           (if (dt.signed) v.toLong else v & 0xffffffffL).toDouble
         case _ => (if (dt.bigEndian) beLong else in.getLong(off)).toDouble
       }
+      // time: full-width signed integer; bitfield: masked unsigned
+      // field — both are the fixed-point decode with their parsed
+      // sign/offset/precision, so delegate through a cls-0 view
+      case 2 | 4 => element(in, off, dt.copy(cls = 0))
       case 8 => element(in, off, dt.base.get) // enum: decode as its base
       case c => throw new IllegalArgumentException(s"non-numeric element class $c")
     }
@@ -1184,11 +1205,13 @@ object Hdf5 {
       case _ =>
     }
     require(dt != null, s"object at $addr is not a dataset")
-    require(dt.cls == 0 || dt.cls == 1 || dt.cls == 3 || dt.cls == 8 ||
+    require(dt.cls == 0 || dt.cls == 1 || dt.cls == 2 || dt.cls == 3 ||
+      dt.cls == 4 || dt.cls == 8 ||
       (dt.cls == 9 && dt.base.exists(_.cls == 3)) ||
       (dt.cls == 6 && dt.members.forall(m => m._3.cls == 0 || m._3.cls == 1)),
       s"unsupported dataset datatype class ${dt.cls} " +
-        "(numeric, enum, string, vlen-string and numeric-member compound only)")
+        "(numeric, time, bitfield, enum, string, vlen-string and " +
+        "numeric-member compound only)")
     // NOTE: the HDF5 fill MESSAGE is the allocation background, NOT a
     // missing-data sentinel — h5py files legitimately fill with 0 over
     // fully-written data, so injecting it as _FillValue would NaN real
@@ -2088,6 +2111,8 @@ object Hdf5 {
             virtualCrossFiles: Seq[(String, String)] = Nil,
             virtualPrintf: Option[String] = None,
             opaqueExtra: Boolean = false,
+            bitfieldExtra: Boolean = false,
+            timeExtra: Boolean = false,
             nbitPrecision: Option[Int] = None,
             scaleOffsetInt: Boolean = false,
             scaleOffsetDScale: Option[Int] = None,
@@ -2229,7 +2254,9 @@ object Hdf5 {
       }
     val allNames = dimSets.map(_._1) ++
       subgroup.map(Seq(_)).getOrElse(dataVars.map(_.name)) ++ vdsSrcNames ++
-      (if (opaqueExtra) Seq("runtime_meta") else Nil)
+      (if (opaqueExtra) Seq("runtime_meta") else Nil) ++
+      (if (bitfieldExtra) Seq("flags") else Nil) ++
+      (if (timeExtra) Seq("stamps") else Nil)
     val heapNames = (allNames ++
       (if (subgroup.isDefined) dataVars.map(_.name) else Nil) ++
       (if (denseRoot) Nil
@@ -2987,6 +3014,57 @@ object Hdf5 {
           bb.putLong(dataAddr.toLong); bb.putLong(16L)
         }, 18))
       ohAddrs("runtime_meta") = pos
+      raw(objectHeader(msgs))
+      padTo8()
+    }
+
+    // extra BITFIELD-typed dataset (class 4): 2-byte LE elements whose
+    // 5-bit value field sits at bit offset 2; every padding bit is
+    // written DIRTY (set) so the reader's mask is observable
+    if (bitfieldExtra) {
+      val vals = Seq(0, 5, 17, 31)
+      val dataAddr = pos
+      raw(bodyBuf({ bb =>
+        vals.foreach(v => bb.putShort((((v << 2) | 0xff83) & 0xffff).toShort))
+      }, 2 * vals.size))
+      padTo8()
+      val msgs = Seq(
+        0x01 -> dataspaceMsg(Seq(vals.size)),
+        0x03 -> bodyBuf({ bb =>
+          bb.put(0x14.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+          bb.putInt(2) // element size
+          bb.putShort(2.toShort) // bit offset
+          bb.putShort(5.toShort) // bit precision
+        }, 12),
+        0x08 -> bodyBuf({ bb =>
+          bb.put(3.toByte).put(1.toByte)
+          bb.putLong(dataAddr.toLong); bb.putLong((2L * vals.size))
+        }, 18))
+      ohAddrs("flags") = pos
+      raw(objectHeader(msgs))
+      padTo8()
+    }
+
+    // extra TIME-typed dataset (class 2, H5T_UNIX_D32LE shape):
+    // 4-byte LE signed epoch seconds (one pre-epoch value so the
+    // signed decode is observable); both exactly float-representable
+    if (timeExtra) {
+      val vals = Seq(1700000000, -86400)
+      val dataAddr = pos
+      raw(bodyBuf({ bb => vals.foreach(v => { bb.putInt(v); () }) }, 4 * vals.size))
+      padTo8()
+      val msgs = Seq(
+        0x01 -> dataspaceMsg(Seq(vals.size)),
+        0x03 -> bodyBuf({ bb =>
+          bb.put(0x12.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+          bb.putInt(4) // element size
+          bb.putShort(32.toShort) // bit precision
+        }, 10),
+        0x08 -> bodyBuf({ bb =>
+          bb.put(3.toByte).put(1.toByte)
+          bb.putLong(dataAddr.toLong); bb.putLong((4L * vals.size))
+        }, 18))
+      ohAddrs("stamps") = pos
       raw(objectHeader(msgs))
       padTo8()
     }

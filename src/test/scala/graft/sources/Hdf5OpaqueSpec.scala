@@ -34,8 +34,9 @@ class Hdf5OpaqueSpec extends SparkSpec {
   }
 
   test("other unsupported dataset classes still fail loudly") {
-    // patch the opaque dataset's class nibble (5) to 4 (bitfield) — a
-    // class that COULD be mis-decoded pixels, so it must dead-letter
+    // patch the opaque dataset's class nibble (5) to 11 (not a real
+    // HDF5 datatype class) — any unknown class must dead-letter, never
+    // be mis-decoded as pixels
     val good = fixture
     // datatype message body starts 0x15 (v1 | class 5), tag-len 8,
     // zeros, size 8, "metatag\0" — a 16-byte needle unique to the blob
@@ -51,7 +52,7 @@ class Hdf5OpaqueSpec extends SparkSpec {
     }
     assert(at >= 0, "opaque datatype message not found in fixture bytes")
     val bad = good.clone()
-    bad(at) = 0x14.toByte // v1 | class 4 (bitfield)
+    bad(at) = 0x1b.toByte // v1 | class 11 (no such class)
     val e = intercept[IllegalArgumentException] { Hdf5.read(bad) }
     assert(e.getMessage.contains("datatype class"), e.getMessage)
   }
