@@ -55,10 +55,14 @@ object ProfSpan13 {
           .filter(col("coverage") > 0.5).select("doc_id")
           .write.mode("overwrite").format("noop").save()
       }
-      t(s"p$pass probe BLOOM+shuffle semi + merge") {
+      t(s"p$pass r12-exact (lazy ckpt, bloom subquery)") {
+        val dup12 = sh.repartition(col("h")).groupBy("h")
+          .agg(min(col("id")).as("mn"), max(col("id")).as("mx"))
+          .filter(col("mn") =!= col("mx")).select("h")
+          .localCheckpoint(false) // NO count: subquery materializes it
         graft.llm.Dedup.mergedCoverage(
-          sh.filter(graft.functions.BloomSemi.probe(dup, "h", col("h")))
-            .join(dup, Seq("h"), "left_semi")
+          sh.filter(graft.functions.BloomSemi.probe(dup12, "h", col("h")))
+            .join(dup12, Seq("h"), "left_semi")
             .select(col("id"), col("n_tokens"), col("pos").as("start"),
               (col("pos") + 19).as("fin")))
           .filter(col("coverage") > 0.5).select("doc_id")

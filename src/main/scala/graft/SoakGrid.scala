@@ -1,0 +1,135 @@
+package graft
+
+import graft.sources.GeoTiff
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Raster-plane decade soak: the full serving pipeline — GeoTIFF
+  * ingest → z-ordered base store → persisted overview pyramid → zonal
+  * stats → routed overview serve — at two granule volumes a decade
+  * apart, with per-stage scaling ratios. The LLM half (dedup, ANN,
+  * streaming) has measured 10× curves in SCALE.md; this gives the
+  * geospatial half the same evidence standard. Every stage is the
+  * PRODUCTION operator (Formats.ingestDir, GridStore.writeZOrdered,
+  * OverviewServe.writeOverviews/readBbox, the j1 broadcast-containment
+  * zonal shape) so the soak cannot drift from what the bench rows run.
+  * Run: SPARK_DRIVER_MEM=48g sbt "runMain graft.SoakGrid [sizes,csv [edge]]". */
+object SoakGrid {
+  def main(args: Array[String]): Unit = {
+    val sizes = args.headOption.map(_.split(",").map(_.toInt).toSeq)
+      .getOrElse(Seq(40, 400))
+    val edge = if (args.length > 1) args(1).toInt else 512
+    val spark = Sessions.build(
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+
+    val stages = scala.collection.mutable.LinkedHashMap[String,
+      scala.collection.mutable.Buffer[(Int, Double)]]()
+    def record(size: Int, name: String, dt: Double): Unit = {
+      println(f"[soak-grid] g=$size%6d  $name%-26s $dt%8.3f s")
+      stages.getOrElseUpdate(name, scala.collection.mutable.Buffer()) += ((size, dt))
+    }
+
+    // 12 boundary boxes tiling the granule extent (the j1 shape's
+    // broadcast side at its production scale: boundaries are config)
+    import spark.implicits._
+    val west = -30.0; val north = 40.0; val pxDeg = 0.1
+    val span = edge * pxDeg
+    val boundaries = (0 until 12).map { i =>
+      val r = i / 4; val c = i % 4
+      (i.toLong, west + c * span / 4, west + (c + 1) * span / 4,
+        north - (r + 1) * span / 3, north - r * span / 3)
+    }.toDF("boundary_id", "bw", "be", "bs", "bn")
+
+    for (g <- sizes; pass <- 1 to 2) { // pass 1 warms JIT/codegen
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-soakgrid-$g-")
+      val day0 = java.time.LocalDate.of(2020, 1, 1)
+      val tGen0 = System.nanoTime()
+      for (k <- 0 until g) {
+        val data = Array.tabulate(edge * edge)(i =>
+          if ((i + k) % 41 == 0) Float.NaN else ((k * 131 + i) % 1000) * 0.1f)
+        java.nio.file.Files.write(
+          dir.resolve(f"precip_${day0.plusDays(k).format(
+            java.time.format.DateTimeFormatter.BASIC_ISO_DATE)}%s.tif"),
+          GeoTiff.write(GeoTiff.Raster(edge, edge, data, west, north, pxDeg, pxDeg)))
+      }
+      if (pass == 2)
+        println(f"[soak-grid] g=$g%6d  generated ${g}x${edge}x$edge " +
+          f"(${g.toLong * edge * edge / 1000000.0}%.1f Mpx) in " +
+          f"${(System.nanoTime() - tGen0) / 1e9}%.1f s (untimed)")
+
+      def stage[T](name: String)(f: => T): T = {
+        val t0 = System.nanoTime()
+        val r = f
+        if (pass == 2) record(g, name, (System.nanoTime() - t0) / 1e9)
+        r
+      }
+      val total0 = System.nanoTime()
+
+      // 1. ingest: production directory path (binaryFile → sniff →
+      // decode → long-form pixels with filename-derived time)
+      val px = stage("s1 ingest (decode+explode)") {
+        val p = graft.sources.Formats.ingestDir(spark, dir.toString)
+          .select(lit("precip").as("collection"), col("time").as("t"),
+            col("y").cast("int").as("tile_y"), col("x").cast("int").as("tile_x"),
+            col("v"), col("lon"), col("lat"))
+          .localCheckpoint()
+        p
+      }
+
+      // 2. base store: z-ordered parquet (2-D row-group pruning layout)
+      val base = s"$dir/store/base"
+      stage("s2 base store (zorder write)") {
+        grid.GridStore.writeZOrdered(
+          px.select("collection", "t", "tile_y", "tile_x", "v"), base)
+      }
+
+      // 3. overview pyramid: persisted cascade (levels 2, 4)
+      stage("s3 overview pyramid") {
+        serve.OverviewServe.writeOverviews(spark, base, Seq(2, 4))
+      }
+
+      // 4. zonal stats: the j1 broadcast-containment shape over the
+      // ingested pixels, per (boundary, day)
+      stage("s4 zonal stats (12 zones)") {
+        px.join(broadcast(boundaries),
+            col("lon") >= col("bw") && col("lon") < col("be") &&
+            col("lat") >= col("bs") && col("lat") < col("bn"))
+          .groupBy("boundary_id", "t")
+          .agg((sum(col("v").cast("long")).cast("double") / count(lit(1))).as("zmean"),
+            min("v").as("zmin"), max("v").as("zmax"), count(lit(1)).as("zcount"))
+          .write.mode("overwrite").format("noop").save()
+      }
+
+      // 5. serve: routed coarse read (whole extent, resolution that
+      // selects the _ov4 table) across the full time range — the tile
+      // server's zoomed-out scan, paying 1/16 of the base rows
+      stage("s5 served overview read") {
+        serve.OverviewServe.readBbox(spark, base, Seq(1, 2, 4),
+            basePxDeg = pxDeg, requestedPxDeg = pxDeg * 5,
+            from = "2019-01-01", to = "2030-12-31",
+            tx0 = 0, tx1 = edge - 1, ty0 = 0, ty1 = edge - 1)
+          .write.mode("overwrite").format("noop").save()
+      }
+
+      if (pass == 2) {
+        val total = (System.nanoTime() - total0) / 1e9
+        val npx = g.toLong * edge * edge
+        println(f"[soak-grid] g=$g%6d  TOTAL $total%8.3f s  ${npx / total / 1e6}%6.2f Mpx/s")
+        stages.getOrElseUpdate("TOTAL",
+          scala.collection.mutable.Buffer()) += ((g, total))
+      }
+      // free the checkpoint blocks between sizes
+      px.unpersist(blocking = true)
+      spark.sharedState.cacheManager.clearCache()
+    }
+
+    println("[soak-grid] ---- per-stage scaling (largest/smallest size) ----")
+    val span10 = sizes.max.toDouble / sizes.min
+    stages.foreach { case (name, xs) =>
+      val lo = xs.minBy(_._1)._2; val hi = xs.maxBy(_._1)._2
+      println(f"[soak-grid] $name%-26s ${hi / lo}%6.1fx time over $span10%4.0fx granules" +
+        f"  (${xs.map { case (s, d) => f"$s%d:$d%.2fs" }.mkString("  ")})")
+    }
+    spark.stop()
+  }
+}

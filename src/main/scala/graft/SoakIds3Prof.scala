@@ -52,6 +52,18 @@ object SoakIds3Prof {
           .join(heavy, Seq("doc_id"), "left_anti")
           .write.mode("overwrite").format("noop").save()
       }
+      // the r12 directive-#5 decomposition: does the anti-join's cost
+      // come from re-evaluating heavy (probe pass + merge window), and
+      // does a slim checkpoint of the keep-keys (the Rank pattern)
+      // flatten it? keep-keys are ~8 B/flagged doc, so the checkpoint
+      // is payload-free.
+      t("ids3 anti-join (heavy ckpt'd)") {
+        val heavyIds = heavy.localCheckpoint()
+        d2.select(col("doc_id"), col("source"),
+            size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+          .join(heavyIds, Seq("doc_id"), "left_anti")
+          .write.mode("overwrite").format("noop").save()
+      }
       docs.unpersist(blocking = true)
     }
     spark.stop()
