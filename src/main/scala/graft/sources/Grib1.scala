@@ -141,7 +141,7 @@ object Grib1 {
     var px = 0.0; var py = 0.0; var west = 0.0; var north = 0.0
     var proj: Option[Grib2.GridProj] = None
     var pl: Array[Int] = null // thinned grid: per-row point counts
-    var specJ = -1; var specM = -1 // type-50 spherical harmonics
+    var specJ = -1; var specK = -1; var specM = -1 // type-50 spherical harmonics
     if ((flags & 0x80) == 0) {
       // GDS-less message: PDS octet 7 names an NCEP ON388 Table B
       // grid — the form the pre-2000 NCEP archives (reanalysis-1 era)
@@ -179,11 +179,15 @@ object Grib1 {
       require(repMode == 1,
         s"spectral representation mode $repMode not supported " +
           "(1 = complex coefficients, m >= 0)")
-      require(j >= 1 && j <= 2047 && k == j && m >= 0 && m <= j,
+      // general pentagonal resolution (J, K, M): retained
+      // coefficients m = 0..M, n = m..min(J + m, K) — triangular
+      // (K = J = M), rhomboidal (K = J + M), trapezoidal (K = J > M)
+      require(j >= 1 && j <= 2047 && m >= 0 && m <= j && k >= j && k <= j + m,
         s"unsupported spectral truncation J=$j K=$k M=$m " +
-          "(triangular J = K >= M only, J <= 2047)")
-      specJ = j; specM = m
-      ni = 2 * (j + 1); nj = j + 1
+          "(pentagonal J <= K <= J+M, M <= J, J <= 2047)")
+      specJ = j; specK = k; specM = m
+      // synthesis raster sized by the band limit in total wavenumber
+      ni = 2 * (k + 1); nj = k + 1
       px = 360.0 / ni; py = 180.0 / nj
       west = -180.0; north = 90.0
       scanMode = 0
@@ -299,7 +303,7 @@ object Grib1 {
       require((bdsFlags & 0x01) == 0,
         "additional-flag (octet 14) GRIB1 forms not supported")
       require(bitmap == null, "bitmaps do not apply to spectral data")
-      val nVals = 2 * SphericalHarmonics.nCoefficients(specJ, specM)
+      val nVals = 2 * SphericalHarmonics.nCoefficients(specJ, specK, specM)
       val coefs = new Array[Double](nVals)
       if ((bdsFlags & 0x04) == 0) {
         // ---- spherical harmonic coefficients, simple packing (WMO
@@ -329,6 +333,15 @@ object Grib1 {
         // the remaining coefficients simple-packed after
         // multiplication by (n(n+1))^P:
         // value = (R + X*2^E) * 10^-D / (n(n+1))^P.
+        // the public GRIBEX/eccodes complex-packing path rejects
+        // pen_j != pen_k != pen_m, so no operational producer emits
+        // pentagonal complex-packed fields; the pentagonal form is
+        // supported on the simple-packed path only, where the WMO
+        // ordering alone pins the layout
+        require(specK == specJ,
+          s"GRIB1 spectral-complex with pentagonal field truncation " +
+            s"J=$specJ K=$specK not supported (triangular fields only, " +
+            "matching the operational producer implementation)")
         val pStart = u16(bytes, o + 11)
         val specP = sm16(bytes, o + 13) * 1e-3
         val sJ = u8(bytes, o + 15); val sK = u8(bytes, o + 16); val sM = u8(bytes, o + 17)
@@ -381,7 +394,7 @@ object Grib1 {
         }
         require(ci == nVals, s"spectral-complex walk produced $ci of $nVals values")
       }
-      val sdata = SphericalHarmonics.synthesize(coefs, specJ, specM, ni, nj)
+      val sdata = SphericalHarmonics.synthesize(coefs, specJ, specK, specM, ni, nj)
       return Grib2.Message(GeoTiff.Raster(ni, nj, sdata, west, north, px, py),
         discipline = 255, category = table, parameter = param,
         refTime = refTime, forecastHours = forecastHours, proj = None,
@@ -654,10 +667,11 @@ object Grib1 {
   def writeSpectral(coefs: Array[Double], j: Int, mMax: Int,
                     table: Int, param: Int,
                     refTime: java.time.LocalDateTime, forecastHours: Int,
-                    decimals: Int = 3): Array[Byte] = {
-    val nVals = 2 * SphericalHarmonics.nCoefficients(j, mMax)
+                    decimals: Int = 3, k: Int = -1): Array[Byte] = {
+    val kk = if (k < 0) j else k // K; default triangular
+    val nVals = 2 * SphericalHarmonics.nCoefficients(j, kk, mMax)
     require(coefs.length == nVals,
-      s"${coefs.length} coefficient values for truncation J=$j M=$mMax (need $nVals)")
+      s"${coefs.length} coefficient values for truncation J=$j K=$kk M=$mMax (need $nVals)")
     def section(body: java.io.ByteArrayOutputStream => Unit): Array[Byte] = {
       val b = new java.io.ByteArrayOutputStream()
       body(b)
@@ -685,7 +699,7 @@ object Grib1 {
       def w16(v: Int) = { w8(v >> 8); w8(v) }
       w8(0); w8(255) // NV = 0; no PV/PL
       w8(50) // spherical harmonic coefficients
-      w16(j); w16(j); w16(mMax) // J, K, M (triangular)
+      w16(j); w16(kk); w16(mMax) // J, K, M
       w8(1); w8(1) // representation type / mode
       (15 to 32).foreach(_ => w8(0)) // reserved through octet 32
     }

@@ -779,10 +779,11 @@ object Grib2 {
                     discipline: Int, category: Int, parameter: Int,
                     refTime: java.time.LocalDateTime, forecastHours: Int,
                     decimals: Int = 3, complexSubJ: Int = -1,
-                    laplacianP: Double = 0.5): Array[Byte] = {
-    val nVals = 2 * SphericalHarmonics.nCoefficients(j, mMax)
+                    laplacianP: Double = 0.5, k: Int = -1): Array[Byte] = {
+    val kk = if (k < 0) j else k // K; default triangular
+    val nVals = 2 * SphericalHarmonics.nCoefficients(j, kk, mMax)
     require(coefs.length == nVals,
-      s"${coefs.length} coefficient values for truncation J=$j M=$mMax (need $nVals)")
+      s"${coefs.length} coefficient values for truncation J=$j K=$kk M=$mMax (need $nVals)")
     val sections = scala.collection.mutable.Buffer[Array[Byte]]()
     def sec(num: Int)(body: java.io.ByteArrayOutputStream => Unit): Unit = {
       val b = new java.io.ByteArrayOutputStream()
@@ -807,7 +808,7 @@ object Grib2 {
     }
     sec(3) { b => // grid definition template 3.50
       bu8(b, 0); bu32(b, nVals); bu8(b, 0); bu8(b, 0); bu16(b, 50)
-      bu32(b, j); bu32(b, j); bu32(b, mMax) // J, K, M (triangular)
+      bu32(b, j); bu32(b, kk); bu32(b, mMax) // J, K, M
       bu8(b, 1) // representation type: associated Legendre, 1st kind
       bu8(b, 1) // representation mode: complex coefficients, m >= 0
     }
@@ -848,6 +849,7 @@ object Grib2 {
       // subset (m, n <= complexSubJ) and the Laplacian-scaled packed
       // remainder, exactly as the reader expects to re-walk it
       val subJ = complexSubJ
+      require(kk == j, "5.51 fixtures are triangular-only, like the producer")
       require(subJ <= j && subJ <= mMax,
         s"5.51 fixture subset $subJ exceeds truncation J=$j M=$mMax")
       val ieeeVals = scala.collection.mutable.ArrayBuffer[Double]()
@@ -1029,7 +1031,7 @@ object Grib2 {
     var rlNbits = 0; var rlMv = 0; var rlMvl = 0; var rlDec = 0
     var rlLevels: Array[Int] = null
     // spectral (3.50/5.50/5.51) parameters
-    var specJ = -1; var specM = -1; var p00 = 0.0f
+    var specJ = -1; var specK = -1; var specM = -1; var p00 = 0.0f
     var specP = 0.0; var specSubJ = -1; var specTs = 0; var specPrec = 1
     var lossyField = false
     var variant = ""
@@ -1082,7 +1084,7 @@ object Grib2 {
               // SphericalHarmonics for the convention and the
               // reference comparison.
               specJ = u32(o + 9).toInt
-              val specK = u32(o + 13).toInt
+              specK = u32(o + 13).toInt
               specM = u32(o + 17).toInt
               val repType = bytes(o + 21) & 0xff
               val repMode = bytes(o + 22) & 0xff
@@ -1092,18 +1094,24 @@ object Grib2 {
               require(repMode == 1,
                 s"spectral representation mode $repMode not supported " +
                   "(1 = complex coefficients, m >= 0)")
-              // triangular truncation (J = K, M <= J) is what every
-              // operational spectral model emits; a synthesis grid for
-              // the general pentagonal case has no canonical size
-              require(specJ >= 1 && specJ <= 2047 && specK == specJ &&
-                  specM >= 0 && specM <= specJ,
+              // general pentagonal resolution (J, K, M): retained
+              // coefficients m = 0..M, n = m..min(J + m, K), covering
+              // triangular (K = J = M), rhomboidal (K = J + M) and
+              // trapezoidal (K = J > M). K beyond J + M adds no
+              // representable coefficient, so it is rejected as
+              // implausible rather than decoded as an empty band.
+              require(specJ >= 1 && specJ <= 2047 &&
+                  specM >= 0 && specM <= specJ &&
+                  specK >= specJ && specK <= specJ + specM,
                 s"unsupported spectral truncation J=$specJ K=$specK M=$specM " +
-                  "(triangular J = K >= M only, J <= 2047)")
-              require(nPts == 2 * SphericalHarmonics.nCoefficients(specJ, specM),
+                  "(pentagonal J <= K <= J+M, M <= J, J <= 2047)")
+              require(nPts == 2 * SphericalHarmonics.nCoefficients(specJ, specK, specM),
                 s"spectral point count $nPts does not match truncation " +
-                  s"J=$specJ M=$specM " +
-                  s"(${2 * SphericalHarmonics.nCoefficients(specJ, specM)} values)")
-              width = 2 * (specJ + 1); height = specJ + 1
+                  s"J=$specJ K=$specK M=$specM " +
+                  s"(${2 * SphericalHarmonics.nCoefficients(specJ, specK, specM)} values)")
+              // synthesis raster sized by the truncation's band limit
+              // in total wavenumber (K; = J for triangular)
+              width = 2 * (specK + 1); height = specK + 1
               px = 360.0 / width; py = 180.0 / height
               west = -180.0; north = 90.0
               scanMode = 0
@@ -1448,7 +1456,7 @@ object Grib2 {
             val r = new BitReader(bytes, o)
             var ci = 1
             while (ci < nPts) { coefs(ci) = base + r.get(nbits) * factor; ci += 1 }
-            data = SphericalHarmonics.synthesize(coefs, specJ, specM, width, height)
+            data = SphericalHarmonics.synthesize(coefs, specJ, specK, specM, width, height)
             nPts = width * height // raster form for the final shape check
           case 7 if tmpl5 == 51 =>
             // spectral complex packing: walk (m = 0..M, n = m..J) in
@@ -1458,6 +1466,17 @@ object Grib2 {
             // value = (R + X*2^E) * 10^-D / (n(n+1))^P
             require(specJ >= 1, "5.51 data section without a 3.50 grid definition")
             require(bitmap == null, "bitmaps do not apply to spectral data")
+            // the Laplacian weighting is defined on the total
+            // wavenumber alone, but the public eccodes implementation
+            // (grib_accessor_class_data_complex_packing) rejects
+            // pen_j != pen_k != pen_m outright, so no operational
+            // producer emits pentagonal complex-packed fields — keep
+            // the general pentagonal form on the simple-packed path
+            // only, where the WMO ordering alone pins the layout
+            require(specK == specJ,
+              s"5.51 complex packing with pentagonal field truncation " +
+                s"J=$specJ K=$specK not supported (triangular fields " +
+                "only, matching the operational producer implementation)")
             require(specSubJ >= 0 && specSubJ <= specJ && specSubJ <= specM,
               s"5.51 subset truncation $specSubJ exceeds field truncation " +
                 s"J=$specJ M=$specM")
@@ -1477,7 +1496,15 @@ object Grib2 {
             var sn = 1
             while (sn <= specJ) {
               val op = math.pow(sn.toDouble * (sn + 1), specP)
-              scals(sn) = if (op != 0.0 && !op.isInfinite) 1.0 / op else 0.0
+              // loud failure, matching the decoder's dead-letter-by-
+              // name convention (and the edition-1 twin): a P extreme
+              // enough to under/overflow the double range would
+              // silently zero whole wavenumbers
+              require(op != 0.0 && !op.isInfinite,
+                s"5.51 Laplacian scale (n(n+1))^P unrepresentable at " +
+                  s"n=$sn, P=$specP (operator under/overflow would " +
+                  "silently zero coefficients)")
+              scals(sn) = 1.0 / op
               sn += 1
             }
             var hPos = o // IEEE block head

@@ -48,14 +48,29 @@ object SphericalHarmonics {
     out
   }
 
+  /** Per-m degree limit of the pentagonal truncation (J, K, M): the
+    * retained coefficients are m = 0..M, n = m..min(J + m, K) — the
+    * WMO pentagonal resolution parameters, of which triangular
+    * (J = K = M), rhomboidal (K = J + M) and trapezoidal (K = J > M)
+    * are the named corners. */
+  @inline def nMaxAt(j: Int, k: Int, m: Int): Int = math.min(j + m, k)
+
   /** Synthesize the coefficient array (GRIB order: m = 0..M, then
     * n = m..J, each (real, imag)) onto an ni × nj global lat/lon grid
-    * at cell centers, row 0 northmost. */
+    * at cell centers, row 0 northmost. Triangular/trapezoidal form
+    * (K = J). */
   def synthesize(coefs: Array[Double], j: Int, mMax: Int,
+                 ni: Int, nj: Int): Array[Float] =
+    synthesize(coefs, j, j, mMax, ni, nj)
+
+  /** General pentagonal form: the walk order is m = 0..M, then
+    * n = m..min(J + m, K), each (real, imag) — the same ordering the
+    * editions' spectral data sections transmit. */
+  def synthesize(coefs: Array[Double], j: Int, k: Int, mMax: Int,
                  ni: Int, nj: Int): Array[Float] = {
-    require(coefs.length == 2 * nCoefficients(j, mMax),
-      s"${coefs.length} values for truncation J=$j M=$mMax " +
-        s"(need ${2 * nCoefficients(j, mMax)})")
+    require(coefs.length == 2 * nCoefficients(j, k, mMax),
+      s"${coefs.length} values for truncation J=$j K=$k M=$mMax " +
+        s"(need ${2 * nCoefficients(j, k, mMax)})")
     val out = new Array[Float](ni * nj)
     val dLat = 180.0 / nj
     val dLon = 2.0 * math.Pi / ni
@@ -68,16 +83,17 @@ object SphericalHarmonics {
       var base = 0
       var m = 0
       while (m <= mMax) {
-        val p = alfs(m, j, mu)
+        val nMax = nMaxAt(j, k, m)
+        val p = alfs(m, nMax, mu)
         var n = m
         var re = 0.0; var im = 0.0
-        while (n <= j) {
+        while (n <= nMax) {
           re += coefs(base + 2 * (n - m)) * p(n - m)
           im += coefs(base + 2 * (n - m) + 1) * p(n - m)
           n += 1
         }
         fmRe(m) = re; fmIm(m) = im
-        base += 2 * (j - m + 1)
+        base += 2 * (nMax - m + 1)
         m += 1
       }
       var x = 0
@@ -100,5 +116,9 @@ object SphericalHarmonics {
   /** Complex coefficients under triangular-style truncation: m = 0..M,
     * n = m..J. */
   def nCoefficients(j: Int, mMax: Int): Int =
-    (0 to mMax).map(m => j - m + 1).sum
+    nCoefficients(j, j, mMax)
+
+  /** General pentagonal count: m = 0..M, n = m..min(J + m, K). */
+  def nCoefficients(j: Int, k: Int, mMax: Int): Int =
+    (0 to mMax).map(m => nMaxAt(j, k, m) - m + 1).sum
 }

@@ -441,10 +441,33 @@ class Grib1Spec extends SparkSpec {
     val gp = good.clone(); gp(bdsAt + 3) = (gp(bdsAt + 3) & 0x7f).toByte
     val e2 = intercept[IllegalArgumentException](Grib1.read(gp))
     assert(e2.getMessage.contains("type-50 GDS with a grid-point BDS"), e2.getMessage)
-    // pentagonal truncation: K (GDS octets 9-10) != J
-    val pent = good.clone(); pent(8 + 28 + 9) = (j + 1).toByte
+    // K < J (GDS octets 9-10) is outside any pentagonal resolution
+    val pent = good.clone(); pent(8 + 28 + 9) = (j - 1).toByte
     val e3 = intercept[IllegalArgumentException](Grib1.read(pent))
-    assert(e3.getMessage.contains("triangular"), e3.getMessage)
+    assert(e3.getMessage.contains("pentagonal"), e3.getMessage)
+  }
+
+  test("rhomboidal truncation (K = J + M) round-trips against GRIB2") {
+    // the classic rhomboidal form of the pre-triangular archives
+    // (R15/R30-era global models): K = J + M, each zonal wavenumber
+    // carrying J + 1 degrees
+    val (j, k) = (5, 10)
+    val t0 = java.time.LocalDateTime.of(1979, 1, 1, 0, 0)
+    val out = scala.collection.mutable.ArrayBuffer[Double]()
+    for (mm <- 0 to j; nn <- mm to math.min(j + mm, k)) {
+      out += (if (nn == 0 && mm == 0) 510.0 else 2.0 / ((nn + 1) * (nn + 1)))
+      out += (if (nn > j) 0.15 else 0.05) * mm // weight beyond-J band
+    }
+    val coefs = out.toArray
+    val g1 = Grib1.read(Grib1.writeSpectral(coefs, j, j, 128, 11, t0, 0,
+      decimals = 4, k = k))
+    val g2 = Grib2.read(Grib2.writeSpectral(coefs, j, j, 0, 0, 11, t0, 0,
+      decimals = 4, k = k))
+    assert(g1.raster.width == 2 * (k + 1) && g1.raster.height == k + 1)
+    assert(g2.raster.width == g1.raster.width && g2.raster.height == g1.raster.height)
+    for (i <- g1.raster.data.indices)
+      assert(math.abs(g1.raster.data(i) - g2.raster.data(i)) < 5e-3,
+        s"pixel $i: GRIB1 ${g1.raster.data(i)} vs GRIB2 ${g2.raster.data(i)}")
   }
 
   // ---- complex (GRIBEX sub-spectrum) spherical harmonics ------------
@@ -518,6 +541,13 @@ class Grib1Spec extends SparkSpec {
     val ovl = good.clone(); ovl(bdsAt + 11) = 0.toByte; ovl(bdsAt + 12) = 19.toByte
     val e3 = intercept[IllegalArgumentException](Grib1.read(ovl))
     assert(e3.getMessage.contains("overlaps"), e3.getMessage)
+    // a pentagonal FIELD truncation (valid in the GDS) combined with
+    // complex packing dead-letters by name: the public GRIBEX/eccodes
+    // complex path rejects pen_j != pen_k, so there is no producer
+    // layout to pin the walk against (K at GDS octets 9-10)
+    val pf = good.clone(); pf(8 + 28 + 9) = (j + 1).toByte
+    val e4 = intercept[IllegalArgumentException](Grib1.read(pf))
+    assert(e4.getMessage.contains("triangular fields only"), e4.getMessage)
   }
 
   test("complex SH ingests through the production registry") {

@@ -91,7 +91,42 @@ class Grib2SpectralSpec extends SparkSpec {
     assert(math.abs(row.getDouble(6) - (90.0 - 0.5 * (180.0 / 11))) < 1e-9)
   }
 
-  test("pentagonal truncations are loud") {
+  /** Coefficient array over the general pentagonal region:
+    * m = 0..M, n = m..min(J + m, K) — the GRIB transmission order. */
+  private def coefArrayP(j: Int, k: Int, m: Int)(
+      set: (Int, Int) => (Double, Double)): Array[Double] = {
+    val out = scala.collection.mutable.ArrayBuffer[Double]()
+    for (mm <- 0 to m; nn <- mm to SphericalHarmonics.nMaxAt(j, k, mm)) {
+      val (re, im) = set(nn, mm)
+      out += re += im
+    }
+    out.toArray
+  }
+
+  test("rhomboidal truncation (K = J + M) walks and synthesizes the extended band") {
+    // J=4, K=8, M=4: the harmonic (n=6, m=3) lies OUTSIDE any
+    // triangular/trapezoidal region (n > J) and is retained only by
+    // the pentagonal bounds n <= min(J+m, K) = 7 — so this pins both
+    // the coefficient walk order over the extended region and the
+    // per-m band limit in the synthesis.
+    val (j, k, mT) = (4, 8, 4)
+    val (a, b) = (1.25, -0.5)
+    val coefs = coefArrayP(j, k, mT)((n, m) =>
+      if (n == 6 && m == 3) (a, b) else (0.0, 0.0))
+    val msg = Grib2.read(Grib2.writeSpectral(coefs, j, mT, 0, 0, 11, t0, 0, k = k))
+    val r = msg.raster
+    assert(r.width == 2 * (k + 1) && r.height == k + 1)
+    for (row <- 0 until r.height; x <- 0 until r.width) {
+      val mu = math.sin(math.toRadians(90.0 - (row + 0.5) * (180.0 / r.height)))
+      val lon = math.toRadians(-180.0 + (x + 0.5) * (360.0 / r.width))
+      val p63 = SphericalHarmonics.alfs(3, 6, mu).last
+      val expect = 2.0 * (a * math.cos(3 * lon) - b * math.sin(3 * lon)) * p63
+      assert(math.abs(r.data(row * r.width + x) - expect) < 2e-3,
+        s"($row,$x): ${r.data(row * r.width + x)} vs $expect")
+    }
+  }
+
+  test("implausible truncations are loud") {
     val j = 4
     val coefs = coefArray(j, j)((n, m) => if (n == 0 && m == 0) (1.0, 0.0) else (0.0, 0.0))
     val good = Grib2.writeSpectral(coefs, j, j, 0, 0, 11, t0, 0)
@@ -107,12 +142,23 @@ class Grib2SpectralSpec extends SparkSpec {
       }
       fail(s"section $num not found")
     }
-    // pentagonal (K != J) truncation: K's low byte = octet 21-24 end
-    // (section 3: 5 header + 9 body prefix + J(4) → K at p+18..21)
+    // K < J is outside any pentagonal resolution: K's low byte =
+    // section 3: 5 header + 9 body prefix + J(4) → K at p+18..21
     val e2 = intercept[IllegalArgumentException] {
+      Grib2.read(patched(3, 21, (j - 1).toByte))
+    }
+    assert(e2.getMessage.contains("pentagonal"), e2.getMessage)
+    // K > J + M adds no representable coefficient — equally loud
+    val e3 = intercept[IllegalArgumentException] {
+      Grib2.read(patched(3, 21, (2 * j + 1).toByte))
+    }
+    assert(e3.getMessage.contains("pentagonal"), e3.getMessage)
+    // a valid pentagonal K over data sized for the triangular walk
+    // dead-letters on the point-count cross-check, not a bad decode
+    val e4 = intercept[IllegalArgumentException] {
       Grib2.read(patched(3, 21, (j + 1).toByte))
     }
-    assert(e2.getMessage.contains("triangular"), e2.getMessage)
+    assert(e4.getMessage.contains("does not match"), e4.getMessage)
   }
 
   // ---- DRS 5.51 spectral complex packing ---------------------------
