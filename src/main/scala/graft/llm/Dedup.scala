@@ -561,17 +561,12 @@ object Dedup {
     *   This shape is 2x cheaper below ~1M docs (0.36 s vs 0.68 s at
     *   sf0.1; 8.1 s vs 9.4 s at 1M, SCALE.md) and melts down above
     *   (it sorts the full exploded frame: 163 s at 5M).
-    * - Above the threshold, the r12 scalable shape. Its second pass
-    *   is itself adaptive on the EXACT duplicated-hash count (free
-    *   once dup is checkpointed): when the dup set fits a broadcast
-    *   (`graft.span.broadcastDupLimit`, default 4M keys ≈ tens of MB
-    *   of longs) the thinning is a single broadcast left-semi join —
-    *   no bloom-build job, no exchange of the span stream. Past the
-    *   limit the bloom+shuffle-semi plan runs, with the bloom sized
-    *   FROM the measured count (items = nDup, bits for ~3% fpp,
-    *   capped at 2^28 ≈ 32 MB broadcast payload; a warn names the
-    *   cap when the count outruns it — the r12 fixed 4M/2^25 sizing
-    *   degraded silently past the 5M-doc soak).
+    * - Above the threshold, the r12 scalable shape, with its bloom
+    *   sized FROM the measured duplicated-hash count (one cheap
+    *   count() over the checkpointed narrow dup column: items = nDup,
+    *   bits for ~3% fpp, capped at 2^28 ≈ 32 MB broadcast payload; a
+    *   warn names the cap when the count outruns it — the r12 fixed
+    *   4M/2^25 sizing degraded silently past the 5M-doc soak).
     *
     * Estimate failure modes are asymmetric by construction: non-CBO
     * stats only ever propagate SHRINK-free (filters keep child size),
@@ -605,25 +600,27 @@ object Dedup {
       .filter(col("mn") =!= col("mx"))
       .select("h")
       .localCheckpoint(false)
-    val nDup = dup.count() // materializes the lazy checkpoint (one pass)
-    val bcastLimit = conf.getOption("graft.span.broadcastDupLimit")
-      .map(_.toLong).getOrElse(4L * 1000 * 1000)
-    val thinned =
-      if (nDup <= bcastLimit)
-        spansIn.join(broadcast(dup), Seq("h"), "left_semi")
-      else {
-        // ~3% fpp wants n*7.3 bits; cap bounds the broadcast payload.
-        val wantBits = math.max(nDup * 8L, 1L << 20)
-        val bits = math.min(wantBits, 1L << 28)
-        if (bits < wantBits)
-          org.slf4j.LoggerFactory.getLogger(getClass).warn(
-            s"spanCoverage bloom capped at 2^28 bits for $nDup duplicated " +
-              "hashes; false-positive rate degrades (results stay exact " +
-              "via the semi-join) — raise the cap or partition the corpus")
-        spansIn.filter(graft.functions.BloomSemi.probe(
-            dup, "h", col("h"), items = nDup, bits = bits))
-          .join(dup, Seq("h"), "left_semi")
-      }
+    // one cheap action over the checkpointed narrow column: sizes the
+    // bloom from the MEASURED duplicated-hash count (the r12 fixed
+    // 4M/2^25 sizing degraded silently past the 5M-doc soak — ADVICE
+    // item) and materializes the checkpoint for its two consumers.
+    // An r13 interim shape swapped the bloom for a broadcast left-semi
+    // when the count was small; measured warm at 1M docs it was 1.5x
+    // SLOWER than this bloom+shuffle-semi plan (ProfIds13: 42.1 s vs
+    // 27.8 s interleaved same-JVM), so the thinning is unconditional.
+    val nDup = dup.count()
+    // ~3% fpp wants n*7.3 bits; cap bounds the broadcast payload AND
+    // the per-map partial-merge traffic through the one-group reducer.
+    val wantBits = math.max(nDup * 8L, 1L << 20)
+    val bits = math.min(wantBits, 1L << 28)
+    if (bits < wantBits)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"spanCoverage bloom capped at 2^28 bits for $nDup duplicated " +
+          "hashes; false-positive rate degrades (results stay exact " +
+          "via the semi-join) — raise the cap or partition the corpus")
+    val thinned = spansIn.filter(graft.functions.BloomSemi.probe(
+        dup, "h", col("h"), items = math.max(nDup, 1L), bits = bits))
+      .join(dup, Seq("h"), "left_semi")
     mergedCoverage(thinned
       .select(col("id"), col("n_tokens"), col("pos").as("start"),
         (col("pos") + (w - 1)).as("fin")))

@@ -88,14 +88,10 @@ class RepeatedSpansSpec extends SparkSpec {
           (r.getAs[Long]("covered_tokens"), r.getAs[Double]("coverage"))).toMap
     val window = run() // tiny estimate → window shape
     spark.conf.set("graft.span.windowShapeMaxBytes", "0")
-    val bcast = run() // scalable shape, dup set under the broadcast limit
-    spark.conf.set("graft.span.broadcastDupLimit", "0")
-    val bloom = run() // scalable shape, bloom + shuffle semi-join
+    val bloom = run() // scalable shape: count-sized bloom + shuffle semi
     spark.conf.unset("graft.span.windowShapeMaxBytes")
-    spark.conf.unset("graft.span.broadcastDupLimit")
     assert(window.keySet == Set(1L, 2L, 4L, 5L))
     assert(window(4L)._1 == 20L && window(1L)._2 == 1.0)
-    assert(bcast == window)
     assert(bloom == window)
   }
 
