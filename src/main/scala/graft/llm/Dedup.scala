@@ -585,6 +585,9 @@ object Dedup {
       .map(_.toLong).getOrElse(16L << 20)
     val est = sizeHint.getOrElse(
       spansIn.queryExecution.optimizedPlan.stats.sizeInBytes)
+    org.slf4j.LoggerFactory.getLogger(getClass).info(
+      s"spanCoverage shape=${if (est <= windowMax) "window" else "scalable"} " +
+        s"est=$est windowMax=$windowMax")
     if (est <= windowMax) {
       import org.apache.spark.sql.expressions.Window
       val wh = Window.partitionBy("h")
@@ -608,19 +611,30 @@ object Dedup {
     // when the count was small; measured warm at 1M docs it was 1.5x
     // SLOWER than this bloom+shuffle-semi plan (ProfIds13: 42.1 s vs
     // 27.8 s interleaved same-JVM), so the thinning is unconditional.
-    val nDup = dup.count()
-    // ~3% fpp wants n*7.3 bits; cap bounds the broadcast payload AND
-    // the per-map partial-merge traffic through the one-group reducer.
-    val wantBits = math.max(nDup * 8L, 1L << 20)
-    val bits = math.min(wantBits, 1L << 28)
-    if (bits < wantBits)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"spanCoverage bloom capped at 2^28 bits for $nDup duplicated " +
-          "hashes; false-positive rate degrades (results stay exact " +
-          "via the semi-join) — raise the cap or partition the corpus")
-    val thinned = spansIn.filter(graft.functions.BloomSemi.probe(
-        dup, "h", col("h"), items = math.max(nDup, 1L), bits = bits))
-      .join(dup, Seq("h"), "left_semi")
+    // default on: one narrow count() over the checkpointed dup column
+    // buys exact bloom sizing. false = the r12 fixed 4M/2^25 sizing
+    // with no extra action (kept as an operational escape hatch; at
+    // bench scale the two measure within noise of each other same-JVM
+    // — ProfIds13, SCALE.md r13).
+    val sizedFromCount = conf.getOption("graft.span.bloomFromCount")
+      .forall(_.toBoolean)
+    val thinned = if (sizedFromCount) {
+      val nDup = dup.count()
+      // ~3% fpp wants n*7.3 bits; cap bounds the broadcast payload AND
+      // the per-map partial-merge traffic through the one-group reducer.
+      val wantBits = math.max(nDup * 8L, 1L << 20)
+      val bits = math.min(wantBits, 1L << 28)
+      if (bits < wantBits)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"spanCoverage bloom capped at 2^28 bits for $nDup duplicated " +
+            "hashes; false-positive rate degrades (results stay exact " +
+            "via the semi-join) — raise the cap or partition the corpus")
+      spansIn.filter(graft.functions.BloomSemi.probe(
+          dup, "h", col("h"), items = math.max(nDup, 1L), bits = bits))
+        .join(dup, Seq("h"), "left_semi")
+    } else
+      spansIn.filter(graft.functions.BloomSemi.probe(dup, "h", col("h")))
+        .join(dup, Seq("h"), "left_semi")
     mergedCoverage(thinned
       .select(col("id"), col("n_tokens"), col("pos").as("start"),
         (col("pos") + (w - 1)).as("fin")))
