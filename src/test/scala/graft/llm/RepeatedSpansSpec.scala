@@ -89,10 +89,14 @@ class RepeatedSpansSpec extends SparkSpec {
     val window = run() // tiny estimate → window shape
     spark.conf.set("graft.span.windowShapeMaxBytes", "0")
     val bloom = run() // scalable shape: count-sized bloom + shuffle semi
+    spark.conf.set("graft.span.bloomFromCount", "false")
+    val fixed = run() // escape hatch: fixed-sizing bloom, no count action
+    spark.conf.unset("graft.span.bloomFromCount")
     spark.conf.unset("graft.span.windowShapeMaxBytes")
     assert(window.keySet == Set(1L, 2L, 4L, 5L))
     assert(window(4L)._1 == 20L && window(1L)._2 == 1.0)
     assert(bloom == window)
+    assert(fixed == window)
   }
 
   test("coverage with a gap counts both islands once each") {
