@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 /** Scratch: root-cause the r13 ids3 regression (SoakPipelineScale 1M:
   * r12 code 15.7 s vs HEAD 120.1 s on the SAME fresh-boot host — NOT
-  * host drift). Interleaves four span-shape variants of the ids3
+  * host drift). Interleaves three span-shape variants of the ids3
   * stage in one JVM, two rounds, so within-run numbers are
   * comparable:
   *   A shipped adaptive     (defaults: at 1M, count-sized bloom + shuffle semi)

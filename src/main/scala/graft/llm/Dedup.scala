@@ -616,8 +616,13 @@ object Dedup {
     // with no extra action (kept as an operational escape hatch; at
     // bench scale the two measure within noise of each other same-JVM
     // — ProfIds13, SCALE.md r13).
-    val sizedFromCount = conf.getOption("graft.span.bloomFromCount")
-      .forall(_.toBoolean)
+    val sizedFromCount = conf.getOption("graft.span.bloomFromCount") match {
+      case None => true
+      case Some(v) if v.equalsIgnoreCase("true") => true
+      case Some(v) if v.equalsIgnoreCase("false") => false
+      case Some(v) => throw new IllegalArgumentException(
+        s"graft.span.bloomFromCount must be true or false, got '$v'")
+    }
     val thinned = if (sizedFromCount) {
       val nDup = dup.count()
       // ~3% fpp wants n*7.3 bits; cap bounds the broadcast payload AND

@@ -3,7 +3,9 @@ package graft.sources
 /** Spherical-harmonic synthesis for GRIB spectral fields (grid
   * template 3.50, DRS 5.50 — written from the public WMO FM-92
   * spectral representation: complex coefficients F_n^m for m ≥ 0
-  * under triangular truncation, associated Legendre functions of the
+  * under triangular or pentagonal (J, K, M) truncation — the
+  * transmitted region is m = 0..M, n = m..min(J+m, K); triangular is
+  * the J = K = M special case — associated Legendre functions of the
   * first kind "fully normalized" so that ∫₋₁¹ [P̄ₙᵐ(μ)]² dμ = 2,
   * without the Condon–Shortley phase — P̄₀⁰ = 1, P̄₁⁰ = √3·μ,
   * P̄₁¹ = √(3/2)·√(1−μ²)).
@@ -18,7 +20,9 @@ package graft.sources
   * the raw coefficient array (cfgrib "sh" fields have no lat/lon);
   * this engine's data model is a raster, so the decoder SYNTHESIZES
   * onto a deterministic global lat/lon grid sized by the truncation
-  * (2(J+1) × (J+1), cell centers) — exact for a band-limited field,
+  * (2(K+1) × (K+1) cell centers, K = total-wavenumber bound; for
+  * triangular truncation that is the familiar 2(J+1) × (J+1)) —
+  * exact for a band-limited field,
   * direct evaluation (no FFT; spectral archives are rare and small).
   */
 object SphericalHarmonics {

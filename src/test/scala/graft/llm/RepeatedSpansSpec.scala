@@ -72,7 +72,7 @@ class RepeatedSpansSpec extends SparkSpec {
     }
   }
 
-  test("all three adaptive shapes agree: window, broadcast-semi, bloom+shuffle-semi") {
+  test("all three adaptive shapes agree: window, count-sized bloom, fixed-sizing bloom") {
     // spanCoverage picks its plan shape from size estimates/confs; the
     // three shapes must be result-identical on a corpus with known
     // coverage (docs 1,2 fully duplicated; 4,5 share one island).
