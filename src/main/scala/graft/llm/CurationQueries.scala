@@ -58,6 +58,24 @@ object CurationQueries extends QueryModule {
                   stage: (String, () => org.apache.spark.sql.DataFrame) =>
                     org.apache.spark.sql.DataFrame = (_, f) => f())
       : org.apache.spark.sql.DataFrame = {
+      // Boundary-fold switch (ProfPipe14, mirrors StreamCuration's
+      // foldOneShot): labels listed in graft.pipeline.foldBoundaries
+      // skip their localCheckpoint so the scheduling-floor-vs-recompute
+      // trade stays re-measurable as AQE policy evolves. Default empty:
+      // the r14 A/B (ProfPipe14, same-JVM, rotated variant order,
+      // min/med-of-5 at sf0.1) measured shipped 2.35/2.40 s with every
+      // single fold inside noise (bands 2.18/2.33, cand 2.35/2.57,
+      // shCand 2.26/2.51) and every combination much worse (b+c+s
+      // 3.15/3.51, +ids3 6.20/6.51) — unlike the endstate form (where
+      // folding sh+bands won ~10%), the boundaries here feed consumers
+      // in SEPARATE downstream jobs, so multi-fold frames re-run their
+      // subtrees instead of deduping via ReusedExchange.
+      val foldSet: Set[String] = docs.sparkSession.conf
+        .getOption("graft.pipeline.foldBoundaries")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+        .getOrElse(Set.empty)
+      def maybeChk(label: String)(df: org.apache.spark.sql.DataFrame) =
+        if (foldSet(label)) df else df.localCheckpoint()
       // 1. exact dedup
       val keep1 = docs
         .withColumn("fp", TextAnalysis.fingerprint(col("text")))
@@ -98,30 +116,29 @@ object CurationQueries extends QueryModule {
           Dedup.spanHashes(d2, "doc_id", "text", 20, spread = false), 20,
           sizeHint = Some(docs.queryExecution.optimizedPlan.stats.sizeInBytes))
         .filter(col("coverage") > 0.5).select("doc_id")
-      val ids3 = stage("ids3 dedup+quality+span", () =>
+      val ids3 = stage("ids3 dedup+quality+span", () => maybeChk("ids3")(
         d2.select(col("doc_id"), col("source"),
             size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
-          .join(heavy, Seq("doc_id"), "left_anti").localCheckpoint())
+          .join(heavy, Seq("doc_id"), "left_anti")))
       def d3text = docs.join(ids3.select("doc_id"), Seq("doc_id"), "left_semi")
       // 4. fuzzy dedup on what's left. Signatures come from the one-pass
       // minhash kernel — a map-side projection over the survivor scan
       // (no shingle explode, no distinct, no per-doc aggregation); the
       // candidate set's shingle hashes rebuild from the source later.
-      val bands = stage("bands minhash-kernel", () =>
+      val bands = stage("bands minhash-kernel", () => maybeChk("bands")(
         Dedup.lshBands(
-          Dedup.minhashFromText(d3text, "doc_id", "text"))
-        .localCheckpoint())
-      val cand = stage("cand candidatePairs", () =>
-        Dedup.candidatePairs(bands).localCheckpoint())
+          Dedup.minhashFromText(d3text, "doc_id", "text"))))
+      val cand = stage("cand candidatePairs", () => maybeChk("cand")(
+        Dedup.candidatePairs(bands)))
       val candIds = cand.select(col("doc_a").as("doc_id"))
         .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
       // verification needs only HASHES: the candidate shingle frame is
       // built as distinct 60-bit keys (no gram strings ever
       // materialize), and the oracle collapses the same truncation
-      val shCand = stage("shCand candidate-hashes", () =>
+      val shCand = stage("shCand candidate-hashes", () => maybeChk("shCand")(
         Dedup.shingleHashes(
           docs.join(candIds, Seq("doc_id"), "left_semi"),
-          "doc_id", "text", spread = false).localCheckpoint())
+          "doc_id", "text", spread = false)))
       val pairs = Dedup.pairJaccardHashed(cand, shCand)
         .filter(col("jacc") >= 0.5).select("doc_a", "doc_b")
       val dropFuzzy = Dedup.canonicalize(pairs)

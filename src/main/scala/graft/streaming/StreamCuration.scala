@@ -201,6 +201,31 @@ object StreamCuration {
     def streamChk(label: String)(df: DataFrame): DataFrame =
       if (oneShot) df else chk(label)(df)
 
+    // One-shot boundary folding. The r8 "folding buys nothing" negative
+    // was re-measured in r14 under the current wide-start AQE policy
+    // (ProfEndstate14, same-JVM, rotated variant order to kill the
+    // warmup-ordering bias a first fixed-order run suffered; 7 rounds
+    // at sf0.1): folding sh AND bands together is ~10% faster (med
+    // 3.58 s vs 3.97 s shipped, min 3.21 vs 3.37) — their
+    // multi-consumer subtrees meet inside the final job where
+    // ReusedExchange dedupes them, and two scheduled jobs plus two
+    // batch-sized materializations drop. Folding either alone is
+    // neutral. Folding k3 is ~75% WORSE (med 6.98 s): its consumers
+    // (sh/sig/kept) each re-run the heavy span-coverage anti-join
+    // subtree, which no exchange reuse spans.
+    // So the one-shot default folds sh+bands and keeps k3; the conf
+    // (comma list of labels, "" = fold nothing) remains the experiment
+    // override. The streaming path never folds: saveDeltas consumes
+    // these frames in separate jobs where an unchecked frame re-runs
+    // its subtree.
+    val foldSet: Set[String] =
+      if (!oneShot) Set.empty
+      else batchIn.sparkSession.conf.getOption("graft.endstate.foldOneShot")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+        .getOrElse(Set("sh", "bands"))
+    def boundaryChk(label: String)(df: DataFrame): DataFrame =
+      if (foldSet(label)) df else chk(label)(df)
+
     // -- stage 2: quality gate (stateless). Materialized once: spans,
     // the stage-3 filter, and the state delta all consume it.
     val k2 = streamChk("k2")(
@@ -244,7 +269,7 @@ object StreamCuration {
         (col("pos") + (SpanW - 1)).as("fin")))
       .filter(col("coverage") > StaleCoverageMax)
       .select("doc_id")
-    val k3 = chk("k3")(k2.join(heavy, Seq("doc_id"), "left_anti"))
+    val k3 = boundaryChk("k3")(k2.join(heavy, Seq("doc_id"), "left_anti"))
 
     // -- stage 4: fuzzy dedup. Candidates through shared LSH band keys
     // only — in-batch pairs via the capped generator, cross-batch pairs
@@ -273,7 +298,7 @@ object StreamCuration {
     // past the cap the incremental run degrades gracefully: its extra
     // early pairs were exactly verified, so it only drops MORE true
     // near-dups than the batch run's whole-bucket exclusion.
-    val sh = chk("sh")(
+    val sh = boundaryChk("sh")(
       Dedup.shingles(k3.select("doc_id", "text"), "doc_id", "text", spread = false))
     // signatures from the one-pass minhash kernel (bit-identical to the
     // shingle-aggregate form, MinhashSlotsSpec): the sig path costs one
@@ -281,14 +306,11 @@ object StreamCuration {
     // frame (pairJaccard and the cross-batch shingle union)
     val sig = Dedup.minhashFromText(k3, "doc_id", "text")
     // bands is batch-sized and consumed three times (bucket count,
-    // capped generation, cross-batch probe) — materialize IT, never
-    // the state-sized union (a checkpoint of state ∪ batch would copy
-    // the whole corpus index every batch). Folding the sh/bands
-    // boundaries in the oneShot form (the k2/spans treatment) was
-    // measured NEUTRAL at sf0.1 — ReusedExchange already dedupes the
-    // shared distinct/agg subtrees, so the two saved jobs buy nothing;
-    // keeping one boundary set for both paths wins on divergence risk.
-    val bands = chk("bands")(Dedup.lshBands(sig, 8, 2))
+    // capped generation, cross-batch probe) — on the STREAMING path,
+    // materialize IT, never the state-sized union (a checkpoint of
+    // state ∪ batch would copy the whole corpus index every batch).
+    // The one-shot form folds it (with sh) by default — see foldSet.
+    val bands = boundaryChk("bands")(Dedup.lshBands(sig, 8, 2))
     // The combined-index cap only matters for buckets the BATCH
     // touches: a bucket with no batch member generates no new pair on
     // either the in-batch or cross-batch side, so its hotness is
