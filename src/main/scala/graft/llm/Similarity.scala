@@ -346,6 +346,62 @@ object Similarity {
       .select("qid", "vec_id", "cos", "rank")
   }
 
+  /** IVF-PQ retrieval with exact rerank — the full production serving
+    * shape (FAISS IVFPQ + refine): rank the broadcast coarse centroids,
+    * ADC-scan only the nProbe probed cells' code rows with a broadcast
+    * LUT, then open raw quantized vectors for the top `rerankWindow`
+    * ADC candidates per query and re-rank them by exact quantized
+    * cosine to top-k. Final scores are EXACT; the approximation only
+    * moves which rows are considered.
+    *
+    * `rerankWindow = None` (the DEFAULT) sizes the window with
+    * [[adaptiveRerankWindow]] — α·points/cells, the rule the 1M
+    * clustered soak measured (a fixed count under-samples cluster
+    * population as the corpus grows and recall collapses). Points and
+    * cells come from two counts: coarse is centroid-sized (k rows) and
+    * the corpus count is one cheap job at index-serve setup — callers
+    * that already know the corpus size, or whose oracle pins a
+    * constant, pass `Some(w)`.
+    *
+    * corpus: (vec_id, q, nrm2); coarse: (cid, cq, cnrm2); cells:
+    * (vec_id, cell) coarse assignment; codes: (vec_id, m, cid) PQ
+    * codes; lut: (qid, m, cid, d2) per-query ADC table; queries:
+    * (qid, qa, na). One corpus-sized equi-join on vec_id attaches
+    * cells to codes (bucketable/co-partitionable at scale); everything
+    * downstream of the probe is broadcast. */
+  def ivfpqRerankTopK(corpus: DataFrame, coarse: DataFrame, cells: DataFrame,
+                      codes: DataFrame, lut: DataFrame, queries: DataFrame,
+                      k: Int, nProbe: Int,
+                      rerankWindow: Option[Int] = None): DataFrame = {
+    val window = rerankWindow.getOrElse(
+      adaptiveRerankWindow(corpus.count(), coarse.count()))
+    val wc = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cid").asc)
+    val probed = queries.crossJoin(broadcast(coarse))
+      .withColumn("ccos",
+        expr("CAST(q_dot(qa, cq) AS DOUBLE)" +
+          " / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(cnrm2 AS DOUBLE)))"))
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= nProbe)
+      .select(col("qid"), col("cid").as("cell"))
+    val wd = Window.partitionBy(col("qid")).orderBy(col("adist2").asc, col("vec_id").asc)
+    val cand = codes.join(cells, Seq("vec_id"))
+      .join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(broadcast(lut), Seq("qid", "m", "cid"))
+      .groupBy("qid", "vec_id").agg(sum("d2").as("adist2"))
+      .withColumn("crank", row_number().over(wd))
+      .filter(col("crank") <= window)
+      .select("qid", "vec_id")
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
+    cand
+      .join(corpus.select(col("vec_id"), col("q").as("qb"), col("nrm2").as("nb")),
+        Seq("vec_id"))
+      .join(queries, Seq("qid"))
+      .withColumn("cos", expr(cosExpr))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("qid", "vec_id", "cos", "rank")
+  }
+
   /** Random-hyperplane LSH bucket (nPlanes bits) per vector. Signs are
     * md5-derived so both engines (and every executor) agree without a
     * shared random state; the table is precomputed once driver-side and

@@ -354,6 +354,32 @@ object SimilarityQueries extends QueryModule {
         .select("qid", "vec_id", "adist2", "rank")
     }),
 
+    // IVF-PQ + exact rerank via the production operator
+    // (Similarity.ivfpqRerankTopK) with its DEFAULT adaptive window —
+    // no constant is passed: the operator sizes the rerank window as
+    // adaptiveRerankWindow(points, cells) = max(20, ceil(2·n/8)), and
+    // the ORACLE computes the identical formula from its own counts,
+    // so the adaptive rule itself is oracle-gated at every sf.
+    "s_ann_ivfpq_rerank" -> ((s, dir) => {
+      val q = quantizedOf(s, dir)
+      val coarse = coarseOf(s, dir)
+      val cells = Similarity.assignNearest(q, coarse)
+        .select(col("vec_id"), col("cid").as("cell"))
+      val sub = Similarity.pqSub(q, 4, 16)
+      val cb = pqCodebooksOf(s, dir)
+      val codes = Similarity.pqAssign(sub, cb).select("vec_id", "m", "cid")
+      val queries = q.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("q").as("qa"), col("nrm2").as("na"))
+      val lut = sub.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("m"), col("sv"), col("snrm2"))
+        .join(broadcast(cb), Seq("m"))
+        .withColumn("d2", col("snrm2") + col("cnrm2") - lit(2L) *
+          expr("q_dot(sv, cq)"))
+        .select("qid", "m", "cid", "d2")
+      Similarity.ivfpqRerankTopK(q, coarse, cells, codes, lut, queries,
+        k = 5, nProbe = 2)
+    }),
+
     // Residual IVF-PQ (the full FAISS IVFPQ design): PQ quantizes the
     // RESIDUAL x − c(x) after the coarse cell centroid, so code cells
     // are sized by within-cell variance — the soak measured bare
@@ -447,6 +473,89 @@ object SimilarityQueries extends QueryModule {
         .select("label", "vec_id", "dist2", "rank")
     })
   )
+
+  /** Shared IVF-PQ oracle chain through `adc(qid, vec_id, adist2)` —
+    * consumed by BOTH the s_ann_ivfpq oracle and the rerank oracle so
+    * the index definition cannot drift between them. */
+  private lazy val ivfpqAdcChain: String = {
+    // coarse k-means chain (identical to s_ann_ivf_kmeans)
+    def cAssign(cents: String): String =
+      s"""SELECT vec_id, qv, nrm2, cid FROM (
+         |  SELECT qn.vec_id AS vec_id, qn.qv AS qv, qn.nrm2 AS nrm2, $cents.cid AS cid,
+         |    row_number() OVER (PARTITION BY qn.vec_id ORDER BY
+         |      qn.nrm2 + $cents.cnrm2 - 2 * list_dot_product(qn.qv, $cents.cq) ASC,
+         |      $cents.cid ASC) AS rn
+         |  FROM qn CROSS JOIN $cents) t WHERE rn = 1""".stripMargin
+    def cUpdate(assigned: String, pfx: String, out: String): String =
+      s"""${pfx}comp AS (
+         |  SELECT cid, CAST(i AS INT) AS i, qv[CAST(i+1 AS INT)] AS c
+         |  FROM $assigned CROSS JOIN range(64) ii(i)),
+         |${pfx}v AS (
+         |  SELECT cid, i, CAST(floor(CAST(sum(c) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+         |  FROM ${pfx}comp GROUP BY 1, 2),
+         |$out AS (
+         |  SELECT cid, cq, list_dot_product(cq, cq) AS cnrm2 FROM (
+         |    SELECT cid, list(cv ORDER BY i) AS cq FROM ${pfx}v GROUP BY 1) t)""".stripMargin
+    // product-quantization chain (identical to s_ann_pq)
+    def pAssign(cents: String, out: String): String =
+      s"""$out AS (
+         |  SELECT vec_id, m, sv, snrm2, cid FROM (
+         |    SELECT s.vec_id AS vec_id, s.m AS m, s.sv AS sv, s.snrm2 AS snrm2, c.cid AS cid,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+         |        s.snrm2 + c.cnrm2 - 2 * list_dot_product(s.sv, c.cq) ASC, c.cid ASC) AS rn
+         |    FROM subn s JOIN $cents c ON s.m = c.m) t WHERE rn = 1)""".stripMargin
+    def pUpdate(assigned: String, pfx: String, out: String): String =
+      s"""${pfx}comp AS (
+         |  SELECT m, cid, CAST(i AS INT) AS i, sv[CAST(i+1 AS INT)] AS c
+         |  FROM $assigned CROSS JOIN range(16) ii(i)),
+         |${pfx}v AS (
+         |  SELECT m, cid, i, CAST(floor(CAST(sum(c) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+         |  FROM ${pfx}comp GROUP BY 1, 2, 3),
+         |$out AS (
+         |  SELECT m, cid, cq, list_dot_product(cq, cq) AS cnrm2 FROM (
+         |    SELECT m, cid, list(cv ORDER BY i) AS cq FROM ${pfx}v GROUP BY 1, 2) t)""".stripMargin
+    s"""WITH $quantSql,
+       |ci0 AS (
+       |  SELECT CAST(vec_id AS INT) AS cid, qv AS cq, list_dot_product(qv, qv) AS cnrm2
+       |  FROM qn WHERE vec_id < 8),
+       |ca1 AS (${cAssign("ci0")}),
+       |${cUpdate("ca1", "cu1", "ci1")},
+       |ca2 AS (${cAssign("ci1")}),
+       |${cUpdate("ca2", "cu2", "ci2")},
+       |cells AS (SELECT vec_id, cid AS cell FROM (${cAssign("ci2")}) z),
+       |sub AS (
+       |  SELECT vec_id, CAST(m AS INT) AS m,
+       |    list_slice(qv, CAST(m*16+1 AS INT), CAST(m*16+16 AS INT)) AS sv
+       |  FROM qn CROSS JOIN range(4) mm(m)),
+       |subn AS (SELECT vec_id, m, sv, list_dot_product(sv, sv) AS snrm2 FROM sub),
+       |pi0 AS (SELECT m, CAST(vec_id AS INT) AS cid, sv AS cq, snrm2 AS cnrm2
+       |        FROM subn WHERE vec_id < 8),
+       |${pAssign("pi0", "pa1")},
+       |${pUpdate("pa1", "pu1", "pi1")},
+       |${pAssign("pi1", "pa2")},
+       |${pUpdate("pa2", "pu2", "pi2")},
+       |${pAssign("pi2", "codes")},
+       |queries AS (SELECT vec_id AS qid, qv AS qa, nrm2 AS na FROM qn WHERE vec_id < 8),
+       |probe AS (
+       |  SELECT qid, cid AS cell,
+       |    row_number() OVER (PARTITION BY qid ORDER BY
+       |      CAST(list_dot_product(qa, cq) AS DOUBLE)
+       |        / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(cnrm2 AS DOUBLE))) DESC,
+       |      cid ASC) AS crank
+       |  FROM queries CROSS JOIN ci2),
+       |probed AS (SELECT qid, cell FROM probe WHERE crank <= 2),
+       |lut AS (
+       |  SELECT s.vec_id AS qid, c.m AS m, c.cid AS cid,
+       |    s.snrm2 + c.cnrm2 - 2 * list_dot_product(s.sv, c.cq) AS d2
+       |  FROM subn s JOIN pi2 c ON s.m = c.m WHERE s.vec_id < 8),
+       |adc AS (
+       |  SELECT probed.qid AS qid, codes.vec_id AS vec_id, CAST(sum(d2) AS BIGINT) AS adist2
+       |  FROM codes
+       |  JOIN cells ON codes.vec_id = cells.vec_id
+       |  JOIN probed ON cells.cell = probed.cell AND codes.vec_id != probed.qid
+       |  JOIN lut ON lut.qid = probed.qid AND lut.m = codes.m AND lut.cid = codes.cid
+       |  GROUP BY 1, 2)""".stripMargin
+  }
 
   override def oracleSql = Map(
     "s_ann_bruteforce" ->
@@ -805,90 +914,40 @@ object SimilarityQueries extends QueryModule {
          |  FROM scored) t
          |WHERE rank <= 5""".stripMargin
     },
-    "s_ann_ivfpq" -> {
-      // coarse k-means chain (identical to s_ann_ivf_kmeans)
-      def cAssign(cents: String): String =
-        s"""SELECT vec_id, qv, nrm2, cid FROM (
-           |  SELECT qn.vec_id AS vec_id, qn.qv AS qv, qn.nrm2 AS nrm2, $cents.cid AS cid,
-           |    row_number() OVER (PARTITION BY qn.vec_id ORDER BY
-           |      qn.nrm2 + $cents.cnrm2 - 2 * list_dot_product(qn.qv, $cents.cq) ASC,
-           |      $cents.cid ASC) AS rn
-           |  FROM qn CROSS JOIN $cents) t WHERE rn = 1""".stripMargin
-      def cUpdate(assigned: String, pfx: String, out: String): String =
-        s"""${pfx}comp AS (
-           |  SELECT cid, CAST(i AS INT) AS i, qv[CAST(i+1 AS INT)] AS c
-           |  FROM $assigned CROSS JOIN range(64) ii(i)),
-           |${pfx}v AS (
-           |  SELECT cid, i, CAST(floor(CAST(sum(c) AS DOUBLE) / count(*)) AS BIGINT) AS cv
-           |  FROM ${pfx}comp GROUP BY 1, 2),
-           |$out AS (
-           |  SELECT cid, cq, list_dot_product(cq, cq) AS cnrm2 FROM (
-           |    SELECT cid, list(cv ORDER BY i) AS cq FROM ${pfx}v GROUP BY 1) t)""".stripMargin
-      // product-quantization chain (identical to s_ann_pq)
-      def pAssign(cents: String, out: String): String =
-        s"""$out AS (
-           |  SELECT vec_id, m, sv, snrm2, cid FROM (
-           |    SELECT s.vec_id AS vec_id, s.m AS m, s.sv AS sv, s.snrm2 AS snrm2, c.cid AS cid,
-           |      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
-           |        s.snrm2 + c.cnrm2 - 2 * list_dot_product(s.sv, c.cq) ASC, c.cid ASC) AS rn
-           |    FROM subn s JOIN $cents c ON s.m = c.m) t WHERE rn = 1)""".stripMargin
-      def pUpdate(assigned: String, pfx: String, out: String): String =
-        s"""${pfx}comp AS (
-           |  SELECT m, cid, CAST(i AS INT) AS i, sv[CAST(i+1 AS INT)] AS c
-           |  FROM $assigned CROSS JOIN range(16) ii(i)),
-           |${pfx}v AS (
-           |  SELECT m, cid, i, CAST(floor(CAST(sum(c) AS DOUBLE) / count(*)) AS BIGINT) AS cv
-           |  FROM ${pfx}comp GROUP BY 1, 2, 3),
-           |$out AS (
-           |  SELECT m, cid, cq, list_dot_product(cq, cq) AS cnrm2 FROM (
-           |    SELECT m, cid, list(cv ORDER BY i) AS cq FROM ${pfx}v GROUP BY 1, 2) t)""".stripMargin
-      s"""WITH $quantSql,
-         |ci0 AS (
-         |  SELECT CAST(vec_id AS INT) AS cid, qv AS cq, list_dot_product(qv, qv) AS cnrm2
-         |  FROM qn WHERE vec_id < 8),
-         |ca1 AS (${cAssign("ci0")}),
-         |${cUpdate("ca1", "cu1", "ci1")},
-         |ca2 AS (${cAssign("ci1")}),
-         |${cUpdate("ca2", "cu2", "ci2")},
-         |cells AS (SELECT vec_id, cid AS cell FROM (${cAssign("ci2")}) z),
-         |sub AS (
-         |  SELECT vec_id, CAST(m AS INT) AS m,
-         |    list_slice(qv, CAST(m*16+1 AS INT), CAST(m*16+16 AS INT)) AS sv
-         |  FROM qn CROSS JOIN range(4) mm(m)),
-         |subn AS (SELECT vec_id, m, sv, list_dot_product(sv, sv) AS snrm2 FROM sub),
-         |pi0 AS (SELECT m, CAST(vec_id AS INT) AS cid, sv AS cq, snrm2 AS cnrm2
-         |        FROM subn WHERE vec_id < 8),
-         |${pAssign("pi0", "pa1")},
-         |${pUpdate("pa1", "pu1", "pi1")},
-         |${pAssign("pi1", "pa2")},
-         |${pUpdate("pa2", "pu2", "pi2")},
-         |${pAssign("pi2", "codes")},
-         |queries AS (SELECT vec_id AS qid, qv AS qa, nrm2 AS na FROM qn WHERE vec_id < 8),
-         |probe AS (
-         |  SELECT qid, cid AS cell,
-         |    row_number() OVER (PARTITION BY qid ORDER BY
-         |      CAST(list_dot_product(qa, cq) AS DOUBLE)
-         |        / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(cnrm2 AS DOUBLE))) DESC,
-         |      cid ASC) AS crank
-         |  FROM queries CROSS JOIN ci2),
-         |probed AS (SELECT qid, cell FROM probe WHERE crank <= 2),
-         |lut AS (
-         |  SELECT s.vec_id AS qid, c.m AS m, c.cid AS cid,
-         |    s.snrm2 + c.cnrm2 - 2 * list_dot_product(s.sv, c.cq) AS d2
-         |  FROM subn s JOIN pi2 c ON s.m = c.m WHERE s.vec_id < 8),
-         |adc AS (
-         |  SELECT probed.qid AS qid, codes.vec_id AS vec_id, CAST(sum(d2) AS BIGINT) AS adist2
-         |  FROM codes
-         |  JOIN cells ON codes.vec_id = cells.vec_id
-         |  JOIN probed ON cells.cell = probed.cell AND codes.vec_id != probed.qid
-         |  JOIN lut ON lut.qid = probed.qid AND lut.m = codes.m AND lut.cid = codes.cid
-         |  GROUP BY 1, 2)
+    "s_ann_ivfpq" ->
+      s"""$ivfpqAdcChain
          |SELECT qid, vec_id, adist2, rank FROM (
          |  SELECT qid, vec_id, adist2,
          |    CAST(row_number() OVER (PARTITION BY qid ORDER BY adist2 ASC, vec_id ASC) AS INT) AS rank
          |  FROM adc) t
-         |WHERE rank <= 5""".stripMargin
-    },
+         |WHERE rank <= 5""".stripMargin,
+    // IVF-PQ + exact rerank with the ADAPTIVE window: the oracle
+    // computes w = greatest(20, ceil(2.0 * points / cells)) from its
+    // OWN counts — the same formula as Similarity.adaptiveRerankWindow
+    // — so the production operator's default sizing rule is itself
+    // oracle-gated at every scale factor.
+    "s_ann_ivfpq_rerank" ->
+      s"""$ivfpqAdcChain,
+         |wparam AS (
+         |  SELECT greatest(20, CAST(ceil(2.0 * (SELECT count(*) FROM qn)
+         |    / (SELECT count(*) FROM ci2)) AS INT)) AS w),
+         |cand AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |      row_number() OVER (PARTITION BY qid ORDER BY adist2 ASC, vec_id ASC) AS crank
+         |    FROM adc) t WHERE crank <= (SELECT w FROM wparam)),
+         |scored AS (
+         |  SELECT cand.qid AS qid, cand.vec_id AS vec_id,
+         |    CAST(list_dot_product(a.qv, b.qv) AS DOUBLE)
+         |      / (sqrt(CAST(a.nrm2 AS DOUBLE)) * sqrt(CAST(b.nrm2 AS DOUBLE))) AS cos
+         |  FROM cand
+         |  JOIN qn a ON a.vec_id = cand.qid
+         |  JOIN qn b ON b.vec_id = cand.vec_id)
+         |SELECT qid, vec_id, cos, rank FROM (
+         |  SELECT qid, vec_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 5""".stripMargin,
     "s_ann_ivfpq_resid" -> {
       def cAssign(cents: String): String =
         s"""SELECT vec_id, qv, nrm2, cid FROM (

@@ -18,6 +18,7 @@ class PlanAuditSpec extends SparkSpec {
     "a19_threshold_area", "d_containment", "d_ngram_jaccard_capped", "f14_regrid_nearest",
     "j1_zonal_stats", "j1b_zonal_levels", "s10b_xyz_tiles",
     "s_ann_bruteforce", "s_ann_ivf", "s_ann_ivf_kmeans", "s_ann_ivfpq",
+    "s_ann_ivfpq_rerank", // same 8-row coarse-probe cross as s_ann_ivfpq
     "s_ann_recall_eval", // composes the brute-force truth leg above
     "s_ann_ivfpq_resid", "s_ann_ivf_stream", "t_domain_mix",
     "t_unigram_surprisal", // one-row corpus-totals broadcast, like t_domain_mix

@@ -57,4 +57,34 @@ class PqSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("ivfpqRerankTopK: default window IS the adaptive rule; explicit window honored") {
+    val coarse = Similarity.ivfKmeansCentroids(q, 8, 2)
+      .collect().map(r => (r.getInt(0), r.getSeq[Long](1), r.getLong(2))).toSeq
+      .toDF("cid", "cq", "cnrm2")
+    val cells = Similarity.assignNearest(q, coarse)
+      .select(col("vec_id"), col("cid").as("cell"))
+    val codes = Similarity.pqAssign(sub, cents).select("vec_id", "m", "cid")
+    val queries = q.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("q").as("qa"), col("nrm2").as("na"))
+    val lut = sub.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("m"), col("sv"), col("snrm2"))
+      .join(broadcast(cents), Seq("m"))
+      .withColumn("d2", col("snrm2") + col("cnrm2") - lit(2L) *
+        expr("q_dot(sv, cq)"))
+      .select("qid", "m", "cid", "d2")
+    def run(w: Option[Int]) =
+      Similarity.ivfpqRerankTopK(q, coarse, cells, codes, lut, queries,
+        k = 3, nProbe = 2, rerankWindow = w)
+        .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    // the no-arg default must produce exactly what an explicit
+    // adaptiveRerankWindow(points, cells) value produces
+    val wAdaptive = Similarity.adaptiveRerankWindow(q.count(), coarse.count())
+    assert(run(None) == run(Some(wAdaptive)))
+    // the window parameter is live: a 1-candidate window caps output
+    // at one row per query
+    val narrow = run(Some(1))
+    assert(narrow.groupBy(_._1).forall(_._2.length == 1))
+    assert(narrow.nonEmpty && narrow.forall(_._4 == 1))
+  }
 }
