@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
   */
 object Sessions {
   def build(cpus: String): SparkSession = {
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("georivaspark")
       .config("spark.sql.shuffle.partitions",
@@ -50,7 +50,13 @@ object Sessions {
       // collection, date); inference would silently retype "2" → int
       // and break ledger/unit joins on read-back
       .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
-      .getOrCreate()
+    // A/B hook for the storage-noise study (SCALE.md): point shuffle /
+    // block-manager scratch at a tmpfs (e.g. /dev/shm/graft) to take the
+    // root filesystem's online-discard (TRIM) churn out of soak
+    // measurements. Unset = Spark's default (java.io.tmpdir).
+    sys.env.get("SPARK_GRAFT_LOCAL_DIR").foreach(d =>
+      builder.config("spark.local.dir", d))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.Registry.register(spark)
     if (!spark.experimental.extraStrategies.contains(graft.plans.AsofJoinStrategy))

@@ -328,6 +328,47 @@ object Geo {
     (rho * math.sin(theta), -rho * math.cos(theta))
   }
 
+  /** Spherical azimuthal equidistant forward, oblique aspect centered
+    * on the tangency point (latCDeg, lonCDeg) — Snyder 1987 eq.
+    * 25-1..25-4: straight lines through the center are great circles
+    * with TRUE distance (rho = R·c). GRIB2 grid template 3.110 declares
+    * this projection for radar-centric products. At the center (c = 0)
+    * the scale factor k' = c/sin c is taken at its limit 1. */
+  def fwdAzimuthalEquidistantSph(radius: Double, latCDeg: Double, lonCDeg: Double)
+                                (lonDeg: Double, latDeg: Double): (Double, Double) = {
+    val phi1 = math.toRadians(latCDeg); val phi = math.toRadians(latDeg)
+    val dLon = { val d = (lonDeg - lonCDeg) % 360.0
+                 if (d > 180) d - 360 else if (d < -180) d + 360 else d }
+    val lam = math.toRadians(dLon)
+    val cosC = math.sin(phi1) * math.sin(phi) +
+      math.cos(phi1) * math.cos(phi) * math.cos(lam)
+    val c = math.acos(math.max(-1.0, math.min(1.0, cosC)))
+    val kp = if (c < 1e-12) 1.0 else c / math.sin(c)
+    (radius * kp * math.cos(phi) * math.sin(lam),
+      radius * kp * (math.cos(phi1) * math.sin(phi) -
+        math.sin(phi1) * math.cos(phi) * math.cos(lam)))
+  }
+
+  /** Inverse of [[fwdAzimuthalEquidistantSph]] (Snyder eq. 20-14..20-18
+    * with c = rho/R, eq. 25-15): recovers (lon, lat) from projected
+    * meters about the tangency point. rho = 0 pins to the center so the
+    * function stays total. */
+  def invAzimuthalEquidistantSph(radius: Double, latCDeg: Double, lonCDeg: Double)
+                                (x: Double, y: Double): (Double, Double) = {
+    val rho = math.sqrt(x * x + y * y)
+    if (rho == 0.0) (lonCDeg, latCDeg)
+    else {
+      val phi1 = math.toRadians(latCDeg)
+      val c = rho / radius
+      val sinC = math.sin(c); val cosC = math.cos(c)
+      val lat = math.asin(math.max(-1.0, math.min(1.0,
+        cosC * math.sin(phi1) + y * sinC * math.cos(phi1) / rho)))
+      val lon = lonCDeg + math.toDegrees(math.atan2(
+        x * sinC, rho * math.cos(phi1) * cosC - y * math.sin(phi1) * sinC))
+      (wrapLon(lon), math.toDegrees(lat))
+    }
+  }
+
   /** Inverse ELLIPSOIDAL (WGS84) polar stereographic, north aspect,
     * true scale at `latTsDeg` — the datum-true form of the spherical
     * inverse above and the actual EPSG:3413 (NSIDC sea-ice) datum the

@@ -6,9 +6,10 @@ import java.nio.ByteBuffer
   * lat/lon grid (template 3.0), projected grids (3.10 Mercator, 3.20
   * polar stereographic, 3.30 Lambert conformal — the NCEP
   * HRRR/NAM/RAP continental shape), Gaussian grids (3.40 regular +
-  * reduced), and space-view/geostationary grids (3.90 — the
+  * reduced), space-view/geostationary grids (3.90 — the
   * Meteosat/GOES/Himawari full-disc family, CGMS perspective
-  * geometry), all exposing exact per-pixel lon/lat through the
+  * geometry), and azimuthal equidistant grids (3.110 — radar-centric
+  * products), all exposing exact per-pixel lon/lat through the
   * non-affine decoder hook;
   * product template 4.0, an optional bitmap (section 6) carrying
   * nodata, and these data representations:
@@ -60,6 +61,10 @@ object Grib2 {
   /** North-aspect polar stereographic (template 3.20 — the NCEP
     * Alaska/sea-ice grids; true scale at `lad`, down-axis `lov`). */
   case class PsProj(radius: Double, lov: Double, lad: Double) extends GridProj
+  /** Azimuthal equidistant (template 3.110 — radar-centric products:
+    * the grid plane is tangent at (`latC`, `lonC`) and radial distance
+    * from the center is TRUE, so range rings are concentric circles). */
+  case class AeqdProj(radius: Double, latC: Double, lonC: Double) extends GridProj
   /** Mercator (template 3.10 — tropical-band products, e.g. the NWS
     * Pacific/Caribbean sector grids): true scale at `lad`; `lon0` is
     * the frame's zero-x meridian (the declared first point's
@@ -157,6 +162,8 @@ object Grib2 {
               graft.ops.Geo.invLambertConformalConicSph(rad, l1, l2, lad, lov)
             case PsProj(rad, lov, lad) =>
               graft.ops.Geo.invPolarStereographicSph(rad, lov, lad)
+            case AeqdProj(rad, latC, lonC) =>
+              graft.ops.Geo.invAzimuthalEquidistantSph(rad, latC, lonC)
             case MercProj(rad, lon0, lad) =>
               graft.ops.Geo.invMercatorSph(rad, lon0, lad)
             case SpaceViewProj(re, rp, lop, nr) =>
@@ -430,12 +437,15 @@ object Grib2 {
               graft.ops.Geo.invLambertConformalConicSph(rad, l1, l2, lad, lov) _
             case PsProj(rad, lov, lad) =>
               graft.ops.Geo.invPolarStereographicSph(rad, lov, lad) _
+            case AeqdProj(rad, latC, lonC) =>
+              graft.ops.Geo.invAzimuthalEquidistantSph(rad, latC, lonC) _
             case _ => throw new IllegalStateException("handled above")
           })(xFirst, yFirst)
           def lonE(v: Double) = if (v < 0) v + 360 else v // GRIB 0..360 east
           val (tmpl, lad, lov, radius) = p match {
-            case l: LccProj => (30, l.lad, l.lov, l.radius)
-            case s: PsProj  => (20, s.lad, s.lov, s.radius)
+            case l: LccProj  => (30, l.lad, l.lov, l.radius)
+            case s: PsProj   => (20, s.lad, s.lov, s.radius)
+            case a: AeqdProj => (110, a.latC, a.lonC, a.radius)
             case _ => throw new IllegalStateException("handled above")
           }
           bu8(b, 0); bu32(b, n); bu8(b, 0); bu8(b, 0); bu16(b, tmpl)
@@ -453,7 +463,7 @@ object Grib2 {
             case l: LccProj =>
               bs32(b, math.round(l.latin1 * 1e6)); bs32(b, math.round(l.latin2 * 1e6))
               bs32(b, -90 * 1000000L); bu32(b, 0) // southern pole (unused)
-            case _: PsProj => // 3.20 ends at the scanning mode
+            case _: PsProj | _: AeqdProj => // 3.20/3.110 end at the scanning mode
             case other => throw new IllegalStateException(s"handled above: $other")
           }
         }
@@ -1071,11 +1081,13 @@ object Grib2 {
             // octets with another template's layout would SILENTLY
             // mis-georeference every pixel
             require(tmpl3 == 0 || tmpl3 == 1 || tmpl3 == 10 || tmpl3 == 20 ||
-                tmpl3 == 30 || tmpl3 == 40 || tmpl3 == 50 || tmpl3 == 90,
+                tmpl3 == 30 || tmpl3 == 40 || tmpl3 == 50 || tmpl3 == 90 ||
+                tmpl3 == 110,
               s"unsupported grid definition template 3.$tmpl3 " +
                 "(supported: 3.0 lat/lon, 3.1 rotated lat/lon, 3.10 Mercator, " +
                 "3.20 polar stereo, 3.30 Lambert, 3.40 Gaussian, " +
-                "3.50 spherical harmonics, 3.90 space view)")
+                "3.50 spherical harmonics, 3.90 space view, " +
+                "3.110 azimuthal equidistant)")
             if (tmpl3 == 50) {
               // ---- spherical harmonic coefficients (spectral-native
               // model output). J/K/M pentagonal resolution; the data
@@ -1267,7 +1279,7 @@ object Grib2 {
               west = xMin - dx / 2
               north = yMax + dy / 2
               proj = Some(MercProj(radius, lo1, lad))
-            } else { // 3.20 polar stereographic / 3.30 Lambert conformal
+            } else { // 3.20 polar stereo / 3.30 Lambert / 3.110 azimuthal equidistant
               val shape = bytes(o + 9) & 0xff
               val radius = shape match {
                 case 0 => 6367470.0
@@ -1280,8 +1292,10 @@ object Grib2 {
                     "(spherical shapes 0/1/6 only; the NCEP feeds declare spheres)")
               }
               def lonNorm(v: Double) = if (v > 180) v - 360 else v
-              // templates 3.20 and 3.30 share every octet through the
-              // scanning mode; 3.30 appends the two standard parallels
+              // templates 3.20, 3.30 and 3.110 share every octet through
+              // the scanning mode; 3.30 appends the two standard
+              // parallels. In 3.110 the (LaD, LoV) octet pair carries the
+              // TANGENCY point (standard parallel + central longitude).
               val la1 = s32(o + 33) / 1e6
               val lo1 = lonNorm(s32(o + 37) / 1e6)
               val lad = s32(o + 42) / 1e6
@@ -1299,7 +1313,10 @@ object Grib2 {
                   (LccProj(radius, lov, latin1, latin2, lad): GridProj,
                     graft.ops.Geo.fwdLambertConformalConicSph(
                       radius, latin1, latin2, lad, lov) _)
-                } else
+                } else if (tmpl3 == 110)
+                  (AeqdProj(radius, lad, lov): GridProj,
+                    graft.ops.Geo.fwdAzimuthalEquidistantSph(radius, lad, lov) _)
+                else
                   (PsProj(radius, lov, lad): GridProj,
                     graft.ops.Geo.fwdPolarStereographicSph(radius, lov, lad) _)
               // anchor the projected frame at the declared first point,

@@ -2072,6 +2072,12 @@ object Hdf5 {
   val SzipFixtureCd: Array[Int] = Array(
     Szip.MaskRaw | Szip.MaskNn | Szip.MaskLsb, 16, 16, 32)
 
+  /** 32-bit szip client data (float datasets, the EOS-product shape):
+    * RAW|NN|LSB options, 32 bits/pixel, 16 pixels/block, 32/scanline —
+    * decoded through the byte-plane recode ([[Szip]] scaladoc). */
+  val Szip32FixtureCd: Array[Int] = Array(
+    Szip.MaskRaw | Szip.MaskNn | Szip.MaskLsb, 32, 16, 32)
+
   /** Write a NetCDF-4 file in netcdf-c's default shape: superblock v0,
     * v1 object headers, symbol-table root group; one dataset per
     * dimension (the coordinate variable's data when one exists, with
@@ -2096,9 +2102,11 @@ object Hdf5 {
     * the ERA5-class packed-short layout a szip-enabled netcdf-c
     * emits. Values must fit non-negative 16-bit; fill must be None
     * (the spec fixtures hold both). */
+  /** `szip32`: keep the data variables FLOAT (4-byte) behind a 32-bpp
+    * szip pipeline — the layout szlib recodes as byte planes. */
   def write(dims: Seq[(String, Int)], variables: Seq[NetCdf.Variable],
             shuffle: Boolean = false, denseRoot: Boolean = false,
-            szip: Boolean = false,
+            szip: Boolean = false, szip32: Boolean = false,
             fletcher: Boolean = false, layoutV4: Option[Int] = None,
             v4Unfiltered: Boolean = false, v4PageBits: Int = 10,
             eaPageBits: Int = 10, subgroup: Option[String] = None,
@@ -2165,6 +2173,8 @@ object Hdf5 {
         "(filtered huge objects route via the hugebtree style)")
     require(!szip || (!shuffle && !fletcher && layoutV4.isEmpty),
       "fixture writer: szip is its own single-filter pipeline")
+    require(!szip32 || (!szip && !shuffle && !fletcher && layoutV4.isEmpty),
+      "fixture writer: szip32 is its own single-filter pipeline")
     val out = new java.io.ByteArrayOutputStream()
     def pos = out.size
     def u8(v: Int): Unit = out.write(v & 0xff)
@@ -2687,6 +2697,8 @@ object Hdf5 {
         val storeFiltered = layoutV4 != Some(2) && !v4Unfiltered
         if (storeFiltered && szip) {
           payload = Szip.encode(payload, SzipFixtureCd, 2)
+        } else if (storeFiltered && szip32) {
+          payload = Szip.encode(payload, Szip32FixtureCd, 4)
         } else if (storeFiltered && packedCd.isDefined) {
           payload =
             if (nbitPrecision.isDefined) H5Packed.nbitEncode(payload, packedCd.get)
@@ -2919,6 +2931,7 @@ object Hdf5 {
       }, v.dims.size * 16)
       val filterIds =
         if (szip) Seq((4, SzipFixtureCd.toSeq))
+        else if (szip32) Seq((4, Szip32FixtureCd.toSeq))
         else if (packedCd.isDefined)
           Seq(((if (nbitPrecision.isDefined) 5 else 6), packedCd.get.toSeq))
         else (if (shuffle) Seq((2, Seq(4))) else Nil) ++

@@ -551,6 +551,53 @@ class Grib2Spec extends SparkSpec {
       math.abs(lats(2 * w + 3) - latRef) < 1e-9)
   }
 
+  test("azimuthal equidistant grids (3.110) round-trip with exact lon/lat") {
+    // a radar-centric shape: sphere 6371229 m tangent at (47°N, 8°E),
+    // 2 km bins — the WMO template for radar composites
+    val w = 30; val h = 25
+    val data = Array.tabulate(w * h)(i => ((i % 60) * 0.5).toFloat)
+    val proj = Grib2.AeqdProj(radius = 6371229.0, latC = 47.0, lonC = 8.0)
+    // frame centered on the tangency point (odd half-pixel offsets)
+    val m = Grib2.Message(
+      GeoTiff.Raster(w, h, data, -w / 2 * 2000.0, h / 2 * 2000.0, 2000.0, 2000.0),
+      discipline = 0, category = 15, parameter = 1,
+      refTime = java.time.LocalDateTime.of(2024, 6, 1, 0, 0, 0),
+      forecastHours = 0, proj = Some(proj))
+    for (scan <- Seq(0, 0x40, 0x80)) {
+      val back = Grib2.read(Grib2.write(m, scanMode = scan))
+      assert(back.proj.contains(proj), s"proj params drifted at scan=$scan")
+      assert(math.abs(back.raster.west - m.raster.west) < 1.0)
+      assert(math.abs(back.raster.north - m.raster.north) < 1.0)
+      back.raster.data.zip(m.raster.data).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 0.005, s"$a vs $b at scan=$scan")
+      }
+    }
+    val back = Grib2.read(Grib2.write(m))
+    val Some((lons, lats)) = Grib2.lonLatArrays(back)
+    // the projection's defining property: radial distance from the
+    // tangency point is TRUE — rho = R * (great-circle angle)
+    val i = 7 * w + 11
+    val x = back.raster.west + 11.5 * back.raster.px
+    val y = back.raster.north - 7.5 * back.raster.py
+    val rho = math.sqrt(x * x + y * y)
+    val c = { // great-circle angle center → recovered pixel coordinate
+      val p1 = math.toRadians(proj.latC); val p2 = math.toRadians(lats(i))
+      val dl = math.toRadians(lons(i) - proj.lonC)
+      math.acos(math.sin(p1) * math.sin(p2) +
+        math.cos(p1) * math.cos(p2) * math.cos(dl))
+    }
+    assert(math.abs(rho - proj.radius * c) < 1e-3,
+      s"radial distance not true: rho=$rho vs R*c=${proj.radius * c}")
+    // forward(inverse) closes
+    val (fx, fy) = graft.ops.Geo.fwdAzimuthalEquidistantSph(
+      proj.radius, proj.latC, proj.lonC)(lons(i), lats(i))
+    assert(math.abs(fx - x) < 1e-6 && math.abs(fy - y) < 1e-6)
+    // exact center pixel recovers the tangency point itself
+    val (cLon, cLat) = graft.ops.Geo.invAzimuthalEquidistantSph(
+      proj.radius, proj.latC, proj.lonC)(0.0, 0.0)
+    assert(cLon == proj.lonC && cLat == proj.latC)
+  }
+
   test("product templates: accumulation form (4.8) reads, unknown forms fail") {
     def patchTmpl4(bytes: Array[Byte], v: Int): Boolean = {
       def u32(b: Array[Byte], o: Int): Int =
@@ -686,12 +733,12 @@ class Grib2Spec extends SparkSpec {
     var patched = false
     while (pos < bytes.length - 4 && !patched) {
       val len = u32(bytes, pos); val num = bytes(pos + 4) & 0xff
-      if (num == 3) { bytes(pos + 5 + 8) = 110.toByte; patched = true } // 3.110 equatorial azimuthal
+      if (num == 3) { bytes(pos + 5 + 8) = 140.toByte; patched = true } // 3.140 Lambert azimuthal equal area
       else pos += len
     }
     assert(patched)
     val e = intercept[IllegalArgumentException](Grib2.read(bytes))
-    assert(e.getMessage.contains("template 3.110"))
+    assert(e.getMessage.contains("template 3.140"))
   }
 
   test("complex packing + 2nd-order spatial differencing (5.3) round-trips") {

@@ -90,6 +90,45 @@ class SzipSpec extends SparkSpec {
       .sameElements(raw))
   }
 
+  test("32-bit samples round-trip through the byte-plane recode") {
+    // float bit patterns (smooth field + NaNs + negatives): the recode
+    // must restore the raw bytes verbatim whatever they encode
+    val rnd = new scala.util.Random(11)
+    for (nn <- Seq(0, Szip.MaskNn); msb <- Seq(Szip.MaskLsb, Szip.MaskMsb);
+         count <- Seq(16, 64, 97)) {
+      val cd = Array(Szip.MaskRaw | nn | msb, 32, 16, 32)
+      val bb = java.nio.ByteBuffer.allocate(count * 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until count).foreach { i =>
+        bb.putFloat(if (i % 17 == 3) Float.NaN
+          else if (i % 5 == 0) -273.15f + i
+          else (math.sin(i * 0.3) * 1e4).toFloat + rnd.nextFloat())
+      }
+      val raw = bb.array()
+      val enc = Szip.encode(raw, cd, 4)
+      assert(Szip.decode(enc, cd, raw.length, 4).sameElements(raw),
+        s"nn=$nn msb=$msb count=$count")
+    }
+  }
+
+  test("szip-filtered FLOAT chunks (32 bpp) round-trip through the file path") {
+    val lat = Array(40f, 30f, 20f, 10f, 0f)
+    val lon = Array(-30f, -20f, -10f, 0f, 10f, 20f, 30f)
+    val data = Array.tabulate(nT * h * w)(i =>
+      (math.cos(i * 0.07) * 50.0 - 3.25).toFloat) // fractional, negative
+    val f = Hdf5.read(Hdf5.write(
+      Seq("time" -> nT, "lat" -> h, "lon" -> w),
+      Seq(
+        NetCdf.Variable("lat", Seq("lat"), lat, None),
+        NetCdf.Variable("lon", Seq("lon"), lon, None),
+        NetCdf.Variable("sst", Seq("time", "lat", "lon"), data, None)),
+      szip32 = true))
+    val sst = f.datasets.find(_.name == "sst").get
+    assert(sst.shape == Seq(nT, h, w))
+    assert(sst.data.sameElements(data))
+    assert(f.datasets.find(_.name == "lat").get.data.sameElements(lat))
+  }
+
   test("corrupt szip streams decode or throw — never hang, never huge allocs") {
     val cd = Array(Szip.MaskRaw | Szip.MaskNn | Szip.MaskMsb, 16, 16, 32)
     val raw = Array.tabulate(128)(i => ((i * 31) % 256).toByte)
@@ -112,8 +151,11 @@ class SzipSpec extends SparkSpec {
     def err(cd: Array[Int], elemSize: Int = 2): String =
       intercept[IllegalArgumentException](
         Szip.decode(Array[Byte](0), cd, 64, elemSize)).getMessage
-    assert(err(Array(Szip.MaskRaw | Szip.MaskEc | Szip.MaskMsb, 32, 16, 32), 4)
-      .contains("32-bit samples"))
+    assert(err(Array(Szip.MaskRaw | Szip.MaskEc | Szip.MaskMsb, 12, 16, 32))
+      .contains("bits-per-pixel 12"))
+    // 32 bpp demands a 4-byte datatype (the byte-plane recode)
+    assert(err(Array(Szip.MaskRaw | Szip.MaskEc | Szip.MaskMsb, 32, 16, 32), 2)
+      .contains("2-byte datatype"))
     assert(err(Array(Szip.MaskRaw | Szip.MaskChip | Szip.MaskMsb, 16, 16, 32))
       .contains("CHIP"))
     assert(err(Array(Szip.MaskRaw | Szip.MaskMsb, 16, 10, 32))
