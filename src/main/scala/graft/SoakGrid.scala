@@ -44,7 +44,10 @@ object SoakGrid {
       val dir = java.nio.file.Files.createTempDirectory(s"graft-soakgrid-$g-")
       val day0 = java.time.LocalDate.of(2020, 1, 1)
       val tGen0 = System.nanoTime()
-      for (k <- 0 until g) {
+      // generation is untimed scaffolding — parallelize so the 4,000-
+      // granule decade doesn't spend minutes in a single-thread loop
+      import scala.collection.parallel.CollectionConverters._
+      (0 until g).par.foreach { k =>
         val data = Array.tabulate(edge * edge)(i =>
           if ((i + k) % 41 == 0) Float.NaN else ((k * 131 + i) % 1000) * 0.1f)
         java.nio.file.Files.write(
@@ -118,9 +121,18 @@ object SoakGrid {
         stages.getOrElseUpdate("TOTAL",
           scala.collection.mutable.Buffer()) += ((g, total))
       }
-      // free the checkpoint blocks between sizes
+      // free the checkpoint blocks and on-disk scaffolding between
+      // passes — at 4,000 granules each pass leaves ~4 GB of tiffs
+      // plus a ~1 Gpx parquet store, which would otherwise accumulate
+      // across 2 passes x 3 sizes and exhaust the scratch disk
       px.unpersist(blocking = true)
       spark.sharedState.cacheManager.clearCache()
+      def rmTree(p: java.nio.file.Path): Unit = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      rmTree(dir)
     }
 
     println("[soak-grid] ---- per-stage scaling (largest/smallest size) ----")

@@ -35,7 +35,9 @@ for i in $(seq 1 $ROUNDS); do
     fi
     t1=$(date +%s.%N); d1=($(read_discards)); c1=($(read_cpu))
     wall=$(echo "$t1 - $t0" | bc)
-    total=$(grep 'TOTAL' /tmp/trim_ab_${i}_${arm}.log | tail -1 | awk '{print $4}')
+    # the pass-2 TOTAL line is "[soak-scale] n= 1000000  TOTAL <s> s ..."
+    # (field 5); the final summary line also contains TOTAL, so filter on n=
+    total=$(grep ' TOTAL ' /tmp/trim_ab_${i}_${arm}.log | grep 'n=' | tail -1 | awk '{print $5}')
     echo -e "$i\t$arm\t$wall\t$total\t$((d1[0]-d0[0]))\t$((d1[1]-d0[1]))\t$((c1[0]-c0[0]))\t$((c1[1]-c0[1]))" >> $OUT
     tail -1 $OUT
   done
