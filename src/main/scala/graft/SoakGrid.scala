@@ -19,6 +19,14 @@ object SoakGrid {
     val sizes = args.headOption.map(_.split(",").map(_.toInt).toSeq)
       .getOrElse(Seq(40, 400))
     val edge = if (args.length > 1) args(1).toInt else 512
+    // the held decode (see s1) is the soak's biggest transient: at
+    // 4,000 granules it is ~1 Gpx of long-form rows. Deserialized
+    // disk-store blocks Java-serialize to ~300 B/row (>300 GB — the
+    // first 4,000-granule attempt filled the scratch disk); serialized
+    // + lz4-compressed blocks of the same rows are ~20x smaller.
+    // rdd.compress is a core conf, so it must be set before the
+    // SparkContext exists — SparkConf picks it up from system props.
+    System.setProperty("spark.rdd.compress", "true")
     val spark = Sessions.build(
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
 
@@ -75,7 +83,8 @@ object SoakGrid {
           .select(lit("precip").as("collection"), col("time").as("t"),
             col("y").cast("int").as("tile_y"), col("x").cast("int").as("tile_x"),
             col("v"), col("lon"), col("lat"))
-          .localCheckpoint()
+          .localCheckpoint(eager = true,
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
         p
       }
 
