@@ -13,12 +13,24 @@ import org.apache.spark.sql.functions._
   * PRODUCTION operator (Formats.ingestDir, GridStore.writeZOrdered,
   * OverviewServe.writeOverviews/readBbox, the j1 broadcast-containment
   * zonal shape) so the soak cannot drift from what the bench rows run.
-  * Run: SPARK_DRIVER_MEM=48g sbt "runMain graft.SoakGrid [sizes,csv [edge]]". */
+  * Run: SPARK_DRIVER_MEM=48g sbt "runMain graft.SoakGrid [sizes,csv [edge]]".
+  *
+  * `--fused` switches to the PRODUCTION ingest shape: decode streams
+  * straight into the z-ordered store (one decode, nothing held), and
+  * zonal reads the STORE with lon/lat derived from tile indices + the
+  * collection's georeferencing — exactly how the engine answers j1
+  * after ingest. The default (staged) shape holds the decode in a
+  * serialized localCheckpoint so s2/s4 can share it, which is a
+  * HARNESS device to time decode separately from the store write; at
+  * 1 Gpx that hold crosses the block-manager memory pool into disk
+  * blocks, a boundary the production shape never pays. */
 object SoakGrid {
   def main(args: Array[String]): Unit = {
-    val sizes = args.headOption.map(_.split(",").map(_.toInt).toSeq)
+    val fused = args.contains("--fused")
+    val posArgs = args.filterNot(_.startsWith("--"))
+    val sizes = posArgs.headOption.map(_.split(",").map(_.toInt).toSeq)
       .getOrElse(Seq(40, 400))
-    val edge = if (args.length > 1) args(1).toInt else 512
+    val edge = if (posArgs.length > 1) posArgs(1).toInt else 512
     // the held decode (see s1) is the soak's biggest transient: at
     // 4,000 granules it is ~1 Gpx of long-form rows. Deserialized
     // disk-store blocks Java-serialize to ~300 B/row (>300 GB — the
@@ -76,23 +88,37 @@ object SoakGrid {
       }
       val total0 = System.nanoTime()
 
-      // 1. ingest: production directory path (binaryFile → sniff →
-      // decode → long-form pixels with filename-derived time)
-      val px = stage("s1 ingest (decode+explode)") {
-        val p = graft.sources.Formats.ingestDir(spark, dir.toString)
-          .select(lit("precip").as("collection"), col("time").as("t"),
-            col("y").cast("int").as("tile_y"), col("x").cast("int").as("tile_x"),
-            col("v"), col("lon"), col("lat"))
-          .localCheckpoint(eager = true,
-            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-        p
-      }
-
-      // 2. base store: z-ordered parquet (2-D row-group pruning layout)
       val base = s"$dir/store/base"
-      stage("s2 base store (zorder write)") {
-        grid.GridStore.writeZOrdered(
-          px.select("collection", "t", "tile_y", "tile_x", "v"), base)
+      val px: DataFrame = if (fused) {
+        // production shape: ONE decode streaming straight into the
+        // z-ordered store — no held pixels, no storage-pool boundary
+        stage("s1+2 ingest→store (fused)") {
+          grid.GridStore.writeZOrdered(
+            graft.sources.Formats.ingestDir(spark, dir.toString)
+              .select(lit("precip").as("collection"), col("time").as("t"),
+                col("y").cast("int").as("tile_y"),
+                col("x").cast("int").as("tile_x"), col("v")),
+            base)
+        }
+        null
+      } else {
+        // 1. ingest: production directory path (binaryFile → sniff →
+        // decode → long-form pixels with filename-derived time)
+        val p = stage("s1 ingest (decode+explode)") {
+          graft.sources.Formats.ingestDir(spark, dir.toString)
+            .select(lit("precip").as("collection"), col("time").as("t"),
+              col("y").cast("int").as("tile_y"), col("x").cast("int").as("tile_x"),
+              col("v"), col("lon"), col("lat"))
+            .localCheckpoint(eager = true,
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        }
+
+        // 2. base store: z-ordered parquet (2-D row-group pruning layout)
+        stage("s2 base store (zorder write)") {
+          grid.GridStore.writeZOrdered(
+            p.select("collection", "t", "tile_y", "tile_x", "v"), base)
+        }
+        p
       }
 
       // 3. overview pyramid: persisted cascade (levels 2, 4)
@@ -100,10 +126,20 @@ object SoakGrid {
         serve.OverviewServe.writeOverviews(spark, base, Seq(2, 4))
       }
 
-      // 4. zonal stats: the j1 broadcast-containment shape over the
-      // ingested pixels, per (boundary, day)
-      stage("s4 zonal stats (12 zones)") {
-        px.join(broadcast(boundaries),
+      // 4. zonal stats: the j1 broadcast-containment shape, per
+      // (boundary, day). Staged shape joins the held decode; fused
+      // shape reads the STORE and derives cell-center lon/lat from
+      // tile indices + the collection georeferencing (the engine's
+      // post-ingest j1 path — same convention as the decoder:
+      // lon = west + (x + 0.5) px)
+      stage(if (fused) "s4 zonal from store (12 z)" else "s4 zonal stats (12 zones)") {
+        val pixels =
+          if (fused)
+            grid.GridStore.read(spark, base)
+              .withColumn("lon", lit(west) + (col("tile_x") + 0.5) * pxDeg)
+              .withColumn("lat", lit(north) - (col("tile_y") + 0.5) * pxDeg)
+          else px
+        pixels.join(broadcast(boundaries),
             col("lon") >= col("bw") && col("lon") < col("be") &&
             col("lat") >= col("bs") && col("lat") < col("bn"))
           .groupBy("boundary_id", "t")
@@ -134,7 +170,7 @@ object SoakGrid {
       // passes — at 4,000 granules each pass leaves ~4 GB of tiffs
       // plus a ~1 Gpx parquet store, which would otherwise accumulate
       // across 2 passes x 3 sizes and exhaust the scratch disk
-      px.unpersist(blocking = true)
+      if (px != null) px.unpersist(blocking = true)
       spark.sharedState.cacheManager.clearCache()
       def rmTree(p: java.nio.file.Path): Unit = {
         import scala.jdk.CollectionConverters._
