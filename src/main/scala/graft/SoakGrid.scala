@@ -15,18 +15,25 @@ import org.apache.spark.sql.functions._
   * zonal shape) so the soak cannot drift from what the bench rows run.
   * Run: SPARK_DRIVER_MEM=48g sbt "runMain graft.SoakGrid [sizes,csv [edge]]".
   *
-  * `--fused` switches to the PRODUCTION ingest shape: decode streams
-  * straight into the z-ordered store (one decode, nothing held), and
-  * zonal reads the STORE with lon/lat derived from tile indices + the
-  * collection's georeferencing — exactly how the engine answers j1
-  * after ingest. The default (staged) shape holds the decode in a
-  * serialized localCheckpoint so s2/s4 can share it, which is a
-  * HARNESS device to time decode separately from the store write; at
-  * 1 Gpx that hold crosses the block-manager memory pool into disk
-  * blocks, a boundary the production shape never pays. */
+  * `--fused` switches to decode-straight-into-the-z-ordered-store
+  * (one logical decode, nothing held), and zonal reads the STORE with
+  * lon/lat derived from tile indices + the collection's
+  * georeferencing — exactly how the engine answers j1 after ingest.
+  * Caveat measured by the arm itself: writeZOrdered's range
+  * partitioner SAMPLES its input, so z-order-at-ingest re-runs the
+  * decode — `--append` is the engine's real production path for
+  * expensive sources: ingest → plain partitioned write (hash
+  * repartition, no sampling, single decode) → compact ZORDER reading
+  * cheap parquet (GridStore.compact, the OPTIMIZE cadence). The
+  * default (staged) shape holds the decode in a serialized
+  * localCheckpoint so s2/s4 can share it, which is a HARNESS device
+  * to time decode separately from the store write; at 1 Gpx that hold
+  * crosses the block-manager memory pool into disk blocks, a boundary
+  * the other shapes never pay. */
 object SoakGrid {
   def main(args: Array[String]): Unit = {
-    val fused = args.contains("--fused")
+    val append = args.contains("--append")
+    val fused = args.contains("--fused") || append
     val posArgs = args.filterNot(_.startsWith("--"))
     val sizes = posArgs.headOption.map(_.split(",").map(_.toInt).toSeq)
       .getOrElse(Seq(40, 400))
@@ -89,9 +96,25 @@ object SoakGrid {
       val total0 = System.nanoTime()
 
       val base = s"$dir/store/base"
-      val px: DataFrame = if (fused) {
-        // production shape: ONE decode streaming straight into the
-        // z-ordered store — no held pixels, no storage-pool boundary
+      val px: DataFrame = if (append) {
+        // production append path: plain partitioned write (hash
+        // repartition — no sampling, the decode runs ONCE), then the
+        // OPTIMIZE ZORDER compaction over cheap parquet
+        val decoded = graft.sources.Formats.ingestDir(spark, dir.toString)
+          .select(lit("precip").as("collection"), col("time").as("t"),
+            col("y").cast("int").as("tile_y"),
+            col("x").cast("int").as("tile_x"), col("v"))
+        stage("s1+2a ingest→store (plain)") {
+          grid.GridStore.write(decoded, base)
+        }
+        stage("s2b compact ZORDER") {
+          grid.GridStore.compact(spark, base, zOrdered = true)
+        }
+        null
+      } else if (fused) {
+        // ONE logical decode streaming straight into the z-ordered
+        // store — no held pixels, no storage-pool boundary (but see
+        // the header: the range sampler recomputes the decode)
         stage("s1+2 ingest→store (fused)") {
           grid.GridStore.writeZOrdered(
             graft.sources.Formats.ingestDir(spark, dir.toString)
