@@ -1,0 +1,48 @@
+package graft
+
+/** Round-14 whole-suite plan audit: for EVERY registered query, count
+  * the plan features the optimization guide says to check (§7.2) —
+  * Exchange nodes, join strategies, scan pushdown — and flag the
+  * shapes that would be scale bugs (cartesian products, sort-merge
+  * joins where a broadcast was expected, scans with no pushed filters
+  * on filtered paths). Output is one TSV line per query, written to
+  * plans/r14/plan_sweep.tsv so OPTIMIZATION_r14.md's checklist is
+  * regenerable and checkable. Run: sbt "runMain graft.PlanSweep". */
+object PlanSweep {
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.build("8")
+    val dir = "/root/testdata/sf0.01"
+    val out = java.nio.file.Paths.get("plans/r14")
+    java.nio.file.Files.createDirectories(out)
+    val sb = new StringBuilder
+    sb.append("query\texchanges\tbhj\tsmj\tshj\tbnlj\tcartesian\tsorts\twindows\tpushed_filters\treused_exchange\tcodegen_spans\n")
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      try {
+        val df = fn(spark, dir)
+        val p = df.queryExecution
+          .explainString(org.apache.spark.sql.execution.FormattedMode)
+        def n(pat: String) = pat.r.findAllIn(p).length
+        // count physical-operator occurrences from the numbered node
+        // list (lines like "(3) Exchange"), not prose mentions
+        val exch = n("""\(\d+\) Exchange""")
+        val bhj = n("""\(\d+\) BroadcastHashJoin""") + n("""\(\d+\) BroadcastNestedLoopJoin""")
+        val smj = n("""\(\d+\) SortMergeJoin""")
+        val shj = n("""\(\d+\) ShuffledHashJoin""")
+        val bnlj = n("""\(\d+\) BroadcastNestedLoopJoin""")
+        val cart = n("""\(\d+\) CartesianProduct""")
+        val sorts = n("""\(\d+\) Sort\b""")
+        val wins = n("""\(\d+\) Window""")
+        val pushed = n("""PushedFilters: \[[^\]]""") // non-empty lists only
+        val reused = n("""ReusedExchange""")
+        val wsc = n("""\(\d+\) WholeStageCodegen""")
+        sb.append(s"$name\t$exch\t$bhj\t$smj\t$shj\t$bnlj\t$cart\t$sorts\t$wins\t$pushed\t$reused\t$wsc\n")
+      } catch { case e: Throwable =>
+        sb.append(s"$name\tERR\t${e.getClass.getSimpleName}\n")
+      }
+    }
+    java.nio.file.Files.write(out.resolve("plan_sweep.tsv"),
+      sb.toString.getBytes("UTF-8"))
+    println(s"[plan-sweep] wrote plans/r14/plan_sweep.tsv (${SparkEntry.queries.size} queries)")
+    spark.stop()
+  }
+}

@@ -35,21 +35,32 @@ object OverviewServe {
         s"overview level $f does not cascade from $prev (factors must divide)")
       f
     }
+    // Cache policy (r14, measured at the 1 Gpx SoakGrid decade): only
+    // a frame with MORE THAN ONE consuming action earns a persist.
+    // The base scan has exactly one (the first level's aggregate), so
+    // caching it wrote the whole corpus into the block manager for a
+    // single consumer — at 4,000 granules that is ~1 Gpx of rows
+    // evicting everything else. Intermediate partials ARE consumed
+    // twice (their own write + the next level's aggregate) and are
+    // 1/f² of the corpus; they stay cached, serialized so the bounded
+    // footprint stays small. The last level's partials have one
+    // consumer again — not cached.
     var prev = GridStore.read(spark, basePath)
       .select(col("collection"), col("t"), col("tile_y"), col("tile_x"),
         col("v").cast("double").as("s"), lit(1L).as("n"))
-      .persist() // each level's write re-reads the previous partials
     var prevF = 1
     try levels.foreach { f =>
       val step = f / prevF
       // floor, not truncation: readBbox rescales the request bbox with
       // Math.floorDiv, and the two must agree for negative tile coords
       // (truncation rounds toward zero, floorDiv toward -inf)
-      val next = prev.groupBy(col("collection"), col("t"),
+      val agg = prev.groupBy(col("collection"), col("t"),
           floor(col("tile_y") / step).cast("int").as("tile_y"),
           floor(col("tile_x") / step).cast("int").as("tile_x"))
         .agg(sum("s").as("s"), sum("n").as("n"))
-        .persist()
+      val next = if (f == levels.last) agg
+        else agg.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       GridStore.write(next.select(col("collection"), col("t"),
         col("tile_y"), col("tile_x"),
         (col("s") / col("n")).as("v"), col("n").as("n_base")), ovPath(basePath, f))

@@ -116,4 +116,40 @@ class OverviewServeSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getInt(1)))
     assert(coords.forall { case (y, x) => y >= 4 && y <= 7 && x >= 4 && x <= 7 })
   }
+
+  test("writeOverviews caches only reused partials and unpersists everything") {
+    // r14 cache policy: the corpus-sized base scan (one consumer) must
+    // never enter the block manager, and every intermediate partial it
+    // DOES cache must be gone when the build returns — at the 1 Gpx
+    // soak decade a cached base scan is the difference between a
+    // bounded build and one that evicts the whole storage pool.
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val dir = java.nio.file.Files.createTempDirectory("ovcache").toString + "/cube"
+    val cube = (for (ty <- 0 until 16; tx <- 0 until 16)
+      yield ("c", ty, tx, (ty + tx).toDouble))
+      .toDF("collection", "tile_y", "tile_x", "v")
+      .withColumn("t", to_timestamp(lit("2024-01-02 00:00:00")))
+    graft.grid.GridStore.write(cube, dir)
+    var liveDuring = Set.empty[Int]
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        liveDuring = liveDuring ++ sc.getPersistentRDDs.keySet.diff(before)
+    }
+    sc.addSparkListener(listener)
+    try OverviewServe.writeOverviews(spark, dir, Seq(2, 4))
+    finally sc.removeSparkListener(listener)
+    // nothing lingers after the build
+    assert(sc.getPersistentRDDs.keySet.diff(before).isEmpty,
+      "writeOverviews left cached blocks behind")
+    // and at most the ONE reused intermediate level was ever cached
+    // (Seq(2, 4): level-2 partials are consumed twice; base and the
+    // last level are single-consumer and must not persist). One
+    // DataFrame.persist can register a small bounded number of RDDs,
+    // but a cached base scan would at least double the set — pin the
+    // intent loosely enough to survive internal RDD bookkeeping.
+    assert(liveDuring.size <= 2,
+      s"expected only the reused level-2 partials cached, saw RDD ids $liveDuring")
+  }
 }
