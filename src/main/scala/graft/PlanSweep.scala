@@ -25,7 +25,7 @@ object PlanSweep {
         // count physical-operator occurrences from the numbered node
         // list (lines like "(3) Exchange"), not prose mentions
         val exch = n("""\(\d+\) Exchange""")
-        val bhj = n("""\(\d+\) BroadcastHashJoin""") + n("""\(\d+\) BroadcastNestedLoopJoin""")
+        val bhj = n("""\(\d+\) BroadcastHashJoin""")
         val smj = n("""\(\d+\) SortMergeJoin""")
         val shj = n("""\(\d+\) ShuffledHashJoin""")
         val bnlj = n("""\(\d+\) BroadcastNestedLoopJoin""")
@@ -37,7 +37,9 @@ object PlanSweep {
         val wsc = n("""\(\d+\) WholeStageCodegen""")
         sb.append(s"$name\t$exch\t$bhj\t$smj\t$shj\t$bnlj\t$cart\t$sorts\t$wins\t$pushed\t$reused\t$wsc\n")
       } catch { case e: Throwable =>
-        sb.append(s"$name\tERR\t${e.getClass.getSimpleName}\n")
+        // pad to the full 12-column width so the TSV parses uniformly
+        sb.append((Seq(name, "ERR", e.getClass.getSimpleName) ++
+          Seq.fill(9)("ERR")).mkString("", "\t", "\n"))
       }
     }
     java.nio.file.Files.write(out.resolve("plan_sweep.tsv"),
