@@ -87,6 +87,39 @@ object Bench {
     val qtimes = passes.map(_._2)
     val results = qtimes.head.indices.map { i =>
       qtimes.head(i)._1 -> qtimes.map(_(i)._2).min }.toSeq
+    // Raw-scan surface (r14 verdict #2): the warm passes above run with
+    // the base tables pinned (the serving configuration), while the
+    // DuckDB oracle the 2x bar compares against reads parquet per
+    // query — so the pinned surface flatters the ratio. One extra pass
+    // with the pin OFF and every engine-internal materialization
+    // dropped (module caches cleared first, so shared indexes rebuild
+    // from parquet inside the timed pass exactly like DuckDB would
+    // recompute them) gives the apples-to-apples number. Emitted as
+    // raw_scan_total beside the pinned total; SCALE.md states which
+    // surface the bar uses. SPARK_GRAFT_BENCH_RAW=0 skips it (focused
+    // iteration); the calibration probe brackets it like every pass.
+    // Two raw passes, per-query MIN — the same protocol as the DuckDB
+    // suite it is compared against (2-pass-min): the first raw pass
+    // pays whole-stage-codegen compilation for 166 brand-new plan
+    // shapes (raw scans, not InMemoryRelation) plus the shared-index
+    // rebuilds, a fixed one-shot constant that the measured single
+    // pass inflated 121 s vs a 14 s warm pass when this surface first
+    // landed.
+    val rawPass: Option[(Double, Seq[(String, Double)])] =
+      if (sys.env.get("SPARK_GRAFT_BENCH_RAW").contains("0")) None
+      else {
+        Tables.cacheEnabled = false
+        SparkEntry.clearCaches()
+        val p1 = pass()
+        val c = calibrate()
+        // clear again so the second pass also pays the shared-index
+        // builds from parquet (DuckDB recomputes its CTE equivalents
+        // per query; only codegen — a JVM constant, not I/O — stays
+        // amortized across the two passes)
+        SparkEntry.clearCaches()
+        val p2 = pass()
+        Some((c, p1.zip(p2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }))
+      }
     def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val total = results.map(_._2).sum
     // Full per-query detail goes to a file; the stdout line must stay
@@ -100,18 +133,25 @@ object Bench {
       new java.io.File("BENCH_LOCAL.json").getAbsolutePath)
     val calibJson = calibs.map(fmt).mkString("[", ",", "]")
     val passTotals = passes.map(p => fmt(p._2.map(_._2).sum)).mkString("[", ",", "]")
+    val rawJson = rawPass.map { case (c, qs) =>
+      s""","raw_scan_total":${fmt(qs.map(_._2).sum)},"raw_calib_sec":${fmt(c)}"""
+    }.getOrElse("")
     try {
       val coldFull = cold.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
+      val rawFull = rawPass.map { case (_, qs) =>
+        "," + "\"raw_queries\":" + qs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+          .mkString("{", ",", "}")
+      }.getOrElse("")
       val w = new java.io.PrintWriter(detailPath)
-      w.println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_passes":$nPasses,"pass_totals":$passTotals,"calib_sec":$calibJson,"queries":$full,"cold_total":${fmt(cold.map(_._2).sum)},"cold_queries":$coldFull,"sf":"$sfDir"}""")
+      w.println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_passes":$nPasses,"pass_totals":$passTotals,"calib_sec":$calibJson$rawJson$rawFull,"queries":$full,"cold_total":${fmt(cold.map(_._2).sum)},"cold_queries":$coldFull,"sf":"$sfDir"}""")
       w.close()
     } catch { case e: Throwable =>
       System.err.println(s"bench detail write failed ($detailPath): ${e.getMessage}") }
     val top = results.sortBy(-_._2).take(25)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_passes":$nPasses,"calib_sec":$calibJson,"queries":$top,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_passes":$nPasses,"calib_sec":$calibJson$rawJson,"queries":$top,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-15 plan evidence: dumps `.explain("formatted")` for each query
+  * the optimization round touched, BEFORE and AFTER, into plans/r15/.
+  * Where the r15 change is not conf-gated (f11's restructure), the
+  * "before" frame is reconstructed inline from the pre-r15 expression
+  * chain — both captures come from one build so the diff isolates the
+  * claimed plan change. Run: sbt "runMain graft.ExplainR15". */
+object ExplainR15 {
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.build("8")
+    val dir = "/root/testdata/sf0.01"
+    val out = java.nio.file.Paths.get("plans/r15")
+    java.nio.file.Files.createDirectories(out)
+
+    // pre-r15 f11: md5 at scan parallelism, partial agg before the
+    // exchange, buffers serialized across it
+    def f11Before(s: SparkSession): DataFrame =
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"),
+          md5(concat_ws("_", col("l_orderkey"), col("l_linenumber"))).as("checksum"))
+        .groupBy("l_orderkey")
+        .agg(graft.ops.Algebra.inputHash(col("checksum")).as("input_hash"))
+
+    val picks: Seq[(String, Option[SparkSession => DataFrame])] = Seq(
+      ("f11_input_hash", Some(f11Before _))
+    )
+
+    def dump(name: String, df: DataFrame, suffix: String): Unit = {
+      val txt = df.queryExecution
+        .explainString(org.apache.spark.sql.execution.FormattedMode).trim
+      java.nio.file.Files.write(out.resolve(s"${name}_$suffix.txt"),
+        (txt + "\n").getBytes("UTF-8"))
+      println(s"[explain-r15] wrote ${name}_$suffix.txt")
+    }
+
+    for ((name, before) <- picks) {
+      before.foreach(mk => dump(name, mk(spark), "before"))
+      dump(name, SparkEntry.queries(name)(spark, dir), "after")
+    }
+    spark.stop()
+  }
+}

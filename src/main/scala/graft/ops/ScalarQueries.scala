@@ -178,8 +178,21 @@ object ScalarQueries extends QueryModule {
     // collection is the BOUNDED aggregate (loud failure past the cap),
     // never collect_list, whose buffer an adversarial million-member
     // unit would grow until an executor OOMs mid-aggregation.
+    // Plan shape (r15, ProfF11 same-JVM rotated A/B: med 0.82 vs 0.92 s,
+    // min 0.68 vs 0.83): the ONE exchange carries the narrow pre-md5
+    // columns — 12 B/row vs 33 B checksums or ~130 B serialized partial
+    // buffers (a collect-style aggregate reduces row COUNT, never
+    // bytes, so partial aggregation before the exchange was pure
+    // serialize/deserialize overhead) — and md5 + the bounded aggregate
+    // run post-exchange at full width instead of at the scan's task
+    // count (guide §2.3 project before the exchange; §2.5 input
+    // spread). repartition(key) + groupBy(key) share the one exchange
+    // (§2.4), so partial and final aggregation collapse into the same
+    // stage.
     "f11_input_hash" -> ((s, dir) => {
       Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"))
+        .repartition(col("l_orderkey"))
         .select(col("l_orderkey"),
           md5(concat_ws("_", col("l_orderkey"), col("l_linenumber"))).as("checksum"))
         .groupBy("l_orderkey")

@@ -52,6 +52,21 @@ class BoundedDigestSpec extends SparkSpec {
       e.getMessage)
   }
 
+  test("r15 f11 restructure: key-exchange-first plan equals the pre-r15 form") {
+    // the registered query now repartitions the narrow columns by key
+    // BEFORE md5 + the aggregate (one exchange, full-width row work);
+    // this pins the restructure result-identical to the original chain
+    val dir = sf0001
+    val after = graft.SparkEntry.queries("f11_input_hash")(spark, dir)
+    val before = graft.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"),
+        md5(concat_ws("_", col("l_orderkey"), col("l_linenumber"))).as("checksum"))
+      .groupBy("l_orderkey")
+      .agg(graft.ops.Algebra.inputHash(col("checksum")).as("input_hash"))
+    assert(after.except(before).isEmpty && before.except(after).isEmpty)
+    assert(after.count() == before.count())
+  }
+
   test("duplicate and empty members survive the round-trip in order") {
     val df = Seq((0, "b"), (0, "b"), (0, ""), (0, "a")).toDF("g", "cs")
       .repartition(4)
