@@ -26,7 +26,11 @@ object ExplainR15 {
         .agg(graft.ops.Algebra.inputHash(col("checksum")).as("input_hash"))
 
     val picks: Seq[(String, Option[SparkSession => DataFrame])] = Seq(
-      ("f11_input_hash", Some(f11Before _))
+      ("f11_input_hash", Some(f11Before _)),
+      // before = the committed plans/r14/d_incremental_endstate_after.txt
+      // (this round's change — hashed verification frame — is a code
+      // restructure, so the r14 dump IS the pre-r15 plan)
+      ("d_incremental_endstate", None)
     )
 
     def dump(name: String, df: DataFrame, suffix: String): Unit = {

@@ -538,7 +538,9 @@ object CurationQueries extends QueryModule {
         |sh AS MATERIALIZED (
         |  SELECT DISTINCT id, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS s
         |  FROM (SELECT id, ws, unnest(range(greatest(len(ws) - 2, 0))) AS i FROM wsh)),
-        |sizes AS (SELECT id, count(*) AS c FROM sh GROUP BY 1),
+        |shh AS MATERIALIZED (
+        |  SELECT DISTINCT id, CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT) AS h FROM sh),
+        |sizes AS (SELECT id, count(*) AS c FROM shh GROUP BY 1),
         |hashed AS (SELECT id, md5(s) AS h, md5(s || '~') AS h2 FROM sh),
         |sig AS (
         |  SELECT id,
@@ -559,8 +561,6 @@ object CurationQueries extends QueryModule {
         |cands AS (
         |  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
         |  FROM bandsc a JOIN bandsc b ON a.band = b.band AND a.key = b.key AND a.id < b.id),
-        |shh AS (
-        |  SELECT id, CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT) AS h FROM sh),
         |inter AS (
         |  SELECT doc_a, doc_b, count(*) AS i
         |  FROM cands

@@ -298,12 +298,25 @@ object StreamCuration {
     // past the cap the incremental run degrades gracefully: its extra
     // early pairs were exactly verified, so it only drops MORE true
     // near-dups than the batch run's whole-bucket exclusion.
+    // Verification frame in the HASHED shape (r15; the move
+    // d_pipeline_e2e made in r9): distinct (id, 60-bit md5-truncation)
+    // longs from the one-pass native window hasher instead of distinct
+    // (id, gram-string) rows — the distinct exchange and the two
+    // pairJaccard probe joins move 8-byte keys, never ~50-byte gram
+    // strings, and no gram string ever materializes (guide §2.3
+    // shuffle keys, not payloads). ProfS4 (same-JVM rotated, sf0.1):
+    // the candidate+verify chain drops 1.78 → 1.09 s med. The oracle
+    // applies the IDENTICAL truncation on both the set sizes and the
+    // intersection, so the cross-engine gate stays exact even on a
+    // (within-doc) truncation collision — measured zero such
+    // collisions at every test SF, so results are bit-identical to
+    // the string form.
     val sh = boundaryChk("sh")(
-      Dedup.shingles(k3.select("doc_id", "text"), "doc_id", "text", spread = false))
+      Dedup.shingleHashes(k3.select("doc_id", "text"), "doc_id", "text", spread = false))
     // signatures from the one-pass minhash kernel (bit-identical to the
     // shingle-aggregate form, MinhashSlotsSpec): the sig path costs one
     // scan of k3 and no exchange; sh above remains the VERIFICATION
-    // frame (pairJaccard and the cross-batch shingle union)
+    // frame (pairJaccardHashed and the cross-batch shingle-hash union)
     val sig = Dedup.minhashFromText(k3, "doc_id", "text")
     // bands is batch-sized and consumed three times (bucket count,
     // capped generation, cross-batch probe) — on the STREAMING path,
@@ -335,7 +348,7 @@ object StreamCuration {
       stx => bands.select("id", "band", "key").unionByName(stx))
     val hot = Dedup.hotBuckets(combined, maxBucket).select("band", "key")
     val bandsCapped = bands.join(hot, Seq("band", "key"), "left_anti")
-    val inVerified = Dedup.pairJaccard(
+    val inVerified = Dedup.pairJaccardHashed(
         Dedup.candidatePairs(bandsCapped, maxBucket = Int.MaxValue), sh)
       .filter(col("jacc") >= JaccardMin)
     val drop = stateTouchedOpt match {
@@ -351,10 +364,10 @@ object StreamCuration {
         // that guards against crash-replayed duplicate doc rows runs on a
         // tiny frame, never on corpus-sized doc state; the shuffle-hash
         // hint streams doc state (bucketed by doc_id) through the probe
-        val shOld = Dedup.shingles(
+        val shOld = Dedup.shingleHashes(
           st.docs.join(oldIds.hint("shuffle_hash"), Seq("doc_id")).distinct(),
           "doc_id", "text", spread = false)
-        val oldVerified = Dedup.pairJaccard(candOld, sh.unionByName(shOld))
+        val oldVerified = Dedup.pairJaccardHashed(candOld, sh.unionByName(shOld))
           .filter(col("jacc") >= JaccardMin)
         inVerified.select(col("doc_b").as("doc_id"))
           .unionByName(oldVerified.select(col("doc_b").as("doc_id"))).distinct()
