@@ -344,17 +344,27 @@ object StreamCuration {
           .join(batchKeys.hint("shuffle_hash"), Seq("band", "key"), "left_semi")
           .distinct()))
       }
-    val combined = stateTouchedOpt.fold(bands.select("id", "band", "key"))(
-      stx => bands.select("id", "band", "key").unionByName(stx))
-    val hot = Dedup.hotBuckets(combined, maxBucket).select("band", "key")
-    val bandsCapped = bands.join(hot, Seq("band", "key"), "left_anti")
-    val inVerified = Dedup.pairJaccardHashed(
-        Dedup.candidatePairs(bandsCapped, maxBucket = Int.MaxValue), sh)
-      .filter(col("jacc") >= JaccardMin)
     val drop = stateTouchedOpt match {
       case None =>
+        // Empty state: combined ≡ bands, so the hot-bucket cap rides
+        // candidatePairs' own bounded-ids aggregate (NULL past cap IS
+        // the whole-bucket exclusion, same strict > threshold as
+        // hotBuckets) — the band stream is aggregated ONCE instead of
+        // [hotBuckets count pass → anti-join → candidatePairs pass],
+        // dropping one corpus-band aggregation and one anti-join from
+        // the one-shot final job (§2.4 remove shuffles outright; r15,
+        // ProfEnd15 A/B'd with the endstate row).
+        val inVerified = Dedup.pairJaccardHashed(
+            Dedup.candidatePairs(bands, maxBucket), sh)
+          .filter(col("jacc") >= JaccardMin)
         inVerified.select(col("doc_b").as("doc_id")).distinct()
       case Some(stateTouched) =>
+        val combined = bands.select("id", "band", "key").unionByName(stateTouched)
+        val hot = Dedup.hotBuckets(combined, maxBucket).select("band", "key")
+        val bandsCapped = bands.join(hot, Seq("band", "key"), "left_anti")
+        val inVerified = Dedup.pairJaccardHashed(
+            Dedup.candidatePairs(bandsCapped, maxBucket = Int.MaxValue), sh)
+          .filter(col("jacc") >= JaccardMin)
         val candOld = bandsCapped
           .join(stateTouched.join(hot, Seq("band", "key"), "left_anti")
             .withColumnRenamed("id", "doc_a"), Seq("band", "key"))
