@@ -31,8 +31,12 @@ object OverviewServe {
     require(levels.nonEmpty && levels == levels.sorted && levels.head >= 2,
       s"overview levels must be ascending factors >= 2, got $levels")
     levels.foldLeft(1) { (prev, f) =>
-      require(f % prev == 0,
-        s"overview level $f does not cascade from $prev (factors must divide)")
+      // strictly ascending, not merely sorted: a duplicated level (e.g.
+      // Seq(2, 2)) passes both the sorted check and f % prev == 0, then
+      // skips persisting an intermediate consumed twice and overwrites
+      // the same _ov path twice (r14 ADVICE)
+      require(f > prev && f % prev == 0,
+        s"overview level $f does not cascade from $prev (factors must divide and strictly ascend)")
       f
     }
     // Cache policy (r14, measured at the 1 Gpx SoakGrid decade): only

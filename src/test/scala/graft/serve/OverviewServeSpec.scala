@@ -117,6 +117,17 @@ class OverviewServeSpec extends SparkSpec {
     assert(coords.forall { case (y, x) => y >= 4 && y <= 7 && x >= 4 && x <= 7 })
   }
 
+  test("duplicated overview levels are rejected (strictly ascending)") {
+    // Seq(2, 2) passes a sorted check and 2 % 2 == 0, but a duplicate
+    // level would skip persisting an intermediate consumed twice and
+    // overwrite the same _ov path twice (r14 ADVICE) — must throw.
+    val dir = buildStore()
+    val e = intercept[IllegalArgumentException] {
+      OverviewServe.writeOverviews(spark, dir, Seq(2, 2))
+    }
+    assert(e.getMessage.contains("strictly ascend"), e.getMessage)
+  }
+
   test("writeOverviews caches only reused partials and unpersists everything") {
     // r14 cache policy: the corpus-sized base scan (one consumer) must
     // never enter the block manager, and every intermediate partial it
