@@ -45,6 +45,32 @@ object ExplainR15 {
       before.foreach(mk => dump(name, mk(spark), "before"))
       dump(name, SparkEntry.queries(name)(spark, dir), "after")
     }
+
+    // session-2 one-shot shape switches (fp1x / spanwin / arrverify):
+    // conf-gated, so both captures come straight from the conf
+    def withConf[T](k: String, v: String)(f: => T): T = {
+      spark.conf.set(k, v)
+      try f finally spark.conf.unset(k)
+    }
+    withConf("graft.endstate.oneShotShape", "")(
+      dump("d_incremental_endstate",
+        SparkEntry.queries("d_incremental_endstate")(spark, dir), "s2shape_before"))
+    dump("d_incremental_endstate",
+      SparkEntry.queries("d_incremental_endstate")(spark, dir), "s2shape_after")
+    // the dumps above show the FINAL job only (k3 sits behind its
+    // localCheckpoint RDD); folding k3 via the existing boundary conf
+    // yields one whole-query plan so the stage-1/stage-3 changes
+    // (fp1x, spanwin) are visible too — explain-only, the shipped
+    // execution keeps the k3 boundary (folding it measured 75% worse)
+    withConf("graft.endstate.foldOneShot", "sh,bands,k3") {
+      withConf("graft.endstate.oneShotShape", "")(
+        dump("d_incremental_endstate",
+          SparkEntry.queries("d_incremental_endstate")(spark, dir),
+          "s2shape_full_before"))
+      dump("d_incremental_endstate",
+        SparkEntry.queries("d_incremental_endstate")(spark, dir),
+        "s2shape_full_after")
+    }
     spark.stop()
   }
 }

@@ -134,12 +134,20 @@ object CurationQueries extends QueryModule {
         .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
       // verification needs only HASHES: the candidate shingle frame is
       // built as distinct 60-bit keys (no gram strings ever
-      // materialize), and the oracle collapses the same truncation
+      // materialize), and the oracle collapses the same truncation.
+      // Shape switch (r15 session 2, ProfPipeVerify): "arr" verifies
+      // against per-doc DISTINCT hash ARRAYS (pairJaccardArrays —
+      // identical jacc values, no distinct exchange, no per-id size
+      // aggregation; the checkpoint payload shrinks to one array row
+      // per candidate doc); default "exploded" is the r9 row form.
+      val verifyArr = docs.sparkSession.conf
+        .getOption("graft.pipeline.verifyShape").contains("arr")
+      val candDocs = docs.join(candIds, Seq("doc_id"), "left_semi")
       val shCand = stage("shCand candidate-hashes", () => maybeChk("shCand")(
-        Dedup.shingleHashes(
-          docs.join(candIds, Seq("doc_id"), "left_semi"),
-          "doc_id", "text", spread = false)))
-      val pairs = Dedup.pairJaccardHashed(cand, shCand)
+        if (verifyArr) Dedup.shingleHashArrays(candDocs, "doc_id", "text")
+        else Dedup.shingleHashes(candDocs, "doc_id", "text", spread = false)))
+      val pairs = (if (verifyArr) Dedup.pairJaccardArrays(cand, shCand)
+                   else Dedup.pairJaccardHashed(cand, shCand))
         .filter(col("jacc") >= 0.5).select("doc_a", "doc_b")
       val dropFuzzy = Dedup.canonicalize(pairs)
         .filter(col("id") =!= col("canonical"))

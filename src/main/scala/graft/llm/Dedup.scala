@@ -200,6 +200,53 @@ object Dedup {
   def pairJaccardHashed(pairs: DataFrame, shh: DataFrame): DataFrame =
     scoredJaccard(pairs, shh)
 
+  /** Per-document DISTINCT shingle-hash ARRAYS (id, hs): the same
+    * 60-bit keys as [[shingleHashes]], but deduplicated per document
+    * map-side (array_distinct) instead of through a corpus-wide
+    * distinct exchange — (id, h) distinctness is per-document by
+    * construction (id is in the key), so exploding `hs` yields exactly
+    * [[shingleHashes]]' row set while this form never shuffles at all.
+    * A document shorter than n tokens yields an EMPTY array row (its
+    * exploded form would have no rows). */
+  def shingleHashArrays(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3): DataFrame = {
+    val ws = split(trim(lower(col(textCol))), "\\s+")
+    docs.select(col(idCol).as("id"),
+      array_distinct(
+        graft.functions.SpanHashWindows.spanHashWindowsLong(ws, n)).as("hs"))
+  }
+
+  /** [[pairJaccardHashed]] over per-document hash ARRAYS
+    * ([[shingleHashArrays]] output) instead of exploded (id, h) rows.
+    * Identical jacc values — |array_intersect| of distinct arrays IS
+    * the distinct-intersection count and the array sizes ARE the set
+    * sizes — but the plan shape differs where it matters: the exploded
+    * form pays a corpus-wide distinct exchange plus a corpus-sized
+    * per-id size aggregation before any pair is scored; this form
+    * references the (never-shuffled) array frame ONCE — both pair
+    * sides reach it through one union — so the only exchange is the
+    * candidate-bounded per-pair aggregation, and the verification
+    * hashing runs in exactly one pass (guide §2.3/§2.4). Pairs whose
+    * Jaccard is 0 survive with jacc = 0.0 (the exploded form's inner
+    * intersection join drops them); callers filter on a positive
+    * threshold, where the two forms agree row-for-row.
+    * Contract: every doc_a/doc_b id must appear in `shArr` — true for
+    * LSH candidates, which by construction carry ≥ n tokens. */
+  def pairJaccardArrays(pairs: DataFrame, shArr: DataFrame): DataFrame = {
+    val legs = pairs
+      .select(col("doc_a"), col("doc_b"), col("doc_a").as("id"), lit(0).as("side"))
+      .unionByName(pairs
+        .select(col("doc_a"), col("doc_b"), col("doc_b").as("id"), lit(1).as("side")))
+    legs.join(shArr, Seq("id"))
+      .groupBy("doc_a", "doc_b")
+      .agg(min_by(col("hs"), col("side")).as("ha"),
+           max_by(col("hs"), col("side")).as("hb"))
+      .withColumn("i", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("i").cast("double") /
+          (size(col("ha")).cast("long") + size(col("hb")) - col("i"))).as("jacc"))
+  }
+
   private def scoredJaccard(pairs: DataFrame, shh: DataFrame): DataFrame = {
     val sizes = shh.groupBy("id").agg(count(lit(1)).as("c"))
     val inter = pairs

@@ -172,11 +172,47 @@ object StreamCuration {
     val fp = batch.withColumn("fp", TextAnalysis.fingerprint(col("text")))
     val firstIn = fp.groupBy("fp").agg(min("doc_id").as("first_id"))
     val fpMin = fp.join(firstIn, "fp").filter(col("doc_id") === col("first_id"))
+    // One-shot plan-shape switches (r15, ProfEnd15b; same conf pattern
+    // as foldOneShot): comma list of labels, each enabling one
+    // restructure of the one-shot form. Streaming path unaffected —
+    // the set is empty when !oneShot.
+    //   fp1x     — stage 1 joins back on doc_id (min per fp group),
+    //              so the fingerprint regex+md5 runs ONE corpus pass
+    //              instead of two (the fp-keyed probe side recomputes
+    //              it; guide §1.2 don't compute twice);
+    //   spanwin  — stage 3 takes min(doc_id) over (partition by h)
+    //              instead of groupBy+join-back: one span-digest pass
+    //              instead of two and no join (§2.4 window rides the
+    //              aggregation's exchange). Size-gated like
+    //              Dedup.spanCoverage: the window sorts the exploded
+    //              span frame, which melts down past ~1M docs, so
+    //              above graft.span.windowShapeMaxBytes (batch-scan
+    //              estimate, the trustworthy signal) the scalable
+    //              groupBy+join runs unchanged;
+    //   arrverify — stage 4 verifies candidates against per-doc
+    //              DISTINCT hash ARRAYS (Dedup.pairJaccardArrays):
+    //              the corpus-wide (id, h) distinct exchange and the
+    //              corpus-sized per-id size aggregation disappear;
+    //              the only verify exchange is candidate-bounded.
+    val oneShotShape: Set[String] =
+      if (!oneShot) Set.empty
+      else batchIn.sparkSession.conf.getOption("graft.endstate.oneShotShape")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+        .getOrElse(Set("fp1x", "spanwin", "arrverify"))
     // Known-empty state: every state-side subtree below is skipped —
     // an anti/semi join against an empty relation is a no-op by value
     // but still costs plan nodes, a broadcast of nothing, and (for
     // the checkpointed stateTouched) a whole scheduled job.
-    val k1 = (if (!hasState) fpMin else st.fpBloom match {
+    val k1 = (if (!hasState) {
+      if (oneShotShape("fp1x"))
+        // min(doc_id) per fp group ≡ "doc_id == first_id of its own
+        // fp" (each doc_id appears once), so the semi-join keeps
+        // exactly fpMin's rows — but the probe side is the raw batch,
+        // never re-evaluating the fingerprint
+        batch.join(fp.groupBy("fp").agg(min("doc_id").as("doc_id"))
+          .select("doc_id"), Seq("doc_id"), "left_semi")
+      else fpMin
+    } else st.fpBloom match {
       case Some(bloom) =>
         // fpMin feeds both the pre-filter and the final anti-join —
         // materialize it or the fingerprint+groupBy subtree runs twice
@@ -237,10 +273,27 @@ object StreamCuration {
     val spans = streamChk("spans")(
       Dedup.spanWindows(k2.select(col("doc_id"), col("text")),
         "text", SpanW, keep = Seq("doc_id")))
-    val hFirst = spans.groupBy("h").agg(min("doc_id").as("h_first"))
-    val staleInBatch = spans.join(hFirst, "h")
-      .filter(col("doc_id") > col("h_first"))
-      .select("doc_id", "n_tokens", "pos")
+    val staleInBatch =
+      if (oneShotShape("spanwin") && {
+        val windowMax = batchIn.sparkSession.conf
+          .getOption("graft.span.windowShapeMaxBytes")
+          .map(_.toLong).getOrElse(16L << 20)
+        batch.queryExecution.optimizedPlan.stats.sizeInBytes <= windowMax
+      }) {
+        // window form: ONE span-digest pass, no join-back — min over
+        // the h partition includes the row itself, so doc_id > min ⇔
+        // doc_id > h_first exactly
+        import org.apache.spark.sql.expressions.Window
+        spans.withColumn("h_first",
+            min(col("doc_id")).over(Window.partitionBy("h")))
+          .filter(col("doc_id") > col("h_first"))
+          .select("doc_id", "n_tokens", "pos")
+      } else {
+        val hFirst = spans.groupBy("h").agg(min("doc_id").as("h_first"))
+        spans.join(hFirst, "h")
+          .filter(col("doc_id") > col("h_first"))
+          .select("doc_id", "n_tokens", "pos")
+      }
     // State access is direction-flipped so corpus-sized span state is
     // STREAMED, never shuffled or sorted: the batch's distinct hashes
     // are the shuffle-hash BUILD side (batch-sized hash table per
@@ -311,7 +364,11 @@ object StreamCuration {
     // (within-doc) truncation collision — measured zero such
     // collisions at every test SF, so results are bit-identical to
     // the string form.
-    val sh = boundaryChk("sh")(
+    // lazy: the one-shot arrverify shape never consumes the exploded
+    // frame (its verification reads per-doc hash arrays instead), and
+    // an unused eager boundaryChk would still schedule a checkpoint
+    // job under the foldNone probe conf
+    lazy val sh = boundaryChk("sh")(
       Dedup.shingleHashes(k3.select("doc_id", "text"), "doc_id", "text", spread = false))
     // signatures from the one-pass minhash kernel (bit-identical to the
     // shingle-aggregate form, MinhashSlotsSpec): the sig path costs one
@@ -354,9 +411,17 @@ object StreamCuration {
         // dropping one corpus-band aggregation and one anti-join from
         // the one-shot final job (§2.4 remove shuffles outright; r15,
         // ProfEnd15 A/B'd with the endstate row).
-        val inVerified = Dedup.pairJaccardHashed(
-            Dedup.candidatePairs(bands, maxBucket), sh)
-          .filter(col("jacc") >= JaccardMin)
+        val cands = Dedup.candidatePairs(bands, maxBucket)
+        val inVerified =
+          if (oneShotShape("arrverify"))
+            // per-doc distinct hash arrays: identical jacc values
+            // (see pairJaccardArrays), no corpus-wide verify exchange
+            Dedup.pairJaccardArrays(cands,
+              Dedup.shingleHashArrays(k3.select("doc_id", "text"),
+                "doc_id", "text"))
+              .filter(col("jacc") >= JaccardMin)
+          else
+            Dedup.pairJaccardHashed(cands, sh).filter(col("jacc") >= JaccardMin)
         inVerified.select(col("doc_b").as("doc_id")).distinct()
       case Some(stateTouched) =>
         val combined = bands.select("id", "band", "key").unionByName(stateTouched)
