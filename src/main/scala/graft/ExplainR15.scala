@@ -62,6 +62,26 @@ object ExplainR15 {
     // yields one whole-query plan so the stage-1/stage-3 changes
     // (fp1x, spanwin) are visible too — explain-only, the shipped
     // execution keeps the k3 boundary (folding it measured 75% worse)
+    // pipeline verify shape: the full-query dump cannot show this
+    // change (the verify chain executes inside canonicalize's edge
+    // checkpoint during construction), so dump the verify SUBCHAIN
+    // itself — same operators over the same documents: candidate
+    // pairs scored by the exploded distinct-row frame (before) vs the
+    // per-doc hash-array frame (after)
+    locally {
+      import graft.llm.Dedup
+      val docs = Tables.documents(spark, dir)
+      val cand = Dedup.candidatePairs(
+        Dedup.lshBands(Dedup.minhashFromText(docs, "doc_id", "text")))
+      dump("pipeline_verify_subchain",
+        Dedup.pairJaccardHashed(cand,
+          Dedup.shingleHashes(docs, "doc_id", "text", spread = false))
+          .filter(col("jacc") >= 0.5), "s2_before")
+      dump("pipeline_verify_subchain",
+        Dedup.pairJaccardArrays(cand,
+          Dedup.shingleHashArrays(docs, "doc_id", "text"))
+          .filter(col("jacc") >= 0.5), "s2_after")
+    }
     withConf("graft.endstate.foldOneShot", "sh,bands,k3") {
       withConf("graft.endstate.oneShotShape", "")(
         dump("d_incremental_endstate",

@@ -16,15 +16,21 @@ object ProfPipeVerify {
     val rounds = if (args.length > 1) args(1).toInt else 9
     val spark = Sessions.build("32")
 
-    def withShape[T](v: String)(f: => T): T = {
-      spark.conf.set("graft.pipeline.verifyShape", v)
-      try f finally spark.conf.unset("graft.pipeline.verifyShape")
+    def withConfs[T](kv: (String, String)*)(f: => T): T = {
+      kv.foreach { case (k, v) => spark.conf.set(k, v) }
+      try f finally kv.foreach { case (k, _) => spark.conf.unset(k) }
     }
+    def withShape[T](v: String)(f: => T): T =
+      withConfs("graft.pipeline.verifyShape" -> v)(f)
 
     def q(): DataFrame = SparkEntry.queries("d_pipeline_e2e")(spark, dir)
     def noop(df: DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
 
+    // "arr" (the shipped default) keeps the single-consumer candidate
+    // hash frame inline — no shCand checkpoint job; the historical
+    // "arrFold" variant (arr + foldBoundaries=shCand) is now identical
+    // to it and was retired after the N=15 run confirmed the ordering
     val variants: Seq[(String, () => Unit)] = Seq(
       "exploded" -> (() => withShape("exploded")(noop(q()))),
       "arr" -> (() => withShape("arr")(noop(q())))

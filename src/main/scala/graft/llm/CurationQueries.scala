@@ -135,17 +135,23 @@ object CurationQueries extends QueryModule {
       // verification needs only HASHES: the candidate shingle frame is
       // built as distinct 60-bit keys (no gram strings ever
       // materialize), and the oracle collapses the same truncation.
-      // Shape switch (r15 session 2, ProfPipeVerify): "arr" verifies
-      // against per-doc DISTINCT hash ARRAYS (pairJaccardArrays —
-      // identical jacc values, no distinct exchange, no per-id size
-      // aggregation; the checkpoint payload shrinks to one array row
-      // per candidate doc); default "exploded" is the r9 row form.
-      val verifyArr = docs.sparkSession.conf
-        .getOption("graft.pipeline.verifyShape").contains("arr")
+      // Shape switch (r15 session 2, ProfPipeVerify, N=9 and N=15
+      // rotated): default "arr" verifies against per-doc DISTINCT hash
+      // ARRAYS (pairJaccardArrays — identical jacc values, no distinct
+      // exchange, no per-id size aggregation), and because that form
+      // has exactly ONE consumer the shCand checkpoint buys no reuse —
+      // the frame stays inline and one scheduled job drops (the stage
+      // hook still wraps the lazy construction, so soak attribution
+      // moves into the final job). Measured vs the r9 exploded row
+      // form ("exploded", the escape hatch): med 1.895 → 1.807, min
+      // 1.658 → 1.529 at sf0.1; same ordering at N=9.
+      val verifyArr = !docs.sparkSession.conf
+        .getOption("graft.pipeline.verifyShape").contains("exploded")
       val candDocs = docs.join(candIds, Seq("doc_id"), "left_semi")
-      val shCand = stage("shCand candidate-hashes", () => maybeChk("shCand")(
+      val shCand = stage("shCand candidate-hashes", () =>
         if (verifyArr) Dedup.shingleHashArrays(candDocs, "doc_id", "text")
-        else Dedup.shingleHashes(candDocs, "doc_id", "text", spread = false)))
+        else maybeChk("shCand")(
+          Dedup.shingleHashes(candDocs, "doc_id", "text", spread = false)))
       val pairs = (if (verifyArr) Dedup.pairJaccardArrays(cand, shCand)
                    else Dedup.pairJaccardHashed(cand, shCand))
         .filter(col("jacc") >= 0.5).select("doc_a", "doc_b")
