@@ -31,10 +31,12 @@ FAMILIES = [
 OPT = {
     "f11_input_hash": "OPT §3 key-exchange below md5+agg",
     "d_incremental_endstate":
-        "OPT §4 hashed verify frame + §5 cap-collapse",
+        "OPT §4 hashed verify frame + §5 cap-collapse + §9a "
+        "fp1x/spanwin/arrverify",
+    "d_pipeline_e2e": "OPT §9b array verify, one fewer job (−5% A/B); "
+        "§6 boundary optimum otherwise HELD",
 }
 HELD = {
-    "d_pipeline_e2e": "HELD §6 boundary optimum re-affirmed (ProfPipe14)",
     "s_ann_recall_eval": "HELD §7 dual-leg definitional, floor-bound",
     "x2_idempotent_merge": "HELD §7 full-outer SMJ is the scale shape; "
         "SHJ A/B within noise",
