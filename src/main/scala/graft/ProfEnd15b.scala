@@ -33,7 +33,8 @@ object ProfEnd15b {
       "fp1x" -> (() => withShape("fp1x")(noop(q()))),
       "spanwin" -> (() => withShape("spanwin")(noop(q()))),
       "arrverify" -> (() => withShape("arrverify")(noop(q()))),
-      "all3" -> (() => withShape("fp1x,spanwin,arrverify")(noop(q())))
+      "all3" -> (() => withShape("fp1x,spanwin,arrverify")(noop(q()))),
+      "all4" -> (() => withShape("fp1x,spanwin,arrverify,k3ids")(noop(q())))
     )
 
     Tables.cacheEnabled = true

@@ -193,7 +193,11 @@ object StreamCuration {
     //              DISTINCT hash ARRAYS (Dedup.pairJaccardArrays):
     //              the corpus-wide (id, h) distinct exchange and the
     //              corpus-sized per-id size aggregation disappear;
-    //              the only verify exchange is candidate-bounded.
+    //              the only verify exchange is candidate-bounded;
+    //   k3ids    — the k3 boundary materializes (doc_id, source,
+    //              n_tokens) instead of the corpus text; stage 4
+    //              re-derives text behind an id semi-join (the
+    //              pipeline's r9 ids3 discipline).
     val oneShotShape: Set[String] =
       if (!oneShot) Set.empty
       else batchIn.sparkSession.conf.getOption("graft.endstate.oneShotShape")
@@ -322,7 +326,25 @@ object StreamCuration {
         (col("pos") + (SpanW - 1)).as("fin")))
       .filter(col("coverage") > StaleCoverageMax)
       .select("doc_id")
-    val k3 = boundaryChk("k3")(k2.join(heavy, Seq("doc_id"), "left_anti"))
+    // k3ids (one-shot label, A/B'd by ProfEnd15b): materialize only
+    // (doc_id, source, n_tokens) at the k3 boundary — the shape the
+    // batch pipeline's ids3 boundary adopted in r9 ("never checkpoint
+    // the corpus text") — and re-derive text for the stage-4 hashers
+    // behind an id semi-join against the source scan. At 100 TB a
+    // column-pruned compressed re-scan strictly beats writing the
+    // corpus into the block store and reading it back; n_tokens rides
+    // the same scan that evaluates the gates, so `kept` needs no text.
+    val k3full = k2.join(heavy, Seq("doc_id"), "left_anti")
+    val k3idsOpt: Option[DataFrame] =
+      if (oneShotShape("k3ids"))
+        Some(boundaryChk("k3")(k3full.select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens"))))
+      else None
+    val k3 = k3idsOpt match {
+      case Some(ids) =>
+        batch.join(ids.select("doc_id"), Seq("doc_id"), "left_semi")
+      case None => boundaryChk("k3")(k3full)
+    }
 
     // -- stage 4: fuzzy dedup. Candidates through shared LSH band keys
     // only — in-batch pairs via the capped generator, cross-batch pairs
@@ -447,9 +469,12 @@ object StreamCuration {
         inVerified.select(col("doc_b").as("doc_id"))
           .unionByName(oldVerified.select(col("doc_b").as("doc_id"))).distinct()
     }
-    val kept = k3.join(drop, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("source"),
-        TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens"))
+    val kept = k3idsOpt match {
+      case Some(ids) => ids.join(drop, Seq("doc_id"), "left_anti")
+      case None => k3.join(drop, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens"))
+    }
 
     val deltas = State(
       fps = fp.select("fp").distinct(),

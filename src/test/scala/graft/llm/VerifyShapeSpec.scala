@@ -66,6 +66,8 @@ class VerifyShapeSpec extends SparkSpec {
     val off = run("")
     val on = run("fp1x,spanwin,arrverify")
     assert(on == off, "shape switches must not change the kept set")
+    val onIds = run("fp1x,spanwin,arrverify,k3ids")
+    assert(onIds == off, "k3ids must not change the kept set")
     assert(off.nonEmpty)
   }
 }
